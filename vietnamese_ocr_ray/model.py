@@ -1,0 +1,159 @@
+"""Deterministic NumPy stand-in for the reference OCR model.
+
+The reference checkpoint is a Git-LFS stub (no real weights available),
+so "match the reference's predict outputs" is operationalized as:
+reimplement the predict *semantics* exactly — encoder runs once per
+image (reference src/model/model.py:206-207), then a greedy
+autoregressive decode seeded with [<sos>], stopping per-sequence on
+<eos>, hard-capped at 32 steps with leftovers flushed
+(src/model/model.py:202-233) — over a deterministic model shared by the
+single-process oracle and the Ray pipeline.
+
+The stand-in "weights": the synthetic corpus renderer (synth.py) draws
+each character of the ground-truth text as a constant-intensity vertical
+band; the encoder reads the band levels back from the preprocessed
+(3, 64, 256) tensor. Band centers survive the full reference preprocess
+chain exactly (sharpness blending only touches pixels adjacent to
+intensity edges; bilinear resize of constant interiors is constant;
+autocontrast is identity because every rendered image contains a 0 and
+a 255 pixel), so recognition inverts rendering exactly and per-row
+results are independent of batch composition — the property the
+reference's dynamic batch-shrink decode also guarantees (SURVEY.md §2.3
+T3), which is what makes Ray block boundaries unable to change output.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from vietnamese_ocr_ray.vocab import (
+    EOS,
+    MAX_DECODE_STEPS,
+    PAD,
+    SOS,
+    Vocabulary,
+)
+
+# Band geometry (post-resize coordinate space, shared with synth.py's
+# renderer). One 8-px band per character + one terminator band.
+BAND_W = 8
+SAMPLE_ROW = 32
+LEVEL0 = 40  # inverted intensity of char index 0
+LEVEL_STEP = 4  # intensity step between consecutive char indices
+TERMINATOR_LEVEL = 255  # inverted intensity of the terminator band
+DETECT_THRESH = 20.0  # content-column detection threshold (pad/background ~ 0)
+
+MODEL_VERSION = "det-numpy-v1"
+
+
+class DecodeError(ValueError):
+    """A preprocessed image did not carry a valid band encoding."""
+
+
+class DeterministicRecognizer:
+    """encode() + greedy_decode() with the reference's decode semantics.
+
+    Stateful-by-design: constructed once per worker/actor (the analog of
+    loading the 269 MB checkpoint in Inference.__init__, reference
+    src/utils/inference.py:20-42).
+    """
+
+    def __init__(self, vocab: Vocabulary | None = None):
+        self.vocab = vocab or Vocabulary()
+        self.model_version = MODEL_VERSION
+
+    # ---- encoder ----------------------------------------------------
+    def encode(self, batch: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Run the "encoder" once per image (analog of
+        src/model/model.py:207): (N, 3, 64, 256) float32 in [0,1] ->
+        (features (N, 31) int32 char ids, lengths (N,) int32).
+
+        Fully vectorized; raises DecodeError on malformed content.
+        """
+        x = batch[:, 0, SAMPLE_ROW, :].astype(np.float64) * 255.0
+        n, w = x.shape
+        mask = x >= DETECT_THRESH
+        has = mask.any(axis=1)
+        if not has.all():
+            raise DecodeError("image with no detectable content bands")
+        lo = mask.argmax(axis=1)
+        hi = (w - 1) - mask[:, ::-1].argmax(axis=1)
+        width = hi - lo + 1
+        nbands = np.rint(width / BAND_W).astype(np.int64)
+        if (nbands < 1).any() or (nbands > MAX_DECODE_STEPS).any():
+            raise DecodeError("band count out of range")
+        lengths = (nbands - 1).astype(np.int32)  # chars before the terminator
+        max_chars = MAX_DECODE_STEPS - 1
+        cols = lo[:, None] + BAND_W * np.arange(max_chars)[None, :] + BAND_W // 2
+        vals = x[np.arange(n)[:, None], np.minimum(cols, w - 1)]
+        idx0 = np.rint((vals - LEVEL0) / LEVEL_STEP).astype(np.int64)
+        active = np.arange(max_chars)[None, :] < lengths[:, None]
+        nletters = self.vocab.vocab_size - 3
+        bad = active & (
+            (idx0 < 0)
+            | (idx0 >= nletters)
+            | (np.abs(vals - (LEVEL0 + idx0 * LEVEL_STEP)) > LEVEL_STEP / 2.0)
+        )
+        if bad.any():
+            raise DecodeError("unquantizable band level (OOV glyph?)")
+        features = np.where(active, idx0 + 3, PAD).astype(np.int32)
+        return features, lengths
+
+    # ---- per-step head (used by the oracle's dict-based loop) -------
+    def step_logits(self, features_row: np.ndarray, length: int, t: int) -> np.ndarray:
+        """Logits for decode step ``t`` of one sequence: argmax equals
+        the next token (features[t] while t < length, then <eos>).
+        Mirrors the last-position logits slice of
+        src/model/model.py:223-225."""
+        logits = np.zeros(self.vocab.vocab_size, dtype=np.float32)
+        nxt = int(features_row[t]) if t < length else EOS
+        logits[nxt] = 1.0
+        return logits
+
+    # ---- vectorized greedy decode (the Ray pipeline path) -----------
+    def greedy_decode(self, features: np.ndarray, lengths: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Autoregressive greedy decode, vectorized with a done-mask —
+        the batch analog of the reference's dict-shrinking loop
+        (src/model/model.py:209-232): start [<sos>], append argmax per
+        step, a sequence leaves the batch when its last id is <eos>,
+        hard cap MAX_DECODE_STEPS appended tokens, leftovers flushed.
+
+        Returns (sequences (N, 1+32) int32 including <sos> and any
+        <eos>, seq_lengths (N,) int32 = total ids per row).
+        """
+        n = features.shape[0]
+        seqs = np.full((n, 1 + MAX_DECODE_STEPS), PAD, dtype=np.int32)
+        seqs[:, 0] = SOS
+        seq_len = np.ones(n, dtype=np.int32)
+        done = np.zeros(n, dtype=bool)
+        for c in range(MAX_DECODE_STEPS):
+            # sequences whose last token is <eos> leave the working set
+            done |= seqs[np.arange(n), seq_len - 1] == EOS
+            if done.all():
+                break
+            active = np.nonzero(~done)[0]
+            if c < features.shape[1]:
+                nxt = np.where(c < lengths[active], features[active, c], EOS)
+            else:
+                nxt = np.full(len(active), EOS, dtype=np.int32)
+            seqs[active, seq_len[active]] = nxt
+            seq_len[active] += 1
+        return seqs, seq_len
+
+    # ---- end-to-end batch recognition -------------------------------
+    def recognize(self, batch: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """images -> (content char-id matrix (N, 31), lengths) after
+        greedy decode + special strip. Because greedy_decode appends
+        exactly features[:length] then <eos> (or hits the 32-step cap),
+        the stripped content equals features[:, :min(length, 32)] —
+        asserted equivalent to the explicit loop in tests."""
+        features, lengths = self.encode(batch)
+        seqs, seq_len = self.greedy_decode(features, lengths)
+        # strip specials vectorized: content ids are >= 3, in order
+        content_len = np.minimum(lengths, MAX_DECODE_STEPS).astype(np.int32)
+        return features, content_len
+
+    def recognize_texts(self, batch: np.ndarray):
+        """images -> Arrow string array of recognized texts."""
+        ids, lengths = self.recognize(batch)
+        return self.vocab.decode_matrix(ids, lengths)
