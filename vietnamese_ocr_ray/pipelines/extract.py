@@ -1,2 +1,224 @@
-def extract_spans(*a, **k): raise NotImplementedError
-def run_extract(*a, **k): raise NotImplementedError
+"""The flagship extraction pipeline (SURVEY.md §3.1 restated
+Ray-Data-first):
+
+    read docs (Lance-layout Parquet, columns pruned)
+      -> explode spans (vectorized Arrow kernel)
+      -> kind-route:  text  -> NFC normalization
+                      media -> payload join -> preprocess -> recognizer
+                               actor pool -> decode -> empty->"a" fill
+      -> groupby(doc_id) + per-group sort(offset) reassembly shuffle
+      -> write partitioned Parquet + per-fragment lineage manifest
+
+Two media-payload strategies:
+
+* ``media_mode="join"`` (default, the 100 TB path): LEFT OUTER hash
+  join of exploded span rows with the media table on ``media_ref``
+  (text spans carry media_ref="" which matches nothing). ONE pass over
+  the input, one join shuffle, one reassembly shuffle; media bytes are
+  moved exactly once and never collected on any single node.
+
+* ``media_mode="broadcast"``: the media payload dict is ray.put ONCE by
+  the driver and fetched once per recognition actor — zero join
+  shuffle. Correct only while the media table fits a worker heap
+  (small-side broadcast rule); intended for dictionary-sized media.
+
+Skew: exploding first turns doc-level skew (one doc with 10^3 media
+spans) into span-level rows; Ray's dynamic block splitting plus the
+hash join's partitioning spread them across the actor pool, so dense
+docs do not serialize recognition. Reassembly re-concentrates a doc on
+one bucket by necessity (output is per-doc); buckets hold ~rows/B docs.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from vietnamese_ocr_ray.model import MODEL_VERSION
+from vietnamese_ocr_ray.sources.storage import (
+    fragment_id,
+    list_fragments,
+    read_docs,
+    read_media,
+)
+from vietnamese_ocr_ray.stages.explode import explode_batch, reassemble
+from vietnamese_ocr_ray.stages.recognize import RecognizeSpans
+from vietnamese_ocr_ray.state.manifest import Manifest
+
+
+def extract_spans(
+    docs: rd.Dataset,
+    media: "rd.Dataset | dict | None",
+    *,
+    media_mode: str = "join",
+    join_partitions: int = 32,
+    recognize_batch_size: int = 512,
+    recognize_concurrency=(1, 32),
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """docs Dataset (+ media payloads) -> extracted docs Dataset.
+
+    ``media``: a Dataset of MEDIA_SCHEMA rows (join mode) or a
+    ray.ObjectRef / dict of {media_ref: (bytes, h, w)} (broadcast mode).
+    """
+    exploded = docs.map_batches(explode_batch, batch_format="pyarrow")
+
+    if media_mode == "join":
+        if not isinstance(media, rd.Dataset):
+            raise TypeError("media_mode='join' needs a media Dataset")
+        joined = exploded.join(
+            media,
+            join_type="left_outer",
+            num_partitions=join_partitions,
+            on=("media_ref",),
+        )
+        recognized = joined.map_batches(
+            RecognizeSpans,
+            batch_format="pyarrow",
+            batch_size=recognize_batch_size,
+            concurrency=recognize_concurrency,
+        )
+    elif media_mode == "broadcast":
+        import ray
+
+        handle = media
+        if isinstance(media, dict):
+            handle = ray.put(media)
+        recognized = exploded.map_batches(
+            RecognizeSpans,
+            batch_format="pyarrow",
+            batch_size=recognize_batch_size,
+            concurrency=recognize_concurrency,
+            fn_constructor_kwargs={"media_handle": handle},
+        )
+    else:
+        raise ValueError(f"unknown media_mode {media_mode!r}")
+
+    return reassemble(recognized, num_buckets=num_buckets)
+
+
+def media_lookup(media_path: str) -> dict:
+    """Load a (small) media table into a broadcastable lookup dict."""
+    t = pq.read_table(
+        media_path, columns=["media_ref", "image", "height", "width"]
+    )
+    return {
+        r: (img, h, w)
+        for r, img, h, w in zip(
+            t.column("media_ref").to_pylist(),
+            t.column("image").to_pylist(),
+            t.column("height").to_pylist(),
+            t.column("width").to_pylist(),
+        )
+    }
+
+
+def run_extract(
+    docs_path: str,
+    media_path: str,
+    out_dir: str,
+    *,
+    chunk_fragments: int = 8,
+    media_mode: str = "join",
+    **pipeline_kwargs,
+) -> dict:
+    """Resumable driver loop: process input fragments in chunks, write
+    each chunk's output atomically (tmp dir + rename), record one
+    manifest line per finished fragment. A rerun skips finished
+    fragments exactly and produces byte-identical remaining output.
+
+    Returns summary {fragments_total, fragments_done_prior,
+    fragments_processed, rows_in, rows_out}.
+    """
+    fragments = list_fragments(docs_path)
+    manifest = Manifest(os.path.join(out_dir, "_manifest.jsonl"))
+    done = manifest.done_fragments()
+    pending = [f for f in fragments if fragment_id(f) not in done]
+    os.makedirs(out_dir, exist_ok=True)
+    # clean tmp leftovers of a crashed run
+    for name in os.listdir(out_dir):
+        if name.startswith("_tmp-"):
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+
+    summary = {
+        "fragments_total": len(fragments),
+        "fragments_done_prior": len(done),
+        "fragments_processed": 0,
+        "rows_in": 0,
+        "rows_out": 0,
+    }
+
+    broadcast_handle = None
+    if media_mode == "broadcast":
+        import ray
+
+        broadcast_handle = ray.put(media_lookup(media_path))
+
+    for i in range(0, len(pending), chunk_fragments):
+        chunk = pending[i : i + chunk_fragments]
+        chunk_name = f"part-{fragment_id(chunk[0])}"
+        rows_in = {
+            fragment_id(f): pq.ParquetFile(f).metadata.num_rows for f in chunk
+        }
+
+        # read with lineage: one small read per fragment, tagged, unioned
+        frag_ds = []
+        for f in chunk:
+            fid = fragment_id(f)
+            d = read_docs(f).map_batches(
+                lambda b, fid=fid: b.append_column(
+                    "_fragment", pa.array([fid] * b.num_rows, pa.string())
+                ),
+                batch_format="pyarrow",
+            )
+            frag_ds.append(d)
+        ds = frag_ds[0]
+        if len(frag_ds) > 1:
+            ds = ds.union(*frag_ds[1:])
+
+        if media_mode == "join":
+            media_ds = read_media(media_path)
+            result = extract_spans(
+                ds, media_ds, media_mode="join", **pipeline_kwargs
+            )
+        else:
+            result = extract_spans(
+                ds, broadcast_handle, media_mode="broadcast", **pipeline_kwargs
+            )
+
+        tmp = os.path.join(out_dir, f"_tmp-{chunk_name}")
+        final = os.path.join(out_dir, chunk_name)
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(final, ignore_errors=True)
+        result.write_parquet(tmp)
+        os.rename(tmp, final)
+
+        # lineage metrics: per-fragment output doc counts (column-pruned
+        # metadata read of what was just written — no recompute)
+        out_frag = pq.read_table(final, columns=["_fragment"])
+        counts = pc.value_counts(out_frag.column("_fragment"))
+        rows_out = {
+            d["values"]: d["counts"] for d in counts.to_pylist()
+        }
+        records = [
+            {
+                "fragment_id": fid,
+                "status": "done",
+                "rows_in": rows_in[fid],
+                "rows_out": int(rows_out.get(fid, 0)),
+                "model_version": MODEL_VERSION,
+                "output_uri": final,
+            }
+            for fid in (fragment_id(f) for f in chunk)
+        ]
+        manifest.append(records)
+        summary["fragments_processed"] += len(chunk)
+        summary["rows_in"] += sum(rows_in.values())
+        summary["rows_out"] += int(out_frag.num_rows)
+
+    return summary

@@ -1,0 +1,58 @@
+"""Format-pluggable table IO.
+
+Physical storage in this sandbox is Parquet with the Lance logical
+schema (pylance is not importable); when ``lance`` IS importable the
+readers switch to ``ray.data.read_lance`` and fragments become real
+Lance fragments. Everything downstream keys on an abstract
+``fragment_id`` (here: the parquet file stem) so a Lance backend drops
+in without touching the manifest/resume logic.
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray.data as rd
+
+
+def _lance_available() -> bool:
+    try:
+        import lance  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def list_fragments(path: str) -> list[str]:
+    """Deterministic fragment listing of a table directory (or a single
+    file). Fragment id = file stem."""
+    if os.path.isfile(path):
+        return [path]
+    return sorted(
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    )
+
+
+def fragment_id(path: str) -> str:
+    return os.path.splitext(os.path.basename(path))[0]
+
+
+def read_docs(path: str | list[str], **kwargs) -> rd.Dataset:
+    """Read the interleaved docs table (DOCS_SCHEMA)."""
+    if _lance_available() and isinstance(path, str) and path.endswith(".lance"):
+        return rd.read_lance(path, **kwargs)
+    return rd.read_parquet(path, **kwargs)
+
+
+def read_media(path: str | list[str], with_truth: bool = False, **kwargs) -> rd.Dataset:
+    """Read the media payload table; the test-only ``truth`` column is
+    pruned at the read unless explicitly requested."""
+    cols = ["media_ref", "image", "height", "width"] + (
+        ["truth"] if with_truth else []
+    )
+    if _lance_available() and isinstance(path, str) and path.endswith(".lance"):
+        return rd.read_lance(path, columns=cols, **kwargs)
+    return rd.read_parquet(path, columns=cols, **kwargs)

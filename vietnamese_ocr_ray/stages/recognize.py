@@ -1,0 +1,91 @@
+"""Span-processing stages: kind-routing, text normalization, and the
+stateful OCR recognition actor.
+
+The recognition stage is a callable CLASS — Ray Data runs it as an
+actor pool so the model is constructed once per worker (the analog of
+loading the 269 MB checkpoint in Inference.__init__, reference
+src/utils/inference.py:20-42) and reused across batches.
+
+Per-row outputs are independent of batch composition (model property,
+SURVEY.md §2.3 T3), so Ray's block/batch boundaries cannot change
+results.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from vietnamese_ocr_ray.model import DeterministicRecognizer
+from vietnamese_ocr_ray.preprocess import preprocess_batch
+from vietnamese_ocr_ray.vocab import Vocabulary
+
+SPAN_COLS = ("doc_id", "offset", "kind", "text", "media_ref")
+
+
+def normalize_text_array(arr: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
+    """Pass-through normalization for text spans: unicode NFC
+    (north_rule "text spans pass through normalization"; the reference
+    passes label text through unmodified, src/utils/vocab.py:22)."""
+    return pc.utf8_normalize(arr, form="NFC")
+
+
+def fill_empty(texts: pa.Array) -> pa.Array:
+    """empty prediction -> "a" (reference src/utils/inference.py:107-110)."""
+    return pc.if_else(pc.equal(pc.utf8_length(texts), 0), pa.scalar("a"), texts)
+
+
+def _set_text(batch: pa.Table, texts) -> pa.Table:
+    return batch.set_column(
+        batch.schema.get_field_index("text"), "text", texts
+    )
+
+
+class RecognizeSpans:
+    """Fused routing stage: media spans -> preprocess + recognize +
+    empty-fill; text spans -> NFC normalization. One streaming pass.
+
+    Media payloads arrive either inline (columns image/height/width
+    from an upstream join — the scale path) or via a broadcast lookup
+    (``media_handle``: a ray.put ObjectRef of {media_ref: (bytes, h, w)}
+    — the small-media path; fetched ONCE per actor here in __init__,
+    never per batch).
+    """
+
+    def __init__(self, media_handle=None, vocab: Vocabulary | None = None):
+        self.model = DeterministicRecognizer(vocab)
+        self.media = None
+        if media_handle is not None:
+            import ray
+
+            self.media = ray.get(media_handle)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        is_media = pc.equal(batch.column("kind"), "media")
+        media_rows = batch.filter(is_media)
+        text_rows = batch.filter(pc.invert(is_media))
+
+        text_rows = _set_text(
+            text_rows, normalize_text_array(text_rows.column("text"))
+        )
+
+        if media_rows.num_rows:
+            refs = media_rows.column("media_ref").to_pylist()
+            if self.media is not None:
+                payload = [self.media[r] for r in refs]
+                imgs = [p[0] for p in payload]
+                hs = np.array([p[1] for p in payload], dtype=np.int64)
+                ws = np.array([p[2] for p in payload], dtype=np.int64)
+            else:
+                imgs = media_rows.column("image").to_pylist()
+                hs = media_rows.column("height").to_numpy(zero_copy_only=False)
+                ws = media_rows.column("width").to_numpy(zero_copy_only=False)
+            x = preprocess_batch(imgs, hs, ws, refs)
+            texts = fill_empty(self.model.recognize_texts(x))
+            media_rows = _set_text(media_rows, texts)
+
+        out_cols = [c for c in batch.column_names if c not in ("image", "height", "width")]
+        return pa.concat_tables(
+            [text_rows.select(out_cols), media_rows.select(out_cols)]
+        )
