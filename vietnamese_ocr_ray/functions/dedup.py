@@ -1,0 +1,330 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, and n-gram
+Jaccard — expressed Ray-Data-first:
+
+* exact:   vectorized 64-bit content hash -> hash-partitioned groupby
+           -> per-group exact-text dedup (hash collisions are harmless
+           because the final match is on the text itself).
+* minhash: shingle -> minhash signature per batch (vectorized) ->
+           explode to (band, band_hash, doc_id) rows -> bucket groupby
+           -> candidate pairs -> exact-Jaccard verification.
+* simhash: 64-bit fingerprint per doc, vectorized bit-majority.
+* n-gram Jaccard: character-set Jaccard between paired rows
+  (bitmask-vectorized for ASCII), DuckDB ``jaccard()``-compatible.
+
+At 100 TB the only all-to-all moves are the groupbys on short hash
+keys; signatures/pairs are tiny compared to the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _utf8_flat(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(normalized offsets int64, flat uint8 bytes) of a StringArray."""
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        if arr.buffers()[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    base = offs[0]
+    return offs - base, data[base : offs[-1]]
+
+
+def content_hash64(arr: pa.Array) -> np.ndarray:
+    """Vectorized FNV-1a-style 64-bit hash of each string (stable
+    across processes — never Python's salted hash)."""
+    offs, data = _utf8_flat(arr)
+    n = len(offs) - 1
+    h = np.full(n, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    lens = offs[1:] - offs[:-1]
+    prime = np.uint64(0x100000001B3)
+    maxlen = int(lens.max()) if n else 0
+    # iterate character POSITIONS (bounded by max doc length), not rows
+    for i in range(maxlen):
+        active = lens > i
+        idx = offs[:-1][active] + i
+        h[active] = (h[active] ^ data[idx].astype(np.uint64)) * prime
+    return h
+
+
+def dedup_exact(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
+    """Keep min(id) per distinct text + copy count. Hash-partition on a
+    64-bit content hash so each group fits one task; final equality is
+    on the text itself (collision-proof)."""
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        h = content_hash64(b.column(text_col))
+        return b.append_column("_h64", pa.array(h.astype(np.int64)))
+
+    def first_per_text(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(text_col, as_index=False)
+            .agg(**{id_col: (id_col, "min"), "n_copies": (id_col, "size")})
+        )
+        return out[[id_col, text_col, "n_copies"]]
+
+    return (
+        ds.select_columns([id_col, text_col])
+        .map_batches(add_hash, batch_format="pyarrow")
+        .groupby("_h64")
+        .map_groups(first_per_text, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _shingle_hashes(text_bytes: np.ndarray, k: int) -> np.ndarray:
+    """All k-byte rolling window hashes of one document (vectorized)."""
+    n = text_bytes.shape[0]
+    if n < k:
+        window = np.zeros((1, k), dtype=np.uint64)
+        window[0, :n] = text_bytes
+    else:
+        window = np.lib.stride_tricks.sliding_window_view(text_bytes, k).astype(
+            np.uint64
+        )
+    h = np.full(window.shape[0], np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for i in range(k):
+        h = (h ^ window[:, i]) * prime
+    return np.unique(h)
+
+
+class MinHasher:
+    """Stateful per-actor signature computer: the permutation
+    coefficients are generated once in __init__ (actor-pool pattern),
+    not per batch."""
+
+    def __init__(self, num_perm: int = 64, k: int = 4, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.k = k
+        self.num_perm = num_perm
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        # (S,1)*(P,) universal hashing mod Mersenne prime, min over S
+        x = (
+            shingles[:, None] * self.a[None, :] + self.b[None, :]
+        ) % np.uint64(_MERSENNE)
+        return x.min(axis=0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = []
+        for i in range(batch.num_rows):
+            offs, data = _utf8_flat(batch.column("text").slice(i, 1))
+            sigs.append(self.signature(_shingle_hashes(data, self.k)))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "sig": pa.array(
+                    [s.astype(np.int64) for s in sigs], pa.list_(pa.int64())
+                ),
+            }
+        )
+
+
+def _band_rows(batch: pa.Table, bands: int) -> pa.Table:
+    """signature rows -> (band, band_hash, doc_id) rows, vectorized."""
+    sig = np.asarray(batch.column("sig").to_pylist(), dtype=np.uint64)
+    n, p = sig.shape
+    r = p // bands
+    view = sig.reshape(n, bands, r)
+    h = np.full((n, bands), np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for i in range(r):
+        h = (h ^ view[:, :, i]) * prime
+    doc = np.repeat(np.asarray(batch.column("doc_id")), bands)
+    band = np.tile(np.arange(bands, dtype=np.int32), n)
+    return pa.table(
+        {
+            "band": pa.array(band),
+            "band_hash": pa.array(h.reshape(-1).astype(np.int64)),
+            "doc_id": pa.array(doc),
+        }
+    )
+
+
+def _bucket_pairs(g: pd.DataFrame, cap: int = 200) -> pd.DataFrame:
+    """Candidate pairs within one LSH bucket (capped against
+    degenerate hot buckets; real skew handling = salt or raise bands)."""
+    ids = sorted(g["doc_id"].tolist())[:cap]
+    a, b = [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a.append(ids[i])
+            b.append(ids[j])
+    return pd.DataFrame({"a": a, "b": b})
+
+
+def jaccard_shingles(t1: str, t2: str, k: int = 4) -> float:
+    b1 = np.frombuffer(t1.encode(), dtype=np.uint8)
+    b2 = np.frombuffer(t2.encode(), dtype=np.uint8)
+    s1 = _shingle_hashes(b1, k)
+    s2 = _shingle_hashes(b2, k)
+    inter = np.intersect1d(s1, s2, assume_unique=True).shape[0]
+    union = s1.shape[0] + s2.shape[0] - inter
+    return inter / union if union else 1.0
+
+
+def minhash_lsh_pairs(
+    ds: rd.Dataset,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 4,
+    threshold: float = 0.5,
+    texts_handle=None,
+) -> rd.Dataset:
+    """Near-duplicate pairs: signature -> band buckets -> candidates ->
+    exact shingle-Jaccard verification against ``threshold``.
+
+    ``texts_handle``: ray.put({doc_id: text}) for verification lookup
+    (broadcast; the 100 TB path joins candidates back to the corpus
+    twice on doc_id instead)."""
+    import ray
+
+    sigs = ds.select_columns(["doc_id", "text"]).map_batches(
+        MinHasher,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"num_perm": num_perm, "k": k},
+        concurrency=(1, 8),
+    )
+    band_rows = sigs.map_batches(
+        lambda b: _band_rows(b, bands), batch_format="pyarrow"
+    )
+    candidates = (
+        band_rows.groupby(["band", "band_hash"])
+        .map_groups(_bucket_pairs, batch_format="pandas")
+    )
+
+    # distinct pairs (a pair can surface from several bands)
+    distinct = candidates.groupby(["a", "b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        texts = ray.get(texts_handle)
+        rows_a, rows_b, jac = [], [], []
+        for a, b in zip(
+            batch.column("a").to_pylist(), batch.column("b").to_pylist()
+        ):
+            j = jaccard_shingles(texts[a], texts[b], k)
+            if j >= threshold:
+                rows_a.append(a)
+                rows_b.append(b)
+                jac.append(round(j, 6))
+        return pa.table(
+            {
+                "a": pa.array(rows_a, batch.column("a").type),
+                "b": pa.array(rows_b, batch.column("b").type),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+
+    return distinct.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_batch(batch: pa.Table, k: int = 4) -> pa.Table:
+    """64-bit SimHash per doc over k-byte shingle hashes: per-bit
+    weighted majority, vectorized with popcount-style bit unpacking."""
+    out = []
+    for i in range(batch.num_rows):
+        _, data = _utf8_flat(batch.column("text").slice(i, 1))
+        h = _shingle_hashes(data, k)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int64
+        )
+        votes = bits.sum(axis=0) * 2 - h.shape[0]  # (+1 / -1) majority
+        fp = np.uint64(0)
+        for b in np.nonzero(votes > 0)[0]:
+            fp |= np.uint64(1) << np.uint64(b)
+        out.append(f"{int(fp):016x}")
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "simhash": pa.array(out, pa.string()),
+        }
+    )
+
+
+def simhash(ds: rd.Dataset) -> rd.Dataset:
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        simhash_batch, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-set Jaccard between consecutive docs (DuckDB jaccard())
+# ---------------------------------------------------------------------------
+
+
+def charset_matrix(arr: pa.Array) -> np.ndarray:
+    """(N, 128) bool presence matrix of ASCII chars — fully vectorized
+    from the flat utf8 buffer."""
+    offs, data = _utf8_flat(arr)
+    n = len(offs) - 1
+    lens = offs[1:] - offs[:-1]
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    m = np.zeros((n, 128), dtype=bool)
+    if data.size:
+        m[rows, np.minimum(data, 127)] = True
+    return m
+
+
+def neighbor_jaccard(ds: rd.Dataset, join_partitions: int = 8) -> rd.Dataset:
+    """Character-set Jaccard between doc i and doc i+1 — a deterministic
+    self-join pairing (Dataset.join on doc_id+1) with the similarity
+    computed as vectorized bitmask intersection/union."""
+    left = ds.select_columns(["doc_id", "text"])
+    right = ds.select_columns(["doc_id", "text"]).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id_b": b.column("doc_id"),
+                "join_key": pa.compute.add(b.column("doc_id"), 1),
+                "text_b": b.column("text"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = left.join(
+        right,
+        join_type="inner",
+        num_partitions=join_partitions,
+        on=("doc_id",),
+        right_on=("join_key",),
+    )
+
+    def jac(batch: pa.Table) -> pa.Table:
+        m1 = charset_matrix(batch.column("text_b"))  # doc i
+        m2 = charset_matrix(batch.column("text"))  # doc i+1
+        inter = (m1 & m2).sum(axis=1)
+        union = (m1 | m2).sum(axis=1)
+        j = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        return pa.table(
+            {
+                "doc_id_a": batch.column("doc_id_b"),
+                "doc_id_b": batch.column("doc_id"),
+                "jaccard": pa.array(np.round(j, 6), pa.float64()),
+            }
+        )
+
+    return joined.map_batches(jac, batch_format="pyarrow")

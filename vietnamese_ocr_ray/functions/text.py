@@ -1,0 +1,213 @@
+"""Text-analysis operators over a (doc_id, text, ...) table — the
+large-scale training-data-pipeline additions (language ID, quality
+scoring, token counting, fingerprinting, CER) expressed as vectorized
+Ray Data transforms. Every formula here is deliberately simple enough
+to be mirrored exactly by an ANSI-SQL oracle (see __ray_entry__.py).
+
+CER/Levenshtein restates the reference metric (src/utils/cer.py:4-38)
+as a map_batches + Sum-aggregate pipeline instead of a driver loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+# deterministic language markers; tiebreak order en > de > es > fr
+LANG_MARKERS = [
+    ("en", " the "),
+    ("de", " der "),
+    ("es", " el "),
+    ("fr", " le "),
+]
+
+STOPWORDS_PATTERN = " the "  # single marker used for the stop ratio
+FP_MOD = 1_000_000_007
+
+
+def _count_occurrences(arr: pa.ChunkedArray, pattern: str) -> pa.Array:
+    """Non-overlapping substring occurrence count, the SQL-mirrorable
+    way: (len(s) - len(replace(s, p, ''))) / len(p)."""
+    replaced = pc.replace_substring(arr, pattern=pattern, replacement="")
+    return pc.divide(
+        pc.subtract(pc.utf8_length(arr), pc.utf8_length(replaced)),
+        pa.scalar(len(pattern)),
+    )
+
+
+def _padded(arr):
+    """' ' || text || ' ' so word-boundary markers match at the ends."""
+    # NB: the LAST argument of binary_join_element_wise is the separator
+    return pc.binary_join_element_wise(
+        pa.scalar(" "), arr, pa.scalar(" "), pa.scalar("")
+    )
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """Marker-count language heuristic; argmax with fixed tiebreak."""
+    padded = _padded(batch.column("text"))
+    scores = np.stack(
+        [
+            np.asarray(_count_occurrences(padded, marker))
+            for _, marker in LANG_MARKERS
+        ]
+    )  # (L, N)
+    # tiebreak = first lang in LANG_MARKERS order with maximal score
+    best = np.argmax(scores, axis=0)  # np.argmax takes the first max
+    langs = np.array([l for l, _ in LANG_MARKERS])
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "lang_pred": pa.array(langs[best]),
+        }
+    )
+
+
+def lang_id(ds: rd.Dataset) -> rd.Dataset:
+    return ds.map_batches(lang_id_batch, batch_format="pyarrow")
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """Whitespace token count per doc: len(string_split(text, ' '))."""
+    n = pc.list_value_length(pc.split_pattern(batch.column("text"), " "))
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "n_tokens": n.cast(pa.int64())}
+    )
+
+
+def token_count(ds: rd.Dataset) -> rd.Dataset:
+    return ds.map_batches(token_count_batch, batch_format="pyarrow")
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Quality signals: token count, punctuation count, stopword count,
+    chars-per-token — all exact-integer or single-division doubles so
+    the SQL oracle reproduces them bit-for-bit."""
+    text = batch.column("text")
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    n_tokens = pc.list_value_length(pc.split_pattern(text, " ")).cast(pa.int64())
+    padded = _padded(text)
+    n_stop = pa.array(
+        np.asarray(_count_occurrences(padded, STOPWORDS_PATTERN)), pa.int64()
+    )
+    # punctuation = occurrences of '.' + ',' (exact integer counts)
+    n_punct = pc.add(
+        _count_occurrences(text, "."), _count_occurrences(text, ",")
+    ).cast(pa.int64())
+    chars_per_token = pc.divide(
+        n_chars.cast(pa.float64()), pc.max_element_wise(n_tokens, 1).cast(pa.float64())
+    )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars": n_chars,
+            "n_tokens": n_tokens,
+            "n_stop": n_stop,
+            "n_punct": n_punct,
+            "chars_per_token": chars_per_token,
+        }
+    )
+
+
+def quality_scores(ds: rd.Dataset) -> rd.Dataset:
+    return ds.map_batches(quality_batch, batch_format="pyarrow")
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Positional document fingerprint:
+    sum(codepoint(c_i) * i, i 1-based) % 1e9+7 — vectorized over the
+    flat utf8 buffer (ASCII fast path, per-row fallback otherwise)."""
+    arr = batch.column("text").combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    data = (
+        np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        if arr.buffers()[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    n = len(arr)
+    fps = np.zeros(n, dtype=np.int64)
+    if data.size and (data < 128).all():
+        # ASCII: byte == codepoint; one weighted cumsum over the buffer
+        base = int(offs[0])
+        tail = offs.astype(np.int64) - base  # normalized, tail[0] == 0
+        chars = data[base : int(offs[-1])].astype(np.int64)
+        lens = tail[1:] - tail[:-1]
+        starts = np.repeat(tail[:-1], lens)
+        local = np.arange(chars.shape[0], dtype=np.int64) - starts + 1
+        csum = np.concatenate([[0], np.cumsum(chars * local)])
+        fps = (csum[tail[1:]] - csum[tail[:-1]]) % FP_MOD
+    else:
+        for i in range(n):
+            s = arr[i].as_py()
+            fps[i] = sum(ord(c) * (j + 1) for j, c in enumerate(s)) % FP_MOD
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "fingerprint": pa.array(fps)}
+    )
+
+
+def fingerprint(ds: rd.Dataset) -> rd.Dataset:
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# CER (reference src/utils/cer.py) as a distributed aggregate
+# ---------------------------------------------------------------------------
+
+
+def levenshtein_np(a: str, b: str) -> int:
+    """Edit distance, numpy row-DP (reference _levenshtein_distance,
+    src/utils/cer.py:4-16)."""
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    bb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    prev = np.arange(len(bb) + 1, dtype=np.int64)
+    for i, ca in enumerate(a, 1):
+        cur = np.empty_like(prev)
+        cur[0] = i
+        cost = (bb != ord(ca)).astype(np.int64)
+        np.minimum(prev[1:] + 1, prev[:-1] + cost, out=cur[1:])
+        # insertion chain: cur[j] = min_k<=j (cur[k] + (j-k)), vectorized
+        idx = np.arange(len(cur))
+        np.minimum(cur, np.minimum.accumulate(cur - idx) + idx, out=cur)
+        prev = cur
+    return int(prev[-1])
+
+
+def cer_batch(batch: pa.Table, pred_col: str, target_col: str) -> pa.Table:
+    preds = batch.column(pred_col).to_pylist()
+    targets = batch.column(target_col).to_pylist()
+    errors = [levenshtein_np(p or "", t or "") for p, t in zip(preds, targets)]
+    totals = [len(t or "") for t in targets]
+    return pa.table(
+        {
+            "errors": pa.array(errors, pa.int64()),
+            "total": pa.array(totals, pa.int64()),
+        }
+    )
+
+
+def corpus_cer(ds: rd.Dataset, pred_col: str, target_col: str) -> pa.Table:
+    """Corpus CER = sum(edit errors) / sum(target chars) — the
+    reference's accumulate-then-ratio (src/utils/cer.py:18-38) as
+    map_batches partials + a Sum aggregate (no driver loop)."""
+    partial = ds.map_batches(
+        lambda b: cer_batch(b, pred_col, target_col), batch_format="pyarrow"
+    )
+    agg = partial.aggregate(Sum("errors", alias_name="errors"), Sum("total", alias_name="total"))
+    errors, total = int(agg["errors"]), int(agg["total"])
+    return pa.table(
+        {
+            "errors": pa.array([errors], pa.int64()),
+            "total": pa.array([total], pa.int64()),
+            "cer": pa.array([errors / total if total else 0.0], pa.float64()),
+        }
+    )

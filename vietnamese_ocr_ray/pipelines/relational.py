@@ -1,0 +1,340 @@
+"""Relational operator demos over the TPC-H-ish driver tables —
+filter/project/aggregate/sort/join/window expressed Ray-Data-first.
+
+Numeric discipline for oracle comparability: monetary sums are
+accumulated as exact integers (cents / basis points) so Ray and DuckDB
+produce bit-identical doubles after one final division — never compare
+independently-accumulated floating sums.
+
+Aggregations pre-aggregate inside map_batches (one partial row per key
+per batch) before the small groupby — the partial/combiner pattern that
+keeps the all-to-all exchange tiny at scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Sum
+
+
+def _cents(arr, scale: int) -> pa.Array:
+    """round(x * scale) as int64 — exact for fixed-decimal inputs."""
+    return pc.cast(pc.round(pc.multiply(arr, pa.scalar(float(scale)))), pa.int64())
+
+
+def pricing_summary(sf_dir: str, cutoff: str = "1998-09-01") -> pa.Table:
+    """TPC-H Q1 shape: filter shipdate < cutoff, group by
+    (returnflag, linestatus), exact-integer sums + derived averages.
+
+    Partial aggregation: each batch emits one row per key; the shuffle
+    moves O(keys * blocks) rows, not O(rows).
+    """
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+    cut = np.datetime64(cutoff, "us")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.less(batch.column("l_shipdate"), pa.scalar(cut))
+        b = batch.filter(mask)
+        qty = _cents(b.column("l_quantity"), 1)
+        price_c = _cents(b.column("l_extendedprice"), 100)
+        disc_bp = _cents(b.column("l_discount"), 100)
+        # revenue in 1e-4 units: price_cents * (100 - disc_hundredths)
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_bp))
+        t = pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "q": qty,
+                "p": price_c,
+                "r": rev,
+            }
+        )
+        df = t.to_pandas()
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(q=("q", "sum"), p=("p", "sum"), r=("r", "sum"), n=("q", "size"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("q", alias_name="sq"),
+        Sum("p", alias_name="sp"),
+        Sum("r", alias_name="sr"),
+        Sum("n", alias_name="n"),
+    )
+    t = pa.Table.from_pandas(final.to_pandas(), preserve_index=False)
+    sq = t.column("sq").to_numpy().astype(np.int64)
+    sp = t.column("sp").to_numpy().astype(np.int64)
+    sr = t.column("sr").to_numpy().astype(np.int64)
+    n = t.column("n").to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "sum_qty": pa.array(sq),
+            "sum_base_price": pa.array(sp / 100.0),
+            "sum_disc_price": pa.array(sr / 10000.0),
+            "count_order": pa.array(n),
+            "avg_qty": pa.array(sq / n),
+            "avg_price": pa.array(sp / 100.0 / n),
+        }
+    ).sort_by([("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
+
+
+def top_revenue_orders(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """Revenue per order (exact integer units) -> global top-k:
+    per-batch partial sums, small groupby, sort+limit."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price_c = _cents(batch.column("l_extendedprice"), 100)
+        disc = _cents(batch.column("l_discount"), 100)
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"), "rev": rev})
+        df = t.to_pandas().groupby("l_orderkey", as_index=False).agg(rev=("rev", "sum"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    per_order = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="rev_units"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "revenue": pc.divide(
+                    pc.cast(batch.column("rev_units"), pa.float64()),
+                    pa.scalar(10000.0),
+                ),
+            }
+        )
+
+    return per_order.map_batches(finish, batch_format="pyarrow").sort(
+        ["revenue", "l_orderkey"], descending=[True, False]
+    ).limit(k)
+
+
+def nation_customer_stats(sf_dir: str) -> rd.Dataset:
+    """Broadcast inner join (J1 analog — the reference's filename ->
+    label dict probe, src/utils/vocab.py:22): customer x nation x
+    region with the small sides shipped once via ray.put, then a
+    pre-aggregated groupby."""
+    import ray
+
+    nation = pa.Table.from_pandas(
+        pd.read_parquet(f"{sf_dir}/nation.parquet"), preserve_index=False
+    )
+    region = pa.Table.from_pandas(
+        pd.read_parquet(f"{sf_dir}/region.parquet"), preserve_index=False
+    )
+    lut = nation.to_pandas().merge(
+        region.to_pandas(), left_on="n_regionkey", right_on="r_regionkey"
+    )[["n_nationkey", "n_name", "r_name"]]
+    handle = ray.put(lut)
+
+    class JoinNation:
+        def __init__(self):
+            self.lut = ray.get(handle)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = batch.merge(
+                self.lut, left_on="c_nationkey", right_on="n_nationkey"
+            )
+            m["acctbal_c"] = (m["c_acctbal"] * 100).round().astype("int64")
+            g = m.groupby(["n_name", "r_name"], as_index=False).agg(
+                n_customers=("c_custkey", "size"), bal=("acctbal_c", "sum")
+            )
+            return g
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+    partials = ds.map_batches(JoinNation, batch_format="pandas", concurrency=(1, 4))
+    final = partials.groupby(["n_name", "r_name"]).aggregate(
+        Sum("n_customers", alias_name="n_customers"),
+        Sum("bal", alias_name="bal_units"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_name": batch.column("n_name"),
+                "r_name": batch.column("r_name"),
+                "n_customers": batch.column("n_customers"),
+                "total_acctbal": pc.divide(
+                    pc.cast(batch.column("bal_units"), pa.float64()),
+                    pa.scalar(100.0),
+                ),
+            }
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow")
+
+
+def order_priority_counts(sf_dir: str) -> rd.Dataset:
+    """Large-side hash join demo: orders x customer (Dataset.join) ->
+    counts per (mktsegment, orderpriority)."""
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderpriority"]
+    )
+    customer = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = orders.join(
+        customer,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    return (
+        joined.groupby(["c_mktsegment", "o_orderpriority"])
+        .aggregate(Count(alias_name="n_orders"))
+    )
+
+
+def window_aggregate(sf_dir: str, window_sec: int = 3600) -> rd.Dataset:
+    """Tumbling event-time window (streaming-shaped op the reference
+    lacks; Ray Data has no watermarks so this is batch windowing):
+    floor(epoch/window) per event_type, count + exact-integer value sum."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        epoch = pc.divide(
+            pc.cast(batch.column("ts"), pa.int64()), pa.scalar(1_000_000)
+        )  # us -> s
+        win = pc.multiply(
+            pc.floor(
+                pc.divide(pc.cast(epoch, pa.float64()), pa.scalar(float(window_sec)))
+            ),
+            pa.scalar(float(window_sec)),
+        )
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "window_start": pc.cast(win, pa.int64()),
+                "value_c": _cents(batch.column("value"), 1000),
+            }
+        )
+
+    return (
+        ds.map_batches(add_window, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_c", alias_name="value_units"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "event_type": b.column("event_type"),
+                    "window_start": b.column("window_start"),
+                    "n_events": b.column("n_events"),
+                    "sum_value": pc.divide(
+                        pc.cast(b.column("value_units"), pa.float64()),
+                        pa.scalar(1000.0),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def sessionize(sf_dir: str, gap_sec: int = 1800) -> rd.Dataset:
+    """Session windows per user (gap-based): groupby(user_id) +
+    per-group sort by ts + vectorized gap count. The per-key ordered
+    state the reference never needs — partitioning assumption: one
+    user's events fit one group."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def count_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].values.astype("datetime64[us]").astype(np.int64))
+        gaps = np.diff(ts) > gap_sec * 1_000_000
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(gaps.sum()) + 1]}
+        )
+
+    return ds.groupby("user_id").map_groups(count_sessions, batch_format="pandas")
+
+
+def event_type_stats(sf_dir: str) -> rd.Dataset:
+    """Mean aggregate (A4 analog, src/utils/statistic.py:8-14): exact
+    integer sum + count per event_type, one final division."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "v": _cents(batch.column("value"), 1000),
+            }
+        )
+        df = t.to_pandas().groupby("event_type", as_index=False).agg(
+            v=("v", "sum"), n=("v", "size")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("v", alias_name="v"), Sum("n", alias_name="n"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "event_type": b.column("event_type"),
+                    "n_events": b.column("n"),
+                    "avg_value": pc.divide(
+                        pc.divide(pc.cast(b.column("v"), pa.float64()), pa.scalar(1000.0)),
+                        pc.cast(b.column("n"), pa.float64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def max_doc_len(sf_dir: str) -> rd.Dataset:
+    """Global/grouped max (A3 analog, src/utils/vocab.py:16-19)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(
+        Max("n_chars", alias_name="max_chars"), Count(alias_name="n_docs")
+    )
+
+
+def split_sample(sf_dir: str, seed: int = 42, train_frac: float = 0.99) -> pa.Table:
+    """Seeded shuffle + proportional split (O2 analog,
+    src/utils/dataloader.py:18-21): returns split sizes (the split
+    CONTENT is seed-dependent; the sizes are exact)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = ds.count()
+    n_train = int(n * train_frac)
+    shuffled = ds.random_shuffle(seed=seed)
+    train, val = shuffled.split_at_indices([n_train])
+    return pa.table(
+        {
+            "split": pa.array(["train", "val"]),
+            "n_rows": pa.array([train.count(), val.count()], pa.int64()),
+        }
+    )
