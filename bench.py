@@ -1,0 +1,286 @@
+"""Benchmark harness.
+
+Headline: the flagship interleaved-docs OCR extraction pipeline (read ->
+explode -> route -> join media -> preprocess+recognize actor pool ->
+reassemble -> partitioned parquet write) over the corpus synthesized
+from $GRAFT_SF_DIR (default /root/testdata/sf0.1), replicated
+$GRAFT_BENCH_REPLICATE times (default 2) for stable timings.
+
+Prints ONE JSON line:
+  {"metric": "extract_e2e", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ..., "media_spans_per_sec": ...}
+
+--scaling: reruns the headline in fresh subprocesses at num_cpus=8 and
+num_cpus=32 on the same input and reports throughputs + scaling
+efficiency (the sandbox stand-in for the N vs 4N cluster criterion),
+appending the numbers to BENCH/BASELINE.md.
+
+Owns its Ray session (the only scripts allowed to: bench/CLI/tests).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "2"))
+OUT_DIR = os.environ.get("GRAFT_BENCH_OUT", "/tmp/vnocr_bench_out")
+
+
+def _replicated_corpus(sf_dir: str, factor: int) -> tuple[str, str]:
+    """Synthesize (cached) the corpus, then replicate the docs table
+    ``factor`` times with distinct doc_ids (media shared — refs are
+    identical per replica so the media table is reused; doc_ids get a
+    replica suffix). Cached on disk keyed by (sf, factor)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.synth import ensure_corpus
+
+    docs_dir, media_dir = ensure_corpus(sf_dir)
+    if factor <= 1:
+        return docs_dir, media_dir
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/vnocr_cache/{tag}-x{factor}"
+    marker = os.path.join(out, "_SUCCESS")
+    rep_docs = os.path.join(out, "docs")
+    if os.path.exists(marker):
+        return rep_docs, media_dir
+    os.makedirs(rep_docs, exist_ok=True)
+    src = pq.read_table(docs_dir)
+    for r in range(factor):
+        t = src.set_column(
+            0,
+            "doc_id",
+            pc.binary_join_element_wise(
+                pc.cast(src.column("doc_id"), pa.string()),
+                pa.scalar(f"r{r}"),
+                pa.scalar("#"),
+            ),
+        )
+        pq.write_table(t, os.path.join(rep_docs, f"frag-{r:05d}.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return rep_docs, media_dir
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.extract import extract_spans
+    from vietnamese_ocr_ray.sources.storage import read_docs, read_media
+
+    docs_dir, media_dir = _replicated_corpus(SF_DIR, REPLICATE)
+
+    # corpus size facts (metadata only) + page-cache warm (untimed)
+    n_docs = sum(
+        pq.ParquetFile(os.path.join(docs_dir, f)).metadata.num_rows
+        for f in os.listdir(docs_dir)
+        if f.endswith(".parquet")
+    )
+    media_files = [
+        os.path.join(media_dir, f)
+        for f in os.listdir(media_dir)
+        if f.endswith(".parquet")
+    ]
+    n_media = sum(pq.ParquetFile(f).metadata.num_rows for f in media_files)
+    for f in media_files:
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
+    # ---- headline: extraction e2e (join mode = the scale path) ----
+    shutil.rmtree(OUT_DIR, ignore_errors=True)
+    t0 = time.perf_counter()
+    result = extract_spans(
+        read_docs(docs_dir),
+        read_media(media_dir),
+        media_mode="join",
+        join_partitions=NUM_CPUS,
+        num_buckets=max(16, NUM_CPUS * 2),
+        recognize_batch_size=512,
+        recognize_concurrency=(1, NUM_CPUS),
+    )
+    result.write_parquet(OUT_DIR)
+    headline = time.perf_counter() - t0
+    media_spans = n_media * REPLICATE
+
+    # ---- representative operator timings ----
+    queries: dict[str, float] = {}
+
+    def timeit(name, fn):
+        t = time.perf_counter()
+        fn()
+        queries[name] = round(time.perf_counter() - t, 3)
+
+    import __ray_entry__ as entrymod
+
+    q = entrymod.queries()
+    for name in (
+        "pricing_summary",
+        "top_revenue",
+        "window_agg",
+        "dedup_exact",
+        "ann_topk",
+        "fingerprint",
+        "quality_scores",
+        "minhash_pairs",
+    ):
+
+        def consume(fn=q[name]):
+            res = fn(SF_DIR)
+            if hasattr(res, "materialize"):
+                res.materialize()
+
+        timeit(name, consume)
+
+    ray.shutdown()
+    return {
+        "metric": "extract_e2e",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "replicate": REPLICATE,
+        "n_docs": n_docs,
+        "n_media_spans": media_spans,
+        "docs_per_sec": round(n_docs / headline, 1),
+        "media_spans_per_sec": round(media_spans / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    """Same job, same input, fresh processes at 8 and 32 CPUs."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--headline-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    result = {
+        "metric": "scaling",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "docs_per_sec_8": r_lo["docs_per_sec"],
+        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "media_spans_per_sec_8": r_lo["media_spans_per_sec"],
+        "media_spans_per_sec_32": r_hi["media_spans_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+    _record_baseline(result)
+    return result
+
+
+def _record_baseline(result: dict) -> None:
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+    with open(path, "a", encoding="utf-8") as f:
+        f.write(f"\n## scaling run {stamp}\n\n```json\n{json.dumps(result, indent=2)}\n```\n")
+
+
+def main():
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+        return
+    if "--headline-only" in sys.argv:
+        print(json.dumps(run_bench_headline_only()))
+        return
+    print(json.dumps(run_bench()))
+
+
+def run_bench_headline_only() -> dict:
+    """Headline pipeline without the query sweep (used by --scaling)."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.extract import extract_spans
+    from vietnamese_ocr_ray.sources.storage import read_docs, read_media
+
+    docs_dir, media_dir = _replicated_corpus(SF_DIR, REPLICATE)
+    n_docs = sum(
+        pq.ParquetFile(os.path.join(docs_dir, f)).metadata.num_rows
+        for f in os.listdir(docs_dir)
+        if f.endswith(".parquet")
+    )
+    n_media = sum(
+        pq.ParquetFile(os.path.join(media_dir, f)).metadata.num_rows
+        for f in os.listdir(media_dir)
+        if f.endswith(".parquet")
+    ) * REPLICATE
+    shutil.rmtree(OUT_DIR, ignore_errors=True)
+    t0 = time.perf_counter()
+    result = extract_spans(
+        read_docs(docs_dir),
+        read_media(media_dir),
+        media_mode="join",
+        join_partitions=NUM_CPUS,
+        num_buckets=max(16, NUM_CPUS * 2),
+        recognize_batch_size=512,
+        recognize_concurrency=(1, NUM_CPUS),
+    )
+    result.write_parquet(OUT_DIR)
+    headline = time.perf_counter() - t0
+    ray.shutdown()
+    return {
+        "metric": "extract_e2e",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / headline, 1),
+        "media_spans_per_sec": round(n_media / headline, 1),
+    }
+
+
+if __name__ == "__main__":
+    main()

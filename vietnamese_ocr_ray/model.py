@@ -65,12 +65,15 @@ class DeterministicRecognizer:
     # ---- encoder ----------------------------------------------------
     def encode(self, batch: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Run the "encoder" once per image (analog of
-        src/model/model.py:207): (N, 3, 64, 256) float32 in [0,1] ->
+        src/model/model.py:207): (N, 3, 64, 256) CHW float32 in [0,1]
+        — or the equivalent (N, 64, 256) gray canvas (channels are
+        identical by construction, transform.py:69-70) ->
         (features (N, 31) int32 char ids, lengths (N,) int32).
 
         Fully vectorized; raises DecodeError on malformed content.
         """
-        x = batch[:, 0, SAMPLE_ROW, :].astype(np.float64) * 255.0
+        row = batch[:, SAMPLE_ROW, :] if batch.ndim == 3 else batch[:, 0, SAMPLE_ROW, :]
+        x = row.astype(np.float64) * 255.0
         n, w = x.shape
         mask = x >= DETECT_THRESH
         has = mask.any(axis=1)

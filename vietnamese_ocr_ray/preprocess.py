@@ -36,12 +36,13 @@ def _stable_u64(s: str) -> int:
 def enhance_params(media_ref: str) -> tuple[int, float]:
     """Seeded stand-in for Enhance's two RNG draws
     (index = randint(0,3); magnitude = uniform(c, c+0.6),
-    reference src/utils/transform.py:81-86)."""
-    rng = np.random.default_rng(_stable_u64(media_ref))
-    index = int(rng.integers(0, len(_SHARPNESS_BUCKETS)))
+    reference src/utils/transform.py:81-86). Derived from hash bits
+    directly (cheap + stable across processes)."""
+    u = _stable_u64(media_ref)
+    index = u % len(_SHARPNESS_BUCKETS)
     c = _SHARPNESS_BUCKETS[index]
-    magnitude = float(rng.uniform(c, c + 0.6))
-    return index, magnitude
+    frac = ((u >> 8) & 0xFFFFFF) / float(1 << 24)
+    return index, c + 0.6 * frac
 
 
 def smooth3(img: np.ndarray) -> np.ndarray:
@@ -98,8 +99,8 @@ def resize_bilinear(imgs: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     x0 = np.floor(xs).astype(np.int64)
     y1 = np.minimum(y0 + 1, h - 1)
     x1 = np.minimum(x0 + 1, w - 1)
-    wy = (ys - y0)[None, :, None]
-    wx = (xs - x0)[None, None, :]
+    wy = (ys - y0)[None, :, None].astype(imgs.dtype)
+    wx = (xs - x0)[None, None, :].astype(imgs.dtype)
     a = imgs[:, y0[:, None], x0[None, :]]
     b = imgs[:, y0[:, None], x1[None, :]]
     c = imgs[:, y1[:, None], x0[None, :]]
@@ -117,26 +118,37 @@ def invert_rescale_width(h: int, w: int) -> int:
 
 def preprocess_one(img_u8: np.ndarray, media_ref: str) -> np.ndarray:
     """Full reference chain for a single grayscale uint8 (H, W) image ->
-    float32 (3, 64, 256) in [0, 1]. Single-image path used by the oracle."""
-    return preprocess_stack(img_u8[None, ...].astype(np.float64), [media_ref])[0]
+    float32 (3, 64, 256) in [0, 1]. Single-image path used by the
+    oracle; shares the gray core with the batch path, then expands
+    gray -> 3 identical channels (src/utils/transform.py:69-70)."""
+    gray = preprocess_gray_stack(
+        img_u8[None, ...].astype(np.float32), [media_ref], IMG_W
+    )[0]
+    return np.repeat(gray[None, :, :], 3, axis=0)
 
 
-def preprocess_stack(imgs: np.ndarray, media_refs: list[str]) -> np.ndarray:
-    """Vectorized chain over a stack of SAME-SIZE images
-    (N, H, W) float -> (N, 3, 64, 256) float32."""
+def preprocess_gray_stack(
+    imgs: np.ndarray, media_refs: list[str], out_w: int, out: np.ndarray | None = None
+) -> np.ndarray:
+    """Vectorized chain over a stack of SAME-SIZE images (N, H, W)
+    float32 -> (N, 64, out_w) float32 in [0, 1], written into ``out``
+    when given (zero extra copies). All math in float32: exact for the
+    integer-valued pixels, and shared verbatim by oracle + pipeline."""
     n, h, w = imgs.shape
-    mags = np.array([enhance_params(r)[1] for r in media_refs])
+    mags = np.array(
+        [enhance_params(r)[1] for r in media_refs], dtype=np.float32
+    )
     x = enhance(imgs, mags)
-    x = 255.0 - x  # cv2.bitwise_not (src/utils/transform.py:64)
+    x = np.float32(255.0) - x  # cv2.bitwise_not (src/utils/transform.py:64)
     new_w = invert_rescale_width(h, w)
     x = resize_bilinear(x, IMG_H, new_w)
-    # center pad to (64, 256), constant 0 (A.PadIfNeeded CENTER)
-    out = np.zeros((n, IMG_H, IMG_W), dtype=np.float64)
-    left = (IMG_W - new_w) // 2
+    # center pad to (64, out_w), constant 0 (A.PadIfNeeded CENTER)
+    if out is None:
+        out = np.zeros((n, IMG_H, out_w), dtype=np.float32)
+    left = (out_w - new_w) // 2
+    np.divide(x, np.float32(255.0), out=x)  # A.Normalize(0,1) == /255
     out[:, :, left : left + new_w] = x
-    out /= 255.0  # A.Normalize(mean 0, std 1) == /255
-    # gray -> 3 identical channels (src/utils/transform.py:69-70) + HWC->CHW
-    return np.repeat(out[:, None, :, :], 3, axis=1).astype(np.float32)
+    return out
 
 
 def preprocess_batch(
@@ -146,22 +158,22 @@ def preprocess_batch(
     media_refs: list[str],
 ) -> np.ndarray:
     """Batch path used by the Ray stages: variable-size raw uint8 images
-    (binary column + height/width columns) -> (N, 3, 64, 256) float32.
+    (binary column + height/width columns) -> (N, 64, 256) float32
+    model-ready grayscale canvases.
 
     Images are grouped by (h, w) so each distinct shape is processed as
-    one vectorized stack (no per-image Python in the numeric work).
+    one vectorized stack (no per-image Python in the numeric work); the
+    padded canvas is written in place per group.
     """
     n = len(media_refs)
-    out = np.empty((n, 3, IMG_H, IMG_W), dtype=np.float32)
+    out = np.zeros((n, IMG_H, IMG_W), dtype=np.float32)
     shapes: dict[tuple[int, int], list[int]] = {}
     for i in range(n):
         shapes.setdefault((int(heights[i]), int(widths[i])), []).append(i)
     for (h, w), idxs in shapes.items():
-        stack = np.stack(
-            [
-                np.frombuffer(images[i], dtype=np.uint8).reshape(h, w)
-                for i in idxs
-            ]
-        ).astype(np.float64)
-        out[idxs] = preprocess_stack(stack, [media_refs[i] for i in idxs])
+        stack = np.empty((len(idxs), h, w), dtype=np.float32)
+        for j, i in enumerate(idxs):
+            stack[j] = np.frombuffer(images[i], dtype=np.uint8).reshape(h, w)
+        res = preprocess_gray_stack(stack, [media_refs[i] for i in idxs], IMG_W)
+        out[idxs] = res
     return out
