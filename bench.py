@@ -33,7 +33,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "2"))
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "8"))
 OUT_DIR = os.environ.get("GRAFT_BENCH_OUT", "/tmp/vnocr_bench_out")
 
 
@@ -117,14 +117,16 @@ def run_bench() -> dict:
     # ---- headline: extraction e2e (join mode = the scale path) ----
     shutil.rmtree(OUT_DIR, ignore_errors=True)
     t0 = time.perf_counter()
+    from vietnamese_ocr_ray.pipelines.extract import default_pool
+
     result = extract_spans(
         read_docs(docs_dir),
         read_media(media_dir),
-        media_mode="join",
-        join_partitions=NUM_CPUS,
+        media_mode="cogroup",
+        cogroup_buckets=max(24, NUM_CPUS * 3),
         num_buckets=max(16, NUM_CPUS * 2),
-        recognize_batch_size=512,
-        recognize_concurrency=(1, NUM_CPUS),
+        recognize_batch_size=4096,
+        recognize_concurrency=default_pool(NUM_CPUS),
     )
     result.write_parquet(OUT_DIR)
     headline = time.perf_counter() - t0
@@ -258,14 +260,16 @@ def run_bench_headline_only() -> dict:
     ) * REPLICATE
     shutil.rmtree(OUT_DIR, ignore_errors=True)
     t0 = time.perf_counter()
+    from vietnamese_ocr_ray.pipelines.extract import default_pool
+
     result = extract_spans(
         read_docs(docs_dir),
         read_media(media_dir),
-        media_mode="join",
-        join_partitions=NUM_CPUS,
+        media_mode="cogroup",
+        cogroup_buckets=max(24, NUM_CPUS * 3),
         num_buckets=max(16, NUM_CPUS * 2),
-        recognize_batch_size=512,
-        recognize_concurrency=(1, NUM_CPUS),
+        recognize_batch_size=4096,
+        recognize_concurrency=default_pool(NUM_CPUS),
     )
     result.write_parquet(OUT_DIR)
     headline = time.perf_counter() - t0

@@ -51,22 +51,64 @@ from vietnamese_ocr_ray.stages.recognize import RecognizeSpans
 from vietnamese_ocr_ray.state.manifest import Manifest
 
 
+def default_pool(cpus: int) -> tuple[int, int]:
+    """Recognition actor-pool sizing for a node/cluster with ``cpus``
+    CPUs: min = cpus/4 (warm start), max = 3/4 of the CPUs — a pool
+    that reserves every CPU starves the read/shuffle stages and the
+    pipeline serializes (observed as a hang at concurrency == cpus)."""
+    return (max(1, cpus // 4), max(2, (cpus * 3) // 4))
+
+
 def extract_spans(
     docs: rd.Dataset,
     media: "rd.Dataset | dict | None",
     *,
-    media_mode: str = "join",
-    join_partitions: int = 32,
+    media_mode: str = "cogroup",
+    join_partitions: int = 8,
+    cogroup_buckets: int = 64,
     recognize_batch_size: int = 512,
     recognize_concurrency=(1, 32),
     num_buckets: int = 64,
+    lineage_fields: list[pa.Field] | None = None,
 ) -> rd.Dataset:
     """docs Dataset (+ media payloads) -> extracted docs Dataset.
 
-    ``media``: a Dataset of MEDIA_SCHEMA rows (join mode) or a
+    ``media``: a Dataset of MEDIA_SCHEMA rows (cogroup/join modes) or a
     ray.ObjectRef / dict of {media_ref: (bytes, h, w)} (broadcast mode).
+
+    Modes (measured trade-offs in BENCH/BASELINE.md):
+      * cogroup (default, scale path): split text/media branches; media
+        spans meet payloads via one sort-based bucket shuffle + exact
+        per-bucket pyarrow join; ``cogroup_buckets`` also sets the
+        recognition stage's parallelism.
+      * join: Ray-native hash join (same semantics; measured ~60x more
+        shuffle CPU per row on this Ray version — kept for parity).
+      * broadcast: payload dict shipped once per actor; zero media
+        shuffle; only for dictionary-sized media tables.
+
+    ``lineage_fields``: typed extra doc-level columns (e.g. _fragment)
+    to carry end-to-end.
     """
     exploded = docs.map_batches(explode_batch, batch_format="pyarrow")
+
+    if media_mode == "cogroup":
+        if not isinstance(media, rd.Dataset):
+            raise TypeError("media_mode='cogroup' needs a media Dataset")
+        from vietnamese_ocr_ray.stages.cogroup import cogroup_media
+
+        joined = cogroup_media(
+            exploded,
+            media,
+            num_buckets=cogroup_buckets,
+            extra_fields=lineage_fields,
+        )
+        recognized = joined.map_batches(
+            RecognizeSpans,
+            batch_format="pyarrow",
+            batch_size=recognize_batch_size,
+            concurrency=recognize_concurrency,
+        )
+        return reassemble(recognized, num_buckets=num_buckets)
 
     if media_mode == "join":
         if not isinstance(media, rd.Dataset):
@@ -124,7 +166,7 @@ def run_extract(
     out_dir: str,
     *,
     chunk_fragments: int = 8,
-    media_mode: str = "join",
+    media_mode: str = "cogroup",
     **pipeline_kwargs,
 ) -> dict:
     """Resumable driver loop: process input fragments in chunks, write
@@ -181,10 +223,14 @@ def run_extract(
         if len(frag_ds) > 1:
             ds = ds.union(*frag_ds[1:])
 
-        if media_mode == "join":
+        if media_mode in ("join", "cogroup"):
             media_ds = read_media(media_path)
             result = extract_spans(
-                ds, media_ds, media_mode="join", **pipeline_kwargs
+                ds,
+                media_ds,
+                media_mode=media_mode,
+                lineage_fields=[pa.field("_fragment", pa.string())],
+                **pipeline_kwargs,
             )
         else:
             result = extract_spans(

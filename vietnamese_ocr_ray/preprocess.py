@@ -81,9 +81,27 @@ def enhance(img: np.ndarray, magnitude: np.ndarray | float) -> np.ndarray:
     # ImageOps.autocontrast, cutoff 0). Identity when lo==0 and hi==255.
     lo = out.min(axis=(-2, -1), keepdims=True)
     hi = out.max(axis=(-2, -1), keepdims=True)
+    if np.all(lo == 0.0) and np.all(hi == 255.0):
+        return out  # exact identity — skip the remap pass
     scale = np.where(hi > lo, 255.0 / np.maximum(hi - lo, 1e-9), 1.0)
     out = np.clip(np.rint((out - lo) * scale), 0.0, 255.0)
     return out
+
+
+def _upscale2x_axis(x: np.ndarray, axis: int) -> np.ndarray:
+    """Exact 2x bilinear upscale along one axis (weights 0.25/0.75 —
+    the dst->src mapping (d+0.5)/2-0.5 gives fractional offsets of
+    exactly ±0.25). Pure slicing: no gather, ~7x cheaper than the
+    generic path. Bit-identical to resize_bilinear for this scale
+    (dyadic weights on integer-valued pixels are exact in float32)."""
+    x = np.moveaxis(x, axis, 1)
+    n, h = x.shape[0], x.shape[1]
+    out = np.empty((n, 2 * h) + x.shape[2:], dtype=x.dtype)
+    out[:, 0] = x[:, 0]
+    out[:, 2::2] = x[:, :-1] * np.float32(0.25) + x[:, 1:] * np.float32(0.75)
+    out[:, 1:-1:2] = x[:, :-1] * np.float32(0.75) + x[:, 1:] * np.float32(0.25)
+    out[:, -1] = x[:, -1]
+    return np.moveaxis(out, 1, axis)
 
 
 def resize_bilinear(imgs: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
@@ -91,8 +109,14 @@ def resize_bilinear(imgs: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     of same-shaped images (N, H, W) float -> (N, out_h, out_w).
 
     Source coordinate: (dst + 0.5) * (src/dst) - 0.5, clamped.
+    Fast paths: identity (no-op) and exact 2x upscale (slicing).
     """
     n, h, w = imgs.shape
+    if out_h == h and out_w == w:
+        return imgs
+    if out_h == 2 * h and out_w == 2 * w and imgs.dtype == np.float32:
+        # horizontal then vertical, matching the generic path's order
+        return _upscale2x_axis(_upscale2x_axis(imgs, 2), 1)
     ys = np.clip((np.arange(out_h) + 0.5) * (h / out_h) - 0.5, 0, h - 1)
     xs = np.clip((np.arange(out_w) + 0.5) * (w / out_w) - 0.5, 0, w - 1)
     y0 = np.floor(ys).astype(np.int64)
@@ -152,7 +176,7 @@ def preprocess_gray_stack(
 
 
 def preprocess_batch(
-    images: list[bytes] | np.ndarray,
+    images,
     heights: np.ndarray,
     widths: np.ndarray,
     media_refs: list[str],
@@ -161,19 +185,39 @@ def preprocess_batch(
     (binary column + height/width columns) -> (N, 64, 256) float32
     model-ready grayscale canvases.
 
+    ``images``: a list of bytes OR a (flat_uint8, offsets) pair taken
+    zero-copy from an Arrow binary column (see binary_column_view).
     Images are grouped by (h, w) so each distinct shape is processed as
     one vectorized stack (no per-image Python in the numeric work); the
     padded canvas is written in place per group.
     """
     n = len(media_refs)
     out = np.zeros((n, IMG_H, IMG_W), dtype=np.float32)
+    if isinstance(images, tuple):
+        flat, offs = images
+        get = lambda i: flat[offs[i] : offs[i + 1]]
+    else:
+        get = lambda i: np.frombuffer(images[i], dtype=np.uint8)
     shapes: dict[tuple[int, int], list[int]] = {}
     for i in range(n):
         shapes.setdefault((int(heights[i]), int(widths[i])), []).append(i)
     for (h, w), idxs in shapes.items():
         stack = np.empty((len(idxs), h, w), dtype=np.float32)
         for j, i in enumerate(idxs):
-            stack[j] = np.frombuffer(images[i], dtype=np.uint8).reshape(h, w)
+            stack[j] = get(i).reshape(h, w)
         res = preprocess_gray_stack(stack, [media_refs[i] for i in idxs], IMG_W)
         out[idxs] = res
     return out
+
+
+def binary_column_view(col) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (flat uint8 data, normalized int64 offsets) view of an
+    Arrow binary column — avoids materializing per-row bytes objects."""
+    import pyarrow as pa
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return data, offs

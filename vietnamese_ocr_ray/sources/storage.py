@@ -49,10 +49,22 @@ def read_docs(path: str | list[str], **kwargs) -> rd.Dataset:
 
 def read_media(path: str | list[str], with_truth: bool = False, **kwargs) -> rd.Dataset:
     """Read the media payload table; the test-only ``truth`` column is
-    pruned at the read unless explicitly requested."""
+    pruned at the read unless explicitly requested.
+
+    Block count is sized from the on-disk bytes (~64 MB/block, min 8):
+    Ray's default parallelism heuristic splits small tables into
+    hundreds of tiny blocks, and tiny blocks are pure per-task overhead
+    in the downstream co-group shuffle."""
     cols = ["media_ref", "image", "height", "width"] + (
         ["truth"] if with_truth else []
     )
     if _lance_available() and isinstance(path, str) and path.endswith(".lance"):
         return rd.read_lance(path, columns=cols, **kwargs)
+    if "override_num_blocks" not in kwargs:
+        try:
+            files = list_fragments(path) if isinstance(path, str) else list(path)
+            total = sum(os.path.getsize(f) for f in files)
+            kwargs["override_num_blocks"] = max(8, -(-total // (64 << 20)))
+        except OSError:
+            pass
     return rd.read_parquet(path, columns=cols, **kwargs)

@@ -47,15 +47,11 @@ def explode_batch(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
-def add_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
-    """Deterministic hash bucket of doc_id for the reassembly shuffle.
-
-    Uses a stable string hash (FNV-1a over utf8 bytes, vectorized) so
-    bucketing is identical across runs/processes (Python's hash() is
-    salted; never use it for partitioning).
-    """
-    ids = batch.column("doc_id")
-    # vectorized FNV-1a via numpy over the flat utf8 buffer
+def fnv1a_bucket(ids, num_buckets: int) -> np.ndarray:
+    """Deterministic hash bucket of a string array (FNV-1a over utf8
+    bytes, vectorized over character positions) — stable across
+    runs/processes (Python's hash() is salted; never use it for
+    partitioning)."""
     arr = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
     buf = (
         np.frombuffer(arr.buffers()[2], dtype=np.uint8)
@@ -74,8 +70,14 @@ def add_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
         active = lens > i
         idx = offs[:-1][active] + i
         h[active] = (h[active] ^ buf[idx].astype(np.uint64)) * prime
-    bucket = (h % np.uint64(num_buckets)).astype(np.int32)
-    return batch.append_column("bucket", pa.array(bucket))
+    return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def add_bucket(batch: pa.Table, num_buckets: int, key: str = "doc_id") -> pa.Table:
+    """Append the deterministic hash-bucket column for a shuffle key."""
+    return batch.append_column(
+        "bucket", pa.array(fnv1a_bucket(batch.column(key), num_buckets))
+    )
 
 
 def pack_bucket(group: pa.Table) -> pa.Table:

@@ -78,7 +78,16 @@ class RecognizeSpans:
                 hs = np.array([p[1] for p in payload], dtype=np.int64)
                 ws = np.array([p[2] for p in payload], dtype=np.int64)
             else:
-                imgs = media_rows.column("image").to_pylist()
+                from vietnamese_ocr_ray.preprocess import binary_column_view
+
+                img_col = media_rows.column("image")
+                nulls = pc.is_null(img_col)
+                if pc.any(nulls).as_py():
+                    missing = media_rows.filter(nulls).column("media_ref")
+                    raise ValueError(
+                        f"media payload missing for refs: {missing.to_pylist()[:5]} ..."
+                    )
+                imgs = binary_column_view(img_col)
                 hs = media_rows.column("height").to_numpy(zero_copy_only=False)
                 ws = media_rows.column("width").to_numpy(zero_copy_only=False)
             x = preprocess_batch(imgs, hs, ws, refs)
