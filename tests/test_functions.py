@@ -1,0 +1,165 @@
+"""Unit tests for the training-data operator layer (text analysis,
+dedup, ANN) — small Ray datasets, DuckDB cross-checks where cheap."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from vietnamese_ocr_ray.functions.ann import ann_bruteforce, ann_lsh
+from vietnamese_ocr_ray.functions.dedup import (
+    MinHasher,
+    charset_matrix,
+    content_hash64,
+    dedup_exact,
+    jaccard_shingles,
+    minhash_lsh_pairs,
+    simhash,
+)
+from vietnamese_ocr_ray.functions.text import (
+    corpus_cer,
+    fingerprint_batch,
+    levenshtein_np,
+)
+
+
+def _docs_table(texts):
+    return pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+
+
+def test_content_hash64_stable_and_discriminating():
+    t = pa.array(["abc", "abd", "abc", ""])
+    h = content_hash64(t)
+    assert h[0] == h[2]
+    assert h[0] != h[1]
+    assert np.array_equal(h, content_hash64(t))  # process-stable by construction
+
+
+def test_dedup_exact(ray_session):
+    texts = ["aaa", "bbb", "aaa", "ccc", "bbb", "aaa"]
+    ds = rd.from_arrow(_docs_table(texts))
+    out = dedup_exact(ds).to_pandas().sort_values("text").reset_index(drop=True)
+    assert out["text"].tolist() == ["aaa", "bbb", "ccc"]
+    assert out["n_copies"].tolist() == [3, 2, 1]
+    assert out["doc_id"].tolist() == [0, 1, 3]
+
+
+def test_minhash_finds_planted_neardups(ray_session):
+    import ray
+
+    rng = np.random.default_rng(0)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    base = [" ".join(rng.choice(words, 40)) for _ in range(30)]
+    # plant a near-dup of doc 0: one word changed
+    dup = base[0].split(" ")
+    dup[5] = "omega"
+    texts = base + [" ".join(dup)]
+    ds = rd.from_arrow(_docs_table(texts))
+    handle = ray.put(dict(enumerate(texts)))
+    pairs = minhash_lsh_pairs(ds, texts_handle=handle).to_pandas()
+    assert ((pairs["a"] == 0) & (pairs["b"] == 30)).any()
+
+
+def test_minhash_batch_equals_per_row():
+    mh = MinHasher()
+    t = pa.array(["hello world this is a document", "another piece of text here", "xy"])
+    from vietnamese_ocr_ray.functions.dedup import _shingle_hashes, _utf8_flat
+
+    offs, data = _utf8_flat(t)
+    batch_sigs = mh._batch_signatures(offs, data)
+    for i in range(3):
+        solo = mh.signature(_shingle_hashes(data[offs[i] : offs[i + 1]], mh.k))
+        assert np.array_equal(solo, batch_sigs[i])
+
+
+def test_simhash_similar_docs_close(ray_session):
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = a.replace("lazy", "late")
+    c = "completely different content about databases and queries " * 5
+    ds = rd.from_arrow(_docs_table([a, b, c]))
+    out = simhash(ds).to_pandas().sort_values("doc_id")
+    fps = [int(x, 16) for x in out["simhash"]]
+    ham = lambda x, y: bin(x ^ y).count("1")
+    assert ham(fps[0], fps[1]) < ham(fps[0], fps[2])
+
+
+def test_charset_jaccard_matches_duckdb():
+    texts = ["abcabc", "abd", "hello world", "zzz"]
+    m = charset_matrix(pa.array(texts))
+    con = duckdb.connect()
+    for i in range(len(texts) - 1):
+        inter = (m[i] & m[i + 1]).sum()
+        union = (m[i] | m[i + 1]).sum()
+        mine = inter / union
+        ref = con.sql(
+            "SELECT jaccard(?, ?)", params=[texts[i], texts[i + 1]]
+        ).fetchone()[0]
+        assert abs(mine - ref) < 1e-12
+
+
+def test_levenshtein_matches_duckdb():
+    con = duckdb.connect()
+    cases = [("kitten", "sitting"), ("", "abc"), ("abc", ""), ("same", "same"), ("ab", "ba")]
+    for a, b in cases:
+        assert levenshtein_np(a, b) == con.sql(
+            "SELECT levenshtein(?, ?)", params=[a, b]
+        ).fetchone()[0]
+
+
+def test_corpus_cer(ray_session):
+    t = pa.table({"pred": ["abc", "xyz"], "target": ["abd", "xyz"]})
+    out = corpus_cer(rd.from_arrow(t), "pred", "target")
+    assert out.column("errors")[0].as_py() == 1
+    assert out.column("total")[0].as_py() == 6
+    assert abs(out.column("cer")[0].as_py() - 1 / 6) < 1e-12
+
+
+def test_fingerprint_ascii_matches_python():
+    texts = ["abc", "", "hello world 123", "a" * 100]
+    out = fingerprint_batch(
+        pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": pa.array(texts)})
+    )
+    for i, s in enumerate(texts):
+        expect = sum(ord(c) * (j + 1) for j, c in enumerate(s)) % 1_000_000_007
+        assert out.column("fingerprint")[i].as_py() == expect
+
+
+def test_ann_bruteforce_topk(ray_session):
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((200, 16))
+    q = vecs[7]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array([v.astype(np.float32) for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    out = ann_bruteforce(rd.from_arrow(t), q.astype(np.float64), k=5).to_pandas()
+    # exact check vs full numpy computation
+    cos = (vecs @ q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    expect = np.argsort(-cos)[:5]
+    assert out["vec_id"].iloc[0] == 7  # self-similarity == 1.0 is rank 1
+    assert set(out["vec_id"]) == set(expect)
+
+
+def test_ann_lsh_finds_self(ray_session):
+    rng = np.random.default_rng(2)
+    vecs = rng.standard_normal((300, 64))
+    q = vecs[42]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(300), pa.int64()),
+            "embedding": pa.array([v.astype(np.float32) for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    out = ann_lsh(rd.from_arrow(t), q.astype(np.float64), k=3).to_pandas()
+    assert out["vec_id"].iloc[0] == 42
+
+
+def test_jaccard_shingles_identity_and_disjoint():
+    assert jaccard_shingles("abcdefgh" * 3, "abcdefgh" * 3) == 1.0
+    assert jaccard_shingles("aaaaaaaaaa", "bbbbbbbbbb") == 0.0

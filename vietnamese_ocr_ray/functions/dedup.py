@@ -106,41 +106,97 @@ def _shingle_hashes(text_bytes: np.ndarray, k: int) -> np.ndarray:
 class MinHasher:
     """Stateful per-actor signature computer: the permutation
     coefficients are generated once in __init__ (actor-pool pattern),
-    not per batch."""
+    not per batch. Signatures are computed for the WHOLE batch in one
+    vectorized pass over the flat utf8 buffer (rolling k-byte hashes at
+    every position, windows crossing row boundaries masked out,
+    per-row min via ``np.minimum.reduceat``)."""
 
-    def __init__(self, num_perm: int = 64, k: int = 4, seed: int = 7):
+    def __init__(self, num_perm: int = 64, k: int = 8, seed: int = 7):
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.k = k
         self.num_perm = num_perm
+        self._buf = np.empty(0, dtype=np.uint64)  # reused across batches
+
+    def _scratch(self, rows: int) -> np.ndarray:
+        """Per-actor scratch matrix: first-touch page faulting of large
+        fresh allocations measures ~6 ms/MB in this sandbox, so the
+        hash matrix buffer is faulted once per actor and reused."""
+        need = rows * self.num_perm
+        if self._buf.shape[0] < need:
+            self._buf = np.empty(int(need * 1.3), dtype=np.uint64)
+            self._buf[:] = 0  # touch pages now, once
+        return self._buf[:need].reshape(rows, self.num_perm)
 
     def signature(self, shingles: np.ndarray) -> np.ndarray:
-        # (S,1)*(P,) universal hashing mod Mersenne prime, min over S
-        x = (
-            shingles[:, None] * self.a[None, :] + self.b[None, :]
-        ) % np.uint64(_MERSENNE)
+        # (S,1)*(P,) multiply-add hashing with natural u64 wraparound
+        # (a u64 modulo here costs ~200ns/element in numpy — the
+        # wrapping multiply is SIMD and equally valid for minhash)
+        x = shingles[:, None] * self.a[None, :] + self.b[None, :]
         return x.min(axis=0)
 
+    def _batch_signatures(self, offs: np.ndarray, data: np.ndarray) -> np.ndarray:
+        n = len(offs) - 1
+        k = self.k
+        total = data.shape[0]
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        if total >= k:
+            # rolling k-byte FNV at every buffer position (vectorized)
+            win = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+            h = np.full(win.shape[0], np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+            prime = np.uint64(0x100000001B3)
+            for i in range(k):
+                h = (h ^ win[:, i]) * prime
+            # reused out= buffer: the broadcast expression h[:,None]*a+b
+            # allocates per-op and pays first-touch faulting every call
+            x = self._scratch(win.shape[0])
+            np.multiply(h[:, None], self.a[None, :], out=x)
+            np.add(x, self.b[None, :], out=x)
+            # mask windows that cross a row boundary: window at pos p is
+            # valid for row r iff p + k <= offs[r+1]
+            pos = np.arange(win.shape[0])
+            row = np.searchsorted(offs, pos, side="right") - 1
+            valid = (pos + k) <= offs[row + 1]
+            x[~valid] = np.uint64(0xFFFFFFFFFFFFFFFF)
+            starts = np.minimum(offs[:-1], win.shape[0] - 1)
+            red = np.minimum.reduceat(x, starts, axis=0)
+            sigs[:] = red[: n]
+        longest = offs[1:] - offs[:-1]
+        short = np.nonzero(longest < k)[0]
+        for i in short:  # rare: rows shorter than one shingle
+            sigs[i] = self.signature(
+                _shingle_hashes(data[offs[i] : offs[i + 1]], k)
+            )
+        # rows whose reduceat segment was empty/invalid handled above;
+        # rows at the buffer tail with no in-row window also fall back
+        tail = np.nonzero((offs[:-1] + k) > total)[0]
+        for i in tail:
+            if longest[i] >= k:
+                sigs[i] = self.signature(
+                    _shingle_hashes(data[offs[i] : offs[i + 1]], k)
+                )
+        return sigs
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = []
-        for i in range(batch.num_rows):
-            offs, data = _utf8_flat(batch.column("text").slice(i, 1))
-            sigs.append(self.signature(_shingle_hashes(data, self.k)))
+        offs, data = _utf8_flat(batch.column("text"))
+        sigs = self._batch_signatures(offs, data)
+        flat = pa.array(sigs.reshape(-1).astype(np.int64))
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "sig": pa.array(
-                    [s.astype(np.int64) for s in sigs], pa.list_(pa.int64())
-                ),
+                "sig": pa.FixedSizeListArray.from_arrays(flat, self.num_perm),
             }
         )
 
 
 def _band_rows(batch: pa.Table, bands: int) -> pa.Table:
     """signature rows -> (band, band_hash, doc_id) rows, vectorized."""
-    sig = np.asarray(batch.column("sig").to_pylist(), dtype=np.uint64)
-    n, p = sig.shape
+    col = batch.column("sig")
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    p = arr.type.list_size
+    sig = np.asarray(arr.values, dtype=np.int64).astype(np.uint64).reshape(-1, p)
+    n = len(arr)
     r = p // bands
     view = sig.reshape(n, bands, r)
     h = np.full((n, bands), np.uint64(0xCBF29CE484222325), dtype=np.uint64)
@@ -159,14 +215,19 @@ def _band_rows(batch: pa.Table, bands: int) -> pa.Table:
 
 
 def _bucket_pairs(g: pd.DataFrame, cap: int = 200) -> pd.DataFrame:
-    """Candidate pairs within one LSH bucket (capped against
-    degenerate hot buckets; real skew handling = salt or raise bands)."""
-    ids = sorted(g["doc_id"].tolist())[:cap]
+    """Candidate pairs within one HASH BUCKET of band rows: group by the
+    exact (band, band_hash) inside, emit all pairs of co-bucketed docs
+    (capped against degenerate hot buckets; real skew handling = salt
+    or raise bands). One call per coarse bucket — never per LSH bucket."""
     a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
+    for (_, _), grp in g.groupby(["band", "band_hash"], sort=False):
+        if len(grp) < 2:
+            continue
+        ids = sorted(grp["doc_id"].tolist())[:cap]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
     return pd.DataFrame({"a": a, "b": b})
 
 
@@ -185,8 +246,8 @@ def minhash_lsh_pairs(
     *,
     num_perm: int = 64,
     bands: int = 16,
-    k: int = 4,
-    threshold: float = 0.5,
+    k: int = 8,
+    threshold: float = 0.6,
     texts_handle=None,
 ) -> rd.Dataset:
     """Near-duplicate pairs: signature -> band buckets -> candidates ->
@@ -200,20 +261,49 @@ def minhash_lsh_pairs(
     sigs = ds.select_columns(["doc_id", "text"]).map_batches(
         MinHasher,
         batch_format="pyarrow",
+        batch_size=1024,  # bounds the per-actor scratch matrix
         fn_constructor_kwargs={"num_perm": num_perm, "k": k},
         concurrency=(1, 8),
     )
+    num_coarse = 32  # coarse hash buckets: bounds map_groups call count
     band_rows = sigs.map_batches(
         lambda b: _band_rows(b, bands), batch_format="pyarrow"
+    ).map_batches(
+        lambda b: b.append_column(
+            "bucket",
+            pa.array(
+                (
+                    np.asarray(b.column("band_hash")).astype(np.uint64)
+                    % np.uint64(num_coarse)
+                ).astype(np.int32)
+            ),
+        ),
+        batch_format="pyarrow",
     )
-    candidates = (
-        band_rows.groupby(["band", "band_hash"])
-        .map_groups(_bucket_pairs, batch_format="pandas")
+    candidates = band_rows.groupby("bucket").map_groups(
+        lambda g: _bucket_pairs(g.drop(columns=["bucket"])),
+        batch_format="pandas",
     )
 
-    # distinct pairs (a pair can surface from several bands)
-    distinct = candidates.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # distinct pairs (a pair can surface from several bands): bucket on
+    # the first id, drop duplicates vectorized per bucket
+    distinct = (
+        candidates.map_batches(
+            lambda b: b.append_column(
+                "bucket",
+                pa.array(
+                    (np.asarray(b.column("a")).astype(np.int64) % num_coarse).astype(
+                        np.int32
+                    )
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(
+            lambda g: g.drop(columns=["bucket"]).drop_duplicates(["a", "b"]),
+            batch_format="pandas",
+        )
     )
 
     def verify(batch: pa.Table) -> pa.Table:
