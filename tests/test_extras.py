@@ -1,0 +1,89 @@
+"""Tests for the auxiliary operators: augmentation (M6), ConcatAug
+(M7), single-image predict (app.py analog), prediction.txt sink (S5)."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from vietnamese_ocr_ray.model import DeterministicRecognizer
+from vietnamese_ocr_ray.pipelines.extract import predict_single
+from vietnamese_ocr_ray.preprocess import preprocess_one
+from vietnamese_ocr_ray.sinks import write_predictions_txt
+from vietnamese_ocr_ray.stages.augment import augment_image, augment_media
+from vietnamese_ocr_ray.synth import concat_augment, render_text, synth_corpus
+
+
+def test_augment_deterministic_per_ref():
+    img = render_text("hello", 32)
+    a = augment_image(img, "m-1")
+    b = augment_image(img, "m-1")
+    c = augment_image(img, "m-2")
+    assert np.array_equal(a, b)
+    assert a.shape == img.shape
+    assert not np.array_equal(a, c)  # different seed -> different draws
+
+
+def test_augment_stage_partitioning_invariant(ray_session):
+    _, media = synth_corpus(20, seed=3)
+    ds1 = augment_media(rd.from_arrow(media), concurrency=2, batch_size=4)
+    ds2 = augment_media(rd.from_arrow(media), concurrency=1, batch_size=100)
+    r1 = {r["media_ref"]: r["image"] for r in ds1.take_all()}
+    r2 = {r["media_ref"]: r["image"] for r in ds2.take_all()}
+    assert r1 == r2  # deterministic regardless of batch/actor layout
+
+
+def test_concat_augment_is_recognizer_invertible():
+    _, media = synth_corpus(60, seed=5, empty_text_fraction=0.0)
+    cat = concat_augment(media, 10, seed=9)
+    assert cat.num_rows == 10
+    model = DeterministicRecognizer()
+    for r in cat.to_pylist():
+        img = np.frombuffer(r["image"], np.uint8).reshape(r["height"], r["width"])
+        x = preprocess_one(img, r["media_ref"])
+        got = model.recognize_texts(x[None])[0].as_py()
+        assert got == r["truth"]
+
+
+def test_predict_single_matches_batch_path():
+    img = render_text("xyz42", 64)
+    assert predict_single(img, "m-9") == "xyz42"
+    # empty -> "a" fill on the single path (src/utils/inference.py:107-110)
+    assert predict_single(render_text("", 32), "m-0") == "a"
+
+
+def test_write_predictions_txt(ray_session, tmp_path):
+    spans_type = pa.list_(
+        pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
+    )
+    docs = pa.table(
+        {
+            "doc_id": pa.array(["d1"]),
+            "spans": pa.array(
+                [
+                    [
+                        {"kind": "media", "text": "hello", "media_ref": "m-1", "offset": 0},
+                        {"kind": "text", "text": "skip", "media_ref": "", "offset": 1},
+                        {"kind": "media", "text": "", "media_ref": "m-2", "offset": 2},
+                    ]
+                ],
+                spans_type,
+            ),
+        }
+    )
+    out = str(tmp_path / "pred")
+    write_predictions_txt(rd.from_arrow(docs), out)
+    lines = []
+    for f in sorted(os.listdir(out)):
+        with open(os.path.join(out, f), encoding="utf-8") as fh:
+            lines += [l.rstrip("\n") for l in fh]
+    assert lines == ["m-1 hello", "m-2 a"]

@@ -1,0 +1,93 @@
+"""CLI entry points — the ``ray job submit`` surface.
+
+    python -m vietnamese_ocr_ray synth   --sf-dir /root/testdata/sf0.01 --out /tmp/corpus
+    python -m vietnamese_ocr_ray extract --docs /tmp/corpus/docs --media /tmp/corpus/media \
+        --out /tmp/extracted [--mode cogroup] [--resume]
+    python -m vietnamese_ocr_ray predict-txt --extracted /tmp/extracted --out /tmp/pred
+
+On a real cluster the same commands run via
+``ray job submit -- python -m vietnamese_ocr_ray extract ...`` — the
+code only ever talks to the Dataset API, so local vs multi-node is a
+``ray.init`` concern. The CLI owns its Ray session (library code never
+calls ray.init/shutdown).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "local"),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="vietnamese_ocr_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("synth", help="synthesize an interleaved corpus from a documents table")
+    sp.add_argument("--sf-dir", required=True)
+    sp.add_argument("--out", required=True)
+
+    ep = sub.add_parser("extract", help="run the flagship extraction pipeline (resumable)")
+    ep.add_argument("--docs", required=True)
+    ep.add_argument("--media", required=True)
+    ep.add_argument("--out", required=True)
+    ep.add_argument("--mode", default="cogroup", choices=["cogroup", "join", "broadcast"])
+    ep.add_argument("--chunk-fragments", type=int, default=8)
+    ep.add_argument("--stats", action="store_true", help="print ds.stats() per chunk")
+
+    tp = sub.add_parser("predict-txt", help="format extracted output as reference prediction.txt")
+    tp.add_argument("--extracted", required=True)
+    tp.add_argument("--out", required=True)
+
+    args = p.parse_args(argv)
+    ray = _ray_session()
+    try:
+        if args.cmd == "synth":
+            from vietnamese_ocr_ray.synth import synth_from_documents
+
+            docs_dir, media_dir = synth_from_documents(
+                os.path.join(args.sf_dir, "documents.parquet"), args.out
+            )
+            print(json.dumps({"docs": docs_dir, "media": media_dir}))
+        elif args.cmd == "extract":
+            from vietnamese_ocr_ray.pipelines.extract import run_extract
+
+            summary = run_extract(
+                args.docs,
+                args.media,
+                args.out,
+                chunk_fragments=args.chunk_fragments,
+                media_mode=args.mode,
+            )
+            print(json.dumps(summary))
+        elif args.cmd == "predict-txt":
+            import ray.data as rd
+
+            from vietnamese_ocr_ray.sinks import write_predictions_txt
+
+            ds = rd.read_parquet(args.extracted)
+            print(write_predictions_txt(ds, args.out))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -144,6 +144,23 @@ def extract_spans(
     return reassemble(recognized, num_buckets=num_buckets)
 
 
+def predict_single(image, media_ref: str = "predict") -> str:
+    """Single-image predict path (app.py:52-61 ->
+    src/utils/inference.py:52-64): one grayscale uint8 (H, W) array
+    through the same preprocess + greedy-decode semantics, including
+    the empty->"a" fill. No Dataset round-trip for one row — exactly as
+    the reference calls the model directly from Streamlit."""
+    import numpy as np
+
+    from vietnamese_ocr_ray.model import DeterministicRecognizer
+    from vietnamese_ocr_ray.preprocess import preprocess_one
+
+    model = DeterministicRecognizer()
+    x = preprocess_one(np.asarray(image, dtype=np.uint8), media_ref)
+    text = model.recognize_texts(x[None])[0].as_py()
+    return text if text else "a"
+
+
 def media_lookup(media_path: str) -> dict:
     """Load a (small) media table into a broadcastable lookup dict."""
     t = pq.read_table(

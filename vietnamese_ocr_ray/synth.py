@@ -272,6 +272,58 @@ def synth_corpus(
     return docs, media
 
 
+def concat_augment(
+    media: pa.Table, n_pairs: int, seed: int = 42
+) -> pa.Table:
+    """ConcatAug analog (SURVEY.md §2.2 M7, reference
+    src/utils/concat_aug.py:25-43): sample two rendered images,
+    height-match, horizontally concatenate, label = concatenated labels.
+
+    Band-world specifics: the first image's terminator band is stripped
+    before concatenation so the result is again a well-formed band image
+    (recognizer-invertible); pairs are drawn from SAME-height images and
+    skipped when the combined label would exceed the decode cap
+    (reference images are free-form pixels; ours must stay decodable).
+    """
+    rng = np.random.default_rng(seed)
+    refs = media.column("media_ref").to_pylist()
+    imgs = media.column("image").to_pylist()
+    hs = media.column("height").to_pylist()
+    ws = media.column("width").to_pylist()
+    truths = media.column("truth").to_pylist()
+    o_refs, o_imgs, o_h, o_w, o_truth = [], [], [], [], []
+    made = tries = 0
+    while made < n_pairs and tries < n_pairs * 20:
+        tries += 1
+        i, j = rng.integers(0, len(refs), 2)
+        if hs[i] != hs[j]:
+            continue
+        label = truths[i] + truths[j]
+        if len(label) > MAX_TEXT_LEN:
+            continue
+        h = hs[i]
+        bw = h * BAND_W // 64
+        a = np.frombuffer(imgs[i], np.uint8).reshape(h, ws[i])
+        b = np.frombuffer(imgs[j], np.uint8).reshape(h, ws[j])
+        cat = np.concatenate([a[:, : ws[i] - bw], b], axis=1)
+        ref = f"cat-{made:08d}"
+        o_refs.append(ref)
+        o_imgs.append(cat.tobytes())
+        o_h.append(h)
+        o_w.append(cat.shape[1])
+        o_truth.append(label)
+        made += 1
+    return pa.table(
+        {
+            "media_ref": pa.array(o_refs, pa.string()),
+            "image": pa.array(o_imgs, pa.binary()),
+            "height": pa.array(o_h, pa.int32()),
+            "width": pa.array(o_w, pa.int32()),
+            "truth": pa.array(o_truth, pa.string()),
+        }
+    )
+
+
 def write_corpus(
     docs: pa.Table, media: pa.Table, out_dir: str, n_fragments: int = 4
 ) -> tuple[str, str]:
