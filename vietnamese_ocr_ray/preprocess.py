@@ -54,16 +54,12 @@ def smooth3(img: np.ndarray) -> np.ndarray:
     out = img.copy()
     if img.shape[-2] < 3 or img.shape[-1] < 3:
         return out
+    # separable 3x3 sum (integer-valued float pixels -> exact in fp32
+    # regardless of summation order), + 4*center for the weighted middle
+    v = img[..., :-2, :] + img[..., 1:-1, :] + img[..., 2:, :]
+    s9 = v[..., :, :-2] + v[..., :, 1:-1] + v[..., :, 2:]
     c = img[..., 1:-1, 1:-1]
-    acc = 5.0 * c
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            acc = acc + img[
-                ..., 1 + dy : img.shape[-2] - 1 + dy, 1 + dx : img.shape[-1] - 1 + dx
-            ]
-    out[..., 1:-1, 1:-1] = acc / 13.0
+    out[..., 1:-1, 1:-1] = (s9 + 4.0 * c) / 13.0
     return out
 
 
@@ -193,18 +189,25 @@ def preprocess_batch(
     """
     n = len(media_refs)
     out = np.zeros((n, IMG_H, IMG_W), dtype=np.float32)
+    flat = offs = None
     if isinstance(images, tuple):
         flat, offs = images
-        get = lambda i: flat[offs[i] : offs[i + 1]]
-    else:
-        get = lambda i: np.frombuffer(images[i], dtype=np.uint8)
     shapes: dict[tuple[int, int], list[int]] = {}
     for i in range(n):
         shapes.setdefault((int(heights[i]), int(widths[i])), []).append(i)
     for (h, w), idxs in shapes.items():
-        stack = np.empty((len(idxs), h, w), dtype=np.float32)
-        for j, i in enumerate(idxs):
-            stack[j] = get(i).reshape(h, w)
+        if flat is not None:
+            # one vectorized gather per shape group (no per-image Python)
+            starts = offs[np.asarray(idxs)]
+            stack = (
+                flat[starts[:, None] + np.arange(h * w)[None, :]]
+                .reshape(len(idxs), h, w)
+                .astype(np.float32)
+            )
+        else:
+            stack = np.empty((len(idxs), h, w), dtype=np.float32)
+            for j, i in enumerate(idxs):
+                stack[j] = np.frombuffer(images[i], dtype=np.uint8).reshape(h, w)
         res = preprocess_gray_stack(stack, [media_refs[i] for i in idxs], IMG_W)
         out[idxs] = res
     return out
