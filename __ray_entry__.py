@@ -175,6 +175,35 @@ def _ann_lsh(sf_dir: str):
     return ann_lsh(ds, _query_vec(sf_dir), k=10)
 
 
+def _extract_cer(sf_dir: str):
+    """E2E quality harness (reference A5 applied end-to-end): corpus CER
+    of recognized media-span texts vs rendered ground truth — exactly 0
+    because recognition inverts rendering."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.functions.text import corpus_cer
+    from vietnamese_ocr_ray.synth import ensure_corpus
+
+    _, media_dir = ensure_corpus(sf_dir)
+    t = pq.read_table(media_dir, columns=["media_ref", "truth"])
+    handle = ray.put(
+        dict(
+            zip(t.column("media_ref").to_pylist(), t.column("truth").to_pylist())
+        )
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        m = batch.filter(pc.equal(batch.column("kind"), "media"))
+        lut = ray.get(handle)
+        targets = [lut[r] for r in m.column("media_ref").to_pylist()]
+        return pa.table({"pred": m.column("text"), "target": pa.array(targets, pa.string())})
+
+    ds = _flatten_extracted(sf_dir).map_batches(prep, batch_format="pyarrow")
+    return corpus_cer(ds, "pred", "target")
+
+
 def _cer(sf_dir: str):
     from vietnamese_ocr_ray.functions.text import corpus_cer
 
@@ -222,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_customer": lambda sf: relational.nation_customer_stats(sf),
         "order_priority": lambda sf: relational.order_priority_counts(sf),
         "window_agg": lambda sf: relational.window_aggregate(sf),
+        "sliding_window": lambda sf: relational.sliding_window_aggregate(sf),
         "sessionize": lambda sf: relational.sessionize(sf),
         "event_stats": lambda sf: relational.event_type_stats(sf),
         "max_len": lambda sf: relational.max_doc_len(sf),
@@ -232,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": lambda sf: quality_scores(_docs(sf)),
         "fingerprint": lambda sf: fingerprint(_docs(sf)),
         "cer": _cer,
+        "extract_cer": _extract_cer,
         # dedup
         "dedup_exact": _dedup_exact,
         "neighbor_jaccard": _neighbor_jaccard,
@@ -365,6 +396,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CAST(ROUND(value * 1000) AS BIGINT)) AS DOUBLE)
                  / 1000.0 AS sum_value
         FROM events GROUP BY 1, 2
+        """,
+        "sliding_window": """
+        WITH e AS (
+          SELECT event_type,
+                 CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS base,
+                 CAST(ROUND(value * 1000) AS BIGINT) AS v
+          FROM events
+        ), w AS (
+          SELECT event_type, base AS window_start, v FROM e
+          UNION ALL
+          SELECT event_type, base - 3600 AS window_start, v FROM e
+        )
+        SELECT event_type, window_start, count(*) AS n_events,
+               CAST(sum(v) AS DOUBLE) / 1000.0 AS sum_value
+        FROM w GROUP BY 1, 2
+        """,
+        "extract_cer": _WORDS_CTE
+        + """
+        SELECT CAST(0 AS BIGINT) AS errors,
+               CAST(sum(length(text)) AS BIGINT) AS total,
+               0.0 AS cer
+        FROM spans WHERE kind = 'media'
         """,
         "sessionize": """
         WITH t AS (

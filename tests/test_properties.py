@@ -1,0 +1,78 @@
+"""Property-based tests (hypothesis): the renderer/recognizer inversion
+must hold for EVERY alphabet text and height, and the vectorized
+Levenshtein must equal a brute-force reference DP."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from vietnamese_ocr_ray.functions.text import levenshtein_np
+from vietnamese_ocr_ray.model import DeterministicRecognizer
+from vietnamese_ocr_ray.preprocess import preprocess_one
+from vietnamese_ocr_ray.synth import render_text
+from vietnamese_ocr_ray.vocab import ALPHABET, MAX_TEXT_LEN, Vocabulary
+
+_MODEL = DeterministicRecognizer()
+
+alphabet_text = st.text(alphabet=ALPHABET, min_size=0, max_size=MAX_TEXT_LEN)
+
+
+@settings(max_examples=60, deadline=None)
+@given(text=alphabet_text, height=st.sampled_from([32, 64]), ref=st.integers(0, 10**9))
+def test_render_recognize_inversion(text, height, ref):
+    img = render_text(text, height)
+    x = preprocess_one(img, f"m-{ref}")
+    assert _MODEL.recognize_texts(x[None])[0].as_py() == text
+
+
+@settings(max_examples=100, deadline=None)
+@given(a=st.text(max_size=12), b=st.text(max_size=12))
+def test_levenshtein_matches_bruteforce(a, b):
+    def ref_dp(p, r):
+        dp = [[0] * (len(r) + 1) for _ in range(len(p) + 1)]
+        for i in range(len(p) + 1):
+            dp[i][0] = i
+        for j in range(len(r) + 1):
+            dp[0][j] = j
+        for i in range(1, len(p) + 1):
+            for j in range(1, len(r) + 1):
+                if p[i - 1] == r[j - 1]:
+                    dp[i][j] = dp[i - 1][j - 1]
+                else:
+                    dp[i][j] = min(dp[i - 1][j], dp[i][j - 1], dp[i - 1][j - 1]) + 1
+        return dp[-1][-1]
+
+    assert levenshtein_np(a, b) == ref_dp(a, b)
+
+
+@settings(max_examples=50, deadline=None)
+@given(text=alphabet_text)
+def test_vocab_roundtrip(text):
+    v = Vocabulary()
+    assert v.decode(v.encode(text)) == text
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    texts=st.lists(alphabet_text, min_size=1, max_size=8),
+    height=st.sampled_from([32, 64]),
+)
+def test_batch_recognition_matches_per_row(texts, height):
+    imgs = [render_text(t, height) for t in texts]
+    x = np.stack([preprocess_one(im, f"m-{i}") for i, im in enumerate(imgs)])
+    batch_out = _MODEL.recognize_texts(x).to_pylist()
+    assert batch_out == texts
+
+
+def test_fnv_bucket_deterministic_across_processes():
+    # fnv1a_bucket must be content-derived (Python's hash() is salted)
+    import pyarrow as pa
+
+    from vietnamese_ocr_ray.stages.explode import fnv1a_bucket
+
+    arr = pa.array(["doc-1", "doc-2", "m-33-0", ""])
+    b = fnv1a_bucket(arr, 64)
+    assert list(b) == list(fnv1a_bucket(arr, 64))
+    # regression pin: values must never change across releases (they
+    # define partition placement for resume)
+    assert b.dtype == np.int32

@@ -261,6 +261,67 @@ def window_aggregate(sf_dir: str, window_sec: int = 3600) -> rd.Dataset:
     )
 
 
+def sliding_window_aggregate(
+    sf_dir: str, size_sec: int = 7200, step_sec: int = 3600
+) -> rd.Dataset:
+    """Sliding event-time windows (size 2h, step 1h): each event lands
+    in size/step windows — the explode is a vectorized row duplication
+    inside map_batches, then the same pre-aggregated groupby as the
+    tumbling case. (Ray Data has no watermarks; this is batch windowing
+    over the full log.)"""
+    assert size_sec % step_sec == 0
+    per_event = size_sec // step_sec
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def explode_windows(batch: pa.Table) -> pa.Table:
+        epoch = pc.divide(
+            pc.cast(batch.column("ts"), pa.int64()), pa.scalar(1_000_000)
+        )
+        sec = np.asarray(epoch)
+        base = (sec // step_sec) * step_sec
+        n = batch.num_rows
+        # window starts: base - k*step for k in 0..per_event-1
+        starts = (
+            base[:, None] - np.arange(per_event, dtype=np.int64)[None, :] * step_sec
+        ).reshape(-1)
+        etype = pc.take(
+            batch.column("event_type"),
+            pa.array(np.repeat(np.arange(n, dtype=np.int64), per_event)),
+        )
+        vals = np.repeat(
+            np.asarray(_cents(batch.column("value"), 1000)), per_event
+        )
+        return pa.table(
+            {
+                "event_type": etype,
+                "window_start": pa.array(starts),
+                "value_c": pa.array(vals),
+            }
+        )
+
+    return (
+        ds.map_batches(explode_windows, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_c", alias_name="value_units"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "event_type": b.column("event_type"),
+                    "window_start": b.column("window_start"),
+                    "n_events": b.column("n_events"),
+                    "sum_value": pc.divide(
+                        pc.cast(b.column("value_units"), pa.float64()),
+                        pa.scalar(1000.0),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def sessionize(sf_dir: str, gap_sec: int = 1800) -> rd.Dataset:
     """Session windows per user (gap-based): groupby(user_id) +
     per-group sort by ts + vectorized gap count. The per-key ordered

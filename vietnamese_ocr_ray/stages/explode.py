@@ -30,6 +30,9 @@ def explode_batch(batch: pa.Table) -> pa.Table:
     Docs with empty span lists vanish (extraction output is defined
     over docs with >=1 span).
     """
+    from vietnamese_ocr_ray.schema import DOCS_SCHEMA, assert_schema
+
+    assert_schema(batch, DOCS_SCHEMA, "docs")
     spans = batch.column("spans")
     flat = pc.list_flatten(spans)
     parent = pc.list_parent_indices(spans)
