@@ -66,6 +66,7 @@ def extract_spans(
     media_mode: str = "cogroup",
     join_partitions: int = 8,
     cogroup_buckets: int = 64,
+    cogroup_salt: int = 1,
     recognize_batch_size: int = 512,
     recognize_concurrency=(1, 32),
     num_buckets: int = 64,
@@ -101,6 +102,7 @@ def extract_spans(
             media,
             num_buckets=cogroup_buckets,
             extra_fields=lineage_fields,
+            salt=cogroup_salt,
         )
         recognized = joined.map_batches(
             RecognizeSpans,

@@ -32,24 +32,39 @@ from vietnamese_ocr_ray.stages.explode import fnv1a_bucket
 PAYLOAD_COLS = ("image", "height", "width")
 
 
-def _spans_side(batch: pa.Table, num_buckets: int) -> pa.Table:
+def _spans_side(batch: pa.Table, num_buckets: int, salt: int) -> pa.Table:
     """Exploded span rows -> union schema (payload columns null) with
-    the bucket column. Extra (lineage) columns are carried through."""
+    the bucket column. Extra (lineage) columns are carried through.
+
+    Salting (hot-key skew): with ``salt`` S > 1, a media span's bucket
+    is base_bucket*S + hash(doc_id, offset) % S — a media_ref shared by
+    millions of spans (deduplicated media store) spreads over S
+    sub-buckets instead of serializing on one; its payload row is
+    replicated to all S sub-buckets by ``_media_side``."""
     n = batch.num_rows
     is_media = pc.equal(batch.column("kind"), "media")
     key = pc.if_else(is_media, batch.column("media_ref"), batch.column("doc_id"))
+    base = fnv1a_bucket(key, num_buckets).astype(np.int64)
+    if salt > 1:
+        sub = fnv1a_bucket(batch.column("doc_id"), salt).astype(np.int64)
+        sub = (sub + np.asarray(batch.column("offset")).astype(np.int64)) % salt
+        bucket = base * salt + sub
+    else:
+        bucket = base
     cols = {name: batch.column(name) for name in batch.column_names}
     cols["image"] = pa.nulls(n, pa.binary())
     cols["height"] = pa.nulls(n, pa.int32())
     cols["width"] = pa.nulls(n, pa.int32())
-    cols["bucket"] = pa.array(fnv1a_bucket(key, num_buckets))
+    cols["bucket"] = pa.array(bucket.astype(np.int32))
     return pa.table(cols)
 
 
 def _media_side(
-    batch: pa.Table, num_buckets: int, extra_fields: list[pa.Field]
+    batch: pa.Table, num_buckets: int, salt: int, extra_fields: list[pa.Field]
 ) -> pa.Table:
-    """Media payload rows -> union schema (span columns null)."""
+    """Media payload rows -> union schema (span columns null); with
+    salting, each payload row is replicated into every salt sub-bucket
+    of its base bucket (small side of the skew trade)."""
     n = batch.num_rows
     cols = {
         "doc_id": pa.nulls(n, pa.string()),
@@ -63,7 +78,17 @@ def _media_side(
     cols["image"] = batch.column("image")
     cols["height"] = batch.column("height")
     cols["width"] = batch.column("width")
-    cols["bucket"] = pa.array(fnv1a_bucket(batch.column("media_ref"), num_buckets))
+    base = fnv1a_bucket(batch.column("media_ref"), num_buckets).astype(np.int64)
+    if salt > 1:
+        t = pa.table(cols)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), salt))
+        t = t.take(idx)
+        bucket = (
+            np.repeat(base, salt) * salt
+            + np.tile(np.arange(salt, dtype=np.int64), n)
+        )
+        return t.append_column("bucket", pa.array(bucket.astype(np.int32)))
+    cols["bucket"] = pa.array(base.astype(np.int32))
     return pa.table(cols)
 
 
@@ -93,19 +118,21 @@ def cogroup_media(
     media: rd.Dataset,
     num_buckets: int = 96,
     extra_fields: list[pa.Field] | None = None,
+    salt: int = 1,
 ) -> rd.Dataset:
     """Exploded span rows x media table -> span rows with payload
     columns attached to media spans (null for text spans).
 
     ``extra_fields``: typed lineage columns on the span side (passed
     explicitly — deriving them from the Dataset schema would trigger an
-    execution)."""
+    execution). ``salt`` > 1 spreads hot media_refs over salt
+    sub-buckets (payload rows replicated salt times)."""
     extra_fields = extra_fields or []
     left = spans.map_batches(
-        lambda b: _spans_side(b, num_buckets), batch_format="pyarrow"
+        lambda b: _spans_side(b, num_buckets, salt), batch_format="pyarrow"
     )
     right = media.map_batches(
-        lambda b: _media_side(b, num_buckets, extra_fields),
+        lambda b: _media_side(b, num_buckets, salt, extra_fields),
         batch_format="pyarrow",
     )
     u = left.union(right)
