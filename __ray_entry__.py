@@ -255,6 +255,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": lambda sf: relational.sessionize(sf),
         "event_stats": lambda sf: relational.event_type_stats(sf),
         "max_len": lambda sf: relational.max_doc_len(sf),
+        "parts_by_brand": lambda sf: relational.parts_by_brand(sf),
+        "supplier_balance": lambda sf: relational.supplier_nation_balance(sf),
+        "orders_by_month": lambda sf: relational.orders_by_month(sf),
         "split_sample": lambda sf: relational.split_sample(sf),
         # text analysis
         "lang_id": lambda sf: lang_id(_docs(sf)),
@@ -440,6 +443,29 @@ def oracle_sql() -> dict[str, str]:
         "max_len": """
         SELECT lang, max(n_chars) AS max_chars, count(*) AS n_docs
         FROM documents GROUP BY lang
+        """,
+        "parts_by_brand": """
+        SELECT p_brand,
+               count(*) AS n_parts,
+               CAST(max(p_size) AS BIGINT) AS max_size,
+               (CAST(sum(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS DOUBLE)
+                  / 100.0) / CAST(count(*) AS DOUBLE) AS avg_price
+        FROM part GROUP BY p_brand
+        """,
+        "supplier_balance": """
+        SELECT n.n_name,
+               count(*) AS n_suppliers,
+               CAST(sum(CAST(ROUND(s.s_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS total_acctbal
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """,
+        "orders_by_month": """
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               count(*) AS n_orders,
+               CAST(sum(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS total_price
+        FROM orders GROUP BY 1
         """,
         "split_sample": """
         SELECT 'train' AS split,

@@ -71,6 +71,7 @@ def extract_spans(
     recognize_concurrency=(1, 32),
     num_buckets: int = 64,
     lineage_fields: list[pa.Field] | None = None,
+    vocab=None,
 ) -> rd.Dataset:
     """docs Dataset (+ media payloads) -> extracted docs Dataset.
 
@@ -109,6 +110,7 @@ def extract_spans(
             batch_format="pyarrow",
             batch_size=recognize_batch_size,
             concurrency=recognize_concurrency,
+            fn_constructor_kwargs={"vocab": vocab},
         )
         return reassemble(recognized, num_buckets=num_buckets)
 
@@ -126,6 +128,7 @@ def extract_spans(
             batch_format="pyarrow",
             batch_size=recognize_batch_size,
             concurrency=recognize_concurrency,
+            fn_constructor_kwargs={"vocab": vocab},
         )
     elif media_mode == "broadcast":
         import ray
@@ -138,7 +141,7 @@ def extract_spans(
             batch_format="pyarrow",
             batch_size=recognize_batch_size,
             concurrency=recognize_concurrency,
-            fn_constructor_kwargs={"media_handle": handle},
+            fn_constructor_kwargs={"media_handle": handle, "vocab": vocab},
         )
     else:
         raise ValueError(f"unknown media_mode {media_mode!r}")

@@ -376,6 +376,138 @@ def event_type_stats(sf_dir: str) -> rd.Dataset:
     )
 
 
+def parts_by_brand(sf_dir: str) -> rd.Dataset:
+    """Projection + grouped aggregate over part: count, max size and
+    exact-integer average retail price per brand."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_brand", "p_size", "p_retailprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "p_brand": batch.column("p_brand"),
+                "price_c": _cents(batch.column("p_retailprice"), 100),
+                "p_size": batch.column("p_size"),
+            }
+        )
+        df = t.to_pandas().groupby("p_brand", as_index=False).agg(
+            price_c=("price_c", "sum"), max_size=("p_size", "max"), n=("p_size", "size")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(
+            Sum("price_c", alias_name="price_units"),
+            Max("max_size", alias_name="max_size"),
+            Sum("n", alias_name="n_parts"),
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "p_brand": b.column("p_brand"),
+                    "n_parts": b.column("n_parts"),
+                    "max_size": pc.cast(b.column("max_size"), pa.int64()),
+                    "avg_price": pc.divide(
+                        pc.divide(
+                            pc.cast(b.column("price_units"), pa.float64()),
+                            pa.scalar(100.0),
+                        ),
+                        pc.cast(b.column("n_parts"), pa.float64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def supplier_nation_balance(sf_dir: str) -> rd.Dataset:
+    """supplier x nation broadcast join -> per-nation supplier count and
+    exact-integer total account balance."""
+    import ray
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")[["n_nationkey", "n_name"]]
+    handle = ray.put(nation)
+
+    class JoinNation:
+        def __init__(self):
+            self.lut = ray.get(handle)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            m = batch.merge(self.lut, left_on="s_nationkey", right_on="n_nationkey")
+            m["bal_c"] = (m["s_acctbal"] * 100).round().astype("int64")
+            return m.groupby("n_name", as_index=False).agg(
+                n_suppliers=("s_suppkey", "size"), bal_c=("bal_c", "sum")
+            )
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey", "s_acctbal"]
+    )
+    return (
+        ds.map_batches(JoinNation, batch_format="pandas", concurrency=(1, 4))
+        .groupby("n_name")
+        .aggregate(
+            Sum("n_suppliers", alias_name="n_suppliers"),
+            Sum("bal_c", alias_name="bal_units"),
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "n_name": b.column("n_name"),
+                    "n_suppliers": b.column("n_suppliers"),
+                    "total_acctbal": pc.divide(
+                        pc.cast(b.column("bal_units"), pa.float64()), pa.scalar(100.0)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def orders_by_month(sf_dir: str) -> rd.Dataset:
+    """Date-function coverage: orders per month (YYYY-MM string) and
+    exact-integer total price."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def add_month(batch: pa.Table) -> pa.Table:
+        months = (
+            np.asarray(batch.column("o_orderdate"))
+            .astype("datetime64[M]")
+            .astype(str)
+        )
+        return pa.table(
+            {
+                "month": pa.array(months, pa.string()),
+                "price_c": _cents(batch.column("o_totalprice"), 100),
+            }
+        )
+
+    return (
+        ds.map_batches(add_month, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Count(alias_name="n_orders"), Sum("price_c", alias_name="price_units"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "month": b.column("month"),
+                    "n_orders": b.column("n_orders"),
+                    "total_price": pc.divide(
+                        pc.cast(b.column("price_units"), pa.float64()),
+                        pa.scalar(100.0),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def max_doc_len(sf_dir: str) -> rd.Dataset:
     """Global/grouped max (A3 analog, src/utils/vocab.py:16-19)."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])

@@ -83,12 +83,21 @@ def add_bucket(batch: pa.Table, num_buckets: int, key: str = "doc_id") -> pa.Tab
     )
 
 
+MAX_SPANS_PER_DOC = 1_000_000  # guard: one doc's spans must fit one output row
+
+
 def pack_bucket(group: pa.Table) -> pa.Table:
     """All span rows of one bucket -> packed docs rows.
 
     Sort by (doc_id, offset) — explicit order is part of the
     correctness invariant (SURVEY.md §2.6 O7) — then build the
     list<struct> column from run boundaries of doc_id.
+
+    A doc larger than MAX_SPANS_PER_DOC is rejected with a clear error:
+    the output format itself (one list<struct> row per doc) caps doc
+    size; the documented fallback is chunked stitching — sort the flat
+    span table by (doc_id, offset) and emit spans_exploded instead of
+    packed docs (SURVEY.md §7.3).
     """
     g = group.sort_by([("doc_id", "ascending"), ("offset", "ascending")])
     st = pa.StructArray.from_arrays(
@@ -107,6 +116,14 @@ def pack_bucket(group: pa.Table) -> pa.Table:
         )
     starts = np.nonzero(np.concatenate([[True], d[1:] != d[:-1]]))[0]
     offsets = np.concatenate([starts, [len(d)]]).astype(np.int32)
+    sizes = np.diff(offsets)
+    if sizes.size and int(sizes.max()) > MAX_SPANS_PER_DOC:
+        big = d[starts[int(np.argmax(sizes))]]
+        raise ValueError(
+            f"doc {big!r} has {int(sizes.max())} spans (> {MAX_SPANS_PER_DOC}); "
+            "packed output caps doc size — use the chunked-stitching "
+            "fallback (sorted spans_exploded output) for such corpora"
+        )
     lst = pa.ListArray.from_arrays(pa.array(offsets), st.cast(SPANS_TYPE.value_type))
     cols = {"doc_id": pa.array(d[starts], pa.string()), "spans": lst}
     # doc-level extra columns (lineage): first row of each doc run
