@@ -207,18 +207,41 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same job, same input, fresh processes at 8 and 32 CPUs."""
+    """Same job, same input, fresh processes at 8 and 32 CPUs.
+
+    Each level runs twice and the faster run is kept (steady-state
+    estimate — single runs at 32 cpus vary ~±20% with page-cache and
+    object-store state). Each subprocess gets its own cleaned
+    RAY_TMPDIR so spill files from one leg can't slow the next."""
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py"), "--headline-only"],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        tmpdir = f"/tmp/ray_bench_{ncpu}"
+        best = None
+        for _ in range(2):
+            shutil.rmtree(tmpdir, ignore_errors=True)
+            env = dict(
+                os.environ,
+                RAY_GRAFT_CPUS=str(ncpu),
+                RAY_TMPDIR=tmpdir,
+                # larger corpus for the scaling legs: fixed session costs
+                # (~10 s) must be small against the scaled work or they
+                # masquerade as poor scaling
+                GRAFT_BENCH_REPLICATE=os.environ.get(
+                    "GRAFT_SCALING_REPLICATE", "24"
+                ),
+            )
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"), "--headline-only"],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        return best
 
     lo, hi = 8, 32
     r_lo = run(lo)

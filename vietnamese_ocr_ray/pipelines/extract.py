@@ -69,6 +69,7 @@ def extract_spans(
     cogroup_salt: int = 1,
     recognize_batch_size: int = 512,
     recognize_concurrency=(1, 32),
+    recognize_compute: str = "actors",
     num_buckets: int = 64,
     lineage_fields: list[pa.Field] | None = None,
     vocab=None,
@@ -105,13 +106,22 @@ def extract_spans(
             extra_fields=lineage_fields,
             salt=cogroup_salt,
         )
-        recognized = joined.map_batches(
-            RecognizeSpans,
-            batch_format="pyarrow",
-            batch_size=recognize_batch_size,
-            concurrency=recognize_concurrency,
-            fn_constructor_kwargs={"vocab": vocab},
-        )
+        if recognize_compute == "tasks" and vocab is None:
+            from vietnamese_ocr_ray.stages.recognize import recognize_spans_task
+
+            recognized = joined.map_batches(
+                recognize_spans_task,
+                batch_format="pyarrow",
+                batch_size=recognize_batch_size,
+            )
+        else:
+            recognized = joined.map_batches(
+                RecognizeSpans,
+                batch_format="pyarrow",
+                batch_size=recognize_batch_size,
+                concurrency=recognize_concurrency,
+                fn_constructor_kwargs={"vocab": vocab},
+            )
         return reassemble(recognized, num_buckets=num_buckets)
 
     if media_mode == "join":

@@ -24,6 +24,23 @@ from vietnamese_ocr_ray.vocab import Vocabulary
 SPAN_COLS = ("doc_id", "offset", "kind", "text", "media_ref")
 
 
+_PROCESS_STAGE: "RecognizeSpans | None" = None
+
+
+def recognize_spans_task(batch: pa.Table) -> pa.Table:
+    """Task-pool variant of RecognizeSpans: the model is cached once per
+    WORKER PROCESS (module global) instead of once per actor — the same
+    load-state-once semantics without reserving CPUs while idle, so the
+    streaming executor can rebalance CPUs between recognition and the
+    shuffles. Prefer the actor-pool class when per-worker state is
+    heavyweight (real model weights, GPUs); prefer this when state is
+    cheap and elasticity matters."""
+    global _PROCESS_STAGE
+    if _PROCESS_STAGE is None:
+        _PROCESS_STAGE = RecognizeSpans()
+    return _PROCESS_STAGE(batch)
+
+
 def normalize_text_array(arr: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
     """Pass-through normalization for text spans: unicode NFC
     (north_rule "text spans pass through normalization"; the reference
