@@ -204,6 +204,69 @@ def _extract_cer(sf_dir: str):
     return corpus_cer(ds, "pred", "target")
 
 
+def _embedding_neardup(sf_dir: str):
+    import ray.data as rd
+
+    from vietnamese_ocr_ray.functions.ann import cosine_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return cosine_pairs(ds, threshold=0.4)
+
+
+def _embedding_stats(sf_dir: str):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from vietnamese_ocr_ray.functions.ann import _matrix
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def norms(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch)
+        return pa.table(
+            {
+                "label": batch.column("label"),
+                "norm": pa.array(np.linalg.norm(m, axis=1), pa.float64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(norms, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Count(alias_name="n_vecs"), Sum("norm", alias_name="norm_sum"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "label": b.column("label"),
+                "n_vecs": b.column("n_vecs"),
+                "avg_norm": pc.round(
+                    pc.divide(
+                        b.column("norm_sum"),
+                        pc.cast(b.column("n_vecs"), pa.float64()),
+                    ),
+                    ndigits=4,
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _distinct_lang_source(sf_dir: str):
+    """Multi-key distinct/grouped count over documents."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+        .groupby(["lang", "source"])
+        .aggregate(Count(alias_name="n_docs"))
+    )
+
+
 def _cer(sf_dir: str):
     from vietnamese_ocr_ray.functions.text import corpus_cer
 
@@ -271,9 +334,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighbor_jaccard": _neighbor_jaccard,
         "minhash_pairs": _minhash_pairs,
         "simhash": _simhash,
-        # similarity search
+        # similarity search / embedding ops
         "ann_topk": _ann_topk,
         "ann_lsh": _ann_lsh,
+        "embedding_neardup": _embedding_neardup,
+        "embedding_stats": _embedding_stats,
+        "distinct_lang_source": _distinct_lang_source,
     }
 
 
@@ -539,6 +605,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
                round(jaccard(a.text, b.text), 6) AS jaccard
         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        """,
+        "embedding_neardup": """
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+               round(list_cosine_similarity(
+                 CAST(a.embedding AS DOUBLE[]),
+                 CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+          AND round(list_cosine_similarity(
+                CAST(a.embedding AS DOUBLE[]),
+                CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+        """,
+        "embedding_stats": """
+        SELECT label, count(*) AS n_vecs,
+               round(avg(sqrt(list_sum(list_transform(
+                 CAST(embedding AS DOUBLE[]), x -> x * x)))), 4) AS avg_norm
+        FROM embeddings GROUP BY label
+        """,
+        "distinct_lang_source": """
+        SELECT lang, source, count(*) AS n_docs
+        FROM documents GROUP BY lang, source
         """,
         "ann_topk": """
         WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)

@@ -64,6 +64,60 @@ def ann_bruteforce(
     )
 
 
+def cosine_pairs(
+    ds: rd.Dataset,
+    threshold: float,
+    id_col: str = "vec_id",
+    matrix_handle=None,
+) -> rd.Dataset:
+    """Embedding-cosine near-duplicate pairs (exact): the full
+    normalized matrix is broadcast once (ray.put) and each batch does
+    one matmul against it — O(N*B) per batch, zero Python per row.
+
+    Scale path beyond broadcast capacity: hyperplane-bucket both sides
+    (LshIndexer) and run the same matmul within buckets — same shape as
+    minhash_lsh_pairs. Pair (a, b) is emitted once (a < b), with the
+    cosine rounded to 6 decimals.
+    """
+    import ray
+
+    if matrix_handle is None:
+        rows = []
+        ids = []
+        for b in ds.select_columns([id_col, "embedding"]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            rows.append(_matrix(b))
+            ids.append(np.asarray(b.column(id_col), dtype=np.int64))
+        m = np.vstack(rows)
+        all_ids = np.concatenate(ids)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        matrix_handle = ray.put((all_ids, m))
+
+    def find_pairs(batch: pa.Table) -> pa.Table:
+        all_ids, m = ray.get(matrix_handle)
+        bm = _matrix(batch)
+        bm = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-30)
+        bids = np.asarray(batch.column(id_col), dtype=np.int64)
+        cos = bm @ m.T
+        np.round(cos, 6, out=cos)
+        hit = cos >= threshold
+        # emit each unordered pair once: batch id strictly less
+        hit &= bids[:, None] < all_ids[None, :]
+        r, c = np.nonzero(hit)
+        return pa.table(
+            {
+                "vec_id_a": pa.array(bids[r]),
+                "vec_id_b": pa.array(all_ids[c]),
+                "cos": pa.array(cos[r, c], pa.float64()),
+            }
+        )
+
+    return ds.select_columns([id_col, "embedding"]).map_batches(
+        find_pairs, batch_format="pyarrow"
+    )
+
+
 class LshIndexer:
     """Random-hyperplane bucketer (plane matrix drawn once per actor)."""
 
