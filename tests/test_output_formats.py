@@ -1,0 +1,97 @@
+"""spans output format (chunked-stitching fallback) and the resumable
+run_extract loop in the default cogroup mode."""
+
+import os
+
+import pytest
+
+import ray.data as rd
+
+from vietnamese_ocr_ray.oracle import extract_oracle
+from vietnamese_ocr_ray.pipelines.extract import extract_spans, run_extract
+from vietnamese_ocr_ray.sources.storage import read_docs, read_media
+from vietnamese_ocr_ray.synth import synth_corpus, write_corpus
+
+
+def test_spans_output_equals_flattened_docs_output(ray_session, tmp_path):
+    docs, media = synth_corpus(80, seed=21)
+    docs_dir, media_dir = write_corpus(docs, media, str(tmp_path), n_fragments=2)
+    golden = extract_oracle(docs, media)
+    flat_golden = sorted(
+        (d["doc_id"], s["offset"], s["kind"], s["text"], s["media_ref"])
+        for d in golden
+        for s in d["spans"]
+    )
+    out = extract_spans(
+        read_docs(docs_dir),
+        read_media(media_dir),
+        media_mode="cogroup",
+        cogroup_buckets=8,
+        output_format="spans",
+    )
+    rows = out.take_all()
+    got = sorted(
+        (r["doc_id"], r["offset"], r["kind"], r["text"], r["media_ref"]) for r in rows
+    )
+    assert got == flat_golden
+    # global sort order holds within the returned sequence
+    keys = [(r["doc_id"], r["offset"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_run_extract_cogroup_mode(ray_session, tmp_path):
+    docs, media = synth_corpus(60, seed=22)
+    docs_dir, media_dir = write_corpus(docs, media, str(tmp_path / "in"), n_fragments=3)
+    out_dir = str(tmp_path / "out")
+    s = run_extract(
+        docs_dir,
+        os.path.join(media_dir, "media-00000.parquet"),
+        out_dir,
+        chunk_fragments=2,
+        media_mode="cogroup",
+        cogroup_buckets=4,
+        num_buckets=4,
+    )
+    assert s["fragments_processed"] == 3
+    # output readable and lineage column present
+    ds = rd.read_parquet(out_dir)
+    row = ds.take(1)[0]
+    assert set(row.keys()) == {"doc_id", "spans", "_fragment"}
+    s2 = run_extract(
+        docs_dir,
+        os.path.join(media_dir, "media-00000.parquet"),
+        out_dir,
+        chunk_fragments=2,
+        media_mode="cogroup",
+        cogroup_buckets=4,
+        num_buckets=4,
+    )
+    assert s2["fragments_processed"] == 0
+
+
+def test_two_stage_matches_single_stage(ray_session, tmp_path):
+    docs, media = synth_corpus(70, seed=23)
+    docs_dir, media_dir = write_corpus(docs, media, str(tmp_path), n_fragments=2)
+    golden = extract_oracle(docs, media)
+
+    def canon(rows):
+        return sorted(
+            (
+                r["doc_id"],
+                tuple(
+                    (s["kind"], s["text"], s["media_ref"], s["offset"])
+                    for s in r["spans"]
+                ),
+            )
+            for r in rows
+        )
+
+    out = extract_spans(
+        read_docs(docs_dir),
+        read_media(media_dir),
+        media_mode="cogroup",
+        cogroup_buckets=8,
+        num_buckets=8,
+        two_stage=True,
+    )
+    assert canon(out.take_all()) == canon(golden)

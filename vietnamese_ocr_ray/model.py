@@ -62,22 +62,17 @@ class DeterministicRecognizer:
         self.vocab = vocab or Vocabulary()
         self.model_version = MODEL_VERSION
 
-    # ---- encoder ----------------------------------------------------
-    def encode(self, batch: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Run the "encoder" once per image (analog of
-        src/model/model.py:207): (N, 3, 64, 256) CHW float32 in [0,1]
-        — or the equivalent (N, 64, 256) gray canvas (channels are
-        identical by construction, transform.py:69-70) ->
-        (features (N, 31) int32 char ids, lengths (N,) int32).
-
-        Fully vectorized; raises DecodeError on malformed content.
-        """
+    # ---- stage 1: detection (text-box localization analog) ----------
+    def detect(self, batch: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Locate the content region per image — the stand-in for a
+        DBNet-style detection stage: (N, 64, 256) or (N, 3, 64, 256)
+        float in [0,1] -> (box_lo (N,) int32 first content column,
+        n_bands (N,) int32). Vectorized; DecodeError on empty images."""
         row = batch[:, SAMPLE_ROW, :] if batch.ndim == 3 else batch[:, 0, SAMPLE_ROW, :]
         x = row.astype(np.float64) * 255.0
         n, w = x.shape
         mask = x >= DETECT_THRESH
-        has = mask.any(axis=1)
-        if not has.all():
+        if not mask.any(axis=1).all():
             raise DecodeError("image with no detectable content bands")
         lo = mask.argmax(axis=1)
         hi = (w - 1) - mask[:, ::-1].argmax(axis=1)
@@ -85,7 +80,18 @@ class DeterministicRecognizer:
         nbands = np.rint(width / BAND_W).astype(np.int64)
         if (nbands < 1).any() or (nbands > MAX_DECODE_STEPS).any():
             raise DecodeError("band count out of range")
-        lengths = (nbands - 1).astype(np.int32)  # chars before the terminator
+        return lo.astype(np.int32), nbands.astype(np.int32)
+
+    # ---- stage 2 feature read (given detected boxes) ----------------
+    def read_features(
+        self, batch: np.ndarray, lo: np.ndarray, nbands: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Recognition-stage feature extraction from detected boxes."""
+        row = batch[:, SAMPLE_ROW, :] if batch.ndim == 3 else batch[:, 0, SAMPLE_ROW, :]
+        x = row.astype(np.float64) * 255.0
+        n, w = x.shape
+        lo = lo.astype(np.int64)
+        lengths = (nbands.astype(np.int64) - 1).astype(np.int32)
         max_chars = MAX_DECODE_STEPS - 1
         cols = lo[:, None] + BAND_W * np.arange(max_chars)[None, :] + BAND_W // 2
         vals = x[np.arange(n)[:, None], np.minimum(cols, w - 1)]
@@ -101,6 +107,19 @@ class DeterministicRecognizer:
             raise DecodeError("unquantizable band level (OOV glyph?)")
         features = np.where(active, idx0 + 3, PAD).astype(np.int32)
         return features, lengths
+
+    # ---- fused encoder (single-stage path) --------------------------
+    def encode(self, batch: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Run the "encoder" once per image (analog of
+        src/model/model.py:207): (N, 3, 64, 256) CHW float32 in [0,1]
+        — or the equivalent (N, 64, 256) gray canvas (channels are
+        identical by construction, transform.py:69-70) ->
+        (features (N, 31) int32 char ids, lengths (N,) int32).
+
+        Fully vectorized; raises DecodeError on malformed content.
+        """
+        lo, nbands = self.detect(batch)
+        return self.read_features(batch, lo, nbands)
 
     # ---- per-step head (used by the oracle's dict-based loop) -------
     def step_logits(self, features_row: np.ndarray, length: int, t: int) -> np.ndarray:

@@ -9,13 +9,17 @@ Ray-Data-first):
       -> groupby(doc_id) + per-group sort(offset) reassembly shuffle
       -> write partitioned Parquet + per-fragment lineage manifest
 
-Two media-payload strategies:
+Three media-payload strategies (measured trade-offs in
+BENCH/BASELINE.md):
 
-* ``media_mode="join"`` (default, the 100 TB path): LEFT OUTER hash
-  join of exploded span rows with the media table on ``media_ref``
-  (text spans carry media_ref="" which matches nothing). ONE pass over
-  the input, one join shuffle, one reassembly shuffle; media bytes are
+* ``media_mode="cogroup"`` (default, the 100 TB path): one sort-based
+  bucket shuffle unions span rows with the media table and performs an
+  exact per-bucket pyarrow hash join (stages/cogroup.py). ONE pass over
+  the input, one cheap shuffle, one reassembly shuffle; media bytes are
   moved exactly once and never collected on any single node.
+
+* ``media_mode="join"``: Ray-native hash join, same semantics (kept for
+  parity; measured ~60x more shuffle CPU per row on this Ray version).
 
 * ``media_mode="broadcast"``: the media payload dict is ray.put ONCE by
   the driver and fetched once per recognition actor — zero join
@@ -23,10 +27,11 @@ Two media-payload strategies:
   (small-side broadcast rule); intended for dictionary-sized media.
 
 Skew: exploding first turns doc-level skew (one doc with 10^3 media
-spans) into span-level rows; Ray's dynamic block splitting plus the
-hash join's partitioning spread them across the actor pool, so dense
-docs do not serialize recognition. Reassembly re-concentrates a doc on
-one bucket by necessity (output is per-doc); buckets hold ~rows/B docs.
+spans) into span-level rows; the bucket shuffle plus optional salting
+(``cogroup_salt``) spread them across the actor pool, so dense docs do
+not serialize recognition. Reassembly re-concentrates a doc on one
+bucket by necessity (output is per-doc); buckets hold ~rows/B docs, and
+``output_format="spans"`` removes the per-doc row-size cap entirely.
 """
 
 from __future__ import annotations
@@ -73,6 +78,8 @@ def extract_spans(
     num_buckets: int = 64,
     lineage_fields: list[pa.Field] | None = None,
     vocab=None,
+    output_format: str = "docs",
+    two_stage: bool = False,
 ) -> rd.Dataset:
     """docs Dataset (+ media payloads) -> extracted docs Dataset.
 
@@ -91,7 +98,21 @@ def extract_spans(
 
     ``lineage_fields``: typed extra doc-level columns (e.g. _fragment)
     to carry end-to-end.
+
+    ``output_format``: "docs" (default) packs per-doc span lists via the
+    reassembly shuffle; "spans" is the chunked-stitching fallback for
+    corpora whose largest docs exceed a packable row (SURVEY.md §7.3) —
+    a globally sorted flat (doc_id, offset, kind, text, media_ref)
+    table with identical content, no per-doc row-size cap.
     """
+
+    def finish(recognized_ds):
+        if output_format == "spans":
+            return recognized_ds.sort(["doc_id", "offset"])
+        if output_format != "docs":
+            raise ValueError(f"unknown output_format {output_format!r}")
+        return reassemble(recognized_ds, num_buckets=num_buckets)
+
     exploded = docs.map_batches(explode_batch, batch_format="pyarrow")
 
     if media_mode == "cogroup":
@@ -106,7 +127,26 @@ def extract_spans(
             extra_fields=lineage_fields,
             salt=cogroup_salt,
         )
-        if recognize_compute == "tasks" and vocab is None:
+        if two_stage:
+            # north-star GPU shape: detection pool then recognition pool,
+            # independently sizable (num_gpus per stage on a real cluster)
+            from vietnamese_ocr_ray.stages.twostage import DetectSpans, RecognizeBoxes
+
+            detected = joined.map_batches(
+                DetectSpans,
+                batch_format="pyarrow",
+                batch_size=recognize_batch_size,
+                concurrency=recognize_concurrency,
+                fn_constructor_kwargs={"vocab": vocab},
+            )
+            recognized = detected.map_batches(
+                RecognizeBoxes,
+                batch_format="pyarrow",
+                batch_size=recognize_batch_size,
+                concurrency=recognize_concurrency,
+                fn_constructor_kwargs={"vocab": vocab},
+            )
+        elif recognize_compute == "tasks" and vocab is None:
             from vietnamese_ocr_ray.stages.recognize import recognize_spans_task
 
             recognized = joined.map_batches(
@@ -122,7 +162,7 @@ def extract_spans(
                 concurrency=recognize_concurrency,
                 fn_constructor_kwargs={"vocab": vocab},
             )
-        return reassemble(recognized, num_buckets=num_buckets)
+        return finish(recognized)
 
     if media_mode == "join":
         if not isinstance(media, rd.Dataset):
@@ -156,7 +196,7 @@ def extract_spans(
     else:
         raise ValueError(f"unknown media_mode {media_mode!r}")
 
-    return reassemble(recognized, num_buckets=num_buckets)
+    return finish(recognized)
 
 
 def predict_single(image, media_ref: str = "predict") -> str:
