@@ -143,6 +143,19 @@ def _minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(_docs(sf_dir), texts_handle=ray.put(texts))
 
 
+def _dedup_neardup(sf_dir: str):
+    """Near-dup REMOVAL: minhash pair clusters -> min-id survivor per
+    cluster -> broadcast anti-join (rows-only check: LSH banding is not
+    SQL-expressible; the underlying pair sets are SQL-checked via
+    embedding_neardup / neighbor_jaccard)."""
+    from vietnamese_ocr_ray.functions.dedup import neardup_survivors
+
+    pairs = _minhash_pairs(sf_dir)
+    return neardup_survivors(_docs(sf_dir, ("doc_id",)), pairs).select_columns(
+        ["doc_id"]
+    )
+
+
 def _simhash(sf_dir: str):
     from vietnamese_ocr_ray.functions.dedup import simhash
 
@@ -333,6 +346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _dedup_exact,
         "neighbor_jaccard": _neighbor_jaccard,
         "minhash_pairs": _minhash_pairs,
+        "dedup_neardup": _dedup_neardup,
         "simhash": _simhash,
         # similarity search / embedding ops
         "ann_topk": _ann_topk,

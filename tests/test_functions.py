@@ -163,3 +163,16 @@ def test_ann_lsh_finds_self(ray_session):
 def test_jaccard_shingles_identity_and_disjoint():
     assert jaccard_shingles("abcdefgh" * 3, "abcdefgh" * 3) == 1.0
     assert jaccard_shingles("aaaaaaaaaa", "bbbbbbbbbb") == 0.0
+
+
+def test_neardup_survivors(ray_session):
+    import ray
+
+    from vietnamese_ocr_ray.functions.dedup import neardup_survivors
+
+    docs = _docs_table(["aaa", "bbb", "ccc", "ddd", "eee"])
+    # pairs: (0,1), (1,4) -> one cluster {0,1,4}, survivor 0; 2,3 untouched
+    pairs = pa.table({"a": pa.array([0, 1], pa.int64()), "b": pa.array([1, 4], pa.int64())})
+    ds = rd.from_arrow(docs)
+    out = neardup_survivors(ds, rd.from_arrow(pairs)).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 2, 3]

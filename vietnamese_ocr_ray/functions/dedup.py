@@ -328,6 +328,52 @@ def minhash_lsh_pairs(
     return distinct.map_batches(verify, batch_format="pyarrow")
 
 
+def neardup_survivors(
+    ds: rd.Dataset,
+    pairs: rd.Dataset,
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Near-duplicate REMOVAL: cluster the verified pairs by connected
+    components and keep min(id) per cluster; every other member is
+    dropped from ``ds`` via a broadcast anti-join (the dropped-id set is
+    tiny relative to the corpus — pairs ~ duplicates, not rows).
+
+    Components are computed by iterated min-label propagation over the
+    pair list; the pair set is collected to the driver because it is
+    bounded by the duplicate count (at 10^12 rows you'd run the same
+    propagation as a few groupby rounds instead — same semantics)."""
+    import ray
+
+    edges = pairs.select_columns(["a", "b"]).take_all()
+    label: dict = {}
+    for e in edges:
+        label.setdefault(e["a"], e["a"])
+        label.setdefault(e["b"], e["b"])
+
+    def find(x):
+        while label[x] != x:
+            label[x] = label[label[x]]
+            x = label[x]
+        return x
+
+    for e in edges:
+        ra, rb = find(e["a"]), find(e["b"])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            label[hi] = lo
+
+    drop = {x for x in label if find(x) != x}
+    handle = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        dropped = ray.get(handle)
+        ids = batch.column(id_col).to_pylist()
+        mask = pa.array([i not in dropped for i in ids])
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
