@@ -217,6 +217,15 @@ def _extract_cer(sf_dir: str):
     return corpus_cer(ds, "pred", "target")
 
 
+def _ann_ivf(sf_dir: str):
+    import ray.data as rd
+
+    from vietnamese_ocr_ray.functions.kmeans import ann_ivf
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann_ivf(ds, _query_vec(sf_dir), k=10, n_clusters=8, nprobe=3)
+
+
 def _embedding_neardup(sf_dir: str):
     import ray.data as rd
 
@@ -351,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search / embedding ops
         "ann_topk": _ann_topk,
         "ann_lsh": _ann_lsh,
+        "ann_ivf": _ann_ivf,
         "embedding_neardup": _embedding_neardup,
         "embedding_stats": _embedding_stats,
         "distinct_lang_source": _distinct_lang_source,

@@ -176,3 +176,41 @@ def test_neardup_survivors(ray_session):
     ds = rd.from_arrow(docs)
     out = neardup_survivors(ds, rd.from_arrow(pairs)).to_pandas()
     assert sorted(out["doc_id"]) == [0, 2, 3]
+
+
+def test_connected_components_chain(ray_session):
+    from vietnamese_ocr_ray.functions.dedup import connected_components
+
+    pairs = pa.table(
+        {"a": pa.array([0, 1, 2, 10], pa.int64()), "b": pa.array([1, 2, 3, 11], pa.int64())}
+    )
+    out = connected_components(rd.from_arrow(pairs)).to_pandas()
+    comp = dict(zip(out["node"], out["component"]))
+    assert comp[0] == comp[1] == comp[2] == comp[3] == 0
+    assert comp[10] == comp[11] == 10
+
+
+def test_kmeans_and_ivf(ray_session):
+    from vietnamese_ocr_ray.functions.kmeans import ann_ivf, assign_clusters, kmeans_fit
+
+    rng = np.random.default_rng(5)
+    # three well-separated blobs
+    blobs = np.vstack(
+        [rng.standard_normal((60, 8)) + c for c in (np.zeros(8), np.full(8, 10.0), np.full(8, -10.0))]
+    )
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(blobs)), pa.int64()),
+            "embedding": pa.array([v.astype(np.float32) for v in blobs], pa.list_(pa.float32())),
+        }
+    )
+    ds = rd.from_arrow(t)
+    centroids = kmeans_fit(ds, k=3, iters=4)
+    assigned = assign_clusters(ds, centroids).to_pandas()
+    # each blob maps to a single cluster
+    for start in (0, 60, 120):
+        labels = assigned[(assigned["vec_id"] >= start) & (assigned["vec_id"] < start + 60)]["cluster"]
+        assert labels.nunique() == 1
+    # IVF finds the query itself
+    out = ann_ivf(ds, blobs[70], k=3, centroids=centroids, nprobe=1).to_pandas()
+    assert out["vec_id"].iloc[0] == 70

@@ -328,6 +328,88 @@ def minhash_lsh_pairs(
     return distinct.map_batches(verify, batch_format="pyarrow")
 
 
+def connected_components(pairs: rd.Dataset, max_rounds: int = 10) -> rd.Dataset:
+    """Distributed connected components over an edge list (a, b) by
+    iterated min-label propagation — the 10^12-row path where edges
+    don't fit a driver: each round joins every node's current label
+    with its neighbors' and keeps the min, until a fixed point.
+
+    Rounds are O(diameter); near-dup clusters are shallow (usually 1-2
+    rounds). Returns (node, component) with component = min node id of
+    the cluster."""
+    import pandas as pd_  # noqa: F401
+
+    edges = pairs.select_columns(["a", "b"])
+
+    def undirected(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        b.column("a").combine_chunks().cast(pa.int64()),
+                        b.column("b").combine_chunks().cast(pa.int64()),
+                    ]
+                ),
+                "nbr": pa.concat_arrays(
+                    [
+                        b.column("b").combine_chunks().cast(pa.int64()),
+                        b.column("a").combine_chunks().cast(pa.int64()),
+                    ]
+                ),
+            }
+        )
+
+    adj = edges.map_batches(undirected, batch_format="pyarrow").materialize()
+
+    # labels: start as self
+    labels = (
+        adj.groupby("node")
+        .map_groups(
+            lambda g: g.head(1)[["node"]].assign(label=g["node"].iloc[0]),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+
+    for _ in range(max_rounds):
+        # neighbor labels: adj x labels on nbr -> candidate label per node
+        lab_pd = labels.to_pandas()  # label table is O(duplicate nodes): small
+        import ray
+
+        handle = ray.put(dict(zip(lab_pd["node"], lab_pd["label"])))
+
+        def propagate(b: pa.Table) -> pa.Table:
+            lut = ray.get(handle)
+            nbr_lab = np.array(
+                [lut[x] for x in b.column("nbr").to_pylist()], dtype=np.int64
+            )
+            return pa.table(
+                {"node": b.column("node"), "cand": pa.array(nbr_lab)}
+            )
+
+        from ray.data.aggregate import Min
+
+        new_labels = (
+            adj.map_batches(propagate, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("cand", alias_name="nbr_min"))
+            .to_pandas()
+            .merge(lab_pd, on="node")
+        )
+        new_labels["new"] = new_labels[["nbr_min", "label"]].min(axis=1)
+        if (new_labels["new"] == new_labels["label"]).all():
+            break
+        lab_pd = new_labels[["node", "new"]].rename(columns={"new": "label"})
+        labels = rd.from_pandas(lab_pd).materialize()
+
+    return labels.map_batches(
+        lambda b: pa.table(
+            {"node": b.column("node"), "component": b.column("label")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def neardup_survivors(
     ds: rd.Dataset,
     pairs: rd.Dataset,

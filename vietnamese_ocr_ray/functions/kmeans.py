@@ -1,0 +1,142 @@
+"""Distributed k-means + IVF-style ANN over an embedding column.
+
+k-means is the canonical iterative Ray Data algorithm shape: each round
+is one streaming pass — map_batches computes per-centroid partial sums
+(vectorized matmul assignment), a tiny groupby merges partials, the
+driver updates the k x d centroid matrix and re-broadcasts it. The
+dataset is never materialized on the driver.
+
+IVF search: assign every vector to its nearest centroid ("inverted
+list"), probe only the ``nprobe`` closest lists for a query — the
+scale path when the corpus no longer fits a brute-force scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from vietnamese_ocr_ray.functions.ann import _matrix, ann_bruteforce
+
+
+def _assign(m: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Nearest-centroid ids, vectorized: argmin ||x-c||^2 =
+    argmax (x.c - |c|^2/2)."""
+    scores = m @ centroids.T - 0.5 * (centroids**2).sum(axis=1)[None, :]
+    return np.argmax(scores, axis=1).astype(np.int64)
+
+
+def kmeans_fit(
+    ds: rd.Dataset,
+    k: int = 16,
+    iters: int = 5,
+    seed: int = 17,
+    emb_col: str = "embedding",
+) -> np.ndarray:
+    """(k, d) centroids. Init = seeded sample of k rows; each iteration
+    streams the dataset once (partial sums per batch, small aggregate)."""
+    import ray
+
+    init_rows = ds.select_columns([emb_col]).random_sample(
+        min(1.0, (4.0 * k) / max(1, ds.count())), seed=seed
+    ).take(k)
+    centroids = np.array([r[emb_col] for r in init_rows], dtype=np.float64)
+    k = centroids.shape[0]
+
+    for _ in range(iters):
+        handle = ray.put(centroids)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(handle)
+            m = _matrix(batch, emb_col)
+            a = _assign(m, c)
+            sums = np.zeros((c.shape[0], m.shape[1]), dtype=np.float64)
+            np.add.at(sums, a, m)
+            counts = np.bincount(a, minlength=c.shape[0]).astype(np.int64)
+            return pa.table(
+                {
+                    "cid": pa.array(np.arange(c.shape[0], dtype=np.int64)),
+                    "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                    "n": pa.array(counts),
+                }
+            )
+
+        agg = (
+            ds.select_columns([emb_col])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("cid")
+            .map_groups(_merge_partials, batch_format="pyarrow")
+            .take_all()
+        )
+        for row in agg:
+            if row["n"] > 0:
+                centroids[row["cid"]] = np.asarray(row["vsum"]) / row["n"]
+    return centroids
+
+
+def _merge_partials(g: pa.Table) -> pa.Table:
+    vs = np.asarray(
+        [np.asarray(x) for x in g.column("vsum").to_pylist()], dtype=np.float64
+    ).sum(axis=0)
+    return pa.table(
+        {
+            "cid": g.column("cid").slice(0, 1),
+            "vsum": pa.array([vs], pa.list_(pa.float64())),
+            "n": pa.array([int(np.asarray(g.column("n")).sum())], pa.int64()),
+        }
+    )
+
+
+def assign_clusters(
+    ds: rd.Dataset, centroids: np.ndarray, id_col: str = "vec_id"
+) -> rd.Dataset:
+    """(id, cluster) assignment — the IVF inverted-list build."""
+    import ray
+
+    handle = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(handle)
+        a = _assign(_matrix(batch), c)
+        return pa.table(
+            {id_col: batch.column(id_col), "cluster": pa.array(a)}
+        )
+
+    return ds.select_columns([id_col, "embedding"]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+
+def ann_ivf(
+    ds: rd.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    *,
+    centroids: np.ndarray | None = None,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """IVF ANN: filter to the ``nprobe`` inverted lists nearest the
+    query, exact cosine within them (prunes ~(1 - nprobe/k) of the
+    scan)."""
+    import ray
+
+    if centroids is None:
+        centroids = kmeans_fit(ds, k=n_clusters)
+    qc = np.argsort(-(centroids @ query - 0.5 * (centroids**2).sum(axis=1)))[:nprobe]
+    probe_set = set(int(x) for x in qc)
+    handle = ray.put(centroids)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        c = ray.get(handle)
+        a = _assign(_matrix(batch), c)
+        mask = np.isin(a, list(probe_set))
+        return batch.filter(pa.array(mask))
+
+    candidates = ds.select_columns([id_col, "embedding"]).map_batches(
+        probe, batch_format="pyarrow"
+    )
+    return ann_bruteforce(candidates, query, k, id_col)
