@@ -176,6 +176,7 @@ def preprocess_batch(
     heights: np.ndarray,
     widths: np.ndarray,
     media_refs: list[str],
+    out: np.ndarray | None = None,
 ) -> np.ndarray:
     """Batch path used by the Ray stages: variable-size raw uint8 images
     (binary column + height/width columns) -> (N, 64, 256) float32
@@ -183,22 +184,34 @@ def preprocess_batch(
 
     ``images``: a list of bytes OR a (flat_uint8, offsets) pair taken
     zero-copy from an Arrow binary column (see binary_column_view).
-    Images are grouped by (h, w) so each distinct shape is processed as
-    one vectorized stack (no per-image Python in the numeric work); the
-    padded canvas is written in place per group.
+    Images are grouped by (h, w) — vectorized argsort grouping, one
+    vectorized gather + process per distinct shape; the padded canvas is
+    written in place per group. ``out``: optional reusable (>=N, 64,
+    256) float32 scratch (first-touch faulting of fresh canvases is the
+    dominant cost otherwise — see NOTES.md).
     """
     n = len(media_refs)
-    out = np.zeros((n, IMG_H, IMG_W), dtype=np.float32)
+    if out is None:
+        out = np.zeros((n, IMG_H, IMG_W), dtype=np.float32)
+    else:
+        out = out[:n]
+        out.fill(0.0)
     flat = offs = None
     if isinstance(images, tuple):
         flat, offs = images
-    shapes: dict[tuple[int, int], list[int]] = {}
-    for i in range(n):
-        shapes.setdefault((int(heights[i]), int(widths[i])), []).append(i)
-    for (h, w), idxs in shapes.items():
+    hs = np.asarray(heights, dtype=np.int64)
+    ws = np.asarray(widths, dtype=np.int64)
+    keys = hs * (1 << 20) + ws
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]
+    bounds = np.nonzero(np.concatenate([[True], sk[1:] != sk[:-1]]))[0]
+    bounds = np.concatenate([bounds, [n]])
+    for g in range(len(bounds) - 1):
+        idxs = order[bounds[g] : bounds[g + 1]]
+        h, w = int(hs[idxs[0]]), int(ws[idxs[0]])
         if flat is not None:
             # one vectorized gather per shape group (no per-image Python)
-            starts = offs[np.asarray(idxs)]
+            starts = offs[idxs]
             stack = (
                 flat[starts[:, None] + np.arange(h * w)[None, :]]
                 .reshape(len(idxs), h, w)

@@ -73,10 +73,22 @@ class RecognizeSpans:
     def __init__(self, media_handle=None, vocab: Vocabulary | None = None):
         self.model = DeterministicRecognizer(vocab)
         self.media = None
+        self._canvas = np.empty((0, 1, 1), dtype=np.float32)
         if media_handle is not None:
             import ray
 
             self.media = ray.get(media_handle)
+
+    def _scratch(self, n: int) -> np.ndarray:
+        """Reusable canvas buffer (first-touch faulting of fresh
+        allocations is expensive in this sandbox — see NOTES.md)."""
+        from vietnamese_ocr_ray.preprocess import IMG_H, IMG_W
+
+        if self._canvas.shape[0] < n or self._canvas.shape[1] != IMG_H:
+            self._canvas = np.zeros(
+                (int(n * 1.25) + 1, IMG_H, IMG_W), dtype=np.float32
+            )
+        return self._canvas
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         is_media = pc.equal(batch.column("kind"), "media")
@@ -107,7 +119,9 @@ class RecognizeSpans:
                 imgs = binary_column_view(img_col)
                 hs = media_rows.column("height").to_numpy(zero_copy_only=False)
                 ws = media_rows.column("width").to_numpy(zero_copy_only=False)
-            x = preprocess_batch(imgs, hs, ws, refs)
+            x = preprocess_batch(
+                imgs, hs, ws, refs, out=self._scratch(len(refs))
+            )
             texts = fill_empty(self.model.recognize_texts(x))
             media_rows = _set_text(media_rows, texts)
 
