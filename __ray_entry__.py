@@ -277,6 +277,18 @@ def _embedding_stats(sf_dir: str):
     )
 
 
+def _distinct_tokens(sf_dir: str):
+    from vietnamese_ocr_ray.functions.sketch import distinct_token_count
+
+    return distinct_token_count(_docs(sf_dir, ("text",)))
+
+
+def _approx_distinct_tokens(sf_dir: str):
+    from vietnamese_ocr_ray.functions.sketch import approx_distinct_tokens
+
+    return approx_distinct_tokens(_docs(sf_dir, ("text",)))
+
+
 def _distinct_lang_source(sf_dir: str):
     """Multi-key distinct/grouped count over documents."""
     import ray.data as rd
@@ -364,6 +376,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _embedding_neardup,
         "embedding_stats": _embedding_stats,
         "distinct_lang_source": _distinct_lang_source,
+        "distinct_tokens": _distinct_tokens,
+        "approx_distinct_tokens": _approx_distinct_tokens,
     }
 
 
@@ -651,6 +665,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, source, count(*) AS n_docs
         FROM documents GROUP BY lang, source
         """,
+        "distinct_tokens": """
+        WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens FROM t
+        """,
+        # approx_distinct_tokens: HLL sketch -> rows-only (approximate)
         "ann_topk": """
         WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
         SELECT e.vec_id,

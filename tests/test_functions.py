@@ -214,3 +214,18 @@ def test_kmeans_and_ivf(ray_session):
     # IVF finds the query itself
     out = ann_ivf(ds, blobs[70], k=3, centroids=centroids, nprobe=1).to_pandas()
     assert out["vec_id"].iloc[0] == 70
+
+
+def test_distinct_token_counts_exact_and_approx(ray_session):
+    texts = [f"w{i} w{i+1} common" for i in range(0, 400, 2)]
+    ds = rd.from_arrow(_docs_table(texts))
+    from vietnamese_ocr_ray.functions.sketch import (
+        approx_distinct_tokens,
+        distinct_token_count,
+    )
+
+    exact = distinct_token_count(ds).column("n_distinct_tokens")[0].as_py()
+    # w0..w400 (even starts produce i and i+1 -> 0..399 all) + "common"
+    assert exact == 401
+    approx = approx_distinct_tokens(ds).column("approx_distinct_tokens")[0].as_py()
+    assert abs(approx - exact) / exact < 0.05

@@ -50,7 +50,6 @@ def main(argv=None):
     ep.add_argument("--out", required=True)
     ep.add_argument("--mode", default="cogroup", choices=["cogroup", "join", "broadcast"])
     ep.add_argument("--chunk-fragments", type=int, default=8)
-    ep.add_argument("--stats", action="store_true", help="print ds.stats() per chunk")
 
     tp = sub.add_parser("predict-txt", help="format extracted output as reference prediction.txt")
     tp.add_argument("--extracted", required=True)
