@@ -289,6 +289,33 @@ def _approx_distinct_tokens(sf_dir: str):
     return approx_distinct_tokens(_docs(sf_dir, ("text",)))
 
 
+def _top_tokens(sf_dir: str, k: int = 10):
+    """Heavy hitters, exact: per-batch partial token counts (combiner)
+    -> small groupby Sum -> top-k sort with deterministic tiebreak."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
+        vc = pc.value_counts(toks)
+        return pa.table(
+            {
+                "tok": pc.struct_field(vc, "values"),
+                "n": pc.struct_field(vc, "counts").cast(pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ("text",))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n_occurrences"))
+        .sort(["n_occurrences", "tok"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def _distinct_lang_source(sf_dir: str):
     """Multi-key distinct/grouped count over documents."""
     import ray.data as rd
@@ -377,6 +404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_stats": _embedding_stats,
         "distinct_lang_source": _distinct_lang_source,
         "distinct_tokens": _distinct_tokens,
+        "top_tokens": _top_tokens,
         "approx_distinct_tokens": _approx_distinct_tokens,
     }
 
@@ -668,6 +696,11 @@ def oracle_sql() -> dict[str, str]:
         "distinct_tokens": """
         WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens FROM t
+        """,
+        "top_tokens": """
+        WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        SELECT tok, count(*) AS n_occurrences FROM t
+        GROUP BY tok ORDER BY n_occurrences DESC, tok LIMIT 10
         """,
         # approx_distinct_tokens: HLL sketch -> rows-only (approximate)
         "ann_topk": """
