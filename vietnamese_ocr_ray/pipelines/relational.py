@@ -33,6 +33,7 @@ def pricing_summary(sf_dir: str, cutoff: str = "1998-09-01") -> pa.Table:
     Partial aggregation: each batch emits one row per key; the shuffle
     moves O(keys * blocks) rows, not O(rows).
     """
+    cut = np.datetime64(cutoff, "us")
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=[
@@ -43,12 +44,13 @@ def pricing_summary(sf_dir: str, cutoff: str = "1998-09-01") -> pa.Table:
             "l_discount",
             "l_shipdate",
         ],
+        # row filter pushed into the parquet scanner: non-matching rows
+        # (and whole row groups, via statistics) never leave storage
+        filter=pc.field("l_shipdate") < cut,
     )
-    cut = np.datetime64(cutoff, "us")
 
     def partial(batch: pa.Table) -> pa.Table:
-        mask = pc.less(batch.column("l_shipdate"), pa.scalar(cut))
-        b = batch.filter(mask)
+        b = batch
         qty = _cents(b.column("l_quantity"), 1)
         price_c = _cents(b.column("l_extendedprice"), 100)
         disc_bp = _cents(b.column("l_discount"), 100)
