@@ -1,7 +1,7 @@
 """Benchmark harness.
 
 Headline: the flagship interleaved-docs OCR extraction pipeline (read ->
-explode -> route -> join media -> preprocess+recognize actor pool ->
+explode -> route -> cogroup media join -> preprocess+recognize actor pool ->
 reassemble -> partitioned parquet write) over the corpus synthesized
 from $GRAFT_SF_DIR (default /root/testdata/sf0.1), replicated
 $GRAFT_BENCH_REPLICATE times (default 2) for stable timings.
@@ -143,7 +143,7 @@ def run_bench() -> dict:
                 pass
     _warmup(docs_dir, media_dir)
 
-    # ---- headline: extraction e2e (join mode = the scale path) ----
+    # ---- headline: extraction e2e (cogroup mode = the scale path) ----
     shutil.rmtree(OUT_DIR, ignore_errors=True)
     t0 = time.perf_counter()
     from vietnamese_ocr_ray.pipelines.extract import default_pool

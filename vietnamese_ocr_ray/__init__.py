@@ -21,7 +21,11 @@ are owned by the caller (driver / bench / test fixture).
 
 from vietnamese_ocr_ray.vocab import Vocabulary, ALPHABET
 from vietnamese_ocr_ray.model import DeterministicRecognizer
-from vietnamese_ocr_ray.pipelines.extract import extract_spans, run_extract
+from vietnamese_ocr_ray.pipelines.extract import (
+    extract_spans,
+    predict_single,
+    run_extract,
+)
 
 __all__ = [
     "Vocabulary",
@@ -29,6 +33,7 @@ __all__ = [
     "DeterministicRecognizer",
     "extract_spans",
     "run_extract",
+    "predict_single",
 ]
 
 __version__ = "0.1.0"
