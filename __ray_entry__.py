@@ -277,6 +277,23 @@ def _embedding_stats(sf_dir: str):
     )
 
 
+def _docs_without_stopword(sf_dir: str):
+    """Broadcast anti-join (Bloom-prefilter scale path in
+    functions/membership.py): documents whose id is NOT in the key set
+    of documents containing the ' the ' marker."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from vietnamese_ocr_ray.functions.membership import anti_join_keys
+    from vietnamese_ocr_ray.functions.text import _padded
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    has = pc.match_substring(_padded(t.column("text")), " the ")
+    keys = t.column("doc_id").filter(has).to_numpy()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return anti_join_keys(ds, keys, "doc_id", use_bloom=True)
+
+
 def _distinct_tokens(sf_dir: str):
     from vietnamese_ocr_ray.functions.sketch import distinct_token_count
 
@@ -404,6 +421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_stats": _embedding_stats,
         "distinct_lang_source": _distinct_lang_source,
         "distinct_tokens": _distinct_tokens,
+        "docs_without_stopword": _docs_without_stopword,
         "top_tokens": _top_tokens,
         "approx_distinct_tokens": _approx_distinct_tokens,
     }
@@ -696,6 +714,13 @@ def oracle_sql() -> dict[str, str]:
         "distinct_tokens": """
         WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens FROM t
+        """,
+        "docs_without_stopword": """
+        SELECT doc_id, lang FROM documents
+        WHERE doc_id NOT IN (
+          SELECT doc_id FROM documents
+          WHERE contains(' ' || text || ' ', ' the ')
+        )
         """,
         "top_tokens": """
         WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)

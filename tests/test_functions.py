@@ -229,3 +229,28 @@ def test_distinct_token_counts_exact_and_approx(ray_session):
     assert exact == 401
     approx = approx_distinct_tokens(ds).column("approx_distinct_tokens")[0].as_py()
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_bloom_filter_no_false_negatives():
+    from vietnamese_ocr_ray.functions.membership import BloomFilter
+
+    rng = np.random.default_rng(3)
+    members = rng.integers(0, 2**62, 5000)
+    others = rng.integers(0, 2**62, 20000)
+    bf = BloomFilter(len(members), fpr=0.01)
+    bf.add(members)
+    assert bf.contains(members).all()  # never a false negative
+    fpr = bf.contains(others).mean()
+    assert fpr < 0.03
+
+
+def test_anti_and_semi_join(ray_session):
+    from vietnamese_ocr_ray.functions.membership import anti_join_keys, semi_join_keys
+
+    t = pa.table({"k": pa.array(range(100), pa.int64()), "v": pa.array(range(100))})
+    keys = np.arange(0, 100, 2)  # evens
+    ds = rd.from_arrow(t)
+    anti = anti_join_keys(ds, keys, "k", use_bloom=True).to_pandas()
+    assert sorted(anti["k"]) == list(range(1, 100, 2))
+    semi = semi_join_keys(ds, keys, "k").to_pandas()
+    assert sorted(semi["k"]) == list(range(0, 100, 2))
