@@ -395,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window": lambda sf: relational.sliding_window_aggregate(sf),
         "sessionize": lambda sf: relational.sessionize(sf),
         "event_stats": lambda sf: relational.event_type_stats(sf),
+        "value_quantiles": lambda sf: relational.value_quantiles(sf),
         "max_len": lambda sf: relational.max_doc_len(sf),
         "parts_by_brand": lambda sf: relational.parts_by_brand(sf),
         "supplier_balance": lambda sf: relational.supplier_nation_balance(sf),
@@ -588,6 +589,12 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, count(*) AS n_events,
                (CAST(sum(CAST(ROUND(value * 1000) AS BIGINT)) AS DOUBLE) / 1000.0)
                  / CAST(count(*) AS DOUBLE) AS avg_value
+        FROM events GROUP BY event_type
+        """,
+        "value_quantiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.95), 6) AS p95
         FROM events GROUP BY event_type
         """,
         "max_len": """

@@ -510,6 +510,27 @@ def orders_by_month(sf_dir: str) -> rd.Dataset:
     )
 
 
+def value_quantiles(sf_dir: str) -> rd.Dataset:
+    """Grouped exact quantiles (p50/p95 of value per event_type):
+    groupby + per-group numpy linear interpolation — the same
+    definition as SQL quantile_cont, so results match bit-for-bit
+    after rounding. Scale path for huge groups: t-digest/KLL sketches
+    (mergeable) instead of exact per-group sort."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def q(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy()
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "p50": [round(float(np.percentile(v, 50, method="linear")), 6)],
+                "p95": [round(float(np.percentile(v, 95, method="linear")), 6)],
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(q, batch_format="pandas")
+
+
 def max_doc_len(sf_dir: str) -> rd.Dataset:
     """Global/grouped max (A3 analog, src/utils/vocab.py:16-19)."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
