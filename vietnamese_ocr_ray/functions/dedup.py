@@ -337,7 +337,6 @@ def connected_components(pairs: rd.Dataset, max_rounds: int = 10) -> rd.Dataset:
     Rounds are O(diameter); near-dup clusters are shallow (usually 1-2
     rounds). Returns (node, component) with component = min node id of
     the cluster."""
-    import pandas as pd_  # noqa: F401
 
     edges = pairs.select_columns(["a", "b"])
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
-from ray.data.aggregate import Sum
+
 
 from vietnamese_ocr_ray.functions.ann import _matrix, ann_bruteforce
 

@@ -72,7 +72,6 @@ class AugmentMedia:
 
 
 def augment_media(ds, concurrency=(1, 8), batch_size: int = 1024, **kwargs):
-    import functools
 
     return ds.map_batches(
         AugmentMedia,
