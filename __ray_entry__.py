@@ -25,6 +25,38 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _ensure_worker_importability() -> None:
+    """Ray workers unpickle our stage functions BY REFERENCE, which
+    requires ``vietnamese_ocr_ray`` on the worker's sys.path. That holds
+    when the driver's cwd (or PYTHONPATH at ray.init time) is the repo;
+    when the driver was launched elsewhere, fall back to cloudpickle
+    by-value registration so every task ships its own code."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    pp = os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    if os.getcwd() == repo or repo in pp:
+        return
+    try:
+        import importlib
+        import pkgutil
+
+        from ray import cloudpickle
+
+        import vietnamese_ocr_ray
+
+        mods = [vietnamese_ocr_ray]
+        for info in pkgutil.walk_packages(
+            vietnamese_ocr_ray.__path__, prefix="vietnamese_ocr_ray."
+        ):
+            mods.append(importlib.import_module(info.name))
+        for m in mods:
+            cloudpickle.register_pickle_by_value(m)
+    except Exception:
+        pass  # best effort; normal import-by-reference may still work
+
+
+_ensure_worker_importability()
+
+
 # ---------------------------------------------------------------------------
 # flagship extraction helpers
 # ---------------------------------------------------------------------------

@@ -16,6 +16,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from vietnamese_ocr_ray.functions.dedup import content_hash64
+
 
 def distinct_token_count(ds: rd.Dataset, text_col: str = "text") -> pa.Table:
     """Exact distinct whitespace-token count (SQL-mirrorable)."""
@@ -96,8 +98,6 @@ def approx_distinct_tokens(
 ) -> pa.Table:
     """HLL estimate of distinct tokens: one serialized sketch per batch,
     merged in a second tiny stage (sketches are designed to merge)."""
-    from vietnamese_ocr_ray.functions.dedup import content_hash64
-
     def sketch_batch(batch: pa.Table) -> pa.Table:
         toks = pc.unique(
             pc.list_flatten(pc.split_pattern(batch.column(text_col), " "))

@@ -16,7 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from vietnamese_ocr_ray.preprocess import _stable_u64
+from vietnamese_ocr_ray.preprocess import _stable_u64, binary_column_view
 
 
 def augment_image(
@@ -59,8 +59,6 @@ class AugmentMedia:
         refs = batch.column("media_ref").to_pylist()
         hs = batch.column("height").to_numpy(zero_copy_only=False)
         ws = batch.column("width").to_numpy(zero_copy_only=False)
-        from vietnamese_ocr_ray.preprocess import binary_column_view
-
         flat, offs = binary_column_view(batch.column("image"))
         out = []
         for i, ref in enumerate(refs):

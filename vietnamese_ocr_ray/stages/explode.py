@@ -19,7 +19,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from vietnamese_ocr_ray.schema import DOCS_SCHEMA
+from vietnamese_ocr_ray.schema import DOCS_SCHEMA, assert_schema
 
 SPANS_TYPE = DOCS_SCHEMA.field("spans").type
 
@@ -30,8 +30,6 @@ def explode_batch(batch: pa.Table) -> pa.Table:
     Docs with empty span lists vanish (extraction output is defined
     over docs with >=1 span).
     """
-    from vietnamese_ocr_ray.schema import DOCS_SCHEMA, assert_schema
-
     assert_schema(batch, DOCS_SCHEMA, "docs")
     spans = batch.column("spans")
     flat = pc.list_flatten(spans)

@@ -18,7 +18,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from vietnamese_ocr_ray.model import DeterministicRecognizer
-from vietnamese_ocr_ray.preprocess import preprocess_batch
+from vietnamese_ocr_ray.preprocess import (
+    IMG_H,
+    IMG_W,
+    binary_column_view,
+    preprocess_batch,
+)
 from vietnamese_ocr_ray.vocab import Vocabulary
 
 SPAN_COLS = ("doc_id", "offset", "kind", "text", "media_ref")
@@ -82,8 +87,6 @@ class RecognizeSpans:
     def _scratch(self, n: int) -> np.ndarray:
         """Reusable canvas buffer (first-touch faulting of fresh
         allocations is expensive in this sandbox — see NOTES.md)."""
-        from vietnamese_ocr_ray.preprocess import IMG_H, IMG_W
-
         if self._canvas.shape[0] < n or self._canvas.shape[1] != IMG_H:
             self._canvas = np.zeros(
                 (int(n * 1.25) + 1, IMG_H, IMG_W), dtype=np.float32
@@ -107,8 +110,6 @@ class RecognizeSpans:
                 hs = np.array([p[1] for p in payload], dtype=np.int64)
                 ws = np.array([p[2] for p in payload], dtype=np.int64)
             else:
-                from vietnamese_ocr_ray.preprocess import binary_column_view
-
                 img_col = media_rows.column("image")
                 nulls = pc.is_null(img_col)
                 if pc.any(nulls).as_py():
