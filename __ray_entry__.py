@@ -432,6 +432,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_brand": lambda sf: relational.parts_by_brand(sf),
         "supplier_balance": lambda sf: relational.supplier_nation_balance(sf),
         "orders_by_month": lambda sf: relational.orders_by_month(sf),
+        "purchase_attribution": lambda sf: relational.purchase_attribution(sf),
+        "topk_per_group": lambda sf: relational.top_events_per_type(sf),
         "split_sample": lambda sf: relational.split_sample(sf),
         # text analysis
         "lang_id": lambda sf: lang_id(_docs(sf)),
@@ -775,6 +777,25 @@ def oracle_sql() -> dict[str, str]:
                  CAST(q.embedding AS DOUBLE[])), 6) AS cos
         FROM embeddings e, q
         ORDER BY cos DESC, e.vec_id LIMIT 10
+        """,
+        "purchase_attribution": """
+        WITH l AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             r AS (SELECT event_id AS click_event_id, user_id, ts AS click_ts
+                   FROM events WHERE event_type = 'click')
+        SELECT l.event_id, l.user_id, l.ts, r.click_event_id,
+               epoch_us(l.ts) - epoch_us(r.click_ts) AS gap_us
+        FROM l ASOF JOIN r
+          ON l.user_id = r.user_id AND l.ts > r.click_ts
+        """,
+        "topk_per_group": """
+        SELECT event_type, rank, event_id, value FROM (
+          SELECT event_type, event_id, value,
+                 row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY value DESC, event_id) AS rank
+          FROM events
+        ) WHERE rank <= 3
         """,
         # minhash_pairs / simhash / ann_lsh / media_stub: non-SQL
         # (LSH banding, bit-majority fingerprints, hyperplane probing,

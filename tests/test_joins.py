@@ -1,0 +1,121 @@
+"""asof_join semantics: strict/inclusive matching, inner-drop of
+unmatched rows, per-key isolation, bucketing invariance."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from vietnamese_ocr_ray.functions.joins import asof_join, key_bucket
+
+
+def _sides():
+    left = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 3], pa.int64()),
+            "t": pa.array([10, 20, 30, 15, 7], pa.int64()),
+            "lv": pa.array(["a", "b", "c", "d", "e"]),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([1, 1, 2, 4], pa.int64()),
+            "rt": pa.array([10, 25, 5, 1], pa.int64()),
+            "rv": pa.array([100, 200, 300, 400], pa.int64()),
+        }
+    )
+    return left, right
+
+
+def _run(strict, num_buckets=4):
+    left, right = _sides()
+    out = asof_join(
+        rd.from_arrow(left),
+        rd.from_arrow(right),
+        by="k",
+        left_on="t",
+        right_on="rt",
+        strict=strict,
+        num_buckets=num_buckets,
+    )
+    return (
+        out.to_pandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+
+
+def test_asof_inclusive(ray_session):
+    df = _run(strict=False)
+    # k=1: t=10 -> rt=10 (exact allowed), t=20 -> rt=10, t=30 -> rt=25
+    # k=2: t=15 -> rt=5; k=3 unmatched drops; right k=4 never appears
+    assert df[["k", "t", "rv"]].values.tolist() == [
+        [1, 10, 100],
+        [1, 20, 100],
+        [1, 30, 200],
+        [2, 15, 300],
+    ]
+    assert df["rv"].dtype == np.int64  # no float-via-NaN leakage
+
+
+def test_asof_strict(ray_session):
+    df = _run(strict=True)
+    # exact tie at t=10 now excluded -> that left row drops
+    assert df[["k", "t", "rv"]].values.tolist() == [
+        [1, 20, 100],
+        [1, 30, 200],
+        [2, 15, 300],
+    ]
+
+
+def test_asof_bucket_count_invariant(ray_session):
+    assert _run(False, num_buckets=1).equals(_run(False, num_buckets=7))
+
+
+def test_asof_matches_pandas_reference(ray_session):
+    rng = np.random.default_rng(7)
+    n_l, n_r = 500, 300
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 20, n_l),
+            "t": rng.integers(0, 10_000, n_l),
+            "lv": np.arange(n_l),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 25, n_r),
+            "rt": rng.integers(0, 10_000, n_r),
+            "rv": np.arange(n_r),
+        }
+    ).drop_duplicates(subset=["k", "rt"])
+    got = (
+        asof_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            by="k",
+            left_on="t",
+            right_on="rt",
+        )
+        .to_pandas()
+        .sort_values(["k", "t", "lv"])
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        left.sort_values("t", kind="stable"),
+        right.sort_values("rt", kind="stable").assign(_hit=1),
+        left_on="t",
+        right_on="rt",
+        by="k",
+        direction="backward",
+    )
+    exp = exp[exp["_hit"].notna()].drop(columns="_hit")
+    exp[["rt", "rv"]] = exp[["rt", "rv"]].astype(np.int64)
+    exp = exp.sort_values(["k", "t", "lv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns.tolist()], exp)
+
+
+def test_key_bucket_spreads_sequential_ints():
+    b = key_bucket(pa.array(np.arange(1000, dtype=np.int64)), 8)
+    counts = np.bincount(b, minlength=8)
+    assert counts.min() > 60  # splitmix avalanche, not id % buckets

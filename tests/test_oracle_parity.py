@@ -1,0 +1,73 @@
+"""Driver-style parity: run queries() and oracle_sql() side by side on
+the sf0.001 tables, sort columns by name and rows by value, compare.
+
+The two newest queries run always (fast); the FULL sweep of every
+SQL-verified query is the driver's job at sf0.01 and takes minutes, so
+it only runs with ORACLE_SWEEP=1.
+"""
+
+import importlib.util
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+
+def _entry():
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", os.path.join(os.path.dirname(__file__), "..", "__ray_entry__.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def _con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _check(m, con, name):
+    r = m.queries()[name](SF)
+    if hasattr(r, "to_pandas"):
+        r = r.to_pandas()
+    o = con.execute(m.oracle_sql()[name]).df()
+    r, o = _norm(pd.DataFrame(r)), _norm(o)
+    assert list(r.columns) == list(o.columns), (name, r.columns, o.columns)
+    pd.testing.assert_frame_equal(r, o, check_dtype=False, obj=name)
+
+
+@pytest.mark.parametrize("name", ["purchase_attribution", "topk_per_group"])
+def test_new_queries_match_oracle(ray_session, name):
+    _check(_entry(), _con(), name)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("ORACLE_SWEEP"), reason="set ORACLE_SWEEP=1 for full sweep"
+)
+def test_full_oracle_sweep(ray_session):
+    m = _entry()
+    con = _con()
+    failures = []
+    for name in sorted(set(m.queries()) & set(m.oracle_sql())):
+        try:
+            _check(m, con, name)
+        except Exception as e:  # noqa: BLE001 - collect all, report once
+            failures.append((name, str(e)[:300]))
+    assert not failures, failures

@@ -554,3 +554,83 @@ def split_sample(sf_dir: str, seed: int = 42, train_frac: float = 0.99) -> pa.Ta
             "n_rows": pa.array([train.count(), val.count()], pa.int64()),
         }
     )
+
+
+def purchase_attribution(sf_dir: str) -> rd.Dataset:
+    """As-of join demo (marketing attribution): each purchase event is
+    matched to the SAME user's most recent STRICTLY-prior click.
+    Oracle: DuckDB ``ASOF JOIN`` with ``l.ts > r.ts``.
+
+    Both sides come off the parquet scanner with the event_type filter
+    pushed down — non-matching row groups never leave storage."""
+    from vietnamese_ocr_ray.functions.joins import asof_join
+
+    cols = ["event_id", "user_id", "ts"]
+    purchases = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=cols,
+        filter=pc.field("event_type") == "purchase",
+    )
+    clicks = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=cols,
+        filter=pc.field("event_type") == "click",
+    ).map_batches(
+        lambda b: b.rename_columns(["click_event_id", "user_id", "click_ts"]),
+        batch_format="pyarrow",
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        by="user_id",
+        left_on="ts",
+        right_on="click_ts",
+        strict=True,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        gap = pc.subtract(
+            pc.cast(b.column("ts"), pa.int64()),
+            pc.cast(b.column("click_ts"), pa.int64()),
+        )
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "click_event_id": b.column("click_event_id"),
+                "gap_us": gap,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def top_events_per_type(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Top-k per group with a partial-top-k combiner: each batch keeps
+    at most k rows per event_type (so the shuffle moves O(k * types *
+    blocks) rows, not O(rows)), then one tiny per-type group finishes.
+    Ties break on event_id for a deterministic result."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "event_id", "value"]
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch.sort_values(
+            ["event_type", "value", "event_id"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        return s.groupby("event_type", sort=False).head(k)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["value", "event_id"], ascending=[False, True]).head(k)
+        s = s.reset_index(drop=True)
+        s["rank"] = np.arange(1, len(s) + 1, dtype=np.int64)
+        return s[["event_type", "rank", "event_id", "value"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(final, batch_format="pandas")
+    )
