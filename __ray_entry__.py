@@ -194,6 +194,12 @@ def _simhash(sf_dir: str):
     return simhash(_docs(sf_dir))
 
 
+def _simhash_tokens(sf_dir: str):
+    from vietnamese_ocr_ray.functions.dedup import simhash_tokens
+
+    return simhash_tokens(_docs(sf_dir))
+
+
 def _query_vec(sf_dir: str) -> np.ndarray:
     import pyarrow.parquet as pq
 
@@ -265,6 +271,23 @@ def _embedding_neardup(sf_dir: str):
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return cosine_pairs(ds, threshold=0.4)
+
+
+def _components(sf_dir: str):
+    """Connected components over the SQL-checkable cosine>=0.4 dup
+    graph — upgrades the components operator itself to a value-checked
+    query (oracle: WITH RECURSIVE min-reachable-label walk)."""
+    import ray.data as rd
+
+    from vietnamese_ocr_ray.functions.dedup import connected_components
+
+    pairs = _embedding_neardup(sf_dir).map_batches(
+        lambda b: pa.table(
+            {"a": b.column("vec_id_a"), "b": b.column("vec_id_b")}
+        ),
+        batch_format="pyarrow",
+    )
+    return connected_components(pairs)
 
 
 def _embedding_stats(sf_dir: str):
@@ -448,11 +471,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _minhash_pairs,
         "dedup_neardup": _dedup_neardup,
         "simhash": _simhash,
+        "simhash_tokens": _simhash_tokens,
         # similarity search / embedding ops
         "ann_topk": _ann_topk,
         "ann_lsh": _ann_lsh,
         "ann_ivf": _ann_ivf,
         "embedding_neardup": _embedding_neardup,
+        "components": _components,
         "embedding_stats": _embedding_stats,
         "distinct_lang_source": _distinct_lang_source,
         "distinct_tokens": _distinct_tokens,
@@ -741,6 +766,55 @@ def oracle_sql() -> dict[str, str]:
           AND round(list_cosine_similarity(
                 CAST(a.embedding AS DOUBLE[]),
                 CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+        """,
+        "simhash_tokens": """
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents
+        ), th AS (
+          SELECT doc_id,
+                 CAST(coalesce(list_sum(list_transform(
+                     string_split(substr(tok, 1, 32), ''),
+                     (c, i) -> CAST(unicode(c) AS BIGINT) *
+                       [1, 31, 961, 29791, 923521, 28629151, 887503681,
+                        512613922, 891031477, 621975598, 281243405,
+                        718545499, 274910315, 522219709, 188810867,
+                        853136842, 447241920, 864499429, 799482117,
+                        783945459, 302309061, 371580828, 519005591,
+                        89173209, 764369465, 695453254, 559050727,
+                        330572418, 247744888, 680091479, 82835702,
+                        567906748][i])), 0)
+                   % 1000000007 AS BIGINT) AS h
+          FROM tok
+        ), votes AS (
+          SELECT doc_id, b.bit,
+                 sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM th, (SELECT unnest(range(30)) AS bit) b
+          GROUP BY doc_id, b.bit
+        )
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0
+                        THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+                    AS BIGINT) AS simhash30
+        FROM votes GROUP BY doc_id
+        """,
+        "components": """
+        WITH RECURSIVE pairs AS (
+          SELECT a.vec_id AS a, b.vec_id AS b
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id < b.vec_id
+            AND round(list_cosine_similarity(
+                  CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+        ),
+        edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+        walk AS (
+          SELECT a AS v, a AS n FROM edges
+          UNION
+          SELECT walk.v, e.b FROM walk JOIN edges e ON walk.n = e.a
+        )
+        SELECT v AS node, CAST(min(n) AS BIGINT) AS component
+        FROM walk GROUP BY v
         """,
         "embedding_stats": """
         SELECT label, count(*) AS n_vecs,

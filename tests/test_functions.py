@@ -254,3 +254,37 @@ def test_anti_and_semi_join(ray_session):
     assert sorted(anti["k"]) == list(range(1, 100, 2))
     semi = semi_join_keys(ds, keys, "k").to_pandas()
     assert sorted(semi["k"]) == list(range(0, 100, 2))
+
+
+def test_simhash_tokens_ascii_path_equals_fallback():
+    """The vectorized ASCII path and the per-row unicode fallback must
+    implement the same hash; force both by adding one non-ASCII row."""
+    import pyarrow as pa
+
+    from vietnamese_ocr_ray.functions.dedup import simhash_tokens_batch
+
+    texts = ["the quick brown fox", "pack my box", "a b  c", ""]
+    ascii_tbl = pa.table({"doc_id": list(range(4)), "text": texts})
+    fast = simhash_tokens_batch(ascii_tbl).to_pandas()
+    mixed = pa.table(
+        {"doc_id": list(range(5)), "text": texts + ["vê ñ unicode tôken"]}
+    )
+    slow = simhash_tokens_batch(mixed).to_pandas()
+    assert fast["simhash30"].tolist() == slow["simhash30"].tolist()[:4]
+    # fingerprint must be stable and within 30 bits
+    assert (slow["simhash30"] < (1 << 30)).all()
+    assert (slow["simhash30"] >= 0).all()
+
+
+def test_connected_components_empty_graph(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vietnamese_ocr_ray.functions.dedup import connected_components
+
+    empty = rd.from_arrow(
+        pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    )
+    out = connected_components(empty)
+    assert out.count() == 0
+    assert out.schema().names == ["node", "component"]

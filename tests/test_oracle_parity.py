@@ -53,7 +53,10 @@ def _check(m, con, name):
     pd.testing.assert_frame_equal(r, o, check_dtype=False, obj=name)
 
 
-@pytest.mark.parametrize("name", ["purchase_attribution", "topk_per_group"])
+@pytest.mark.parametrize(
+    "name",
+    ["purchase_attribution", "topk_per_group", "simhash_tokens", "components"],
+)
 def test_new_queries_match_oracle(ray_session, name):
     _check(_entry(), _con(), name)
 

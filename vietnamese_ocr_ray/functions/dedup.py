@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 _MERSENNE = (1 << 61) - 1
@@ -359,6 +360,15 @@ def connected_components(pairs: rd.Dataset, max_rounds: int = 10) -> rd.Dataset:
         )
 
     adj = edges.map_batches(undirected, batch_format="pyarrow").materialize()
+    if adj.count() == 0:  # empty dup graph: no rows, stable schema
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.int64()),
+                    "component": pa.array([], pa.int64()),
+                }
+            )
+        )
 
     # labels: start as self
     labels = (
@@ -545,3 +555,72 @@ def neighbor_jaccard(ds: rd.Dataset, join_partitions: int = 8) -> rd.Dataset:
         )
 
     return joined.map_batches(jac, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Token-level SimHash with a SQL-expressible hash (value-checked variant)
+# ---------------------------------------------------------------------------
+
+SIMHASH_P = 1_000_000_007
+SIMHASH_CAP = 32  # tokens hashed on their first 32 chars (both sides)
+SIMHASH_BITS = 30  # h < 2^30, so higher bits carry no signal
+_POW31 = np.array([pow(31, j, SIMHASH_P) for j in range(SIMHASH_CAP)], np.int64)
+
+
+def simhash_tokens_batch(batch: pa.Table) -> pa.Table:
+    """30-bit SimHash over word tokens where the per-token hash is the
+    polynomial sum(codepoint(c_j) * 31^j) mod 1e9+7 (j 0-based) — the
+    same hash DuckDB can compute with list_transform + a 31^j literal
+    table, which makes this variant fully value-checkable by the
+    driver (unlike the byte-shingle rolling-hash simhash above).
+
+    Vectorized: one weighted-mod cumsum over the flat utf8 buffer for
+    ALL tokens of the batch, one bit-unpack matmul for the per-doc
+    majority vote. ASCII fast path; per-doc Python fallback otherwise.
+    """
+    text = batch.column("text")
+    toks_list = pc.split_pattern(text, " ")
+    flat = pc.list_flatten(toks_list)
+    flat = pc.utf8_slice_codeunits(flat, 0, SIMHASH_CAP)
+    ntok = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+    offs, data = _utf8_flat(flat.combine_chunks())
+    fps = np.zeros(batch.num_rows, np.int64)
+    if data.size == 0 or (data < 128).all():
+        chars = data.astype(np.int64)
+        lens = offs[1:] - offs[:-1]
+        starts = np.repeat(offs[:-1], lens)
+        local = np.arange(chars.shape[0], dtype=np.int64) - starts
+        weighted = (chars * _POW31[local]) % SIMHASH_P
+        csum = np.concatenate([[0], np.cumsum(weighted)])
+        h = (csum[offs[1:]] - csum[offs[:-1]]) % SIMHASH_P
+        bits = ((h[:, None] >> np.arange(SIMHASH_BITS, dtype=np.int64)) & 1).astype(
+            np.int64
+        )
+        bcsum = np.concatenate(
+            [np.zeros((1, SIMHASH_BITS), np.int64), np.cumsum(bits, axis=0)]
+        )
+        doc_ends = np.concatenate([[0], np.cumsum(ntok)])
+        ones = bcsum[doc_ends[1:]] - bcsum[doc_ends[:-1]]
+        votes = 2 * ones - ntok[:, None]
+        fps = ((votes > 0) @ (1 << np.arange(SIMHASH_BITS, dtype=np.int64))).astype(
+            np.int64
+        )
+    else:
+        for i, s in enumerate(text.to_pylist()):
+            votes = np.zeros(SIMHASH_BITS, np.int64)
+            for tok in (s or "").split(" "):
+                h = 0
+                for j, c in enumerate(tok[:SIMHASH_CAP]):
+                    h = (h + ord(c) * int(_POW31[j])) % SIMHASH_P
+                b = (h >> np.arange(SIMHASH_BITS, dtype=np.int64)) & 1
+                votes += 2 * b - 1
+            fps[i] = int(
+                ((votes > 0) @ (1 << np.arange(SIMHASH_BITS, dtype=np.int64)))
+            )
+    return pa.table({"doc_id": batch.column("doc_id"), "simhash30": pa.array(fps)})
+
+
+def simhash_tokens(ds: rd.Dataset) -> rd.Dataset:
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        simhash_tokens_batch, batch_format="pyarrow"
+    )
