@@ -457,6 +457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_month": lambda sf: relational.orders_by_month(sf),
         "purchase_attribution": lambda sf: relational.purchase_attribution(sf),
         "topk_per_group": lambda sf: relational.top_events_per_type(sf),
+        "range_count": lambda sf: relational.signup_click_follow(sf),
         "split_sample": lambda sf: relational.split_sample(sf),
         # text analysis
         "lang_id": lambda sf: lang_id(_docs(sf)),
@@ -861,6 +862,19 @@ def oracle_sql() -> dict[str, str]:
                epoch_us(l.ts) - epoch_us(r.click_ts) AS gap_us
         FROM l ASOF JOIN r
           ON l.user_id = r.user_id AND l.ts > r.click_ts
+        """,
+        "range_count": """
+        WITH l AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'signup'),
+             r AS (SELECT user_id, ts AS click_ts FROM events
+                   WHERE event_type = 'click')
+        SELECT l.event_id, l.user_id, l.ts,
+               CAST(count(r.click_ts) AS BIGINT) AS n_clicks_1h
+        FROM l LEFT JOIN r
+          ON l.user_id = r.user_id
+         AND r.click_ts >= l.ts
+         AND r.click_ts < l.ts + INTERVAL 1 HOUR
+        GROUP BY l.event_id, l.user_id, l.ts
         """,
         "topk_per_group": """
         SELECT event_type, rank, event_id, value FROM (

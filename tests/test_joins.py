@@ -119,3 +119,67 @@ def test_key_bucket_spreads_sequential_ints():
     b = key_bucket(pa.array(np.arange(1000, dtype=np.int64)), 8)
     counts = np.bincount(b, minlength=8)
     assert counts.min() > 60  # splitmix avalanche, not id % buckets
+
+
+def _range_ref(left, right, lo, hi):
+    import pandas as pd
+
+    out = []
+    lo, hi = pd.Timedelta(microseconds=lo), pd.Timedelta(microseconds=hi)
+    for _, lr in left.iterrows():
+        seg = right[
+            (right.k == lr.k) & (right.rt >= lr.t + lo) & (right.rt < lr.t + hi)
+        ]
+        out.append(len(seg))
+    return out
+
+
+def test_range_count_join_matches_bruteforce(ray_session):
+    import pandas as pd
+
+    from vietnamese_ocr_ray.functions.joins import range_count_join
+
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 10, 200), "t": rng.integers(0, 1000, 200).astype("datetime64[us]"), "lv": np.arange(200)}
+    )
+    right = pd.DataFrame(
+        {"k": rng.integers(0, 12, 300), "rt": rng.integers(0, 1000, 300).astype("datetime64[us]")}
+    )
+    got = (
+        range_count_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            by="k",
+            left_on="t",
+            right_on="rt",
+            lo_us=0,
+            hi_us=50,
+            num_buckets=5,
+        )
+        .to_pandas()
+        .sort_values("lv")
+        .reset_index(drop=True)
+    )
+    assert got["n_in_range"].tolist() == _range_ref(left, right, 0, 50)
+
+
+def test_range_count_join_empty_right(ray_session):
+    import pandas as pd
+
+    from vietnamese_ocr_ray.functions.joins import range_count_join
+
+    left = pd.DataFrame(
+        {"k": [1, 2], "t": np.array([10, 20], "datetime64[us]"), "lv": [0, 1]}
+    )
+    right = pd.DataFrame({"k": np.array([], np.int64), "rt": np.array([], "datetime64[us]")})
+    got = range_count_join(
+        rd.from_pandas(left),
+        rd.from_pandas(right),
+        by="k",
+        left_on="t",
+        right_on="rt",
+        lo_us=0,
+        hi_us=100,
+    ).to_pandas()
+    assert sorted(got["n_in_range"].tolist()) == [0, 0]

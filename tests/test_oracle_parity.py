@@ -55,7 +55,13 @@ def _check(m, con, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["purchase_attribution", "topk_per_group", "simhash_tokens", "components"],
+    [
+        "purchase_attribution",
+        "topk_per_group",
+        "simhash_tokens",
+        "components",
+        "range_count",
+    ],
 )
 def test_new_queries_match_oracle(ray_session, name):
     _check(_entry(), _con(), name)

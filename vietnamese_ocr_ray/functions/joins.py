@@ -150,3 +150,97 @@ def asof_join(
         right.map_batches(right_side, batch_format="pyarrow")
     )
     return u.groupby("_bucket").map_groups(merge_bucket, batch_format="pyarrow")
+
+
+def range_count_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    by: str,
+    left_on: str,
+    right_on: str,
+    lo_us: int,
+    hi_us: int,
+    out_col: str = "n_in_range",
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Range join, count flavour: for every left row, the number of
+    right rows with the same ``by`` key and ``right_on`` in
+    ``[left_on + lo_us, left_on + hi_us)`` microseconds (left-join
+    semantics — zero-match rows survive with 0).
+
+    Same scale shape as :func:`asof_join` (one bucket shuffle); inside
+    a bucket the count is two ``searchsorted`` calls on a composite
+    (key, time) ordering — no Python per row or per key (falls back to
+    a per-key loop only if the composite would overflow int64).
+    """
+    l_schema = left.schema()
+    l_names = list(l_schema.names)
+    l_types = dict(zip(l_schema.names, l_schema.types))
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = {}
+            if side == 0:
+                for n in l_names:
+                    cols[n] = batch.column(n)
+            else:
+                # right rows ride in the left schema: key + time slot
+                # filled, every other left column null-padded
+                for n in l_names:
+                    if n == by:
+                        cols[n] = batch.column(by)
+                    elif n == left_on:
+                        cols[n] = batch.column(right_on)
+                    else:
+                        cols[n] = pa.nulls(batch.num_rows, l_types[n])
+            cols["_side"] = pa.array(np.full(batch.num_rows, side, np.int8))
+            cols["_bucket"] = pa.array(
+                key_bucket(batch.column(by), num_buckets).astype(np.int32)
+            )
+            return pa.table(cols)
+
+        return fn
+
+    def count_bucket(group: pa.Table) -> pa.Table:
+        is_left = pc.equal(group.column("_side"), 0)
+        lt = group.filter(is_left).select(l_names)
+        rt = group.filter(pc.invert(is_left)).select([by, left_on])
+        if lt.num_rows == 0:
+            out = {n: pa.nulls(0, lt.schema.field(n).type) for n in l_names}
+            out[out_col] = pa.nulls(0, pa.int64())
+            return pa.table(out)
+        l_key = np.asarray(lt.column(by))
+        l_ts = np.asarray(lt.column(left_on)).astype("datetime64[us]").astype(np.int64)
+        r_key = np.asarray(rt.column(by))
+        r_ts = np.asarray(rt.column(left_on)).astype("datetime64[us]").astype(np.int64)
+        counts = np.zeros(lt.num_rows, np.int64)
+        if rt.num_rows:
+            codes, inv = np.unique(np.concatenate([r_key, l_key]), return_inverse=True)
+            r_code, l_code = inv[: len(r_key)], inv[len(r_key) :]
+            t0 = min(int(r_ts.min()), int(l_ts.min()) + lo_us)
+            span = max(int(r_ts.max()), int(l_ts.max()) + hi_us) - t0 + 2
+            if len(codes) * span < (1 << 62):
+                comp_r = np.sort(r_code * span + (r_ts - t0))
+                lo = np.searchsorted(comp_r, l_code * span + (l_ts + lo_us - t0), "left")
+                hi = np.searchsorted(comp_r, l_code * span + (l_ts + hi_us - t0), "left")
+                counts = (hi - lo).astype(np.int64)
+            else:  # composite overflow: per-key sorted slices
+                order = np.lexsort((r_ts, r_code))
+                r_code_s, r_ts_s = r_code[order], r_ts[order]
+                starts = np.searchsorted(r_code_s, np.arange(len(codes)), "left")
+                ends = np.searchsorted(r_code_s, np.arange(len(codes)), "right")
+                for i in range(len(l_code)):
+                    s, e = starts[l_code[i]], ends[l_code[i]]
+                    seg = r_ts_s[s:e]
+                    counts[i] = np.searchsorted(
+                        seg, l_ts[i] + hi_us, "left"
+                    ) - np.searchsorted(seg, l_ts[i] + lo_us, "left")
+        return pa.table(
+            {**{n: lt.column(n) for n in l_names}, out_col: pa.array(counts)}
+        )
+
+    u = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
+    )
+    return u.groupby("_bucket").map_groups(count_bucket, batch_format="pyarrow")

@@ -634,3 +634,34 @@ def top_events_per_type(sf_dir: str, k: int = 3) -> rd.Dataset:
         .groupby("event_type")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def signup_click_follow(sf_dir: str) -> rd.Dataset:
+    """Range-join demo: for every signup event, how many clicks the
+    same user made in the following hour (left semantics — zero-click
+    signups kept). Oracle: LEFT JOIN with a BETWEEN range condition."""
+    from vietnamese_ocr_ray.functions.joins import range_count_join
+
+    signups = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts"],
+        filter=pc.field("event_type") == "signup",
+    )
+    clicks = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts"],
+        filter=pc.field("event_type") == "click",
+    ).map_batches(
+        lambda b: b.rename_columns(["user_id", "click_ts"]),
+        batch_format="pyarrow",
+    )
+    return range_count_join(
+        signups,
+        clicks,
+        by="user_id",
+        left_on="ts",
+        right_on="click_ts",
+        lo_us=0,
+        hi_us=3_600_000_000,
+        out_col="n_clicks_1h",
+    )
