@@ -84,7 +84,7 @@ def _warmup(docs_dir: str, media_dir: str) -> None:
     Also page-caches the inputs."""
     import os as _os
 
-    from vietnamese_ocr_ray.pipelines.extract import default_pool, extract_spans
+    from vietnamese_ocr_ray.pipelines.extract import extract_spans
     from vietnamese_ocr_ray.sources.storage import read_docs, read_media
 
     frag0 = sorted(
@@ -96,9 +96,18 @@ def _warmup(docs_dir: str, media_dir: str) -> None:
         read_docs(frag0),
         read_media(media_dir),
         media_mode="cogroup",
-        cogroup_buckets=max(24, NUM_CPUS * 3),
-        recognize_batch_size=4096,
-        recognize_concurrency=default_pool(NUM_CPUS),
+        # fixed (cpu-independent): Ray's sort-shuffle makes one physical
+        # partition per INPUT block (~120 here), each holding a RANGE of
+        # bucket keys - many logical buckets per partition flattens the
+        # per-partition row skew (measured 3.4x at 192 buckets)
+        cogroup_buckets=768,
+        recognize_batch_size=2048,
+        # tasks mode: model cached per worker PROCESS so the streaming
+        # executor rebalances every CPU between shuffle and
+        # recognition (an actor pool's reserved CPUs idle during
+        # the sort barrier - measured ~15% slower here); a GPU
+        # cluster would use the actor-pool mode to pin weights
+        recognize_compute="tasks",
     ).count()
     read_docs(docs_dir).count()
 
@@ -146,16 +155,25 @@ def run_bench() -> dict:
     # ---- headline: extraction e2e (cogroup mode = the scale path) ----
     shutil.rmtree(OUT_DIR, ignore_errors=True)
     t0 = time.perf_counter()
-    from vietnamese_ocr_ray.pipelines.extract import default_pool
+
 
     result = extract_spans(
         read_docs(docs_dir),
         read_media(media_dir),
         media_mode="cogroup",
-        cogroup_buckets=max(24, NUM_CPUS * 3),
+        # fixed (cpu-independent): Ray's sort-shuffle makes one physical
+        # partition per INPUT block (~120 here), each holding a RANGE of
+        # bucket keys - many logical buckets per partition flattens the
+        # per-partition row skew (measured 3.4x at 192 buckets)
+        cogroup_buckets=768,
         num_buckets=max(16, NUM_CPUS * 2),
-        recognize_batch_size=4096,
-        recognize_concurrency=default_pool(NUM_CPUS),
+        recognize_batch_size=2048,
+        # tasks mode: model cached per worker PROCESS so the streaming
+        # executor rebalances every CPU between shuffle and
+        # recognition (an actor pool's reserved CPUs idle during
+        # the sort barrier - measured ~15% slower here); a GPU
+        # cluster would use the actor-pool mode to pin weights
+        recognize_compute="tasks",
     )
     result.write_parquet(OUT_DIR)
     headline = time.perf_counter() - t0
@@ -313,16 +331,25 @@ def run_bench_headline_only() -> dict:
     _warmup(docs_dir, media_dir)
     shutil.rmtree(OUT_DIR, ignore_errors=True)
     t0 = time.perf_counter()
-    from vietnamese_ocr_ray.pipelines.extract import default_pool
+
 
     result = extract_spans(
         read_docs(docs_dir),
         read_media(media_dir),
         media_mode="cogroup",
-        cogroup_buckets=max(24, NUM_CPUS * 3),
+        # fixed (cpu-independent): Ray's sort-shuffle makes one physical
+        # partition per INPUT block (~120 here), each holding a RANGE of
+        # bucket keys - many logical buckets per partition flattens the
+        # per-partition row skew (measured 3.4x at 192 buckets)
+        cogroup_buckets=768,
         num_buckets=max(16, NUM_CPUS * 2),
-        recognize_batch_size=4096,
-        recognize_concurrency=default_pool(NUM_CPUS),
+        recognize_batch_size=2048,
+        # tasks mode: model cached per worker PROCESS so the streaming
+        # executor rebalances every CPU between shuffle and
+        # recognition (an actor pool's reserved CPUs idle during
+        # the sort barrier - measured ~15% slower here); a GPU
+        # cluster would use the actor-pool mode to pin weights
+        recognize_compute="tasks",
     )
     result.write_parquet(OUT_DIR)
     headline = time.perf_counter() - t0

@@ -93,3 +93,33 @@ def test_batch_equals_single():
     xs = np.stack([preprocess_one(im, r) for im, r in zip(imgs, refs)])
     assert xb.shape == (4, 64, 256)
     assert np.array_equal(xb, xs[:, 0])
+
+
+def test_preprocess_batch_band_reuse_equals_fresh():
+    """The band-aware scratch path (only re-zero previously written
+    columns) must be bit-equal to a freshly allocated canvas — across
+    consecutive batches of different sizes on the same dirty buffer."""
+    import numpy as np
+
+    from vietnamese_ocr_ray.preprocess import IMG_H, IMG_W, preprocess_batch
+
+    rng = np.random.default_rng(3)
+    shapes = [(64, 48), (32, 20), (64, 56), (32, 28)]
+    imgs, hs, ws, refs = [], [], [], []
+    for i in range(300):
+        h, w = shapes[i % len(shapes)]
+        imgs.append(rng.integers(0, 256, (h, w), dtype=np.uint8).tobytes())
+        hs.append(h)
+        ws.append(w)
+        refs.append(f"m-band-{i}")
+    hs = np.array(hs)
+    ws = np.array(ws)
+    buf = np.zeros((300, IMG_H, IMG_W), np.float32)
+    band = [0, 0]
+    for lo, hi in [(0, 300), (50, 260), (0, 120)]:
+        ref = preprocess_batch(imgs[lo:hi], hs[lo:hi], ws[lo:hi], refs[lo:hi])
+        got = preprocess_batch(
+            imgs[lo:hi], hs[lo:hi], ws[lo:hi], refs[lo:hi], out=buf, band=band
+        )
+        assert np.array_equal(ref, got[: hi - lo])
+    assert 0 < band[0] < band[1] < IMG_W  # canvas edges never touched

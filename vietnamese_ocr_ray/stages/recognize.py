@@ -79,6 +79,7 @@ class RecognizeSpans:
         self.model = DeterministicRecognizer(vocab)
         self.media = None
         self._canvas = np.empty((0, 1, 1), dtype=np.float32)
+        self._band = [0, 0]
         if media_handle is not None:
             import ray
 
@@ -86,11 +87,14 @@ class RecognizeSpans:
 
     def _scratch(self, n: int) -> np.ndarray:
         """Reusable canvas buffer (first-touch faulting of fresh
-        allocations is expensive in this sandbox — see NOTES.md)."""
+        allocations is expensive in this sandbox — see NOTES.md).
+        ``_band`` tracks the dirty column extent so preprocess_batch
+        re-zeros only what a previous batch wrote."""
         if self._canvas.shape[0] < n or self._canvas.shape[1] != IMG_H:
             self._canvas = np.zeros(
                 (int(n * 1.25) + 1, IMG_H, IMG_W), dtype=np.float32
             )
+            self._band = [0, 0]  # freshly zeroed
         return self._canvas
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -121,7 +125,7 @@ class RecognizeSpans:
                 hs = media_rows.column("height").to_numpy(zero_copy_only=False)
                 ws = media_rows.column("width").to_numpy(zero_copy_only=False)
             x = preprocess_batch(
-                imgs, hs, ws, refs, out=self._scratch(len(refs))
+                imgs, hs, ws, refs, out=self._scratch(len(refs)), band=self._band
             )
             texts = fill_empty(self.model.recognize_texts(x))
             media_rows = _set_text(media_rows, texts)
