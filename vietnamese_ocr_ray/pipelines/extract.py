@@ -80,6 +80,7 @@ def extract_spans(
     vocab=None,
     output_format: str = "docs",
     two_stage: bool = False,
+    span_processors: "dict | bool | None" = None,
 ) -> rd.Dataset:
     """docs Dataset (+ media payloads) -> extracted docs Dataset.
 
@@ -145,6 +146,22 @@ def extract_spans(
                 batch_size=recognize_batch_size,
                 concurrency=recognize_concurrency,
                 fn_constructor_kwargs={"vocab": vocab},
+            )
+        elif span_processors is not None:
+            # user-extension surface (SURVEY.md §2.9): per-kind
+            # processor registry routed by SpanRouter. True = the
+            # global SPAN_PROCESSORS registry; a dict = explicit
+            # kind -> factory overrides.
+            from vietnamese_ocr_ray.stages.router import SpanRouter
+
+            recognized = joined.map_batches(
+                SpanRouter,
+                batch_format="pyarrow",
+                batch_size=recognize_batch_size,
+                concurrency=recognize_concurrency,
+                fn_constructor_kwargs={
+                    "processors": None if span_processors is True else span_processors
+                },
             )
         elif recognize_compute == "tasks" and vocab is None:
             from vietnamese_ocr_ray.stages.recognize import recognize_spans_task
