@@ -288,3 +288,57 @@ def test_connected_components_empty_graph(ray_session):
     out = connected_components(empty)
     assert out.count() == 0
     assert out.schema().names == ["node", "component"]
+
+
+def test_hash_aggregate_matches_pandas(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame(
+        {
+            "k": [f"key-{i}" for i in rng.integers(0, 500, 5000)],
+            "v": rng.integers(-100, 100, 5000),
+        }
+    )
+    got = (
+        hash_aggregate(
+            rd.from_pandas(df),
+            ["k"],
+            {
+                "s": ("v", "sum"),
+                "mn": ("v", "min"),
+                "mx": ("v", "max"),
+                "n": ("v", "count"),
+            },
+            num_buckets=7,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.groupby("k", as_index=False)
+        .agg(s=("v", "sum"), mn=("v", "min"), mx=("v", "max"), n=("v", "size"))
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["k", "s", "mn", "mx", "n"]], exp, check_dtype=False)
+
+
+def test_hash_aggregate_rejects_nondecomposable():
+    import pytest
+    import ray.data as rd
+    import pandas as pd
+
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    with pytest.raises(ValueError):
+        hash_aggregate(
+            rd.from_pandas(pd.DataFrame({"k": [1], "v": [1]})),
+            ["k"],
+            {"m": ("v", "mean")},
+        )

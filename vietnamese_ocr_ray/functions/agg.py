@@ -1,0 +1,65 @@
+"""High-cardinality grouped aggregation.
+
+``Dataset.groupby().aggregate()`` (sort-based) and ``map_groups`` both
+pay per-GROUP Python overhead in the reduce — fine for dozens of keys,
+~30 us x 150k groups = seconds for high-cardinality keys (measured on
+per-order revenue: 5.0 s for 150k groups over 600k rows). This module
+keeps the same one-shuffle shape but reduces per BUCKET: rows are
+hash-bucketed on the key, and each bucket runs ONE vectorized pandas
+groupby — per-group Python never happens.
+
+Scale shape: partial aggregation per input batch first (the shuffle
+moves O(distinct keys per block), not O(rows)), then the bucket
+groupby; bucket count bounds reduce parallelism and a bucket's keys
+must fit a task's heap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from vietnamese_ocr_ray.functions.joins import key_bucket
+
+# aggregation fns that decompose into (per-batch partial, merge) pairs
+_PARTIAL = {"sum": "sum", "min": "min", "max": "max", "count": "size"}
+_MERGE = {"sum": "sum", "min": "min", "max": "max", "count": "sum"}
+
+
+def hash_aggregate(
+    ds: rd.Dataset,
+    keys: list[str],
+    spec: dict[str, tuple[str, str]],
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Grouped aggregation for high-cardinality keys.
+
+    ``spec``: out_col -> (in_col, fn) with fn in sum|min|max|count
+    (the decomposable set — count partials become sums at merge).
+    Result columns: ``keys + list(spec)``.
+    """
+    for out, (_, fn) in spec.items():
+        if fn not in _PARTIAL:
+            raise ValueError(f"{out}: fn {fn!r} not in {sorted(_PARTIAL)}")
+    partial_spec = {
+        out: (col, _PARTIAL[fn]) for out, (col, fn) in spec.items()
+    }
+    merge_spec = {out: (out, _MERGE[fn]) for out, (_, fn) in spec.items()}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, as_index=False, sort=False).agg(**partial_spec)
+        g["_bucket"] = key_bucket(
+            pa.Array.from_pandas(g[keys[0]]), num_buckets
+        ).astype(np.int32)
+        return g
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(keys, as_index=False, sort=False).agg(**merge_spec)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(merge, batch_format="pandas")
+    )

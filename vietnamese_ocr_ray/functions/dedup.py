@@ -58,14 +58,24 @@ def content_hash64(arr: pa.Array) -> np.ndarray:
     return h
 
 
-def dedup_exact(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
-    """Keep min(id) per distinct text + copy count. Hash-partition on a
-    64-bit content hash so each group fits one task; final equality is
-    on the text itself (collision-proof)."""
+def dedup_exact(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Keep min(id) per distinct text + copy count. Hash-BUCKET on a
+    64-bit content hash (copies of a text always share a bucket) so
+    each reduce task runs ONE vectorized pandas groupby over its
+    bucket — per-group Python for 100k+ distinct texts is what made
+    the per-hash groupby slow. Final equality is on the text itself
+    (hash collisions are harmless)."""
 
-    def add_hash(b: pa.Table) -> pa.Table:
+    def add_bucket(b: pa.Table) -> pa.Table:
         h = content_hash64(b.column(text_col))
-        return b.append_column("_h64", pa.array(h.astype(np.int64)))
+        return b.append_column(
+            "_bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+        )
 
     def first_per_text(g: pd.DataFrame) -> pd.DataFrame:
         out = (
@@ -76,8 +86,8 @@ def dedup_exact(ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text") 
 
     return (
         ds.select_columns([id_col, text_col])
-        .map_batches(add_hash, batch_format="pyarrow")
-        .groupby("_h64")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
         .map_groups(first_per_text, batch_format="pandas")
     )
 

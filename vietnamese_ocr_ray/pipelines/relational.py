@@ -114,10 +114,15 @@ def top_revenue_orders(sf_dir: str, k: int = 10) -> rd.Dataset:
         df = t.to_pandas().groupby("l_orderkey", as_index=False).agg(rev=("rev", "sum"))
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    per_order = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev", alias_name="rev_units"))
+    # 150k distinct orders: Ray's sort-aggregate pays per-GROUP Python
+    # in the reduce (~5 s here); the bucketed hash aggregate reduces
+    # per BUCKET with one vectorized pandas groupby (~2 s, same result)
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    per_order = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["l_orderkey"],
+        {"rev_units": ("rev", "sum")},
     )
 
     def finish(batch: pa.Table) -> pa.Table:
