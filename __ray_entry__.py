@@ -458,6 +458,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_attribution": lambda sf: relational.purchase_attribution(sf),
         "topk_per_group": lambda sf: relational.top_events_per_type(sf),
         "range_count": lambda sf: relational.signup_click_follow(sf),
+        "distinct_users": lambda sf: relational.distinct_users_per_type(sf),
+        "running_sum": lambda sf: relational.running_value_sum(sf),
         "split_sample": lambda sf: relational.split_sample(sf),
         # text analysis
         "lang_id": lambda sf: lang_id(_docs(sf)),
@@ -862,6 +864,19 @@ def oracle_sql() -> dict[str, str]:
                epoch_us(l.ts) - epoch_us(r.click_ts) AS gap_us
         FROM l ASOF JOIN r
           ON l.user_id = r.user_id AND l.ts > r.click_ts
+        """,
+        "distinct_users": """
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY event_type
+        """,
+        "running_sum": """
+        SELECT event_id, user_id, ts,
+               CAST(sum(CAST(round(value * 1000) AS BIGINT)) OVER (
+                 PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1000.0
+                 AS running_value
+        FROM events
         """,
         "range_count": """
         WITH l AS (SELECT event_id, user_id, ts FROM events

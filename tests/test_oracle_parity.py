@@ -61,6 +61,8 @@ def _check(m, con, name):
         "simhash_tokens",
         "components",
         "range_count",
+        "distinct_users",
+        "running_sum",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

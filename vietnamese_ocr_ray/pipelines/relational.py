@@ -670,3 +670,48 @@ def signup_click_follow(sf_dir: str) -> rd.Dataset:
         hi_us=3_600_000_000,
         out_col="n_clicks_1h",
     )
+
+
+def distinct_users_per_type(sf_dir: str) -> rd.Dataset:
+    """Grouped COUNT DISTINCT with a partial-dedup combiner: each batch
+    emits its distinct (event_type, user_id) pairs (the shuffle moves
+    O(distinct pairs per block), not O(rows)), the small per-type group
+    counts uniques."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop_duplicates(["event_type", "user_id"])
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_users": [int(g["user_id"].nunique())],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def running_value_sum(sf_dir: str) -> rd.Dataset:
+    """Cumulative window per key (sum OVER (PARTITION BY user ORDER BY
+    ts)): per-user group sort + one vectorized cumsum. Exact-integer
+    accumulation (value scaled to 1e-3 units) so Ray and the SQL window
+    agree bit-for-bit. Partitioning assumption: one user's events fit a
+    group (salt/split upstream otherwise)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def cumulate(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["ts", "event_id"], kind="stable")
+        units = np.rint(s["value"].to_numpy() * 1000.0).astype(np.int64)
+        s = s[["event_id", "user_id", "ts"]].reset_index(drop=True)
+        s["running_value"] = np.cumsum(units) / 1000.0
+        return s
+
+    return ds.groupby("user_id").map_groups(cumulate, batch_format="pandas")
