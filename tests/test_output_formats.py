@@ -95,3 +95,34 @@ def test_two_stage_matches_single_stage(ray_session, tmp_path):
         two_stage=True,
     )
     assert canon(out.take_all()) == canon(golden)
+
+
+def test_copartitioned_matches_cogroup(ray_session, tmp_path):
+    import ray.data as rd
+
+    from vietnamese_ocr_ray.pipelines.extract import extract_spans
+    from vietnamese_ocr_ray.sources.storage import write_media_bucketed
+    from vietnamese_ocr_ray.synth import synth_corpus, write_corpus
+
+    docs, media = synth_corpus(40, seed=17)
+    corpus = tmp_path / "corpus"
+    write_corpus(docs, media, str(corpus))
+    bucket_dir = str(tmp_path / "media_bucketed")
+    write_media_bucketed(str(corpus / "media"), bucket_dir, num_buckets=16)
+
+    base = extract_spans(
+        rd.from_arrow(docs),
+        rd.from_arrow(media),
+        media_mode="cogroup",
+        cogroup_buckets=16,
+        num_buckets=4,
+    ).to_pandas()
+    cop = extract_spans(
+        rd.from_arrow(docs),
+        bucket_dir,
+        media_mode="copartitioned",
+        num_buckets=4,
+    ).to_pandas()
+    base = base.sort_values("doc_id").reset_index(drop=True)
+    cop = cop.sort_values("doc_id").reset_index(drop=True)
+    assert base.equals(cop)

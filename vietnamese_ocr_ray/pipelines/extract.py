@@ -116,6 +116,34 @@ def extract_spans(
 
     exploded = docs.map_batches(explode_batch, batch_format="pyarrow")
 
+    if media_mode == "copartitioned":
+        # map-side bucketed join against write_media_bucketed storage:
+        # only span rows shuffle; payload bytes never enter the exchange
+        if not isinstance(media, str):
+            raise TypeError(
+                "media_mode='copartitioned' needs the bucketed media DIR"
+            )
+        from vietnamese_ocr_ray.stages.cogroup import cogroup_media_copartitioned
+
+        joined = cogroup_media_copartitioned(exploded, media)
+        if recognize_compute == "tasks" and vocab is None:
+            from vietnamese_ocr_ray.stages.recognize import recognize_spans_task
+
+            recognized = joined.map_batches(
+                recognize_spans_task,
+                batch_format="pyarrow",
+                batch_size=recognize_batch_size,
+            )
+        else:
+            recognized = joined.map_batches(
+                RecognizeSpans,
+                batch_format="pyarrow",
+                batch_size=recognize_batch_size,
+                concurrency=recognize_concurrency,
+                fn_constructor_kwargs={"vocab": vocab},
+            )
+        return finish(recognized)
+
     if media_mode == "cogroup":
         if not isinstance(media, rd.Dataset):
             raise TypeError("media_mode='cogroup' needs a media Dataset")

@@ -68,3 +68,55 @@ def read_media(path: str | list[str], with_truth: bool = False, **kwargs) -> rd.
         except OSError:
             pass
     return rd.read_parquet(path, columns=cols, **kwargs)
+
+
+def write_media_bucketed(
+    media_path: str, out_dir: str, num_buckets: int
+) -> str:
+    """Rewrite the media table hash-partitioned by
+    ``fnv1a_bucket(media_ref, num_buckets)`` — one parquet file per
+    bucket (``bucket=<i>.parquet``). This is the storage layout the
+    ``media_mode="copartitioned"`` join relies on: span rows shuffle to
+    their bucket, the media payload NEVER moves through the exchange
+    (each reduce task reads exactly its bucket file — a map-side
+    bucketed join, the Hive-bucketing / Lance-fragment-colocation
+    pattern).
+
+    Distributed write: one groupby shuffle of the media table, each
+    bucket group written by its own task.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.stages.explode import fnv1a_bucket
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bk = fnv1a_bucket(b.column("media_ref"), num_buckets)
+        return b.append_column("bucket", pa.array(bk.astype("int32")))
+
+    def write_bucket(g: pa.Table) -> pa.Table:
+        bk = g.column("bucket")[0].as_py()
+        t = g.drop_columns(["bucket"])
+        tmp = os.path.join(out_dir, f"_tmp-bucket={bk}.parquet")
+        pq.write_table(t, tmp)
+        os.replace(tmp, os.path.join(out_dir, f"bucket={bk}.parquet"))
+        return pa.table({"bucket": pa.array([bk], pa.int32())})
+
+    written = (
+        read_media(media_path, with_truth=True)
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(write_bucket, batch_format="pyarrow")
+        .count()
+    )
+    with open(os.path.join(out_dir, "_BUCKETS"), "w") as f:
+        f.write(str(num_buckets))
+    assert written <= num_buckets
+    return out_dir
+
+
+def media_bucket_count(bucket_dir: str) -> int:
+    with open(os.path.join(bucket_dir, "_BUCKETS")) as f:
+        return int(f.read().strip())

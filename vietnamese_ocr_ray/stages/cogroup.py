@@ -22,6 +22,8 @@ the dominant term).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -137,3 +139,72 @@ def cogroup_media(
     )
     u = left.union(right)
     return u.groupby("bucket").map_groups(_join_bucket, batch_format="pyarrow")
+
+
+def _spans_bucket_only(batch: pa.Table, num_buckets: int) -> pa.Table:
+    """Span rows -> + bucket column (media spans by media_ref, text by
+    doc_id) WITHOUT payload null-padding — the copartitioned join never
+    moves payload bytes through the shuffle."""
+    is_media = pc.equal(batch.column("kind"), "media")
+    key = pc.if_else(is_media, batch.column("media_ref"), batch.column("doc_id"))
+    bucket = fnv1a_bucket(key, num_buckets)
+    return batch.append_column("bucket", pa.array(bucket.astype(np.int32)))
+
+
+def cogroup_media_copartitioned(
+    spans: rd.Dataset, bucket_dir: str
+) -> rd.Dataset:
+    """Map-side bucketed join against a media table pre-partitioned by
+    ``write_media_bucketed``: ONLY the (light) span rows shuffle; each
+    bucket task reads its own media bucket file from storage — the
+    image payload never enters the exchange. At 100 TB this is the
+    difference between shuffling the corpus' media bytes and shuffling
+    ~1% of them.
+
+    Requires the storage layout's bucket count (read from the
+    ``_BUCKETS`` marker); output schema == :func:`cogroup_media`.
+    """
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.sources.storage import media_bucket_count
+
+    num_buckets = media_bucket_count(bucket_dir)
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        bk = group.column("bucket")[0].as_py()
+        g = group.drop_columns(["bucket"])
+        n = g.num_rows
+        is_media = pc.equal(g.column("kind"), "media")
+        media_spans = g.filter(is_media)
+        text_spans = g.filter(pc.invert(is_media))
+        tcols = {name: text_spans.column(name) for name in text_spans.column_names}
+        tcols["image"] = pa.nulls(text_spans.num_rows, pa.binary())
+        tcols["height"] = pa.nulls(text_spans.num_rows, pa.int32())
+        tcols["width"] = pa.nulls(text_spans.num_rows, pa.int32())
+        text_out = pa.table(tcols)
+        if media_spans.num_rows == 0:
+            return text_out
+        path = os.path.join(bucket_dir, f"bucket={bk}.parquet")
+        if os.path.exists(path):
+            defs = pq.read_table(path, columns=["media_ref", *PAYLOAD_COLS])
+        else:  # no media landed in this bucket: left join yields nulls
+            defs = pa.table(
+                {
+                    "media_ref": pa.array([], pa.string()),
+                    "image": pa.array([], pa.binary()),
+                    "height": pa.array([], pa.int32()),
+                    "width": pa.array([], pa.int32()),
+                }
+            )
+        joined = media_spans.join(defs, keys="media_ref", join_type="left outer")
+        joined = joined.select(text_out.column_names)
+        if text_spans.num_rows == 0:
+            return joined
+        return pa.concat_tables([text_out, joined])
+
+    bucketed = spans.map_batches(
+        lambda b: _spans_bucket_only(b, num_buckets), batch_format="pyarrow"
+    )
+    return bucketed.groupby("bucket").map_groups(
+        join_bucket, batch_format="pyarrow"
+    )
