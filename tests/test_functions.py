@@ -342,3 +342,37 @@ def test_hash_aggregate_rejects_nondecomposable():
             ["k"],
             {"m": ("v", "mean")},
         )
+
+
+def test_connected_components_shuffled_equals_broadcast(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vietnamese_ocr_ray.functions.dedup import connected_components
+
+    rng = np.random.default_rng(31)
+    # chain components of varying length + isolated pairs; node ids
+    # sparse so bucket boundaries are crossed
+    edges_a, edges_b = [], []
+    nid = 0
+    for comp in range(15):
+        length = int(rng.integers(1, 5))
+        ids = [nid + i * 7 for i in range(length + 1)]
+        nid = ids[-1] + 13
+        for x, y in zip(ids, ids[1:]):
+            if rng.random() < 0.5:
+                x, y = y, x
+            edges_a.append(x)
+            edges_b.append(y)
+    pairs = rd.from_arrow(
+        pa.table({"a": pa.array(edges_a, pa.int64()), "b": pa.array(edges_b, pa.int64())})
+    )
+    kw = dict()
+    bc = connected_components(pairs, broadcast=True).to_pandas()
+    sh = connected_components(pairs, broadcast=False, num_buckets=5).to_pandas()
+    bc = bc.sort_values("node").reset_index(drop=True)
+    sh = sh.sort_values("node").reset_index(drop=True)
+    assert bc.equals(sh)
+    # min-label invariant: every component id is a member of itself
+    assert set(bc["component"]).issubset(set(bc["node"]))

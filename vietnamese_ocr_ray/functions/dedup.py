@@ -339,11 +339,22 @@ def minhash_lsh_pairs(
     return distinct.map_batches(verify, batch_format="pyarrow")
 
 
-def connected_components(pairs: rd.Dataset, max_rounds: int = 10) -> rd.Dataset:
+def connected_components(
+    pairs: rd.Dataset,
+    max_rounds: int = 10,
+    broadcast: bool = True,
+    num_buckets: int = 32,
+) -> rd.Dataset:
     """Distributed connected components over an edge list (a, b) by
-    iterated min-label propagation — the 10^12-row path where edges
-    don't fit a driver: each round joins every node's current label
-    with its neighbors' and keeps the min, until a fixed point.
+    iterated min-label propagation — each round joins every node's
+    current label with its neighbors' and keeps the min, until a fixed
+    point.
+
+    ``broadcast=True`` (default): the label table is shipped whole to
+    workers each round — right while the dup-graph node set fits a
+    worker heap. ``broadcast=False``: fully-shuffled rounds (bucketed
+    label join + bucketed min aggregate) — nothing but a change count
+    ever leaves the cluster; the 10^12-edge path.
 
     Rounds are O(diameter); near-dup clusters are shallow (usually 1-2
     rounds). Returns (node, component) with component = min node id of
@@ -390,21 +401,37 @@ def connected_components(pairs: rd.Dataset, max_rounds: int = 10) -> rd.Dataset:
         .materialize()
     )
 
-    for _ in range(max_rounds):
-        # neighbor labels: adj x labels on nbr -> candidate label per node
-        lab_pd = labels.to_pandas()  # label table is O(duplicate nodes): small
-        import ray
+    if broadcast:
+        labels = _cc_rounds_broadcast(adj, labels, max_rounds)
+    else:
+        labels = _cc_rounds_shuffled(adj, labels, max_rounds, num_buckets)
 
-        handle = ray.put(dict(zip(lab_pd["node"], lab_pd["label"])))
+    return labels.map_batches(
+        lambda b: pa.table(
+            {"node": b.column("node"), "component": b.column("label")}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _cc_rounds_broadcast(adj, labels, max_rounds):
+    """Per round: ship the (small) label table once via ray.put, look
+    neighbors up with a vectorized searchsorted. Right while the dup
+    graph's node set fits a worker heap."""
+    import ray
+
+    for _ in range(max_rounds):
+        lab_pd = labels.to_pandas()
+        order = np.argsort(lab_pd["node"].to_numpy())
+        keys = lab_pd["node"].to_numpy()[order]
+        vals = lab_pd["label"].to_numpy()[order]
+        handle = ray.put((keys, vals))
 
         def propagate(b: pa.Table) -> pa.Table:
-            lut = ray.get(handle)
-            nbr_lab = np.array(
-                [lut[x] for x in b.column("nbr").to_pylist()], dtype=np.int64
-            )
-            return pa.table(
-                {"node": b.column("node"), "cand": pa.array(nbr_lab)}
-            )
+            k, v = ray.get(handle)
+            nbr = np.asarray(b.column("nbr"))
+            nbr_lab = v[np.searchsorted(k, nbr)]
+            return pa.table({"node": b.column("node"), "cand": pa.array(nbr_lab)})
 
         from ray.data.aggregate import Min
 
@@ -418,15 +445,135 @@ def connected_components(pairs: rd.Dataset, max_rounds: int = 10) -> rd.Dataset:
         new_labels["new"] = new_labels[["nbr_min", "label"]].min(axis=1)
         if (new_labels["new"] == new_labels["label"]).all():
             break
-        lab_pd = new_labels[["node", "new"]].rename(columns={"new": "label"})
-        labels = rd.from_pandas(lab_pd).materialize()
+        labels = rd.from_pandas(
+            new_labels[["node", "new"]].rename(columns={"new": "label"})
+        ).materialize()
+    return labels
 
-    return labels.map_batches(
-        lambda b: pa.table(
-            {"node": b.column("node"), "component": b.column("label")}
-        ),
-        batch_format="pyarrow",
-    )
+
+def _cc_rounds_shuffled(adj, labels, max_rounds, num_buckets):
+    """Fully-shuffled rounds — the 10^12-edge path where even the label
+    table exceeds a worker heap: neighbor labels come from a bucketed
+    join (labels keyed by node meet adj keyed by nbr), the per-node min
+    from the bucketed hash aggregate. Only a per-round change COUNT
+    reaches the driver."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
+    def _tag(key_col: pa.Array, payload: dict, side: int, n: int) -> pa.Table:
+        cols = {"key": key_col}
+        cols.update(payload)
+        cols["_side"] = pa.array(np.full(n, side, np.int8))
+        cols["_bucket"] = pa.array(
+            key_bucket(key_col, num_buckets).astype(np.int32)
+        )
+        return pa.table(cols)
+
+    for _ in range(max_rounds):
+        labels = labels.materialize()
+
+        adj_tagged = adj.map_batches(
+            lambda b: _tag(
+                b.column("nbr").combine_chunks(),
+                {
+                    "node": b.column("node"),
+                    "label": pa.nulls(b.num_rows, pa.int64()),
+                },
+                0,
+                b.num_rows,
+            ),
+            batch_format="pyarrow",
+        )
+        lab_tagged = labels.map_batches(
+            lambda b: _tag(
+                b.column("node").combine_chunks(),
+                {
+                    "node": pa.nulls(b.num_rows, pa.int64()),
+                    "label": b.column("label"),
+                },
+                1,
+                b.num_rows,
+            ),
+            batch_format="pyarrow",
+        )
+
+        def lookup(g: pd.DataFrame) -> pd.DataFrame:
+            left = g[g["_side"] == 0]
+            right = g[g["_side"] == 1]
+            m = left[["node", "key"]].merge(
+                right[["key", "label"]], on="key", how="inner"
+            )
+            # null-padding floats int columns in the union; recast now
+            # that only matched rows remain
+            return pd.DataFrame(
+                {
+                    "node": m["node"].to_numpy(np.int64),
+                    "cand": m["label"].to_numpy(np.int64),
+                }
+            )
+
+        cand = (
+            adj_tagged.union(lab_tagged)
+            .groupby("_bucket")
+            .map_groups(lookup, batch_format="pandas")
+        )
+        nbr_min = hash_aggregate(
+            cand, ["node"], {"nbr_min": ("cand", "min")}, num_buckets=num_buckets
+        )
+
+        m_tagged = nbr_min.map_batches(
+            lambda b: _tag(
+                b.column("node").combine_chunks(),
+                {
+                    "nbr_min": b.column("nbr_min"),
+                    "label": pa.nulls(b.num_rows, pa.int64()),
+                },
+                0,
+                b.num_rows,
+            ),
+            batch_format="pyarrow",
+        )
+        l_tagged = labels.map_batches(
+            lambda b: _tag(
+                b.column("node").combine_chunks(),
+                {
+                    "nbr_min": pa.nulls(b.num_rows, pa.int64()),
+                    "label": b.column("label"),
+                },
+                1,
+                b.num_rows,
+            ),
+            batch_format="pyarrow",
+        )
+
+        def update(g: pd.DataFrame) -> pd.DataFrame:
+            left = g[g["_side"] == 0][["key", "nbr_min"]]
+            right = g[g["_side"] == 1][["key", "label"]]
+            m = left.merge(right, on="key", how="inner")
+            new = np.minimum(
+                m["nbr_min"].to_numpy(np.int64), m["label"].to_numpy(np.int64)
+            )
+            return pd.DataFrame(
+                {
+                    "node": m["key"].to_numpy(np.int64),
+                    "label": new,
+                    "changed": (new != m["label"].to_numpy(np.int64)).astype(
+                        np.int64
+                    ),
+                }
+            )
+
+        merged = (
+            m_tagged.union(l_tagged)
+            .groupby("_bucket")
+            .map_groups(update, batch_format="pandas")
+            .materialize()
+        )
+        changed = merged.sum("changed")
+        labels = merged.select_columns(["node", "label"])
+        if not changed:
+            break
+    return labels
 
 
 def neardup_survivors(
