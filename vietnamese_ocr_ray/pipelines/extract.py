@@ -9,7 +9,7 @@ Ray-Data-first):
       -> groupby(doc_id) + per-group sort(offset) reassembly shuffle
       -> write partitioned Parquet + per-fragment lineage manifest
 
-Three media-payload strategies (measured trade-offs in
+Four media-payload strategies (measured trade-offs in
 BENCH/BASELINE.md):
 
 * ``media_mode="cogroup"`` (default, the 100 TB path): one sort-based
@@ -25,6 +25,12 @@ BENCH/BASELINE.md):
   the driver and fetched once per recognition actor — zero join
   shuffle. Correct only while the media table fits a worker heap
   (small-side broadcast rule); intended for dictionary-sized media.
+
+* ``media_mode="copartitioned"``: media pre-partitioned on storage by
+  ``write_media_bucketed``; span rows shuffle to their bucket and each
+  reduce task reads its OWN media bucket file — payload bytes never
+  enter the exchange (-53%% exchange bytes measured; the media-heavy
+  scale path).
 
 Skew: exploding first turns doc-level skew (one doc with 10^3 media
 spans) into span-level rows; the bucket shuffle plus optional salting
@@ -244,6 +250,18 @@ def extract_spans(
     return finish(recognized)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _predict_model():
+    """predict_single is the interactive path (app.py): cache the model
+    across calls instead of rebuilding per image."""
+    from vietnamese_ocr_ray.model import DeterministicRecognizer
+
+    return DeterministicRecognizer()
+
+
 def predict_single(image, media_ref: str = "predict") -> str:
     """Single-image predict path (app.py:52-61 ->
     src/utils/inference.py:52-64): one grayscale uint8 (H, W) array
@@ -252,10 +270,9 @@ def predict_single(image, media_ref: str = "predict") -> str:
     the reference calls the model directly from Streamlit."""
     import numpy as np
 
-    from vietnamese_ocr_ray.model import DeterministicRecognizer
     from vietnamese_ocr_ray.preprocess import preprocess_one
 
-    model = DeterministicRecognizer()
+    model = _predict_model()
     x = preprocess_one(np.asarray(image, dtype=np.uint8), media_ref)
     text = model.recognize_texts(x[None])[0].as_py()
     return text if text else "a"
