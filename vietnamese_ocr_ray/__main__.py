@@ -48,7 +48,7 @@ def main(argv=None):
     ep.add_argument("--docs", required=True)
     ep.add_argument("--media", required=True)
     ep.add_argument("--out", required=True)
-    ep.add_argument("--mode", default="cogroup", choices=["cogroup", "join", "broadcast"])
+    ep.add_argument("--mode", default="cogroup", choices=["cogroup", "join", "broadcast", "copartitioned"])
     ep.add_argument("--chunk-fragments", type=int, default=8)
 
     tp = sub.add_parser("predict-txt", help="format extracted output as reference prediction.txt")

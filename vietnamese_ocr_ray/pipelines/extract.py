@@ -357,7 +357,15 @@ def run_extract(
         if len(frag_ds) > 1:
             ds = ds.union(*frag_ds[1:])
 
-        if media_mode in ("join", "cogroup"):
+        if media_mode == "copartitioned":
+            # media_path is the write_media_bucketed directory
+            result = extract_spans(
+                ds,
+                media_path,
+                media_mode="copartitioned",
+                **pipeline_kwargs,
+            )
+        elif media_mode in ("join", "cogroup"):
             media_ds = read_media(media_path)
             result = extract_spans(
                 ds,
