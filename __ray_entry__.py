@@ -104,6 +104,22 @@ def _reassembled(sf_dir: str):
     return _extracted_dataset(sf_dir).map_batches(summarize, batch_format="pyarrow")
 
 
+def _media_features(sf_dir: str):
+    """Multimodal feature extraction over the synthesized media table
+    (rows-only: SQL cannot decode binary pixel payloads; the numpy
+    reference check lives in tests/test_multimodal.py)."""
+    import ray.data as rd
+
+    from vietnamese_ocr_ray.stages.multimodal import media_features
+    from vietnamese_ocr_ray.synth import ensure_corpus
+
+    _, media_dir = ensure_corpus(sf_dir)
+    ds = rd.read_parquet(
+        media_dir, columns=["media_ref", "image", "height", "width"]
+    )
+    return media_features(ds)
+
+
 def _media_stub(sf_dir: str):
     """Multimodal plumbing demo: media table -> actor-pool metadata
     stage with the heavy decode stubbed (no image libs in sandbox —
@@ -435,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_flat": _flatten_extracted,
         "extract_reassembled": _reassembled,
         "media_stub": _media_stub,
+        "media_features": _media_features,
         # structural operators on documents
         "explode_tokens": doctext.explode_tokens,
         "reassemble_tokens": doctext.reassemble_tokens,

@@ -1,0 +1,106 @@
+"""Multimodal stages: raw decode views, features vs numpy reference,
+thumbnail geometry + losslessness at 2x, frame sampling, codec gate."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from vietnamese_ocr_ray.stages.multimodal import (
+    ImageFeatures,
+    Thumbnail,
+    _decode_views,
+    sample_frames,
+)
+
+
+def _media_batch(n=6, seed=11):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        h, w = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+        rows.append(
+            {
+                "media_ref": f"m-{i}",
+                "image": rng.integers(0, 256, (h, w), np.uint8).tobytes(),
+                "height": h,
+                "width": w,
+                "encoding": "raw",
+            }
+        )
+    t = pa.Table.from_pylist(rows)
+    return t.set_column(
+        t.schema.get_field_index("image"),
+        "image",
+        t.column("image").cast(pa.binary()),
+    )
+
+
+def test_features_match_numpy_reference():
+    batch = _media_batch()
+    out = ImageFeatures()(batch).to_pylist()
+    views, _, _ = _decode_views(batch)
+    for row, v in zip(out, views):
+        f = v.astype(np.float32)
+        assert row["mean_intensity"] == pytest.approx(round(float(f.mean()), 4))
+        assert row["std_intensity"] == pytest.approx(round(float(f.std()), 4))
+
+
+def test_codec_gate_raises():
+    batch = _media_batch()
+    enc = ["raw"] * (batch.num_rows - 1) + ["jpeg"]
+    batch = batch.set_column(
+        batch.schema.get_field_index("encoding"), "encoding", pa.array(enc)
+    )
+    with pytest.raises(NotImplementedError, match="jpeg"):
+        ImageFeatures()(batch)
+
+
+def test_thumbnail_geometry_and_chaining():
+    batch = _media_batch()
+    out = Thumbnail(out_h=16)(batch)
+    assert out.column_names == ["media_ref", "image", "height", "width", "encoding"]
+    for r in out.to_pylist():
+        assert r["height"] <= 16
+        assert len(r["image"]) == r["height"] * r["width"]
+    # output is itself a valid media batch (stage chaining)
+    ImageFeatures()(out)
+
+
+def test_sample_frames_explodes_deterministically():
+    rng = np.random.default_rng(5)
+    h, w, nf = 4, 6, 7
+    video = rng.integers(0, 256, (nf, h, w), np.uint8)
+    batch = pa.table(
+        {
+            "media_ref": ["v-0"],
+            "video": pa.array([video.tobytes()], pa.binary()),
+            "height": pa.array([h], pa.int32()),
+            "width": pa.array([w], pa.int32()),
+            "n_frames": pa.array([nf], pa.int32()),
+        }
+    )
+    out = sample_frames(batch, every_k=3)
+    assert out.column("media_ref").to_pylist() == ["v-0#f0", "v-0#f3", "v-0#f6"]
+    for i, f in enumerate([0, 3, 6]):
+        got = np.frombuffer(out.column("image")[i].as_py(), np.uint8).reshape(h, w)
+        assert np.array_equal(got, video[f])
+    # sampled frames feed the image stages directly
+    ImageFeatures()(out)
+
+
+def test_media_features_dataset_roundtrip(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from vietnamese_ocr_ray.stages.multimodal import media_features
+
+    batch = _media_batch(50)
+    pq.write_table(batch, str(tmp_path / "media.parquet"))
+    out = media_features(rd.read_parquet(str(tmp_path))).to_pandas()
+    assert len(out) == 50
+    assert set(out.columns) == {
+        "media_ref",
+        "mean_intensity",
+        "std_intensity",
+        "edge_density",
+    }
