@@ -476,6 +476,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group": lambda sf: relational.top_events_per_type(sf),
         "range_count": lambda sf: relational.signup_click_follow(sf),
         "distinct_users": lambda sf: relational.distinct_users_per_type(sf),
+        "events_hourly": lambda sf: relational.events_hourly(sf),
+        "status_pivot": lambda sf: relational.order_status_pivot(sf),
         "running_sum": lambda sf: relational.running_value_sum(sf),
         "split_sample": lambda sf: relational.split_sample(sf),
         # text analysis
@@ -881,6 +883,23 @@ def oracle_sql() -> dict[str, str]:
                epoch_us(l.ts) - epoch_us(r.click_ts) AS gap_us
         FROM l ASOF JOIN r
           ON l.user_id = r.user_id AND l.ts > r.click_ts
+        """,
+        "events_hourly": """
+        SELECT date_trunc('hour', ts) AS hour,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS DOUBLE)
+                 / 1000.0 AS total_value
+        FROM events GROUP BY hour
+        """,
+        "status_pivot": """
+        SELECT date_trunc('month', o_orderdate) AS month,
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_open,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_filled,
+               CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_partial
+        FROM orders GROUP BY month
         """,
         "distinct_users": """
         SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users

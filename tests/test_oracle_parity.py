@@ -63,6 +63,8 @@ def _check(m, con, name):
         "range_count",
         "distinct_users",
         "running_sum",
+        "events_hourly",
+        "status_pivot",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

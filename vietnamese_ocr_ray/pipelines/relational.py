@@ -715,3 +715,75 @@ def running_value_sum(sf_dir: str) -> rd.Dataset:
         return s
 
     return ds.groupby("user_id").map_groups(cumulate, batch_format="pandas")
+
+
+def events_hourly(sf_dir: str) -> rd.Dataset:
+    """Time-bucketed histogram (date_trunc-to-hour) with exact-integer
+    value sums — the partial/combiner pattern over a derived time key."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        hour = ts.astype("datetime64[h]").astype("datetime64[us]")
+        t = pa.table(
+            {
+                "hour": pa.array(hour),
+                "v": _cents(batch.column("value"), 1000),
+            }
+        )
+        df = t.to_pandas().groupby("hour", as_index=False).agg(
+            v=("v", "sum"), n=("v", "size")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum("v", alias_name="v"), Sum("n", alias_name="n"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "hour": b.column("hour"),
+                    "n_events": b.column("n"),
+                    "total_value": pc.divide(
+                        pc.cast(b.column("v"), pa.float64()), pa.scalar(1000.0)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def order_status_pivot(sf_dir: str) -> rd.Dataset:
+    """Conditional-aggregation pivot: one row per month, one count
+    column per order status (the CASE-WHEN pivot shape — wide output
+    from a single pass, no per-status scan)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_orderstatus"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        month = ts.astype("datetime64[M]").astype("datetime64[us]")
+        st = batch.column("o_orderstatus").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "month": pa.array(month),
+                "n_open": pa.array((st == "O").astype(np.int64)),
+                "n_filled": pa.array((st == "F").astype(np.int64)),
+                "n_partial": pa.array((st == "P").astype(np.int64)),
+            }
+        )
+        df = t.to_pandas().groupby("month", as_index=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(
+            Sum("n_open", alias_name="n_open"),
+            Sum("n_filled", alias_name="n_filled"),
+            Sum("n_partial", alias_name="n_partial"),
+        )
+    )
