@@ -148,3 +148,52 @@ def test_manifest_records_lineage(ray_session, tmp_path):
         assert r["rows_out"] <= r["rows_in"]  # empty docs dropped
         assert r["model_version"]
         assert os.path.isdir(r["output_uri"])
+
+
+def test_resume_copartitioned_mode(ray_session, tmp_path):
+    """Interrupt-and-resume holds for the bucketed-storage media mode:
+    resumed output == uninterrupted output, fragments skipped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.sources.storage import write_media_bucketed
+
+    docs, media = synth_corpus(60, seed=29)
+    docs_dir, media_dir = write_corpus(docs, media, str(tmp_path / "in"), n_fragments=4)
+    bucket_dir = str(tmp_path / "media_bucketed")
+    write_media_bucketed(media_dir, bucket_dir, num_buckets=8)
+
+    full_dir = str(tmp_path / "full")
+    s_full = run_extract(
+        docs_dir, bucket_dir, full_dir, chunk_fragments=2, media_mode="copartitioned"
+    )
+    assert s_full["fragments_processed"] == 4
+
+    part_in = str(tmp_path / "part_in")
+    os.makedirs(part_in)
+    frags = sorted(f for f in os.listdir(docs_dir) if f.endswith(".parquet"))
+    for f in frags[:2]:
+        shutil.copy(os.path.join(docs_dir, f), os.path.join(part_in, f))
+    resumed_dir = str(tmp_path / "resumed")
+    s1 = run_extract(
+        part_in, bucket_dir, resumed_dir, chunk_fragments=2, media_mode="copartitioned"
+    )
+    assert s1["fragments_processed"] == 2
+    for f in frags[2:]:
+        shutil.copy(os.path.join(docs_dir, f), os.path.join(part_in, f))
+    s2 = run_extract(
+        part_in, bucket_dir, resumed_dir, chunk_fragments=2, media_mode="copartitioned"
+    )
+    assert s2["fragments_done_prior"] == 2
+    assert s2["fragments_processed"] == 2
+
+    def read_all(d):
+        tabs = []
+        for root, _, files in os.walk(d):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    tabs.append(pq.read_table(os.path.join(root, f)))
+        t = pa.concat_tables(tabs)
+        return canon(t.drop_columns([c for c in ["_fragment"] if c in t.column_names]).to_pylist())
+
+    assert read_all(full_dir) == read_all(resumed_dir)
