@@ -131,6 +131,12 @@ def run_bench() -> dict:
     from ray.data.context import ShuffleStrategy
 
     ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    # NOTE: op_resource_reservation_ratio=0.0 gives ~10% more headline
+    # throughput here (reservation idles 17-19/32 slots during the hot
+    # stage) but helps the 8-cpu leg MORE than the 32-cpu leg, pushing
+    # measured 8->32 scaling efficiency below the 0.8 target (0.72-0.80
+    # vs ~1.0 with the default). Keep the default reservation: the
+    # scaling criterion is the north-star metric.
 
     import pyarrow.parquet as pq
 
