@@ -4,10 +4,11 @@ Jaccard — expressed Ray-Data-first:
 * exact:   vectorized 64-bit content hash -> hash-partitioned groupby
            -> per-group exact-text dedup (hash collisions are harmless
            because the final match is on the text itself).
-* minhash: shingle -> minhash signature per batch (vectorized) ->
+* minhash (Broder 1997's resemblance sketch + the banding LSH of
+  Indyk & Motwani 1998): shingle -> minhash signature per batch (vectorized) ->
            explode to (band, band_hash, doc_id) rows -> bucket groupby
            -> candidate pairs -> exact-Jaccard verification.
-* simhash: 64-bit fingerprint per doc, vectorized bit-majority.
+* simhash (Charikar 2002): 64-bit fingerprint per doc, vectorized bit-majority.
 * n-gram Jaccard: character-set Jaccard between paired rows
   (bitmask-vectorized for ASCII), DuckDB ``jaccard()``-compatible.
 

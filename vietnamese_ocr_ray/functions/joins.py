@@ -47,6 +47,17 @@ def key_bucket(arr, num_buckets: int) -> np.ndarray:
     return (_mix64(ints) % np.uint64(num_buckets)).astype(np.int64)
 
 
+def _ensure_schema(ds: rd.Dataset, schema: pa.Schema) -> rd.Dataset:
+    """Pin the declared output schema on the lazy Dataset by unioning a
+    typed zero-row seed block — ``Dataset.schema()`` then stays correct
+    even when every group returns zero rows. (Known Ray limitation,
+    not fixable here: ``to_pandas()`` of a fully-EMPTY dataset still
+    loses columns — this Ray version drops empty blocks before the UDF
+    and pandas-concat erases their schema; it affects every empty
+    Dataset, e.g. a filter matching nothing, not just these joins.)"""
+    return ds.union(rd.from_arrow(schema.empty_table()))
+
+
 def asof_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -149,7 +160,11 @@ def asof_join(
     u = left.map_batches(left_side, batch_format="pyarrow").union(
         right.map_batches(right_side, batch_format="pyarrow")
     )
-    return u.groupby("_bucket").map_groups(merge_bucket, batch_format="pyarrow")
+    out = u.groupby("_bucket").map_groups(merge_bucket, batch_format="pyarrow")
+    out_schema = pa.schema(
+        [pa.field(n, (l_fields | r_fields)[n]) for n in l_names + r_payload]
+    )
+    return _ensure_schema(out, out_schema)
 
 
 def range_count_join(
@@ -243,4 +258,12 @@ def range_count_join(
     u = left.map_batches(tag(0), batch_format="pyarrow").union(
         right.map_batches(tag(1), batch_format="pyarrow")
     )
-    return u.groupby("_bucket").map_groups(count_bucket, batch_format="pyarrow")
+    out = u.groupby("_bucket").map_groups(count_bucket, batch_format="pyarrow")
+    out_schema = pa.schema(
+        [
+            pa.field(n, t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t))
+            for n, t in l_types.items()
+        ]
+        + [pa.field(out_col, pa.int64())]
+    )
+    return _ensure_schema(out, out_schema)

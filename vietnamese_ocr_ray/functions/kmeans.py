@@ -1,4 +1,6 @@
-"""Distributed k-means + IVF-style ANN over an embedding column.
+"""Distributed k-means (Lloyd 1982) + IVF-style ANN (the inverted-file
+indexing of Sivic & Zisserman 2003 / Jegou et al. 2011, sans product
+quantization) over an embedding column.
 
 k-means is the canonical iterative Ray Data algorithm shape: each round
 is one streaming pass — map_batches computes per-centroid partial sums

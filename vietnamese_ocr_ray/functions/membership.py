@@ -1,4 +1,4 @@
-"""Membership operators: vectorized Bloom filter + broadcast semi/anti
+"""Membership operators: vectorized Bloom filter (Bloom 1970) + broadcast semi/anti
 joins.
 
 The guide-pattern for semi/anti joins at scale: broadcast the key set
