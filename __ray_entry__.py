@@ -165,6 +165,20 @@ def _docs(sf_dir: str, columns=("doc_id", "text")):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
 
 
+def _hash_sample(sf_dir: str):
+    """Shuffle-free deterministic 30% sample of documents by salted
+    content-hash band (the reproducible web-scale split; exact row-set
+    parity with the SQL polynomial-hash oracle)."""
+    from vietnamese_ocr_ray.functions.sampling import hash_sample
+
+    return hash_sample(
+        _docs(sf_dir, ("doc_id", "lang")),
+        "doc_id",
+        rate_permille=300,
+        salt="split1:",
+    )
+
+
 def _dedup_exact(sf_dir: str):
     from vietnamese_ocr_ray.functions.dedup import dedup_exact
 
@@ -480,6 +494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "status_pivot": lambda sf: relational.order_status_pivot(sf),
         "running_sum": lambda sf: relational.running_value_sum(sf),
         "split_sample": lambda sf: relational.split_sample(sf),
+        "hash_sample": _hash_sample,
         # text analysis
         "lang_id": lambda sf: lang_id(_docs(sf)),
         "token_count": lambda sf: token_count(_docs(sf)),
@@ -883,6 +898,17 @@ def oracle_sql() -> dict[str, str]:
                epoch_us(l.ts) - epoch_us(r.click_ts) AS gap_us
         FROM l ASOF JOIN r
           ON l.user_id = r.user_id AND l.ts > r.click_ts
+        """,
+        "hash_sample": """
+        WITH h AS (
+          SELECT doc_id, lang,
+                 CAST(list_sum(list_transform(
+                     string_split('split1:' || CAST(doc_id AS VARCHAR), ''),
+                     (c, i) -> unicode(c) * i)) % 1000000007 AS BIGINT) AS fp
+          FROM documents
+        )
+        SELECT doc_id, lang FROM h
+        WHERE ((fp * fp % 1000000007) * fp % 1000000007) % 1000 < 300
         """,
         "events_hourly": """
         SELECT date_trunc('hour', ts) AS hour,

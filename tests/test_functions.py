@@ -376,3 +376,37 @@ def test_connected_components_shuffled_equals_broadcast(ray_session):
     assert bc.equals(sh)
     # min-label invariant: every component id is a member of itself
     assert set(bc["component"]).issubset(set(bc["node"]))
+
+
+def test_hash_sample_bands_partition_corpus(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vietnamese_ocr_ray.functions.sampling import hash_sample
+
+    docs = pa.table({"doc_id": list(range(2000)), "v": list(range(2000))})
+
+    def ids(rate, off):
+        ds = hash_sample(
+            rd.from_arrow(docs),
+            "doc_id",
+            rate_permille=rate,
+            salt="s:",
+            band_offset_permille=off,
+        )
+        return set(ds.to_pandas()["doc_id"])
+
+    train, val, test = ids(800, 0), ids(100, 800), ids(100, 900)
+    assert train | val | test == set(range(2000))  # bands cover
+    assert not (train & val or train & test or val & test)  # disjoint
+    # stable under different partitioning
+    ds2 = hash_sample(
+        rd.from_arrow(docs).repartition(13),
+        "doc_id",
+        rate_permille=800,
+        salt="s:",
+    )
+    assert set(ds2.to_pandas()["doc_id"]) == train
+    # different salt -> different (but same-sized-ish) sample
+    other = hash_sample(rd.from_arrow(docs), "doc_id", rate_permille=800, salt="t:")
+    assert set(other.to_pandas()["doc_id"]) != train

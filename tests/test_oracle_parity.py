@@ -65,6 +65,7 @@ def _check(m, con, name):
         "running_sum",
         "events_hourly",
         "status_pivot",
+        "hash_sample",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

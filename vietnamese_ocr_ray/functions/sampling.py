@@ -1,0 +1,82 @@
+"""Deterministic hash-based sampling — the web-scale reproducible
+split. `random_shuffle`+`split_at_indices` (O2) needs a full shuffle
+and is seed-order dependent; at 100 TB the standard pattern is a
+content-hash predicate: ``keep iff h(key, salt) % D < rate``. It is
+embarrassingly parallel (a map_batches filter, no shuffle), stable
+across reruns/partitionings/cluster sizes, and composable (disjoint
+rate bands give train/val/test without coordination).
+
+The hash is the same SQL-expressible polynomial used by
+functions/text.fingerprint (sum of codepoint*position mod 1e9+7 over
+the salted key string), so the driver value-checks the exact sampled
+row set against DuckDB — not just its size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+FP_MOD = 1_000_000_007
+
+
+def _poly_hash(arr: pa.Array) -> np.ndarray:
+    """sum(codepoint(c_i) * i, 1-based) % 1e9+7 per string — identical
+    to functions/text.fingerprint_batch (ASCII fast path + fallback)."""
+    from vietnamese_ocr_ray.functions.dedup import _utf8_flat
+
+    a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    offs, data = _utf8_flat(a)
+    n = len(a)
+    out = np.zeros(n, np.int64)
+    if data.size == 0 or (data < 128).all():
+        chars = data.astype(np.int64)
+        lens = offs[1:] - offs[:-1]
+        starts = np.repeat(offs[:-1], lens)
+        local = np.arange(chars.shape[0], dtype=np.int64) - starts + 1
+        csum = np.concatenate([[0], np.cumsum(chars * local)])
+        out = (csum[offs[1:]] - csum[offs[:-1]]) % FP_MOD
+    else:
+        for i in range(n):
+            s = a[i].as_py() or ""
+            out[i] = sum(ord(c) * (j + 1) for j, c in enumerate(s)) % FP_MOD
+    return out
+
+
+def hash_sample(
+    ds: rd.Dataset,
+    key_col: str,
+    *,
+    rate_permille: int,
+    salt: str = "",
+    band_offset_permille: int = 0,
+) -> rd.Dataset:
+    """Keep rows where ``h(salt + str(key)) % 1000`` falls in
+    ``[band_offset, band_offset + rate_permille)`` — an exact,
+    shuffle-free, rerun-stable sample of ~rate_permille/1000 of the
+    data. Non-overlapping bands partition the corpus (train/val/test).
+    """
+    if not 0 <= rate_permille <= 1000:
+        raise ValueError("rate_permille must be in [0, 1000]")
+    lo = band_offset_permille
+    hi = band_offset_permille + rate_permille
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = pc.binary_join_element_wise(
+            pa.scalar(salt),
+            pc.cast(batch.column(key_col), pa.string()),
+            pa.scalar(""),
+        )
+        fp = _poly_hash(keys)
+        # cube mod p before banding: the raw polynomial is linear in the
+        # codepoints, so similar keys cluster (measured 18% in a 30%
+        # band over sequential ids); fp^3 mod p mixes to ~29% while
+        # staying SQL-expressible in 64-bit arithmetic
+        mixed = (fp * fp % FP_MOD) * fp % FP_MOD
+        band = mixed % 1000
+        mask = (band >= lo) & (band < hi)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
