@@ -456,6 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         fingerprint,
         lang_id,
         quality_scores,
+        subword_token_count,
         token_count,
     )
     from vietnamese_ocr_ray.pipelines import doctext, relational
@@ -498,6 +499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "lang_id": lambda sf: lang_id(_docs(sf)),
         "token_count": lambda sf: token_count(_docs(sf)),
+        "subword_tokens": lambda sf: subword_token_count(_docs(sf)),
         "quality_scores": lambda sf: quality_scores(_docs(sf)),
         "fingerprint": lambda sf: fingerprint(_docs(sf)),
         "cer": _cer,
@@ -748,6 +750,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": """
         SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+        """,
+        "subword_tokens": """
+        SELECT doc_id,
+               CAST(length(regexp_extract_all(
+                 text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                 AS n_subword_tokens
         FROM documents
         """,
         "quality_scores": """

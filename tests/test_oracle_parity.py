@@ -66,6 +66,7 @@ def _check(m, con, name):
         "events_hourly",
         "status_pivot",
         "hash_sample",
+        "subword_tokens",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

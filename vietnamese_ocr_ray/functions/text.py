@@ -82,6 +82,25 @@ def token_count(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(token_count_batch, batch_format="pyarrow")
 
 
+SUBWORD_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def subword_token_count_batch(batch: pa.Table) -> pa.Table:
+    """BPE-style pre-tokenizer count: runs of letters, runs of digits,
+    and single other non-space characters (the lookahead-free core of
+    the GPT-2 pre-tokenizer split — RE2-safe, so Arrow's
+    count_substring_regex and DuckDB's regexp_extract_all count the
+    exact same matches)."""
+    n = pc.count_substring_regex(batch.column("text"), SUBWORD_PATTERN)
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "n_subword_tokens": n.cast(pa.int64())}
+    )
+
+
+def subword_token_count(ds: rd.Dataset) -> rd.Dataset:
+    return ds.map_batches(subword_token_count_batch, batch_format="pyarrow")
+
+
 def quality_batch(batch: pa.Table) -> pa.Table:
     """Quality signals: token count, punctuation count, stopword count,
     chars-per-token — all exact-integer or single-division doubles so
