@@ -50,6 +50,21 @@ def main(argv=None):
     ep.add_argument("--out", required=True)
     ep.add_argument("--mode", default="cogroup", choices=["cogroup", "join", "broadcast", "copartitioned"])
     ep.add_argument("--chunk-fragments", type=int, default=8)
+    ep.add_argument(
+        "--cogroup-buckets",
+        type=int,
+        default=96,
+        help="logical join buckets; use >> physical partition count "
+        "(input blocks) so range partitioning cannot skew",
+    )
+    ep.add_argument(
+        "--recognize-compute",
+        default="actors",
+        choices=["actors", "tasks"],
+        help="actors pins model weights per worker (GPU shape); tasks "
+        "caches per process and lets the executor rebalance CPUs",
+    )
+    ep.add_argument("--recognize-batch-size", type=int, default=2048)
 
     tp = sub.add_parser("predict-txt", help="format extracted output as reference prediction.txt")
     tp.add_argument("--extracted", required=True)
@@ -68,13 +83,15 @@ def main(argv=None):
         elif args.cmd == "extract":
             from vietnamese_ocr_ray.pipelines.extract import run_extract
 
-            summary = run_extract(
-                args.docs,
-                args.media,
-                args.out,
+            kwargs = dict(
                 chunk_fragments=args.chunk_fragments,
                 media_mode=args.mode,
+                recognize_batch_size=args.recognize_batch_size,
+                recognize_compute=args.recognize_compute,
             )
+            if args.mode != "copartitioned":  # bucket count fixed by storage there
+                kwargs["cogroup_buckets"] = args.cogroup_buckets
+            summary = run_extract(args.docs, args.media, args.out, **kwargs)
             print(json.dumps(summary))
         elif args.cmd == "predict-txt":
             import ray.data as rd
