@@ -1,0 +1,68 @@
+"""Cluster job entrypoint for the flagship extraction pipeline.
+
+Submit to a running Ray cluster (the north-star N-node / 4N-node runs):
+
+    ray job submit --working-dir . -- \
+        python scripts/job_extract.py \
+            --docs  s3://bucket/corpus/docs \
+            --media s3://bucket/corpus/media \
+            --out   s3://bucket/extracted \
+            --mode  cogroup --cogroup-buckets 4096
+
+Inside the job, ``ray.init()`` with no address attaches to the
+submitting cluster (RAY_ADDRESS is set by the job runtime); run
+locally the same command falls back to a local cluster. The pipeline
+itself is Dataset-API-only — cluster size is purely a scheduling
+concern. Resume: rerunning with the same --out skips fragments the
+per-partition lineage manifest marks done.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--docs", required=True)
+    p.add_argument("--media", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument(
+        "--mode",
+        default="cogroup",
+        choices=["cogroup", "join", "broadcast", "copartitioned"],
+    )
+    p.add_argument("--chunk-fragments", type=int, default=64)
+    p.add_argument("--cogroup-buckets", type=int, default=4096)
+    p.add_argument("--recognize-compute", default="actors", choices=["actors", "tasks"])
+    p.add_argument("--recognize-batch-size", type=int, default=2048)
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init()  # attaches to the job's cluster; local fallback
+
+    from vietnamese_ocr_ray.pipelines.extract import run_extract
+
+    kwargs = dict(
+        chunk_fragments=args.chunk_fragments,
+        media_mode=args.mode,
+        recognize_batch_size=args.recognize_batch_size,
+        recognize_compute=args.recognize_compute,
+    )
+    if args.mode != "copartitioned":
+        kwargs["cogroup_buckets"] = args.cogroup_buckets
+    summary = run_extract(args.docs, args.media, args.out, **kwargs)
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
