@@ -179,6 +179,18 @@ def _hash_sample(sf_dir: str):
     )
 
 
+def _approx_quantiles(sf_dir: str):
+    """Mergeable-summary quantiles over events.value (rows-only:
+    approximate by design; accuracy bound tested vs exact in
+    tests/test_functions.py)."""
+    import ray.data as rd
+
+    from vietnamese_ocr_ray.functions.sketch import approx_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return approx_quantiles(ds, "value", qs=(0.5, 0.95))
+
+
 def _dedup_exact(sf_dir: str):
     from vietnamese_ocr_ray.functions.dedup import dedup_exact
 
@@ -523,6 +535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_without_stopword": _docs_without_stopword,
         "top_tokens": _top_tokens,
         "approx_distinct_tokens": _approx_distinct_tokens,
+        "approx_quantiles": _approx_quantiles,
     }
 
 

@@ -410,3 +410,60 @@ def test_hash_sample_bands_partition_corpus(ray_session):
     # different salt -> different (but same-sized-ish) sample
     other = hash_sample(rd.from_arrow(docs), "doc_id", rate_permille=800, salt="t:")
     assert set(other.to_pandas()["doc_id"]) != train
+
+
+def test_quantile_summary_accuracy_and_determinism():
+    import numpy as np
+
+    from vietnamese_ocr_ray.functions.sketch import QuantileSummary
+
+    rng = np.random.default_rng(17)
+    x = rng.lognormal(0, 1, 100_000)
+    # build from 50 chunks, merge pairwise
+    chunks = np.array_split(x, 50)
+    s = QuantileSummary.of(chunks[0], capacity=512)
+    for c in chunks[1:]:
+        s.merge(QuantileSummary.of(c, capacity=512))
+    assert s.values.shape[0] <= 512
+    assert s.weights.sum() == len(x)
+    for q in (0.01, 0.25, 0.5, 0.9, 0.99):
+        est = s.quantile(q)
+        # rank error bound: where does est fall in the true ranking?
+        rank_err = abs((x <= est).mean() - q)
+        assert rank_err < 0.02, (q, rank_err)
+    # determinism under a different chunking
+    s2 = QuantileSummary.of(x[:70_000], capacity=512).merge(
+        QuantileSummary.of(x[70_000:], capacity=512)
+    )
+    assert s2.weights.sum() == len(x)
+    # round-trip
+    s3 = QuantileSummary.deserialize(s.serialize())
+    assert s3.quantile(0.5) == s.quantile(0.5)
+
+
+def test_quantile_summary_exact_when_uncompacted():
+    import numpy as np
+
+    from vietnamese_ocr_ray.functions.sketch import QuantileSummary
+
+    x = np.array([3.0, 1.0, 4.0, 1.5, 9.0])
+    s = QuantileSummary.of(x, capacity=100)
+    for q in (0.0, 0.25, 0.5, 0.77, 1.0):
+        assert s.quantile(q) == pytest.approx(
+            float(np.percentile(x, q * 100, method="linear"))
+        )
+
+
+def test_approx_quantiles_dataset(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vietnamese_ocr_ray.functions.sketch import approx_quantiles
+
+    rng = np.random.default_rng(23)
+    vals = rng.normal(100, 15, 20_000)
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(16)
+    out = approx_quantiles(ds, "v", qs=(0.5, 0.95)).to_pylist()[0]
+    assert abs(out["p50"] - np.percentile(vals, 50)) < 1.0
+    assert abs(out["p95"] - np.percentile(vals, 95)) < 1.5

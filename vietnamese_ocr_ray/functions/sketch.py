@@ -116,3 +116,131 @@ def approx_distinct_tokens(
     return pa.table(
         {"approx_distinct_tokens": pa.array([int(round(merged.estimate()))], pa.int64())}
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile summary (the scale path for grouped quantiles)
+# ---------------------------------------------------------------------------
+
+
+class QuantileSummary:
+    """Deterministic mergeable quantile summary: a bounded, SORTED
+    sample where each kept value carries the count of raw values it
+    represents (its weight). Built per batch, merged associatively
+    (concat-sort + weight-preserving compaction to ``capacity``), and
+    queried by weighted-rank interpolation — the Greenwald-Khanna /
+    t-digest ROLE with a deliberately simple compaction whose rank
+    error is bounded by (total weight / capacity) per compaction pass.
+
+    Use where relational.value_quantiles' exact per-group sort cannot:
+    groups larger than a task's heap. Everything is deterministic
+    (no RNG), so reruns and different partitionings agree exactly.
+    """
+
+    __slots__ = ("capacity", "values", "weights")
+
+    def __init__(self, capacity: int = 512, values=None, weights=None):
+        self.capacity = capacity
+        self.values = np.empty(0) if values is None else values
+        self.weights = np.empty(0, np.int64) if weights is None else weights
+
+    @classmethod
+    def of(cls, x: np.ndarray, capacity: int = 512) -> "QuantileSummary":
+        s = cls(capacity)
+        v = np.sort(np.asarray(x, np.float64))
+        s.values, s.weights = v, np.ones(v.shape[0], np.int64)
+        s._compact()
+        return s
+
+    def merge(self, other: "QuantileSummary") -> "QuantileSummary":
+        v = np.concatenate([self.values, other.values])
+        w = np.concatenate([self.weights, other.weights])
+        order = np.argsort(v, kind="stable")
+        self.values, self.weights = v[order], w[order]
+        self._compact()
+        return self
+
+    def _compact(self) -> None:
+        n = self.values.shape[0]
+        if n <= self.capacity:
+            return
+        # weighted-rank strided selection: keep the value at every
+        # (total/capacity)-th unit of weight; sum weights into the kept
+        # representative to stay lossless in total mass
+        cum = np.cumsum(self.weights)
+        total = cum[-1]
+        targets = (np.arange(self.capacity, dtype=np.float64) + 0.5) * (
+            total / self.capacity
+        )
+        idx = np.searchsorted(cum, targets, side="left")
+        # the max element must stay a representative or the tail mass
+        # beyond the last stride target would be dropped
+        idx = np.unique(np.append(np.minimum(idx, n - 1), n - 1))
+        # weight of representative i = raw mass between its rank bounds
+        bounds = np.concatenate([[0], cum[idx]])
+        self.values = self.values[idx]
+        self.weights = np.diff(bounds).astype(np.int64)
+        # searchsorted of strictly increasing targets keeps weights > 0
+        assert (self.weights > 0).all() and self.weights.sum() == total
+
+    def quantile(self, q: float) -> float:
+        """Weighted-rank linear interpolation (matches numpy 'linear'
+        exactly while the summary is uncompacted)."""
+        cum = np.cumsum(self.weights)
+        total = cum[-1]
+        rank = q * (total - 1)
+        # position of each kept value = midrank of its weight span
+        pos = cum - 1.0 - (self.weights - 1) / 2.0
+        i = np.searchsorted(pos, rank, side="right")
+        if i == 0:
+            return float(self.values[0])
+        if i >= self.values.shape[0]:
+            return float(self.values[-1])
+        lo, hi = pos[i - 1], pos[i]
+        f = 0.0 if hi == lo else (rank - lo) / (hi - lo)
+        return float(self.values[i - 1] + f * (self.values[i] - self.values[i - 1]))
+
+    def serialize(self) -> bytes:
+        return (
+            np.int64(self.capacity).tobytes()
+            + np.int64(self.values.shape[0]).tobytes()
+            + self.values.astype(np.float64).tobytes()
+            + self.weights.astype(np.int64).tobytes()
+        )
+
+    @classmethod
+    def deserialize(cls, b: bytes) -> "QuantileSummary":
+        cap = int(np.frombuffer(b[:8], np.int64)[0])
+        n = int(np.frombuffer(b[8:16], np.int64)[0])
+        v = np.frombuffer(b[16 : 16 + 8 * n], np.float64).copy()
+        w = np.frombuffer(b[16 + 8 * n : 16 + 16 * n], np.int64).copy()
+        return cls(cap, v, w)
+
+
+def approx_quantiles(
+    ds: rd.Dataset,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.95),
+    capacity: int = 512,
+) -> pa.Table:
+    """Distributed approximate quantiles: one summary per batch, one
+    pairwise-merge reduction — never materializes or sorts the column.
+    Deterministic across reruns and partitionings."""
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        s = QuantileSummary.of(
+            np.asarray(batch.column(value_col), np.float64), capacity
+        )
+        return pa.table({"sketch": pa.array([s.serialize()], pa.binary())})
+
+    parts = ds.map_batches(sketch_batch, batch_format="pyarrow")
+    merged = None
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for blob in b.column("sketch").to_pylist():
+            s = QuantileSummary.deserialize(blob)
+            merged = s if merged is None else merged.merge(s)
+    if merged is None:
+        return pa.table({f"p{int(q*100)}": pa.array([], pa.float64()) for q in qs})
+    return pa.table(
+        {f"p{int(q*100)}": pa.array([merged.quantile(q)]) for q in qs}
+    )
