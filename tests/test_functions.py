@@ -467,3 +467,32 @@ def test_approx_quantiles_dataset(ray_session):
     out = approx_quantiles(ds, "v", qs=(0.5, 0.95)).to_pylist()[0]
     assert abs(out["p50"] - np.percentile(vals, 50)) < 1.0
     assert abs(out["p95"] - np.percentile(vals, 95)) < 1.5
+
+
+def test_grouped_approx_quantiles(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from vietnamese_ocr_ray.functions.sketch import grouped_approx_quantiles
+
+    rng = np.random.default_rng(41)
+    n = 30_000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], n),
+            "v": rng.exponential(10, n),
+        }
+    )
+    out = (
+        grouped_approx_quantiles(
+            rd.from_pandas(df).repartition(12), "g", "v", qs=(0.5, 0.9)
+        )
+        .to_pandas()
+        .set_index("g")
+    )
+    for g, grp in df.groupby("g"):
+        for q, col in ((0.5, "p50"), (0.9, "p90")):
+            est = out.loc[g, col]
+            rank_err = abs((grp["v"] <= est).mean() - q)
+            assert rank_err < 0.02, (g, q, rank_err)

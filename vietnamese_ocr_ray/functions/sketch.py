@@ -244,3 +244,59 @@ def approx_quantiles(
     return pa.table(
         {f"p{int(q*100)}": pa.array([merged.quantile(q)]) for q in qs}
     )
+
+
+def grouped_approx_quantiles(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.95),
+    capacity: int = 512,
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Per-group approximate quantiles at unbounded group size: each
+    batch emits one serialized summary per (group) it saw (the
+    combiner — shuffle volume is O(groups x blocks x capacity), never
+    O(rows)), groups hash-bucket, and each bucket merges its groups'
+    sketches. The grouped twin of relational.value_quantiles for
+    groups that no longer fit a task's heap."""
+    import pandas as pd
+
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "k": batch.column(key_col).to_pandas(),
+                "v": np.asarray(batch.column(value_col), np.float64),
+            }
+        )
+        rows_k, rows_s = [], []
+        for k, g in df.groupby("k", sort=False):
+            rows_k.append(k)
+            rows_s.append(QuantileSummary.of(g["v"].to_numpy(), capacity).serialize())
+        t = pa.table(
+            {key_col: pa.array(rows_k), "sketch": pa.array(rows_s, pa.binary())}
+        )
+        return t.append_column(
+            "_bucket",
+            pa.array(key_bucket(t.column(key_col), num_buckets).astype(np.int32)),
+        )
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = {key_col: [], **{f"p{int(q*100)}": [] for q in qs}}
+        for k, rows in g.groupby(key_col, sort=False):
+            s = None
+            for blob in rows["sketch"]:
+                part = QuantileSummary.deserialize(blob)
+                s = part if s is None else s.merge(part)
+            out[key_col].append(k)
+            for q in qs:
+                out[f"p{int(q*100)}"].append(s.quantile(q))
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(merge_bucket, batch_format="pandas")
+    )
