@@ -126,3 +126,25 @@ def test_copartitioned_matches_cogroup(ray_session, tmp_path):
     base = base.sort_values("doc_id").reset_index(drop=True)
     cop = cop.sort_values("doc_id").reset_index(drop=True)
     assert base.equals(cop)
+
+
+def test_tasks_mode_matches_actor_mode(ray_session):
+    """bench.py's recognize_compute='tasks' must be a pure scheduling
+    choice — byte-identical output to the actor-pool default."""
+    import ray.data as rd
+
+    from vietnamese_ocr_ray.pipelines.extract import extract_spans
+    from vietnamese_ocr_ray.synth import synth_corpus
+
+    docs, media = synth_corpus(35, seed=19)
+    kw = dict(media_mode="cogroup", cogroup_buckets=8, num_buckets=4)
+    actors = extract_spans(rd.from_arrow(docs), rd.from_arrow(media), **kw).to_pandas()
+    tasks = extract_spans(
+        rd.from_arrow(docs),
+        rd.from_arrow(media),
+        recognize_compute="tasks",
+        **kw,
+    ).to_pandas()
+    actors = actors.sort_values("doc_id").reset_index(drop=True)
+    tasks = tasks.sort_values("doc_id").reset_index(drop=True)
+    assert actors.equals(tasks)

@@ -70,6 +70,10 @@ def main(argv=None):
     tp.add_argument("--extracted", required=True)
     tp.add_argument("--out", required=True)
 
+    mf = sub.add_parser("media-features", help="per-image feature extraction over a media table")
+    mf.add_argument("--media", required=True)
+    mf.add_argument("--out", required=True)
+
     args = p.parse_args(argv)
     ray = _ray_session()
     try:
@@ -93,6 +97,16 @@ def main(argv=None):
                 kwargs["cogroup_buckets"] = args.cogroup_buckets
             summary = run_extract(args.docs, args.media, args.out, **kwargs)
             print(json.dumps(summary))
+        elif args.cmd == "media-features":
+            import ray.data as rd
+
+            from vietnamese_ocr_ray.stages.multimodal import media_features
+
+            ds = rd.read_parquet(
+                args.media, columns=["media_ref", "image", "height", "width"]
+            )
+            media_features(ds).write_parquet(args.out)
+            print(json.dumps({"out": args.out}))
         elif args.cmd == "predict-txt":
             import ray.data as rd
 
