@@ -19,14 +19,18 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from vietnamese_ocr_ray.functions.dedup import _utf8_flat
+
 FP_MOD = 1_000_000_007
 
 
 def _poly_hash(arr: pa.Array) -> np.ndarray:
     """sum(codepoint(c_i) * i, 1-based) % 1e9+7 per string — identical
-    to functions/text.fingerprint_batch (ASCII fast path + fallback)."""
-    from vietnamese_ocr_ray.functions.dedup import _utf8_flat
+    to functions/text.fingerprint_batch (ASCII fast path + fallback).
 
+    NB: worker-executed code must never import the package INSIDE a
+    function — by-value shipping cannot cover lazy imports (see
+    .claude/skills/verify/SKILL.md)."""
     a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     offs, data = _utf8_flat(a)
     n = len(a)
