@@ -74,7 +74,8 @@ def test_new_queries_match_oracle(ray_session, name):
 
 
 @pytest.mark.skipif(
-    not os.environ.get("ORACLE_SWEEP"), reason="set ORACLE_SWEEP=1 for full sweep"
+    os.environ.get("ORACLE_SWEEP", "1") == "0",
+    reason="ORACLE_SWEEP=0 skips the full sweep",
 )
 def test_full_oracle_sweep(ray_session):
     m = _entry()
