@@ -203,6 +203,12 @@ def _neighbor_jaccard(sf_dir: str):
     return neighbor_jaccard(_docs(sf_dir))
 
 
+def _word_jaccard(sf_dir: str):
+    from vietnamese_ocr_ray.functions.dedup import word_jaccard
+
+    return word_jaccard(_docs(sf_dir))
+
+
 def _minhash_pairs(sf_dir: str):
     import ray
 
@@ -519,6 +525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup
         "dedup_exact": _dedup_exact,
         "neighbor_jaccard": _neighbor_jaccard,
+        "word_jaccard": _word_jaccard,
         "minhash_pairs": _minhash_pairs,
         "dedup_neardup": _dedup_neardup,
         "simhash": _simhash,
@@ -814,6 +821,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
                round(jaccard(a.text, b.text), 6) AS jaccard
         FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        """,
+        "word_jaccard": """
+        WITH w AS (
+          SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+          FROM documents
+        )
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.s, b.s))), 6)
+                 AS word_jaccard
+        FROM w a JOIN w b ON b.doc_id = a.doc_id + 1
         """,
         "embedding_neardup": """
         SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,

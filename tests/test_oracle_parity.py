@@ -67,6 +67,7 @@ def _check(m, con, name):
         "status_pivot",
         "hash_sample",
         "subword_tokens",
+        "word_jaccard",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

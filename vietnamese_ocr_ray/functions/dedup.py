@@ -782,3 +782,48 @@ def simhash_tokens(ds: rd.Dataset) -> rd.Dataset:
     return ds.select_columns(["doc_id", "text"]).map_batches(
         simhash_tokens_batch, batch_format="pyarrow"
     )
+
+
+def word_jaccard(ds: rd.Dataset, join_partitions: int = 8) -> rd.Dataset:
+    """Word-SET Jaccard between doc i and doc i+1 (the token-level
+    n-gram Jaccard twin of :func:`neighbor_jaccard`'s character-set
+    variant) — same deterministic self-join pairing; the per-pair set
+    intersection is exact on the token strings. Windowed-pair shape:
+    O(docs) pairs total; an all-pairs variant would hash-bucket tokens
+    (minhash_lsh_pairs is that scale path)."""
+    left = ds.select_columns(["doc_id", "text"])
+    right = ds.select_columns(["doc_id", "text"]).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id_b": b.column("doc_id"),
+                "join_key": pc.add(b.column("doc_id"), 1),
+                "text_b": b.column("text"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = left.join(
+        right,
+        join_type="inner",
+        num_partitions=join_partitions,
+        on=("doc_id",),
+        right_on=("join_key",),
+    )
+
+    def jac(batch: pa.Table) -> pa.Table:
+        a_texts = batch.column("text_b").to_pylist()  # doc i
+        b_texts = batch.column("text").to_pylist()  # doc i+1
+        js = np.empty(len(a_texts))
+        for i, (a, b) in enumerate(zip(a_texts, b_texts)):
+            sa, sb = set((a or "").split(" ")), set((b or "").split(" "))
+            union = len(sa | sb)
+            js[i] = (len(sa & sb) / union) if union else 1.0
+        return pa.table(
+            {
+                "doc_id_a": batch.column("doc_id_b"),
+                "doc_id_b": batch.column("doc_id"),
+                "word_jaccard": pa.array(np.round(js, 6), pa.float64()),
+            }
+        )
+
+    return joined.map_batches(jac, batch_format="pyarrow")
