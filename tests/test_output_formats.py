@@ -148,3 +148,18 @@ def test_tasks_mode_matches_actor_mode(ray_session):
     actors = actors.sort_values("doc_id").reset_index(drop=True)
     tasks = tasks.sort_values("doc_id").reset_index(drop=True)
     assert actors.equals(tasks)
+
+
+def test_copartitioned_rejects_salt(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from vietnamese_ocr_ray.pipelines.extract import extract_spans
+    from vietnamese_ocr_ray.synth import synth_corpus
+
+    docs, _ = synth_corpus(5, seed=1)
+    with pytest.raises(ValueError, match="salt"):
+        extract_spans(
+            rd.from_arrow(docs), "/nonexistent", media_mode="copartitioned",
+            cogroup_salt=4,
+        )

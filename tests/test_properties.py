@@ -141,3 +141,44 @@ def test_asof_join_matches_merge_asof(ray_session, left_rows, right_rows):
         return
     got = got.sort_values(["k", "t", "lv"]).reset_index(drop=True)
     assert got[exp.columns.tolist()].values.tolist() == exp.values.tolist()
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 4), st.integers(0, 100)), min_size=1, max_size=30),
+    st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)), min_size=0, max_size=30),
+    st.integers(0, 20),
+)
+@settings(max_examples=10, deadline=None)
+def test_range_count_join_matches_bruteforce_prop(ray_session, lrows, rrows, width):
+    import pandas as pd
+    import ray.data as rd
+
+    from vietnamese_ocr_ray.functions.joins import range_count_join
+
+    left = pd.DataFrame(lrows, columns=["k", "t"]).assign(lv=lambda d: range(len(d)))
+    left["t"] = left["t"].astype("datetime64[us]")
+    right = pd.DataFrame(rrows, columns=["k", "rt"])
+    if len(right) == 0:
+        right = pd.DataFrame({"k": pd.array([], dtype="int64"), "rt": pd.array([], dtype="int64")})
+    right["rt"] = right["rt"].astype("datetime64[us]")
+    got = (
+        range_count_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            by="k",
+            left_on="t",
+            right_on="rt",
+            lo_us=0,
+            hi_us=width + 1,
+            num_buckets=3,
+        )
+        .to_pandas()
+        .sort_values("lv")["n_in_range"]
+        .tolist()
+    )
+    lo, hi = pd.Timedelta(microseconds=0), pd.Timedelta(microseconds=width + 1)
+    exp = [
+        int(((right.k == r.k) & (right.rt >= r.t + lo) & (right.rt < r.t + hi)).sum())
+        for r in left.itertuples()
+    ]
+    assert got == exp

@@ -129,6 +129,12 @@ def extract_spans(
             raise TypeError(
                 "media_mode='copartitioned' needs the bucketed media DIR"
             )
+        if cogroup_salt > 1:
+            raise ValueError(
+                "copartitioned mode cannot salt at read time — hot keys "
+                "must be split when writing the bucketed layout "
+                "(write_media_bucketed with more buckets)"
+            )
         from vietnamese_ocr_ray.stages.cogroup import cogroup_media_copartitioned
 
         joined = cogroup_media_copartitioned(exploded, media)
