@@ -340,7 +340,7 @@ def test_hash_aggregate_rejects_nondecomposable():
         hash_aggregate(
             rd.from_pandas(pd.DataFrame({"k": [1], "v": [1]})),
             ["k"],
-            {"m": ("v", "mean")},
+            {"m": ("v", "median")},  # not decomposable (use QuantileSummary)
         )
 
 
@@ -496,3 +496,39 @@ def test_grouped_approx_quantiles(ray_session):
             est = out.loc[g, col]
             rank_err = abs((grp["v"] <= est).mean() - q)
             assert rank_err < 0.02, (g, q, rank_err)
+
+
+def test_hash_aggregate_mean(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    rng = np.random.default_rng(33)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 200, 4000),
+            "v": rng.integers(-50, 50, 4000),
+        }
+    )
+    got = (
+        hash_aggregate(
+            rd.from_pandas(df),
+            ["k"],
+            {"avg_v": ("v", "mean"), "n": ("v", "count")},
+            num_buckets=9,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.groupby("k", as_index=False)
+        .agg(avg_v=("v", "mean"), n=("v", "size"))
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["n"].tolist() == exp["n"].tolist()
+    np.testing.assert_allclose(got["avg_v"], exp["avg_v"], rtol=1e-12)
+    assert list(got.columns) == ["k", "avg_v", "n"]

@@ -36,17 +36,28 @@ def hash_aggregate(
 ) -> rd.Dataset:
     """Grouped aggregation for high-cardinality keys.
 
-    ``spec``: out_col -> (in_col, fn) with fn in sum|min|max|count
-    (the decomposable set — count partials become sums at merge).
-    Result columns: ``keys + list(spec)``.
+    ``spec``: out_col -> (in_col, fn) with fn in sum|min|max|count|mean.
+    All decompose into (per-batch partial, merge) pairs — count
+    partials become sums at merge; mean decomposes into a (sum, count)
+    pair finalized by one division. Result columns: ``keys + list(spec)``.
     """
-    for out, (_, fn) in spec.items():
-        if fn not in _PARTIAL:
-            raise ValueError(f"{out}: fn {fn!r} not in {sorted(_PARTIAL)}")
+    means: dict[str, str] = {}  # out_col -> in_col
+    base_spec: dict[str, tuple[str, str]] = {}
+    for out, (col, fn) in spec.items():
+        if fn == "mean":
+            means[out] = col
+            base_spec[f"_{out}_sum"] = (col, "sum")
+            base_spec[f"_{out}_n"] = (col, "count")
+        elif fn in _PARTIAL:
+            base_spec[out] = (col, fn)
+        else:
+            raise ValueError(
+                f"{out}: fn {fn!r} not in {sorted(_PARTIAL) + ['mean']}"
+            )
     partial_spec = {
-        out: (col, _PARTIAL[fn]) for out, (col, fn) in spec.items()
+        out: (col, _PARTIAL[fn]) for out, (col, fn) in base_spec.items()
     }
-    merge_spec = {out: (out, _MERGE[fn]) for out, (_, fn) in spec.items()}
+    merge_spec = {out: (out, _MERGE[fn]) for out, (_, fn) in base_spec.items()}
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(keys, as_index=False, sort=False).agg(**partial_spec)
@@ -56,7 +67,11 @@ def hash_aggregate(
         return g
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(keys, as_index=False, sort=False).agg(**merge_spec)
+        out = g.groupby(keys, as_index=False, sort=False).agg(**merge_spec)
+        for m, _ in means.items():
+            out[m] = out[f"_{m}_sum"] / out[f"_{m}_n"]
+            out = out.drop(columns=[f"_{m}_sum", f"_{m}_n"])
+        return out[keys + list(spec)]
 
     return (
         ds.map_batches(partial, batch_format="pandas")
