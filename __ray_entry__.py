@@ -338,6 +338,25 @@ def _components(sf_dir: str):
     return connected_components(pairs)
 
 
+def _dedup_neardup_cosine(sf_dir: str):
+    """Near-dup REMOVAL over the SQL-checkable cosine>=0.4 graph:
+    component survivors (min vec_id) + untouched vectors — upgrades
+    the removal operator itself to a value-checked query (the LSH
+    variant stays rows-only because banding isn't SQL-expressible)."""
+    import ray.data as rd
+
+    from vietnamese_ocr_ray.functions.dedup import neardup_survivors
+
+    pairs = _embedding_neardup(sf_dir).map_batches(
+        lambda b: pa.table({"a": b.column("vec_id_a"), "b": b.column("vec_id_b")}),
+        batch_format="pyarrow",
+    )
+    vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    return neardup_survivors(vecs, pairs, id_col="vec_id").select_columns(
+        ["vec_id"]
+    )
+
+
 def _embedding_stats(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
@@ -536,6 +555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": _ann_ivf,
         "embedding_neardup": _embedding_neardup,
         "components": _components,
+        "dedup_neardup_cosine": _dedup_neardup_cosine,
         "embedding_stats": _embedding_stats,
         "distinct_lang_source": _distinct_lang_source,
         "distinct_tokens": _distinct_tokens,
@@ -892,6 +912,25 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT v AS node, CAST(min(n) AS BIGINT) AS component
         FROM walk GROUP BY v
+        """,
+        "dedup_neardup_cosine": """
+        WITH RECURSIVE pairs AS (
+          SELECT a.vec_id AS a, b.vec_id AS b
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id < b.vec_id
+            AND round(list_cosine_similarity(
+                  CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+        ),
+        edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+        walk AS (
+          SELECT a AS v, a AS n FROM edges
+          UNION
+          SELECT walk.v, e.b FROM walk JOIN edges e ON walk.n = e.a
+        ),
+        comp AS (SELECT v AS node, min(n) AS component FROM walk GROUP BY v)
+        SELECT e.vec_id FROM embeddings e
+        WHERE e.vec_id NOT IN (SELECT node FROM comp WHERE node != component)
         """,
         "embedding_stats": """
         SELECT label, count(*) AS n_vecs,

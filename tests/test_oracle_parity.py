@@ -68,6 +68,7 @@ def _check(m, con, name):
         "hash_sample",
         "subword_tokens",
         "word_jaccard",
+        "dedup_neardup_cosine",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):
