@@ -163,3 +163,29 @@ def test_copartitioned_rejects_salt(ray_session):
             rd.from_arrow(docs), "/nonexistent", media_mode="copartitioned",
             cogroup_salt=4,
         )
+
+
+def test_copartitioned_two_stage_matches_single(ray_session, tmp_path):
+    import ray.data as rd
+
+    from vietnamese_ocr_ray.pipelines.extract import extract_spans
+    from vietnamese_ocr_ray.sources.storage import write_media_bucketed
+    from vietnamese_ocr_ray.synth import synth_corpus, write_corpus
+
+    docs, media = synth_corpus(25, seed=37)
+    write_corpus(docs, media, str(tmp_path / "c"))
+    bucket_dir = str(tmp_path / "mb")
+    write_media_bucketed(str(tmp_path / "c" / "media"), bucket_dir, num_buckets=8)
+    single = extract_spans(
+        rd.from_arrow(docs), bucket_dir, media_mode="copartitioned", num_buckets=4
+    ).to_pandas()
+    two = extract_spans(
+        rd.from_arrow(docs),
+        bucket_dir,
+        media_mode="copartitioned",
+        num_buckets=4,
+        two_stage=True,
+    ).to_pandas()
+    single = single.sort_values("doc_id").reset_index(drop=True)
+    two = two.sort_values("doc_id").reset_index(drop=True)
+    assert single.equals(two)

@@ -138,7 +138,24 @@ def extract_spans(
         from vietnamese_ocr_ray.stages.cogroup import cogroup_media_copartitioned
 
         joined = cogroup_media_copartitioned(exploded, media)
-        if recognize_compute == "tasks" and vocab is None:
+        if two_stage:
+            from vietnamese_ocr_ray.stages.twostage import DetectSpans, RecognizeBoxes
+
+            detected = joined.map_batches(
+                DetectSpans,
+                batch_format="pyarrow",
+                batch_size=recognize_batch_size,
+                concurrency=recognize_concurrency,
+                fn_constructor_kwargs={"vocab": vocab},
+            )
+            recognized = detected.map_batches(
+                RecognizeBoxes,
+                batch_format="pyarrow",
+                batch_size=recognize_batch_size,
+                concurrency=recognize_concurrency,
+                fn_constructor_kwargs={"vocab": vocab},
+            )
+        elif recognize_compute == "tasks" and vocab is None:
             from vietnamese_ocr_ray.stages.recognize import recognize_spans_task
 
             recognized = joined.map_batches(
