@@ -189,3 +189,42 @@ def test_copartitioned_two_stage_matches_single(ray_session, tmp_path):
     single = single.sort_values("doc_id").reset_index(drop=True)
     two = two.sort_values("doc_id").reset_index(drop=True)
     assert single.equals(two)
+
+
+def test_write_media_bucketed_deterministic(ray_session, tmp_path):
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.sources.storage import (
+        media_bucket_count,
+        write_media_bucketed,
+    )
+    from vietnamese_ocr_ray.synth import synth_corpus, write_corpus
+
+    docs, media = synth_corpus(30, seed=43)
+    write_corpus(docs, media, str(tmp_path / "c"))
+
+    def digest(out):
+        write_media_bucketed(str(tmp_path / "c" / "media"), out, num_buckets=8)
+        parts = {}
+        for f in sorted(os.listdir(out)):
+            if f.endswith(".parquet"):
+                t = pq.read_table(os.path.join(out, f)).sort_by("media_ref")
+                parts[f] = hashlib.sha256(
+                    t.to_pandas().to_csv().encode()
+                ).hexdigest()
+        return parts
+
+    a = digest(str(tmp_path / "b1"))
+    b = digest(str(tmp_path / "b2"))
+    assert a == b  # bucket placement is content-derived, rerun-stable
+    assert media_bucket_count(str(tmp_path / "b1")) == 8
+    # every media row landed in exactly one bucket
+    total = sum(
+        pq.ParquetFile(os.path.join(str(tmp_path / "b1"), f)).metadata.num_rows
+        for f in os.listdir(str(tmp_path / "b1"))
+        if f.endswith(".parquet")
+    )
+    assert total == media.num_rows
