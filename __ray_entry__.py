@@ -210,16 +210,15 @@ def _word_jaccard(sf_dir: str):
 
 
 def _minhash_pairs(sf_dir: str):
+    import pyarrow.parquet as pq
     import ray
 
     from vietnamese_ocr_ray.functions.dedup import minhash_lsh_pairs
 
-    docs = _docs(sf_dir)
-    texts = {
-        r["doc_id"]: r["text"]
-        for b in docs.iter_batches(batch_format="pyarrow")
-        for r in b.to_pylist()
-    }
+    # verification lookup: one direct driver-side read (small side),
+    # broadcast once — not a second Ray pipeline over the corpus
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
     return minhash_lsh_pairs(_docs(sf_dir), texts_handle=ray.put(texts))
 
 
