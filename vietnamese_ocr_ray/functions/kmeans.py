@@ -72,9 +72,14 @@ def kmeans_fit(
             .map_groups(_merge_partials, batch_format="pyarrow")
             .take_all()
         )
+        prev = centroids.copy()
         for row in agg:
             if row["n"] > 0:
                 centroids[row["cid"]] = np.asarray(row["vsum"]) / row["n"]
+        # converged: a further pass cannot change assignments, so skip
+        # the remaining streaming iterations (each is a full corpus scan)
+        if float(np.abs(centroids - prev).max()) < 1e-9:
+            break
     return centroids
 
 
