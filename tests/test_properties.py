@@ -182,3 +182,65 @@ def test_range_count_join_matches_bruteforce_prop(ray_session, lrows, rrows, wid
         for r in left.itertuples()
     ]
     assert got == exp
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c", "d"]), st.integers(-50, 50)),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_hash_aggregate_matches_pandas_prop(ray_session, rows):
+    import pandas as pd
+    import ray.data as rd
+
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    df = pd.DataFrame(rows, columns=["k", "v"])
+    got = (
+        hash_aggregate(
+            rd.from_pandas(df),
+            ["k"],
+            {"s": ("v", "sum"), "mn": ("v", "min"), "n": ("v", "count")},
+            num_buckets=3,
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = (
+        df.groupby("k", as_index=False)
+        .agg(s=("v", "sum"), mn=("v", "min"), n=("v", "size"))
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got[["k", "s", "mn", "n"]].astype(object).values.tolist() == exp.astype(object).values.tolist()
+
+
+@given(st.lists(st.text(alphabet="abc XYZ09", max_size=40), min_size=1, max_size=10))
+@settings(max_examples=20, deadline=None)
+def test_simhash_tokens_matches_python_reference(texts):
+    import pyarrow as pa
+
+    from vietnamese_ocr_ray.functions.dedup import (
+        SIMHASH_BITS,
+        SIMHASH_CAP,
+        SIMHASH_P,
+        _POW31,
+        simhash_tokens_batch,
+    )
+
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    got = simhash_tokens_batch(t).column("simhash30").to_pylist()
+    for i, s in enumerate(texts):
+        votes = [0] * SIMHASH_BITS
+        for tok in s.split(" "):
+            h = 0
+            for j, c in enumerate(tok[:SIMHASH_CAP]):
+                h = (h + ord(c) * int(_POW31[j])) % SIMHASH_P
+            for b in range(SIMHASH_BITS):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        fp = sum(1 << b for b in range(SIMHASH_BITS) if votes[b] > 0)
+        assert got[i] == fp, (s, got[i], fp)
