@@ -26,12 +26,15 @@ def _cents(arr, scale: int) -> pa.Array:
     return pc.cast(pc.round(pc.multiply(arr, pa.scalar(float(scale)))), pa.int64())
 
 
-def pricing_summary(sf_dir: str, cutoff: str = "1998-09-01") -> pa.Table:
+def pricing_summary(sf_dir: str, cutoff: str = "1998-09-01") -> rd.Dataset:
     """TPC-H Q1 shape: filter shipdate < cutoff, group by
     (returnflag, linestatus), exact-integer sums + derived averages.
 
     Partial aggregation: each batch emits one row per key; the shuffle
-    moves O(keys * blocks) rows, not O(rows).
+    moves O(keys * blocks) rows, not O(rows). The finish (divisions to
+    doubles) runs as a map_batches projection so the result streams out
+    as a Dataset like every other relational query — no driver-side
+    materialization.
     """
     cut = np.datetime64(cutoff, "us")
     ds = rd.read_parquet(
@@ -70,7 +73,7 @@ def pricing_summary(sf_dir: str, cutoff: str = "1998-09-01") -> pa.Table:
             df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
             .agg(q=("q", "sum"), p=("p", "sum"), r=("r", "sum"), n=("q", "size"))
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
@@ -79,23 +82,32 @@ def pricing_summary(sf_dir: str, cutoff: str = "1998-09-01") -> pa.Table:
         Sum("r", alias_name="sr"),
         Sum("n", alias_name="n"),
     )
-    t = pa.Table.from_pandas(final.to_pandas(), preserve_index=False)
-    sq = t.column("sq").to_numpy().astype(np.int64)
-    sp = t.column("sp").to_numpy().astype(np.int64)
-    sr = t.column("sr").to_numpy().astype(np.int64)
-    n = t.column("n").to_numpy().astype(np.int64)
-    return pa.table(
-        {
-            "l_returnflag": t.column("l_returnflag"),
-            "l_linestatus": t.column("l_linestatus"),
-            "sum_qty": pa.array(sq),
-            "sum_base_price": pa.array(sp / 100.0),
-            "sum_disc_price": pa.array(sr / 10000.0),
-            "count_order": pa.array(n),
-            "avg_qty": pa.array(sq / n),
-            "avg_price": pa.array(sp / 100.0 / n),
-        }
-    ).sort_by([("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        sq = pc.cast(t.column("sq"), pa.int64())
+        sp = pc.cast(t.column("sp"), pa.int64())
+        sr = pc.cast(t.column("sr"), pa.int64())
+        n = pc.cast(t.column("n"), pa.int64())
+        sq_f = pc.cast(sq, pa.float64())
+        sp_f = pc.cast(sp, pa.float64())
+        n_f = pc.cast(n, pa.float64())
+        base_price = pc.divide(sp_f, pa.scalar(100.0))
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "sum_qty": sq,
+                "sum_base_price": base_price,
+                "sum_disc_price": pc.divide(
+                    pc.cast(sr, pa.float64()), pa.scalar(10000.0)
+                ),
+                "count_order": n,
+                "avg_qty": pc.divide(sq_f, n_f),
+                "avg_price": pc.divide(base_price, n_f),
+            }
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow")
 
 
 def top_revenue_orders(sf_dir: str, k: int = 10) -> rd.Dataset:
