@@ -62,6 +62,11 @@ def test_minhash_finds_planted_neardups(ray_session):
     handle = ray.put(dict(enumerate(texts)))
     pairs = minhash_lsh_pairs(ds, texts_handle=handle).to_pandas()
     assert ((pairs["a"] == 0) & (pairs["b"] == 30)).any()
+    # corpus-join verification mode (no broadcast-texts assumption)
+    # must produce the identical verified pair set
+    joined = minhash_lsh_pairs(ds, texts_handle=None).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["a", "b", "jaccard"]].to_numpy()))
+    assert key(joined) == key(pairs)
 
 
 def test_minhash_batch_equals_per_row():
@@ -532,3 +537,93 @@ def test_hash_aggregate_mean(ray_session):
     assert got["n"].tolist() == exp["n"].tolist()
     np.testing.assert_allclose(got["avg_v"], exp["avg_v"], rtol=1e-12)
     assert list(got.columns) == ["k", "avg_v", "n"]
+
+
+def test_simhash_vectorized_matches_rowwise_reference():
+    """The whole-batch flat-buffer simhash must produce bit-identical
+    fingerprints to the straightforward one-doc-at-a-time definition."""
+    from vietnamese_ocr_ray.functions.dedup import (
+        _shingle_hashes,
+        _utf8_flat,
+        simhash_batch,
+    )
+
+    texts = [
+        "",  # empty doc -> single zero-padded window
+        "ab",  # shorter than one shingle
+        "abcd",  # exactly one shingle
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "aaaaaaaaaaaaaaaa",  # degenerate: one unique shingle
+        "x" * 3 + "unicode: café déjà vu ✓",
+    ]
+    t = _docs_table(texts)
+    got = simhash_batch(t)["simhash"].to_pylist()
+    expect = []
+    for i in range(t.num_rows):
+        _, data = _utf8_flat(t.column("text").slice(i, 1))
+        h = _shingle_hashes(data, 4)
+        bits = (
+            (h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+        ).astype(np.int64)
+        votes = bits.sum(axis=0) * 2 - h.shape[0]
+        fp = np.uint64(0)
+        for b in np.nonzero(votes > 0)[0]:
+            fp |= np.uint64(1) << np.uint64(b)
+        expect.append(f"{int(fp):016x}")
+    assert got == expect
+
+
+def _embeddings_table(vecs):
+    return pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+
+
+def _exact_pairs_numpy(vecs, threshold):
+    m = np.asarray([np.asarray(v, np.float32) for v in vecs], np.float64)
+    mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    cos = np.round(mn @ mn.T, 6)
+    iu = np.triu_indices(len(vecs), 1)
+    mask = cos[iu] >= threshold
+    return set(zip(iu[0][mask].tolist(), iu[1][mask].tolist()))
+
+
+def test_cosine_pairs_blocked_matches_bruteforce(ray_session):
+    """Multi-chunk block-pair path == numpy all-pairs (exact)."""
+    from vietnamese_ocr_ray.functions.ann import cosine_pairs
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((200, 16))
+    ds = rd.from_arrow(_embeddings_table(vecs))
+    got = cosine_pairs(ds, threshold=0.5, chunk_rows=37).to_pandas()
+    expect = _exact_pairs_numpy(vecs, 0.5)
+    assert set(zip(got["vec_id_a"], got["vec_id_b"])) == expect
+    assert len(expect) > 0  # the test exercises real pairs
+
+
+def test_cosine_pairs_lsh_recall_on_planted_duplicates(ray_session):
+    """The approximate multi-table LSH path must recover nearly all
+    HIGH-similarity planted duplicates, emit only true pairs, and emit
+    each pair once."""
+    from vietnamese_ocr_ray.functions.ann import cosine_pairs, cosine_pairs_lsh
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((120, 64))
+    dups = base[:30] + 0.05 * rng.standard_normal((30, 64))  # cos ~ 0.999
+    vecs = np.vstack([base, dups])
+    ds = rd.from_arrow(_embeddings_table(vecs))
+    threshold = 0.9
+    exact = _exact_pairs_numpy(vecs, threshold)
+    got = cosine_pairs_lsh(ds, threshold=threshold, dim=64).to_pandas()
+    pairs = list(zip(got["vec_id_a"], got["vec_id_b"]))
+    assert len(pairs) == len(set(pairs))  # no duplicate emissions
+    assert set(pairs) <= exact  # verification keeps precision exact
+    planted = {(i, i + 120) for i in range(30)} & exact
+    recall = len(set(pairs) & planted) / len(planted)
+    assert recall >= 0.9, recall

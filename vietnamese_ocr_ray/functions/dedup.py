@@ -265,9 +265,14 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs: signature -> band buckets -> candidates ->
     exact shingle-Jaccard verification against ``threshold``.
 
-    ``texts_handle``: ray.put({doc_id: text}) for verification lookup
-    (broadcast; the 100 TB path joins candidates back to the corpus
-    twice on doc_id instead)."""
+    Verification modes:
+
+    * ``texts_handle`` = ray.put({doc_id: text}): broadcast lookup —
+      right while the corpus text fits a worker heap (test scale).
+    * ``texts_handle=None`` (the 100 TB path): candidates are joined
+      BACK to the corpus twice on doc_id (hash joins on the tiny
+      candidate set), so no broadcast-texts assumption exists; only
+      candidate rows ever carry text through the exchange."""
     import ray
 
     sigs = ds.select_columns(["doc_id", "text"]).map_batches(
@@ -318,26 +323,67 @@ def minhash_lsh_pairs(
         )
     )
 
-    def verify(batch: pa.Table) -> pa.Table:
-        texts = ray.get(texts_handle)
+    def _verify_rows(a_ids, b_ids, texts_a, texts_b, id_type):
         rows_a, rows_b, jac = [], [], []
-        for a, b in zip(
-            batch.column("a").to_pylist(), batch.column("b").to_pylist()
-        ):
-            j = jaccard_shingles(texts[a], texts[b], k)
+        for a, b, ta, tb in zip(a_ids, b_ids, texts_a, texts_b):
+            j = jaccard_shingles(ta, tb, k)
             if j >= threshold:
                 rows_a.append(a)
                 rows_b.append(b)
                 jac.append(round(j, 6))
         return pa.table(
             {
-                "a": pa.array(rows_a, batch.column("a").type),
-                "b": pa.array(rows_b, batch.column("b").type),
+                "a": pa.array(rows_a, id_type),
+                "b": pa.array(rows_b, id_type),
                 "jaccard": pa.array(jac, pa.float64()),
             }
         )
 
-    return distinct.map_batches(verify, batch_format="pyarrow")
+    if texts_handle is not None:
+
+        def verify(batch: pa.Table) -> pa.Table:
+            texts = ray.get(texts_handle)
+            a_ids = batch.column("a").to_pylist()
+            b_ids = batch.column("b").to_pylist()
+            return _verify_rows(
+                a_ids,
+                b_ids,
+                [texts[a] for a in a_ids],
+                [texts[b] for b in b_ids],
+                batch.column("a").type,
+            )
+
+        return distinct.map_batches(verify, batch_format="pyarrow")
+
+    # corpus-join path: two hash joins of the (tiny) candidate set
+    # against the corpus — candidate rows alone carry text
+    docs = ds.select_columns(["doc_id", "text"])
+    text_a = docs.map_batches(
+        lambda b: pa.table(
+            {"a": b.column("doc_id"), "text_a": b.column("text")}
+        ),
+        batch_format="pyarrow",
+    )
+    text_b = docs.map_batches(
+        lambda b: pa.table(
+            {"b": b.column("doc_id"), "text_b": b.column("text")}
+        ),
+        batch_format="pyarrow",
+    )
+    joined = distinct.join(
+        text_a, join_type="inner", num_partitions=8, on=("a",)
+    ).join(text_b, join_type="inner", num_partitions=8, on=("b",))
+
+    def verify_joined(batch: pa.Table) -> pa.Table:
+        return _verify_rows(
+            batch.column("a").to_pylist(),
+            batch.column("b").to_pylist(),
+            batch.column("text_a").to_pylist(),
+            batch.column("text_b").to_pylist(),
+            batch.column("a").type,
+        )
+
+    return joined.map_batches(verify_joined, batch_format="pyarrow")
 
 
 def connected_components(
@@ -581,44 +627,42 @@ def neardup_survivors(
     ds: rd.Dataset,
     pairs: rd.Dataset,
     id_col: str = "doc_id",
+    cc_broadcast: bool = True,
 ) -> rd.Dataset:
     """Near-duplicate REMOVAL: cluster the verified pairs by connected
     components and keep min(id) per cluster; every other member is
     dropped from ``ds`` via a broadcast anti-join (the dropped-id set is
     tiny relative to the corpus — pairs ~ duplicates, not rows).
 
-    Components are computed by iterated min-label propagation over the
-    pair list; the pair set is collected to the driver because it is
-    bounded by the duplicate count (at 10^12 rows you'd run the same
-    propagation as a few groupby rounds instead — same semantics)."""
+    Components come from the DISTRIBUTED :func:`connected_components`
+    (min-label propagation rounds — broadcast label table by default,
+    ``cc_broadcast=False`` for the fully-shuffled 10^12-edge variant);
+    only the final drop-id SET reaches the driver, and it is bounded by
+    the duplicate count, not the corpus. The filter is one vectorized
+    ``np.isin`` per batch against the broadcast sorted drop array."""
     import ray
 
-    edges = pairs.select_columns(["a", "b"]).take_all()
-    label: dict = {}
-    for e in edges:
-        label.setdefault(e["a"], e["a"])
-        label.setdefault(e["b"], e["b"])
-
-    def find(x):
-        while label[x] != x:
-            label[x] = label[label[x]]
-            x = label[x]
-        return x
-
-    for e in edges:
-        ra, rb = find(e["a"]), find(e["b"])
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            label[hi] = lo
-
-    drop = {x for x in label if find(x) != x}
-    handle = ray.put(drop)
+    comps = connected_components(pairs, broadcast=cc_broadcast)
+    drop_tbl = comps.map_batches(
+        lambda b: b.filter(
+            pc.not_equal(b.column("node"), b.column("component"))
+        ).select(["node"]),
+        batch_format="pyarrow",
+    ).to_pandas()  # small: one row per DROPPED duplicate
+    drop_ids = np.sort(drop_tbl["node"].to_numpy(np.int64))
+    handle = ray.put(drop_ids)
 
     def keep(batch: pa.Table) -> pa.Table:
         dropped = ray.get(handle)
-        ids = batch.column(id_col).to_pylist()
-        mask = pa.array([i not in dropped for i in ids])
-        return batch.filter(mask)
+        ids = np.asarray(
+            pc.cast(
+                batch.column(id_col).combine_chunks()
+                if isinstance(batch.column(id_col), pa.ChunkedArray)
+                else batch.column(id_col),
+                pa.int64(),
+            )
+        )
+        return batch.filter(pa.array(~np.isin(ids, dropped)))
 
     return ds.map_batches(keep, batch_format="pyarrow")
 
@@ -629,20 +673,71 @@ def neardup_survivors(
 
 
 def simhash_batch(batch: pa.Table, k: int = 4) -> pa.Table:
-    """64-bit SimHash per doc over k-byte shingle hashes: per-bit
-    weighted majority, vectorized with popcount-style bit unpacking."""
-    out = []
-    for i in range(batch.num_rows):
-        _, data = _utf8_flat(batch.column("text").slice(i, 1))
-        h = _shingle_hashes(data, k)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+    """64-bit SimHash per doc over UNIQUE k-byte shingle hashes
+    (Charikar 2002): per-bit weighted majority.
+
+    Whole-batch vectorized over the flat utf8 buffer: one rolling FNV
+    pass for every window position, windows crossing row boundaries
+    masked, per-row uniqueness via one lexsort, per-row bit sums via
+    ``np.add.reduceat``, hex rendering via one hexlify — no per-row
+    Python anywhere."""
+    import binascii
+
+    col = batch.column("text")
+    offs, data = _utf8_flat(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+    n = len(offs) - 1
+    lens = offs[1:] - offs[:-1]
+    prime = np.uint64(0x100000001B3)
+    fnv0 = np.uint64(0xCBF29CE484222325)
+
+    rows_parts, hash_parts = [], []
+    if data.shape[0] >= k:
+        win = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+        h = np.full(win.shape[0], fnv0, dtype=np.uint64)
+        for i in range(k):
+            h = (h ^ win[:, i]) * prime
+        pos = np.arange(win.shape[0])
+        row = np.searchsorted(offs, pos, side="right") - 1
+        valid = (pos + k) <= offs[row + 1]
+        rows_parts.append(row[valid])
+        hash_parts.append(h[valid])
+    short = np.nonzero(lens < k)[0]
+    if short.size:
+        # rows shorter than one shingle: single zero-padded window each
+        padded = np.zeros((short.size, k), dtype=np.uint64)
+        for j in range(k):
+            take = lens[short] > j
+            padded[take, j] = data[offs[short][take] + j]
+        h = np.full(short.size, fnv0, dtype=np.uint64)
+        for j in range(k):
+            h = (h ^ padded[:, j]) * prime
+        rows_parts.append(short)
+        hash_parts.append(h)
+    rows = np.concatenate(rows_parts) if rows_parts else np.empty(0, np.int64)
+    hs = np.concatenate(hash_parts) if hash_parts else np.empty(0, np.uint64)
+
+    # per-row unique shingles: sort by (row, hash), drop adjacent dups
+    order = np.lexsort((hs, rows))
+    rows, hs = rows[order], hs[order]
+    keep = np.ones(rows.shape[0], dtype=bool)
+    keep[1:] = (rows[1:] != rows[:-1]) | (hs[1:] != hs[:-1])
+    rows, hs = rows[keep], hs[keep]
+
+    fps = np.zeros(n, dtype=np.uint64)
+    if rows.size:
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
             np.int64
         )
-        votes = bits.sum(axis=0) * 2 - h.shape[0]  # (+1 / -1) majority
-        fp = np.uint64(0)
-        for b in np.nonzero(votes > 0)[0]:
-            fp |= np.uint64(1) << np.uint64(b)
-        out.append(f"{int(fp):016x}")
+        starts = np.searchsorted(rows, np.arange(n))
+        counts = np.diff(np.concatenate([starts, [rows.shape[0]]]))
+        ones = np.add.reduceat(bits, np.minimum(starts, rows.shape[0] - 1), axis=0)
+        ones[counts == 0] = 0
+        votes = 2 * ones - counts[:, None]
+        weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        fps = ((votes > 0).astype(np.uint64) * weights[None, :]).sum(axis=1)
+
+    hex_flat = binascii.hexlify(fps.astype(">u8").tobytes())
+    out = np.frombuffer(hex_flat, dtype="S16").astype("U16")
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),

@@ -155,7 +155,7 @@ def asof_join(
         for n, dt in rdf.dtypes.items():
             if n in m.columns and m[n].dtype != dt:
                 m[n] = m[n].astype(dt)
-        return pa.Table.from_pandas(m[out_names], preserve_index=False)
+        return pa.Table.from_pandas(m[out_names], preserve_index=False).replace_schema_metadata(None)
 
     u = left.map_batches(left_side, batch_format="pyarrow").union(
         right.map_batches(right_side, batch_format="pyarrow")

@@ -124,7 +124,7 @@ def top_revenue_orders(sf_dir: str, k: int = 10) -> rd.Dataset:
         rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc))
         t = pa.table({"l_orderkey": batch.column("l_orderkey"), "rev": rev})
         df = t.to_pandas().groupby("l_orderkey", as_index=False).agg(rev=("rev", "sum"))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     # 150k distinct orders: Ray's sort-aggregate pays per-GROUP Python
     # in the reduce (~5 s here); the bucketed hash aggregate reduces
@@ -341,21 +341,45 @@ def sliding_window_aggregate(
     )
 
 
-def sessionize(sf_dir: str, gap_sec: int = 1800) -> rd.Dataset:
-    """Session windows per user (gap-based): groupby(user_id) +
-    per-group sort by ts + vectorized gap count. The per-key ordered
-    state the reference never needs — partitioning assumption: one
-    user's events fit one group."""
+def sessionize(sf_dir: str, gap_sec: int = 1800, num_buckets: int = 32) -> rd.Dataset:
+    """Session windows per user (gap-based). Shuffle on
+    key_bucket(user_id) — NOT per-user groups — and reduce each bucket
+    with one vectorized pass: sort by (user, ts), flag session starts
+    (first row of a user, or gap > threshold), one cython groupby-sum
+    of the flags. Per-group Python never runs; a bucket's users must
+    fit one task's heap (salt/split upstream otherwise)."""
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
 
-    def count_sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].values.astype("datetime64[us]").astype(np.int64))
-        gaps = np.diff(ts) > gap_sec * 1_000_000
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_sessions": [int(gaps.sum()) + 1]}
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_bucket",
+            pa.array(key_bucket(b.column("user_id"), num_buckets).astype(np.int32)),
         )
 
-    return ds.groupby("user_id").map_groups(count_sessions, batch_format="pandas")
+    def count_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["user_id", "ts"], kind="stable")
+        ts = s["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        user = s["user_id"].to_numpy()
+        new_session = np.ones(len(s), dtype=np.int64)
+        same_user = user[1:] == user[:-1]
+        small_gap = (ts[1:] - ts[:-1]) <= gap_sec * 1_000_000
+        new_session[1:][same_user & small_gap] = 0
+        return (
+            pd.DataFrame({"user_id": user, "n_sessions": new_session})
+            .groupby("user_id", as_index=False, sort=False)["n_sessions"]
+            .sum()
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: count_sessions(g.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        )
+    )
 
 
 def event_type_stats(sf_dir: str) -> rd.Dataset:
@@ -373,7 +397,7 @@ def event_type_stats(sf_dir: str) -> rd.Dataset:
         df = t.to_pandas().groupby("event_type", as_index=False).agg(
             v=("v", "sum"), n=("v", "size")
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -413,7 +437,7 @@ def parts_by_brand(sf_dir: str) -> rd.Dataset:
         df = t.to_pandas().groupby("p_brand", as_index=False).agg(
             price_c=("price_c", "sum"), max_size=("p_size", "max"), n=("p_size", "size")
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -527,25 +551,56 @@ def orders_by_month(sf_dir: str) -> rd.Dataset:
     )
 
 
-def value_quantiles(sf_dir: str) -> rd.Dataset:
+def value_quantiles(sf_dir: str, num_buckets: int = 8) -> rd.Dataset:
     """Grouped exact quantiles (p50/p95 of value per event_type):
-    groupby + per-group numpy linear interpolation — the same
-    definition as SQL quantile_cont, so results match bit-for-bit
-    after rounding. Scale path for huge groups: t-digest/KLL sketches
-    (mergeable) instead of exact per-group sort."""
+    shuffle on key_bucket(event_type), then ONE vectorized pass per
+    bucket — sort by (key, value), locate group boundaries, and
+    linear-interpolate every group's quantiles at once (numpy's exact
+    type-7 lerp, the SQL quantile_cont definition, so results match
+    bit-for-bit after rounding). Scale path for huge groups:
+    t-digest/KLL sketches (functions/sketch.py) instead of the exact
+    per-group sort."""
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
 
-    def q(g: pd.DataFrame) -> pd.DataFrame:
-        v = g["value"].to_numpy()
-        return pd.DataFrame(
-            {
-                "event_type": [g["event_type"].iloc[0]],
-                "p50": [round(float(np.percentile(v, 50, method="linear")), 6)],
-                "p95": [round(float(np.percentile(v, 95, method="linear")), 6)],
-            }
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_bucket",
+            pa.array(
+                key_bucket(b.column("event_type"), num_buckets).astype(np.int32)
+            ),
         )
 
-    return ds.groupby("event_type").map_groups(q, batch_format="pandas")
+    def q(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["event_type", "value"], kind="stable")
+        v = s["value"].to_numpy()
+        keys = s["event_type"].to_numpy()
+        starts = np.nonzero(
+            np.concatenate([[True], keys[1:] != keys[:-1]])
+        )[0]
+        cnt = np.diff(np.concatenate([starts, [len(v)]]))
+        out = {"event_type": keys[starts]}
+        for frac, name in ((0.5, "p50"), (0.95, "p95")):
+            pos = frac * (cnt - 1)
+            lo = np.floor(pos).astype(np.int64)
+            t = pos - lo
+            hi = np.minimum(lo + 1, cnt - 1)
+            a, b = v[starts + lo], v[starts + hi]
+            diff = b - a
+            r = a + diff * t
+            m = t >= 0.5  # numpy _lerp's symmetric branch — bit-exact
+            r[m] = b[m] - diff[m] * (1.0 - t[m])
+            out[name] = [round(float(x), 6) for x in r]  # rows = groups
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: q(g.drop(columns=["_bucket"])), batch_format="pandas"
+        )
+    )
 
 
 def max_doc_len(sf_dir: str) -> rd.Dataset:
@@ -711,22 +766,44 @@ def distinct_users_per_type(sf_dir: str) -> rd.Dataset:
 
 def running_value_sum(sf_dir: str) -> rd.Dataset:
     """Cumulative window per key (sum OVER (PARTITION BY user ORDER BY
-    ts)): per-user group sort + one vectorized cumsum. Exact-integer
-    accumulation (value scaled to 1e-3 units) so Ray and the SQL window
-    agree bit-for-bit. Partitioning assumption: one user's events fit a
-    group (salt/split upstream otherwise)."""
+    ts)): shuffle on key_bucket(user_id), then ONE sort + one cython
+    groupby-cumsum per bucket — per-user Python frames never exist.
+    Exact-integer accumulation (value scaled to 1e-3 units) so Ray and
+    the SQL window agree bit-for-bit. Partitioning assumption: a
+    bucket's users fit one task's heap (salt/split upstream otherwise)."""
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
     )
 
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
+    num_buckets = 32
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_bucket",
+            pa.array(key_bucket(b.column("user_id"), num_buckets).astype(np.int32)),
+        )
+
     def cumulate(g: pd.DataFrame) -> pd.DataFrame:
-        s = g.sort_values(["ts", "event_id"], kind="stable")
+        # one bucket = many users: sort once, one cython groupby-cumsum
+        s = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
         units = np.rint(s["value"].to_numpy() * 1000.0).astype(np.int64)
         s = s[["event_id", "user_id", "ts"]].reset_index(drop=True)
-        s["running_value"] = np.cumsum(units) / 1000.0
+        s["running_value"] = (
+            pd.Series(units).groupby(s["user_id"].to_numpy()).cumsum().to_numpy()
+            / 1000.0
+        )
         return s
 
-    return ds.groupby("user_id").map_groups(cumulate, batch_format="pandas")
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: cumulate(g.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        )
+    )
 
 
 def events_hourly(sf_dir: str) -> rd.Dataset:
@@ -746,7 +823,7 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
         df = t.to_pandas().groupby("hour", as_index=False).agg(
             v=("v", "sum"), n=("v", "size")
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -788,7 +865,7 @@ def order_status_pivot(sf_dir: str) -> rd.Dataset:
             }
         )
         df = t.to_pandas().groupby("month", as_index=False).sum()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
