@@ -87,3 +87,61 @@ def test_write_predictions_txt(ray_session, tmp_path):
         with open(os.path.join(out, f), encoding="utf-8") as fh:
             lines += [l.rstrip("\n") for l in fh]
     assert lines == ["m-1 hello", "m-2 a"]
+
+
+def test_augment_new_ops_unit():
+    """Each M6 geometric/photometric op: shape, determinism, and the
+    specific invariant that defines it."""
+    from vietnamese_ocr_ray.stages.augment import (
+        curve_warp,
+        defocus,
+        grid_distortion,
+        pad_or_resize,
+        quantize_compression,
+        safe_rotate,
+    )
+
+    img = render_text("samplewords", 48).astype(np.float32)
+
+    # curve: shape-preserving, seeded-deterministic, actually warps
+    rng = np.random.default_rng(1)
+    c1 = curve_warp(img, np.random.default_rng(1))
+    c2 = curve_warp(img, np.random.default_rng(1))
+    assert c1.shape == img.shape and np.array_equal(c1, c2)
+    assert not np.array_equal(c1, img)
+
+    # rotate: zero angle is identity (bilinear at integer coords)
+    assert np.allclose(safe_rotate(img, 0.0), img)
+    r = safe_rotate(img, 20.0)
+    assert r.shape == img.shape and not np.array_equal(r, img)
+
+    # grid distortion: shape-preserving warp
+    g = grid_distortion(img, np.random.default_rng(2))
+    assert g.shape == img.shape and not np.array_equal(g, img)
+
+    # defocus: mean-preserving-ish smoothing reduces variance
+    d = defocus(img, 2)
+    assert d.shape == img.shape and d.var() < img.var()
+
+    # quantization: multiples of the step
+    q = quantize_compression(img, 4)
+    assert np.all(q % 4 == 0)
+
+    # pad-or-resize: always lands on the canvas
+    for seed in range(4):
+        pr = pad_or_resize(img, np.random.default_rng(seed), (64, 256))
+        assert pr.shape == (64, 256)
+
+
+def test_augment_canvas_mode_partitioning_invariant(ray_session):
+    """The full reference pipeline shape (canvas mode changes
+    height/width) stays deterministic across batch/actor layouts, and
+    the output schema reflects the new geometry."""
+    _, media = synth_corpus(16, seed=7)
+    kw = dict(canvas=(64, 256))
+    ds1 = augment_media(rd.from_arrow(media), concurrency=2, batch_size=4, **kw)
+    ds2 = augment_media(rd.from_arrow(media), concurrency=1, batch_size=100, **kw)
+    r1 = {r["media_ref"]: (r["image"], r["height"], r["width"]) for r in ds1.take_all()}
+    r2 = {r["media_ref"]: (r["image"], r["height"], r["width"]) for r in ds2.take_all()}
+    assert r1 == r2
+    assert all(h == 64 and w == 256 for (_, h, w) in r1.values())
