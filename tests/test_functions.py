@@ -627,3 +627,53 @@ def test_cosine_pairs_lsh_recall_on_planted_duplicates(ray_session):
     planted = {(i, i + 120) for i in range(30)} & exact
     recall = len(set(pairs) & planted) / len(planted)
     assert recall >= 0.9, recall
+
+
+def test_ivf_persisted_index_prunes_io(ray_session, tmp_path):
+    """build_ivf_index writes one parquet file per inverted list;
+    probing opens ONLY the nprobe nearest lists and still finds the
+    query's own cluster-mates."""
+    from vietnamese_ocr_ray.functions.kmeans import (
+        ann_ivf_index,
+        build_ivf_index,
+        ivf_probe_files,
+    )
+
+    rng = np.random.default_rng(5)
+    blobs = np.vstack(
+        [
+            rng.standard_normal((60, 8)) + c
+            for c in (np.zeros(8), np.full(8, 10.0), np.full(8, -10.0))
+        ]
+    )
+    ds = rd.from_arrow(_embeddings_table(blobs))
+    idx = build_ivf_index(ds, str(tmp_path / "ivf"), n_clusters=3, iters=6)
+
+    q = blobs[70]  # second blob
+    files = ivf_probe_files(idx, q, nprobe=1)
+    assert len(files) == 1  # IO pruned to one of three list files
+    out = ann_ivf_index(idx, q, k=3, nprobe=1).to_pandas()
+    assert out["vec_id"].iloc[0] == 70
+
+    # all three lists together cover every vector exactly once
+    import pyarrow.parquet as pq
+
+    total = sum(
+        pq.read_table(f).num_rows for f in ivf_probe_files(idx, q, nprobe=3)
+    )
+    assert total == len(blobs)
+
+
+def test_levenshtein_batch_matches_scalar_and_duckdb():
+    from vietnamese_ocr_ray.functions.text import levenshtein_batch
+
+    preds = ["kitten", "", "abc", "same", "ab", "flaw", "café", "x" * 40]
+    targets = ["sitting", "abc", "", "same", "ba", "lawn", "coffee", "y" * 25]
+    got = levenshtein_batch(preds, targets)
+    con = duckdb.connect()
+    for i, (p, t) in enumerate(zip(preds, targets)):
+        assert got[i] == levenshtein_np(p, t)
+        assert (
+            got[i]
+            == con.sql("SELECT levenshtein(?, ?)", params=[p, t]).fetchone()[0]
+        )

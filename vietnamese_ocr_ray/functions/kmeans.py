@@ -116,6 +116,102 @@ def assign_clusters(
     )
 
 
+def build_ivf_index(
+    ds: rd.Dataset,
+    index_dir: str,
+    *,
+    n_clusters: int = 16,
+    iters: int = 5,
+    seed: int = 17,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> str:
+    """Build-once persisted IVF index (mirrors ``write_media_bucketed``'s
+    one-file-per-partition layout): fit k-means ONCE, write
+    ``centroids.parquet``, and rewrite the vectors cluster-partitioned —
+    ``cluster=<cid>.parquet``, one parquet file per inverted list,
+    written by its own reduce task. :func:`ann_ivf_index` then reads
+    ONLY the ``nprobe`` probed list files, pruning IO as well as
+    compute (``ann_ivf`` without an index must still scan every block
+    to evaluate the probe filter)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    centroids = kmeans_fit(ds, k=n_clusters, iters=iters, seed=seed, emb_col=emb_col)
+    os.makedirs(index_dir, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "cid": pa.array(range(centroids.shape[0]), pa.int64()),
+                "centroid": pa.array(list(centroids), pa.list_(pa.float64())),
+            }
+        ),
+        os.path.join(index_dir, "centroids.parquet"),
+    )
+    handle = ray.put(centroids)
+
+    def add_cluster(batch: pa.Table) -> pa.Table:
+        c = ray.get(handle)
+        a = _assign(_matrix(batch, emb_col), c)
+        return batch.append_column("cluster", pa.array(a))
+
+    def write_cluster(g: pa.Table) -> pa.Table:
+        cid = g.column("cluster")[0].as_py()
+        t = g.drop_columns(["cluster"])
+        tmp = os.path.join(index_dir, f"_tmp-cluster={cid}.parquet")
+        pq.write_table(t, tmp)
+        os.replace(tmp, os.path.join(index_dir, f"cluster={cid}.parquet"))
+        return pa.table({"cluster": pa.array([cid], pa.int64())})
+
+    (
+        ds.select_columns([id_col, emb_col])
+        .map_batches(add_cluster, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(write_cluster, batch_format="pyarrow")
+        .count()
+    )
+    return index_dir
+
+
+def ivf_probe_files(index_dir: str, query: np.ndarray, nprobe: int) -> list[str]:
+    """The <= nprobe inverted-list files nearest the query (a cluster
+    can be empty and then has no file)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    cids = np.asarray(t.column("cid"))
+    centroids = np.asarray(
+        [np.asarray(x) for x in t.column("centroid").to_pylist()], dtype=np.float64
+    )
+    order = np.argsort(-(centroids @ query - 0.5 * (centroids**2).sum(axis=1)))
+    files = []
+    for cid in cids[order[:nprobe]]:
+        f = os.path.join(index_dir, f"cluster={int(cid)}.parquet")
+        if os.path.exists(f):
+            files.append(f)
+    return files
+
+
+def ann_ivf_index(
+    index_dir: str,
+    query: np.ndarray,
+    k: int = 10,
+    *,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """IVF ANN over a persisted index: ONLY the probed inverted-list
+    files are opened — at 10^12 vectors the scan touches nprobe/k of
+    the corpus bytes instead of filtering a full pass."""
+    files = ivf_probe_files(index_dir, query, nprobe)
+    candidates = rd.read_parquet(files)
+    return ann_bruteforce(candidates, query, k, id_col)
+
+
 def ann_ivf(
     ds: rd.Dataset,
     query: np.ndarray,

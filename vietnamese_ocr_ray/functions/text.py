@@ -201,11 +201,49 @@ def levenshtein_np(a: str, b: str) -> int:
     return int(prev[-1])
 
 
+def levenshtein_batch(preds: list[str], targets: list[str]) -> np.ndarray:
+    """Edit distance for ALL row pairs at once: the DP advances over
+    character positions of the predictions (bounded by the longest
+    one) with every row's frontier updated in one numpy step — the
+    per-row Python of a string-at-a-time loop never runs. The
+    insertion-chain recurrence is closed per step with the
+    min-accumulate trick (cur[j] = min_k<=j cur[k] + (j-k))."""
+    n = len(preds)
+    la = np.fromiter((len(p) for p in preds), np.int64, n)
+    lb = np.fromiter((len(t) for t in targets), np.int64, n)
+    res = lb.copy()  # rows with an empty prediction
+    if n == 0 or la.max(initial=0) == 0:
+        return res
+    La, Lb = int(la.max()), int(lb.max())
+    A = np.zeros((n, La), np.uint32)
+    B = np.zeros((n, max(Lb, 1)), np.uint32)
+    for i, p in enumerate(preds):  # C-level decode only; DP is vectorized
+        if p:
+            A[i, : len(p)] = np.frombuffer(p.encode("utf-32-le"), np.uint32)
+    for i, t in enumerate(targets):
+        if t:
+            B[i, : len(t)] = np.frombuffer(t.encode("utf-32-le"), np.uint32)
+    prev = np.broadcast_to(np.arange(Lb + 1, dtype=np.int64), (n, Lb + 1)).copy()
+    idx = np.arange(Lb + 1, dtype=np.int64)
+    cur = np.empty_like(prev)
+    for i in range(1, La + 1):
+        cost = (B[:, :Lb] != A[:, i - 1][:, None]).astype(np.int64)
+        cur[:, 0] = i
+        np.minimum(prev[:, 1:] + 1, prev[:, :-1] + cost, out=cur[:, 1:])
+        np.minimum(cur, np.minimum.accumulate(cur - idx, axis=1) + idx, out=cur)
+        active = la >= i
+        prev[active] = cur[active]
+        done = la == i
+        if done.any():
+            res[done] = prev[done, lb[done]]
+    return res
+
+
 def cer_batch(batch: pa.Table, pred_col: str, target_col: str) -> pa.Table:
-    preds = batch.column(pred_col).to_pylist()
-    targets = batch.column(target_col).to_pylist()
-    errors = [levenshtein_np(p or "", t or "") for p, t in zip(preds, targets)]
-    totals = [len(t or "") for t in targets]
+    preds = [p or "" for p in batch.column(pred_col).to_pylist()]
+    targets = [t or "" for t in batch.column(target_col).to_pylist()]
+    errors = levenshtein_batch(preds, targets)
+    totals = [len(t) for t in targets]
     return pa.table(
         {
             "errors": pa.array(errors, pa.int64()),
