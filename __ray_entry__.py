@@ -57,6 +57,12 @@ def _ensure_worker_importability() -> None:
 _ensure_worker_importability()
 
 
+def _read_pq(path, **kwargs):
+    from vietnamese_ocr_ray.sources.storage import read_parquet_clean
+
+    return read_parquet_clean(path, **kwargs)
+
+
 # ---------------------------------------------------------------------------
 # flagship extraction helpers
 # ---------------------------------------------------------------------------
@@ -114,7 +120,7 @@ def _media_features(sf_dir: str):
     from vietnamese_ocr_ray.synth import ensure_corpus
 
     _, media_dir = ensure_corpus(sf_dir)
-    ds = rd.read_parquet(
+    ds = _read_pq(
         media_dir, columns=["media_ref", "image", "height", "width"]
     )
     return media_features(ds)
@@ -149,7 +155,7 @@ def _media_stub(sf_dir: str):
                 }
             )
 
-    return rd.read_parquet(
+    return _read_pq(
         media_dir, columns=["media_ref", "image", "height", "width"]
     ).map_batches(MediaProbe, batch_format="pyarrow", concurrency=(1, 4))
 
@@ -160,9 +166,11 @@ def _media_stub(sf_dir: str):
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")):
-    import ray.data as rd
+    from vietnamese_ocr_ray.sources.storage import read_parquet_clean
 
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+    return read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=list(columns)
+    )
 
 
 def _hash_sample(sf_dir: str):
@@ -187,7 +195,7 @@ def _approx_quantiles(sf_dir: str):
 
     from vietnamese_ocr_ray.functions.sketch import approx_quantiles
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["value"])
     return approx_quantiles(ds, "value", qs=(0.5, 0.95))
 
 
@@ -260,7 +268,7 @@ def _ann_topk(sf_dir: str):
 
     from vietnamese_ocr_ray.functions.ann import ann_bruteforce
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ann_bruteforce(ds, _query_vec(sf_dir), k=10)
 
 
@@ -269,7 +277,7 @@ def _ann_lsh(sf_dir: str):
 
     from vietnamese_ocr_ray.functions.ann import ann_lsh
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ann_lsh(ds, _query_vec(sf_dir), k=10)
 
 
@@ -307,7 +315,7 @@ def _ann_ivf(sf_dir: str):
 
     from vietnamese_ocr_ray.functions.kmeans import ann_ivf
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ann_ivf(ds, _query_vec(sf_dir), k=10, n_clusters=8, nprobe=3)
 
 
@@ -316,7 +324,7 @@ def _embedding_neardup(sf_dir: str):
 
     from vietnamese_ocr_ray.functions.ann import cosine_pairs
 
-    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return cosine_pairs(ds, threshold=0.4)
 
 
@@ -350,7 +358,7 @@ def _dedup_neardup_cosine(sf_dir: str):
         lambda b: pa.table({"a": b.column("vec_id_a"), "b": b.column("vec_id_b")}),
         batch_format="pyarrow",
     )
-    vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+    vecs = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
     return neardup_survivors(vecs, pairs, id_col="vec_id").select_columns(
         ["vec_id"]
     )
@@ -362,7 +370,7 @@ def _embedding_stats(sf_dir: str):
 
     from vietnamese_ocr_ray.functions.ann import _matrix
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
     )
 
@@ -411,7 +419,7 @@ def _docs_without_stopword(sf_dir: str):
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     has = pc.match_substring(_padded(t.column("text")), " the ")
     keys = t.column("doc_id").filter(has).to_numpy()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
     return anti_join_keys(ds, keys, "doc_id", use_bloom=True)
 
 
@@ -460,7 +468,7 @@ def _distinct_lang_source(sf_dir: str):
     from ray.data.aggregate import Count
 
     return (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+        _read_pq(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
         .groupby(["lang", "source"])
         .aggregate(Count(alias_name="n_docs"))
     )

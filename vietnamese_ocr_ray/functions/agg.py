@@ -59,19 +59,24 @@ def hash_aggregate(
     }
     merge_spec = {out: (out, _MERGE[fn]) for out, (_, fn) in base_spec.items()}
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(df: pd.DataFrame) -> pa.Table:
         g = df.groupby(keys, as_index=False, sort=False).agg(**partial_spec)
         g["_bucket"] = key_bucket(
             pa.Array.from_pandas(g[keys[0]]), num_buckets
         ).astype(np.int32)
-        return g
+        # emit metadata-free Arrow so Ray can hash/dedup block schemas
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(
+            None
+        )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge(g: pd.DataFrame) -> pa.Table:
         out = g.groupby(keys, as_index=False, sort=False).agg(**merge_spec)
         for m, _ in means.items():
             out[m] = out[f"_{m}_sum"] / out[f"_{m}_n"]
             out = out.drop(columns=[f"_{m}_sum", f"_{m}_n"])
-        return out[keys + list(spec)]
+        return pa.Table.from_pandas(
+            out[keys + list(spec)], preserve_index=False
+        ).replace_schema_metadata(None)
 
     return (
         ds.map_batches(partial, batch_format="pandas")

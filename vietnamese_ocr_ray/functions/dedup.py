@@ -78,12 +78,14 @@ def dedup_exact(
             "_bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
         )
 
-    def first_per_text(g: pd.DataFrame) -> pd.DataFrame:
+    def first_per_text(g: pd.DataFrame) -> pa.Table:
         out = (
             g.groupby(text_col, as_index=False)
             .agg(**{id_col: (id_col, "min"), "n_copies": (id_col, "size")})
         )
-        return out[[id_col, text_col, "n_copies"]]
+        return pa.Table.from_pandas(
+            out[[id_col, text_col, "n_copies"]], preserve_index=False
+        ).replace_schema_metadata(None)
 
     return (
         ds.select_columns([id_col, text_col])
@@ -226,7 +228,7 @@ def _band_rows(batch: pa.Table, bands: int) -> pa.Table:
     )
 
 
-def _bucket_pairs(g: pd.DataFrame, cap: int = 200) -> pd.DataFrame:
+def _bucket_pairs(g: pd.DataFrame, cap: int = 200) -> pa.Table:
     """Candidate pairs within one HASH BUCKET of band rows: group by the
     exact (band, band_hash) inside, emit all pairs of co-bucketed docs
     (capped against degenerate hot buckets; real skew handling = salt
@@ -240,7 +242,7 @@ def _bucket_pairs(g: pd.DataFrame, cap: int = 200) -> pd.DataFrame:
             for j in range(i + 1, len(ids)):
                 a.append(ids[i])
                 b.append(ids[j])
-    return pd.DataFrame({"a": a, "b": b})
+    return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
 
 
 def jaccard_shingles(t1: str, t2: str, k: int = 4) -> float:
@@ -318,7 +320,10 @@ def minhash_lsh_pairs(
         )
         .groupby("bucket")
         .map_groups(
-            lambda g: g.drop(columns=["bucket"]).drop_duplicates(["a", "b"]),
+            lambda g: pa.Table.from_pandas(
+                g.drop(columns=["bucket"]).drop_duplicates(["a", "b"]),
+                preserve_index=False,
+            ).replace_schema_metadata(None),
             batch_format="pandas",
         )
     )

@@ -20,6 +20,8 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Sum
 
+from vietnamese_ocr_ray.sources.storage import read_parquet_clean
+
 
 def _cents(arr, scale: int) -> pa.Array:
     """round(x * scale) as int64 — exact for fixed-decimal inputs."""
@@ -37,7 +39,7 @@ def pricing_summary(sf_dir: str, cutoff: str = "1998-09-01") -> rd.Dataset:
     materialization.
     """
     cut = np.datetime64(cutoff, "us")
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_returnflag",
@@ -113,7 +115,7 @@ def pricing_summary(sf_dir: str, cutoff: str = "1998-09-01") -> rd.Dataset:
 def top_revenue_orders(sf_dir: str, k: int = 10) -> rd.Dataset:
     """Revenue per order (exact integer units) -> global top-k:
     per-batch partial sums, small groupby, sort+limit."""
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -185,7 +187,7 @@ def nation_customer_stats(sf_dir: str) -> rd.Dataset:
             )
             return g
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_nationkey", "c_acctbal"],
     )
@@ -214,10 +216,10 @@ def nation_customer_stats(sf_dir: str) -> rd.Dataset:
 def order_priority_counts(sf_dir: str) -> rd.Dataset:
     """Large-side hash join demo: orders x customer (Dataset.join) ->
     counts per (mktsegment, orderpriority)."""
-    orders = rd.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderpriority"]
     )
-    customer = rd.read_parquet(
+    customer = read_parquet_clean(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
     joined = orders.join(
@@ -237,7 +239,7 @@ def window_aggregate(sf_dir: str, window_sec: int = 3600) -> rd.Dataset:
     """Tumbling event-time window (streaming-shaped op the reference
     lacks; Ray Data has no watermarks so this is batch windowing):
     floor(epoch/window) per event_type, count + exact-integer value sum."""
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
 
@@ -290,7 +292,7 @@ def sliding_window_aggregate(
     over the full log.)"""
     assert size_sec % step_sec == 0
     per_event = size_sec // step_sec
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
 
@@ -350,7 +352,7 @@ def sessionize(sf_dir: str, gap_sec: int = 1800, num_buckets: int = 32) -> rd.Da
     fit one task's heap (salt/split upstream otherwise)."""
     from vietnamese_ocr_ray.functions.joins import key_bucket
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
 
     def add_bucket(b: pa.Table) -> pa.Table:
         return b.append_column(
@@ -385,7 +387,7 @@ def sessionize(sf_dir: str, gap_sec: int = 1800, num_buckets: int = 32) -> rd.Da
 def event_type_stats(sf_dir: str) -> rd.Dataset:
     """Mean aggregate (A4 analog, src/utils/statistic.py:8-14): exact
     integer sum + count per event_type, one final division."""
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
         t = pa.table(
@@ -422,7 +424,7 @@ def event_type_stats(sf_dir: str) -> rd.Dataset:
 def parts_by_brand(sf_dir: str) -> rd.Dataset:
     """Projection + grouped aggregate over part: count, max size and
     exact-integer average retail price per brand."""
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/part.parquet", columns=["p_brand", "p_size", "p_retailprice"]
     )
 
@@ -486,7 +488,7 @@ def supplier_nation_balance(sf_dir: str) -> rd.Dataset:
                 n_suppliers=("s_suppkey", "size"), bal_c=("bal_c", "sum")
             )
 
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey", "s_acctbal"]
     )
     return (
@@ -514,7 +516,7 @@ def supplier_nation_balance(sf_dir: str) -> rd.Dataset:
 def orders_by_month(sf_dir: str) -> rd.Dataset:
     """Date-function coverage: orders per month (YYYY-MM string) and
     exact-integer total price."""
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
     )
 
@@ -562,7 +564,7 @@ def value_quantiles(sf_dir: str, num_buckets: int = 8) -> rd.Dataset:
     per-group sort."""
     from vietnamese_ocr_ray.functions.joins import key_bucket
 
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
 
     def add_bucket(b: pa.Table) -> pa.Table:
         return b.append_column(
@@ -605,7 +607,7 @@ def value_quantiles(sf_dir: str, num_buckets: int = 8) -> rd.Dataset:
 
 def max_doc_len(sf_dir: str) -> rd.Dataset:
     """Global/grouped max (A3 analog, src/utils/vocab.py:16-19)."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
     return ds.groupby("lang").aggregate(
         Max("n_chars", alias_name="max_chars"), Count(alias_name="n_docs")
     )
@@ -615,7 +617,7 @@ def split_sample(sf_dir: str, seed: int = 42, train_frac: float = 0.99) -> pa.Ta
     """Seeded shuffle + proportional split (O2 analog,
     src/utils/dataloader.py:18-21): returns split sizes (the split
     CONTENT is seed-dependent; the sizes are exact)."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     n = ds.count()
     n_train = int(n * train_frac)
     shuffled = ds.random_shuffle(seed=seed)
@@ -638,12 +640,12 @@ def purchase_attribution(sf_dir: str) -> rd.Dataset:
     from vietnamese_ocr_ray.functions.joins import asof_join
 
     cols = ["event_id", "user_id", "ts"]
-    purchases = rd.read_parquet(
+    purchases = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=cols,
         filter=pc.field("event_type") == "purchase",
     )
-    clicks = rd.read_parquet(
+    clicks = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=cols,
         filter=pc.field("event_type") == "click",
@@ -683,7 +685,7 @@ def top_events_per_type(sf_dir: str, k: int = 3) -> rd.Dataset:
     at most k rows per event_type (so the shuffle moves O(k * types *
     blocks) rows, not O(rows)), then one tiny per-type group finishes.
     Ties break on event_id for a deterministic result."""
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_type", "event_id", "value"]
     )
 
@@ -714,12 +716,12 @@ def signup_click_follow(sf_dir: str) -> rd.Dataset:
     signups kept). Oracle: LEFT JOIN with a BETWEEN range condition."""
     from vietnamese_ocr_ray.functions.joins import range_count_join
 
-    signups = rd.read_parquet(
+    signups = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts"],
         filter=pc.field("event_type") == "signup",
     )
-    clicks = rd.read_parquet(
+    clicks = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["user_id", "ts"],
         filter=pc.field("event_type") == "click",
@@ -744,7 +746,7 @@ def distinct_users_per_type(sf_dir: str) -> rd.Dataset:
     emits its distinct (event_type, user_id) pairs (the shuffle moves
     O(distinct pairs per block), not O(rows)), the small per-type group
     counts uniques."""
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.drop_duplicates(["event_type", "user_id"])
@@ -771,7 +773,7 @@ def running_value_sum(sf_dir: str) -> rd.Dataset:
     Exact-integer accumulation (value scaled to 1e-3 units) so Ray and
     the SQL window agree bit-for-bit. Partitioning assumption: a
     bucket's users fit one task's heap (salt/split upstream otherwise)."""
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
     )
 
@@ -809,7 +811,7 @@ def running_value_sum(sf_dir: str) -> rd.Dataset:
 def events_hourly(sf_dir: str) -> rd.Dataset:
     """Time-bucketed histogram (date_trunc-to-hour) with exact-integer
     value sums — the partial/combiner pattern over a derived time key."""
-    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").to_numpy(zero_copy_only=False)
@@ -848,7 +850,7 @@ def order_status_pivot(sf_dir: str) -> rd.Dataset:
     """Conditional-aggregation pivot: one row per month, one count
     column per order status (the CASE-WHEN pivot shape — wide output
     from a single pass, no per-status scan)."""
-    ds = rd.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_orderstatus"]
     )
 

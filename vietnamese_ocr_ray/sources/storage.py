@@ -40,6 +40,34 @@ def fragment_id(path: str) -> str:
     return os.path.splitext(os.path.basename(path))[0]
 
 
+def read_parquet_clean(path, **kwargs) -> rd.Dataset:
+    """``read_parquet`` with file-level schema metadata stripped. The
+    driver testdata parquet carries a ``pandas`` metadata dict that
+    makes ``pa.Schema`` UNHASHABLE (pyarrow 16), defeating Ray's
+    block-schema dedup fast path and flooding logs with "Failed to
+    hash the schemas" warnings in every shuffle.
+
+    Preferred path: hand the scanner a metadata-free PROJECTED schema
+    (read once from the first file's footer) so even the read task's
+    internal block concats see hashable schemas. Fallback: a zero-copy
+    ``replace_schema_metadata(None)`` map fused with the read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    try:
+        first = path[0] if isinstance(path, (list, tuple)) else path
+        if os.path.isdir(first):
+            first = list_fragments(first)[0]
+        full = pq.read_schema(first).remove_metadata()
+        cols = kwargs.get("columns")
+        schema = pa.schema([full.field(n) for n in cols]) if cols else full
+        return rd.read_parquet(path, schema=schema, **kwargs)
+    except Exception:
+        return rd.read_parquet(path, **kwargs).map_batches(
+            lambda b: b.replace_schema_metadata(None), batch_format="pyarrow"
+        )
+
+
 def read_docs(path: str | list[str], **kwargs) -> rd.Dataset:
     """Read the interleaved docs table (DOCS_SCHEMA)."""
     if _lance_available() and isinstance(path, str) and path.endswith(".lance"):
