@@ -364,6 +364,45 @@ def _dedup_neardup_cosine(sf_dir: str):
     )
 
 
+def _embedding_neardup_lsh(sf_dir: str):
+    """Approximate multi-table hyperplane-LSH cosine near-dup pairs —
+    the 100 TB path that replaces the exact O(N^2) block-pair matmul
+    (rows-only: banding is not SQL-expressible; recall vs the exact
+    pair set is tested on planted duplicates in tests/test_functions.py)."""
+    from vietnamese_ocr_ray.functions.ann import cosine_pairs_lsh
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # same threshold as the exact `embedding_neardup` query: the result
+    # is a deterministic SUBSET of that pair set (recall governed by
+    # tables x planes; sized for high-sim dup detection, so moderate
+    # at 0.4 — the planted-dup test measures >=0.9 at cos~0.999)
+    return cosine_pairs_lsh(ds, threshold=0.4, tables=16, planes=6)
+
+
+def _ann_ivf_persisted(sf_dir: str):
+    """ANN over the PERSISTED cluster-bucketed IVF index: k-means fit
+    once, vectors rewritten one parquet file per inverted list, probe
+    reads only nprobe list files (IO pruning; built once per sf_dir
+    under /tmp and reused — atomic via build-then-rename)."""
+    import shutil
+
+    from vietnamese_ocr_ray.functions.kmeans import ann_ivf_index, build_ivf_index
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    idx = f"/tmp/vnocr_cache/ivf-{tag}"
+    if not os.path.exists(os.path.join(idx, "centroids.parquet")):
+        tmp = idx + ".building"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds = _read_pq(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        build_ivf_index(ds, tmp, n_clusters=8)
+        os.makedirs(os.path.dirname(idx), exist_ok=True)
+        shutil.rmtree(idx, ignore_errors=True)
+        os.replace(tmp, idx)
+    return ann_ivf_index(idx, _query_vec(sf_dir), k=10, nprobe=3)
+
+
 def _embedding_stats(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
@@ -437,10 +476,10 @@ def _approx_distinct_tokens(sf_dir: str):
 
 def _top_tokens(sf_dir: str, k: int = 10):
     """Heavy hitters, exact: per-batch partial token counts (combiner)
-    -> small groupby Sum -> top-k sort with deterministic tiebreak."""
-    import pandas as pd
-    import ray.data as rd
-    from ray.data.aggregate import Sum
+    -> bucketed hash aggregate (vocabulary-cardinality keys pay
+    per-GROUP Python in the sort-aggregate reduce) -> top-k sort with
+    deterministic tiebreak."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
 
     def partial(batch: pa.Table) -> pa.Table:
         toks = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
@@ -452,14 +491,12 @@ def _top_tokens(sf_dir: str, k: int = 10):
             }
         )
 
-    return (
-        _docs(sf_dir, ("text",))
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("tok")
-        .aggregate(Sum("n", alias_name="n_occurrences"))
-        .sort(["n_occurrences", "tok"], descending=[True, False])
-        .limit(k)
+    counts = hash_aggregate(
+        _docs(sf_dir, ("text",)).map_batches(partial, batch_format="pyarrow"),
+        ["tok"],
+        {"n_occurrences": ("n", "sum")},
     )
+    return counts.sort(["n_occurrences", "tok"], descending=[True, False]).limit(k)
 
 
 def _distinct_lang_source(sf_dir: str):
@@ -560,6 +597,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _ann_topk,
         "ann_lsh": _ann_lsh,
         "ann_ivf": _ann_ivf,
+        "ann_ivf_persisted": _ann_ivf_persisted,
+        "embedding_neardup_lsh": _embedding_neardup_lsh,
         "embedding_neardup": _embedding_neardup,
         "components": _components,
         "dedup_neardup_cosine": _dedup_neardup_cosine,

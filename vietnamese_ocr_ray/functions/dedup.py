@@ -443,15 +443,13 @@ def connected_components(
             )
         )
 
-    # labels: start as self
-    labels = (
-        adj.groupby("node")
-        .map_groups(
-            lambda g: g.head(1)[["node"]].assign(label=g["node"].iloc[0]),
-            batch_format="pandas",
-        )
-        .materialize()
-    )
+    # labels: start as self — distinct nodes via the bucketed hash
+    # aggregate (min(node) per node == node), never per-node Python
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    labels = hash_aggregate(
+        adj.select_columns(["node"]), ["node"], {"label": ("node", "min")}
+    ).materialize()
 
     if broadcast:
         labels = _cc_rounds_broadcast(adj, labels, max_rounds)
