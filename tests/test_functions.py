@@ -677,3 +677,23 @@ def test_levenshtein_batch_matches_scalar_and_duckdb():
             got[i]
             == con.sql("SELECT levenshtein(?, ?)", params=[p, t]).fetchone()[0]
         )
+
+
+def test_jaccard_batch_helpers_match_python_reference():
+    from vietnamese_ocr_ray.functions.dedup import (
+        jaccard_shingles_batch,
+        word_jaccard_batch,
+    )
+
+    a = ["the quick brown fox", "", "abc", "same same same", "one two"]
+    b = ["the quick brown cat", "xyz", "", "same", "three four"]
+    got_sh = jaccard_shingles_batch(pa.array(a), pa.array(b))
+    for i in range(len(a)):
+        assert abs(got_sh[i] - jaccard_shingles(a[i], b[i])) < 1e-12
+
+    got_w = word_jaccard_batch(pa.array(a), pa.array(b))
+    for i in range(len(a)):
+        sa, sb = set(a[i].split(" ")), set(b[i].split(" "))
+        union = len(sa | sb)
+        expect = (len(sa & sb) / union) if union else 1.0
+        assert abs(got_w[i] - expect) < 1e-12

@@ -328,19 +328,16 @@ def minhash_lsh_pairs(
         )
     )
 
-    def _verify_rows(a_ids, b_ids, texts_a, texts_b, id_type):
-        rows_a, rows_b, jac = [], [], []
-        for a, b, ta, tb in zip(a_ids, b_ids, texts_a, texts_b):
-            j = jaccard_shingles(ta, tb, k)
-            if j >= threshold:
-                rows_a.append(a)
-                rows_b.append(b)
-                jac.append(round(j, 6))
+    def _verify_rows(batch: pa.Table, texts_a: pa.Array, texts_b: pa.Array) -> pa.Table:
+        # one vectorized pass for ALL candidate pairs of the batch
+        j = np.round(jaccard_shingles_batch(texts_a, texts_b, k), 6)
+        hit = j >= threshold
+        filtered = batch.filter(pa.array(hit))
         return pa.table(
             {
-                "a": pa.array(rows_a, id_type),
-                "b": pa.array(rows_b, id_type),
-                "jaccard": pa.array(jac, pa.float64()),
+                "a": filtered.column("a"),
+                "b": filtered.column("b"),
+                "jaccard": pa.array(j[hit], pa.float64()),
             }
         )
 
@@ -348,15 +345,13 @@ def minhash_lsh_pairs(
 
         def verify(batch: pa.Table) -> pa.Table:
             texts = ray.get(texts_handle)
-            a_ids = batch.column("a").to_pylist()
-            b_ids = batch.column("b").to_pylist()
-            return _verify_rows(
-                a_ids,
-                b_ids,
-                [texts[a] for a in a_ids],
-                [texts[b] for b in b_ids],
-                batch.column("a").type,
+            ta = pa.array(
+                [texts[a] for a in batch.column("a").to_pylist()], pa.string()
             )
+            tb = pa.array(
+                [texts[b] for b in batch.column("b").to_pylist()], pa.string()
+            )
+            return _verify_rows(batch, ta, tb)
 
         return distinct.map_batches(verify, batch_format="pyarrow")
 
@@ -381,11 +376,7 @@ def minhash_lsh_pairs(
 
     def verify_joined(batch: pa.Table) -> pa.Table:
         return _verify_rows(
-            batch.column("a").to_pylist(),
-            batch.column("b").to_pylist(),
-            batch.column("text_a").to_pylist(),
-            batch.column("text_b").to_pylist(),
-            batch.column("a").type,
+            batch, batch.column("text_a"), batch.column("text_b")
         )
 
     return joined.map_batches(verify_joined, batch_format="pyarrow")
@@ -675,19 +666,15 @@ def neardup_survivors(
 # ---------------------------------------------------------------------------
 
 
-def simhash_batch(batch: pa.Table, k: int = 4) -> pa.Table:
-    """64-bit SimHash per doc over UNIQUE k-byte shingle hashes
-    (Charikar 2002): per-bit weighted majority.
-
-    Whole-batch vectorized over the flat utf8 buffer: one rolling FNV
-    pass for every window position, windows crossing row boundaries
-    masked, per-row uniqueness via one lexsort, per-row bit sums via
-    ``np.add.reduceat``, hex rendering via one hexlify — no per-row
-    Python anywhere."""
-    import binascii
-
-    col = batch.column("text")
-    offs, data = _utf8_flat(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+def _unique_shingles(
+    offs: np.ndarray, data: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row UNIQUE k-byte shingle hashes for a whole flat utf8
+    buffer at once: one rolling FNV pass over every window position,
+    windows crossing row boundaries masked, rows shorter than one
+    shingle zero-padded (matching :func:`_shingle_hashes`), per-row
+    uniqueness via one lexsort. Returns (rows, hashes) sorted by
+    (row, hash) — no per-row Python."""
     n = len(offs) - 1
     lens = offs[1:] - offs[:-1]
     prime = np.uint64(0x100000001B3)
@@ -719,12 +706,91 @@ def simhash_batch(batch: pa.Table, k: int = 4) -> pa.Table:
     rows = np.concatenate(rows_parts) if rows_parts else np.empty(0, np.int64)
     hs = np.concatenate(hash_parts) if hash_parts else np.empty(0, np.uint64)
 
-    # per-row unique shingles: sort by (row, hash), drop adjacent dups
     order = np.lexsort((hs, rows))
     rows, hs = rows[order], hs[order]
     keep = np.ones(rows.shape[0], dtype=bool)
     keep[1:] = (rows[1:] != rows[:-1]) | (hs[1:] != hs[:-1])
-    rows, hs = rows[keep], hs[keep]
+    return rows[keep], hs[keep]
+
+
+def _paired_set_jaccard(
+    ra: np.ndarray, ha: np.ndarray, rb: np.ndarray, hb: np.ndarray, n: int
+) -> np.ndarray:
+    """Per-row set Jaccard from (row, hash) memberships that are UNIQUE
+    within each side: a (row, hash) group appearing on both sides marks
+    one intersection hit."""
+    ca = np.bincount(ra, minlength=n)
+    cb = np.bincount(rb, minlength=n)
+    rows = np.concatenate([ra, rb])
+    hs = np.concatenate([ha, hb])
+    order = np.lexsort((hs, rows))
+    r2, h2 = rows[order], hs[order]
+    dup = np.zeros(r2.shape[0], dtype=bool)
+    dup[1:] = (r2[1:] == r2[:-1]) & (h2[1:] == h2[:-1])
+    inter = np.bincount(r2[dup], minlength=n)
+    union = ca + cb - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+
+
+def jaccard_shingles_batch(
+    a_arr: pa.Array, b_arr: pa.Array, k: int = 4
+) -> np.ndarray:
+    """Exact shingle-set Jaccard for N (a, b) text pairs in ONE
+    vectorized pass (same semantics as per-pair
+    :func:`jaccard_shingles`): unique shingles per row on both sides,
+    then intersections counted by detecting (row, hash) runs that
+    appear on both sides of the union."""
+    a_arr = a_arr.combine_chunks() if isinstance(a_arr, pa.ChunkedArray) else a_arr
+    b_arr = b_arr.combine_chunks() if isinstance(b_arr, pa.ChunkedArray) else b_arr
+    n = len(a_arr)
+    ra, ha = _unique_shingles(*_utf8_flat(a_arr), k)
+    rb, hb = _unique_shingles(*_utf8_flat(b_arr), k)
+    return _paired_set_jaccard(ra, ha, rb, hb, n)
+
+
+def _unique_token_hashes(col) -> tuple[np.ndarray, np.ndarray]:
+    """(rows, hashes) of the DISTINCT space-split tokens of each row —
+    64-bit content hashes (collision odds ~2^-64 per token pair; a
+    collision would merge two distinct tokens, same tradeoff as any
+    hashed set-similarity) via one vectorized pass."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    toks_list = pc.split_pattern(col, " ")
+    flat = pc.list_flatten(toks_list)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    ntok = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+    h = content_hash64(flat)
+    rows = np.repeat(np.arange(len(col), dtype=np.int64), ntok)
+    order = np.lexsort((h, rows))
+    rows, h = rows[order], h[order]
+    keep = np.ones(rows.shape[0], dtype=bool)
+    keep[1:] = (rows[1:] != rows[:-1]) | (h[1:] != h[:-1])
+    return rows[keep], h[keep]
+
+
+def word_jaccard_batch(a_arr: pa.Array, b_arr: pa.Array) -> np.ndarray:
+    """Word-SET Jaccard for N (a, b) text pairs, fully vectorized (the
+    hashed twin of python ``set(a.split()) & set(b.split())``)."""
+    n = len(a_arr)
+    ra, ha = _unique_token_hashes(a_arr)
+    rb, hb = _unique_token_hashes(b_arr)
+    return _paired_set_jaccard(ra, ha, rb, hb, n)
+
+
+def simhash_batch(batch: pa.Table, k: int = 4) -> pa.Table:
+    """64-bit SimHash per doc over UNIQUE k-byte shingle hashes
+    (Charikar 2002): per-bit weighted majority.
+
+    Whole-batch vectorized over the flat utf8 buffer (see
+    :func:`_unique_shingles`), per-row bit sums via
+    ``np.add.reduceat``, hex rendering via one hexlify — no per-row
+    Python anywhere."""
+    import binascii
+
+    col = batch.column("text")
+    offs, data = _utf8_flat(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+    n = len(offs) - 1
+    rows, hs = _unique_shingles(offs, data, k)
 
     fps = np.zeros(n, dtype=np.uint64)
     if rows.size:
@@ -909,13 +975,9 @@ def word_jaccard(ds: rd.Dataset, join_partitions: int = 8) -> rd.Dataset:
     )
 
     def jac(batch: pa.Table) -> pa.Table:
-        a_texts = batch.column("text_b").to_pylist()  # doc i
-        b_texts = batch.column("text").to_pylist()  # doc i+1
-        js = np.empty(len(a_texts))
-        for i, (a, b) in enumerate(zip(a_texts, b_texts)):
-            sa, sb = set((a or "").split(" ")), set((b or "").split(" "))
-            union = len(sa | sb)
-            js[i] = (len(sa & sb) / union) if union else 1.0
+        js = word_jaccard_batch(
+            batch.column("text_b"), batch.column("text")  # doc i, doc i+1
+        )
         return pa.table(
             {
                 "doc_id_a": batch.column("doc_id_b"),
