@@ -218,16 +218,12 @@ def _word_jaccard(sf_dir: str):
 
 
 def _minhash_pairs(sf_dir: str):
-    import pyarrow.parquet as pq
-    import ray
-
     from vietnamese_ocr_ray.functions.dedup import minhash_lsh_pairs
 
-    # verification lookup: one direct driver-side read (small side),
-    # broadcast once — not a second Ray pipeline over the corpus
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    texts = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
-    return minhash_lsh_pairs(_docs(sf_dir), texts_handle=ray.put(texts))
+    # corpus-join verification (texts_handle=None): candidates join
+    # back to the corpus on doc_id — no broadcast-texts assumption and
+    # no driver-side corpus read (the 100 TB verification shape)
+    return minhash_lsh_pairs(_docs(sf_dir), texts_handle=None)
 
 
 def _dedup_neardup(sf_dir: str):
@@ -448,16 +444,26 @@ def _embedding_stats(sf_dir: str):
 def _docs_without_stopword(sf_dir: str):
     """Broadcast anti-join (Bloom-prefilter scale path in
     functions/membership.py): documents whose id is NOT in the key set
-    of documents containing the ' the ' marker."""
-    import pyarrow.parquet as pq
-    import ray.data as rd
-
+    of documents containing the ' the ' marker. The key-set build is a
+    DISTRIBUTED scan — text never reaches the driver, only the matching
+    doc_ids (the build side of a broadcast join, bounded by the match
+    count)."""
     from vietnamese_ocr_ray.functions.membership import anti_join_keys
     from vietnamese_ocr_ray.functions.text import _padded
 
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    has = pc.match_substring(_padded(t.column("text")), " the ")
-    keys = t.column("doc_id").filter(has).to_numpy()
+    def matching_ids(b: pa.Table) -> pa.Table:
+        has = pc.match_substring(_padded(b.column("text")), " the ")
+        return pa.table({"doc_id": b.column("doc_id").filter(has)})
+
+    key_batches = [
+        np.asarray(b.column("doc_id"))
+        for b in _docs(sf_dir)
+        .map_batches(matching_ids, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ]
+    keys = (
+        np.concatenate(key_batches) if key_batches else np.empty(0, np.int64)
+    )
     ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
     return anti_join_keys(ds, keys, "doc_id", use_bloom=True)
 

@@ -229,20 +229,33 @@ def _band_rows(batch: pa.Table, bands: int) -> pa.Table:
 
 
 def _bucket_pairs(g: pd.DataFrame, cap: int = 200) -> pa.Table:
-    """Candidate pairs within one HASH BUCKET of band rows: group by the
-    exact (band, band_hash) inside, emit all pairs of co-bucketed docs
-    (capped against degenerate hot buckets; real skew handling = salt
-    or raise bands). One call per coarse bucket — never per LSH bucket."""
-    a, b = [], []
-    for (_, _), grp in g.groupby(["band", "band_hash"], sort=False):
-        if len(grp) < 2:
-            continue
-        ids = sorted(grp["doc_id"].tolist())[:cap]
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-    return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    """Candidate pairs within one HASH BUCKET of band rows: one sort
+    locates every exact (band, band_hash) run; only multi-member runs
+    (actual collision buckets) are visited, each emitting its id pairs
+    with one ``triu_indices`` — no per-pair Python appends. ``cap``
+    bounds degenerate hot buckets (real skew handling = salt or raise
+    bands)."""
+    s = g.sort_values(["band", "band_hash", "doc_id"], kind="stable")
+    band = s["band"].to_numpy()
+    bh = s["band_hash"].to_numpy()
+    ids = s["doc_id"].to_numpy(np.int64)
+    n = ids.shape[0]
+    out_a, out_b = [], []
+    if n:
+        change = np.ones(n, dtype=bool)
+        change[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.nonzero(change)[0]
+        sizes = np.diff(np.append(starts, n))
+        multi = sizes >= 2
+        for st, m in zip(starts[multi], sizes[multi]):
+            mm = int(min(m, cap))
+            ii, jj = np.triu_indices(mm, 1)
+            seg = ids[st : st + mm]
+            out_a.append(seg[ii])
+            out_b.append(seg[jj])
+    a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+    b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+    return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
 
 def jaccard_shingles(t1: str, t2: str, k: int = 4) -> float:
