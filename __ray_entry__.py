@@ -268,6 +268,25 @@ def _ann_topk(sf_dir: str):
     return ann_bruteforce(ds, _query_vec(sf_dir), k=10)
 
 
+def _ann_topk_multi(sf_dir: str):
+    """Batched exact ANN: top-k for 4 query vectors in ONE corpus scan
+    (broadcast query matrix; rows-only — per-query cosine ranking is
+    checked against numpy in tests/test_functions.py)."""
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.functions.ann import ann_bruteforce_multi
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    mask = pc.less(t.column("vec_id"), 4)
+    q = np.asarray(
+        [np.asarray(v, np.float64) for v in t.filter(mask).column("embedding").to_pylist()]
+    )
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann_bruteforce_multi(ds, q, k=10)
+
+
 def _ann_lsh(sf_dir: str):
     import ray.data as rd
 
@@ -601,6 +620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_tokens": _simhash_tokens,
         # similarity search / embedding ops
         "ann_topk": _ann_topk,
+        "ann_topk_multi": _ann_topk_multi,
         "ann_lsh": _ann_lsh,
         "ann_ivf": _ann_ivf,
         "ann_ivf_persisted": _ann_ivf_persisted,

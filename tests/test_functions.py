@@ -697,3 +697,24 @@ def test_jaccard_batch_helpers_match_python_reference():
         union = len(sa | sb)
         expect = (len(sa & sb) / union) if union else 1.0
         assert abs(got_w[i] - expect) < 1e-12
+
+
+def test_ann_bruteforce_multi_matches_numpy(ray_session):
+    from vietnamese_ocr_ray.functions.ann import ann_bruteforce_multi
+
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((250, 12))
+    queries = np.vstack([vecs[3], vecs[100], rng.standard_normal(12)])
+    ds = rd.from_arrow(_embeddings_table(vecs))
+    out = ann_bruteforce_multi(ds, queries, k=5).to_pandas()
+    mn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    cos = np.round(mn @ qn.T, 6)
+    for qi in range(3):
+        # numpy reference: top-5 by (-cos, vec_id)
+        order = np.lexsort((np.arange(len(vecs)), -cos[:, qi]))[:5]
+        got = out[out["query_id"] == qi].sort_values("rank")
+        assert got["vec_id"].tolist() == list(order)
+        assert np.allclose(got["cos"].to_numpy(), cos[order, qi])
+    # self-queries rank themselves first
+    assert out[(out["query_id"] == 0) & (out["rank"] == 1)]["vec_id"].iloc[0] == 3

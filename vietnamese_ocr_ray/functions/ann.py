@@ -311,6 +311,65 @@ def cosine_pairs_lsh(
     )
 
 
+def ann_bruteforce_multi(
+    ds: rd.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Exact cosine top-k for a BATCH of queries in one corpus pass:
+    the (Q, D) query matrix is broadcast once (ray.put), each batch
+    does one (B, D) x (D, Q) matmul and keeps its per-query partial
+    top-k, and one small sort+group finishes — Q queries cost one scan,
+    not Q scans. Result: (query_id, vec_id, cos, rank), rank 1..k."""
+    import ray
+
+    qn = queries / np.maximum(
+        np.linalg.norm(queries, axis=1, keepdims=True), 1e-30
+    )
+    handle = ray.put(qn)
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(handle)
+        m = _matrix(batch)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        cos = np.round(m @ q.T, 6)  # (B, Q)
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
+        nq = q.shape[0]
+        kk = min(k, cos.shape[0])
+        # per-query partial top-k, ties to the smaller vec_id
+        order = np.lexsort((ids[:, None].repeat(nq, 1), -cos), axis=0)[:kk]
+        qidx = np.tile(np.arange(nq, dtype=np.int64), kk)
+        rows = order.reshape(-1)
+        return pa.table(
+            {
+                "query_id": pa.array(qidx),
+                id_col: pa.array(ids[rows]),
+                "cos": pa.array(cos[rows, qidx], pa.float64()),
+            }
+        )
+
+    partials = ds.select_columns([id_col, "embedding"]).map_batches(
+        score_topk, batch_format="pyarrow"
+    )
+
+    def finish(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        s = g.sort_values(
+            ["query_id", "cos", id_col], ascending=[True, False, True],
+            kind="stable",
+        ).groupby("query_id", sort=False).head(k)
+        s = s.reset_index(drop=True)
+        s["rank"] = s.groupby("query_id", sort=False).cumcount() + 1
+        return s
+
+    # Q is small: one tiny final group pass over k * blocks * Q rows
+    return partials.groupby("query_id").map_groups(
+        finish, batch_format="pandas"
+    )
+
+
 class LshIndexer:
     """Random-hyperplane bucketer (plane matrix drawn once per actor)."""
 
