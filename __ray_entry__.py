@@ -600,6 +600,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": lambda sf: relational.events_hourly(sf),
         "status_pivot": lambda sf: relational.order_status_pivot(sf),
         "running_sum": lambda sf: relational.running_value_sum(sf),
+        "event_lag": lambda sf: relational.event_lag(sf),
+        "rolling_avg": lambda sf: relational.rolling_avg(sf),
         "split_sample": lambda sf: relational.split_sample(sf),
         "hash_sample": _hash_sample,
         # text analysis
@@ -1090,6 +1092,30 @@ def oracle_sql() -> dict[str, str]:
                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1000.0
                  AS running_value
         FROM events
+        """,
+        "event_lag": """
+        WITH w AS (
+          SELECT event_id, user_id, ts,
+                 LAG(event_id) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_event_id,
+                 LAG(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_ts
+          FROM events)
+        SELECT event_id, user_id, prev_event_id,
+               CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT) AS gap_us
+        FROM w WHERE prev_event_id IS NOT NULL
+        """,
+        "rolling_avg": """
+        WITH c AS (
+          SELECT event_id, user_id, ts,
+                 CAST(ROUND(value * 1000) AS BIGINT) AS u
+          FROM events)
+        SELECT event_id, user_id,
+               CAST(SUM(u) OVER w AS DOUBLE) / 1000.0
+                 / (COUNT(*) OVER w) AS rolling_avg
+        FROM c
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         """,
         "range_count": """
         WITH l AS (SELECT event_id, user_id, ts FROM events

@@ -878,3 +878,103 @@ def order_status_pivot(sf_dir: str) -> rd.Dataset:
             Sum("n_partial", alias_name="n_partial"),
         )
     )
+
+
+def event_lag(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """LAG window (prev event of the same user): shuffle on
+    key_bucket(user_id), ONE sort per bucket, previous-row columns via
+    shifted views masked at user boundaries — rows without a
+    predecessor drop (inner-lag semantics, like the SQL QUALIFY
+    filter). Exact integer gap in microseconds."""
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_bucket",
+            pa.array(key_bucket(b.column("user_id"), num_buckets).astype(np.int32)),
+        )
+
+    def lag(g: pd.DataFrame) -> pa.Table:
+        s = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        user = s["user_id"].to_numpy()
+        ev = s["event_id"].to_numpy(np.int64)
+        ts = s["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        same = np.zeros(len(s), dtype=bool)
+        same[1:] = user[1:] == user[:-1]
+        prev_ev = np.empty_like(ev)
+        prev_ts = np.empty_like(ts)
+        prev_ev[1:] = ev[:-1]
+        prev_ts[1:] = ts[:-1]
+        return pa.table(
+            {
+                "event_id": pa.array(ev[same]),
+                "user_id": pa.array(user[same]),
+                "prev_event_id": pa.array(prev_ev[same]),
+                "gap_us": pa.array(ts[same] - prev_ts[same]),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: lag(g.drop(columns=["_bucket"])), batch_format="pandas"
+        )
+    )
+
+
+def rolling_avg(
+    sf_dir: str, window_rows: int = 4, num_buckets: int = 32
+) -> rd.Dataset:
+    """Rolling row-window mean per user (AVG OVER ... ROWS BETWEEN
+    ``window_rows``-1 PRECEDING AND CURRENT ROW): one sort + one
+    exact-integer cumsum per bucket; each row's window sum is a cumsum
+    difference with the window start clamped to the user's first row
+    (np.maximum.accumulate locates run starts) — zero per-row Python,
+    bit-exact vs the SQL window over scaled integers."""
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_bucket",
+            pa.array(key_bucket(b.column("user_id"), num_buckets).astype(np.int32)),
+        )
+
+    def roll(g: pd.DataFrame) -> pa.Table:
+        s = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        user = s["user_id"].to_numpy()
+        units = np.rint(s["value"].to_numpy() * 1000.0).astype(np.int64)
+        n = len(s)
+        idx = np.arange(n, dtype=np.int64)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = user[1:] != user[:-1]
+        run_start = np.maximum.accumulate(np.where(new_user, idx, 0))
+        lo = np.maximum(idx - (window_rows - 1), run_start)
+        csum = np.concatenate([[0], np.cumsum(units)])
+        win_sum = csum[idx + 1] - csum[lo]
+        win_cnt = idx + 1 - lo
+        return pa.table(
+            {
+                "event_id": pa.array(s["event_id"].to_numpy(np.int64)),
+                "user_id": pa.array(user),
+                "rolling_avg": pa.array(
+                    win_sum / 1000.0 / win_cnt, pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: roll(g.drop(columns=["_bucket"])), batch_format="pandas"
+        )
+    )
