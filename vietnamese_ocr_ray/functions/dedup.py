@@ -26,6 +26,9 @@ import ray.data as rd
 
 _MERSENNE = (1 << 61) - 1
 
+# per-worker-process MinHasher cache for tasks-mode signature stages
+_MINHASHER_CACHE: dict = {}
+
 
 def _utf8_flat(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """(normalized offsets int64, flat uint8 bytes) of a StringArray."""
@@ -290,12 +293,22 @@ def minhash_lsh_pairs(
       candidate rows ever carry text through the exchange."""
     import ray
 
+    # tasks mode with a per-worker-process cached MinHasher: the
+    # coefficients/scratch still build once per process (the actor-pool
+    # benefit) but execution pays no pool spin-up and the streaming
+    # executor can rebalance CPUs across the downstream sort barriers
+    # (same finding as the recognize stage, bench.py).
+    def sigs_fn(batch: pa.Table) -> pa.Table:
+        key = (num_perm, k)
+        mh = _MINHASHER_CACHE.get(key)
+        if mh is None:
+            mh = _MINHASHER_CACHE[key] = MinHasher(num_perm=num_perm, k=k)
+        return mh(batch)
+
     sigs = ds.select_columns(["doc_id", "text"]).map_batches(
-        MinHasher,
+        sigs_fn,
         batch_format="pyarrow",
-        batch_size=1024,  # bounds the per-actor scratch matrix
-        fn_constructor_kwargs={"num_perm": num_perm, "k": k},
-        concurrency=(1, 8),
+        batch_size=1024,  # bounds the per-process scratch matrix
     )
     num_coarse = 32  # coarse hash buckets: bounds map_groups call count
     band_rows = sigs.map_batches(

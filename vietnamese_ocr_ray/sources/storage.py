@@ -50,7 +50,14 @@ def read_parquet_clean(path, **kwargs) -> rd.Dataset:
     Preferred path: hand the scanner a metadata-free PROJECTED schema
     (read once from the first file's footer) so even the read task's
     internal block concats see hashable schemas. Fallback: a zero-copy
-    ``replace_schema_metadata(None)`` map fused with the read."""
+    ``replace_schema_metadata(None)`` map fused with the read.
+
+    Also sizes the block count from on-disk bytes (~8 MB/block,
+    16..1024) unless the caller overrides: Ray's default parallelism
+    heuristic splits these small driver tables into 64+ blocks whose
+    per-task overhead dominates downstream maps (same fix as
+    :func:`read_media`); at real scale the byte-based count grows with
+    the data."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -61,6 +68,19 @@ def read_parquet_clean(path, **kwargs) -> rd.Dataset:
         full = pq.read_schema(first).remove_metadata()
         cols = kwargs.get("columns")
         schema = pa.schema([full.field(n) for n in cols]) if cols else full
+        if "override_num_blocks" not in kwargs:
+            try:
+                files = (
+                    list(path)
+                    if isinstance(path, (list, tuple))
+                    else (list_fragments(path) if os.path.isdir(path) else [path])
+                )
+                total = sum(os.path.getsize(f) for f in files)
+                kwargs["override_num_blocks"] = int(
+                    min(1024, max(16, -(-total // (8 << 20))))
+                )
+            except OSError:
+                pass
         return rd.read_parquet(path, schema=schema, **kwargs)
     except Exception:
         return rd.read_parquet(path, **kwargs).map_batches(
