@@ -145,3 +145,14 @@ def test_augment_canvas_mode_partitioning_invariant(ray_session):
     r2 = {r["media_ref"]: (r["image"], r["height"], r["width"]) for r in ds2.take_all()}
     assert r1 == r2
     assert all(h == 64 and w == 256 for (_, h, w) in r1.values())
+
+
+def test_demo_cli_single_record(capsys):
+    """app.py analog: CLI demo renders, predicts, round-trips."""
+    import json as _json
+
+    from vietnamese_ocr_ray.__main__ import main
+
+    assert main(["demo", "--text", "xyz9"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip())
+    assert out["text"] == "xyz9" and out["match"] is True

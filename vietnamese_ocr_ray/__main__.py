@@ -74,7 +74,37 @@ def main(argv=None):
     mf.add_argument("--media", required=True)
     mf.add_argument("--out", required=True)
 
+    dm = sub.add_parser(
+        "demo",
+        help="interactive single-record path (the app.py analog, "
+        "reference app.py:33-61): render --text to an image, run the "
+        "single-image predict path, print JSON",
+    )
+    dm.add_argument("--text", required=True)
+    dm.add_argument("--media-ref", default="demo-0")
+    dm.add_argument("--height", type=int, default=64)
+
     args = p.parse_args(argv)
+    if args.cmd == "demo":
+        # single-record path: no Ray session needed (reference app.py
+        # also runs in-process; predict_single caches its model)
+        from vietnamese_ocr_ray.pipelines.extract import predict_single
+        from vietnamese_ocr_ray.synth import render_text
+
+        img = render_text(args.text, args.height)
+        pred = predict_single(img, args.media_ref)
+        print(
+            json.dumps(
+                {
+                    "media_ref": args.media_ref,
+                    "height": int(img.shape[0]),
+                    "width": int(img.shape[1]),
+                    "text": pred,
+                    "match": pred == (args.text or "a"),
+                }
+            )
+        )
+        return 0
     ray = _ray_session()
     try:
         if args.cmd == "synth":
