@@ -244,3 +244,50 @@ def test_simhash_tokens_matches_python_reference(texts):
                 votes[b] += 1 if (h >> b) & 1 else -1
         fp = sum(1 << b for b in range(SIMHASH_BITS) if votes[b] > 0)
         assert got[i] == fp, (s, got[i], fp)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(st.text(max_size=20), st.text(max_size=20)),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_levenshtein_batch_matches_scalar_property(pairs):
+    from vietnamese_ocr_ray.functions.text import levenshtein_batch
+
+    preds = [p for p, _ in pairs]
+    targets = [t for _, t in pairs]
+    got = levenshtein_batch(preds, targets)
+    for i, (p, t) in enumerate(pairs):
+        assert got[i] == levenshtein_np(p, t)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(st.text(max_size=30), st.text(max_size=30)),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_jaccard_batches_match_scalars_property(pairs):
+    import pyarrow as pa
+
+    from vietnamese_ocr_ray.functions.dedup import (
+        jaccard_shingles,
+        jaccard_shingles_batch,
+        word_jaccard_batch,
+    )
+
+    a = pa.array([p for p, _ in pairs], pa.string())
+    b = pa.array([t for _, t in pairs], pa.string())
+    got_sh = jaccard_shingles_batch(a, b)
+    got_w = word_jaccard_batch(a, b)
+    for i, (p, t) in enumerate(pairs):
+        assert abs(got_sh[i] - jaccard_shingles(p, t)) < 1e-12
+        sa, sb = set(p.split(" ")), set(t.split(" "))
+        union = len(sa | sb)
+        expect = (len(sa & sb) / union) if union else 1.0
+        assert abs(got_w[i] - expect) < 1e-12
