@@ -563,6 +563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         lang_id,
         quality_scores,
         subword_token_count,
+        tfidf_top_terms,
         token_count,
     )
     from vietnamese_ocr_ray.pipelines import doctext, relational
@@ -635,6 +636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_tokens": _distinct_tokens,
         "docs_without_stopword": _docs_without_stopword,
         "top_tokens": _top_tokens,
+        "tfidf_top_terms": lambda sf: tfidf_top_terms(_docs(sf)),
         "approx_distinct_tokens": _approx_distinct_tokens,
         "approx_quantiles": _approx_quantiles,
     }
@@ -1031,6 +1033,24 @@ def oracle_sql() -> dict[str, str]:
         WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         SELECT tok, count(*) AS n_occurrences FROM t
         GROUP BY tok ORDER BY n_occurrences DESC, tok LIMIT 10
+        """,
+        "tfidf_top_terms": """
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ), tf AS (
+          SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+          FROM tok GROUP BY doc_id, tok
+        ), df AS (
+          SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          FROM tok GROUP BY tok
+        ), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.tok, tf.tf * ln(n.n / df.df) AS score
+          FROM tf JOIN df USING (tok) CROSS JOIN n
+        )
+        SELECT doc_id, tok, score FROM scored
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, tok) <= 3
         """,
         # approx_distinct_tokens: HLL sketch -> rows-only (approximate)
         "ann_topk": """

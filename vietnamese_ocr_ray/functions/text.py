@@ -268,3 +268,95 @@ def corpus_cer(ds: rd.Dataset, pred_col: str, target_col: str) -> pa.Table:
             "cer": pa.array([errors / total if total else 0.0], pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF (Sparck Jones 1972) — two-pass: DF shuffle + broadcast score
+# ---------------------------------------------------------------------------
+
+
+def tfidf_top_terms(ds: rd.Dataset, k: int = 3) -> rd.Dataset:
+    """Top-``k`` TF-IDF terms per document (score = tf * ln(N / df)).
+
+    Scale shape: term frequencies never shuffle (a document's tokens
+    live inside its row, so tf completes per batch); document
+    frequencies are ONE bucketed hash-aggregate over per-batch DISTINCT
+    (token, doc) pairs; the resulting df table is broadcast as sorted
+    arrays (vocabulary-bounded — at corpus scales where the vocabulary
+    exceeds a worker heap, replace the broadcast with a token-key join,
+    same as minhash's corpus-join verify). The score is emitted
+    UNROUNDED: both sides compute tf * ln(N/df) with the identical
+    double operations, so the SQL oracle matches bit-for-bit (rounding
+    would only introduce boundary risk)."""
+    import ray
+
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    n_docs = ds.count()
+
+    def distinct_tokens_per_doc(batch: pa.Table) -> pa.Table:
+        toks_list = pc.split_pattern(batch.column("text"), " ")
+        flat = pc.list_flatten(toks_list)
+        ntok = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+        doc = np.repeat(
+            np.asarray(batch.column("doc_id"), dtype=np.int64), ntok
+        )
+        df = (
+            pa.table({"tok": flat, "doc": pa.array(doc)})
+            .to_pandas()
+            .drop_duplicates(["tok", "doc"])
+        )
+        g = df.groupby("tok", as_index=False, sort=False).agg(n=("doc", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    df_tbl = hash_aggregate(
+        ds.map_batches(distinct_tokens_per_doc, batch_format="pyarrow"),
+        ["tok"],
+        {"df": ("n", "sum")},
+    ).to_pandas()  # vocabulary-bounded broadcast side
+    order = np.argsort(df_tbl["tok"].to_numpy())
+    handle = ray.put(
+        (
+            df_tbl["tok"].to_numpy()[order],
+            df_tbl["df"].to_numpy(np.int64)[order],
+        )
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        toks_sorted, dfs = ray.get(handle)
+        toks_list = pc.split_pattern(batch.column("text"), " ")
+        flat = pc.list_flatten(toks_list)
+        ntok = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+        doc = np.repeat(
+            np.asarray(batch.column("doc_id"), dtype=np.int64), ntok
+        )
+        tf = (
+            pa.table({"doc_id": pa.array(doc), "tok": flat})
+            .to_pandas()
+            .groupby(["doc_id", "tok"], as_index=False, sort=False)
+            .size()
+        )
+        pos = np.searchsorted(toks_sorted, tf["tok"].to_numpy())
+        idf = np.log(float(n_docs) / dfs[pos])
+        tf["score"] = tf["size"].to_numpy(np.int64) * idf
+        top = (
+            tf.sort_values(
+                ["doc_id", "score", "tok"], ascending=[True, False, True],
+                kind="stable",
+            )
+            .groupby("doc_id", sort=False)
+            .head(k)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(top["doc_id"].to_numpy(np.int64)),
+                "tok": pa.array(top["tok"].to_numpy(), pa.string()),
+                "score": pa.array(top["score"].to_numpy(), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
