@@ -418,6 +418,14 @@ def _ann_ivf_persisted(sf_dir: str):
     return ann_ivf_index(idx, _query_vec(sf_dir), k=10, nprobe=3)
 
 
+def _label_centroids(sf_dir: str):
+    from vietnamese_ocr_ray.functions.ann import label_centroids
+
+    return label_centroids(
+        _read_pq(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    )
+
+
 def _embedding_stats(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count, Sum
@@ -632,6 +640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "components": _components,
         "dedup_neardup_cosine": _dedup_neardup_cosine,
         "embedding_stats": _embedding_stats,
+        "label_centroids": _label_centroids,
         "distinct_lang_source": _distinct_lang_source,
         "distinct_tokens": _distinct_tokens,
         "docs_without_stopword": _docs_without_stopword,
@@ -1051,6 +1060,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, tok, score FROM scored
         QUALIFY row_number() OVER (PARTITION BY doc_id
                                    ORDER BY score DESC, tok) <= 3
+        """,
+        "label_centroids": """
+        WITH e AS (
+          SELECT label,
+                 generate_subscripts(embedding, 1) AS dim,
+                 unnest(embedding) AS v
+          FROM embeddings
+        )
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(dim AS BIGINT) AS dim,
+               ROUND(sum(CAST(v AS DOUBLE)) / count(*), 4) AS avg_v
+        FROM e GROUP BY label, dim
         """,
         # approx_distinct_tokens: HLL sketch -> rows-only (approximate)
         "ann_topk": """

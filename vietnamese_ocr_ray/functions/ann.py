@@ -311,6 +311,58 @@ def cosine_pairs_lsh(
     )
 
 
+def label_centroids(ds: rd.Dataset, label_col: str = "label") -> rd.Dataset:
+    """Per-label centroid (mean embedding), emitted as flat
+    (label, dim, avg_v) rows: each batch reduces to one (label, dim)
+    partial-sum row set via a single ``np.add.at`` scatter (L x D rows
+    per batch, not N x D), merged by the bucketed hash aggregate, one
+    final division. avg rounded to 4 decimals — Ray and SQL sum the
+    same doubles in different orders, so last-bit noise must be
+    absorbed (same discipline as embedding_stats)."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch)
+        labels = np.asarray(batch.column(label_col), dtype=np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((uniq.shape[0], m.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, m)
+        counts = np.bincount(inv, minlength=uniq.shape[0]).astype(np.int64)
+        nl, d = sums.shape
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d)),
+                "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), nl)),
+                "s": pa.array(sums.reshape(-1)),
+                "n": pa.array(np.repeat(counts, d)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.select_columns([label_col, "embedding"]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["label", "dim"],
+        {"s": ("s", "sum"), "n": ("n", "sum")},
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "label": pc.cast(b.column("label"), pa.int64()),
+                "dim": pc.cast(b.column("dim"), pa.int64()),
+                "avg_v": pc.round(
+                    pc.divide(
+                        b.column("s"), pc.cast(b.column("n"), pa.float64())
+                    ),
+                    ndigits=4,
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def ann_bruteforce_multi(
     ds: rd.Dataset,
     queries: np.ndarray,
