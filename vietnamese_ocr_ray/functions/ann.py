@@ -145,7 +145,9 @@ def cosine_pairs(
             }
         )
 
-    src = ds.select_columns([id_col, "embedding"])
+    # one read pass: materialize the projected table, then the row
+    # count is block metadata (free) for sizing the chunk repartition
+    src = ds.select_columns([id_col, "embedding"]).materialize()
     n = src.count()
     if n == 0:
         return rd.from_arrow(_PAIRS_SCHEMA.empty_table())
