@@ -210,6 +210,12 @@ def run_bench() -> dict:
         "fingerprint",
         "quality_scores",
         "minhash_pairs",
+        "running_sum",
+        "sessionize",
+        "embedding_neardup",
+        "tfidf_top_terms",
+        "simhash",
+        "rolling_avg",
     ):
 
         def consume(fn=q[name]):
