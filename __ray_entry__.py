@@ -1057,7 +1057,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT tf.doc_id, tf.tok, tf.tf * ln(n.n / df.df) AS score
           FROM tf JOIN df USING (tok) CROSS JOIN n
         )
-        SELECT doc_id, tok, score FROM scored
+        SELECT doc_id, tok, ROUND(score, 6) AS score FROM scored
         QUALIFY row_number() OVER (PARTITION BY doc_id
                                    ORDER BY score DESC, tok) <= 3
         """,

@@ -284,10 +284,11 @@ def tfidf_top_terms(ds: rd.Dataset, k: int = 3) -> rd.Dataset:
     (token, doc) pairs; the resulting df table is broadcast as sorted
     arrays (vocabulary-bounded — at corpus scales where the vocabulary
     exceeds a worker heap, replace the broadcast with a token-key join,
-    same as minhash's corpus-join verify). The score is emitted
-    UNROUNDED: both sides compute tf * ln(N/df) with the identical
-    double operations, so the SQL oracle matches bit-for-bit (rounding
-    would only introduce boundary risk)."""
+    same as minhash's corpus-join verify). Top-k selects on the
+    UNROUNDED score (ties break on the token string) and the EMITTED
+    score is rounded to 6 decimals — numpy's log and DuckDB's ln
+    disagree in the last ulp for some inputs (measured at sf0.01), so
+    unrounded doubles cannot hash-match."""
     import ray
 
     from vietnamese_ocr_ray.functions.agg import hash_aggregate
@@ -355,7 +356,9 @@ def tfidf_top_terms(ds: rd.Dataset, k: int = 3) -> rd.Dataset:
             {
                 "doc_id": pa.array(top["doc_id"].to_numpy(np.int64)),
                 "tok": pa.array(top["tok"].to_numpy(), pa.string()),
-                "score": pa.array(top["score"].to_numpy(), pa.float64()),
+                "score": pa.array(
+                    np.round(top["score"].to_numpy(), 6), pa.float64()
+                ),
             }
         )
 
