@@ -418,6 +418,25 @@ def _ann_ivf_persisted(sf_dir: str):
     return ann_ivf_index(idx, _query_vec(sf_dir), k=10, nprobe=3)
 
 
+def _audio_features(sf_dir: str):
+    """Audio-modality stage over deterministic PCM16 clips synthesized
+    from the documents table (rows-only: SQL cannot decode PCM; the
+    reduceat features are checked against a per-clip numpy reference in
+    tests/test_multimodal.py)."""
+    from vietnamese_ocr_ray.stages.multimodal import audio_features, synth_audio
+
+    def synth(batch: pa.Table) -> pa.Table:
+        return synth_audio(
+            batch.column("doc_id").to_pylist(),
+            batch.column("n_chars").to_pylist(),
+        )
+
+    clips = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).map_batches(synth, batch_format="pyarrow")
+    return audio_features(clips)
+
+
 def _label_centroids(sf_dir: str):
     from vietnamese_ocr_ray.functions.ann import label_centroids
 
@@ -641,6 +660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_neardup_cosine": _dedup_neardup_cosine,
         "embedding_stats": _embedding_stats,
         "label_centroids": _label_centroids,
+        "audio_features": _audio_features,
         "distinct_lang_source": _distinct_lang_source,
         "distinct_tokens": _distinct_tokens,
         "docs_without_stopword": _docs_without_stopword,

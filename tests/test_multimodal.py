@@ -104,3 +104,48 @@ def test_media_features_dataset_roundtrip(ray_session, tmp_path):
         "std_intensity",
         "edge_density",
     }
+
+
+def test_audio_features_match_per_clip_reference(ray_session):
+    """Batched reduceat audio features == straightforward one-clip
+    numpy computation; boundary flips must not leak across clips."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from vietnamese_ocr_ray.stages.multimodal import (
+        AudioFeatures,
+        audio_features,
+        synth_audio,
+    )
+
+    t = synth_audio(list(range(1, 9)), [0, 10, 50, 200, 999, 5, 1, 77])
+    out = audio_features(rd.from_arrow(t), concurrency=2).to_pandas()
+    out = out.set_index("media_ref")
+    for i in range(t.num_rows):
+        pcm = np.frombuffer(t.column("audio")[i].as_py(), "<i2").astype(
+            np.float64
+        )
+        ref = t.column("media_ref")[i].as_py()
+        sr = t.column("sample_rate")[i].as_py()
+        assert out.loc[ref, "duration_s"] == round(len(pcm) / sr, 6)
+        assert out.loc[ref, "rms"] == round(
+            float(np.sqrt((pcm * pcm).mean())), 4
+        )
+        assert out.loc[ref, "peak"] == int(np.abs(pcm).max())
+        signs = np.signbit(pcm)
+        assert out.loc[ref, "zero_crossings"] == int(
+            (signs[1:] != signs[:-1]).sum()
+        )
+
+    # unsupported codec gates at the decode seam
+    bad = t.set_column(
+        t.schema.get_field_index("encoding"),
+        "encoding",
+        pa.array(["mp3"] * t.num_rows),
+    )
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        AudioFeatures()(bad)

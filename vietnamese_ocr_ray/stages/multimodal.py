@@ -133,3 +133,100 @@ def media_features(media: rd.Dataset, concurrency=(1, 8)) -> rd.Dataset:
     return media.map_batches(
         ImageFeatures, batch_format="pyarrow", concurrency=concurrency
     )
+
+
+# ---------------------------------------------------------------------------
+# audio: raw PCM16 payloads — fully computable (no codec needed)
+# ---------------------------------------------------------------------------
+
+
+def synth_audio(doc_ids, n_chars, sample_rate: int = 8000) -> pa.Table:
+    """Deterministic per-doc PCM16 clip: a seeded sine + uniform noise
+    whose length scales with the doc's char count (one clip per doc;
+    the audio analog of synth.py's text->image renderer)."""
+    refs, blobs, srs, ns = [], [], [], []
+    for doc_id, nc in zip(doc_ids, n_chars):
+        n = int(min(4000, 200 + 4 * int(nc)))
+        rng = np.random.default_rng(int(doc_id) * 2654435761 % (1 << 32))
+        t = np.arange(n, dtype=np.float64)
+        freq = 100.0 + (int(doc_id) % 37) * 10.0
+        wave = 0.5 * np.sin(2 * np.pi * freq * t / sample_rate)
+        wave += 0.1 * rng.uniform(-1, 1, n)
+        pcm = np.clip(np.rint(wave * 32767), -32768, 32767).astype("<i2")
+        refs.append(f"a-{doc_id}")
+        blobs.append(pcm.tobytes())
+        srs.append(sample_rate)
+        ns.append(n)
+    return pa.table(
+        {
+            "media_ref": pa.array(refs),
+            "audio": pa.array(blobs, pa.binary()),
+            "sample_rate": pa.array(srs, pa.int32()),
+            "n_samples": pa.array(ns, pa.int32()),
+            "encoding": pa.array(["pcm16le"] * len(refs)),
+        }
+    )
+
+
+class AudioFeatures:
+    """Per-clip scalar features over raw little-endian PCM16 payloads —
+    REAL decode (a dtype view, no codec): duration, RMS level, peak,
+    zero-crossing count. Whole-batch vectorized over the flat binary
+    buffer with ``np.add.reduceat`` — no per-clip Python loop. The
+    stage shape (actor pool, metadata-out) matches ImageFeatures;
+    compressed codecs (mp3/opus/...) would gate at this seam exactly
+    like the image decode stub."""
+
+    SUPPORTED = "pcm16le"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        enc = batch.column("encoding") if "encoding" in batch.column_names else None
+        if enc is not None:
+            bad = set(enc.to_pylist()) - {self.SUPPORTED}
+            if bad:
+                raise NotImplementedError(
+                    f"audio codecs unavailable in this sandbox: {sorted(bad)}"
+                )
+        flat, offs = binary_column_view(batch.column("audio"))
+        pcm = flat.view("<i2").astype(np.float64)  # all clips, one buffer
+        offs2 = offs // 2  # sample offsets
+        n = batch.num_rows
+        counts = (offs2[1:] - offs2[:-1]).astype(np.int64)
+        starts = offs2[:-1]
+        safe_starts = np.minimum(starts, max(pcm.shape[0] - 1, 0))
+        sq = np.add.reduceat(pcm * pcm, safe_starts) if pcm.size else np.zeros(n)
+        sq[counts == 0] = 0.0
+        signs = np.signbit(pcm).astype(np.int8)
+        flips = np.zeros(pcm.shape[0], dtype=np.int64)
+        if pcm.size > 1:
+            flips[1:] = (signs[1:] != signs[:-1]).astype(np.int64)
+        # zero-crossings must not count across clip boundaries
+        if pcm.size:
+            flips[safe_starts] = 0
+        zc = np.add.reduceat(flips, safe_starts) if pcm.size else np.zeros(n)
+        zc[counts == 0] = 0
+        absmax = (
+            np.maximum.reduceat(np.abs(pcm), safe_starts)
+            if pcm.size
+            else np.zeros(n)
+        )
+        absmax[counts == 0] = 0.0
+        sr = batch.column("sample_rate").to_numpy(zero_copy_only=False)
+        rms = np.sqrt(sq / np.maximum(counts, 1))
+        return pa.table(
+            {
+                "media_ref": batch.column("media_ref"),
+                "duration_s": pa.array(
+                    np.round(counts / sr.astype(np.float64), 6)
+                ),
+                "rms": pa.array(np.round(rms, 4)),
+                "peak": pa.array(absmax.astype(np.int64)),
+                "zero_crossings": pa.array(zc.astype(np.int64)),
+            }
+        )
+
+
+def audio_features(audio: rd.Dataset, concurrency=(1, 8)) -> rd.Dataset:
+    return audio.map_batches(
+        AudioFeatures, batch_format="pyarrow", concurrency=concurrency
+    )
