@@ -173,6 +173,17 @@ def _docs(sf_dir: str, columns=("doc_id", "text")):
     )
 
 
+def _sample_k(sf_dir: str, k: int = 100):
+    """Exactly-k deterministic sample of documents by smallest salted
+    mixed hash (per-batch partial top-k, tiny global sort) — exact
+    row-set parity with the SQL ORDER BY hash LIMIT k oracle."""
+    from vietnamese_ocr_ray.functions.sampling import sample_exact_k
+
+    return sample_exact_k(
+        _docs(sf_dir, ("doc_id", "lang")), "doc_id", k, salt="pick:"
+    )
+
+
 def _hash_sample(sf_dir: str):
     """Shuffle-free deterministic 30% sample of documents by salted
     content-hash band (the reproducible web-scale split; exact row-set
@@ -632,6 +643,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_avg": lambda sf: relational.rolling_avg(sf),
         "split_sample": lambda sf: relational.split_sample(sf),
         "hash_sample": _hash_sample,
+        "sample_k": _sample_k,
+        "left_join_counts": lambda sf: relational.customer_order_counts(sf),
         # text analysis
         "lang_id": lambda sf: lang_id(_docs(sf)),
         "token_count": lambda sf: token_count(_docs(sf)),
@@ -1123,6 +1136,23 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, lang FROM h
         WHERE ((fp * fp % 1000000007) * fp % 1000000007) % 1000 < 300
+        """,
+        "sample_k": """
+        WITH h AS (
+          SELECT doc_id, lang,
+                 CAST(list_sum(list_transform(
+                     string_split('pick:' || CAST(doc_id AS VARCHAR), ''),
+                     (c, i) -> unicode(c) * i)) % 1000000007 AS BIGINT) AS fp
+          FROM documents
+        )
+        SELECT doc_id, lang FROM h
+        ORDER BY (fp * fp % 1000000007) * fp % 1000000007, doc_id
+        LIMIT 100
+        """,
+        "left_join_counts": """
+        SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
         """,
         "events_hourly": """
         SELECT date_trunc('hour', ts) AS hour,

@@ -84,3 +84,43 @@ def hash_sample(
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def sample_exact_k(
+    ds: rd.Dataset,
+    key_col: str,
+    k: int,
+    *,
+    salt: str = "",
+) -> rd.Dataset:
+    """EXACTLY-k deterministic sample: the k rows whose salted mixed
+    hash is smallest (ties break on the key) — a distributed
+    order-by-hash without shuffling the corpus: each batch keeps its
+    local k smallest (so the global sort sees only k * blocks rows),
+    then one tiny sort+limit finishes. Rerun-, partitioning- and
+    cluster-size-stable; changing ``salt`` redraws the sample. The
+    hash is the same SQL-mirrored cubed polynomial as hash_sample, so
+    the oracle reproduces the exact row set."""
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        keys = pc.binary_join_element_wise(
+            pa.scalar(salt),
+            pc.cast(batch.column(key_col), pa.string()),
+            pa.scalar(""),
+        )
+        fp = _poly_hash(keys)
+        mixed = (fp * fp % FP_MOD) * fp % FP_MOD
+        t = batch.append_column("_h", pa.array(mixed))
+        if t.num_rows > k:
+            order = pc.sort_indices(
+                t, sort_keys=[("_h", "ascending"), (key_col, "ascending")]
+            )
+            t = t.take(order[:k])
+        return t
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["_h", key_col])
+        .limit(k)
+        .map_batches(lambda b: b.drop_columns(["_h"]), batch_format="pyarrow")
+    )

@@ -978,3 +978,78 @@ def rolling_avg(
             lambda g: roll(g.drop(columns=["_bucket"])), batch_format="pandas"
         )
     )
+
+
+def customer_order_counts(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """LEFT OUTER join shape at scale: customers with their order count,
+    zero-order customers kept. The orders side pre-aggregates to one
+    row per customer (bucketed hash aggregate), then both sides meet in
+    a key-bucket cogroup (union + one shuffle) resolved by a vectorized
+    per-bucket left merge — no broadcast assumption on either side."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
+    counts = hash_aggregate(
+        read_parquet_clean(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"]
+        ),
+        ["o_custkey"],
+        {"n": ("o_orderkey", "count")},
+        num_buckets=num_buckets,
+    )
+    customers = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+
+    def tag_customers(b: pa.Table) -> pa.Table:
+        key = b.column("c_custkey").combine_chunks() if isinstance(
+            b.column("c_custkey"), pa.ChunkedArray
+        ) else b.column("c_custkey")
+        return pa.table(
+            {
+                "key": pc.cast(key, pa.int64()),
+                "n": pa.nulls(b.num_rows, pa.int64()),
+                "_side": pa.array(np.zeros(b.num_rows, np.int8)),
+                "_bucket": pa.array(
+                    key_bucket(key, num_buckets).astype(np.int32)
+                ),
+            }
+        )
+
+    def tag_counts(b: pa.Table) -> pa.Table:
+        key = b.column("o_custkey").combine_chunks() if isinstance(
+            b.column("o_custkey"), pa.ChunkedArray
+        ) else b.column("o_custkey")
+        return pa.table(
+            {
+                "key": pc.cast(key, pa.int64()),
+                "n": pc.cast(b.column("n"), pa.int64()),
+                "_side": pa.array(np.ones(b.num_rows, np.int8)),
+                "_bucket": pa.array(
+                    key_bucket(key, num_buckets).astype(np.int32)
+                ),
+            }
+        )
+
+    def left_merge(g: pd.DataFrame) -> pa.Table:
+        left = g[g["_side"] == 0][["key"]]
+        right = g[g["_side"] == 1][["key", "n"]]
+        m = left.merge(right, on="key", how="left")
+        return pa.table(
+            {
+                "c_custkey": pa.array(m["key"].to_numpy(np.int64)),
+                "n_orders": pa.array(
+                    m["n"].fillna(0).to_numpy(np.int64)
+                ),
+            }
+        )
+
+    return (
+        customers.map_batches(tag_customers, batch_format="pyarrow")
+        .union(counts.map_batches(tag_counts, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: left_merge(g.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        )
+    )
