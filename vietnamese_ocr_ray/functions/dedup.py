@@ -483,39 +483,51 @@ def connected_components(
 
 def _cc_rounds_broadcast(adj, labels, max_rounds):
     """Per round: ship the (small) label table once via ray.put, look
-    neighbors up with a vectorized searchsorted. Right while the dup
+    neighbors up with a vectorized searchsorted, and pre-reduce the
+    per-node min INSIDE each map task (one partial row per node per
+    block) — the tiny partials merge on the driver, where the label
+    table already lives in broadcast mode, so a round is ONE Ray op
+    instead of a map + a sort-aggregate shuffle. Right while the dup
     graph's node set fits a worker heap."""
     import ray
 
+    lab_pd = labels.to_pandas()
+    order = np.argsort(lab_pd["node"].to_numpy())
+    keys = lab_pd["node"].to_numpy()[order]
+    vals = lab_pd["label"].to_numpy()[order].copy()
+
     for _ in range(max_rounds):
-        lab_pd = labels.to_pandas()
-        order = np.argsort(lab_pd["node"].to_numpy())
-        keys = lab_pd["node"].to_numpy()[order]
-        vals = lab_pd["label"].to_numpy()[order]
         handle = ray.put((keys, vals))
 
         def propagate(b: pa.Table) -> pa.Table:
             k, v = ray.get(handle)
+            node = np.asarray(b.column("node"))
             nbr = np.asarray(b.column("nbr"))
             nbr_lab = v[np.searchsorted(k, nbr)]
-            return pa.table({"node": b.column("node"), "cand": pa.array(nbr_lab)})
+            # per-block partial min per node (sorted-run reduce)
+            o = np.argsort(node, kind="stable")
+            node_s, lab_s = node[o], nbr_lab[o]
+            change = np.ones(node_s.shape[0], dtype=bool)
+            change[1:] = node_s[1:] != node_s[:-1]
+            starts = np.nonzero(change)[0]
+            mins = np.minimum.reduceat(lab_s, starts)
+            return pa.table(
+                {"node": pa.array(node_s[starts]), "cand": pa.array(mins)}
+            )
 
-        from ray.data.aggregate import Min
-
-        new_labels = (
-            adj.map_batches(propagate, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Min("cand", alias_name="nbr_min"))
-            .to_pandas()
-            .merge(lab_pd, on="node")
-        )
-        new_labels["new"] = new_labels[["nbr_min", "label"]].min(axis=1)
-        if (new_labels["new"] == new_labels["label"]).all():
+        parts = (
+            adj.map_batches(propagate, batch_format="pyarrow").to_pandas()
+        )  # O(nodes x blocks) rows — label-table scale, driver-resident
+        nbr_min = parts.groupby("node", sort=False)["cand"].min()
+        pos = np.searchsorted(keys, nbr_min.index.to_numpy())
+        new_vals = vals.copy()
+        np.minimum.at(new_vals, pos, nbr_min.to_numpy())
+        if np.array_equal(new_vals, vals):
             break
-        labels = rd.from_pandas(
-            new_labels[["node", "new"]].rename(columns={"new": "label"})
-        ).materialize()
-    return labels
+        vals = new_vals
+    return rd.from_arrow(
+        pa.table({"node": pa.array(keys), "label": pa.array(vals)})
+    )
 
 
 def _cc_rounds_shuffled(adj, labels, max_rounds, num_buckets):
