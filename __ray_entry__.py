@@ -562,6 +562,50 @@ def _top_tokens(sf_dir: str, k: int = 10):
     return counts.sort(["n_occurrences", "tok"], descending=[True, False]).limit(k)
 
 
+def _top_bigrams(sf_dir: str, k: int = 10):
+    """Heavy hitters over token BIGRAMS: adjacent-token pairs built by
+    one vectorized slice-join over the flat token buffer (doc-boundary
+    pairs masked), per-batch partial counts, bucketed hash aggregate,
+    top-k."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks_list = pc.split_pattern(batch.column("text"), " ")
+        flat = pc.list_flatten(toks_list)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        ntok = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+        n = len(flat)
+        if n < 2:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        bigrams = pc.binary_join_element_wise(
+            flat.slice(0, n - 1), flat.slice(1, n - 1), pa.scalar(" ")
+        )
+        # a pair straddling two docs is not a bigram: position i is
+        # invalid when token i is the last of its doc
+        ends = np.cumsum(ntok) - 1
+        valid = np.ones(n - 1, dtype=bool)
+        valid[ends[ends < n - 1]] = False
+        vc = pc.value_counts(bigrams.filter(pa.array(valid)))
+        return pa.table(
+            {
+                "bigram": pc.struct_field(vc, "values"),
+                "n": pc.struct_field(vc, "counts").cast(pa.int64()),
+            }
+        )
+
+    counts = hash_aggregate(
+        _docs(sf_dir, ("text",)).map_batches(partial, batch_format="pyarrow"),
+        ["bigram"],
+        {"n_occurrences": ("n", "sum")},
+    )
+    return counts.sort(
+        ["n_occurrences", "bigram"], descending=[True, False]
+    ).limit(k)
+
+
 def _distinct_lang_source(sf_dir: str):
     """Multi-key distinct/grouped count over documents."""
     import ray.data as rd
@@ -678,6 +722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_tokens": _distinct_tokens,
         "docs_without_stopword": _docs_without_stopword,
         "top_tokens": _top_tokens,
+        "top_bigrams": _top_bigrams,
         "tfidf_top_terms": lambda sf: tfidf_top_terms(_docs(sf)),
         "approx_distinct_tokens": _approx_distinct_tokens,
         "approx_quantiles": _approx_quantiles,
@@ -1075,6 +1120,15 @@ def oracle_sql() -> dict[str, str]:
         WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         SELECT tok, count(*) AS n_occurrences FROM t
         GROUP BY tok ORDER BY n_occurrences DESC, tok LIMIT 10
+        """,
+        "top_bigrams": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        e AS (SELECT doc_id, unnest(l) AS tok,
+                     unnest(list_transform(l, (x, i) -> i)) AS pos FROM t)
+        SELECT a.tok || ' ' || b.tok AS bigram,
+               CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY bigram ORDER BY n_occurrences DESC, bigram LIMIT 10
         """,
         "tfidf_top_terms": """
         WITH tok AS (
