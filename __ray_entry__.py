@@ -91,6 +91,26 @@ def _flatten_extracted(sf_dir: str):
     )
 
 
+def _flatten_extracted_cogroup(sf_dir: str):
+    """The SCALE-PATH extraction (media_mode="cogroup": one sort-based
+    cogroup shuffle joins media payloads; the bench headline mode)
+    flattened against the same SQL oracle as extract_flat — so the
+    driver value-checks the distributed join path itself, not only the
+    broadcast mode."""
+    from vietnamese_ocr_ray.pipelines.extract import extract_spans
+    from vietnamese_ocr_ray.sources.storage import read_docs, read_media
+    from vietnamese_ocr_ray.stages.explode import explode_batch
+    from vietnamese_ocr_ray.synth import ensure_corpus
+
+    docs_dir, media_dir = ensure_corpus(sf_dir)
+    return extract_spans(
+        read_docs(docs_dir),
+        read_media(media_dir),
+        media_mode="cogroup",
+        cogroup_buckets=96,
+    ).map_batches(explode_batch, batch_format="pyarrow")
+
+
 def _reassembled(sf_dir: str):
     def summarize(batch: pa.Table) -> pa.Table:
         spans = batch.column("spans")
@@ -653,6 +673,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship extraction (E2E OCR semantics, SQL-mirrored corpus)
         "extract_flat": _flatten_extracted,
+        "extract_flat_cogroup": _flatten_extracted_cogroup,
         "extract_reassembled": _reassembled,
         "media_stub": _media_stub,
         "media_features": _media_features,
@@ -760,6 +781,7 @@ WITH w AS (
 def oracle_sql() -> dict[str, str]:
     return {
         "extract_flat": _WORDS_CTE + "SELECT * FROM spans",
+        "extract_flat_cogroup": _WORDS_CTE + "SELECT * FROM spans",
         "extract_reassembled": _WORDS_CTE
         + """
         SELECT doc_id,
