@@ -381,31 +381,110 @@ def minhash_lsh_pairs(
 
         return distinct.map_batches(verify, batch_format="pyarrow")
 
-    # corpus-join path: two hash joins of the (tiny) candidate set
-    # against the corpus — candidate rows alone carry text
-    docs = ds.select_columns(["doc_id", "text"])
-    text_a = docs.map_batches(
-        lambda b: pa.table(
-            {"a": b.column("doc_id"), "text_a": b.column("text")}
-        ),
-        batch_format="pyarrow",
-    )
-    text_b = docs.map_batches(
-        lambda b: pa.table(
-            {"b": b.column("doc_id"), "text_b": b.column("text")}
-        ),
-        batch_format="pyarrow",
-    )
-    joined = distinct.join(
-        text_a, join_type="inner", num_partitions=8, on=("a",)
-    ).join(text_b, join_type="inner", num_partitions=8, on=("b",))
+    # corpus-join path via the bucketed cogroup shape (Dataset.join's
+    # hash-join aggregator actors cost ~60-90us/row + pool spin-up on
+    # this Ray version — see stages/cogroup.py): shuffle 1 attaches
+    # text to each pair ROLE (a-side / b-side) with one key-bucket
+    # groupby of candidates u corpus; shuffle 2 reunites the two roles
+    # per pair and verifies. Both shuffles move candidate-sized data
+    # plus the corpus text once.
+    from vietnamese_ocr_ray.functions.joins import key_bucket
 
-    def verify_joined(batch: pa.Table) -> pa.Table:
-        return _verify_rows(
-            batch, batch.column("text_a"), batch.column("text_b")
+    docs = ds.select_columns(["doc_id", "text"])
+
+    def cand_roles(b: pa.Table) -> pa.Table:
+        a = pc.cast(b.column("a").combine_chunks() if isinstance(
+            b.column("a"), pa.ChunkedArray) else b.column("a"), pa.int64())
+        bb = pc.cast(b.column("b").combine_chunks() if isinstance(
+            b.column("b"), pa.ChunkedArray) else b.column("b"), pa.int64())
+        n = b.num_rows
+        key = pa.concat_arrays([a, bb])
+        return pa.table(
+            {
+                "key": key,
+                "pair_a": pa.concat_arrays([a, a]),
+                "pair_b": pa.concat_arrays([bb, bb]),
+                "role": pa.array(
+                    np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])
+                ),
+                "text": pa.nulls(2 * n, pa.string()),
+                "_bucket": pa.array(
+                    key_bucket(key, num_coarse).astype(np.int32)
+                ),
+            }
         )
 
-    return joined.map_batches(verify_joined, batch_format="pyarrow")
+    def corpus_rows(b: pa.Table) -> pa.Table:
+        key = pc.cast(b.column("doc_id").combine_chunks() if isinstance(
+            b.column("doc_id"), pa.ChunkedArray) else b.column("doc_id"),
+            pa.int64())
+        n = b.num_rows
+        return pa.table(
+            {
+                "key": key,
+                "pair_a": pa.nulls(n, pa.int64()),
+                "pair_b": pa.nulls(n, pa.int64()),
+                "role": pa.array(np.full(n, -1, np.int8)),
+                "text": b.column("text"),
+                "_bucket": pa.array(
+                    key_bucket(key, num_coarse).astype(np.int32)
+                ),
+            }
+        )
+
+    def attach_text(g: pd.DataFrame) -> pa.Table:
+        cand = g[g["role"] >= 0]
+        corp = g[g["role"] < 0][["key", "text"]]
+        m = cand[["key", "pair_a", "pair_b", "role"]].merge(
+            corp, on="key", how="inner"
+        )
+        return pa.table(
+            {
+                "pair_a": pa.array(m["pair_a"].to_numpy(np.int64)),
+                "pair_b": pa.array(m["pair_b"].to_numpy(np.int64)),
+                "role": pa.array(m["role"].to_numpy(np.int8)),
+                "text": pa.array(m["text"].to_numpy(), pa.string()),
+                "_bucket": pa.array(
+                    key_bucket(
+                        pa.array(m["pair_a"].to_numpy(np.int64)), num_coarse
+                    ).astype(np.int32)
+                ),
+            }
+        )
+
+    def verify_bucket(g: pd.DataFrame) -> pa.Table:
+        ta = g[g["role"] == 0][["pair_a", "pair_b", "text"]].rename(
+            columns={"text": "text_a"}
+        )
+        tb = g[g["role"] == 1][["pair_a", "pair_b", "text"]].rename(
+            columns={"text": "text_b"}
+        )
+        m = ta.merge(tb, on=["pair_a", "pair_b"], how="inner")
+        batch = pa.table(
+            {
+                "a": pa.array(m["pair_a"].to_numpy(np.int64)),
+                "b": pa.array(m["pair_b"].to_numpy(np.int64)),
+            }
+        )
+        return _verify_rows(
+            batch,
+            pa.array(m["text_a"].to_numpy(), pa.string()),
+            pa.array(m["text_b"].to_numpy(), pa.string()),
+        )
+
+    with_text = (
+        distinct.map_batches(cand_roles, batch_format="pyarrow")
+        .union(docs.map_batches(corpus_rows, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: attach_text(g.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        )
+    )
+    return with_text.groupby("_bucket").map_groups(
+        lambda g: verify_bucket(g.drop(columns=["_bucket"])),
+        batch_format="pandas",
+    )
 
 
 def connected_components(
