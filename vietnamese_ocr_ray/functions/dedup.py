@@ -153,32 +153,47 @@ class MinHasher:
         x = shingles[:, None] * self.a[None, :] + self.b[None, :]
         return x.min(axis=0)
 
+    # windows processed per chunk: bounds the reused scratch matrix to
+    # CHUNK x num_perm x 8B (~32 MB at 64 perms) — an UNchunked pass
+    # over a 500 KB text batch wants a ~300 MB hash matrix, and
+    # first-touch page faulting (~6 ms/MB here) then dominates the
+    # whole stage on every fresh worker
+    WINDOW_CHUNK = 1 << 16
+
     def _batch_signatures(self, offs: np.ndarray, data: np.ndarray) -> np.ndarray:
         n = len(offs) - 1
         k = self.k
         total = data.shape[0]
-        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        sigs = np.full(
+            (n, self.num_perm), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64
+        )
         if total >= k:
-            # rolling k-byte FNV at every buffer position (vectorized)
-            win = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
-            h = np.full(win.shape[0], np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+            nwin = total - k + 1
             prime = np.uint64(0x100000001B3)
-            for i in range(k):
-                h = (h ^ win[:, i]) * prime
-            # reused out= buffer: the broadcast expression h[:,None]*a+b
-            # allocates per-op and pays first-touch faulting every call
-            x = self._scratch(win.shape[0])
-            np.multiply(h[:, None], self.a[None, :], out=x)
-            np.add(x, self.b[None, :], out=x)
-            # mask windows that cross a row boundary: window at pos p is
-            # valid for row r iff p + k <= offs[r+1]
-            pos = np.arange(win.shape[0])
-            row = np.searchsorted(offs, pos, side="right") - 1
-            valid = (pos + k) <= offs[row + 1]
-            x[~valid] = np.uint64(0xFFFFFFFFFFFFFFFF)
-            starts = np.minimum(offs[:-1], win.shape[0] - 1)
-            red = np.minimum.reduceat(x, starts, axis=0)
-            sigs[:] = red[: n]
+            fnv0 = np.uint64(0xCBF29CE484222325)
+            all_win = np.lib.stride_tricks.sliding_window_view(data, k)
+            for c0 in range(0, nwin, self.WINDOW_CHUNK):
+                c1 = min(c0 + self.WINDOW_CHUNK, nwin)
+                win = all_win[c0:c1].astype(np.uint64)
+                h = np.full(win.shape[0], fnv0, dtype=np.uint64)
+                for i in range(k):
+                    h = (h ^ win[:, i]) * prime
+                x = self._scratch(win.shape[0])
+                np.multiply(h[:, None], self.a[None, :], out=x)
+                np.add(x, self.b[None, :], out=x)
+                # mask windows crossing a row boundary: window at pos p
+                # is valid for row r iff p + k <= offs[r+1]
+                pos = np.arange(c0, c1)
+                row = np.searchsorted(offs, pos, side="right") - 1
+                valid = (pos + k) <= offs[row + 1]
+                x[~valid] = np.uint64(0xFFFFFFFFFFFFFFFF)
+                # rows covered by this chunk, reduced on local segment
+                # starts; combined into sigs with an elementwise min
+                r0, r1 = row[0], row[-1]
+                starts = np.maximum(offs[r0 : r1 + 1] - c0, 0)
+                starts = np.minimum(starts, win.shape[0] - 1)
+                red = np.minimum.reduceat(x, starts, axis=0)
+                np.minimum(sigs[r0 : r1 + 1], red, out=sigs[r0 : r1 + 1])
         longest = offs[1:] - offs[:-1]
         short = np.nonzero(longest < k)[0]
         for i in short:  # rare: rows shorter than one shingle
