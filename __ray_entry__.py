@@ -340,17 +340,21 @@ def _extract_cer(sf_dir: str):
 
     _, media_dir = ensure_corpus(sf_dir)
     t = pq.read_table(media_dir, columns=["media_ref", "truth"])
+    refs = np.asarray(t.column("media_ref").to_pylist())
+    order = np.argsort(refs)
     handle = ray.put(
-        dict(
-            zip(t.column("media_ref").to_pylist(), t.column("truth").to_pylist())
-        )
+        (refs[order], np.asarray(t.column("truth").to_pylist())[order])
     )
 
     def prep(batch: pa.Table) -> pa.Table:
         m = batch.filter(pc.equal(batch.column("kind"), "media"))
-        lut = ray.get(handle)
-        targets = [lut[r] for r in m.column("media_ref").to_pylist()]
-        return pa.table({"pred": m.column("text"), "target": pa.array(targets, pa.string())})
+        keys, truths = ray.get(handle)
+        # vectorized lookup: sorted-key searchsorted, no per-row probes
+        want = np.asarray(m.column("media_ref").to_pylist())
+        targets = truths[np.searchsorted(keys, want)]
+        return pa.table(
+            {"pred": m.column("text"), "target": pa.array(targets, pa.string())}
+        )
 
     ds = _flatten_extracted(sf_dir).map_batches(prep, batch_format="pyarrow")
     return corpus_cer(ds, "pred", "target")
