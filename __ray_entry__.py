@@ -630,6 +630,55 @@ def _top_bigrams(sf_dir: str, k: int = 10):
     ).limit(k)
 
 
+def _decontaminate(sf_dir: str):
+    """Benchmark decontamination: drop documents whose exact TEXT
+    appears in a contamination set (here: the hash_sample 5% band as a
+    stand-in benchmark corpus). Content-hash broadcast anti-join —
+    contamination sets are benchmark-sized; only hashes ship. Exact
+    (hash prefilter + exact text verify on survivors of the filter)."""
+    import ray
+
+    from vietnamese_ocr_ray.functions.dedup import content_hash64
+    from vietnamese_ocr_ray.functions.sampling import hash_sample
+
+    bench_ds = hash_sample(
+        _docs(sf_dir, ("doc_id", "text")), "doc_id", rate_permille=50,
+        salt="bench:",
+    )
+    hashes = []
+    texts = []
+    for b in bench_ds.iter_batches(batch_format="pyarrow"):
+        col = b.column("text")
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        hashes.append(content_hash64(col).astype(np.uint64))
+        texts.append(np.asarray(col.to_pylist(), dtype=object))
+    h = np.concatenate(hashes) if hashes else np.empty(0, np.uint64)
+    t = np.concatenate(texts) if texts else np.empty(0, object)
+    order = np.argsort(h)
+    handle = ray.put((h[order], t[order]))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        hs, ts = ray.get(handle)
+        col = batch.column("text")
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        bh = content_hash64(col).astype(np.uint64)
+        pos = np.searchsorted(hs, bh)
+        pos_c = np.minimum(pos, max(len(hs) - 1, 0))
+        maybe = (len(hs) > 0) & (hs[pos_c] == bh)
+        contaminated = np.zeros(batch.num_rows, dtype=bool)
+        idx = np.nonzero(maybe)[0]
+        if idx.size:  # exact verify only on hash hits
+            batch_texts = np.asarray(col.to_pylist(), dtype=object)
+            contaminated[idx] = batch_texts[idx] == ts[pos_c[idx]]
+        return batch.filter(pa.array(~contaminated))
+
+    return (
+        _docs(sf_dir, ("doc_id", "text"))
+        .map_batches(keep, batch_format="pyarrow")
+        .select_columns(["doc_id"])
+    )
+
+
 def _distinct_lang_source(sf_dir: str):
     """Multi-key distinct/grouped count over documents."""
     import ray.data as rd
@@ -710,6 +759,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_sum": lambda sf: relational.running_value_sum(sf),
         "event_lag": lambda sf: relational.event_lag(sf),
         "rolling_avg": lambda sf: relational.rolling_avg(sf),
+        "window_debounce": lambda sf: relational.window_debounce(sf),
+        "decontaminate": _decontaminate,
         "split_sample": lambda sf: relational.split_sample(sf),
         "hash_sample": _hash_sample,
         "sample_k": _sample_k,
@@ -1233,6 +1284,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
         FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
         GROUP BY c.c_custkey
+        """,
+        "window_debounce": """
+        WITH w AS (
+          SELECT event_id, user_id, ts,
+                 CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start
+          FROM events)
+        SELECT event_id, user_id, window_start FROM w
+        QUALIFY row_number() OVER (PARTITION BY user_id, window_start
+                                   ORDER BY ts, event_id) = 1
+        """,
+        "decontaminate": """
+        WITH h AS (
+          SELECT doc_id, text,
+                 CAST(list_sum(list_transform(
+                     string_split('bench:' || CAST(doc_id AS VARCHAR), ''),
+                     (c, i) -> unicode(c) * i)) % 1000000007 AS BIGINT) AS fp
+          FROM documents
+        ), bench AS (
+          SELECT text FROM h
+          WHERE ((fp * fp % 1000000007) * fp % 1000000007) % 1000 < 50
+        )
+        SELECT doc_id FROM documents
+        WHERE text NOT IN (SELECT text FROM bench)
         """,
         "events_hourly": """
         SELECT date_trunc('hour', ts) AS hour,

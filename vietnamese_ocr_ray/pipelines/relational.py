@@ -1053,3 +1053,69 @@ def customer_order_counts(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
             batch_format="pandas",
         )
     )
+
+
+def window_debounce(
+    sf_dir: str, window_sec: int = 3600, num_buckets: int = 32
+) -> rd.Dataset:
+    """Windowed dedup ("debounce"): keep each user's FIRST event per
+    tumbling window (min ts, event_id tiebreak) — the
+    keep-one-per-key-per-period shape of streaming dedup, batch form.
+    One key-bucket shuffle; each bucket reduces with one sort + one
+    boundary mask — no per-group Python."""
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def add_cols(b: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(b.column("ts"), pa.int64()), pa.scalar(1_000_000))
+        win = pc.multiply(
+            pc.cast(
+                pc.floor(
+                    pc.divide(
+                        pc.cast(epoch, pa.float64()), pa.scalar(float(window_sec))
+                    )
+                ),
+                pa.int64(),
+            ),
+            pa.scalar(window_sec, pa.int64()),
+        )
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "window_start": win,
+                "_bucket": pa.array(
+                    key_bucket(b.column("user_id"), num_buckets).astype(np.int32)
+                ),
+            }
+        )
+
+    def first_per_window(g: pd.DataFrame) -> pa.Table:
+        s = g.sort_values(
+            ["user_id", "window_start", "ts", "event_id"], kind="stable"
+        )
+        u = s["user_id"].to_numpy()
+        w = s["window_start"].to_numpy()
+        first = np.ones(len(s), dtype=bool)
+        first[1:] = (u[1:] != u[:-1]) | (w[1:] != w[:-1])
+        s = s[first]
+        return pa.table(
+            {
+                "event_id": pa.array(s["event_id"].to_numpy(np.int64)),
+                "user_id": pa.array(s["user_id"].to_numpy(np.int64)),
+                "window_start": pa.array(s["window_start"].to_numpy(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(add_cols, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: first_per_window(g.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        )
+    )
