@@ -183,3 +183,33 @@ def test_range_count_join_empty_right(ray_session):
         hi_us=100,
     ).to_pandas()
     assert sorted(got["n_in_range"].tolist()) == [0, 0]
+
+
+def test_customer_order_counts_left_semantics(ray_session, tmp_path):
+    """Zero-order customers must survive the distributed left-outer
+    join with n_orders = 0 (the driver testdata has no unmatched keys,
+    so the oracle comparison alone cannot prove left semantics)."""
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.relational import customer_order_counts
+
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1, 2, 3, 4], pa.int64())}),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+                "o_custkey": pa.array([1, 1, 3], pa.int64()),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = (
+        customer_order_counts(str(tmp_path))
+        .to_pandas()
+        .set_index("c_custkey")["n_orders"]
+        .to_dict()
+    )
+    assert out == {1: 2, 2: 0, 3: 1, 4: 0}
