@@ -757,6 +757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": lambda sf: relational.events_hourly(sf),
         "status_pivot": lambda sf: relational.order_status_pivot(sf),
         "running_sum": lambda sf: relational.running_value_sum(sf),
+        "running_sum_global": lambda sf: relational.running_value_sum_rangesort(sf),
         "event_lag": lambda sf: relational.event_lag(sf),
         "rolling_avg": lambda sf: relational.rolling_avg(sf),
         "window_debounce": lambda sf: relational.window_debounce(sf),
@@ -1361,6 +1362,15 @@ def oracle_sql() -> dict[str, str]:
         FROM c
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "running_sum_global": """
+        SELECT event_id, user_id, ts,
+               CAST(sum(CAST(round(value * 1000) AS BIGINT)) OVER (
+                 PARTITION BY user_id
+                 ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1000.0
+                 AS running_value
+        FROM events
         """,
         "range_count": """
         WITH l AS (SELECT event_id, user_id, ts FROM events

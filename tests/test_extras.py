@@ -156,3 +156,54 @@ def test_demo_cli_single_record(capsys):
     assert main(["demo", "--text", "xyz9"]) == 0
     out = _json.loads(capsys.readouterr().out.strip())
     assert out["text"] == "xyz9" and out["match"] is True
+
+
+def test_running_sum_rangesort_hot_key(ray_session, tmp_path, monkeypatch):
+    """One user bigger than any single block: the range-sort prefix
+    algorithm must stitch the per-block cumsums exactly (this is the
+    case the bucketed variant's one-key-one-task assumption excludes)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.relational import (
+        running_value_sum_rangesort,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 5000
+    users = np.concatenate(
+        [np.full(n, 7, np.int64), rng.integers(100, 110, 500)]
+    )
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(len(users), dtype=np.int64),
+            "user_id": users,
+            "ts": pd.to_datetime(
+                rng.integers(0, 10**9, len(users)), unit="s"
+            ),
+            "value": np.round(rng.uniform(0, 10, len(users)), 3),
+            "event_type": "x",
+        }
+    )
+    # many small files -> many blocks -> the hot user spans several
+    for i in range(16):
+        pq.write_table(
+            pa.Table.from_pandas(
+                df.iloc[i::16].reset_index(drop=True), preserve_index=False
+            ),
+            str(tmp_path / f"part{i}.parquet"),
+        )
+    (tmp_path / "events.parquet").mkdir()
+    for i in range(16):
+        (tmp_path / f"part{i}.parquet").rename(
+            tmp_path / "events.parquet" / f"part{i}.parquet"
+        )
+    out = running_value_sum_rangesort(str(tmp_path)).to_pandas()
+    s = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    units = np.rint(s["value"].to_numpy() * 1000).astype(np.int64)
+    expect = (
+        pd.Series(units).groupby(s["user_id"].to_numpy()).cumsum().to_numpy()
+        / 1000.0
+    )
+    got = out.set_index("event_id").loc[s["event_id"]]["running_value"].to_numpy()
+    assert np.array_equal(got, expect)

@@ -1119,3 +1119,82 @@ def window_debounce(
             batch_format="pandas",
         )
     )
+
+
+def running_value_sum_rangesort(sf_dir: str) -> rd.Dataset:
+    """Cumulative per-user sum with NO per-key-fits-one-task
+    assumption — the hot-key-safe window algorithm:
+
+    1. global range sort on (user_id, ts, event_id) — a user larger
+       than a task's heap simply spans several consecutive blocks;
+    2. one small pass per block computes its per-user integer totals
+       (O(distinct users per block) rows — label-table scale);
+    3. the driver exclusive-scans those totals in block order into a
+       per-(block, user) starting offset;
+    4. each block adds its LOCAL cumsum to its broadcast offset.
+
+    Steps 2/4 are raw Ray tasks over the sorted blocks — the one place
+    the Dataset API genuinely can't express the semantics (a task must
+    know its block's global POSITION). Output is bit-identical to
+    :func:`running_value_sum` (same SQL window oracle)."""
+    import ray
+
+    ds = (
+        read_parquet_clean(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "value"],
+        )
+        .sort(["user_id", "ts", "event_id"])
+        .materialize()
+    )
+    refs = ds.to_arrow_refs()
+
+    @ray.remote
+    def block_totals(t: pa.Table) -> pa.Table:
+        user = np.asarray(t.column("user_id"))
+        units = np.rint(
+            t.column("value").to_numpy(zero_copy_only=False) * 1000.0
+        ).astype(np.int64)
+        uniq, inv = np.unique(user, return_inverse=True)
+        sums = np.bincount(inv, weights=units).astype(np.int64)
+        return pa.table({"user_id": pa.array(uniq), "total": pa.array(sums)})
+
+    totals = ray.get([block_totals.remote(r) for r in refs])
+    offsets: list[dict] = []
+    running: dict[int, int] = {}
+    for t in totals:  # block order == sort order
+        offsets.append(dict(running))
+        for u, s in zip(
+            np.asarray(t.column("user_id")), np.asarray(t.column("total"))
+        ):
+            running[int(u)] = running.get(int(u), 0) + int(s)
+
+    @ray.remote
+    def finish(t: pa.Table, start: dict) -> pa.Table:
+        user = np.asarray(t.column("user_id"))
+        units = np.rint(
+            t.column("value").to_numpy(zero_copy_only=False) * 1000.0
+        ).astype(np.int64)
+        csum = np.cumsum(units)
+        # per-user local cumsum: subtract the running total as of the
+        # user's first row of this block
+        first = np.ones(user.shape[0], dtype=bool)
+        first[1:] = user[1:] != user[:-1]
+        starts_idx = np.nonzero(first)[0]
+        base = csum[starts_idx] - units[starts_idx]
+        local = csum - np.repeat(base, np.diff(np.append(starts_idx, len(user))))
+        off = np.array(
+            [start.get(int(u), 0) for u in user[starts_idx]], np.int64
+        )
+        total = local + np.repeat(off, np.diff(np.append(starts_idx, len(user))))
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts": t.column("ts"),
+                "running_value": pa.array(total / 1000.0, pa.float64()),
+            }
+        )
+
+    out = [finish.remote(r, offsets[i]) for i, r in enumerate(refs)]
+    return rd.from_arrow_refs(out)
