@@ -169,7 +169,11 @@ def run_bench() -> dict:
 
 
     result = extract_spans(
-        read_docs(docs_dir),
+        # fixed 48 input blocks (cpu-independent): Ray's sort shuffle
+        # makes ONE physical partition per input block, and the default
+        # ~112-block read leaves partitions too small — 48+8 partitions
+        # measured 10.2 -> 8.3 s (interleaved best-of-3) at 32 cpus
+        read_docs(docs_dir, override_num_blocks=48),
         read_media(media_dir),
         media_mode="cogroup",
         # fixed (cpu-independent): Ray's sort-shuffle makes one physical
@@ -355,7 +359,11 @@ def run_bench_headline_only() -> dict:
 
 
     result = extract_spans(
-        read_docs(docs_dir),
+        # fixed 48 input blocks (cpu-independent): Ray's sort shuffle
+        # makes ONE physical partition per input block, and the default
+        # ~112-block read leaves partitions too small — 48+8 partitions
+        # measured 10.2 -> 8.3 s (interleaved best-of-3) at 32 cpus
+        read_docs(docs_dir, override_num_blocks=48),
         read_media(media_dir),
         media_mode="cogroup",
         # fixed (cpu-independent): Ray's sort-shuffle makes one physical
