@@ -270,6 +270,16 @@ def _dedup_neardup(sf_dir: str):
     )
 
 
+def _simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs (banded Hamming search; COMPLETE for
+    hamming <= bands-1 by pigeonhole — equality-vs-bruteforce test in
+    tests/test_functions.py; rows-only: the byte-shingle fingerprint is
+    not SQL-computable)."""
+    from vietnamese_ocr_ray.functions.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(sf_dir), max_hamming=3)
+
+
 def _simhash(sf_dir: str):
     from vietnamese_ocr_ray.functions.dedup import simhash
 
@@ -781,6 +791,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _minhash_pairs,
         "dedup_neardup": _dedup_neardup,
         "simhash": _simhash,
+        "simhash_pairs": _simhash_pairs,
         "simhash_tokens": _simhash_tokens,
         # similarity search / embedding ops
         "ann_topk": _ann_topk,

@@ -718,3 +718,31 @@ def test_ann_bruteforce_multi_matches_numpy(ray_session):
         assert np.allclose(got["cos"].to_numpy(), cos[order, qi])
     # self-queries rank themselves first
     assert out[(out["query_id"] == 0) & (out["rank"] == 1)]["vec_id"].iloc[0] == 3
+
+
+def test_simhash_pairs_complete_vs_bruteforce(ray_session):
+    """Banding with bands > max_hamming is COMPLETE (pigeonhole): the
+    pair set must equal the all-pairs popcount ground truth, including
+    planted near-identical docs."""
+    from vietnamese_ocr_ray.functions.dedup import simhash_fps, simhash_pairs
+
+    rng = np.random.default_rng(4)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    base = [" ".join(rng.choice(words, 60)) for _ in range(40)]
+    dups = [t.replace("alpha", "alphq", 1) for t in base[:8]]  # tiny edits
+    texts = base + dups
+    t = _docs_table(texts)
+    got = simhash_pairs(rd.from_arrow(t), max_hamming=3).to_pandas()
+    fps = simhash_fps(pa.array(texts))
+    expect = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if bin(int(fps[i]) ^ int(fps[j])).count("1") <= 3:
+                expect.add((i, j))
+    assert set(zip(got["a"], got["b"])) == expect
+    assert len(expect) > 0  # the test exercises real near-dups
+    # reported hamming values are correct
+    for _, r in got.iterrows():
+        assert r["hamming"] == bin(
+            int(fps[int(r["a"])]) ^ int(fps[int(r["b"])])
+        ).count("1")

@@ -909,18 +909,14 @@ def word_jaccard_batch(a_arr: pa.Array, b_arr: pa.Array) -> np.ndarray:
     return _paired_set_jaccard(ra, ha, rb, hb, n)
 
 
-def simhash_batch(batch: pa.Table, k: int = 4) -> pa.Table:
-    """64-bit SimHash per doc over UNIQUE k-byte shingle hashes
-    (Charikar 2002): per-bit weighted majority.
-
-    Whole-batch vectorized over the flat utf8 buffer (see
-    :func:`_unique_shingles`), per-row bit sums via
-    ``np.add.reduceat``, hex rendering via one hexlify — no per-row
-    Python anywhere."""
-    import binascii
-
-    col = batch.column("text")
-    offs, data = _utf8_flat(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+def simhash_fps(col: pa.Array, k: int = 4) -> np.ndarray:
+    """uint64 SimHash fingerprints for a whole text column (Charikar
+    2002): per-bit weighted majority over UNIQUE k-byte shingle hashes
+    (see :func:`_unique_shingles`), per-row bit sums via
+    ``np.add.reduceat`` — no per-row Python anywhere."""
+    offs, data = _utf8_flat(
+        col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    )
     n = len(offs) - 1
     rows, hs = _unique_shingles(offs, data, k)
 
@@ -936,7 +932,14 @@ def simhash_batch(batch: pa.Table, k: int = 4) -> pa.Table:
         votes = 2 * ones - counts[:, None]
         weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
         fps = ((votes > 0).astype(np.uint64) * weights[None, :]).sum(axis=1)
+    return fps
 
+
+def simhash_batch(batch: pa.Table, k: int = 4) -> pa.Table:
+    """Hex-rendered :func:`simhash_fps` per doc (one hexlify)."""
+    import binascii
+
+    fps = simhash_fps(batch.column("text"), k)
     hex_flat = binascii.hexlify(fps.astype(">u8").tobytes())
     out = np.frombuffer(hex_flat, dtype="S16").astype("U16")
     return pa.table(
@@ -944,6 +947,125 @@ def simhash_batch(batch: pa.Table, k: int = 4) -> pa.Table:
             "doc_id": batch.column("doc_id"),
             "simhash": pa.array(out, pa.string()),
         }
+    )
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (bit-slab unpack)."""
+    v = x.copy()
+    pop = np.zeros_like(v, dtype=np.int64)
+    while True:
+        nz = v != 0
+        if not nz.any():
+            return pop
+        pop[nz] += 1
+        v = v & (v - np.uint64(1))
+
+
+def simhash_pairs(
+    ds: rd.Dataset,
+    max_hamming: int = 3,
+    *,
+    bands: int = 4,
+    k: int = 4,
+    num_coarse: int = 32,
+    cap: int = 200,
+) -> rd.Dataset:
+    """SimHash near-duplicate pairs (Manku, Jain & Sarma 2007): two
+    64-bit fingerprints within Hamming distance ``max_hamming`` must
+    agree EXACTLY on at least one of ``bands`` 16-bit chunks whenever
+    max_hamming < bands (pigeonhole) — so banding finds ALL such pairs,
+    not a sample. Shape mirrors minhash: fingerprint per batch ->
+    (band, chunk_value, doc_id, fp) rows -> coarse-bucket groupby ->
+    candidate pairs via run-detection -> popcount verification ->
+    bucketed distinct. Only ints ever shuffle."""
+    assert max_hamming < bands, "pigeonhole completeness needs bands > max_hamming"
+    width = 64 // bands
+    mask = np.uint64((1 << width) - 1)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        fps = simhash_fps(batch.column("text"), k)
+        n = fps.shape[0]
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        band = np.tile(np.arange(bands, dtype=np.int64), n)
+        chunk = (
+            np.repeat(fps, bands)
+            >> (np.tile(np.arange(bands, dtype=np.uint64), n) * np.uint64(width))
+        ) & mask
+        key = band * np.int64(1 << width) + chunk.astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "coarse": pa.array(
+                    (key.astype(np.uint64) % np.uint64(num_coarse)).astype(
+                        np.int32
+                    )
+                ),
+                "doc_id": pa.array(np.repeat(ids, bands)),
+                "fp": pa.array(np.repeat(fps.astype(np.int64), bands)),
+            }
+        )
+
+    def bucket_candidates(g: pd.DataFrame) -> pa.Table:
+        s = g.sort_values(["key", "doc_id"], kind="stable")
+        key = s["key"].to_numpy(np.int64)
+        ids = s["doc_id"].to_numpy(np.int64)
+        fps = s["fp"].to_numpy(np.int64).astype(np.uint64)
+        n = ids.shape[0]
+        out_a, out_b, out_h = [], [], []
+        if n:
+            change = np.ones(n, dtype=bool)
+            change[1:] = key[1:] != key[:-1]
+            starts = np.nonzero(change)[0]
+            sizes = np.diff(np.append(starts, n))
+            for st, sz in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+                mm = int(min(sz, cap))
+                ii, jj = np.triu_indices(mm, 1)
+                seg_i = ids[st : st + mm]
+                seg_f = fps[st : st + mm]
+                ham = _popcount64(seg_f[ii] ^ seg_f[jj])
+                hit = ham <= max_hamming
+                out_a.append(seg_i[ii][hit])
+                out_b.append(seg_i[jj][hit])
+                out_h.append(ham[hit])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        h = np.concatenate(out_h) if out_h else np.empty(0, np.int64)
+        df = pd.DataFrame({"a": a, "b": b, "hamming": h}).drop_duplicates(
+            ["a", "b"]
+        )
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    cand = (
+        ds.select_columns(["doc_id", "text"])
+        .map_batches(band_rows, batch_format="pyarrow")
+        .groupby("coarse")
+        .map_groups(
+            lambda g: bucket_candidates(g.drop(columns=["coarse"])),
+            batch_format="pandas",
+        )
+    )
+    # a pair can agree on chunks living in different coarse buckets
+    return (
+        cand.map_batches(
+            lambda b: b.append_column(
+                "_b",
+                pa.array(
+                    (np.asarray(b.column("a")).astype(np.uint64) % np.uint64(num_coarse)).astype(np.int32)
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("_b")
+        .map_groups(
+            lambda g: pa.Table.from_pandas(
+                g.drop(columns=["_b"]).drop_duplicates(["a", "b"]),
+                preserve_index=False,
+            ).replace_schema_metadata(None),
+            batch_format="pandas",
+        )
     )
 
 
