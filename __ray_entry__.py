@@ -280,6 +280,18 @@ def _simhash_pairs(sf_dir: str):
     return simhash_pairs(_docs(sf_dir), max_hamming=3)
 
 
+def _dedup_neardup_simhash(sf_dir: str):
+    """Near-dup REMOVAL over the simhash Hamming graph: banded pair
+    search -> distributed connected components -> min-id survivors
+    (rows-only; composition of individually tested operators)."""
+    from vietnamese_ocr_ray.functions.dedup import neardup_survivors
+
+    pairs = _simhash_pairs(sf_dir)
+    return neardup_survivors(_docs(sf_dir, ("doc_id",)), pairs).select_columns(
+        ["doc_id"]
+    )
+
+
 def _simhash(sf_dir: str):
     from vietnamese_ocr_ray.functions.dedup import simhash
 
@@ -792,6 +804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_neardup": _dedup_neardup,
         "simhash": _simhash,
         "simhash_pairs": _simhash_pairs,
+        "dedup_neardup_simhash": _dedup_neardup_simhash,
         "simhash_tokens": _simhash_tokens,
         # similarity search / embedding ops
         "ann_topk": _ann_topk,
