@@ -204,6 +204,17 @@ def _sample_k(sf_dir: str, k: int = 100):
     )
 
 
+def _sample_k_per_lang(sf_dir: str, k: int = 20):
+    """Stratified exactly-k-per-language sample (smallest salted hashes
+    within each lang) — exact row-set parity with the SQL
+    row_number-over-partition oracle."""
+    from vietnamese_ocr_ray.functions.sampling import sample_k_per_group
+
+    return sample_k_per_group(
+        _docs(sf_dir, ("doc_id", "lang")), "doc_id", "lang", k, salt="strat:"
+    )
+
+
 def _hash_sample(sf_dir: str):
     """Shuffle-free deterministic 30% sample of documents by salted
     content-hash band (the reproducible web-scale split; exact row-set
@@ -787,6 +798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_sample": lambda sf: relational.split_sample(sf),
         "hash_sample": _hash_sample,
         "sample_k": _sample_k,
+        "sample_k_per_lang": _sample_k_per_lang,
         "left_join_counts": lambda sf: relational.customer_order_counts(sf),
         # text analysis
         "lang_id": lambda sf: lang_id(_docs(sf)),
@@ -1304,6 +1316,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang FROM h
         ORDER BY (fp * fp % 1000000007) * fp % 1000000007, doc_id
         LIMIT 100
+        """,
+        "sample_k_per_lang": """
+        WITH h AS (
+          SELECT doc_id, lang,
+                 CAST(list_sum(list_transform(
+                     string_split('strat:' || CAST(doc_id AS VARCHAR), ''),
+                     (c, i) -> unicode(c) * i)) % 1000000007 AS BIGINT) AS fp
+          FROM documents
+        ), m AS (
+          SELECT doc_id, lang,
+                 (fp * fp % 1000000007) * fp % 1000000007 AS mixed
+          FROM h
+        )
+        SELECT doc_id, lang FROM m
+        QUALIFY row_number() OVER (PARTITION BY lang
+                                   ORDER BY mixed, doc_id) <= 20
         """,
         "left_join_counts": """
         SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders

@@ -124,3 +124,55 @@ def sample_exact_k(
         .limit(k)
         .map_batches(lambda b: b.drop_columns(["_h"]), batch_format="pyarrow")
     )
+
+
+def sample_k_per_group(
+    ds: rd.Dataset,
+    key_col: str,
+    group_col: str,
+    k: int,
+    *,
+    salt: str = "",
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """STRATIFIED exactly-k sample: the k rows with smallest salted
+    mixed hash WITHIN EACH GROUP (ties on the key) — per-batch partial
+    top-k per group bounds the shuffle at k x groups x blocks rows,
+    then one bucketed per-group finish. Deterministic and
+    partitioning-stable like :func:`sample_exact_k`."""
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        keys = pc.binary_join_element_wise(
+            pa.scalar(salt),
+            pc.cast(batch.column(key_col), pa.string()),
+            pa.scalar(""),
+        )
+        fp = _poly_hash(keys)
+        mixed = (fp * fp % FP_MOD) * fp % FP_MOD
+        return batch.append_column("_h", pa.array(mixed))
+
+    def partial_topk(df):
+        s = df.sort_values([group_col, "_h", key_col], kind="stable")
+        s = s.groupby(group_col, sort=False).head(k)
+        s["_bucket"] = key_bucket(
+            pa.Array.from_pandas(s[group_col]), num_buckets
+        ).astype(np.int32)
+        return pa.Table.from_pandas(s, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    def final_topk(g):
+        s = g.sort_values([group_col, "_h", key_col], kind="stable")
+        s = s.groupby(group_col, sort=False).head(k)
+        out = s.drop(columns=["_h", "_bucket"])
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .map_batches(partial_topk, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(final_topk, batch_format="pandas")
+    )
