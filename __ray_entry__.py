@@ -714,7 +714,6 @@ def _decontaminate(sf_dir: str):
 
 def _distinct_lang_source(sf_dir: str):
     """Multi-key distinct/grouped count over documents."""
-    import ray.data as rd
     from ray.data.aggregate import Count
 
     return (

@@ -326,8 +326,6 @@ def tfidf_top_terms(ds: rd.Dataset, k: int = 3) -> rd.Dataset:
     )
 
     def score(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         toks_sorted, dfs = ray.get(handle)
         toks_list = pc.split_pattern(batch.column("text"), " ")
         flat = pc.list_flatten(toks_list)
