@@ -749,6 +749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         fingerprint,
         lang_id,
         quality_scores,
+        repetition_ratio,
         subword_token_count,
         tfidf_top_terms,
         token_count,
@@ -804,6 +805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": lambda sf: token_count(_docs(sf)),
         "subword_tokens": lambda sf: subword_token_count(_docs(sf)),
         "quality_scores": lambda sf: quality_scores(_docs(sf)),
+        "repetition_ratio": lambda sf: repetition_ratio(_docs(sf)),
         "fingerprint": lambda sf: fingerprint(_docs(sf)),
         "cer": _cer,
         "extract_cer": _extract_cer,
@@ -1233,6 +1235,28 @@ def oracle_sql() -> dict[str, str]:
         WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         SELECT tok, count(*) AS n_occurrences FROM t
         GROUP BY tok ORDER BY n_occurrences DESC, tok LIMIT 10
+        """,
+        "repetition_ratio": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        e AS (SELECT doc_id, unnest(l) AS tok,
+                     unnest(list_transform(l, (x, i) -> i)) AS pos,
+                     len(l) AS n FROM t),
+        tri AS (
+          SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
+          FROM e a
+          JOIN e b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+          JOIN e c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        ), agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+                 CAST(count(DISTINCT g) AS BIGINT) AS d
+          FROM tri GROUP BY doc_id
+        )
+        SELECT doc.doc_id,
+               COALESCE(agg.n_trigrams, 0) AS n_trigrams,
+               ROUND(CASE WHEN agg.n_trigrams > 0
+                 THEN CAST(agg.n_trigrams - agg.d AS DOUBLE) / agg.n_trigrams
+                 ELSE 0.0 END, 6) AS repetition_ratio
+        FROM documents doc LEFT JOIN agg ON agg.doc_id = doc.doc_id
         """,
         "top_bigrams": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

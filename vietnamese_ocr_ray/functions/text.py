@@ -361,3 +361,55 @@ def tfidf_top_terms(ds: rd.Dataset, k: int = 3) -> rd.Dataset:
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def repetition_ratio_batch(batch: pa.Table) -> pa.Table:
+    """Boilerplate/repetition signal (the Gopher-rules shape): fraction
+    of token TRIGRAMS that are repeats of an earlier trigram in the
+    same doc — (n - distinct) / n, 0.0 for docs with < 3 tokens.
+    Vectorized: two slice-joins over the flat token buffer build every
+    adjacent trigram, doc boundaries masked, per-doc distinct via one
+    lexsort over 64-bit trigram hashes (collision odds ~2^-64 per
+    trigram pair — the standard hashed-distinct tradeoff)."""
+    from vietnamese_ocr_ray.functions.dedup import content_hash64
+
+    toks_list = pc.split_pattern(batch.column("text"), " ")
+    flat = pc.list_flatten(toks_list)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    ntok = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+    nb = batch.num_rows
+    n = len(flat)
+    total = np.maximum(ntok - 2, 0).astype(np.int64)
+    distinct = np.zeros(nb, dtype=np.int64)
+    if n >= 3:
+        tri = pc.binary_join_element_wise(
+            flat.slice(0, n - 2),
+            flat.slice(1, n - 2),
+            flat.slice(2, n - 2),
+            pa.scalar(" "),
+        )
+        # trigram at flat position p belongs to doc d iff all three
+        # tokens lie inside d: p and p+2 in d
+        ends = np.cumsum(ntok)
+        doc = np.searchsorted(ends, np.arange(n - 2), side="right")
+        valid = (np.arange(n - 2) + 3) <= ends[np.minimum(doc, nb - 1)]
+        h = content_hash64(tri)[valid]
+        d = doc[valid]
+        order = np.lexsort((h, d))
+        d, h = d[order], h[order]
+        first = np.ones(d.shape[0], dtype=bool)
+        first[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+        distinct = np.bincount(d[first], minlength=nb)
+    ratio = np.where(total > 0, (total - distinct) / np.maximum(total, 1), 0.0)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_trigrams": pa.array(total),
+            "repetition_ratio": pa.array(np.round(ratio, 6), pa.float64()),
+        }
+    )
+
+
+def repetition_ratio(ds: rd.Dataset) -> rd.Dataset:
+    return ds.map_batches(repetition_ratio_batch, batch_format="pyarrow")
