@@ -16,6 +16,8 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Sum
 
+from vietnamese_ocr_ray.functions.dedup import content_hash64
+
 # deterministic language markers; tiebreak order en > de > es > fr
 LANG_MARKERS = [
     ("en", " the "),
@@ -370,9 +372,9 @@ def repetition_ratio_batch(batch: pa.Table) -> pa.Table:
     Vectorized: two slice-joins over the flat token buffer build every
     adjacent trigram, doc boundaries masked, per-doc distinct via one
     lexsort over 64-bit trigram hashes (collision odds ~2^-64 per
-    trigram pair — the standard hashed-distinct tradeoff)."""
-    from vietnamese_ocr_ray.functions.dedup import content_hash64
-
+    trigram pair — the standard hashed-distinct tradeoff). NB: imports
+    used by worker-executed functions live at module top — by-value
+    pickling cannot cover in-function imports (verify SKILL.md)."""
     toks_list = pc.split_pattern(batch.column("text"), " ")
     flat = pc.list_flatten(toks_list)
     if isinstance(flat, pa.ChunkedArray):
