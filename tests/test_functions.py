@@ -746,3 +746,24 @@ def test_simhash_pairs_complete_vs_bruteforce(ray_session):
         assert r["hamming"] == bin(
             int(fps[int(r["a"])]) ^ int(fps[int(r["b"])])
         ).count("1")
+
+
+def test_tfidf_join_mode_equals_broadcast(ray_session):
+    """The no-vocabulary-broadcast TF-IDF (token-bucket cogroup) must
+    produce the identical top-k term table."""
+    from vietnamese_ocr_ray.functions.text import (
+        tfidf_top_terms,
+        tfidf_top_terms_join,
+    )
+
+    rng = np.random.default_rng(6)
+    words = ["ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen"]
+    texts = [" ".join(rng.choice(words, rng.integers(5, 30))) for _ in range(80)]
+    ds = rd.from_arrow(_docs_table(texts))
+    key = lambda df: sorted(
+        map(tuple, df[["doc_id", "tok", "score"]].to_numpy())
+    )
+    a = tfidf_top_terms(ds, k=3).to_pandas()
+    b = tfidf_top_terms_join(ds, k=3).to_pandas()
+    assert key(a) == key(b)
+    assert len(a) > 0

@@ -285,8 +285,8 @@ def tfidf_top_terms(ds: rd.Dataset, k: int = 3) -> rd.Dataset:
     frequencies are ONE bucketed hash-aggregate over per-batch DISTINCT
     (token, doc) pairs; the resulting df table is broadcast as sorted
     arrays (vocabulary-bounded — at corpus scales where the vocabulary
-    exceeds a worker heap, replace the broadcast with a token-key join,
-    same as minhash's corpus-join verify). Top-k selects on the
+    exceeds a worker heap, use :func:`tfidf_top_terms_join` — same
+    output, token-bucket cogroup instead). Top-k selects on the
     UNROUNDED score (ties break on the token string) and the EMITTED
     score is rounded to 6 decimals — numpy's log and DuckDB's ln
     disagree in the last ulp for some inputs (measured at sf0.01), so
@@ -363,6 +363,140 @@ def tfidf_top_terms(ds: rd.Dataset, k: int = 3) -> rd.Dataset:
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def tfidf_top_terms_join(ds: rd.Dataset, k: int = 3) -> rd.Dataset:
+    """:func:`tfidf_top_terms` with NO vocabulary broadcast — the path
+    for corpora whose token vocabulary exceeds a worker heap. The df
+    table stays a Dataset; tf rows meet it in a token-bucket cogroup
+    (union + one shuffle, per-bucket vectorized left-side merge), and
+    the per-doc top-k finishes in a doc-bucket groupby. Identical
+    output to the broadcast variant (equality test in
+    tests/test_functions.py)."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
+    num_buckets = 32
+    n_docs = ds.count()
+
+    def distinct_tokens_per_doc(batch: pa.Table) -> pa.Table:
+        toks_list = pc.split_pattern(batch.column("text"), " ")
+        flat = pc.list_flatten(toks_list)
+        ntok = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+        doc = np.repeat(
+            np.asarray(batch.column("doc_id"), dtype=np.int64), ntok
+        )
+        g = (
+            pa.table({"tok": flat, "doc": pa.array(doc)})
+            .to_pandas()
+            .drop_duplicates(["tok", "doc"])
+            .groupby("tok", as_index=False, sort=False)
+            .agg(n=("doc", "size"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    df_ds = hash_aggregate(
+        ds.map_batches(distinct_tokens_per_doc, batch_format="pyarrow"),
+        ["tok"],
+        {"df": ("n", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        toks_list = pc.split_pattern(batch.column("text"), " ")
+        flat = pc.list_flatten(toks_list)
+        ntok = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+        doc = np.repeat(
+            np.asarray(batch.column("doc_id"), dtype=np.int64), ntok
+        )
+        tf = (
+            pa.table({"doc_id": pa.array(doc), "tok": flat})
+            .to_pandas()
+            .groupby(["doc_id", "tok"], as_index=False, sort=False)
+            .size()
+        )
+        t = pa.table(
+            {
+                "tok": pa.array(tf["tok"].to_numpy(), pa.string()),
+                "doc_id": pa.array(tf["doc_id"].to_numpy(np.int64)),
+                "tf": pa.array(tf["size"].to_numpy(np.int64)),
+                "df": pa.nulls(len(tf), pa.int64()),
+            }
+        )
+        return t.append_column(
+            "_bucket",
+            pa.array(key_bucket(t.column("tok"), num_buckets).astype(np.int32)),
+        )
+
+    def df_side(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "tok": batch.column("tok"),
+                "doc_id": pa.nulls(batch.num_rows, pa.int64()),
+                "tf": pa.nulls(batch.num_rows, pa.int64()),
+                "df": pc.cast(batch.column("df"), pa.int64()),
+            }
+        )
+        return t.append_column(
+            "_bucket",
+            pa.array(key_bucket(t.column("tok"), num_buckets).astype(np.int32)),
+        )
+
+    def attach_idf(g: pd.DataFrame) -> pa.Table:
+        tf = g[g["df"].isna()][["tok", "doc_id", "tf"]]
+        dfs = g[~g["df"].isna()][["tok", "df"]]
+        m = tf.merge(dfs, on="tok", how="inner")
+        score = m["tf"].to_numpy(np.int64) * np.log(
+            float(n_docs) / m["df"].to_numpy(np.int64)
+        )
+        t = pa.table(
+            {
+                "doc_id": pa.array(m["doc_id"].to_numpy(np.int64)),
+                "tok": pa.array(m["tok"].to_numpy(), pa.string()),
+                "score": pa.array(score, pa.float64()),
+            }
+        )
+        return t.append_column(
+            "_bucket",
+            pa.array(
+                key_bucket(t.column("doc_id"), num_buckets).astype(np.int32)
+            ),
+        )
+
+    def topk_per_doc(g: pd.DataFrame) -> pa.Table:
+        top = (
+            g.sort_values(
+                ["doc_id", "score", "tok"], ascending=[True, False, True],
+                kind="stable",
+            )
+            .groupby("doc_id", sort=False)
+            .head(k)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(top["doc_id"].to_numpy(np.int64)),
+                "tok": pa.array(top["tok"].to_numpy(), pa.string()),
+                "score": pa.array(
+                    np.round(top["score"].to_numpy(), 6), pa.float64()
+                ),
+            }
+        )
+
+    scored = (
+        ds.map_batches(tf_rows, batch_format="pyarrow")
+        .union(df_ds.map_batches(df_side, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: attach_idf(g.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        )
+    )
+    return scored.groupby("_bucket").map_groups(
+        lambda g: topk_per_doc(g.drop(columns=["_bucket"])),
+        batch_format="pandas",
+    )
 
 
 def repetition_ratio_batch(batch: pa.Table) -> pa.Table:
