@@ -260,6 +260,10 @@ def _word_jaccard(sf_dir: str):
 
 
 def _minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup pairs (rows-only: banding is not
+    SQL-expressible; planted-dup + mode-equality tests in
+    tests/test_functions.py; the verified pair SET is SQL-checked
+    indirectly via the embedding/neighbor-jaccard oracles)."""
     from vietnamese_ocr_ray.functions.dedup import minhash_lsh_pairs
 
     # corpus-join verification (texts_handle=None): candidates join
@@ -304,6 +308,10 @@ def _dedup_neardup_simhash(sf_dir: str):
 
 
 def _simhash(sf_dir: str):
+    """64-bit byte-shingle SimHash fingerprints (rows-only: the
+    rolling-hash shingle set is not SQL-computable; the 30-bit token
+    variant `simhash_tokens` IS SQL-checked; vectorized==per-row
+    equality test in tests/test_functions.py)."""
     from vietnamese_ocr_ray.functions.dedup import simhash
 
     return simhash(_docs(sf_dir))
@@ -352,6 +360,8 @@ def _ann_topk_multi(sf_dir: str):
 
 
 def _ann_lsh(sf_dir: str):
+    """Hyperplane-LSH ANN with Hamming probing (rows-only: probing is
+    not SQL-expressible; self-hit test in tests/test_functions.py)."""
     import ray.data as rd
 
     from vietnamese_ocr_ray.functions.ann import ann_lsh
@@ -394,6 +404,9 @@ def _extract_cer(sf_dir: str):
 
 
 def _ann_ivf(sf_dir: str):
+    """IVF ANN with per-call k-means fit (rows-only: iterative k-means
+    is not SQL-expressible; blob test in tests/test_functions.py; see
+    `ann_ivf_persisted` for the build-once index path)."""
     import ray.data as rd
 
     from vietnamese_ocr_ray.functions.kmeans import ann_ivf
@@ -589,6 +602,8 @@ def _distinct_tokens(sf_dir: str):
 
 
 def _approx_distinct_tokens(sf_dir: str):
+    """HyperLogLog distinct-token estimate (rows-only: approximate by
+    design; <2% error bound tested vs exact in tests/test_functions.py)."""
     from vietnamese_ocr_ray.functions.sketch import approx_distinct_tokens
 
     return approx_distinct_tokens(_docs(sf_dir, ("text",)))

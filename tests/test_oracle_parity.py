@@ -89,3 +89,19 @@ def test_full_oracle_sweep(ray_session):
         except Exception as e:  # noqa: BLE001 - collect all, report once
             failures.append((name, str(e)[:300]))
     assert not failures, failures
+
+
+def test_rows_only_queries_document_why():
+    """Contract hygiene: every queries() entry WITHOUT a SQL oracle
+    must say in its docstring why it is rows-only (and where its
+    non-SQL verification lives)."""
+    m = _entry()
+    qs, osql = m.queries(), m.oracle_sql()
+    undocumented = [
+        name
+        for name in sorted(set(qs) - set(osql))
+        if not (qs[name].__doc__ or "").strip()
+    ]
+    assert not undocumented, undocumented
+    # and every oracle has a query (no orphan SQL)
+    assert not set(osql) - set(qs)
