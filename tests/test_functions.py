@@ -767,3 +767,25 @@ def test_tfidf_join_mode_equals_broadcast(ray_session):
     b = tfidf_top_terms_join(ds, k=3).to_pandas()
     assert key(a) == key(b)
     assert len(a) > 0
+
+
+def test_label_centroids_matches_numpy(ray_session):
+    from vietnamese_ocr_ray.functions.ann import label_centroids
+
+    rng = np.random.default_rng(12)
+    vecs = rng.standard_normal((90, 6))
+    labels = rng.integers(0, 3, 90)
+    t = pa.table(
+        {
+            "label": pa.array(labels, pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = label_centroids(rd.from_arrow(t)).to_pandas()
+    m64 = vecs.astype(np.float32).astype(np.float64)
+    for lab in range(3):
+        mean = m64[labels == lab].mean(axis=0)
+        got = out[out["label"] == lab].sort_values("dim")["avg_v"].to_numpy()
+        assert np.allclose(got, np.round(mean, 4), atol=1e-4)
