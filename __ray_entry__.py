@@ -1352,7 +1352,9 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         )
         SELECT doc_id, lang FROM h
-        ORDER BY (fp * fp % 1000000007) * fp % 1000000007, doc_id
+        ORDER BY ((fp + 123456789) * (fp + 123456789) % 1000000007)
+                   * (fp + 123456789) % 1000000007,
+                 doc_id
         LIMIT 100
         """,
         "sample_k_per_lang": """
@@ -1364,7 +1366,8 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         ), m AS (
           SELECT doc_id, lang,
-                 (fp * fp % 1000000007) * fp % 1000000007 AS mixed
+                 ((fp + 123456789) * (fp + 123456789) % 1000000007)
+                   * (fp + 123456789) % 1000000007 AS mixed
           FROM h
         )
         SELECT doc_id, lang FROM m

@@ -207,3 +207,28 @@ def test_running_sum_rangesort_hot_key(ray_session, tmp_path, monkeypatch):
     )
     got = out.set_index("event_id").loc[s["event_id"]]["running_value"].to_numpy()
     assert np.array_equal(got, expect)
+
+
+def test_sample_exact_k_partitioning_stable(ray_session):
+    """The exact-k sample must be the SAME row set regardless of how
+    the input is partitioned (the property that makes it a reproducible
+    web-scale split)."""
+    import pyarrow as pa
+
+    from vietnamese_ocr_ray.functions.sampling import sample_exact_k
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(1000), pa.int64()),
+            "lang": pa.array(["en"] * 1000),
+        }
+    )
+    a = sample_exact_k(rd.from_arrow(t), "doc_id", 50, salt="s:").to_pandas()
+    b = sample_exact_k(
+        rd.from_arrow(t).repartition(13), "doc_id", 50, salt="s:"
+    ).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    assert len(a) == 50
+    # different salt -> different draw
+    c = sample_exact_k(rd.from_arrow(t), "doc_id", 50, salt="t:").to_pandas()
+    assert sorted(c["doc_id"]) != sorted(a["doc_id"])

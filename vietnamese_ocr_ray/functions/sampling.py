@@ -22,6 +22,18 @@ import ray.data as rd
 from vietnamese_ocr_ray.functions.dedup import _utf8_flat
 
 FP_MOD = 1_000_000_007
+MIX_OFFSET = 123_456_789  # forces the cube past FP_MOD even for tiny fps
+
+
+def _mixed_hash(fp: np.ndarray) -> np.ndarray:
+    """(fp + OFFSET)^3 mod p — the ORDERING hash for exact-k sampling.
+    The raw polynomial is near-monotone for short keys (a cube below p
+    never wraps), so smallest-hash selection would just pick the
+    shortest ids; the offset guarantees >= 27 modular wraps for every
+    input. 64-bit safe: (p + OFFSET)^2 < 2^63. SQL-mirrored verbatim
+    in the oracles."""
+    x = fp + MIX_OFFSET
+    return (x * x % FP_MOD) * x % FP_MOD
 
 
 def _poly_hash(arr: pa.Array) -> np.ndarray:
@@ -108,8 +120,7 @@ def sample_exact_k(
             pc.cast(batch.column(key_col), pa.string()),
             pa.scalar(""),
         )
-        fp = _poly_hash(keys)
-        mixed = (fp * fp % FP_MOD) * fp % FP_MOD
+        mixed = _mixed_hash(_poly_hash(keys))
         t = batch.append_column("_h", pa.array(mixed))
         if t.num_rows > k:
             order = pc.sort_indices(
@@ -148,8 +159,7 @@ def sample_k_per_group(
             pc.cast(batch.column(key_col), pa.string()),
             pa.scalar(""),
         )
-        fp = _poly_hash(keys)
-        mixed = (fp * fp % FP_MOD) * fp % FP_MOD
+        mixed = _mixed_hash(_poly_hash(keys))
         return batch.append_column("_h", pa.array(mixed))
 
     def partial_topk(df):
