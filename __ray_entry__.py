@@ -767,6 +767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         repetition_ratio,
         subword_token_count,
         tfidf_top_terms,
+        tfidf_top_terms_join,
         token_count,
     )
     from vietnamese_ocr_ray.pipelines import doctext, relational
@@ -853,6 +854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": _top_tokens,
         "top_bigrams": _top_bigrams,
         "tfidf_top_terms": lambda sf: tfidf_top_terms(_docs(sf)),
+        "tfidf_join": lambda sf: tfidf_top_terms_join(_docs(sf)),
         "approx_distinct_tokens": _approx_distinct_tokens,
         "approx_quantiles": _approx_quantiles,
     }
@@ -1283,6 +1285,24 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY bigram ORDER BY n_occurrences DESC, bigram LIMIT 10
         """,
         "tfidf_top_terms": """
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ), tf AS (
+          SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+          FROM tok GROUP BY doc_id, tok
+        ), df AS (
+          SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          FROM tok GROUP BY tok
+        ), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.tok, tf.tf * ln(n.n / df.df) AS score
+          FROM tf JOIN df USING (tok) CROSS JOIN n
+        )
+        SELECT doc_id, tok, ROUND(score, 6) AS score FROM scored
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, tok) <= 3
+        """,
+        "tfidf_join": """
         WITH tok AS (
           SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
         ), tf AS (
