@@ -518,6 +518,23 @@ def _audio_features(sf_dir: str):
     return audio_features(clips)
 
 
+def _ann_topk_quantized(sf_dir: str):
+    """ANN over the int8-quantized embedding store (4x smaller than
+    float32; rows-only: quantization is approximate by design —
+    reconstruction-error bound + recall@10 tests in
+    tests/test_functions.py)."""
+    from vietnamese_ocr_ray.functions.quantize import (
+        ann_bruteforce_quantized,
+        fit_quantizer,
+        quantize_embeddings,
+    )
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ranges = fit_quantizer(ds)
+    codes = quantize_embeddings(ds, ranges)
+    return ann_bruteforce_quantized(codes, ranges, _query_vec(sf_dir), k=10)
+
+
 def _label_centroids(sf_dir: str):
     from vietnamese_ocr_ray.functions.ann import label_centroids
 
@@ -838,6 +855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search / embedding ops
         "ann_topk": _ann_topk,
         "ann_topk_multi": _ann_topk_multi,
+        "ann_topk_quantized": _ann_topk_quantized,
         "ann_lsh": _ann_lsh,
         "ann_ivf": _ann_ivf,
         "ann_ivf_persisted": _ann_ivf_persisted,

@@ -789,3 +789,42 @@ def test_label_centroids_matches_numpy(ray_session):
         mean = m64[labels == lab].mean(axis=0)
         got = out[out["label"] == lab].sort_values("dim")["avg_v"].to_numpy()
         assert np.allclose(got, np.round(mean, 4), atol=1e-4)
+
+
+def test_int8_quantization_roundtrip_and_ann_recall(ray_session):
+    """Scalar int8 quantization: per-dim reconstruction error bounded
+    by half a level; ANN over the quantized store keeps recall@10 high
+    on random data."""
+    from vietnamese_ocr_ray.functions.quantize import (
+        ann_bruteforce_quantized,
+        decode_codes,
+        fit_quantizer,
+        quantize_embeddings,
+    )
+
+    rng = np.random.default_rng(21)
+    vecs = rng.standard_normal((400, 16))
+    ds = rd.from_arrow(_embeddings_table(vecs))
+    ranges = fit_quantizer(ds)
+    assert ranges.shape == (2, 16)
+    codes = quantize_embeddings(ds, ranges).materialize()
+
+    # reconstruction error bound: half a quantization level per dim
+    t = codes.sort("vec_id").take_batch(400, batch_format="pyarrow")
+    dec = decode_codes(t, ranges)
+    m64 = vecs.astype(np.float32).astype(np.float64)
+    step = (ranges[1] - ranges[0]) / 255.0
+    order = np.asarray(t.column("vec_id"))
+    assert np.all(np.abs(dec - m64[order]) <= step / 2 + 1e-9)
+
+    # recall@10 vs the exact scan
+    q = rng.standard_normal(16)
+    from vietnamese_ocr_ray.functions.ann import ann_bruteforce
+
+    exact = set(
+        ann_bruteforce(ds, q, k=10).to_pandas()["vec_id"]
+    )
+    approx = set(
+        ann_bruteforce_quantized(codes, ranges, q, k=10).to_pandas()["vec_id"]
+    )
+    assert len(exact & approx) >= 8, (exact, approx)
