@@ -441,6 +441,20 @@ def _components(sf_dir: str):
     return connected_components(pairs)
 
 
+def _pagerank_dupgraph(sf_dir: str):
+    """PageRank centrality over the cosine>=0.4 dup graph (rows-only:
+    iterative power method is not SQL-expressible; numpy power-iteration
+    reference test in tests/test_functions.py). Ranks which duplicates
+    are the most-connected representatives of their cluster."""
+    from vietnamese_ocr_ray.functions.graph import pagerank
+
+    pairs = _embedding_neardup(sf_dir).map_batches(
+        lambda b: pa.table({"a": b.column("vec_id_a"), "b": b.column("vec_id_b")}),
+        batch_format="pyarrow",
+    )
+    return pagerank(pairs)
+
+
 def _dedup_neardup_cosine(sf_dir: str):
     """Near-dup REMOVAL over the SQL-checkable cosine>=0.4 graph:
     component survivors (min vec_id) + untouched vectors — upgrades
@@ -862,6 +876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": _embedding_neardup_lsh,
         "embedding_neardup": _embedding_neardup,
         "components": _components,
+        "pagerank_dupgraph": _pagerank_dupgraph,
         "dedup_neardup_cosine": _dedup_neardup_cosine,
         "embedding_stats": _embedding_stats,
         "label_centroids": _label_centroids,

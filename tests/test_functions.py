@@ -828,3 +828,38 @@ def test_int8_quantization_roundtrip_and_ann_recall(ray_session):
         ann_bruteforce_quantized(codes, ranges, q, k=10).to_pandas()["vec_id"]
     )
     assert len(exact & approx) >= 8, (exact, approx)
+
+
+def test_pagerank_matches_numpy_power_iteration(ray_session):
+    from vietnamese_ocr_ray.functions.graph import pagerank
+
+    # star (0 center) + triangle (10,11,12)
+    pairs = pa.table(
+        {
+            "a": pa.array([0, 0, 0, 10, 11, 12], pa.int64()),
+            "b": pa.array([1, 2, 3, 11, 12, 10], pa.int64()),
+        }
+    )
+    out = pagerank(rd.from_arrow(pairs), iters=50).to_pandas()
+    got = dict(zip(out["node"], out["rank"]))
+
+    # dense numpy reference on the same undirected graph
+    nodes = [0, 1, 2, 3, 10, 11, 12]
+    idx = {v: i for i, v in enumerate(nodes)}
+    import itertools
+
+    edges = [(0, 1), (0, 2), (0, 3), (10, 11), (11, 12), (12, 10)]
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for a, b in edges:
+        A[idx[a], idx[b]] = A[idx[b], idx[a]] = 1.0
+    deg = A.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(50):
+        r = (1 - 0.85) / n + 0.85 * (A.T @ (r / deg))
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-6, (v, got[v], r[idx[v]])
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    # hub of the star outranks its leaves; triangle is symmetric
+    assert got[0] > got[1] == got[2] == got[3]
+    assert abs(got[10] - got[11]) < 1e-9
