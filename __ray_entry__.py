@@ -215,6 +215,21 @@ def _sample_k_per_lang(sf_dir: str, k: int = 20):
     )
 
 
+def _weighted_sample(sf_dir: str, k: int = 100):
+    """Exactly-k weighted sample of documents (probability ~ n_chars),
+    Efraimidis-Spirakis order keys over the salted mixed hash — exact
+    row-set parity with the SQL ORDER BY -ln(u)/w oracle."""
+    from vietnamese_ocr_ray.functions.sampling import weighted_sample_k
+
+    return weighted_sample_k(
+        _docs(sf_dir, ("doc_id", "lang", "n_chars")),
+        "doc_id",
+        "n_chars",
+        k,
+        salt="w:",
+    )
+
+
 def _hash_sample(sf_dir: str):
     """Shuffle-free deterministic 30% sample of documents by salted
     content-hash band (the reproducible web-scale split; exact row-set
@@ -846,6 +861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": _hash_sample,
         "sample_k": _sample_k,
         "sample_k_per_lang": _sample_k_per_lang,
+        "weighted_sample": _weighted_sample,
         "left_join_counts": lambda sf: relational.customer_order_counts(sf),
         # text analysis
         "lang_id": lambda sf: lang_id(_docs(sf)),
@@ -1426,6 +1442,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang FROM m
         QUALIFY row_number() OVER (PARTITION BY lang
                                    ORDER BY mixed, doc_id) <= 20
+        """,
+        "weighted_sample": """
+        WITH h AS (
+          SELECT doc_id, lang, n_chars,
+                 CAST(list_sum(list_transform(
+                     string_split('w:' || CAST(doc_id AS VARCHAR), ''),
+                     (c, i) -> unicode(c) * i)) % 1000000007 AS BIGINT) AS fp
+          FROM documents
+        ), m AS (
+          SELECT doc_id, lang, n_chars,
+                 ((fp + 123456789) * (fp + 123456789) % 1000000007)
+                   * (fp + 123456789) % 1000000007 AS mixed
+          FROM h
+        )
+        SELECT doc_id, lang, n_chars FROM m
+        ORDER BY -ln((CAST(mixed AS DOUBLE) + 1.0) / 1000000008.0)
+                   / GREATEST(CAST(n_chars AS DOUBLE), 1e-30),
+                 doc_id
+        LIMIT 100
         """,
         "left_join_counts": """
         SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders

@@ -186,3 +186,50 @@ def sample_k_per_group(
         .groupby("_bucket")
         .map_groups(final_topk, batch_format="pandas")
     )
+
+
+def weighted_sample_k(
+    ds: rd.Dataset,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    salt: str = "",
+) -> rd.Dataset:
+    """Exactly-k WEIGHTED sample without replacement (Efraimidis &
+    Spirakis 2006): inclusion probability proportional to the weight,
+    via the order key ``-ln(u) / w`` with the uniform u derived from
+    the salted mixed hash — deterministic, shuffle-free (per-batch
+    partial top-k, k x blocks global sort), rerun- and
+    partitioning-stable, and SQL-mirrored (same ln expression) so the
+    oracle reproduces the exact row set."""
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        keys = pc.binary_join_element_wise(
+            pa.scalar(salt),
+            pc.cast(batch.column(key_col), pa.string()),
+            pa.scalar(""),
+        )
+        mixed = _mixed_hash(_poly_hash(keys))
+        u = (mixed.astype(np.float64) + 1.0) / (FP_MOD + 1.0)  # (0, 1]
+        w = np.maximum(
+            batch.column(weight_col).to_numpy(zero_copy_only=False).astype(
+                np.float64
+            ),
+            1e-30,
+        )
+        ekey = -np.log(u) / w
+        t = batch.append_column("_e", pa.array(ekey, pa.float64()))
+        if t.num_rows > k:
+            order = pc.sort_indices(
+                t, sort_keys=[("_e", "ascending"), (key_col, "ascending")]
+            )
+            t = t.take(order[:k])
+        return t
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .sort(["_e", key_col])
+        .limit(k)
+        .map_batches(lambda b: b.drop_columns(["_e"]), batch_format="pyarrow")
+    )
