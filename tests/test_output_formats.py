@@ -228,3 +228,32 @@ def test_write_media_bucketed_deterministic(ray_session, tmp_path):
         if f.endswith(".parquet")
     )
     assert total == media.num_rows
+
+
+def test_compact_fragments_preserves_rows(ray_session, tmp_path):
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.sources.storage import compact_fragments
+
+    src = tmp_path / "frags"
+    src.mkdir()
+    for i in range(12):
+        pq.write_table(
+            pa.table({"x": pa.array(range(i * 10, i * 10 + 10), pa.int64())}),
+            str(src / f"part-{i:03d}.parquet"),
+        )
+    out = tmp_path / "compacted"
+    m = compact_fragments(str(src), str(out), target_mb=1)
+    assert m["n_inputs"] == 12 and m["rows"] == 120
+    got = pq.read_table(str(out)).column("x").to_pylist()
+    assert sorted(got) == list(range(120))
+    # fewer files than inputs (tiny fragments group under the target)
+    import os as _os
+
+    outs = [f for f in _os.listdir(out) if f.endswith(".parquet")]
+    assert len(outs) == m["n_outputs"] < 12
+    man = json.load(open(out / "_COMPACTION"))
+    assert sum(len(g["sources"]) for g in man["groups"]) == 12

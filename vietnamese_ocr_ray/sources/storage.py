@@ -168,3 +168,66 @@ def write_media_bucketed(
 def media_bucket_count(bucket_dir: str) -> int:
     with open(os.path.join(bucket_dir, "_BUCKETS")) as f:
         return int(f.read().strip())
+
+
+def compact_fragments(
+    in_dir: str,
+    out_dir: str,
+    target_mb: int = 64,
+) -> dict:
+    """Small-file compaction — the maintenance op every parquet/Lance
+    lake needs after many incremental (resumable-chunk) writes:
+    fragments are greedily grouped by on-disk size up to ``target_mb``
+    per output file (deterministic: sorted fragment order), and each
+    group is rewritten by its OWN Ray task (read only its members,
+    write one file, atomic rename). Row content and order within a
+    group are preserved; a ``_COMPACTION`` manifest records the
+    group -> source mapping for lineage."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    frags = list_fragments(in_dir)
+    if not frags:
+        raise ValueError(f"no parquet fragments under {in_dir}")
+    groups: list[list[str]] = [[]]
+    acc = 0
+    target = target_mb << 20
+    for f in frags:
+        sz = os.path.getsize(f)
+        if groups[-1] and acc + sz > target:
+            groups.append([])
+            acc = 0
+        groups[-1].append(f)
+        acc += sz
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote
+    def write_group(i: int, members: list[str]) -> dict:
+        tables = [pq.read_table(m) for m in members]
+        t = pa.concat_tables(tables)
+        tmp = os.path.join(out_dir, f"_tmp-compact-{i:05d}.parquet")
+        pq.write_table(t, tmp)
+        final = os.path.join(out_dir, f"compact-{i:05d}.parquet")
+        os.replace(tmp, final)
+        return {
+            "file": os.path.basename(final),
+            "rows": t.num_rows,
+            "sources": [fragment_id(m) for m in members],
+        }
+
+    results = ray.get(
+        [write_group.remote(i, g) for i, g in enumerate(groups)]
+    )
+    manifest = {
+        "n_inputs": len(frags),
+        "n_outputs": len(groups),
+        "rows": int(sum(r["rows"] for r in results)),
+        "groups": results,
+    }
+    with open(os.path.join(out_dir, "_COMPACTION"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
