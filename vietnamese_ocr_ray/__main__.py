@@ -74,6 +74,15 @@ def main(argv=None):
     mf.add_argument("--media", required=True)
     mf.add_argument("--out", required=True)
 
+    cp = sub.add_parser(
+        "compact",
+        help="merge small parquet fragments into target-size files "
+        "(post-resumable-write maintenance)",
+    )
+    cp.add_argument("--in-dir", required=True)
+    cp.add_argument("--out", required=True)
+    cp.add_argument("--target-mb", type=int, default=64)
+
     dm = sub.add_parser(
         "demo",
         help="interactive single-record path (the app.py analog, "
@@ -137,6 +146,14 @@ def main(argv=None):
             )
             media_features(ds).write_parquet(args.out)
             print(json.dumps({"out": args.out}))
+        elif args.cmd == "compact":
+            from vietnamese_ocr_ray.sources.storage import compact_fragments
+
+            print(
+                json.dumps(
+                    compact_fragments(args.in_dir, args.out, args.target_mb)
+                )
+            )
         elif args.cmd == "predict-txt":
             import ray.data as rd
 
