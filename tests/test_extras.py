@@ -232,3 +232,30 @@ def test_sample_exact_k_partitioning_stable(ray_session):
     # different salt -> different draw
     c = sample_exact_k(rd.from_arrow(t), "doc_id", 50, salt="t:").to_pandas()
     assert sorted(c["doc_id"]) != sorted(a["doc_id"])
+
+
+def test_weighted_sample_prefers_heavy_rows(ray_session):
+    """Across many salts, rows with 10x weight must be sampled far more
+    often than light rows (Efraimidis-Spirakis inclusion ~ weight)."""
+    import pyarrow as pa
+
+    from vietnamese_ocr_ray.functions.sampling import weighted_sample_k
+
+    n = 200
+    weights = np.where(np.arange(n) < 20, 100, 10)  # 20 heavy rows
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "w": pa.array(weights, pa.int64()),
+        }
+    )
+    heavy_hits = light_hits = 0
+    for s in range(8):
+        out = weighted_sample_k(
+            rd.from_arrow(t), "doc_id", "w", 40, salt=f"s{s}:"
+        ).to_pandas()
+        heavy_hits += (out["doc_id"] < 20).sum()
+        light_hits += (out["doc_id"] >= 20).sum()
+    # heavy rows are 10% of rows but ~10x weight: expect them to win
+    # far beyond their count share (exp. ~50% of picks vs 10% unweighted)
+    assert heavy_hits / (heavy_hits + light_hits) > 0.3
