@@ -841,6 +841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": lambda sf: relational.sessionize(sf),
         "event_stats": lambda sf: relational.event_type_stats(sf),
         "value_quantiles": lambda sf: relational.value_quantiles(sf),
+        "value_mad": lambda sf: relational.value_mad(sf),
         "max_len": lambda sf: relational.max_doc_len(sf),
         "parts_by_brand": lambda sf: relational.parts_by_brand(sf),
         "supplier_balance": lambda sf: relational.supplier_nation_balance(sf),
@@ -1519,6 +1520,16 @@ def oracle_sql() -> dict[str, str]:
                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1000.0
                  AS running_value
         FROM events
+        """,
+        "value_mad": """
+        WITH med AS (
+          SELECT event_type, quantile_cont(value, 0.5) AS m
+          FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               ROUND(quantile_cont(abs(e.value - med.m), 0.5), 6) AS mad
+        FROM events e JOIN med USING (event_type)
+        GROUP BY e.event_type
         """,
         "event_lag": """
         WITH w AS (

@@ -1198,3 +1198,68 @@ def running_value_sum_rangesort(sf_dir: str) -> rd.Dataset:
 
     out = [finish.remote(r, offsets[i]) for i, r in enumerate(refs)]
     return rd.from_arrow_refs(out)
+
+
+def value_mad(sf_dir: str, num_buckets: int = 8) -> rd.Dataset:
+    """Grouped robust dispersion: median absolute deviation of value
+    per event_type (median of |x - median(x)|, both medians exact
+    type-7 interpolation == SQL quantile_cont). One key-bucket shuffle;
+    each bucket computes every group's two medians with two sorted
+    passes and the boundary-lerp trick from value_quantiles — no
+    per-group Python."""
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_bucket",
+            pa.array(
+                key_bucket(b.column("event_type"), num_buckets).astype(np.int32)
+            ),
+        )
+
+    def _group_median(keys: np.ndarray, v: np.ndarray) -> tuple:
+        """(group keys, medians) for a (key, value) pair sorted by
+        (key, value) — vectorized over all groups at once."""
+        starts = np.nonzero(
+            np.concatenate([[True], keys[1:] != keys[:-1]])
+        )[0]
+        cnt = np.diff(np.concatenate([starts, [len(v)]]))
+        pos = 0.5 * (cnt - 1)
+        lo = np.floor(pos).astype(np.int64)
+        t = pos - lo
+        hi = np.minimum(lo + 1, cnt - 1)
+        a, b = v[starts + lo], v[starts + hi]
+        diff = b - a
+        r = a + diff * t
+        m = t >= 0.5  # numpy _lerp's symmetric branch — bit-exact
+        r[m] = b[m] - diff[m] * (1.0 - t[m])
+        return keys[starts], r
+
+    def mad(g: pd.DataFrame) -> pa.Table:
+        s = g.sort_values(["event_type", "value"], kind="stable")
+        keys = s["event_type"].to_numpy()
+        v = s["value"].to_numpy()
+        gk, med = _group_median(keys, v)
+        dev = np.abs(v - med[np.searchsorted(gk, keys)])
+        o = np.lexsort((dev, keys))
+        gk2, mad_v = _group_median(keys[o], dev[o])
+        return pa.table(
+            {
+                "event_type": pa.array(gk2, pa.string()),
+                "mad": pa.array(
+                    [round(float(x), 6) for x in mad_v], pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: mad(g.drop(columns=["_bucket"])), batch_format="pandas"
+        )
+    )
