@@ -842,6 +842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_stats": lambda sf: relational.event_type_stats(sf),
         "value_quantiles": lambda sf: relational.value_quantiles(sf),
         "value_mad": lambda sf: relational.value_mad(sf),
+        "value_hour_corr": lambda sf: relational.value_hour_corr(sf),
         "max_len": lambda sf: relational.max_doc_len(sf),
         "parts_by_brand": lambda sf: relational.parts_by_brand(sf),
         "supplier_balance": lambda sf: relational.supplier_nation_balance(sf),
@@ -1530,6 +1531,28 @@ def oracle_sql() -> dict[str, str]:
                ROUND(quantile_cont(abs(e.value - med.m), 0.5), 6) AS mad
         FROM events e JOIN med USING (event_type)
         GROUP BY e.event_type
+        """,
+        "value_hour_corr": """
+        WITH c AS (
+          SELECT event_type,
+                 CAST(ROUND(value * 1000) AS BIGINT) AS x,
+                 (CAST(epoch_us(ts) AS BIGINT) // 1000000 // 3600) % 24 AS y
+          FROM events
+        ), s AS (
+          SELECT event_type,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(x) AS DOUBLE) AS sx,
+                 CAST(sum(y) AS DOUBLE) AS sy,
+                 CAST(sum(x * x) AS DOUBLE) AS sxx,
+                 CAST(sum(y * y) AS DOUBLE) AS syy,
+                 CAST(sum(x * y) AS DOUBLE) AS sxy
+          FROM c GROUP BY event_type
+        )
+        SELECT event_type,
+               ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                 6) AS corr_value_hour
+        FROM s
         """,
         "event_lag": """
         WITH w AS (

@@ -1263,3 +1263,80 @@ def value_mad(sf_dir: str, num_buckets: int = 8) -> rd.Dataset:
             lambda g: mad(g.drop(columns=["_bucket"])), batch_format="pandas"
         )
     )
+
+
+def value_hour_corr(sf_dir: str) -> rd.Dataset:
+    """Pearson correlation of event value vs hour-of-day, per
+    event_type — computed from EXACT integer sums (value scaled 1e3,
+    hour 0..23; all five sums fit int64) so Ray and the SQL oracle
+    evaluate the identical closed-form expression on identical
+    integers: r = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2)(n*Syy - Sy^2)).
+    The partial/combiner shape: one tiny row per (type, batch)."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _cents(batch.column("value"), 1000).to_numpy(zero_copy_only=False)
+        epoch = (
+            pc.divide(pc.cast(batch.column("ts"), pa.int64()), pa.scalar(1_000_000))
+            .to_numpy(zero_copy_only=False)
+        )
+        h = (epoch // 3600) % 24
+        df = pd.DataFrame(
+            {
+                "event_type": batch.column("event_type").to_numpy(
+                    zero_copy_only=False
+                ),
+                "sx": x,
+                "sy": h,
+                "sxx": x * x,
+                "syy": h * h,
+                "sxy": x * h,
+            }
+        )
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("sx", "size"),
+            sx=("sx", "sum"),
+            sy=("sy", "sum"),
+            sxx=("sxx", "sum"),
+            syy=("syy", "sum"),
+            sxy=("sxy", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+            Sum("sxy", alias_name="sxy"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = np.asarray(b.column("n"), dtype=np.float64)
+        sx = np.asarray(b.column("sx"), dtype=np.float64)
+        sy = np.asarray(b.column("sy"), dtype=np.float64)
+        sxx = np.asarray(b.column("sxx"), dtype=np.float64)
+        syy = np.asarray(b.column("syy"), dtype=np.float64)
+        sxy = np.asarray(b.column("sxy"), dtype=np.float64)
+        r = (n * sxy - sx * sy) / np.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "corr_value_hour": pa.array(
+                    [round(float(x), 6) for x in r], pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
