@@ -812,6 +812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         quality_scores,
         repetition_ratio,
         subword_token_count,
+        token_entropy,
         tfidf_top_terms,
         tfidf_top_terms_join,
         token_count,
@@ -871,6 +872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "subword_tokens": lambda sf: subword_token_count(_docs(sf)),
         "quality_scores": lambda sf: quality_scores(_docs(sf)),
         "repetition_ratio": lambda sf: repetition_ratio(_docs(sf)),
+        "token_entropy": lambda sf: token_entropy(_docs(sf)),
         "fingerprint": lambda sf: fingerprint(_docs(sf)),
         "cer": _cer,
         "extract_cer": _extract_cer,
@@ -1303,6 +1305,18 @@ def oracle_sql() -> dict[str, str]:
         WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         SELECT tok, count(*) AS n_occurrences FROM t
         GROUP BY tok ORDER BY n_occurrences DESC, tok LIMIT 10
+        """,
+        "token_entropy": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        e AS (SELECT doc_id, unnest(l) AS tok, len(l) AS n FROM t),
+        c AS (
+          SELECT doc_id, any_value(n) AS n, CAST(count(*) AS DOUBLE) AS cnt
+          FROM e GROUP BY doc_id, tok
+        )
+        SELECT doc_id,
+               ROUND(ln(CAST(any_value(n) AS DOUBLE))
+                 - sum(cnt * ln(cnt)) / any_value(n), 6) AS token_entropy
+        FROM c GROUP BY doc_id
         """,
         "repetition_ratio": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

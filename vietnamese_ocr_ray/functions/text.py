@@ -549,3 +549,43 @@ def repetition_ratio_batch(batch: pa.Table) -> pa.Table:
 
 def repetition_ratio(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(repetition_ratio_batch, batch_format="pyarrow")
+
+
+def token_entropy_batch(batch: pa.Table) -> pa.Table:
+    """Shannon entropy of each doc's token distribution (nats) — the
+    repetition/diversity signal complementary to repetition_ratio.
+    Vectorized: per-doc token counts via one lexsort over 64-bit token
+    hashes, then entropy = ln(n) - (1/n) * sum(c * ln(c)) per doc.
+    Rounded to 6 decimals on BOTH sides (numpy log vs SQL ln differ in
+    the last ulp)."""
+    toks_list = pc.split_pattern(batch.column("text"), " ")
+    flat = pc.list_flatten(toks_list)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    ntok = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+    nb = batch.num_rows
+    h = content_hash64(flat)
+    rows = np.repeat(np.arange(nb, dtype=np.int64), ntok)
+    order = np.lexsort((h, rows))
+    rows_s, h_s = rows[order], h[order]
+    change = np.ones(rows_s.shape[0], dtype=bool)
+    change[1:] = (rows_s[1:] != rows_s[:-1]) | (h_s[1:] != h_s[:-1])
+    starts = np.nonzero(change)[0]
+    counts = np.diff(np.append(starts, rows_s.shape[0])).astype(np.float64)
+    # sum over distinct tokens of c*ln(c), accumulated per doc
+    contrib = counts * np.log(counts)
+    ent = np.zeros(nb, dtype=np.float64)
+    np.add.at(ent, rows_s[starts], contrib)
+    n = ntok.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ent = np.where(n > 0, np.log(np.maximum(n, 1)) - ent / np.maximum(n, 1), 0.0)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "token_entropy": pa.array(np.round(ent, 6), pa.float64()),
+        }
+    )
+
+
+def token_entropy(ds: rd.Dataset) -> rd.Dataset:
+    return ds.map_batches(token_entropy_batch, batch_format="pyarrow")
