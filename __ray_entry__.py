@@ -817,7 +817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tfidf_top_terms_join,
         token_count,
     )
-    from vietnamese_ocr_ray.pipelines import doctext, relational
+    from vietnamese_ocr_ray.pipelines import analytics, doctext, relational
 
     return {
         # flagship extraction (E2E OCR semantics, SQL-mirrored corpus)
@@ -866,6 +866,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_k_per_lang": _sample_k_per_lang,
         "weighted_sample": _weighted_sample,
         "left_join_counts": lambda sf: relational.customer_order_counts(sf),
+        # multi-way join trees and advanced aggregates
+        "shipping_priority": lambda sf: analytics.shipping_priority(sf),
+        "local_supplier_volume": lambda sf: analytics.local_supplier_volume(sf),
+        "json_extract_stats": lambda sf: analytics.json_extract_stats(sf),
+        "value_skew": lambda sf: analytics.value_skewness(sf),
+        "rollup_lang_source": lambda sf: analytics.rollup_lang_source(sf),
+        "cohort_intersect": lambda sf: analytics.cohort_intersect(sf),
+        "mode_token_per_lang": lambda sf: analytics.mode_token_per_lang(sf),
+        "argmax_user_event": lambda sf: analytics.argmax_user_event(sf),
+        "value_histogram": lambda sf: analytics.value_histogram(sf),
         # text analysis
         "lang_id": lambda sf: lang_id(_docs(sf)),
         "token_count": lambda sf: token_count(_docs(sf)),
@@ -1482,6 +1492,104 @@ def oracle_sql() -> dict[str, str]:
         SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders
         FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
         GROUP BY c.c_custkey
+        """,
+        "shipping_priority": """
+        SELECT l.l_orderkey AS o_orderkey,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                    AS DOUBLE) / 10000.0 AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-07-01'
+          AND l.l_shipdate > TIMESTAMP '1998-07-01'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+        """,
+        "local_supplier_volume": """
+        SELECT n.n_name,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                    AS DOUBLE) / 10000.0 AS revenue
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE s.s_nationkey = c.c_nationkey
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC
+        """,
+        "json_extract_stats": """
+        WITH k AS (
+          SELECT event_type,
+                 CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k
+          FROM events)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               CAST(sum(k) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_k
+        FROM k GROUP BY event_type
+        """,
+        "value_skew": """
+        WITH c AS (
+          SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+          FROM events),
+        s AS (
+          SELECT event_type,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(v) AS DOUBLE) AS s1,
+                 CAST(sum(v * v) AS DOUBLE) AS s2,
+                 CAST(sum(v * v * v) AS DOUBLE) AS s3
+          FROM c GROUP BY event_type)
+        SELECT event_type, CAST(n AS BIGINT) AS n_events,
+               ROUND(
+                 (s3 / n - 3.0 * (s1 / n) * (s2 / n)
+                   + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / POW(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skewness
+        FROM s
+        """,
+        "rollup_lang_source": """
+        SELECT lang, source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        GROUP BY ROLLUP (lang, source)
+        """,
+        "cohort_intersect": """
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'error'
+        ORDER BY user_id
+        """,
+        "mode_token_per_lang": """
+        WITH t AS (
+          SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        c AS (
+          SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+          FROM t GROUP BY lang, tok)
+        SELECT lang, tok AS top_token, n AS n_occurrences FROM c
+        QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) = 1
+        """,
+        "argmax_user_event": """
+        SELECT user_id, event_type AS best_type, value AS best_value,
+               ts AS best_ts
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id
+                                   ORDER BY value DESC, ts, event_id) = 1
+        """,
+        "value_histogram": """
+        WITH b AS (
+          SELECT LEAST(CAST(round(value * 100) AS BIGINT) // 2500, 13) AS bin
+          FROM events)
+        SELECT bin, CAST(bin * 25 AS DOUBLE) AS lo_value,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM b GROUP BY bin
         """,
         "window_debounce": """
         WITH w AS (

@@ -1,0 +1,812 @@
+"""Multi-way join and advanced-aggregate demos over the driver tables.
+
+Complements pipelines/relational.py with the shapes a warehouse-style
+workload adds on top of single-join queries: 3-5 table join trees
+(TPC-H Q3/Q5 analogs), JSON field extraction, higher statistical
+moments, ROLLUP grouping sets, cohort set-intersection, grouped
+argmax/mode, and fixed-bin histograms.
+
+Scale discipline (same rules as relational.py):
+- every big-big join is ONE key-bucket cogroup (union + groupby on a
+  hash bucket, vectorized per-bucket merge) — no Dataset.join actors,
+  no broadcast of a large side;
+- genuinely small sides (supplier key->nation lut, the 25-row nation
+  table) ship once via ray.put and are documented as such;
+- monetary/metric sums accumulate as exact integers so Ray and the
+  DuckDB oracle produce bit-identical doubles after one final division
+  (third moments split into hi/lo int64 words so the int64 Sum cannot
+  overflow at any corpus size — recombined exactly as Python ints in
+  the finish);
+- aggregates pre-reduce per batch before any shuffle.
+
+Reference anchor: these generalize the reference's dict-join + running
+mean utilities (src/utils/vocab.py:22, src/utils/statistic.py:8-14) to
+multi-table trees — WHAT is computed stays relational, HOW is Ray Data
+cogroups and partial/combiner aggregation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from vietnamese_ocr_ray.functions.agg import hash_aggregate
+from vietnamese_ocr_ray.functions.joins import key_bucket
+from vietnamese_ocr_ray.pipelines.relational import _cents
+from vietnamese_ocr_ray.sources.storage import read_parquet_clean
+
+
+def _chunk(col) -> pa.Array:
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: segment customers -> open orders -> line revenue, top-k
+# ---------------------------------------------------------------------------
+
+
+def shipping_priority(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-07-01",
+    k: int = 10,
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Top-k open orders by outstanding revenue for one market segment
+    (TPC-H Q3 shape): customer ⋈ orders ⋈ lineitem with date filters on
+    both fact tables.
+
+    Join tree as two bucket cogroups:
+      1. orders(filtered) semi-join customer(segment) on custkey —
+         customer side is only (custkey) ints after the segment filter,
+         but still streams through the shuffle (no broadcast: segments
+         are ~1/5 of all customers, huge at scale);
+      2. per-order revenue (hash_aggregate over lineitem partials)
+         inner-join the surviving orders on orderkey.
+    Final sort is over the per-order aggregate (orders-sized, not
+    lineitem-sized) and k rows leave the cluster.
+    """
+    cut = np.datetime64(cutoff, "us")
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        filter=pc.field("c_mktsegment") == segment,
+    )
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pc.field("o_orderdate") < cut,
+    )
+
+    def tag_cust(b: pa.Table) -> pa.Table:
+        key = pc.cast(_chunk(b.column("c_custkey")), pa.int64())
+        n = b.num_rows
+        return pa.table(
+            {
+                "key": key,
+                "o_orderkey": pa.nulls(n, pa.int64()),
+                "o_orderdate": pa.nulls(n, pa.timestamp("us")),
+                "o_orderpriority": pa.nulls(n, pa.string()),
+                "_side": pa.array(np.zeros(n, np.int8)),
+                "_bucket": pa.array(key_bucket(key, num_buckets).astype(np.int32)),
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        key = pc.cast(_chunk(b.column("o_custkey")), pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "o_orderkey": pc.cast(_chunk(b.column("o_orderkey")), pa.int64()),
+                "o_orderdate": _chunk(b.column("o_orderdate")),
+                "o_orderpriority": _chunk(b.column("o_orderpriority")),
+                "_side": pa.array(np.ones(b.num_rows, np.int8)),
+                "_bucket": pa.array(key_bucket(key, num_buckets).astype(np.int32)),
+            }
+        )
+
+    def semi_bucket(g: pd.DataFrame) -> pa.Table:
+        keep = g.loc[g["_side"] == 0, "key"].to_numpy(np.int64)
+        rows = g[g["_side"] == 1]
+        mask = np.isin(rows["key"].to_numpy(np.int64), keep)
+        rows = rows[mask]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(rows["o_orderkey"].to_numpy(np.int64)),
+                "o_orderdate": pa.Array.from_pandas(
+                    rows["o_orderdate"], type=pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.Array.from_pandas(rows["o_orderpriority"]),
+            }
+        )
+
+    seg_orders = (
+        cust.map_batches(tag_cust, batch_format="pyarrow")
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: semi_bucket(g.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        )
+    )
+
+    # per-order outstanding revenue in exact 1e-4 units
+    line = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=pc.field("l_shipdate") > cut,
+    )
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        price_c = _cents(b.column("l_extendedprice"), 100)
+        disc = _cents(b.column("l_discount"), 100)
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        t = pa.table(
+            {"l_orderkey": pc.cast(_chunk(b.column("l_orderkey")), pa.int64()), "rev": rev}
+        )
+        df = t.to_pandas().groupby("l_orderkey", as_index=False).agg(rev=("rev", "sum"))
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    order_rev = hash_aggregate(
+        line.map_batches(rev_partial, batch_format="pyarrow"),
+        ["l_orderkey"],
+        {"rev": ("rev", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def tag_rev(b: pa.Table) -> pa.Table:
+        key = pc.cast(_chunk(b.column("l_orderkey")), pa.int64())
+        n = b.num_rows
+        return pa.table(
+            {
+                "key": key,
+                "rev": pc.cast(_chunk(b.column("rev")), pa.int64()),
+                "o_orderdate": pa.nulls(n, pa.timestamp("us")),
+                "o_orderpriority": pa.nulls(n, pa.string()),
+                "_side": pa.array(np.zeros(n, np.int8)),
+                "_bucket": pa.array(key_bucket(key, num_buckets).astype(np.int32)),
+            }
+        )
+
+    def tag_seg(b: pa.Table) -> pa.Table:
+        key = pc.cast(_chunk(b.column("o_orderkey")), pa.int64())
+        n = b.num_rows
+        return pa.table(
+            {
+                "key": key,
+                "rev": pa.nulls(n, pa.int64()),
+                "o_orderdate": _chunk(b.column("o_orderdate")),
+                "o_orderpriority": _chunk(b.column("o_orderpriority")),
+                "_side": pa.array(np.ones(n, np.int8)),
+                "_bucket": pa.array(key_bucket(key, num_buckets).astype(np.int32)),
+            }
+        )
+
+    def inner_bucket(g: pd.DataFrame) -> pa.Table:
+        left = g[g["_side"] == 0][["key", "rev"]]
+        right = g[g["_side"] == 1][["key", "o_orderdate", "o_orderpriority"]]
+        m = left.merge(right, on="key", how="inner")
+        return pa.table(
+            {
+                "o_orderkey": pa.array(m["key"].to_numpy(np.int64)),
+                "revenue": pa.array(
+                    m["rev"].to_numpy(np.int64).astype(np.float64) / 1e4
+                ),
+                "o_orderdate": pa.Array.from_pandas(
+                    m["o_orderdate"], type=pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.Array.from_pandas(m["o_orderpriority"]),
+            }
+        )
+
+    joined = (
+        order_rev.map_batches(tag_rev, batch_format="pyarrow")
+        .union(seg_orders.map_batches(tag_seg, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: inner_bucket(g.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        )
+    )
+    # deterministic top-k: revenue desc, orderkey asc tie-break
+    return joined.sort(["revenue", "o_orderkey"], descending=[True, False]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: revenue per nation where customer and supplier co-located
+# ---------------------------------------------------------------------------
+
+
+def local_supplier_volume(
+    sf_dir: str,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Revenue per nation from orders in [date_lo, date_hi) where the
+    customer and the line's supplier share a nation (TPC-H Q5 shape,
+    all nations): customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation.
+
+    Two bucket cogroups move the big tables once each:
+      1. orders(date range) ⋈ customer on custkey -> orders with
+         c_nationkey;
+      2. lineitem pre-aggregated to (orderkey, s_nationkey, rev) —
+         supplier key->nationkey is a genuinely small broadcast lut
+         (2 int columns, suppkey-cardinality) — ⋈ those orders on
+         orderkey, keeping only co-located rows.
+    Partial sums per nation leave each bucket; the final groupby is
+    25 rows. Nation names attach from the 25-row broadcast table.
+    """
+    lo, hi = np.datetime64(date_lo, "us"), np.datetime64(date_hi, "us")
+
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    supp_handle = ray.put(
+        dict(
+            zip(
+                supp["s_suppkey"].to_numpy(np.int64),
+                supp["s_nationkey"].to_numpy(np.int64),
+            )
+        )
+    )
+    nation_names = dict(
+        zip(nation["n_nationkey"].to_numpy(np.int64), nation["n_name"])
+    )
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= lo) & (pc.field("o_orderdate") < hi),
+    )
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+
+    def tag_cust(b: pa.Table) -> pa.Table:
+        key = pc.cast(_chunk(b.column("c_custkey")), pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "payload": pc.cast(_chunk(b.column("c_nationkey")), pa.int64()),
+                "_side": pa.array(np.zeros(b.num_rows, np.int8)),
+                "_bucket": pa.array(key_bucket(key, num_buckets).astype(np.int32)),
+            }
+        )
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        key = pc.cast(_chunk(b.column("o_custkey")), pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "payload": pc.cast(_chunk(b.column("o_orderkey")), pa.int64()),
+                "_side": pa.array(np.ones(b.num_rows, np.int8)),
+                "_bucket": pa.array(key_bucket(key, num_buckets).astype(np.int32)),
+            }
+        )
+
+    def attach_nation(g: pd.DataFrame) -> pa.Table:
+        cust_rows = g[g["_side"] == 0]
+        lut = dict(
+            zip(
+                cust_rows["key"].to_numpy(np.int64),
+                cust_rows["payload"].to_numpy(np.int64),
+            )
+        )
+        rows = g[g["_side"] == 1]
+        keys = rows["key"].to_numpy(np.int64)
+        nat = np.array([lut.get(k, -1) for k in keys], np.int64)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(rows["payload"].to_numpy(np.int64)),
+                "c_nationkey": pa.array(nat),
+            }
+        )
+
+    orders_nat = (
+        cust.map_batches(tag_cust, batch_format="pyarrow")
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: attach_nation(g.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        )
+    )
+
+    line = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    class RevBySuppNation:
+        """Stateful partial: supplier lut fetched once per actor."""
+
+        def __init__(self):
+            self.lut = ray.get(supp_handle)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            price_c = _cents(b.column("l_extendedprice"), 100)
+            disc = _cents(b.column("l_discount"), 100)
+            rev = pc.multiply(
+                price_c, pc.subtract(pa.scalar(100, pa.int64()), disc)
+            )
+            supp_keys = _chunk(b.column("l_suppkey")).to_numpy(zero_copy_only=False)
+            lut = self.lut
+            nat = np.array([lut[k] for k in supp_keys], np.int64)
+            t = pa.table(
+                {
+                    "l_orderkey": pc.cast(_chunk(b.column("l_orderkey")), pa.int64()),
+                    "s_nationkey": pa.array(nat),
+                    "rev": rev,
+                }
+            )
+            df = (
+                t.to_pandas()
+                .groupby(["l_orderkey", "s_nationkey"], as_index=False)
+                .agg(rev=("rev", "sum"))
+            )
+            return pa.Table.from_pandas(
+                df, preserve_index=False
+            ).replace_schema_metadata(None)
+
+    line_rev = hash_aggregate(
+        line.map_batches(RevBySuppNation, batch_format="pyarrow", concurrency=(1, 8)),
+        ["l_orderkey", "s_nationkey"],
+        {"rev": ("rev", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def tag_line(b: pa.Table) -> pa.Table:
+        key = pc.cast(_chunk(b.column("l_orderkey")), pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "nat": pc.cast(_chunk(b.column("s_nationkey")), pa.int64()),
+                "rev": pc.cast(_chunk(b.column("rev")), pa.int64()),
+                "_side": pa.array(np.zeros(b.num_rows, np.int8)),
+                "_bucket": pa.array(key_bucket(key, num_buckets).astype(np.int32)),
+            }
+        )
+
+    def tag_onat(b: pa.Table) -> pa.Table:
+        key = pc.cast(_chunk(b.column("o_orderkey")), pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "nat": pc.cast(_chunk(b.column("c_nationkey")), pa.int64()),
+                "rev": pa.nulls(b.num_rows, pa.int64()),
+                "_side": pa.array(np.ones(b.num_rows, np.int8)),
+                "_bucket": pa.array(key_bucket(key, num_buckets).astype(np.int32)),
+            }
+        )
+
+    def colocated_partial(g: pd.DataFrame) -> pa.Table:
+        left = g[g["_side"] == 0][["key", "nat", "rev"]]
+        right = g[g["_side"] == 1][["key", "nat"]].rename(columns={"nat": "cnat"})
+        m = left.merge(right, on="key", how="inner")
+        m = m[m["nat"].to_numpy(np.int64) == m["cnat"].to_numpy(np.int64)]
+        out = m.groupby("nat", as_index=False).agg(rev=("rev", "sum"))
+        return pa.table(
+            {
+                "nationkey": pa.array(out["nat"].to_numpy(np.int64)),
+                "rev": pa.array(out["rev"].to_numpy(np.int64)),
+            }
+        )
+
+    per_nation = (
+        line_rev.map_batches(tag_line, batch_format="pyarrow")
+        .union(orders_nat.map_batches(tag_onat, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: colocated_partial(g.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        )
+        .groupby("nationkey")
+        .aggregate(Sum("rev", alias_name="rev"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        keys = _chunk(b.column("nationkey")).to_numpy(zero_copy_only=False)
+        names = [nation_names[k] for k in keys]
+        return pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "revenue": pc.divide(
+                    pc.cast(b.column("rev"), pa.float64()), pa.scalar(10000.0)
+                ),
+            }
+        )
+
+    return per_nation.map_batches(finish, batch_format="pyarrow").sort(
+        "revenue", descending=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON field extraction (vectorized regex over a string column)
+# ---------------------------------------------------------------------------
+
+
+def json_extract_stats(sf_dir: str) -> rd.Dataset:
+    """Extract the integer field k from the events' JSON props column
+    with one vectorized regex (pc.extract_regex — no per-row json.loads)
+    and aggregate per event_type: count, exact integer sum, mean."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(_chunk(b.column("props")), r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        t = pa.table({"event_type": b.column("event_type"), "k": k})
+        df = t.to_pandas().groupby("event_type", as_index=False).agg(
+            s=("k", "sum"), n=("k", "size")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "event_type": b.column("event_type"),
+                    "n_events": pc.cast(b.column("n"), pa.int64()),
+                    "sum_k": pc.cast(b.column("s"), pa.int64()),
+                    "avg_k": pc.divide(
+                        pc.cast(b.column("s"), pa.float64()),
+                        pc.cast(b.column("n"), pa.float64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped skewness from exact integer moment sums (hi/lo split vs overflow)
+# ---------------------------------------------------------------------------
+
+
+def value_skewness(sf_dir: str) -> rd.Dataset:
+    """Population skewness of value per event_type from exact integer
+    moment sums (cents). sum(v^3) would overflow int64 at large corpus
+    sizes (v^3 ~ 3.5e13 per row), so each batch splits its cube sum
+    into hi/lo 2^32 words; the two int64 Sums stay exact to ~1e15 rows
+    per type and the finish recombines hi*2^32+lo as exact Python ints.
+    DuckDB's BIGINT sum promotes to HUGEINT, so both sides compute the
+    identical double formula from identical exact sums; ROUND(.,6) on
+    both sides absorbs the last-ulp pow() difference."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = _cents(b.column("value"), 100).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "event_type": _chunk(b.column("event_type")).to_pandas(),
+                "s1": v,
+                "s2": v * v,
+                "c3": v * v * v,
+            }
+        )
+        g = df.groupby("event_type", as_index=False).agg(
+            s1=("s1", "sum"), s2=("s2", "sum"), c3=("c3", "sum"), n=("s1", "size")
+        )
+        c3 = g["c3"].to_numpy(np.int64)
+        g["s3_hi"] = c3 >> 32
+        g["s3_lo"] = c3 & np.int64(0xFFFFFFFF)
+        g = g.drop(columns=["c3"])
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("s1", alias_name="s1"),
+            Sum("s2", alias_name="s2"),
+            Sum("s3_hi", alias_name="s3_hi"),
+            Sum("s3_lo", alias_name="s3_lo"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        out_skew = []
+        for s1, s2, hi, lo, n in zip(
+            b.column("s1").to_pylist(),
+            b.column("s2").to_pylist(),
+            b.column("s3_hi").to_pylist(),
+            b.column("s3_lo").to_pylist(),
+            b.column("n").to_pylist(),
+        ):
+            s3 = (int(hi) << 32) + int(lo)  # exact Python int
+            # identical formula text to the SQL oracle (cents scale)
+            mean = s1 / n
+            m2 = s2 / n - mean * mean
+            m3 = s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean
+            out_skew.append(round(m3 / m2**1.5, 6))
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "n_events": pc.cast(b.column("n"), pa.int64()),
+                "skewness": pa.array(out_skew, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP grouping sets
+# ---------------------------------------------------------------------------
+
+_ROLLUP_SENTINEL = "\x00"
+
+
+def rollup_lang_source(sf_dir: str) -> rd.Dataset:
+    """GROUP BY ROLLUP(lang, source) over documents: doc counts and
+    exact char sums at (lang, source), (lang) and grand-total levels.
+    One map_batches emits all three levels pre-aggregated per batch
+    (3x the per-batch key rows, not 3 passes), one small groupby
+    merges. NULL group keys travel as a sentinel through the shuffle
+    (Ray's sort-based groupby and null keys don't mix) and convert
+    back to real NULLs in the finish."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": _chunk(b.column("lang")).to_pandas(),
+                "source": _chunk(b.column("source")).to_pandas(),
+                "chars": _chunk(b.column("n_chars")).to_numpy(zero_copy_only=False),
+            }
+        )
+        lvl2 = df.groupby(["lang", "source"], as_index=False).agg(
+            n=("chars", "size"), chars=("chars", "sum")
+        )
+        lvl1 = df.groupby(["lang"], as_index=False).agg(
+            n=("chars", "size"), chars=("chars", "sum")
+        )
+        lvl1["source"] = _ROLLUP_SENTINEL
+        lvl0 = pd.DataFrame(
+            {
+                "lang": [_ROLLUP_SENTINEL],
+                "source": [_ROLLUP_SENTINEL],
+                "n": [len(df)],
+                "chars": [df["chars"].sum()],
+            }
+        )
+        out = pd.concat([lvl2, lvl1, lvl0], ignore_index=True)[
+            ["lang", "source", "n", "chars"]
+        ]
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n"), Sum("chars", alias_name="chars"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        lang = _chunk(b.column("lang"))
+        source = _chunk(b.column("source"))
+        sent = pa.scalar(_ROLLUP_SENTINEL)
+        return pa.table(
+            {
+                "lang": pc.if_else(pc.equal(lang, sent), pa.scalar(None, pa.string()), lang),
+                "source": pc.if_else(
+                    pc.equal(source, sent), pa.scalar(None, pa.string()), source
+                ),
+                "n_docs": pc.cast(b.column("n"), pa.int64()),
+                "sum_chars": pc.cast(b.column("chars"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Cohort set-intersection (INTERSECT without a shuffle join)
+# ---------------------------------------------------------------------------
+
+
+def cohort_intersect(
+    sf_dir: str, type_a: str = "purchase", type_b: str = "error"
+) -> rd.Dataset:
+    """Users with at least one event of BOTH types (SQL INTERSECT of
+    the two cohorts). One pass: per-batch distinct (user, flag_a,
+    flag_b), bucketed max-merge, filter both flags — user rows shuffle
+    once as 3 ints, never the events."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type"],
+        filter=pc.field("event_type").isin([type_a, type_b]),
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": _chunk(b.column("user_id")).to_numpy(zero_copy_only=False),
+                "a": pc.equal(_chunk(b.column("event_type")), pa.scalar(type_a))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+                "b": pc.equal(_chunk(b.column("event_type")), pa.scalar(type_b))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            }
+        )
+        g = df.groupby("user_id", as_index=False).agg(a=("a", "max"), b=("b", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    both = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"],
+        {"a": ("a", "max"), "b": ("b", "max")},
+    )
+
+    def keep_both(b: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.equal(b.column("a"), pa.scalar(1, pa.int64())),
+            pc.equal(b.column("b"), pa.scalar(1, pa.int64())),
+        )
+        return pa.table(
+            {"user_id": pc.cast(_chunk(b.filter(mask).column("user_id")), pa.int64())}
+        )
+
+    return both.map_batches(keep_both, batch_format="pyarrow").sort("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Grouped mode (most frequent token per language)
+# ---------------------------------------------------------------------------
+
+
+def mode_token_per_lang(sf_dir: str) -> rd.Dataset:
+    """Most frequent whitespace token per language, ties broken by the
+    lexicographically smallest token. Token counts reduce via the
+    bucketed hash aggregate (vocabulary-sized shuffle, not corpus-
+    sized); a per-batch top-1 partial then shrinks the vocabulary table
+    to one candidate row per (batch, lang) before the tiny final pick."""
+    ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def explode_counts(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(_chunk(b.column("text")), " ")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        nt = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lang = np.repeat(
+            _chunk(b.column("lang")).to_numpy(zero_copy_only=False), nt
+        )
+        df = pd.DataFrame({"lang": lang, "tok": flat.to_pandas()})
+        g = df.groupby(["lang", "tok"], as_index=False, sort=False).size()
+        g = g.rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    counts = hash_aggregate(
+        ds.map_batches(explode_counts, batch_format="pyarrow"),
+        ["lang", "tok"],
+        {"n": ("n", "sum")},
+    )
+
+    def top1_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["lang", "n", "tok"], ascending=[True, False, True])
+        return df.drop_duplicates("lang", keep="first")
+
+    def top1_final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "tok"], ascending=[False, True])
+        return g.head(1)[["lang", "tok", "n"]].rename(
+            columns={"tok": "top_token", "n": "n_occurrences"}
+        )
+
+    return (
+        counts.map_batches(top1_partial, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(top1_final, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped argmax (event_type of each user's highest-value event)
+# ---------------------------------------------------------------------------
+
+
+def argmax_user_event(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """Per user: the event_type, value and timestamp of their maximum-
+    value event (ties: earliest ts, then smallest event_id — a total
+    order, so the answer is unique). Per-batch argmax partial first
+    (one candidate row per (batch, user)), then one key-bucket shuffle
+    and a vectorized per-bucket sort+first — per-user Python never
+    runs."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "value", "ts", "event_id"],
+    )
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["user_id", "value", "ts", "event_id"],
+            ascending=[True, False, True, True],
+        )
+        return df.drop_duplicates("user_id", keep="first")
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        out = best(df)
+        out["_bucket"] = key_bucket(
+            pa.Array.from_pandas(out["user_id"]), num_buckets
+        ).astype(np.int32)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        out = best(g)[["user_id", "event_type", "value", "ts"]]
+        out = out.rename(
+            columns={"event_type": "best_type", "value": "best_value", "ts": "best_ts"}
+        )
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: merge(g.drop(columns=["_bucket"])), batch_format="pandas"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram
+# ---------------------------------------------------------------------------
+
+
+def value_histogram(
+    sf_dir: str, bin_width_cents: int = 2500, num_bins: int = 14
+) -> rd.Dataset:
+    """Fixed-width histogram of event value (cents/2500 = 25-unit bins,
+    top bin open). Per-batch bincount partials -> one tiny Sum groupby;
+    bin edges in exact integer cents so Ray and SQL bucket identically."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = _cents(b.column("value"), 100).to_numpy(zero_copy_only=False)
+        bins = np.minimum(cents // bin_width_cents, num_bins - 1)
+        counts = np.bincount(bins, minlength=num_bins)
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(num_bins, dtype=np.int64)),
+                "n": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "bin": pc.cast(b.column("bin"), pa.int64()),
+                    "lo_value": pc.cast(
+                        pc.multiply(b.column("bin"), pa.scalar(25, pa.int64())),
+                        pa.float64(),
+                    ),
+                    "n_events": pc.cast(b.column("n"), pa.int64()),
+                }
+            # globally-empty bins drop, mirroring plain GROUP BY semantics
+            ).filter(pc.greater(pc.cast(b.column("n"), pa.int64()), 0)),
+            batch_format="pyarrow",
+        )
+    )
