@@ -655,6 +655,18 @@ def _approx_distinct_tokens(sf_dir: str):
     return approx_distinct_tokens(_docs(sf_dir, ("text",)))
 
 
+def _heavy_hitters(sf_dir: str, k: int = 10):
+    """Heavy hitters, approximate (rows-only: Count-Min collision noise
+    is not SQL-expressible; the one-sided estimate>=truth guarantee and
+    exact-top-k recovery are tested in tests/test_functions.py, and
+    `top_tokens` is the exact SQL-checked twin). Mergeable per-batch
+    sketches — the 10^12-row path where even the vocabulary is too
+    large to shuffle exactly."""
+    from vietnamese_ocr_ray.functions.sketch import heavy_hitters_cms
+
+    return heavy_hitters_cms(_docs(sf_dir), k=k)
+
+
 def _top_tokens(sf_dir: str, k: int = 10):
     """Heavy hitters, exact: per-batch partial token counts (combiner)
     -> bucketed hash aggregate (vocabulary-cardinality keys pay
@@ -807,6 +819,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from vietnamese_ocr_ray.functions.text import (
+        bm25_rank,
         fingerprint,
         lang_id,
         quality_scores,
@@ -876,6 +889,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_token_per_lang": lambda sf: analytics.mode_token_per_lang(sf),
         "argmax_user_event": lambda sf: analytics.argmax_user_event(sf),
         "value_histogram": lambda sf: analytics.value_histogram(sf),
+        "value_ntile": lambda sf: analytics.value_ntile(sf),
+        "resample_ffill": lambda sf: analytics.resample_ffill(sf),
         # text analysis
         "lang_id": lambda sf: lang_id(_docs(sf)),
         "token_count": lambda sf: token_count(_docs(sf)),
@@ -883,6 +898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": lambda sf: quality_scores(_docs(sf)),
         "repetition_ratio": lambda sf: repetition_ratio(_docs(sf)),
         "token_entropy": lambda sf: token_entropy(_docs(sf)),
+        "bm25_search": lambda sf: bm25_rank(_docs(sf)),
         "fingerprint": lambda sf: fingerprint(_docs(sf)),
         "cer": _cer,
         "extract_cer": _extract_cer,
@@ -915,6 +931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_tokens": _distinct_tokens,
         "docs_without_stopword": _docs_without_stopword,
         "top_tokens": _top_tokens,
+        "heavy_hitters_cms": _heavy_hitters,
         "top_bigrams": _top_bigrams,
         "tfidf_top_terms": lambda sf: tfidf_top_terms(_docs(sf)),
         "tfidf_join": lambda sf: tfidf_top_terms_join(_docs(sf)),
@@ -1316,6 +1333,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT tok, count(*) AS n_occurrences FROM t
         GROUP BY tok ORDER BY n_occurrences DESC, tok LIMIT 10
         """,
+        "bm25_search": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(len(l)) AS BIGINT) AS dls FROM t),
+        e AS (SELECT doc_id, unnest(l) AS tok, len(l) AS dl FROM t),
+        df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+               FROM e WHERE tok IN ('spark', 'dup') GROUP BY tok),
+        tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf,
+                      CAST(any_value(dl) AS DOUBLE) AS dl
+               FROM e WHERE tok IN ('spark', 'dup') GROUP BY doc_id, tok),
+        s AS (
+          SELECT tf.doc_id,
+                 ROUND(sum(
+                   ln(1.0 + (CAST(stats.n AS DOUBLE) - CAST(df.df AS DOUBLE)
+                             + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+                   * tf.tf * (1.2 + 1.0)
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl
+                        / (CAST(stats.dls AS DOUBLE)
+                           / CAST(stats.n AS DOUBLE))))
+                 ), 6) AS bm25
+          FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN stats
+          GROUP BY tf.doc_id)
+        SELECT doc_id, bm25 FROM s ORDER BY bm25 DESC, doc_id LIMIT 10
+        """,
         "token_entropy": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
         e AS (SELECT doc_id, unnest(l) AS tok, len(l) AS n FROM t),
@@ -1582,6 +1623,24 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         QUALIFY row_number() OVER (PARTITION BY user_id
                                    ORDER BY value DESC, ts, event_id) = 1
+        """,
+        "resample_ffill": """
+        WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                          date_trunc('hour', max(ts)) AS hi FROM events),
+        hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS h
+                  FROM b),
+        users AS (SELECT DISTINCT user_id FROM events),
+        grid AS (SELECT u.user_id, hours.h FROM users u CROSS JOIN hours)
+        SELECT g.user_id, g.h, e.value AS last_value
+        FROM grid g ASOF JOIN events e
+          ON e.user_id = g.user_id AND e.ts <= g.h
+        """,
+        "value_ntile": """
+        SELECT event_id, event_type, value,
+               CAST(ntile(4) OVER (PARTITION BY event_type
+                                   ORDER BY value, event_id) AS BIGINT)
+                 AS quartile
+        FROM events
         """,
         "value_histogram": """
         WITH b AS (

@@ -863,3 +863,44 @@ def test_pagerank_matches_numpy_power_iteration(ray_session):
     # hub of the star outranks its leaves; triangle is symmetric
     assert got[0] > got[1] == got[2] == got[3]
     assert abs(got[10] - got[11]) < 1e-9
+
+
+def test_count_min_heavy_hitters(ray_session):
+    """CMS one-sided guarantee + exact top-k recovery on the corpus,
+    and under forced collisions (tiny width, many keys) estimates
+    still never undercount."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.functions.sketch import CountMinSketch, heavy_hitters_cms
+    from vietnamese_ocr_ray.functions.dedup import content_hash64
+    from vietnamese_ocr_ray.sources.storage import read_parquet_clean
+
+    sf = "/root/testdata/sf0.001"
+    ds = read_parquet_clean(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    got = heavy_hitters_cms(ds, k=10)
+
+    c = Counter()
+    for s in pq.read_table(f"{sf}/documents.parquet").column("text").to_pylist():
+        c.update(s.split(" "))
+    exact = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got.column("tok").to_pylist() == [t for t, _ in exact]
+    est = dict(zip(got.column("tok").to_pylist(), got.column("est_count").to_pylist()))
+    assert all(est[t] >= n for t, n in exact)  # one-sided
+
+    # forced-collision regime: 10k keys into width 64
+    rng = np.random.default_rng(7)
+    keys = pa.array([f"key_{i}" for i in range(10_000)])
+    counts = rng.integers(1, 50, size=10_000).astype(np.int64)
+    s = CountMinSketch(depth=4, width=64)
+    h = content_hash64(keys)
+    s.add_hashes(h, counts)
+    ests = s.estimate_hashes(h)
+    assert (ests >= counts).all()
+    # merge = add: two half-sketches equal one full sketch
+    s1, s2 = CountMinSketch(4, 64), CountMinSketch(4, 64)
+    s1.add_hashes(h[:5000], counts[:5000])
+    s2.add_hashes(h[5000:], counts[5000:])
+    s1.merge(s2)
+    assert (s1.table == s.table).all()

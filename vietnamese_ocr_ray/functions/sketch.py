@@ -300,3 +300,118 @@ def grouped_approx_quantiles(
         .groupby("_bucket")
         .map_groups(merge_bucket, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — heavy hitters
+# ---------------------------------------------------------------------------
+
+
+class CountMinSketch:
+    """Count-Min: ``depth`` hash rows x ``width`` counters, point
+    estimate = min over rows (one-sided: never under-counts). Mergeable
+    by elementwise add, so per-batch sketches combine exactly like the
+    HLL path. Row hashes derive from one 64-bit content hash via
+    independent odd-multiplier mixes (no rehash of the strings)."""
+
+    _MULTS = np.array(
+        [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+        dtype=np.uint64,
+    )
+
+    def __init__(self, depth: int = 4, width: int = 2048):
+        assert depth <= len(self._MULTS)
+        self.depth, self.width = depth, width
+        self.table = np.zeros((depth, width), np.int64)
+
+    def _indices(self, h: np.ndarray) -> np.ndarray:
+        """(depth, n) counter indices for n item hashes."""
+        with np.errstate(over="ignore"):
+            mixed = h[None, :] * self._MULTS[: self.depth, None]
+        return (mixed >> np.uint64(64 - 11 if self.width == 2048 else 0)) % np.uint64(
+            self.width
+        )
+
+    def add_hashes(self, h: np.ndarray, counts: np.ndarray) -> None:
+        idx = self._indices(h.astype(np.uint64))
+        for d in range(self.depth):
+            np.add.at(self.table[d], idx[d].astype(np.int64), counts)
+
+    def estimate_hashes(self, h: np.ndarray) -> np.ndarray:
+        idx = self._indices(h.astype(np.uint64))
+        ests = np.stack(
+            [self.table[d][idx[d].astype(np.int64)] for d in range(self.depth)]
+        )
+        return ests.min(axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        self.table += other.table
+        return self
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, depth: int = 4, width: int = 2048) -> "CountMinSketch":
+        s = cls(depth, width)
+        s.table = np.frombuffer(b, np.int64).reshape(depth, width).copy()
+        return s
+
+
+def heavy_hitters_cms(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    k: int = 10,
+    candidates_per_batch: int = 32,
+    depth: int = 4,
+    width: int = 2048,
+) -> pa.Table:
+    """Approximate top-``k`` tokens by total count via Count-Min.
+
+    One pass: each batch emits (a) its serialized CMS over ALL its
+    token counts and (b) its local top-``candidates_per_batch`` tokens
+    (a heavy global token is heavy in some batch, so the candidate
+    union covers the true top-k for any skewed stream). The driver
+    merges block-count sketches (bounded, exactly the HLL shape),
+    unions the candidate sets, and ranks candidates by CMS estimate
+    (ties: token asc). Rows-only: CMS collision noise is not
+    SQL-expressible; tests/test_functions.py checks the one-sided
+    guarantee (estimate >= true count) and exact-top-k recovery."""
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(batch.column(text_col), " "))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        vc = toks.value_counts()
+        vals = vc.field("values")
+        counts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = CountMinSketch(depth, width)
+        if len(vals):
+            s.add_hashes(content_hash64(vals), counts)
+        top = np.argsort(-counts, kind="stable")[:candidates_per_batch]
+        return pa.table(
+            {
+                "sketch": pa.array([s.to_bytes()] + [None] * len(top), pa.binary()),
+                "cand": pa.array([None] + vals.take(pa.array(top)).to_pylist(), pa.string()),
+            }
+        )
+
+    merged = CountMinSketch(depth, width)
+    cands: set[str] = set()
+    for b in ds.map_batches(sketch_batch, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for raw in b.column("sketch").to_pylist():
+            if raw is not None:
+                merged.merge(CountMinSketch.from_bytes(raw, depth, width))
+        cands.update(c for c in b.column("cand").to_pylist() if c is not None)
+
+    cand_arr = pa.array(sorted(cands), pa.string())
+    est = merged.estimate_hashes(content_hash64(cand_arr))
+    order = np.lexsort((np.asarray(cand_arr), -est))[:k]
+    return pa.table(
+        {
+            "tok": cand_arr.take(pa.array(order)),
+            "est_count": pa.array(est[order], pa.int64()),
+        }
+    )

@@ -589,3 +589,129 @@ def token_entropy_batch(batch: pa.Table) -> pa.Table:
 
 def token_entropy(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(token_entropy_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking (Robertson et al., Okapi BM25) — query-term search
+# ---------------------------------------------------------------------------
+
+
+def bm25_rank(
+    ds: rd.Dataset,
+    terms: tuple[str, ...] = ("spark", "dup"),
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> rd.Dataset:
+    """Top-``k`` documents by BM25 score for a fixed query.
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5));
+    score = sum_t idf_t * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+
+    Scale shape: corpus stats (N, sum dl) and the query-term df table
+    are TWO tiny aggregates (query-sized, not vocabulary-sized) pulled
+    to the driver as scalars; scoring is one stateless map_batches with
+    no shuffle; only per-batch top-k candidate rows reach the final
+    sort. Float discipline: tf/df/dl/N are exact integers, each
+    (doc, term) subscore is one identical double expression on both
+    sides, and the per-doc sum is over <= 2 terms — float addition is
+    commutative, so ANY summation order matches bit-for-bit; the
+    emitted score rounds to 6 decimals (log ulp) and the sort key is
+    the ROUNDED score with a doc_id tie-break, keeping top-k stable.
+    With 3+ query terms addition ASSOCIATIVITY would bite — extend via
+    sorted-by-term summation on both sides before relaxing this.
+    """
+    if len(terms) > 2:
+        raise ValueError("bm25_rank guarantees bit-parity only for <= 2 terms")
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([batch.num_rows], pa.int64()),
+                "dl": pa.array([int(dl.sum())], pa.int64()),
+            }
+        )
+
+    st = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .aggregate(Sum("n", alias_name="n"), Sum("dl", alias_name="dl"))
+    )
+    n_docs, dl_sum = int(st["sum(n)"] if "sum(n)" in st else st["n"]), int(
+        st["sum(dl)"] if "sum(dl)" in st else st["dl"]
+    )
+    avgdl = float(dl_sum) / float(n_docs)
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        nt = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc = np.repeat(
+            np.asarray(batch.column("doc_id"), dtype=np.int64), nt
+        )
+        out_t, out_n = [], []
+        for t in terms:
+            mask = pc.equal(flat, pa.scalar(t)).to_numpy(zero_copy_only=False)
+            out_t.append(t)
+            out_n.append(int(np.unique(doc[mask]).shape[0]))
+        return pa.table(
+            {"tok": pa.array(out_t, pa.string()), "df": pa.array(out_n, pa.int64())}
+        )
+
+    df_rows = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    dfs = dict(zip(df_rows["tok"], df_rows["df"].astype(np.int64)))
+    # np.log(1.0 + x), NOT log1p: the SQL oracle writes ln(1.0 + x) and
+    # the two differ in the last ulp for some inputs
+    idf = {
+        t: float(
+            np.log(
+                1.0
+                + (n_docs - float(dfs.get(t, 0)) + 0.5) / (float(dfs.get(t, 0)) + 0.5)
+            )
+        )
+        for t in terms
+    }
+
+    def score(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        nt = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(batch.num_rows, dtype=np.int64), nt)
+        dl = nt.astype(np.float64)
+        total = np.zeros(batch.num_rows, np.float64)
+        denom_dl = k1 * (1.0 - b + b * dl / avgdl)
+        for t in terms:
+            mask = pc.equal(flat, pa.scalar(t)).to_numpy(zero_copy_only=False)
+            tf = np.zeros(batch.num_rows, np.float64)
+            np.add.at(tf, rows[mask], 1.0)
+            total = total + np.where(
+                tf > 0, idf[t] * tf * (k1 + 1.0) / (tf + denom_dl), 0.0
+            )
+        keep = total > 0
+        out = pa.table(
+            {
+                "doc_id": batch.column("doc_id").filter(pa.array(keep)),
+                "bm25": pa.array(np.round(total[keep], 6), pa.float64()),
+            }
+        )
+        # per-batch partial top-k bounds the final sort's input
+        df = out.to_pandas().sort_values(
+            ["bm25", "doc_id"], ascending=[False, True]
+        ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["bm25", "doc_id"], descending=[True, False])
+        .limit(k)
+    )

@@ -810,3 +810,160 @@ def value_histogram(
             batch_format="pyarrow",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact NTILE window (rank-based, hot-partition-safe)
+# ---------------------------------------------------------------------------
+
+
+def value_ntile(sf_dir: str, tiles: int = 4) -> rd.Dataset:
+    """Exact SQL ``ntile(tiles)`` of every event within its event_type,
+    ordered by (value, event_id). ntile needs each row's GLOBAL rank in
+    its partition, so per-key bucketing doesn't help a hot partition;
+    this reuses the range-sort prefix technique of
+    ``running_value_sum_rangesort``: one global range sort, per-block
+    partition counts, a driver exclusive-scan over the tiny
+    (blocks x partitions) count table, then per-block vectorized rank ->
+    tile arithmetic. A partition bigger than any task's heap just spans
+    consecutive blocks."""
+    import ray
+
+    ds = (
+        read_parquet_clean(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "event_type", "value"],
+        )
+        .sort(["event_type", "value", "event_id"])
+        .materialize()
+    )
+    refs = ds.to_arrow_refs()
+
+    @ray.remote
+    def block_counts(t: pa.Table):
+        et = np.asarray(t.column("event_type"))
+        uniq, counts = np.unique(et, return_counts=True)
+        return list(zip(uniq.tolist(), counts.tolist()))
+
+    per_block = ray.get([block_counts.remote(r) for r in refs])
+    offsets: list[dict] = []
+    running: dict[str, int] = {}
+    for rows in per_block:  # block order == sort order
+        offsets.append(dict(running))
+        for et, n in rows:
+            running[et] = running.get(et, 0) + int(n)
+    totals = dict(running)
+
+    @ray.remote
+    def finish(t: pa.Table, start: dict, totals: dict, tiles: int) -> pa.Table:
+        et = np.asarray(t.column("event_type"))
+        first = np.ones(et.shape[0], dtype=bool)
+        first[1:] = et[1:] != et[:-1]
+        starts_idx = np.nonzero(first)[0]
+        seg_len = np.diff(np.append(starts_idx, len(et)))
+        local = np.arange(len(et), dtype=np.int64) - np.repeat(
+            starts_idx, seg_len
+        )
+        off = np.array([start.get(e, 0) for e in et[starts_idx]], np.int64)
+        rank = local + np.repeat(off, seg_len)  # 0-based global rank
+        n = np.repeat(
+            np.array([totals[e] for e in et[starts_idx]], np.int64), seg_len
+        )
+        q, rem = n // tiles, n % tiles
+        big = rem * (q + 1)  # rows covered by the (q+1)-sized tiles
+        tile = np.where(
+            rank < big, rank // np.maximum(q + 1, 1), rem + (rank - big) // np.maximum(q, 1)
+        )
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "value": t.column("value"),
+                "quartile": pa.array((tile + 1).astype(np.int64)),
+            }
+        )
+
+    out = [finish.remote(r, offsets[i], totals, tiles) for i, r in enumerate(refs)]
+    return rd.from_arrow_refs(out)
+
+
+# ---------------------------------------------------------------------------
+# Time-grid resample with forward fill (ASOF against a generated grid)
+# ---------------------------------------------------------------------------
+
+
+def resample_ffill(sf_dir: str, step_hours: int = 6) -> rd.Dataset:
+    """Per-user time-series resample: a regular ``step_hours`` grid
+    spanning the corpus time range, each grid point carrying the user's
+    most recent event value at-or-before it (inner ASOF semantics —
+    grid points before a user's first event drop, exactly DuckDB's
+    ``ASOF JOIN``).
+
+    Scale shape: grid bounds are one tiny min/max aggregate (two driver
+    scalars); the user dimension stays a Dataset (distinct via the
+    bucketed hash aggregate) and each user batch cross-produces its
+    grid rows locally, so the grid is GENERATED distributed, never
+    collected; the fill itself is the existing bucketed asof_join (one
+    shuffle, compiled per-bucket merge)."""
+    from vietnamese_ocr_ray.functions.joins import asof_join
+
+    events = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def ts_bounds(b: pa.Table) -> pa.Table:
+        ts = _chunk(b.column("ts"))
+        return pa.table({"lo": [pc.min(ts).as_py()], "hi": [pc.max(ts).as_py()]})
+
+    # tiny driver scalars: grid lo/hi, truncated to the hour
+    import ray.data.aggregate as rda
+
+    agg = events.map_batches(ts_bounds, batch_format="pyarrow").aggregate(
+        rda.Min("lo", alias_name="lo"), rda.Max("hi", alias_name="hi")
+    )
+    lo = np.datetime64(agg["lo"], "us")
+    hi = np.datetime64(agg["hi"], "us")
+    hour = np.timedelta64(3600_000_000, "us")
+    lo_h = (lo.astype("int64") // hour.astype("int64")) * hour.astype("int64")
+    hi_h = (hi.astype("int64") // hour.astype("int64")) * hour.astype("int64")
+    grid_us = np.arange(lo_h, hi_h + 1, step_hours * hour.astype("int64"), dtype=np.int64)
+
+    users = hash_aggregate(
+        events, ["user_id"], {"n": ("ts", "count")}
+    )
+
+    def cross_grid(b: pa.Table) -> pa.Table:
+        u = pc.cast(_chunk(b.column("user_id")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        h = len(grid_us)
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(u, h)),
+                "h": pa.array(
+                    np.tile(grid_us, len(u)).view("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+
+    grid = users.map_batches(cross_grid, batch_format="pyarrow")
+
+    right = events.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": pc.cast(_chunk(b.column("user_id")), pa.int64()),
+                "ev_ts": _chunk(b.column("ts")),
+                "last_value": _chunk(b.column("value")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = asof_join(
+        grid, right, by="user_id", left_on="h", right_on="ev_ts",
+        direction="backward",
+    )
+    return joined.map_batches(
+        lambda b: b.select(["user_id", "h", "last_value"]),
+        batch_format="pyarrow",
+    )
