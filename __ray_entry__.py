@@ -655,6 +655,20 @@ def _approx_distinct_tokens(sf_dir: str):
     return approx_distinct_tokens(_docs(sf_dir, ("text",)))
 
 
+def _approx_users_per_type(sf_dir: str):
+    """Grouped HLL distinct-user estimate per event_type (rows-only:
+    HLL estimation noise is not SQL-expressible; accuracy vs the exact
+    grouped distinct is tested in tests/test_functions.py, and
+    `distinct_users` is the exact SQL-checked twin)."""
+    from vietnamese_ocr_ray.functions.sketch import grouped_approx_distinct
+    from vietnamese_ocr_ray.sources.storage import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return grouped_approx_distinct(ds, "event_type", "user_id")
+
+
 def _heavy_hitters(sf_dir: str, k: int = 10):
     """Heavy hitters, approximate (rows-only: Count-Min collision noise
     is not SQL-expressible; the one-sided estimate>=truth guarantee and
@@ -891,6 +905,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": lambda sf: analytics.value_histogram(sf),
         "value_ntile": lambda sf: analytics.value_ntile(sf),
         "resample_ffill": lambda sf: analytics.resample_ffill(sf),
+        "value_pct_rank": lambda sf: analytics.value_percent_rank(sf),
+        "hourly_active_users": lambda sf: analytics.hourly_active_users(sf),
+        "retention_cohorts": lambda sf: analytics.retention_cohorts(sf),
+        "cube_lang_source": lambda sf: analytics.cube_lang_source(sf),
+        "string_agg_sources": lambda sf: analytics.sources_per_lang(sf),
         # text analysis
         "lang_id": lambda sf: lang_id(_docs(sf)),
         "token_count": lambda sf: token_count(_docs(sf)),
@@ -932,6 +951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_without_stopword": _docs_without_stopword,
         "top_tokens": _top_tokens,
         "heavy_hitters_cms": _heavy_hitters,
+        "approx_users_per_type": _approx_users_per_type,
         "top_bigrams": _top_bigrams,
         "tfidf_top_terms": lambda sf: tfidf_top_terms(_docs(sf)),
         "tfidf_join": lambda sf: tfidf_top_terms_join(_docs(sf)),
@@ -1623,6 +1643,41 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         QUALIFY row_number() OVER (PARTITION BY user_id
                                    ORDER BY value DESC, ts, event_id) = 1
+        """,
+        "hourly_active_users": """
+        SELECT date_trunc('hour', ts) AS hour,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY hour
+        """,
+        "retention_cohorts": """
+        WITH d AS (
+          SELECT DISTINCT user_id,
+                 CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+          FROM events),
+        f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+        SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+               CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+        FROM d JOIN f USING (user_id)
+        GROUP BY f.cohort_day, day_offset
+        """,
+        "value_pct_rank": """
+        SELECT event_id, event_type, value,
+               percent_rank() OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS pct_rank
+        FROM events
+        """,
+        "cube_lang_source": """
+        SELECT lang, source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        GROUP BY CUBE (lang, source)
+        """,
+        "string_agg_sources": """
+        SELECT lang,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+        FROM documents GROUP BY lang
         """,
         "resample_ffill": """
         WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,

@@ -904,3 +904,26 @@ def test_count_min_heavy_hitters(ray_session):
     s2.add_hashes(h[5000:], counts[5000:])
     s1.merge(s2)
     assert (s1.table == s.table).all()
+
+
+def test_grouped_hll_matches_exact_within_tolerance(ray_session):
+    """Grouped HLL estimates per event_type agree with the exact
+    grouped distinct within the standard ~1.04/sqrt(2^p) error."""
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.functions.sketch import grouped_approx_distinct
+    from vietnamese_ocr_ray.sources.storage import read_parquet_clean
+
+    sf = "/root/testdata/sf0.001"
+    ds = read_parquet_clean(f"{sf}/events.parquet", columns=["event_type", "user_id"])
+    got = grouped_approx_distinct(ds, "event_type", "user_id").to_pandas()
+    t = pq.read_table(f"{sf}/events.parquet", columns=["event_type", "user_id"])
+    exact = (
+        t.to_pandas().groupby("event_type")["user_id"].nunique().to_dict()
+    )
+    assert set(got["event_type"]) == set(exact)
+    for _, row in got.iterrows():
+        true = exact[row["event_type"]]
+        assert abs(row["approx_distinct"] - true) <= max(3, 0.05 * true), (
+            row["event_type"], row["approx_distinct"], true,
+        )

@@ -817,16 +817,28 @@ def value_histogram(
 # ---------------------------------------------------------------------------
 
 
-def value_ntile(sf_dir: str, tiles: int = 4) -> rd.Dataset:
-    """Exact SQL ``ntile(tiles)`` of every event within its event_type,
-    ordered by (value, event_id). ntile needs each row's GLOBAL rank in
-    its partition, so per-key bucketing doesn't help a hot partition;
-    this reuses the range-sort prefix technique of
-    ``running_value_sum_rangesort``: one global range sort, per-block
-    partition counts, a driver exclusive-scan over the tiny
-    (blocks x partitions) count table, then per-block vectorized rank ->
-    tile arithmetic. A partition bigger than any task's heap just spans
-    consecutive blocks."""
+def _rank_blocks(t: pa.Table, start: dict, totals: dict):
+    """(0-based global rank, partition size) per row of one block of a
+    dataset range-sorted by (event_type, ...). ``start`` is this
+    block's per-partition exclusive-scan offset, ``totals`` the global
+    partition sizes — both tiny (blocks x partitions)."""
+    et = np.asarray(t.column("event_type"))
+    first = np.ones(et.shape[0], dtype=bool)
+    first[1:] = et[1:] != et[:-1]
+    starts_idx = np.nonzero(first)[0]
+    seg_len = np.diff(np.append(starts_idx, len(et)))
+    local = np.arange(len(et), dtype=np.int64) - np.repeat(starts_idx, seg_len)
+    off = np.array([start.get(e, 0) for e in et[starts_idx]], np.int64)
+    rank = local + np.repeat(off, seg_len)
+    n = np.repeat(np.array([totals[e] for e in et[starts_idx]], np.int64), seg_len)
+    return rank, n
+
+
+def _sorted_event_blocks(sf_dir: str):
+    """Range-sort events by (event_type, value, event_id) and compute
+    each block's per-partition rank offsets: the shared machinery
+    behind the exact rank-based windows (ntile, percent_rank). One
+    global sort; everything else is per-block + a tiny driver scan."""
     import ray
 
     ds = (
@@ -852,23 +864,26 @@ def value_ntile(sf_dir: str, tiles: int = 4) -> rd.Dataset:
         offsets.append(dict(running))
         for et, n in rows:
             running[et] = running.get(et, 0) + int(n)
-    totals = dict(running)
+    return refs, offsets, dict(running)
+
+
+def value_ntile(sf_dir: str, tiles: int = 4) -> rd.Dataset:
+    """Exact SQL ``ntile(tiles)`` of every event within its event_type,
+    ordered by (value, event_id). ntile needs each row's GLOBAL rank in
+    its partition, so per-key bucketing doesn't help a hot partition;
+    this reuses the range-sort prefix technique of
+    ``running_value_sum_rangesort``: one global range sort, per-block
+    partition counts, a driver exclusive-scan over the tiny
+    (blocks x partitions) count table, then per-block vectorized rank ->
+    tile arithmetic. A partition bigger than any task's heap just spans
+    consecutive blocks."""
+    import ray
+
+    refs, offsets, totals = _sorted_event_blocks(sf_dir)
 
     @ray.remote
     def finish(t: pa.Table, start: dict, totals: dict, tiles: int) -> pa.Table:
-        et = np.asarray(t.column("event_type"))
-        first = np.ones(et.shape[0], dtype=bool)
-        first[1:] = et[1:] != et[:-1]
-        starts_idx = np.nonzero(first)[0]
-        seg_len = np.diff(np.append(starts_idx, len(et)))
-        local = np.arange(len(et), dtype=np.int64) - np.repeat(
-            starts_idx, seg_len
-        )
-        off = np.array([start.get(e, 0) for e in et[starts_idx]], np.int64)
-        rank = local + np.repeat(off, seg_len)  # 0-based global rank
-        n = np.repeat(
-            np.array([totals[e] for e in et[starts_idx]], np.int64), seg_len
-        )
+        rank, n = _rank_blocks(t, start, totals)
         q, rem = n // tiles, n % tiles
         big = rem * (q + 1)  # rows covered by the (q+1)-sized tiles
         tile = np.where(
@@ -884,6 +899,33 @@ def value_ntile(sf_dir: str, tiles: int = 4) -> rd.Dataset:
         )
 
     out = [finish.remote(r, offsets[i], totals, tiles) for i, r in enumerate(refs)]
+    return rd.from_arrow_refs(out)
+
+
+def value_percent_rank(sf_dir: str) -> rd.Dataset:
+    """Exact SQL ``percent_rank()`` within event_type ordered by
+    (value, event_id): rank/(n-1) from the same range-sort prefix
+    machinery as :func:`value_ntile`. The order is total, so rank ==
+    row_number and both sides divide the same exact integers —
+    bit-identical doubles, no rounding needed."""
+    import ray
+
+    refs, offsets, totals = _sorted_event_blocks(sf_dir)
+
+    @ray.remote
+    def finish(t: pa.Table, start: dict, totals: dict) -> pa.Table:
+        rank, n = _rank_blocks(t, start, totals)
+        denom = np.maximum(n - 1, 1).astype(np.float64)
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "value": t.column("value"),
+                "pct_rank": pa.array(rank.astype(np.float64) / denom),
+            }
+        )
+
+    out = [finish.remote(r, offsets[i], totals) for i, r in enumerate(refs)]
     return rd.from_arrow_refs(out)
 
 
@@ -966,4 +1008,263 @@ def resample_ffill(sf_dir: str, step_hours: int = 6) -> rd.Dataset:
     return joined.map_batches(
         lambda b: b.select(["user_id", "h", "last_value"]),
         batch_format="pyarrow",
+    )
+
+
+def cube_lang_source(sf_dir: str) -> rd.Dataset:
+    """GROUP BY CUBE(lang, source): ROLLUP's levels plus the
+    (NULL, source) margin. Same one-pass shape as
+    :func:`rollup_lang_source` — each batch emits all four pre-reduced
+    levels, one small groupby merges, sentinels become NULLs at the
+    finish."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": _chunk(b.column("lang")).to_pandas(),
+                "source": _chunk(b.column("source")).to_pandas(),
+                "chars": _chunk(b.column("n_chars")).to_numpy(zero_copy_only=False),
+            }
+        )
+        levels = []
+        lvl2 = df.groupby(["lang", "source"], as_index=False).agg(
+            n=("chars", "size"), chars=("chars", "sum")
+        )
+        levels.append(lvl2)
+        lvl_lang = df.groupby(["lang"], as_index=False).agg(
+            n=("chars", "size"), chars=("chars", "sum")
+        )
+        lvl_lang["source"] = _ROLLUP_SENTINEL
+        levels.append(lvl_lang)
+        lvl_src = df.groupby(["source"], as_index=False).agg(
+            n=("chars", "size"), chars=("chars", "sum")
+        )
+        lvl_src["lang"] = _ROLLUP_SENTINEL
+        levels.append(lvl_src)
+        levels.append(
+            pd.DataFrame(
+                {
+                    "lang": [_ROLLUP_SENTINEL],
+                    "source": [_ROLLUP_SENTINEL],
+                    "n": [len(df)],
+                    "chars": [df["chars"].sum()],
+                }
+            )
+        )
+        out = pd.concat(levels, ignore_index=True)[["lang", "source", "n", "chars"]]
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .aggregate(Sum("n", alias_name="n"), Sum("chars", alias_name="chars"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        lang = _chunk(b.column("lang"))
+        source = _chunk(b.column("source"))
+        sent = pa.scalar(_ROLLUP_SENTINEL)
+        return pa.table(
+            {
+                "lang": pc.if_else(pc.equal(lang, sent), pa.scalar(None, pa.string()), lang),
+                "source": pc.if_else(
+                    pc.equal(source, sent), pa.scalar(None, pa.string()), source
+                ),
+                "n_docs": pc.cast(b.column("n"), pa.int64()),
+                "sum_chars": pc.cast(b.column("chars"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation (LISTAGG)
+# ---------------------------------------------------------------------------
+
+
+def sources_per_lang(sf_dir: str) -> rd.Dataset:
+    """Per language: its distinct sources as one comma-joined, sorted
+    string (SQL string_agg DISTINCT ... ORDER BY). Distinct pairs
+    reduce via the bucketed hash aggregate (pair-cardinality shuffle),
+    then one vectorized per-lang sort+join over the tiny result."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+    )
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": _chunk(b.column("lang")).to_pandas(),
+                "source": _chunk(b.column("source")).to_pandas(),
+            }
+        ).drop_duplicates()
+        df["one"] = np.int64(1)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    pairs = hash_aggregate(
+        ds.map_batches(distinct_pairs, batch_format="pyarrow"),
+        ["lang", "source"],
+        {"n": ("one", "max")},
+    )
+
+    def join_sources(g: pd.DataFrame) -> pd.DataFrame:
+        srcs = sorted(g["source"])
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "n_sources": np.array([len(srcs)], np.int64),
+                "sources": [",".join(srcs)],
+            }
+        )
+
+    return pairs.groupby("lang").map_groups(join_sources, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Windowed distinct count + cohort retention
+# ---------------------------------------------------------------------------
+
+
+def hourly_active_users(sf_dir: str) -> rd.Dataset:
+    """Distinct active users per UTC hour. Per-batch distinct
+    (hour, user) pairs first (the combiner: the shuffle carries pair
+    cardinality, not events), then the bucketed hash aggregate counts
+    per hour after a second distinct — exact, no sketch."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def pairs(b: pa.Table) -> pa.Table:
+        ts = _chunk(b.column("ts")).to_numpy(zero_copy_only=False)
+        hour = (ts.astype("datetime64[h]")).astype("datetime64[us]")
+        df = pd.DataFrame(
+            {
+                "hour": hour,
+                "user_id": _chunk(b.column("user_id")).to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    def count_bucket(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["hour", "user_id"])
+        out = d.groupby("hour", as_index=False).agg(n_users=("user_id", "size"))
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        hour = _chunk(b.column("hour"))
+        return b.append_column(
+            "_bucket",
+            pa.array(key_bucket(pc.cast(hour, pa.int64()), 32).astype(np.int32)),
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: count_bucket(g.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        )
+    )
+
+
+def retention_cohorts(sf_dir: str) -> rd.Dataset:
+    """Classic cohort retention: users grouped by their first-event
+    day-index (cohort), counted distinct per (cohort_day, activity_day
+    offset). Three exact stages, all pre-reduced: (1) first-event day
+    per user — bucketed hash-aggregate min; (2) cohort day joins back
+    to each user's distinct activity days in a key-bucket cogroup (the
+    user dimension shuffles as 2 ints); (3) distinct-pair counts per
+    (cohort_day, day_offset) — a tiny final groupby."""
+    epoch_day = np.timedelta64(86_400_000_000, "us").astype("int64")
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def user_days(b: pa.Table) -> pa.Table:
+        ts = _chunk(b.column("ts")).to_numpy(zero_copy_only=False)
+        day = ts.astype("int64") // epoch_day
+        df = pd.DataFrame(
+            {
+                "user_id": _chunk(b.column("user_id")).to_numpy(zero_copy_only=False),
+                "day": day,
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    days = ds.map_batches(user_days, batch_format="pyarrow")
+    first_day = hash_aggregate(
+        days, ["user_id"], {"cohort_day": ("day", "min")}
+    )
+
+    num_buckets = 32
+
+    def tag_first(b: pa.Table) -> pa.Table:
+        key = pc.cast(_chunk(b.column("user_id")), pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "day": pc.cast(_chunk(b.column("cohort_day")), pa.int64()),
+                "_side": pa.array(np.zeros(b.num_rows, np.int8)),
+                "_bucket": pa.array(key_bucket(key, num_buckets).astype(np.int32)),
+            }
+        )
+
+    def tag_days(b: pa.Table) -> pa.Table:
+        key = pc.cast(_chunk(b.column("user_id")), pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "day": pc.cast(_chunk(b.column("day")), pa.int64()),
+                "_side": pa.array(np.ones(b.num_rows, np.int8)),
+                "_bucket": pa.array(key_bucket(key, num_buckets).astype(np.int32)),
+            }
+        )
+
+    def offsets_bucket(g: pd.DataFrame) -> pa.Table:
+        first = g[g["_side"] == 0][["key", "day"]].rename(columns={"day": "cohort"})
+        acts = g[g["_side"] == 1][["key", "day"]]
+        m = acts.merge(first, on="key", how="inner")
+        m["day_offset"] = m["day"] - m["cohort"]
+        out = (
+            m.drop_duplicates(["cohort", "day_offset", "key"])
+            .groupby(["cohort", "day_offset"], as_index=False)
+            .agg(n=("key", "size"))
+        )
+        return pa.table(
+            {
+                "cohort_day": pa.array(out["cohort"].to_numpy(np.int64)),
+                "day_offset": pa.array(out["day_offset"].to_numpy(np.int64)),
+                "n": pa.array(out["n"].to_numpy(np.int64)),
+            }
+        )
+
+    partials = (
+        first_day.map_batches(tag_first, batch_format="pyarrow")
+        .union(days.map_batches(tag_days, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: offsets_bucket(g.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        )
+    )
+    return (
+        partials.groupby(["cohort_day", "day_offset"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "cohort_day": pc.cast(b.column("cohort_day"), pa.int64()),
+                    "day_offset": pc.cast(b.column("day_offset"), pa.int64()),
+                    "n_users": pc.cast(b.column("n"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
     )
