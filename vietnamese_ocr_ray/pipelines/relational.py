@@ -98,7 +98,11 @@ def pricing_summary(sf_dir: str, cutoff: str = "1998-09-01") -> rd.Dataset:
             {
                 "l_returnflag": t.column("l_returnflag"),
                 "l_linestatus": t.column("l_linestatus"),
-                "sum_qty": sq,
+                # float64, not int64: the oracle's sum(l_quantity) is a
+                # DOUBLE sum, and the driver's value-hash is
+                # dtype-sensitive (int 5 != float 5.0). Whole-number
+                # quantities make the cast exact below 2^53.
+                "sum_qty": sq_f,
                 "sum_base_price": base_price,
                 "sum_disc_price": pc.divide(
                     pc.cast(sr, pa.float64()), pa.scalar(10000.0)
