@@ -193,6 +193,40 @@ def _docs(sf_dir: str, columns=("doc_id", "text")):
     )
 
 
+def _html_docs(sf_dir: str):
+    return _docs(sf_dir, ("doc_id", "text", "lang", "source"))
+
+
+def _html(sf_dir: str):
+    """The html operator module (driver-side lazy import)."""
+    from vietnamese_ocr_ray.functions import html
+
+    return html
+
+
+def _html_scored_cte() -> str:
+    """Shared oracle CTE: rebuild the deterministic page, split into
+    structural blocks, score each block (stripped text + anchor chars)
+    — mirrors functions/html.py exactly (both dialects are RE2)."""
+    from vietnamese_ocr_ray.functions.html import html_sql_expr
+
+    blk = r"</?(?:html|head|title|body|nav|div|article|footer|p)[^>]*>"
+    return f"""
+    h AS ({html_sql_expr()}),
+    p0 AS (SELECT doc_id, string_split_regex(html, '{blk}') AS l FROM h),
+    pieces AS (SELECT doc_id, unnest(l) AS piece,
+                      generate_subscripts(l, 1) AS ord FROM p0),
+    scored AS (SELECT doc_id, ord, piece,
+      piece LIKE '<img src="%' AS is_media,
+      trim(regexp_replace(regexp_replace(piece, '<[^>]*>', ' ', 'g'),
+                          ' +', ' ', 'g')) AS txt,
+      coalesce(length(array_to_string(
+        regexp_extract_all(piece, '<a [^>]*>([^<]*)</a>', 1), '')), 0)
+        AS anchor_chars
+     FROM pieces)
+    """
+
+
 def _sample_k(sf_dir: str, k: int = 100):
     """Exactly-k deterministic sample of documents by smallest salted
     mixed hash (per-batch partial top-k, tiny global sort) — exact
@@ -919,6 +953,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_entropy": lambda sf: token_entropy(_docs(sf)),
         "bm25_search": lambda sf: bm25_rank(_docs(sf)),
         "fingerprint": lambda sf: fingerprint(_docs(sf)),
+        # HTML main-content extraction (north-rule web-extraction ops;
+        # deterministic SQL-expressible page synth -> every stage
+        # value-checked end-to-end)
+        "html_page": lambda sf: _html(sf).synth_html(_html_docs(sf)),
+        "html_strip": lambda sf: _html(sf).strip_html_tags(_html_docs(sf)),
+        "html_link_density": lambda sf: _html(sf).html_link_density(
+            _html_docs(sf)
+        ),
+        "html_main_content": lambda sf: _html(sf).html_main_content(
+            _html_docs(sf)
+        ),
+        "html_spans": lambda sf: _html(sf).html_to_spans(_html_docs(sf)),
+        "html_boilerplate_stats": lambda sf: _html(sf).html_boilerplate_stats(
+            _html_docs(sf)
+        ),
         "cer": _cer,
         "extract_cer": _extract_cer,
         # dedup
@@ -998,6 +1047,71 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_spans,
                string_agg(text, ' ' ORDER BY "offset") AS full_text
         FROM spans GROUP BY doc_id
+        """,
+        "html_page": f"""
+        WITH {_html_scored_cte()}
+        SELECT doc_id, html FROM h
+        """,
+        "html_strip": f"""
+        WITH {_html_scored_cte()}
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                                   ' +', ' ', 'g')) AS text
+        FROM h
+        """,
+        "html_link_density": f"""
+        WITH {_html_scored_cte()}
+        SELECT doc_id,
+         (length(html) - length(replace(html, '<a ', '')))//3 AS n_links,
+         coalesce(length(array_to_string(
+           regexp_extract_all(html, '<a [^>]*>([^<]*)</a>', 1), '')), 0)
+           AS anchor_chars,
+         length(trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                                    ' +', ' ', 'g'))) AS text_chars,
+         round(anchor_chars / greatest(text_chars, 1), 6) AS link_density
+        FROM h
+        """,
+        "html_main_content": f"""
+        WITH {_html_scored_cte()}
+        SELECT d.doc_id, coalesce(m.main_text, '') AS main_text
+        FROM documents d LEFT JOIN (
+          SELECT doc_id, string_agg(txt, ' ' ORDER BY ord) AS main_text
+          FROM scored WHERE length(txt) >= 20 AND 2*anchor_chars < length(txt)
+          GROUP BY doc_id) m USING (doc_id)
+        """,
+        "html_spans": f"""
+        WITH {_html_scored_cte()},
+        sel AS (SELECT doc_id, ord, is_media,
+          CASE WHEN is_media THEN '' ELSE txt END AS text,
+          CASE WHEN is_media
+               THEN regexp_extract(piece, '^<img src="([^"]*)">', 1)
+               ELSE '' END AS media_ref
+         FROM scored
+         WHERE is_media OR (length(txt) >= 20 AND 2*anchor_chars < length(txt)))
+        SELECT doc_id,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1
+              AS INTEGER) AS "offset",
+         CASE WHEN is_media THEN 'media' ELSE 'text' END AS kind,
+         text, media_ref
+        FROM sel
+        """,
+        "html_boilerplate_stats": f"""
+        WITH {_html_scored_cte()},
+        stripped AS (SELECT doc_id,
+          length(trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                                     ' +', ' ', 'g'))) AS raw FROM h),
+        main AS (SELECT doc_id, length(string_agg(txt, ' ' ORDER BY ord)) AS mainc
+          FROM scored WHERE length(txt) >= 20 AND 2*anchor_chars < length(txt)
+          GROUP BY doc_id)
+        SELECT d.source,
+         CAST(sum(s.raw) AS BIGINT) AS raw_chars,
+         CAST(sum(coalesce(m.mainc, 0)) AS BIGINT) AS main_chars,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         round(1 - sum(coalesce(m.mainc,0))::DOUBLE / greatest(sum(s.raw), 1), 6)
+           AS boilerplate_frac
+        FROM documents d JOIN stripped s USING (doc_id)
+        LEFT JOIN main m USING (doc_id)
+        GROUP BY d.source
         """,
         "explode_tokens": """
         WITH s AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
