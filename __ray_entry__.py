@@ -227,6 +227,25 @@ def _html_scored_cte() -> str:
     """
 
 
+def _corpus():
+    """The corpus-hygiene operator module (driver-side lazy import)."""
+    from vietnamese_ocr_ray.functions import corpus
+
+    return corpus
+
+
+def _decontaminate_ngram(sf_dir: str):
+    """Benchmark decontamination by 13-token-gram overlap (the
+    standard contamination check): drop any document sharing an exact
+    13-gram with the benchmark set (the 'benchng:' hash_sample band).
+    Rolling-hash prefilter + exact string verify on hits."""
+    from vietnamese_ocr_ray.functions.sampling import hash_sample
+
+    d = _docs(sf_dir)
+    bench = hash_sample(d, "doc_id", rate_permille=50, salt="benchng:")
+    return _corpus().decontaminate_ngrams(d, bench)
+
+
 def _sample_k(sf_dir: str, k: int = 100):
     """Exactly-k deterministic sample of documents by smallest salted
     mixed hash (per-batch partial top-k, tiny global sort) — exact
@@ -921,6 +940,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_avg": lambda sf: relational.rolling_avg(sf),
         "window_debounce": lambda sf: relational.window_debounce(sf),
         "decontaminate": _decontaminate,
+        "decontaminate_ngram": _decontaminate_ngram,
+        "line_dedup": lambda sf: _corpus().dedup_lines(_docs(sf)),
+        "line_dedup_docs": lambda sf: _corpus().dedup_lines_docs(_docs(sf)),
+        "quality_filter": lambda sf: _corpus().quantile_filter(
+            _docs(sf, ("doc_id", "n_chars")), "n_chars", 0.9
+        ),
         "split_sample": lambda sf: relational.split_sample(sf),
         "hash_sample": _hash_sample,
         "sample_k": _sample_k,
@@ -1841,6 +1866,60 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id FROM documents
         WHERE text NOT IN (SELECT text FROM bench)
+        """,
+        "decontaminate_ngram": """
+        WITH hsh AS (
+          SELECT doc_id, text,
+                 CAST(list_sum(list_transform(
+                     string_split('benchng:' || CAST(doc_id AS VARCHAR), ''),
+                     (c, i) -> unicode(c) * i)) % 1000000007 AS BIGINT) AS fp
+          FROM documents),
+        bench_docs AS (
+          SELECT doc_id, text FROM hsh
+          WHERE ((fp * fp % 1000000007) * fp % 1000000007) % 1000 < 50),
+        bt AS (SELECT string_split(text, ' ') AS tk FROM bench_docs),
+        bng AS (SELECT DISTINCT
+                  array_to_string(list_slice(tk, i, i + 12), ' ') AS g
+                FROM bt, unnest(range(1, greatest(len(tk) - 11, 1))) AS t(i)),
+        dt AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        dng AS (SELECT DISTINCT doc_id,
+                       array_to_string(list_slice(tk, i, i + 12), ' ') AS g
+                FROM dt, unnest(range(1, greatest(len(tk) - 11, 1))) AS t(i)),
+        bad AS (SELECT DISTINCT doc_id FROM dng JOIN bng USING (g))
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        "line_dedup": """
+        WITH t AS (SELECT doc_id, string_split(text, ' window ') AS l
+                   FROM documents),
+        lines AS (SELECT doc_id, unnest(l) AS line,
+                         CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS ord
+                  FROM t),
+        k AS (SELECT doc_id, ord, line, doc_id * 1048576 + ord AS kk
+              FROM lines),
+        f AS (SELECT line, min(kk) AS kmin FROM k GROUP BY line)
+        SELECT k.doc_id, k.ord, k.line
+        FROM k JOIN f ON k.line = f.line AND k.kk = f.kmin
+        """,
+        "line_dedup_docs": """
+        WITH t AS (SELECT doc_id, string_split(text, ' window ') AS l
+                   FROM documents),
+        lines AS (SELECT doc_id, unnest(l) AS line,
+                         CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS ord
+                  FROM t),
+        k AS (SELECT doc_id, ord, line, doc_id * 1048576 + ord AS kk
+              FROM lines),
+        f AS (SELECT line, min(kk) AS kmin FROM k GROUP BY line)
+        SELECT d.doc_id, coalesce(m.text_dedup, '') AS text_dedup
+        FROM documents d LEFT JOIN (
+          SELECT k.doc_id,
+                 string_agg(k.line, ' | ' ORDER BY k.ord) AS text_dedup
+          FROM k JOIN f ON k.line = f.line AND k.kk = f.kmin
+          GROUP BY k.doc_id) m USING (doc_id)
+        """,
+        "quality_filter": """
+        SELECT doc_id, n_chars FROM documents
+        WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.9) FROM documents)
         """,
         "events_hourly": """
         SELECT date_trunc('hour', ts) AS hour,

@@ -1,0 +1,84 @@
+"""Corpus-hygiene ops: planted-case semantics (value parity vs DuckDB
+is covered by the oracle sweep)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from vietnamese_ocr_ray.functions import corpus as C
+
+
+def _ds(rows):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def test_line_dedup_keeps_first_occurrence_only(ray_session):
+    ds = _ds(
+        [
+            (1, "alpha beta window shared line window tail one"),
+            (2, "shared line window alpha beta window middle"),
+            (3, "unique only"),
+        ]
+    )
+    kept = C.dedup_lines(ds).to_pandas().sort_values(["doc_id", "ord"])
+    got = {(r.doc_id, r.ord): r.line for r in kept.itertuples()}
+    # doc 1 keeps all three lines (first occurrences)
+    assert got[(1, 0)] == "alpha beta"
+    assert got[(1, 1)] == "shared line"
+    assert got[(1, 2)] == "tail one"
+    # doc 2 loses 'shared line' and 'alpha beta', keeps 'middle'
+    assert [k for k in got if k[0] == 2] == [(2, 2)]
+    assert got[(2, 2)] == "middle"
+    assert got[(3, 0)] == "unique only"
+
+
+def test_line_dedup_docs_reassembles_and_keeps_empty_docs(ray_session):
+    ds = _ds(
+        [
+            (1, "first window second"),
+            (2, "first window second"),  # fully duplicated doc
+        ]
+    )
+    out = (
+        C.dedup_lines_docs(ds)
+        .to_pandas()
+        .set_index("doc_id")["text_dedup"]
+        .to_dict()
+    )
+    assert out == {1: "first | second", 2: ""}
+
+
+def test_decontaminate_ngrams_flags_shared_13gram(ray_session):
+    toks = " ".join(f"t{i}" for i in range(13))
+    ds = _ds(
+        [
+            (1, "prefix " + toks + " suffix"),  # shares the 13-gram
+            (2, "totally different words " + " ".join(f"u{i}" for i in range(13))),
+            (3, toks[:-1] + "X"),  # 12 tokens shared + one changed
+        ]
+    )
+    bench = _ds([(99, "lead " + toks)])
+    clean = C.decontaminate_ngrams(ds, bench).to_pandas()["doc_id"].tolist()
+    assert sorted(clean) == [2, 3]
+
+
+def test_quantile_filter_exact_count(ray_session):
+    n = 1000
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), pa.int64()),
+                "n_chars": pa.array(np.arange(n), pa.int64()),
+            }
+        )
+    )
+    out = C.quantile_filter(ds, "n_chars", 0.9).to_pandas()
+    # quantile_cont(0..999, 0.9) = 899.1 -> keep 900..999
+    assert sorted(out["n_chars"]) == list(range(900, 1000))

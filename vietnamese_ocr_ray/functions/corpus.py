@@ -1,0 +1,363 @@
+"""Corpus-level text hygiene — the C4/RefinedWeb-style cleanup ops a
+web-scale training-data pipeline runs between extraction and training:
+
+* :func:`dedup_lines` / :func:`dedup_lines_docs` — corpus-wide exact
+  LINE dedup: every repeated line keeps only its first occurrence
+  (global (doc_id, ord) order), docs reassemble from the survivors.
+  ONE shuffle, bucketed on the line hash: all copies of a line share a
+  bucket, so each reduce task resolves first-occurrence with one
+  vectorized pandas transform — no per-line Python, no winners join.
+* :func:`decontaminate_ngrams` — benchmark decontamination by token
+  n-gram overlap (the standard 13-gram method): a doc is contaminated
+  if ANY of its n-grams appears in the benchmark set. Rolling-hash
+  prefilter over the flat token buffer + exact string verify on hash
+  hits only; the benchmark n-gram set is benchmark-sized and ships
+  once via ray.put (same contract as the whole-doc `decontaminate`).
+* :func:`quantile_filter` — keep rows at or above an exact global
+  quantile of an integer-valued score column. Two passes: a
+  value-domain histogram (per-batch value_counts partials -> bucketed
+  merge -> tiny driver table over DISTINCT score values), exact
+  quantile_cont interpolation on the histogram, then a broadcast
+  threshold filter. The shuffle carries one row per distinct value
+  per block — never the corpus.
+
+All SQL-mirrored (oracles in ``__ray_entry__.py``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from vietnamese_ocr_ray.functions.dedup import content_hash64
+from vietnamese_ocr_ray.functions.joins import key_bucket
+
+# (doc_id, ord) packed into one int64 order key; ord < 2^20 per doc
+# (a doc with a million lines should have been split upstream)
+_ORD_SCALE = 1 << 20
+
+LINE_DELIM = " window "  # the corpus paragraph token (see html.py)
+LINE_JOIN = " | "
+
+
+def explode_lines(
+    ds: rd.Dataset, delim: str = LINE_DELIM, text_col: str = "text"
+) -> rd.Dataset:
+    """(doc_id, ord, line): one row per line, flat-buffer vectorized."""
+
+    def ex(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(batch.column(text_col), delim)
+        lists = (
+            lists.combine_chunks()
+            if isinstance(lists, pa.ChunkedArray)
+            else lists
+        )
+        flat = lists.flatten()
+        offs = np.asarray(lists.offsets, dtype=np.int64)
+        counts = np.diff(offs)
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        doc = np.repeat(ids, counts)
+        ords = np.arange(offs[-1], dtype=np.int64) - np.repeat(
+            offs[:-1], counts
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc),
+                "ord": pa.array(ords),
+                "line": flat,
+            }
+        )
+
+    return ds.map_batches(ex, batch_format="pyarrow")
+
+
+def dedup_lines(
+    ds: rd.Dataset, delim: str = LINE_DELIM, num_buckets: int = 64
+) -> rd.Dataset:
+    """Surviving (doc_id, ord, line) rows after corpus-wide exact line
+    dedup (first global occurrence wins). All copies of a line hash to
+    one bucket; the bucket keeps rows whose packed order key equals the
+    per-line min — one vectorized transform per bucket."""
+    lines = explode_lines(ds, delim)
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        doc = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        ords = np.asarray(batch.column("ord"), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "ord": batch.column("ord"),
+                "line": batch.column("line"),
+                "k": pa.array(doc * _ORD_SCALE + ords),
+                "_bucket": pa.array(
+                    key_bucket(batch.column("line"), num_buckets).astype(
+                        np.int32
+                    )
+                ),
+            }
+        )
+
+    def keep_first(g: pd.DataFrame) -> pa.Table:
+        kmin = g.groupby("line", sort=False)["k"].transform("min")
+        kept = g[g["k"] == kmin]
+        return pa.table(
+            {
+                "doc_id": pa.array(kept["doc_id"].to_numpy(np.int64)),
+                "ord": pa.array(kept["ord"].to_numpy(np.int64)),
+                "line": pa.array(kept["line"].to_numpy(object), pa.string()),
+            }
+        )
+
+    return (
+        lines.map_batches(add_key, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: keep_first(g.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        )
+    )
+
+
+def dedup_lines_docs(
+    ds: rd.Dataset,
+    delim: str = LINE_DELIM,
+    join: str = LINE_JOIN,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """(doc_id, text_dedup): docs reassembled from surviving lines in
+    original order; a doc whose every line was seen earlier elsewhere
+    keeps ''. Second bucket shuffle on doc_id; a zero-line sentinel per
+    doc rides along so empties survive reassembly."""
+    kept = dedup_lines(ds, delim, num_buckets)
+
+    def tag_kept(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "ord": batch.column("ord"),
+                "line": batch.column("line"),
+                "_bucket": pa.array(
+                    key_bucket(batch.column("doc_id"), num_buckets).astype(
+                        np.int32
+                    )
+                ),
+            }
+        )
+
+    def sentinels(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "ord": pa.array(np.full(n, -1, np.int64)),
+                "line": pa.array([""] * n, pa.string()),
+                "_bucket": pa.array(
+                    key_bucket(batch.column("doc_id"), num_buckets).astype(
+                        np.int32
+                    )
+                ),
+            }
+        )
+
+    def reassemble(g: pd.DataFrame) -> pa.Table:
+        real = g[g["ord"] >= 0].sort_values(["doc_id", "ord"], kind="stable")
+        joined = (
+            real.groupby("doc_id", sort=False)["line"]
+            .agg(lambda s: join.join(s))
+            .rename("text_dedup")
+        )
+        all_ids = pd.Index(g["doc_id"].unique(), name="doc_id")
+        out = joined.reindex(all_ids, fill_value="").reset_index()
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+                "text_dedup": pa.array(
+                    out["text_dedup"].to_numpy(object), pa.string()
+                ),
+            }
+        )
+
+    union = kept.map_batches(tag_kept, batch_format="pyarrow").union(
+        ds.select_columns(["doc_id"]).map_batches(
+            sentinels, batch_format="pyarrow"
+        )
+    )
+    return union.groupby("_bucket").map_groups(
+        lambda g: reassemble(g.drop(columns=["_bucket"])),
+        batch_format="pandas",
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_NGRAM_P = np.uint64(1099511628211)  # FNV prime as the rolling multiplier
+
+
+def _token_lists(text_col) -> tuple[pa.Array, np.ndarray]:
+    toks = pc.split_pattern(text_col, " ")
+    toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    return toks.flatten(), np.asarray(toks.offsets, dtype=np.int64)
+
+
+def _ngram_hashes(flat: pa.Array, offs: np.ndarray, n: int):
+    """(position hashes uint64, valid mask) over the flat token buffer.
+    Position i hashes tokens i..i+n-1; valid iff the window stays
+    inside one doc."""
+    th = content_hash64(flat)
+    total = th.shape[0]
+    if total < n:
+        return np.empty(0, np.uint64), np.empty(0, bool)
+    m = total - n + 1
+    h = np.zeros(m, np.uint64)
+    for j in range(n):
+        h = h * _NGRAM_P + th[j : j + m]
+    # doc index per token -> window valid iff first and last token
+    # share a doc
+    counts = np.diff(offs)
+    doc_of = np.repeat(np.arange(counts.shape[0], dtype=np.int64), counts)
+    valid = doc_of[: m] == doc_of[n - 1 : n - 1 + m]
+    return h, valid
+
+
+def _ngram_strings(flat: pa.Array, positions: np.ndarray, n: int) -> pa.Array:
+    """The exact n-gram strings at the given flat positions (n takes +
+    one join — vectorized over positions)."""
+    parts = [flat.take(pa.array(positions + j)) for j in range(n)]
+    return pc.binary_join_element_wise(*parts, pa.scalar(" "))
+
+
+def decontaminate_ngrams(
+    ds: rd.Dataset,
+    bench: rd.Dataset,
+    n: int = 13,
+) -> rd.Dataset:
+    """doc_ids of documents sharing NO token n-gram with the benchmark
+    corpus. The benchmark n-gram set (hashes for the prefilter, exact
+    strings for verification) is collected once on the driver —
+    benchmark-sized by definition — and broadcast via ray.put; each
+    corpus batch rolls its own hashes over the flat token buffer and
+    builds strings only for hash hits."""
+    import ray
+
+    hs, ss = [], []
+    for b in bench.iter_batches(batch_format="pyarrow"):
+        flat, offs = _token_lists(
+            b.column("text").combine_chunks()
+            if isinstance(b.column("text"), pa.ChunkedArray)
+            else b.column("text")
+        )
+        h, valid = _ngram_hashes(flat, offs, n)
+        pos = np.nonzero(valid)[0]
+        if pos.size:
+            hs.append(h[pos])
+            ss.append(
+                np.asarray(_ngram_strings(flat, pos, n).to_pylist(), object)
+            )
+    bench_h = np.unique(np.concatenate(hs)) if hs else np.empty(0, np.uint64)
+    bench_s = np.unique(np.concatenate(ss)) if ss else np.empty(0, object)
+    handle = ray.put((bench_h, bench_s))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        bh, bs = ray.get(handle)
+        text = batch.column("text")
+        text = (
+            text.combine_chunks()
+            if isinstance(text, pa.ChunkedArray)
+            else text
+        )
+        flat, offs = _token_lists(text)
+        h, valid = _ngram_hashes(flat, offs, n)
+        contaminated = np.zeros(batch.num_rows, dtype=bool)
+        if h.size and bh.size:
+            pos_c = np.minimum(np.searchsorted(bh, h), bh.size - 1)
+            maybe = valid & (bh[pos_c] == h)
+            cand = np.nonzero(maybe)[0]
+            if cand.size:  # exact verify only on hash hits
+                strs = np.asarray(
+                    _ngram_strings(flat, cand, n).to_pylist(), object
+                )
+                hit = np.isin(strs, bs)
+                if hit.any():
+                    counts = np.diff(offs)
+                    doc_of = np.repeat(
+                        np.arange(counts.shape[0], dtype=np.int64), counts
+                    )
+                    contaminated[np.unique(doc_of[cand[hit]])] = True
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").filter(
+                    pa.array(~contaminated)
+                )
+            }
+        )
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact global-quantile threshold filter
+# ---------------------------------------------------------------------------
+
+
+def quantile_filter(
+    ds: rd.Dataset,
+    col: str = "n_chars",
+    q: float = 0.9,
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Rows with ``col >= quantile_cont(col, q)`` — exact, two passes.
+    Pass 1 reduces to a value-domain histogram (distinct integer score
+    values), pass 2 filters against the interpolated threshold. The
+    threshold may fall strictly between two consecutive data values, so
+    last-bit float noise cannot flip any row (both engines keep exactly
+    the rows >= the upper neighbour)."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column(col))
+        return pa.table(
+            {
+                "v": pc.struct_field(vc, "values"),
+                "n": pc.cast(pc.struct_field(vc, "counts"), pa.int64()),
+            }
+        )
+
+    hist = (
+        hash_aggregate(
+            ds.select_columns([col]).map_batches(
+                partial, batch_format="pyarrow"
+            ),
+            ["v"],
+            {"n": ("n", "sum")},
+        )
+        .to_pandas()
+        .sort_values("v")
+    )  # distinct score values only — domain-sized, not corpus-sized
+    vals = hist["v"].to_numpy(np.int64)
+    cnts = hist["n"].to_numpy(np.int64)
+    total = int(cnts.sum())
+    if total == 0:
+        return ds.select_columns([id_col, col]).limit(0)
+    pos = q * (total - 1)
+    lo = int(np.floor(pos))
+    hi = min(lo + 1, total - 1)
+    cum = np.cumsum(cnts)
+    v_lo = float(vals[np.searchsorted(cum, lo, side="right")])
+    v_hi = float(vals[np.searchsorted(cum, hi, side="right")])
+    thr = v_lo + (pos - lo) * (v_hi - v_lo)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch.column(col), dtype=np.float64)
+        return batch.filter(pa.array(x >= thr))
+
+    return (
+        ds.select_columns([id_col, col])
+        .map_batches(keep, batch_format="pyarrow")
+    )
