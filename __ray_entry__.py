@@ -937,6 +937,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_sum": lambda sf: relational.running_value_sum(sf),
         "running_sum_global": lambda sf: relational.running_value_sum_rangesort(sf),
         "event_lag": lambda sf: relational.event_lag(sf),
+        "event_lead": lambda sf: relational.event_lead(sf),
+        "user_first_last": lambda sf: relational.user_first_last(sf),
+        "value_stddev": lambda sf: relational.value_stddev(sf),
         "rolling_avg": lambda sf: relational.rolling_avg(sf),
         "window_debounce": lambda sf: relational.window_debounce(sf),
         "decontaminate": _decontaminate,
@@ -1994,6 +1997,51 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id, user_id, prev_event_id,
                CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT) AS gap_us
         FROM w WHERE prev_event_id IS NOT NULL
+        """,
+        "event_lead": """
+        WITH w AS (
+          SELECT event_id, user_id, ts,
+                 LEAD(event_id) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_event_id,
+                 LEAD(ts) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_ts
+          FROM events)
+        SELECT event_id, user_id, next_event_id,
+               CAST(epoch_us(next_ts) - epoch_us(ts) AS BIGINT) AS gap_us
+        FROM w WHERE next_event_id IS NOT NULL
+        """,
+        "user_first_last": """
+        WITH w AS (
+          SELECT user_id,
+                 COUNT(*) OVER p AS n_events,
+                 FIRST_VALUE(event_id) OVER o AS first_event_id,
+                 FIRST_VALUE(value) OVER o AS first_val,
+                 LAST_VALUE(event_id) OVER o AS last_event_id,
+                 LAST_VALUE(value) OVER o AS last_val
+          FROM events
+          WINDOW p AS (PARTITION BY user_id),
+                 o AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING))
+        SELECT DISTINCT user_id, n_events, first_event_id, first_val,
+                        last_event_id, last_val
+        FROM w
+        """,
+        "value_stddev": """
+        WITH c AS (
+          SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS u
+          FROM events),
+        s AS (
+          SELECT event_type,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(u) AS DOUBLE) AS sx,
+                 CAST(sum(u * u) AS DOUBLE) AS sxx
+          FROM c GROUP BY event_type
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n_events,
+               ROUND(sqrt((n * sxx - sx * sx) / (n * (n - 1))) / 1000.0,
+                     6) AS stddev_value
+        FROM s
         """,
         "rolling_avg": """
         WITH c AS (

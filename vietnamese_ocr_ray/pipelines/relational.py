@@ -1344,3 +1344,185 @@ def value_hour_corr(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def value_stddev(sf_dir: str) -> rd.Dataset:
+    """Sample stddev of value per event_type from EXACT integer moment
+    sums (value scaled 1e3): both engines evaluate the identical
+    closed form sqrt((n*sxx - sx^2)/(n*(n-1)))/1000 on identical
+    integers-as-doubles — bit-exact before the final round. Same
+    partial/combiner shape as value_hour_corr."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _cents(batch.column("value"), 1000).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "event_type": batch.column("event_type").to_numpy(
+                    zero_copy_only=False
+                ),
+                "sx": x,
+                "sxx": x * x,
+            }
+        )
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("sx", "size"), sx=("sx", "sum"), sxx=("sxx", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sxx", alias_name="sxx"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = np.asarray(b.column("n"), dtype=np.float64)
+        sx = np.asarray(b.column("sx"), dtype=np.float64)
+        sxx = np.asarray(b.column("sxx"), dtype=np.float64)
+        sd = np.sqrt((n * sxx - sx * sx) / (n * (n - 1))) / 1000.0
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "n_events": pc.cast(b.column("n"), pa.int64()),
+                "stddev_value": pa.array(
+                    [round(float(v), 6) for v in sd], pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def event_lead(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """LEAD window (next event of the same user) — the mirror of
+    :func:`event_lag`: one bucket shuffle, one sort per bucket,
+    next-row columns via shifted views masked at user boundaries; rows
+    without a successor drop."""
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_bucket",
+            pa.array(key_bucket(b.column("user_id"), num_buckets).astype(np.int32)),
+        )
+
+    def lead(g: pd.DataFrame) -> pa.Table:
+        s = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        user = s["user_id"].to_numpy()
+        ev = s["event_id"].to_numpy(np.int64)
+        ts = s["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        same = np.zeros(len(s), dtype=bool)
+        same[:-1] = user[:-1] == user[1:]
+        nxt_ev = np.empty_like(ev)
+        nxt_ts = np.empty_like(ts)
+        nxt_ev[:-1] = ev[1:]
+        nxt_ts[:-1] = ts[1:]
+        return pa.table(
+            {
+                "event_id": pa.array(ev[same]),
+                "user_id": pa.array(user[same]),
+                "next_event_id": pa.array(nxt_ev[same]),
+                "gap_us": pa.array(nxt_ts[same] - ts[same]),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: lead(g.drop(columns=["_bucket"])), batch_format="pandas"
+        )
+    )
+
+
+def user_first_last(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """first_value/last_value per user over (ts, event_id) order — the
+    distributed argmin/argmax combiner: each batch keeps only its
+    per-user first and last candidate rows (plus a count), the bucketed
+    reduce re-runs the same boundary pick over candidates. The shuffle
+    carries <= 2 rows per user per block, never the events."""
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def candidates(df: pd.DataFrame, n_col: np.ndarray) -> pd.DataFrame:
+        """First+last row per user of a frame SORTED by
+        (user, ts, event_id); the user's total n lands on its first
+        row (0 elsewhere) so sums survive re-reduction."""
+        user = df["user_id"].to_numpy()
+        first = np.ones(len(df), dtype=bool)
+        first[1:] = user[1:] != user[:-1]
+        last = np.ones(len(df), dtype=bool)
+        last[:-1] = first[1:]
+        keep = first | last
+        runs = np.nonzero(first)[0]
+        n_row = np.zeros(len(df), dtype=np.int64)
+        n_row[runs] = np.add.reduceat(np.asarray(n_col, np.int64), runs)
+        out = df[keep].copy()
+        out["n"] = n_row[keep]
+        return out
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pa.Table.to_pandas(batch)
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        out = candidates(df, np.ones(len(df), np.int64))
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_bucket",
+            pa.array(key_bucket(b.column("user_id"), num_buckets).astype(np.int32)),
+        )
+
+    def reduce_bucket(g: pd.DataFrame) -> pa.Table:
+        s = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        cand = candidates(s, s["n"].to_numpy(np.int64))
+        user = cand["user_id"].to_numpy(np.int64)
+        first = np.ones(len(cand), dtype=bool)
+        first[1:] = user[1:] != user[:-1]
+        # one row out per user: first row + its matching last row (the
+        # run is 1 row when first == last)
+        runs = np.nonzero(first)[0]
+        ends = np.append(runs[1:], len(cand)) - 1
+        ev = cand["event_id"].to_numpy(np.int64)
+        val = cand["value"].to_numpy(np.float64)
+        n = cand["n"].to_numpy(np.int64)
+        totals = np.add.reduceat(n, runs)
+        return pa.table(
+            {
+                "user_id": pa.array(user[runs]),
+                "n_events": pa.array(totals),
+                "first_event_id": pa.array(ev[runs]),
+                "first_val": pa.array(val[runs], pa.float64()),
+                "last_event_id": pa.array(ev[ends]),
+                "last_val": pa.array(val[ends], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: reduce_bucket(g.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        )
+    )
