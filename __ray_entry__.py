@@ -708,6 +708,17 @@ def _approx_distinct_tokens(sf_dir: str):
     return approx_distinct_tokens(_docs(sf_dir, ("text",)))
 
 
+def _lm_score(sf_dir: str):
+    """Per-doc quality score under an add-one-smoothed bigram LM
+    trained on the corpus itself (CCNet-style perplexity filtering).
+    Bigram counts via one bucketed hash-aggregate; per-bigram
+    log-probs quantized to integer micro-nats before the per-doc mean
+    so the result is order-independent (see functions/lm.py)."""
+    from vietnamese_ocr_ray.functions.lm import lm_score
+
+    return lm_score(_docs(sf_dir))
+
+
 def _approx_users_per_type(sf_dir: str):
     """Grouped HLL distinct-user estimate per event_type (rows-only:
     HLL estimation noise is not SQL-expressible; accuracy vs the exact
@@ -1032,6 +1043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": _top_bigrams,
         "tfidf_top_terms": lambda sf: tfidf_top_terms(_docs(sf)),
         "tfidf_join": lambda sf: tfidf_top_terms_join(_docs(sf)),
+        "lm_score": _lm_score,
         "approx_distinct_tokens": _approx_distinct_tokens,
         "approx_quantiles": _approx_quantiles,
     }
@@ -1561,6 +1573,27 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_occurrences
         FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
         GROUP BY bigram ORDER BY n_occurrences DESC, bigram LIMIT 10
+        """,
+        "lm_score": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        e AS (SELECT doc_id, unnest(l) AS tok,
+                     unnest(list_transform(l, (x, i) -> i)) AS pos FROM t),
+        b AS (SELECT a.doc_id, a.tok AS w1, c.tok AS w2
+              FROM e a JOIN e c ON a.doc_id = c.doc_id AND c.pos = a.pos + 1),
+        cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS nb
+               FROM b GROUP BY w1, w2),
+        cu AS (SELECT w1, CAST(sum(nb) AS BIGINT) AS nu FROM cb GROUP BY w1),
+        v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM e),
+        q AS (SELECT b.doc_id,
+                     CAST(round(ln((cb.nb + 1) / (cu.nu + v.v)) * 1000000)
+                          AS BIGINT) AS q
+              FROM b JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v),
+        s AS (SELECT doc_id, -sum(q) AS s, count(*) AS cnt
+              FROM q GROUP BY doc_id)
+        SELECT doc_id, CAST(cnt AS BIGINT) AS n_bigrams,
+               CAST((2 * s + cnt) // (2 * cnt) AS DOUBLE) / 1000000.0
+                 AS lm_score
+        FROM s
         """,
         "tfidf_top_terms": """
         WITH tok AS (

@@ -927,3 +927,42 @@ def test_grouped_hll_matches_exact_within_tolerance(ray_session):
         assert abs(row["approx_distinct"] - true) <= max(3, 0.05 * true), (
             row["event_type"], row["approx_distinct"], true,
         )
+
+
+def test_lm_score_ranks_predictable_text_lower(ray_session):
+    """Docs made of the corpus's dominant bigram chain must score
+    LOWER (more probable) than docs of rare one-off bigrams, and the
+    add-one-smoothed probabilities must match a dict-based reference."""
+    from vietnamese_ocr_ray.functions.lm import lm_score
+
+    common = ["the cat sat on the mat"] * 20
+    rare = ["zig quux vex jolt brr"]
+    texts = common + rare
+    ds = rd.from_arrow(_docs_table(texts))
+    out = lm_score(ds).to_pandas().set_index("doc_id")
+    assert out.loc[0, "lm_score"] < out.loc[len(texts) - 1, "lm_score"]
+    assert (out["n_bigrams"] == 5).all() if len(set(out["n_bigrams"])) == 1 else True
+
+    # dict reference: p(w2|w1) = (c(w1,w2)+1) / (ctx(w1)+V)
+    from collections import Counter
+
+    bg, ctx, vocab = Counter(), Counter(), set()
+    for t in texts:
+        toks = t.split(" ")
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            bg[(a, b)] += 1
+            ctx[a] += 1
+    import math
+
+    for doc_id, t in enumerate(texts):
+        toks = t.split(" ")
+        qs = [
+            round(
+                math.log((bg[(a, b)] + 1) / (ctx[a] + len(vocab))) * 1e6
+            )
+            for a, b in zip(toks, toks[1:])
+        ]
+        s = -sum(qs)
+        expect = ((2 * s + len(qs)) // (2 * len(qs))) / 1e6
+        assert out.loc[doc_id, "lm_score"] == expect, doc_id

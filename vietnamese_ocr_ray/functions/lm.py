@@ -1,0 +1,157 @@
+"""Corpus-trained bigram language-model scoring (CCNet-style quality
+filtering: docs whose text the corpus LM finds improbable are
+boilerplate / gibberish candidates — reference has no analog; this is
+a beyond-reference training-data op).
+
+Model: add-one-smoothed bigram LM trained on the corpus itself.
+    p(w2 | w1) = (c(w1, w2) + 1) / (ctx(w1) + V)
+with ``c`` the corpus bigram count, ``ctx(w1)`` the count of w1 as a
+bigram CONTEXT (occurrences excluding doc-final positions, i.e. the
+row-sum of the bigram-count table), and ``V`` the corpus distinct
+token count. A document's score is the negative mean bigram
+log-probability (nats) — higher = less probable = lower quality.
+
+Determinism contract (how this stays bit-exact vs the DuckDB oracle):
+each bigram's log-prob is quantized to integer micro-nats
+(``round(ln(p) * 1e6)`` as int64) BEFORE the per-doc mean, so the sum
+is order-independent integer arithmetic; only the final division and
+6-digit round are float. numpy's log and DuckDB's ln agree far beyond
+the micro-nat quantum on these inputs.
+
+Scale shape: bigram counts are ONE bucketed hash-aggregate over
+per-batch partial counts (the shuffle carries distinct bigrams per
+block, not token occurrences); context counts and V derive from that
+table (no second pass over the corpus). Scoring broadcasts the count
+tables as sorted arrays — vocabulary-bounded, the same contract as
+:func:`~vietnamese_ocr_ray.functions.text.tfidf_top_terms` (for
+vocabularies beyond a worker heap, the token-bucket cogroup of
+``tfidf_top_terms_join`` applies identically: score bigram rows in a
+w1-bucket cogroup against the count table, then doc-bucket reduce).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+_SCALE = 1_000_000  # micro-nat quantization of per-bigram log-probs
+
+
+def _doc_bigrams(batch: pa.Table):
+    """(doc_ids, w1, w2) flat arrays of adjacent-token pairs, doc
+    boundaries masked — the vectorized slice-join of top_bigrams."""
+    toks_list = pc.split_pattern(batch.column("text"), " ")
+    flat = pc.list_flatten(toks_list)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    ntok = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+    n = len(flat)
+    if n < 2:
+        e = pa.array([], pa.string())
+        return np.array([], np.int64), e, e
+    w1 = flat.slice(0, n - 1)
+    w2 = flat.slice(1, n - 1)
+    ends = np.cumsum(ntok) - 1
+    valid = np.ones(n - 1, dtype=bool)
+    valid[ends[ends < n - 1]] = False
+    vmask = pa.array(valid)
+    doc = np.repeat(
+        np.asarray(batch.column("doc_id"), dtype=np.int64), ntok
+    )[:-1][valid]
+    return doc, w1.filter(vmask), w2.filter(vmask)
+
+
+def bigram_counts(ds: rd.Dataset, num_buckets: int = 64) -> rd.Dataset:
+    """Corpus bigram count table (w1, w2, n) — per-batch partial
+    value_counts, one bucketed hash-aggregate on w1."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, w1, w2 = _doc_bigrams(batch)
+        joined = pc.binary_join_element_wise(w1, w2, pa.scalar("\x1f"))
+        vc = pc.value_counts(joined)
+        pair = pc.split_pattern(
+            pc.struct_field(vc, "values"), "\x1f", max_splits=1
+        )
+        flat = pc.list_flatten(pair)
+        return pa.table(
+            {
+                "w1": flat.take(np.arange(0, len(flat), 2)),
+                "w2": flat.take(np.arange(1, len(flat), 2)),
+                "n": pc.struct_field(vc, "counts").cast(pa.int64()),
+            }
+        )
+
+    return hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["w1", "w2"],
+        {"n": ("n", "sum")},
+        num_buckets=num_buckets,
+    )
+
+
+def lm_score(ds: rd.Dataset) -> rd.Dataset:
+    """Per-doc negative mean bigram log-prob under the corpus bigram
+    LM. Output: (doc_id, n_bigrams, lm_score) for docs with >= 2
+    tokens. See module docstring for the determinism contract."""
+    import ray
+
+    from vietnamese_ocr_ray.functions.sketch import distinct_token_count
+
+    counts = bigram_counts(ds).to_pandas()  # vocabulary-bounded
+    bg_key = pa.array(
+        counts["w1"].to_numpy() + "\x1f" + counts["w2"].to_numpy(), pa.string()
+    )
+    bg_n = counts["n"].to_numpy(np.int64)
+
+    ctx = counts.groupby("w1", as_index=False, sort=False)["n"].sum()
+    ctx_key = pa.array(ctx["w1"].to_numpy(), pa.string())
+    ctx_n = ctx["n"].to_numpy(np.int64)
+
+    vocab = float(distinct_token_count(ds)["n_distinct_tokens"][0].as_py())
+    handle = ray.put((bg_key, bg_n, ctx_key, ctx_n))
+
+    def score(batch: pa.Table) -> pa.Table:
+        bg_key, bg_n, ctx_key, ctx_n = ray.get(handle)
+        doc, w1, w2 = _doc_bigrams(batch)
+        if len(doc) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_bigrams": pa.array([], pa.int64()),
+                    "lm_score": pa.array([], pa.float64()),
+                }
+            )
+        joined = pc.binary_join_element_wise(w1, w2, pa.scalar("\x1f"))
+        # every doc bigram exists in the corpus counts (trained on the
+        # same corpus), so index_in never returns null
+        nb = bg_n[pc.index_in(joined, value_set=bg_key).to_numpy()]
+        nu = ctx_n[pc.index_in(w1, value_set=ctx_key).to_numpy()]
+        # micro-nat quantization BEFORE the sum (order-independent)
+        q = np.round(
+            np.log((nb + 1.0) / (nu + vocab)) * _SCALE
+        ).astype(np.int64)
+        # docs arrive contiguous in bigram order: reduce by run
+        first = np.ones(len(doc), dtype=bool)
+        first[1:] = doc[1:] != doc[:-1]
+        runs = np.nonzero(first)[0]
+        s = -np.add.reduceat(q, runs)  # positive micro-nat totals
+        cnt = np.diff(np.append(runs, len(doc))).astype(np.int64)
+        # 6-dp round in INTEGER micro-nats (half away from zero) — the
+        # float path lands on exact .5e-6 boundaries where numpy
+        # (half-even) and SQL ROUND (half-away) disagree
+        r = (2 * s + cnt) // (2 * cnt)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[runs]),
+                "n_bigrams": pa.array(cnt),
+                "lm_score": pa.array(
+                    r.astype(np.float64) / _SCALE, pa.float64()
+                ),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
