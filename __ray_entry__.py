@@ -542,6 +542,51 @@ def _dedup_neardup_cosine(sf_dir: str):
     )
 
 
+def _dup_degree_hist(sf_dir: str):
+    """Degree distribution of the cosine>=0.4 dup graph (including
+    degree-0 nodes): how clustered is the duplication — the shape
+    audit run before choosing a dedup survivor policy. Endpoint rows
+    from the exact pair set -> bucketed hash-aggregate per node ->
+    tiny histogram aggregate; the degree-0 row derives from two scalar
+    counts, never a node-set materialization."""
+    import ray.data as rd
+
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec": pa.concat_arrays(
+                    [
+                        b.column("vec_id_a").combine_chunks()
+                        if isinstance(b.column("vec_id_a"), pa.ChunkedArray)
+                        else b.column("vec_id_a"),
+                        b.column("vec_id_b").combine_chunks()
+                        if isinstance(b.column("vec_id_b"), pa.ChunkedArray)
+                        else b.column("vec_id_b"),
+                    ]
+                )
+            }
+        )
+
+    deg = hash_aggregate(
+        _embedding_neardup(sf_dir).map_batches(endpoints, batch_format="pyarrow"),
+        ["vec"],
+        {"degree": ("vec", "count")},
+    ).materialize()  # nodes-with-an-edge only: pair-set bounded, small
+    n_total = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id"]).count()
+    hist = hash_aggregate(deg, ["degree"], {"n_nodes": ("degree", "count")})
+    zero = rd.from_arrow(
+        pa.table(
+            {
+                "degree": pa.array([0], pa.int64()),
+                "n_nodes": pa.array([n_total - deg.count()], pa.int64()),
+            }
+        )
+    )
+    return hist.union(zero)
+
+
 def _embedding_neardup_lsh(sf_dir: str):
     """Approximate multi-table hyperplane-LSH cosine near-dup pairs —
     the 100 TB path that replaces the exact O(N^2) block-pair matmul
@@ -717,6 +762,23 @@ def _lm_score(sf_dir: str):
     from vietnamese_ocr_ray.functions.lm import lm_score
 
     return lm_score(_docs(sf_dir))
+
+
+def _pmi_collocations(sf_dir: str):
+    """Top-20 PMI collocations with a min-count-5 support floor —
+    phrase mining over the corpus bigram table (functions/lm.py)."""
+    from vietnamese_ocr_ray.functions.lm import pmi_collocations
+
+    return pmi_collocations(_docs(sf_dir))
+
+
+def _inverted_index(sf_dir: str):
+    """Retrieval-index construction: token -> (df, sorted posting
+    list); distinct-pair shuffle bucketed on token, vectorized list
+    assembly (functions/text.py:inverted_index)."""
+    from vietnamese_ocr_ray.functions.text import inverted_index
+
+    return inverted_index(_docs(sf_dir))
 
 
 def _approx_users_per_type(sf_dir: str):
@@ -1028,6 +1090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_persisted": _ann_ivf_persisted,
         "embedding_neardup_lsh": _embedding_neardup_lsh,
         "embedding_neardup": _embedding_neardup,
+        "dup_degree_hist": _dup_degree_hist,
         "components": _components,
         "pagerank_dupgraph": _pagerank_dupgraph,
         "dedup_neardup_cosine": _dedup_neardup_cosine,
@@ -1044,6 +1107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": lambda sf: tfidf_top_terms(_docs(sf)),
         "tfidf_join": lambda sf: tfidf_top_terms_join(_docs(sf)),
         "lm_score": _lm_score,
+        "pmi_collocations": _pmi_collocations,
+        "inverted_index": _inverted_index,
         "approx_distinct_tokens": _approx_distinct_tokens,
         "approx_quantiles": _approx_quantiles,
     }
@@ -1413,6 +1478,21 @@ def oracle_sql() -> dict[str, str]:
                 CAST(a.embedding AS DOUBLE[]),
                 CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
         """,
+        "dup_degree_hist": """
+        WITH p AS (
+          SELECT a.vec_id AS va, b.vec_id AS vb
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id < b.vec_id
+            AND round(list_cosine_similarity(
+                  CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])), 6) >= 0.4),
+        ends AS (SELECT va AS vec FROM p UNION ALL SELECT vb AS vec FROM p),
+        deg AS (SELECT e.vec_id, CAST(count(ends.vec) AS BIGINT) AS degree
+                FROM embeddings e LEFT JOIN ends ON e.vec_id = ends.vec
+                GROUP BY e.vec_id)
+        SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY degree
+        """,
         "simhash_tokens": """
         WITH tok AS (
           SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -1594,6 +1674,34 @@ def oracle_sql() -> dict[str, str]:
                CAST((2 * s + cnt) // (2 * cnt) AS DOUBLE) / 1000000.0
                  AS lm_score
         FROM s
+        """,
+        "inverted_index": """
+        WITH e AS (
+          SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+        )
+        SELECT tok, CAST(count(*) AS BIGINT) AS df,
+               string_agg(CAST(doc_id AS VARCHAR), ','
+                          ORDER BY doc_id) AS postings
+        FROM e GROUP BY tok
+        """,
+        "pmi_collocations": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        e AS (SELECT doc_id, unnest(l) AS tok,
+                     unnest(list_transform(l, (x, i) -> i)) AS pos FROM t),
+        b AS (SELECT a.tok AS w1, c.tok AS w2
+              FROM e a JOIN e c ON a.doc_id = c.doc_id AND c.pos = a.pos + 1),
+        cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+               FROM b GROUP BY w1, w2),
+        l AS (SELECT w1, CAST(sum(n) AS BIGINT) AS nl FROM cb GROUP BY w1),
+        r AS (SELECT w2, CAST(sum(n) AS BIGINT) AS nr FROM cb GROUP BY w2),
+        tot AS (SELECT CAST(sum(n) AS DOUBLE) AS b FROM cb)
+        SELECT w1, w2, n AS n_occurrences,
+               ROUND(ln(n * tot.b / (nl * nr)), 6) AS pmi
+        FROM cb JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot
+        WHERE n >= 5
+        ORDER BY pmi DESC, w1, w2 LIMIT 20
         """,
         "tfidf_top_terms": """
         WITH tok AS (

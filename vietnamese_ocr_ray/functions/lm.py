@@ -93,6 +93,67 @@ def bigram_counts(ds: rd.Dataset, num_buckets: int = 64) -> rd.Dataset:
     )
 
 
+def pmi_collocations(
+    ds: rd.Dataset, k: int = 20, min_count: int = 5
+) -> rd.Dataset:
+    """Top-``k`` collocations by pointwise mutual information:
+    pmi(w1, w2) = ln(c12 * B / (left(w1) * right(w2))) with B the
+    corpus bigram total, left/right the marginal bigram-start/-end
+    counts, and a ``min_count`` support floor (rare pairs dominate raw
+    PMI). Phrase mining for tokenizer / vocab construction.
+
+    Scale shape: everything derives from the bigram-count table — two
+    vocabulary-sized hash-aggregates for the marginals (never a second
+    corpus pass), marginals broadcast as sorted arrays into a
+    map_batches over the counts, top-k via sort+limit on the
+    vocabulary-sized scored table. Selection orders on the ROUNDED
+    score (matching the SQL oracle's ORDER BY of the emitted alias)
+    with a (w1, w2) tiebreak."""
+    import ray
+
+    counts = bigram_counts(ds)
+    left = hash_aggregate(
+        counts, ["w1"], {"nl": ("n", "sum")}
+    ).to_pandas()  # vocabulary-bounded
+    right = hash_aggregate(counts, ["w2"], {"nr": ("n", "sum")}).to_pandas()
+    total = float(left["nl"].sum())
+    handle = ray.put(
+        (
+            pa.array(left["w1"].to_numpy(), pa.string()),
+            left["nl"].to_numpy(np.int64),
+            pa.array(right["w2"].to_numpy(), pa.string()),
+            right["nr"].to_numpy(np.int64),
+        )
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        l_key, l_n, r_key, r_n = ray.get(handle)
+        batch = batch.filter(
+            pc.greater_equal(batch.column("n"), pa.scalar(min_count))
+        )
+        w1, w2 = batch.column("w1"), batch.column("w2")
+        if isinstance(w1, pa.ChunkedArray):
+            w1, w2 = w1.combine_chunks(), w2.combine_chunks()
+        nl = l_n[pc.index_in(w1, value_set=l_key).to_numpy()]
+        nr = r_n[pc.index_in(w2, value_set=r_key).to_numpy()]
+        n = np.asarray(batch.column("n"), dtype=np.int64)
+        pmi = np.round(np.log(n * total / (nl * nr)), 6)
+        return pa.table(
+            {
+                "w1": w1,
+                "w2": w2,
+                "n_occurrences": pa.array(n),
+                "pmi": pa.array(pmi, pa.float64()),
+            }
+        )
+
+    return (
+        counts.map_batches(score, batch_format="pyarrow")
+        .sort(["pmi", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+    )
+
+
 def lm_score(ds: rd.Dataset) -> rd.Dataset:
     """Per-doc negative mean bigram log-prob under the corpus bigram
     LM. Output: (doc_id, n_bigrams, lm_score) for docs with >= 2

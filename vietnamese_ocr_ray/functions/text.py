@@ -715,3 +715,65 @@ def bm25_rank(
         .sort(["bm25", "doc_id"], descending=[True, False])
         .limit(k)
     )
+
+
+def inverted_index(ds: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
+    """Inverted index build: (tok, df, postings) with postings the
+    comma-joined doc_ids sorted ascending — the retrieval-index
+    construction pass of a search/RAG data pipeline.
+
+    Scale shape: the shuffle carries DISTINCT (tok, doc) pairs (per
+    batch dedup first), bucketed on tok so a token's full posting list
+    lands in one task; list assembly is offsets + ``pc.binary_join``
+    (no per-group Python). A bucket holds ~vocab/num_buckets posting
+    lists — raise num_buckets for corpora with hot vocabularies.
+    """
+    import pandas as pd
+
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        toks_list = pc.split_pattern(batch.column("text"), " ")
+        flat = pc.list_flatten(toks_list)
+        ntok = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+        doc = np.repeat(
+            np.asarray(batch.column("doc_id"), dtype=np.int64), ntok
+        )
+        df = (
+            pd.DataFrame({"tok": np.asarray(flat), "doc_id": doc})
+            .drop_duplicates()
+        )
+        t = pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(
+            None
+        )
+        return t.append_column(
+            "_bucket",
+            pa.array(key_bucket(t.column("tok"), num_buckets).astype(np.int32)),
+        )
+
+    def build(g: pd.DataFrame) -> pa.Table:
+        g = g.drop_duplicates(["tok", "doc_id"]).sort_values(
+            ["tok", "doc_id"], kind="stable"
+        )
+        tok = g["tok"].to_numpy()
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = tok[1:] != tok[:-1]
+        runs = np.nonzero(first)[0]
+        offsets = np.append(runs, len(g)).astype(np.int32)
+        ids = pc.cast(pa.array(g["doc_id"].to_numpy(np.int64)), pa.string())
+        lists = pa.ListArray.from_arrays(pa.array(offsets), ids)
+        return pa.table(
+            {
+                "tok": pa.array(tok[runs], pa.string()),
+                "df": pa.array(np.diff(offsets).astype(np.int64)),
+                "postings": pc.binary_join(lists, pa.scalar(",")),
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: build(g.drop(columns=["_bucket"])), batch_format="pandas"
+        )
+    )
