@@ -772,6 +772,15 @@ def _pmi_collocations(sf_dir: str):
     return pmi_collocations(_docs(sf_dir))
 
 
+def _ttr(sf_dir: str):
+    """Per-doc type-token ratio (lexical diversity) — batch-local
+    lexsort run-detect distinct counting, integer 6-dp rounding
+    (functions/text.py:type_token_ratio)."""
+    from vietnamese_ocr_ray.functions.text import type_token_ratio
+
+    return type_token_ratio(_docs(sf_dir))
+
+
 def _inverted_index(sf_dir: str):
     """Retrieval-index construction: token -> (df, sorted posting
     list); distinct-pair shuffle bucketed on token, vectorized list
@@ -1011,6 +1020,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_sum_global": lambda sf: relational.running_value_sum_rangesort(sf),
         "event_lag": lambda sf: relational.event_lag(sf),
         "event_lead": lambda sf: relational.event_lead(sf),
+        "first_seen_cumulative": lambda sf: relational.first_seen_cumulative(sf),
+        "lang_embedding_join": lambda sf: relational.lang_embedding_join(sf),
+        "ttr": _ttr,
         "user_first_last": lambda sf: relational.user_first_last(sf),
         "value_stddev": lambda sf: relational.value_stddev(sf),
         "rolling_avg": lambda sf: relational.rolling_avg(sf),
@@ -1674,6 +1686,34 @@ def oracle_sql() -> dict[str, str]:
                CAST((2 * s + cnt) // (2 * cnt) AS DOUBLE) / 1000000.0
                  AS lm_score
         FROM s
+        """,
+        "ttr": """
+        WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+        c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
+              FROM e GROUP BY doc_id)
+        SELECT doc_id, n_tokens, n_distinct,
+               CAST((2 * 1000000 * n_distinct + n_tokens)
+                    // (2 * n_tokens) AS DOUBLE) / 1000000.0 AS ttr
+        FROM c
+        """,
+        "first_seen_cumulative": """
+        WITH f AS (SELECT user_id, strftime(min(ts), '%Y-%m-%d') AS first_day
+                   FROM events GROUP BY user_id),
+        d AS (SELECT first_day, CAST(count(*) AS BIGINT) AS new_users
+              FROM f GROUP BY first_day)
+        SELECT first_day, new_users,
+               CAST(sum(new_users) OVER (ORDER BY first_day) AS BIGINT)
+                 AS cumulative_users
+        FROM d
+        """,
+        "lang_embedding_join": """
+        SELECT d.lang, count(*) AS n_vecs,
+               round(avg(sqrt(list_sum(list_transform(
+                 CAST(e.embedding AS DOUBLE[]), x -> x * x)))), 4) AS avg_norm
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        GROUP BY d.lang
         """,
         "inverted_index": """
         WITH e AS (

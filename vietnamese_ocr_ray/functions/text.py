@@ -777,3 +777,40 @@ def inverted_index(ds: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
             lambda g: build(g.drop(columns=["_bucket"])), batch_format="pandas"
         )
     )
+
+
+def type_token_ratio(ds: rd.Dataset) -> rd.Dataset:
+    """Per-doc type-token ratio (lexical-diversity quality signal):
+    (doc_id, n_tokens, n_distinct, ttr) with ttr rounded to 6 dp in
+    INTEGER micro-units (half away from zero) so the value is
+    bit-exact vs the SQL oracle regardless of float rounding mode.
+    Fully batch-local (a doc's tokens live inside its row): no
+    shuffle. Distinct counting is one lexsort + run-detect over the
+    batch's flat (doc, tok) pairs — no per-row Python."""
+
+    def ttr(batch: pa.Table) -> pa.Table:
+        toks_list = pc.split_pattern(batch.column("text"), " ")
+        flat = pc.list_flatten(toks_list)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        # integer token codes (exact, vectorized — no object compares)
+        codes = flat.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        ntok = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+        doc = np.repeat(np.arange(batch.num_rows, dtype=np.int64), ntok)
+        order = np.lexsort((codes, doc))
+        sd, sf = doc[order], codes[order]
+        new = np.ones(len(sd), dtype=bool)
+        new[1:] = (sd[1:] != sd[:-1]) | (sf[1:] != sf[:-1])
+        ndist = np.bincount(sd[new], minlength=batch.num_rows).astype(np.int64)
+        nt = ntok.astype(np.int64)
+        micro = (2 * 1_000_000 * ndist + nt) // (2 * nt)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(nt),
+                "n_distinct": pa.array(ndist),
+                "ttr": pa.array(micro.astype(np.float64) / 1e6, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(ttr, batch_format="pyarrow")

@@ -1526,3 +1526,112 @@ def user_first_last(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
             batch_format="pandas",
         )
     )
+
+
+def first_seen_cumulative(sf_dir: str) -> rd.Dataset:
+    """Daily new users + running total (user-growth curve): per-user
+    min ts via one bucketed hash-aggregate (the shuffle carries one
+    row per user per block), daily counts over the user-sized table,
+    and the cumulative sum on the days-sized result in a single block
+    — the classic first-seen decomposition that avoids any windowed
+    COUNT(DISTINCT) over the raw events."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    first = hash_aggregate(ds, ["user_id"], {"first_ts": ("ts", "min")})
+
+    def to_day(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "first_day": pc.strftime(b.column("first_ts"), format="%Y-%m-%d"),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+
+    daily = hash_aggregate(
+        first.map_batches(to_day, batch_format="pyarrow"),
+        ["first_day"],
+        {"new_users": ("n", "sum")},
+        num_buckets=8,
+    )
+
+    def cumsum(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values("first_day", kind="stable")
+        return pa.table(
+            {
+                "first_day": pa.array(df["first_day"].to_numpy(), pa.string()),
+                "new_users": pa.array(df["new_users"].to_numpy(np.int64)),
+                "cumulative_users": pa.array(
+                    np.cumsum(df["new_users"].to_numpy(np.int64))
+                ),
+            }
+        )
+
+    # days-sized table: one block, one vectorized cumsum
+    return daily.repartition(1).map_batches(cumsum, batch_format="pyarrow")
+
+
+def lang_embedding_join(sf_dir: str) -> rd.Dataset:
+    """Cross-table metadata join: per-language vector count and mean
+    L2 norm for embeddings whose vec_id matches a doc_id. The doc
+    metadata (doc_id -> lang) broadcasts once via ray.put (the
+    metadata side is orders of magnitude smaller than the vectors);
+    norms are one zero-copy matmul-free numpy pass per batch; the
+    reduce is a tiny groupby on lang."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from vietnamese_ocr_ray.functions.ann import _matrix
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    ).to_pandas()
+    handle = ray.put(
+        (
+            pa.array(docs["doc_id"].to_numpy(np.int64)),
+            pa.array(docs["lang"].to_numpy(), pa.string()),
+        )
+    )
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+    def norms(batch: pa.Table) -> pa.Table:
+        ids, langs = ray.get(handle)
+        vec_id = batch.column("vec_id")
+        if isinstance(vec_id, pa.ChunkedArray):
+            vec_id = vec_id.combine_chunks()
+        pos = pc.index_in(vec_id, value_set=ids)
+        keep = pc.is_valid(pos).to_numpy(zero_copy_only=False)
+        m = _matrix(batch)[keep]
+        lang = langs.take(pos.filter(pa.array(keep)))
+        return pa.table(
+            {
+                "lang": lang,
+                "norm": pa.array(np.linalg.norm(m, axis=1), pa.float64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(norms, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_vecs"), Sum("norm", alias_name="s"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "lang": b.column("lang"),
+                "n_vecs": b.column("n_vecs"),
+                "avg_norm": pc.round(
+                    pc.divide(
+                        b.column("s"), pc.cast(b.column("n_vecs"), pa.float64())
+                    ),
+                    ndigits=4,
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
