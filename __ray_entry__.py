@@ -772,6 +772,17 @@ def _pmi_collocations(sf_dir: str):
     return pmi_collocations(_docs(sf_dir))
 
 
+def _kl_source_divergence(sf_dir: str):
+    """Per-source KL divergence from the corpus unigram distribution
+    (domain-shift audit) — nano-nat integer quantization, no float
+    reduce (functions/lm.py:kl_source_divergence)."""
+    from vietnamese_ocr_ray.functions.lm import kl_source_divergence
+
+    return kl_source_divergence(
+        _docs(sf_dir, ("doc_id", "text", "source"))
+    )
+
+
 def _ttr(sf_dir: str):
     """Per-doc type-token ratio (lexical diversity) — batch-local
     lexsort run-detect distinct counting, integer 6-dp rounding
@@ -1120,6 +1131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_join": lambda sf: tfidf_top_terms_join(_docs(sf)),
         "lm_score": _lm_score,
         "pmi_collocations": _pmi_collocations,
+        "kl_source_divergence": _kl_source_divergence,
         "inverted_index": _inverted_index,
         "approx_distinct_tokens": _approx_distinct_tokens,
         "approx_quantiles": _approx_quantiles,
@@ -1725,6 +1737,27 @@ def oracle_sql() -> dict[str, str]:
                string_agg(CAST(doc_id AS VARCHAR), ','
                           ORDER BY doc_id) AS postings
         FROM e GROUP BY tok
+        """,
+        "kl_source_divergence": """
+        WITH e AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+        cs AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+               FROM e GROUP BY source, tok),
+        ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+               FROM cs GROUP BY source),
+        cc AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cc
+               FROM cs GROUP BY tok),
+        nc AS (SELECT CAST(sum(c) AS DOUBLE) AS nc FROM cs),
+        q AS (SELECT cs.source,
+                     CAST(round((CAST(cs.c AS DOUBLE) / ns.n)
+                       * ln((CAST(cs.c AS DOUBLE) * nc.nc)
+                            / (CAST(ns.n AS DOUBLE) * cc.cc))
+                       * 1000000000) AS BIGINT) AS q
+              FROM cs JOIN ns USING (source) JOIN cc USING (tok)
+                   CROSS JOIN nc)
+        SELECT q.source, ns.n AS n_tokens,
+               CAST(sum(q.q) AS DOUBLE) / 1000000000.0 AS kl
+        FROM q JOIN ns USING (source) GROUP BY q.source, ns.n
         """,
         "pmi_collocations": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -216,3 +216,102 @@ def lm_score(ds: rd.Dataset) -> rd.Dataset:
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def kl_source_divergence(ds: rd.Dataset, num_buckets: int = 64) -> rd.Dataset:
+    """Per-source KL divergence of the source's token unigram
+    distribution from the corpus distribution — the domain-shift /
+    contamination audit run when mixing crawl snapshots:
+    KL(P_s || P_c) = sum_t p_s(t) ln(p_s(t) / p_c(t)).
+
+    Determinism: each token's contribution is quantized to integer
+    NANO-nats and the per-source reduce is an integer sum, so the
+    emitted double (sum / 1e9, exact for |sum| < 2^53) is bit-equal to
+    the SQL oracle with no rounding step at all.
+
+    Scale shape: one bucketed hash-aggregate builds the (tok, source)
+    count table (bucketed on tok — source alone would skew); corpus
+    marginals derive from IT (no second corpus pass); the vocab-sized
+    marginal broadcasts; the final reduce is sources-sized."""
+    import ray
+
+    counts = hash_aggregate(
+        ds.map_batches(_source_token_counts, batch_format="pyarrow"),
+        ["tok", "source"],
+        {"c": ("c", "sum")},
+        num_buckets=num_buckets,
+    ).materialize()  # vocab x sources - bounded; reused three times
+
+    cc = hash_aggregate(counts, ["tok"], {"cc": ("c", "sum")}).to_pandas()
+    ns = hash_aggregate(counts, ["source"], {"n": ("c", "sum")}).to_pandas()
+    n_corpus = float(ns["n"].sum())
+    handle = ray.put(
+        (
+            pa.array(cc["tok"].to_numpy(), pa.string()),
+            cc["cc"].to_numpy(np.int64),
+            pa.array(ns["source"].to_numpy(), pa.string()),
+            ns["n"].to_numpy(np.int64),
+        )
+    )
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        cc_key, cc_n, s_key, s_n = ray.get(handle)
+        tok, src = batch.column("tok"), batch.column("source")
+        if isinstance(tok, pa.ChunkedArray):
+            tok, src = tok.combine_chunks(), src.combine_chunks()
+        c = np.asarray(batch.column("c"), dtype=np.float64)
+        ccv = cc_n[pc.index_in(tok, value_set=cc_key).to_numpy()]
+        nsv = s_n[pc.index_in(src, value_set=s_key).to_numpy()].astype(
+            np.float64
+        )
+        q = np.round(
+            (c / nsv) * np.log((c * n_corpus) / (nsv * ccv)) * 1e9
+        ).astype(np.int64)
+        return pa.table({"source": src, "q": pa.array(q)})
+
+    kl = hash_aggregate(
+        counts.map_batches(contrib, batch_format="pyarrow"),
+        ["source"],
+        {"q": ("q", "sum")},
+        num_buckets=8,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        _, _, s_key, s_n = ray.get(handle)
+        src = b.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        n = s_n[pc.index_in(src, value_set=s_key).to_numpy()]
+        return pa.table(
+            {
+                "source": src,
+                "n_tokens": pa.array(n),
+                "kl": pa.array(
+                    np.asarray(b.column("q"), np.int64).astype(np.float64)
+                    / 1e9,
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return kl.map_batches(finish, batch_format="pyarrow")
+
+
+def _source_token_counts(batch: pa.Table) -> pa.Table:
+    toks_list = pc.split_pattern(batch.column("text"), " ")
+    flat = pc.list_flatten(toks_list)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    ntok = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+    src = np.repeat(np.asarray(batch.column("source")), ntok)
+    import pandas as pd
+
+    g = (
+        pd.DataFrame({"tok": np.asarray(flat), "source": src})
+        .groupby(["tok", "source"], as_index=False, sort=False)
+        .size()
+        .rename(columns={"size": "c"})
+    )
+    return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(
+        None
+    )
