@@ -220,6 +220,7 @@ def run_bench() -> dict:
         "tfidf_top_terms",
         "simhash",
         "rolling_avg",
+        "lm_score",
     ):
 
         def consume(fn=q[name]):
