@@ -204,6 +204,13 @@ def _html(sf_dir: str):
     return html
 
 
+def _pii():
+    """The pii operator module (driver-side lazy import)."""
+    from vietnamese_ocr_ray.functions import pii
+
+    return pii
+
+
 def _html_scored_cte() -> str:
     """Shared oracle CTE: rebuild the deterministic page, split into
     structural blocks, score each block (stripped text + anchor chars)
@@ -1077,6 +1084,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_entropy": lambda sf: token_entropy(_docs(sf)),
         "bm25_search": lambda sf: bm25_rank(_docs(sf)),
         "fingerprint": lambda sf: fingerprint(_docs(sf)),
+        # PII redaction (training-data hygiene; deterministic
+        # SQL-expressible PII synth -> value-checked end-to-end)
+        "pii_redact": lambda sf: _pii().pii_redact(
+            _docs(sf, columns=("doc_id", "text", "source"))
+        ),
+        "pii_stats": lambda sf: _pii().pii_stats(
+            _docs(sf, columns=("doc_id", "text", "source"))
+        ),
         # HTML main-content extraction (north-rule web-extraction ops;
         # deterministic SQL-expressible page synth -> every stage
         # value-checked end-to-end)
@@ -1167,6 +1182,9 @@ WITH w AS (
 
 
 def oracle_sql() -> dict[str, str]:
+    from vietnamese_ocr_ray.functions.pii import pii_sql_expr
+
+    _pii_expr = "(" + pii_sql_expr() + ")"
     return {
         "extract_flat": _WORDS_CTE + "SELECT * FROM spans",
         "extract_flat_cogroup": _WORDS_CTE + "SELECT * FROM spans",
@@ -1458,6 +1476,48 @@ def oracle_sql() -> dict[str, str]:
                                             (c, i) -> unicode(c) * i))
                     % 1000000007 AS BIGINT) AS fingerprint
         FROM documents
+        """,
+        # Both engines run RE2; patterns below are byte-identical to
+        # functions/pii.py EMAIL_RE / IP_RE / PHONE_RE.
+        "pii_redact": f"""
+        WITH p AS (SELECT doc_id, {_pii_expr} AS text FROM documents)
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+            '<EMAIL>', 'g'),
+            '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b',
+            '<IP>', 'g'),
+            '\\b[0-9]{{3}}-[0-9]{{4}}\\b', '<PHONE>', 'g') AS clean_text,
+          CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+            AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(text,
+            '\\b[0-9]{{3}}-[0-9]{{4}}\\b')) AS BIGINT) AS n_phones,
+          CAST(len(regexp_extract_all(text,
+            '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b'))
+            AS BIGINT) AS n_ips
+        FROM p
+        """,
+        "pii_stats": f"""
+        WITH p AS (
+          SELECT source,
+            len(regexp_extract_all({_pii_expr},
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))
+              AS n_emails,
+            len(regexp_extract_all({_pii_expr},
+              '\\b[0-9]{{3}}-[0-9]{{4}}\\b')) AS n_phones,
+            len(regexp_extract_all({_pii_expr},
+              '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b'))
+              AS n_ips
+          FROM documents
+        )
+        SELECT source,
+               CAST(sum(n_emails) AS BIGINT) AS emails,
+               CAST(sum(n_phones) AS BIGINT) AS phones,
+               CAST(sum(n_ips) AS BIGINT) AS ips,
+               CAST(sum(CASE WHEN n_emails > 0 OR n_phones > 0 OR n_ips > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii
+        FROM p GROUP BY source
         """,
         "cer": """
         WITH p AS (
