@@ -211,6 +211,13 @@ def _pii():
     return pii
 
 
+def _url():
+    """The url operator module (driver-side lazy import)."""
+    from vietnamese_ocr_ray.functions import url
+
+    return url
+
+
 def _html_scored_cte() -> str:
     """Shared oracle CTE: rebuild the deterministic page, split into
     structural blocks, score each block (stripped text + anchor chars)
@@ -1092,6 +1099,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_stats": lambda sf: _pii().pii_stats(
             _docs(sf, columns=("doc_id", "text", "source"))
         ),
+        # URL/domain provenance (deterministic SQL-expressible URL
+        # synth -> RE2 parse -> per-domain aggregate)
+        "url_parse": lambda sf: _url().url_parse(
+            _docs(sf, columns=("doc_id", "lang", "source"))
+        ),
+        "domain_stats": lambda sf: _url().domain_stats(
+            _docs(sf, columns=("doc_id", "text", "lang", "source"))
+        ),
         # HTML main-content extraction (north-rule web-extraction ops;
         # deterministic SQL-expressible page synth -> every stage
         # value-checked end-to-end)
@@ -1183,8 +1198,10 @@ WITH w AS (
 
 def oracle_sql() -> dict[str, str]:
     from vietnamese_ocr_ray.functions.pii import pii_sql_expr
+    from vietnamese_ocr_ray.functions.url import url_sql_expr
 
     _pii_expr = "(" + pii_sql_expr() + ")"
+    _url_expr = "(" + url_sql_expr() + ")"
     return {
         "extract_flat": _WORDS_CTE + "SELECT * FROM spans",
         "extract_flat_cogroup": _WORDS_CTE + "SELECT * FROM spans",
@@ -1497,6 +1514,53 @@ def oracle_sql() -> dict[str, str]:
             '\\b[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\b'))
             AS BIGINT) AS n_ips
         FROM p
+        """,
+        "url_parse": f"""
+        WITH u AS (SELECT doc_id, {_url_expr} AS url FROM documents),
+        p AS (
+          SELECT doc_id,
+            regexp_extract(url, '^(https?)://([^/]+)(/[^?]*)(\\?.*)?$', 1)
+              AS scheme,
+            regexp_extract(url, '^(https?)://([^/]+)(/[^?]*)(\\?.*)?$', 2)
+              AS host,
+            regexp_extract(url, '^(https?)://([^/]+)(/[^?]*)(\\?.*)?$', 3)
+              AS path,
+            regexp_extract(url, '^(https?)://([^/]+)(/[^?]*)(\\?.*)?$', 4)
+              AS q
+          FROM u
+        )
+        SELECT doc_id, scheme, host,
+               CASE WHEN host LIKE '%.co.uk'
+                    THEN regexp_extract(host, '[^.]+\\.co\\.uk$')
+                    ELSE regexp_extract(host, '[^.]+\\.[^.]+$') END
+                 AS registered_domain,
+               path,
+               CAST(CASE WHEN length(q) > 0 THEN 1 ELSE 0 END AS BIGINT)
+                 AS has_query
+        FROM p
+        """,
+        "domain_stats": f"""
+        WITH u AS (
+          SELECT doc_id, length(text) AS n_chars, {_url_expr} AS url
+          FROM documents
+        ),
+        p AS (
+          SELECT n_chars,
+            regexp_extract(url, '^(https?)://([^/]+)(/[^?]*)(\\?.*)?$', 2)
+              AS host,
+            regexp_extract(url, '^(https?)://([^/]+)(/[^?]*)(\\?.*)?$', 4)
+              AS q
+          FROM u
+        )
+        SELECT CASE WHEN host LIKE '%.co.uk'
+                    THEN regexp_extract(host, '[^.]+\\.co\\.uk$')
+                    ELSE regexp_extract(host, '[^.]+\\.[^.]+$') END
+                 AS registered_domain,
+               CAST(count(*) AS BIGINT) AS docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(CASE WHEN length(q) > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS with_query
+        FROM p GROUP BY 1
         """,
         "pii_stats": f"""
         WITH p AS (
