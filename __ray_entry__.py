@@ -218,6 +218,13 @@ def _url():
     return url
 
 
+def _chunk():
+    """The chunk operator module (driver-side lazy import)."""
+    from vietnamese_ocr_ray.functions import chunk
+
+    return chunk
+
+
 def _html_scored_cte() -> str:
     """Shared oracle CTE: rebuild the deterministic page, split into
     structural blocks, score each block (stripped text + anchor chars)
@@ -1099,6 +1106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_stats": lambda sf: _pii().pii_stats(
             _docs(sf, columns=("doc_id", "text", "source"))
         ),
+        # sliding-window training chunks (CHUNK=32 tokens, STRIDE=24)
+        "doc_chunks": lambda sf: _chunk().doc_chunks(_docs(sf)),
         # URL/domain provenance (deterministic SQL-expressible URL
         # synth -> RE2 parse -> per-domain aggregate)
         "url_parse": lambda sf: _url().url_parse(
@@ -1515,6 +1524,7 @@ def oracle_sql() -> dict[str, str]:
             AS BIGINT) AS n_ips
         FROM p
         """,
+        "doc_chunks": _chunk().chunk_sql(),
         "url_parse": f"""
         WITH u AS (SELECT doc_id, {_url_expr} AS url FROM documents),
         p AS (
