@@ -1070,6 +1070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         bm25_rank,
         fingerprint,
         lang_id,
+        gopher_filter,
         quality_scores,
         repetition_ratio,
         subword_token_count,
@@ -1102,6 +1103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window": lambda sf: relational.sliding_window_aggregate(sf),
         "sessionize": lambda sf: relational.sessionize(sf),
         "event_stats": lambda sf: relational.event_type_stats(sf),
+        "events_profile": lambda sf: relational.events_profile(sf),
         "value_quantiles": lambda sf: relational.value_quantiles(sf),
         "value_mad": lambda sf: relational.value_mad(sf),
         "value_hour_corr": lambda sf: relational.value_hour_corr(sf),
@@ -1161,6 +1163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": lambda sf: token_count(_docs(sf)),
         "subword_tokens": lambda sf: subword_token_count(_docs(sf)),
         "quality_scores": lambda sf: quality_scores(_docs(sf)),
+        "gopher_filter": lambda sf: gopher_filter(_docs(sf)),
         "repetition_ratio": lambda sf: repetition_ratio(_docs(sf)),
         "token_entropy": lambda sf: token_entropy(_docs(sf)),
         "bm25_search": lambda sf: bm25_rank(_docs(sf)),
@@ -1480,6 +1483,19 @@ def oracle_sql() -> dict[str, str]:
                  / CAST(count(*) AS DOUBLE) AS avg_value
         FROM events GROUP BY event_type
         """,
+        "events_profile": """
+        SELECT CAST(count(*) AS BIGINT) AS n_events,
+               CAST(epoch_us(min(ts)) AS BIGINT) AS min_ts_us,
+               CAST(epoch_us(max(ts)) AS BIGINT) AS max_ts_us,
+               min(value) AS min_value,
+               max(value) AS max_value,
+               CAST(sum(CAST(ROUND(value * 1000) AS BIGINT)) AS DOUBLE)
+                 / 1000.0 AS sum_value,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
+               CAST(count(DISTINCT event_type) AS BIGINT)
+                 AS distinct_event_types
+        FROM events
+        """,
         "value_quantiles": """
         SELECT event_type,
                round(quantile_cont(value, 0.5), 6) AS p50,
@@ -1574,6 +1590,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Both engines run RE2; patterns below are byte-identical to
         # functions/pii.py EMAIL_RE / IP_RE / PHONE_RE.
+        "gopher_filter": """
+        WITH t AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS n,
+                 length(text) AS n_chars,
+                 len(list_filter(string_split(text, ' '), t -> t = 'a'))
+                   AS a_cnt,
+                 len(list_filter(string_split(text, ' '), t -> t = 'the'))
+                   AS the_cnt
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_tokens,
+               CAST(CASE WHEN n >= 30 THEN 1 ELSE 0 END AS BIGINT) AS r_len,
+               CAST(CASE WHEN CAST(n_chars - (n - 1) AS DOUBLE)
+                              / greatest(n, 1) BETWEEN 4.0 AND 5.0
+                         THEN 1 ELSE 0 END AS BIGINT) AS r_word,
+               CAST(CASE WHEN a_cnt * 20 <= n THEN 1 ELSE 0 END AS BIGINT)
+                 AS r_filler,
+               CAST(CASE WHEN the_cnt >= 1 THEN 1 ELSE 0 END AS BIGINT)
+                 AS r_stop,
+               CAST(CASE WHEN n >= 30
+                          AND CAST(n_chars - (n - 1) AS DOUBLE)
+                              / greatest(n, 1) BETWEEN 4.0 AND 5.0
+                          AND a_cnt * 20 <= n
+                          AND the_cnt >= 1
+                         THEN 1 ELSE 0 END AS BIGINT) AS kept
+        FROM t
+        """,
         "pii_redact": f"""
         WITH p AS (SELECT doc_id, {_pii_expr} AS text FROM documents)
         SELECT doc_id,

@@ -814,3 +814,54 @@ def type_token_ratio(ds: rd.Dataset) -> rd.Dataset:
         )
 
     return ds.map_batches(ttr, batch_format="pyarrow")
+
+
+def gopher_rules_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style (Rae et al. 2021, table A1) composite quality
+    rules, calibrated to this corpus: minimum length, mean-word-length
+    band, filler-token ('a') fraction cap (exact integer form
+    a_cnt * 20 <= n, no float boundary), and a mandatory stopword
+    ('the'). One split pass; per-doc token-match counts via one
+    reduceat over the list offsets — zero per-row Python."""
+    text = batch.column("text").combine_chunks()
+    toks = pc.split_pattern(text, " ")
+    n = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    n_chars = np.asarray(pc.utf8_length(text), dtype=np.int64)
+
+    toff = np.frombuffer(toks.buffers()[1], dtype=np.int32)[
+        toks.offset : toks.offset + len(toks) + 1
+    ].astype(np.int64)
+    flat = toks.values
+    is_a = np.asarray(pc.equal(flat, "a"), dtype=np.int64)
+    is_the = np.asarray(pc.equal(flat, "the"), dtype=np.int64)
+    # reduceat needs non-empty segments; docs here always have >=1 token
+    seg = toff[:-1]
+    a_cnt = np.add.reduceat(np.concatenate([is_a, [0]]), seg)
+    the_cnt = np.add.reduceat(np.concatenate([is_the, [0]]), seg)
+    empty = n == 0
+    a_cnt[empty] = 0
+    the_cnt[empty] = 0
+
+    mean_word = (n_chars - (n - 1)) / np.maximum(n, 1)
+    r_len = (n >= 30).astype(np.int64)
+    r_word = ((mean_word >= 4.0) & (mean_word <= 5.0)).astype(np.int64)
+    r_filler = (a_cnt * 20 <= n).astype(np.int64)
+    r_stop = (the_cnt >= 1).astype(np.int64)
+    kept = r_len & r_word & r_filler & r_stop
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n),
+            "r_len": pa.array(r_len),
+            "r_word": pa.array(r_word),
+            "r_filler": pa.array(r_filler),
+            "r_stop": pa.array(r_stop),
+            "kept": pa.array(kept),
+        }
+    )
+
+
+def gopher_filter(ds: rd.Dataset) -> rd.Dataset:
+    """(doc_id, n_tokens, per-rule flags, kept) for every doc —
+    stateless map_batches, no shuffle."""
+    return ds.map_batches(gopher_rules_batch, batch_format="pyarrow")

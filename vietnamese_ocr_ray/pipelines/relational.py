@@ -1635,3 +1635,75 @@ def lang_embedding_join(sf_dir: str) -> rd.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def events_profile(sf_dir: str) -> pa.Table:
+    """Single-row column profile of the events table (the schema-audit
+    op a pipeline runs before touching a new drop of data): row count,
+    ts/value ranges, exact integer value sum, exact distinct user and
+    event-type counts.
+
+    Scale shape: ONE pruned pass for the scalar stats (per-batch
+    one-row partials -> a global Min/Max/Sum aggregate, driver gets a
+    single dict) plus one distinct pass per key column (per-batch
+    unique -> distributed groupby-count; only the COUNT reaches the
+    driver, never the value set). min/max over doubles and the
+    milli-unit integer sum are order-independent, so the result is
+    bit-stable under any partitioning."""
+    from ray.data.aggregate import Min
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id", "event_type", "value"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64())
+        v = batch.column("value")
+        return pa.table(
+            {
+                "n": pa.array([batch.num_rows], pa.int64()),
+                "min_ts_us": pa.array([pc.min(ts).as_py()], pa.int64()),
+                "max_ts_us": pa.array([pc.max(ts).as_py()], pa.int64()),
+                "min_value": pa.array([pc.min(v).as_py()], pa.float64()),
+                "max_value": pa.array([pc.max(v).as_py()], pa.float64()),
+                "v_milli": pa.array(
+                    [int(np.asarray(_cents(v, 1000)).sum())], pa.int64()
+                ),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"),
+        Min("min_ts_us", alias_name="min_ts_us"),
+        Max("max_ts_us", alias_name="max_ts_us"),
+        Min("min_value", alias_name="min_value"),
+        Max("max_value", alias_name="max_value"),
+        Sum("v_milli", alias_name="v_milli"),
+    )
+
+    def n_distinct(col: str) -> int:
+        return (
+            ds.map_batches(
+                lambda b, c=col: pa.table({c: pc.unique(b.column(c))}),
+                batch_format="pyarrow",
+            )
+            .groupby(col)
+            .count()
+            .count()
+        )
+
+    return pa.table(
+        {
+            "n_events": pa.array([agg["n"]], pa.int64()),
+            "min_ts_us": pa.array([agg["min_ts_us"]], pa.int64()),
+            "max_ts_us": pa.array([agg["max_ts_us"]], pa.int64()),
+            "min_value": pa.array([agg["min_value"]], pa.float64()),
+            "max_value": pa.array([agg["max_value"]], pa.float64()),
+            "sum_value": pa.array([agg["v_milli"] / 1000.0], pa.float64()),
+            "distinct_users": pa.array([n_distinct("user_id")], pa.int64()),
+            "distinct_event_types": pa.array(
+                [n_distinct("event_type")], pa.int64()
+            ),
+        }
+    )
