@@ -1111,6 +1111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_brand": lambda sf: relational.parts_by_brand(sf),
         "supplier_balance": lambda sf: relational.supplier_nation_balance(sf),
         "orders_by_month": lambda sf: relational.orders_by_month(sf),
+        "promo_revenue": lambda sf: relational.promo_revenue(sf),
         "purchase_attribution": lambda sf: relational.purchase_attribution(sf),
         "topk_per_group": lambda sf: relational.top_events_per_type(sf),
         "range_count": lambda sf: relational.signup_click_follow(sf),
@@ -1235,6 +1236,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": _top_tokens,
         "token_freq_spectrum": _token_freq_spectrum,
         "incremental_dedup": _incremental_dedup,
+        "dup_triangles": lambda sf: __import__(
+            "vietnamese_ocr_ray.functions.dedup", fromlist=["dup_triangles"]
+        ).dup_triangles(_docs(sf, columns=("doc_id", "lang", "n_chars"))),
         "heavy_hitters_cms": _heavy_hitters,
         "approx_users_per_type": _approx_users_per_type,
         "top_bigrams": _top_bigrams,
@@ -1429,6 +1433,21 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
         GROUP BY n.n_name, r.r_name
+        """,
+        "promo_revenue": """
+        WITH l AS (
+          SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev,
+                 p_type LIKE 'PROMO%' AS isp
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= '1995-09-01' AND l_shipdate < '1995-10-01'
+        )
+        SELECT 100.0 * CAST(sum(CASE WHEN isp THEN rev ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(rev) AS DOUBLE) AS promo_revenue_pct,
+               CAST(sum(CASE WHEN isp THEN rev ELSE 0 END) AS DOUBLE)
+                 / 10000.0 AS promo_rev,
+               CAST(sum(rev) AS DOUBLE) / 10000.0 AS total_rev
+        FROM l
         """,
         "order_priority": """
         SELECT c.c_mktsegment, o.o_orderpriority, count(*) AS n_orders
@@ -1866,6 +1885,13 @@ def oracle_sql() -> dict[str, str]:
               FROM t GROUP BY tok)
         SELECT freq, CAST(count(*) AS BIGINT) AS n_types
         FROM f GROUP BY freq
+        """,
+        "dup_triangles": """
+        WITH g AS (SELECT count(*) AS k FROM documents
+                   GROUP BY lang, n_chars)
+        SELECT CAST(coalesce(sum(k * (k-1) * (k-2) / 6), 0) AS BIGINT)
+          AS n_triangles
+        FROM g WHERE k >= 3
         """,
         "incremental_dedup": """
         SELECT n.doc_id, n.text FROM documents n

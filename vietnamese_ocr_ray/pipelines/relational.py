@@ -1707,3 +1707,80 @@ def events_profile(sf_dir: str) -> pa.Table:
             ),
         }
     )
+
+
+def promo_revenue(sf_dir: str, month: str = "1995-09") -> pa.Table:
+    """TPC-H Q14 shape: percent of one month's discounted revenue from
+    PROMO-type parts. The part side is reduced to a broadcast sorted
+    partkey array + promo bitmask (ray.put once, searchsorted lookup
+    per batch — never a shuffle; at 10^9 parts the same query becomes
+    the bucketed cogroup join of functions/joins.py); lineitem streams
+    with a pruned, shipdate-filtered read. Revenue in exact integer
+    1e-4 units (cents x (100 - disc_cents)), one final division."""
+    import ray
+
+    part = read_parquet_clean(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+
+    def part_partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": batch.column("p_partkey"),
+                "is_promo": pc.cast(
+                    pc.starts_with(batch.column("p_type"), "PROMO"),
+                    pa.int8(),
+                ),
+            }
+        )
+
+    pdf = part.map_batches(part_partial, batch_format="pyarrow").to_pandas()
+    keys = pdf["p_partkey"].to_numpy(np.int64)
+    order = np.argsort(keys)
+    handle = ray.put((keys[order], pdf["is_promo"].to_numpy(np.int8)[order]))
+
+    lo, hi = f"{month}-01", "1995-10-01"
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    lo_us = int(np.datetime64(lo, "us").astype(np.int64))
+    hi_us = int(np.datetime64(hi, "us").astype(np.int64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sd = pc.cast(batch.column("l_shipdate"), pa.int64())
+        mask = pc.and_(
+            pc.greater_equal(sd, pa.scalar(lo_us, pa.int64())),
+            pc.less(sd, pa.scalar(hi_us, pa.int64())),
+        )
+        batch = batch.filter(mask)
+        price_c = _cents(batch.column("l_extendedprice"), 100)
+        disc = _cents(batch.column("l_discount"), 100)
+        rev = np.asarray(
+            pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        )
+        pk, promo = ray.get(handle)
+        idx = np.searchsorted(pk, np.asarray(batch.column("l_partkey")))
+        is_promo = promo[idx].astype(bool)
+        return pa.table(
+            {
+                "promo_rev": pa.array([int(rev[is_promo].sum())], pa.int64()),
+                "total_rev": pa.array([int(rev.sum())], pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("promo_rev", alias_name="promo_rev"),
+        Sum("total_rev", alias_name="total_rev"),
+    )
+    promo, total = int(agg["promo_rev"]), int(agg["total_rev"])
+    return pa.table(
+        {
+            "promo_revenue_pct": pa.array(
+                [100.0 * promo / total if total else 0.0], pa.float64()
+            ),
+            "promo_rev": pa.array([promo / 10000.0], pa.float64()),
+            "total_rev": pa.array([total / 10000.0], pa.float64()),
+        }
+    )
