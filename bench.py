@@ -221,6 +221,10 @@ def run_bench() -> dict:
         "simhash",
         "rolling_avg",
         "lm_score",
+        "pii_redact",
+        "doc_chunks",
+        "gopher_filter",
+        "domain_stats",
     ):
 
         def consume(fn=q[name]):
