@@ -916,6 +916,94 @@ def _token_freq_spectrum(sf_dir: str):
     )
 
 
+def _top_tokens_per_lang(sf_dir: str, k: int = 5):
+    """Per-GROUP heavy hitters, exact: (lang, token) counts through the
+    bucketed hash aggregate, then one tiny per-lang top-k (languages
+    are low-cardinality, so the final map_groups touches a handful of
+    groups, each reduced by one vectorized nlargest)."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        n_tok = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        lang = np.asarray(batch.column("lang")).astype(object)
+        t = pa.table(
+            {
+                "lang": pa.array(np.repeat(lang, n_tok)),
+                "tok": pc.list_flatten(toks),
+            }
+        )
+        df = (
+            t.to_pandas()
+            .groupby(["lang", "tok"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    counts = hash_aggregate(
+        _docs(sf_dir, ("text", "lang")).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["lang", "tok"],
+        {"n": ("n", "sum")},
+    )
+
+    def topk(g) -> pa.Table:
+        out = g.sort_values(["n", "tok"], ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(
+            out[["lang", "tok", "n"]], preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return counts.groupby("lang").map_groups(topk, batch_format="pandas")
+
+
+def _lang_mismatch(sf_dir: str):
+    """Label-audit aggregate: per source, how often the n-gram
+    language detector disagrees with the stored lang label. One
+    stateless pass (the lang_id kernel inline) into a tiny per-source
+    partial/combine sum."""
+    from vietnamese_ocr_ray.functions.text import lang_id_batch
+
+    ds = _docs(sf_dir, ("doc_id", "text", "lang", "source"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pred = lang_id_batch(batch).column("lang_pred")
+        mism = pc.cast(
+            pc.not_equal(pred, batch.column("lang")), pa.int64()
+        )
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "mismatches": mism,
+                "docs": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        return (
+            t.group_by("source")
+            .aggregate([("mismatches", "sum"), ("docs", "sum")])
+            .rename_columns(["source", "mismatches", "docs"])
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .sum(["mismatches", "docs"])
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.rename_columns(["source", "mismatches", "docs"])
+        return b.append_column(
+            "mismatch_rate",
+            pc.divide(
+                pc.cast(b.column("mismatches"), pa.float64()),
+                pc.cast(b.column("docs"), pa.float64()),
+            ),
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def _incremental_dedup(sf_dir: str):
     """Cross-snapshot ingest dedup: docs with doc_id % 10 == 0 are the
     'new crawl', the rest the existing corpus; keep new docs whose
@@ -1104,6 +1192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": lambda sf: relational.sessionize(sf),
         "event_stats": lambda sf: relational.event_type_stats(sf),
         "events_profile": lambda sf: relational.events_profile(sf),
+        "global_median": lambda sf: relational.global_median(sf),
         "value_quantiles": lambda sf: relational.value_quantiles(sf),
         "value_mad": lambda sf: relational.value_mad(sf),
         "value_hour_corr": lambda sf: relational.value_hour_corr(sf),
@@ -1235,6 +1324,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_without_stopword": _docs_without_stopword,
         "top_tokens": _top_tokens,
         "token_freq_spectrum": _token_freq_spectrum,
+        "top_tokens_per_lang": _top_tokens_per_lang,
+        "lang_mismatch": _lang_mismatch,
         "incremental_dedup": _incremental_dedup,
         "dup_triangles": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.dedup", fromlist=["dup_triangles"]
@@ -1501,6 +1592,9 @@ def oracle_sql() -> dict[str, str]:
                (CAST(sum(CAST(ROUND(value * 1000) AS BIGINT)) AS DOUBLE) / 1000.0)
                  / CAST(count(*) AS DOUBLE) AS avg_value
         FROM events GROUP BY event_type
+        """,
+        "global_median": """
+        SELECT quantile_cont(value, 0.5) AS median FROM events
         """,
         "events_profile": """
         SELECT CAST(count(*) AS BIGINT) AS n_events,
@@ -1877,6 +1971,43 @@ def oracle_sql() -> dict[str, str]:
         WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         SELECT tok, count(*) AS n_occurrences FROM t
         GROUP BY tok ORDER BY n_occurrences DESC, tok LIMIT 10
+        """,
+        "top_tokens_per_lang": """
+        WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+        c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+              FROM t GROUP BY lang, tok),
+        r AS (SELECT lang, tok, n,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n DESC, tok) AS rn
+              FROM c)
+        SELECT lang, tok, n FROM r WHERE rn <= 5
+        """,
+        "lang_mismatch": """
+        WITH s AS (
+          SELECT source, lang, ' ' || text || ' ' AS p FROM documents
+        ), sc AS (
+          SELECT source, lang,
+            (length(p) - length(replace(p, ' the ', ''))) / 5 AS s_en,
+            (length(p) - length(replace(p, ' der ', ''))) / 5 AS s_de,
+            (length(p) - length(replace(p, ' el ', ''))) / 4 AS s_es,
+            (length(p) - length(replace(p, ' le ', ''))) / 4 AS s_fr
+          FROM s
+        ), pred AS (
+          SELECT source, lang,
+               CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                    WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                    WHEN s_es >= s_fr THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+          FROM sc
+        )
+        SELECT source,
+               CAST(sum(CASE WHEN lang_pred <> lang THEN 1 ELSE 0 END)
+                    AS BIGINT) AS mismatches,
+               CAST(count(*) AS BIGINT) AS docs,
+               CAST(sum(CASE WHEN lang_pred <> lang THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mismatch_rate
+        FROM pred GROUP BY source
         """,
         "token_freq_spectrum": """
         WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
