@@ -1193,6 +1193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_stats": lambda sf: relational.event_type_stats(sf),
         "events_profile": lambda sf: relational.events_profile(sf),
         "global_median": lambda sf: relational.global_median(sf),
+        "value_hour_regression": lambda sf: relational.value_hour_regression(sf),
         "value_quantiles": lambda sf: relational.value_quantiles(sf),
         "value_mad": lambda sf: relational.value_mad(sf),
         "value_hour_corr": lambda sf: relational.value_hour_corr(sf),
@@ -1592,6 +1593,29 @@ def oracle_sql() -> dict[str, str]:
                (CAST(sum(CAST(ROUND(value * 1000) AS BIGINT)) AS DOUBLE) / 1000.0)
                  / CAST(count(*) AS DOUBLE) AS avg_value
         FROM events GROUP BY event_type
+        """,
+        "value_hour_regression": """
+        WITH c AS (
+          SELECT event_type,
+                 CAST(ROUND(value * 1000) AS BIGINT) AS x,
+                 (CAST(epoch_us(ts) AS BIGINT) // 1000000 // 3600) % 24 AS y
+          FROM events
+        ), s AS (
+          SELECT event_type,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(x) AS DOUBLE) AS sx,
+                 CAST(sum(y) AS DOUBLE) AS sy,
+                 CAST(sum(y * y) AS DOUBLE) AS syy,
+                 CAST(sum(x * y) AS DOUBLE) AS sxy
+          FROM c GROUP BY event_type
+        )
+        SELECT event_type,
+               round((n * sxy - sx * sy) / (n * syy - sy * sy) / 1000.0, 6)
+                 AS slope,
+               round((sx / 1000.0
+                      - ((n * sxy - sx * sy) / (n * syy - sy * sy) / 1000.0)
+                        * 1000.0 * sy / 1000.0) / n, 6) AS intercept
+        FROM s
         """,
         "global_median": """
         SELECT quantile_cont(value, 0.5) AS median FROM events

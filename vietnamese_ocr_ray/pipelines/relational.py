@@ -1878,3 +1878,79 @@ def global_median(sf_dir: str, col: str = "value") -> pa.Table:
     else:
         med = picked[0] + (picked[1] - picked[0]) * 0.5
     return pa.table({"median": pa.array([med], pa.float64())})
+
+
+def value_hour_regression(sf_dir: str) -> rd.Dataset:
+    """Least-squares fit value ~ a + b*hour_of_day per event_type,
+    from the same EXACT integer moment sums as value_hour_corr
+    (value scaled 1e3, hour 0..23): slope and intercept are evaluated
+    as the identical closed forms b = (n*Sxy - Sx*Sy)/(n*Syy - Sy^2),
+    a = (Sx - b*Sy)/n on identical integers-as-doubles in both
+    engines, then scaled back by 1e-3 and rounded to 6dp. The
+    partial/combiner shape: one tiny row per (type, batch)."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _cents(batch.column("value"), 1000).to_numpy(zero_copy_only=False)
+        epoch = (
+            pc.divide(pc.cast(batch.column("ts"), pa.int64()), pa.scalar(1_000_000))
+            .to_numpy(zero_copy_only=False)
+        )
+        h = (epoch // 3600) % 24
+        df = pd.DataFrame(
+            {
+                "event_type": batch.column("event_type").to_numpy(
+                    zero_copy_only=False
+                ),
+                "sx": x,
+                "sy": h,
+                "syy": h * h,
+                "sxy": x * h,
+            }
+        )
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("sx", "size"),
+            sx=("sx", "sum"),
+            sy=("sy", "sum"),
+            syy=("syy", "sum"),
+            sxy=("sxy", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("syy", alias_name="syy"),
+            Sum("sxy", alias_name="sxy"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = np.asarray(b.column("n"), dtype=np.float64)
+        sx = np.asarray(b.column("sx"), dtype=np.float64)
+        sy = np.asarray(b.column("sy"), dtype=np.float64)
+        syy = np.asarray(b.column("syy"), dtype=np.float64)
+        sxy = np.asarray(b.column("sxy"), dtype=np.float64)
+        slope = (n * sxy - sx * sy) / (n * syy - sy * sy) / 1000.0
+        intercept = (sx / 1000.0 - slope * 1000.0 * sy / 1000.0) / n
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "slope": pa.array(
+                    [round(float(v), 6) for v in slope], pa.float64()
+                ),
+                "intercept": pa.array(
+                    [round(float(v), 6) for v in intercept], pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
