@@ -1194,6 +1194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_profile": lambda sf: relational.events_profile(sf),
         "global_median": lambda sf: relational.global_median(sf),
         "value_hour_regression": lambda sf: relational.value_hour_regression(sf),
+        "hourly_anomaly": lambda sf: relational.hourly_anomaly(sf),
         "value_quantiles": lambda sf: relational.value_quantiles(sf),
         "value_mad": lambda sf: relational.value_mad(sf),
         "value_hour_corr": lambda sf: relational.value_hour_corr(sf),
@@ -1593,6 +1594,25 @@ def oracle_sql() -> dict[str, str]:
                (CAST(sum(CAST(ROUND(value * 1000) AS BIGINT)) AS DOUBLE) / 1000.0)
                  / CAST(count(*) AS DOUBLE) AS avg_value
         FROM events GROUP BY event_type
+        """,
+        "hourly_anomaly": """
+        WITH h AS (
+          SELECT event_type,
+                 (CAST(epoch_us(ts) AS BIGINT) // 1000000 // 3600) * 3600
+                   AS hr,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ), s AS (
+          SELECT event_type,
+                 CAST(count(*) AS DOUBLE) AS k,
+                 CAST(sum(n) AS DOUBLE) AS s1,
+                 CAST(sum(n * n) AS DOUBLE) AS s2
+          FROM h GROUP BY event_type
+        )
+        SELECT h.event_type, hr, n,
+               round((CAST(n AS DOUBLE) - s1 / k)
+                     / sqrt((k * s2 - s1 * s1) / (k * (k - 1))), 6) AS z
+        FROM h JOIN s ON h.event_type = s.event_type
         """,
         "value_hour_regression": """
         WITH c AS (

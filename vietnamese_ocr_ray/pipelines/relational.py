@@ -1954,3 +1954,65 @@ def value_hour_regression(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def hourly_anomaly(sf_dir: str) -> rd.Dataset:
+    """Per-type hourly event-rate z-scores (the monitoring op that
+    flags traffic anomalies): hourly counts per event_type through the
+    partial/combiner shape, then per-type sample mean/std from EXACT
+    integer count moments (counts are ints, so k/s1/s2 are exact and
+    both engines evaluate the identical closed form). The final
+    per-type pass is a map_groups over a table of size hours x types
+    — negligible next to the first aggregate."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch = (
+            pc.divide(pc.cast(batch.column("ts"), pa.int64()), pa.scalar(1_000_000))
+            .to_numpy(zero_copy_only=False)
+        )
+        hr = (epoch // 3600) * 3600
+        df = pd.DataFrame(
+            {
+                "event_type": batch.column("event_type").to_numpy(
+                    zero_copy_only=False
+                ),
+                "hr": hr,
+            }
+        )
+        g = df.groupby(["event_type", "hr"], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    hourly = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hr"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def z_per_type(g: pd.DataFrame) -> pa.Table:
+        n = g["n"].to_numpy(np.int64)
+        k = float(len(n))
+        s1 = float(n.sum())
+        s2 = float((n * n).sum())
+        std = np.sqrt((k * s2 - s1 * s1) / (k * (k - 1))) if k > 1 else np.nan
+        z = (n.astype(np.float64) - s1 / k) / std
+        out = pd.DataFrame(
+            {
+                "event_type": g["event_type"],
+                "hr": g["hr"].astype(np.int64),
+                "n": n,
+                "z": np.round(z, 6),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    return hourly.groupby("event_type").map_groups(
+        z_per_type, batch_format="pandas"
+    )
