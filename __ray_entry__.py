@@ -608,6 +608,57 @@ def _dup_degree_hist(sf_dir: str):
     return hist.union(zero)
 
 
+def _embedding_covariance(sf_dir: str, dims: int = 4):
+    """Covariance matrix of the first `dims` embedding dimensions —
+    the distributed X^T X second-moment shape every PCA/whitening
+    step needs. Values are quantized to micro-unit int64 first so
+    every sum is EXACT (order-independent) and both engines evaluate
+    the identical closed form (n*Sij - Si*Sj)/(n*(n-1)) on identical
+    integers-as-doubles. One streaming pass: each batch emits a
+    single dims*(dims+1)/2-element partial row; no shuffle beyond the
+    tiny final combine."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        flat = np.asarray(emb.combine_chunks().flatten(), dtype=np.float64)
+        x = flat.reshape(batch.num_rows, -1)[:, :dims]
+        q = np.round(x * 1_000_000).astype(np.int64)  # exact micro-units
+        cols = {"n": pa.array([batch.num_rows], pa.int64())}
+        for i in range(dims):
+            cols[f"s{i}"] = pa.array([int(q[:, i].sum())], pa.int64())
+            for j in range(i, dims):
+                cols[f"s{i}_{j}"] = pa.array(
+                    [int((q[:, i] * q[:, j]).sum())], pa.int64()
+                )
+        return pa.table(cols)
+
+    aggs = [Sum("n", alias_name="n")]
+    for i in range(dims):
+        aggs.append(Sum(f"s{i}", alias_name=f"s{i}"))
+        for j in range(i, dims):
+            aggs.append(Sum(f"s{i}_{j}", alias_name=f"s{i}_{j}"))
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(*aggs)
+
+    n = float(agg["n"])
+    rows = []
+    for i in range(dims):
+        for j in range(i, dims):
+            si, sj = float(agg[f"s{i}"]), float(agg[f"s{j}"])
+            sij = float(agg[f"s{i}_{j}"])
+            cov = (n * sij - si * sj) / (n * (n - 1)) / 1e12
+            rows.append((i, j, round(cov, 9)))
+    return pa.table(
+        {
+            "dim_i": pa.array([r[0] for r in rows], pa.int64()),
+            "dim_j": pa.array([r[1] for r in rows], pa.int64()),
+            "cov": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
 def _embedding_neardup_lsh(sf_dir: str):
     """Approximate multi-table hyperplane-LSH cosine near-dup pairs —
     the 100 TB path that replaces the exact O(N^2) block-pair matmul
@@ -1319,6 +1370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_dupgraph": _pagerank_dupgraph,
         "dedup_neardup_cosine": _dedup_neardup_cosine,
         "embedding_stats": _embedding_stats,
+        "embedding_covariance": _embedding_covariance,
         "label_centroids": _label_centroids,
         "audio_features": _audio_features,
         "distinct_lang_source": _distinct_lang_source,
@@ -1380,6 +1432,32 @@ def oracle_sql() -> dict[str, str]:
 
     _pii_expr = "(" + pii_sql_expr() + ")"
     _url_expr = "(" + url_sql_expr() + ")"
+
+    # embedding covariance: generated for dims=4 (mirrors
+    # _embedding_covariance's quantized closed form exactly)
+    _dims = 4
+    _qcols = ", ".join(
+        f"CAST(ROUND(CAST(embedding[{i+1}] AS DOUBLE) * 1000000) AS BIGINT)"
+        f" AS q{i}"
+        for i in range(_dims)
+    )
+    _scols = ["CAST(count(*) AS DOUBLE) AS n"]
+    for i in range(_dims):
+        _scols.append(f"CAST(sum(q{i}) AS DOUBLE) AS s{i}")
+        for j in range(i, _dims):
+            _scols.append(f"CAST(sum(q{i} * q{j}) AS DOUBLE) AS s{i}_{j}")
+    _crows = [
+        f"SELECT CAST({i} AS BIGINT) AS dim_i, CAST({j} AS BIGINT) AS dim_j,"
+        f" round((n * s{i}_{j} - s{i} * s{j}) / (n * (n - 1)) / 1e12, 9)"
+        f" AS cov FROM s"
+        for i in range(_dims)
+        for j in range(i, _dims)
+    ]
+    _cov_sql = (
+        f"WITH q AS (SELECT {_qcols} FROM embeddings), "
+        f"s AS (SELECT {', '.join(_scols)} FROM q) "
+        + " UNION ALL ".join(_crows)
+    )
     return {
         "extract_flat": _WORDS_CTE + "SELECT * FROM spans",
         "extract_flat_cogroup": _WORDS_CTE + "SELECT * FROM spans",
@@ -1896,6 +1974,7 @@ def oracle_sql() -> dict[str, str]:
                  AS word_jaccard
         FROM w a JOIN w b ON b.doc_id = a.doc_id + 1
         """,
+        "embedding_covariance": _cov_sql,
         "embedding_neardup": """
         SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
                round(list_cosine_similarity(
