@@ -1326,6 +1326,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_parse": lambda sf: _url().url_parse(
             _docs(sf, columns=("doc_id", "lang", "source"))
         ),
+        "domain_filter": lambda sf: _url().domain_filter(
+            _docs(sf, columns=("doc_id", "text", "lang", "source"))
+        ),
         "domain_stats": lambda sf: _url().domain_stats(
             _docs(sf, columns=("doc_id", "text", "lang", "source"))
         ),
@@ -1897,6 +1900,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN length(q) > 0 THEN 1 ELSE 0 END AS BIGINT)
                  AS has_query
         FROM p
+        """,
+        "domain_filter": f"""
+        WITH u AS (
+          SELECT doc_id, length(text) AS n_chars, {_url_expr} AS url
+          FROM documents
+        ),
+        p AS (
+          SELECT doc_id, n_chars,
+            regexp_extract(url, '^(https?)://([^/]+)(/[^?]*)(\?.*)?$', 2)
+              AS host
+          FROM u
+        ),
+        d AS (
+          SELECT doc_id, n_chars,
+               CASE WHEN host LIKE '%.co.uk'
+                    THEN regexp_extract(host, '[^.]+\.co\.uk$')
+                    ELSE regexp_extract(host, '[^.]+\.[^.]+$') END
+                 AS registered_domain
+          FROM p
+        ),
+        k AS (
+          SELECT registered_domain FROM d GROUP BY registered_domain
+          HAVING count(*) >= 2 AND sum(n_chars) >= 250 * count(*)
+        )
+        SELECT d.doc_id, d.registered_domain
+        FROM d JOIN k ON d.registered_domain = k.registered_domain
         """,
         "domain_stats": f"""
         WITH u AS (

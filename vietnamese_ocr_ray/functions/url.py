@@ -170,3 +170,44 @@ def domain_stats(ds: rd.Dataset) -> rd.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def domain_filter(ds: rd.Dataset, min_docs: int = 2, min_avg_chars: int = 250) -> rd.Dataset:
+    """Domain-level corpus curation: keep docs whose registered domain
+    has at least ``min_docs`` documents AND average length >=
+    ``min_avg_chars`` (evaluated integer-exact as total_chars >=
+    min_avg_chars * docs — no float boundary). Two stages: the
+    :func:`domain_stats` aggregate, then a broadcast semi-join of the
+    kept-domain set (domains are the small side; at 10^7+ domains the
+    same filter runs as the Bloom-prefiltered membership join of
+    functions/membership.py)."""
+    import ray
+
+    stats = domain_stats(ds)
+
+    def keep_domains(b: pa.Table) -> pa.Table:
+        docs = np.asarray(b.column("docs"))
+        chars = np.asarray(b.column("total_chars"))
+        m = (docs >= min_docs) & (chars >= min_avg_chars * docs)
+        return b.filter(pa.array(m)).select(["registered_domain"])
+
+    kdf = stats.map_batches(keep_domains, batch_format="pyarrow").to_pandas()
+    # fully-empty Datasets lose their schema at to_pandas()
+    kept = (
+        kdf["registered_domain"].to_numpy()
+        if "registered_domain" in kdf.columns
+        else np.array([], dtype=object)
+    )
+    handle = ray.put(np.sort(kept.astype(object)))
+
+    def filt(batch: pa.Table) -> pa.Table:
+        dom = _parse_url_columns(synth_url_array(batch))["registered_domain"]
+        keep_set = ray.get(handle)
+        m = np.isin(np.asarray(dom).astype(object), keep_set)
+        out = batch.filter(pa.array(m)).select(["doc_id"])
+        return out.append_column(
+            "registered_domain",
+            pa.array(np.asarray(dom).astype(object)[m]),
+        )
+
+    return ds.map_batches(filt, batch_format="pyarrow")
