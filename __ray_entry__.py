@@ -1246,6 +1246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_median": lambda sf: relational.global_median(sf),
         "value_hour_regression": lambda sf: relational.value_hour_regression(sf),
         "hourly_anomaly": lambda sf: relational.hourly_anomaly(sf),
+        "event_transitions": lambda sf: relational.event_transitions(sf),
         "value_quantiles": lambda sf: relational.value_quantiles(sf),
         "value_mad": lambda sf: relational.value_mad(sf),
         "value_hour_corr": lambda sf: relational.value_hour_corr(sf),
@@ -1675,6 +1676,17 @@ def oracle_sql() -> dict[str, str]:
                (CAST(sum(CAST(ROUND(value * 1000) AS BIGINT)) AS DOUBLE) / 1000.0)
                  / CAST(count(*) AS DOUBLE) AS avg_value
         FROM events GROUP BY event_type
+        """,
+        "event_transitions": """
+        WITH t AS (
+          SELECT user_id, event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type
+          FROM events
+        )
+        SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM t WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
         """,
         "hourly_anomaly": """
         WITH h AS (

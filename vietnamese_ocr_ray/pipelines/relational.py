@@ -2016,3 +2016,58 @@ def hourly_anomaly(sf_dir: str) -> rd.Dataset:
     return hourly.groupby("event_type").map_groups(
         z_per_type, batch_format="pandas"
     )
+
+
+def event_transitions(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """Markov transition counts between consecutive event types per
+    user (the session-flow matrix a product-analytics pipeline feeds
+    into funnel models): shuffle on key_bucket(user_id), one sort per
+    bucket, shifted-view previous-type masked at user boundaries, then
+    per-bucket partial (prev, next) counts into a tiny global combine
+    — transitions shuffle as counts, never as rows."""
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_bucket",
+            pa.array(key_bucket(b.column("user_id"), num_buckets).astype(np.int32)),
+        )
+
+    def transitions(g: pd.DataFrame) -> pa.Table:
+        s = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        user = s["user_id"].to_numpy()
+        et = s["event_type"].to_numpy()
+        same = np.zeros(len(s), dtype=bool)
+        same[1:] = user[1:] == user[:-1]
+        prev = np.empty_like(et)
+        prev[1:] = et[:-1]
+        df = (
+            pd.DataFrame({"prev_type": prev[same], "event_type": et[same]})
+            .groupby(["prev_type", "event_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    partials = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: transitions(g.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        )
+    )
+    out = partials.groupby(["prev_type", "event_type"]).aggregate(
+        Sum("n", alias_name="n")
+    )
+    return out.map_batches(
+        lambda b: b.rename_columns(["prev_type", "event_type", "n"]),
+        batch_format="pyarrow",
+    )
