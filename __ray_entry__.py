@@ -1247,6 +1247,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_hour_regression": lambda sf: relational.value_hour_regression(sf),
         "hourly_anomaly": lambda sf: relational.hourly_anomaly(sf),
         "event_transitions": lambda sf: relational.event_transitions(sf),
+        "docs_page": lambda sf: relational.docs_page(sf),
+        "event_type_share": lambda sf: relational.event_type_share(sf),
         "value_quantiles": lambda sf: relational.value_quantiles(sf),
         "value_mad": lambda sf: relational.value_mad(sf),
         "value_hour_corr": lambda sf: relational.value_hour_corr(sf),
@@ -1675,6 +1677,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, count(*) AS n_events,
                (CAST(sum(CAST(ROUND(value * 1000) AS BIGINT)) AS DOUBLE) / 1000.0)
                  / CAST(count(*) AS DOUBLE) AS avg_value
+        FROM events GROUP BY event_type
+        """,
+        "docs_page": """
+        SELECT doc_id, n_chars FROM documents
+        ORDER BY n_chars DESC, doc_id LIMIT 20 OFFSET 40
+        """,
+        "event_type_share": """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) AS DOUBLE)
+                 / (SELECT CAST(count(*) AS DOUBLE) FROM events) AS share
         FROM events GROUP BY event_type
         """,
         "event_transitions": """

@@ -2071,3 +2071,64 @@ def event_transitions(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
         lambda b: b.rename_columns(["prev_type", "event_type", "n"]),
         batch_format="pyarrow",
     )
+
+
+def docs_page(sf_dir: str, page: int = 2, page_size: int = 20) -> pa.Table:
+    """Deterministic pagination (ORDER BY n_chars DESC, doc_id LIMIT k
+    OFFSET p*k): each batch keeps only its local top-(offset+limit)
+    rows — a vectorized argsort head, the classic distributed top-k
+    with the offset folded into k — so the final exact selection sees
+    at most (offset+limit) x blocks rows, never the corpus."""
+    need = (page + 1) * page_size
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        nc = np.asarray(batch.column("n_chars"))
+        ids = np.asarray(batch.column("doc_id"))
+        order = np.lexsort((ids, -nc))[:need]
+        return pa.table(
+            {"doc_id": pa.array(ids[order]), "n_chars": pa.array(nc[order])}
+        )
+
+    small = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    final = small.sort_values(
+        ["n_chars", "doc_id"], ascending=[False, True], kind="stable"
+    ).iloc[page * page_size : need]
+    return pa.Table.from_pandas(
+        final.reset_index(drop=True), preserve_index=False
+    ).replace_schema_metadata(None)
+
+
+def event_type_share(sf_dir: str) -> pa.Table:
+    """Ratio-to-report: each event type's share of all events. One
+    partial/combine count aggregate; the share division runs on the
+    tiny per-type table with the global total from the same pass."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("event_type"))
+        return pa.table(
+            {
+                "event_type": pc.struct_field(vc, "values"),
+                "n": pc.struct_field(vc, "counts").cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("event_type")
+    )
+    n = counts["n"].to_numpy(np.int64)
+    share = n.astype(np.float64) / float(n.sum())
+    return pa.table(
+        {
+            "event_type": pa.array(counts["event_type"].to_numpy().astype(object)),
+            "n": pa.array(n),
+            "share": pa.array(share, pa.float64()),
+        }
+    )
