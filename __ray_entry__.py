@@ -1387,6 +1387,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_per_lang": _top_tokens_per_lang,
         "lang_mismatch": _lang_mismatch,
         "incremental_dedup": _incremental_dedup,
+        "khop_distances": lambda sf: __import__(
+            "vietnamese_ocr_ray.functions.graph", fromlist=["khop_distances"]
+        ).khop_distances(_docs(sf, columns=("doc_id",))),
         "dup_triangles": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.dedup", fromlist=["dup_triangles"]
         ).dup_triangles(_docs(sf, columns=("doc_id", "lang", "n_chars"))),
@@ -2192,6 +2195,28 @@ def oracle_sql() -> dict[str, str]:
               FROM t GROUP BY tok)
         SELECT freq, CAST(count(*) AS BIGINT) AS n_types
         FROM f GROUP BY freq
+        """,
+        "khop_distances": """
+        WITH RECURSIVE e AS (
+          SELECT a.doc_id AS u, b.doc_id AS v FROM documents a
+            JOIN documents b ON b.doc_id = a.doc_id + 1
+          UNION ALL
+          SELECT a.doc_id, b.doc_id FROM documents a
+            JOIN documents b ON a.doc_id % 2 = 0
+                            AND b.doc_id = a.doc_id + 10
+          UNION ALL
+          SELECT a.doc_id, b.doc_id FROM documents a
+            JOIN documents b ON a.doc_id % 4 = 0
+                            AND b.doc_id = a.doc_id + 100
+        ),
+        ud AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+        b(node, d) AS (
+          SELECT (SELECT min(doc_id) FROM documents), 0
+          UNION
+          SELECT ud.v, b.d + 1 FROM b JOIN ud ON ud.u = b.node
+          WHERE b.d < 8
+        )
+        SELECT node, CAST(min(d) AS BIGINT) AS d FROM b GROUP BY node
         """,
         "dup_triangles": """
         WITH g AS (SELECT count(*) AS k FROM documents

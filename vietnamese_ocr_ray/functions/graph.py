@@ -115,3 +115,93 @@ def pagerank(
             }
         )
     )
+
+
+def chain_edges(ds: rd.Dataset, id_col: str = "doc_id") -> rd.Dataset:
+    """Deterministic multi-scale chain graph over the doc-id domain:
+    u -- u+1 always, u -- u+10 when u % 2 = 0, u -- u+100 when
+    u % 4 = 0 (targets that don't exist in the corpus drop). The
+    shortcut structure gives BFS real work (shortest paths mix hop
+    sizes) while keeping eccentricity small. Candidate generation is
+    vectorized per batch; existence filtering is one np.isin against
+    the broadcast sorted id array (ids are the small side here; at
+    10^12 nodes the same filter is a bucketed semi-join on target id
+    — functions/membership.py)."""
+    import ray
+
+    ids_all = np.sort(
+        np.asarray(
+            ds.select_columns([id_col]).to_pandas()[id_col], dtype=np.int64
+        )
+    )
+    handle = ray.put(ids_all)
+
+    def edges(batch: pa.Table) -> pa.Table:
+        known = ray.get(handle)
+        u = np.asarray(pc.cast(batch.column(id_col), pa.int64()))
+        us, vs = [u], [u + 1]
+        m10 = u % 2 == 0
+        us.append(u[m10]); vs.append(u[m10] + 10)
+        m100 = u % 4 == 0
+        us.append(u[m100]); vs.append(u[m100] + 100)
+        uu, vv = np.concatenate(us), np.concatenate(vs)
+        keep = np.isin(vv, known)
+        return pa.table({"u": pa.array(uu[keep]), "v": pa.array(vv[keep])})
+
+    return ds.map_batches(edges, batch_format="pyarrow")
+
+
+def khop_distances(
+    ds: rd.Dataset, id_col: str = "doc_id", k: int = 8
+) -> pa.Table:
+    """BFS shortest-hop distances from the minimum node id, capped at
+    ``k`` hops (the k-hop neighborhood feature of graph ML pipelines),
+    over :func:`chain_edges`. Frontier BFS: each round broadcasts the
+    CURRENT FRONTIER (small), streams one distributed scan over the
+    edge dataset to collect its unvisited neighbors, and advances.
+    Driver state is the visited set — bounded by the reached
+    neighborhood, not the graph; at 10^12 edges the per-round scan
+    becomes a bucketed semi-join on the frontier and the visited set
+    a bucketed anti-join (the CC machinery in functions/dedup.py).
+
+    The SQL oracle recomputes the same distances INDEPENDENTLY with a
+    WITH RECURSIVE expansion over the same edge rule."""
+    import ray
+    from ray.data.aggregate import Min
+
+    edges = chain_edges(ds, id_col).materialize()
+    src = int(
+        ds.select_columns([id_col]).to_pandas()[id_col].min()
+    )
+    dist: dict[int, int] = {src: 0}
+    frontier = np.array([src], dtype=np.int64)
+    for d in range(1, k + 1):
+        fh = ray.put(np.sort(frontier))
+
+        def neigh(batch: pa.Table) -> pa.Table:
+            f = ray.get(fh)
+            u = np.asarray(batch.column("u"))
+            v = np.asarray(batch.column("v"))
+            out = np.concatenate([v[np.isin(u, f)], u[np.isin(v, f)]])
+            return pa.table({"n": pa.array(np.unique(out))})
+
+        ndf = edges.map_batches(neigh, batch_format="pyarrow").to_pandas()
+        if "n" not in ndf.columns or not len(ndf):
+            break
+        cand = np.unique(ndf["n"].to_numpy(np.int64))
+        new = cand[~np.isin(cand, np.fromiter(dist.keys(), np.int64))]
+        if not len(new):
+            break
+        for n in new:
+            dist[int(n)] = d
+        frontier = new
+    nodes = np.fromiter(dist.keys(), np.int64)
+    order = np.argsort(nodes)
+    return pa.table(
+        {
+            "node": pa.array(nodes[order]),
+            "d": pa.array(
+                np.fromiter(dist.values(), np.int64)[order]
+            ),
+        }
+    )
