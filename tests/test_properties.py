@@ -291,3 +291,70 @@ def test_jaccard_batches_match_scalars_property(pairs):
         union = len(sa | sb)
         expect = (len(sa & sb) / union) if union else 1.0
         assert abs(got_w[i] - expect) < 1e-12
+
+
+# --- round-2 web-op kernels -------------------------------------------------
+
+words = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=0x2FF),
+        min_size=1,
+        max_size=8,
+    ).filter(lambda w: " " not in w),
+    min_size=1,
+    max_size=120,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(toks=words)
+def test_chunk_windows_match_python_reference(toks):
+    import pyarrow as pa
+
+    from vietnamese_ocr_ray.functions.chunk import CHUNK, STRIDE, doc_chunks_batch
+
+    text = " ".join(toks)
+    t = pa.table(
+        {"doc_id": pa.array([1], pa.int64()), "text": pa.array([text])}
+    )
+    out = doc_chunks_batch(t)
+    n = len(toks)
+    k = 1 + max(0, -(-(n - CHUNK) // STRIDE)) if n > CHUNK else 1
+    assert out.num_rows == k
+    for j in range(k):
+        want = toks[j * STRIDE : j * STRIDE + CHUNK]
+        assert out.column("chunk_text").to_pylist()[j] == " ".join(want)
+        assert out.column("n_tokens").to_pylist()[j] == len(want)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    body=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+        max_size=60,
+    ).filter(lambda s: "@" not in s),
+    doc_id=st.integers(0, 10**6),
+)
+def test_pii_synth_redact_roundtrip(body, doc_id):
+    """Whatever the body text, the planted PII is found and redacted,
+    and the body survives redaction untouched (it contains no '@';
+    digit runs in the body may legitimately match phone/IP forms, so
+    counts are >= the planted ones but the email count is exact)."""
+    import pyarrow as pa
+
+    from vietnamese_ocr_ray.functions.pii import pii_redact_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([doc_id], pa.int64()),
+            "source": pa.array(["web"]),
+            "text": pa.array([body]),
+        }
+    )
+    out = pii_redact_batch(t)
+    assert out.column("n_emails").to_pylist() == [1]
+    assert out.column("n_phones").to_pylist()[0] >= 1
+    assert out.column("n_ips").to_pylist()[0] >= 1
+    clean = out.column("clean_text").to_pylist()[0]
+    assert "<EMAIL>" in clean and "<IP>" in clean and "<PHONE>" in clean
+    assert "@" not in clean
