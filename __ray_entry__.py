@@ -1248,6 +1248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_anomaly": lambda sf: relational.hourly_anomaly(sf),
         "event_transitions": lambda sf: relational.event_transitions(sf),
         "docs_page": lambda sf: relational.docs_page(sf),
+        "long_docs_pushdown": lambda sf: relational.long_docs_pushdown(sf),
         "event_type_share": lambda sf: relational.event_type_share(sf),
         "value_quantiles": lambda sf: relational.value_quantiles(sf),
         "value_mad": lambda sf: relational.value_mad(sf),
@@ -1681,6 +1682,9 @@ def oracle_sql() -> dict[str, str]:
                (CAST(sum(CAST(ROUND(value * 1000) AS BIGINT)) AS DOUBLE) / 1000.0)
                  / CAST(count(*) AS DOUBLE) AS avg_value
         FROM events GROUP BY event_type
+        """,
+        "long_docs_pushdown": """
+        SELECT doc_id, lang, n_chars FROM documents WHERE n_chars >= 400
         """,
         "docs_page": """
         SELECT doc_id, n_chars FROM documents

@@ -257,3 +257,36 @@ def test_compact_fragments_preserves_rows(ray_session, tmp_path):
     assert len(outs) == m["n_outputs"] < 12
     man = json.load(open(out / "_COMPACTION"))
     assert sum(len(g["sources"]) for g in man["groups"]) == 12
+
+
+def test_partitioned_write_layout_and_roundtrip(ray_session, tmp_path):
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vietnamese_ocr_ray.sinks import write_partitioned_by_key
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(20)), pa.int64()),
+            "lang": pa.array(["en", "de", "es", "fr"] * 5),
+            "n_chars": pa.array([i * 7 for i in range(20)], pa.int64()),
+        }
+    )
+    out = str(tmp_path / "by_lang")
+    write_partitioned_by_key(rd.from_arrow(t), out, key="lang")
+    parts = sorted(os.listdir(out))
+    assert parts == ["lang=de", "lang=en", "lang=es", "lang=fr"]
+    back = (
+        rd.read_parquet(out)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # hive partition column round-trips (as string or dictionary)
+    back["lang"] = back["lang"].astype(str)
+    assert back[["doc_id", "n_chars", "lang"]].equals(
+        want[["doc_id", "n_chars", "lang"]]
+    )

@@ -2132,3 +2132,23 @@ def event_type_share(sf_dir: str) -> pa.Table:
             "share": pa.array(share, pa.float64()),
         }
     )
+
+
+def long_docs_pushdown(sf_dir: str, min_chars: int = 400) -> rd.Dataset:
+    """Predicate + projection pushdown at the READ: the row filter
+    (n_chars >= min_chars) and column list go to the parquet scanner
+    itself, so non-matching row groups and unused columns never leave
+    storage — the IO-pruning shape every 100 TB scan needs (a filter
+    applied after a full-column read is wrong at scale)."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+        filter=(pc.field("n_chars") >= min_chars),
+    )
+    # the scanner guarantees row-group pruning; the residual per-batch
+    # mask keeps exact row semantics for row groups that straddle the
+    # threshold
+    return ds.map_batches(
+        lambda b: b.filter(pc.greater_equal(b.column("n_chars"), min_chars)),
+        batch_format="pyarrow",
+    )

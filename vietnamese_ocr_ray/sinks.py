@@ -51,3 +51,16 @@ def write_predictions_txt(extracted_ds, out_dir: str) -> str:
     counts = extracted_ds.map_batches(write_part, batch_format="pyarrow")
     total = sum(r["lines_written"] for r in counts.take_all())
     return f"{out_dir} ({total} lines)"
+
+
+def write_partitioned_by_key(
+    ds, out_dir: str, key: str = "lang", **kwargs
+) -> str:
+    """Hive-partitioned parquet sink (one ``key=value/`` directory per
+    key value, many files per partition): the resumable output layout
+    the task brief mandates — a re-run can skip finished partitions,
+    and per-key consumers read only their directory. Thin wrapper over
+    ``Dataset.write_parquet(partition_cols=...)`` so the streaming
+    executor writes each block as it arrives (no materialization)."""
+    ds.write_parquet(out_dir, partition_cols=[key], **kwargs)
+    return out_dir
