@@ -1250,6 +1250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_page": lambda sf: relational.docs_page(sf),
         "long_docs_pushdown": lambda sf: relational.long_docs_pushdown(sf),
         "event_type_share": lambda sf: relational.event_type_share(sf),
+        "geo_mean_value": lambda sf: relational.geo_mean_value(sf),
         "value_quantiles": lambda sf: relational.value_quantiles(sf),
         "value_mad": lambda sf: relational.value_mad(sf),
         "value_hour_corr": lambda sf: relational.value_hour_corr(sf),
@@ -1689,6 +1690,17 @@ def oracle_sql() -> dict[str, str]:
         "docs_page": """
         SELECT doc_id, n_chars FROM documents
         ORDER BY n_chars DESC, doc_id LIMIT 20 OFFSET 40
+        """,
+        "geo_mean_value": """
+        WITH q AS (
+          SELECT event_type,
+                 CAST(ROUND(ln(value) * 1000000) AS BIGINT) AS s
+          FROM events
+        )
+        SELECT event_type,
+               round(exp(CAST(sum(s) AS DOUBLE) / 1000000.0
+                         / CAST(count(*) AS DOUBLE)), 6) AS geo_mean
+        FROM q GROUP BY event_type
         """,
         "event_type_share": """
         SELECT event_type, CAST(count(*) AS BIGINT) AS n,

@@ -2152,3 +2152,55 @@ def long_docs_pushdown(sf_dir: str, min_chars: int = 400) -> rd.Dataset:
         lambda b: b.filter(pc.greater_equal(b.column("n_chars"), min_chars)),
         batch_format="pyarrow",
     )
+
+
+def geo_mean_value(sf_dir: str) -> rd.Dataset:
+    """Geometric mean of value per event_type (the multiplicative
+    average a latency/price pipeline wants): each row's ln(value) is
+    quantized to integer micro-nats BEFORE the sum (the lm.py
+    determinism contract — order-independent int64 arithmetic; numpy
+    log and DuckDB ln agree far beyond the quantum), one
+    partial/combine aggregate, then exp of the mean with a 6dp round
+    absorbing final-ulp divergence."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        q = np.round(np.log(v) * 1_000_000).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": batch.column("event_type").to_numpy(
+                    zero_copy_only=False
+                ),
+                "s": q,
+            }
+        )
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("s", "size"), s=("s", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = np.asarray(b.column("n"), dtype=np.float64)
+        s = np.asarray(b.column("s"), dtype=np.float64)
+        gm = np.exp(s / 1_000_000.0 / n)
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "geo_mean": pa.array(
+                    [round(float(x), 6) for x in gm], pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
