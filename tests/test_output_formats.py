@@ -290,3 +290,58 @@ def test_partitioned_write_layout_and_roundtrip(ray_session, tmp_path):
     assert back[["doc_id", "n_chars", "lang"]].equals(
         want[["doc_id", "n_chars", "lang"]]
     )
+
+
+def test_jsonl_roundtrip(ray_session, tmp_path):
+    """JSON-lines source/sink parity: the interchange format a corpus
+    pipeline meets at ingest (web-crawl drops arrive as jsonl)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "lang"],
+    )
+    out = str(tmp_path / "docs_jsonl")
+    rd.from_arrow(t).write_json(out)
+    back = (
+        rd.read_json(out)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert back[["doc_id", "text", "lang"]].equals(
+        want[["doc_id", "text", "lang"]]
+    )
+
+
+def test_sharded_directory_read_matches_single_file(ray_session, tmp_path):
+    """read_parquet_clean over a MULTI-FILE directory (the 100 TB
+    layout) returns the same rows as the single-file read."""
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.sources.storage import read_parquet_clean
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    d = tmp_path / "sharded"
+    d.mkdir()
+    n = t.num_rows // 3
+    pq.write_table(t.slice(0, n), str(d / "part-0.parquet"))
+    pq.write_table(t.slice(n, n), str(d / "part-1.parquet"))
+    pq.write_table(t.slice(2 * n), str(d / "part-2.parquet"))
+    a = (
+        read_parquet_clean(str(d), columns=["doc_id", "n_chars"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        t.select(["doc_id", "n_chars"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)

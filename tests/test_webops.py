@@ -205,3 +205,15 @@ def test_gopher_rules_each_rule_fires():
     assert out.loc[2, "r_len"] == 0 and out.loc[2, "kept"] == 0
     assert out.loc[3, "r_filler"] == 0 and out.loc[3, "kept"] == 0
     assert out.loc[4, "r_stop"] == 0 and out.loc[4, "kept"] == 0
+
+
+def test_gopher_and_chunk_handle_empty_text():
+    t = _docs([(1, ""), (2, "the " + " ".join(["words"] * 40))])
+    g = gopher_rules_batch(t).to_pandas().set_index("doc_id")
+    assert g.loc[1, "kept"] == 0 and g.loc[1, "r_len"] == 0
+    c = doc_chunks_batch(t)
+    # "" splits to one empty token -> one empty window; doc 2 has 41
+    # tokens -> 2 overlapping windows
+    assert c.num_rows == 3
+    assert c.column("chunk_text").to_pylist()[0] == ""
+    assert c.column("n_tokens").to_pylist() == [1, 32, 41 - 24]
