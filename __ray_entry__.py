@@ -146,6 +146,20 @@ def _media_features(sf_dir: str):
     return media_features(ds)
 
 
+def _media_ahash(sf_dir: str):
+    """Perceptual-hash image near-dup fingerprints over the
+    synthesized media table (rows-only: SQL cannot decode pixels;
+    the collision/separation check lives in tests/test_multimodal.py)."""
+    from vietnamese_ocr_ray.stages.multimodal import media_ahash
+    from vietnamese_ocr_ray.synth import ensure_corpus
+
+    _, media_dir = ensure_corpus(sf_dir)
+    ds = _read_pq(
+        media_dir, columns=["media_ref", "image", "height", "width"]
+    )
+    return media_ahash(ds)
+
+
 def _media_stub(sf_dir: str):
     """Multimodal plumbing demo: media table -> actor-pool metadata
     stage with the heavy decode stubbed (no image libs in sandbox —
@@ -1227,6 +1241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_reassembled": _reassembled,
         "media_stub": _media_stub,
         "media_features": _media_features,
+        "media_ahash": _media_ahash,
         # structural operators on documents
         "explode_tokens": doctext.explode_tokens,
         "reassemble_tokens": doctext.reassemble_tokens,

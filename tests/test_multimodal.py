@@ -149,3 +149,46 @@ def test_audio_features_match_per_clip_reference(ray_session):
 
     with pytest.raises(NotImplementedError):
         AudioFeatures()(bad)
+
+
+def test_ahash_collides_on_duplicates_separates_unrelated(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vietnamese_ocr_ray.stages.multimodal import media_ahash
+    from vietnamese_ocr_ray.synth import render_text
+
+    a = render_text("sametext", 32)
+    b = render_text("sametext", 32)  # identical render
+    c = render_text("different", 32)
+    t = pa.table(
+        {
+            "media_ref": pa.array(["m-a", "m-b", "m-c"]),
+            "image": pa.array(
+                [a.tobytes(), b.tobytes(), c.tobytes()], pa.binary()
+            ),
+            "height": pa.array([a.shape[0], b.shape[0], c.shape[0]], pa.int32()),
+            "width": pa.array([a.shape[1], b.shape[1], c.shape[1]], pa.int32()),
+        }
+    )
+    out = media_ahash(rd.from_arrow(t)).to_pandas().set_index("media_ref")
+    assert out.loc["m-a", "ahash"] == out.loc["m-b", "ahash"]
+    diff = np.uint64(out.loc["m-a", "ahash"]) ^ np.uint64(out.loc["m-c", "ahash"])
+    assert bin(int(diff)).count("1") >= 8  # well separated
+
+
+def test_ahash_partitioning_invariant(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vietnamese_ocr_ray.stages.multimodal import media_ahash
+    from vietnamese_ocr_ray.synth import synth_corpus
+
+    _, media = synth_corpus(24, seed=11)
+    cols = media.select(["media_ref", "image", "height", "width"])
+    one = media_ahash(rd.from_arrow(cols)).to_pandas()
+    many = media_ahash(rd.from_arrow(cols).repartition(6)).to_pandas()
+    a = one.sort_values("media_ref").reset_index(drop=True)
+    b = many.sort_values("media_ref").reset_index(drop=True)
+    assert a.equals(b)

@@ -135,6 +135,57 @@ def media_features(media: rd.Dataset, concurrency=(1, 8)) -> rd.Dataset:
     )
 
 
+class ImageAHash:
+    """Average-hash perceptual fingerprint (the classic aHash of image
+    near-dup pipelines): mean-pool each image to an 8x8 grid with
+    exact box sums (cumsum-based integral image — deterministic,
+    interpolation-free), threshold at the grid mean, pack the 64 bits
+    row-major into one int64. Visually identical images collide;
+    unrelated ones differ in ~32 bits. Stateless per batch; metadata-
+    only output (payload never re-emitted)."""
+
+    GRID = 8
+
+    def hash_one(self, v: np.ndarray) -> int:
+        g = self.GRID
+        ii = np.zeros((v.shape[0] + 1, v.shape[1] + 1), dtype=np.int64)
+        np.cumsum(v, axis=0, out=ii[1:, 1:])
+        np.cumsum(ii[1:, 1:], axis=1, out=ii[1:, 1:])
+        ys = np.linspace(0, v.shape[0], g + 1).astype(np.int64)
+        xs = np.linspace(0, v.shape[1], g + 1).astype(np.int64)
+        sums = (
+            ii[ys[1:], :][:, xs[1:]]
+            - ii[ys[:-1], :][:, xs[1:]]
+            - ii[ys[1:], :][:, xs[:-1]]
+            + ii[ys[:-1], :][:, xs[:-1]]
+        )
+        areas = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
+        cells = sums / np.maximum(areas, 1)
+        bits = (cells > cells.mean()).astype(np.uint64).ravel()
+        return int(
+            (bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
+            .astype(np.int64)
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        views, _, _ = _decode_views(batch)
+        hashes = np.fromiter(
+            (self.hash_one(v) for v in views), dtype=np.int64, count=len(views)
+        )
+        return pa.table(
+            {
+                "media_ref": batch.column("media_ref"),
+                "ahash": pa.array(hashes),
+            }
+        )
+
+
+def media_ahash(media: rd.Dataset, concurrency=(1, 8)) -> rd.Dataset:
+    return media.map_batches(
+        ImageAHash, batch_format="pyarrow", concurrency=concurrency
+    )
+
+
 # ---------------------------------------------------------------------------
 # audio: raw PCM16 payloads — fully computable (no codec needed)
 # ---------------------------------------------------------------------------
