@@ -1293,6 +1293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_debounce": lambda sf: relational.window_debounce(sf),
         "decontaminate": _decontaminate,
         "decontaminate_ngram": _decontaminate_ngram,
+        "dup_ngram_spans": lambda sf: _corpus().dup_ngram_spans(_docs(sf)),
         "line_dedup": lambda sf: _corpus().dedup_lines(_docs(sf)),
         "line_dedup_docs": lambda sf: _corpus().dedup_lines_docs(_docs(sf)),
         "quality_filter": lambda sf: _corpus().quantile_filter(
@@ -2756,6 +2757,23 @@ def oracle_sql() -> dict[str, str]:
         bad AS (SELECT DISTINCT doc_id FROM dng JOIN bng USING (g))
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        "dup_ngram_spans": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+        grams AS (SELECT doc_id, i - 1 AS pos,
+                         array_to_string(list_slice(t, i, i + 12), ' ') AS gram
+                  FROM toks,
+                       unnest(range(1, greatest(len(t) - 11, 1))) AS s(i)),
+        dup AS (SELECT gram FROM grams
+                GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+        dp AS (SELECT doc_id, pos FROM grams
+               WHERE gram IN (SELECT gram FROM dup)),
+        cov AS (SELECT doc_id, count(DISTINCT pos + j) AS dup_tokens
+                FROM dp, unnest(range(0, 13)) AS u(j) GROUP BY doc_id)
+        SELECT t.doc_id, len(t.t) AS n_tokens,
+               CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens
+        FROM toks t LEFT JOIN cov c USING (doc_id)
         """,
         "line_dedup": """
         WITH t AS (SELECT doc_id, string_split(text, ' window ') AS l

@@ -37,6 +37,23 @@ REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "16"))
 OUT_DIR = os.environ.get("GRAFT_BENCH_OUT", "/tmp/vnocr_bench_out")
 
 
+def host_memcpy_gbs() -> float:
+    """Probe steady-state memcpy bandwidth (GB/s, single thread).
+
+    This sandbox host intermittently degrades to <1 GB/s memcpy (normal:
+    tens of GB/s) — see BENCH/BASELINE.md "host degradation". Timings
+    taken under that state are environmental, not engine performance, so
+    every bench JSON line carries this probe for interpretation."""
+    import numpy as np
+
+    a = np.ones(12_500_000)  # 100 MB
+    b = np.empty_like(a)
+    t = time.perf_counter()
+    for _ in range(5):
+        np.copyto(b, a)
+    return round(0.5 / (time.perf_counter() - t), 2)
+
+
 def _replicated_corpus(sf_dir: str, factor: int) -> tuple[str, str]:
     """Synthesize (cached) the corpus, then replicate the docs table
     ``factor`` times with distinct doc_ids (media shared — refs are
@@ -247,6 +264,7 @@ def run_bench() -> dict:
         "n_media_spans": media_spans,
         "docs_per_sec": round(n_docs / headline, 1),
         "media_spans_per_sec": round(media_spans / headline, 1),
+        "host_memcpy_gbs": host_memcpy_gbs(),
     }
 
 
@@ -301,6 +319,7 @@ def run_scaling() -> dict:
         "media_spans_per_sec_32": r_hi["media_spans_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "sf": SF_DIR,
+        "host_memcpy_gbs": host_memcpy_gbs(),
     }
     _record_baseline(result)
     return result
@@ -397,6 +416,7 @@ def run_bench_headline_only() -> dict:
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / headline, 1),
         "media_spans_per_sec": round(n_media / headline, 1),
+        "host_memcpy_gbs": host_memcpy_gbs(),
     }
 
 

@@ -82,3 +82,54 @@ def test_quantile_filter_exact_count(ray_session):
     out = C.quantile_filter(ds, "n_chars", 0.9).to_pandas()
     # quantile_cont(0..999, 0.9) = 899.1 -> keep 900..999
     assert sorted(out["n_chars"]) == list(range(900, 1000))
+
+
+def test_dup_ngram_spans_counts_cross_doc_coverage(ray_session):
+    # docs 1 and 2 share tokens s0..s13 (two overlapping 13-grams at
+    # positions 0 and 1 in doc 1 -> 14 covered tokens); doc 3 repeats a
+    # 13-gram only within itself (not cross-doc -> 0); doc 4 is clean.
+    shared = " ".join(f"s{i}" for i in range(14))
+    selfrep = " ".join(f"r{i}" for i in range(13))
+    ds = _ds(
+        [
+            (1, shared + " tail1 tail2"),
+            (2, "head1 " + shared),
+            (3, selfrep + " gap " + selfrep),
+            (4, "plain short doc"),
+        ]
+    )
+    out = (
+        C.dup_ngram_spans(ds, n=13)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "dup_tokens"] == 14
+    assert out.loc[1, "n_tokens"] == 16
+    assert out.loc[2, "dup_tokens"] == 14
+    assert out.loc[3, "dup_tokens"] == 0
+    assert out.loc[4, "dup_tokens"] == 0
+
+
+def test_dup_ngram_spans_partitioning_invariant(ray_session):
+    shared = " ".join(f"s{i}" for i in range(20))
+    rows = [(i, f"u{i} " + shared + f" v{i}") for i in range(12)] + [
+        (50 + i, f"only unique tokens here w{i}") for i in range(8)
+    ]
+    a = (
+        C.dup_ngram_spans(_ds(rows), n=13, num_buckets=16)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        C.dup_ngram_spans(
+            _ds(rows).repartition(7), n=13, num_buckets=16
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    # every doc holding the shared run is fully covered on that run
+    assert (a.set_index("doc_id").loc[range(12), "dup_tokens"] == 20).all()

@@ -302,6 +302,190 @@ def decontaminate_ngrams(
 
 
 # ---------------------------------------------------------------------------
+# cross-document duplicated n-gram coverage (exact-substring dup signal)
+# ---------------------------------------------------------------------------
+
+
+def dup_ngram_spans(
+    ds: rd.Dataset,
+    n: int = 13,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Per-document duplicated-substring coverage: ``(doc_id, n_tokens,
+    dup_tokens)`` where ``dup_tokens`` counts token positions covered by
+    at least one token n-gram that also appears in ANOTHER document —
+    the exact-substring duplication signal of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"),
+    reduced to per-doc coverage fractions (callers divide).
+
+    Distribution: two bucket shuffles, no broadcast.
+
+    1. Every valid n-gram instance ships ``(gram, doc_id, pos)`` to the
+       bucket of its gram, so all instances of a gram meet in one
+       reduce task; a gram is duplicated iff its min and max doc_id
+       differ (cross-doc by construction). One vectorized pandas
+       transform per bucket; duplicated instances leave as int-only
+       ``(doc_id, pos)`` rows.
+    2. Duplicated positions bucket-shuffle on doc_id together with a
+       per-doc ``(doc_id, n_tokens)`` sentinel row; each reduce task
+       computes the merged-interval union length (``n*k`` minus
+       clipped-overlap sum over consecutive sorted positions) in one
+       numpy pass.
+
+    Scale note: shuffle 1 carries the gram STRINGS (n tokens/row).
+    At 100 TB the documented cheaper variant rolls 64-bit hashes first
+    (int-only shuffle, as :func:`decontaminate_ngrams` does), then
+    re-ships strings only for candidate-duplicate hashes; the string
+    path here keeps the op exact in one pass and is what the SQL oracle
+    checks.
+    """
+
+    def emit(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        text = (
+            text.combine_chunks()
+            if isinstance(text, pa.ChunkedArray)
+            else text
+        )
+        flat, offs = _token_lists(text)
+        total = len(flat)
+        counts = np.diff(offs)
+        if total < n:
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "_b": pa.array([], pa.int32()),
+                }
+            )
+        m = total - n + 1
+        doc_of = np.repeat(np.arange(counts.shape[0], dtype=np.int64), counts)
+        valid = doc_of[:m] == doc_of[n - 1 : n - 1 + m]
+        positions = np.nonzero(valid)[0]
+        grams = _ngram_strings(flat, positions, n)
+        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        doc = ids[doc_of[positions]]
+        pos = positions - offs[doc_of[positions]]
+        return pa.table(
+            {
+                "gram": grams,
+                "doc_id": pa.array(doc),
+                "pos": pa.array(pos),
+                "_b": pa.array(
+                    key_bucket(grams, num_buckets).astype(np.int32)
+                ),
+            }
+        )
+
+    def find_dups(g: pd.DataFrame) -> pa.Table:
+        lo = g.groupby("gram", sort=False)["doc_id"].transform("min")
+        hi = g.groupby("gram", sort=False)["doc_id"].transform("max")
+        kept = g[lo != hi]
+        return pa.table(
+            {
+                "doc_id": pa.array(kept["doc_id"].to_numpy(np.int64)),
+                "pos": pa.array(kept["pos"].to_numpy(np.int64)),
+            }
+        )
+
+    dup_pos = (
+        ds.select_columns(["doc_id", "text"])
+        .map_batches(emit, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(
+            lambda g: find_dups(g.drop(columns=["_b"])),
+            batch_format="pandas",
+        )
+    )
+
+    def tag_dup(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pos": batch.column("pos"),
+                "ntok": pa.array(np.zeros(batch.num_rows, np.int64)),
+                "_b": pa.array(
+                    key_bucket(batch.column("doc_id"), num_buckets).astype(
+                        np.int32
+                    )
+                ),
+            }
+        )
+
+    def sentinels(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        text = (
+            text.combine_chunks()
+            if isinstance(text, pa.ChunkedArray)
+            else text
+        )
+        _, offs = _token_lists(text)
+        ntok = np.diff(offs)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pos": pa.array(np.full(batch.num_rows, -1, np.int64)),
+                "ntok": pa.array(ntok.astype(np.int64)),
+                "_b": pa.array(
+                    key_bucket(batch.column("doc_id"), num_buckets).astype(
+                        np.int32
+                    )
+                ),
+            }
+        )
+
+    def coverage(g: pd.DataFrame) -> pa.Table:
+        sent = g[g["pos"] < 0]
+        dup = g[g["pos"] >= 0].sort_values(
+            ["doc_id", "pos"], kind="stable"
+        )
+        doc = dup["doc_id"].to_numpy(np.int64)
+        pos = dup["pos"].to_numpy(np.int64)
+        out_ids = sent["doc_id"].to_numpy(np.int64)
+        covered = np.zeros(out_ids.shape[0], np.int64)
+        if doc.size:
+            # n per instance, minus the overlap of consecutive
+            # same-doc intervals [p, p+n-1]
+            same = doc[1:] == doc[:-1]
+            overlap = np.where(
+                same, np.clip(n - np.diff(pos), 0, None), 0
+            )
+            uniq, idx, k = np.unique(
+                doc, return_index=True, return_counts=True
+            )
+            # segmented overlap sum: segment i spans pair indices
+            # idx[i]..idx[i+1]-1; the pair straddling two docs is
+            # already zeroed by `same`, so a plain reduceat is exact
+            # (padded so the last segment stays in bounds)
+            per_doc = n * k - np.add.reduceat(
+                np.concatenate([overlap, [0]]), idx
+            )
+            order = np.searchsorted(uniq, out_ids)
+            hit = (order < uniq.shape[0]) & (
+                uniq[np.minimum(order, uniq.shape[0] - 1)] == out_ids
+            )
+            covered[hit] = per_doc[order[hit]]
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids),
+                "n_tokens": pa.array(sent["ntok"].to_numpy(np.int64)),
+                "dup_tokens": pa.array(covered),
+            }
+        )
+
+    union = dup_pos.map_batches(tag_dup, batch_format="pyarrow").union(
+        ds.select_columns(["doc_id", "text"]).map_batches(
+            sentinels, batch_format="pyarrow"
+        )
+    )
+    return union.groupby("_b").map_groups(
+        lambda g: coverage(g.drop(columns=["_b"])),
+        batch_format="pandas",
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact global-quantile threshold filter
 # ---------------------------------------------------------------------------
 
