@@ -269,6 +269,22 @@ def _corpus():
     return corpus
 
 
+def _batching():
+    """The batch-construction operator module (driver-side lazy import)."""
+    from vietnamese_ocr_ray.functions import batching
+
+    return batching
+
+
+def _pack_bins(sf_dir: str):
+    """Greedy first-fit-decreasing sequence packing into 128-token bins
+    (sample packing). Rows-only: bin assignment is a packing HEURISTIC
+    with no SQL analog — invariants (exactly-once, budget respected,
+    determinism under repartitioning) are pytest-verified in
+    tests/test_batching.py."""
+    return _batching().pack_sequences(_docs(sf_dir), budget=128)
+
+
 def _decontaminate_ngram(sf_dir: str):
     """Benchmark decontamination by 13-token-gram overlap (the
     standard contamination check): drop any document sharing an exact
@@ -1294,6 +1310,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _decontaminate,
         "decontaminate_ngram": _decontaminate_ngram,
         "dup_ngram_spans": lambda sf: _corpus().dup_ngram_spans(_docs(sf)),
+        "length_batches": lambda sf: _batching().length_bucket_batches(
+            _docs(sf)
+        ),
+        "pack_bins": _pack_bins,
         "line_dedup": lambda sf: _corpus().dedup_lines(_docs(sf)),
         "line_dedup_docs": lambda sf: _corpus().dedup_lines_docs(_docs(sf)),
         "quality_filter": lambda sf: _corpus().quantile_filter(
@@ -2757,6 +2777,18 @@ def oracle_sql() -> dict[str, str]:
         bad AS (SELECT DISTINCT doc_id FROM dng JOIN bng USING (g))
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        "length_batches": """
+        WITH t AS (SELECT doc_id,
+                          len(string_split(text, ' ')) AS n_tokens
+                   FROM documents),
+        b AS (SELECT doc_id, n_tokens, n_tokens // 8 AS len_bucket,
+                     row_number() OVER (PARTITION BY n_tokens // 8
+                                        ORDER BY doc_id) - 1 AS rn
+              FROM t)
+        SELECT doc_id, n_tokens, len_bucket,
+               rn // 32 AS batch_idx, rn % 32 AS pos_in_batch
+        FROM b
         """,
         "dup_ngram_spans": """
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t

@@ -1,0 +1,155 @@
+"""Training-batch construction — the last mile of an LLM data
+pipeline: turning a cleaned corpus into the batches a trainer consumes.
+
+* :func:`length_bucket_batches` — classic length-bucketed batching
+  (group docs of similar token length so padding waste stays bounded,
+  then cut deterministic fixed-size batches inside each bucket).
+  SQL-mirrored: batch/position assignment equals a row_number window
+  over (len_bucket ORDER BY doc_id).
+* :func:`pack_sequences` — greedy first-fit-decreasing sequence
+  packing (combine short docs into fixed token-budget bins, the
+  "sample packing" trick that removes padding entirely). Deterministic
+  and partitioning-invariant: docs are hash-bucketed by doc_id, each
+  bucket packs independently in (desc length, asc doc_id) order, so
+  bin contents depend only on the data. Packing is a heuristic with no
+  SQL analog — verified by invariant tests (exactly-once assignment,
+  budget respected, determinism under repartition).
+
+Scale notes: length buckets are few (max_len / width), so the bucket
+shuffle is tiny but a single bucket can hold a large corpus fraction —
+per-bucket work is one vectorized sort+arange, and the
+`running_value_sum_rangesort` prefix-offset pattern is the documented
+fallback when one bucket outgrows a task heap. `pack_sequences`
+buckets are hash-uniform (corpus/num_buckets docs each); the FFD inner
+loop is Python-per-doc over a numpy bin-remaining array — bounded by
+bucket size, and bins stay few because budget >> mean doc length.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from vietnamese_ocr_ray.functions.joins import key_bucket
+
+
+def _with_token_counts(ds: rd.Dataset) -> rd.Dataset:
+    """(doc_id, n_tokens): whitespace token count, exactly
+    ``len(string_split(text, ' '))`` (spaces + 1, '' counts 1)."""
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = pc.add(pc.count_substring(batch.column("text"), " "), 1)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pc.cast(n, pa.int64()),
+            }
+        )
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        count, batch_format="pyarrow"
+    )
+
+
+def length_bucket_batches(
+    ds: rd.Dataset,
+    bucket_width: int = 8,
+    batch_size: int = 32,
+) -> rd.Dataset:
+    """(doc_id, n_tokens, len_bucket, batch_idx, pos_in_batch):
+    deterministic length-bucketed batch assignment. Docs in the same
+    ``n_tokens // bucket_width`` bucket are ordered by doc_id and cut
+    into consecutive ``batch_size`` batches — identical to the SQL
+    row_number window, one len_bucket shuffle here."""
+    counted = _with_token_counts(ds)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch.column("n_tokens"), dtype=np.int64)
+        return batch.append_column(
+            "len_bucket", pa.array(n // bucket_width)
+        )
+
+    def assign(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("doc_id", kind="stable")
+        rn = np.arange(len(g), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+                "n_tokens": pa.array(g["n_tokens"].to_numpy(np.int64)),
+                "len_bucket": pa.array(
+                    g["len_bucket"].to_numpy(np.int64)
+                ),
+                "batch_idx": pa.array(rn // batch_size),
+                "pos_in_batch": pa.array(rn % batch_size),
+            }
+        )
+
+    return (
+        counted.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("len_bucket")
+        .map_groups(assign, batch_format="pandas")
+    )
+
+
+def pack_sequences(
+    ds: rd.Dataset,
+    budget: int = 128,
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """(doc_id, n_tokens, pack_bucket, bin_id): greedy first-fit-
+    decreasing packing of docs into token-budget bins within each
+    doc_id hash bucket. A doc longer than ``budget`` gets a singleton
+    bin (callers chunk oversize docs first — see
+    ``functions.chunk.doc_chunks``). bin_ids are dense per bucket;
+    (pack_bucket, bin_id) is the global bin key."""
+    counted = _with_token_counts(ds)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "pack_bucket",
+            pa.array(
+                key_bucket(batch.column("doc_id"), num_buckets).astype(
+                    np.int64
+                )
+            ),
+        )
+
+    def pack(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(
+            ["n_tokens", "doc_id"],
+            ascending=[False, True],
+            kind="stable",
+        )
+        lens = g["n_tokens"].to_numpy(np.int64)
+        bins = np.empty(len(g), np.int64)  # bin id per doc
+        remaining = np.empty(len(g), np.int64)  # capacity per open bin
+        n_bins = 0
+        for i, L in enumerate(lens):
+            fit = remaining[:n_bins] >= L
+            if fit.any():
+                b = int(np.argmax(fit))  # first fit
+                remaining[b] -= L
+            else:
+                b = n_bins
+                remaining[b] = max(budget - L, 0)
+                n_bins += 1
+            bins[i] = b
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+                "n_tokens": pa.array(lens),
+                "pack_bucket": pa.array(
+                    g["pack_bucket"].to_numpy(np.int64)
+                ),
+                "bin_id": pa.array(bins),
+            }
+        )
+
+    return (
+        counted.map_batches(tag, batch_format="pyarrow")
+        .groupby("pack_bucket")
+        .map_groups(pack, batch_format="pandas")
+    )
