@@ -276,6 +276,32 @@ def _batching():
     return batching
 
 
+def _bpe_merges(sf_dir: str):
+    """Distributed BPE vocabulary learning (Sennrich 2016): word-count
+    table via one bucketed shuffle, then the driver-side merge loop
+    over that vocab-sized table. Rows-only: iterative merges have no
+    SQL analog — verified against an independently-written dict-based
+    reference + partitioning invariance in tests/test_bpe.py."""
+    from vietnamese_ocr_ray.functions.bpe import bpe_learn
+
+    return bpe_learn(_docs(sf_dir), num_merges=24)
+
+
+def _semdedup(sf_dir: str):
+    """SemDeDup (Abbas 2023): k-means clusters, in-cluster cosine
+    pairs, distributed-CC min-id survivors over the embeddings table.
+    Rows-only: k-means is iterative (no SQL analog) and in-cluster
+    search intentionally trades recall for the O((N/k)^2) bound —
+    planted-dup removal + partitioning invariance are pytest-verified
+    in tests/test_semdedup.py."""
+    from vietnamese_ocr_ray.functions.semdedup import semdedup
+
+    ds = _read_pq(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return semdedup(ds, n_clusters=4, threshold=0.4)
+
+
 def _pack_bins(sf_dir: str):
     """Greedy first-fit-decreasing sequence packing into 128-token bins
     (sample packing). Rows-only: bin assignment is a packing HEURISTIC
@@ -1314,6 +1340,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf)
         ),
         "pack_bins": _pack_bins,
+        "bpe_merges": _bpe_merges,
+        "semdedup": _semdedup,
         "line_dedup": lambda sf: _corpus().dedup_lines(_docs(sf)),
         "line_dedup_docs": lambda sf: _corpus().dedup_lines_docs(_docs(sf)),
         "quality_filter": lambda sf: _corpus().quantile_filter(

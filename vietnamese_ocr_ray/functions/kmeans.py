@@ -30,6 +30,19 @@ def _assign(m: np.ndarray, centroids: np.ndarray) -> np.ndarray:
     return np.argmax(scores, axis=1).astype(np.int64)
 
 
+def _vec_hash(m: np.ndarray, seed: int) -> np.ndarray:
+    """Wrapping-polynomial hash of each row's float64 BIT PATTERN —
+    data-determined, so identical vectors hash identically regardless
+    of which block they sit in."""
+    u = np.ascontiguousarray(m, dtype=np.float64).view(np.uint64)
+    p = np.uint64(1099511628211)
+    h = np.full(u.shape[0], np.uint64(seed) * p + np.uint64(0x9E3779B9))
+    with np.errstate(over="ignore"):
+        for j in range(u.shape[1]):
+            h = h * p + u[:, j]
+    return h
+
+
 def kmeans_fit(
     ds: rd.Dataset,
     k: int = 16,
@@ -37,14 +50,34 @@ def kmeans_fit(
     seed: int = 17,
     emb_col: str = "embedding",
 ) -> np.ndarray:
-    """(k, d) centroids. Init = seeded sample of k rows; each iteration
-    streams the dataset once (partial sums per batch, small aggregate)."""
+    """(k, d) centroids. Init = the k rows with smallest salted hash of
+    the vector bytes — deterministic AND partitioning-invariant (a
+    seeded ``random_sample`` samples per block, so the init — and every
+    downstream cluster id — would change with block boundaries). The
+    candidate set is pruned to k per batch; only k x blocks rows reach
+    the tiny global sort. Each iteration then streams the dataset once
+    (partial sums per batch, small aggregate)."""
     import ray
 
-    init_rows = ds.select_columns([emb_col]).random_sample(
-        min(1.0, (4.0 * k) / max(1, ds.count())), seed=seed
-    ).take(k)
-    centroids = np.array([r[emb_col] for r in init_rows], dtype=np.float64)
+    def init_part(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch, emb_col)
+        h = _vec_hash(m, seed)
+        idx = np.argsort(h, kind="stable")[:k]
+        return pa.table(
+            {
+                "h": pa.array(h[idx]),
+                "vec": pa.array(list(m[idx]), pa.list_(pa.float64())),
+            }
+        )
+
+    init_rows = (
+        ds.select_columns([emb_col])
+        .map_batches(init_part, batch_format="pyarrow")
+        .sort("h")
+        .limit(k)
+        .take_all()
+    )
+    centroids = np.array([r["vec"] for r in init_rows], dtype=np.float64)
     k = centroids.shape[0]
 
     for _ in range(iters):
