@@ -1465,6 +1465,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": lambda sf: tfidf_top_terms(_docs(sf)),
         "tfidf_join": lambda sf: tfidf_top_terms_join(_docs(sf)),
         "lm_score": _lm_score,
+        "dsir_weights": lambda sf: __import__(
+            "vietnamese_ocr_ray.functions.lm", fromlist=["dsir_logratio"]
+        ).dsir_logratio(_docs(sf)),
         "pmi_collocations": _pmi_collocations,
         "kl_source_divergence": _kl_source_divergence,
         "inverted_index": _inverted_index,
@@ -2398,6 +2401,42 @@ def oracle_sql() -> dict[str, str]:
                CAST((2 * s + cnt) // (2 * cnt) AS DOUBLE) / 1000000.0
                  AS lm_score
         FROM s
+        """,
+        "dsir_weights": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        e AS (SELECT doc_id, unnest(l) AS tok,
+                     unnest(list_transform(l, (x, i) -> i)) AS pos FROM t),
+        b AS (SELECT a.doc_id, a.tok AS w1, c.tok AS w2
+              FROM e a JOIN e c ON a.doc_id = c.doc_id AND c.pos = a.pos + 1),
+        h AS (SELECT doc_id,
+                     CAST(list_sum(list_transform(
+                         string_split('dsirtgt:' || CAST(doc_id AS VARCHAR), ''),
+                         (x, i) -> unicode(x) * i)) % 1000000007 AS BIGINT)
+                       AS fp
+              FROM documents),
+        tgt AS (SELECT doc_id FROM h
+                WHERE ((fp * fp % 1000000007) * fp % 1000000007) % 1000 < 100),
+        tb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS nb FROM b
+               WHERE doc_id IN (SELECT doc_id FROM tgt) GROUP BY w1, w2),
+        tc AS (SELECT w1, CAST(sum(nb) AS BIGINT) AS nu FROM tb GROUP BY w1),
+        tv AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM e
+               WHERE doc_id IN (SELECT doc_id FROM tgt)),
+        sb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS nb
+               FROM b GROUP BY w1, w2),
+        sc AS (SELECT w1, CAST(sum(nb) AS BIGINT) AS nu FROM sb GROUP BY w1),
+        sv AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM e),
+        q AS (SELECT b.doc_id,
+                CAST(round(ln((coalesce(tb.nb, 0) + 1)
+                              / (coalesce(tc.nu, 0) + tv.v)) * 1000000)
+                     AS BIGINT)
+              - CAST(round(ln((sb.nb + 1) / (sc.nu + sv.v)) * 1000000)
+                     AS BIGINT) AS q
+              FROM b LEFT JOIN tb USING (w1, w2) LEFT JOIN tc USING (w1)
+                     JOIN sb USING (w1, w2) JOIN sc USING (w1)
+                     CROSS JOIN tv CROSS JOIN sv)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(q) AS BIGINT) AS dsir_micro_nats
+        FROM q GROUP BY doc_id
         """,
         "ttr": """
         WITH e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -218,6 +218,102 @@ def lm_score(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def dsir_logratio(
+    ds: rd.Dataset,
+    rate_permille: int = 100,
+    salt: str = "dsirtgt:",
+) -> rd.Dataset:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every doc by
+    how much more probable a TARGET-domain bigram LM finds it than the
+    corpus (source) LM — docs with high log-ratio are up-weighted when
+    selecting pretraining data that matches the target.
+
+    Target set: the deterministic ``hash_sample`` band (rerun-stable,
+    SQL-mirrored) — in production the target would be a curated corpus;
+    the machinery is identical. Both LMs are add-one-smoothed bigram
+    models (the :func:`lm_score` formulation; unseen-by-target bigrams
+    get count 0). Output: ``(doc_id, n_bigrams, dsir_micro_nats)`` with
+    the log-ratio sum quantized per bigram to integer micro-nats BEFORE
+    summation — order-independent integer arithmetic, bit-exact vs the
+    SQL oracle; callers divide by n_bigrams for a length-normalized
+    weight.
+
+    Scale shape: two vocabulary-bounded bigram-count tables (each ONE
+    bucketed hash-aggregate; the target pass scans only the sampled
+    band), broadcast as sorted arrays — the same worker-heap contract
+    (and token-bucket cogroup escape hatch) as :func:`lm_score`."""
+    import ray
+
+    from vietnamese_ocr_ray.functions.sampling import hash_sample
+    from vietnamese_ocr_ray.functions.sketch import distinct_token_count
+
+    target = hash_sample(
+        ds, "doc_id", rate_permille=rate_permille, salt=salt
+    )
+
+    def lm_tables(sub: rd.Dataset):
+        counts = bigram_counts(sub).to_pandas()  # vocabulary-bounded
+        key = pa.array(
+            counts["w1"].to_numpy() + "\x1f" + counts["w2"].to_numpy(),
+            pa.string(),
+        )
+        n = counts["n"].to_numpy(np.int64)
+        ctx = counts.groupby("w1", as_index=False, sort=False)["n"].sum()
+        return (
+            key,
+            n,
+            pa.array(ctx["w1"].to_numpy(), pa.string()),
+            ctx["n"].to_numpy(np.int64),
+            float(distinct_token_count(sub)["n_distinct_tokens"][0].as_py()),
+        )
+
+    t_key, t_n, t_ckey, t_cn, t_v = lm_tables(target)
+    s_key, s_n, s_ckey, s_cn, s_v = lm_tables(ds)
+    handle = ray.put((t_key, t_n, t_ckey, t_cn, s_key, s_n, s_ckey, s_cn))
+
+    def lookup(values, key_arr, n_arr):
+        idx = pc.fill_null(pc.index_in(values, value_set=key_arr), -1)
+        idx = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        return np.where(idx >= 0, n_arr[np.maximum(idx, 0)], 0)
+
+    def score(batch: pa.Table) -> pa.Table:
+        t_key, t_n, t_ckey, t_cn, s_key, s_n, s_ckey, s_cn = ray.get(handle)
+        doc, w1, w2 = _doc_bigrams(batch)
+        if len(doc) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_bigrams": pa.array([], pa.int64()),
+                    "dsir_micro_nats": pa.array([], pa.int64()),
+                }
+            )
+        joined = pc.binary_join_element_wise(w1, w2, pa.scalar("\x1f"))
+        tb = lookup(joined, t_key, t_n)
+        tc = lookup(w1, t_ckey, t_cn)
+        sb = lookup(joined, s_key, s_n)  # always present (source = corpus)
+        sc = lookup(w1, s_ckey, s_cn)
+        q = np.round(np.log((tb + 1.0) / (tc + t_v)) * _SCALE).astype(
+            np.int64
+        ) - np.round(np.log((sb + 1.0) / (sc + s_v)) * _SCALE).astype(
+            np.int64
+        )
+        first = np.ones(len(doc), dtype=bool)
+        first[1:] = doc[1:] != doc[:-1]
+        runs = np.nonzero(first)[0]
+        s = np.add.reduceat(q, runs)
+        cnt = np.diff(np.append(runs, len(doc))).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[runs]),
+                "n_bigrams": pa.array(cnt),
+                "dsir_micro_nats": pa.array(s),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def kl_source_divergence(ds: rd.Dataset, num_buckets: int = 64) -> rd.Dataset:
     """Per-source KL divergence of the source's token unigram
     distribution from the corpus distribution — the domain-shift /
