@@ -1340,6 +1340,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf)
         ),
         "pack_bins": _pack_bins,
+        "shuffle_shards": lambda sf: _batching().shuffle_shards(_docs(sf)),
         "bpe_merges": _bpe_merges,
         "semdedup": _semdedup,
         "line_dedup": lambda sf: _corpus().dedup_lines(_docs(sf)),
@@ -1400,6 +1401,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "domain_stats": lambda sf: _url().domain_stats(
             _docs(sf, columns=("doc_id", "text", "lang", "source"))
+        ),
+        "domain_cap": lambda sf: _url().domain_cap(
+            _docs(sf, columns=("doc_id", "lang", "source"))
         ),
         # HTML main-content extraction (north-rule web-extraction ops;
         # deterministic SQL-expressible page synth -> every stage
@@ -2059,6 +2063,39 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN length(q) > 0 THEN 1 ELSE 0 END) AS BIGINT)
                  AS with_query
         FROM p GROUP BY 1
+        """,
+        "domain_cap": f"""
+        WITH u AS (SELECT doc_id, {_url_expr} AS url FROM documents),
+        p AS (
+          SELECT doc_id,
+            regexp_extract(url, '^(https?)://([^/]+)(/[^?]*)(\\?.*)?$', 2)
+              AS host
+          FROM u
+        ),
+        d AS (
+          SELECT doc_id,
+               CASE WHEN host LIKE '%.co.uk'
+                    THEN regexp_extract(host, '[^.]+\\.co\\.uk$')
+                    ELSE regexp_extract(host, '[^.]+\\.[^.]+$') END
+                 AS registered_domain
+          FROM p
+        ),
+        h AS (
+          SELECT doc_id, registered_domain,
+                 CAST(list_sum(list_transform(
+                     string_split('cap:' || CAST(doc_id AS VARCHAR), ''),
+                     (c, i) -> unicode(c) * i)) % 1000000007 AS BIGINT) AS fp
+          FROM d
+        ),
+        m AS (
+          SELECT doc_id, registered_domain,
+                 ((fp + 123456789) * (fp + 123456789) % 1000000007)
+                   * (fp + 123456789) % 1000000007 AS mixed
+          FROM h
+        )
+        SELECT doc_id, registered_domain FROM m
+        QUALIFY row_number() OVER (PARTITION BY registered_domain
+                                   ORDER BY mixed, doc_id) <= 10
         """,
         "pii_stats": f"""
         WITH p AS (
@@ -2844,6 +2881,23 @@ def oracle_sql() -> dict[str, str]:
         bad AS (SELECT DISTINCT doc_id FROM dng JOIN bng USING (g))
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        "shuffle_shards": """
+        WITH h AS (
+          SELECT doc_id,
+                 CAST(list_sum(list_transform(
+                     string_split('shard:' || CAST(doc_id AS VARCHAR), ''),
+                     (x, i) -> unicode(x) * i)) % 1000000007 AS BIGINT) AS fp
+          FROM documents
+        ),
+        m AS (SELECT doc_id,
+                     ((fp + 123456789) * (fp + 123456789) % 1000000007)
+                       * (fp + 123456789) % 1000000007 AS mh
+              FROM h)
+        SELECT doc_id, mh % 8 AS shard,
+               row_number() OVER (PARTITION BY mh % 8
+                                  ORDER BY mh, doc_id) - 1 AS pos_in_shard
+        FROM m
         """,
         "length_batches": """
         WITH t AS (SELECT doc_id,

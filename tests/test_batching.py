@@ -73,6 +73,36 @@ def test_pack_sequences_oversize_doc_gets_singleton_bin(ray_session):
     assert (out[out["bin_id"] == big_bin]["doc_id"] == 0).all()
 
 
+def test_shuffle_shards_cover_and_positions(ray_session):
+    ds = _docs(["x"] * 97)
+    out = B.shuffle_shards(ds, num_shards=4).to_pandas()
+    # every doc lands in exactly one shard
+    assert sorted(out["doc_id"]) == list(range(97))
+    # positions are dense 0..n-1 within each shard
+    for _, g in out.groupby("shard"):
+        assert sorted(g["pos_in_shard"]) == list(range(len(g)))
+    # shards are reasonably balanced (hash-based, 97 docs over 4)
+    sizes = out.groupby("shard").size()
+    assert sizes.min() >= 10
+
+
+def test_shuffle_shards_partitioning_invariant(ray_session):
+    texts = ["t"] * 150
+    a = (
+        B.shuffle_shards(_docs(texts))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        B.shuffle_shards(_docs(texts).repartition(7))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
 def test_pack_sequences_partitioning_invariant(ray_session):
     rng = np.random.default_rng(7)
     texts = [" ".join(["t"] * int(n)) for n in rng.integers(1, 120, 300)]

@@ -91,6 +91,32 @@ def test_url_registered_domain_public_suffix(ray_session):
     assert out["path"].tolist() == ["/vi/article/4", "/en/article/5"]
 
 
+def test_domain_cap_keeps_at_most_k_per_domain(ray_session):
+    from vietnamese_ocr_ray.functions.url import domain_cap
+
+    # 120 docs over 13 hosts x 2 suffixes per source -> some domains
+    # exceed the cap of 3
+    n = 120
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "lang": pa.array(["vi"] * n),
+            "source": pa.array(["web"] * n),
+        }
+    )
+    out = domain_cap(rd.from_arrow(t), k=3).to_pandas()
+    sizes = out.groupby("registered_domain").size()
+    assert (sizes <= 3).all()
+    # survivors are a subset of the corpus, no duplicates
+    assert out["doc_id"].is_unique
+    assert set(out["doc_id"]) <= set(range(n))
+    # deterministic under repartitioning
+    out2 = domain_cap(rd.from_arrow(t).repartition(7), k=3).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
 # ---------------------------------------------------------------------------
 # chunking
 # ---------------------------------------------------------------------------

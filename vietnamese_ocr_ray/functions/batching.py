@@ -94,6 +94,58 @@ def length_bucket_batches(
     )
 
 
+def shuffle_shards(
+    ds: rd.Dataset,
+    num_shards: int = 8,
+    salt: str = "shard:",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """(doc_id, shard, pos_in_shard): deterministic global shuffle into
+    training shards. The shard is the salted content hash mod
+    ``num_shards`` (rerun/partitioning-stable — the same no-shuffle
+    contract as ``functions.sampling.hash_sample``); within a shard,
+    rows order by (mixed hash, doc_id) — a data-determined pseudorandom
+    order, so concatenating shards 0..S-1 IS the epoch shuffle. One
+    shard shuffle; per-shard work is a vectorized sort + arange (for
+    shards beyond a task heap, range-sort on the hash and take global
+    prefix offsets — the ``running_value_sum_rangesort`` pattern)."""
+    from vietnamese_ocr_ray.functions.sampling import _mixed_hash, _poly_hash
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keys = pc.binary_join_element_wise(
+            pa.scalar(salt),
+            pc.cast(batch.column(id_col), pa.string()),
+            pa.scalar(""),
+        )
+        h = _mixed_hash(_poly_hash(keys))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "shard": pa.array(h % num_shards),
+                "_h": pa.array(h),
+            }
+        )
+
+    def order(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["_h", id_col], kind="stable")
+        return pa.table(
+            {
+                id_col: pa.array(g[id_col].to_numpy(np.int64)),
+                "shard": pa.array(g["shard"].to_numpy(np.int64)),
+                "pos_in_shard": pa.array(
+                    np.arange(len(g), dtype=np.int64)
+                ),
+            }
+        )
+
+    return (
+        ds.select_columns([id_col])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(order, batch_format="pandas")
+    )
+
+
 def pack_sequences(
     ds: rd.Dataset,
     budget: int = 128,

@@ -211,3 +211,29 @@ def domain_filter(ds: rd.Dataset, min_docs: int = 2, min_avg_chars: int = 250) -
         )
 
     return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def domain_cap(ds: rd.Dataset, k: int = 10, salt: str = "cap:") -> rd.Dataset:
+    """Per-domain document cap (the MassiveText/RefinedWeb source-
+    balancing rule: no single site may dominate the corpus): keep at
+    most ``k`` docs per registered domain, chosen by smallest salted
+    mixed hash — deterministic, rerun/partitioning-stable, SQL-mirrored
+    (QUALIFY row_number <= k). One (doc_id, domain) projection, then
+    :func:`~vietnamese_ocr_ray.functions.sampling.sample_k_per_group`'s
+    partial-top-k shape: the shuffle carries k x domains x blocks rows,
+    never the corpus."""
+    from vietnamese_ocr_ray.functions.sampling import sample_k_per_group
+
+    def project(batch: pa.Table) -> pa.Table:
+        cols = _parse_url_columns(synth_url_array(batch))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "registered_domain": cols["registered_domain"],
+            }
+        )
+
+    parsed = ds.map_batches(project, batch_format="pyarrow")
+    return sample_k_per_group(
+        parsed, "doc_id", "registered_domain", k, salt=salt
+    )
