@@ -6,6 +6,10 @@ pipeline: turning a cleaned corpus into the batches a trainer consumes.
   then cut deterministic fixed-size batches inside each bucket).
   SQL-mirrored: batch/position assignment equals a row_number window
   over (len_bucket ORDER BY doc_id).
+* :func:`shuffle_shards` — deterministic epoch shuffle into training
+  shards (salted-hash shard assignment + in-shard hash order), built
+  on the range-sort prefix-offset pattern so no shard ever has to fit
+  one task. SQL-mirrored: row_number over (shard ORDER BY hash, id).
 * :func:`pack_sequences` — greedy first-fit-decreasing sequence
   packing (combine short docs into fixed token-budget bins, the
   "sample packing" trick that removes padding entirely). Deterministic
@@ -105,10 +109,18 @@ def shuffle_shards(
     ``num_shards`` (rerun/partitioning-stable — the same no-shuffle
     contract as ``functions.sampling.hash_sample``); within a shard,
     rows order by (mixed hash, doc_id) — a data-determined pseudorandom
-    order, so concatenating shards 0..S-1 IS the epoch shuffle. One
-    shard shuffle; per-shard work is a vectorized sort + arange (for
-    shards beyond a task heap, range-sort on the hash and take global
-    prefix offsets — the ``running_value_sum_rangesort`` pattern)."""
+    order, so concatenating shards 0..S-1 IS the epoch shuffle.
+
+    Scale shape (the ``running_value_sum_rangesort`` pattern — no
+    shard-fits-one-task assumption): one global range sort on
+    (shard, hash, id); a tiny per-block pass counts rows per shard
+    (``num_shards`` ints per block to the driver); the driver
+    exclusive-scans those counts in block order into per-(block, shard)
+    starting positions; each block then adds its local arange. A shard
+    is consecutive blocks after the sort, so positions are dense and
+    globally correct with no per-group materialization."""
+    import ray
+
     from vietnamese_ocr_ray.functions.sampling import _mixed_hash, _poly_hash
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -126,23 +138,55 @@ def shuffle_shards(
             }
         )
 
-    def order(g: pd.DataFrame) -> pa.Table:
-        g = g.sort_values(["_h", id_col], kind="stable")
+    srt = (
+        ds.select_columns([id_col])
+        .map_batches(tag, batch_format="pyarrow")
+        .sort(["shard", "_h", id_col])
+        .materialize()
+    )
+    refs = srt.to_arrow_refs()
+    if not refs:
+        return srt.map_batches(
+            lambda b: b.drop_columns(["_h"]).append_column(
+                "pos_in_shard", pa.array([], pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+
+    @ray.remote
+    def shard_counts(t: pa.Table) -> np.ndarray:
+        return np.bincount(
+            np.asarray(t.column("shard")), minlength=num_shards
+        ).astype(np.int64)
+
+    counts = ray.get([shard_counts.remote(r) for r in refs])
+    starts: list[np.ndarray] = []
+    running = np.zeros(num_shards, np.int64)
+    for c in counts:  # block order == sort order
+        starts.append(running.copy())
+        running += c
+
+    @ray.remote
+    def finish(t: pa.Table, start: np.ndarray) -> pa.Table:
+        shard = np.asarray(t.column("shard"))
+        n = shard.shape[0]
+        idx = np.arange(n, dtype=np.int64)
+        first = np.ones(n, dtype=bool)
+        first[1:] = shard[1:] != shard[:-1]
+        run_start = np.nonzero(first)[0]
+        run_len = np.diff(np.append(run_start, n))
+        local = idx - np.repeat(idx[run_start], run_len)
+        pos = local + start[shard]
         return pa.table(
             {
-                id_col: pa.array(g[id_col].to_numpy(np.int64)),
-                "shard": pa.array(g["shard"].to_numpy(np.int64)),
-                "pos_in_shard": pa.array(
-                    np.arange(len(g), dtype=np.int64)
-                ),
+                id_col: t.column(id_col),
+                "shard": t.column("shard"),
+                "pos_in_shard": pa.array(pos),
             }
         )
 
-    return (
-        ds.select_columns([id_col])
-        .map_batches(tag, batch_format="pyarrow")
-        .groupby("shard")
-        .map_groups(order, batch_format="pandas")
+    return rd.from_arrow_refs(
+        [finish.remote(r, starts[i]) for i, r in enumerate(refs)]
     )
 
 
