@@ -1376,6 +1376,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": lambda sf: token_count(_docs(sf)),
         "subword_tokens": lambda sf: subword_token_count(_docs(sf)),
         "quality_scores": lambda sf: quality_scores(_docs(sf)),
+        # hashed-BoW linear classifier inference (actor-pool stage,
+        # weight table built once per actor; logits integer-exact)
+        "classifier_score": lambda sf: __import__(
+            "vietnamese_ocr_ray.functions.classifier",
+            fromlist=["classifier_score"],
+        ).classifier_score(_docs(sf)),
         "gopher_filter": lambda sf: gopher_filter(_docs(sf)),
         "repetition_ratio": lambda sf: repetition_ratio(_docs(sf)),
         "token_entropy": lambda sf: token_entropy(_docs(sf)),
@@ -1939,6 +1945,43 @@ def oracle_sql() -> dict[str, str]:
                                             (c, i) -> unicode(c) * i))
                     % 1000000007 AS BIGINT) AS fingerprint
         FROM documents
+        """,
+        "classifier_score": """
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents
+        ), th AS (
+          SELECT doc_id,
+                 CAST(coalesce(list_sum(list_transform(
+                     string_split(substr(tok, 1, 32), ''),
+                     (c, i) -> CAST(unicode(c) AS BIGINT) *
+                       [1, 31, 961, 29791, 923521, 28629151, 887503681,
+                        512613922, 891031477, 621975598, 281243405,
+                        718545499, 274910315, 522219709, 188810867,
+                        853136842, 447241920, 864499429, 799482117,
+                        783945459, 302309061, 371580828, 519005591,
+                        89173209, 764369465, 695453254, 559050727,
+                        330572418, 247744888, 680091479, 82835702,
+                        567906748][i])), 0)
+                   % 1000000007 AS BIGINT) AS h
+          FROM tok
+        ), wfp AS (
+          SELECT doc_id,
+                 CAST(list_sum(list_transform(
+                     string_split('w:' || CAST(h % 512 AS VARCHAR), ''),
+                     (c, i) -> unicode(c) * i)) % 1000000007 AS BIGINT)
+                   AS fp
+          FROM th
+        ), w AS (
+          SELECT doc_id,
+                 ((fp + 123456789) * (fp + 123456789) % 1000000007)
+                   * (fp + 123456789) % 1000000007 % 2001 - 1000 AS wt
+          FROM wfp
+        )
+        SELECT doc_id, CAST(sum(wt) AS BIGINT) AS logit_milli,
+               CAST(CASE WHEN sum(wt) > 0 THEN 1 ELSE 0 END AS BIGINT)
+                 AS keep
+        FROM w GROUP BY doc_id
         """,
         # Both engines run RE2; patterns below are byte-identical to
         # functions/pii.py EMAIL_RE / IP_RE / PHONE_RE.

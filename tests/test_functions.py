@@ -966,3 +966,41 @@ def test_lm_score_ranks_predictable_text_lower(ray_session):
         s = -sum(qs)
         expect = ((2 * s + len(qs)) // (2 * len(qs))) / 1e6
         assert out.loc[doc_id, "lm_score"] == expect, doc_id
+
+
+def test_classifier_score_ascii_matches_python_reference(ray_session):
+    from vietnamese_ocr_ray.functions.classifier import (
+        HashedLinearScorer,
+        classifier_score,
+        stand_in_weights,
+    )
+
+    texts = ["the quick brown fox", "a", "", "the the the", "zig quux"]
+    out = (
+        classifier_score(rd.from_arrow(_docs_table(texts)), dim=64)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    w = stand_in_weights(64)
+    P = 1_000_000_007
+    for doc_id, t in enumerate(texts):
+        logit = 0
+        for tok in t.split(" "):
+            h = sum(ord(c) * pow(31, j, P) for j, c in enumerate(tok[:32])) % P
+            logit += int(w[h % 64])
+        assert out.loc[doc_id, "logit_milli"] == logit, doc_id
+        assert out.loc[doc_id, "keep"] == int(logit > 0)
+
+
+def test_classifier_score_non_ascii_fallback_matches_fast_path():
+    from vietnamese_ocr_ray.functions.classifier import HashedLinearScorer
+
+    scorer = HashedLinearScorer(dim=64)
+    ascii_texts = ["plain ascii tokens here", "more words"]
+    # same logical tokens plus a non-ASCII doc forcing the fallback
+    mixed = ascii_texts + ["tiếng việt ớ"]
+    fast = scorer(_docs_table(ascii_texts))
+    slow = scorer(_docs_table(mixed))
+    assert fast.column("logit_milli").to_pylist() == (
+        slow.column("logit_milli").to_pylist()[:2]
+    )

@@ -1,0 +1,122 @@
+"""Hashed-feature linear quality-classifier inference — the
+"run a learned quality classifier over every document" stage of a web
+corpus pipeline (CCNet / RefinedWeb style). The model here is a
+deterministic stand-in (no trained artifacts exist in this sandbox):
+hashed bag-of-words features and a pseudo-random integer weight table
+derived from the feature index. The Ray shape is the real thing — a
+stateful actor-pool stage whose weight table is built ONCE per actor
+in ``__init__`` and whose per-batch inference is fully vectorized —
+and the arithmetic is SQL-mirrored so the driver value-checks every
+logit bit-exact.
+
+Model:
+
+* feature bucket  ``b(tok) = h31(tok) % dim`` with ``h31`` the
+  31-polynomial token hash of ``functions/dedup.simhash_tokens_batch``
+  (tokens capped at 32 chars; SQL: list_transform + a 31^j literal
+  table)
+* weight          ``w[b] = mixed(poly('w:' || b)) % 2001 - 1000``
+  integer milli-units in [-1000, 1000] (the salted cubed polynomial of
+  ``functions/sampling``)
+* logit           ``logit_milli(doc) = sum over tokens of w[b(tok)]``
+  — an order-independent int64 sum, so reduces are exact
+* decision        ``keep = logit_milli > 0``
+
+Scale shape: stateless per doc given the weight table; ``dim`` int64
+weights (KBs) live in actor state, never re-shipped per batch; zero
+shuffles. Swapping the stand-in weights for a real model's is a
+one-line change in ``__init__`` (load from a checkpoint path) — the
+inference path is identical.
+
+Reference parity: beyond-reference LLM-data-pipeline surface
+(SURVEY.md §2.8); the reference has no corpus-quality concept.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from vietnamese_ocr_ray.functions.dedup import (
+    SIMHASH_CAP,
+    SIMHASH_P,
+    _POW31,
+    _utf8_flat,
+)
+from vietnamese_ocr_ray.functions.sampling import _mixed_hash, _poly_hash
+
+
+def _token_hashes(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(flat token hashes, tokens-per-doc) for a batch — the same
+    31-polynomial / 32-char-cap hash as simhash_tokens_batch, one
+    weighted-mod cumsum over the flat utf8 buffer (ASCII fast path,
+    per-token Python fallback otherwise)."""
+    toks_list = pc.split_pattern(batch.column("text"), " ")
+    flat = pc.list_flatten(toks_list)
+    flat = pc.utf8_slice_codeunits(flat, 0, SIMHASH_CAP)
+    ntok = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+    offs, data = _utf8_flat(flat.combine_chunks())
+    if data.size == 0 or (data < 128).all():
+        chars = data.astype(np.int64)
+        lens = offs[1:] - offs[:-1]
+        starts = np.repeat(offs[:-1], lens)
+        local = np.arange(chars.shape[0], dtype=np.int64) - starts
+        weighted = (chars * _POW31[local]) % SIMHASH_P
+        csum = np.concatenate([[0], np.cumsum(weighted)])
+        h = (csum[offs[1:]] - csum[offs[:-1]]) % SIMHASH_P
+    else:
+        toks = flat.to_pylist()
+        h = np.fromiter(
+            (
+                sum(ord(c) * int(_POW31[j]) for j, c in enumerate(t or ""))
+                % SIMHASH_P
+                for t in toks
+            ),
+            np.int64,
+            count=len(toks),
+        )
+    return h, ntok.astype(np.int64)
+
+
+def stand_in_weights(dim: int, salt: str = "w:") -> np.ndarray:
+    """The deterministic milli-unit weight table: one salted cubed
+    polynomial hash per feature index, mapped into [-1000, 1000]."""
+    idx = pa.array([f"{salt}{j}" for j in range(dim)], pa.string())
+    return (_mixed_hash(_poly_hash(idx)) % 2001 - 1000).astype(np.int64)
+
+
+class HashedLinearScorer:
+    """Actor-pool inference stage: weight table built once per actor,
+    vectorized hashed-BoW logit per document per batch."""
+
+    def __init__(self, dim: int = 512, salt: str = "w:"):
+        self.dim = dim
+        self.weights = stand_in_weights(dim, salt)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h, ntok = _token_hashes(batch)
+        w_flat = self.weights[h % self.dim]
+        csum = np.concatenate([[0], np.cumsum(w_flat)])
+        ends = np.concatenate([[0], np.cumsum(ntok)])
+        logit = csum[ends[1:]] - csum[ends[:-1]]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "logit_milli": pa.array(logit),
+                "keep": pa.array((logit > 0).astype(np.int64)),
+            }
+        )
+
+
+def classifier_score(
+    ds: rd.Dataset, dim: int = 512, concurrency=(1, 8)
+) -> rd.Dataset:
+    """(doc_id, logit_milli, keep) for every document."""
+    return ds.map_batches(
+        HashedLinearScorer,
+        fn_constructor_kwargs={"dim": dim},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
