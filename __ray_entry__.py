@@ -1352,6 +1352,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": _hash_sample,
         "sample_k": _sample_k,
         "sample_k_per_lang": _sample_k_per_lang,
+        # DoReMi-style mixture: per-source quota (hash-derived rule)
+        "mixture_sample": lambda sf: __import__(
+            "vietnamese_ocr_ray.functions.sampling",
+            fromlist=["mixture_sample"],
+        ).mixture_sample(
+            _docs(sf, ("doc_id", "source")), "doc_id", "source"
+        ),
         "weighted_sample": _weighted_sample,
         "left_join_counts": lambda sf: relational.customer_order_counts(sf),
         # multi-way join trees and advanced aggregates
@@ -2704,6 +2711,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, lang FROM m
         QUALIFY row_number() OVER (PARTITION BY lang
                                    ORDER BY mixed, doc_id) <= 20
+        """,
+        "mixture_sample": """
+        WITH h AS (
+          SELECT doc_id, source,
+                 CAST(list_sum(list_transform(
+                     string_split('mix:' || CAST(doc_id AS VARCHAR), ''),
+                     (c, i) -> unicode(c) * i)) % 1000000007 AS BIGINT) AS fp,
+                 CAST(list_sum(list_transform(
+                     string_split('q:' || source, ''),
+                     (c, i) -> unicode(c) * i)) % 1000000007 AS BIGINT) AS qfp
+          FROM documents
+        ), m AS (
+          SELECT doc_id, source,
+                 ((fp + 123456789) * (fp + 123456789) % 1000000007)
+                   * (fp + 123456789) % 1000000007 AS mixed,
+                 5 + ((qfp + 123456789) * (qfp + 123456789) % 1000000007)
+                   * (qfp + 123456789) % 1000000007 % 11 AS quota
+          FROM h
+        )
+        SELECT doc_id, source FROM m
+        QUALIFY row_number() OVER (PARTITION BY source
+                                   ORDER BY mixed, doc_id) <= quota
         """,
         "weighted_sample": """
         WITH h AS (

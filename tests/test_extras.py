@@ -259,3 +259,39 @@ def test_weighted_sample_prefers_heavy_rows(ray_session):
     # heavy rows are 10% of rows but ~10x weight: expect them to win
     # far beyond their count share (exp. ~50% of picks vs 10% unweighted)
     assert heavy_hits / (heavy_hits + light_hits) > 0.3
+
+
+def test_mixture_sample_explicit_quotas_and_invariance(ray_session):
+    """Explicit-dict mixture: per-group counts equal min(quota, group
+    size); hash-rule mode is partitioning-stable."""
+    from vietnamese_ocr_ray.functions.sampling import mixture_sample
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(300), pa.int64()),
+            "source": pa.array(
+                ["a"] * 100 + ["b"] * 100 + ["c"] * 100
+            ),
+        }
+    )
+    quotas = {"a": 10, "b": 250, "c": 0}
+    out = mixture_sample(
+        rd.from_arrow(t), "doc_id", "source", quotas=quotas
+    ).to_pandas()
+    sizes = out.groupby("source").size().to_dict()
+    assert sizes == {"a": 10, "b": 100}  # b capped by group size, c dropped
+    assert out["doc_id"].is_unique
+
+    a = (
+        mixture_sample(rd.from_arrow(t), "doc_id", "source")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        mixture_sample(rd.from_arrow(t).repartition(11), "doc_id", "source")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)

@@ -188,6 +188,83 @@ def sample_k_per_group(
     )
 
 
+def mixture_sample(
+    ds: rd.Dataset,
+    key_col: str,
+    group_col: str,
+    *,
+    quotas: dict | None = None,
+    base: int = 5,
+    spread: int = 11,
+    salt: str = "mix:",
+    quota_salt: str = "q:",
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """DoReMi / MassiveText-style mixture construction: keep at most
+    ``quota(group)`` rows per group (source / language / domain),
+    chosen by smallest salted mixed hash — the variable-k
+    generalization of :func:`sample_k_per_group`, giving a
+    deterministic, rerun/partitioning-stable corpus with target
+    per-group proportions.
+
+    The quota is an explicit ``{group: k}`` dict (captured by value —
+    mixture tables are small) or, by default, derived from the group
+    NAME: ``base + mixed(poly(quota_salt + group)) % spread`` — the
+    SQL-mirrored rule the driver value-checks. Scale shape is
+    sample_k_per_group's: per-batch partial top-k bounds the shuffle
+    at max-quota x groups x blocks rows."""
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        keys = pc.binary_join_element_wise(
+            pa.scalar(salt),
+            pc.cast(batch.column(key_col), pa.string()),
+            pa.scalar(""),
+        )
+        mixed = _mixed_hash(_poly_hash(keys))
+        return batch.append_column("_h", pa.array(mixed))
+
+    def row_quotas(groups) -> np.ndarray:
+        if quotas is not None:
+            return groups.map(quotas).fillna(0).to_numpy(np.int64)
+        names = pc.binary_join_element_wise(
+            pa.scalar(quota_salt),
+            pc.cast(pa.Array.from_pandas(groups), pa.string()),
+            pa.scalar(""),
+        )
+        return base + _mixed_hash(_poly_hash(names)) % spread
+
+    def trim(df):
+        s = df.sort_values([group_col, "_h", key_col], kind="stable")
+        keep = (
+            s.groupby(group_col, sort=False).cumcount().to_numpy(np.int64)
+            < row_quotas(s[group_col])
+        )
+        return s[keep]
+
+    def partial_topk(df):
+        s = trim(df)
+        s["_bucket"] = key_bucket(
+            pa.Array.from_pandas(s[group_col]), num_buckets
+        ).astype(np.int32)
+        return pa.Table.from_pandas(s, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    def final_topk(g):
+        out = trim(g).drop(columns=["_h", "_bucket"])
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .map_batches(partial_topk, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
 def weighted_sample_k(
     ds: rd.Dataset,
     key_col: str,
