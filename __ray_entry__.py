@@ -287,6 +287,18 @@ def _bpe_merges(sf_dir: str):
     return bpe_learn(_docs(sf_dir), num_merges=24)
 
 
+def _bpe_encode(sf_dir: str):
+    """BPE application: learn merges on the corpus (driver-side loop
+    over the distributed word-count table), then tokenize every doc
+    with an actor-pool encoder whose merge ranks + word cache live in
+    actor state. Rows-only (iterative merges have no SQL analog) —
+    equality vs an independent reference encoder in tests/test_bpe.py."""
+    from vietnamese_ocr_ray.functions.bpe import bpe_encode, bpe_learn
+
+    merges = bpe_learn(_docs(sf_dir), num_merges=24)
+    return bpe_encode(_docs(sf_dir), merges)
+
+
 def _semdedup(sf_dir: str):
     """SemDeDup (Abbas 2023): k-means clusters, in-cluster cosine
     pairs, distributed-CC min-id survivors over the embeddings table.
@@ -1342,6 +1354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_bins": _pack_bins,
         "shuffle_shards": lambda sf: _batching().shuffle_shards(_docs(sf)),
         "bpe_merges": _bpe_merges,
+        "bpe_encode": _bpe_encode,
         "semdedup": _semdedup,
         "line_dedup": lambda sf: _corpus().dedup_lines(_docs(sf)),
         "line_dedup_docs": lambda sf: _corpus().dedup_lines_docs(_docs(sf)),

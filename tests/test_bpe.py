@@ -80,3 +80,59 @@ def test_bpe_max_words_cap_is_deterministic(ray_session):
     a = bpe_learn(_ds(TEXTS), num_merges=5, max_words=4).to_pandas()
     b = bpe_learn(_ds(TEXTS).repartition(3), num_merges=5, max_words=4).to_pandas()
     assert a.equals(b)
+
+
+def _reference_encode_len(word, ranks):
+    """Independent lowest-rank-first encoder (GPT-2 bpe() rule) using
+    a pair-set formulation instead of index scanning."""
+    syms = list(word) + ["</w>"]
+    while len(syms) > 1:
+        candidates = [
+            (ranks[(a, b)], i)
+            for i, (a, b) in enumerate(zip(syms, syms[1:]))
+            if (a, b) in ranks
+        ]
+        if not candidates:
+            break
+        _, i = min(candidates)
+        syms = syms[:i] + [syms[i] + syms[i + 1]] + syms[i + 2 :]
+    return len(syms)
+
+
+def test_bpe_encode_matches_independent_reference(ray_session):
+    from vietnamese_ocr_ray.functions.bpe import bpe_encode
+
+    merges = bpe_learn(_ds(TEXTS), num_merges=12)
+    ranks = {
+        (l, r): i
+        for i, (l, r) in enumerate(
+            zip(merges.column("left").to_pylist(), merges.column("right").to_pylist())
+        )
+    }
+    out = bpe_encode(_ds(TEXTS), merges).to_pandas().set_index("doc_id")
+    for doc_id, t in enumerate(TEXTS):
+        toks = t.split(" ")
+        want = sum(_reference_encode_len(w, ranks) for w in toks)
+        assert out.loc[doc_id, "n_tokens"] == len(toks)
+        assert out.loc[doc_id, "n_pieces"] == want, (doc_id, t)
+    # merges compress: pieces < chars+1 for merged words
+    assert (out["n_pieces"] < out.index.map(lambda i: len(TEXTS[i]) + 2)).all()
+
+
+def test_bpe_encode_partitioning_invariant(ray_session):
+    from vietnamese_ocr_ray.functions.bpe import bpe_encode
+
+    merges = bpe_learn(_ds(TEXTS * 5), num_merges=8)
+    a = (
+        bpe_encode(_ds(TEXTS * 5), merges)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        bpe_encode(_ds(TEXTS * 5).repartition(7), merges)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)

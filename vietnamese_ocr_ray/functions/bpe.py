@@ -61,6 +61,87 @@ def word_counts(
     )
 
 
+class BpeEncoder:
+    """Actor-pool BPE application: tokenize every document with a
+    learned merge table. The merge ranks live in actor state (built
+    once per actor from the tiny merges table — KBs), along with a
+    word→piece-count cache that persists ACROSS batches, so each
+    distinct word is encoded once per actor no matter how many times
+    it occurs (the word-cache trick real tokenizers use; the per-word
+    merge loop is inherently sequential, but it runs only on cache
+    misses — vocabulary-bounded, not corpus-bounded). Doc-level
+    reduction is vectorized (pandas dict-map + segmented cumsum).
+
+    Encode rule: greedy lowest-rank-first (the GPT-2 ``bpe()``
+    formulation — repeatedly merge the present pair with the smallest
+    rank), not sequential rank-order application; the two differ only
+    when a later merge creates an earlier merge's pair.
+
+    Output: (doc_id, n_tokens, n_pieces)."""
+
+    def __init__(self, merges: list[tuple[str, str]]):
+        self.ranks = {pair: i for i, pair in enumerate(merges)}
+        self.cache: dict[str, int] = {}
+
+    def _encode_len(self, word: str) -> int:
+        hit = self.cache.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word) + [_EOW]
+        while len(syms) > 1:
+            best_rank, best_i = None, -1
+            for i in range(len(syms) - 1):
+                r = self.ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        n = len(syms)
+        self.cache[word] = n
+        return n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks_list = pc.split_pattern(batch.column("text"), " ")
+        flat = pc.list_flatten(toks_list)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        ntok = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+        for w in pc.unique(flat).to_pylist():
+            self._encode_len(w or "")
+        piece_per_tok = (
+            pd.Series(flat.to_pylist()).map(self.cache).to_numpy(np.int64)
+        )
+        csum = np.concatenate([[0], np.cumsum(piece_per_tok)])
+        ends = np.concatenate([[0], np.cumsum(ntok)])
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(ntok.astype(np.int64)),
+                "n_pieces": pa.array(csum[ends[1:]] - csum[ends[:-1]]),
+            }
+        )
+
+
+def bpe_encode(
+    ds: rd.Dataset,
+    merges: pa.Table,
+    concurrency=(1, 8),
+) -> rd.Dataset:
+    """(doc_id, n_tokens, n_pieces): apply a learned merge table to
+    the corpus — merge ranks captured by value (merge tables are tiny
+    by construction), per-actor word cache, zero shuffles."""
+    pairs = list(
+        zip(merges.column("left").to_pylist(), merges.column("right").to_pylist())
+    )
+    return ds.map_batches(
+        BpeEncoder,
+        fn_constructor_kwargs={"merges": pairs},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
 def bpe_learn(
     ds: rd.Dataset,
     num_merges: int = 32,
