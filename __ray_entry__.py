@@ -218,6 +218,13 @@ def _html(sf_dir: str):
     return html
 
 
+def _pdf():
+    """The pdf/layout operator module (driver-side lazy import)."""
+    from vietnamese_ocr_ray.functions import pdf
+
+    return pdf
+
+
 def _pii():
     """The pii operator module (driver-side lazy import)."""
     from vietnamese_ocr_ray.functions import pii
@@ -1446,6 +1453,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_boilerplate_stats": lambda sf: _html(sf).html_boilerplate_stats(
             _html_docs(sf)
         ),
+        # PDF / layout parse (north-rule op: positioned text blocks
+        # recovered from a content stream and re-ordered into reading
+        # order; deterministic SQL-expressible stream synth)
+        "pdf_page": lambda sf: _pdf().synth_pdf(
+            _docs(sf, ("doc_id", "text", "source"))
+        ),
+        "pdf_spans": lambda sf: _pdf().pdf_spans(
+            _pdf().synth_pdf(_docs(sf, ("doc_id", "text", "source")))
+        ),
+        "pdf_text": lambda sf: _pdf().pdf_text(
+            _pdf().synth_pdf(_docs(sf, ("doc_id", "text", "source")))
+        ),
         "cer": _cer,
         "extract_cer": _extract_cer,
         # dedup
@@ -1535,11 +1554,13 @@ WITH w AS (
 
 
 def oracle_sql() -> dict[str, str]:
+    from vietnamese_ocr_ray.functions.pdf import pdf_sql_expr
     from vietnamese_ocr_ray.functions.pii import pii_sql_expr
     from vietnamese_ocr_ray.functions.url import url_sql_expr
 
     _pii_expr = "(" + pii_sql_expr() + ")"
     _url_expr = "(" + url_sql_expr() + ")"
+    _pdf_expr = pdf_sql_expr()
 
     # embedding covariance: generated for dims=4 (mirrors
     # _embedding_covariance's quantized closed form exactly)
@@ -1640,6 +1661,54 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d JOIN stripped s USING (doc_id)
         LEFT JOIN main m USING (doc_id)
         GROUP BY d.source
+        """,
+        "pdf_page": f"""
+        WITH p AS ({_pdf_expr})
+        SELECT doc_id, pdf FROM p
+        """,
+        "pdf_spans": f"""
+        WITH p AS ({_pdf_expr}),
+        r AS (
+          SELECT doc_id,
+            regexp_extract_all(pdf,
+              'BT /F\\d+ \\d+ Tf (\\d+) \\d+ Td \\([^)]*\\) Tj', 1) AS xs,
+            regexp_extract_all(pdf,
+              'BT /F\\d+ \\d+ Tf \\d+ (\\d+) Td \\([^)]*\\) Tj', 1) AS ys,
+            regexp_extract_all(pdf,
+              'BT /F\\d+ \\d+ Tf \\d+ \\d+ Td \\(([^)]*)\\) Tj', 1) AS ts
+          FROM p
+        ),
+        u AS (
+          SELECT doc_id, CAST(unnest(xs) AS BIGINT) AS x,
+                 CAST(unnest(ys) AS BIGINT) AS y, unnest(ts) AS text
+          FROM r
+        )
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY y DESC, x ASC) - 1 AS block,
+               x, y, text
+        FROM u
+        """,
+        "pdf_text": f"""
+        WITH p AS ({_pdf_expr}),
+        r AS (
+          SELECT doc_id,
+            regexp_extract_all(pdf,
+              'BT /F\\d+ \\d+ Tf (\\d+) \\d+ Td \\([^)]*\\) Tj', 1) AS xs,
+            regexp_extract_all(pdf,
+              'BT /F\\d+ \\d+ Tf \\d+ (\\d+) Td \\([^)]*\\) Tj', 1) AS ys,
+            regexp_extract_all(pdf,
+              'BT /F\\d+ \\d+ Tf \\d+ \\d+ Td \\(([^)]*)\\) Tj', 1) AS ts
+          FROM p
+        ),
+        u AS (
+          SELECT doc_id, CAST(unnest(xs) AS BIGINT) AS x,
+                 CAST(unnest(ys) AS BIGINT) AS y, unnest(ts) AS text
+          FROM r
+        )
+        SELECT doc_id,
+               string_agg(text, chr(10) ORDER BY y DESC, x ASC) AS text
+        FROM u GROUP BY doc_id
         """,
         "explode_tokens": """
         WITH s AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
