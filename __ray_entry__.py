@@ -1465,6 +1465,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pdf_text": lambda sf: _pdf().pdf_text(
             _pdf().synth_pdf(_docs(sf, ("doc_id", "text", "source")))
         ),
+        "pdf_spans_interleaved": lambda sf: _pdf().pdf_to_spans(
+            _pdf().synth_pdf(_docs(sf, ("doc_id", "text", "source")))
+        ),
         "cer": _cer,
         "extract_cer": _extract_cer,
         # dedup
@@ -1709,6 +1712,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                string_agg(text, chr(10) ORDER BY y DESC, x ASC) AS text
         FROM u GROUP BY doc_id
+        """,
+        "pdf_spans_interleaved": f"""
+        WITH p AS ({_pdf_expr}),
+        r AS (
+          SELECT doc_id,
+            regexp_extract_all(pdf,
+              'BT /F\\d+ \\d+ Tf (\\d+) \\d+ Td \\([^)]*\\) Tj', 1) AS xs,
+            regexp_extract_all(pdf,
+              'BT /F\\d+ \\d+ Tf \\d+ (\\d+) Td \\([^)]*\\) Tj', 1) AS ys,
+            regexp_extract_all(pdf,
+              'BT /F\\d+ \\d+ Tf \\d+ \\d+ Td \\(([^)]*)\\) Tj', 1) AS ts
+          FROM p
+        ),
+        u AS (
+          SELECT doc_id, CAST(unnest(xs) AS BIGINT) AS x,
+                 CAST(unnest(ys) AS BIGINT) AS y, unnest(ts) AS text
+          FROM r
+        ),
+        sel AS (
+          SELECT doc_id, x, y, text LIKE 'fig %' AS is_media, text FROM u
+        )
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY y DESC, x ASC) - 1
+                    AS INTEGER) AS "offset",
+               CASE WHEN is_media THEN 'media' ELSE 'text' END AS kind,
+               CASE WHEN is_media THEN '' ELSE text END AS text,
+               CASE WHEN is_media
+                    THEN 'media://' || doc_id::VARCHAR || '/1'
+                    ELSE '' END AS media_ref
+        FROM sel
         """,
         "explode_tokens": """
         WITH s AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)

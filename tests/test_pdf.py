@@ -69,3 +69,21 @@ def test_pdf_parse_partitioning_invariant(ray_session):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_pdf_to_spans_flagship_shape(ray_session):
+    from vietnamese_ocr_ray.functions.pdf import pdf_to_spans
+
+    out = (
+        pdf_to_spans(synth_pdf(_docs()))
+        .to_pandas()
+        .sort_values(["doc_id", "offset"])
+        .reset_index(drop=True)
+    )
+    d7 = out[out["doc_id"] == 7]
+    assert d7["kind"].tolist() == ["text", "media", "text", "text"]
+    assert d7["offset"].tolist() == [0, 1, 2, 3]
+    # figure block became a media span: empty text, media:// ref
+    assert d7.iloc[1]["text"] == ""
+    assert d7.iloc[1]["media_ref"] == "media://7/1"
+    assert (d7[d7["kind"] == "text"]["media_ref"] == "").all()

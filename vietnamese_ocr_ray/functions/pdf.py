@@ -153,6 +153,46 @@ def pdf_spans(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(parse, batch_format="pyarrow")
 
 
+def pdf_to_spans(ds: rd.Dataset) -> rd.Dataset:
+    """The extraction front end for PDF (mirrors
+    ``functions/html.html_to_spans``): one interleaved span row per
+    parsed block IN READING ORDER — figure blocks (the margin-note
+    convention ``fig <id> caption``) become kind='media' spans with a
+    ``media://`` ref, everything else kind='text'. Output is exactly
+    the flagship input shape (doc_id, offset, kind, text, media_ref)."""
+
+    def spans(batch: pa.Table) -> pa.Table:
+        doc_idx, _x, _y, t = _parse_blocks(batch)
+        ids = np.asarray(pc.cast(_chunked(batch.column("doc_id")), pa.int64()))
+        d = ids[doc_idx]
+        is_media = np.asarray(pc.starts_with(t, "fig "), dtype=bool)
+        n = d.shape[0]
+        first = np.ones(n, dtype=bool)
+        first[1:] = doc_idx[1:] != doc_idx[:-1]
+        starts = np.nonzero(first)[0]
+        offset = np.arange(n, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, n))
+        )
+        refs = pc.binary_join_element_wise(
+            pa.scalar("media://"),
+            pc.cast(pa.array(d), pa.string()),
+            pa.scalar("/1"),
+            pa.scalar(""),
+        )
+        m = pa.array(is_media)
+        return pa.table(
+            {
+                "doc_id": pa.array(d),
+                "offset": pa.array(offset.astype(np.int32), pa.int32()),
+                "kind": pa.array(np.where(is_media, "media", "text"), pa.string()),
+                "text": pc.if_else(m, pa.scalar(""), t),
+                "media_ref": pc.if_else(m, refs, pa.scalar("")),
+            }
+        )
+
+    return ds.map_batches(spans, batch_format="pyarrow")
+
+
 def pdf_text(ds: rd.Dataset) -> rd.Dataset:
     """(doc_id, text): block texts joined with newlines in reading
     order — the extracted document text."""
