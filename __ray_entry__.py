@@ -911,6 +911,21 @@ def _lm_score(sf_dir: str):
     return lm_score(_docs(sf_dir))
 
 
+def _ccnet_buckets(sf_dir: str):
+    """CCNet head/middle/tail perplexity buckets: global rank of the
+    LM score (distributed rank — range sort + per-block counts +
+    exclusive scan, no table collection), then exact integer tercile
+    bands rank*3//n."""
+    from vietnamese_ocr_ray.functions.lm import lm_score
+    from vietnamese_ocr_ray.functions.rank import rank_buckets
+
+    return rank_buckets(
+        lm_score(_docs(sf_dir)),
+        ["lm_score", "doc_id"],
+        ["head", "middle", "tail"],
+    )
+
+
 def _pmi_collocations(sf_dir: str):
     """Top-20 PMI collocations with a min-count-5 support floor —
     phrase mining over the corpus bigram table (functions/lm.py)."""
@@ -1517,6 +1532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": lambda sf: tfidf_top_terms(_docs(sf)),
         "tfidf_join": lambda sf: tfidf_top_terms_join(_docs(sf)),
         "lm_score": _lm_score,
+        "ccnet_buckets": _ccnet_buckets,
         "dsir_weights": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.lm", fromlist=["dsir_logratio"]
         ).dsir_logratio(_docs(sf)),
@@ -2604,6 +2620,37 @@ def oracle_sql() -> dict[str, str]:
                CAST((2 * s + cnt) // (2 * cnt) AS DOUBLE) / 1000000.0
                  AS lm_score
         FROM s
+        """,
+        "ccnet_buckets": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        e AS (SELECT doc_id, unnest(l) AS tok,
+                     unnest(list_transform(l, (x, i) -> i)) AS pos FROM t),
+        b AS (SELECT a.doc_id, a.tok AS w1, c.tok AS w2
+              FROM e a JOIN e c ON a.doc_id = c.doc_id AND c.pos = a.pos + 1),
+        cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS nb
+               FROM b GROUP BY w1, w2),
+        cu AS (SELECT w1, CAST(sum(nb) AS BIGINT) AS nu FROM cb GROUP BY w1),
+        v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM e),
+        q AS (SELECT b.doc_id,
+                     CAST(round(ln((cb.nb + 1) / (cu.nu + v.v)) * 1000000)
+                          AS BIGINT) AS q
+              FROM b JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v),
+        s AS (SELECT doc_id, -sum(q) AS s, count(*) AS cnt
+              FROM q GROUP BY doc_id),
+        f AS (SELECT doc_id, CAST(cnt AS BIGINT) AS n_bigrams,
+                     CAST((2 * s + cnt) // (2 * cnt) AS DOUBLE) / 1000000.0
+                       AS lm_score
+              FROM s),
+        r AS (SELECT doc_id, n_bigrams, lm_score,
+                     row_number() OVER (ORDER BY lm_score, doc_id) - 1
+                       AS rnk,
+                     count(*) OVER () AS n
+              FROM f)
+        SELECT doc_id, n_bigrams, lm_score,
+               CAST(rnk AS BIGINT) AS rank,
+               CASE (rnk * 3) // n WHEN 0 THEN 'head'
+                    WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+        FROM r
         """,
         "dsir_weights": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

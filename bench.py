@@ -242,6 +242,11 @@ def run_bench() -> dict:
         "doc_chunks",
         "gopher_filter",
         "domain_stats",
+        "classifier_score",
+        "pdf_spans_interleaved",
+        "shuffle_shards",
+        "domain_cap",
+        "bpe_encode",
     ):
 
         def consume(fn=q[name]):

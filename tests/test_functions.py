@@ -1004,3 +1004,35 @@ def test_classifier_score_non_ascii_fallback_matches_fast_path():
     assert fast.column("logit_milli").to_pylist() == (
         slow.column("logit_milli").to_pylist()[:2]
     )
+
+
+def test_global_rank_dense_and_partitioning_stable(ray_session):
+    from vietnamese_ocr_ray.functions.rank import global_rank, rank_buckets
+
+    rng = np.random.default_rng(3)
+    vals = rng.permutation(400).astype(np.int64)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(400), pa.int64()),
+            "v": pa.array(vals),
+        }
+    )
+    out = global_rank(rd.from_arrow(t), ["v", "doc_id"]).to_pandas()
+    # rank == argsort position of v (v is a permutation, so no ties)
+    assert sorted(out["rank"]) == list(range(400))
+    assert (out.sort_values("v")["rank"].to_numpy() == np.arange(400)).all()
+    b = global_rank(
+        rd.from_arrow(t).repartition(9), ["v", "doc_id"]
+    ).to_pandas()
+    assert out.sort_values("doc_id")["rank"].tolist() == (
+        b.sort_values("doc_id")["rank"].tolist()
+    )
+
+    lab = rank_buckets(
+        rd.from_arrow(t), ["v", "doc_id"], ["head", "middle", "tail"]
+    ).to_pandas()
+    sizes = lab.groupby("bucket").size()
+    assert sizes.to_dict() == {"head": 134, "middle": 133, "tail": 133}
+    # band boundaries: ranks 0..133 head, 134..266 middle, rest tail
+    assert (lab[lab["bucket"] == "head"]["rank"] < 134).all()
+    assert (lab[lab["bucket"] == "tail"]["rank"] >= 267).all()

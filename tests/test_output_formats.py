@@ -345,3 +345,27 @@ def test_sharded_directory_read_matches_single_file(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_csv_roundtrip(ray_session, tmp_path):
+    """CSV source/sink parity: the other interchange format at corpus
+    ingest (metadata/label tables commonly arrive as CSV)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    out = str(tmp_path / "docs_csv")
+    rd.from_arrow(t).write_csv(out)
+    back = (
+        rd.read_csv(out)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert back[["doc_id", "lang", "n_chars"]].equals(
+        want[["doc_id", "lang", "n_chars"]]
+    )

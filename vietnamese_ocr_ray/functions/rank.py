@@ -1,0 +1,79 @@
+"""Distributed global rank — assign every row its 0-based position
+under a total order WITHOUT collecting the table: one range sort, a
+per-block row count (bare ints to the driver — metadata scale), an
+exclusive scan, and a block-local arange. The same
+prefix-offset pattern as ``relational.running_value_sum_rangesort`` /
+``batching.shuffle_shards``; no per-key state, no block ever holds
+more than its own rows.
+
+This is the primitive behind rank-defined corpus operations: CCNet
+perplexity buckets (head/middle/tail terciles of the LM score),
+percentile labels, top-p% selection — anywhere "position in the
+global order" must be exact and the order spans blocks.
+
+Reference parity: beyond-reference LLM-data-pipeline surface
+(SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+def global_rank(
+    ds: rd.Dataset, sort_keys: list[str], out_col: str = "rank"
+) -> rd.Dataset:
+    """Append ``out_col``: the row's 0-based global position under
+    ``sort_keys`` (make the key total — include a tiebreaker column —
+    or equal keys rank in sort-placement order)."""
+    import ray
+
+    srt = ds.sort(sort_keys).materialize()
+    refs = srt.to_arrow_refs()
+    if not refs:
+        return srt
+
+    @ray.remote
+    def nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = np.array(ray.get([nrows.remote(r) for r in refs]), np.int64)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+
+    @ray.remote
+    def finish(t: pa.Table, start: int) -> pa.Table:
+        return t.append_column(
+            out_col,
+            pa.array(start + np.arange(t.num_rows, dtype=np.int64)),
+        )
+
+    return rd.from_arrow_refs(
+        [finish.remote(r, int(starts[i])) for i, r in enumerate(refs)]
+    )
+
+
+def rank_buckets(
+    ds: rd.Dataset,
+    sort_keys: list[str],
+    labels: list[str],
+    out_col: str = "bucket",
+) -> rd.Dataset:
+    """Split the global order into ``len(labels)`` equal-count bands
+    and label every row (CCNet's head/middle/tail when ``labels`` has
+    three entries and the key is an LM score): band index is
+    ``rank * k // n`` — exact integer arithmetic, no float quantile
+    boundary."""
+    ranked = global_rank(ds, sort_keys)
+    n = ranked.count()
+    k = len(labels)
+    lab = np.array(labels, dtype=object)
+
+    def label(batch: pa.Table) -> pa.Table:
+        r = np.asarray(batch.column("rank"))
+        return batch.append_column(
+            out_col, pa.array(lab[r * k // max(n, 1)], pa.string())
+        )
+
+    return ranked.map_batches(label, batch_format="pyarrow")
