@@ -1396,6 +1396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "weighted_sample": _weighted_sample,
         "left_join_counts": lambda sf: relational.customer_order_counts(sf),
+        "full_outer_matrix": lambda sf: relational.click_purchase_matrix(sf),
         # multi-way join trees and advanced aggregates
         "shipping_priority": lambda sf: analytics.shipping_priority(sf),
         "local_supplier_volume": lambda sf: analytics.local_supplier_volume(sf),
@@ -2915,6 +2916,20 @@ def oracle_sql() -> dict[str, str]:
                    / GREATEST(CAST(n_chars AS DOUBLE), 1e-30),
                  doc_id
         LIMIT 100
+        """,
+        "full_outer_matrix": """
+        WITH c AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+                          CAST(count(*) AS BIGINT) AS n_click
+                   FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        p AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+                     CAST(count(*) AS BIGINT) AS n_purchase
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        SELECT coalesce(c.user_id, p.user_id) AS user_id,
+               coalesce(c.hour, p.hour) AS hour,
+               coalesce(c.n_click, 0) AS n_click,
+               coalesce(p.n_purchase, 0) AS n_purchase
+        FROM c FULL OUTER JOIN p
+          ON c.user_id = p.user_id AND c.hour = p.hour
         """,
         "left_join_counts": """
         SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders

@@ -984,6 +984,52 @@ def rolling_avg(
     )
 
 
+def click_purchase_matrix(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """FULL OUTER join shape at scale: per-(user, hour) click counts
+    against purchase counts, keys present on EITHER side kept with an
+    exact 0 fill. The Ray-native formulation: a full outer join of two
+    aggregates IS union + grouped sum — each side's partial rows carry
+    a zero for the other side's measure, so the whole op costs ONE
+    bucketed shuffle (hash_aggregate) and never builds a join hash
+    table or nulls to resolve. The oracle states the same result as
+    FULL OUTER JOIN + COALESCE."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        keep = pc.is_in(
+            et, value_set=pa.array(["click", "purchase"], pa.string())
+        )
+        b = batch.filter(keep)
+        ts = b.column("ts").to_numpy(zero_copy_only=False)
+        is_click = np.asarray(pc.equal(b.column("event_type"), "click"))
+        df = pd.DataFrame(
+            {
+                "user_id": b.column("user_id").to_numpy(zero_copy_only=False),
+                "hour": ts.astype("datetime64[h]").astype("datetime64[us]"),
+                "n_click": is_click.astype(np.int64),
+                "n_purchase": (~is_click).astype(np.int64),
+            }
+        )
+        g = df.groupby(["user_id", "hour"], as_index=False, sort=False).agg(
+            n_click=("n_click", "sum"), n_purchase=("n_purchase", "sum")
+        )
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id", "hour"],
+        {"n_click": ("n_click", "sum"), "n_purchase": ("n_purchase", "sum")},
+        num_buckets=num_buckets,
+    )
+
+
 def customer_order_counts(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
     """LEFT OUTER join shape at scale: customers with their order count,
     zero-order customers kept. The orders side pre-aggregates to one
