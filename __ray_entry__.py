@@ -1322,6 +1322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explode_tokens": doctext.explode_tokens,
         "reassemble_tokens": doctext.reassemble_tokens,
         "vocab_build": lambda sf: doctext.vocab_build(sf),
+        "doc_rollup": doctext.doc_rollup,
         "normalize_fill": doctext.normalize_fill,
         "token_length_check": doctext.token_length_check,
         # aggregates / sorts / joins / windows
@@ -1774,6 +1775,14 @@ def oracle_sql() -> dict[str, str]:
                      unnest(list_transform(l, (x, i) -> i)) AS ord FROM s)
         SELECT doc_id, string_agg(tok, ' ' ORDER BY ord) AS text_r
         FROM e GROUP BY doc_id
+        """,
+        "doc_rollup": """
+        SELECT coalesce(source, '') AS source,
+               coalesce(lang, '') AS lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM documents
+        GROUP BY ROLLUP (source, lang)
         """,
         "vocab_build": """
         WITH chars AS (

@@ -117,3 +117,63 @@ def token_length_check(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(enc_len, batch_format="pyarrow")
+
+
+def doc_rollup(sf_dir: str) -> rd.Dataset:
+    """ROLLUP aggregation in ONE corpus pass: per-(source, lang),
+    per-source subtotal, and grand-total doc/char counts. Each batch
+    emits partial rows for ALL THREE levels (the rolled-up key columns
+    carry the '' sentinel — Ray groupby treats it as an ordinary key,
+    the oracle renders GROUP BY ROLLUP with COALESCE to the same
+    sentinel), so the multi-level cube costs the same single small
+    shuffle as a flat groupby: partial rows = O(levels x keys x
+    blocks). Output: (source, lang, n_docs, n_chars) with '' marking
+    rolled-up columns."""
+    from vietnamese_ocr_ray.sources.storage import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang", "n_chars"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": batch.column("source").to_pylist(),
+                "lang": batch.column("lang").to_pylist(),
+                "n_chars": batch.column("n_chars").to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        )
+        lvl0 = df.groupby(["source", "lang"], as_index=False, sort=False).agg(
+            n_docs=("n_chars", "size"), n_chars=("n_chars", "sum")
+        )
+        lvl1 = lvl0.groupby("source", as_index=False, sort=False).agg(
+            n_docs=("n_docs", "sum"), n_chars=("n_chars", "sum")
+        )
+        lvl1["lang"] = ""
+        lvl2 = pd.DataFrame(
+            {
+                "source": [""],
+                "lang": [""],
+                "n_docs": [lvl0["n_docs"].sum()],
+                "n_chars": [lvl0["n_chars"].sum()],
+            }
+        )
+        out = pd.concat(
+            [lvl0, lvl1[["source", "lang", "n_docs", "n_chars"]], lvl2],
+            ignore_index=True,
+        )
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        out["n_chars"] = out["n_chars"].astype(np.int64)
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_chars", alias_name="n_chars"))
+    )
