@@ -1398,6 +1398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _weighted_sample,
         "left_join_counts": lambda sf: relational.customer_order_counts(sf),
         "full_outer_matrix": lambda sf: relational.click_purchase_matrix(sf),
+        "event_funnel": lambda sf: relational.event_funnel(sf),
         # multi-way join trees and advanced aggregates
         "shipping_priority": lambda sf: analytics.shipping_priority(sf),
         "local_supplier_volume": lambda sf: analytics.local_supplier_volume(sf),
@@ -2925,6 +2926,16 @@ def oracle_sql() -> dict[str, str]:
                    / GREATEST(CAST(n_chars AS DOUBLE), 1e-30),
                  doc_id
         LIMIT 100
+        """,
+        "event_funnel": """
+        WITH c AS (SELECT user_id, min(ts) AS first_click
+                   FROM events WHERE event_type = 'click' GROUP BY 1),
+        p AS (SELECT user_id, max(ts) AS last_purch
+              FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        SELECT c.user_id, c.first_click,
+               CAST(CASE WHEN p.last_purch >= c.first_click
+                         THEN 1 ELSE 0 END AS BIGINT) AS converted
+        FROM c LEFT JOIN p ON c.user_id = p.user_id
         """,
         "full_outer_matrix": """
         WITH c AS (SELECT user_id, date_trunc('hour', ts) AS hour,

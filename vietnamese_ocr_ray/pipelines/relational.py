@@ -984,6 +984,69 @@ def rolling_avg(
     )
 
 
+def event_funnel(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """Click -> purchase conversion funnel WITHOUT per-user event
+    scans: "did any purchase follow the user's first click?" reduces
+    to mergeable extremes — ``max(purchase ts) >= min(click ts)`` —
+    so the whole funnel is per-batch min/max partials plus one bucketed
+    aggregate (the hash_aggregate shape), never a sorted per-user
+    replay. Output: (user_id, first_click, converted) for users who
+    entered the funnel (have >= 1 click)."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch.column("event_type"),
+            value_set=pa.array(["click", "purchase"], pa.string()),
+        )
+        b = batch.filter(keep)
+        ts = b.column("ts").to_numpy(zero_copy_only=False)
+        is_click = np.asarray(pc.equal(b.column("event_type"), "click"))
+        # side-specific sentinels keep min/max mergeable per column
+        far_future = np.datetime64("9999-01-01", "us")
+        far_past = np.datetime64("1677-09-22", "us")
+        df = pd.DataFrame(
+            {
+                "user_id": b.column("user_id").to_numpy(zero_copy_only=False),
+                "min_click": np.where(is_click, ts, far_future),
+                "max_purch": np.where(~is_click, ts, far_past),
+            }
+        )
+        g = df.groupby("user_id", as_index=False, sort=False).agg(
+            min_click=("min_click", "min"), max_purch=("max_purch", "max")
+        )
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    agg = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"],
+        {"min_click": ("min_click", "min"), "max_purch": ("max_purch", "max")},
+        num_buckets=num_buckets,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        mc = b.column("min_click").to_numpy(zero_copy_only=False)
+        mp = b.column("max_purch").to_numpy(zero_copy_only=False)
+        far_future = np.datetime64("9999-01-01", "us")
+        entered = mc < far_future  # user has at least one click
+        out = pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "first_click": pa.array(mc),
+                "converted": pa.array((mp >= mc).astype(np.int64)),
+            }
+        )
+        return out.filter(pa.array(entered))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def click_purchase_matrix(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
     """FULL OUTER join shape at scale: per-(user, hour) click counts
     against purchase counts, keys present on EITHER side kept with an
