@@ -1423,6 +1423,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": lambda sf: quality_scores(_docs(sf)),
         # hashed-BoW linear classifier inference (actor-pool stage,
         # weight table built once per actor; logits integer-exact)
+        "normalize_text": lambda sf: __import__(
+            "vietnamese_ocr_ray.functions.text", fromlist=["normalize_text"]
+        ).normalize_text(_docs(sf)),
         "classifier_score": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.classifier",
             fromlist=["classifier_score"],
@@ -2094,6 +2097,15 @@ def oracle_sql() -> dict[str, str]:
                CAST(list_sum(list_transform(string_split(text, ''),
                                             (c, i) -> unicode(c) * i))
                     % 1000000007 AS BIGINT) AS fingerprint
+        FROM documents
+        """,
+        "normalize_text": """
+        SELECT doc_id,
+               trim(regexp_replace(nfc_normalize(lower(text)),
+                                   '\\s+', ' ', 'g')) AS norm_text,
+               CAST(CASE WHEN trim(regexp_replace(
+                        nfc_normalize(lower(text)), '\\s+', ' ', 'g'))
+                        <> text THEN 1 ELSE 0 END AS BIGINT) AS changed
         FROM documents
         """,
         "classifier_score": """

@@ -1036,3 +1036,21 @@ def test_global_rank_dense_and_partitioning_stable(ray_session):
     # band boundaries: ranks 0..133 head, 134..266 middle, rest tail
     assert (lab[lab["bucket"] == "head"]["rank"] < 134).all()
     assert (lab[lab["bucket"] == "tail"]["rank"] >= 267).all()
+
+
+def test_normalize_text_nfc_lower_whitespace(ray_session):
+    from vietnamese_ocr_ray.functions.text import normalize_text
+
+    # 'a' + combining acute (NFD) must fold to the NFC precomposed char
+    nfd = "Áb   C\t d "
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array([nfd, "already clean"]),
+        }
+    )
+    out = normalize_text(rd.from_arrow(t)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "norm_text"] == "áb c d"
+    assert out.loc[0, "changed"] == 1
+    assert out.loc[1, "norm_text"] == "already clean"
+    assert out.loc[1, "changed"] == 0

@@ -816,6 +816,55 @@ def type_token_ratio(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(ttr, batch_format="pyarrow")
 
 
+def normalize_text(ds: rd.Dataset) -> rd.Dataset:
+    """Canonical corpus text cleaning — the standard pre-dedup
+    normalization pass: Unicode NFC, lowercase, collapse runs of
+    whitespace to one space, trim. Lower/collapse/trim are single
+    Arrow kernels over the flat utf8 buffer (stateless map_batches,
+    zero shuffle); NFC takes an ASCII bypass — NFC is the identity on
+    ASCII, and pyarrow 16's ``utf8_normalize(form="NFC")`` stops after
+    decomposition (returns NFD-shaped output), so rows whose byte
+    length != codepoint length (the non-ASCII ones, detected with two
+    Arrow kernels) go through ``unicodedata.normalize`` row-wise —
+    batch-bounded and zero for an ASCII corpus. The oracle mirrors
+    each step (lower / nfc_normalize / regexp_replace / trim — RE2
+    both engines). Output: (doc_id, norm_text, changed)."""
+    import unicodedata
+
+    def norm(batch: pa.Table) -> pa.Table:
+        raw = batch.column("text")
+        if isinstance(raw, pa.ChunkedArray):
+            raw = raw.combine_chunks()
+        low = pc.utf8_lower(raw)
+        nonascii = pc.not_equal(pc.binary_length(low), pc.utf8_length(low))
+        if pc.any(nonascii).as_py():
+            mask = np.asarray(nonascii)
+            vals = low.to_pylist()
+            low = pa.array(
+                [
+                    unicodedata.normalize("NFC", s) if m else s
+                    for s, m in zip(vals, mask)
+                ],
+                pa.string(),
+            )
+        out = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                low, pattern=r"\s+", replacement=" "
+            )
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "norm_text": out,
+                "changed": pc.cast(
+                    pc.not_equal(out, raw), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
 def gopher_rules_batch(batch: pa.Table) -> pa.Table:
     """Gopher-style (Rae et al. 2021, table A1) composite quality
     rules, calibrated to this corpus: minimum length, mean-word-length
