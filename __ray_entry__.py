@@ -605,6 +605,22 @@ def _components(sf_dir: str):
     return connected_components(pairs)
 
 
+def _dupcluster_histogram(sf_dir: str):
+    """Cluster-size histogram of the near-dup graph (how much of the
+    corpus sits in 2-clusters vs giant components — the dedup-impact
+    report): distributed CC labels -> per-component count (bucketed
+    hash aggregate) -> tiny size-histogram groupby."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    comp = _components(sf_dir)
+    sizes = hash_aggregate(
+        comp, ["component"], {"cluster_size": ("node", "count")}
+    )
+    return hash_aggregate(
+        sizes, ["cluster_size"], {"n_clusters": ("component", "count")}
+    )
+
+
 def _pagerank_dupgraph(sf_dir: str):
     """PageRank centrality over the cosine>=0.4 dup graph (rows-only:
     iterative power method is not SQL-expressible; numpy power-iteration
@@ -1512,6 +1528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _embedding_neardup,
         "dup_degree_hist": _dup_degree_hist,
         "components": _components,
+        "dupcluster_histogram": _dupcluster_histogram,
         "pagerank_dupgraph": _pagerank_dupgraph,
         "dedup_neardup_cosine": _dedup_neardup_cosine,
         "embedding_stats": _embedding_stats,
@@ -2430,6 +2447,28 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT v AS node, CAST(min(n) AS BIGINT) AS component
         FROM walk GROUP BY v
+        """,
+        "dupcluster_histogram": """
+        WITH RECURSIVE pairs AS (
+          SELECT a.vec_id AS a, b.vec_id AS b
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id < b.vec_id
+            AND round(list_cosine_similarity(
+                  CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+        ),
+        edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+        walk AS (
+          SELECT a AS v, a AS n FROM edges
+          UNION
+          SELECT walk.v, e.b FROM walk JOIN edges e ON walk.n = e.a
+        ),
+        comp AS (SELECT v AS node, min(n) AS component
+                 FROM walk GROUP BY v),
+        s AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+              FROM comp GROUP BY component)
+        SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        FROM s GROUP BY cluster_size
         """,
         "dedup_neardup_cosine": """
         WITH RECURSIVE pairs AS (
