@@ -1415,6 +1415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_join_counts": lambda sf: relational.customer_order_counts(sf),
         "full_outer_matrix": lambda sf: relational.click_purchase_matrix(sf),
         "event_funnel": lambda sf: relational.event_funnel(sf),
+        "interval_join_pairs": lambda sf: relational.click_purchase_pairs(sf),
         # multi-way join trees and advanced aggregates
         "shipping_priority": lambda sf: analytics.shipping_priority(sf),
         "local_supplier_volume": lambda sf: analytics.local_supplier_volume(sf),
@@ -2977,6 +2978,16 @@ def oracle_sql() -> dict[str, str]:
                    / GREATEST(CAST(n_chars AS DOUBLE), 1e-30),
                  doc_id
         LIMIT 100
+        """,
+        "interval_join_pairs": """
+        SELECT c.event_id AS click_event_id, c.user_id,
+               c.ts AS click_ts,
+               p.event_id AS purchase_event_id, p.ts AS purchase_ts
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND p.ts < c.ts + INTERVAL 1 HOUR
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         """,
         "event_funnel": """
         WITH c AS (SELECT user_id, min(ts) AS first_click

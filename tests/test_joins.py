@@ -213,3 +213,58 @@ def test_customer_order_counts_left_semantics(ray_session, tmp_path):
         .to_dict()
     )
     assert out == {1: 2, 2: 0, 3: 1, 4: 0}
+
+
+def test_interval_join_matches_bruteforce(ray_session):
+    from vietnamese_ocr_ray.functions.joins import interval_join
+
+    rng = np.random.default_rng(11)
+    base = np.datetime64("2025-01-01T00:00:00", "us")
+    lts = base + rng.integers(0, 3_600_000_000 * 10, 200).astype("timedelta64[us]")
+    rts = base + rng.integers(0, 3_600_000_000 * 10, 300).astype("timedelta64[us]")
+    lkey = rng.integers(0, 7, 200)
+    rkey = rng.integers(0, 7, 300)
+    W = 1_800_000_000  # 30 min
+    left = pa.table(
+        {
+            "lid": pa.array(range(200), pa.int64()),
+            "k": pa.array(lkey),
+            "lts": pa.array(lts),
+        }
+    )
+    right = pa.table(
+        {
+            "rid": pa.array(range(300), pa.int64()),
+            "k": pa.array(rkey),
+            "rts": pa.array(rts),
+        }
+    )
+    out = interval_join(
+        rd.from_arrow(left),
+        rd.from_arrow(right),
+        by="k",
+        left_on="lts",
+        right_on="rts",
+        window_us=W,
+    ).to_pandas()
+    # brute force reference
+    want = set()
+    li = lts.astype(np.int64)
+    ri = rts.astype(np.int64)
+    for i in range(200):
+        for j in range(300):
+            if lkey[i] == rkey[j] and li[i] <= ri[j] < li[i] + W:
+                want.add((i, j))
+    got = set(zip(out["lid"], out["rid"]))
+    assert got == want
+    assert len(out) == len(want)
+    # partitioning invariance
+    out2 = interval_join(
+        rd.from_arrow(left).repartition(5),
+        rd.from_arrow(right).repartition(3),
+        by="k",
+        left_on="lts",
+        right_on="rts",
+        window_us=W,
+    ).to_pandas()
+    assert set(zip(out2["lid"], out2["rid"])) == want

@@ -267,3 +267,124 @@ def range_count_join(
         + [pa.field(out_col, pa.int64())]
     )
     return _ensure_schema(out, out_schema)
+
+
+def interval_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    by: str,
+    left_on: str,
+    right_on: str,
+    window_us: int,
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Stream-stream interval join, PAIR-emitting flavour: one output
+    row per (left, right) pair with equal ``by`` key and ``right_on``
+    in ``[left_on, left_on + window_us)`` — the 1:N expansion of
+    :func:`range_count_join` (inner semantics: left rows with no match
+    drop). Same scale shape: one bucket shuffle; inside a bucket the
+    pair set comes from two composite-key ``searchsorted`` calls plus
+    a vectorized repeat/arange expansion — no Python per row or per
+    key (per-key sorted-slice fallback only on composite overflow).
+    Output columns: every left column, then the right payload
+    (pre-rename collisions away; ``right_on`` must differ from every
+    left name)."""
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_names = list(l_schema.names)
+    r_payload = [n for n in r_schema.names if n != by]
+    overlap = set(l_names) & set(r_payload)
+    if overlap:
+        raise ValueError(f"rename right columns colliding with left: {overlap}")
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = {
+        n: t for n, t in zip(r_schema.names, r_schema.types) if n != by
+    }
+    all_types = l_types | r_types
+    out_names = l_names + r_payload
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = {}
+            for n in l_names:
+                if side == 0:
+                    cols[n] = batch.column(n)
+                elif n == by:
+                    cols[n] = batch.column(by)
+                else:
+                    cols[n] = pa.nulls(batch.num_rows, l_types[n])
+            for n in r_payload:
+                cols[n] = (
+                    batch.column(n)
+                    if side == 1
+                    else pa.nulls(batch.num_rows, r_types[n])
+                )
+            cols["_side"] = pa.array(np.full(batch.num_rows, side, np.int8))
+            cols["_bucket"] = pa.array(
+                key_bucket(batch.column(by), num_buckets).astype(np.int32)
+            )
+            return pa.table(cols)
+
+        return fn
+
+    def expand_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table({n: pa.nulls(0, all_types[n]) for n in out_names})
+        is_left = pc.equal(group.column("_side"), 0)
+        lt = group.filter(is_left).select(l_names)
+        rt = group.filter(pc.invert(is_left)).select([by, *r_payload])
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return empty
+        l_key = np.asarray(lt.column(by))
+        l_ts = np.asarray(lt.column(left_on)).astype("datetime64[us]").astype(np.int64)
+        r_key = np.asarray(rt.column(by))
+        r_ts = np.asarray(rt.column(right_on)).astype("datetime64[us]").astype(np.int64)
+        codes, inv = np.unique(np.concatenate([r_key, l_key]), return_inverse=True)
+        r_code, l_code = inv[: len(r_key)], inv[len(r_key) :]
+        order = np.lexsort((r_ts, r_code))
+        r_code_s, r_ts_s = r_code[order], r_ts[order]
+        t0 = min(int(r_ts.min()), int(l_ts.min()))
+        span = max(int(r_ts.max()), int(l_ts.max()) + window_us) - t0 + 2
+        if len(codes) * span < (1 << 62):
+            comp_r = r_code_s * span + (r_ts_s - t0)
+            lo = np.searchsorted(comp_r, l_code * span + (l_ts - t0), "left")
+            hi = np.searchsorted(
+                comp_r, l_code * span + (l_ts + window_us - t0), "left"
+            )
+        else:  # composite overflow: per-key sorted slices
+            k = np.arange(len(codes))
+            kstart = np.searchsorted(r_code_s, k, "left")
+            kend = np.searchsorted(r_code_s, k, "right")
+            lo = np.empty(len(l_code), np.int64)
+            hi = np.empty(len(l_code), np.int64)
+            for i in range(len(l_code)):
+                s, e = kstart[l_code[i]], kend[l_code[i]]
+                lo[i] = s + np.searchsorted(r_ts_s[s:e], l_ts[i], "left")
+                hi[i] = s + np.searchsorted(
+                    r_ts_s[s:e], l_ts[i] + window_us, "left"
+                )
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        left_idx = np.repeat(np.arange(lt.num_rows, dtype=np.int64), counts)
+        starts = np.cumsum(counts) - counts
+        flat = np.repeat(lo, counts) + (
+            np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+        )
+        right_idx = order[flat]
+        lt_out = lt.take(pa.array(left_idx))
+        rt_out = rt.take(pa.array(right_idx))
+        return pa.table(
+            {
+                **{n: lt_out.column(n) for n in l_names},
+                **{n: rt_out.column(n) for n in r_payload},
+            }
+        )
+
+    u = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
+    )
+    out = u.groupby("_bucket").map_groups(expand_bucket, batch_format="pyarrow")
+    out_schema = pa.schema([pa.field(n, all_types[n]) for n in out_names])
+    return _ensure_schema(out, out_schema)

@@ -984,6 +984,41 @@ def rolling_avg(
     )
 
 
+def click_purchase_pairs(sf_dir: str, window_sec: int = 3600) -> rd.Dataset:
+    """Stream-stream interval join demo: every (click, purchase) pair
+    for the same user with the purchase inside the hour after the
+    click — the 1:N pair-emitting flavour (functions/joins.interval_join);
+    both sides filter-pushed at the scanner."""
+    from vietnamese_ocr_ray.functions.joins import interval_join
+
+    clicks = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts"],
+        filter=pc.field("event_type") == "click",
+    ).map_batches(
+        lambda b: b.rename_columns(["click_event_id", "user_id", "click_ts"]),
+        batch_format="pyarrow",
+    )
+    purchases = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts"],
+        filter=pc.field("event_type") == "purchase",
+    ).map_batches(
+        lambda b: b.rename_columns(
+            ["purchase_event_id", "user_id", "purchase_ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    return interval_join(
+        clicks,
+        purchases,
+        by="user_id",
+        left_on="click_ts",
+        right_on="purchase_ts",
+        window_us=window_sec * 1_000_000,
+    )
+
+
 def event_funnel(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
     """Click -> purchase conversion funnel WITHOUT per-user event
     scans: "did any purchase follow the user's first click?" reduces
