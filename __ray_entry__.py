@@ -1185,6 +1185,32 @@ def _incremental_dedup(sf_dir: str):
     )
 
 
+def _snapshot_intersect(sf_dir: str):
+    """INTERSECT counterpart of incremental_dedup: new-crawl docs
+    (doc_id % 10 == 0) whose content ALREADY exists in the old
+    snapshot — the skip-reprocessing set (broadcast/Bloom semi-join).
+    The corpus has no natural cross-snapshot content dups, so the old
+    snapshot is defined to ALSO carry the doc_id % 20 == 0 docs
+    (re-crawled unchanged pages by construction); the intersect is
+    exactly those."""
+    from vietnamese_ocr_ray.functions.dedup import snapshot_common
+
+    docs = _docs(sf_dir, ("doc_id", "text"))
+
+    def new_side(b: pa.Table) -> pa.Table:
+        ids = np.asarray(pc.cast(b.column("doc_id"), pa.int64()))
+        return b.filter(pa.array(ids % 10 == 0))
+
+    def old_side(b: pa.Table) -> pa.Table:
+        ids = np.asarray(pc.cast(b.column("doc_id"), pa.int64()))
+        return b.filter(pa.array((ids % 10 != 0) | (ids % 20 == 0)))
+
+    return snapshot_common(
+        docs.map_batches(new_side, batch_format="pyarrow"),
+        docs.map_batches(old_side, batch_format="pyarrow"),
+    )
+
+
 def _top_bigrams(sf_dir: str, k: int = 10):
     """Heavy hitters over token BIGRAMS: adjacent-token pairs built by
     one vectorized slice-join over the flat token buffer (doc-boundary
@@ -1544,6 +1570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_per_lang": _top_tokens_per_lang,
         "lang_mismatch": _lang_mismatch,
         "incremental_dedup": _incremental_dedup,
+        "snapshot_intersect": _snapshot_intersect,
         "khop_distances": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.graph", fromlist=["khop_distances"]
         ).khop_distances(_docs(sf, columns=("doc_id",))),
@@ -2595,6 +2622,13 @@ def oracle_sql() -> dict[str, str]:
         WHERE n.doc_id % 10 = 0
           AND NOT EXISTS (SELECT 1 FROM documents o
                           WHERE o.doc_id % 10 <> 0 AND o.text = n.text)
+        """,
+        "snapshot_intersect": """
+        SELECT n.doc_id, n.text FROM documents n
+        WHERE n.doc_id % 10 = 0
+          AND EXISTS (SELECT 1 FROM documents o
+                      WHERE (o.doc_id % 10 <> 0 OR o.doc_id % 20 = 0)
+                        AND o.text = n.text)
         """,
         "bm25_search": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -243,3 +243,22 @@ def test_gopher_and_chunk_handle_empty_text():
     assert c.num_rows == 3
     assert c.column("chunk_text").to_pylist()[0] == ""
     assert c.column("n_tokens").to_pylist() == [1, 32, 41 - 24]
+
+
+def test_snapshot_common_keeps_only_seen_content(ray_session):
+    from vietnamese_ocr_ray.functions.dedup import snapshot_common
+
+    old = _docs([(0, "alpha beta"), (1, "gamma delta")])
+    new = _docs([(10, "alpha beta"), (11, "fresh text"), (12, "gamma delta")])
+    out = snapshot_common(
+        rd.from_arrow(new), rd.from_arrow(old)
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == [10, 12]
+    # empty intersect keeps its schema (Dataset.schema() is the
+    # empty-result contract — to_pandas() of a fully-empty Dataset
+    # loses columns on this Ray version, see joins._ensure_schema)
+    none = snapshot_common(
+        rd.from_arrow(_docs([(20, "brand new")])), rd.from_arrow(old)
+    )
+    assert none.schema().names == ["doc_id", "text"]
+    assert none.count() == 0

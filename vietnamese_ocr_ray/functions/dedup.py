@@ -1293,6 +1293,47 @@ def incremental_dedup(
     )
 
 
+def snapshot_common(
+    new_ds: rd.Dataset,
+    old_ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """The INTERSECT counterpart of :func:`incremental_dedup`: rows of
+    ``new_ds`` whose content DOES exist in ``old_ds`` (re-crawled
+    unchanged pages — the "skip reprocessing" set of a refresh
+    ingest). Same scale shape: old side reduces distributed to
+    distinct int64 content hashes, new side runs the broadcast/Bloom
+    SEMI join; bucketed hash semi-join is the 100 TB path."""
+    from vietnamese_ocr_ray.functions.membership import semi_join_keys
+
+    def old_hashes(b: pa.Table) -> pa.Table:
+        h = np.unique(content_hash64(b.column(text_col)).astype(np.int64))
+        return pa.table({"_h": pa.array(h)})
+
+    old_h = old_ds.map_batches(old_hashes, batch_format="pyarrow").to_pandas()
+    keys = np.unique(old_h["_h"].to_numpy(np.int64))
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_h", pa.array(content_hash64(b.column(text_col)).astype(np.int64))
+        )
+
+    hashed = new_ds.map_batches(add_hash, batch_format="pyarrow")
+    kept = semi_join_keys(hashed, keys, "_h")
+    out = kept.map_batches(
+        lambda b: b.drop_columns(["_h"]), batch_format="pyarrow"
+    )
+    # an all-empty result must keep its schema (typed zero-row seed —
+    # Ray drops empty blocks before to_pandas)
+    from vietnamese_ocr_ray.functions.joins import _ensure_schema
+
+    s = new_ds.schema()
+    return _ensure_schema(
+        out, pa.schema(list(zip(s.names, s.types)))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Duplicate-graph triangle counting
 # ---------------------------------------------------------------------------
