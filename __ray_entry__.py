@@ -1185,6 +1185,47 @@ def _incremental_dedup(sf_dir: str):
     )
 
 
+def _table_checksum(sf_dir: str):
+    """Order-independent table digest (the cheap cross-snapshot /
+    cross-engine integrity check at 100 TB: compare two single-row
+    results instead of shipping tables): per-row salted polynomial
+    content hash, summed mod p per batch, one tiny combine. Any
+    row change, insert, or delete moves the digest; block order and
+    partitioning cannot."""
+    from vietnamese_ocr_ray.functions.sampling import FP_MOD, _poly_hash
+
+    ds = _docs(sf_dir, ("doc_id", "text"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = pc.binary_join_element_wise(
+            pa.scalar("ck:"),
+            pc.cast(batch.column("doc_id"), pa.string()),
+            pa.scalar(":"),
+            batch.column("text"),
+            pa.scalar(""),
+        )
+        h = _poly_hash(keys)
+        return pa.table(
+            {
+                "checksum": pa.array([int(h.sum() % FP_MOD)], pa.int64()),
+                "n_rows": pa.array([batch.num_rows], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .aggregate(Sum("checksum", alias_name="s"), Sum("n_rows", alias_name="n"))
+    )
+    return pa.table(
+        {
+            "checksum": pa.array([int(agg["s"]) % 1_000_000_007], pa.int64()),
+            "n_rows": pa.array([int(agg["n"])], pa.int64()),
+        }
+    )
+
+
 def _snapshot_intersect(sf_dir: str):
     """INTERSECT counterpart of incremental_dedup: new-crawl docs
     (doc_id % 10 == 0) whose content ALREADY exists in the old
@@ -1571,6 +1612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_mismatch": _lang_mismatch,
         "incremental_dedup": _incremental_dedup,
         "snapshot_intersect": _snapshot_intersect,
+        "table_checksum": _table_checksum,
         "khop_distances": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.graph", fromlist=["khop_distances"]
         ).khop_distances(_docs(sf, columns=("doc_id",))),
@@ -2629,6 +2671,15 @@ def oracle_sql() -> dict[str, str]:
           AND EXISTS (SELECT 1 FROM documents o
                       WHERE (o.doc_id % 10 <> 0 OR o.doc_id % 20 = 0)
                         AND o.text = n.text)
+        """,
+        "table_checksum": """
+        SELECT CAST(sum(CAST(list_sum(list_transform(
+                 string_split('ck:' || CAST(doc_id AS VARCHAR) || ':' || text,
+                              ''),
+                 (c, i) -> unicode(c) * i)) % 1000000007 AS BIGINT))
+               % 1000000007 AS BIGINT) AS checksum,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM documents
         """,
         "bm25_search": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
