@@ -1507,6 +1507,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": lambda sf: quality_scores(_docs(sf)),
         # hashed-BoW linear classifier inference (actor-pool stage,
         # weight table built once per actor; logits integer-exact)
+        # fused single-scan curation (gopher AND classifier AND band)
+        "curation_pipeline": lambda sf: __import__(
+            "vietnamese_ocr_ray.functions.curation",
+            fromlist=["curation_pipeline"],
+        ).curation_pipeline(_docs(sf, ("doc_id", "text", "lang"))),
         "normalize_text": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.text", fromlist=["normalize_text"]
         ).normalize_text(_docs(sf)),
@@ -2185,6 +2190,71 @@ def oracle_sql() -> dict[str, str]:
                                             (c, i) -> unicode(c) * i))
                     % 1000000007 AS BIGINT) AS fingerprint
         FROM documents
+        """,
+        "curation_pipeline": """
+        WITH g AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS n,
+                 length(text) AS n_chars,
+                 len(list_filter(string_split(text, ' '), t -> t = 'a'))
+                   AS a_cnt,
+                 len(list_filter(string_split(text, ' '), t -> t = 'the'))
+                   AS the_cnt
+          FROM documents
+        ),
+        tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+          FROM documents
+        ), th AS (
+          SELECT doc_id,
+                 CAST(coalesce(list_sum(list_transform(
+                     string_split(substr(tok, 1, 32), ''),
+                     (c, i) -> CAST(unicode(c) AS BIGINT) *
+                       [1, 31, 961, 29791, 923521, 28629151, 887503681,
+                        512613922, 891031477, 621975598, 281243405,
+                        718545499, 274910315, 522219709, 188810867,
+                        853136842, 447241920, 864499429, 799482117,
+                        783945459, 302309061, 371580828, 519005591,
+                        89173209, 764369465, 695453254, 559050727,
+                        330572418, 247744888, 680091479, 82835702,
+                        567906748][i])), 0)
+                   % 1000000007 AS BIGINT) AS h
+          FROM tok
+        ), wfp AS (
+          SELECT doc_id,
+                 CAST(list_sum(list_transform(
+                     string_split('w:' || CAST(h % 512 AS VARCHAR), ''),
+                     (c, i) -> unicode(c) * i)) % 1000000007 AS BIGINT)
+                   AS fp
+          FROM th
+        ), wl AS (
+          SELECT doc_id,
+                 CAST(sum(((fp + 123456789) * (fp + 123456789) % 1000000007)
+                   * (fp + 123456789) % 1000000007 % 2001 - 1000)
+                   AS BIGINT) AS logit_milli
+          FROM wfp GROUP BY doc_id
+        ), band AS (
+          SELECT doc_id,
+                 (bfp * bfp % 1000000007) * bfp % 1000000007 % 1000 AS band
+          FROM (SELECT doc_id,
+                       CAST(list_sum(list_transform(
+                           string_split('cur:' || CAST(doc_id AS VARCHAR),
+                                        ''),
+                           (c, i) -> unicode(c) * i)) % 1000000007
+                            AS BIGINT) AS bfp
+                FROM documents)
+        )
+        SELECT d.doc_id, d.lang,
+               CAST(g.n AS BIGINT) AS n_tokens, wl.logit_milli
+        FROM documents d
+        JOIN g USING (doc_id) JOIN wl USING (doc_id) JOIN band USING (doc_id)
+        WHERE g.n >= 30
+          AND CAST(g.n_chars - (g.n - 1) AS DOUBLE) / greatest(g.n, 1)
+              BETWEEN 4.0 AND 5.0
+          AND g.a_cnt * 20 <= g.n
+          AND g.the_cnt >= 1
+          AND wl.logit_milli > 0
+          AND band.band < 800
         """,
         "normalize_text": """
         SELECT doc_id,

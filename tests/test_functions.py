@@ -1054,3 +1054,32 @@ def test_normalize_text_nfc_lower_whitespace(ray_session):
     assert out.loc[0, "changed"] == 1
     assert out.loc[1, "norm_text"] == "already clean"
     assert out.loc[1, "changed"] == 0
+
+
+def test_fused_curation_equals_composed_stages(ray_session):
+    """The fused single-pass filter must equal composing the three
+    shipped operators independently."""
+    import pyarrow.compute as pc_
+
+    from vietnamese_ocr_ray.functions.classifier import classifier_score
+    from vietnamese_ocr_ray.functions.curation import curation_pipeline
+    from vietnamese_ocr_ray.functions.sampling import hash_sample
+    from vietnamese_ocr_ray.functions.text import gopher_filter
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "lang"],
+    )
+    ds = rd.from_arrow(t)
+    fused = curation_pipeline(ds).to_pandas()
+
+    gop = gopher_filter(ds).to_pandas()
+    cls = classifier_score(ds).to_pandas()
+    band = hash_sample(ds, "doc_id", rate_permille=800, salt="cur:").to_pandas()
+    want = set(gop[gop["kept"] == 1]["doc_id"]) & set(
+        cls[cls["logit_milli"] > 0]["doc_id"]
+    ) & set(band["doc_id"])
+    assert set(fused["doc_id"]) == want
+    assert len(fused) == len(want)
