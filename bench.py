@@ -411,6 +411,10 @@ def run_bench_headline_only() -> dict:
     )
     result.write_parquet(OUT_DIR)
     headline = time.perf_counter() - t0
+    if "--stats" in sys.argv:
+        # per-stage wall/cpu/rows audit of the headline pipeline —
+        # stderr so the JSON contract line stays parseable
+        print(result.stats(), file=sys.stderr)
     ray.shutdown()
     return {
         "metric": "extract_e2e",
