@@ -295,3 +295,12 @@ def test_mixture_sample_explicit_quotas_and_invariance(ray_session):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_render_text_rejects_unsupported_chars():
+    import pytest
+
+    from vietnamese_ocr_ray.synth import render_text
+
+    with pytest.raises(ValueError, match="unsupported characters"):
+        render_text("has space", 64)

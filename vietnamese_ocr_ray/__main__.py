@@ -98,18 +98,23 @@ def main(argv=None):
         # single-record path: no Ray session needed (reference app.py
         # also runs in-process; predict_single caches its model)
         from vietnamese_ocr_ray.pipelines.extract import predict_single
-        from vietnamese_ocr_ray.synth import render_text
+        from vietnamese_ocr_ray.synth import clean_words, render_text
 
-        img = render_text(args.text, args.height)
-        pred = predict_single(img, args.media_ref)
+        # multi-word input: one render+predict per cleaned token (the
+        # corpus pipeline's media spans are single words; app.py lines
+        # decompose the same way)
+        words = clean_words(args.text) or ["a"]
+        preds = []
+        for i, w in enumerate(words):
+            img = render_text(w, args.height)
+            preds.append(predict_single(img, f"{args.media_ref}-{i}"))
         print(
             json.dumps(
                 {
                     "media_ref": args.media_ref,
-                    "height": int(img.shape[0]),
-                    "width": int(img.shape[1]),
-                    "text": pred,
-                    "match": pred == (args.text or "a"),
+                    "n_words": len(words),
+                    "text": " ".join(preds),
+                    "match": preds == [w or "a" for w in words],
                 }
             )
         )

@@ -26,13 +26,17 @@ def _lance_available() -> bool:
 
 def list_fragments(path: str) -> list[str]:
     """Deterministic fragment listing of a table directory (or a single
-    file). Fragment id = file stem."""
+    file). Fragment id = file stem. Accepts both ``*.parquet`` names
+    and Ray's extension-less ``part-*`` data files (what the resumable
+    extract writer produces), skipping manifests / in-progress temp
+    files (``_``-prefixed)."""
     if os.path.isfile(path):
         return [path]
     return sorted(
         os.path.join(path, f)
         for f in os.listdir(path)
-        if f.endswith(".parquet")
+        if not f.startswith("_")
+        and (f.endswith(".parquet") or f.startswith("part-"))
     )
 
 

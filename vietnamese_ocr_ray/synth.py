@@ -70,6 +70,14 @@ def render_text(text: str, height: int) -> np.ndarray:
     """
     if len(text) > MAX_TEXT_LEN:
         raise ValueError(f"text longer than {MAX_TEXT_LEN}: {text!r}")
+    bad = sorted({c for c in text if c not in _VOCAB.letter_to_idx})
+    if bad:
+        raise ValueError(
+            f"unsupported characters {bad!r}: the synthetic band "
+            f"renderer covers single TOKENS over the corpus charset "
+            f"(media spans are one word each — split multi-word input "
+            f"with synth.clean_words first)"
+        )
     bw = height * BAND_W // 64  # pre-resize band width: 2 / 4 / 8 px
     nbands = len(text) + 1
     img = np.full((height, nbands * bw), 255, dtype=np.uint8)
