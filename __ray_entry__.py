@@ -1461,6 +1461,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_shards": lambda sf: _batching().shuffle_shards(_docs(sf)),
         "bpe_merges": _bpe_merges,
         "bpe_encode": _bpe_encode,
+        # tokenizer-aware packing: FFD over BPE piece counts
+        "pack_bins_bpe": lambda sf: _batching().pack_sequences(
+            _bpe_encode(sf), budget=256, length_col="n_pieces"
+        ),
         "semdedup": _semdedup,
         "line_dedup": lambda sf: _corpus().dedup_lines(_docs(sf)),
         "line_dedup_docs": lambda sf: _corpus().dedup_lines_docs(_docs(sf)),

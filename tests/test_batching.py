@@ -119,3 +119,21 @@ def test_pack_sequences_partitioning_invariant(ray_session):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_pack_sequences_length_col(ray_session):
+    # pack by a precomputed length column instead of whitespace count
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "n_pieces": pa.array([100, 60, 50, 40, 20, 8], pa.int64()),
+        }
+    )
+    out = B.pack_sequences(
+        rd.from_arrow(t), budget=128, num_buckets=1, length_col="n_pieces"
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == list(range(6))
+    fills = out.groupby(["pack_bucket", "bin_id"])["n_tokens"].sum()
+    assert (fills <= 128).all()
+    # lengths came from the column, not token splitting
+    assert set(out["n_tokens"]) == {100, 60, 50, 40, 20, 8}

@@ -194,14 +194,31 @@ def pack_sequences(
     ds: rd.Dataset,
     budget: int = 128,
     num_buckets: int = 32,
+    length_col: str | None = None,
 ) -> rd.Dataset:
     """(doc_id, n_tokens, pack_bucket, bin_id): greedy first-fit-
     decreasing packing of docs into token-budget bins within each
     doc_id hash bucket. A doc longer than ``budget`` gets a singleton
     bin (callers chunk oversize docs first — see
     ``functions.chunk.doc_chunks``). bin_ids are dense per bucket;
-    (pack_bucket, bin_id) is the global bin key."""
-    counted = _with_token_counts(ds)
+    (pack_bucket, bin_id) is the global bin key.
+
+    ``length_col`` packs by a PRECOMPUTED length instead of the
+    whitespace token count — e.g. ``bpe_encode``'s ``n_pieces`` for
+    tokenizer-aware packing (real trainers pack by the tokenizer's
+    sequence length, not word count)."""
+    if length_col is not None:
+        counted = ds.map_batches(
+            lambda b, c=length_col: pa.table(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "n_tokens": pc.cast(b.column(c), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        counted = _with_token_counts(ds)
 
     def tag(batch: pa.Table) -> pa.Table:
         return batch.append_column(
