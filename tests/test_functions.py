@@ -1083,3 +1083,27 @@ def test_fused_curation_equals_composed_stages(ray_session):
     ) & set(band["doc_id"])
     assert set(fused["doc_id"]) == want
     assert len(fused) == len(want)
+
+
+def test_connected_components_long_chain_both_modes(ray_session):
+    """Regression: a path graph of diameter 40 must collapse to one
+    component — a bounded round cap below the diameter silently
+    mislabels chain components (shipped once; caught at sf0.1).
+    Both modes now pointer-jump (label-of-label compression), so
+    rounds are ~O(log diameter); diameters exceed the old buggy cap
+    of 10 in both legs (the shuffled leg stays smaller only to bound
+    CI shuffle count)."""
+    from vietnamese_ocr_ray.functions.dedup import connected_components
+
+    for mode, n in ((True, 41), (False, 13)):
+        pairs = pa.table(
+            {
+                "a": pa.array(list(range(n - 1)), pa.int64()),
+                "b": pa.array(list(range(1, n)), pa.int64()),
+            }
+        )
+        out = connected_components(
+            rd.from_arrow(pairs), broadcast=mode
+        ).to_pandas()
+        assert len(out) == n
+        assert (out["component"] == 0).all(), mode

@@ -504,7 +504,7 @@ def minhash_lsh_pairs(
 
 def connected_components(
     pairs: rd.Dataset,
-    max_rounds: int = 10,
+    max_rounds: int | None = None,
     broadcast: bool = True,
     num_buckets: int = 32,
 ) -> rd.Dataset:
@@ -515,13 +515,19 @@ def connected_components(
 
     ``broadcast=True`` (default): the label table is shipped whole to
     workers each round — right while the dup-graph node set fits a
-    worker heap. ``broadcast=False``: fully-shuffled rounds (bucketed
-    label join + bucketed min aggregate) — nothing but a change count
-    ever leaves the cluster; the 10^12-edge path.
+    worker heap; each round additionally path-compresses the label
+    table driver-side (a label IS a node id, so label-of-label chains
+    collapse), making observed rounds ~O(log diameter).
+    ``broadcast=False``: fully-shuffled rounds (bucketed label join +
+    bucketed min aggregate) — nothing but a change count ever leaves
+    the cluster; the 10^12-edge path; pointer-jump compression between
+    propagate rounds keeps total rounds ~O(log diameter) there too.
 
-    Rounds are O(diameter); near-dup clusters are shallow (usually 1-2
-    rounds). Returns (node, component) with component = min node id of
-    the cluster."""
+    ``max_rounds=None`` (default) runs to the fixed point (safety cap
+    = node count + 1 — a bounded cap below the diameter silently
+    mislabels long chain components; that bug shipped once, caught by
+    an sf0.1 oracle check). Returns (node, component) with component =
+    min node id of the cluster."""
 
     edges = pairs.select_columns(["a", "b"])
 
@@ -562,10 +568,13 @@ def connected_components(
         adj.select_columns(["node"]), ["node"], {"label": ("node", "min")}
     ).materialize()
 
+    rounds = (
+        max_rounds if max_rounds is not None else labels.count() + 1
+    )
     if broadcast:
-        labels = _cc_rounds_broadcast(adj, labels, max_rounds)
+        labels = _cc_rounds_broadcast(adj, labels, rounds)
     else:
-        labels = _cc_rounds_shuffled(adj, labels, max_rounds, num_buckets)
+        labels = _cc_rounds_shuffled(adj, labels, rounds, num_buckets)
 
     return labels.map_batches(
         lambda b: pa.table(
@@ -616,6 +625,16 @@ def _cc_rounds_broadcast(adj, labels, max_rounds):
         pos = np.searchsorted(keys, nbr_min.index.to_numpy())
         new_vals = vals.copy()
         np.minimum.at(new_vals, pos, nbr_min.to_numpy())
+        # driver-side path compression: labels are node ids, so
+        # label-of-label lookups collapse chains — turns O(diameter)
+        # graph rounds into ~O(log diameter)
+        while True:
+            comp = np.minimum(
+                new_vals, new_vals[np.searchsorted(keys, new_vals)]
+            )
+            if np.array_equal(comp, new_vals):
+                break
+            new_vals = comp
         if np.array_equal(new_vals, vals):
             break
         vals = new_vals
@@ -629,7 +648,16 @@ def _cc_rounds_shuffled(adj, labels, max_rounds, num_buckets):
     table exceeds a worker heap: neighbor labels come from a bucketed
     join (labels keyed by node meet adj keyed by nbr), the per-node min
     from the bucketed hash aggregate. Only a per-round change COUNT
-    reaches the driver."""
+    reaches the driver.
+
+    Between edge-propagate rounds the label table pointer-jumps against
+    itself (label := min(label, label-of-label), one bucketed cogroup
+    per jump — labels ARE node ids, so the chase stays in-component),
+    which squares the reach per jump and makes total rounds
+    ~O(log diameter) instead of O(diameter) — the standard hash-to-min
+    acceleration (Rastogi et al., "Finding Connected Components in
+    MapReduce"); a chain component of diameter 10^6 converges in ~40
+    shuffles, not 10^6."""
     from vietnamese_ocr_ray.functions.agg import hash_aggregate
     from vietnamese_ocr_ray.functions.joins import key_bucket
 
@@ -641,6 +669,66 @@ def _cc_rounds_shuffled(adj, labels, max_rounds, num_buckets):
             key_bucket(key_col, num_buckets).astype(np.int32)
         )
         return pa.table(cols)
+
+    def _pointer_jump(labels):
+        """label := min(label, label[label]) to fixpoint; one bucketed
+        cogroup shuffle per jump, change COUNT only to the driver."""
+        while True:
+            labels = labels.materialize()
+            # side 0 keyed by the node's LABEL (carrying node + label),
+            # side 1 keyed by node (carrying that node's label) — the
+            # inner merge hands every node its label's label.
+            by_label = labels.map_batches(
+                lambda b: _tag(
+                    b.column("label").combine_chunks(),
+                    {
+                        "node": b.column("node"),
+                        "label": b.column("label"),
+                        "lab2": pa.nulls(b.num_rows, pa.int64()),
+                    },
+                    0,
+                    b.num_rows,
+                ),
+                batch_format="pyarrow",
+            )
+            by_node = labels.map_batches(
+                lambda b: _tag(
+                    b.column("node").combine_chunks(),
+                    {
+                        "node": pa.nulls(b.num_rows, pa.int64()),
+                        "label": pa.nulls(b.num_rows, pa.int64()),
+                        "lab2": b.column("label"),
+                    },
+                    1,
+                    b.num_rows,
+                ),
+                batch_format="pyarrow",
+            )
+
+            def jump(g: pd.DataFrame) -> pd.DataFrame:
+                left = g[g["_side"] == 0][["key", "node", "label"]]
+                right = g[g["_side"] == 1][["key", "lab2"]]
+                m = left.merge(right, on="key", how="inner")
+                old = m["label"].to_numpy(np.int64)
+                new = np.minimum(old, m["lab2"].to_numpy(np.int64))
+                return pd.DataFrame(
+                    {
+                        "node": m["node"].to_numpy(np.int64),
+                        "label": new,
+                        "changed": (new != old).astype(np.int64),
+                    }
+                )
+
+            jumped = (
+                by_label.union(by_node)
+                .groupby("_bucket")
+                .map_groups(jump, batch_format="pandas")
+                .materialize()
+            )
+            changed = jumped.sum("changed")
+            labels = jumped.select_columns(["node", "label"])
+            if not changed:
+                return labels
 
     for _ in range(max_rounds):
         labels = labels.materialize()
@@ -746,6 +834,7 @@ def _cc_rounds_shuffled(adj, labels, max_rounds, num_buckets):
         labels = merged.select_columns(["node", "label"])
         if not changed:
             break
+        labels = _pointer_jump(labels)
     return labels
 
 
