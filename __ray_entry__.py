@@ -750,6 +750,19 @@ def _embedding_covariance(sf_dir: str, dims: int = 4):
     )
 
 
+def _embedding_pca(sf_dir: str, n_components: int = 2):
+    """Distributed PCA projection (rows-only: eigendecomposition is
+    not SQL-expressible; bit-exact vs a single-machine numpy reference
+    in tests/test_functions.py). Two streaming passes, zero shuffles:
+    exact integer-quantized moment partials (order-independent
+    reduce), driver eigh with a deterministic sign convention, then a
+    broadcast (mean, W) map projection."""
+    from vietnamese_ocr_ray.functions.pca import pca_project
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return pca_project(ds, n_components=n_components)
+
+
 def _embedding_neardup_lsh(sf_dir: str):
     """Approximate multi-table hyperplane-LSH cosine near-dup pairs —
     the 100 TB path that replaces the exact O(N^2) block-pair matmul
@@ -1610,6 +1623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_neardup_cosine": _dedup_neardup_cosine,
         "embedding_stats": _embedding_stats,
         "embedding_covariance": _embedding_covariance,
+        "embedding_pca": _embedding_pca,
         "label_centroids": _label_centroids,
         "audio_features": _audio_features,
         "distinct_lang_source": _distinct_lang_source,

@@ -1107,3 +1107,57 @@ def test_connected_components_long_chain_both_modes(ray_session):
         ).to_pandas()
         assert len(out) == n
         assert (out["component"] == 0).all(), mode
+
+
+def test_pca_project_matches_numpy_reference(ray_session):
+    """Distributed PCA == an independent single-machine numpy PCA
+    (same quantization, Python-int exact moments, population
+    covariance, eigh, largest-|.|-positive sign convention) —
+    bit-exact, and invariant to repartitioning (the moment reduce is
+    integer, so block order cannot move a bit)."""
+    from vietnamese_ocr_ray.functions.pca import pca_project
+
+    rng = np.random.default_rng(7)
+    dims, n = 6, 400
+    base = rng.normal(size=(n, dims)) @ np.diag([5, 3, 1, 0.5, 0.2, 0.1])
+    x = np.round(base.astype(np.float32), 4).astype(np.float64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(list(x.astype(np.float32)) , pa.list_(pa.float32())),
+        }
+    )
+
+    # independent reference: plain numpy, no engine code
+    q = np.round(np.asarray(
+        pa.Table.from_arrays([t.column("embedding").combine_chunks().flatten()], ["f"])
+        .column("f"), dtype=np.float64
+    ).reshape(n, dims) * 1_000_000).astype(np.int64)
+    nn = q.shape[0]
+    s = q.sum(axis=0).astype(object)
+    ss = (q.T.astype(object) @ q.astype(object))
+    mean = np.array([int(v) / nn for v in s]) / 1e6
+    cov = np.empty((dims, dims))
+    for i in range(dims):
+        for j in range(dims):
+            cov[i, j] = (int(ss[i, j]) / nn - (int(s[i]) / nn) * (int(s[j]) / nn)) / 1e12
+    evals, evecs = np.linalg.eigh(cov)
+    o = np.argsort(-evals, kind="stable")
+    evecs = evecs[:, o]
+    for c in range(dims):
+        piv = int(np.argmax(np.abs(evecs[:, c])))
+        if evecs[piv, c] < 0:
+            evecs[:, c] = -evecs[:, c]
+    flat = np.asarray(t.column("embedding").combine_chunks().flatten(), np.float64)
+    want = (flat.reshape(n, dims) - mean) @ evecs[:, :2]
+
+    for nblocks in (1, 7):
+        got = (
+            pca_project(rd.from_arrow(t).repartition(nblocks), n_components=2)
+            .to_pandas()
+            .sort_values("vec_id")
+        )
+        assert np.array_equal(got["pc1"].to_numpy(), want[:, 0])
+        assert np.array_equal(got["pc2"].to_numpy(), want[:, 1])
+    # top component must carry the dominant variance direction
+    assert want[:, 0].std() > want[:, 1].std()
