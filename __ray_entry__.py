@@ -330,6 +330,19 @@ def _pack_bins(sf_dir: str):
     return _batching().pack_sequences(_docs(sf_dir), budget=128)
 
 
+def _pack_bins_bpe(sf_dir: str):
+    """Tokenizer-aware sequence packing: FFD bins over BPE piece
+    counts (trainers pack by tokenizer length, not word count).
+    Rows-only: the packing heuristic has no SQL analog and the piece
+    counts come from the iterative BPE encoder — invariants
+    (exactly-once, budget respected, determinism under repartitioning)
+    are pytest-verified in tests/test_batching.py; the piece counts
+    themselves are reference-tested in the bpe_encode suite."""
+    return _batching().pack_sequences(
+        _bpe_encode(sf_dir), budget=256, length_col="n_pieces"
+    )
+
+
 def _decontaminate_ngram(sf_dir: str):
     """Benchmark decontamination by 13-token-gram overlap (the
     standard contamination check): drop any document sharing an exact
@@ -1471,13 +1484,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs(sf)
         ),
         "pack_bins": _pack_bins,
+        "pack_bins_bpe": _pack_bins_bpe,
         "shuffle_shards": lambda sf: _batching().shuffle_shards(_docs(sf)),
         "bpe_merges": _bpe_merges,
         "bpe_encode": _bpe_encode,
-        # tokenizer-aware packing: FFD over BPE piece counts
-        "pack_bins_bpe": lambda sf: _batching().pack_sequences(
-            _bpe_encode(sf), budget=256, length_col="n_pieces"
-        ),
         "semdedup": _semdedup,
         "line_dedup": lambda sf: _corpus().dedup_lines(_docs(sf)),
         "line_dedup_docs": lambda sf: _corpus().dedup_lines_docs(_docs(sf)),
@@ -2402,15 +2412,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         p AS (
           SELECT doc_id, n_chars,
-            regexp_extract(url, '^(https?)://([^/]+)(/[^?]*)(\?.*)?$', 2)
+            regexp_extract(url, '^(https?)://([^/]+)(/[^?]*)(\\?.*)?$', 2)
               AS host
           FROM u
         ),
         d AS (
           SELECT doc_id, n_chars,
                CASE WHEN host LIKE '%.co.uk'
-                    THEN regexp_extract(host, '[^.]+\.co\.uk$')
-                    ELSE regexp_extract(host, '[^.]+\.[^.]+$') END
+                    THEN regexp_extract(host, '[^.]+\\.co\\.uk$')
+                    ELSE regexp_extract(host, '[^.]+\\.[^.]+$') END
                  AS registered_domain
           FROM p
         ),
