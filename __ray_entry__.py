@@ -2042,10 +2042,12 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY n_chars DESC, doc_id LIMIT 20 OFFSET 40
         """,
         "geo_mean_value": """
+        -- geometric mean is defined on positive support; zero/negative
+        -- values are excluded on both sides
         WITH q AS (
           SELECT event_type,
                  CAST(ROUND(ln(value) * 1000000) AS BIGINT) AS s
-          FROM events
+          FROM events WHERE value > 0
         )
         SELECT event_type,
                round(exp(CAST(sum(s) AS DOUBLE) / 1000000.0

@@ -247,6 +247,7 @@ def run_bench() -> dict:
         "shuffle_shards",
         "domain_cap",
         "bpe_encode",
+        "embedding_pca",
     ):
 
         def consume(fn=q[name]):

@@ -73,6 +73,8 @@ def pca_fit(
         lambda b: _moment_partial(b, vec_col), batch_format="pyarrow"
     ).to_pandas()  # O(blocks) rows of dims^2 ints — bounded, deliberate
 
+    if len(parts) == 0:  # fully-filtered input: no moments to fit
+        raise ValueError("pca_fit: input dataset is empty")
     dims = int(parts["dims"].iloc[0])
     tri = dims * (dims + 1) // 2
     # Python-int accumulators: exact at any corpus size

@@ -2305,19 +2305,26 @@ def geo_mean_value(sf_dir: str) -> rd.Dataset:
     determinism contract — order-independent int64 arithmetic; numpy
     log and DuckDB ln agree far beyond the quantum), one
     partial/combine aggregate, then exp of the mean with a 6dp round
-    absorbing final-ulp divergence."""
+    absorbing final-ulp divergence.
+
+    Non-positive values are EXCLUDED on both sides (geometric mean is
+    defined on positive support): ln(0) = -inf quantizes to the int64
+    sentinel, and a handful of such rows silently overflow the sum
+    into an unbounded-Python-int object column — shipped once, caught
+    by the sf0.1 sweep (the first zero-valued events appear there)."""
     ds = read_parquet_clean(
         f"{sf_dir}/events.parquet", columns=["event_type", "value"]
     )
 
     def partial(batch: pa.Table) -> pa.Table:
         v = np.asarray(batch.column("value"), dtype=np.float64)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        pos = v > 0
+        v, et = v[pos], et[pos]
         q = np.round(np.log(v) * 1_000_000).astype(np.int64)
         df = pd.DataFrame(
             {
-                "event_type": batch.column("event_type").to_numpy(
-                    zero_copy_only=False
-                ),
+                "event_type": et,
                 "s": q,
             }
         )
