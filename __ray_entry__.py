@@ -409,7 +409,11 @@ def _hash_sample(sf_dir: str):
 def _approx_quantiles(sf_dir: str):
     """Mergeable-summary quantiles over events.value (rows-only:
     approximate by design; accuracy bound tested vs exact in
-    tests/test_functions.py)."""
+    tests/test_functions.py). Layout-sensitive by design: compaction
+    decisions track block boundaries, so the ESTIMATE can move a few
+    ranks between layouts while the rank-error bound holds for any
+    layout — the bound, not the bits, is the contract
+    (scripts/check_invariance.py documents the skip)."""
     import ray.data as rd
 
     from vietnamese_ocr_ray.functions.sketch import approx_quantiles
@@ -1025,7 +1029,11 @@ def _heavy_hitters(sf_dir: str, k: int = 10):
     exact-top-k recovery are tested in tests/test_functions.py, and
     `top_tokens` is the exact SQL-checked twin). Mergeable per-batch
     sketches — the 10^12-row path where even the vocabulary is too
-    large to shuffle exactly."""
+    large to shuffle exactly. Layout-sensitive by design: the
+    candidate union tracks batch boundaries, so tail-of-top-k
+    membership can move between layouts while the one-sided guarantee
+    holds for any layout (scripts/check_invariance.py documents the
+    skip)."""
     from vietnamese_ocr_ray.functions.sketch import heavy_hitters_cms
 
     return heavy_hitters_cms(_docs(sf_dir), k=k)

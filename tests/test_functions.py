@@ -1148,8 +1148,19 @@ def test_pca_project_matches_numpy_reference(ray_session):
         piv = int(np.argmax(np.abs(evecs[:, c])))
         if evecs[piv, c] < 0:
             evecs[:, c] = -evecs[:, c]
+    # projection reference: per-row SCALAR accumulation in ascending-k
+    # order — the engine batches the same order as vectorized FMAs, so
+    # equality here is bit-exact AND layout-independent (a BLAS matmul
+    # reference would round differently per batch shape)
     flat = np.asarray(t.column("embedding").combine_chunks().flatten(), np.float64)
-    want = (flat.reshape(n, dims) - mean) @ evecs[:, :2]
+    xc = flat.reshape(n, dims) - mean
+    want = np.zeros((n, 2))
+    for i in range(n):
+        for j in range(2):
+            acc = 0.0
+            for k in range(dims):
+                acc += xc[i, k] * evecs[k, j]
+            want[i, j] = acc
 
     for nblocks in (1, 7):
         got = (

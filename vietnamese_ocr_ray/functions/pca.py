@@ -126,7 +126,17 @@ def pca_project(
     def project(batch: pa.Table) -> pa.Table:
         m, w = ray.get(handle)
         x = _batch_matrix(batch, vec_col)
-        proj = (x - m) @ w
+        xc = x - m
+        # fixed-k-order accumulation instead of BLAS matmul: dgemm
+        # picks its summation order from the batch SHAPE, so the same
+        # row rounds differently in different block layouts (caught by
+        # scripts/check_invariance.py). An explicit ascending-k loop of
+        # vectorized FMAs is IEEE-deterministic per element no matter
+        # how rows are batched — dims x (rows x components) work, same
+        # asymptotics as the matmul for small component counts.
+        proj = np.zeros((xc.shape[0], w.shape[1]), np.float64)
+        for k in range(w.shape[0]):
+            proj += xc[:, k : k + 1] * w[k]
         cols = {id_col: batch.column(id_col)}
         for c in range(proj.shape[1]):
             cols[f"pc{c + 1}"] = pa.array(proj[:, c], pa.float64())

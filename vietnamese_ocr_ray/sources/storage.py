@@ -72,7 +72,13 @@ def read_parquet_clean(path, **kwargs) -> rd.Dataset:
         full = pq.read_schema(first).remove_metadata()
         cols = kwargs.get("columns")
         schema = pa.schema([full.field(n) for n in cols]) if cols else full
-        if "override_num_blocks" not in kwargs:
+        forced = os.environ.get("VOR_FORCE_READ_BLOCKS")
+        if forced:
+            # test-only knob: scripts/check_invariance.py re-runs every
+            # query under a hostile block layout to prove results don't
+            # depend on partitioning
+            kwargs["override_num_blocks"] = int(forced)
+        elif "override_num_blocks" not in kwargs:
             try:
                 files = (
                     list(path)
@@ -112,7 +118,10 @@ def read_media(path: str | list[str], with_truth: bool = False, **kwargs) -> rd.
     )
     if _lance_available() and isinstance(path, str) and path.endswith(".lance"):
         return rd.read_lance(path, columns=cols, **kwargs)
-    if "override_num_blocks" not in kwargs:
+    forced = os.environ.get("VOR_FORCE_READ_BLOCKS")
+    if forced:
+        kwargs["override_num_blocks"] = int(forced)
+    elif "override_num_blocks" not in kwargs:
         try:
             files = list_fragments(path) if isinstance(path, str) else list(path)
             total = sum(os.path.getsize(f) for f in files)
