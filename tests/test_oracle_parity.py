@@ -105,3 +105,30 @@ def test_rows_only_queries_document_why():
     assert not undocumented, undocumented
     # and every oracle has a query (no orphan SQL)
     assert not set(osql) - set(qs)
+
+
+@pytest.mark.parametrize("name", ["top_tokens", "dedup_exact", "running_sum"])
+def test_partitioning_invariance_smoke(ray_session, name):
+    """CI pin for the scripts/check_invariance.py surface: the same
+    query under the normal read layout and under a hostile forced
+    3-block layout (VOR_FORCE_READ_BLOCKS) must produce bit-identical
+    canonicalized results. The full 176-query sweep is the script's
+    job; this keeps the knob and the invariance contract exercised on
+    every test run."""
+    m = _entry()
+    fn = m.queries()[name]
+
+    def run():
+        r = fn(SF)
+        if hasattr(r, "to_pandas"):
+            r = r.to_pandas()
+        return _norm(pd.DataFrame(r))
+
+    os.environ.pop("VOR_FORCE_READ_BLOCKS", None)
+    base = run()
+    os.environ["VOR_FORCE_READ_BLOCKS"] = "3"
+    try:
+        alt = run()
+    finally:
+        os.environ.pop("VOR_FORCE_READ_BLOCKS", None)
+    pd.testing.assert_frame_equal(base, alt, obj=name)
