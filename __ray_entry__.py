@@ -1488,6 +1488,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _decontaminate,
         "decontaminate_ngram": _decontaminate_ngram,
         "dup_ngram_spans": lambda sf: _corpus().dup_ngram_spans(_docs(sf)),
+        "dedup_ngram_excise": lambda sf: _corpus().excise_dup_ngrams(
+            _docs(sf)
+        ),
         "length_batches": lambda sf: _batching().length_bucket_batches(
             _docs(sf)
         ),
@@ -3452,6 +3455,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT t.doc_id, len(t.t) AS n_tokens,
                CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens
         FROM toks t LEFT JOIN cov c USING (doc_id)
+        """,
+        "dedup_ngram_excise": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+        grams AS (SELECT doc_id, i - 1 AS pos,
+                         array_to_string(list_slice(t, i, i + 12), ' ') AS gram
+                  FROM toks,
+                       unnest(range(1, greatest(len(t) - 11, 1))) AS s(i)),
+        dup AS (SELECT gram FROM grams
+                GROUP BY gram HAVING min(doc_id) <> max(doc_id)),
+        dp AS (SELECT doc_id, pos FROM grams
+               WHERE gram IN (SELECT gram FROM dup)),
+        cov AS (SELECT DISTINCT doc_id, pos + j AS cpos
+                FROM dp, unnest(range(0, 13)) AS u(j)),
+        e AS (SELECT doc_id, unnest(t) AS tok,
+                     CAST(generate_subscripts(t, 1) - 1 AS BIGINT) AS pos
+              FROM toks),
+        kept AS (SELECT e.doc_id, e.tok, e.pos
+                 FROM e LEFT JOIN cov c
+                   ON e.doc_id = c.doc_id AND e.pos = c.cpos
+                 WHERE c.doc_id IS NULL),
+        agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+                FROM kept GROUP BY doc_id)
+        SELECT t.doc_id, coalesce(a.text, '') AS text
+        FROM toks t LEFT JOIN agg a USING (doc_id)
         """,
         "line_dedup": """
         WITH t AS (SELECT doc_id, string_split(text, ' window ') AS l

@@ -133,3 +133,37 @@ def test_dup_ngram_spans_partitioning_invariant(ray_session):
     assert a.equals(b)
     # every doc holding the shared run is fully covered on that run
     assert (a.set_index("doc_id").loc[range(12), "dup_tokens"] == 20).all()
+
+
+def test_excise_dup_ngrams_planted(ray_session):
+    """ExactSubstr removal semantics on planted duplicates: a 3-gram
+    shared across two docs is cut from BOTH (symmetric removal), a doc
+    that is entirely one duplicated gram excises to the empty string,
+    and untouched docs come back byte-identical."""
+    from vietnamese_ocr_ray.functions.corpus import excise_dup_ngrams
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "aa bb cc dd ee",        # shares "bb cc dd" via doc 1
+                    "xx bb cc dd yy zz",     # same gram, middle
+                    "bb cc dd",              # IS the gram -> empty
+                    "unique words only here", # untouched
+                ]
+            ),
+        }
+    )
+    out = (
+        excise_dup_ngrams(rd.from_arrow(docs), n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["text"].tolist() == [
+        "aa ee",
+        "xx yy zz",
+        "",
+        "unique words only here",
+    ]

@@ -306,39 +306,15 @@ def decontaminate_ngrams(
 # ---------------------------------------------------------------------------
 
 
-def dup_ngram_spans(
-    ds: rd.Dataset,
-    n: int = 13,
-    num_buckets: int = 64,
+def _dup_ngram_positions(
+    ds: rd.Dataset, n: int, num_buckets: int
 ) -> rd.Dataset:
-    """Per-document duplicated-substring coverage: ``(doc_id, n_tokens,
-    dup_tokens)`` where ``dup_tokens`` counts token positions covered by
-    at least one token n-gram that also appears in ANOTHER document —
-    the exact-substring duplication signal of Lee et al. 2022
-    ("Deduplicating Training Data Makes Language Models Better"),
-    reduced to per-doc coverage fractions (callers divide).
-
-    Distribution: two bucket shuffles, no broadcast.
-
-    1. Every valid n-gram instance ships ``(gram, doc_id, pos)`` to the
-       bucket of its gram, so all instances of a gram meet in one
-       reduce task; a gram is duplicated iff its min and max doc_id
-       differ (cross-doc by construction). One vectorized pandas
-       transform per bucket; duplicated instances leave as int-only
-       ``(doc_id, pos)`` rows.
-    2. Duplicated positions bucket-shuffle on doc_id together with a
-       per-doc ``(doc_id, n_tokens)`` sentinel row; each reduce task
-       computes the merged-interval union length (``n*k`` minus
-       clipped-overlap sum over consecutive sorted positions) in one
-       numpy pass.
-
-    Scale note: shuffle 1 carries the gram STRINGS (n tokens/row).
-    At 100 TB the documented cheaper variant rolls 64-bit hashes first
-    (int-only shuffle, as :func:`decontaminate_ngrams` does), then
-    re-ships strings only for candidate-duplicate hashes; the string
-    path here keeps the op exact in one pass and is what the SQL oracle
-    checks.
-    """
+    """Shuffle 1 of the exact-substring family: every valid token
+    n-gram instance ships ``(gram, doc_id, pos)`` to its gram's
+    bucket; a gram is duplicated iff its min and max doc_id differ.
+    Duplicated instances leave as int-only ``(doc_id, pos)`` rows.
+    Shared by :func:`dup_ngram_spans` (coverage report) and
+    :func:`excise_dup_ngrams` (removal)."""
 
     def emit(batch: pa.Table) -> pa.Table:
         text = batch.column("text")
@@ -389,7 +365,7 @@ def dup_ngram_spans(
             }
         )
 
-    dup_pos = (
+    return (
         ds.select_columns(["doc_id", "text"])
         .map_batches(emit, batch_format="pyarrow")
         .groupby("_b")
@@ -398,6 +374,43 @@ def dup_ngram_spans(
             batch_format="pandas",
         )
     )
+
+
+def dup_ngram_spans(
+    ds: rd.Dataset,
+    n: int = 13,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Per-document duplicated-substring coverage: ``(doc_id, n_tokens,
+    dup_tokens)`` where ``dup_tokens`` counts token positions covered by
+    at least one token n-gram that also appears in ANOTHER document —
+    the exact-substring duplication signal of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"),
+    reduced to per-doc coverage fractions (callers divide).
+
+    Distribution: two bucket shuffles, no broadcast.
+
+    1. Every valid n-gram instance ships ``(gram, doc_id, pos)`` to the
+       bucket of its gram, so all instances of a gram meet in one
+       reduce task; a gram is duplicated iff its min and max doc_id
+       differ (cross-doc by construction). One vectorized pandas
+       transform per bucket; duplicated instances leave as int-only
+       ``(doc_id, pos)`` rows.
+    2. Duplicated positions bucket-shuffle on doc_id together with a
+       per-doc ``(doc_id, n_tokens)`` sentinel row; each reduce task
+       computes the merged-interval union length (``n*k`` minus
+       clipped-overlap sum over consecutive sorted positions) in one
+       numpy pass.
+
+    Scale note: shuffle 1 carries the gram STRINGS (n tokens/row).
+    At 100 TB the documented cheaper variant rolls 64-bit hashes first
+    (int-only shuffle, as :func:`decontaminate_ngrams` does), then
+    re-ships strings only for candidate-duplicate hashes; the string
+    path here keeps the op exact in one pass and is what the SQL oracle
+    checks.
+    """
+
+    dup_pos = _dup_ngram_positions(ds, n, num_buckets)
 
     def tag_dup(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -481,6 +494,98 @@ def dup_ngram_spans(
     )
     return union.groupby("_b").map_groups(
         lambda g: coverage(g.drop(columns=["_b"])),
+        batch_format="pandas",
+    )
+
+
+def excise_dup_ngrams(
+    ds: rd.Dataset,
+    n: int = 13,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """ExactSubstr REMOVAL (the act-on-it half of Lee et al. 2022):
+    returns ``(doc_id, text)`` where every token position covered by a
+    cross-doc duplicated token n-gram is cut out and the surviving
+    tokens are rejoined with single spaces — the cleaned corpus, not
+    just the coverage report (:func:`dup_ngram_spans`).
+
+    Same two bucket shuffles: duplicated ``(doc_id, pos)`` instances
+    from :func:`_dup_ngram_positions` meet their doc's full text row
+    in a doc_id-bucketed reduce. Per bucket, ONE pass: concatenate the
+    bucket's token domain, mark covered ranges with a +1/-1 delta
+    array and a cumsum (no per-instance loops), filter the flat token
+    array by the keep mask, rebuild per-doc lists from the kept
+    counts, and ``binary_join`` them — all Arrow/numpy kernels. A doc
+    whose every token is covered comes back as the empty string."""
+
+    def tag_dup(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pos": batch.column("pos"),
+                "text": pa.nulls(batch.num_rows, pa.string()),
+                "_b": pa.array(
+                    key_bucket(batch.column("doc_id"), num_buckets).astype(
+                        np.int32
+                    )
+                ),
+            }
+        )
+
+    def carry_text(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pos": pa.array(np.full(batch.num_rows, -1, np.int64)),
+                "text": batch.column("text"),
+                "_b": pa.array(
+                    key_bucket(batch.column("doc_id"), num_buckets).astype(
+                        np.int32
+                    )
+                ),
+            }
+        )
+
+    def excise(g: pd.DataFrame) -> pa.Table:
+        texts = g[g["pos"] < 0].sort_values("doc_id", kind="stable")
+        dup = g[g["pos"] >= 0]
+        ids = texts["doc_id"].to_numpy(np.int64)
+        text_arr = pa.array(texts["text"].to_numpy(object), pa.string())
+        flat, offs = _token_lists(text_arr)
+        total = len(flat)
+        ntok = np.diff(offs)
+        keep = np.ones(total, dtype=bool)
+        if len(dup):
+            d_doc = dup["doc_id"].to_numpy(np.int64)
+            d_pos = dup["pos"].to_numpy(np.int64)
+            di = np.searchsorted(ids, d_doc)
+            start = offs[di] + d_pos
+            end = offs[di] + np.minimum(d_pos + n, ntok[di])
+            delta = np.zeros(total + 1, np.int64)
+            np.add.at(delta, start, 1)
+            np.add.at(delta, end, -1)
+            keep = np.cumsum(delta[:total]) == 0
+        kept_counts = np.add.reduceat(
+            keep.astype(np.int64), offs[:-1]
+        ) if total else np.zeros(len(ids), np.int64)
+        kept_counts[ntok == 0] = 0  # reduceat repeats on empty segments
+        new_offs = np.concatenate([[0], np.cumsum(kept_counts)])
+        kept_flat = flat.filter(pa.array(keep))
+        lists = pa.ListArray.from_arrays(
+            pa.array(new_offs, pa.int32()), kept_flat
+        )
+        joined = pc.binary_join(lists, pa.scalar(" "))
+        return pa.table({"doc_id": pa.array(ids), "text": joined})
+
+    union = _dup_ngram_positions(ds, n, num_buckets).map_batches(
+        tag_dup, batch_format="pyarrow"
+    ).union(
+        ds.select_columns(["doc_id", "text"]).map_batches(
+            carry_text, batch_format="pyarrow"
+        )
+    )
+    return union.groupby("_b").map_groups(
+        lambda g: excise(g.drop(columns=["_b"])),
         batch_format="pandas",
     )
 
