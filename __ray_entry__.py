@@ -146,6 +146,61 @@ def _media_features(sf_dir: str):
     return media_features(ds)
 
 
+def _media_neardup_ahash(sf_dir: str, max_hamming: int = 3):
+    """Image near-duplicate PAIRS: perceptual aHash fingerprints
+    (actor-pool decode, integral-image 8x8 mean-pool) through the same
+    complete banded Hamming search as text SimHash
+    (`simhash_pairs(fp_col=...)` — pigeonhole over 16-bit chunks, so
+    every pair within the radius is found, only ints shuffle).
+    Rows-only: SQL cannot decode pixels; planted-duplicate pairing is
+    tested in tests/test_multimodal.py. media_refs pack reversibly as
+    doc_id * 65536 + span_offset for the int-only exchange and unpack
+    to strings at the end."""
+    import ray.data as rd
+
+    from vietnamese_ocr_ray.functions.dedup import simhash_pairs
+    from vietnamese_ocr_ray.stages.multimodal import media_ahash
+    from vietnamese_ocr_ray.synth import ensure_corpus
+
+    _, media_dir = ensure_corpus(sf_dir)
+    ds = _read_pq(media_dir, columns=["media_ref", "image", "height", "width"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b.column("media_ref"), "-")
+        did = pc.cast(pc.list_element(parts, 1), pa.int64())
+        k = pc.cast(pc.list_element(parts, 2), pa.int64())
+        mid = pc.add(pc.multiply(did, pa.scalar(65536, pa.int64())), k)
+        return pa.table({"mid": mid, "ahash": b.column("ahash")})
+
+    pairs = simhash_pairs(
+        media_ahash(ds).map_batches(pack, batch_format="pyarrow"),
+        max_hamming=max_hamming,
+        fp_col="ahash",
+        id_col="mid",
+    )
+
+    def unpack(b: pa.Table) -> pa.Table:
+        def fmt(col):
+            i = np.asarray(col, dtype=np.int64)
+            did, k = i // 65536, i % 65536
+            return pa.array(
+                np.char.add(
+                    np.char.add("m-", did.astype(np.str_)),
+                    np.char.add("-", k.astype(np.str_)),
+                )
+            )
+
+        return pa.table(
+            {
+                "ref_a": fmt(b.column("a")),
+                "ref_b": fmt(b.column("b")),
+                "hamming": b.column("hamming"),
+            }
+        )
+
+    return pairs.map_batches(unpack, batch_format="pyarrow")
+
+
 def _media_ahash(sf_dir: str):
     """Perceptual-hash image near-dup fingerprints over the
     synthesized media table (rows-only: SQL cannot decode pixels;
@@ -1435,6 +1490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_stub": _media_stub,
         "media_features": _media_features,
         "media_ahash": _media_ahash,
+        "media_neardup_ahash": _media_neardup_ahash,
         # structural operators on documents
         "explode_tokens": doctext.explode_tokens,
         "reassemble_tokens": doctext.reassemble_tokens,

@@ -192,3 +192,44 @@ def test_ahash_partitioning_invariant(ray_session):
     a = one.sort_values("media_ref").reset_index(drop=True)
     b = many.sort_values("media_ref").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_simhash_pairs_over_ahash_finds_duplicate_images(ray_session):
+    """Media near-dup end-to-end: identical renders pair at Hamming 0
+    through the banded search running on PRECOMPUTED aHash
+    fingerprints (simhash_pairs(fp_col=...)); an unrelated image pairs
+    with neither."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vietnamese_ocr_ray.functions.dedup import simhash_pairs
+    from vietnamese_ocr_ray.stages.multimodal import media_ahash
+    from vietnamese_ocr_ray.synth import render_text
+
+    a = render_text("sametext", 32)
+    b = render_text("sametext", 32)
+    c = render_text("different", 32)
+    t = pa.table(
+        {
+            "mid": pa.array([1, 2, 3], pa.int64()),
+            "media_ref": pa.array(["m-0-1", "m-0-2", "m-0-3"]),
+            "image": pa.array(
+                [a.tobytes(), b.tobytes(), c.tobytes()], pa.binary()
+            ),
+            "height": pa.array([a.shape[0], b.shape[0], c.shape[0]], pa.int32()),
+            "width": pa.array([a.shape[1], b.shape[1], c.shape[1]], pa.int32()),
+        }
+    )
+    fps = media_ahash(rd.from_arrow(t)).to_pandas()
+    packed = pa.table(
+        {
+            "mid": pa.array([1, 2, 3], pa.int64()),
+            "ahash": pa.array(fps.sort_values("media_ref")["ahash"].to_numpy(np.int64)),
+        }
+    )
+    pairs = simhash_pairs(
+        rd.from_arrow(packed), max_hamming=3, fp_col="ahash", id_col="mid"
+    ).to_pandas()
+    assert sorted(map(tuple, pairs[["a", "b"]].to_numpy())) == [(1, 2)]
+    assert pairs["hamming"].tolist() == [0]

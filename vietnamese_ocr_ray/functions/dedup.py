@@ -1059,6 +1059,8 @@ def simhash_pairs(
     k: int = 4,
     num_coarse: int = 32,
     cap: int = 200,
+    fp_col: str | None = None,
+    id_col: str = "doc_id",
 ) -> rd.Dataset:
     """SimHash near-duplicate pairs (Manku, Jain & Sarma 2007): two
     64-bit fingerprints within Hamming distance ``max_hamming`` must
@@ -1067,15 +1069,27 @@ def simhash_pairs(
     not a sample. Shape mirrors minhash: fingerprint per batch ->
     (band, chunk_value, doc_id, fp) rows -> coarse-bucket groupby ->
     candidate pairs via run-detection -> popcount verification ->
-    bucketed distinct. Only ints ever shuffle."""
+    bucketed distinct. Only ints ever shuffle.
+
+    ``fp_col=None`` (default) computes token-SimHash fingerprints from
+    the ``text`` column; pass ``fp_col`` to run the identical complete
+    banded Hamming search over ANY precomputed int64 fingerprint
+    column (e.g. the perceptual aHash of image payloads —
+    ``stages/multimodal.ImageAHash`` — for media near-dup)."""
     assert max_hamming < bands, "pigeonhole completeness needs bands > max_hamming"
     width = 64 // bands
     mask = np.uint64((1 << width) - 1)
+    in_cols = [id_col] + (["text"] if fp_col is None else [fp_col])
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        fps = simhash_fps(batch.column("text"), k)
+        if fp_col is None:
+            fps = simhash_fps(batch.column("text"), k)
+        else:
+            fps = np.asarray(batch.column(fp_col), dtype=np.int64).astype(
+                np.uint64
+            )
         n = fps.shape[0]
-        ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        ids = np.asarray(batch.column(id_col), dtype=np.int64)
         band = np.tile(np.arange(bands, dtype=np.int64), n)
         chunk = (
             np.repeat(fps, bands)
@@ -1128,7 +1142,7 @@ def simhash_pairs(
         )
 
     cand = (
-        ds.select_columns(["doc_id", "text"])
+        ds.select_columns(in_cols)
         .map_batches(band_rows, batch_format="pyarrow")
         .groupby("coarse")
         .map_groups(
