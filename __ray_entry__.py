@@ -146,6 +146,70 @@ def _media_features(sf_dir: str):
     return media_features(ds)
 
 
+def _pack_media_ref(col) -> pa.Array:
+    """media_ref "m-<doc>-<offset>" -> reversible int64 doc*65536+offset
+    so near-dup machinery shuffles ints, never strings."""
+    parts = pc.split_pattern(col, "-")
+    did = pc.cast(pc.list_element(parts, 1), pa.int64())
+    k = pc.cast(pc.list_element(parts, 2), pa.int64())
+    return pc.add(pc.multiply(did, pa.scalar(65536, pa.int64())), k)
+
+
+def _media_ahash_pairs(sf_dir: str, max_hamming: int):
+    """Shared front half of the media near-dup queries: synthesize the
+    corpus, fingerprint every image (actor-pool aHash), pack refs to
+    int64, and run the complete banded Hamming search."""
+    from vietnamese_ocr_ray.functions.dedup import simhash_pairs
+    from vietnamese_ocr_ray.stages.multimodal import media_ahash
+    from vietnamese_ocr_ray.synth import ensure_corpus
+
+    _, media_dir = ensure_corpus(sf_dir)
+    ds = _read_pq(media_dir, columns=["media_ref", "image", "height", "width"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "mid": _pack_media_ref(b.column("media_ref")),
+                "ahash": b.column("ahash"),
+            }
+        )
+
+    pairs = simhash_pairs(
+        media_ahash(ds).map_batches(pack, batch_format="pyarrow"),
+        max_hamming=max_hamming,
+        fp_col="ahash",
+        id_col="mid",
+    )
+    return ds, pairs
+
+
+def _dedup_media_ahash(sf_dir: str, max_hamming: int = 3):
+    """End-to-end media DEDUP: perceptual-aHash near-dup pairs ->
+    distributed connected components -> min-id survivor per duplicate
+    cluster; surviving media rows return metadata-only (ref, height,
+    width). Rows-only: pixels are not SQL-decodable; the pairing
+    primitive has a planted test and the survivor machinery is the
+    SQL-checked text path (`dedup_neardup`) reused verbatim."""
+    from vietnamese_ocr_ray.functions.dedup import neardup_survivors
+
+    ds, pairs = _media_ahash_pairs(sf_dir, max_hamming)
+
+    def meta(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "mid": _pack_media_ref(b.column("media_ref")),
+                "media_ref": b.column("media_ref"),
+                "height": b.column("height"),
+                "width": b.column("width"),
+            }
+        )
+
+    kept = neardup_survivors(
+        ds.map_batches(meta, batch_format="pyarrow"), pairs, id_col="mid"
+    )
+    return kept.select_columns(["media_ref", "height", "width"])
+
+
 def _media_neardup_ahash(sf_dir: str, max_hamming: int = 3):
     """Image near-duplicate PAIRS: perceptual aHash fingerprints
     (actor-pool decode, integral-image 8x8 mean-pool) through the same
@@ -156,28 +220,7 @@ def _media_neardup_ahash(sf_dir: str, max_hamming: int = 3):
     tested in tests/test_multimodal.py. media_refs pack reversibly as
     doc_id * 65536 + span_offset for the int-only exchange and unpack
     to strings at the end."""
-    import ray.data as rd
-
-    from vietnamese_ocr_ray.functions.dedup import simhash_pairs
-    from vietnamese_ocr_ray.stages.multimodal import media_ahash
-    from vietnamese_ocr_ray.synth import ensure_corpus
-
-    _, media_dir = ensure_corpus(sf_dir)
-    ds = _read_pq(media_dir, columns=["media_ref", "image", "height", "width"])
-
-    def pack(b: pa.Table) -> pa.Table:
-        parts = pc.split_pattern(b.column("media_ref"), "-")
-        did = pc.cast(pc.list_element(parts, 1), pa.int64())
-        k = pc.cast(pc.list_element(parts, 2), pa.int64())
-        mid = pc.add(pc.multiply(did, pa.scalar(65536, pa.int64())), k)
-        return pa.table({"mid": mid, "ahash": b.column("ahash")})
-
-    pairs = simhash_pairs(
-        media_ahash(ds).map_batches(pack, batch_format="pyarrow"),
-        max_hamming=max_hamming,
-        fp_col="ahash",
-        id_col="mid",
-    )
+    _, pairs = _media_ahash_pairs(sf_dir, max_hamming)
 
     def unpack(b: pa.Table) -> pa.Table:
         def fmt(col):
@@ -1491,6 +1534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _media_features,
         "media_ahash": _media_ahash,
         "media_neardup_ahash": _media_neardup_ahash,
+        "dedup_media_ahash": _dedup_media_ahash,
         # structural operators on documents
         "explode_tokens": doctext.explode_tokens,
         "reassemble_tokens": doctext.reassemble_tokens,
