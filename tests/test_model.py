@@ -78,3 +78,46 @@ def test_vectorized_equals_dict_loop(model):
     out = _autoregressive_forward(model, dict_img, dict_tgt)
     for i in range(len(texts)):
         assert list(seqs[i, : seq_lens[i]]) == out[f"k{i}"]
+
+
+def test_beam_top1_equals_greedy_every_width(model):
+    """The stand-in has a strict per-step argmax, so beam search must
+    return exactly the greedy path for every width — the same
+    renderer-inversion property, via the scored-hypothesis machinery."""
+    texts = ["abc", "", "q" * 30, "7x", "hello"]
+    x = _prep(texts, [32, 64, 32, 64, 32])
+    want = [s.as_py() for s in model.recognize_texts(x)]
+    for width in (1, 2, 4):
+        got = [
+            s.as_py()
+            for s in model.recognize_texts(x, decode="beam", beam_width=width)
+        ]
+        assert got == want, width
+
+
+def test_beam_beats_width1_on_score_trap():
+    """Real beam machinery: with prefix-conditioned logits where the
+    greedy first step leads to a poor finish, width-1 falls into the
+    trap and width-2 recovers the higher-scoring path."""
+    A, B = 3, 4
+
+    class Trap(DeterministicRecognizer):
+        def step_logits(self, features_row, length, t, prefix=()):
+            logits = np.full(self.vocab.vocab_size, -10.0, np.float32)
+            if t == 0:
+                logits[A] = 2.0
+                logits[B] = 1.9
+            elif prefix and prefix[0] == A:
+                logits[EOS] = -5.0  # the trap: A's only finish is weak
+            else:
+                logits[EOS] = 3.0
+            return logits
+
+    m = Trap()
+    feats = np.zeros((1, 31), np.int32)
+    lens = np.array([2], np.int32)
+    seq1, len1 = m.beam_decode(feats, lens, width=1)
+    seq2, len2 = m.beam_decode(feats, lens, width=2)
+    assert seq1[0, 1] == A  # greedy-by-machinery takes the bait
+    assert seq2[0, 1] == B  # beam keeps the runner-up and wins
+    assert seq2[0, 2] == EOS

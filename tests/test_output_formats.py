@@ -369,3 +369,35 @@ def test_csv_roundtrip(ray_session, tmp_path):
     assert back[["doc_id", "lang", "n_chars"]].equals(
         want[["doc_id", "lang", "n_chars"]]
     )
+
+
+def test_beam_decode_matches_greedy_e2e(ray_session, tmp_path):
+    """decode="beam" through the full pipeline (actor-pool stage param)
+    must equal the oracle exactly — beam top-1 == greedy for the
+    stand-in (strict per-step argmax), so the option changes machinery,
+    never output."""
+    docs, media = synth_corpus(50, seed=29)
+    docs_dir, media_dir = write_corpus(docs, media, str(tmp_path), n_fragments=2)
+    golden = extract_oracle(docs, media)
+
+    def canon(rows):
+        return sorted(
+            (
+                r["doc_id"],
+                tuple(
+                    (s["kind"], s["text"], s["media_ref"], s["offset"])
+                    for s in r["spans"]
+                ),
+            )
+            for r in rows
+        )
+
+    out = extract_spans(
+        read_docs(docs_dir),
+        read_media(media_dir),
+        media_mode="cogroup",
+        cogroup_buckets=8,
+        num_buckets=8,
+        decode="beam",
+    )
+    assert canon(out.take_all()) == canon(golden)

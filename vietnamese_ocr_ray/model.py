@@ -122,11 +122,21 @@ class DeterministicRecognizer:
         return self.read_features(batch, lo, nbands)
 
     # ---- per-step head (used by the oracle's dict-based loop) -------
-    def step_logits(self, features_row: np.ndarray, length: int, t: int) -> np.ndarray:
+    def step_logits(
+        self,
+        features_row: np.ndarray,
+        length: int,
+        t: int,
+        prefix: tuple[int, ...] = (),
+    ) -> np.ndarray:
         """Logits for decode step ``t`` of one sequence: argmax equals
         the next token (features[t] while t < length, then <eos>).
         Mirrors the last-position logits slice of
-        src/model/model.py:223-225."""
+        src/model/model.py:223-225. ``prefix`` (tokens already decoded
+        beyond <sos>) is ignored by the stand-in — its next-token
+        distribution is prefix-independent, which is exactly why greedy
+        inverts the renderer — but beam search passes it so
+        prefix-conditioned models (a real seq2seq head) plug in."""
         logits = np.zeros(self.vocab.vocab_size, dtype=np.float32)
         nxt = int(features_row[t]) if t < length else EOS
         logits[nxt] = 1.0
@@ -162,20 +172,101 @@ class DeterministicRecognizer:
             seq_len[active] += 1
         return seqs, seq_len
 
+    # ---- beam decode (reference family: seq2seq beam search) --------
+    def beam_decode(
+        self, features: np.ndarray, lengths: np.ndarray, width: int = 4
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Width-``width`` beam search with the same stopping semantics
+        as :meth:`greedy_decode` (start [<sos>], per-hypothesis <eos>
+        stop, MAX_DECODE_STEPS cap): hypotheses are scored by summed
+        log-softmax of :meth:`step_logits`, expanded with the top
+        ``width`` tokens per step, PRUNED by sum score, and finally
+        selected by LENGTH-NORMALIZED score (mean logp — without the
+        normalization every negative-logp model prefers the one-step
+        <eos> hypothesis over any longer path, the standard beam
+        length bias). Ties break to the lexicographically-smaller
+        token sequence everywhere, so the search is deterministic.
+
+        For THIS stand-in each step has a strict argmax, so beam top-1
+        provably equals greedy for every width — asserted in tests,
+        which also exercise the machinery on a crafted score trap
+        (subclassed step_logits) where width>1 must beat greedy. The
+        per-sequence Python loop is deliberate: beam is an OPTION on
+        the actor-pool decode stage (one model per actor), not the
+        vectorized default path."""
+        n = features.shape[0]
+        out = np.full((n, 1 + MAX_DECODE_STEPS), PAD, dtype=np.int32)
+        out[:, 0] = SOS
+        out_len = np.ones(n, dtype=np.int32)
+        for i in range(n):
+            # hypotheses: (score, ids tuple beyond <sos>, finished)
+            beams = [(0.0, (), False)]
+            for t in range(MAX_DECODE_STEPS):
+                nxt_beams = []
+                for score, ids, fin in beams:
+                    if fin:
+                        nxt_beams.append((score, ids, True))
+                        continue
+                    logits = self.step_logits(
+                        features[i], int(lengths[i]), t, prefix=ids
+                    )
+                    e = np.exp(logits - logits.max())
+                    logp = np.log(e / e.sum())
+                    order = np.lexsort((np.arange(logits.shape[0]), -logp))
+                    for tok in order[:width]:
+                        tok = int(tok)
+                        nxt_beams.append(
+                            (
+                                score + float(logp[tok]),
+                                ids + (tok,),
+                                tok == EOS,
+                            )
+                        )
+                # prune: best `width` by SUM score, then smaller sequence
+                nxt_beams.sort(key=lambda b: (-b[0], b[1]))
+                beams = nxt_beams[:width]
+                if all(b[2] for b in beams):
+                    break
+            best = min(
+                beams, key=lambda b: (-b[0] / max(len(b[1]), 1), b[1])
+            )[1]
+            out[i, 1 : 1 + len(best)] = best
+            out_len[i] = 1 + len(best)
+        return out, out_len
+
     # ---- end-to-end batch recognition -------------------------------
-    def recognize(self, batch: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    def recognize(
+        self, batch: np.ndarray, decode: str = "greedy", beam_width: int = 4
+    ) -> tuple[np.ndarray, np.ndarray]:
         """images -> (content char-id matrix (N, 31), lengths) after
-        greedy decode + special strip. Because greedy_decode appends
+        decode + special strip. ``decode="greedy"`` (default, the
+        vectorized reference path: because greedy_decode appends
         exactly features[:length] then <eos> (or hits the 32-step cap),
         the stripped content equals features[:, :min(length, 32)] —
-        asserted equivalent to the explicit loop in tests."""
+        asserted equivalent to the explicit loop in tests) or
+        ``decode="beam"`` (width-``beam_width`` search; top-1 == greedy
+        for the stand-in, asserted in tests)."""
         features, lengths = self.encode(batch)
+        if decode == "beam":
+            seqs, seq_len = self.beam_decode(features, lengths, beam_width)
+            n = seqs.shape[0]
+            ids = np.full((n, features.shape[1]), PAD, dtype=np.int32)
+            content_len = np.zeros(n, dtype=np.int32)
+            for i in range(n):
+                content = [
+                    t for t in seqs[i, 1 : seq_len[i]] if t >= 3
+                ]  # strip <sos>/<eos>/<pad>, order preserved
+                ids[i, : len(content)] = content
+                content_len[i] = len(content)
+            return ids, content_len
         seqs, seq_len = self.greedy_decode(features, lengths)
         # strip specials vectorized: content ids are >= 3, in order
         content_len = np.minimum(lengths, MAX_DECODE_STEPS).astype(np.int32)
         return features, content_len
 
-    def recognize_texts(self, batch: np.ndarray):
+    def recognize_texts(
+        self, batch: np.ndarray, decode: str = "greedy", beam_width: int = 4
+    ):
         """images -> Arrow string array of recognized texts."""
-        ids, lengths = self.recognize(batch)
+        ids, lengths = self.recognize(batch, decode=decode, beam_width=beam_width)
         return self.vocab.decode_matrix(ids, lengths)

@@ -87,6 +87,7 @@ def extract_spans(
     output_format: str = "docs",
     two_stage: bool = False,
     span_processors: "dict | bool | None" = None,
+    decode: str = "greedy",
 ) -> rd.Dataset:
     """docs Dataset (+ media payloads) -> extracted docs Dataset.
 
@@ -105,6 +106,11 @@ def extract_spans(
 
     ``lineage_fields``: typed extra doc-level columns (e.g. _fragment)
     to carry end-to-end.
+
+    ``decode``: "greedy" (vectorized reference path, default) or
+    "beam" (width-``4`` scored beam search in the recognize actors;
+    top-1 == greedy for the deterministic stand-in, tested e2e —
+    reference family: seq2seq beam decoding).
 
     ``output_format``: "docs" (default) packs per-doc span lists via the
     reassembly shuffle; "spans" is the chunked-stitching fallback for
@@ -169,7 +175,7 @@ def extract_spans(
                 batch_format="pyarrow",
                 batch_size=recognize_batch_size,
                 concurrency=recognize_concurrency,
-                fn_constructor_kwargs={"vocab": vocab},
+                fn_constructor_kwargs={"vocab": vocab, "decode": decode},
             )
         return finish(recognized)
 
@@ -234,7 +240,7 @@ def extract_spans(
                 batch_format="pyarrow",
                 batch_size=recognize_batch_size,
                 concurrency=recognize_concurrency,
-                fn_constructor_kwargs={"vocab": vocab},
+                fn_constructor_kwargs={"vocab": vocab, "decode": decode},
             )
         return finish(recognized)
 
@@ -252,7 +258,7 @@ def extract_spans(
             batch_format="pyarrow",
             batch_size=recognize_batch_size,
             concurrency=recognize_concurrency,
-            fn_constructor_kwargs={"vocab": vocab},
+            fn_constructor_kwargs={"vocab": vocab, "decode": decode},
         )
     elif media_mode == "broadcast":
         import ray
@@ -265,7 +271,7 @@ def extract_spans(
             batch_format="pyarrow",
             batch_size=recognize_batch_size,
             concurrency=recognize_concurrency,
-            fn_constructor_kwargs={"media_handle": handle, "vocab": vocab},
+            fn_constructor_kwargs={"media_handle": handle, "vocab": vocab, "decode": decode},
         )
     else:
         raise ValueError(f"unknown media_mode {media_mode!r}")

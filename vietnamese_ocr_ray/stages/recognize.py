@@ -75,8 +75,16 @@ class RecognizeSpans:
     never per batch).
     """
 
-    def __init__(self, media_handle=None, vocab: Vocabulary | None = None):
+    def __init__(
+        self,
+        media_handle=None,
+        vocab: Vocabulary | None = None,
+        decode: str = "greedy",
+        beam_width: int = 4,
+    ):
         self.model = DeterministicRecognizer(vocab)
+        self.decode = decode  # "greedy" (vectorized default) | "beam"
+        self.beam_width = beam_width
         self.media = None
         self._canvas = np.empty((0, 1, 1), dtype=np.float32)
         self._band = [0, 0]
@@ -127,7 +135,11 @@ class RecognizeSpans:
             x = preprocess_batch(
                 imgs, hs, ws, refs, out=self._scratch(len(refs)), band=self._band
             )
-            texts = fill_empty(self.model.recognize_texts(x))
+            texts = fill_empty(
+                self.model.recognize_texts(
+                    x, decode=self.decode, beam_width=self.beam_width
+                )
+            )
             media_rows = _set_text(media_rows, texts)
 
         out_cols = [c for c in batch.column_names if c not in ("image", "height", "width")]
