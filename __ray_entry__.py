@@ -111,6 +111,27 @@ def _flatten_extracted_cogroup(sf_dir: str):
     ).map_batches(explode_batch, batch_format="pyarrow")
 
 
+def _flatten_extracted_beam(sf_dir: str):
+    """The beam-decode pipeline option (`extract_spans(decode="beam")`,
+    width-4 scored search in the recognize actors) flattened against
+    the SAME SQL oracle as extract_flat — the driver value-checks that
+    beam top-1 equals the reference greedy semantics end-to-end, not
+    just in unit tests."""
+    from vietnamese_ocr_ray.pipelines.extract import extract_spans
+    from vietnamese_ocr_ray.sources.storage import read_docs, read_media
+    from vietnamese_ocr_ray.stages.explode import explode_batch
+    from vietnamese_ocr_ray.synth import ensure_corpus
+
+    docs_dir, media_dir = ensure_corpus(sf_dir)
+    return extract_spans(
+        read_docs(docs_dir),
+        read_media(media_dir),
+        media_mode="cogroup",
+        cogroup_buckets=96,
+        decode="beam",
+    ).map_batches(explode_batch, batch_format="pyarrow")
+
+
 def _reassembled(sf_dir: str):
     def summarize(batch: pa.Table) -> pa.Table:
         spans = batch.column("spans")
@@ -1529,6 +1550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship extraction (E2E OCR semantics, SQL-mirrored corpus)
         "extract_flat": _flatten_extracted,
         "extract_flat_cogroup": _flatten_extracted_cogroup,
+        "extract_flat_beam": _flatten_extracted_beam,
         "extract_reassembled": _reassembled,
         "media_stub": _media_stub,
         "media_features": _media_features,
@@ -1846,6 +1868,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "extract_flat": _WORDS_CTE + "SELECT * FROM spans",
         "extract_flat_cogroup": _WORDS_CTE + "SELECT * FROM spans",
+        "extract_flat_beam": _WORDS_CTE + "SELECT * FROM spans",
         "extract_reassembled": _WORDS_CTE
         + """
         SELECT doc_id,
