@@ -167,3 +167,52 @@ def test_excise_dup_ngrams_planted(ray_session):
         "",
         "unique words only here",
     ]
+
+
+def test_excise_dup_ngrams_random_vs_python_reference(ray_session):
+    """200 random docs from a tiny alphabet (dense gram collisions,
+    heavy overlap, repeated tokens inside one doc) — the vectorized
+    delta/cumsum excision must equal an independent per-doc Python
+    reference on every row."""
+    import numpy as np
+
+    from vietnamese_ocr_ray.functions.corpus import excise_dup_ngrams
+
+    rng = np.random.default_rng(11)
+    words = ["a", "b", "c", "d"]
+    n_gram = 3
+    texts = [
+        " ".join(rng.choice(words, rng.integers(1, 12)))
+        for _ in range(200)
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+
+    # Python reference: brute-force gram census + per-doc coverage
+    toks = [t.split(" ") for t in texts]
+    census = {}
+    for d, tk in enumerate(toks):
+        for p in range(len(tk) - n_gram + 1):
+            g = tuple(tk[p : p + n_gram])
+            census.setdefault(g, set()).add(d)
+    want = []
+    for d, tk in enumerate(toks):
+        covered = [False] * len(tk)
+        for p in range(len(tk) - n_gram + 1):
+            g = tuple(tk[p : p + n_gram])
+            if len(census[g]) > 1:
+                for j in range(p, p + n_gram):
+                    covered[j] = True
+        want.append(" ".join(t for t, c in zip(tk, covered) if not c))
+
+    out = (
+        excise_dup_ngrams(rd.from_arrow(docs), n=n_gram)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["text"].tolist() == want
