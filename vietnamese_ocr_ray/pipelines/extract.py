@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -365,6 +366,7 @@ def run_extract(
         broadcast_handle = ray.put(media_lookup(media_path))
 
     for i in range(0, len(pending), chunk_fragments):
+        chunk_t0 = time.perf_counter()
         chunk = pending[i : i + chunk_fragments]
         chunk_name = f"part-{fragment_id(chunk[0])}"
         rows_in = {
@@ -422,6 +424,10 @@ def run_extract(
         rows_out = {
             d["values"]: d["counts"] for d in counts.to_pylist()
         }
+        # wall_s is the CHUNK's wall time (fragments in one chunk share
+        # a pipeline run, so it repeats on each of the chunk's records;
+        # divide by len(chunk) for a per-fragment estimate)
+        chunk_wall = round(time.perf_counter() - chunk_t0, 3)
         records = [
             {
                 "fragment_id": fid,
@@ -430,6 +436,7 @@ def run_extract(
                 "rows_out": int(rows_out.get(fid, 0)),
                 "model_version": MODEL_VERSION,
                 "output_uri": final,
+                "wall_s": chunk_wall,
             }
             for fid in (fragment_id(f) for f in chunk)
         ]

@@ -4,7 +4,10 @@ predict-time resume — it reruns from scratch into a fresh dated dir,
 src/utils/inference.py:17,48 — this is new design per SURVEY.md §4).
 
 One JSONL record per completed input fragment:
-    {fragment_id, status, rows_in, rows_out, model_version, output_uri}
+    {fragment_id, status, rows_in, rows_out, model_version, output_uri,
+     wall_s}
+(wall_s = wall time of the chunk the fragment was processed in — the
+per-partition metric the north rule names alongside lineage.)
 
 Records are appended atomically (single write + flush of one line)
 AFTER the fragment's output directory has been atomically renamed into
