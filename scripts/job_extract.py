@@ -41,6 +41,7 @@ def main(argv=None) -> int:
     p.add_argument("--cogroup-buckets", type=int, default=4096)
     p.add_argument("--recognize-compute", default="actors", choices=["actors", "tasks"])
     p.add_argument("--recognize-batch-size", type=int, default=2048)
+    p.add_argument("--decode", default="greedy", choices=["greedy", "beam"])
     args = p.parse_args(argv)
 
     import ray
@@ -55,6 +56,7 @@ def main(argv=None) -> int:
         media_mode=args.mode,
         recognize_batch_size=args.recognize_batch_size,
         recognize_compute=args.recognize_compute,
+        decode=args.decode,
     )
     if args.mode != "copartitioned":
         kwargs["cogroup_buckets"] = args.cogroup_buckets

@@ -120,6 +120,12 @@ def extract_spans(
     table with identical content, no per-doc row-size cap.
     """
 
+    if decode != "greedy" and two_stage:
+        raise ValueError(
+            "decode='beam' is a RecognizeSpans option; the two-stage "
+            "detect/recognize path decodes greedily (RecognizeBoxes)"
+        )
+
     def finish(recognized_ds):
         if output_format == "spans":
             return recognized_ds.sort(["doc_id", "offset"])
@@ -162,7 +168,7 @@ def extract_spans(
                 concurrency=recognize_concurrency,
                 fn_constructor_kwargs={"vocab": vocab},
             )
-        elif recognize_compute == "tasks" and vocab is None:
+        elif recognize_compute == "tasks" and vocab is None and decode == "greedy":
             from vietnamese_ocr_ray.stages.recognize import recognize_spans_task
 
             recognized = joined.map_batches(
@@ -227,7 +233,7 @@ def extract_spans(
                     "processors": None if span_processors is True else span_processors
                 },
             )
-        elif recognize_compute == "tasks" and vocab is None:
+        elif recognize_compute == "tasks" and vocab is None and decode == "greedy":
             from vietnamese_ocr_ray.stages.recognize import recognize_spans_task
 
             recognized = joined.map_batches(
