@@ -824,11 +824,16 @@ def _dup_degree_hist(sf_dir: str):
     ).materialize()  # nodes-with-an-edge only: pair-set bounded, small
     n_total = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id"]).count()
     hist = hash_aggregate(deg, ["degree"], {"n_nodes": ("degree", "count")})
+    n_isolated = n_total - deg.count()
+    if n_isolated <= 0:
+        # SQL's GROUP BY only yields a degree-0 group when isolated
+        # nodes exist; a spurious (0, 0) row would hash-mismatch
+        return hist
     zero = rd.from_arrow(
         pa.table(
             {
                 "degree": pa.array([0], pa.int64()),
-                "n_nodes": pa.array([n_total - deg.count()], pa.int64()),
+                "n_nodes": pa.array([n_isolated], pa.int64()),
             }
         )
     )

@@ -1172,3 +1172,78 @@ def test_pca_project_matches_numpy_reference(ray_session):
         assert np.array_equal(got["pc2"].to_numpy(), want[:, 1])
     # top component must carry the dominant variance direction
     assert want[:, 0].std() > want[:, 1].std()
+
+
+def test_cosine_pairs_interleaved_ids(ray_session):
+    """Regression (ADVICE r2): the chunk-pair task grid only has tasks
+    for i <= j, so an off-diagonal task must emit a qualifying pair no
+    matter which chunk holds the smaller id. Ids are deliberately laid
+    out DESCENDING across block order so every cross-chunk pair has its
+    larger id in the earlier chunk — under the old strict
+    ids_a < ids_b mask all such pairs silently vanished."""
+    from vietnamese_ocr_ray.functions.ann import cosine_pairs
+
+    rng = np.random.default_rng(23)
+    n = 120
+    vecs = rng.standard_normal((n, 16))
+    ids = np.arange(n - 1, -1, -1, dtype=np.int64)  # descending
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    threshold = 0.5
+    m = vecs.astype(np.float64)
+    m32 = vecs.astype(np.float32).astype(np.float64)
+    mn = m32 / np.maximum(np.linalg.norm(m32, axis=1, keepdims=True), 1e-30)
+    cos = np.round(mn @ mn.T, 6)
+    iu = np.triu_indices(n, 1)
+    mask = cos[iu] >= threshold
+    expect = {
+        (min(int(ids[i]), int(ids[j])), max(int(ids[i]), int(ids[j])))
+        for i, j in zip(iu[0][mask], iu[1][mask])
+    }
+    assert len(expect) > 0
+    got = cosine_pairs(
+        rd.from_arrow(t), threshold=threshold, chunk_rows=17
+    ).to_pandas()
+    pairs = list(zip(got["vec_id_a"], got["vec_id_b"]))
+    assert len(pairs) == len(set(pairs))  # emitted once
+    assert set(pairs) == expect
+    assert (got["vec_id_a"] < got["vec_id_b"]).all()  # canonical order
+
+
+def test_neardup_survivors_empty_pair_set(ray_session):
+    """Regression (ADVICE r2): zero near-dups must return the corpus
+    unchanged, not KeyError on the schema-less empty drop table."""
+    from vietnamese_ocr_ray.functions.dedup import neardup_survivors
+
+    docs = _docs_table(["aaa", "bbb", "ccc"])
+    pairs = pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+    )
+    out = neardup_survivors(
+        rd.from_arrow(docs), rd.from_arrow(pairs)
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 1, 2]
+
+
+def test_cms_depth_rows_independent_for_nondefault_width():
+    """Regression (ADVICE r2): for width != 2048 the old code used a
+    0-bit shift, making every depth row a bijection of the hash's low
+    bits — two items colliding in one row collided in ALL rows. Two
+    hashes sharing low bits but differing high bits must now land in
+    different counters in at least one row."""
+    from vietnamese_ocr_ray.functions.sketch import CountMinSketch
+
+    for width in (64, 256, 1024):
+        s = CountMinSketch(depth=4, width=width)
+        h = np.array([0x1, 0x1 + (1 << 40)], np.uint64)  # same low bits
+        idx = s._indices(h)
+        assert any(int(idx[d, 0]) != int(idx[d, 1]) for d in range(4)), width
+    # default width keeps its historical layout (oracle stability)
+    s2048 = CountMinSketch(depth=4, width=2048)
+    assert int(s2048._shift) == 53

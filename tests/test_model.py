@@ -121,3 +121,28 @@ def test_beam_beats_width1_on_score_trap():
     assert seq1[0, 1] == A  # greedy-by-machinery takes the bait
     assert seq2[0, 1] == B  # beam keeps the runner-up and wins
     assert seq2[0, 2] == EOS
+
+
+def test_beam_recognize_content_longer_than_feature_width():
+    """Regression (ADVICE r2): a prefix-conditioned plug-in (subclassed
+    step_logits) may legally emit up to MAX_DECODE_STEPS content tokens
+    even when the encoder's feature width is narrower; the beam output
+    buffer must be sized for both."""
+    from vietnamese_ocr_ray.vocab import MAX_DECODE_STEPS
+
+    class LongTalker(DeterministicRecognizer):
+        def encode(self, batch):
+            n = batch.shape[0]
+            return np.zeros((n, 4), np.int32), np.ones(n, np.int32)
+
+        def step_logits(self, features_row, length, t, prefix=()):
+            logits = np.full(self.vocab.vocab_size, -10.0, np.float32)
+            logits[3] = 1.0  # always emit content, never <eos>
+            return logits
+
+    m = LongTalker()
+    x = np.zeros((2, 64, 256), np.float32)
+    ids, lens = m.recognize(x, decode="beam", beam_width=2)
+    assert lens.tolist() == [MAX_DECODE_STEPS, MAX_DECODE_STEPS]
+    assert ids.shape[1] >= MAX_DECODE_STEPS
+    assert (ids[:, :MAX_DECODE_STEPS] == 3).all()

@@ -76,18 +76,32 @@ def _chunk_cos_pairs(
     ids_b: np.ndarray,
     mb: np.ndarray,
     threshold: float,
+    diagonal: bool,
 ) -> pa.Table:
     """All above-threshold pairs between two normalized chunks,
-    each unordered pair emitted once (smaller id first)."""
+    each unordered pair emitted once (smaller id first).
+
+    ``diagonal=True`` means the two chunks are the SAME chunk, so the
+    strict ``id_a < id_b`` mask both dedups the symmetric (b, a) hit
+    and drops self-pairs. For two DISTINCT chunks only this (i, j)
+    task ever sees the pair — there is no mirror (j, i) task — so the
+    mask must be ``!=`` (ids are not globally ordered across chunks)
+    and the output is canonicalized to (min, max) here instead.
+    """
     cos = ma @ mb.T
     np.round(cos, 6, out=cos)
     hit = cos >= threshold
-    hit &= ids_a[:, None] < ids_b[None, :]
+    if diagonal:
+        hit &= ids_a[:, None] < ids_b[None, :]
+    else:
+        hit &= ids_a[:, None] != ids_b[None, :]
     r, c = np.nonzero(hit)
+    lo = np.minimum(ids_a[r], ids_b[c])
+    hi = np.maximum(ids_a[r], ids_b[c])
     return pa.table(
         {
-            "vec_id_a": pa.array(ids_a[r]),
-            "vec_id_b": pa.array(ids_b[c]),
+            "vec_id_a": pa.array(lo),
+            "vec_id_b": pa.array(hi),
             "cos": pa.array(cos[r, c], pa.float64()),
         }
     )
@@ -180,7 +194,9 @@ def cosine_pairs(
             else:
                 ids_b, mb = _chunk_arrays(ray.get(block_refs[j]), id_col)
             if ids_a.size and ids_b.size:
-                out.append(_chunk_cos_pairs(ids_a, ma, ids_b, mb, threshold))
+                out.append(
+                    _chunk_cos_pairs(ids_a, ma, ids_b, mb, threshold, i == j)
+                )
         if not out:
             return _PAIRS_SCHEMA.empty_table()
         return pa.concat_tables(out)

@@ -864,6 +864,10 @@ def neardup_survivors(
         ).select(["node"]),
         batch_format="pyarrow",
     ).to_pandas()  # small: one row per DROPPED duplicate
+    if len(drop_tbl) == 0 or "node" not in drop_tbl.columns:
+        # zero near-dups: fully-empty Datasets can lose their schema at
+        # to_pandas(), so the column probe must come before the access
+        return ds
     drop_ids = np.sort(drop_tbl["node"].to_numpy(np.int64))
     handle = ray.put(drop_ids)
 

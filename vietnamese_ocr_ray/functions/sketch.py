@@ -321,16 +321,19 @@ class CountMinSketch:
 
     def __init__(self, depth: int = 4, width: int = 2048):
         assert depth <= len(self._MULTS)
+        assert width > 0 and (width & (width - 1)) == 0, "width must be 2^k"
         self.depth, self.width = depth, width
         self.table = np.zeros((depth, width), np.int64)
+        # take the HIGH bits of the multiplicative mix: mod-2^k of the
+        # low bits is a bijection of h's low bits, which would give
+        # every depth row the same collision structure
+        self._shift = np.uint64(64 - (int(width).bit_length() - 1))
 
     def _indices(self, h: np.ndarray) -> np.ndarray:
         """(depth, n) counter indices for n item hashes."""
         with np.errstate(over="ignore"):
             mixed = h[None, :] * self._MULTS[: self.depth, None]
-        return (mixed >> np.uint64(64 - 11 if self.width == 2048 else 0)) % np.uint64(
-            self.width
-        )
+        return (mixed >> self._shift) % np.uint64(self.width)
 
     def add_hashes(self, h: np.ndarray, counts: np.ndarray) -> None:
         idx = self._indices(h.astype(np.uint64))

@@ -250,7 +250,14 @@ class DeterministicRecognizer:
         if decode == "beam":
             seqs, seq_len = self.beam_decode(features, lengths, beam_width)
             n = seqs.shape[0]
-            ids = np.full((n, features.shape[1]), PAD, dtype=np.int32)
+            # beam content can legally reach MAX_DECODE_STEPS tokens
+            # (a prefix-conditioned step_logits subclass may emit more
+            # than the stand-in's features width), so size for both
+            ids = np.full(
+                (n, max(features.shape[1], MAX_DECODE_STEPS)),
+                PAD,
+                dtype=np.int32,
+            )
             content_len = np.zeros(n, dtype=np.int32)
             for i in range(n):
                 content = [
