@@ -152,11 +152,12 @@ def _reassembled(sf_dir: str):
 
 
 def _media_features(sf_dir: str):
-    """Multimodal feature extraction over the synthesized media table
-    (rows-only: SQL cannot decode binary pixel payloads; the numpy
-    reference check lives in tests/test_multimodal.py)."""
-    import ray.data as rd
-
+    """Multimodal feature extraction over the synthesized media table.
+    The stage emits EXACT integer moments (pixel_sum, pixel_sq_sum,
+    edge_count, n_pixels) precisely so a DuckDB oracle can recompute
+    them in closed form from documents.text (the renderer's band
+    levels are integer-exact) — the query projects to those columns;
+    the derived float columns stay available on the stage."""
     from vietnamese_ocr_ray.stages.multimodal import media_features
     from vietnamese_ocr_ray.synth import ensure_corpus
 
@@ -164,7 +165,9 @@ def _media_features(sf_dir: str):
     ds = _read_pq(
         media_dir, columns=["media_ref", "image", "height", "width"]
     )
-    return media_features(ds)
+    return media_features(ds).select_columns(
+        ["media_ref", "pixel_sum", "pixel_sq_sum", "edge_count", "n_pixels"]
+    )
 
 
 def _pack_media_ref(col) -> pa.Array:
@@ -176,93 +179,183 @@ def _pack_media_ref(col) -> pa.Array:
     return pc.add(pc.multiply(did, pa.scalar(65536, pa.int64())), k)
 
 
-def _media_ahash_pairs(sf_dir: str, max_hamming: int):
+def _media_fp_pairs(sf_dir: str, max_hamming: int = 7):
     """Shared front half of the media near-dup queries: synthesize the
-    corpus, fingerprint every image (actor-pool aHash), pack refs to
-    int64, and run the complete banded Hamming search."""
+    corpus, fingerprint every image with the 64-cell column-profile
+    hash (actor-pool decode, exact-integer bits), reduce to DISTINCT
+    fingerprints (a distributed count aggregate — at 100 TB the
+    distinct-fp set is vocabulary-scale, not corpus-scale), and run
+    the complete banded Hamming search over the fingerprint SET.
+
+    Pair semantics are fingerprint-level on purpose: the corpus has
+    massive exact-duplicate clusters (repeated words -> identical
+    renders -> identical fps), so IMAGE-level pair listing is
+    quadratic in cluster size — unbounded at scale and silently capped
+    by any candidate cap. Fingerprint-level pairs are the scale-sane
+    (and SQL-verifiable) artifact; expanding to image pairs is a join
+    away. bands=8 (8-bit chunks) keeps pigeonhole completeness for
+    max_hamming up to 7.
+
+    Returns (media_with_fp, fp_stats, pairs): media rows + their fp,
+    the distinct (fp, n_images) table, and (a, b, hamming) fp pairs."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
     from vietnamese_ocr_ray.functions.dedup import simhash_pairs
-    from vietnamese_ocr_ray.stages.multimodal import media_ahash
+    from vietnamese_ocr_ray.stages.multimodal import ImageColHash
     from vietnamese_ocr_ray.synth import ensure_corpus
 
     _, media_dir = ensure_corpus(sf_dir)
     ds = _read_pq(media_dir, columns=["media_ref", "image", "height", "width"])
 
-    def pack(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "mid": _pack_media_ref(b.column("media_ref")),
-                "ahash": b.column("ahash"),
-            }
-        )
-
-    pairs = simhash_pairs(
-        media_ahash(ds).map_batches(pack, batch_format="pyarrow"),
-        max_hamming=max_hamming,
-        fp_col="ahash",
-        id_col="mid",
-    )
-    return ds, pairs
-
-
-def _dedup_media_ahash(sf_dir: str, max_hamming: int = 3):
-    """End-to-end media DEDUP: perceptual-aHash near-dup pairs ->
-    distributed connected components -> min-id survivor per duplicate
-    cluster; surviving media rows return metadata-only (ref, height,
-    width). Rows-only: pixels are not SQL-decodable; the pairing
-    primitive has a planted test and the survivor machinery is the
-    SQL-checked text path (`dedup_neardup`) reused verbatim."""
-    from vietnamese_ocr_ray.functions.dedup import neardup_survivors
-
-    ds, pairs = _media_ahash_pairs(sf_dir, max_hamming)
-
-    def meta(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "mid": _pack_media_ref(b.column("media_ref")),
-                "media_ref": b.column("media_ref"),
-                "height": b.column("height"),
-                "width": b.column("width"),
-            }
-        )
-
-    kept = neardup_survivors(
-        ds.map_batches(meta, batch_format="pyarrow"), pairs, id_col="mid"
-    )
-    return kept.select_columns(["media_ref", "height", "width"])
-
-
-def _media_neardup_ahash(sf_dir: str, max_hamming: int = 3):
-    """Image near-duplicate PAIRS: perceptual aHash fingerprints
-    (actor-pool decode, integral-image 8x8 mean-pool) through the same
-    complete banded Hamming search as text SimHash
-    (`simhash_pairs(fp_col=...)` — pigeonhole over 16-bit chunks, so
-    every pair within the radius is found, only ints shuffle).
-    Rows-only: SQL cannot decode pixels; planted-duplicate pairing is
-    tested in tests/test_multimodal.py. media_refs pack reversibly as
-    doc_id * 65536 + span_offset for the int-only exchange and unpack
-    to strings at the end."""
-    _, pairs = _media_ahash_pairs(sf_dir, max_hamming)
-
-    def unpack(b: pa.Table) -> pa.Table:
-        def fmt(col):
-            i = np.asarray(col, dtype=np.int64)
-            did, k = i // 65536, i % 65536
-            return pa.array(
-                np.char.add(
-                    np.char.add("m-", did.astype(np.str_)),
-                    np.char.add("-", k.astype(np.str_)),
-                )
+    class FpWithMeta(ImageColHash):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            fps = super().__call__(batch)
+            return pa.table(
+                {
+                    "mid": _pack_media_ref(batch.column("media_ref")),
+                    "media_ref": batch.column("media_ref"),
+                    "height": batch.column("height"),
+                    "width": batch.column("width"),
+                    "fp": fps.column("ahash"),
+                }
             )
 
-        return pa.table(
-            {
-                "ref_a": fmt(b.column("a")),
-                "ref_b": fmt(b.column("b")),
-                "hamming": b.column("hamming"),
-            }
+    media_fp = ds.map_batches(
+        FpWithMeta, batch_format="pyarrow", concurrency=(1, 8)
+    )
+    fp_stats = hash_aggregate(
+        media_fp.select_columns(["fp"]), ["fp"], {"n": ("fp", "count")}
+    )
+
+    def fp_id(b: pa.Table) -> pa.Table:
+        return pa.table({"fpid": b.column("fp"), "fp": b.column("fp")})
+
+    pairs = simhash_pairs(
+        fp_stats.map_batches(fp_id, batch_format="pyarrow"),
+        max_hamming=max_hamming,
+        bands=8,
+        fp_col="fp",
+        id_col="fpid",
+    )
+    return media_fp, fp_stats, pairs
+
+
+def _dedup_media_ahash(sf_dir: str, max_hamming: int = 7):
+    """End-to-end media DEDUP: fingerprint-level near-dup pairs ->
+    connected components over the (tiny, edge-bounded) fp graph ->
+    every image maps to its fp-cluster root (broadcast label dict,
+    pair-bounded) -> ONE groupby(root) shuffle keeps the min-mid image
+    per cluster. Images sharing a fingerprint (Hamming 0) dedup too —
+    the cluster includes the fp itself. Output is metadata-only
+    (media_ref, height, width); fully SQL-verified via the closed-form
+    fingerprint + a WITH RECURSIVE components oracle."""
+    import ray
+
+    from vietnamese_ocr_ray.functions.dedup import connected_components
+
+    media_fp, _, pairs = _media_fp_pairs(sf_dir, max_hamming)
+    comps = connected_components(pairs).to_pandas()
+    if len(comps) and "node" in comps.columns:
+        keys = comps["node"].to_numpy(np.int64)
+        vals = comps["component"].to_numpy(np.int64)
+        order = np.argsort(keys)
+        keys, vals = keys[order], vals[order]
+    else:
+        keys = np.empty(0, np.int64)
+        vals = np.empty(0, np.int64)
+    handle = ray.put((keys, vals))
+
+    def tag_root(b: pa.Table) -> pa.Table:
+        k, v = ray.get(handle)
+        fp = np.asarray(b.column("fp"), dtype=np.int64)
+        if k.size:
+            pos = np.searchsorted(k, fp)
+            pos_c = np.minimum(pos, k.size - 1)
+            hit = k[pos_c] == fp
+            root = np.where(hit, v[pos_c], fp)
+        else:
+            root = fp
+        return b.append_column("root", pa.array(root))
+
+    def keep_min(g: "pd.DataFrame") -> pa.Table:
+        import pandas as pd  # noqa: F401
+
+        i = int(g["mid"].to_numpy(np.int64).argmin())
+        row = g.iloc[[i]][["media_ref", "height", "width"]]
+        return pa.Table.from_pandas(row, preserve_index=False).replace_schema_metadata(
+            None
         )
 
-    return pairs.map_batches(unpack, batch_format="pyarrow")
+    return (
+        media_fp.map_batches(tag_root, batch_format="pyarrow")
+        .groupby("root")
+        .map_groups(keep_min, batch_format="pandas")
+    )
+
+
+def _media_neardup_ahash(sf_dir: str, max_hamming: int = 7):
+    """Near-duplicate FINGERPRINT pairs over the media corpus: distinct
+    column-profile hashes within Hamming distance ``max_hamming``, each
+    annotated with how many images carry it — the duplicate-mass map a
+    dedup policy is chosen from. Complete (pigeonhole banding over the
+    distinct-fp set, no candidate cap can bite) and SQL-verified: the
+    oracle recomputes every fingerprint in closed form from
+    documents.text and cross-joins the distinct values. Counts attach
+    via a pair-bounded broadcast (only fps that appear in some pair)."""
+    import ray
+
+    _, fp_stats, pairs = _media_fp_pairs(sf_dir, max_hamming)
+    pairs = pairs.materialize()  # near-dup EDGE set: small by construction
+    pair_tbl = pairs.to_pandas()
+    if len(pair_tbl) == 0:
+        return rd_empty_table(
+            pa.schema(
+                [
+                    ("fp_a", pa.int64()),
+                    ("fp_b", pa.int64()),
+                    ("hamming", pa.int64()),
+                    ("n_a", pa.int64()),
+                    ("n_b", pa.int64()),
+                ]
+            )
+        )
+    need = np.unique(
+        np.concatenate(
+            [pair_tbl["a"].to_numpy(np.int64), pair_tbl["b"].to_numpy(np.int64)]
+        )
+    )
+    need_handle = ray.put(need)
+
+    def only_needed(b: pa.Table) -> pa.Table:
+        want = ray.get(need_handle)
+        fp = np.asarray(b.column("fp"), dtype=np.int64)
+        return b.filter(pa.array(np.isin(fp, want)))
+
+    counts = (
+        fp_stats.map_batches(only_needed, batch_format="pyarrow").to_pandas()
+    )  # pair-bounded: one row per fp participating in a pair
+    cmap = dict(
+        zip(counts["fp"].astype(np.int64), counts["n"].astype(np.int64))
+    )
+    a = pair_tbl["a"].to_numpy(np.int64)
+    b = pair_tbl["b"].to_numpy(np.int64)
+    out = pa.table(
+        {
+            "fp_a": pa.array(a),
+            "fp_b": pa.array(b),
+            "hamming": pa.array(pair_tbl["hamming"].to_numpy(np.int64)),
+            "n_a": pa.array([cmap[int(x)] for x in a], pa.int64()),
+            "n_b": pa.array([cmap[int(x)] for x in b], pa.int64()),
+        }
+    )
+    import ray.data as rd
+
+    return rd.from_arrow(out)
+
+
+def rd_empty_table(schema: pa.Schema):
+    import ray.data as rd
+
+    return rd.from_arrow(schema.empty_table())
 
 
 def _media_ahash(sf_dir: str):
@@ -1835,6 +1928,80 @@ WITH w AS (
 )
 """
 
+# Closed-form media-table oracle: the synthetic renderer
+# (synth.render_text) is integer-exact — per-ref height, band widths,
+# band gray levels, margins — so every media-family output (geometry,
+# pixel moments, the 8x8 aHash, the 64-cell column-profile hash) is a
+# pure arithmetic function of documents.text that DuckDB can restate.
+# `mom` carries per-media-word geometry + exact integer moments; the
+# hash queries add an 8- or 64-cell grid cross join on top.
+_MEDIA_CTE = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(
+           string_split_regex(
+             regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+           x -> x != '') AS words
+  FROM documents
+), e AS (
+  SELECT doc_id,
+         unnest(list_transform(words, x -> substr(x, 1, 30))) AS wd,
+         unnest(list_transform(words, (x, i) -> i - 1)) AS off
+  FROM w
+), m AS (
+  SELECT doc_id AS did, off, wd,
+         CASE WHEN (doc_id * 7 + off) % 2 = 0 THEN 32 ELSE 64 END AS h,
+         length(wd) AS len
+  FROM e WHERE off % 3 = 0
+), geo AS (
+  SELECT did, off, wd, h, len,
+         h // 8 AS bw,
+         (len + 1) * (h // 8) AS wpx,
+         h - 2 * (h // 8) AS ch,
+         list_transform(generate_series(1, len), i ->
+           CAST(strpos('0123456789abcdefghijklmnopqrstuvwxyz',
+                       substr(wd, i, 1)) - 1 AS BIGINT)) AS idx
+  FROM m
+), mom AS (
+  SELECT did, off, wd, h, len, bw, wpx, ch, idx,
+         CAST(255 * h * wpx
+              - ch * bw * (coalesce(list_sum(list_transform(idx, x -> 40 + 4 * x)), 0) + 255)
+              AS BIGINT) AS pixel_sum,
+         CAST(255 * 255 * (h * wpx - ch * bw * (len + 1))
+              + ch * bw * coalesce(list_sum(list_transform(idx, x -> (215 - 4 * x) * (215 - 4 * x))), 0)
+              AS BIGINT) AS pixel_sq_sum,
+         CAST(ch * (1 + coalesce(list_sum(list_transform(generate_series(2, len),
+              i -> CASE WHEN abs(idx[i] - idx[i - 1]) > 8 THEN 1 ELSE 0 END)), 0))
+              AS BIGINT) AS edge_count,
+         CAST(h * wpx AS BIGINT) AS n_pixels
+  FROM geo
+)
+"""
+
+# 64-cell column-profile fingerprint per media word (same integer bit
+# rule as stages/multimodal.ImageColHash.hash_one)
+_COLHASH_CTE = _MEDIA_CTE + """
+, cell AS (
+  SELECT mom.*, r.c,
+         (wpx * r.c) // 64 AS x0, (wpx * (r.c + 1)) // 64 AS x1
+  FROM mom, range(0, 64) r(c)
+), cellv AS (
+  SELECT did, off, h, ch, wpx, pixel_sum, c, x1 - x0 AS dx,
+         coalesce(list_sum(list_transform(generate_series(1, len), i ->
+           (215 - 4 * idx[i]) * greatest(0, least(i * bw, x1) - greatest((i - 1) * bw, x0)))), 0) AS sx
+  FROM cell
+), colh AS (
+  SELECT did, off,
+         CAST(SUM(CASE WHEN (255 * (h - ch) * dx + ch * sx) * wpx > pixel_sum * dx
+              THEN CASE WHEN c = 63 THEN -9223372036854775808
+                        ELSE (CAST(1 AS BIGINT) << c) END
+              ELSE 0 END) AS BIGINT) AS fp
+  FROM cellv GROUP BY did, off
+), fpc AS (
+  SELECT fp, CAST(count(*) AS BIGINT) AS n FROM colh GROUP BY fp
+)
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     from vietnamese_ocr_ray.functions.pdf import pdf_sql_expr
@@ -1874,6 +2041,65 @@ def oracle_sql() -> dict[str, str]:
         "extract_flat": _WORDS_CTE + "SELECT * FROM spans",
         "extract_flat_cogroup": _WORDS_CTE + "SELECT * FROM spans",
         "extract_flat_beam": _WORDS_CTE + "SELECT * FROM spans",
+        "media_stub": _MEDIA_CTE + """
+        SELECT 'm-' || CAST(did AS VARCHAR) || '-' || CAST(off AS VARCHAR) AS media_ref,
+               CAST(h AS INTEGER) AS height, CAST(wpx AS INTEGER) AS width,
+               CAST(h * wpx AS BIGINT) AS n_bytes
+        FROM mom""",
+        "media_features": _MEDIA_CTE + """
+        SELECT 'm-' || CAST(did AS VARCHAR) || '-' || CAST(off AS VARCHAR) AS media_ref,
+               pixel_sum, pixel_sq_sum, edge_count, n_pixels
+        FROM mom""",
+        "media_ahash": _MEDIA_CTE + """
+        , cell AS (
+          SELECT mom.*, r.c,
+                 (wpx * r.c) // 8 AS x0, (wpx * (r.c + 1)) // 8 AS x1
+          FROM mom, range(0, 8) r(c)
+        ), cellv AS (
+          SELECT did, off, h, wpx, pixel_sum, c, x1 - x0 AS dx,
+                 coalesce(list_sum(list_transform(generate_series(1, len), i ->
+                   (215 - 4 * idx[i]) * greatest(0, least(i * bw, x1) - greatest((i - 1) * bw, x0)))), 0) AS sx
+          FROM cell
+        )
+        SELECT 'm-' || CAST(did AS VARCHAR) || '-' || CAST(off AS VARCHAR) AS media_ref,
+               CAST(-72057594037927936 + 255 + SUM(
+                 CASE WHEN sx * h * wpx > pixel_sum * dx
+                      THEN 282578800148736 * (CAST(1 AS BIGINT) << c) ELSE 0 END)
+                 AS BIGINT) AS ahash
+        FROM cellv GROUP BY did, off""",
+        "media_neardup_ahash": _COLHASH_CTE + """
+        SELECT a.fp AS fp_a, b.fp AS fp_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming,
+               a.n AS n_a, b.n AS n_b
+        FROM fpc a, fpc b
+        WHERE a.fp < b.fp AND bit_count(xor(a.fp, b.fp)) <= 7""",
+        "dedup_media_ahash": _COLHASH_CTE.replace(
+            "WITH w AS", "WITH RECURSIVE w AS", 1
+        ) + """
+        , pairs AS (
+          SELECT a.fp AS a, b.fp AS b FROM fpc a, fpc b
+          WHERE a.fp < b.fp AND bit_count(xor(a.fp, b.fp)) <= 7
+        ),
+        edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+        walk AS (
+          SELECT a AS v, a AS n FROM edges
+          UNION
+          SELECT walk.v, e.b FROM walk JOIN edges e ON walk.n = e.a
+        ),
+        comp AS (SELECT v AS fp, min(n) AS root FROM walk GROUP BY v),
+        lab AS (
+          SELECT colh.did, colh.off, coalesce(comp.root, colh.fp) AS root
+          FROM colh LEFT JOIN comp ON colh.fp = comp.fp
+        ),
+        surv AS (
+          SELECT did, off,
+                 row_number() OVER (PARTITION BY root ORDER BY did, off) AS rn
+          FROM lab
+        )
+        SELECT 'm-' || CAST(s.did AS VARCHAR) || '-' || CAST(s.off AS VARCHAR) AS media_ref,
+               CAST(mom.h AS INTEGER) AS height, CAST(mom.wpx AS INTEGER) AS width
+        FROM surv s JOIN mom ON s.did = mom.did AND s.off = mom.off
+        WHERE s.rn = 1""",
         "extract_reassembled": _WORDS_CTE
         + """
         SELECT doc_id,

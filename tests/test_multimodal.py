@@ -40,9 +40,18 @@ def test_features_match_numpy_reference():
     out = ImageFeatures()(batch).to_pylist()
     views, _, _ = _decode_views(batch)
     for row, v in zip(out, views):
-        f = v.astype(np.float32)
+        f = v.astype(np.float64)
+        x = v.astype(np.int64)
+        assert row["pixel_sum"] == int(x.sum())
+        assert row["pixel_sq_sum"] == int((x * x).sum())
+        assert row["n_pixels"] == x.size
+        d = np.abs(np.diff(x, axis=1))
+        assert row["edge_count"] == int((d > 32).sum())
         assert row["mean_intensity"] == pytest.approx(round(float(f.mean()), 4))
         assert row["std_intensity"] == pytest.approx(round(float(f.std()), 4))
+        assert row["edge_density"] == pytest.approx(
+            round(float((d > 32).mean()), 4)
+        )
 
 
 def test_codec_gate_raises():
@@ -100,6 +109,10 @@ def test_media_features_dataset_roundtrip(ray_session, tmp_path):
     assert len(out) == 50
     assert set(out.columns) == {
         "media_ref",
+        "pixel_sum",
+        "pixel_sq_sum",
+        "edge_count",
+        "n_pixels",
         "mean_intensity",
         "std_intensity",
         "edge_density",
@@ -233,3 +246,56 @@ def test_simhash_pairs_over_ahash_finds_duplicate_images(ray_session):
     ).to_pandas()
     assert sorted(map(tuple, pairs[["a", "b"]].to_numpy())) == [(1, 2)]
     assert pairs["hamming"].tolist() == [0]
+
+
+def test_colhash_near_collides_on_similar_lines():
+    """The 64-cell column-profile hash keeps horizontal structure: the
+    same word hashes identically, a one-char-different word lands
+    NEARBY (small Hamming), and an unrelated word lands far — the
+    property the banded Hamming near-dup search needs (the classic 8x8
+    aHash collapses to 8 effective bits on row-uniform band images)."""
+    import numpy as np
+
+    from vietnamese_ocr_ray.stages.multimodal import ImageColHash
+    from vietnamese_ocr_ray.synth import render_text
+
+    hh = ImageColHash()
+
+    def fp(word, h=32):
+        return np.uint64(hh.hash_one(render_text(word, h)))
+
+    def ham(a, b):
+        return bin(int(a ^ b)).count("1")
+
+    assert fp("processing") == fp("processing")
+    near = ham(fp("processing"), fp("prucessing"))  # one band changed
+    far = ham(fp("processing"), fp("zzzzzzzzzz"))
+    assert 0 < near <= 8, near
+    assert far > near, (far, near)
+
+
+def test_media_neardup_family_end_to_end(ray_session):
+    """Driver-facing media near-dup queries over a small corpus:
+    fingerprint pairs are distinct-fp level with image counts, and the
+    dedup keeps exactly one image per fingerprint cluster (min mid)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", "/root/repo/__ray_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    sf = "/root/testdata/sf0.001"
+    pairs = mod.queries()["media_neardup_ahash"](sf).to_pandas()
+    assert set(pairs.columns) == {"fp_a", "fp_b", "hamming", "n_a", "n_b"}
+    assert (pairs["fp_a"] < pairs["fp_b"]).all()
+    assert (pairs["hamming"].between(1, 7)).all()
+    assert (pairs["n_a"] >= 1).all() and (pairs["n_b"] >= 1).all()
+
+    kept = mod.queries()["dedup_media_ahash"](sf).to_pandas()
+    # one survivor per fp-cluster; survivors are a subset of the corpus
+    ah = mod.queries()["media_ahash"](sf).to_pandas()
+    assert 0 < len(kept) < len(ah)
+    assert set(kept.columns) == {"media_ref", "height", "width"}
+    assert kept["media_ref"].is_unique

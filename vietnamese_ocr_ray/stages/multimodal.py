@@ -43,27 +43,41 @@ def _decode_views(batch: pa.Table):
 
 
 class ImageFeatures:
-    """Per-image scalar features (mean/std intensity, horizontal edge
-    density) — the feature-extract stage shape: vectorized over each
-    image, metadata-only output (no payload re-emitted)."""
+    """Per-image scalar features — the feature-extract stage shape:
+    vectorized over each image, metadata-only output (no payload
+    re-emitted). Emits EXACT integer moments (pixel_sum, pixel_sq_sum,
+    edge_count, n_pixels — order-independent, mergeable, and
+    bit-reproducible by a SQL oracle) alongside the derived float
+    conveniences (mean/std intensity, horizontal edge density)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         views, hs, ws = _decode_views(batch)
-        mean = np.empty(len(views))
-        std = np.empty(len(views))
-        edges = np.empty(len(views))
+        n = len(views)
+        psum = np.empty(n, np.int64)
+        psq = np.empty(n, np.int64)
+        edges = np.empty(n, np.int64)
+        npx = np.empty(n, np.int64)
         for i, v in enumerate(views):
-            f = v.astype(np.float32)
-            mean[i] = f.mean()
-            std[i] = f.std()
-            d = np.abs(np.diff(f, axis=1))
-            edges[i] = float((d > 32).mean()) if d.size else 0.0
+            x = v.astype(np.int64)
+            psum[i] = x.sum()
+            psq[i] = (x * x).sum()
+            d = np.abs(np.diff(x, axis=1))
+            edges[i] = int((d > 32).sum())
+            npx[i] = x.size
+        safe = np.maximum(npx, 1).astype(np.float64)
+        mean = psum / safe
+        var = np.maximum(psq / safe - mean * mean, 0.0)
+        n_adj = np.maximum(npx - hs.astype(np.int64), 1).astype(np.float64)
         return pa.table(
             {
                 "media_ref": batch.column("media_ref"),
+                "pixel_sum": pa.array(psum),
+                "pixel_sq_sum": pa.array(psq),
+                "edge_count": pa.array(edges),
+                "n_pixels": pa.array(npx),
                 "mean_intensity": pa.array(np.round(mean, 4)),
-                "std_intensity": pa.array(np.round(std, 4)),
-                "edge_density": pa.array(np.round(edges, 4)),
+                "std_intensity": pa.array(np.round(np.sqrt(var), 4)),
+                "edge_density": pa.array(np.round(edges / n_adj, 4)),
             }
         )
 
@@ -147,6 +161,12 @@ class ImageAHash:
     GRID = 8
 
     def hash_one(self, v: np.ndarray) -> int:
+        """Bit (r, c) set iff the cell's mean intensity exceeds the
+        image's GLOBAL mean — stated as the integer cross-product
+        ``cell_sum * n_pixels > total_sum * cell_area`` so the hash is
+        exact (no float division / summation order) and restatable by
+        an integer SQL oracle. Safe for images up to ~1.9e8 px
+        (255 * npx^2 must fit int64)."""
         g = self.GRID
         ii = np.zeros((v.shape[0] + 1, v.shape[1] + 1), dtype=np.int64)
         np.cumsum(v, axis=0, out=ii[1:, 1:])
@@ -160,8 +180,9 @@ class ImageAHash:
             + ii[ys[:-1], :][:, xs[:-1]]
         )
         areas = (ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :]
-        cells = sums / np.maximum(areas, 1)
-        bits = (cells > cells.mean()).astype(np.uint64).ravel()
+        total = int(ii[-1, -1])
+        npx = int(v.shape[0]) * int(v.shape[1])
+        bits = (sums * npx > total * areas).astype(np.uint64).ravel()
         return int(
             (bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
             .astype(np.int64)
@@ -183,6 +204,40 @@ class ImageAHash:
 def media_ahash(media: rd.Dataset, concurrency=(1, 8)) -> rd.Dataset:
     return media.map_batches(
         ImageAHash, batch_format="pyarrow", concurrency=concurrency
+    )
+
+
+class ImageColHash(ImageAHash):
+    """Column-profile perceptual hash: 64 x-cells x 1 y-cell, same
+    integer bit rule as :class:`ImageAHash` (cell_sum * n_pixels >
+    total_sum * cell_area). For wide line images (text lines, receipts,
+    scans) the vertical axis is near-uniform, so the classic 8x8 grid
+    collapses to 8 effective bits; the 64-cell column profile keeps a
+    full 64 bits of horizontal structure and produces genuine NEAR
+    collisions (small Hamming distances) between similar lines, which
+    is what the banded Hamming search needs. Exact-integer → SQL-
+    restatable (the driver oracles media_neardup/dedup through it)."""
+
+    def hash_one(self, v: np.ndarray) -> int:
+        x = v.astype(np.int64)
+        col = x.sum(axis=0)  # column sums
+        csum = np.zeros(v.shape[1] + 1, dtype=np.int64)
+        np.cumsum(col, out=csum[1:])
+        xs = np.linspace(0, v.shape[1], 65).astype(np.int64)
+        sums = csum[xs[1:]] - csum[xs[:-1]]
+        areas = int(v.shape[0]) * (xs[1:] - xs[:-1])
+        total = int(csum[-1])
+        npx = int(v.shape[0]) * int(v.shape[1])
+        bits = (sums * npx > total * areas).astype(np.uint64)
+        return int(
+            (bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
+            .astype(np.int64)
+        )
+
+
+def media_colhash(media: rd.Dataset, concurrency=(1, 8)) -> rd.Dataset:
+    return media.map_batches(
+        ImageColHash, batch_format="pyarrow", concurrency=concurrency
     )
 
 

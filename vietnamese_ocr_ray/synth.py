@@ -32,6 +32,9 @@ import numpy as np
 import pyarrow as pa
 
 from vietnamese_ocr_ray.model import BAND_W, LEVEL0, LEVEL_STEP
+# top-level import: _docs_batch runs inside Ray workers, and an
+# in-function import breaks by-value pickling from a foreign cwd
+from vietnamese_ocr_ray.schema import DOCS_SCHEMA
 from vietnamese_ocr_ray.vocab import ALPHABET, MAX_TEXT_LEN, Vocabulary
 
 _VOCAB = Vocabulary()
@@ -57,6 +60,15 @@ def _ref_u64(s: str) -> int:
 
 
 def pick_height(media_ref: str) -> int:
+    """Deterministic per-ref height, SQL-MIRRORED: refs are always
+    "m-<doc>-<offset>", and the height derives from the two integers so
+    a DuckDB oracle can restate it exactly
+    (``CASE WHEN (doc_id*7 + off) % 2 = 0 THEN 32 ELSE 64 END`` — see
+    the media oracles in __ray_entry__.py). Non-conforming refs fall
+    back to a content hash (test corpora with free-form refs)."""
+    parts = media_ref.split("-")
+    if len(parts) == 3 and parts[1].isdigit() and parts[2].isdigit():
+        return _HEIGHTS[(int(parts[1]) * 7 + int(parts[2])) % len(_HEIGHTS)]
     return _HEIGHTS[_ref_u64(media_ref) % len(_HEIGHTS)]
 
 
@@ -115,8 +127,6 @@ def _docs_batch(batch: pa.Table) -> pa.Table:
                 )
         out_ids.append(ds)
         out_spans.append(spans)
-    from vietnamese_ocr_ray.schema import DOCS_SCHEMA
-
     return pa.table(
         {
             "doc_id": pa.array(out_ids, pa.string()),
@@ -170,7 +180,9 @@ def synth_from_documents(documents_path: str, out_dir: str) -> tuple[str, str]:
     return docs_dir, media_dir
 
 
-_CACHE_ROOT = "/tmp/vnocr_cache"
+# v3: bumped when the corpus derivation changes (r3: SQL-mirrored
+# pick_height) so a stale cached corpus can never leak across rounds
+_CACHE_ROOT = "/tmp/vnocr_cache_v3"
 
 
 def ensure_corpus(sf_dir: str, cache_root: str = _CACHE_ROOT) -> tuple[str, str]:
@@ -259,8 +271,6 @@ def synth_corpus(
             spans = [spans[i] for i in order]
         doc_ids.append(did)
         doc_spans.append(spans)
-
-    from vietnamese_ocr_ray.schema import DOCS_SCHEMA
 
     docs = pa.table(
         {
