@@ -1341,13 +1341,14 @@ def _top_tokens_per_lang(sf_dir: str, k: int = 5):
                 "tok": pc.list_flatten(toks),
             }
         )
-        df = (
-            t.to_pandas()
-            .groupby(["lang", "tok"], as_index=False)
-            .size()
-            .rename(columns={"size": "n"})
+        agg = t.group_by(["lang", "tok"]).aggregate([("tok", "count")])
+        return pa.table(
+            {
+                "lang": agg.column("lang"),
+                "tok": agg.column("tok"),
+                "n": pc.cast(agg.column("tok_count"), pa.int64()),
+            }
         )
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
 
     counts = hash_aggregate(
         _docs(sf_dir, ("text", "lang")).map_batches(

@@ -146,3 +146,14 @@ def test_beam_recognize_content_longer_than_feature_width():
     assert lens.tolist() == [MAX_DECODE_STEPS, MAX_DECODE_STEPS]
     assert ids.shape[1] >= MAX_DECODE_STEPS
     assert (ids[:, :MAX_DECODE_STEPS] == 3).all()
+
+
+def test_from_checkpoint_gates_at_the_load_seam():
+    """Real-weights ingestion (reference src/utils/inference.py:21-28)
+    is a documented one-function swap: without torch the classmethod
+    must raise NotImplementedError AT the load seam, naming the path,
+    not fail obscurely downstream."""
+    with pytest.raises(NotImplementedError, match="checkpoint"):
+        DeterministicRecognizer.from_checkpoint(
+            "/root/reference/checkpoint/model.pt"
+        )

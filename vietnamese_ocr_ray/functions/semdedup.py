@@ -31,6 +31,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
+from vietnamese_ocr_ray.functions.ann import _matrix
 from vietnamese_ocr_ray.functions.dedup import neardup_survivors
 from vietnamese_ocr_ray.functions.kmeans import _assign, kmeans_fit
 
@@ -51,22 +52,33 @@ def semdedup_pairs(
 
     def tag(batch: pa.Table) -> pa.Table:
         c = ray.get(handle)
-        m = np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in batch.column(emb_col).to_pylist()]
-        )
+        m = _matrix(batch, emb_col)  # zero-copy flatten, no row loop
         norm = np.linalg.norm(m, axis=1, keepdims=True)
         norm[norm == 0] = 1.0
+        mn = m / norm
         return pa.table(
             {
                 id_col: batch.column(id_col),
                 "cluster": pa.array(_assign(m, c)),
-                "vec": pa.array(list(m / norm), pa.list_(pa.float64())),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(mn.reshape(-1), pa.float64()), mn.shape[1]
+                ),
             }
         )
 
     def pairs(g: pd.DataFrame) -> pa.Table:
         ids = g[id_col].to_numpy(np.int64)
-        m = np.asarray([np.asarray(v) for v in g["vec"]], dtype=np.float64)
+        if not len(ids):
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
+        # pandas delivers the fixed-size-list column as an object array
+        # of equal-length numpy views: one stack, no per-row conversion
+        m = np.stack(g["vec"].to_numpy())
         sim = m @ m.T
         iu, ju = np.triu_indices(len(ids), k=1)
         hit = sim[iu, ju] >= threshold

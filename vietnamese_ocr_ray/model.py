@@ -62,6 +62,39 @@ class DeterministicRecognizer:
         self.vocab = vocab or Vocabulary()
         self.model_version = MODEL_VERSION
 
+    @classmethod
+    def from_checkpoint(cls, path: str) -> "DeterministicRecognizer":
+        """THE real-weights seam (reference src/utils/inference.py:21-28:
+        ``torch.load(path)`` -> dict with state_dict / config / vocab
+        maps -> build OCRTransformerModel -> load_state_dict -> eval).
+
+        Swapping real weights into this engine is this one function: a
+        torch build reads the checkpoint dict here, constructs the
+        encoder/decoder, pulls letter_to_idx/idx_to_letter into a
+        Vocabulary, and returns an object with the same encode()/
+        greedy_decode()/beam_decode()/recognize() surface. In this
+        sandbox torch is unavailable and the bundled checkpoint is a
+        Git-LFS stub, so the seam raises NotImplementedError at the
+        exact load point — mirroring the compressed-codec gates in
+        stages/multimodal.py. The deterministic stand-in is constructed
+        via ``DeterministicRecognizer()`` instead; MODEL_VERSION rides
+        the lineage manifest so outputs are attributable either way.
+        """
+        try:
+            import torch  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "torch unavailable in this sandbox: real checkpoint "
+                f"ingestion ({path!r}) is gated at this seam; construct "
+                "DeterministicRecognizer() for the stand-in model"
+            ) from e
+        raise NotImplementedError(
+            "real checkpoint ingestion: torch.load(path) -> state_dict/"
+            "config/vocab -> model build (reference "
+            "src/utils/inference.py:21-28) — implement when real weights "
+            "and torch are present"
+        )
+
     # ---- stage 1: detection (text-box localization analog) ----------
     def detect(self, batch: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Locate the content region per image — the stand-in for a
