@@ -54,6 +54,30 @@ def host_memcpy_gbs() -> float:
     return round(0.5 / (time.perf_counter() - t), 2)
 
 
+HEALTHY_GBS = float(os.environ.get("GRAFT_BENCH_MIN_GBS", "5"))
+HEALTH_TRIES = int(os.environ.get("GRAFT_BENCH_HEALTH_TRIES", "10"))
+HEALTH_SLEEP_S = float(os.environ.get("GRAFT_BENCH_HEALTH_SLEEP_S", "30"))
+
+
+def await_healthy_host() -> float:
+    """Block until the memcpy probe clears HEALTHY_GBS (or the retry
+    budget runs out), so a single-shot driver bench can't land in a
+    degraded window. Returns the last probe reading either way; the
+    caller records it next to the measurement."""
+    probe = host_memcpy_gbs()
+    for _ in range(HEALTH_TRIES):
+        if probe >= HEALTHY_GBS:
+            return probe
+        print(
+            f"[bench] host degraded (memcpy {probe} GB/s < {HEALTHY_GBS}); "
+            f"waiting {HEALTH_SLEEP_S:.0f}s",
+            file=sys.stderr,
+        )
+        time.sleep(HEALTH_SLEEP_S)
+        probe = host_memcpy_gbs()
+    return probe
+
+
 def _replicated_corpus(sf_dir: str, factor: int) -> tuple[str, str]:
     """Synthesize (cached) the corpus, then replicate the docs table
     ``factor`` times with distinct doc_ids (media shared — refs are
@@ -68,8 +92,10 @@ def _replicated_corpus(sf_dir: str, factor: int) -> tuple[str, str]:
     docs_dir, media_dir = ensure_corpus(sf_dir)
     if factor <= 1:
         return docs_dir, media_dir
+    from vietnamese_ocr_ray.synth import _CACHE_ROOT
+
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out = f"/tmp/vnocr_cache/{tag}-x{factor}"
+    out = f"{_CACHE_ROOT}/{tag}-x{factor}"
     marker = os.path.join(out, "_SUCCESS")
     rep_docs = os.path.join(out, "docs")
     if os.path.exists(marker):
@@ -181,34 +207,43 @@ def run_bench() -> dict:
     _warmup(docs_dir, media_dir)
 
     # ---- headline: extraction e2e (cogroup mode = the scale path) ----
-    shutil.rmtree(OUT_DIR, ignore_errors=True)
-    t0 = time.perf_counter()
-
-
-    result = extract_spans(
-        # fixed 48 input blocks (cpu-independent): Ray's sort shuffle
-        # makes ONE physical partition per input block, and the default
-        # ~112-block read leaves partitions too small — 48+8 partitions
-        # measured 10.2 -> 8.3 s (interleaved best-of-3) at 32 cpus
-        read_docs(docs_dir, override_num_blocks=48),
-        read_media(media_dir),
-        media_mode="cogroup",
-        # fixed (cpu-independent): Ray's sort-shuffle makes one physical
-        # partition per INPUT block (~120 here), each holding a RANGE of
-        # bucket keys - many logical buckets per partition flattens the
-        # per-partition row skew (measured 3.4x at 192 buckets)
-        cogroup_buckets=768,
-        num_buckets=max(16, NUM_CPUS * 2),
-        recognize_batch_size=2048,
-        # tasks mode: model cached per worker PROCESS so the streaming
-        # executor rebalances every CPU between shuffle and
-        # recognition (an actor pool's reserved CPUs idle during
-        # the sort barrier - measured ~15% slower here); a GPU
-        # cluster would use the actor-pool mode to pin weights
-        recognize_compute="tasks",
-    )
-    result.write_parquet(OUT_DIR)
-    headline = time.perf_counter() - t0
+    # degradation-gated: wait for a healthy memcpy window before the
+    # timed section, and re-run (up to 3 attempts) if the host degrades
+    # MID-measurement — a single driver shot must not land in a
+    # degraded window (BENCH/BASELINE.md "host degradation")
+    attempts = 0
+    while True:
+        attempts += 1
+        probe_before = await_healthy_host()
+        shutil.rmtree(OUT_DIR, ignore_errors=True)
+        t0 = time.perf_counter()
+        result = extract_spans(
+            # fixed 48 input blocks (cpu-independent): Ray's sort shuffle
+            # makes ONE physical partition per input block, and the default
+            # ~112-block read leaves partitions too small — 48+8 partitions
+            # measured 10.2 -> 8.3 s (interleaved best-of-3) at 32 cpus
+            read_docs(docs_dir, override_num_blocks=48),
+            read_media(media_dir),
+            media_mode="cogroup",
+            # fixed (cpu-independent): Ray's sort-shuffle makes one physical
+            # partition per INPUT block (~120 here), each holding a RANGE of
+            # bucket keys - many logical buckets per partition flattens the
+            # per-partition row skew (measured 3.4x at 192 buckets)
+            cogroup_buckets=768,
+            num_buckets=max(16, NUM_CPUS * 2),
+            recognize_batch_size=2048,
+            # tasks mode: model cached per worker PROCESS so the streaming
+            # executor rebalances every CPU between shuffle and
+            # recognition (an actor pool's reserved CPUs idle during
+            # the sort barrier - measured ~15% slower here); a GPU
+            # cluster would use the actor-pool mode to pin weights
+            recognize_compute="tasks",
+        )
+        result.write_parquet(OUT_DIR)
+        headline = time.perf_counter() - t0
+        probe_after = host_memcpy_gbs()
+        if probe_after >= HEALTHY_GBS or attempts >= 3:
+            break
     media_spans = n_media * REPLICATE
 
     # ---- representative operator timings ----
@@ -270,60 +305,87 @@ def run_bench() -> dict:
         "n_media_spans": media_spans,
         "docs_per_sec": round(n_docs / headline, 1),
         "media_spans_per_sec": round(media_spans / headline, 1),
-        "host_memcpy_gbs": host_memcpy_gbs(),
+        "host_memcpy_gbs": probe_after,
+        "host_memcpy_gbs_before": probe_before,
+        "attempts": attempts,
     }
 
 
 def run_scaling() -> dict:
-    """Same job, same input, fresh processes at 8 and 32 CPUs.
+    """Same job, same input, fresh processes at 8 and 32 CPUs — the
+    sandbox stand-in for the north rule's N vs 4N cluster criterion.
 
-    Each level runs twice and the faster run is kept (steady-state
-    estimate — single runs at 32 cpus vary ~±20% with page-cache and
-    object-store state). Each subprocess gets its own cleaned
+    Runs GRAFT_SCALING_PAIRS (default 3) INTERLEAVED (8, 32) pairs and
+    reports the median efficiency plus the spread, so a single noisy
+    window can't decide the number; each leg waits for a healthy
+    memcpy probe first (degraded-host windows are skipped, see
+    await_healthy_host). Each subprocess gets its own cleaned
     RAY_TMPDIR so spill files from one leg can't slow the next."""
 
     def run(ncpu: int) -> dict:
         tmpdir = f"/tmp/ray_bench_{ncpu}"
-        best = None
-        for _ in range(2):
-            shutil.rmtree(tmpdir, ignore_errors=True)
-            env = dict(
-                os.environ,
-                RAY_GRAFT_CPUS=str(ncpu),
-                RAY_TMPDIR=tmpdir,
-                # larger corpus for the scaling legs: fixed session costs
-                # (~10 s) must be small against the scaled work or they
-                # masquerade as poor scaling
-                GRAFT_BENCH_REPLICATE=os.environ.get(
-                    "GRAFT_SCALING_REPLICATE", "24"
-                ),
-            )
-            out = subprocess.run(
-                [sys.executable, os.path.join(REPO, "bench.py"), "--headline-only"],
-                env=env,
-                capture_output=True,
-                text=True,
-                check=True,
-            ).stdout
-            r = json.loads(out.strip().splitlines()[-1])
-            if best is None or r["value"] < best["value"]:
-                best = r
         shutil.rmtree(tmpdir, ignore_errors=True)
-        return best
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            RAY_TMPDIR=tmpdir,
+            # larger corpus for the scaling legs: fixed session costs
+            # (~10 s) must be small against the scaled work or they
+            # masquerade as poor scaling
+            GRAFT_BENCH_REPLICATE=os.environ.get(
+                "GRAFT_SCALING_REPLICATE", "24"
+            ),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--headline-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        r = json.loads(out.strip().splitlines()[-1])
+        shutil.rmtree(tmpdir, ignore_errors=True)
+        return r
 
     lo, hi = 8, 32
-    r_lo = run(lo)
-    r_hi = run(hi)
-    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    n_pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "3"))
+    pairs = []
+    for i in range(n_pairs):
+        r_lo = run(lo)
+        r_hi = run(hi)
+        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        pairs.append(
+            {
+                "sec_8": r_lo["value"],
+                "sec_32": r_hi["value"],
+                "docs_per_sec_8": r_lo["docs_per_sec"],
+                "docs_per_sec_32": r_hi["docs_per_sec"],
+                "media_spans_per_sec_8": r_lo["media_spans_per_sec"],
+                "media_spans_per_sec_32": r_hi["media_spans_per_sec"],
+                "efficiency": round(eff, 3),
+                "host_memcpy_gbs_8": r_lo["host_memcpy_gbs"],
+                "host_memcpy_gbs_32": r_hi["host_memcpy_gbs"],
+            }
+        )
+        print(f"[bench] scaling pair {i + 1}/{n_pairs}: {pairs[-1]}", file=sys.stderr)
+    effs = sorted(p["efficiency"] for p in pairs)
+    median = effs[len(effs) // 2] if len(effs) % 2 else round(
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
+    )
+    mid = pairs[[p["efficiency"] for p in pairs].index(effs[len(effs) // 2])]
     result = {
         "metric": "scaling",
-        "sec_8": r_lo["value"],
-        "sec_32": r_hi["value"],
-        "docs_per_sec_8": r_lo["docs_per_sec"],
-        "docs_per_sec_32": r_hi["docs_per_sec"],
-        "media_spans_per_sec_8": r_lo["media_spans_per_sec"],
-        "media_spans_per_sec_32": r_hi["media_spans_per_sec"],
-        "scaling_efficiency": round(eff, 3),
+        # headline fields = the median pair (back-compat with r1/r2 keys)
+        "sec_8": mid["sec_8"],
+        "sec_32": mid["sec_32"],
+        "docs_per_sec_8": mid["docs_per_sec_8"],
+        "docs_per_sec_32": mid["docs_per_sec_32"],
+        "media_spans_per_sec_8": mid["media_spans_per_sec_8"],
+        "media_spans_per_sec_32": mid["media_spans_per_sec_32"],
+        "scaling_efficiency": median,
+        "efficiency_min": effs[0],
+        "efficiency_max": effs[-1],
+        "pairs": pairs,
         "sf": SF_DIR,
         "host_memcpy_gbs": host_memcpy_gbs(),
     }
@@ -384,34 +446,39 @@ def run_bench_headline_only() -> dict:
         if f.endswith(".parquet")
     ) * REPLICATE
     _warmup(docs_dir, media_dir)
-    shutil.rmtree(OUT_DIR, ignore_errors=True)
-    t0 = time.perf_counter()
-
-
-    result = extract_spans(
-        # fixed 48 input blocks (cpu-independent): Ray's sort shuffle
-        # makes ONE physical partition per input block, and the default
-        # ~112-block read leaves partitions too small — 48+8 partitions
-        # measured 10.2 -> 8.3 s (interleaved best-of-3) at 32 cpus
-        read_docs(docs_dir, override_num_blocks=48),
-        read_media(media_dir),
-        media_mode="cogroup",
-        # fixed (cpu-independent): Ray's sort-shuffle makes one physical
-        # partition per INPUT block (~120 here), each holding a RANGE of
-        # bucket keys - many logical buckets per partition flattens the
-        # per-partition row skew (measured 3.4x at 192 buckets)
-        cogroup_buckets=768,
-        num_buckets=max(16, NUM_CPUS * 2),
-        recognize_batch_size=2048,
-        # tasks mode: model cached per worker PROCESS so the streaming
-        # executor rebalances every CPU between shuffle and
-        # recognition (an actor pool's reserved CPUs idle during
-        # the sort barrier - measured ~15% slower here); a GPU
-        # cluster would use the actor-pool mode to pin weights
-        recognize_compute="tasks",
-    )
-    result.write_parquet(OUT_DIR)
-    headline = time.perf_counter() - t0
+    attempts = 0
+    while True:
+        attempts += 1
+        probe_before = await_healthy_host()
+        shutil.rmtree(OUT_DIR, ignore_errors=True)
+        t0 = time.perf_counter()
+        result = extract_spans(
+            # fixed 48 input blocks (cpu-independent): Ray's sort shuffle
+            # makes ONE physical partition per input block, and the default
+            # ~112-block read leaves partitions too small — 48+8 partitions
+            # measured 10.2 -> 8.3 s (interleaved best-of-3) at 32 cpus
+            read_docs(docs_dir, override_num_blocks=48),
+            read_media(media_dir),
+            media_mode="cogroup",
+            # fixed (cpu-independent): Ray's sort-shuffle makes one physical
+            # partition per INPUT block (~120 here), each holding a RANGE of
+            # bucket keys - many logical buckets per partition flattens the
+            # per-partition row skew (measured 3.4x at 192 buckets)
+            cogroup_buckets=768,
+            num_buckets=max(16, NUM_CPUS * 2),
+            recognize_batch_size=2048,
+            # tasks mode: model cached per worker PROCESS so the streaming
+            # executor rebalances every CPU between shuffle and
+            # recognition (an actor pool's reserved CPUs idle during
+            # the sort barrier - measured ~15% slower here); a GPU
+            # cluster would use the actor-pool mode to pin weights
+            recognize_compute="tasks",
+        )
+        result.write_parquet(OUT_DIR)
+        headline = time.perf_counter() - t0
+        probe_after = host_memcpy_gbs()
+        if probe_after >= HEALTHY_GBS or attempts >= 3:
+            break
     if "--stats" in sys.argv:
         # per-stage wall/cpu/rows audit of the headline pipeline —
         # stderr so the JSON contract line stays parseable
@@ -426,7 +493,9 @@ def run_bench_headline_only() -> dict:
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / headline, 1),
         "media_spans_per_sec": round(n_media / headline, 1),
-        "host_memcpy_gbs": host_memcpy_gbs(),
+        "host_memcpy_gbs": probe_after,
+        "host_memcpy_gbs_before": probe_before,
+        "attempts": attempts,
     }
 
 
