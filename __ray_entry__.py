@@ -535,11 +535,16 @@ def _semdedup(sf_dir: str):
 
 def _pack_bins(sf_dir: str):
     """Greedy first-fit-decreasing sequence packing into 128-token bins
-    (sample packing). Rows-only: bin assignment is a packing HEURISTIC
-    with no SQL analog — invariants (exactly-once, budget respected,
-    determinism under repartitioning) are pytest-verified in
+    (sample packing), mod-bucketed so a DuckDB oracle can replay the
+    exact deterministic FFD per bucket (a recursive CTE walks the
+    length-sorted docs carrying the open-bin capacity list — bucket
+    populations are corpus/num_buckets, so recursion depth is bounded).
+    Invariants (exactly-once, budget respected, determinism under
+    repartitioning) additionally pytest-verified in
     tests/test_batching.py."""
-    return _batching().pack_sequences(_docs(sf_dir), budget=128)
+    return _batching().pack_sequences(
+        _docs(sf_dir), budget=128, bucket_mode="mod"
+    )
 
 
 def _pack_bins_bpe(sf_dir: str):
@@ -735,8 +740,9 @@ def _ann_topk(sf_dir: str):
 
 def _ann_topk_multi(sf_dir: str):
     """Batched exact ANN: top-k for 4 query vectors in ONE corpus scan
-    (broadcast query matrix; rows-only — per-query cosine ranking is
-    checked against numpy in tests/test_functions.py)."""
+    (broadcast query matrix). query_id i is the i-th smallest queried
+    vec_id (0..3), so the DuckDB oracle can rank the same cosines with
+    a window function; also numpy-checked in tests/test_functions.py."""
     import pyarrow.parquet as pq
 
     from vietnamese_ocr_ray.functions.ann import ann_bruteforce_multi
@@ -745,8 +751,9 @@ def _ann_topk_multi(sf_dir: str):
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     mask = pc.less(t.column("vec_id"), 4)
+    qt = t.filter(mask).sort_by("vec_id")
     q = np.asarray(
-        [np.asarray(v, np.float64) for v in t.filter(mask).column("embedding").to_pylist()]
+        [np.asarray(v, np.float64) for v in qt.column("embedding").to_pylist()]
     )
     ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ann_bruteforce_multi(ds, q, k=10)
@@ -3436,6 +3443,96 @@ def oracle_sql() -> dict[str, str]:
                  CAST(q.embedding AS DOUBLE[])), 6) AS cos
         FROM embeddings e, q
         ORDER BY cos DESC, e.vec_id LIMIT 10
+        """,
+        "ann_topk_multi": """
+        WITH q AS (
+          SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id < 4
+        ), s AS (
+          SELECT q.query_id, e.vec_id,
+                 round(list_cosine_similarity(
+                   CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS cos
+          FROM embeddings e, q
+        ), r AS (
+          SELECT query_id, vec_id, cos,
+                 row_number() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn
+          FROM s
+        )
+        SELECT query_id, vec_id, cos, CAST(rn AS BIGINT) AS rank
+        FROM r WHERE rn <= 10
+        """,
+        "ann_topk_quantized": """
+        -- replay the scalar int8 quantizer exactly: per-dim min/max
+        -- ranges, half-up levels (floor(v*255/scale + 0.5)), decode,
+        -- cosine rank of the DECODED vectors against the raw query
+        WITH emb AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), dd AS (
+          SELECT unnest(generate_series(1,
+            (SELECT len(e) FROM emb LIMIT 1))) AS dim
+        ), dims AS (
+          SELECT dd.dim, min(e[dd.dim]) AS lo,
+                 greatest(max(e[dd.dim]) - min(e[dd.dim]), 1e-30) AS scale
+          FROM emb, dd GROUP BY dd.dim
+        ), q AS (
+          SELECT e AS qe FROM emb WHERE vec_id = 0
+        ), x AS (
+          SELECT emb.vec_id,
+                 (least(greatest(
+                    floor((e[d.dim] - d.lo) / d.scale * 255.0 + 0.5) - 128,
+                    -128), 127) + 128) / 255.0 * d.scale + d.lo AS dec,
+                 (SELECT qe[d.dim] FROM q) AS qv
+          FROM emb, dims d
+        ), agg AS (
+          SELECT vec_id,
+                 round(sum(dec * qv)
+                       / greatest(sqrt(sum(dec * dec)), 1e-30)
+                       / greatest(sqrt(sum(qv * qv)), 1e-30), 6) AS cos
+          FROM x GROUP BY vec_id
+        )
+        SELECT vec_id, cos FROM agg ORDER BY cos DESC, vec_id LIMIT 10
+        """,
+        "pack_bins": """
+        -- exact FFD replay: per mod-bucket, walk the (len desc, id)
+        -- order carrying the open-bin remaining-capacity list
+        WITH RECURSIVE counted AS (
+          SELECT doc_id,
+                 CAST(length(text) - length(replace(text, ' ', '')) + 1
+                      AS BIGINT) AS n_tokens,
+                 doc_id % 32 AS pack_bucket
+          FROM documents
+        ), b AS (
+          SELECT pack_bucket,
+                 list(n_tokens ORDER BY n_tokens DESC, doc_id) AS lens,
+                 list(doc_id ORDER BY n_tokens DESC, doc_id) AS ids,
+                 count(*) AS n
+          FROM counted GROUP BY pack_bucket
+        ), ffd AS (
+          SELECT pack_bucket, 0 AS i,
+                 CAST([] AS BIGINT[]) AS rem, CAST([] AS BIGINT[]) AS assign,
+                 lens, ids, n
+          FROM b
+          UNION ALL
+          SELECT pack_bucket, i + 1,
+                 CASE WHEN fit IS NULL
+                      THEN list_append(rem, greatest(128 - L, 0))
+                      ELSE list_transform(rem, (x, j) ->
+                             CASE WHEN j = fit THEN x - L ELSE x END) END,
+                 list_append(assign,
+                   CASE WHEN fit IS NULL THEN len(rem) ELSE fit - 1 END),
+                 lens, ids, n
+          FROM (
+            SELECT pack_bucket, i, rem, assign, lens, ids, n,
+                   lens[i + 1] AS L,
+                   nullif(list_position(
+                     list_transform(rem, x -> x >= lens[i + 1]), true), 0) AS fit
+            FROM ffd WHERE i < n
+          )
+        )
+        SELECT unnest(ids) AS doc_id, unnest(lens) AS n_tokens,
+               pack_bucket, unnest(assign) AS bin_id
+        FROM ffd WHERE i = n
         """,
         "purchase_attribution": """
         WITH l AS (SELECT event_id, user_id, ts FROM events

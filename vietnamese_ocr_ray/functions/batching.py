@@ -195,6 +195,7 @@ def pack_sequences(
     budget: int = 128,
     num_buckets: int = 32,
     length_col: str | None = None,
+    bucket_mode: str = "hash",
 ) -> rd.Dataset:
     """(doc_id, n_tokens, pack_bucket, bin_id): greedy first-fit-
     decreasing packing of docs into token-budget bins within each
@@ -206,7 +207,13 @@ def pack_sequences(
     ``length_col`` packs by a PRECOMPUTED length instead of the
     whitespace token count — e.g. ``bpe_encode``'s ``n_pieces`` for
     tokenizer-aware packing (real trainers pack by the tokenizer's
-    sequence length, not word count)."""
+    sequence length, not word count).
+
+    ``bucket_mode``: "hash" (default) buckets by splitmix64/FNV of the
+    key — robust to adversarial key distributions; "mod" buckets
+    integer keys by ``doc_id % num_buckets`` — equally balanced for
+    the usual dense/sequential id space and exactly restatable by a
+    SQL oracle (the driver value-checks pack_bins through it)."""
     if length_col is not None:
         counted = ds.map_batches(
             lambda b, c=length_col: pa.table(
@@ -221,13 +228,20 @@ def pack_sequences(
         counted = _with_token_counts(ds)
 
     def tag(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "pack_bucket",
-            pa.array(
-                key_bucket(batch.column("doc_id"), num_buckets).astype(
-                    np.int64
+        if bucket_mode == "mod":
+            ids = np.asarray(
+                pc.cast(
+                    batch.column("doc_id").combine_chunks()
+                    if isinstance(batch.column("doc_id"), pa.ChunkedArray)
+                    else batch.column("doc_id"),
+                    pa.int64(),
                 )
-            ),
+            )
+            bucket = ids % np.int64(num_buckets)
+        else:
+            bucket = key_bucket(batch.column("doc_id"), num_buckets)
+        return batch.append_column(
+            "pack_bucket", pa.array(bucket.astype(np.int64))
         )
 
     def pack(g: pd.DataFrame) -> pa.Table:

@@ -68,9 +68,12 @@ def quantize_embeddings(
         lo, hi = ray.get(handle)
         m = _matrix(batch, emb_col)
         scale = np.maximum(hi - lo, 1e-30)
-        q = np.clip(np.rint((m - lo) / scale * 255.0) - 128, -128, 127).astype(
-            np.int8
-        )
+        # round-half-UP (floor(v + 0.5)), not np.rint's half-even: the
+        # two differ only on exact .5 levels, and half-up is restatable
+        # verbatim by the SQL oracle (DuckDB floor(v + 0.5))
+        q = np.clip(
+            np.floor((m - lo) / scale * 255.0 + 0.5) - 128, -128, 127
+        ).astype(np.int8)
         return pa.table(
             {
                 id_col: batch.column(id_col),
