@@ -372,6 +372,23 @@ def _media_ahash(sf_dir: str):
     return media_ahash(ds)
 
 
+def _train_standin(sf_dir: str):
+    """Deterministic training analog (SURVEY §2.3 T5, reference
+    src/model/trainer.py:29-168): teacher-forced regression of the
+    stand-in's band-level table over the labeled media corpus, OneCycle
+    lr schedule, per-epoch val CER, best-checkpoint keep. Returns the
+    per-epoch metrics table. Rows-only: an iterative optimization loop
+    has no SQL analog — convergence-to-truth, schedule shape, best-keep
+    and bit-identical resume are pytest-verified in
+    tests/test_train.py."""
+    from vietnamese_ocr_ray.synth import ensure_corpus
+    from vietnamese_ocr_ray.train import train_standin
+
+    _, media_dir = ensure_corpus(sf_dir)
+    ds = _read_pq(media_dir)
+    return train_standin(ds, epochs=5, max_lr=1.0)
+
+
 def _media_stub(sf_dir: str):
     """Multimodal plumbing demo: media table -> actor-pool metadata
     stage with the heavy decode stubbed (no image libs in sandbox —
@@ -1658,6 +1675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_flat_cogroup": _flatten_extracted_cogroup,
         "extract_flat_beam": _flatten_extracted_beam,
         "extract_reassembled": _reassembled,
+        "train_standin": _train_standin,
         "media_stub": _media_stub,
         "media_features": _media_features,
         "media_ahash": _media_ahash,
