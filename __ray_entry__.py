@@ -875,17 +875,19 @@ def _dupcluster_histogram(sf_dir: str):
 
 
 def _pagerank_dupgraph(sf_dir: str):
-    """PageRank centrality over the cosine>=0.4 dup graph (rows-only:
-    iterative power method is not SQL-expressible; numpy power-iteration
-    reference test in tests/test_functions.py). Ranks which duplicates
-    are the most-connected representatives of their cluster."""
+    """PageRank centrality over the cosine>=0.4 dup graph — ranks which
+    duplicates are the most-connected representatives of their cluster.
+    Runs EXACTLY 20 power iterations (tol=0, no data-dependent early
+    exit) so the DuckDB oracle can unroll the same 20 steps as chained
+    materialized CTEs and match values bit-for-bit after the 9-decimal
+    round; also numpy-reference-tested in tests/test_functions.py."""
     from vietnamese_ocr_ray.functions.graph import pagerank
 
     pairs = _embedding_neardup(sf_dir).map_batches(
         lambda b: pa.table({"a": b.column("vec_id_a"), "b": b.column("vec_id_b")}),
         batch_format="pyarrow",
     )
-    return pagerank(pairs)
+    return pagerank(pairs, iters=20, tol=0.0)
 
 
 def _dedup_neardup_cosine(sf_dir: str):
@@ -2003,6 +2005,53 @@ WITH w AS (
   FROM geo
 )
 """
+
+def _pagerank_sql(iters: int = 20) -> str:
+    """Unrolled power iteration (damping 0.85, uniform teleport over
+    the dup-graph node set) as chained MATERIALIZED CTEs — one r{t}
+    per iteration, mirroring functions/graph.pagerank(tol=0) exactly.
+    MATERIALIZED is load-bearing: inlined CTEs re-plan the cosine
+    self-join per iteration and the query never finishes."""
+    head = """
+    WITH pairs AS MATERIALIZED (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id
+        AND round(list_cosine_similarity(
+              CAST(a.embedding AS DOUBLE[]),
+              CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+    ),
+    edges AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL SELECT b, a FROM pairs
+    ),
+    deg AS MATERIALIZED (
+      SELECT src AS node, CAST(count(*) AS DOUBLE) AS d
+      FROM edges GROUP BY src
+    ),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+    r0 AS MATERIALIZED (
+      SELECT node, d, 1.0 / (SELECT n FROM nn) AS r FROM deg
+    )
+    """
+    steps = []
+    for t in range(iters):
+        steps.append(
+            f""", r{t + 1} AS MATERIALIZED (
+      SELECT deg.node, deg.d,
+             0.15 / (SELECT n FROM nn) + 0.85 * coalesce(s.inc, 0) AS r
+      FROM deg LEFT JOIN (
+        SELECT e.dst AS node, sum(p.r / p.d) AS inc
+        FROM edges e JOIN r{t} p ON e.src = p.node GROUP BY e.dst
+      ) s ON deg.node = s.node
+    )"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"\n    SELECT node, round(r, 9) AS rank FROM r{iters}"
+    )
+
 
 # 64-cell column-profile fingerprint per media word (same integer bit
 # rule as stages/multimodal.ImageColHash.hash_one)
@@ -3462,6 +3511,7 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings e, q
         ORDER BY cos DESC, e.vec_id LIMIT 10
         """,
+        "pagerank_dupgraph": _pagerank_sql(20),
         "ann_topk_multi": """
         WITH q AS (
           SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
