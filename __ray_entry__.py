@@ -240,56 +240,19 @@ def _media_fp_pairs(sf_dir: str, max_hamming: int = 7):
 
 
 def _dedup_media_ahash(sf_dir: str, max_hamming: int = 7):
-    """End-to-end media DEDUP: fingerprint-level near-dup pairs ->
-    connected components over the (tiny, edge-bounded) fp graph ->
-    every image maps to its fp-cluster root (broadcast label dict,
-    pair-bounded) -> ONE groupby(root) shuffle keeps the min-mid image
-    per cluster. Images sharing a fingerprint (Hamming 0) dedup too —
-    the cluster includes the fp itself. Output is metadata-only
+    """End-to-end media DEDUP: one decode pass fingerprints every
+    image, then :func:`fp_cluster_survivors` keeps the min-mid image
+    per connected fingerprint cluster (images sharing a fingerprint
+    are Hamming-0 near-dups and dedup too). Output is metadata-only
     (media_ref, height, width); fully SQL-verified via the closed-form
     fingerprint + a WITH RECURSIVE components oracle."""
-    import ray
+    from vietnamese_ocr_ray.functions.dedup import fp_cluster_survivors
 
-    from vietnamese_ocr_ray.functions.dedup import connected_components
-
-    media_fp, _, pairs = _media_fp_pairs(sf_dir, max_hamming)
-    comps = connected_components(pairs).to_pandas()
-    if len(comps) and "node" in comps.columns:
-        keys = comps["node"].to_numpy(np.int64)
-        vals = comps["component"].to_numpy(np.int64)
-        order = np.argsort(keys)
-        keys, vals = keys[order], vals[order]
-    else:
-        keys = np.empty(0, np.int64)
-        vals = np.empty(0, np.int64)
-    handle = ray.put((keys, vals))
-
-    def tag_root(b: pa.Table) -> pa.Table:
-        k, v = ray.get(handle)
-        fp = np.asarray(b.column("fp"), dtype=np.int64)
-        if k.size:
-            pos = np.searchsorted(k, fp)
-            pos_c = np.minimum(pos, k.size - 1)
-            hit = k[pos_c] == fp
-            root = np.where(hit, v[pos_c], fp)
-        else:
-            root = fp
-        return b.append_column("root", pa.array(root))
-
-    def keep_min(g: "pd.DataFrame") -> pa.Table:
-        import pandas as pd  # noqa: F401
-
-        i = int(g["mid"].to_numpy(np.int64).argmin())
-        row = g.iloc[[i]][["media_ref", "height", "width"]]
-        return pa.Table.from_pandas(row, preserve_index=False).replace_schema_metadata(
-            None
-        )
-
-    return (
-        media_fp.map_batches(tag_root, batch_format="pyarrow")
-        .groupby("root")
-        .map_groups(keep_min, batch_format="pandas")
+    media_fp, _, _ = _media_fp_pairs(sf_dir, max_hamming)
+    kept = fp_cluster_survivors(
+        media_fp, max_hamming, bands=8, id_col="mid", fp_col="fp"
     )
+    return kept.select_columns(["media_ref", "height", "width"])
 
 
 def _media_neardup_ahash(sf_dir: str, max_hamming: int = 7):
@@ -711,13 +674,33 @@ def _simhash_pairs(sf_dir: str):
 
 
 def _dedup_neardup_simhash(sf_dir: str):
-    """Near-dup REMOVAL over the simhash Hamming graph: banded pair
-    search -> distributed connected components -> min-id survivors
-    (rows-only; composition of individually tested operators)."""
-    from vietnamese_ocr_ray.functions.dedup import neardup_survivors
+    """Near-dup REMOVAL over the simhash Hamming graph, clustered at
+    the FINGERPRINT level (fp_cluster_survivors): duplicate-heavy
+    corpora make identical fingerprints arbitrarily common, and
+    row-pair listing there is quadratic in cluster size — the
+    distinct-fp graph stays vocabulary-scale and the banded search
+    runs complete over it, so no candidate cap can silently
+    under-remove. (rows-only; composition of individually tested
+    operators)."""
+    from vietnamese_ocr_ray.functions.dedup import (
+        fp_cluster_survivors,
+        simhash_fps,
+    )
 
-    pairs = _simhash_pairs(sf_dir)
-    return neardup_survivors(_docs(sf_dir, ("doc_id",)), pairs).select_columns(
+    def fp_batch(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "fp": pa.array(
+                    simhash_fps(b.column("text")).astype(np.int64)
+                ),
+            }
+        )
+
+    fps = _docs(sf_dir, ("doc_id", "text")).map_batches(
+        fp_batch, batch_format="pyarrow"
+    )
+    return fp_cluster_survivors(fps, max_hamming=3, bands=4).select_columns(
         ["doc_id"]
     )
 

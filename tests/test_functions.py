@@ -1247,3 +1247,64 @@ def test_cms_depth_rows_independent_for_nondefault_width():
     # default width keeps its historical layout (oracle stability)
     s2048 = CountMinSketch(depth=4, width=2048)
     assert int(s2048._shift) == 53
+
+
+def test_fp_cluster_survivors_exact_vs_bruteforce(ray_session):
+    """Fingerprint-level near-dup removal == brute-force CC over the
+    full row-pair Hamming graph, including identical-fp clusters far
+    larger than any candidate cap could list pairwise."""
+    from vietnamese_ocr_ray.functions.dedup import fp_cluster_survivors
+
+    # cluster A: 300 rows sharing one fp (pairwise listing = 45k pairs,
+    # well past the banded search's per-run cap) + a hamming-2 neighbor
+    # fp; cluster B: isolated far fp; cluster C: two fps at hamming 1
+    fp_a = 0x0123456789ABCDEF
+    fps = (
+        [fp_a] * 300
+        + [fp_a ^ 0b11]                     # joins cluster A (ham 2)
+        + [0x0F0F0F0F0F0F0F0F]              # far, survives alone
+        + [0x7000000000000000, 0x7000000000000001]  # cluster C (ham 1)
+    )
+    ids = list(range(len(fps)))
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "fp": pa.array(np.array(fps, dtype=np.uint64).astype(np.int64)),
+        }
+    )
+    out = fp_cluster_survivors(
+        rd.from_arrow(t), max_hamming=3, bands=4, id_col="doc_id"
+    ).to_pandas()
+
+    # brute-force reference: CC over ALL row pairs within hamming 3
+    f = np.array(fps, dtype=np.uint64)
+    parent = list(range(len(f)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(f)):
+        for j in range(i + 1, len(f)):
+            if bin(int(f[i] ^ f[j])).count("1") <= 3:
+                parent[find(i)] = find(j)
+    clusters = {}
+    for i in range(len(f)):
+        clusters.setdefault(find(i), []).append(i)
+    want = sorted(min(m) for m in clusters.values())
+    assert sorted(out["doc_id"]) == want
+    assert want == [0, 301, 302]  # A keeps 0, B survives, C keeps 302
+
+
+def test_fp_cluster_survivors_no_pairs(ray_session):
+    """All-distinct, all-far fingerprints: everything survives."""
+    from vietnamese_ocr_ray.functions.dedup import fp_cluster_survivors
+
+    fps = np.array([0, 0x00FF00FF00FF00FF, -1], dtype=np.int64)
+    t = pa.table(
+        {"doc_id": pa.array([7, 8, 9], pa.int64()), "fp": pa.array(fps)}
+    )
+    out = fp_cluster_survivors(rd.from_arrow(t), 3, bands=4, id_col="doc_id")
+    assert sorted(out.to_pandas()["doc_id"]) == [7, 8, 9]

@@ -1176,6 +1176,98 @@ def simhash_pairs(
     )
 
 
+def fp_cluster_survivors(
+    ds: rd.Dataset,
+    max_hamming: int = 3,
+    *,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+) -> rd.Dataset:
+    """Near-dup REMOVAL over a precomputed int64 fingerprint column,
+    clustered at the FINGERPRINT level: keep the min-id row of every
+    connected fp cluster (rows sharing a fingerprint are Hamming-0
+    near-dups and always co-cluster).
+
+    Why fp-level instead of feeding row pairs to
+    :func:`neardup_survivors`: duplicate-heavy corpora make identical
+    fingerprints arbitrarily common, so ROW-pair listing is quadratic
+    in cluster size — unbounded at scale, and any candidate cap
+    silently under-removes (members beyond the cap get no edge at
+    all). The distinct-fp graph is vocabulary-scale: the banded search
+    runs complete over it, connected components are edge-bounded, and
+    the only corpus-sized passes are two map_batches (tag root, keep
+    survivors) plus one distributed min aggregate — no materialized
+    groups anywhere.
+
+    Heap assumptions (documented, same class as the CC broadcast label
+    table): the CC label dict is pair-bounded; the survivor-id set is
+    cluster-count-bounded (~distinct fingerprints)."""
+    import ray
+
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    src = ds.materialize()  # consumed by 3 passes; fp column rides along
+
+    def fp_id(b: pa.Table) -> pa.Table:
+        return pa.table({"fpid": b.column(fp_col), "fp": b.column(fp_col)})
+
+    distinct = hash_aggregate(
+        src.select_columns([fp_col]), [fp_col], {"n": (fp_col, "count")}
+    )
+    pairs = simhash_pairs(
+        distinct.map_batches(fp_id, batch_format="pyarrow"),
+        max_hamming=max_hamming,
+        bands=bands,
+        fp_col="fp",
+        id_col="fpid",
+    )
+    comps = connected_components(pairs).to_pandas()
+    if len(comps) and "node" in comps.columns:
+        keys = comps["node"].to_numpy(np.int64)
+        vals = comps["component"].to_numpy(np.int64)
+        order = np.argsort(keys)
+        keys, vals = keys[order], vals[order]
+    else:
+        keys = np.empty(0, np.int64)
+        vals = np.empty(0, np.int64)
+    label_handle = ray.put((keys, vals))
+
+    def tag_root(b: pa.Table) -> pa.Table:
+        k, v = ray.get(label_handle)
+        fp = np.asarray(b.column(fp_col), dtype=np.int64)
+        if k.size:
+            pos = np.minimum(np.searchsorted(k, fp), k.size - 1)
+            hit = k[pos] == fp
+            root = np.where(hit, v[pos], fp)
+        else:
+            root = fp
+        return b.append_column("_root", pa.array(root))
+
+    tagged = src.map_batches(tag_root, batch_format="pyarrow").materialize()
+    surv = hash_aggregate(
+        tagged.select_columns(["_root", id_col]),
+        ["_root"],
+        {"keep_id": (id_col, "min")},
+    ).to_pandas()
+    surv_ids = np.sort(surv["keep_id"].to_numpy(np.int64))
+    surv_handle = ray.put(surv_ids)
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = ray.get(surv_handle)
+        mine = np.asarray(
+            pc.cast(
+                b.column(id_col).combine_chunks()
+                if isinstance(b.column(id_col), pa.ChunkedArray)
+                else b.column(id_col),
+                pa.int64(),
+            )
+        )
+        return b.filter(pa.array(np.isin(mine, ids))).drop_columns(["_root"])
+
+    return tagged.map_batches(keep, batch_format="pyarrow")
+
+
 def simhash(ds: rd.Dataset) -> rd.Dataset:
     return ds.select_columns(["doc_id", "text"]).map_batches(
         simhash_batch, batch_format="pyarrow"
