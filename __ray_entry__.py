@@ -706,10 +706,10 @@ def _dedup_neardup_simhash(sf_dir: str):
 
 
 def _simhash(sf_dir: str):
-    """64-bit byte-shingle SimHash fingerprints (rows-only: the
-    rolling-hash shingle set is not SQL-computable; the 30-bit token
-    variant `simhash_tokens` IS SQL-checked; vectorized==per-row
-    equality test in tests/test_functions.py)."""
+    """64-bit byte-shingle SimHash fingerprints, SQL-value-checked:
+    the oracle replays the FNV-1a window hashes in HUGEINT mod-2^64
+    arithmetic and the +1/-1 bit vote per doc (see _simhash64_sql);
+    vectorized==per-row equality test in tests/test_functions.py."""
     from vietnamese_ocr_ray.functions.dedup import simhash
 
     return simhash(_docs(sf_dir))
@@ -1988,6 +1988,46 @@ WITH w AS (
   FROM geo
 )
 """
+
+def _simhash64_sql() -> str:
+    """64-bit byte-shingle SimHash restated in SQL: per doc, the
+    DISTINCT FNV-1a hashes of every 4-byte window (rolling windows;
+    docs shorter than one shingle zero-padded, mirroring
+    functions/dedup._shingle_hashes), then the +1/-1 bit vote and
+    bits-with-positive-vote packing of simhash_batch. The FNV rounds
+    run in HUGEINT mod 2^64 (DuckDB integer ops error on overflow)
+    with xor in UBIGINT. Valid for this ASCII corpus, where
+    unicode(char) == utf8 byte — exactly the regime the Ray kernel's
+    flat-buffer pass assumes too."""
+    expr = "14695981039346656037::UBIGINT"
+    for j in range(4):
+        b = (
+            f"(CASE WHEN i + {j} <= len THEN unicode(substr(text, i + {j}, 1))"
+            f" ELSE 0 END)::UBIGINT"
+        )
+        expr = (
+            f"CAST((xor({expr}, {b})::HUGEINT * 1099511628211)"
+            f" % 18446744073709551616 AS UBIGINT)"
+        )
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1"
+        f" THEN 1 ELSE -1 END)) > 0 THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END)"
+        for b in range(64)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS len FROM documents
+    ), hashes AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len - 3, 1)), i -> {expr})) AS hs
+      FROM d
+    )
+    SELECT doc_id,
+           lower(lpad(hex(CAST(({bit_terms}) AS UBIGINT)), 16, '0')) AS simhash
+    FROM hashes
+    """
+
 
 def _pagerank_sql(iters: int = 20) -> str:
     """Unrolled power iteration (damping 0.85, uniform teleport over
@@ -3495,6 +3535,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY cos DESC, e.vec_id LIMIT 10
         """,
         "pagerank_dupgraph": _pagerank_sql(20),
+        "simhash": _simhash64_sql(),
         "ann_topk_multi": """
         WITH q AS (
           SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
