@@ -665,12 +665,13 @@ def _dedup_neardup(sf_dir: str):
 
 def _simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs (banded Hamming search; COMPLETE for
-    hamming <= bands-1 by pigeonhole — equality-vs-bruteforce test in
-    tests/test_functions.py; rows-only: the byte-shingle fingerprint is
-    not SQL-computable)."""
+    hamming <= bands-1 by pigeonhole, cap=None so no skew guard can
+    truncate — equality-vs-bruteforce test in tests/test_functions.py
+    AND a DuckDB oracle that recomputes the fingerprints in closed
+    form and cross-joins the Hamming filter)."""
     from vietnamese_ocr_ray.functions.dedup import simhash_pairs
 
-    return simhash_pairs(_docs(sf_dir), max_hamming=3)
+    return simhash_pairs(_docs(sf_dir), max_hamming=3, cap=None)
 
 
 def _dedup_neardup_simhash(sf_dir: str):
@@ -1989,7 +1990,7 @@ WITH w AS (
 )
 """
 
-def _simhash64_sql() -> str:
+def _simhash64_fp_cte() -> str:
     """64-bit byte-shingle SimHash restated in SQL: per doc, the
     DISTINCT FNV-1a hashes of every 4-byte window (rolling windows;
     docs shorter than one shingle zero-padded, mirroring
@@ -2022,10 +2023,28 @@ def _simhash64_sql() -> str:
              list_distinct(list_transform(
                generate_series(1, greatest(len - 3, 1)), i -> {expr})) AS hs
       FROM d
+    ), fps AS (
+      SELECT doc_id, CAST(({bit_terms}) AS UBIGINT) AS fp FROM hashes
     )
-    SELECT doc_id,
-           lower(lpad(hex(CAST(({bit_terms}) AS UBIGINT)), 16, '0')) AS simhash
-    FROM hashes
+    """
+
+
+def _simhash64_sql() -> str:
+    """(doc_id, simhash hex) — the `simhash` query's oracle."""
+    return _simhash64_fp_cte() + """
+    SELECT doc_id, lower(lpad(hex(fp), 16, '0')) AS simhash FROM fps
+    """
+
+
+def _simhash64_pairs_sql(max_hamming: int = 3) -> str:
+    """(a, b, hamming) — the `simhash_pairs` query's oracle: complete
+    Hamming-radius pairs over the closed-form fingerprints."""
+    return _simhash64_fp_cte() + f"""
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+    FROM fps a, fps b
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.fp, b.fp)) <= {max_hamming}
     """
 
 
@@ -3536,6 +3555,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_dupgraph": _pagerank_sql(20),
         "simhash": _simhash64_sql(),
+        "simhash_pairs": _simhash64_pairs_sql(3),
         "ann_topk_multi": """
         WITH q AS (
           SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

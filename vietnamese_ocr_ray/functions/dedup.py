@@ -1062,7 +1062,7 @@ def simhash_pairs(
     bands: int = 4,
     k: int = 4,
     num_coarse: int = 32,
-    cap: int = 200,
+    cap: int | None = 200,
     fp_col: str | None = None,
     id_col: str = "doc_id",
 ) -> rd.Dataset:
@@ -1078,8 +1078,15 @@ def simhash_pairs(
     ``fp_col=None`` (default) computes token-SimHash fingerprints from
     the ``text`` column; pass ``fp_col`` to run the identical complete
     banded Hamming search over ANY precomputed int64 fingerprint
-    column (e.g. the perceptual aHash of image payloads —
-    ``stages/multimodal.ImageAHash`` — for media near-dup)."""
+    column (e.g. the perceptual column-profile hash of image payloads
+    — ``stages/multimodal.ImageColHash`` — for media near-dup).
+
+    ``cap`` bounds the pairwise listing per exact-chunk run (a skew
+    guard: a run of r same-chunk fingerprints lists r^2/2 candidate
+    pairs). Runs beyond the cap are TRUNCATED — the pair set is then
+    incomplete for members past the cap. ``cap=None`` disables the
+    guard (complete listing; use when fingerprints are pre-distinct —
+    :func:`fp_cluster_survivors` — or run sizes are known bounded)."""
     assert max_hamming < bands, "pigeonhole completeness needs bands > max_hamming"
     width = 64 // bands
     mask = np.uint64((1 << width) - 1)
@@ -1126,7 +1133,7 @@ def simhash_pairs(
             starts = np.nonzero(change)[0]
             sizes = np.diff(np.append(starts, n))
             for st, sz in zip(starts[sizes >= 2], sizes[sizes >= 2]):
-                mm = int(min(sz, cap))
+                mm = int(sz if cap is None else min(sz, cap))
                 ii, jj = np.triu_indices(mm, 1)
                 seg_i = ids[st : st + mm]
                 seg_f = fps[st : st + mm]
