@@ -681,8 +681,9 @@ def _dedup_neardup_simhash(sf_dir: str):
     row-pair listing there is quadratic in cluster size — the
     distinct-fp graph stays vocabulary-scale and the banded search
     runs complete over it, so no candidate cap can silently
-    under-remove. (rows-only; composition of individually tested
-    operators)."""
+    under-remove. SQL-value-checked: the oracle recomputes the
+    fingerprints in closed form and replays the fp-cluster survival
+    with a WITH RECURSIVE components walk."""
     from vietnamese_ocr_ray.functions.dedup import (
         fp_cluster_survivors,
         simhash_fps,
@@ -2045,6 +2046,34 @@ def _simhash64_pairs_sql(max_hamming: int = 3) -> str:
     FROM fps a, fps b
     WHERE a.doc_id < b.doc_id
       AND bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+    """
+
+
+def _simhash64_dedup_sql(max_hamming: int = 3) -> str:
+    """Surviving doc_ids after fingerprint-cluster dedup — mirrors
+    dedup.fp_cluster_survivors: recursive min-reachable components over
+    the DISTINCT-fp Hamming graph, min doc_id per cluster (fps sharing
+    a fingerprint co-cluster through the fp node itself)."""
+    return _simhash64_fp_cte().replace(
+        "WITH d AS", "WITH RECURSIVE d AS", 1
+    ) + f"""
+    , fpd AS (SELECT DISTINCT fp FROM fps),
+    fpairs AS (
+      SELECT a.fp AS a, b.fp AS b FROM fpd a, fpd b
+      WHERE a.fp < b.fp AND bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+    ),
+    edges AS (SELECT a, b FROM fpairs UNION ALL SELECT b, a FROM fpairs),
+    walk AS (
+      SELECT a AS v, a AS n FROM edges
+      UNION
+      SELECT walk.v, e.b FROM walk JOIN edges e ON walk.n = e.a
+    ),
+    comp AS (SELECT v AS fp, min(n) AS root FROM walk GROUP BY v),
+    lab AS (
+      SELECT fps.doc_id, coalesce(comp.root, fps.fp) AS root
+      FROM fps LEFT JOIN comp ON fps.fp = comp.fp
+    )
+    SELECT min(doc_id) AS doc_id FROM lab GROUP BY root
     """
 
 
@@ -3556,6 +3585,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_dupgraph": _pagerank_sql(20),
         "simhash": _simhash64_sql(),
         "simhash_pairs": _simhash64_pairs_sql(3),
+        "dedup_neardup_simhash": _simhash64_dedup_sql(3),
         "ann_topk_multi": """
         WITH q AS (
           SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
