@@ -358,3 +358,40 @@ def test_pii_synth_redact_roundtrip(body, doc_id):
     clean = out.column("clean_text").to_pylist()[0]
     assert "<EMAIL>" in clean and "<IP>" in clean and "<PHONE>" in clean
     assert "@" not in clean
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(2, 40),
+    w=st.integers(2, 40),
+    seed=st.integers(0, 10**9),
+)
+def test_perceptual_hashes_match_naive_reference(h, w, seed):
+    """ImageAHash / ImageColHash integer bit rule == a naive per-cell
+    double loop (cell_sum * n_pixels > total * cell_area) for ANY
+    image shape, including cells whose floor boundaries collapse to
+    zero width."""
+    from vietnamese_ocr_ray.stages.multimodal import ImageAHash, ImageColHash
+
+    rng = np.random.default_rng(seed)
+    v = rng.integers(0, 256, (h, w), np.uint8)
+    x = v.astype(np.int64)
+    total = int(x.sum())
+    npx = h * w
+
+    def naive(grid_y, grid_x):
+        ys = [int(np.floor(h * r / grid_y)) for r in range(grid_y + 1)]
+        xs = [int(np.floor(w * c / grid_x)) for c in range(grid_x + 1)]
+        bits = 0
+        k = 0
+        for r in range(grid_y):
+            for c in range(grid_x):
+                s = int(x[ys[r] : ys[r + 1], xs[c] : xs[c + 1]].sum())
+                area = (ys[r + 1] - ys[r]) * (xs[c + 1] - xs[c])
+                if s * npx > total * area:
+                    bits |= 1 << k
+                k += 1
+        return int(np.uint64(bits).astype(np.int64))
+
+    assert ImageAHash().hash_one(v) == naive(8, 8)
+    assert ImageColHash().hash_one(v) == naive(1, 64)
