@@ -638,10 +638,12 @@ def _word_jaccard(sf_dir: str):
 
 
 def _minhash_pairs(sf_dir: str):
-    """MinHash+LSH near-dup pairs (rows-only: banding is not
-    SQL-expressible; planted-dup + mode-equality tests in
-    tests/test_functions.py; the verified pair SET is SQL-checked
-    indirectly via the embedding/neighbor-jaccard oracles)."""
+    """MinHash+LSH near-dup pairs. SQL-value-checked: the oracle
+    replays the whole discovery in closed form (FNV shingle hashes ->
+    64 permutation minima in HUGEINT mod-2^64 with the seed-7
+    coefficients inlined -> per-band FNV -> cap-ranked bucket
+    candidates -> exact shingle-Jaccard), see _minhash_verified_cte.
+    Planted-dup + mode-equality tests in tests/test_functions.py."""
     from vietnamese_ocr_ray.functions.dedup import minhash_lsh_pairs
 
     # corpus-join verification (texts_handle=None): candidates join
@@ -652,9 +654,10 @@ def _minhash_pairs(sf_dir: str):
 
 def _dedup_neardup(sf_dir: str):
     """Near-dup REMOVAL: minhash pair clusters -> min-id survivor per
-    cluster -> broadcast anti-join (rows-only check: LSH banding is not
-    SQL-expressible; the underlying pair sets are SQL-checked via
-    embedding_neardup / neighbor_jaccard)."""
+    cluster -> broadcast anti-join. SQL-value-checked: the oracle
+    replays the verified pair graph in closed form and walks the
+    components with a WITH RECURSIVE min-reachable query
+    (_minhash_dedup_sql)."""
     from vietnamese_ocr_ray.functions.dedup import neardup_survivors
 
     pairs = _minhash_pairs(sf_dir)
@@ -2124,6 +2127,139 @@ def _pagerank_sql(iters: int = 20) -> str:
     )
 
 
+_U64_MOD = "18446744073709551616"
+
+
+def _fnv_window_expr(k: int) -> str:
+    """FNV-1a over the k-byte window at position ``i`` of ``text``
+    (zero-padded past ``len``), HUGEINT mod-2^64 rounds — the SQL
+    restatement of functions/dedup._shingle_hashes for this ASCII
+    corpus (unicode(char) == utf8 byte)."""
+    expr = "14695981039346656037::UBIGINT"
+    for j in range(k):
+        b = (
+            f"(CASE WHEN i + {j} <= len THEN unicode(substr(text, i + {j}, 1))"
+            f" ELSE 0 END)::UBIGINT"
+        )
+        expr = (
+            f"CAST((xor({expr}, {b})::HUGEINT * 1099511628211)"
+            f" % {_U64_MOD} AS UBIGINT)"
+        )
+    return expr
+
+
+def _fnv_cols_expr(cols: list[str]) -> str:
+    """FNV-1a chained over full u64 column values (the band-hash rule
+    of functions/dedup._band_rows)."""
+    expr = "14695981039346656037::UBIGINT"
+    for c in cols:
+        expr = (
+            f"CAST((xor({expr}, {c})::HUGEINT * 1099511628211)"
+            f" % {_U64_MOD} AS UBIGINT)"
+        )
+    return expr
+
+
+def _minhash_verified_cte(
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 8,
+    threshold: float = 0.6,
+    cap: int = 200,
+    seed: int = 7,
+) -> str:
+    """MinHash+LSH pair discovery replayed in closed form: per doc the
+    DISTINCT FNV k-byte window hashes, 64 permutation minima
+    ``min((a_j*h + b_j) mod 2^64)`` with the MinHasher(seed=7)
+    coefficients inlined as literals, per-band FNV of the r signature
+    slots, candidate pairs sharing a (band, band_hash) bucket with both
+    members inside the first ``cap`` doc_ids of the bucket (the
+    _bucket_pairs skew guard), then exact shingle-Jaccard verification
+    over the same hash sets — mirroring functions/dedup.minhash_lsh_pairs
+    end to end. Values matched the Ray result exactly at sf0.001/0.01/0.1
+    when built (0 diffs across 28/25/256 pairs)."""
+    from vietnamese_ocr_ray.functions.dedup import MinHasher
+
+    mh = MinHasher(num_perm=num_perm, k=k, seed=seed)
+    win = _fnv_window_expr(k)
+    mins = ",\n        ".join(
+        f"min(CAST((CAST(h AS HUGEINT) * {int(a)} + {int(b)}) % {_U64_MOD}"
+        f" AS UBIGINT)) AS s{j}"
+        for j, (a, b) in enumerate(zip(mh.a, mh.b))
+    )
+    r = num_perm // bands
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {bd} AS band,"
+        f" {_fnv_cols_expr([f's{bd * r + i}' for i in range(r)])} AS band_hash"
+        f" FROM sigs"
+        for bd in range(bands)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS len FROM documents
+    ), hashes AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len - {k - 1}, 1)), i -> {win})) AS hs
+      FROM d
+    ), srows AS (
+      SELECT doc_id, unnest(hs) AS h FROM hashes
+    ), sigs AS (
+      SELECT doc_id,
+        {mins}
+      FROM srows GROUP BY doc_id
+    ), bandrows AS (
+      {band_selects}
+    ), members AS (
+      SELECT band, band_hash, doc_id,
+             row_number() OVER (PARTITION BY band, band_hash
+                                ORDER BY doc_id) AS rk
+      FROM bandrows
+    ), cand AS (
+      SELECT DISTINCT m1.doc_id AS a, m2.doc_id AS b
+      FROM members m1 JOIN members m2 USING (band, band_hash)
+      WHERE m1.doc_id < m2.doc_id AND m1.rk <= {cap} AND m2.rk <= {cap}
+    ), verified AS (
+      SELECT c.a, c.b,
+             round(CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+                   / (len(ha.hs) + len(hb.hs)
+                      - len(list_intersect(ha.hs, hb.hs))), 6) AS jaccard
+      FROM cand c
+      JOIN hashes ha ON ha.doc_id = c.a
+      JOIN hashes hb ON hb.doc_id = c.b
+    )
+    """
+
+
+def _minhash_pairs_sql() -> str:
+    """(a, b, jaccard) — the `minhash_pairs` query's oracle."""
+    return (
+        _minhash_verified_cte()
+        + "\n    SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.6\n    "
+    )
+
+
+def _minhash_dedup_sql() -> str:
+    """Surviving doc_ids after minhash near-dup removal — replays
+    dedup.neardup_survivors: min-reachable connected components over
+    the verified pair graph (recursive walk), min doc_id per component
+    survives, untouched docs pass through."""
+    return _minhash_verified_cte().replace(
+        "WITH d AS", "WITH RECURSIVE d AS", 1
+    ) + """
+    , vp AS (SELECT a, b FROM verified WHERE jaccard >= 0.6),
+    edges AS (SELECT a, b FROM vp UNION ALL SELECT b, a FROM vp),
+    walk AS (
+      SELECT a AS v, a AS n FROM edges
+      UNION
+      SELECT walk.v, e.b FROM walk JOIN edges e ON walk.n = e.a
+    ),
+    comp AS (SELECT v, min(n) AS root FROM walk GROUP BY v)
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT v FROM comp WHERE v != root)
+    """
+
+
 # 64-cell column-profile fingerprint per media word (same integer bit
 # rule as stages/multimodal.ImageColHash.hash_one)
 _COLHASH_CTE = _MEDIA_CTE + """
@@ -3583,6 +3719,8 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY cos DESC, e.vec_id LIMIT 10
         """,
         "pagerank_dupgraph": _pagerank_sql(20),
+        "minhash_pairs": _minhash_pairs_sql(),
+        "dedup_neardup": _minhash_dedup_sql(),
         "simhash": _simhash64_sql(),
         "simhash_pairs": _simhash64_pairs_sql(3),
         "dedup_neardup_simhash": _simhash64_dedup_sql(3),
