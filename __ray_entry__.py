@@ -1170,8 +1170,13 @@ def _distinct_tokens(sf_dir: str):
 
 
 def _approx_distinct_tokens(sf_dir: str):
-    """HyperLogLog distinct-token estimate (rows-only: approximate by
-    design; <2% error bound tested vs exact in tests/test_functions.py)."""
+    """HyperLogLog distinct-token estimate. SQL-value-checked: register
+    state is an order-independent pure data function, so the oracle
+    replays hash -> splitmix64 finalize -> max-rank registers ->
+    harmonic-mean estimate in closed form (_hll_distinct_tokens_sql);
+    the engine's exact-integer register sum makes the float estimate
+    bit-identical. <2% error bound vs exact also tested in
+    tests/test_functions.py."""
     from vietnamese_ocr_ray.functions.sketch import approx_distinct_tokens
 
     return approx_distinct_tokens(_docs(sf_dir, ("text",)))
@@ -1241,10 +1246,11 @@ def _inverted_index(sf_dir: str):
 
 
 def _approx_users_per_type(sf_dir: str):
-    """Grouped HLL distinct-user estimate per event_type (rows-only:
-    HLL estimation noise is not SQL-expressible; accuracy vs the exact
-    grouped distinct is tested in tests/test_functions.py, and
-    `distinct_users` is the exact SQL-checked twin)."""
+    """Grouped HLL distinct-user estimate per event_type.
+    SQL-value-checked: the oracle replays the grouped register state
+    and estimate in closed form (_hll_users_per_type_sql); accuracy vs
+    the exact grouped distinct is also tested in
+    tests/test_functions.py, and `distinct_users` is the exact twin."""
     from vietnamese_ocr_ray.functions.sketch import grouped_approx_distinct
     from vietnamese_ocr_ray.sources.storage import read_parquet_clean
 
@@ -2229,6 +2235,99 @@ def _minhash_verified_cte(
       JOIN hashes hb ON hb.doc_id = c.b
     )
     """
+
+
+_FNV_STR_FOLD = """CAST(list_reduce(
+    list_prepend(14695981039346656037::HUGEINT,
+      list_transform(generate_series(1, length({col})),
+                     i -> unicode(substr({col}, i, 1))::HUGEINT)),
+    (acc, b) -> (xor(CAST(acc % MODV AS UBIGINT), CAST(b AS UBIGINT))::HUGEINT
+                 * 1099511628211) % MODV
+  ) % MODV AS UBIGINT)""".replace("MODV", _U64_MOD)
+
+
+def _mul64_expr(x: str, c: int) -> str:
+    """Low 64 bits of x*c without INT128 overflow: 32-bit-halves split
+    (x_lo*c fits 2^96; only the low 32 bits of x_hi*c survive the <<32).
+    Needed because the splitmix64 multipliers are ~2^63.5, so a direct
+    HUGEINT product of a full u64 overflows INT128."""
+    return (
+        f"CAST((({x} % 4294967296)::HUGEINT * {c}"
+        f" + ((({x} >> 32)::HUGEINT * {c}) % 4294967296) * 4294967296)"
+        f" % {_U64_MOD} AS UBIGINT)"
+    )
+
+
+def _hll_est_cte(item_sql: str, keyed: bool) -> str:
+    """HyperLogLog replayed in closed form — the SQL restatement of
+    functions/sketch.HllSketch (p=12): FNV-1a content hash of each
+    DISTINCT item, splitmix64 finalize (mod-2^64 via the split
+    multiply), register = high 12 bits, rank = leading zeros of the
+    remaining 52 bits + 1 (53 when zero), registers = max rank per
+    index, and the harmonic-mean estimate over the EXACT integer
+    register sum (the engine computes the same integer — see
+    HllSketch.estimate — so the float estimate is bit-identical).
+    ``item_sql`` must yield column ``v`` (string) plus ``k`` when
+    ``keyed``; the caller selects from ``est`` (columns e, zeros)."""
+    kc = "k, " if keyed else ""
+    group_tail = "k" if keyed else "ALL"
+    return f"""
+    items AS ({item_sql}),
+    h0 AS (SELECT {kc}{_FNV_STR_FOLD.format(col="v")} AS h FROM items),
+    f1 AS (SELECT {kc}{_mul64_expr("xor(h, h >> 30)", 0xBF58476D1CE4E5B9)} AS h FROM h0),
+    f2 AS (SELECT {kc}{_mul64_expr("xor(h, h >> 27)", 0x94D049BB133111EB)} AS h FROM f1),
+    f3 AS (SELECT {kc}xor(h, h >> 31) AS h FROM f2),
+    reg AS (
+      SELECT {kc}CAST(h >> 52 AS BIGINT) AS idx,
+             max(CASE WHEN (h % 4503599627370496) = 0 THEN 53
+                 ELSE 64 - length(bin((h % 4503599627370496)::UBIGINT * 4096))
+                      + 1 END) AS rnk
+      FROM f3 GROUP BY {kc}idx
+    ),
+    agg AS (
+      SELECT {kc}sum(1::HUGEINT << (64 - rnk)) AS s_used, count(*) AS n_used
+      FROM reg GROUP BY {group_tail}
+    ),
+    est AS (
+      SELECT {kc}(0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+             * 18446744073709551616.0
+             / CAST(s_used + (4096 - n_used) * 18446744073709551616::HUGEINT
+                    AS DOUBLE) AS e,
+             4096 - n_used AS zeros
+      FROM agg
+    )
+    """
+
+
+_HLL_FINAL = """CAST(floor(CASE WHEN e <= 2.5 * 4096.0 AND zeros > 0
+                  THEN 4096.0 * ln(4096.0 / zeros) ELSE e END + 0.5)
+       AS BIGINT)"""
+
+
+def _hll_distinct_tokens_sql() -> str:
+    """(approx_distinct_tokens) — the `approx_distinct_tokens` oracle."""
+    item = "SELECT DISTINCT unnest(string_split(text, ' ')) AS v FROM documents"
+    return (
+        "WITH "
+        + _hll_est_cte(item, keyed=False)
+        + f"\n    SELECT {_HLL_FINAL} AS approx_distinct_tokens FROM est\n    "
+    )
+
+
+def _hll_users_per_type_sql() -> str:
+    """(event_type, approx_distinct) — the `approx_users_per_type`
+    oracle (grouped HLL, value cast to string exactly as the engine's
+    grouped_approx_distinct casts non-string value columns)."""
+    item = (
+        "SELECT DISTINCT event_type AS k, CAST(user_id AS VARCHAR) AS v"
+        " FROM events"
+    )
+    return (
+        "WITH "
+        + _hll_est_cte(item, keyed=True)
+        + f"\n    SELECT k AS event_type, {_HLL_FINAL} AS approx_distinct"
+        " FROM est\n    "
+    )
 
 
 def _minhash_pairs_sql() -> str:
@@ -3721,6 +3820,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_dupgraph": _pagerank_sql(20),
         "minhash_pairs": _minhash_pairs_sql(),
         "dedup_neardup": _minhash_dedup_sql(),
+        "approx_distinct_tokens": _hll_distinct_tokens_sql(),
+        "approx_users_per_type": _hll_users_per_type_sql(),
         "simhash": _simhash64_sql(),
         "simhash_pairs": _simhash64_pairs_sql(3),
         "dedup_neardup_simhash": _simhash64_dedup_sql(3),

@@ -11,6 +11,7 @@
 
 from __future__ import annotations
 
+import math
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -77,8 +78,15 @@ class HllSketch:
     def estimate(self) -> float:
         m = float(self.m)
         alpha = 0.7213 / (1.0 + 1.079 / m)
-        e = alpha * m * m / np.power(2.0, -self.registers.astype(np.float64)).sum()
-        zeros = int((self.registers == 0).sum())
+        # register sum as an EXACT integer (sum of 2^-reg scaled by
+        # 2^64): the float total is then one deterministic cast +
+        # divide, so any independent replay (the DuckDB oracle) that
+        # builds the same integer gets the bit-identical estimate —
+        # a float accumulation order would differ in the last ulp.
+        counts = np.bincount(self.registers, minlength=65)
+        s_int = sum(int(c) << (64 - r) for r, c in enumerate(counts) if c)
+        e = alpha * m * m * 18446744073709551616.0 / float(s_int)
+        zeros = int(counts[0])
         if e <= 2.5 * m and zeros:
             e = m * np.log(m / zeros)  # linear counting
         return float(e)
@@ -114,7 +122,7 @@ def approx_distinct_tokens(
         for raw in b.column("sketch").to_pylist():
             merged.merge(HllSketch.from_bytes(raw, p))
     return pa.table(
-        {"approx_distinct_tokens": pa.array([int(round(merged.estimate()))], pa.int64())}
+        {"approx_distinct_tokens": pa.array([int(math.floor(merged.estimate() + 0.5))], pa.int64())}
     )
 
 
@@ -463,7 +471,7 @@ def grouped_approx_distinct(
             {
                 key_col: pa.array([g[key_col].iloc[0]], pa.string()),
                 "approx_distinct": pa.array(
-                    [int(round(merged.estimate()))], pa.int64()
+                    [int(math.floor(merged.estimate() + 0.5))], pa.int64()
                 ),
             }
         )
