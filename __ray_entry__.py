@@ -765,8 +765,11 @@ def _ann_topk_multi(sf_dir: str):
 
 
 def _ann_lsh(sf_dir: str):
-    """Hyperplane-LSH ANN with Hamming probing (rows-only: probing is
-    not SQL-expressible; self-hit test in tests/test_functions.py)."""
+    """Hyperplane-LSH ANN with Hamming probing. SQL-value-checked: the
+    hyperplanes are seeded (data-independent), so the oracle inlines
+    them as literals and replays bucket -> Hamming probe -> exact
+    round-6 cosine top-k (_ann_lsh_sql); self-hit test in
+    tests/test_functions.py."""
     import ray.data as rd
 
     from vietnamese_ocr_ray.functions.ann import ann_lsh
@@ -1013,9 +1016,11 @@ def _embedding_pca(sf_dir: str, n_components: int = 2):
 
 def _embedding_neardup_lsh(sf_dir: str):
     """Approximate multi-table hyperplane-LSH cosine near-dup pairs —
-    the 100 TB path that replaces the exact O(N^2) block-pair matmul
-    (rows-only: banding is not SQL-expressible; recall vs the exact
-    pair set is tested on planted duplicates in tests/test_functions.py)."""
+    the 100 TB path that replaces the exact O(N^2) block-pair matmul.
+    SQL-value-checked: all 16 tables' seeded hyperplanes are inlined
+    and the banding + exact round-6 cosine verify is replayed in
+    closed form (_embedding_neardup_lsh_sql); recall vs the exact pair
+    set is tested on planted duplicates in tests/test_functions.py."""
     from vietnamese_ocr_ray.functions.ann import cosine_pairs_lsh
 
     ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -1274,6 +1279,21 @@ def _heavy_hitters(sf_dir: str, k: int = 10):
     from vietnamese_ocr_ray.functions.sketch import heavy_hitters_cms
 
     return heavy_hitters_cms(_docs(sf_dir), k=k)
+
+
+def _heavy_hitters_full(sf_dir: str, k: int = 10):
+    """Heavy hitters via Count-Min with EXHAUSTIVE candidates
+    (candidates_per_batch=None): every distinct token is ranked by its
+    CMS estimate, making the result a pure data function — layout-
+    invariant and SQL-value-checked (the oracle replays the 4 depth-row
+    bucket sums and min-over-depth estimates in closed form,
+    _cms_full_sql). Collision noise is still present (estimates come
+    from the 4x2048 sketch, not exact counts); `heavy_hitters_cms`
+    keeps the streaming candidate heuristic for vocabularies too large
+    to rank exhaustively."""
+    from vietnamese_ocr_ray.functions.sketch import heavy_hitters_cms
+
+    return heavy_hitters_cms(_docs(sf_dir), k=k, candidates_per_batch=None)
 
 
 def _top_tokens(sf_dir: str, k: int = 10):
@@ -1906,6 +1926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "vietnamese_ocr_ray.functions.dedup", fromlist=["dup_triangles"]
         ).dup_triangles(_docs(sf, columns=("doc_id", "lang", "n_chars"))),
         "heavy_hitters_cms": _heavy_hitters,
+        "heavy_hitters_cms_full": _heavy_hitters_full,
         "approx_users_per_type": _approx_users_per_type,
         "top_bigrams": _top_bigrams,
         "tfidf_top_terms": lambda sf: tfidf_top_terms(_docs(sf)),
@@ -2302,6 +2323,194 @@ def _hll_est_cte(item_sql: str, keyed: bool) -> str:
 _HLL_FINAL = """CAST(floor(CASE WHEN e <= 2.5 * 4096.0 AND zeros > 0
                   THEN 4096.0 * ln(4096.0 / zeros) ELSE e END + 0.5)
        AS BIGINT)"""
+
+
+def _lsh_bucket_expr(e: str, planes: "np.ndarray") -> str:
+    """Sign-LSH bucket of the vector column ``e`` under the given
+    (dim, nplanes) hyperplane matrix, inlined as float literals —
+    the SQL restatement of functions/ann.LshIndexer.bucket_of (bit j
+    set iff dot(v, plane_j) > 0; normalization never changes the sign,
+    so raw embeddings replay the engine's normalized bucketing).
+    Python repr() floats round-trip to the identical double in DuckDB."""
+    terms = []
+    for j in range(planes.shape[1]):
+        lits = ", ".join(repr(float(x)) for x in planes[:, j])
+        terms.append(
+            f"(CASE WHEN list_dot_product({e}, [{lits}]) > 0"
+            f" THEN {1 << j} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ann_lsh_sql(k: int = 10, planes: int = 12, probe_hamming: int = 2,
+                 seed: int = 13, dim: int = 64) -> str:
+    """(vec_id, cos) — the `ann_lsh` oracle: hyperplane bucket of every
+    vector and of the query (vec_id 0), Hamming-probe filter on the
+    bucket ids, exact cosine + top-k on the survivors (the same
+    round-6 cosine contract the ann_topk oracle uses)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((dim, planes))
+    bexpr = _lsh_bucket_expr("e", mat)
+    return f"""
+    WITH p AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), q AS (
+      SELECT e AS qe, {_lsh_bucket_expr("e", mat)} AS qbkt
+      FROM p WHERE vec_id = 0
+    ), bk AS (
+      SELECT vec_id, e, {bexpr} AS bkt FROM p
+    ), cand AS (
+      SELECT vec_id, e FROM bk, q
+      WHERE bit_count(xor(bkt::UBIGINT, qbkt::UBIGINT)) <= {probe_hamming}
+    )
+    SELECT vec_id, round(list_cosine_similarity(e, qe), 6) AS cos
+    FROM cand, q
+    ORDER BY cos DESC, vec_id LIMIT {k}
+    """
+
+
+def _embedding_neardup_lsh_sql(threshold: float = 0.4, tables: int = 16,
+                               planes: int = 6, seed: int = 13,
+                               dim: int = 64) -> str:
+    """(vec_id_a, vec_id_b, cos) — the `embedding_neardup_lsh` oracle:
+    the multi-table sign-LSH banding of functions/ann.cosine_pairs_lsh
+    replayed with every table's hyperplanes inlined; candidates =
+    pairs co-bucketed under any table key, verified by exact round-6
+    cosine >= threshold."""
+    import numpy as np
+
+    selects = []
+    for t in range(tables):
+        rng = np.random.default_rng(seed + 1000 * t)
+        mat = rng.standard_normal((dim, planes))
+        key = f"({t * (1 << planes)} + {_lsh_bucket_expr('e', mat)})"
+        selects.append(f"SELECT vec_id, {key} AS key FROM p")
+    members = "\n      UNION ALL ".join(selects)
+    return f"""
+    WITH p AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), members AS (
+      {members}
+    ), cand AS (
+      SELECT DISTINCT m1.vec_id AS a, m2.vec_id AS b
+      FROM members m1 JOIN members m2 USING (key)
+      WHERE m1.vec_id < m2.vec_id
+    ), scored AS (
+      SELECT c.a AS vec_id_a, c.b AS vec_id_b,
+             round(list_cosine_similarity(pa.e, pb.e), 6) AS cos
+      FROM cand c
+      JOIN p pa ON pa.vec_id = c.a
+      JOIN p pb ON pb.vec_id = c.b
+    )
+    SELECT vec_id_a, vec_id_b, cos FROM scored WHERE cos >= {threshold}
+    """
+
+
+def _audio_features_sql() -> str:
+    """(media_ref, duration_s, rms, peak, zero_crossings) — the
+    `audio_features` oracle: the PCM16 synth and the feature extraction
+    replayed in closed form. Per doc, n = min(4000, 200 + 4*n_chars)
+    samples; sample i = clip(rint((0.5*sin(2*pi*freq*i/8000) +
+    0.1*noise_i) * 32767)) with freq = 100 + (doc_id%37)*10 and
+    noise_i = splitmix64(seed0 + i) top-53-bits mapped to [-1,1) —
+    exact-integer construction mirrored by stages/multimodal.synth_audio.
+    PCM squares/sums are integers below 2^53, so the float aggregates
+    are order-independent and bit-identical; rint is replayed as
+    floor(x + 0.5) (exact .5 ties have measure zero)."""
+    z0 = f"CAST((seed0::HUGEINT + i + {0x9E3779B97F4A7C15}) % {_U64_MOD} AS UBIGINT)"
+    z1 = _mul64_expr(f"xor(h0, h0 >> 30)", 0xBF58476D1CE4E5B9)
+    z2 = _mul64_expr(f"xor(h1, h1 >> 27)", 0x94D049BB133111EB)
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(least(4000, 200 + 4 * n_chars) AS BIGINT) AS n,
+             100.0 + (doc_id % 37) * 10.0 AS freq,
+             CAST((doc_id * 2654435761) % 4294967296 AS UBIGINT) AS seed0
+      FROM documents
+    ), sg AS (
+      SELECT doc_id, n, freq, seed0,
+             unnest(generate_series(0, n - 1)) AS i
+      FROM d
+    ), s AS (
+      SELECT doc_id, n, freq, i, {z0} AS h0 FROM sg
+    ), s1 AS (SELECT doc_id, n, freq, i, {z1} AS h1 FROM s),
+    s2 AS (SELECT doc_id, n, freq, i, {z2} AS h2 FROM s1),
+    pcm AS (
+      SELECT doc_id, n, i,
+             CAST(greatest(-32768.0, least(32767.0, floor(
+               (0.5 * sin(2 * pi() * freq * i / 8000.0)
+                + 0.1 * (CAST(xor(h2, h2 >> 31) >> 11 AS DOUBLE)
+                         * 2.220446049250313e-16 - 1.0)) * 32767 + 0.5
+             ))) AS BIGINT) AS v
+      FROM s2
+    ), z AS (
+      SELECT doc_id, n, i, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      FROM pcm
+    ), feat AS (
+      SELECT doc_id, any_value(n) AS n,
+             sum(v * v) AS sq,
+             max(abs(v)) AS peak,
+             sum(CASE WHEN pv IS NOT NULL AND (v < 0) != (pv < 0)
+                 THEN 1 ELSE 0 END) AS zc
+      FROM z GROUP BY doc_id
+    )
+    SELECT 'a-' || CAST(doc_id AS VARCHAR) AS media_ref,
+           round(CAST(n AS DOUBLE) / 8000.0, 6) AS duration_s,
+           round(sqrt(CAST(sq AS DOUBLE) / greatest(n, 1)), 4) AS rms,
+           CAST(peak AS BIGINT) AS peak,
+           CAST(zc AS BIGINT) AS zero_crossings
+    FROM feat
+    """
+
+
+def _cms_full_sql(k: int = 10, depth: int = 4, width: int = 2048) -> str:
+    """(tok, est_count) — the `heavy_hitters_cms_full` oracle: the
+    Count-Min table replayed in closed form. Per distinct token, FNV-1a
+    content hash, per-depth bucket = high log2(width) bits of
+    hash * odd-multiplier (split multiply mod 2^64 — the multipliers
+    are ~2^63, a direct HUGEINT product overflows INT128); per-depth
+    bucket sums of exact token counts; estimate = min over depths;
+    top-k by estimate desc, token asc (CountMinSketch semantics,
+    functions/sketch.py)."""
+    mults = [
+        0x9E3779B97F4A7C15,
+        0xC2B2AE3D27D4EB4F,
+        0x165667B19E3779F9,
+        0x27D4EB2F165667C5,
+    ][:depth]
+    shift = 64 - (width.bit_length() - 1)
+    bucket_cols = ",\n             ".join(
+        f"CAST({_mul64_expr('h', m)} >> {shift} AS BIGINT) AS b{d}"
+        for d, m in enumerate(mults)
+    )
+    depth_ctes = ",\n    ".join(
+        f"t{d} AS (SELECT b{d}, sum(c) AS s{d} FROM bk GROUP BY b{d})"
+        for d in range(depth)
+    )
+    joins = "\n      ".join(f"JOIN t{d} USING (b{d})" for d in range(depth))
+    least = ", ".join(f"s{d}" for d in range(depth))
+    return f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ), tc AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t
+    ), th AS (
+      SELECT t, c, {_FNV_STR_FOLD.format(col="t")} AS h FROM tc
+    ), bk AS (
+      SELECT t, c,
+             {bucket_cols}
+      FROM th
+    ),
+    {depth_ctes}
+    SELECT bk.t AS tok, CAST(least({least}) AS BIGINT) AS est_count
+    FROM bk
+      {joins}
+    ORDER BY least({least}) DESC, bk.t ASC
+    LIMIT {k}
+    """
 
 
 def _hll_distinct_tokens_sql() -> str:
@@ -3822,6 +4031,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_neardup": _minhash_dedup_sql(),
         "approx_distinct_tokens": _hll_distinct_tokens_sql(),
         "approx_users_per_type": _hll_users_per_type_sql(),
+        "heavy_hitters_cms_full": _cms_full_sql(),
+        "ann_lsh": _ann_lsh_sql(),
+        "embedding_neardup_lsh": _embedding_neardup_lsh_sql(),
+        "audio_features": _audio_features_sql(),
         "simhash": _simhash64_sql(),
         "simhash_pairs": _simhash64_pairs_sql(3),
         "dedup_neardup_simhash": _simhash64_dedup_sql(3),

@@ -906,6 +906,43 @@ def test_count_min_heavy_hitters(ray_session):
     assert (s1.table == s.table).all()
 
 
+def test_cms_exhaustive_candidates_is_pure_data_function(ray_session):
+    """candidates_per_batch=None ranks EVERY distinct token by its CMS
+    estimate — the result must equal a single-process replay of the
+    merged sketch over exact global counts (no dependence on batch
+    boundaries), and estimates must still be one-sided."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.functions.dedup import content_hash64
+    from vietnamese_ocr_ray.functions.sketch import (
+        CountMinSketch,
+        heavy_hitters_cms,
+    )
+    from vietnamese_ocr_ray.sources.storage import read_parquet_clean
+
+    sf = "/root/testdata/sf0.001"
+    ds = read_parquet_clean(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    got = heavy_hitters_cms(ds, k=10, candidates_per_batch=None)
+
+    c = Counter()
+    for s in pq.read_table(f"{sf}/documents.parquet").column("text").to_pylist():
+        c.update(s.split(" "))
+    toks = pa.array(sorted(c))
+    counts = np.array([c[t] for t in sorted(c)], dtype=np.int64)
+    ref = CountMinSketch()
+    ref.add_hashes(content_hash64(toks), counts)
+    est = ref.estimate_hashes(content_hash64(toks))
+    order = np.lexsort((np.asarray(toks), -est))[:10]
+    assert got.column("tok").to_pylist() == [sorted(c)[i] for i in order]
+    assert got.column("est_count").to_pylist() == [int(est[i]) for i in order]
+    got_est = dict(
+        zip(got.column("tok").to_pylist(), got.column("est_count").to_pylist())
+    )
+    assert all(got_est[t] >= c[t] for t in got_est)  # one-sided
+
+
 def test_grouped_hll_matches_exact_within_tolerance(ray_session):
     """Grouped HLL estimates per event_type agree with the exact
     grouped distinct within the standard ~1.04/sqrt(2^p) error."""

@@ -373,7 +373,7 @@ def heavy_hitters_cms(
     ds: rd.Dataset,
     text_col: str = "text",
     k: int = 10,
-    candidates_per_batch: int = 32,
+    candidates_per_batch: int | None = 32,
     depth: int = 4,
     width: int = 2048,
 ) -> pa.Table:
@@ -385,9 +385,14 @@ def heavy_hitters_cms(
     union covers the true top-k for any skewed stream). The driver
     merges block-count sketches (bounded, exactly the HLL shape),
     unions the candidate sets, and ranks candidates by CMS estimate
-    (ties: token asc). Rows-only: CMS collision noise is not
-    SQL-expressible; tests/test_functions.py checks the one-sided
-    guarantee (estimate >= true count) and exact-top-k recovery."""
+    (ties: token asc). The streaming candidate heuristic makes the
+    result layout-sensitive (tail-of-top-k membership can track batch
+    boundaries); ``candidates_per_batch=None`` ranks EVERY distinct
+    token instead — a pure data function (layout-invariant and
+    SQL-replayable, still carrying CMS collision noise) for corpora
+    whose vocabulary fits the driver. tests/test_functions.py checks
+    the one-sided guarantee (estimate >= true count) and exact-top-k
+    recovery."""
 
     def sketch_batch(batch: pa.Table) -> pa.Table:
         toks = pc.list_flatten(pc.split_pattern(batch.column(text_col), " "))
@@ -399,7 +404,8 @@ def heavy_hitters_cms(
         s = CountMinSketch(depth, width)
         if len(vals):
             s.add_hashes(content_hash64(vals), counts)
-        top = np.argsort(-counts, kind="stable")[:candidates_per_batch]
+        ncand = len(counts) if candidates_per_batch is None else candidates_per_batch
+        top = np.argsort(-counts, kind="stable")[:ncand]
         return pa.table(
             {
                 "sketch": pa.array([s.to_bytes()] + [None] * len(top), pa.binary()),

@@ -246,18 +246,39 @@ def media_colhash(media: rd.Dataset, concurrency=(1, 8)) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 avalanche (same constants as sketch.HllSketch), used
+    as the audio noise source because it is an exact-integer function
+    an independent replay (the DuckDB oracle) can recompute bit-for-bit
+    — a PCG stream from np.random cannot be restated in SQL."""
+    z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    return z
+
+
 def synth_audio(doc_ids, n_chars, sample_rate: int = 8000) -> pa.Table:
-    """Deterministic per-doc PCM16 clip: a seeded sine + uniform noise
-    whose length scales with the doc's char count (one clip per doc;
-    the audio analog of synth.py's text->image renderer)."""
+    """Deterministic per-doc PCM16 clip: a seeded sine + hash-derived
+    uniform noise whose length scales with the doc's char count (one
+    clip per doc; the audio analog of synth.py's text->image renderer).
+    Noise sample i of doc d = splitmix64(seed(d) + i) mapped to [-1, 1)
+    via its top 53 bits — exact-integer construction, so the clip bytes
+    are a closed-form function of (doc_id, n_chars) the SQL oracle can
+    replay."""
     refs, blobs, srs, ns = [], [], [], []
     for doc_id, nc in zip(doc_ids, n_chars):
         n = int(min(4000, 200 + 4 * int(nc)))
-        rng = np.random.default_rng(int(doc_id) * 2654435761 % (1 << 32))
+        seed0 = np.uint64(int(doc_id) * 2654435761 % (1 << 32))
         t = np.arange(n, dtype=np.float64)
         freq = 100.0 + (int(doc_id) % 37) * 10.0
         wave = 0.5 * np.sin(2 * np.pi * freq * t / sample_rate)
-        wave += 0.1 * rng.uniform(-1, 1, n)
+        with np.errstate(over="ignore"):
+            h = _splitmix64(seed0 + np.arange(n, dtype=np.uint64))
+        noise = (h >> np.uint64(11)).astype(np.float64) * 2.0**-53 * 2.0 - 1.0
+        wave += 0.1 * noise
         pcm = np.clip(np.rint(wave * 32767), -32768, 32767).astype("<i2")
         refs.append(f"a-{doc_id}")
         blobs.append(pcm.tobytes())
