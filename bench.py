@@ -55,7 +55,7 @@ def host_memcpy_gbs() -> float:
 
 
 HEALTHY_GBS = float(os.environ.get("GRAFT_BENCH_MIN_GBS", "5"))
-HEALTH_TRIES = int(os.environ.get("GRAFT_BENCH_HEALTH_TRIES", "10"))
+HEALTH_TRIES = int(os.environ.get("GRAFT_BENCH_HEALTH_TRIES", "20"))
 HEALTH_SLEEP_S = float(os.environ.get("GRAFT_BENCH_HEALTH_SLEEP_S", "30"))
 
 
