@@ -48,6 +48,9 @@ def host_memcpy_gbs() -> float:
 
     a = np.ones(12_500_000)  # 100 MB
     b = np.empty_like(a)
+    np.copyto(b, a)  # untimed: fault b's pages so the timed section is
+    # pure steady-state copy (faulting 100 MB inside the timed region
+    # understates a marginal host by ~2x and can wedge the gate)
     t = time.perf_counter()
     for _ in range(5):
         np.copyto(b, a)
