@@ -2555,8 +2555,8 @@ def _minhash_dedup_sql() -> str:
     return _minhash_verified_cte().replace(
         "WITH d AS", "WITH RECURSIVE d AS", 1
     ) + """
-    , vp AS (SELECT a, b FROM verified WHERE jaccard >= 0.6),
-    edges AS (SELECT a, b FROM vp UNION ALL SELECT b, a FROM vp),
+    , vp AS MATERIALIZED (SELECT a, b FROM verified WHERE jaccard >= 0.6),
+    edges AS MATERIALIZED (SELECT a, b FROM vp UNION ALL SELECT b, a FROM vp),
     walk AS (
       SELECT a AS v, a AS n FROM edges
       UNION
