@@ -57,27 +57,49 @@ def host_memcpy_gbs() -> float:
     return round(0.5 / (time.perf_counter() - t), 2)
 
 
+def host_fault_gbs() -> float:
+    """Probe page-fault service rate: GB of FRESH anonymous pages
+    touched per second (one byte per 4 KiB page of a new 256 MB
+    mapping). This — not memcpy bandwidth — is the resource this
+    sandbox host actually degrades (measured 0.03 GB/s sick vs >1
+    healthy), and it ANTI-SCALES with process count when sick (32
+    concurrent faulting processes took 5x the wall of 8), which is
+    what starves the 32-cpu leg while an 8-cpu leg runs near-healthy."""
+    import numpy as np
+
+    t = time.perf_counter()
+    a = np.empty(1 << 28, dtype=np.uint8)
+    a[::4096] = 1
+    return round(0.25 / (time.perf_counter() - t), 3)
+
+
 HEALTHY_GBS = float(os.environ.get("GRAFT_BENCH_MIN_GBS", "5"))
+HEALTHY_FAULT_GBS = float(os.environ.get("GRAFT_BENCH_MIN_FAULT_GBS", "0"))
 HEALTH_TRIES = int(os.environ.get("GRAFT_BENCH_HEALTH_TRIES", "20"))
 HEALTH_SLEEP_S = float(os.environ.get("GRAFT_BENCH_HEALTH_SLEEP_S", "30"))
 
 
 def await_healthy_host() -> float:
-    """Block until the memcpy probe clears HEALTHY_GBS (or the retry
-    budget runs out), so a single-shot driver bench can't land in a
-    degraded window. Returns the last probe reading either way; the
-    caller records it next to the measurement."""
+    """Block until the memcpy probe clears HEALTHY_GBS — and, when
+    GRAFT_BENCH_MIN_FAULT_GBS is set (scaling runs), until the
+    page-fault probe clears it too — or the retry budget runs out, so
+    a single-shot driver bench can't land in a degraded window.
+    Returns the last memcpy reading either way; the caller records it
+    (and host_fault_gbs()) next to the measurement."""
     probe = host_memcpy_gbs()
+    fault = host_fault_gbs() if HEALTHY_FAULT_GBS > 0 else None
     for _ in range(HEALTH_TRIES):
-        if probe >= HEALTHY_GBS:
+        if probe >= HEALTHY_GBS and (fault is None or fault >= HEALTHY_FAULT_GBS):
             return probe
         print(
-            f"[bench] host degraded (memcpy {probe} GB/s < {HEALTHY_GBS}); "
-            f"waiting {HEALTH_SLEEP_S:.0f}s",
+            f"[bench] host degraded (memcpy {probe} GB/s < {HEALTHY_GBS}"
+            + (f", fault {fault} < {HEALTHY_FAULT_GBS}" if fault is not None else "")
+            + f"); waiting {HEALTH_SLEEP_S:.0f}s",
             file=sys.stderr,
         )
         time.sleep(HEALTH_SLEEP_S)
         probe = host_memcpy_gbs()
+        fault = host_fault_gbs() if HEALTHY_FAULT_GBS > 0 else None
     return probe
 
 
@@ -310,6 +332,7 @@ def run_bench() -> dict:
         "media_spans_per_sec": round(media_spans / headline, 1),
         "host_memcpy_gbs": probe_after,
         "host_memcpy_gbs_before": probe_before,
+        "host_fault_gbs": host_fault_gbs(),
         "attempts": attempts,
     }
 
@@ -368,6 +391,8 @@ def run_scaling() -> dict:
                 "efficiency": round(eff, 3),
                 "host_memcpy_gbs_8": r_lo["host_memcpy_gbs"],
                 "host_memcpy_gbs_32": r_hi["host_memcpy_gbs"],
+                "host_fault_gbs_8": r_lo.get("host_fault_gbs"),
+                "host_fault_gbs_32": r_hi.get("host_fault_gbs"),
             }
         )
         print(f"[bench] scaling pair {i + 1}/{n_pairs}: {pairs[-1]}", file=sys.stderr)
@@ -498,6 +523,7 @@ def run_bench_headline_only() -> dict:
         "media_spans_per_sec": round(n_media / headline, 1),
         "host_memcpy_gbs": probe_after,
         "host_memcpy_gbs_before": probe_before,
+        "host_fault_gbs": host_fault_gbs(),
         "attempts": attempts,
     }
 
