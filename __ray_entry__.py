@@ -501,10 +501,10 @@ def _bpe_encode(sf_dir: str):
 def _semdedup(sf_dir: str):
     """SemDeDup (Abbas 2023): k-means clusters, in-cluster cosine
     pairs, distributed-CC min-id survivors over the embeddings table.
-    Rows-only: k-means is iterative (no SQL analog) and in-cluster
-    search intentionally trades recall for the O((N/k)^2) bound —
-    planted-dup removal + partitioning invariance are pytest-verified
-    in tests/test_semdedup.py."""
+    SQL-verified: the exact-integer k-means fit is replayed round by
+    round (_semdedup_sql), so the in-cluster recall trade is itself
+    value-checked; planted-dup removal + partitioning invariance are
+    additionally pytest-verified in tests/test_semdedup.py."""
     from vietnamese_ocr_ray.functions.semdedup import semdedup
 
     ds = _read_pq(
@@ -812,8 +812,10 @@ def _extract_cer(sf_dir: str):
 
 
 def _ann_ivf(sf_dir: str):
-    """IVF ANN with per-call k-means fit (rows-only: iterative k-means
-    is not SQL-expressible; blob test in tests/test_functions.py; see
+    """IVF ANN with per-call k-means fit. SQL-verified: the fit is
+    exact-integer on a fixed-point grid (functions/kmeans docstring),
+    so the oracle replays init hash, every Lloyd round, the probe
+    ranking and the in-list cosine top-k verbatim (_ann_ivf_sql; see
     `ann_ivf_persisted` for the build-once index path)."""
     import ray.data as rd
 
@@ -1041,7 +1043,9 @@ def _ann_ivf_persisted(sf_dir: str):
     from vietnamese_ocr_ray.functions.kmeans import ann_ivf_index, build_ivf_index
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    idx = f"/tmp/vnocr_cache/ivf-{tag}"
+    # ivfq: grid-deterministic kmeans (round 3) — old float-fit ivf-*
+    # indexes are stale
+    idx = f"/tmp/vnocr_cache/ivfq-{tag}"
     if not os.path.exists(os.path.join(idx, "centroids.parquet")):
         tmp = idx + ".building"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -2405,6 +2409,170 @@ def _embedding_neardup_lsh_sql(threshold: float = 0.4, tables: int = 16,
       JOIN p pb ON pb.vec_id = c.b
     )
     SELECT vec_id_a, vec_id_b, cos FROM scored WHERE cos >= {threshold}
+    """
+
+
+def _kmeans_hash_consts(dim: int = 64, seed: int = 17) -> str:
+    """One-row CTE body holding the CLOSED-FORM constants of the
+    kmeans init hash: the fold h_j = h_{j-1}*p + u_j expands to
+    h = h_init*p^dim + sum_j u_j * p^(dim-j) (mod 2^64), so the
+    64-deep sequential fold (which overflows DuckDB's 128-level binder
+    recursion) flattens to one list_sum. w1/w0 are the 32-bit halves
+    of p^(dim-j) for the split multiply (u * w can reach 2^128)."""
+    p, mod = 1099511628211, 1 << 64
+    h0 = ((seed * p + 0x9E3779B9) % mod) * pow(p, dim, mod) % mod
+    pw = [pow(p, dim - j, mod) for j in range(1, dim + 1)]
+    w1 = ",".join(f"{x >> 32}::HUGEINT" for x in pw)
+    w0 = ",".join(f"{x & 0xFFFFFFFF}::HUGEINT" for x in pw)
+    return f"SELECT {h0}::HUGEINT AS h0, [{w1}] AS w1, [{w0}] AS w0"
+
+
+def _kmeans_hash_expr(col: str = "q", dim: int = 64) -> str:
+    """The kmeans init hash — functions/kmeans._vec_hash replayed in
+    closed form (see _kmeans_hash_consts; the engine's uint64 wrap IS
+    mod 2^64). Split multiply keeps every intermediate < 2^97."""
+    u = f"((({col}[j]::HUGEINT % {_U64_MOD}) + {_U64_MOD}) % {_U64_MOD})"
+    term = (
+        f"((({u} * w1[j]) % 4294967296) * 4294967296 + {u} * w0[j])"
+        f" % {_U64_MOD}"
+    )
+    return (
+        f"CAST((h0 + list_sum(list_transform(generate_series(1, {dim}),"
+        f" j -> {term}))) % {_U64_MOD} AS UBIGINT)"
+    )
+
+
+def _sqdist_expr(a: str, b: str, dim: int = 64) -> str:
+    """Exact integer squared grid distance between two BIGINT[] vectors
+    (<= 64 * 2^48, well inside HUGEINT)."""
+    return (
+        f"list_sum(list_transform(generate_series(1, {dim}),"
+        f" j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j])))"
+    )
+
+
+def _kmeans_cte(k: int, iters: int = 5, seed: int = 17, dim: int = 64) -> str:
+    """functions/kmeans.kmeans_fit replayed as unrolled MATERIALIZED
+    CTEs (the pagerank_dupgraph pattern): quantize to the 2^-20 grid
+    (floor(x * 2^20 + 0.5); the power-of-two scale makes the multiply
+    exact in both numpy and DuckDB), init = k smallest polynomial
+    hashes, then ``iters`` rounds of integer-argmin assignment
+    (lowest-cid tie-break == the engine's first-win argmin) and
+    exact-rational centroid requantization floor(s/n + 1/2) computed in
+    pure integer arithmetic (DuckDB ``%``/``//`` truncate toward zero,
+    so floor-mod is spelled out). The engine's early fixed-point exit
+    is replay-safe: once centroids stop changing, further unrolled
+    rounds reproduce them verbatim. Exposes ``hrow`` (vec_id, e
+    DOUBLE[], q BIGINT[], h), ``cent{iters}`` (cid, cq) and ``afinal``
+    (vec_id, cid)."""
+    parts = [
+        f"""emb AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor(x * {1 << 20} + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    ), hconsts AS ({_kmeans_hash_consts(dim, seed)}
+    ), hrow AS MATERIALIZED (
+      SELECT vec_id, e, q, {_kmeans_hash_expr('q', dim)} AS h
+      FROM emb CROSS JOIN hconsts
+    ), cent0 AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT)
+               AS cid, q AS cq
+      FROM (SELECT h, vec_id, q FROM hrow ORDER BY h, vec_id LIMIT {k})
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        prev = f"cent{i - 1}"
+        parts.append(
+            f"""a{i} AS MATERIALIZED (
+      SELECT vec_id, q, cid FROM (
+        SELECT r.vec_id, r.q, c.cid,
+               row_number() OVER (PARTITION BY r.vec_id
+                 ORDER BY {_sqdist_expr('r.q', 'c.cq', dim)}, c.cid) AS rn
+        FROM hrow r CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ), u{i} AS MATERIALIZED (
+      SELECT cid, g.j, SUM(q[g.j])::HUGEINT AS s, COUNT(*)::HUGEINT AS n
+      FROM a{i} CROSS JOIN
+           (SELECT unnest(generate_series(1, {dim})) AS j) g
+      GROUP BY cid, g.j
+    ), cent{i} AS MATERIALIZED (
+      SELECT c.cid, coalesce(un.cq, c.cq) AS cq
+      FROM {prev} c LEFT JOIN (
+        SELECT cid, list(CAST(
+          ((2*s + n) - ((((2*s + n) % (2*n)) + (2*n)) % (2*n))) // (2*n)
+          AS BIGINT) ORDER BY j) AS cq
+        FROM u{i} GROUP BY cid
+      ) un USING (cid)
+    )"""
+        )
+    parts.append(
+        f"""afinal AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT r.vec_id, c.cid,
+               row_number() OVER (PARTITION BY r.vec_id
+                 ORDER BY {_sqdist_expr('r.q', 'c.cq', dim)}, c.cid) AS rn
+        FROM hrow r CROSS JOIN cent{iters} c
+      ) WHERE rn = 1
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
+def _ann_ivf_sql(
+    n_clusters: int = 8, nprobe: int = 3, topk: int = 10,
+    iters: int = 5, seed: int = 17, dim: int = 64,
+) -> str:
+    """(vec_id, cos) — the `ann_ivf` / `ann_ivf_persisted` oracle: the
+    deterministic k-means fit replayed via _kmeans_cte, the query's
+    nprobe nearest centroids by the same integer grid distance
+    (lowest-cid tie-break == kmeans._probe_order's lexsort), exact
+    round-6 cosine top-k within the probed inverted lists only."""
+    return f"""
+    WITH {_kmeans_cte(n_clusters, iters, seed, dim)},
+    qrow AS (SELECT q AS qq, e AS qe FROM hrow WHERE vec_id = 0),
+    probe AS (
+      SELECT cid FROM cent{iters} CROSS JOIN qrow
+      ORDER BY {_sqdist_expr('cq', 'qq', dim)}, cid LIMIT {nprobe}
+    )
+    SELECT r.vec_id,
+           round(list_cosine_similarity(r.e, qrow.qe), 6) AS cos
+    FROM afinal a
+    JOIN hrow r USING (vec_id)
+    CROSS JOIN qrow
+    WHERE a.cid IN (SELECT cid FROM probe)
+    ORDER BY cos DESC, r.vec_id LIMIT {topk}
+    """
+
+
+def _semdedup_sql(
+    n_clusters: int = 4, threshold: float = 0.4,
+    iters: int = 5, seed: int = 17, dim: int = 64,
+) -> str:
+    """(vec_id) — the `semdedup` oracle: k-means replay via
+    _kmeans_cte, in-cluster round-6 cosine pairs (SemDeDup's accepted
+    cross-cluster recall trade is replayed EXACTLY because the cluster
+    assignment itself is replayed), then the recursive min-id
+    components walk of the dedup_neardup_cosine oracle."""
+    return f"""
+    WITH RECURSIVE {_kmeans_cte(n_clusters, iters, seed, dim)},
+    pairs AS MATERIALIZED (
+      SELECT aa.vec_id AS a, ab.vec_id AS b
+      FROM afinal aa
+      JOIN afinal ab ON aa.cid = ab.cid AND aa.vec_id < ab.vec_id
+      JOIN hrow ra ON ra.vec_id = aa.vec_id
+      JOIN hrow rb ON rb.vec_id = ab.vec_id
+      WHERE round(list_cosine_similarity(ra.e, rb.e), 6) >= {threshold}
+    ),
+    cedges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+    walk AS (
+      SELECT a AS v, a AS n FROM cedges
+      UNION
+      SELECT walk.v, e.b FROM walk JOIN cedges e ON walk.n = e.a
+    ),
+    comp AS (SELECT v AS node, min(n) AS component FROM walk GROUP BY v)
+    SELECT e.vec_id FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT node FROM comp WHERE node != component)
     """
 
 
@@ -4033,6 +4201,9 @@ def oracle_sql() -> dict[str, str]:
         "approx_users_per_type": _hll_users_per_type_sql(),
         "heavy_hitters_cms_full": _cms_full_sql(),
         "ann_lsh": _ann_lsh_sql(),
+        "ann_ivf": _ann_ivf_sql(),
+        "ann_ivf_persisted": _ann_ivf_sql(),
+        "semdedup": _semdedup_sql(),
         "embedding_neardup_lsh": _embedding_neardup_lsh_sql(),
         "audio_features": _audio_features_sql(),
         "simhash": _simhash64_sql(),

@@ -221,6 +221,40 @@ def test_kmeans_and_ivf(ray_session):
     assert out["vec_id"].iloc[0] == 70
 
 
+def test_kmeans_fit_bit_identical_across_block_layouts(ray_session):
+    """The determinism contract (functions/kmeans docstring): the fit
+    is exact-integer on the 2^-20 grid, so centroids must be
+    BIT-identical — not merely close — under any block layout, row
+    order, or batch size. Float partial sums (the obvious
+    implementation) fail this at the last ulp, which at 10^12 rows
+    means two cluster sizes dedup different rows."""
+    from vietnamese_ocr_ray.functions.kmeans import _QSCALE, kmeans_fit
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((300, 16))
+    ids = np.arange(300)
+
+    def ds_for(order, blocks):
+        t = pa.table(
+            {
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "embedding": pa.array(
+                    [v.astype(np.float32) for v in vecs[order]],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+        return rd.from_arrow(t).repartition(blocks)
+
+    base = kmeans_fit(ds_for(np.arange(300), 1), k=5, iters=3)
+    perm = rng.permutation(300)
+    for blocks in (3, 17):
+        alt = kmeans_fit(ds_for(perm, blocks), k=5, iters=3)
+        assert np.array_equal(base, alt)  # bit-identical, no tolerance
+    # every coordinate sits on the fixed-point grid
+    assert np.array_equal(base * _QSCALE, np.round(base * _QSCALE))
+
+
 def test_distinct_token_counts_exact_and_approx(ray_session):
     texts = [f"w{i} w{i+1} common" for i in range(0, 400, 2)]
     ds = rd.from_arrow(_docs_table(texts))

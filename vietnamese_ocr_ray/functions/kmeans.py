@@ -4,9 +4,24 @@ quantization) over an embedding column.
 
 k-means is the canonical iterative Ray Data algorithm shape: each round
 is one streaming pass — map_batches computes per-centroid partial sums
-(vectorized matmul assignment), a tiny groupby merges partials, the
-driver updates the k x d centroid matrix and re-broadcasts it. The
-dataset is never materialized on the driver.
+(vectorized assignment), a tiny groupby merges partials, the driver
+updates the k x d centroid matrix and re-broadcasts it. The dataset is
+never materialized on the driver.
+
+Determinism contract (the 100-TB reproducibility requirement): every
+arithmetic step that crosses a merge boundary is EXACT-INTEGER on a
+fixed-point grid (coordinates quantized to ``round_half_up(v * 2^20)``;
+2^20 is a power of two, so the scaling multiply itself is exact in
+float64), assignments are integer argmin of squared grid distances with
+lowest-cid tie-break, partial sums are int64 merged as Python ints, and
+the centroid update re-quantizes the exact rational mean with
+``floor(s/n + 1/2) == (2s + n) fld (2n)``. Consequently the fit is
+invariant to block layout, batch size and merge order — the same corpus
+yields bit-identical centroids on 1 node or 256 — and the whole
+iteration is replayable in SQL (see ``__ray_entry__._kmeans_cte``).
+Float partial sums (the obvious implementation) make centroids
+last-ulp-dependent on block boundaries, which at 10^12 rows means two
+cluster sizes dedup *different* rows.
 
 IVF search: assign every vector to its nearest centroid ("inverted
 list"), probe only the ``nprobe`` closest lists for a query — the
@@ -19,28 +34,66 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-
 from vietnamese_ocr_ray.functions.ann import _matrix, ann_bruteforce
+
+_QBITS = 20
+_QSCALE = float(1 << _QBITS)
+_HASH_P = np.uint64(1099511628211)  # FNV prime, reused as poly base
+_HASH_SALT = np.uint64(0x9E3779B9)
+
+
+def _quantize(m: np.ndarray) -> np.ndarray:
+    """Half-up fixed-point grid coords: floor(v * 2^20 + 0.5) as int64.
+    The power-of-two scale makes the multiply exact, so this is the
+    bit-identical counterpart of SQL ``floor(x * 1048576 + 0.5)``."""
+    return np.floor(np.asarray(m, dtype=np.float64) * _QSCALE + 0.5).astype(
+        np.int64
+    )
+
+
+def _vec_hash(q: np.ndarray, seed: int) -> np.ndarray:
+    """Wrapping-polynomial hash of each row's QUANTIZED coords —
+    data-determined (identical vectors hash identically regardless of
+    block) and SQL-replayable (mod-2^64 fold over ``q[j]``; hashing the
+    float64 bit pattern, the previous rule, has no DuckDB analog)."""
+    u = np.ascontiguousarray(q, dtype=np.int64).view(np.uint64)
+    with np.errstate(over="ignore"):
+        h = np.full(
+            u.shape[0], np.uint64(seed) * _HASH_P + _HASH_SALT, np.uint64
+        )
+        for j in range(u.shape[1]):
+            h = h * _HASH_P + u[:, j]
+    return h
+
+
+def _assign_q(mq: np.ndarray, cq: np.ndarray) -> np.ndarray:
+    """Integer argmin of squared grid distance, first (lowest-cid) win
+    on exact ties. Per-centroid loop (k is small) instead of one BLAS
+    matmul: dgemm's reduction order varies with matrix SHAPE, so a
+    float-score assign could flip near-ties between a 500-row tail
+    batch and a 4096-row one. Integers cannot."""
+    best = np.full(mq.shape[0], np.iinfo(np.int64).max, dtype=np.int64)
+    arg = np.zeros(mq.shape[0], dtype=np.int64)
+    for j in range(cq.shape[0]):
+        d = mq - cq[j]
+        dist = np.einsum("ij,ij->i", d, d)
+        better = dist < best
+        arg[better] = j
+        best[better] = dist[better]
+    return arg
 
 
 def _assign(m: np.ndarray, centroids: np.ndarray) -> np.ndarray:
-    """Nearest-centroid ids, vectorized: argmin ||x-c||^2 =
-    argmax (x.c - |c|^2/2)."""
-    scores = m @ centroids.T - 0.5 * (centroids**2).sum(axis=1)[None, :]
-    return np.argmax(scores, axis=1).astype(np.int64)
+    """Nearest-centroid ids for float input (quantized internally)."""
+    return _assign_q(_quantize(m), _quantize(centroids))
 
 
-def _vec_hash(m: np.ndarray, seed: int) -> np.ndarray:
-    """Wrapping-polynomial hash of each row's float64 BIT PATTERN —
-    data-determined, so identical vectors hash identically regardless
-    of which block they sit in."""
-    u = np.ascontiguousarray(m, dtype=np.float64).view(np.uint64)
-    p = np.uint64(1099511628211)
-    h = np.full(u.shape[0], np.uint64(seed) * p + np.uint64(0x9E3779B9))
-    with np.errstate(over="ignore"):
-        for j in range(u.shape[1]):
-            h = h * p + u[:, j]
-    return h
+def _probe_order(centroids: np.ndarray, query: np.ndarray) -> np.ndarray:
+    """Centroid indices by ascending integer grid distance to the
+    query, lowest cid first on ties — the deterministic probe rank."""
+    d = _quantize(centroids) - _quantize(query)[None, :]
+    dist = np.einsum("ij,ij->i", d, d)
+    return np.lexsort((np.arange(centroids.shape[0]), dist))
 
 
 def kmeans_fit(
@@ -50,23 +103,28 @@ def kmeans_fit(
     seed: int = 17,
     emb_col: str = "embedding",
 ) -> np.ndarray:
-    """(k, d) centroids. Init = the k rows with smallest salted hash of
-    the vector bytes — deterministic AND partitioning-invariant (a
+    """(k, d) float64 centroids, every coordinate on the 2^-20 grid.
+
+    Init = the k rows with smallest salted polynomial hash of the
+    quantized vector — deterministic AND partitioning-invariant (a
     seeded ``random_sample`` samples per block, so the init — and every
     downstream cluster id — would change with block boundaries). The
     candidate set is pruned to k per batch; only k x blocks rows reach
     the tiny global sort. Each iteration then streams the dataset once
-    (partial sums per batch, small aggregate)."""
+    (exact int64 partial sums per batch, small aggregate); the driver
+    holds only the k x d grid matrix. Early exit when the quantized
+    centroids reach a fixed point (a further pass cannot change them,
+    so a fixed-``iters`` replay yields the same result)."""
     import ray
 
     def init_part(batch: pa.Table) -> pa.Table:
-        m = _matrix(batch, emb_col)
-        h = _vec_hash(m, seed)
+        q = _quantize(_matrix(batch, emb_col))
+        h = _vec_hash(q, seed)
         idx = np.argsort(h, kind="stable")[:k]
         return pa.table(
             {
                 "h": pa.array(h[idx]),
-                "vec": pa.array(list(m[idx]), pa.list_(pa.float64())),
+                "vec": pa.array(list(q[idx]), pa.list_(pa.int64())),
             }
         )
 
@@ -77,23 +135,23 @@ def kmeans_fit(
         .limit(k)
         .take_all()
     )
-    centroids = np.array([r["vec"] for r in init_rows], dtype=np.float64)
-    k = centroids.shape[0]
+    cq = np.array([r["vec"] for r in init_rows], dtype=np.int64)
+    k = cq.shape[0]
 
     for _ in range(iters):
-        handle = ray.put(centroids)
+        handle = ray.put(cq)
 
         def partial(batch: pa.Table) -> pa.Table:
             c = ray.get(handle)
-            m = _matrix(batch, emb_col)
-            a = _assign(m, c)
-            sums = np.zeros((c.shape[0], m.shape[1]), dtype=np.float64)
-            np.add.at(sums, a, m)
+            q = _quantize(_matrix(batch, emb_col))
+            a = _assign_q(q, c)
+            sums = np.zeros((c.shape[0], q.shape[1]), dtype=np.int64)
+            np.add.at(sums, a, q)
             counts = np.bincount(a, minlength=c.shape[0]).astype(np.int64)
             return pa.table(
                 {
                     "cid": pa.array(np.arange(c.shape[0], dtype=np.int64)),
-                    "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                    "vsum": pa.array(list(sums), pa.list_(pa.int64())),
                     "n": pa.array(counts),
                 }
             )
@@ -102,29 +160,38 @@ def kmeans_fit(
             ds.select_columns([emb_col])
             .map_batches(partial, batch_format="pyarrow")
             .groupby("cid")
-            .map_groups(_merge_partials, batch_format="pyarrow")
+            .map_groups(_merge_finalize, batch_format="pyarrow")
             .take_all()
         )
-        prev = centroids.copy()
+        prev = cq.copy()
         for row in agg:
             if row["n"] > 0:
-                centroids[row["cid"]] = np.asarray(row["vsum"]) / row["n"]
-        # converged: a further pass cannot change assignments, so skip
-        # the remaining streaming iterations (each is a full corpus scan)
-        if float(np.abs(centroids - prev).max()) < 1e-9:
+                cq[row["cid"]] = np.asarray(row["vec"], dtype=np.int64)
+        if np.array_equal(cq, prev):
             break
-    return centroids
+    return cq.astype(np.float64) / _QSCALE
 
 
-def _merge_partials(g: pa.Table) -> pa.Table:
-    vs = np.asarray(
-        [np.asarray(x) for x in g.column("vsum").to_pylist()], dtype=np.float64
-    ).sum(axis=0)
+def _merge_finalize(g: pa.Table) -> pa.Table:
+    """Merge one cid's partials with PYTHON-INT sums (exact at any
+    scale; int64 partials are per-batch-bounded but their global sum
+    need not be) and re-quantize the exact rational mean:
+    round_half_up(s/n) == floor((2s + n) / (2n)) in floor division."""
+    parts = [np.asarray(x, dtype=np.int64) for x in g.column("vsum").to_pylist()]
+    s = [int(v) for v in parts[0]]
+    for p in parts[1:]:
+        for j, v in enumerate(p):
+            s[j] += int(v)
+    n = int(np.asarray(g.column("n")).sum())
+    if n > 0:
+        vec = [(2 * sj + n) // (2 * n) for sj in s]
+    else:
+        vec = [0] * len(s)
     return pa.table(
         {
             "cid": g.column("cid").slice(0, 1),
-            "vsum": pa.array([vs], pa.list_(pa.float64())),
-            "n": pa.array([int(np.asarray(g.column("n")).sum())], pa.int64()),
+            "vec": pa.array([vec], pa.list_(pa.int64())),
+            "n": pa.array([n], pa.int64()),
         }
     )
 
@@ -135,7 +202,7 @@ def assign_clusters(
     """(id, cluster) assignment — the IVF inverted-list build."""
     import ray
 
-    handle = ray.put(centroids)
+    handle = ray.put(np.asarray(centroids, dtype=np.float64))
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(handle)
@@ -220,7 +287,7 @@ def ivf_probe_files(index_dir: str, query: np.ndarray, nprobe: int) -> list[str]
     centroids = np.asarray(
         [np.asarray(x) for x in t.column("centroid").to_pylist()], dtype=np.float64
     )
-    order = np.argsort(-(centroids @ query - 0.5 * (centroids**2).sum(axis=1)))
+    order = _probe_order(centroids, np.asarray(query, dtype=np.float64))
     files = []
     for cid in cids[order[:nprobe]]:
         f = os.path.join(index_dir, f"cluster={int(cid)}.parquet")
@@ -262,7 +329,8 @@ def ann_ivf(
 
     if centroids is None:
         centroids = kmeans_fit(ds, k=n_clusters)
-    qc = np.argsort(-(centroids @ query - 0.5 * (centroids**2).sum(axis=1)))[:nprobe]
+    centroids = np.asarray(centroids, dtype=np.float64)
+    qc = _probe_order(centroids, np.asarray(query, dtype=np.float64))[:nprobe]
     probe_set = set(int(x) for x in qc)
     handle = ray.put(centroids)
 

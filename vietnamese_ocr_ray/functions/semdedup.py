@@ -80,6 +80,10 @@ def semdedup_pairs(
         # of equal-length numpy views: one stack, no per-row conversion
         m = np.stack(g["vec"].to_numpy())
         sim = m @ m.T
+        np.round(sim, 6, out=sim)  # round-6 BEFORE the threshold, the
+        # same contract as ann.cosine_pairs — absorbs the last-ulp gap
+        # between this normalized matmul and the oracle's
+        # list_cosine_similarity, so the pair SET is SQL-replayable
         iu, ju = np.triu_indices(len(ids), k=1)
         hit = sim[iu, ju] >= threshold
         a, b = ids[iu[hit]], ids[ju[hit]]
@@ -88,7 +92,7 @@ def semdedup_pairs(
             {
                 "a": pa.array(lo),
                 "b": pa.array(hi),
-                "cos": pa.array(np.round(sim[iu[hit], ju[hit]], 9)),
+                "cos": pa.array(sim[iu[hit], ju[hit]]),
             }
         )
 
