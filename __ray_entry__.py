@@ -323,8 +323,10 @@ def rd_empty_table(schema: pa.Schema):
 
 def _media_ahash(sf_dir: str):
     """Perceptual-hash image near-dup fingerprints over the
-    synthesized media table (rows-only: SQL cannot decode pixels;
-    the collision/separation check lives in tests/test_multimodal.py)."""
+    synthesized media table. SQL-verified: the synth renderer's band
+    arithmetic is integer-exact, so the fingerprint is replayed in
+    closed form (the r3 media oracles); collision/separation checks
+    live in tests/test_multimodal.py."""
     from vietnamese_ocr_ray.stages.multimodal import media_ahash
     from vietnamese_ocr_ray.synth import ensure_corpus
 
@@ -478,9 +480,12 @@ def _batching():
 def _bpe_merges(sf_dir: str):
     """Distributed BPE vocabulary learning (Sennrich 2016): word-count
     table via one bucketed shuffle, then the driver-side merge loop
-    over that vocab-sized table. Rows-only: iterative merges have no
-    SQL analog — verified against an independently-written dict-based
-    reference + partitioning invariance in tests/test_bpe.py."""
+    over that vocab-sized table. SQL-verified: every merge round
+    unrolls as materialized CTEs (_bpe_learn_cte — the left-to-right
+    merge pass replays as leftmost-single-merge steps, valid because
+    merging (l,r) never creates a new (l,r) occurrence); additionally
+    checked against an independently-written dict-based reference +
+    partitioning invariance in tests/test_bpe.py."""
     from vietnamese_ocr_ray.functions.bpe import bpe_learn
 
     return bpe_learn(_docs(sf_dir), num_merges=24)
@@ -490,8 +495,10 @@ def _bpe_encode(sf_dir: str):
     """BPE application: learn merges on the corpus (driver-side loop
     over the distributed word-count table), then tokenize every doc
     with an actor-pool encoder whose merge ranks + word cache live in
-    actor state. Rows-only (iterative merges have no SQL analog) —
-    equality vs an independent reference encoder in tests/test_bpe.py."""
+    actor state. SQL-verified: the GPT-2 lowest-rank-first loop
+    unrolls as fixpoint-safe rounds over distinct words
+    (_bpe_encode_sql); equality vs an independent reference encoder in
+    tests/test_bpe.py."""
     from vietnamese_ocr_ray.functions.bpe import bpe_encode, bpe_learn
 
     merges = bpe_learn(_docs(sf_dir), num_merges=24)
@@ -530,11 +537,10 @@ def _pack_bins(sf_dir: str):
 def _pack_bins_bpe(sf_dir: str):
     """Tokenizer-aware sequence packing: FFD bins over BPE piece
     counts (trainers pack by tokenizer length, not word count).
-    Rows-only: the packing heuristic has no SQL analog and the piece
-    counts come from the iterative BPE encoder — invariants
-    (exactly-once, budget respected, determinism under repartitioning)
-    are pytest-verified in tests/test_batching.py; the piece counts
-    themselves are reference-tested in the bpe_encode suite."""
+    SQL-verified end-to-end: BPE piece counts from the encode replay,
+    the splitmix64 hash bucket via split multiply, and the exact FFD
+    walk (_pack_bins_bpe_sql); invariants additionally pytest-verified
+    in tests/test_batching.py."""
     return _batching().pack_sequences(
         _bpe_encode(sf_dir), budget=256, length_col="n_pieces"
     )
@@ -887,7 +893,7 @@ def _dedup_neardup_cosine(sf_dir: str):
     """Near-dup REMOVAL over the SQL-checkable cosine>=0.4 graph:
     component survivors (min vec_id) + untouched vectors — upgrades
     the removal operator itself to a value-checked query (the LSH
-    variant stays rows-only because banding isn't SQL-expressible)."""
+    variant is value-checked too via inlined-hyperplane replay)."""
     import ray.data as rd
 
     from vietnamese_ocr_ray.functions.dedup import neardup_survivors
@@ -1061,9 +1067,10 @@ def _ann_ivf_persisted(sf_dir: str):
 
 def _audio_features(sf_dir: str):
     """Audio-modality stage over deterministic PCM16 clips synthesized
-    from the documents table (rows-only: SQL cannot decode PCM; the
-    reduceat features are checked against a per-clip numpy reference in
-    tests/test_multimodal.py)."""
+    from the documents table. SQL-verified: the splitmix64-noise PCM
+    synth is closed-form, so the features replay exactly
+    (_audio_features_sql); also checked against a per-clip numpy
+    reference in tests/test_multimodal.py."""
     from vietnamese_ocr_ray.stages.multimodal import audio_features, synth_audio
 
     def synth(batch: pa.Table) -> pa.Table:
@@ -1080,9 +1087,10 @@ def _audio_features(sf_dir: str):
 
 def _ann_topk_quantized(sf_dir: str):
     """ANN over the int8-quantized embedding store (4x smaller than
-    float32; rows-only: quantization is approximate by design —
+    float32). SQL-verified: the half-up scalar quantizer replays
+    encode/decode verbatim (the ann_topk_quantized oracle);
     reconstruction-error bound + recall@10 tests in
-    tests/test_functions.py)."""
+    tests/test_functions.py."""
     from vietnamese_ocr_ray.functions.quantize import (
         ann_bruteforce_quantized,
         fit_quantizer,
@@ -2573,6 +2581,232 @@ def _semdedup_sql(
     comp AS (SELECT v AS node, min(n) AS component FROM walk GROUP BY v)
     SELECT e.vec_id FROM embeddings e
     WHERE e.vec_id NOT IN (SELECT node FROM comp WHERE node != component)
+    """
+
+
+def _splice_expr(syms: str, bk: str) -> str:
+    """Merge the symbol pair at 1-based position ``bk`` of list column
+    ``syms`` (NULL bk = no-op) — the one-pair list surgery shared by
+    the BPE learn-apply and encode replays."""
+    return (
+        f"CASE WHEN {bk} IS NULL THEN {syms} ELSE "
+        f"list_concat(list_concat({syms}[1:{bk} - 1],"
+        f" [{syms}[{bk}] || {syms}[{bk} + 1]]), {syms}[{bk} + 2:]) END"
+    )
+
+
+def _bpe_learn_cte(num_merges: int = 24, apply_rounds: int = 4,
+                   max_words: int = 50_000) -> str:
+    """functions/bpe.bpe_learn replayed as unrolled MATERIALIZED CTEs:
+    word-frequency table (count-desc word-asc cap, the engine's
+    deterministic top-``max_words``), then per merge round (1) pair
+    counts over ALL adjacent symbol pairs weighted by word frequency
+    — zip(syms, syms[1:]) counts overlapping occurrences, so the
+    count unnests every position, (2) best pair = ORDER BY cnt DESC,
+    left, right (the engine's min by (-count, pair); ASCII corpus so
+    VARCHAR order == Python tuple order), (3) the left-to-right
+    non-overlapping merge pass replayed as ``apply_rounds`` unrolled
+    leftmost-single-merge steps — equivalent because merging (l,r)->lr
+    can never CREATE a new (l,r) occurrence (lr != l and lr != r), so
+    greedy-leftmost-to-fixpoint consumes exactly the single pass's
+    occurrence set; word length <= 8 in this corpus bounds
+    occurrences per word by 4. An exhausted pair table makes every
+    later round a self-guarding no-op (empty best -> NULL scalar
+    subqueries -> splice no-op, no merge row emitted), mirroring the
+    engine's loop break. Exposes ``ww{num_merges}_0`` (word, n, syms)
+    and ``bb1..bb{num_merges}`` (rank, l, r, cnt)."""
+    parts = [
+        f"""bwc AS MATERIALIZED (
+      SELECT word, n FROM (
+        SELECT word, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        GROUP BY word ORDER BY n DESC, word LIMIT {max_words})
+    ), ww0_0 AS MATERIALIZED (
+      SELECT word, n,
+             list_append(list_transform(
+               generate_series(1, length(word)),
+               i -> substr(word, i, 1)), '</w>') AS syms
+      FROM bwc
+    )"""
+    ]
+    for i in range(1, num_merges + 1):
+        prev = f"ww{i - 1}_0"
+        parts.append(
+            f"""bp{i} AS MATERIALIZED (
+      SELECT pr[1] AS l, pr[2] AS r, SUM(n) AS cnt
+      FROM (SELECT n, unnest(list_transform(
+              generate_series(1, len(syms) - 1),
+              k -> [syms[k], syms[k + 1]])) AS pr
+            FROM {prev})
+      GROUP BY l, r
+    ), bb{i} AS MATERIALIZED (
+      SELECT {i - 1} AS rnk, l, r, cnt
+      FROM bp{i} ORDER BY cnt DESC, l, r LIMIT 1
+    )"""
+        )
+        for t in range(1, apply_rounds + 1):
+            src = f"ww{i - 1}_{t - 1}" if t > 1 else prev
+            dst = f"ww{i - 1}_{t}" if t < apply_rounds else f"ww{i}_0"
+            parts.append(
+                f"""{dst} AS MATERIALIZED (
+      SELECT word, n, {_splice_expr('syms', 'bk')} AS syms
+      FROM (
+        SELECT word, n, syms,
+               nullif(list_position(list_transform(
+                 generate_series(1, len(syms) - 1),
+                 k -> syms[k] = ml AND syms[k + 1] = mr),
+                 true), 0) AS bk
+        FROM {src} LEFT JOIN
+             (SELECT l AS ml, r AS mr FROM bb{i}) ON true)
+    )"""
+            )
+    return ",\n    ".join(parts)
+
+
+def _bpe_encode_cte(num_merges: int = 24, enc_rounds: int = 8) -> str:
+    """functions/bpe.BpeEncoder replayed: GPT-2 greedy
+    lowest-rank-first — each round merges, per word, the single pair
+    with MIN(rank * 4096 + position) (the engine's strict-< scan keeps
+    the lowest position among the minimal rank), unrolled
+    ``enc_rounds`` times (>= max word length 8 = the most merges one
+    word can take; extra rounds are fixpoint no-ops). Exposes
+    ``bplen`` (word, n_pieces) over ALL distinct corpus words (the
+    learn cap does not limit encoding)."""
+    merge_union = "\n      UNION ALL ".join(
+        f"SELECT rnk, l, r FROM bb{i}" for i in range(1, num_merges + 1)
+    )
+    parts = [
+        f"""bmrg AS MATERIALIZED (
+      {merge_union}
+    ), be0 AS MATERIALIZED (
+      SELECT word,
+             list_append(list_transform(
+               generate_series(1, length(word)),
+               i -> substr(word, i, 1)), '</w>') AS syms
+      FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+            FROM documents)
+    )"""
+    ]
+    for t in range(1, enc_rounds + 1):
+        parts.append(
+            f"""be{t} AS MATERIALIZED (
+      SELECT q.word,
+             {_splice_expr('q.syms', '(m.code % 4096)')} AS syms
+      FROM be{t - 1} q LEFT JOIN (
+        SELECT word, MIN(mg.rnk * 4096 + pk.k) AS code
+        FROM (SELECT word, syms,
+                     unnest(generate_series(1, len(syms) - 1)) AS k
+              FROM be{t - 1}) pk
+        JOIN bmrg mg
+          ON mg.l = pk.syms[pk.k] AND mg.r = pk.syms[pk.k + 1]
+        GROUP BY word
+      ) m USING (word)
+    )"""
+        )
+    parts.append(
+        f"""bplen AS MATERIALIZED (
+      SELECT word, CAST(len(syms) AS BIGINT) AS n_pieces
+      FROM be{enc_rounds}
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
+def _bpe_merges_sql(num_merges: int = 24) -> str:
+    """(rank, left, right, pair_count) — the `bpe_merges` oracle."""
+    union = "\n    UNION ALL ".join(
+        f"SELECT rnk, l, r, cnt FROM bb{i}" for i in range(1, num_merges + 1)
+    )
+    return f"""
+    WITH {_bpe_learn_cte(num_merges)}
+    SELECT rnk AS "rank", l AS "left", r AS "right",
+           CAST(cnt AS BIGINT) AS pair_count
+    FROM ({union})
+    """
+
+
+def _bpe_encode_sql(num_merges: int = 24) -> str:
+    """(doc_id, n_tokens, n_pieces) — the `bpe_encode` oracle: learn
+    replay + encode replay + per-doc reduction."""
+    return f"""
+    WITH {_bpe_learn_cte(num_merges)},
+    {_bpe_encode_cte(num_merges)}
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(p.n_pieces) AS BIGINT) AS n_pieces
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents) t
+    JOIN bplen p USING (word)
+    GROUP BY t.doc_id
+    """
+
+
+def _pack_bins_bpe_sql(num_merges: int = 24, budget: int = 256,
+                       num_buckets: int = 32) -> str:
+    """(doc_id, n_tokens, pack_bucket, bin_id) — the `pack_bins_bpe`
+    oracle: BPE piece counts from the encode replay, the splitmix64
+    hash bucket of functions/joins._mix64 (split multiply mod 2^64),
+    then the exact FFD walk of the pack_bins oracle at budget 256."""
+    golden = 0x9E3779B97F4A7C15
+    return f"""
+    WITH RECURSIVE {_bpe_learn_cte(num_merges)},
+    {_bpe_encode_cte(num_merges)},
+    counted AS MATERIALIZED (
+      SELECT t.doc_id, CAST(sum(p.n_pieces) AS BIGINT) AS n_tokens
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents) t
+      JOIN bplen p USING (word)
+      GROUP BY t.doc_id
+    ), kz0 AS (
+      SELECT doc_id, n_tokens,
+             CAST((doc_id::HUGEINT + {golden}) % {_U64_MOD} AS UBIGINT)
+               AS h
+      FROM counted
+    ), kz1 AS (
+      SELECT doc_id, n_tokens,
+             {_mul64_expr("xor(h, h >> 30)", 0xBF58476D1CE4E5B9)} AS h
+      FROM kz0
+    ), kz2 AS (
+      SELECT doc_id, n_tokens,
+             {_mul64_expr("xor(h, h >> 27)", 0x94D049BB133111EB)} AS h
+      FROM kz1
+    ), kb AS (
+      SELECT doc_id, n_tokens,
+             CAST(xor(h, h >> 31) % {num_buckets} AS BIGINT)
+               AS pack_bucket
+      FROM kz2
+    ), b AS (
+      SELECT pack_bucket,
+             list(n_tokens ORDER BY n_tokens DESC, doc_id) AS lens,
+             list(doc_id ORDER BY n_tokens DESC, doc_id) AS ids,
+             count(*) AS n
+      FROM kb GROUP BY pack_bucket
+    ), ffd AS (
+      SELECT pack_bucket, 0 AS i,
+             CAST([] AS BIGINT[]) AS rem, CAST([] AS BIGINT[]) AS assign,
+             lens, ids, n
+      FROM b
+      UNION ALL
+      SELECT pack_bucket, i + 1,
+             CASE WHEN fit IS NULL
+                  THEN list_append(rem, greatest({budget} - L, 0))
+                  ELSE list_transform(rem, (x, j) ->
+                         CASE WHEN j = fit THEN x - L ELSE x END) END,
+             list_append(assign,
+               CASE WHEN fit IS NULL THEN len(rem) ELSE fit - 1 END),
+             lens, ids, n
+      FROM (
+        SELECT pack_bucket, i, rem, assign, lens, ids, n,
+               lens[i + 1] AS L,
+               nullif(list_position(
+                 list_transform(rem, x -> x >= lens[i + 1]), true), 0)
+                 AS fit
+        FROM ffd WHERE i < n
+      )
+    )
+    SELECT unnest(ids) AS doc_id, unnest(lens) AS n_tokens,
+           pack_bucket, unnest(assign) AS bin_id
+    FROM ffd WHERE i = n
     """
 
 
@@ -4204,6 +4438,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _ann_ivf_sql(),
         "ann_ivf_persisted": _ann_ivf_sql(),
         "semdedup": _semdedup_sql(),
+        "bpe_merges": _bpe_merges_sql(),
+        "bpe_encode": _bpe_encode_sql(),
+        "pack_bins_bpe": _pack_bins_bpe_sql(),
         "embedding_neardup_lsh": _embedding_neardup_lsh_sql(),
         "audio_features": _audio_features_sql(),
         "simhash": _simhash64_sql(),
