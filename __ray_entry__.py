@@ -342,9 +342,12 @@ def _train_standin(sf_dir: str):
     src/model/trainer.py:29-168): teacher-forced regression of the
     stand-in's band-level table over the labeled media corpus, OneCycle
     lr schedule, per-epoch val CER, best-checkpoint keep. Returns the
-    per-epoch metrics table. Rows-only: an iterative optimization loop
-    has no SQL analog — convergence-to-truth, schedule shape, best-keep
-    and bit-identical resume are pytest-verified in
+    per-epoch metrics table. SQL-verified: the loop is replayed
+    END-TO-END in DuckDB (_train_standin_sql — observed levels are
+    closed-form, the table update replays as the identical nested
+    float expression, CER via levenshtein over the replayed val
+    split); convergence-to-truth, schedule shape, best-keep and
+    bit-identical resume are additionally pytest-verified in
     tests/test_train.py."""
     from vietnamese_ocr_ray.synth import ensure_corpus
     from vietnamese_ocr_ray.train import train_standin
@@ -2810,6 +2813,118 @@ def _pack_bins_bpe_sql(num_merges: int = 24, budget: int = 256,
     """
 
 
+def _train_standin_sql(epochs: int = 5, max_lr: float = 1.0,
+                       val_permille: int = 10) -> str:
+    """(epoch, lr, loss, cer_val, is_best) — the `train_standin`
+    oracle: the WHOLE deterministic training loop replayed in SQL.
+
+    Why this is exact: the synth renderer's band level for char c is
+    the constant 40 + 4c (media-oracle arithmetic), so every observed
+    level equals its char's level — per-char variance is ZERO and the
+    teacher-forced step pulls table[c] toward the constant 40 + 4c.
+    The per-epoch update t <- t + lr*(m - t) is replayed as the SAME
+    nested float expression the engine executes (identical IEEE op
+    sequence, so bit-identical trajectories); chars absent from the
+    train split stay at the 128 init. Loss comes from the integer
+    moments (round-6 absorbs summation-order ulps), per-epoch val CER
+    from levenshtein of the argmin-decoded prediction strings against
+    truth over the fnv1a%1000 < 10 val split, and is_best is the
+    running-min rule (engine train.py:train_standin)."""
+    from vietnamese_ocr_ray.train import onecycle_lr
+
+    al = "0123456789abcdefghijklmnopqrstuvwxyz"
+    lrs = [onecycle_lr(e, epochs, max_lr) for e in range(epochs)]
+    texpr = ["128.0"]
+    for lr in lrs:
+        texpr.append(f"({texpr[-1]} + {lr!r} * (__M__ - {texpr[-1]}))")
+    m_sub = "(40.0 + 4 * ks.k)"
+    tbl_rows = "\n      UNION ALL ".join(
+        f"""SELECT {e} AS epoch, ks.k,
+        CASE WHEN tc.c IS NULL THEN 128.0
+             ELSE {texpr[e].replace('__M__', m_sub)} END AS t_pre,
+        CASE WHEN tc.c IS NULL THEN 128.0
+             ELSE {texpr[e + 1].replace('__M__', m_sub)} END AS t_post
+      FROM ks LEFT JOIN trainc tc ON tc.c = ks.k"""
+        for e in range(epochs)
+    )
+    lr_vals = ", ".join(f"({e}, {round(lr, 9)!r})" for e, lr in enumerate(lrs))
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +'),
+               x -> x != '') AS words
+      FROM documents
+    ), ew AS (
+      SELECT doc_id,
+             unnest(list_transform(words, x -> substr(x, 1, 30))) AS wd,
+             unnest(list_transform(words, (x, i) -> i - 1)) AS off
+      FROM w
+    ), mm AS (
+      SELECT 'm-' || CAST(doc_id AS VARCHAR) || '-' || CAST(off AS VARCHAR)
+               AS media_ref, wd AS truth
+      FROM ew WHERE off % 3 = 0
+    ), vb AS (
+      SELECT truth,
+             CAST({_FNV_STR_FOLD.format(col="media_ref")} % 1000 AS BIGINT)
+               AS bkt
+      FROM mm
+    ), trainc AS MATERIALIZED (
+      SELECT c, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT CAST(strpos('{al}', ch) - 1 AS BIGINT) AS c FROM (
+          SELECT unnest(list_transform(generate_series(1, length(truth)),
+                   i -> substr(truth, i, 1))) AS ch
+          FROM vb WHERE bkt >= {val_permille}))
+      GROUP BY c
+    ), valw AS (
+      SELECT truth FROM vb WHERE bkt < {val_permille}
+    ), ks AS (
+      SELECT unnest(generate_series(0, {len(al) - 1})) AS k
+    ), tbl AS MATERIALIZED (
+      {tbl_rows}
+    ), lossrows AS (
+      SELECT t.epoch,
+             round(0.5 * SUM(tc.n * t.t_pre * t.t_pre
+                             - 2.0 * t.t_pre * (tc.n * (40 + 4 * tc.c))
+                             + tc.n * (40 + 4 * tc.c) * (40 + 4 * tc.c))
+                   / greatest((SELECT SUM(n) FROM trainc), 1), 6) AS loss
+      FROM tbl t JOIN trainc tc ON tc.c = t.k
+      GROUP BY t.epoch
+    ), predsel AS (
+      SELECT epoch, c, k FROM (
+        SELECT t.epoch, cs.c, t.k,
+               row_number() OVER (PARTITION BY t.epoch, cs.c
+                 ORDER BY abs((40.0 + 4 * cs.c) - t.t_post), t.k) AS rn
+        FROM (SELECT unnest(generate_series(0, {len(al) - 1})) AS c) cs
+        CROSS JOIN tbl t
+      ) WHERE rn = 1
+    ), pmap AS (
+      SELECT epoch, list(substr('{al}', CAST(k + 1 AS INTEGER), 1)
+                         ORDER BY c) AS pl
+      FROM predsel GROUP BY epoch
+    ), wordlev AS (
+      SELECT p.epoch,
+             SUM(levenshtein(array_to_string(list_transform(
+               generate_series(1, length(v.truth)),
+               i -> p.pl[strpos('{al}', substr(v.truth, i, 1))]), ''),
+               v.truth)) AS errors,
+             SUM(length(v.truth)) AS total
+      FROM valw v CROSS JOIN pmap p GROUP BY p.epoch
+    ), met AS (
+      SELECT l.epoch, ep.lr9 AS lr, l.loss,
+             CAST(wl.errors AS DOUBLE) / wl.total AS cer_val
+      FROM lossrows l
+      JOIN wordlev wl USING (epoch)
+      JOIN (VALUES {lr_vals}) ep(epoch, lr9) USING (epoch)
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch, lr, loss, cer_val,
+           cer_val <= coalesce(min(cer_val) OVER (ORDER BY epoch
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             CAST('infinity' AS DOUBLE)) AS is_best
+    FROM met
+    """
+
+
 def _audio_features_sql() -> str:
     """(media_ref, duration_s, rms, peak, zero_crossings) — the
     `audio_features` oracle: the PCM16 synth and the feature extraction
@@ -4441,6 +4556,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_sql(),
         "bpe_encode": _bpe_encode_sql(),
         "pack_bins_bpe": _pack_bins_bpe_sql(),
+        "train_standin": _train_standin_sql(),
         "embedding_neardup_lsh": _embedding_neardup_lsh_sql(),
         "audio_features": _audio_features_sql(),
         "simhash": _simhash64_sql(),
