@@ -628,6 +628,18 @@ def _approx_quantiles(sf_dir: str):
     return approx_quantiles(ds, "value", qs=(0.5, 0.95))
 
 
+def _histogram_quantiles(sf_dir: str):
+    """SQL-value-checked twin of approx_quantiles: fixed power-of-two
+    grid histogram (bucket = floor(value*4), exact on any IEEE double)
+    whose bucket counts are exact integers, so the midpoint estimates
+    are layout-invariant and bit-replayable in DuckDB — error bound
+    1/(2*inv_width) vs the compaction sketch's rank bound."""
+    from vietnamese_ocr_ray.functions.sketch import histogram_quantiles
+
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["value"])
+    return histogram_quantiles(ds, "value", qs=(0.5, 0.95), inv_width=4)
+
+
 def _dedup_exact(sf_dir: str):
     from vietnamese_ocr_ray.functions.dedup import dedup_exact
 
@@ -1023,6 +1035,18 @@ def _embedding_pca(sf_dir: str, n_components: int = 2):
 
     ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return pca_project(ds, n_components=n_components)
+
+
+def _pca_project_2d(sf_dir: str):
+    """SQL-value-checked twin of embedding_pca: PCA restricted to
+    embedding dims (0, 1) with a closed-form 2x2 eigensolver, so the
+    moment pass, analytic fit and broadcast projection are replayed
+    bit-for-bit by the DuckDB oracle (eigh is not SQL-expressible;
+    this pins the PCA machinery to a value check)."""
+    from vietnamese_ocr_ray.functions.pca import pca_project_2d
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return pca_project_2d(ds, dims=(0, 1))
 
 
 def _embedding_neardup_lsh(sf_dir: str):
@@ -1922,6 +1946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_stats": _embedding_stats,
         "embedding_covariance": _embedding_covariance,
         "embedding_pca": _embedding_pca,
+        "pca_project_2d": _pca_project_2d,
         "label_centroids": _label_centroids,
         "audio_features": _audio_features,
         "distinct_lang_source": _distinct_lang_source,
@@ -1956,6 +1981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _inverted_index,
         "approx_distinct_tokens": _approx_distinct_tokens,
         "approx_quantiles": _approx_quantiles,
+        "histogram_quantiles": _histogram_quantiles,
     }
 
 
@@ -3607,6 +3633,35 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(value, 0.95), 6) AS p95
         FROM events GROUP BY event_type
         """,
+        # histogram_quantiles: exact-integer bucket counts on a
+        # power-of-two grid (value*4 and the /8 midpoint are exact
+        # IEEE ops), rank = floor(q*(n-1)), estimate = midpoint of the
+        # first bucket whose running count exceeds the rank — every
+        # float op restated verbatim from sketch.py::histogram_quantiles.
+        "histogram_quantiles": """
+        WITH b AS (
+          SELECT CAST(floor(value * 4) AS BIGINT) AS bucket,
+                 count(*) AS n
+          FROM events GROUP BY 1
+        ),
+        c AS (
+          SELECT bucket,
+                 sum(n) OVER (ORDER BY bucket) AS cum,
+                 sum(n) OVER () AS total
+          FROM b
+        ),
+        qs AS (
+          SELECT * FROM (VALUES (CAST(0.5 AS DOUBLE)),
+                                (CAST(0.95 AS DOUBLE))) AS t(q)
+        ),
+        sel AS (
+          SELECT qs.q, min(c.bucket) AS bucket
+          FROM qs JOIN c ON CAST(c.cum AS DOUBLE)
+                            > floor(qs.q * (CAST(c.total AS BIGINT) - 1))
+          GROUP BY qs.q
+        )
+        SELECT q, CAST(2 * bucket + 1 AS DOUBLE) / 8 AS est FROM sel
+        """,
         "max_len": """
         SELECT lang, max(n_chars) AS max_chars, count(*) AS n_docs
         FROM documents GROUP BY lang
@@ -4136,6 +4191,80 @@ def oracle_sql() -> dict[str, str]:
                round(avg(sqrt(list_sum(list_transform(
                  CAST(embedding AS DOUBLE[]), x -> x * x)))), 4) AS avg_norm
         FROM embeddings GROUP BY label
+        """,
+        # pca_project_2d: full closed-form replay of the 2x2 PCA —
+        # round-half-up micro-unit quantization, exact integer moments
+        # (HUGEINT sums == the engine's Python-int reduce), the
+        # analytic trace/discriminant eigensolver written in the exact
+        # float order of functions/pca.py::_fit2_closed, then the
+        # broadcast projection expression verbatim.
+        "pca_project_2d": """
+        WITH q AS (
+          SELECT vec_id,
+                 CAST(embedding[1] AS DOUBLE) AS x0,
+                 CAST(embedding[2] AS DOUBLE) AS x1
+          FROM embeddings
+        ),
+        mom AS (
+          SELECT count(*) AS n,
+                 sum(CAST(floor(x0 * 1000000 + 0.5) AS BIGINT)) AS s0,
+                 sum(CAST(floor(x1 * 1000000 + 0.5) AS BIGINT)) AS s1,
+                 sum(CAST(floor(x0 * 1000000 + 0.5) AS BIGINT)
+                     * CAST(floor(x0 * 1000000 + 0.5) AS BIGINT)) AS ss00,
+                 sum(CAST(floor(x0 * 1000000 + 0.5) AS BIGINT)
+                     * CAST(floor(x1 * 1000000 + 0.5) AS BIGINT)) AS ss01,
+                 sum(CAST(floor(x1 * 1000000 + 0.5) AS BIGINT)
+                     * CAST(floor(x1 * 1000000 + 0.5) AS BIGINT)) AS ss11
+          FROM q
+        ),
+        fit0 AS (
+          SELECT
+            (CAST(ss00 AS DOUBLE)/n
+              - (CAST(s0 AS DOUBLE)/n)*(CAST(s0 AS DOUBLE)/n))/1e12 AS a,
+            (CAST(ss01 AS DOUBLE)/n
+              - (CAST(s0 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))/1e12 AS b,
+            (CAST(ss11 AS DOUBLE)/n
+              - (CAST(s1 AS DOUBLE)/n)*(CAST(s1 AS DOUBLE)/n))/1e12 AS c,
+            CAST(s0 AS DOUBLE)/n/1e6 AS m0,
+            CAST(s1 AS DOUBLE)/n/1e6 AS m1
+          FROM mom
+        ),
+        fit1 AS (
+          SELECT *, (a + c + sqrt((a-c)*(a-c) + 4.0*b*b)) / 2.0 AS l1
+          FROM fit0
+        ),
+        fit2 AS (
+          SELECT *,
+            CASE WHEN b = 0.0 THEN (CASE WHEN a >= c THEN 1.0 ELSE 0.0 END)
+                 ELSE b / sqrt(b*b + (l1-a)*(l1-a)) END AS r0,
+            CASE WHEN b = 0.0 THEN (CASE WHEN a >= c THEN 0.0 ELSE 1.0 END)
+                 ELSE (l1 - a) / sqrt(b*b + (l1-a)*(l1-a)) END AS r1
+          FROM fit1
+        ),
+        fit3 AS (
+          SELECT *,
+            CASE WHEN (abs(r0) >= abs(r1) AND r0 < 0)
+                   OR (abs(r1) > abs(r0) AND r1 < 0)
+                 THEN -r0 ELSE r0 END AS w00,
+            CASE WHEN (abs(r0) >= abs(r1) AND r0 < 0)
+                   OR (abs(r1) > abs(r0) AND r1 < 0)
+                 THEN -r1 ELSE r1 END AS w10
+          FROM fit2
+        ),
+        fit AS (
+          SELECT *,
+            CASE WHEN (abs(w10) >= abs(w00) AND -w10 < 0)
+                   OR (abs(w00) > abs(w10) AND w00 < 0)
+                 THEN w10 ELSE -w10 END AS w01,
+            CASE WHEN (abs(w10) >= abs(w00) AND -w10 < 0)
+                   OR (abs(w00) > abs(w10) AND w00 < 0)
+                 THEN -w00 ELSE w00 END AS w11
+          FROM fit3
+        )
+        SELECT q.vec_id,
+               (q.x0 - f.m0) * f.w00 + (q.x1 - f.m1) * f.w10 AS pc1,
+               (q.x0 - f.m0) * f.w01 + (q.x1 - f.m1) * f.w11 AS pc2
+        FROM q, fit f
         """,
         "distinct_lang_source": """
         SELECT lang, source, count(*) AS n_docs

@@ -1245,6 +1245,90 @@ def test_pca_project_matches_numpy_reference(ray_session):
     assert want[:, 0].std() > want[:, 1].std()
 
 
+def test_pca_project_2d_closed_form(ray_session):
+    """The SQL-verifiable 2x2 twin: closed-form axes agree with an
+    independent numpy eigh on the same exact-integer covariance (to
+    float tolerance — expression order differs by design), the output
+    is BIT-identical across block layouts, and the components are
+    ordered by variance and empirically decorrelated."""
+    from vietnamese_ocr_ray.functions.pca import pca_project_2d
+
+    rng = np.random.default_rng(11)
+    n = 500
+    # correlated pair so the axes are a non-trivial rotation
+    a = rng.normal(size=n)
+    x = np.round(
+        np.c_[3 * a + rng.normal(size=n), a + 0.5 * rng.normal(size=n)], 4
+    ).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(list(x), pa.list_(pa.float32())),
+        }
+    )
+
+    runs = []
+    for nblocks in (1, 7):
+        runs.append(
+            pca_project_2d(rd.from_arrow(t).repartition(nblocks))
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+    assert np.array_equal(runs[0]["pc1"].to_numpy(), runs[1]["pc1"].to_numpy())
+    assert np.array_equal(runs[0]["pc2"].to_numpy(), runs[1]["pc2"].to_numpy())
+
+    # independent reference: quantized moments -> population cov -> eigh
+    xd = x.astype(np.float64)
+    q = np.floor(xd * 1_000_000 + 0.5).astype(np.int64)
+    s = [int(v) for v in q.sum(axis=0)]
+    ss = [[int(v) for v in row] for row in q.T @ q]
+    cov = np.array(
+        [
+            [
+                (ss[i][j] / n - (s[i] / n) * (s[j] / n)) / 1e12
+                for j in range(2)
+            ]
+            for i in range(2)
+        ]
+    )
+    mean = np.array([s[0] / n / 1e6, s[1] / n / 1e6])
+    evals, evecs = np.linalg.eigh(cov)
+    o = np.argsort(-evals, kind="stable")
+    evecs = evecs[:, o]
+    for c in range(2):
+        if evecs[np.argmax(np.abs(evecs[:, c])), c] < 0:
+            evecs[:, c] = -evecs[:, c]
+    want = (xd - mean) @ evecs
+    got = runs[0][["pc1", "pc2"]].to_numpy()
+    assert np.allclose(got, want, atol=1e-9)
+    assert got[:, 0].var() >= got[:, 1].var()
+    assert abs(np.corrcoef(got[:, 0], got[:, 1])[0, 1]) < 1e-6
+
+
+def test_histogram_quantiles(ray_session):
+    """Fixed-grid quantiles: estimate within half a bucket width of
+    the true rank element (the documented bound), and BIT-identical
+    across block layouts (bucket counts are exact integers)."""
+    from vietnamese_ocr_ray.functions.sketch import histogram_quantiles
+
+    rng = np.random.default_rng(29)
+    vals = rng.exponential(20, 10_000)
+    t = pa.table({"v": pa.array(vals, pa.float64())})
+    srt = np.sort(vals)
+
+    runs = []
+    for nblocks in (1, 9):
+        out = histogram_quantiles(
+            rd.from_arrow(t).repartition(nblocks), "v", qs=(0.5, 0.95), inv_width=4
+        ).to_pydict()
+        runs.append(out)
+        for q, est in zip(out["q"], out["est"]):
+            truth = srt[int(np.floor(q * (len(vals) - 1)))]
+            assert abs(est - truth) <= 1 / (2 * 4), (q, est, truth)
+    assert runs[0] == runs[1]
+
+
 def test_cosine_pairs_interleaved_ids(ray_session):
     """Regression (ADVICE r2): the chunk-pair task grid only has tasks
     for i <= j, so an off-diagonal task must emit a qualifying pair no

@@ -110,6 +110,113 @@ def pca_fit(
     return mean, evals, evecs
 
 
+def _fit2_closed(
+    n: int, s0: int, s1: int, ss00: int, ss01: int, ss11: int
+) -> tuple[float, float, float, float, float, float]:
+    """Closed-form 2x2 PCA fit from exact integer moments — the
+    SQL-verifiable twin of :func:`pca_fit` (the ``simhash_tokens``
+    pattern): a 2x2 symmetric eigenproblem has an analytic solution
+    (trace / discriminant quadratic), so every float op below is
+    written in the exact order the DuckDB oracle replays it and the
+    results are bit-identical doubles. Returns
+    (m0, m1, w00, w10, w01, w11): mean and the two principal axes as
+    columns, eigenvalue-descending, each sign-fixed so its
+    largest-|.| component is positive (lowest index on ties)."""
+    import math
+
+    # float(s)/n first (one correctly-rounded div, matching SQL's
+    # CAST(s AS DOUBLE)/n) — s can exceed 2^53 at corpus scale, so
+    # the rounding point must be identical on both sides
+    a = (float(ss00) / n - (float(s0) / n) * (float(s0) / n)) / 1e12
+    b = (float(ss01) / n - (float(s0) / n) * (float(s1) / n)) / 1e12
+    c = (float(ss11) / n - (float(s1) / n) * (float(s1) / n)) / 1e12
+    m0 = float(s0) / n / 1e6
+    m1 = float(s1) / n / 1e6
+    tr = a + c
+    disc = math.sqrt((a - c) * (a - c) + 4.0 * b * b)
+    l1 = (tr + disc) / 2.0
+    if b == 0.0:
+        # already diagonal: axes are the basis vectors
+        r0, r1 = (1.0, 0.0) if a >= c else (0.0, 1.0)
+    else:
+        nrm = math.sqrt(b * b + (l1 - a) * (l1 - a))
+        r0 = b / nrm
+        r1 = (l1 - a) / nrm
+    flip = (abs(r0) >= abs(r1) and r0 < 0) or (abs(r1) > abs(r0) and r1 < 0)
+    w00, w10 = (-r0, -r1) if flip else (r0, r1)
+    # second axis: the 90-degree rotation of the first, then the same
+    # sign convention (orthogonality is exact by construction)
+    u0, u1 = -w10, w00
+    flip = (abs(u0) >= abs(u1) and u0 < 0) or (abs(u1) > abs(u0) and u1 < 0)
+    w01, w11 = (-u0, -u1) if flip else (u0, u1)
+    return m0, m1, w00, w10, w01, w11
+
+
+def pca_project_2d(
+    ds: rd.Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dims: tuple[int, int] = (0, 1),
+) -> rd.Dataset:
+    """Full PCA pipeline restricted to two coordinates of the
+    embedding, with a CLOSED-FORM eigensolver so the whole op —
+    integer moment pass, analytic fit, broadcast projection — is
+    SQL-replayable bit-for-bit (eigh is not; this query exists so the
+    PCA machinery has a driver-verifiable value check alongside the
+    rows-only full-dims ``embedding_pca``).
+
+    Same scale shape as :func:`pca_project`: one streaming moment pass
+    emitting a 6-int partial per batch (exact Python-int reduce on the
+    driver, order-independent), one broadcast map pass; zero shuffles.
+    """
+    d0, d1 = dims
+
+    def moment2(batch: pa.Table) -> pa.Table:
+        x = _batch_matrix(batch, vec_col)
+        # floor(x*Q + 0.5): round-half-up, replayed verbatim by the
+        # SQL oracle (np.round is half-to-even, which SQL cannot state)
+        q0 = np.floor(x[:, d0] * _QUANT + 0.5).astype(np.int64)
+        q1 = np.floor(x[:, d1] * _QUANT + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([x.shape[0]], pa.int64()),
+                "s0": pa.array([int(q0.sum())], pa.int64()),
+                "s1": pa.array([int(q1.sum())], pa.int64()),
+                "ss00": pa.array([int((q0 * q0).sum())], pa.int64()),
+                "ss01": pa.array([int((q0 * q1).sum())], pa.int64()),
+                "ss11": pa.array([int((q1 * q1).sum())], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(moment2, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0 or int(parts["n"].sum()) == 0:
+        raise ValueError("pca_project_2d: input dataset is empty")
+    # Python-int accumulators: exact at any corpus size
+    n = sum(int(v) for v in parts["n"])
+    s0 = sum(int(v) for v in parts["s0"])
+    s1 = sum(int(v) for v in parts["s1"])
+    ss00 = sum(int(v) for v in parts["ss00"])
+    ss01 = sum(int(v) for v in parts["ss01"])
+    ss11 = sum(int(v) for v in parts["ss11"])
+    m0, m1, w00, w10, w01, w11 = _fit2_closed(n, s0, s1, ss00, ss01, ss11)
+
+    def project(batch: pa.Table) -> pa.Table:
+        x = _batch_matrix(batch, vec_col)
+        x0, x1 = x[:, d0], x[:, d1]
+        # expression order mirrors the SQL oracle verbatim
+        pc1 = (x0 - m0) * w00 + (x1 - m1) * w10
+        pc2 = (x0 - m0) * w01 + (x1 - m1) * w11
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "pc1": pa.array(pc1, pa.float64()),
+                "pc2": pa.array(pc2, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def pca_project(
     ds: rd.Dataset,
     n_components: int = 2,

@@ -310,6 +310,73 @@ def grouped_approx_quantiles(
     )
 
 
+def histogram_quantiles(
+    ds: rd.Dataset,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.95),
+    inv_width: int = 4,
+) -> pa.Table:
+    """Fixed-grid histogram quantiles — the SQL-verifiable twin of
+    :func:`approx_quantiles` (the ``simhash_tokens`` pattern: same
+    role, closed-form semantics so DuckDB can replay it bit-for-bit).
+
+    Each value maps to bucket ``floor(value * inv_width)`` —
+    ``inv_width`` is a power of two, so the multiply only shifts the
+    exponent and is EXACT on any IEEE double.  Bucket counts are exact
+    integers (one distributed hash-aggregate), hence layout- and
+    merge-order-invariant, unlike the compaction summary whose
+    estimates track block boundaries.  The estimate for quantile ``q``
+    is the MIDPOINT of the bucket holding rank ``floor(q * (n - 1))``
+    — ``(2*bucket + 1) / (2*inv_width)``, again exact binary floats —
+    so the absolute error is bounded by half the bucket width,
+    ``1 / (2 * inv_width)``.
+
+    Scale: shuffle volume is O(distinct buckets x blocks), bounded by
+    the value RANGE over the grid, never by row count; the driver
+    holds only the tiny bucket table (documented heap assumption:
+    value range / width fits in memory — pick ``inv_width`` for the
+    column's dynamic range).
+    """
+    import math
+
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column(value_col), np.float64)
+        b = np.floor(v * inv_width).astype(np.int64)
+        u, c = np.unique(b, return_counts=True)
+        return pa.table(
+            {"bucket": pa.array(u), "n": pa.array(c.astype(np.int64))}
+        )
+
+    buckets = hash_aggregate(
+        ds.map_batches(to_buckets, batch_format="pyarrow"),
+        ["bucket"],
+        {"n": ("n", "sum")},
+    ).to_pandas()  # bounded by value range / width, never by rows
+    if len(buckets) == 0:
+        return pa.table(
+            {"q": pa.array([], pa.float64()), "est": pa.array([], pa.float64())}
+        )
+    buckets = buckets.sort_values("bucket").reset_index(drop=True)
+    cum = buckets["n"].to_numpy(np.int64).cumsum()
+    total = int(cum[-1])
+    ests = []
+    for q in qs:
+        # rank and midpoint written exactly as the SQL oracle computes
+        # them, so the outputs are bit-identical doubles
+        rank = math.floor(q * (total - 1))
+        i = int(np.searchsorted(cum, rank, side="right"))
+        b = int(buckets["bucket"].iloc[i])
+        ests.append((2 * b + 1) / (2 * inv_width))
+    return pa.table(
+        {
+            "q": pa.array(list(qs), pa.float64()),
+            "est": pa.array(ests, pa.float64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # Count-Min sketch (Cormode & Muthukrishnan 2005) — heavy hitters
 # ---------------------------------------------------------------------------
