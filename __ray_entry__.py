@@ -640,6 +640,20 @@ def _histogram_quantiles(sf_dir: str):
     return histogram_quantiles(ds, "value", qs=(0.5, 0.95), inv_width=4)
 
 
+def _event_histogram_quantiles(sf_dir: str):
+    """Per-event_type fixed-grid quantiles: the grouped SQL-verified
+    twin (bucket counts stay exact integers through the combiner +
+    hash-aggregate, so per-group midpoint estimates are bit-replayable
+    and layout-invariant; grouped_approx_quantiles is the
+    unbounded-group-size sketch alternative)."""
+    from vietnamese_ocr_ray.functions.sketch import grouped_histogram_quantiles
+
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    return grouped_histogram_quantiles(
+        ds, "event_type", "value", qs=(0.5, 0.95), inv_width=4
+    )
+
+
 def _dedup_exact(sf_dir: str):
     from vietnamese_ocr_ray.functions.dedup import dedup_exact
 
@@ -1982,6 +1996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_tokens": _approx_distinct_tokens,
         "approx_quantiles": _approx_quantiles,
         "histogram_quantiles": _histogram_quantiles,
+        "event_histogram_quantiles": _event_histogram_quantiles,
     }
 
 
@@ -3661,6 +3676,36 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY qs.q
         )
         SELECT q, CAST(2 * bucket + 1 AS DOUBLE) / 8 AS est FROM sel
+        """,
+        # event_histogram_quantiles: the same closed-form fixed-grid
+        # replay, partitioned per event_type.
+        "event_histogram_quantiles": """
+        WITH b AS (
+          SELECT event_type,
+                 CAST(floor(value * 4) AS BIGINT) AS bucket,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        c AS (
+          SELECT event_type, bucket,
+                 sum(n) OVER (PARTITION BY event_type
+                              ORDER BY bucket) AS cum,
+                 sum(n) OVER (PARTITION BY event_type) AS total
+          FROM b
+        ),
+        qs AS (
+          SELECT * FROM (VALUES (CAST(0.5 AS DOUBLE)),
+                                (CAST(0.95 AS DOUBLE))) AS t(q)
+        ),
+        sel AS (
+          SELECT c.event_type, qs.q, min(c.bucket) AS bucket
+          FROM qs JOIN c ON CAST(c.cum AS DOUBLE)
+                            > floor(qs.q * (CAST(c.total AS BIGINT) - 1))
+          GROUP BY c.event_type, qs.q
+        )
+        SELECT event_type, q,
+               CAST(2 * bucket + 1 AS DOUBLE) / 8 AS est
+        FROM sel
         """,
         "max_len": """
         SELECT lang, max(n_chars) AS max_chars, count(*) AS n_docs

@@ -1329,6 +1329,40 @@ def test_histogram_quantiles(ray_session):
     assert runs[0] == runs[1]
 
 
+def test_grouped_histogram_quantiles(ray_session):
+    """Per-group fixed-grid quantiles: per-key half-bucket error bound
+    and bit-identical output across block layouts."""
+    import pandas as pd
+
+    from vietnamese_ocr_ray.functions.sketch import grouped_histogram_quantiles
+
+    rng = np.random.default_rng(31)
+    n = 12_000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], n),
+            "v": rng.gamma(4, 8, n),
+        }
+    )
+    runs = []
+    for nblocks in (1, 9):
+        out = (
+            grouped_histogram_quantiles(
+                rd.from_pandas(df).repartition(nblocks), "g", "v",
+                qs=(0.5, 0.95), inv_width=4,
+            )
+            .to_pandas()
+            .sort_values(["g", "q"])
+            .reset_index(drop=True)
+        )
+        runs.append(out)
+        for _, r in out.iterrows():
+            grp = np.sort(df.loc[df["g"] == r["g"], "v"].to_numpy())
+            truth = grp[int(np.floor(r["q"] * (len(grp) - 1)))]
+            assert abs(r["est"] - truth) <= 1 / (2 * 4), tuple(r)
+    pd.testing.assert_frame_equal(runs[0], runs[1])
+
+
 def test_cosine_pairs_interleaved_ids(ray_session):
     """Regression (ADVICE r2): the chunk-pair task grid only has tasks
     for i <= j, so an off-diagonal task must emit a qualifying pair no

@@ -377,6 +377,72 @@ def histogram_quantiles(
     )
 
 
+def grouped_histogram_quantiles(
+    ds: rd.Dataset,
+    key_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.95),
+    inv_width: int = 4,
+) -> rd.Dataset:
+    """Per-group fixed-grid histogram quantiles — the SQL-verifiable
+    grouped twin of :func:`grouped_approx_quantiles`, same closed-form
+    semantics as :func:`histogram_quantiles` per key (bucket =
+    ``floor(value * inv_width)``, exact on any IEEE double; estimate =
+    midpoint of the bucket at rank ``floor(q * (n_k - 1))``; error
+    bound ``1/(2*inv_width)``).
+
+    Scale: the per-batch combiner emits (key, bucket, count) partials
+    — shuffle volume O(groups x range x blocks), never O(rows) — then
+    ONE distributed hash-aggregate plus a per-key ``map_groups``
+    selection, so no group's raw values ever co-locate and the driver
+    never materializes anything. Output is long-format
+    (key, q, est), one row per (group, quantile).
+    """
+    import pandas as pd
+
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column(value_col), np.float64)
+        t = pa.table(
+            {
+                key_col: batch.column(key_col),
+                "bucket": pa.array(np.floor(v * inv_width).astype(np.int64)),
+            }
+        )
+        g = t.group_by([key_col, "bucket"]).aggregate([([], "count_all")])
+        return g.rename_columns([key_col, "bucket", "n"])
+
+    counts = hash_aggregate(
+        ds.map_batches(to_buckets, batch_format="pyarrow"),
+        [key_col, "bucket"],
+        {"n": ("n", "sum")},
+    )
+
+    def select(g: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        g = g.sort_values("bucket")
+        cum = g["n"].to_numpy(np.int64).cumsum()
+        total = int(cum[-1])
+        ests = []
+        for q in qs:
+            # rank and midpoint written exactly as the SQL oracle
+            # computes them: bit-identical doubles
+            rank = math.floor(q * (total - 1))
+            b = int(g["bucket"].iloc[int(np.searchsorted(cum, rank, side="right"))])
+            ests.append((2 * b + 1) / (2 * inv_width))
+        return pd.DataFrame(
+            {
+                key_col: [g[key_col].iloc[0]] * len(qs),
+                "q": np.asarray(qs, np.float64),
+                "est": np.asarray(ests, np.float64),
+            }
+        )
+
+    return counts.groupby(key_col).map_groups(select, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Count-Min sketch (Cormode & Muthukrishnan 2005) — heavy hitters
 # ---------------------------------------------------------------------------
