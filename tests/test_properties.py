@@ -395,3 +395,54 @@ def test_perceptual_hashes_match_naive_reference(h, w, seed):
 
     assert ImageAHash().hash_one(v) == naive(8, 8)
     assert ImageColHash().hash_one(v) == naive(1, 64)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.floats(-8, 8, allow_nan=False, width=32),
+            st.floats(-8, 8, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+def test_fit2_closed_matches_eigh_property(data):
+    """The closed-form 2x2 eigensolver (pca.py::_fit2_closed) must, for
+    ANY exact integer moments derived from real data: return exactly
+    orthogonal unit axes, satisfy the eigen equation for the top axis,
+    and agree with numpy eigh's dominant direction whenever the
+    spectrum isn't near-degenerate."""
+    from vietnamese_ocr_ray.functions.pca import _fit2_closed
+
+    x = np.asarray(data, np.float64)
+    q = np.floor(x * 1_000_000 + 0.5).astype(np.int64)
+    n = len(q)
+    s0, s1 = int(q[:, 0].sum()), int(q[:, 1].sum())
+    ss00 = int((q[:, 0].astype(object) * q[:, 0]).sum())
+    ss01 = int((q[:, 0].astype(object) * q[:, 1]).sum())
+    ss11 = int((q[:, 1].astype(object) * q[:, 1]).sum())
+    m0, m1, w00, w10, w01, w11 = _fit2_closed(n, s0, s1, ss00, ss01, ss11)
+
+    # exact rotation construction: dot is EXACTLY zero in floats
+    assert w00 * w01 + w10 * w11 == 0.0
+    assert abs(w00 * w00 + w10 * w10 - 1.0) < 1e-12
+    assert abs(w01 * w01 + w11 * w11 - 1.0) < 1e-12
+    # sign convention: largest-|.| component of each axis positive
+    for u0, u1 in ((w00, w10), (w01, w11)):
+        assert (u0 if abs(u0) >= abs(u1) else u1) >= 0
+
+    a = (ss00 / n - (s0 / n) * (s0 / n)) / 1e12
+    b = (ss01 / n - (s0 / n) * (s1 / n)) / 1e12
+    c = (ss11 / n - (s1 / n) * (s1 / n)) / 1e12
+    A = np.array([[a, b], [b, c]])
+    evals, evecs = np.linalg.eigh(A)
+    scale = max(abs(evals[0]), abs(evals[1]), 1e-30)
+    # top-axis eigen equation (residual relative to the spectrum)
+    lam1 = float(evals[1])
+    r = A @ np.array([w00, w10]) - lam1 * np.array([w00, w10])
+    assert np.abs(r).max() <= 1e-9 * scale + 1e-18
+    # direction agreement with eigh outside near-degeneracy
+    if (evals[1] - evals[0]) > 1e-6 * scale:
+        assert abs(np.dot(evecs[:, 1], [w00, w10])) > 1 - 1e-6
