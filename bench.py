@@ -267,7 +267,16 @@ def run_bench() -> dict:
         result.write_parquet(OUT_DIR)
         headline = time.perf_counter() - t0
         probe_after = host_memcpy_gbs()
-        if probe_after >= HEALTHY_GBS or attempts >= 3:
+        # when the fault gate is on, a leg that STARTED healthy but went
+        # fault-sick mid-run is retried too — the flapping regime turns
+        # over on a minutes timescale, so pre-leg gating alone admits
+        # legs that ran mostly sick (observed: 0.354 GB/s post-leg after
+        # a clean pre-leg probe)
+        fault_after = host_fault_gbs() if HEALTHY_FAULT_GBS > 0 else None
+        if (
+            probe_after >= HEALTHY_GBS
+            and (fault_after is None or fault_after >= HEALTHY_FAULT_GBS)
+        ) or attempts >= 3:
             break
     media_spans = n_media * REPLICATE
 
@@ -332,7 +341,7 @@ def run_bench() -> dict:
         "media_spans_per_sec": round(media_spans / headline, 1),
         "host_memcpy_gbs": probe_after,
         "host_memcpy_gbs_before": probe_before,
-        "host_fault_gbs": host_fault_gbs(),
+        "host_fault_gbs": fault_after if fault_after is not None else host_fault_gbs(),
         "attempts": attempts,
     }
 
@@ -505,7 +514,14 @@ def run_bench_headline_only() -> dict:
         result.write_parquet(OUT_DIR)
         headline = time.perf_counter() - t0
         probe_after = host_memcpy_gbs()
-        if probe_after >= HEALTHY_GBS or attempts >= 3:
+        # mid-leg fault-regime turnover: see the identical retry in
+        # run_bench — critical here because scaling legs are short and
+        # a single sick 32-cpu leg poisons a whole pair
+        fault_after = host_fault_gbs() if HEALTHY_FAULT_GBS > 0 else None
+        if (
+            probe_after >= HEALTHY_GBS
+            and (fault_after is None or fault_after >= HEALTHY_FAULT_GBS)
+        ) or attempts >= 3:
             break
     if "--stats" in sys.argv:
         # per-stage wall/cpu/rows audit of the headline pipeline —
@@ -523,7 +539,7 @@ def run_bench_headline_only() -> dict:
         "media_spans_per_sec": round(n_media / headline, 1),
         "host_memcpy_gbs": probe_after,
         "host_memcpy_gbs_before": probe_before,
-        "host_fault_gbs": host_fault_gbs(),
+        "host_fault_gbs": fault_after if fault_after is not None else host_fault_gbs(),
         "attempts": attempts,
     }
 
