@@ -384,10 +384,19 @@ def run_scaling() -> dict:
 
     lo, hi = 8, 32
     n_pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "3"))
+    # hi_first runs the 32-cpu leg first: it is the fault-regime-
+    # fragile one (32 workers faulting concurrently queue on the host's
+    # fault path when sick), so on a flapping host it should run while
+    # the healthy probe that admitted the pair is still fresh
+    hi_first = os.environ.get("GRAFT_SCALING_ORDER", "") == "hi_first"
     pairs = []
     for i in range(n_pairs):
-        r_lo = run(lo)
-        r_hi = run(hi)
+        if hi_first:
+            r_hi = run(hi)
+            r_lo = run(lo)
+        else:
+            r_lo = run(lo)
+            r_hi = run(hi)
         eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
         pairs.append(
             {
