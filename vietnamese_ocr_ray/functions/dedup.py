@@ -1015,14 +1015,19 @@ def simhash_fps(col: pa.Array, k: int = 4) -> np.ndarray:
 
     fps = np.zeros(n, dtype=np.uint64)
     if rows.size:
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
-            np.int64
-        )
+        # One C unpack (LSB-first byte view) beats the 64-way
+        # shift-broadcast 2x, and int32 halves the reduceat traffic vs
+        # int64 — bit counts per row are far below 2^31.
+        bits = np.unpackbits(
+            hs[:, None].astype("<u8", copy=False).view(np.uint8),
+            axis=1,
+            bitorder="little",
+        ).astype(np.int32)
         starts = np.searchsorted(rows, np.arange(n))
         counts = np.diff(np.concatenate([starts, [rows.shape[0]]]))
         ones = np.add.reduceat(bits, np.minimum(starts, rows.shape[0] - 1), axis=0)
         ones[counts == 0] = 0
-        votes = 2 * ones - counts[:, None]
+        votes = 2 * ones - counts[:, None].astype(np.int32)
         weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
         fps = ((votes > 0).astype(np.uint64) * weights[None, :]).sum(axis=1)
     return fps
