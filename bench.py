@@ -105,11 +105,14 @@ def await_healthy_host() -> float:
             return probe
         if _HEALTH_BUDGET_S <= 0:
             return probe
+        sick = []
+        if probe < HEALTHY_GBS:
+            sick.append(f"memcpy {probe} GB/s < {HEALTHY_GBS}")
+        if fault is not None and fault < HEALTHY_FAULT_GBS:
+            sick.append(f"fault {fault} GB/s < {HEALTHY_FAULT_GBS}")
         print(
-            f"[bench] host degraded (memcpy {probe} GB/s < {HEALTHY_GBS}"
-            + (f", fault {fault} < {HEALTHY_FAULT_GBS}" if fault is not None else "")
-            + f"); waiting {HEALTH_SLEEP_S:.0f}s"
-            + f" (budget {_HEALTH_BUDGET_S:.0f}s left)",
+            f"[bench] host degraded ({'; '.join(sick)}); waiting"
+            f" {HEALTH_SLEEP_S:.0f}s (budget {_HEALTH_BUDGET_S:.0f}s left)",
             file=sys.stderr,
         )
         time.sleep(HEALTH_SLEEP_S)
