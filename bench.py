@@ -98,11 +98,23 @@ def await_healthy_host() -> float:
     Returns the last memcpy reading either way; the caller records it
     (and host_fault_gbs()) next to the measurement."""
     global _HEALTH_BUDGET_S
+    streak_need = 2  # the fault regime FLAPS on a minutes timescale; a
+    # single healthy reading often heals AT the probe and sickens
+    # mid-leg, so admission requires consecutive healthy probes
+    streak = 0
     probe = host_memcpy_gbs()
     fault = host_fault_gbs() if HEALTHY_FAULT_GBS > 0 else None
     while True:
         if probe >= HEALTHY_GBS and (fault is None or fault >= HEALTHY_FAULT_GBS):
-            return probe
+            streak += 1
+            if fault is None or streak >= streak_need or _HEALTH_BUDGET_S <= 0:
+                return probe
+            time.sleep(15)
+            _HEALTH_BUDGET_S -= 15
+            probe = host_memcpy_gbs()
+            fault = host_fault_gbs()
+            continue
+        streak = 0
         if _HEALTH_BUDGET_S <= 0:
             return probe
         sick = []
@@ -291,10 +303,13 @@ def run_bench() -> dict:
         # legs that ran mostly sick (observed: 0.354 GB/s post-leg after
         # a clean pre-leg probe)
         fault_after = host_fault_gbs() if HEALTHY_FAULT_GBS > 0 else None
+        # retry while the process-wide health budget lasts (it is the
+        # real wall-time bound); the attempts floor keeps the old
+        # 3-shot behavior once the budget is exhausted or disabled
         if (
             probe_after >= HEALTHY_GBS
             and (fault_after is None or fault_after >= HEALTHY_FAULT_GBS)
-        ) or attempts >= 3:
+        ) or (attempts >= 3 and _HEALTH_BUDGET_S <= 0) or attempts >= 12:
             break
     media_spans = n_media * REPLICATE
 
@@ -552,10 +567,13 @@ def run_bench_headline_only() -> dict:
         # run_bench — critical here because scaling legs are short and
         # a single sick 32-cpu leg poisons a whole pair
         fault_after = host_fault_gbs() if HEALTHY_FAULT_GBS > 0 else None
+        # retry while the process-wide health budget lasts (it is the
+        # real wall-time bound); the attempts floor keeps the old
+        # 3-shot behavior once the budget is exhausted or disabled
         if (
             probe_after >= HEALTHY_GBS
             and (fault_after is None or fault_after >= HEALTHY_FAULT_GBS)
-        ) or attempts >= 3:
+        ) or (attempts >= 3 and _HEALTH_BUDGET_S <= 0) or attempts >= 12:
             break
     if "--stats" in sys.argv:
         # per-stage wall/cpu/rows audit of the headline pipeline —

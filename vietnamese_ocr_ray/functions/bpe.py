@@ -123,22 +123,47 @@ class BpeEncoder:
         )
 
 
+# tasks-mode per-process encoder cache, keyed by the merge list: the
+# ranks are KBs and the word->length cache is vocabulary-bounded, so a
+# process-level cache gives the same across-batch reuse an actor does
+# without paying per-execution pool spin-up or reserving CPUs the
+# streaming executor could rebalance (the recognize_compute="tasks"
+# tradeoff).
+_PROCESS_ENCODERS: dict[tuple, BpeEncoder] = {}
+
+
+def _encode_batch_tasks(batch: pa.Table, merges: tuple) -> pa.Table:
+    enc = _PROCESS_ENCODERS.get(merges)
+    if enc is None:
+        enc = _PROCESS_ENCODERS[merges] = BpeEncoder(list(merges))
+    return enc(batch)
+
+
 def bpe_encode(
     ds: rd.Dataset,
     merges: pa.Table,
     concurrency=(1, 8),
+    compute: str = "tasks",
 ) -> rd.Dataset:
     """(doc_id, n_tokens, n_pieces): apply a learned merge table to
     the corpus — merge ranks captured by value (merge tables are tiny
-    by construction), per-actor word cache, zero shuffles."""
+    by construction), per-process (or per-actor with
+    ``compute="actors"``) word cache, zero shuffles."""
     pairs = list(
         zip(merges.column("left").to_pylist(), merges.column("right").to_pylist())
     )
+    if compute == "actors":
+        return ds.map_batches(
+            BpeEncoder,
+            fn_constructor_kwargs={"merges": pairs},
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+    from functools import partial
+
     return ds.map_batches(
-        BpeEncoder,
-        fn_constructor_kwargs={"merges": pairs},
+        partial(_encode_batch_tasks, merges=tuple(pairs)),
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
 
 

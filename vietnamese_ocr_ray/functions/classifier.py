@@ -110,13 +110,44 @@ class HashedLinearScorer:
         )
 
 
+# tasks-mode per-process scorer cache: the weight table is KBs and
+# derivable in O(dim), so pinning it in a dedicated actor pool buys
+# nothing while the pool spin-up dominates small runs (Ray Data actor
+# pools are per-execution) and its reserved CPUs can't be rebalanced
+# by the streaming executor — the same tradeoff recognize_compute=
+# "tasks" documents. A real learned model (GPU-resident weights) is
+# when compute="actors" pays.
+_PROCESS_SCORERS: dict[tuple[int, str], HashedLinearScorer] = {}
+
+
+def _score_batch_tasks(batch: pa.Table, dim: int, salt: str) -> pa.Table:
+    scorer = _PROCESS_SCORERS.get((dim, salt))
+    if scorer is None:
+        scorer = _PROCESS_SCORERS[(dim, salt)] = HashedLinearScorer(dim, salt)
+    return scorer(batch)
+
+
 def classifier_score(
-    ds: rd.Dataset, dim: int = 512, concurrency=(1, 8)
+    ds: rd.Dataset,
+    dim: int = 512,
+    concurrency=(1, 8),
+    compute: str = "tasks",
 ) -> rd.Dataset:
-    """(doc_id, logit_milli, keep) for every document."""
+    """(doc_id, logit_milli, keep) for every document.
+
+    ``compute="tasks"`` (default) caches the weight table once per
+    worker PROCESS; ``compute="actors"`` pins it in an actor pool
+    (the shape for expensive/GPU-resident real-model state)."""
+    if compute == "actors":
+        return ds.map_batches(
+            HashedLinearScorer,
+            fn_constructor_kwargs={"dim": dim},
+            batch_format="pyarrow",
+            concurrency=concurrency,
+        )
+    from functools import partial
+
     return ds.map_batches(
-        HashedLinearScorer,
-        fn_constructor_kwargs={"dim": dim},
+        partial(_score_batch_tasks, dim=dim, salt="w:"),
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
