@@ -109,9 +109,19 @@ class BpeEncoder:
         ntok = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
         for w in pc.unique(flat).to_pylist():
             self._encode_len(w or "")
-        piece_per_tok = (
-            pd.Series(flat.to_pylist()).map(self.cache).to_numpy(np.int64)
+        # vectorized cache lookup: corpus-sized tokens never round-trip
+        # through Python — index_in against a vocab-bounded LUT array,
+        # rebuilt only when the cache grew (misses above)
+        if getattr(self, "_lut_n", -1) != len(self.cache):
+            self._lut_keys = pa.array(list(self.cache.keys()), pa.string())
+            self._lut_vals = np.fromiter(
+                self.cache.values(), np.int64, len(self.cache)
+            )
+            self._lut_n = len(self.cache)
+        idx = pc.index_in(flat, value_set=self._lut_keys).to_numpy(
+            zero_copy_only=False
         )
+        piece_per_tok = self._lut_vals[idx.astype(np.int64)]
         csum = np.concatenate([[0], np.cumsum(piece_per_tok)])
         ends = np.concatenate([[0], np.cumsum(ntok)])
         return pa.table(
