@@ -672,6 +672,20 @@ def _word_jaccard(sf_dir: str):
     return word_jaccard(_docs(sf_dir))
 
 
+def _fuzzy_match_ed1(sf_dir: str):
+    """Record-linkage fuzzy match: every pair of distinct customer
+    names at Levenshtein distance exactly 1, found by FastSS
+    deletion-neighborhood blocking (O(sum len) candidates, one
+    variant-hash shuffle) + exact vectorized-DP verify — never the
+    O(n^2) name cross product. The oracle replays the identical
+    blocking join in SQL (substr deletion variants + levenshtein)."""
+    from vietnamese_ocr_ray.functions.dedup import fuzzy_pairs_ed1
+    from vietnamese_ocr_ray.sources.storage import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_name"])
+    return fuzzy_pairs_ed1(ds, text_col="c_name")
+
+
 def _minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup pairs. SQL-value-checked: the oracle
     replays the whole discovery in closed form (FNV shingle hashes ->
@@ -1937,6 +1951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _dedup_exact,
         "neighbor_jaccard": _neighbor_jaccard,
         "word_jaccard": _word_jaccard,
+        "fuzzy_match_ed1": _fuzzy_match_ed1,
         "minhash_pairs": _minhash_pairs,
         "dedup_neardup": _dedup_neardup,
         "simhash": _simhash,
@@ -4113,6 +4128,24 @@ def oracle_sql() -> dict[str, str]:
                  / len(list_distinct(list_concat(a.s, b.s))), 6)
                  AS word_jaccard
         FROM w a JOIN w b ON b.doc_id = a.doc_id + 1
+        """,
+        "fuzzy_match_ed1": """
+        -- FastSS deletion-neighborhood blocking replayed verbatim:
+        -- ed(a,b) <= 1 iff the two names share a key in
+        -- {name} UNION {single-character deletions}; a shared key only
+        -- bounds ed <= 2, so candidates verify with levenshtein() = 1.
+        WITH toks AS (SELECT DISTINCT c_name AS tok FROM customer),
+        keyed AS (
+          SELECT DISTINCT tok,
+                 CASE WHEN i = 0 THEN tok
+                      ELSE substr(tok, 1, i - 1) || substr(tok, i + 1)
+                 END AS v
+          FROM (SELECT tok, unnest(generate_series(0, length(tok))) AS i
+                FROM toks)
+        )
+        SELECT DISTINCT a.tok AS w1, b.tok AS w2
+        FROM keyed a JOIN keyed b ON a.v = b.v AND a.tok < b.tok
+        WHERE levenshtein(a.tok, b.tok) = 1
         """,
         "embedding_covariance": _cov_sql,
         "embedding_neardup": """

@@ -1497,3 +1497,50 @@ def test_fp_cluster_survivors_no_pairs(ray_session):
     )
     out = fp_cluster_survivors(rd.from_arrow(t), 3, bands=4, id_col="doc_id")
     assert sorted(out.to_pandas()["doc_id"]) == [7, 8, 9]
+
+
+def test_fuzzy_pairs_ed1_matches_bruteforce(ray_session):
+    """Deletion-neighborhood blocking finds EXACTLY the ed==1 pairs a
+    brute-force O(n^2) Levenshtein sweep finds — substitutions,
+    insertions/deletions, and repeated-char words whose deletion
+    variants collide ("aa" -> "a" twice) all covered; ed-2 candidates
+    that share a variant (e.g. two deletions of one parent) rejected."""
+    import itertools
+
+    from vietnamese_ocr_ray.functions.dedup import fuzzy_pairs_ed1
+    from vietnamese_ocr_ray.functions.text import levenshtein_batch
+
+    words = [
+        "cat", "cot", "coat", "cart", "ca", "c", "",
+        "aa", "a", "aaa", "ab",
+        "hello", "hallo", "hell", "helloo", "world",
+        "xyzzy",  # isolated — no neighbors
+    ]
+    docs = pa.table({"text": pa.array([" ".join(words), words[0]])})
+    got = (
+        fuzzy_pairs_ed1(rd.from_arrow(docs), num_buckets=5)
+        .to_pandas()
+        .sort_values(["w1", "w2"])
+        .reset_index(drop=True)
+    )
+    toks = sorted(set(words))
+    cand = [(a, b) for a, b in itertools.combinations(toks, 2)]
+    d = levenshtein_batch([a for a, _ in cand], [b for _, b in cand])
+    want = sorted((a, b) for (a, b), dd in zip(cand, d) if dd == 1)
+    assert list(map(tuple, got.to_numpy())) == want
+    assert ("aa", "aaa") in want and ("", "a") in want  # ins/del cases
+    assert ("cat", "cot") in want  # substitution case
+    assert ("cat", "coat") in want and ("coat", "cot") in want
+
+
+def test_fuzzy_pairs_ed1_empty_result(ray_session):
+    """Zero qualifying pairs returns an empty, correctly-typed table
+    (the empty-Dataset schema-loss guard)."""
+    from vietnamese_ocr_ray.functions.dedup import fuzzy_pairs_ed1
+
+    docs = pa.table({"text": pa.array(["alpha gamma", "epsilon omega"])})
+    got = fuzzy_pairs_ed1(rd.from_arrow(docs), num_buckets=3)
+    assert got.count() == 0
+    # Dataset.schema() is the reliable probe — to_pandas() of a fully
+    # empty Dataset loses columns on this Ray version (joins._ensure_schema)
+    assert got.schema().names == ["w1", "w2"]

@@ -1672,3 +1672,127 @@ def dup_triangles(ds: rd.Dataset) -> pa.Table:
     )
     n = int(agg["n"]) if agg and agg.get("n") is not None else 0
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
+
+
+def _deletion_variants(toks: pa.Array) -> tuple[pa.Array, pa.Array]:
+    """(token, variant) rows for FastSS blocking: each token paired
+    with itself and with every single-codepoint deletion of itself.
+    Arrow slice kernels per deletion position (max-token-length
+    iterations over shrinking arrays) — no per-token Python. The same
+    variant can arise from two deletion positions ("aa" -> "a" twice);
+    callers dedup (token, variant) before pairing."""
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lens = pc.utf8_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    out_t = [toks]
+    out_v = [toks]
+    for d in range(int(lens.max(initial=0))):
+        sub = toks.filter(pa.array(lens > d))
+        var = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(sub, start=0, stop=d),
+            pc.utf8_slice_codeunits(sub, start=d + 1, stop=1 << 30),
+            "",
+        )
+        out_t.append(sub)
+        out_v.append(var)
+    return pa.concat_arrays(out_t), pa.concat_arrays(out_v)
+
+
+def fuzzy_pairs_ed1(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """All pairs of DISTINCT whitespace tokens of the corpus at
+    Levenshtein distance exactly 1, via deletion-neighborhood blocking
+    (FastSS, Bocek et al. 2007 — the SymSpell candidate rule):
+    ed(a, b) <= 1  iff  a == b, or one is a single deletion of the
+    other, or deleting one position from each yields the same string —
+    so every qualifying pair shares at least one key in
+    {token} ∪ {single-deletion variants}, and candidate generation is
+    O(sum token_len), never O(vocab^2). A shared key only bounds
+    ed <= 2, so candidates pass an exact vectorized-DP verify.
+
+    Scale shape: one vocabulary-bounded distinct (bucketed hash
+    aggregate), variant expansion inside ``map_batches`` (avg_len + 1
+    short string rows per distinct token), ONE shuffle of those
+    (variant, token) rows on the variant hash, per-bucket vectorized
+    pair expansion (the :func:`candidate_dup_edges` repeat/arange
+    pattern) + batched edit-distance verify, and a pair-bounded
+    distinct (pairs found in several buckets dedup once, globally).
+
+    Output: (w1, w2) with w1 < w2, each pair once. Mirrors DuckDB:
+    deletion variants via substr arithmetic + ``levenshtein() = 1``.
+    Variants/verify are codepoint-based on both sides (byte == char
+    for this ASCII corpus)."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+    from vietnamese_ocr_ray.functions.text import levenshtein_batch
+
+    def partial_distinct(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(batch.column(text_col), " "))
+        return pa.table({"tok": pc.unique(toks)})
+
+    vocab = hash_aggregate(
+        ds.map_batches(partial_distinct, batch_format="pyarrow"),
+        ["tok"],
+        {"_n": ("tok", "count")},
+        num_buckets=num_buckets,
+    )
+
+    def variants(batch: pa.Table) -> pa.Table:
+        t, v = _deletion_variants(batch.column("tok"))
+        tbl = pa.table({"tok": t, "v": v}).group_by(["tok", "v"]).aggregate([])
+        return tbl.append_column(
+            "_bucket", pa.array(key_bucket(tbl.column("v"), num_buckets))
+        )
+
+    empty = pa.table(
+        {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string())}
+    )
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        df = g.sort_values(["v", "tok"])
+        toks = df["tok"].to_numpy()
+        codes = df.groupby(["v"], sort=False).ngroup().to_numpy()
+        n = len(codes)
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(codes)) + 1])
+        gidx = np.searchsorted(starts, np.arange(n), side="right") - 1
+        wpos = np.arange(n) - starts[gidx]
+        total = int(wpos.sum())
+        if total == 0:
+            return empty
+        seconds = np.repeat(np.arange(n), wpos)
+        cum = np.concatenate([[0], np.cumsum(wpos)])
+        firsts = np.repeat(starts[gidx], wpos) + (
+            np.arange(total) - np.repeat(cum[:-1], wpos)
+        )
+        # tok is sorted within each variant group, so first < second
+        # lexicographically already — (w1, w2) is canonical by layout
+        cand = pd.DataFrame(
+            {"w1": toks[firsts], "w2": toks[seconds]}
+        ).drop_duplicates()  # a pair can share several variants in-bucket
+        d = levenshtein_batch(cand["w1"].tolist(), cand["w2"].tolist())
+        keep = cand[d == 1]
+        return pa.table(
+            {
+                "w1": pa.array(keep["w1"].to_numpy(), pa.string()),
+                "w2": pa.array(keep["w2"].to_numpy(), pa.string()),
+            }
+        )
+
+    from vietnamese_ocr_ray.functions.joins import _ensure_schema
+
+    cand = _ensure_schema(
+        vocab.map_batches(variants, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(pairs, batch_format="pandas"),
+        empty.schema,
+    )
+    # cross-bucket dedup (a pair's shared variants may hash apart)
+    out = hash_aggregate(
+        cand, ["w1", "w2"], {"_n": ("w1", "count")}, num_buckets=num_buckets
+    ).map_batches(
+        lambda b: b.select(["w1", "w2"]), batch_format="pyarrow"
+    )
+    return _ensure_schema(out, empty.schema)
