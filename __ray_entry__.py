@@ -813,6 +813,19 @@ def _ann_topk_multi(sf_dir: str):
     return ann_bruteforce_multi(ds, q, k=10)
 
 
+def _knn_join(sf_dir: str):
+    """Exact k-NN self-join: every embedding's 5 most-similar
+    neighbors (self excluded), selection on (round-6 cosine DESC,
+    neighbor id ASC). chunk_rows=256 forces a multi-chunk layout at
+    every scale so the distributed chunk-pair partial-top-k merge is
+    what the oracle actually checks (8192-row chunks would make
+    sf0.001 a single-task degenerate case)."""
+    from vietnamese_ocr_ray.functions.ann import knn_join_exact
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return knn_join_exact(ds, k=5, chunk_rows=256)
+
+
 def _ann_lsh(sf_dir: str):
     """Hyperplane-LSH ANN with Hamming probing. SQL-value-checked: the
     hyperplanes are seeded (data-independent), so the oracle inlines
@@ -1961,6 +1974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search / embedding ops
         "ann_topk": _ann_topk,
         "ann_topk_multi": _ann_topk_multi,
+        "knn_join": _knn_join,
         "ann_topk_quantized": _ann_topk_quantized,
         "ann_lsh": _ann_lsh,
         "ann_ivf": _ann_ivf,
@@ -4786,6 +4800,23 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, vec_id, cos, CAST(rn AS BIGINT) AS rank
         FROM r WHERE rn <= 10
+        """,
+        "knn_join": """
+        -- exact k-NN self-join: the window ranking IS the engine's
+        -- packed-key selection (round-6 cosine DESC, neighbor ASC)
+        WITH pairs AS (
+          SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+                 round(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 6) AS cos
+          FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        ), r AS (
+          SELECT vec_id, nbr, cos,
+                 row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rn
+          FROM pairs
+        )
+        SELECT vec_id, nbr, cos FROM r WHERE rn <= 5
         """,
         "ann_topk_quantized": """
         -- replay the scalar int8 quantizer exactly: per-dim min/max

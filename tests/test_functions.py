@@ -1544,3 +1544,68 @@ def test_fuzzy_pairs_ed1_empty_result(ray_session):
     # Dataset.schema() is the reliable probe — to_pandas() of a fully
     # empty Dataset loses columns on this Ray version (joins._ensure_schema)
     assert got.schema().names == ["w1", "w2"]
+
+
+def test_knn_join_exact_matches_numpy(ray_session):
+    """Multi-chunk exact k-NN self-join == a single-matrix numpy
+    reference, with ids deliberately interleaved across chunks (the
+    cross-chunk drop regression class) and k > some chunk sizes. The
+    reference selects by the same packed key WITHOUT negating (the
+    int64 self-mask sentinel wraps under negation — the exact bug the
+    partial top-k once had)."""
+    import pandas as pd
+
+    from vietnamese_ocr_ray.functions.ann import knn_join_exact
+
+    rng = np.random.default_rng(7)
+    n, d, k = 57, 8, 5  # 57 rows / 16-row chunks -> last chunk of 9
+    m = rng.normal(size=(n, d))
+    m[13] = m[41]  # planted exact duplicate (cos == 1.0 neighbor)
+    ids = rng.permutation(n).astype(np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array([list(r) for r in m], pa.list_(pa.float64())),
+        }
+    )
+    got = (
+        knn_join_exact(rd.from_arrow(t), k=k, chunk_rows=16, num_buckets=4)
+        .to_pandas()
+        .sort_values(["vec_id", "nbr"])
+        .reset_index(drop=True)
+    )
+    u = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = np.round(u @ u.T, 6)
+    micro = np.rint(cos * 1e6).astype(np.int64)
+    rows = []
+    for i in range(n):
+        key = (micro[i] << np.int64(33)) - ids
+        order = [j for j in np.argsort(key)[::-1] if j != i][:k]
+        rows += [(ids[i], ids[j], micro[i, j] / 1e6) for j in order]
+    ref = (
+        pd.DataFrame(rows, columns=["vec_id", "nbr", "cos"])
+        .sort_values(["vec_id", "nbr"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, ref)
+    # the planted duplicate is each copy's top neighbor at cos 1.0
+    a, b = ids[13], ids[41]
+    assert got[(got.vec_id == a) & (got.nbr == b)]["cos"].iloc[0] == 1.0
+
+
+def test_knn_join_exact_small_corpus(ray_session):
+    """n <= k: every vector gets all n-1 others, exactly once."""
+    from vietnamese_ocr_ray.functions.ann import knn_join_exact
+
+    rng = np.random.default_rng(1)
+    m = rng.normal(size=(4, 6))
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(4, dtype=np.int64)),
+            "embedding": pa.array([list(r) for r in m], pa.list_(pa.float64())),
+        }
+    )
+    got = knn_join_exact(rd.from_arrow(t), k=10, chunk_rows=2).to_pandas()
+    assert len(got) == 12  # 4 * 3
+    assert got.groupby("vec_id").size().eq(3).all()
+    assert (got.vec_id != got.nbr).all()

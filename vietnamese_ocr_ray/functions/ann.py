@@ -116,6 +116,42 @@ def _chunk_arrays(t: pa.Table, id_col: str) -> tuple[np.ndarray, np.ndarray]:
     return np.asarray(t.column(id_col), dtype=np.int64), m
 
 
+def _normed_chunk_refs(ds: rd.Dataset, id_col: str, chunk_rows: int) -> list:
+    """Materialize (id, unit vector) chunks in the object store and
+    return their block REFERENCES — the driver never holds vector
+    data. One read pass; the row count is block metadata (free) for
+    sizing the chunk repartition. Empty input returns []."""
+
+    def norm_chunk(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        return pa.table(
+            {
+                id_col: pc.cast(
+                    batch.column(id_col).combine_chunks()
+                    if isinstance(batch.column(id_col), pa.ChunkedArray)
+                    else batch.column(id_col),
+                    pa.int64(),
+                ),
+                "nvec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(m.reshape(-1), pa.float64()), m.shape[1]
+                ),
+            }
+        )
+
+    src = ds.select_columns([id_col, "embedding"]).materialize()
+    n = src.count()
+    if n == 0:
+        return []
+    n_chunks = max(1, -(-n // chunk_rows))
+    normed = (
+        src.repartition(n_chunks)
+        .map_batches(norm_chunk, batch_format="pyarrow", batch_size=chunk_rows)
+        .materialize()
+    )
+    return list(normed.to_arrow_refs())
+
+
 def cosine_pairs(
     ds: rd.Dataset,
     threshold: float,
@@ -143,36 +179,9 @@ def cosine_pairs(
     """
     import ray
 
-    def norm_chunk(batch: pa.Table) -> pa.Table:
-        m = _matrix(batch)
-        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-        return pa.table(
-            {
-                id_col: pc.cast(
-                    batch.column(id_col).combine_chunks()
-                    if isinstance(batch.column(id_col), pa.ChunkedArray)
-                    else batch.column(id_col),
-                    pa.int64(),
-                ),
-                "nvec": pa.FixedSizeListArray.from_arrays(
-                    pa.array(m.reshape(-1), pa.float64()), m.shape[1]
-                ),
-            }
-        )
-
-    # one read pass: materialize the projected table, then the row
-    # count is block metadata (free) for sizing the chunk repartition
-    src = ds.select_columns([id_col, "embedding"]).materialize()
-    n = src.count()
-    if n == 0:
+    block_refs = _normed_chunk_refs(ds, id_col, chunk_rows)
+    if not block_refs:
         return rd.from_arrow(_PAIRS_SCHEMA.empty_table())
-    n_chunks = max(1, -(-n // chunk_rows))
-    normed = (
-        src.repartition(n_chunks)
-        .map_batches(norm_chunk, batch_format="pyarrow", batch_size=chunk_rows)
-        .materialize()
-    )
-    block_refs = [r for r in normed.to_arrow_refs()]
     c = len(block_refs)
     ij = [(i, j) for i in range(c) for j in range(i, c)]
     pair_tbl = pa.table(
@@ -605,3 +614,153 @@ def ann_lsh(
         probe, batch_format="pyarrow"
     )
     return ann_bruteforce(candidates, query, k, id_col)
+
+
+_KNN_SCHEMA = pa.schema(
+    [("vec_id", pa.int64()), ("nbr", pa.int64()), ("cos", pa.float64())]
+)
+
+
+def knn_join_exact(
+    ds: rd.Dataset,
+    k: int = 5,
+    id_col: str = "vec_id",
+    chunk_rows: int = 8192,
+    max_tasks: int = 256,
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Exact k-nearest-neighbor SELF-join over an embedding column:
+    every vector gets its k most-cosine-similar neighbors (self
+    excluded) — the workhorse behind SemDeDup-style clustering and
+    similarity audits, as a standalone operator.
+
+    Same distribution shape as :func:`cosine_pairs`: normalized (id,
+    unit-vector) chunks pinned in the object store, chunk-pair tasks
+    (upper triangle) each doing ONE matmul — O(chunk_rows^2) memory
+    per task, no driver materialization. Each task emits a PARTIAL
+    top-k per row in both directions of its chunk pair (a given
+    (row, neighbor) combination lives in exactly one task, so partials
+    never duplicate); a bucketed per-id merge selects the global
+    top-k. Shuffle volume is int-only (id, nbr, micro-cos) rows,
+    N x n_chunks x k total.
+
+    Determinism contract: selection orders on (cosine ROUNDED to 6
+    decimals DESC, neighbor id ASC) — both packed into one int64 key
+    (micro-cos << 33 minus neighbor id, exact for |id| < 2^32) so the
+    partial top-k and the final merge order identically to the SQL
+    window ``row_number() OVER (PARTITION BY vec_id ORDER BY cos
+    DESC, nbr)``. Ids must be non-negative and < 2^32."""
+    import ray
+
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
+    block_refs = _normed_chunk_refs(ds, id_col, chunk_rows)
+    if not block_refs:
+        return rd.from_arrow(_KNN_SCHEMA.empty_table())
+    c = len(block_refs)
+    ij = [(i, j) for i in range(c) for j in range(i, c)]
+    pair_tbl = pa.table(
+        {
+            "i": pa.array([p[0] for p in ij], pa.int32()),
+            "j": pa.array([p[1] for p in ij], pa.int32()),
+        }
+    )
+    _MIN = np.int64(np.iinfo(np.int64).min)
+
+    def _partial_topk(
+        ids_a: np.ndarray, key: np.ndarray, ids_b: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Per-row k best (by packed key) of one direction of a chunk
+        pair; masked (self) cells carry _MIN and are dropped."""
+        kk = min(k, key.shape[1])
+        if key.shape[1] > kk:
+            # partition on key directly — negating would wrap the
+            # int64 _MIN self-mask to the LARGEST value and select it
+            cut = key.shape[1] - kk
+            idx = np.argpartition(key, cut, axis=1)[:, cut:]
+        else:
+            idx = np.broadcast_to(
+                np.arange(kk), (key.shape[0], kk)
+            ).copy()
+        rows = np.repeat(np.arange(key.shape[0]), kk)
+        cols = idx.ravel()
+        kv = key[rows, cols]
+        keep = kv != _MIN
+        return ids_a[rows[keep]], ids_b[cols[keep]], kv[keep]
+
+    def block_pair(batch: pa.Table) -> pa.Table:
+        vid, nbr, ci = [], [], []
+        for i, j in zip(
+            batch.column("i").to_pylist(), batch.column("j").to_pylist()
+        ):
+            ids_a, ma = _chunk_arrays(ray.get(block_refs[i]), id_col)
+            if i == j:
+                ids_b, mb = ids_a, ma
+            else:
+                ids_b, mb = _chunk_arrays(ray.get(block_refs[j]), id_col)
+            if not (ids_a.size and ids_b.size):
+                continue
+            cos = ma @ mb.T
+            np.round(cos, 6, out=cos)
+            micro = np.rint(cos * 1e6).astype(np.int64)
+            key = (micro << np.int64(33)) - ids_b[None, :]
+            key[ids_a[:, None] == ids_b[None, :]] = _MIN  # self
+            a, b, kv = _partial_topk(ids_a, key, ids_b)
+            vid.append(a), nbr.append(b), ci.append(kv)
+            if i != j:  # the mirror direction has no (j, i) task
+                key_t = (micro.T << np.int64(33)) - ids_a[None, :]
+                a, b, kv = _partial_topk(ids_b, key_t, ids_a)
+                vid.append(a), nbr.append(b), ci.append(kv)
+        if not vid:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "nbr": pa.array([], pa.int64()),
+                    "key": pa.array([], pa.int64()),
+                    "_bucket": pa.array([], pa.int32()),
+                }
+            )
+        v = np.concatenate(vid)
+        return pa.table(
+            {
+                "vec_id": pa.array(v),
+                "nbr": pa.array(np.concatenate(nbr)),
+                "key": pa.array(np.concatenate(ci)),
+                "_bucket": pa.array(
+                    key_bucket(pa.array(v), num_buckets).astype(np.int32)
+                ),
+            }
+        )
+
+    def finish(g: pd.DataFrame) -> pa.Table:
+        vid = g["vec_id"].to_numpy(np.int64)
+        nbr = g["nbr"].to_numpy(np.int64)
+        key = g["key"].to_numpy(np.int64)
+        order = np.lexsort((-key, vid))
+        vid, nbr, key = vid[order], nbr[order], key[order]
+        first = np.ones(len(vid), dtype=bool)
+        first[1:] = vid[1:] != vid[:-1]
+        starts = np.flatnonzero(first)
+        runs = np.diff(np.append(starts, len(vid)))
+        rank = np.arange(len(vid)) - np.repeat(starts, runs)
+        m = rank < k
+        # unpack the key: micro-cos back out of the high bits
+        micro = (key[m] + nbr[m]) >> np.int64(33)
+        return pa.table(
+            {
+                "vec_id": pa.array(vid[m]),
+                "nbr": pa.array(nbr[m]),
+                "cos": pa.array(micro.astype(np.float64) / 1e6, pa.float64()),
+            }
+        )
+
+    from vietnamese_ocr_ray.functions.joins import _ensure_schema
+
+    out = (
+        rd.from_arrow(pair_tbl)
+        .repartition(min(len(ij), max_tasks))
+        .map_batches(block_pair, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(finish, batch_format="pandas")
+    )
+    return _ensure_schema(out, _KNN_SCHEMA)
