@@ -887,6 +887,18 @@ def _ann_ivf(sf_dir: str):
     return ann_ivf(ds, _query_vec(sf_dir), k=10, n_clusters=8, nprobe=3)
 
 
+def _knn_join_ivf(sf_dir: str):
+    """Approximate k-NN self-join over IVF cells — the sub-quadratic
+    scale path for `knn_join`. SQL-verified END TO END: the grid
+    k-means fit, every vector's integer probe rank, the in-cell
+    cosines and the per-id top-k all replay in DuckDB
+    (_knn_ivf_sql)."""
+    from vietnamese_ocr_ray.functions.kmeans import knn_join_ivf
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return knn_join_ivf(ds, k=5, n_clusters=8, nprobe=2)
+
+
 def _embedding_neardup(sf_dir: str):
     import ray.data as rd
 
@@ -1975,6 +1987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _ann_topk,
         "ann_topk_multi": _ann_topk_multi,
         "knn_join": _knn_join,
+        "knn_join_ivf": _knn_join_ivf,
         "ann_topk_quantized": _ann_topk_quantized,
         "ann_lsh": _ann_lsh,
         "ann_ivf": _ann_ivf,
@@ -2623,6 +2636,42 @@ def _ann_ivf_sql(
     CROSS JOIN qrow
     WHERE a.cid IN (SELECT cid FROM probe)
     ORDER BY cos DESC, r.vec_id LIMIT {topk}
+    """
+
+
+def _knn_ivf_sql(
+    n_clusters: int = 8, nprobe: int = 2, topk: int = 5,
+    iters: int = 5, seed: int = 17, dim: int = 64,
+) -> str:
+    """(vec_id, nbr, cos) — the `knn_join_ivf` oracle: k-means replay
+    via _kmeans_cte, EVERY vector's nprobe nearest cells by the same
+    integer grid distance (lowest-cid tie == the engine's composite
+    dist * k + cid argpartition), candidates = members of probed cells
+    (a member belongs to exactly one cell, so no DISTINCT is needed),
+    per-vector top-k on (round-6 cosine DESC, nbr ASC)."""
+    return f"""
+    WITH {_kmeans_cte(n_clusters, iters, seed, dim)},
+    proberank AS MATERIALIZED (
+      SELECT r.vec_id, c.cid,
+             row_number() OVER (PARTITION BY r.vec_id
+               ORDER BY {_sqdist_expr('r.q', 'c.cq', dim)}, c.cid) AS rn
+      FROM hrow r CROSS JOIN cent{iters} c
+    ),
+    cand AS MATERIALIZED (
+      SELECT p.vec_id AS vec_id, m.vec_id AS nbr,
+             round(list_cosine_similarity(rq.e, rm.e), 6) AS cos
+      FROM proberank p
+      JOIN afinal m ON m.cid = p.cid AND m.vec_id <> p.vec_id
+      JOIN hrow rq ON rq.vec_id = p.vec_id
+      JOIN hrow rm ON rm.vec_id = m.vec_id
+      WHERE p.rn <= {nprobe}
+    )
+    SELECT vec_id, nbr, cos FROM (
+      SELECT vec_id, nbr, cos,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY cos DESC, nbr) AS rn
+      FROM cand
+    ) WHERE rn <= {topk}
     """
 
 
@@ -4772,6 +4821,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters_cms_full": _cms_full_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ann_ivf_sql(),
+        "knn_join_ivf": _knn_ivf_sql(),
         "ann_ivf_persisted": _ann_ivf_sql(),
         "semdedup": _semdedup_sql(),
         "bpe_merges": _bpe_merges_sql(),

@@ -1609,3 +1609,63 @@ def test_knn_join_exact_small_corpus(ray_session):
     assert len(got) == 12  # 4 * 3
     assert got.groupby("vec_id").size().eq(3).all()
     assert (got.vec_id != got.nbr).all()
+
+
+def test_knn_join_ivf_full_probe_equals_exact(ray_session):
+    """nprobe == n_clusters probes every cell — the IVF join must then
+    equal the exact chunk-pair join row for row."""
+    import pandas as pd
+
+    from vietnamese_ocr_ray.functions.ann import knn_join_exact
+    from vietnamese_ocr_ray.functions.kmeans import knn_join_ivf
+
+    rng = np.random.default_rng(3)
+    m = rng.normal(size=(50, 8))
+    ids = rng.permutation(50).astype(np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array([list(r) for r in m], pa.list_(pa.float64())),
+        }
+    )
+    exact = (
+        knn_join_exact(rd.from_arrow(t), k=4, chunk_rows=16)
+        .to_pandas()
+        .sort_values(["vec_id", "nbr"])
+        .reset_index(drop=True)
+    )
+    ivf = (
+        knn_join_ivf(rd.from_arrow(t), k=4, n_clusters=5, nprobe=5)
+        .to_pandas()
+        .sort_values(["vec_id", "nbr"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(ivf, exact)
+
+
+def test_knn_join_ivf_recall_on_blobs(ray_session):
+    """Well-separated blobs: with nprobe=1 a vector's true neighbors
+    live in its own cell, so recall vs the exact join stays high."""
+    from vietnamese_ocr_ray.functions.ann import knn_join_exact
+    from vietnamese_ocr_ray.functions.kmeans import knn_join_ivf
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 12)) * 20.0
+    m = np.concatenate(
+        [c + rng.normal(size=(30, 12)) for c in centers]
+    )
+    ids = np.arange(len(m), dtype=np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array([list(r) for r in m], pa.list_(pa.float64())),
+        }
+    )
+    exact = knn_join_exact(rd.from_arrow(t), k=3, chunk_rows=32).to_pandas()
+    ivf = knn_join_ivf(
+        rd.from_arrow(t), k=3, n_clusters=4, nprobe=1
+    ).to_pandas()
+    truth = set(map(tuple, exact[["vec_id", "nbr"]].to_numpy()))
+    got = set(map(tuple, ivf[["vec_id", "nbr"]].to_numpy()))
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, recall

@@ -620,6 +620,53 @@ _KNN_SCHEMA = pa.schema(
     [("vec_id", pa.int64()), ("nbr", pa.int64()), ("cos", pa.float64())]
 )
 
+_KNN_MIN = np.int64(np.iinfo(np.int64).min)
+
+
+def _knn_partial_topk(
+    ids_a: np.ndarray, key: np.ndarray, ids_b: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-row k best (by packed (micro-cos << 33) - nbr key) of one
+    candidate matrix; masked (self) cells carry _KNN_MIN and are
+    dropped. Partitions on the key DIRECTLY — negating would wrap the
+    int64 _KNN_MIN self-mask to the LARGEST value and select it."""
+    kk = min(k, key.shape[1])
+    if key.shape[1] > kk:
+        cut = key.shape[1] - kk
+        idx = np.argpartition(key, cut, axis=1)[:, cut:]
+    else:
+        idx = np.broadcast_to(np.arange(kk), (key.shape[0], kk)).copy()
+    rows = np.repeat(np.arange(key.shape[0]), kk)
+    cols = idx.ravel()
+    kv = key[rows, cols]
+    keep = kv != _KNN_MIN
+    return ids_a[rows[keep]], ids_b[cols[keep]], kv[keep]
+
+
+def _knn_finish(g: pd.DataFrame, k: int) -> pa.Table:
+    """Global per-id top-k over (vec_id, nbr, key) partial rows —
+    lexsort on (id, key desc) + run-boundary rank; the packed key
+    unpacks back to micro-cos in the high bits."""
+    vid = g["vec_id"].to_numpy(np.int64)
+    nbr = g["nbr"].to_numpy(np.int64)
+    key = g["key"].to_numpy(np.int64)
+    order = np.lexsort((-key, vid))
+    vid, nbr, key = vid[order], nbr[order], key[order]
+    first = np.ones(len(vid), dtype=bool)
+    first[1:] = vid[1:] != vid[:-1]
+    starts = np.flatnonzero(first)
+    runs = np.diff(np.append(starts, len(vid)))
+    rank = np.arange(len(vid)) - np.repeat(starts, runs)
+    m = rank < k
+    micro = (key[m] + nbr[m]) >> np.int64(33)
+    return pa.table(
+        {
+            "vec_id": pa.array(vid[m]),
+            "nbr": pa.array(nbr[m]),
+            "cos": pa.array(micro.astype(np.float64) / 1e6, pa.float64()),
+        }
+    )
+
 
 def knn_join_exact(
     ds: rd.Dataset,
@@ -665,28 +712,9 @@ def knn_join_exact(
             "j": pa.array([p[1] for p in ij], pa.int32()),
         }
     )
-    _MIN = np.int64(np.iinfo(np.int64).min)
 
-    def _partial_topk(
-        ids_a: np.ndarray, key: np.ndarray, ids_b: np.ndarray
-    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Per-row k best (by packed key) of one direction of a chunk
-        pair; masked (self) cells carry _MIN and are dropped."""
-        kk = min(k, key.shape[1])
-        if key.shape[1] > kk:
-            # partition on key directly — negating would wrap the
-            # int64 _MIN self-mask to the LARGEST value and select it
-            cut = key.shape[1] - kk
-            idx = np.argpartition(key, cut, axis=1)[:, cut:]
-        else:
-            idx = np.broadcast_to(
-                np.arange(kk), (key.shape[0], kk)
-            ).copy()
-        rows = np.repeat(np.arange(key.shape[0]), kk)
-        cols = idx.ravel()
-        kv = key[rows, cols]
-        keep = kv != _MIN
-        return ids_a[rows[keep]], ids_b[cols[keep]], kv[keep]
+    def _partial_topk(ids_a, key, ids_b):
+        return _knn_partial_topk(ids_a, key, ids_b, k)
 
     def block_pair(batch: pa.Table) -> pa.Table:
         vid, nbr, ci = [], [], []
@@ -704,7 +732,7 @@ def knn_join_exact(
             np.round(cos, 6, out=cos)
             micro = np.rint(cos * 1e6).astype(np.int64)
             key = (micro << np.int64(33)) - ids_b[None, :]
-            key[ids_a[:, None] == ids_b[None, :]] = _MIN  # self
+            key[ids_a[:, None] == ids_b[None, :]] = _KNN_MIN  # self
             a, b, kv = _partial_topk(ids_a, key, ids_b)
             vid.append(a), nbr.append(b), ci.append(kv)
             if i != j:  # the mirror direction has no (j, i) task
@@ -733,26 +761,7 @@ def knn_join_exact(
         )
 
     def finish(g: pd.DataFrame) -> pa.Table:
-        vid = g["vec_id"].to_numpy(np.int64)
-        nbr = g["nbr"].to_numpy(np.int64)
-        key = g["key"].to_numpy(np.int64)
-        order = np.lexsort((-key, vid))
-        vid, nbr, key = vid[order], nbr[order], key[order]
-        first = np.ones(len(vid), dtype=bool)
-        first[1:] = vid[1:] != vid[:-1]
-        starts = np.flatnonzero(first)
-        runs = np.diff(np.append(starts, len(vid)))
-        rank = np.arange(len(vid)) - np.repeat(starts, runs)
-        m = rank < k
-        # unpack the key: micro-cos back out of the high bits
-        micro = (key[m] + nbr[m]) >> np.int64(33)
-        return pa.table(
-            {
-                "vec_id": pa.array(vid[m]),
-                "nbr": pa.array(nbr[m]),
-                "cos": pa.array(micro.astype(np.float64) / 1e6, pa.float64()),
-            }
-        )
+        return _knn_finish(g, k)
 
     from vietnamese_ocr_ray.functions.joins import _ensure_schema
 

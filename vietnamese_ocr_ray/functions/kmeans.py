@@ -344,3 +344,145 @@ def ann_ivf(
         probe, batch_format="pyarrow"
     )
     return ann_bruteforce(candidates, query, k, id_col)
+
+
+def knn_join_ivf(
+    ds: rd.Dataset,
+    k: int = 5,
+    *,
+    n_clusters: int = 8,
+    nprobe: int = 2,
+    iters: int = 5,
+    seed: int = 17,
+    id_col: str = "vec_id",
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Approximate k-NN SELF-join — the sub-quadratic scale path for
+    :func:`~vietnamese_ocr_ray.functions.ann.knn_join_exact`: vectors
+    are assigned to deterministic grid-k-means cells (inverted lists);
+    each vector searches only its ``nprobe`` nearest cells, so compute
+    drops from O(N^2) to ~O(N^2 * nprobe / n_clusters). Neighbors
+    living outside a vector's probed cells are MISSED — recall rises
+    with nprobe (nprobe == n_clusters is exact).
+
+    Shuffle shape: ONE cluster cogroup in which each vector rides
+    (nprobe + 1) times — once as a member of its own cell, nprobe
+    times as a query probing nearby cells; a (query, member) candidate
+    arises at most once because a member belongs to exactly one cell.
+    In-cell scoring is one matmul + the packed-key partial top-k of
+    knn_join_exact; the per-id merge rows are int-only.
+
+    Determinism: the grid k-means fit, integer probe ranks (squared
+    grid distance, lowest-cid tie) and packed-key selection make the
+    result bit-stable under any block layout AND fully SQL-replayable
+    via the _kmeans_cte oracle."""
+    import pyarrow.compute as pc
+    import ray
+
+    from vietnamese_ocr_ray.functions.ann import (
+        _KNN_SCHEMA,
+        _knn_finish,
+        _knn_partial_topk,
+    )
+    from vietnamese_ocr_ray.functions.joins import _ensure_schema, key_bucket
+
+    centroids = kmeans_fit(ds, k=n_clusters, iters=iters, seed=seed)
+    cq = _quantize(centroids)
+    handle = ray.put(cq)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        c = ray.get(handle)
+        m = _matrix(batch)
+        u = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+        ids = np.asarray(
+            pc.cast(
+                batch.column(id_col).combine_chunks()
+                if isinstance(batch.column(id_col), pa.ChunkedArray)
+                else batch.column(id_col),
+                pa.int64(),
+            )
+        )
+        q = _quantize(m)
+        kc = c.shape[0]
+        dist = np.empty((q.shape[0], kc), dtype=np.int64)
+        for j in range(kc):
+            d = q - c[j]
+            dist[:, j] = np.einsum("ij,ij->i", d, d)
+        # (dist, cid) composite: coords < 2^21 -> dist < 2^48; exact
+        comp = dist * np.int64(kc) + np.arange(kc, dtype=np.int64)[None, :]
+        assigned = np.argmin(comp, axis=1)  # == _assign_q tie rule
+        np_probe = min(nprobe, kc)
+        if kc > np_probe:
+            probes = np.argpartition(comp, np_probe - 1, axis=1)[:, :np_probe]
+        else:
+            probes = np.broadcast_to(
+                np.arange(kc), (q.shape[0], kc)
+            ).copy()
+        n = q.shape[0]
+        clusters = np.concatenate(
+            [assigned] + [probes[:, p] for p in range(np_probe)]
+        )
+        roles = np.concatenate(
+            [np.zeros(n, np.int8), np.ones(n * np_probe, np.int8)]
+        )
+        rep = np.tile(ids, np_probe + 1)
+        uu = np.tile(u, (np_probe + 1, 1))
+        return pa.table(
+            {
+                "cluster": pa.array(clusters),
+                "role": pa.array(roles, pa.int8()),
+                id_col: pa.array(rep),
+                "uvec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(uu.reshape(-1), pa.float64()), u.shape[1]
+                ),
+            }
+        )
+
+    empty_partial = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "nbr": pa.array([], pa.int64()),
+            "key": pa.array([], pa.int64()),
+            "_bucket": pa.array([], pa.int32()),
+        }
+    )
+
+    def cell_knn(g: pa.Table) -> pa.Table:
+        role = np.asarray(g.column("role"))
+        ids = np.asarray(g.column(id_col), dtype=np.int64)
+        arr = g.column("uvec")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        mat = np.asarray(arr.values, dtype=np.float64).reshape(len(arr), -1)
+        qm = role == 1
+        if not qm.any() or qm.all():
+            return empty_partial
+        qid, mid = ids[qm], ids[~qm]
+        cos = mat[qm] @ mat[~qm].T
+        np.round(cos, 6, out=cos)
+        micro = np.rint(cos * 1e6).astype(np.int64)
+        key = (micro << np.int64(33)) - mid[None, :]
+        key[qid[:, None] == mid[None, :]] = np.int64(
+            np.iinfo(np.int64).min
+        )  # a query probing its own cell meets itself as a member
+        a, b, kv = _knn_partial_topk(qid, key, mid, k)
+        return pa.table(
+            {
+                "vec_id": pa.array(a),
+                "nbr": pa.array(b),
+                "key": pa.array(kv),
+                "_bucket": pa.array(
+                    key_bucket(pa.array(a), num_buckets).astype(np.int32)
+                ),
+            }
+        )
+
+    out = (
+        ds.select_columns([id_col, "embedding"])
+        .map_batches(expand, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(cell_knn, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(lambda g: _knn_finish(g, k), batch_format="pandas")
+    )
+    return _ensure_schema(out, _KNN_SCHEMA)
