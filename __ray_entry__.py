@@ -1874,6 +1874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_join_counts": lambda sf: relational.customer_order_counts(sf),
         "full_outer_matrix": lambda sf: relational.click_purchase_matrix(sf),
         "event_funnel": lambda sf: relational.event_funnel(sf),
+        "cohort_retention": lambda sf: relational.cohort_retention(sf),
         "interval_join_pairs": lambda sf: relational.click_purchase_pairs(sf),
         # multi-way join trees and advanced aggregates
         "shipping_priority": lambda sf: analytics.shipping_priority(sf),
@@ -5052,6 +5053,21 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN p.last_purch >= c.first_click
                          THEN 1 ELSE 0 END AS BIGINT) AS converted
         FROM c LEFT JOIN p ON c.user_id = p.user_id
+        """,
+        "cohort_retention": """
+        WITH weeks AS (
+          SELECT DISTINCT user_id,
+                 CAST(date_trunc('week', ts) AS DATE) AS w
+          FROM events
+        ),
+        firsts AS (
+          SELECT user_id, min(w) AS cohort FROM weeks GROUP BY user_id
+        )
+        SELECT f.cohort AS cohort_week,
+               CAST((w.w - f.cohort) // 7 AS BIGINT) AS week_offset,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM weeks w JOIN firsts f USING (user_id)
+        GROUP BY 1, 2
         """,
         "full_outer_matrix": """
         WITH c AS (SELECT user_id, date_trunc('hour', ts) AS hour,

@@ -304,3 +304,64 @@ def test_render_text_rejects_unsupported_chars():
 
     with pytest.raises(ValueError, match="unsupported characters"):
         render_text("has space", 64)
+
+
+def test_cohort_retention_multi_cohort(ray_session, tmp_path):
+    """Users starting in different weeks land in different cohorts;
+    per-(cohort, offset) active-user counts match a pandas replay.
+    Data planted so a user can be active in a week, skip one, and
+    return (offset gaps preserved) and so two cohorts overlap in
+    calendar weeks (cohort != calendar grouping)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.relational import cohort_retention
+
+    base = np.datetime64("2024-01-01T12:00:00", "us")  # a Monday
+    week = np.timedelta64(7, "D").astype("timedelta64[us]")
+    rows = []  # (user, ts)
+    # cohort A (week 0): u1 active weeks 0,1,3; u2 active weeks 0,2
+    rows += [(1, base), (1, base + week), (1, base + 3 * week)]
+    rows += [(2, base + np.timedelta64(3, "D").astype("timedelta64[us]")),
+             (2, base + 2 * week)]
+    # cohort B (week 1): u3 active weeks 1,2; u4 active week 1 only
+    rows += [(3, base + week), (3, base + 2 * week), (4, base + week)]
+    df = pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+        }
+    )
+    (tmp_path / "events.parquet").mkdir()
+    for i in range(3):  # multiple files -> cross-batch distinct path
+        pq.write_table(
+            pa.Table.from_pandas(
+                df.iloc[i::3].reset_index(drop=True), preserve_index=False
+            ),
+            str(tmp_path / "events.parquet" / f"part{i}.parquet"),
+        )
+    out = (
+        cohort_retention(str(tmp_path))
+        .to_pandas()
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    wk = df["ts"].dt.floor("D") - pd.to_timedelta(
+        (df["ts"].dt.dayofweek), unit="D"
+    )
+    uw = pd.DataFrame({"u": df["user_id"], "w": wk}).drop_duplicates()
+    firsts = uw.groupby("u")["w"].min().rename("c")
+    j = uw.join(firsts, on="u")
+    j["off"] = ((j["w"] - j["c"]).dt.days // 7).astype(np.int64)
+    ref = (
+        j.groupby(["c", "off"], as_index=False)
+        .size()
+        .rename(columns={"c": "cohort_week", "off": "week_offset",
+                         "size": "n_users"})
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    ref["n_users"] = ref["n_users"].astype(np.int64)
+    out["cohort_week"] = out["cohort_week"].astype("datetime64[ns]")
+    pd.testing.assert_frame_equal(out, ref)
+    assert out["cohort_week"].nunique() == 2  # two distinct cohorts

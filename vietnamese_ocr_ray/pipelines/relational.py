@@ -2355,3 +2355,105 @@ def geo_mean_value(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def cohort_retention(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """Weekly cohort retention: users are grouped by the Monday-start
+    week of their FIRST event (their cohort); ``n_users`` counts how
+    many of each cohort were active (>= 1 event) ``week_offset`` weeks
+    later. The classic "enrich a stream with a per-group aggregate"
+    shape, Ray-native and join-free on the raw stream:
+
+    * one corpus pass emits per-batch DISTINCT (user, active-week)
+      pairs — the cohort is just the smallest of a user's distinct
+      weeks, so no separate min-ts side is needed;
+    * ONE user-bucket shuffle (rows bounded by distinct (user, week)
+      pairs, never raw events) resolves each user's first week with a
+      run-boundary scan and emits (cohort, offset) count partials;
+    * a (cohorts x offsets)-bounded hash aggregate finishes.
+
+    Week arithmetic matches DuckDB ``date_trunc('week', ts)``:
+    Monday-start day numbers (1970-01-01 was a Thursday)."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = (
+            batch.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        days = us // 86_400_000_000
+        dow = (days + 3) % 7  # Monday=0; epoch day 0 was a Thursday
+        week = days - dow
+        user = batch.column("user_id").to_numpy(zero_copy_only=False)
+        uw = np.unique(
+            np.stack([user.astype(np.int64), week], axis=1), axis=0
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(uw[:, 0]),
+                "week": pa.array(uw[:, 1]),
+                "_bucket": pa.array(
+                    key_bucket(pa.array(uw[:, 0]), num_buckets).astype(
+                        np.int32
+                    )
+                ),
+            }
+        )
+
+    def bucket_counts(g: pd.DataFrame) -> pa.Table:
+        df = g.drop_duplicates(["user_id", "week"])  # cross-batch dups
+        u = df["user_id"].to_numpy(np.int64)
+        w = df["week"].to_numpy(np.int64)
+        order = np.lexsort((w, u))
+        u, w = u[order], w[order]
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(first)
+        runs = np.diff(np.append(starts, len(u)))
+        cohort = np.repeat(w[starts], runs)
+        off = (w - cohort) // 7
+        out = (
+            pd.DataFrame({"cohort": cohort, "week_offset": off})
+            .groupby(["cohort", "week_offset"], as_index=False)
+            .size()
+        )
+        return pa.table(
+            {
+                "cohort": pa.array(out["cohort"].to_numpy(np.int64)),
+                "week_offset": pa.array(
+                    out["week_offset"].to_numpy(np.int64)
+                ),
+                "n": pa.array(out["size"].to_numpy(np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_counts, batch_format="pandas"),
+        ["cohort", "week_offset"],
+        {"n_users": ("n", "sum")},
+        num_buckets=8,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        days = np.asarray(b.column("cohort"), dtype=np.int64)
+        # timestamp[us] midnight Monday — the events_hourly convention
+        # (DuckDB DATE and date32 stringify differently in pandas)
+        wk = days.astype("datetime64[D]").astype("datetime64[us]")
+        return pa.table(
+            {
+                "cohort_week": pa.array(wk),
+                "week_offset": b.column("week_offset"),
+                "n_users": b.column("n_users"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
