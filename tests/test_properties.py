@@ -446,3 +446,88 @@ def test_fit2_closed_matches_eigh_property(data):
     # direction agreement with eigh outside near-degeneracy
     if (evals[1] - evals[0]) > 1e-6 * scale:
         assert abs(np.dot(evecs[:, 1], [w00, w10])) > 1 - 1e-6
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcx", min_size=0, max_size=5),
+        min_size=1,
+        max_size=25,
+    ),
+    buckets=st.sampled_from([2, 3, 7]),
+)
+@settings(max_examples=12, deadline=None)
+def test_fuzzy_pairs_ed1_matches_bruteforce_prop(ray_session, words, buckets):
+    """Deletion-neighborhood blocking == brute-force O(n^2) over ANY
+    small vocabulary (tiny alphabet maximizes collisions: repeated
+    chars, empty strings, substitution/insert/delete chains)."""
+    import itertools
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vietnamese_ocr_ray.functions.dedup import fuzzy_pairs_ed1
+    from vietnamese_ocr_ray.functions.text import levenshtein_np
+
+    docs = pa.table({"text": pa.array([" ".join(words)])})
+    df = fuzzy_pairs_ed1(rd.from_arrow(docs), num_buckets=buckets).to_pandas()
+    # to_pandas() of a fully-empty Dataset loses columns (known Ray
+    # limitation, joins._ensure_schema) — empty means "no pairs"
+    got = (
+        sorted(map(tuple, df[["w1", "w2"]].to_numpy())) if len(df) else []
+    )
+    toks = sorted(set(words))
+    want = sorted(
+        (a, b)
+        for a, b in itertools.combinations(toks, 2)
+        if levenshtein_np(a, b) == 1
+    )
+    assert got == want
+
+
+@given(
+    rows=st.integers(3, 24),
+    k=st.integers(1, 6),
+    chunk=st.sampled_from([4, 7, 16]),
+    seed=st.integers(0, 10**6),
+)
+@settings(max_examples=10, deadline=None)
+def test_knn_join_exact_matches_bruteforce_prop(
+    ray_session, rows, k, chunk, seed
+):
+    """Chunked k-NN join == full-matrix selection on the identical
+    packed key, over any (n, k, chunk) shape — including chunks
+    smaller than k and duplicate vectors."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vietnamese_ocr_ray.functions.ann import knn_join_exact
+
+    rng = np.random.default_rng(seed)
+    m = rng.normal(size=(rows, 5))
+    m[rows // 2] = m[0]  # planted duplicate vector
+    ids = rng.permutation(rows).astype(np.int64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(
+                [list(r) for r in m], pa.list_(pa.float64())
+            ),
+        }
+    )
+    got = sorted(
+        map(
+            tuple,
+            knn_join_exact(rd.from_arrow(t), k=k, chunk_rows=chunk)
+            .to_pandas()
+            .to_numpy(),
+        )
+    )
+    u = m / np.linalg.norm(m, axis=1, keepdims=True)
+    micro = np.rint(np.round(u @ u.T, 6) * 1e6).astype(np.int64)
+    ref = []
+    for i in range(rows):
+        key = (micro[i] << np.int64(33)) - ids
+        order = [j for j in np.argsort(key)[::-1] if j != i][:k]
+        ref += [(ids[i], ids[j], micro[i, j] / 1e6) for j in order]
+    assert got == sorted(ref)
