@@ -683,7 +683,9 @@ def _fuzzy_match_ed1(sf_dir: str):
     from vietnamese_ocr_ray.sources.storage import read_parquet_clean
 
     ds = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_name"])
-    return fuzzy_pairs_ed1(ds, text_col="c_name")
+    # bucket count sized to the test corpora (fixed per-group cost
+    # dominates at kilorow scale); at 10^9+ names size it to cores
+    return fuzzy_pairs_ed1(ds, text_col="c_name", num_buckets=16)
 
 
 def _minhash_pairs(sf_dir: str):

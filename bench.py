@@ -350,6 +350,9 @@ def run_bench() -> dict:
         "domain_cap",
         "bpe_encode",
         "embedding_pca",
+        "knn_join",
+        "fuzzy_match_ed1",
+        "cohort_retention",
     ):
 
         def consume(fn=q[name]):
