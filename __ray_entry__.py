@@ -357,6 +357,29 @@ def _train_standin(sf_dir: str):
     return train_standin(ds, epochs=5, max_lr=1.0)
 
 
+def _labels_tsv(sf_dir: str):
+    """S2 — the reference's TSV label store driven end to end: the
+    media table's (media_ref, truth) dumped once as 'filename\\ttext'
+    lines (src/utils/vocab.py:5-9 format), then read back through the
+    ray.data.read_csv source. The oracle rebuilds the same (ref,
+    truth) rows from documents via the closed-form media derivation
+    (_MEDIA_CTE), so the whole write+parse round trip is
+    value-checked."""
+    import os
+
+    from vietnamese_ocr_ray.sources.storage import (
+        read_labels_tsv,
+        write_labels_tsv,
+    )
+    from vietnamese_ocr_ray.synth import ensure_corpus
+
+    _, media_dir = ensure_corpus(sf_dir)
+    tsv = os.path.join(os.path.dirname(media_dir), "labels.tsv")
+    if not os.path.exists(tsv):
+        write_labels_tsv(media_dir, tsv)
+    return read_labels_tsv(tsv)
+
+
 def _media_stub(sf_dir: str):
     """Multimodal plumbing demo: media table -> actor-pool metadata
     stage with the heavy decode stubbed (no image libs in sandbox —
@@ -1787,6 +1810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_reassembled": _reassembled,
         "train_standin": _train_standin,
         "media_stub": _media_stub,
+        "labels_tsv_roundtrip": _labels_tsv,
         "media_features": _media_features,
         "media_ahash": _media_ahash,
         "media_neardup_ahash": _media_neardup_ahash,
@@ -3275,6 +3299,11 @@ def oracle_sql() -> dict[str, str]:
                CAST(h AS INTEGER) AS height, CAST(wpx AS INTEGER) AS width,
                CAST(h * wpx AS BIGINT) AS n_bytes
         FROM mom""",
+        "labels_tsv_roundtrip": _MEDIA_CTE + """
+        SELECT 'm-' || CAST(did AS VARCHAR) || '-' || CAST(off AS VARCHAR)
+                 AS ref,
+               wd AS truth
+        FROM m""",
         "media_features": _MEDIA_CTE + """
         SELECT 'm-' || CAST(did AS VARCHAR) || '-' || CAST(off AS VARCHAR) AS media_ref,
                pixel_sum, pixel_sq_sum, edge_count, n_pixels

@@ -365,3 +365,34 @@ def test_cohort_retention_multi_cohort(ray_session, tmp_path):
     out["cohort_week"] = out["cohort_week"].astype("datetime64[ns]")
     pd.testing.assert_frame_equal(out, ref)
     assert out["cohort_week"].nunique() == 2  # two distinct cohorts
+
+
+def test_labels_tsv_roundtrip_format(ray_session, tmp_path):
+    """write_labels_tsv emits the reference's exact label-store shape
+    (headerless 'filename\\ttext' lines, no quoting) and
+    read_labels_tsv parses it back losslessly, dropping the trailing
+    empty line the way src/utils/vocab.py's split does."""
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.sources.storage import (
+        read_labels_tsv,
+        write_labels_tsv,
+    )
+
+    t = pa.table(
+        {
+            "media_ref": pa.array(["m-0-0", "m-0-3", "m-7-0"]),
+            "truth": pa.array(["xin", "chao", "vietnam"]),
+            "other": pa.array([1, 2, 3]),
+        }
+    )
+    mdir = tmp_path / "media"
+    mdir.mkdir()
+    pq.write_table(t, str(mdir / "part0.parquet"))
+    tsv = str(tmp_path / "labels.tsv")
+    write_labels_tsv(str(mdir), tsv)
+    raw = open(tsv, "rb").read()
+    assert raw == b"m-0-0\txin\nm-0-3\tchao\nm-7-0\tvietnam\n"
+    back = read_labels_tsv(tsv).to_pandas().sort_values("ref")
+    assert list(back["ref"]) == ["m-0-0", "m-0-3", "m-7-0"]
+    assert list(back["truth"]) == ["xin", "chao", "vietnam"]

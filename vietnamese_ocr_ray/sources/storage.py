@@ -244,3 +244,39 @@ def compact_fragments(
     with open(os.path.join(out_dir, "_COMPACTION"), "w") as f:
         json.dump(manifest, f)
     return manifest
+
+
+def write_labels_tsv(media_dir: str, path: str) -> str:
+    """Write the reference's TSV label store — one ``filename\\ttext``
+    line per image (the format ``src/utils/vocab.py:5-9`` splits on
+    ``\\n`` then ``\\t``) — from the media table's (media_ref, truth)
+    columns. Label sidecars are small-side by design (the reference
+    holds the whole dict in memory), so this is a single headerless
+    driver-side file; quoting disabled for line-split fidelity."""
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(media_dir, columns=["media_ref", "truth"])
+    pacsv.write_csv(
+        t,
+        path,
+        write_options=pacsv.WriteOptions(
+            include_header=False, delimiter="\t", quoting_style="none"
+        ),
+    )
+    return path
+
+
+def read_labels_tsv(path: str | list[str]) -> rd.Dataset:
+    """S2 — the reference's TSV label reader (``filename\\ttext``
+    lines, trailing empty line dropped; src/utils/vocab.py:5-9) as a
+    Ray Data source: ``read_csv`` with tab delimiter and an explicit
+    headerless schema (ref, truth). At scale this shards over files
+    and byte ranges like any Arrow CSV scan."""
+    from pyarrow import csv as pacsv
+
+    return rd.read_csv(
+        path,
+        read_options=pacsv.ReadOptions(column_names=["ref", "truth"]),
+        parse_options=pacsv.ParseOptions(delimiter="\t", quote_char=False),
+    )
