@@ -380,6 +380,31 @@ def _labels_tsv(sf_dir: str):
     return read_labels_tsv(tsv)
 
 
+def _warc_records(sf_dir: str):
+    """WARC web-archive round trip: documents -> deterministic page +
+    URL -> multi-record WARC/1.0 chunks -> the vectorized record
+    parser. The oracle rebuilds every header and payload straight from
+    documents (html_sql_expr / url_sql_expr), so the frame + parse
+    loop is value-checked end to end."""
+    from vietnamese_ocr_ray.functions.warc import synth_warc, warc_records
+
+    return warc_records(synth_warc(_html_docs(sf_dir)))
+
+
+def _warc_main_content(sf_dir: str):
+    """The north-rule extraction path over the archive container
+    format: WARC chunks -> record parse -> boilerplate-strip main
+    content. Oracle == html_main_content's (the WARC trip must be
+    lossless)."""
+    from vietnamese_ocr_ray.functions.html import html_main_content
+    from vietnamese_ocr_ray.functions.warc import synth_warc, warc_records
+
+    recs = warc_records(synth_warc(_html_docs(sf_dir)))
+    return html_main_content(
+        recs.select_columns(["doc_id", "html"]), html_col="html"
+    )
+
+
 def _media_stub(sf_dir: str):
     """Multimodal plumbing demo: media table -> actor-pool metadata
     stage with the heavy decode stubbed (no image libs in sandbox —
@@ -1811,6 +1836,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_standin": _train_standin,
         "media_stub": _media_stub,
         "labels_tsv_roundtrip": _labels_tsv,
+        "warc_records": _warc_records,
+        "warc_main_content": _warc_main_content,
         "media_features": _media_features,
         "media_ahash": _media_ahash,
         "media_neardup_ahash": _media_neardup_ahash,
@@ -3257,6 +3284,7 @@ _COLHASH_CTE = _MEDIA_CTE + """
 
 
 def oracle_sql() -> dict[str, str]:
+    from vietnamese_ocr_ray.functions.html import html_sql_expr
     from vietnamese_ocr_ray.functions.pdf import pdf_sql_expr
     from vietnamese_ocr_ray.functions.pii import pii_sql_expr
     from vietnamese_ocr_ray.functions.url import url_sql_expr
@@ -3389,6 +3417,24 @@ def oracle_sql() -> dict[str, str]:
         FROM h
         """,
         "html_main_content": f"""
+        WITH {_html_scored_cte()}
+        SELECT d.doc_id, coalesce(m.main_text, '') AS main_text
+        FROM documents d LEFT JOIN (
+          SELECT doc_id, string_agg(txt, ' ' ORDER BY ord) AS main_text
+          FROM scored WHERE length(txt) >= 20 AND 2*anchor_chars < length(txt)
+          GROUP BY doc_id) m USING (doc_id)
+        """,
+        "warc_records": f"""
+        -- the WARC frame+parse round trip must hand back exactly the
+        -- page, URL and char length rebuilt straight from documents
+        WITH h AS ({html_sql_expr()})
+        SELECT d.doc_id,
+               {_url_expr} AS target_uri,
+               CAST(length(h.html) AS BIGINT) AS content_length,
+               h.html AS html
+        FROM documents d JOIN h USING (doc_id)
+        """,
+        "warc_main_content": f"""
         WITH {_html_scored_cte()}
         SELECT d.doc_id, coalesce(m.main_text, '') AS main_text
         FROM documents d LEFT JOIN (

@@ -262,3 +262,59 @@ def test_snapshot_common_keeps_only_seen_content(ray_session):
     )
     assert none.schema().names == ["doc_id", "text"]
     assert none.count() == 0
+
+
+def _warc_docs():
+    return pa.table(
+        {
+            "doc_id": pa.array([0, 1, 5, 33], pa.int64()),
+            "text": pa.array(
+                ["alpha beta", "gamma", "delta eps", "zeta"]
+            ),
+            "lang": pa.array(["en", "de", "en", "es"]),
+            "source": pa.array(["s0", "s1", "s2", "s3"]),
+        }
+    )
+
+
+def test_warc_frame_parse_roundtrip(ray_session):
+    """synth_warc -> warc_records is lossless: every doc comes back
+    with its exact page, URL and char length; docs 0/1/5 share chunk 0
+    (chunk_docs=32) and 33 lands alone in chunk 1."""
+    from vietnamese_ocr_ray.functions.html import synth_html_array
+    from vietnamese_ocr_ray.functions.url import synth_url_array
+    from vietnamese_ocr_ray.functions.warc import synth_warc, warc_records
+
+    docs = _warc_docs()
+    chunks = synth_warc(rd.from_arrow(docs)).to_pandas()
+    assert sorted(chunks["chunk_id"]) == [0, 1]
+    got = (
+        warc_records(synth_warc(rd.from_arrow(docs)))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want_html = synth_html_array(docs).to_pylist()
+    want_url = synth_url_array(docs).to_pylist()
+    assert list(got["doc_id"]) == [0, 1, 5, 33]
+    assert list(got["html"]) == want_html
+    assert list(got["target_uri"]) == want_url
+    assert list(got["content_length"]) == [len(h) for h in want_html]
+
+
+def test_warc_record_wire_format(ray_session):
+    """The chunk bytes are real WARC/1.0 framing: magic, typed headers,
+    blank-line separator, double-CRLF record terminator."""
+    from vietnamese_ocr_ray.functions.warc import synth_warc
+
+    docs = _warc_docs()
+    chunks = synth_warc(rd.from_arrow(docs), chunk_docs=1000).to_pandas()
+    blob = chunks["warc"].iloc[0]
+    assert blob.startswith("WARC/1.0\r\nWARC-Type: response\r\n")
+    assert blob.count("WARC/1.0\r\n") == 4  # one magic per record
+    assert "\r\nWARC-Target-URI: https://www." in blob
+    assert blob.endswith("\r\n\r\n")
+    # records are in doc_id order within a chunk
+    first = blob.index("<urn:doc:0>")
+    last = blob.index("<urn:doc:33>")
+    assert first < last

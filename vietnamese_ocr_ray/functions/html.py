@@ -213,11 +213,17 @@ def html_link_density(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(stats, batch_format="pyarrow")
 
 
-def _block_pieces(batch: pa.Table):
+def _block_pieces(batch: pa.Table, html_col: str | None = None):
     """Split each page into structural blocks. Returns (doc_ids int64
     per piece, flat piece array, per-piece ordinal 1-based, stripped
-    text, anchor char sums, keep mask)."""
-    html = synth_html_array(batch)
+    text, anchor char sums, keep mask). ``html_col`` names a column
+    holding already-materialized pages (e.g. parsed out of a WARC
+    record); None re-synthesizes the deterministic page from the
+    document columns."""
+    if html_col is not None:
+        html = _chunked(batch.column(html_col))
+    else:
+        html = synth_html_array(batch)
     pieces = pc.split_pattern_regex(html, _BLOCK_RE)
     pieces = (
         pieces.combine_chunks() if isinstance(pieces, pa.ChunkedArray) else pieces
@@ -238,15 +244,21 @@ def _block_pieces(batch: pa.Table):
     return doc_ids, flat, ords, txt, anchor, keep
 
 
-def html_main_content(ds: rd.Dataset) -> rd.Dataset:
+def html_main_content(
+    ds: rd.Dataset, html_col: str | None = None
+) -> rd.Dataset:
     """(doc_id, main_text): boilerplate-stripped page text. Blocks
     (split on structural tags) survive iff their stripped text is long
     enough AND anchor characters are under half of it — nav/ad/footer
     blocks are anchor-dense and die, titles are short and die, article
-    paragraphs survive. Survivors rejoin in document order with ' '."""
+    paragraphs survive. Survivors rejoin in document order with ' '.
+    ``html_col`` extracts from an existing page column (e.g. WARC
+    output) instead of re-synthesizing the deterministic page."""
 
     def extract(batch: pa.Table) -> pa.Table:
-        doc_ids, _flat, _ords, txt, _anchor, keep = _block_pieces(batch)
+        doc_ids, _flat, _ords, txt, _anchor, keep = _block_pieces(
+            batch, html_col
+        )
         kept_docs = doc_ids[keep]
         kept_txt = txt.filter(pa.array(keep))
         # pieces are emitted in document order; docs are contiguous.
