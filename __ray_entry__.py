@@ -809,6 +809,39 @@ def _dedup_neardup_simhash(sf_dir: str):
     )
 
 
+def _dedup_neardup_canonical(sf_dir: str):
+    """CANONICAL-keep near-dup removal: the same fingerprint-cluster
+    Hamming graph as dedup_neardup_simhash, but every cluster keeps its
+    LONGEST member (max n_chars, tie -> min doc_id) instead of min-id —
+    the "keep the most complete version" curation policy. Survivor
+    selection rides a packed (score, -id) int64 so the distributed max
+    is exactly as wide as the min-id exchange; the oracle replays the
+    WITH RECURSIVE component walk and picks survivors with a
+    row_number() window over (n_chars DESC, doc_id)."""
+    from vietnamese_ocr_ray.functions.dedup import (
+        fp_cluster_survivors,
+        simhash_fps,
+    )
+
+    def fp_batch(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_chars": b.column("n_chars"),
+                "fp": pa.array(
+                    simhash_fps(b.column("text")).astype(np.int64)
+                ),
+            }
+        )
+
+    fps = _docs(sf_dir, ("doc_id", "text", "n_chars")).map_batches(
+        fp_batch, batch_format="pyarrow"
+    )
+    return fp_cluster_survivors(
+        fps, max_hamming=3, bands=4, score_col="n_chars"
+    ).select_columns(["doc_id"])
+
+
 def _simhash(sf_dir: str):
     """64-bit byte-shingle SimHash fingerprints, SQL-value-checked:
     the oracle replays the FNV-1a window hashes in HUGEINT mod-2^64
@@ -2036,6 +2069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _simhash,
         "simhash_pairs": _simhash_pairs,
         "dedup_neardup_simhash": _dedup_neardup_simhash,
+        "dedup_neardup_canonical": _dedup_neardup_canonical,
         "simhash_tokens": _simhash_tokens,
         # similarity search / embedding ops
         "ann_topk": _ann_topk,
@@ -2231,11 +2265,28 @@ def _simhash64_pairs_sql(max_hamming: int = 3) -> str:
     """
 
 
-def _simhash64_dedup_sql(max_hamming: int = 3) -> str:
+def _simhash64_dedup_sql(max_hamming: int = 3, canonical: bool = False) -> str:
     """Surviving doc_ids after fingerprint-cluster dedup — mirrors
     dedup.fp_cluster_survivors: recursive min-reachable components over
     the DISTINCT-fp Hamming graph, min doc_id per cluster (fps sharing
-    a fingerprint co-cluster through the fp node itself)."""
+    a fingerprint co-cluster through the fp node itself). With
+    ``canonical`` the survivor is instead the cluster member with max
+    n_chars (tie -> min doc_id), replayed as a row_number() window."""
+    tail = (
+        """
+    , lab2 AS (
+      SELECT lab.doc_id, lab.root, d2.n_chars
+      FROM lab JOIN documents d2 ON lab.doc_id = d2.doc_id
+    )
+    SELECT doc_id FROM (
+      SELECT doc_id, row_number() OVER (
+        PARTITION BY root ORDER BY n_chars DESC, doc_id
+      ) AS rn FROM lab2
+    ) WHERE rn = 1
+    """
+        if canonical
+        else "\n    SELECT min(doc_id) AS doc_id FROM lab GROUP BY root\n    "
+    )
     return _simhash64_fp_cte().replace(
         "WITH d AS", "WITH RECURSIVE d AS", 1
     ) + f"""
@@ -2254,9 +2305,7 @@ def _simhash64_dedup_sql(max_hamming: int = 3) -> str:
     lab AS (
       SELECT fps.doc_id, coalesce(comp.root, fps.fp) AS root
       FROM fps LEFT JOIN comp ON fps.fp = comp.fp
-    )
-    SELECT min(doc_id) AS doc_id FROM lab GROUP BY root
-    """
+    ){tail}"""
 
 
 def _pagerank_sql(iters: int = 20) -> str:
@@ -4911,6 +4960,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash64_sql(),
         "simhash_pairs": _simhash64_pairs_sql(3),
         "dedup_neardup_simhash": _simhash64_dedup_sql(3),
+        "dedup_neardup_canonical": _simhash64_dedup_sql(3, canonical=True),
         "ann_topk_multi": """
         WITH q AS (
           SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

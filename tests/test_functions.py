@@ -1487,6 +1487,41 @@ def test_fp_cluster_survivors_exact_vs_bruteforce(ray_session):
     assert want == [0, 301, 302]  # A keeps 0, B survives, C keeps 302
 
 
+def test_fp_cluster_survivors_canonical_keep(ray_session):
+    """score_col switches survivor selection to max-score (tie -> min
+    id) — verified against a brute-force CC + argmax reference on the
+    same fixture, including a tied-score cluster."""
+    from vietnamese_ocr_ray.functions.dedup import fp_cluster_survivors
+
+    fp_a = 0x0123456789ABCDEF
+    fps = (
+        [fp_a] * 5
+        + [fp_a ^ 0b11]                     # joins cluster A (ham 2)
+        + [0x0F0F0F0F0F0F0F0F]              # isolated
+        + [0x7000000000000000, 0x7000000000000001]  # cluster C (ham 1)
+    )
+    # cluster A scores peak at doc 3; cluster C ties (both 40) -> min id
+    scores = [10, 20, 30, 99, 5, 50, 7, 40, 40]
+    ids = list(range(len(fps)))
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_chars": pa.array(scores, pa.int64()),
+            "fp": pa.array(np.array(fps, dtype=np.uint64).astype(np.int64)),
+        }
+    )
+    out = fp_cluster_survivors(
+        rd.from_arrow(t),
+        max_hamming=3,
+        bands=4,
+        id_col="doc_id",
+        score_col="n_chars",
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == [3, 6, 7]
+    # survivors keep the full input schema minus the internal columns
+    assert sorted(out.columns) == ["doc_id", "fp", "n_chars"]
+
+
 def test_fp_cluster_survivors_no_pairs(ray_session):
     """All-distinct, all-far fingerprints: everything survives."""
     from vietnamese_ocr_ray.functions.dedup import fp_cluster_survivors

@@ -1195,11 +1195,20 @@ def fp_cluster_survivors(
     bands: int = 4,
     id_col: str = "doc_id",
     fp_col: str = "fp",
+    score_col: str | None = None,
 ) -> rd.Dataset:
     """Near-dup REMOVAL over a precomputed int64 fingerprint column,
     clustered at the FINGERPRINT level: keep the min-id row of every
     connected fp cluster (rows sharing a fingerprint are Hamming-0
     near-dups and always co-cluster).
+
+    ``score_col`` switches survivor selection from min-id to CANONICAL
+    keep: the cluster member with the LARGEST score survives (ties
+    break to the smallest id) — the "keep the most complete version"
+    curation policy. Selection stays one distributed integer max:
+    (score, -id) packs into a single int64 key, so the exchange is
+    exactly as wide as the min-id path (scores must be non-negative
+    ints < 2^30, ids < 2^33 — asserted per batch).
 
     Why fp-level instead of feeding row pairs to
     :func:`neardup_survivors`: duplicate-heavy corpora make identical
@@ -1245,6 +1254,8 @@ def fp_cluster_survivors(
         vals = np.empty(0, np.int64)
     label_handle = ray.put((keys, vals))
 
+    id_span = np.int64(1) << 33  # packed-key layout for score_col mode
+
     def tag_root(b: pa.Table) -> pa.Table:
         k, v = ray.get(label_handle)
         fp = np.asarray(b.column(fp_col), dtype=np.int64)
@@ -1254,15 +1265,32 @@ def fp_cluster_survivors(
             root = np.where(hit, v[pos], fp)
         else:
             root = fp
-        return b.append_column("_root", pa.array(root))
+        out = b.append_column("_root", pa.array(root))
+        if score_col is not None:
+            ids = np.asarray(b.column(id_col), dtype=np.int64)
+            score = np.asarray(b.column(score_col), dtype=np.int64)
+            assert (ids >= 0).all() and (ids < id_span).all()
+            assert (score >= 0).all() and (score < (1 << 30)).all()
+            packed = score * id_span + (id_span - 1 - ids)
+            out = out.append_column("_packed", pa.array(packed))
+        return out
 
     tagged = src.map_batches(tag_root, batch_format="pyarrow").materialize()
-    surv = hash_aggregate(
-        tagged.select_columns(["_root", id_col]),
-        ["_root"],
-        {"keep_id": (id_col, "min")},
-    ).to_pandas()
-    surv_ids = np.sort(surv["keep_id"].to_numpy(np.int64))
+    if score_col is None:
+        surv = hash_aggregate(
+            tagged.select_columns(["_root", id_col]),
+            ["_root"],
+            {"keep_id": (id_col, "min")},
+        ).to_pandas()
+        surv_ids = np.sort(surv["keep_id"].to_numpy(np.int64))
+    else:
+        surv = hash_aggregate(
+            tagged.select_columns(["_root", "_packed"]),
+            ["_root"],
+            {"best": ("_packed", "max")},
+        ).to_pandas()
+        best = surv["best"].to_numpy(np.int64)
+        surv_ids = np.sort((id_span - 1) - (best % id_span))
     surv_handle = ray.put(surv_ids)
 
     def keep(b: pa.Table) -> pa.Table:
@@ -1275,7 +1303,8 @@ def fp_cluster_survivors(
                 pa.int64(),
             )
         )
-        return b.filter(pa.array(np.isin(mine, ids))).drop_columns(["_root"])
+        drop = ["_root"] + (["_packed"] if score_col is not None else [])
+        return b.filter(pa.array(np.isin(mine, ids))).drop_columns(drop)
 
     return tagged.map_batches(keep, batch_format="pyarrow")
 
