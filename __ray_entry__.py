@@ -1316,6 +1316,16 @@ def _embedding_stats(sf_dir: str):
     )
 
 
+def _blocklist_filter(sf_dir: str):
+    """Word-blocklist flagging (LDNOOBW-style curation): docs
+    containing any blocklisted token, with the per-doc hit count.
+    One vectorized pc.index_in over the exploded token stream per
+    batch — cost independent of blocklist size."""
+    from vietnamese_ocr_ray.functions.text import blocklist_flag
+
+    return blocklist_flag(_docs(sf_dir), ["dup", "slow", "spark"])
+
+
 def _docs_without_stopword(sf_dir: str):
     """Broadcast anti-join (Bloom-prefilter scale path in
     functions/membership.py): documents whose id is NOT in the key set
@@ -2096,6 +2106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_lang_source": _distinct_lang_source,
         "distinct_tokens": _distinct_tokens,
         "docs_without_stopword": _docs_without_stopword,
+        "blocklist_filter": _blocklist_filter,
         "top_tokens": _top_tokens,
         "token_freq_spectrum": _token_freq_spectrum,
         "top_tokens_per_lang": _top_tokens_per_lang,
@@ -4548,6 +4559,13 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id FROM documents
           WHERE contains(' ' || text || ' ', ' the ')
         )
+        """,
+        "blocklist_filter": """
+        WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                   FROM documents)
+        SELECT doc_id, count(*) AS n_blocked FROM t
+        WHERE tok IN ('dup', 'slow', 'spark')
+        GROUP BY doc_id
         """,
         "top_tokens": """
         WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)

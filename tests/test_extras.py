@@ -396,3 +396,32 @@ def test_labels_tsv_roundtrip_format(ray_session, tmp_path):
     back = read_labels_tsv(tsv).to_pandas().sort_values("ref")
     assert list(back["ref"]) == ["m-0-0", "m-0-3", "m-7-0"]
     assert list(back["truth"]) == ["xin", "chao", "vietnam"]
+
+
+def test_blocklist_flag_counts_and_edges(ray_session):
+    """Word-level blocklist: exact per-doc occurrence counts, docs with
+    zero hits dropped, substring NON-matches ('sparky' is not 'spark'),
+    empty docs survive the flat-buffer fold."""
+    from vietnamese_ocr_ray.functions.text import blocklist_flag
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [
+                    "spark slow spark",   # 3 hits
+                    "sparky slowly",      # substring only: 0 hits
+                    "",                   # empty doc: 0 hits
+                    "dup",                # 1 hit
+                    "clean words here",   # 0 hits
+                ]
+            ),
+        }
+    )
+    out = (
+        blocklist_flag(rd.from_arrow(t), ["spark", "slow", "dup"])
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(out["doc_id"]) == [1, 4]
+    assert list(out["n_blocked"]) == [3, 1]

@@ -551,6 +551,52 @@ def repetition_ratio(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(repetition_ratio_batch, batch_format="pyarrow")
 
 
+def blocklist_flag_batch(
+    batch: pa.Table, word_arr: pa.Array, id_col: str = "doc_id"
+) -> pa.Table:
+    """Multi-pattern word-blocklist flagging (the LDNOOBW-style
+    common-crawl curation op): per-doc count of blocked-token
+    occurrences, emitting only docs with >= 1 hit. One Arrow hash
+    lookup over the exploded token stream (``pc.index_in`` against the
+    broadcast word list) — per-batch cost is O(tokens) regardless of
+    blocklist size, vs the O(patterns) match_substring passes a naive
+    multi-pattern scan needs; per-doc fold-back is one np.bincount
+    over searchsorted doc boundaries (chunk-safe, unlike
+    list_parent_indices)."""
+    toks_list = pc.split_pattern(batch.column("text"), " ")
+    flat = pc.list_flatten(toks_list)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    ntok = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+    nb = batch.num_rows
+    hit = pc.is_valid(pc.index_in(flat, value_set=word_arr)).to_numpy(
+        zero_copy_only=False
+    )
+    ends = np.cumsum(ntok)
+    doc = np.searchsorted(ends, np.arange(len(flat)), side="right")
+    n_blocked = np.bincount(doc[hit], minlength=nb).astype(np.int64)
+    keep = pa.array(n_blocked > 0)
+    return pa.table(
+        {
+            id_col: batch.column(id_col).filter(keep),
+            "n_blocked": pa.array(n_blocked[n_blocked > 0]),
+        }
+    )
+
+
+def blocklist_flag(
+    ds: rd.Dataset, words: list[str], id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Flag docs containing blocklisted words; the word list is tiny
+    and captured by value (each worker deserializes it once with the
+    function — the broadcast-small-side pattern, no shuffle)."""
+    word_arr = pa.array(sorted(set(words)), pa.string())
+    return ds.map_batches(
+        lambda b: blocklist_flag_batch(b, word_arr, id_col),
+        batch_format="pyarrow",
+    )
+
+
 def token_entropy_batch(batch: pa.Table) -> pa.Table:
     """Shannon entropy of each doc's token distribution (nats) — the
     repetition/diversity signal complementary to repetition_ratio.
