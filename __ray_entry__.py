@@ -337,6 +337,36 @@ def _media_ahash(sf_dir: str):
     return media_ahash(ds)
 
 
+def _video_frames(sf_dir: str):
+    """Video frame pipeline — the multimodal frame-sample +
+    feature-extract shape the brief's 100 TB media path needs:
+    deterministic synthetic videos (multi-frame binary payloads built
+    from the media table, stages/multimodal.make_videos) → every-2nd
+    frame exploded to its own media row (sample_frames, the flat_map
+    container→item shape) → exact-integer frame features
+    (ImageFeatures actor pool). Fully SQL-verified: each frame's
+    moments are closed-form deltas of the base image's (_MEDIA_CTE
+    arithmetic), so the whole container→frame→feature loop is
+    value-checked."""
+    from vietnamese_ocr_ray.stages.multimodal import (
+        ImageFeatures,
+        make_videos,
+        sample_frames,
+    )
+    from vietnamese_ocr_ray.synth import ensure_corpus
+
+    _, media_dir = ensure_corpus(sf_dir)
+    ds = _read_pq(media_dir, columns=["media_ref", "image", "height", "width"])
+    frames = ds.map_batches(make_videos, batch_format="pyarrow").map_batches(
+        sample_frames, batch_format="pyarrow"
+    )
+    return frames.map_batches(
+        ImageFeatures, batch_format="pyarrow", concurrency=(1, 8)
+    ).select_columns(
+        ["media_ref", "pixel_sum", "pixel_sq_sum", "edge_count", "n_pixels"]
+    )
+
+
 def _train_standin(sf_dir: str):
     """Deterministic training analog (SURVEY §2.3 T5, reference
     src/model/trainer.py:29-168): teacher-forced regression of the
@@ -1885,6 +1915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_ahash": _media_ahash,
         "media_neardup_ahash": _media_neardup_ahash,
         "dedup_media_ahash": _dedup_media_ahash,
+        "video_frames": _video_frames,
         # structural operators on documents
         "explode_tokens": doctext.explode_tokens,
         "reassemble_tokens": doctext.reassemble_tokens,
@@ -3396,6 +3427,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'm-' || CAST(did AS VARCHAR) || '-' || CAST(off AS VARCHAR) AS media_ref,
                pixel_sum, pixel_sq_sum, edge_count, n_pixels
         FROM mom""",
+        "video_frames": _MEDIA_CTE + """
+        , vid AS (
+          SELECT did, off, len, bw, ch, idx,
+                 pixel_sum, pixel_sq_sum, edge_count, n_pixels,
+                 2 + (did + off) % 4 AS n_frames,
+                 coalesce(list_sum(list_transform(idx, x -> 215 - 4 * x)), 0) AS s1
+          FROM mom WHERE off % 2 = 0
+        ), fr AS (
+          SELECT did, off, edge_count, n_pixels, len, s1,
+                 ch * bw AS cb, pixel_sum, pixel_sq_sum,
+                 unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), 2)) AS f
+          FROM vid
+        )
+        SELECT 'v-' || CAST(did AS VARCHAR) || '-' || CAST(off AS VARCHAR)
+                 || '#f' || CAST(f AS VARCHAR) AS media_ref,
+               CAST(pixel_sum - f * cb * len AS BIGINT) AS pixel_sum,
+               CAST(pixel_sq_sum - 2 * f * cb * s1 + f * f * cb * len AS BIGINT)
+                 AS pixel_sq_sum,
+               edge_count, n_pixels
+        FROM fr""",
         "media_ahash": _MEDIA_CTE + """
         , cell AS (
           SELECT mom.*, r.c,

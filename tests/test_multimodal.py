@@ -97,6 +97,48 @@ def test_sample_frames_explodes_deterministically():
     ImageFeatures()(out)
 
 
+def test_make_videos_frames_are_exact_band_shifts():
+    from vietnamese_ocr_ray.stages.multimodal import make_videos
+    from vietnamese_ocr_ray.synth import pick_height, render_text
+
+    rows = []
+    for did, off, w in [(3, 0, "abc"), (3, 2, "zz9"), (4, 1, "skip"), (7, 4, "q")]:
+        ref = f"m-{did}-{off}"
+        h = pick_height(ref)
+        img = render_text(w, h)
+        rows.append(
+            {
+                "media_ref": ref,
+                "image": img.tobytes(),
+                "height": h,
+                "width": img.shape[1],
+            }
+        )
+    t = pa.Table.from_pylist(rows)
+    t = t.set_column(
+        t.schema.get_field_index("image"),
+        "image",
+        t.column("image").cast(pa.binary()),
+    )
+    vids = make_videos(t)
+    # odd offsets are dropped; refs renamed v-<doc>-<off>
+    assert vids.column("media_ref").to_pylist() == ["v-3-0", "v-3-2", "v-7-4"]
+    assert vids.column("n_frames").to_pylist() == [2 + (3 + 0) % 4, 2 + (3 + 2) % 4, 2 + (7 + 4) % 4]
+    for row, src in zip(vids.to_pylist(), [rows[0], rows[1], rows[3]]):
+        base = np.frombuffer(src["image"], np.uint8)
+        frames = np.frombuffer(row["video"], np.uint8).reshape(row["n_frames"], -1)
+        band = (base != 255) & (base != 0)
+        for f in range(row["n_frames"]):
+            expect = np.where(band, base - f, base)
+            assert np.array_equal(frames[f], expect), (row["media_ref"], f)
+            # frame moment deltas are the closed form the SQL oracle uses
+            assert int(frames[f].astype(np.int64).sum()) == int(
+                base.astype(np.int64).sum()
+            ) - f * int(band.sum())
+    # frames chain straight into the image stages
+    ImageFeatures()(sample_frames(vids, every_k=2))
+
+
 def test_media_features_dataset_roundtrip(ray_session, tmp_path):
     import pyarrow.parquet as pq
     import ray.data as rd

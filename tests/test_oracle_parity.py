@@ -69,6 +69,7 @@ def _check(m, con, name):
         "subword_tokens",
         "word_jaccard",
         "dedup_neardup_cosine",
+        "video_frames",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

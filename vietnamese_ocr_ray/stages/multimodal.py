@@ -111,6 +111,52 @@ class Thumbnail:
         )
 
 
+def make_videos(batch: pa.Table) -> pa.Table:
+    """Deterministic synthetic "videos" from the media table — the
+    video analog of synth.py's text→image renderer, built so the frame
+    pipeline (frame-sample → feature-extract) is SQL-verifiable end to
+    end. Every second media row (offset % 2 == 0) becomes one video of
+    ``n_frames = 2 + (doc + offset) % 4`` frames; frame ``f`` is the
+    base band image with every CHAR-BAND pixel darkened by ``f``
+    (background 255 and terminator 0 untouched), so each frame's exact
+    integer moments are closed-form deltas of the base image's:
+    ``pixel_sum(f) = pixel_sum - f·n_band``,
+    ``pixel_sq_sum(f) = pixel_sq_sum - 2f·S_band + f²·n_band``,
+    ``edge_count(f) = edge_count`` (all band-boundary contrasts ≥ 40).
+    Payload = frames concatenated C-order in one binary value (the
+    container shape :func:`sample_frames` consumes)."""
+    flat, offs = binary_column_view(batch.column("image"))
+    hs = batch.column("height").to_numpy(zero_copy_only=False)
+    ws = batch.column("width").to_numpy(zero_copy_only=False)
+    refs = batch.column("media_ref").to_pylist()
+    out_ref, out_vid, out_h, out_w, out_nf = [], [], [], [], []
+    for i, ref in enumerate(refs):
+        parts = ref.split("-")
+        did, off = int(parts[1]), int(parts[2])
+        if off % 2 != 0:
+            continue
+        base = flat[offs[i] : offs[i + 1]]
+        n_frames = 2 + (did + off) % 4
+        band = (base != 255) & (base != 0)
+        frames = np.repeat(base[None, :], n_frames, axis=0)
+        frames -= np.where(band[None, :], np.arange(n_frames, dtype=np.uint8)[:, None], 0)
+        out_ref.append(f"v-{did}-{off}")
+        out_vid.append(frames.tobytes())
+        out_h.append(int(hs[i]))
+        out_w.append(int(ws[i]))
+        out_nf.append(n_frames)
+    return pa.table(
+        {
+            "media_ref": pa.array(out_ref, pa.string()),
+            "video": pa.array(out_vid, pa.binary()),
+            "height": pa.array(out_h, pa.int32()),
+            "width": pa.array(out_w, pa.int32()),
+            "n_frames": pa.array(out_nf, pa.int32()),
+            "encoding": pa.array([RAW] * len(out_ref)),
+        }
+    )
+
+
 def sample_frames(batch: pa.Table, every_k: int = 2) -> pa.Table:
     """Frame-sample stage: a "video" row is ``n_frames`` raw frames of
     (height, width) concatenated in one binary payload; emit every k-th
