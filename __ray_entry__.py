@@ -367,6 +367,32 @@ def _video_frames(sf_dir: str):
     )
 
 
+def _media_thumbnail(sf_dir: str):
+    """Resize stage driven end to end and VALUE-checked: media images →
+    Thumbnail(out_h=16) (real bilinear downscale, aspect kept) → exact
+    integer moments of the RESIZED payloads. SQL-verifiable because at
+    this corpus's geometry every 2-tap bilinear average lands inside a
+    uniform band region (band widths are multiples of the scale
+    factor), so the thumbnail is exactly the 16-row band image with 2
+    columns per band and 12 interior rows — its moments are the base
+    closed form with (h, bw, ch) → (16, 2, 12)."""
+    from vietnamese_ocr_ray.stages.multimodal import ImageFeatures, Thumbnail
+    from vietnamese_ocr_ray.synth import ensure_corpus
+
+    _, media_dir = ensure_corpus(sf_dir)
+    ds = _read_pq(media_dir, columns=["media_ref", "image", "height", "width"])
+    return (
+        ds.map_batches(
+            Thumbnail, fn_constructor_kwargs={"out_h": 16},
+            batch_format="pyarrow", concurrency=(1, 8),
+        )
+        .map_batches(ImageFeatures, batch_format="pyarrow", concurrency=(1, 8))
+        .select_columns(
+            ["media_ref", "pixel_sum", "pixel_sq_sum", "edge_count", "n_pixels"]
+        )
+    )
+
+
 def _train_standin(sf_dir: str):
     """Deterministic training analog (SURVEY §2.3 T5, reference
     src/model/trainer.py:29-168): teacher-forced regression of the
@@ -1916,6 +1942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_neardup_ahash": _media_neardup_ahash,
         "dedup_media_ahash": _dedup_media_ahash,
         "video_frames": _video_frames,
+        "media_thumbnail": _media_thumbnail,
         # structural operators on documents
         "explode_tokens": doctext.explode_tokens,
         "reassemble_tokens": doctext.reassemble_tokens,
@@ -3447,6 +3474,19 @@ def oracle_sql() -> dict[str, str]:
                  AS pixel_sq_sum,
                edge_count, n_pixels
         FROM fr""",
+        "media_thumbnail": _MEDIA_CTE + """
+        SELECT 'm-' || CAST(did AS VARCHAR) || '-' || CAST(off AS VARCHAR) AS media_ref,
+               CAST(255 * 32 * (len + 1)
+                    - 24 * (coalesce(list_sum(list_transform(idx, x -> 40 + 4 * x)), 0) + 255)
+                    AS BIGINT) AS pixel_sum,
+               CAST(255 * 255 * (32 * (len + 1) - 24 * (len + 1))
+                    + 24 * coalesce(list_sum(list_transform(idx, x -> (215 - 4 * x) * (215 - 4 * x))), 0)
+                    AS BIGINT) AS pixel_sq_sum,
+               CAST(12 * (1 + coalesce(list_sum(list_transform(generate_series(2, len),
+                    i -> CASE WHEN abs(idx[i] - idx[i - 1]) > 8 THEN 1 ELSE 0 END)), 0))
+                    AS BIGINT) AS edge_count,
+               CAST(32 * (len + 1) AS BIGINT) AS n_pixels
+        FROM mom""",
         "media_ahash": _MEDIA_CTE + """
         , cell AS (
           SELECT mom.*, r.c,

@@ -70,6 +70,7 @@ def _check(m, con, name):
         "word_jaccard",
         "dedup_neardup_cosine",
         "video_frames",
+        "media_thumbnail",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):
