@@ -1918,6 +1918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         gopher_filter,
         quality_scores,
         repetition_ratio,
+        span_corruption,
         subword_token_count,
         token_entropy,
         tfidf_top_terms,
@@ -2068,6 +2069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).classifier_score(_docs(sf)),
         "gopher_filter": lambda sf: gopher_filter(_docs(sf)),
         "repetition_ratio": lambda sf: repetition_ratio(_docs(sf)),
+        "span_corruption": lambda sf: span_corruption(_docs(sf)),
         "token_entropy": lambda sf: token_entropy(_docs(sf)),
         "bm25_search": lambda sf: bm25_rank(_docs(sf)),
         "fingerprint": lambda sf: fingerprint(_docs(sf)),
@@ -4825,6 +4827,25 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_occurrences
         FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
         GROUP BY bigram ORDER BY n_occurrences DESC, bigram LIMIT 10
+        """,
+        "span_corruption": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        SELECT doc_id,
+               CAST(len(list_filter(generate_series(1, len(toks)),
+                    i -> ((i - 1) // 3) % 7 = 0)) AS BIGINT) AS n_masked,
+               array_to_string(list_transform(
+                 list_filter(generate_series(1, len(toks)),
+                   i -> ((i - 1) // 3) % 7 != 0 OR (i - 1) % 3 = 0),
+                 i -> CASE WHEN ((i - 1) // 3) % 7 = 0
+                           THEN '<extra_id_' || CAST((i - 1) // 21 AS VARCHAR) || '>'
+                           ELSE toks[i] END), ' ') AS input_text,
+               array_to_string(list_transform(
+                 list_filter(generate_series(1, len(toks)),
+                   i -> ((i - 1) // 3) % 7 = 0),
+                 i -> CASE WHEN (i - 1) % 3 = 0
+                           THEN '<extra_id_' || CAST((i - 1) // 21 AS VARCHAR) || '> ' || toks[i]
+                           ELSE toks[i] END), ' ') AS target_text
+        FROM t
         """,
         "lm_score": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -1704,3 +1704,21 @@ def test_knn_join_ivf_recall_on_blobs(ray_session):
     got = set(map(tuple, ivf[["vec_id", "nbr"]].to_numpy()))
     recall = len(truth & got) / len(truth)
     assert recall >= 0.9, recall
+
+
+def test_span_corruption_t5_semantics():
+    from vietnamese_ocr_ray.functions.text import span_corruption_batch
+
+    toks = [f"t{i}" for i in range(25)]
+    batch = pa.table({"doc_id": [1, 2], "text": [" ".join(toks), "a b"]})
+    out = span_corruption_batch(batch).to_pylist()
+    # doc 1: blocks of 3; blocks 0 and 7 masked -> pos 0-2 and 21-23
+    r = out[0]
+    assert r["n_masked"] == 6
+    assert r["input_text"] == "<extra_id_0> " + " ".join(toks[3:21]) + " <extra_id_1> t24"
+    assert r["target_text"] == "<extra_id_0> t0 t1 t2 <extra_id_1> t21 t22 t23"
+    # doc 2: both tokens fall in masked block 0
+    r = out[1]
+    assert r["n_masked"] == 2
+    assert r["input_text"] == "<extra_id_0>"
+    assert r["target_text"] == "<extra_id_0> a b"

@@ -71,6 +71,7 @@ def _check(m, con, name):
         "dedup_neardup_cosine",
         "video_frames",
         "media_thumbnail",
+        "span_corruption",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

@@ -551,6 +551,66 @@ def repetition_ratio(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(repetition_ratio_batch, batch_format="pyarrow")
 
 
+def span_corruption_batch(batch: pa.Table) -> pa.Table:
+    """T5-style span-corruption pair construction (Raffel 2020 §3.1.4,
+    the denoising-objective builder of an LLM pretraining pipeline),
+    made DETERMINISTIC so it is SQL-replayable: token position ``p``
+    belongs to corruption block ``p // 3``; every 7th block (block
+    index ≡ 0 mod 7, ≈14% of tokens) is masked. The input keeps
+    unmasked tokens and replaces each masked block with one sentinel
+    ``<extra_id_k>`` (k = p // 21, the masked-block rank); the target
+    lists each sentinel followed by the tokens it hides. Whole-batch
+    vectorized on the flat token buffer: one split, integer masks,
+    Arrow if_else + filter, ListArray rebuild, binary_join — no
+    per-doc Python."""
+    toks_list = pc.split_pattern(batch.column("text"), " ")
+    flat = pc.list_flatten(toks_list)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    ntok = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False).astype(np.int64)
+    nb = batch.num_rows
+    n = len(flat)
+    ends = np.cumsum(ntok)
+    starts = ends - ntok
+    pos = np.arange(n, dtype=np.int64) - np.repeat(starts, ntok)
+    doc = np.repeat(np.arange(nb, dtype=np.int64), ntok)
+    masked = (pos // 3) % 7 == 0
+    is_start = masked & (pos % 3 == 0)
+    kstr = pc.cast(pa.array(pos // 21), pa.string())
+    sent = pc.binary_join_element_wise(
+        pa.scalar("<extra_id_"), kstr, pa.scalar(">"), pa.scalar("")
+    )
+    tok_in = pc.if_else(pa.array(is_start), sent, flat)
+    keep_in = ~masked | is_start
+    tok_tgt = pc.if_else(
+        pa.array(is_start),
+        pc.binary_join_element_wise(sent, flat, pa.scalar(" ")),
+        flat,
+    )
+
+    def join_rows(tokens, keep):
+        counts = np.bincount(doc[keep], minlength=nb)
+        offs = np.zeros(nb + 1, dtype=np.int32)
+        np.cumsum(counts, out=offs[1:])
+        lst = pa.ListArray.from_arrays(
+            pa.array(offs), tokens.filter(pa.array(keep))
+        )
+        return pc.binary_join(lst, pa.scalar(" "))
+
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_masked": pa.array(np.bincount(doc[masked], minlength=nb)),
+            "input_text": join_rows(tok_in, keep_in),
+            "target_text": join_rows(tok_tgt, masked),
+        }
+    )
+
+
+def span_corruption(ds: rd.Dataset) -> rd.Dataset:
+    return ds.map_batches(span_corruption_batch, batch_format="pyarrow")
+
+
 def blocklist_flag_batch(
     batch: pa.Table, word_arr: pa.Array, id_col: str = "doc_id"
 ) -> pa.Table:
