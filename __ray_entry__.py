@@ -1913,6 +1913,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from vietnamese_ocr_ray.functions.text import (
         bm25_rank,
+        fim_transform,
         fingerprint,
         lang_id,
         gopher_filter,
@@ -2070,6 +2071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": lambda sf: gopher_filter(_docs(sf)),
         "repetition_ratio": lambda sf: repetition_ratio(_docs(sf)),
         "span_corruption": lambda sf: span_corruption(_docs(sf)),
+        "fim_transform": lambda sf: fim_transform(_docs(sf)),
         "token_entropy": lambda sf: token_entropy(_docs(sf)),
         "bm25_search": lambda sf: bm25_rank(_docs(sf)),
         "fingerprint": lambda sf: fingerprint(_docs(sf)),
@@ -4827,6 +4829,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_occurrences
         FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
         GROUP BY bigram ORDER BY n_occurrences DESC, bigram LIMIT 10
+        """,
+        "fim_transform": """
+        SELECT doc_id,
+               doc_id % 2 = 0 AS fim_applied,
+               CASE WHEN doc_id % 2 = 0 THEN
+                 '<PRE>' || substr(text, 1, length(text) // 3)
+                 || '<SUF>' || substr(text, 2 * length(text) // 3 + 1)
+                 || '<MID>' || substr(text, length(text) // 3 + 1,
+                                      2 * length(text) // 3 - length(text) // 3)
+               ELSE text END AS text_out
+        FROM documents
         """,
         "span_corruption": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)

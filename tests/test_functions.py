@@ -1722,3 +1722,21 @@ def test_span_corruption_t5_semantics():
     assert r["n_masked"] == 2
     assert r["input_text"] == "<extra_id_0>"
     assert r["target_text"] == "<extra_id_0> a b"
+
+
+def test_fim_transform_psm_layout():
+    from vietnamese_ocr_ray.functions.text import fim_transform_batch
+
+    batch = pa.table(
+        {"doc_id": [2, 3, 4], "text": ["abcdefghij", "untouched", "xy"]}
+    )
+    out = fim_transform_batch(batch).to_pylist()
+    # n=10 -> prefix [0,3), middle [3,6), suffix [6,10)
+    assert out[0] == {
+        "doc_id": 2,
+        "fim_applied": True,
+        "text_out": "<PRE>abc<SUF>ghij<MID>def",
+    }
+    assert out[1] == {"doc_id": 3, "fim_applied": False, "text_out": "untouched"}
+    # n=2 -> empty prefix, middle [0,1), suffix [1,2)
+    assert out[2]["text_out"] == "<PRE><SUF>y<MID>x"

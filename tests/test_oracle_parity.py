@@ -72,6 +72,7 @@ def _check(m, con, name):
         "video_frames",
         "media_thumbnail",
         "span_corruption",
+        "fim_transform",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

@@ -611,6 +611,74 @@ def span_corruption(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(span_corruption_batch, batch_format="pyarrow")
 
 
+def fim_transform_batch(batch: pa.Table) -> pa.Table:
+    """Fill-in-the-middle transform (Bavarian 2022, the code-LLM
+    pretraining op), deterministic so it is SQL-replayable: docs with
+    even doc_id are rewritten PSM-style —
+    ``<PRE>prefix<SUF>suffix<MID>middle`` with character-third split
+    points (prefix = chars [0, n/3), middle = [n/3, 2n/3), suffix =
+    the rest) — odd doc_ids pass through (a 50% FIM rate). Vectorized
+    flat-buffer byte slicing (== SQL substr in this corpus's ASCII
+    regime); no Python over rows."""
+    text = batch.column("text")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n = pc.binary_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+    a = n // 3
+    b = 2 * n // 3
+    prefix = _slice_rows(text, np.zeros_like(n), a)
+    middle = _slice_rows(text, a, b)
+    suffix = _slice_rows(text, b, n)
+    fim = pc.binary_join_element_wise(
+        pa.scalar("<PRE>"), prefix, pa.scalar("<SUF>"), suffix,
+        pa.scalar("<MID>"), middle, pa.scalar(""),
+    )
+    did = batch.column("doc_id")
+    even = pc.equal(pc.bit_wise_and(did, pa.scalar(1, pa.int64())), 0)
+    return pa.table(
+        {
+            "doc_id": did,
+            "fim_applied": even,
+            "text_out": pc.if_else(even, fim, text),
+        }
+    )
+
+
+def _slice_rows(text: pa.Array, start: np.ndarray, stop: np.ndarray) -> pa.Array:
+    """Per-row [start, stop) BYTE slice over the flat utf8 buffer —
+    Arrow's slice kernels take scalar bounds only, so gather ranges
+    with the repeat/arange trick (the chunk.py window pattern). Byte
+    slicing == character slicing in this repo's documented ASCII
+    regime (see the simhash SQL-twin note)."""
+    soffs = np.frombuffer(text.buffers()[1], dtype=np.int32)[
+        text.offset : text.offset + len(text) + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(text.buffers()[2], dtype=np.uint8)
+        if text.buffers()[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    lo = soffs[:-1] + start
+    out_len = stop - start
+    out_offs = np.zeros(len(text) + 1, dtype=np.int64)
+    np.cumsum(out_len, out=out_offs[1:])
+    nbytes = int(out_offs[-1])
+    idx = (
+        np.arange(nbytes, dtype=np.int64)
+        - np.repeat(out_offs[:-1], out_len)
+        + np.repeat(lo, out_len)
+    )
+    return pa.StringArray.from_buffers(
+        len(text),
+        pa.py_buffer(out_offs.astype(np.int32).tobytes()),
+        pa.py_buffer(data[idx].tobytes()),
+    )
+
+
+def fim_transform(ds: rd.Dataset) -> rd.Dataset:
+    return ds.map_batches(fim_transform_batch, batch_format="pyarrow")
+
+
 def blocklist_flag_batch(
     batch: pa.Table, word_arr: pa.Array, id_col: str = "doc_id"
 ) -> pa.Table:
