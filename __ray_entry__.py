@@ -367,6 +367,31 @@ def _video_frames(sf_dir: str):
     )
 
 
+def _stratified_split(sf_dir: str):
+    """Per-language rate split over documents: oversampled low-resource
+    strata, downsampled head — the multilingual-corpus construction op
+    (sampling.stratified_sample). Shuffle-free; SQL-mirrored hash."""
+    from vietnamese_ocr_ray.functions.sampling import stratified_sample
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return stratified_sample(
+        ds,
+        "doc_id",
+        "lang",
+        {"en": 200, "fr": 500, "es": 800},
+        default_permille=100,
+    )
+
+
+def _source_temperature_weights(sf_dir: str):
+    """Temperature-flattened (alpha = 0.5) per-source mixture weights
+    (sampling.source_temperature_weights)."""
+    from vietnamese_ocr_ray.functions.sampling import source_temperature_weights
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["source"])
+    return source_temperature_weights(ds, "source")
+
+
 def _media_thumbnail(sf_dir: str):
     """Resize stage driven end to end and VALUE-checked: media images →
     Thumbnail(out_h=16) (real bilinear downscale, aspect kept) → exact
@@ -1971,6 +1996,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_share": lambda sf: relational.event_type_share(sf),
         "geo_mean_value": lambda sf: relational.geo_mean_value(sf),
         "value_quantiles": lambda sf: relational.value_quantiles(sf),
+        "value_winsorized": lambda sf: relational.value_winsorized(sf),
+        "stratified_split": _stratified_split,
+        "source_temperature_weights": _source_temperature_weights,
         "value_mad": lambda sf: relational.value_mad(sf),
         "value_hour_corr": lambda sf: relational.value_hour_corr(sf),
         "max_len": lambda sf: relational.max_doc_len(sf),
@@ -3958,6 +3986,49 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(value, 0.5), 6) AS p50,
                round(quantile_cont(value, 0.95), 6) AS p95
         FROM events GROUP BY event_type
+        """,
+        "value_winsorized": """
+        WITH b AS (
+          SELECT event_type,
+                 quantile_cont(value, 0.05) AS lo,
+                 quantile_cont(value, 0.95) AS hi
+          FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               round(least(greatest(e.value, b.lo), b.hi), 6) AS value_w
+        FROM events e JOIN b USING (event_type)
+        """,
+        "stratified_split": """
+        WITH h AS (
+          SELECT doc_id, lang,
+                 CAST(list_sum(list_transform(
+                     string_split('strat:' || CAST(doc_id AS VARCHAR), ''),
+                     (c, i) -> unicode(c) * i)) % 1000000007 AS BIGINT) AS fp
+          FROM documents
+        ), m AS (
+          SELECT doc_id, lang,
+                 ((fp + 123456789) * (fp + 123456789) % 1000000007)
+                   * (fp + 123456789) % 1000000007 % 1000 AS band
+          FROM h
+        )
+        SELECT doc_id, lang FROM m
+        WHERE band < CASE lang WHEN 'en' THEN 200 WHEN 'fr' THEN 500
+                               WHEN 'es' THEN 800 ELSE 100 END
+        """,
+        "source_temperature_weights": """
+        WITH c AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY source
+        ), s AS (
+          SELECT list_sum(list_transform(
+                   list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source),
+                   x -> x)) AS total
+          FROM c
+        )
+        SELECT c.source, c.n_docs,
+               CAST(floor(1e6 * sqrt(CAST(c.n_docs AS DOUBLE)) / s.total + 0.5)
+                    AS BIGINT) AS weight_ppm
+        FROM c, s
         """,
         # histogram_quantiles: exact-integer bucket counts on a
         # power-of-two grid (value*4 and the /8 midpoint are exact

@@ -73,6 +73,9 @@ def _check(m, con, name):
         "media_thumbnail",
         "span_corruption",
         "fim_transform",
+        "value_winsorized",
+        "stratified_split",
+        "source_temperature_weights",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

@@ -310,3 +310,74 @@ def weighted_sample_k(
         .limit(k)
         .map_batches(lambda b: b.drop_columns(["_e"]), batch_format="pyarrow")
     )
+
+
+def stratified_sample(
+    ds: rd.Dataset,
+    key_col: str,
+    group_col: str,
+    rates_permille: dict,
+    *,
+    default_permille: int = 0,
+    salt: str = "strat:",
+) -> rd.Dataset:
+    """Per-STRATUM rate split (the multilingual-corpus construction
+    op: oversample low-resource languages, downsample the head): keep
+    a row iff its salted hash band falls below the row's GROUP rate —
+    :func:`hash_sample` with a per-group threshold. The rate table is
+    captured by value (strata tables are vocabulary-sized); unlisted
+    groups get ``default_permille``. Shuffle-free, rerun- and
+    partitioning-stable, SQL-mirrored (CASE over the same cubed
+    polynomial)."""
+    groups = pa.array(list(rates_permille.keys()), pa.string())
+    rates = np.asarray(list(rates_permille.values()), dtype=np.int64)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = pc.binary_join_element_wise(
+            pa.scalar(salt),
+            pc.cast(batch.column(key_col), pa.string()),
+            pa.scalar(""),
+        )
+        band = _mixed_hash(_poly_hash(keys)) % 1000
+        gi = pc.index_in(batch.column(group_col), groups)
+        gi_np = gi.to_numpy(zero_copy_only=False)
+        thr = np.where(
+            np.isnan(gi_np.astype(np.float64)),
+            default_permille,
+            rates[np.nan_to_num(gi_np, nan=0).astype(np.int64)],
+        )
+        return batch.filter(pa.array(band < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def source_temperature_weights(
+    ds: rd.Dataset, group_col: str, *, alpha_sqrt: bool = True
+) -> pa.Table:
+    """Temperature-flattened mixture weights (the multilingual LM
+    sampling rule p_i ∝ n_i^alpha, Conneau 2019): per-group doc
+    counts -> alpha = 0.5 weights -> parts-per-million shares. Uses
+    sqrt (IEEE-exact) rather than an arbitrary pow so the float path
+    is bit-replayable in SQL; the share denominator sums in
+    group-name order on both sides. Distributed count aggregate; the
+    final normalization touches only group-cardinality rows."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    counts = (
+        hash_aggregate(
+            ds.select_columns([group_col]), [group_col], {"n_docs": (group_col, "count")}
+        )
+        .to_pandas()
+        .sort_values(group_col, kind="stable")
+        .reset_index(drop=True)
+    )
+    w = np.sqrt(counts["n_docs"].to_numpy(np.float64))
+    total = float(np.sum(w))  # name-ordered sum — replayed verbatim in SQL
+    ppm = np.floor(1e6 * w / total + 0.5).astype(np.int64)
+    return pa.table(
+        {
+            group_col: pa.array(counts[group_col].astype(str), pa.string()),
+            "n_docs": pa.array(counts["n_docs"].to_numpy(np.int64)),
+            "weight_ppm": pa.array(ppm),
+        }
+    )

@@ -609,6 +609,76 @@ def value_quantiles(sf_dir: str, num_buckets: int = 8) -> rd.Dataset:
     )
 
 
+def value_winsorized(sf_dir: str, lo_q: float = 0.05, hi_q: float = 0.95) -> rd.Dataset:
+    """Per-group winsorization (robust-stats outlier clipping): each
+    event's value clipped to its event_type's exact [p05, p95]. Two
+    phases: (1) the value_quantiles machinery computes per-type exact
+    lerp quantiles — the collected bounds table is GROUP-cardinality
+    (handful of rows), the legitimate driver-side materialization; (2)
+    a shuffle-free broadcast clip pass over the stream. Oracle:
+    quantile_cont per type (bit-equal to the numpy lerp) + least/
+    greatest."""
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_bucket",
+            pa.array(key_bucket(b.column("event_type"), 8).astype(np.int32)),
+        )
+
+    def q(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["event_type", "value"], kind="stable")
+        v = s["value"].to_numpy()
+        keys = s["event_type"].to_numpy()
+        starts = np.nonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))[0]
+        cnt = np.diff(np.concatenate([starts, [len(v)]]))
+        out = {"event_type": keys[starts]}
+        for frac, name in ((lo_q, "lo"), (hi_q, "hi")):
+            pos = frac * (cnt - 1)
+            lo = np.floor(pos).astype(np.int64)
+            t = pos - lo
+            hi = np.minimum(lo + 1, cnt - 1)
+            a, b = v[starts + lo], v[starts + hi]
+            diff = b - a
+            r = a + diff * t
+            m = t >= 0.5  # numpy _lerp's symmetric branch — bit-exact
+            r[m] = b[m] - diff[m] * (1.0 - t[m])
+            out[name] = r
+        return pd.DataFrame(out)
+
+    bounds = (
+        ds.drop_columns(["event_id"])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(lambda g: q(g.drop(columns=["_bucket"])), batch_format="pandas")
+        .to_pandas()
+    )
+    types = pa.array(bounds["event_type"].astype(str), pa.string())
+    lo_v = bounds["lo"].to_numpy(np.float64)
+    hi_v = bounds["hi"].to_numpy(np.float64)
+
+    def clip(b: pa.Table) -> pa.Table:
+        gi = pc.index_in(b.column("event_type"), types).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        w = np.minimum(np.maximum(v, lo_v[gi]), hi_v[gi])
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "event_type": b.column("event_type"),
+                "value": b.column("value"),
+                "value_w": pa.array(np.round(w, 6)),
+            }
+        )
+
+    return ds.map_batches(clip, batch_format="pyarrow")
+
+
 def max_doc_len(sf_dir: str) -> rd.Dataset:
     """Global/grouped max (A3 analog, src/utils/vocab.py:16-19)."""
     ds = read_parquet_clean(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
