@@ -367,6 +367,69 @@ def _video_frames(sf_dir: str):
     )
 
 
+def _zorder_layout(sf_dir: str):
+    """Z-order clustering key + file assignment over (lang, n_chars)
+    — the lakehouse layout-optimization pass (functions/layout.py)."""
+    from vietnamese_ocr_ray.functions.layout import zorder_layout
+
+    ds = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return zorder_layout(ds, "lang", "n_chars")
+
+
+def _partition_stats(sf_dir: str):
+    """Shuffle-planner observability: per-bucket row/byte counts +
+    integer skew ratio under the engine's own splitmix64 bucket hash
+    (functions/layout.partition_stats)."""
+    from vietnamese_ocr_ray.functions.layout import partition_stats
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    return partition_stats(ds, "doc_id", "n_chars")
+
+
+def _snapshot_diff(sf_dir: str):
+    """CDC classification between the corpus and a derived second
+    snapshot (deterministic v2: every 17th doc deleted, every
+    remaining 3rd updated, an insert per 23rd doc) — the incremental
+    recrawl merge planner (functions/cdc.snapshot_diff)."""
+    from vietnamese_ocr_ray.functions.cdc import snapshot_diff
+
+    old = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def v2(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        keep = did % 17 != 0
+        upd = pc.if_else(
+            pa.array(did % 3 == 0),
+            pc.binary_join_element_wise(text, pa.scalar(" v2"), pa.scalar("")),
+            text,
+        )
+        base = pa.table({"doc_id": batch.column("doc_id"), "text": upd}).filter(
+            pa.array(keep)
+        )
+        ins_id = did[did % 23 == 0] + 10_000_000
+        ins = pa.table(
+            {
+                "doc_id": pa.array(ins_id),
+                "text": pc.binary_join_element_wise(
+                    pa.scalar("ins-"),
+                    pc.cast(pa.array(ins_id), pa.string()),
+                    pa.scalar(""),
+                ),
+            }
+        )
+        return pa.concat_tables([base, ins])
+
+    new = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(v2, batch_format="pyarrow")
+    return snapshot_diff(old, new)
+
+
 def _stratified_split(sf_dir: str):
     """Per-language rate split over documents: oversampled low-resource
     strata, downsampled head — the multilingual-corpus construction op
@@ -1999,6 +2062,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_winsorized": lambda sf: relational.value_winsorized(sf),
         "stratified_split": _stratified_split,
         "source_temperature_weights": _source_temperature_weights,
+        "zorder_layout": _zorder_layout,
+        "partition_stats": _partition_stats,
+        "snapshot_diff": _snapshot_diff,
         "value_mad": lambda sf: relational.value_mad(sf),
         "value_hour_corr": lambda sf: relational.value_hour_corr(sf),
         "max_len": lambda sf: relational.max_doc_len(sf),
@@ -2567,6 +2633,86 @@ _FNV_STR_FOLD = """CAST(list_reduce(
     (acc, b) -> (xor(CAST(acc % MODV AS UBIGINT), CAST(b AS UBIGINT))::HUGEINT
                  * 1099511628211) % MODV
   ) % MODV AS UBIGINT)""".replace("MODV", _U64_MOD)
+
+
+def _zorder_sql() -> str:
+    """Morton interleave restated as a sum of shifted bits (r = lang
+    rank at odd positions, v = capped n_chars at even)."""
+    zexpr = " + ".join(
+        f"(((v >> {i}) & 1) << {2 * i}) + (((r >> {i}) & 1) << {2 * i + 1})"
+        for i in range(8)
+    )
+    return f"""
+    WITH l AS (
+      SELECT lg, row_number() OVER (ORDER BY lg) - 1 AS r
+      FROM (SELECT DISTINCT lang AS lg FROM documents)
+    ), d AS (
+      SELECT doc_id, least(n_chars, 255) AS v, l.r
+      FROM documents JOIN l ON documents.lang = l.lg
+    ), z AS (
+      SELECT doc_id, CAST({zexpr} AS BIGINT) AS zorder_key FROM d
+    )
+    SELECT doc_id, zorder_key,
+           CAST(zorder_key // 16 AS BIGINT) AS file_bucket
+    FROM z
+    """
+
+
+def _partition_stats_sql() -> str:
+    """splitmix64(doc_id) % 32 bucket histogram + exact integer skew."""
+    return f"""
+    WITH h0 AS (
+      SELECT CAST((doc_id::HUGEINT + 11400714819323198485)
+                  % {_U64_MOD} AS UBIGINT) AS h, n_chars
+      FROM documents
+    ), f1 AS (
+      SELECT {_mul64_expr("xor(h, h >> 30)", 0xBF58476D1CE4E5B9)} AS h, n_chars FROM h0
+    ), f2 AS (
+      SELECT {_mul64_expr("xor(h, h >> 27)", 0x94D049BB133111EB)} AS h, n_chars FROM f1
+    ), f3 AS (
+      SELECT xor(h, h >> 31) AS h, n_chars FROM f2
+    ), b AS (
+      SELECT CAST(h % 32 AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(n_chars) AS BIGINT) AS w_sum
+      FROM f3 GROUP BY 1
+    ), t AS (SELECT sum(n_rows) AS total FROM b)
+    SELECT bucket, n_rows, w_sum,
+           CAST(1000000 * n_rows * 32 // t.total AS BIGINT) AS skew_ppm
+    FROM b, t
+    """
+
+
+def _snapshot_diff_sql() -> str:
+    """v2 derivation + FULL OUTER fp compare — the cdc.snapshot_diff
+    classification replayed with the same polynomial fingerprint."""
+    fp = (
+        "CAST(list_sum(list_transform(string_split({c}, ''),"
+        " (ch, i) -> unicode(ch) * i)) % 1000000007 AS BIGINT)"
+    )
+    return f"""
+    WITH o AS (
+      SELECT doc_id, {fp.format(c='text')} AS fp FROM documents
+    ), n0 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text
+      FROM documents WHERE doc_id % 17 != 0
+    ), ins AS (
+      SELECT doc_id + 10000000 AS doc_id,
+             'ins-' || CAST(doc_id + 10000000 AS VARCHAR) AS text
+      FROM documents WHERE doc_id % 23 = 0
+    ), nn AS (
+      SELECT * FROM n0 UNION ALL SELECT * FROM ins
+    ), n AS (
+      SELECT doc_id, {fp.format(c='text')} AS fp FROM nn
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL THEN
+                  CASE WHEN o.fp = n.fp THEN 'unchanged' ELSE 'updated' END
+                WHEN n.doc_id IS NULL THEN 'deleted'
+                ELSE 'inserted' END AS status
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    """
 
 
 def _mul64_expr(x: str, c: int) -> str:
@@ -4015,6 +4161,9 @@ def oracle_sql() -> dict[str, str]:
         WHERE band < CASE lang WHEN 'en' THEN 200 WHEN 'fr' THEN 500
                                WHEN 'es' THEN 800 ELSE 100 END
         """,
+        "zorder_layout": _zorder_sql(),
+        "partition_stats": _partition_stats_sql(),
+        "snapshot_diff": _snapshot_diff_sql(),
         "source_temperature_weights": """
         WITH c AS (
           SELECT source, CAST(count(*) AS BIGINT) AS n_docs

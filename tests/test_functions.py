@@ -1740,3 +1740,33 @@ def test_fim_transform_psm_layout():
     assert out[1] == {"doc_id": 3, "fim_applied": False, "text_out": "untouched"}
     # n=2 -> empty prefix, middle [0,1), suffix [1,2)
     assert out[2]["text_out"] == "<PRE><SUF>y<MID>x"
+
+
+def test_zorder_key_interleave():
+    from vietnamese_ocr_ray.functions.layout import zorder_key
+
+    a = np.array([0b101, 0, 255], dtype=np.int64)
+    b = np.array([0b011, 255, 0], dtype=np.int64)
+    z = zorder_key(a, b)
+    # bit i of b at 2i, bit i of a at 2i+1
+    assert z[0] == (1 << 0) + (1 << 2) + (1 << 1) + (1 << 5)
+    assert z[1] == sum(1 << (2 * i) for i in range(8))
+    assert z[2] == sum(1 << (2 * i + 1) for i in range(8))
+    # adjacent cells in either dimension stay within a small key range
+    assert zorder_key(np.array([3]), np.array([4]))[0] != z[0]
+
+
+def test_snapshot_diff_statuses(ray_session):
+    from vietnamese_ocr_ray.functions.cdc import snapshot_diff
+
+    old = rd.from_arrow(
+        pa.table({"doc_id": [1, 2, 3, 4], "text": ["a", "b", "c", "d"]})
+    )
+    new = rd.from_arrow(
+        pa.table({"doc_id": [1, 2, 5], "text": ["a", "B", "e"]})
+    )
+    out = snapshot_diff(old, new).to_pandas().set_index("doc_id")["status"]
+    assert out[1] == "unchanged"
+    assert out[2] == "updated"
+    assert out[3] == "deleted" and out[4] == "deleted"
+    assert out[5] == "inserted"

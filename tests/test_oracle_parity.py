@@ -76,6 +76,9 @@ def _check(m, con, name):
         "value_winsorized",
         "stratified_split",
         "source_temperature_weights",
+        "zorder_layout",
+        "partition_stats",
+        "snapshot_diff",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

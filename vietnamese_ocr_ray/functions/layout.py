@@ -1,0 +1,129 @@
+"""Storage-layout & shuffle-observability operators.
+
+- :func:`zorder_layout` — multi-dimension Z-order (Morton) clustering
+  key + file assignment, the lakehouse data-layout op (Delta/Iceberg
+  ``OPTIMIZE ZORDER BY``): rows whose key prefixes match land in the
+  same file, so a reader filtering on EITHER dimension prunes files.
+  At 100 TB this is the "write once, prune forever" layout pass —
+  one vectorized key computation, one repartition-by-prefix.
+- :func:`partition_stats` — per-hash-bucket row/byte counts + integer
+  skew ratio over the exact bucket function the engine's shuffles use
+  (functions/joins.key_bucket): the observability pass a shuffle
+  planner reads BEFORE committing to a partitioning key; a skew_ppm
+  of 1e6 means a perfectly balanced bucket, 32e6 means one bucket
+  holds the whole table.
+
+Both are exact-integer and SQL-replayable (bit-interleave as a sum of
+shifted bits; splitmix64 via the HUGEINT split multiply).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from vietnamese_ocr_ray.functions.agg import hash_aggregate
+from vietnamese_ocr_ray.functions.joins import _mix64
+
+
+def zorder_key(a: np.ndarray, b: np.ndarray, bits: int = 8) -> np.ndarray:
+    """Morton interleave of two ``bits``-wide non-negative ints:
+    bit i of ``b`` lands at position 2i, bit i of ``a`` at 2i+1.
+    Vectorized over the rows; the bit loop is O(bits), not O(rows)."""
+    z = np.zeros(a.shape[0], np.int64)
+    for i in range(bits):
+        z |= ((b >> i) & 1) << (2 * i)
+        z |= ((a >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def zorder_layout(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+    *,
+    id_col: str = "doc_id",
+    value_cap: int = 255,
+    cells_per_file: int = 16,
+) -> rd.Dataset:
+    """(id, zorder_key, file_bucket) for clustering rows by BOTH the
+    categorical ``group_col`` (rank within its sorted distinct values)
+    and the numeric ``value_col`` (capped at ``value_cap``). The
+    distinct-group table is vocabulary-sized: one tiny aggregate, then
+    a broadcast rank lookup — no shuffle of the corpus itself.
+    ``file_bucket = zkey // cells_per_file`` is the write-target
+    assignment (`write_parquet(partition_cols=["file_bucket"])`)."""
+    groups = (
+        hash_aggregate(
+            ds.select_columns([group_col]), [group_col], {"n": (group_col, "count")}
+        )
+        .to_pandas()[group_col]
+        .astype(str)
+        .sort_values(kind="stable")
+        .tolist()
+    )
+    garr = pa.array(groups, pa.string())
+
+    def key(batch: pa.Table) -> pa.Table:
+        r = (
+            pc.index_in(batch.column(group_col), garr)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        v = np.minimum(
+            batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64),
+            value_cap,
+        )
+        z = zorder_key(r, v)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "zorder_key": pa.array(z),
+                "file_bucket": pa.array(z // cells_per_file),
+            }
+        )
+
+    return ds.map_batches(key, batch_format="pyarrow")
+
+
+def partition_stats(
+    ds: rd.Dataset,
+    key_col: str,
+    weight_col: str,
+    *,
+    num_buckets: int = 32,
+) -> pa.Table:
+    """Per-bucket (rows, weight sum, skew_ppm) under the engine's own
+    integer bucket hash (splitmix64 % num_buckets). skew_ppm is the
+    EXACT integer ``1e6 * n_rows * num_buckets // total_rows`` —
+    1_000_000 for a perfectly even bucket. The per-bucket table is
+    num_buckets rows; the only driver-side math is the final ratio."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (_mix64(k) % np.uint64(num_buckets)).astype(np.int64)
+        return pa.table(
+            {"bucket": pa.array(bucket), "w": batch.column(weight_col)}
+        )
+
+    per = (
+        hash_aggregate(
+            ds.map_batches(tag, batch_format="pyarrow"),
+            ["bucket"],
+            {"n_rows": ("bucket", "count"), "w_sum": ("w", "sum")},
+        )
+        .to_pandas()
+        .sort_values("bucket", kind="stable")
+    )
+    n = per["n_rows"].to_numpy(np.int64)
+    total = int(n.sum())
+    return pa.table(
+        {
+            "bucket": pa.array(per["bucket"].to_numpy(np.int64)),
+            "n_rows": pa.array(n),
+            "w_sum": pa.array(per["w_sum"].to_numpy(np.int64)),
+            "skew_ppm": pa.array(1_000_000 * n * num_buckets // total),
+        }
+    )
