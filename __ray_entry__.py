@@ -2204,6 +2204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_main_content": lambda sf: _html(sf).html_main_content(
             _html_docs(sf)
         ),
+        "html_links": lambda sf: _html(sf).html_links(_html_docs(sf)),
         "html_spans": lambda sf: _html(sf).html_to_spans(_html_docs(sf)),
         "html_boilerplate_stats": lambda sf: _html(sf).html_boilerplate_stats(
             _html_docs(sf)
@@ -3744,6 +3745,22 @@ def oracle_sql() -> dict[str, str]:
                                     ' +', ' ', 'g'))) AS text_chars,
          round(anchor_chars / greatest(text_chars, 1), 6) AS link_density
         FROM h
+        """,
+        "html_links": f"""
+        WITH h AS ({html_sql_expr()}),
+        x AS (
+          SELECT doc_id,
+                 regexp_extract_all(html,
+                   '<a href="([^"]*)"[^>]*>([^<]*)</a>', 1) AS hs,
+                 regexp_extract_all(html,
+                   '<a href="([^"]*)"[^>]*>([^<]*)</a>', 2) AS ts
+          FROM h
+        )
+        SELECT doc_id,
+               unnest(generate_series(1, len(hs))) AS link_ord,
+               unnest(hs) AS href,
+               unnest(ts) AS anchor_text
+        FROM x
         """,
         "html_main_content": f"""
         WITH {_html_scored_cte()}

@@ -89,3 +89,29 @@ def test_link_density_flags_boilerplate_only_page(ray_session):
     dens = H.html_link_density(_docs_ds()).to_pandas()
     assert (dens["link_density"] < 0.5).all()
     assert (dens["n_links"] == 7).all()  # 3 nav + 2 ad + 2 footer
+
+
+def test_html_links_extracts_all_anchors_in_order(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from vietnamese_ocr_ray.functions.html import html_links, synth_html_array
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([3, 4], pa.int64()),
+            "lang": ["en", "fr"],
+            "source": ["src1", "src2"],
+            "text": ["hello world", "bonjour monde"],
+        }
+    )
+    import ray.data as rd
+
+    out = html_links(rd.from_arrow(batch)).to_pandas()
+    assert len(out) == 14  # 7 anchors per page
+    d3 = out[out.doc_id == 3]
+    assert list(d3.link_ord) == [1, 2, 3, 4, 5, 6, 7]
+    assert list(d3.href) == [
+        "/home", "/l/en", "/top", "/ad1", "/ad2", "/terms", "/contact",
+    ]
+    assert list(d3.anchor_text)[:3] == ["home nav", "en pages", "top lists"]

@@ -79,6 +79,7 @@ def _check(m, con, name):
         "zorder_layout",
         "partition_stats",
         "snapshot_diff",
+        "html_links",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

@@ -188,6 +188,60 @@ def _anchor_char_sums(pieces: pa.Array) -> np.ndarray:
     return out
 
 
+def html_links(ds: rd.Dataset, html_col: str | None = None) -> rd.Dataset:
+    """(doc_id, link_ord, href, anchor_text) — one row per anchor, in
+    page order: the LINK-GRAPH builder (what PageRank/host-graph
+    pipelines consume from an extraction pass). Same second-level
+    flat-buffer parse as the link-density signal: split on '<a ', one
+    anchored regex per sub-piece, ordinals via run-length cumcount —
+    no per-row Python. ``html_col`` parses an existing page column
+    (e.g. WARC output) instead of re-synthesizing."""
+
+    def links(batch: pa.Table) -> pa.Table:
+        if html_col is not None:
+            html = _chunked(batch.column(html_col))
+        else:
+            html = synth_html_array(batch)
+        subs = pc.split_pattern(html, "<a ")
+        subs = (
+            subs.combine_chunks() if isinstance(subs, pa.ChunkedArray) else subs
+        )
+        flat = subs.flatten()
+        ext = pc.extract_regex(
+            flat, r'^href="(?P<h>[^"]*)"[^>]*>(?P<t>[^<]*)</a>'
+        )
+        href = pc.struct_field(ext, "h")
+        txt = pc.struct_field(ext, "t")
+        valid = pc.is_valid(href).to_numpy(zero_copy_only=False)
+        offs = np.asarray(subs.offsets, dtype=np.int64)
+        counts = np.diff(offs)
+        doc_rep = np.repeat(
+            np.asarray(pc.cast(_chunked(batch.column("doc_id")), pa.int64())),
+            counts,
+        )
+        vdoc = doc_rep[valid]
+        new_run = np.ones(vdoc.shape[0], dtype=bool)
+        new_run[1:] = vdoc[1:] != vdoc[:-1]
+        run_starts = np.flatnonzero(new_run)
+        run_lens = np.diff(np.append(run_starts, vdoc.shape[0]))
+        ords = (
+            np.arange(vdoc.shape[0], dtype=np.int64)
+            - np.repeat(run_starts, run_lens)
+            + 1
+        )
+        vmask = pa.array(valid)
+        return pa.table(
+            {
+                "doc_id": pa.array(vdoc),
+                "link_ord": pa.array(ords),
+                "href": href.filter(vmask),
+                "anchor_text": txt.filter(vmask),
+            }
+        )
+
+    return ds.map_batches(links, batch_format="pyarrow")
+
+
 def html_link_density(ds: rd.Dataset) -> rd.Dataset:
     """(doc_id, n_links, anchor_chars, text_chars, link_density):
     page-level anchor statistics, the classic boilerplate signal."""
