@@ -1736,6 +1736,68 @@ def _top_tokens_per_lang(sf_dir: str, k: int = 5):
     return counts.groupby("lang").map_groups(topk, batch_format="pandas")
 
 
+def _core_vocab_nucleus(sf_dir: str, p_num: int = 9, p_den: int = 10):
+    """Nucleus (top-p) CORE VOCABULARY per language: the smallest
+    frequency-ranked token set whose cumulative count stays under
+    p = 0.9 of the language's token mass (plus the first token that
+    crosses it) — the distribution-truncation op of tokenizer/vocab
+    design. Counts ride _top_tokens_per_lang's bucketed aggregate;
+    the per-lang finish (sort + cumsum + integer threshold
+    ``cum_before * p_den < total * p_num``) touches vocabulary-sized
+    groups only, and the threshold is exact-integer so the SQL window
+    replay is bit-free."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        n_tok = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        lang = np.asarray(batch.column("lang")).astype(object)
+        t = pa.table(
+            {
+                "lang": pa.array(np.repeat(lang, n_tok)),
+                "tok": pc.list_flatten(toks),
+            }
+        )
+        agg = t.group_by(["lang", "tok"]).aggregate([("tok", "count")])
+        return pa.table(
+            {
+                "lang": agg.column("lang"),
+                "tok": agg.column("tok"),
+                "n": pc.cast(agg.column("tok_count"), pa.int64()),
+            }
+        )
+
+    counts = hash_aggregate(
+        _docs(sf_dir, ("text", "lang")).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["lang", "tok"],
+        {"n": ("n", "sum")},
+    )
+
+    def nucleus(g) -> pa.Table:
+        s = g.sort_values(["lang", "n", "tok"], ascending=[True, False, True])
+        n = s["n"].to_numpy(np.int64)
+        langs = s["lang"].to_numpy()
+        new = np.ones(len(s), dtype=bool)
+        new[1:] = langs[1:] != langs[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.append(starts, len(s)))
+        csum = np.cumsum(n)
+        base = np.repeat(csum[starts] - n[starts], lens)
+        cum_before = csum - n - base
+        total = np.repeat(np.add.reduceat(n, starts), lens)
+        keep = cum_before * p_den < total * p_num
+        rank = np.arange(len(s), dtype=np.int64) - np.repeat(starts, lens) + 1
+        out = s[["lang", "tok", "n"]].iloc[keep]
+        out = out.assign(rank=rank[keep])
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    return counts.groupby("lang").map_groups(nucleus, batch_format="pandas")
+
+
 def _lang_mismatch(sf_dir: str):
     """Label-audit aggregate: per source, how often the n-gram
     language detector disagrees with the stored lang label. One
@@ -2267,6 +2329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": _top_tokens,
         "token_freq_spectrum": _token_freq_spectrum,
         "top_tokens_per_lang": _top_tokens_per_lang,
+        "core_vocab_nucleus": _core_vocab_nucleus,
         "lang_mismatch": _lang_mismatch,
         "incremental_dedup": _incremental_dedup,
         "snapshot_intersect": _snapshot_intersect,
@@ -5066,6 +5129,23 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_occurrences
         FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
         GROUP BY bigram ORDER BY n_occurrences DESC, bigram LIMIT 10
+        """,
+        "core_vocab_nucleus": """
+        WITH t AS (SELECT lang, string_split(text, ' ') AS l FROM documents),
+        e AS (SELECT lang, unnest(l) AS tok FROM t),
+        c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+              FROM e GROUP BY lang, tok),
+        tt AS (SELECT lang, sum(n) AS total FROM c GROUP BY lang),
+        r AS (SELECT lang, tok, n,
+                sum(n) OVER (PARTITION BY lang ORDER BY n DESC, tok
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n AS cum_before,
+                row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok)
+                  AS rank
+              FROM c)
+        SELECT r.lang, tok, n, CAST(rank AS BIGINT) AS rank
+        FROM r JOIN tt USING (lang)
+        WHERE cum_before * 10 < total * 9
         """,
         "fim_transform": """
         SELECT doc_id,

@@ -80,6 +80,7 @@ def _check(m, con, name):
         "partition_stats",
         "snapshot_diff",
         "html_links",
+        "core_vocab_nucleus",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):
