@@ -2352,6 +2352,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "vietnamese_ocr_ray.functions.lm", fromlist=["dsir_logratio"]
         ).dsir_logratio(_docs(sf)),
         "pmi_collocations": _pmi_collocations,
+        "chi2_token_lang": lambda sf: __import__(
+            "vietnamese_ocr_ray.functions.lm", fromlist=["chi2_token_lang"]
+        ).chi2_token_lang(_docs(sf, ("doc_id", "text", "lang"))),
         "kl_source_divergence": _kl_source_divergence,
         "inverted_index": _inverted_index,
         "approx_distinct_tokens": _approx_distinct_tokens,
@@ -5324,6 +5327,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT q.source, ns.n AS n_tokens,
                CAST(sum(q.q) AS DOUBLE) / 1000000000.0 AS kl
         FROM q JOIN ns USING (source) GROUP BY q.source, ns.n
+        """,
+        "chi2_token_lang": """
+        WITH t AS (SELECT doc_id, lang,
+                          unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+        d AS (SELECT DISTINCT doc_id, lang, tok FROM t),
+        lt AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS n_docs
+               FROM d GROUP BY lang, tok),
+        lg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+               FROM documents GROUP BY lang),
+        tt AS (SELECT tok, CAST(sum(n_docs) AS BIGINT) AS t_total
+               FROM lt GROUP BY tok),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+        SELECT lt.lang, lt.tok, lt.n_docs,
+               ROUND(
+                 (CAST(nn.n AS DOUBLE)
+                  * CAST(lt.n_docs * (nn.n - lg.n_lang
+                                      - (tt.t_total - lt.n_docs))
+                         - (tt.t_total - lt.n_docs)
+                           * (lg.n_lang - lt.n_docs) AS DOUBLE)
+                  * CAST(lt.n_docs * (nn.n - lg.n_lang
+                                      - (tt.t_total - lt.n_docs))
+                         - (tt.t_total - lt.n_docs)
+                           * (lg.n_lang - lt.n_docs) AS DOUBLE))
+                 / (CAST(tt.t_total AS DOUBLE)
+                    * CAST(nn.n - tt.t_total AS DOUBLE)
+                    * CAST(lg.n_lang AS DOUBLE)
+                    * CAST(nn.n - lg.n_lang AS DOUBLE)), 6) AS chi2
+        FROM lt JOIN lg USING (lang) JOIN tt USING (tok) CROSS JOIN nn
+        WHERE tt.t_total >= 5 AND tt.t_total < nn.n
         """,
         "pmi_collocations": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -1770,3 +1770,79 @@ def test_snapshot_diff_statuses(ray_session):
     assert out[2] == "updated"
     assert out[3] == "deleted" and out[4] == "deleted"
     assert out[5] == "inserted"
+
+
+def test_chi2_token_lang_matches_contingency_reference(ray_session):
+    """chi2 over a hand-built corpus must equal the textbook 2x2
+    contingency statistic computed from exact document frequencies,
+    and be invariant to block layout."""
+    from vietnamese_ocr_ray.functions.lm import chi2_token_lang
+
+    # 12 vi docs say "pho", 2 en docs say "pho"; "the" is en-heavy.
+    texts, langs = [], []
+    for i in range(12):
+        texts.append("pho ngon qua")
+        langs.append("vi")
+    for i in range(8):
+        texts.append("the cat ate pho" if i < 2 else "the cat sat")
+        langs.append("en")
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(langs),
+        }
+    )
+    out = (
+        chi2_token_lang(rd.from_arrow(t), min_df=2)
+        .to_pandas()
+        .set_index(["lang", "tok"])
+        .sort_index()
+    )
+
+    # dict reference over exact doc frequencies
+    from collections import Counter
+
+    df = Counter()
+    lang_n = Counter(langs)
+    for txt, lg in zip(texts, langs):
+        for tok in set(txt.split(" ")):
+            df[(lg, tok)] += 1
+    n = len(texts)
+    tok_tot = Counter()
+    for (lg, tok), c in df.items():
+        tok_tot[tok] += c
+    for (lg, tok), a in df.items():
+        tt = tok_tot[tok]
+        if tt < 2 or tt >= n:
+            continue
+        b = tt - a
+        c = lang_n[lg] - a
+        d = n - lang_n[lg] - b
+        diff = a * d - b * c
+        den = (
+            float(tt) * float(n - tt) * float(lang_n[lg])
+            * float(n - lang_n[lg])
+        )
+        expect = round(float(n) * float(diff) * float(diff) / den, 6)
+        assert out.loc[(lg, tok), "chi2"] == expect, (lg, tok)
+        assert out.loc[(lg, tok), "n_docs"] == a
+    assert len(out) == sum(
+        1 for (lg, tok) in df if 2 <= tok_tot[tok] < n
+    )
+    # "pho" must associate more strongly with vi than "cat" with... no:
+    # sanity direction check — the en-only token outranks the shared one.
+    assert (
+        out.loc[("en", "cat"), "chi2"] > out.loc[("en", "pho"), "chi2"]
+    )
+
+    # layout invariance: 1-row blocks give the identical table
+    out2 = (
+        chi2_token_lang(
+            rd.from_arrow(t).repartition(len(texts)), min_df=2
+        )
+        .to_pandas()
+        .set_index(["lang", "tok"])
+        .sort_index()
+    )
+    assert out.equals(out2)

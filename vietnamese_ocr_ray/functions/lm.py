@@ -411,3 +411,135 @@ def _source_token_counts(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(
         None
     )
+
+
+def chi2_token_lang(
+    ds: rd.Dataset, min_df: int = 5, num_buckets: int = 64
+) -> rd.Dataset:
+    """Chi-square token<->language association (the classic
+    feature-selection statistic over a 2x2 document-frequency
+    contingency table): for each (lang, tok) observed pair with
+    a = docs in ``lang`` containing ``tok``, b = docs in OTHER langs
+    containing it, c = docs in ``lang`` without it, d = the rest,
+
+        chi2 = N * (a*d - b*c)^2 / ((a+b)*(c+d)*(a+c)*(b+d))
+
+    High chi2 = the token is distributed non-independently of the
+    language — the standard pick for language-discriminative
+    vocabulary (Manning & Schuetze ch. 5; reference repo has no
+    analog; beyond-reference corpus-analysis op).
+
+    Determinism contract: all four cells are exact int64
+    document-frequency counts; the statistic is ONE float expression
+    evaluated in a fixed left-associative order on both the numpy and
+    DuckDB sides ((N*diff)*diff over ((t_total)*(N-t_total))*
+    (n_lang)*(N-n_lang)), rounded to 6dp. (a*d - b*c) is computed in
+    int64 — exact up to ~2^31-doc corpora; beyond that regroup to
+    N*a - t_total*n_lang per the docstring note in tests.
+
+    Scale shape: per-batch doc-distinct (lang, tok) partials (Arrow
+    group_by, exact because one document is one row), ONE bucketed
+    hash-aggregate on (lang, tok), a vocabulary-bounded second
+    aggregate for per-token totals, language totals are a
+    low-cardinality aggregate; both lookup tables broadcast once via
+    ray.put and applied with vectorized index_in inside map_batches —
+    no second corpus pass, no per-group Python.
+    """
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        ntok = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        t = pa.table(
+            {
+                "lang": pa.array(
+                    np.repeat(np.asarray(batch.column("lang")), ntok)
+                ),
+                "tok": pc.list_flatten(toks),
+                "doc_id": pa.array(
+                    np.repeat(
+                        np.asarray(batch.column("doc_id"), dtype=np.int64),
+                        ntok,
+                    )
+                ),
+            }
+        )
+        d = t.group_by(["lang", "tok", "doc_id"]).aggregate([])
+        agg = d.group_by(["lang", "tok"]).aggregate([("doc_id", "count")])
+        return pa.table(
+            {
+                "lang": agg.column("lang"),
+                "tok": agg.column("tok"),
+                "n_docs": pc.cast(agg.column("doc_id_count"), pa.int64()),
+            }
+        )
+
+    counts = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "tok"],
+        {"n_docs": ("n_docs", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def lang_partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("lang"))
+        return pa.table(
+            {
+                "lang": pc.struct_field(vc, "values"),
+                "n": pc.struct_field(vc, "counts").cast(pa.int64()),
+            }
+        )
+
+    lang_tot = hash_aggregate(
+        ds.map_batches(lang_partial, batch_format="pyarrow"),
+        ["lang"],
+        {"n": ("n", "sum")},
+        num_buckets=8,
+    ).to_pandas()  # low-cardinality: one row per language
+    tok_tot = hash_aggregate(
+        counts, ["tok"], {"t_total": ("n_docs", "sum")}
+    ).to_pandas()  # vocabulary-bounded (same contract as pmi/tfidf)
+    n_total = int(lang_tot["n"].sum())
+    handle = ray.put(
+        (
+            pa.array(tok_tot["tok"].to_numpy(), pa.string()),
+            tok_tot["t_total"].to_numpy(np.int64),
+            pa.array(lang_tot["lang"].to_numpy(), pa.string()),
+            lang_tot["n"].to_numpy(np.int64),
+        )
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        tok_key, tok_n, lang_key, lang_n = ray.get(handle)
+        tok, lang = batch.column("tok"), batch.column("lang")
+        if isinstance(tok, pa.ChunkedArray):
+            tok, lang = tok.combine_chunks(), lang.combine_chunks()
+        t_total = tok_n[pc.index_in(tok, value_set=tok_key).to_numpy()]
+        n_lang = lang_n[pc.index_in(lang, value_set=lang_key).to_numpy()]
+        a = np.asarray(batch.column("n_docs"), dtype=np.int64)
+        keep = (t_total >= min_df) & (t_total < n_total)
+        tok, lang = tok.filter(pa.array(keep)), lang.filter(pa.array(keep))
+        a, t_total, n_lang = a[keep], t_total[keep], n_lang[keep]
+        b = t_total - a
+        c = n_lang - a
+        d = n_total - n_lang - b
+        diff = a * d - b * c  # exact int64 (docstring bound)
+        fN = float(n_total)
+        fdiff = diff.astype(np.float64)
+        num = fN * fdiff * fdiff
+        den = (
+            t_total.astype(np.float64)
+            * (n_total - t_total).astype(np.float64)
+            * n_lang.astype(np.float64)
+            * (n_total - n_lang).astype(np.float64)
+        )
+        return pa.table(
+            {
+                "lang": lang,
+                "tok": tok,
+                "n_docs": pa.array(a),
+                "chi2": pa.array(np.round(num / den, 6), pa.float64()),
+            }
+        )
+
+    return counts.map_batches(score, batch_format="pyarrow")
