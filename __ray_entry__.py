@@ -1010,6 +1010,68 @@ def _query_vec(sf_dir: str) -> np.ndarray:
     return np.asarray(t.column("embedding")[idx].as_py(), dtype=np.float64)
 
 
+def _mmr_select(sf_dir: str):
+    """MMR diverse top-k (lambda=0.5, pool=32, k=8) against the
+    vec_id-0 query: distributed pool retrieval (partial top-pool per
+    batch, embedding carried), constant-sized greedy on the driver.
+    SQL oracle: _mmr_sql unrolls the 8 greedy rounds as MATERIALIZED
+    CTEs over round-6 list_cosine_similarity values."""
+    from vietnamese_ocr_ray.functions.ann import mmr_select
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return mmr_select(ds, _query_vec(sf_dir), k=8, pool=32)
+
+
+def _mmr_sql(k: int = 8, pool: int = 32) -> str:
+    """Unrolled greedy-MMR replay (the pagerank_dupgraph pattern):
+    round r picks argmax(relevance - max sim to selected, tie id asc)
+    among pool candidates not yet selected."""
+    parts = [
+        f"""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                   FROM embeddings WHERE vec_id = 0),
+        rel AS (SELECT e.vec_id,
+                       round(list_cosine_similarity(
+                         CAST(e.embedding AS DOUBLE[]), q.qe), 6)
+                         AS relevance
+                FROM embeddings e, q),
+        pool AS MATERIALIZED (
+          SELECT vec_id, relevance FROM rel
+          ORDER BY relevance DESC, vec_id LIMIT {pool}),
+        pe AS (SELECT p.vec_id, p.relevance,
+                      CAST(e.embedding AS DOUBLE[]) AS emb
+               FROM pool p JOIN embeddings e USING (vec_id)),
+        sims AS MATERIALIZED (
+          SELECT a.vec_id AS ia, b.vec_id AS ib,
+                 round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+          FROM pe a JOIN pe b ON a.vec_id != b.vec_id),
+        s1 AS MATERIALIZED (
+          SELECT vec_id, relevance, relevance AS mmr_score FROM pool
+          ORDER BY relevance DESC, vec_id LIMIT 1),
+        sel1 AS (SELECT vec_id FROM s1)"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f""",
+        s{r} AS MATERIALIZED (
+          SELECT c.vec_id, c.relevance,
+                 c.relevance - max(s.sim) AS mmr_score
+          FROM pool c JOIN sims s ON s.ia = c.vec_id
+               AND s.ib IN (SELECT vec_id FROM sel{r - 1})
+          WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
+          GROUP BY c.vec_id, c.relevance
+          ORDER BY mmr_score DESC, c.vec_id LIMIT 1),
+        sel{r} AS (SELECT vec_id FROM sel{r - 1}
+                   UNION ALL SELECT vec_id FROM s{r})"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, vec_id, relevance, mmr_score"
+        f" FROM s{r}"
+        for r in range(1, k + 1)
+    )
+    return "".join(parts) + "\n        " + selects
+
+
 def _ann_topk(sf_dir: str):
     import ray.data as rd
 
@@ -2302,6 +2364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_tokens": _simhash_tokens,
         # similarity search / embedding ops
         "ann_topk": _ann_topk,
+        "mmr_select": _mmr_select,
         "ann_topk_multi": _ann_topk_multi,
         "knn_join": _knn_join,
         "knn_join_ivf": _knn_join_ivf,
@@ -5434,6 +5497,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY cos DESC, e.vec_id LIMIT 10
         """,
         "pagerank_dupgraph": _pagerank_sql(20),
+        "mmr_select": _mmr_sql(8, 32),
         "minhash_pairs": _minhash_pairs_sql(),
         "dedup_neardup": _minhash_dedup_sql(),
         "approx_distinct_tokens": _hll_distinct_tokens_sql(),

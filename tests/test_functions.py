@@ -1846,3 +1846,63 @@ def test_chi2_token_lang_matches_contingency_reference(ray_session):
         .sort_index()
     )
     assert out.equals(out2)
+
+
+def test_mmr_select_diversifies_and_matches_greedy_reference(ray_session):
+    """MMR must (a) equal a plain-python greedy reference on random
+    data and (b) skip a planted near-duplicate of the first pick in
+    favor of a diverse candidate, where pure relevance ranking would
+    not."""
+    from vietnamese_ocr_ray.functions.ann import mmr_select
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((100, 8))
+    q = vecs[3].copy()
+    vecs[50] = vecs[3] + 1e-4 * rng.standard_normal(8)  # near-dup of 3
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(100), pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = mmr_select(
+        rd.from_arrow(t).repartition(7), q, k=6, pool=16
+    ).to_pandas()
+
+    # greedy python reference over float32-roundtripped vectors
+    v32 = vecs.astype(np.float32).astype(np.float64)
+    qn = q / np.linalg.norm(q)
+    rel = np.round(
+        (v32 @ qn) / np.maximum(np.linalg.norm(v32, axis=1), 1e-30), 6
+    )
+    pool_ids = sorted(range(100), key=lambda i: (-rel[i], i))[:16]
+    mn = v32[pool_ids] / np.maximum(
+        np.linalg.norm(v32[pool_ids], axis=1, keepdims=True), 1e-30
+    )
+    sims = np.round(mn @ mn.T, 6)
+    sel, expect = [], []
+    for r in range(6):
+        best = None
+        for j, vid in enumerate(pool_ids):
+            if j in sel:
+                continue
+            s = rel[vid] if r == 0 else rel[vid] - max(
+                sims[j][i] for i in sel
+            )
+            key = (-s, vid)
+            if best is None or key < best[0]:
+                best = (key, j, vid, s)
+        sel.append(best[1])
+        expect.append((r + 1, best[2], rel[best[2]], best[3]))
+    got = list(
+        zip(out["rank"], out["vec_id"], out["relevance"], out["mmr_score"])
+    )
+    assert got == expect
+
+    # rank 1 is the self-match; its planted near-dup must NOT be rank 2
+    assert out["vec_id"].iloc[0] == 3
+    assert out["vec_id"].iloc[1] != 50
+    # ...but 50 IS the second-most-relevant candidate by pure cosine
+    assert sorted(range(100), key=lambda i: (-rel[i], i))[1] == 50

@@ -773,3 +773,109 @@ def knn_join_exact(
         .map_groups(finish, batch_format="pandas")
     )
     return _ensure_schema(out, _KNN_SCHEMA)
+
+
+def mmr_select(
+    ds: rd.Dataset,
+    query: np.ndarray,
+    k: int = 8,
+    pool: int = 32,
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Maximal Marginal Relevance diverse top-k (Carbonell &
+    Goldstein 1998) at lambda = 0.5: greedily pick the candidate
+    maximizing ``relevance - max(similarity to already-selected)`` —
+    the standard retrieve-then-diversify selection for dedup-aware
+    sampling / RAG context pruning (reference repo has no analog;
+    beyond-reference curation op).
+
+    Scale shape: stage 1 is the :func:`ann_bruteforce` pattern — one
+    distributed corpus scan with per-batch partial top-``pool``
+    CARRYING the embedding, then a global sort+limit over the
+    pool * num_blocks partial rows. Stage 2 (the greedy loop) is
+    sequential BY DEFINITION and runs on the pool-sized candidate set
+    only (constant-sized, driver-side) — never on the corpus.
+
+    Determinism contract: relevance and pairwise similarity are both
+    cosine rounded to 6dp (the module's contract); the MMR score is
+    ONE double subtraction of those round-6 values, ties broken by
+    ascending id — replayable as k unrolled MATERIALIZED CTE rounds
+    in DuckDB (the pagerank_dupgraph pattern). Rank 1's score is
+    defined as its relevance (empty selected set).
+    """
+
+    def score_topp(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch)
+        qn = query / np.linalg.norm(query)
+        norms = np.linalg.norm(m, axis=1)
+        cos = np.round((m @ qn) / np.maximum(norms, 1e-30), 6)
+        ids = batch.column(id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        t = pa.table(
+            {
+                id_col: ids,
+                "relevance": pa.array(cos, pa.float64()),
+                "embedding": emb,
+            }
+        )
+        if t.num_rows > pool:
+            order = pc.sort_indices(
+                t,
+                sort_keys=[
+                    ("relevance", "descending"),
+                    (id_col, "ascending"),
+                ],
+            )
+            t = t.take(order[:pool])
+        return t
+
+    pool_tbl = pa.Table.from_pandas(
+        ds.select_columns([id_col, "embedding"])
+        .map_batches(score_topp, batch_format="pyarrow")
+        .sort(["relevance", id_col], descending=[True, False])
+        .limit(pool)
+        .to_pandas(),
+        preserve_index=False,
+    )
+    ids = np.asarray(pool_tbl.column(id_col), dtype=np.int64)
+    relq = np.asarray(pool_tbl.column("relevance"), dtype=np.float64)
+    emb = pool_tbl.column("embedding")
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    m = np.asarray(
+        [np.asarray(v, np.float64) for v in emb.to_pylist()]
+    )  # pool-sized (constant), not corpus-sized
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
+    sims = np.round(m @ m.T, 6)
+
+    n = len(ids)
+    k = min(k, n)
+    selected: list[int] = []
+    out_rank, out_id, out_rel, out_score = [], [], [], []
+    cand = np.ones(n, dtype=bool)
+    for r in range(1, k + 1):
+        if r == 1:
+            scores = relq.copy()
+        else:
+            scores = relq - sims[:, selected].max(axis=1)
+        scores = np.where(cand, scores, -np.inf)
+        order = np.lexsort((ids, -scores))
+        pick = int(order[0])
+        selected.append(pick)
+        cand[pick] = False
+        out_rank.append(r)
+        out_id.append(int(ids[pick]))
+        out_rel.append(float(relq[pick]))
+        out_score.append(float(relq[pick]) if r == 1 else float(scores[pick]))
+    return pa.table(
+        {
+            "rank": pa.array(out_rank, pa.int64()),
+            id_col: pa.array(out_id, pa.int64()),
+            "relevance": pa.array(out_rel, pa.float64()),
+            "mmr_score": pa.array(out_score, pa.float64()),
+        }
+    )
