@@ -1072,6 +1072,18 @@ def _mmr_sql(k: int = 8, pool: int = 32) -> str:
     return "".join(parts) + "\n        " + selects
 
 
+def _ann_pq(sf_dir: str):
+    """Product-quantization ANN (4 subspaces x 16 codes over the
+    64-dim embeddings, asymmetric exact-integer grid distance).
+    SQL-verified end-to-end via _ann_pq_sql (4 subspace k-means
+    replays + encode + ADC); recall + layout-invariance additionally
+    pytest-checked."""
+    from vietnamese_ocr_ray.functions.kmeans import ann_pq
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann_pq(ds, _query_vec(sf_dir), k=10, n_sub=4, ks=16, iters=3)
+
+
 def _ann_topk(sf_dir: str):
     import ray.data as rd
 
@@ -2365,6 +2377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search / embedding ops
         "ann_topk": _ann_topk,
         "mmr_select": _mmr_select,
+        "ann_pq": _ann_pq,
         "ann_topk_multi": _ann_topk_multi,
         "knn_join": _knn_join,
         "knn_join_ivf": _knn_join_ivf,
@@ -3023,6 +3036,107 @@ def _sqdist_expr(a: str, b: str, dim: int = 64) -> str:
         f"list_sum(list_transform(generate_series(1, {dim}),"
         f" j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j])))"
     )
+
+
+def _pq_kmeans_cte(
+    sfx: str, off: int, dim: int, k: int, iters: int, seed: int
+) -> str:
+    """_kmeans_cte generalized to a SUBSPACE slice (columns
+    off+1..off+dim of the embedding) with every CTE name suffixed, so
+    n_sub independent chains can coexist in one WITH — the
+    functions/kmeans.pq_fit replay. Exposes hrow{sfx} (vec_id, q),
+    cent{iters}{sfx} (cid, cq) and afinal{sfx} (vec_id, cid)."""
+    parts = [
+        f"""emb{sfx} AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(
+               list_slice(CAST(embedding AS DOUBLE[]),
+                          {off + 1}, {off + dim}),
+               x -> CAST(floor(x * {1 << 20} + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    ), hconsts{sfx} AS ({_kmeans_hash_consts(dim, seed)}
+    ), hrow{sfx} AS MATERIALIZED (
+      SELECT vec_id, q, {_kmeans_hash_expr('q', dim)} AS h
+      FROM emb{sfx} CROSS JOIN hconsts{sfx}
+    ), cent0{sfx} AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT)
+               AS cid, q AS cq
+      FROM (SELECT h, vec_id, q FROM hrow{sfx} ORDER BY h, vec_id
+            LIMIT {k})
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        prev = f"cent{i - 1}{sfx}"
+        parts.append(
+            f"""a{i}{sfx} AS MATERIALIZED (
+      SELECT vec_id, q, cid FROM (
+        SELECT r.vec_id, r.q, c.cid,
+               row_number() OVER (PARTITION BY r.vec_id
+                 ORDER BY {_sqdist_expr('r.q', 'c.cq', dim)}, c.cid) AS rn
+        FROM hrow{sfx} r CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    ), u{i}{sfx} AS MATERIALIZED (
+      SELECT cid, g.j, SUM(q[g.j])::HUGEINT AS s, COUNT(*)::HUGEINT AS n
+      FROM a{i}{sfx} CROSS JOIN
+           (SELECT unnest(generate_series(1, {dim})) AS j) g
+      GROUP BY cid, g.j
+    ), cent{i}{sfx} AS MATERIALIZED (
+      SELECT c.cid, coalesce(un.cq, c.cq) AS cq
+      FROM {prev} c LEFT JOIN (
+        SELECT cid, list(CAST(
+          ((2*s + n) - ((((2*s + n) % (2*n)) + (2*n)) % (2*n))) // (2*n)
+          AS BIGINT) ORDER BY j) AS cq
+        FROM u{i}{sfx} GROUP BY cid
+      ) un USING (cid)
+    )"""
+        )
+    parts.append(
+        f"""afinal{sfx} AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT r.vec_id, c.cid,
+               row_number() OVER (PARTITION BY r.vec_id
+                 ORDER BY {_sqdist_expr('r.q', 'c.cq', dim)}, c.cid) AS rn
+        FROM hrow{sfx} r CROSS JOIN cent{iters}{sfx} c
+      ) WHERE rn = 1
+    )"""
+    )
+    return ",\n    ".join(parts)
+
+
+def _ann_pq_sql(
+    k: int = 10, n_sub: int = 4, ks: int = 16, iters: int = 3,
+    seed: int = 17, dim: int = 64,
+) -> str:
+    """(vec_id, adist) — the `ann_pq` oracle: n_sub independent
+    subspace k-means replays (codebooks), PQ encode = per-subspace
+    integer argmin (afinal), query distance table per subspace, ADC
+    score = exact-integer sum of table lookups, ascending top-k."""
+    dsub = dim // n_sub
+    chains = ",\n    ".join(
+        _pq_kmeans_cte(f"_p{s}", s * dsub, dsub, ks, iters, seed)
+        for s in range(n_sub)
+    )
+    tabs = ",\n    ".join(
+        f"""qrow_p{s} AS (SELECT q AS qq FROM hrow_p{s} WHERE vec_id = 0),
+    tab_p{s} AS (SELECT cid,
+                        CAST({_sqdist_expr('cq', 'qq', dsub)} AS BIGINT) AS d
+                 FROM cent{iters}_p{s} CROSS JOIN qrow_p{s})"""
+        for s in range(n_sub)
+    )
+    enc_joins = " ".join(
+        f"JOIN afinal_p{s} a{s} USING (vec_id)" for s in range(1, n_sub)
+    )
+    tab_joins = " ".join(
+        f"JOIN tab_p{s} t{s} ON t{s}.cid = a{s}.cid" for s in range(n_sub)
+    )
+    dsum = " + ".join(f"t{s}.d" for s in range(n_sub))
+    return f"""
+    WITH {chains},
+    {tabs}
+    SELECT a0.vec_id, CAST({dsum} AS BIGINT) AS adist
+    FROM afinal_p0 a0 {enc_joins} {tab_joins}
+    ORDER BY adist, a0.vec_id LIMIT {k}
+    """
 
 
 def _kmeans_cte(k: int, iters: int = 5, seed: int = 17, dim: int = 64) -> str:
@@ -5498,6 +5612,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_dupgraph": _pagerank_sql(20),
         "mmr_select": _mmr_sql(8, 32),
+        "ann_pq": _ann_pq_sql(10, 4, 16, 3),
         "minhash_pairs": _minhash_pairs_sql(),
         "dedup_neardup": _minhash_dedup_sql(),
         "approx_distinct_tokens": _hll_distinct_tokens_sql(),

@@ -1906,3 +1906,50 @@ def test_mmr_select_diversifies_and_matches_greedy_reference(ray_session):
     assert out["vec_id"].iloc[1] != 50
     # ...but 50 IS the second-most-relevant candidate by pure cosine
     assert sorted(range(100), key=lambda i: (-rel[i], i))[1] == 50
+
+
+def test_ann_pq_matches_numpy_adc_reference_and_recalls_blob(ray_session):
+    """ann_pq's ADC distances must equal a pure-numpy PQ reference
+    built from the SAME codebooks (encode = integer grid argmin,
+    distance = table-lookup sum), and on well-separated blobs the
+    PQ top-k must recover the query's own blob."""
+    from vietnamese_ocr_ray.functions.kmeans import (
+        _assign_q,
+        _quantize,
+        ann_pq,
+        pq_fit,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, 32)) * 4
+    vecs = np.vstack(
+        [c + 0.05 * rng.standard_normal((25, 32)) for c in centers]
+    )
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(100), pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(5)
+    q = vecs[0].astype(np.float32).astype(np.float64)
+    out = ann_pq(ds, q, k=10, n_sub=4, ks=8, iters=3).to_pandas()
+
+    # numpy reference: same fit, explicit encode + ADC
+    cbs = pq_fit(ds, n_sub=4, ks=8, iters=3, dim=32)
+    v64 = vecs.astype(np.float32).astype(np.float64)
+    qg = _quantize(q)
+    adist = np.zeros(100, dtype=np.int64)
+    for s, cb in enumerate(cbs):
+        cq = _quantize(cb)
+        codes = _assign_q(_quantize(v64[:, s * 8 : (s + 1) * 8]), cq)
+        d = cq - qg[s * 8 : (s + 1) * 8][None, :]
+        tab = np.einsum("ij,ij->i", d, d)
+        adist += tab[codes]
+    order = np.lexsort((np.arange(100), adist))[:10]
+    assert list(out["vec_id"]) == list(order)
+    assert list(out["adist"]) == list(adist[order])
+    # blob recall: all 10 hits from the query's own 25-vector blob
+    assert all(v < 25 for v in out["vec_id"])

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from vietnamese_ocr_ray.functions.ann import _matrix, ann_bruteforce
@@ -486,3 +487,128 @@ def knn_join_ivf(
         .map_groups(lambda g: _knn_finish(g, k), batch_format="pandas")
     )
     return _ensure_schema(out, _KNN_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou, Douze & Schmid 2011) on the same
+# grid-deterministic Lloyd machinery
+# ---------------------------------------------------------------------------
+
+
+def pq_fit(
+    ds: rd.Dataset,
+    n_sub: int = 4,
+    ks: int = 16,
+    iters: int = 3,
+    seed: int = 17,
+    emb_col: str = "embedding",
+    dim: int = 64,
+) -> list[np.ndarray]:
+    """Per-subspace codebooks: split the D dims into ``n_sub``
+    contiguous subspaces and run the grid-deterministic
+    :func:`kmeans_fit` independently on each slice. Codebooks are
+    bit-identical under any block layout (the kmeans contract), so
+    PQ codes — and therefore search results — are reproducible across
+    cluster sizes.
+
+    Scale note: this trains on the full corpus (n_sub * (1 + iters)
+    streaming passes). Production PQ trains codebooks on a small
+    deterministic sample (``sampling.hash_sample``) and only the
+    ENCODE pass touches the full corpus; the fit here stays full-corpus
+    so the DuckDB oracle can replay it without a sample CTE."""
+    dsub = dim // n_sub
+    codebooks = []
+    for s in range(n_sub):
+        lo = s * dsub
+
+        def slice_sub(batch: pa.Table, lo=lo, hi=lo + dsub) -> pa.Table:
+            m = _matrix(batch, emb_col)[:, lo:hi]
+            return pa.table(
+                {
+                    "embedding": pa.FixedSizeListArray.from_arrays(
+                        pa.array(m.reshape(-1), pa.float64()), hi - lo
+                    )
+                }
+            )
+
+        codebooks.append(
+            kmeans_fit(
+                ds.select_columns([emb_col]).map_batches(
+                    slice_sub, batch_format="pyarrow"
+                ),
+                k=ks,
+                iters=iters,
+                seed=seed,
+            )
+        )
+    return codebooks
+
+
+def ann_pq(
+    ds: rd.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    n_sub: int = 4,
+    ks: int = 16,
+    iters: int = 3,
+    seed: int = 17,
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """PQ approximate nearest neighbours by asymmetric distance
+    (ADC): encode every vector as ``n_sub`` codebook ids, precompute
+    the query's per-subspace distance table ONCE, then each vector's
+    approximate distance is a sum of ``n_sub`` table lookups — the
+    memory-bound scale path (a 64-dim float vector becomes n_sub
+    bytes; the corpus scan streams codes, never raw vectors).
+
+    Everything is exact int64 grid arithmetic (squared 2^-20-grid
+    distances), so results are bit-reproducible and the whole op —
+    fit, encode, table, top-k — replays in DuckDB
+    (``__ray_entry__._pq_kmeans_cte``). Output: (vec_id, adist),
+    ascending (adist, vec_id), k rows."""
+    import ray
+
+    dim = int(np.asarray(query).shape[0])
+    dsub = dim // n_sub
+    codebooks = pq_fit(
+        ds, n_sub=n_sub, ks=ks, iters=iters, seed=seed, dim=dim
+    )
+    cqs = [_quantize(cb) for cb in codebooks]
+    qg = _quantize(np.asarray(query, dtype=np.float64))
+    tabs = []
+    for s in range(n_sub):
+        d = cqs[s] - qg[s * dsub : (s + 1) * dsub][None, :]
+        tabs.append(np.einsum("ij,ij->i", d, d))
+    handle = ray.put((cqs, tabs))
+
+    def score(batch: pa.Table) -> pa.Table:
+        cqs_b, tabs_b = ray.get(handle)
+        q = _quantize(_matrix(batch))
+        adist = np.zeros(q.shape[0], dtype=np.int64)
+        for s, (cq, tab) in enumerate(zip(cqs_b, tabs_b)):
+            a = _assign_q(q[:, s * dsub : (s + 1) * dsub], cq)
+            adist += tab[a]
+        t = pa.table(
+            {
+                id_col: pc.cast(
+                    batch.column(id_col).combine_chunks()
+                    if isinstance(batch.column(id_col), pa.ChunkedArray)
+                    else batch.column(id_col),
+                    pa.int64(),
+                ),
+                "adist": pa.array(adist),
+            }
+        )
+        if t.num_rows > k:
+            order = pc.sort_indices(
+                t, sort_keys=[("adist", "ascending"), (id_col, "ascending")]
+            )
+            t = t.take(order[:k])
+        return t
+
+    return (
+        ds.select_columns([id_col, "embedding"])
+        .map_batches(score, batch_format="pyarrow")
+        .sort(["adist", id_col])
+        .limit(k)
+    )
