@@ -2428,6 +2428,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "vietnamese_ocr_ray.functions.lm", fromlist=["dsir_logratio"]
         ).dsir_logratio(_docs(sf)),
         "pmi_collocations": _pmi_collocations,
+        "winnow_fingerprints": lambda sf: __import__(
+            "vietnamese_ocr_ray.functions.text",
+            fromlist=["winnow_fingerprints"],
+        ).winnow_fingerprints(_docs(sf)),
         "chi2_token_lang": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.lm", fromlist=["chi2_token_lang"]
         ).chi2_token_lang(_docs(sf, ("doc_id", "text", "lang"))),
@@ -2516,6 +2520,48 @@ WITH w AS (
   FROM geo
 )
 """
+
+def _winnow_sql(kg: int = 8, w: int = 4) -> str:
+    """(doc_id, pos, fp) — the `winnow_fingerprints` oracle: the FNV
+    byte-gram fold (simhash's replay pattern, zero-padded short docs),
+    then each length-``w`` gram window's minimum with the paper's
+    rightmost tie-break as a (h ASC, i DESC) window rank, DISTINCT
+    selected positions. ASCII contract as simhash."""
+    expr = "14695981039346656037::UBIGINT"
+    for j in range(kg):
+        b = (
+            f"(CASE WHEN i + {j} <= len THEN unicode(substr(text, i + {j}, 1))"
+            f" ELSE 0 END)::UBIGINT"
+        )
+        expr = (
+            f"CAST((xor({expr}, {b})::HUGEINT * 1099511628211)"
+            f" % 18446744073709551616 AS UBIGINT)"
+        )
+    return f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+    g AS MATERIALIZED (
+      SELECT doc_id, greatest(len - {kg - 1}, 1) AS ng, t.i AS i, {expr} AS h
+      FROM d, unnest(generate_series(1, greatest(len - {kg - 1}, 1))) AS t(i)
+    ),
+    wins AS (
+      SELECT dd.doc_id, w0.i AS w0
+      FROM (SELECT DISTINCT doc_id, ng FROM g) dd,
+           unnest(generate_series(1, greatest(dd.ng - {w - 1}, 1))) AS w0(i)
+    ),
+    sel AS (
+      SELECT doc_id, pos, fp FROM (
+        SELECT wi.doc_id, wi.w0, g.i AS pos, g.h AS fp,
+               row_number() OVER (PARTITION BY wi.doc_id, wi.w0
+                                  ORDER BY g.h ASC, g.i DESC) AS rn
+        FROM wins wi JOIN g ON g.doc_id = wi.doc_id
+             AND g.i BETWEEN wi.w0 AND wi.w0 + {w - 1}
+      ) WHERE rn = 1
+    )
+    SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos,
+           lower(lpad(hex(fp), 16, '0')) AS fp
+    FROM sel
+    """
+
 
 def _simhash64_fp_cte() -> str:
     """64-bit byte-shingle SimHash restated in SQL: per doc, the
@@ -5613,6 +5659,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_dupgraph": _pagerank_sql(20),
         "mmr_select": _mmr_sql(8, 32),
         "ann_pq": _ann_pq_sql(10, 4, 16, 3),
+        "winnow_fingerprints": _winnow_sql(8, 4),
         "minhash_pairs": _minhash_pairs_sql(),
         "dedup_neardup": _minhash_dedup_sql(),
         "approx_distinct_tokens": _hll_distinct_tokens_sql(),

@@ -1953,3 +1953,67 @@ def test_ann_pq_matches_numpy_adc_reference_and_recalls_blob(ray_session):
     assert list(out["adist"]) == list(adist[order])
     # blob recall: all 10 hits from the query's own 25-vector blob
     assert all(v < 25 for v in out["vec_id"])
+
+
+def test_winnow_fingerprints_matches_reference_and_guarantee(ray_session):
+    """Winnowing must equal a plain-python reference (FNV grams,
+    window-min with rightmost tie), honor the shared-substring
+    guarantee (common substring >= kg + w - 1 -> shared fp), and
+    collapse an all-equal-hash run to the rightmost-per-window rule."""
+    from vietnamese_ocr_ray.functions.text import winnow_fingerprints
+
+    kg, w = 8, 4
+    shared = "the quick brown fox jumps"
+    texts = [
+        "aaaaaaaaaaaaaaaa",                       # all grams identical
+        "prefix one " + shared + " suffix alpha",
+        "other start " + shared + " tail omega",
+        "completely unrelated text with no overlap here",
+        "tiny",                                   # shorter than one gram
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    out = winnow_fingerprints(rd.from_arrow(t).repartition(3), kg, w)
+    df = out.to_pandas()
+
+    def ref(s):
+        bs = s.encode()
+        grams = []
+        ng = max(len(bs) - kg + 1, 1)
+        for i in range(ng):
+            h = 0xCBF29CE484222325
+            for j in range(kg):
+                b = bs[i + j] if i + j < len(bs) else 0
+                h = ((h ^ b) * 0x100000001B3) % (1 << 64)
+            grams.append(h)
+        sel = set()
+        for w0 in range(max(ng - w + 1, 1)):
+            win = grams[w0 : w0 + w]
+            m = min(win)
+            # rightmost minimum
+            pos = w0 + max(i for i, v in enumerate(win) if v == m)
+            sel.add((pos + 1, format(grams[pos], "016x")))
+        return sel
+
+    for did, s in enumerate(texts):
+        got = {
+            (int(r.pos), r.fp)
+            for r in df[df.doc_id == did].itertuples()
+        }
+        assert got == ref(s), did
+
+    # shared-substring guarantee: docs 1 and 2 share a fingerprint VALUE
+    f1 = set(df[df.doc_id == 1].fp)
+    f2 = set(df[df.doc_id == 2].fp)
+    f3 = set(df[df.doc_id == 3].fp)
+    assert f1 & f2
+    assert not (f1 & f3) or not (f2 & f3)  # unrelated doc stays mostly apart
+
+    # all-identical grams: rightmost rule selects every pos from w..ng
+    d0 = sorted(df[df.doc_id == 0].pos)
+    ng0 = len(texts[0]) - kg + 1
+    assert d0 == list(range(w, ng0 + 1))

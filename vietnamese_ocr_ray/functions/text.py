@@ -1088,3 +1088,137 @@ def gopher_filter(ds: rd.Dataset) -> rd.Dataset:
     """(doc_id, n_tokens, per-rule flags, kept) for every doc —
     stateless map_batches, no shuffle."""
     return ds.map_batches(gopher_rules_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+# local document-fingerprinting scheme)
+# ---------------------------------------------------------------------------
+
+
+def winnow_batch(
+    batch: pa.Table, kg: int = 8, w: int = 4
+) -> pa.Table:
+    """Selected (doc_id, pos, fp) winnowing fingerprints of each text:
+    FNV-1a hashes of every ``kg``-byte window (documents shorter than
+    one gram zero-padded, mirroring dedup._shingle_hashes), then in
+    every run of ``w`` consecutive gram hashes keep the minimum —
+    RIGHTMOST position on ties, the paper's rule — and emit the
+    selected (position, hash) set DISTINCT per document. Guarantees
+    any shared substring of length >= kg + w - 1 contributes a shared
+    fingerprint, with ~2/(w+1) density — the plagiarism/near-dup
+    screening fingerprint that, unlike MinHash, preserves match
+    POSITIONS. ``pos`` is the 1-based gram index; ``fp`` is the
+    16-hex-digit hash (the simhash hex convention). Documents with
+    fewer than ``w`` grams emit their single minimum. ASCII contract
+    as simhash: byte == codepoint, so DuckDB can replay the FNV fold
+    with unicode(substr(...)).
+
+    Vectorized: one FNV pass over the flat utf8 buffer, one
+    sliding-window argmin (reversed for rightmost-tie) over gathered
+    window starts; only rows shorter than kg + w - 1 bytes take the
+    per-row fallback."""
+    arr = batch.column("text")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        if arr.buffers()[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    base = int(offs[0])
+    offs = offs - base
+    data = data[base : base + int(offs[-1])]
+    doc_ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+    n = len(arr)
+    lens = offs[1:] - offs[:-1]
+    ng = np.maximum(lens - kg + 1, 1)  # grams per row (padded short)
+
+    fnv0 = np.uint64(0xCBF29CE484222325)
+    prime = np.uint64(0x100000001B3)
+    total = int(data.shape[0])
+    H = np.full(max(total, 1), np.uint64(0xFFFFFFFFFFFFFFFF), np.uint64)
+    if total >= kg:
+        win = np.lib.stride_tricks.sliding_window_view(data, kg).astype(
+            np.uint64
+        )
+        h = np.full(win.shape[0], fnv0, dtype=np.uint64)
+        for i in range(kg):
+            h = (h ^ win[:, i]) * prime
+        H[: total - kg + 1] = h
+
+    out_row: list[np.ndarray] = []
+    out_pos: list[np.ndarray] = []
+    out_fp: list[np.ndarray] = []
+
+    # vector path: rows with at least w grams, none padded
+    long = np.nonzero(ng >= w)[0]
+    if long.size:
+        nw = ng[long] - w + 1  # winnow windows per row
+        starts0 = offs[long]
+        flat_starts = np.repeat(starts0, nw) + (
+            np.arange(int(nw.sum()), dtype=np.int64)
+            - np.repeat(np.concatenate([[0], np.cumsum(nw)[:-1]]), nw)
+        )
+        gather = flat_starts[:, None] + np.arange(w, dtype=np.int64)[None, :]
+        WIN = H[gather]
+        idx = (w - 1) - np.argmin(WIN[:, ::-1], axis=1)
+        sel_glob = flat_starts + idx
+        row_of = np.repeat(long, nw)
+        out_row.append(row_of)
+        out_pos.append(sel_glob - offs[row_of] + 1)
+        out_fp.append(H[sel_glob])
+
+    # fallback: rows with fewer than w grams (incl. zero-padded short)
+    for r in np.nonzero(ng < w)[0]:
+        lr = int(lens[r])
+        if lr >= kg:
+            hr = H[offs[r] : offs[r] + ng[r]]
+        else:
+            pad = np.zeros(kg, dtype=np.uint64)
+            pad[:lr] = data[offs[r] : offs[r] + lr]
+            hv = fnv0
+            for i in range(kg):
+                hv = (hv ^ pad[i]) * prime
+            hr = np.array([hv], dtype=np.uint64)
+        i0 = len(hr) - 1 - int(np.argmin(hr[::-1]))
+        out_row.append(np.array([r], dtype=np.int64))
+        out_pos.append(np.array([i0 + 1], dtype=np.int64))
+        out_fp.append(hr[i0 : i0 + 1])
+
+    if out_row:
+        rows = np.concatenate(out_row)
+        poss = np.concatenate(out_pos)
+        fps = np.concatenate(out_fp)
+    else:
+        rows = poss = np.empty(0, np.int64)
+        fps = np.empty(0, np.uint64)
+    # distinct (row, pos) — adjacent winnow windows reselect the same
+    # gram (pos < 2^32 in-batch; fp is identical for identical (row,pos))
+    key = (rows << np.int64(32)) | poss
+    _, uniq = np.unique(key, return_index=True)
+    rows, poss, fps = rows[uniq], poss[uniq], fps[uniq]
+    # vectorized uint64 -> 16-char lowercase hex (no per-row Python)
+    bytes_be = fps.astype(">u8").view(np.uint8).reshape(-1, 8)
+    nib = np.empty((fps.shape[0], 16), np.uint8)
+    nib[:, 0::2] = bytes_be >> 4
+    nib[:, 1::2] = bytes_be & 0xF
+    digits = np.frombuffer(b"0123456789abcdef", np.uint8)
+    hexes = digits[nib].reshape(-1).view("S16").astype("U16")
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids[rows]),
+            "pos": pa.array(poss),
+            "fp": pa.array(hexes, pa.string()),
+        }
+    )
+
+
+def winnow_fingerprints(ds: rd.Dataset, kg: int = 8, w: int = 4) -> rd.Dataset:
+    """Corpus winnowing-fingerprint table — see :func:`winnow_batch`."""
+    return ds.map_batches(
+        lambda b: winnow_batch(b, kg=kg, w=w), batch_format="pyarrow"
+    )
