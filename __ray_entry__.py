@@ -2432,6 +2432,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "vietnamese_ocr_ray.functions.text",
             fromlist=["winnow_fingerprints"],
         ).winnow_fingerprints(_docs(sf)),
+        "winnow_overlap": lambda sf: __import__(
+            "vietnamese_ocr_ray.functions.text",
+            fromlist=["winnow_overlap"],
+        ).winnow_overlap(_docs(sf)),
         "chi2_token_lang": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.lm", fromlist=["chi2_token_lang"]
         ).chi2_token_lang(_docs(sf, ("doc_id", "text", "lang"))),
@@ -2560,6 +2564,28 @@ def _winnow_sql(kg: int = 8, w: int = 4) -> str:
     SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos,
            lower(lpad(hex(fp), 16, '0')) AS fp
     FROM sel
+    """
+
+
+def _winnow_overlap_sql(
+    kg: int = 8, w: int = 4, min_share: int = 4, max_df: int = 32
+) -> str:
+    """(doc_a, doc_b, n_shared) — the `winnow_overlap` oracle: distinct
+    per-doc winnow fingerprint VALUES, stop-fingerprint drop
+    (df > max_df) and singleton drop, fp self-join pair counts with
+    the min_share floor."""
+    base = _winnow_sql(kg, w)
+    head, _, _ = base.rpartition("SELECT DISTINCT doc_id,")
+    return head + f""",
+    sel2 AS (SELECT DISTINCT doc_id, fp FROM sel),
+    keep AS (SELECT fp FROM sel2 GROUP BY fp
+             HAVING count(*) BETWEEN 2 AND {max_df}),
+    d2 AS (SELECT doc_id, fp FROM sel2 JOIN keep USING (fp))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM d2 a JOIN d2 b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {min_share}
     """
 
 
@@ -5660,6 +5686,7 @@ def oracle_sql() -> dict[str, str]:
         "mmr_select": _mmr_sql(8, 32),
         "ann_pq": _ann_pq_sql(10, 4, 16, 3),
         "winnow_fingerprints": _winnow_sql(8, 4),
+        "winnow_overlap": _winnow_overlap_sql(8, 4, 4, 32),
         "minhash_pairs": _minhash_pairs_sql(),
         "dedup_neardup": _minhash_dedup_sql(),
         "approx_distinct_tokens": _hll_distinct_tokens_sql(),

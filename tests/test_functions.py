@@ -2017,3 +2017,32 @@ def test_winnow_fingerprints_matches_reference_and_guarantee(ray_session):
     d0 = sorted(df[df.doc_id == 0].pos)
     ng0 = len(texts[0]) - kg + 1
     assert d0 == list(range(w, ng0 + 1))
+
+
+def test_winnow_overlap_finds_planted_neardups_and_drops_stop_fps(ray_session):
+    from vietnamese_ocr_ray.functions.text import winnow_overlap
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    texts = [
+        base + " one extra tail",
+        base + " two other ending",        # near-dup of 0
+        "completely different content with nothing in common zz",
+    ]
+    # 40 docs all containing one common phrase -> its fps exceed max_df
+    texts += [f"unique{i:02d} filler the common shared phrase here" for i in range(40)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    out = winnow_overlap(
+        rd.from_arrow(t).repartition(4), min_share=4, max_df=32
+    ).to_pandas()
+    pairs = set(zip(out.doc_a, out.doc_b))
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
+    # the 40-doc common phrase is a stop fingerprint: no pair among the
+    # filler docs can reach min_share through it
+    filler = {p for p in pairs if p[0] >= 3 and p[1] >= 3}
+    assert not filler

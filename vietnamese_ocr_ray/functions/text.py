@@ -1222,3 +1222,85 @@ def winnow_fingerprints(ds: rd.Dataset, kg: int = 8, w: int = 4) -> rd.Dataset:
     return ds.map_batches(
         lambda b: winnow_batch(b, kg=kg, w=w), batch_format="pyarrow"
     )
+
+
+def winnow_overlap(
+    ds: rd.Dataset,
+    kg: int = 8,
+    w: int = 4,
+    min_share: int = 4,
+    max_df: int = 32,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """Near-duplicate candidate pairs by SHARED winnowing fingerprints
+    (the MOSS similarity report): (doc_a, doc_b, n_shared) for every
+    document pair sharing >= ``min_share`` distinct fingerprint
+    values. Fingerprints with document frequency > ``max_df`` are
+    dropped entirely ("stop fingerprints" — common 8-byte phrases
+    would otherwise pair quadratically many unrelated docs) as are
+    singletons; both rules are plain count predicates, so the DuckDB
+    oracle replays them verbatim.
+
+    Scale shape: winnow + per-doc distinct happen inside ONE
+    map_batches over the corpus (a document is one row, so the
+    distinct is exact batch-locally); the only exchange is the
+    fp-bucket shuffle (int32 bucket of the fp hex, rows are
+    (doc_id, fp) only — no text moves); per-bucket pair expansion is
+    one sort + segment triu (the _bucket_pairs shape, df-capped so a
+    segment emits at most max_df^2/2 pairs); the final (a, b)
+    aggregation is the bucketed hash_aggregate."""
+    import pandas as pd
+
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = winnow_batch(batch, kg=kg, w=w)
+        d = t.group_by(["doc_id", "fp"]).aggregate([])
+        return d.append_column(
+            "_bucket",
+            pa.array(key_bucket(d.column("fp"), num_buckets).astype(np.int32)),
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        s = g.sort_values(["fp", "doc_id"], kind="stable")
+        fp = s["fp"].to_numpy()
+        ids = s["doc_id"].to_numpy(np.int64)
+        n = ids.shape[0]
+        out_a, out_b = [], []
+        if n:
+            change = np.ones(n, dtype=bool)
+            change[1:] = fp[1:] != fp[:-1]
+            starts = np.nonzero(change)[0]
+            sizes = np.diff(np.append(starts, n))
+            multi = (sizes >= 2) & (sizes <= max_df)
+            for st, m in zip(starts[multi], sizes[multi]):
+                ii, jj = np.triu_indices(int(m), 1)
+                seg = ids[st : st + int(m)]
+                out_a.append(seg[ii])
+                out_b.append(seg[jj])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "doc_a": pa.array(a),
+                "doc_b": pa.array(b),
+                "one": pa.array(np.ones(a.shape[0], dtype=np.int64)),
+            }
+        )
+
+    pairs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    agg = hash_aggregate(
+        pairs, ["doc_a", "doc_b"], {"n_shared": ("one", "sum")},
+        num_buckets=num_buckets,
+    )
+    return agg.map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b.column("n_shared"), pa.scalar(min_share))
+        ),
+        batch_format="pyarrow",
+    )
