@@ -353,6 +353,9 @@ def run_bench() -> dict:
         "knn_join",
         "fuzzy_match_ed1",
         "cohort_retention",
+        "ann_pq",
+        "winnow_overlap",
+        "chi2_token_lang",
     ):
 
         def consume(fn=q[name]):
