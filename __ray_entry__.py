@@ -2196,6 +2196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_mean_value": lambda sf: relational.geo_mean_value(sf),
         "value_quantiles": lambda sf: relational.value_quantiles(sf),
         "value_winsorized": lambda sf: relational.value_winsorized(sf),
+        "value_psi": lambda sf: relational.value_psi(sf),
         "stratified_split": _stratified_split,
         "source_temperature_weights": _source_temperature_weights,
         "zorder_layout": _zorder_layout,
@@ -4464,6 +4465,37 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(value, 0.5), 6) AS p50,
                round(quantile_cont(value, 0.95), 6) AS p95
         FROM events GROUP BY event_type
+        """,
+        "value_psi": """
+        WITH b AS (
+          SELECT event_type,
+                 CAST(floor(value * 4) AS BIGINT) AS bucket,
+                 CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS is_e
+          FROM events),
+        c AS (
+          SELECT event_type, bucket,
+                 CAST(sum(is_e) AS BIGINT) AS ce,
+                 CAST(sum(1 - is_e) AS BIGINT) AS ca
+          FROM b GROUP BY event_type, bucket),
+        t AS (
+          SELECT event_type,
+                 CAST(sum(ce) AS BIGINT) AS tot_e,
+                 CAST(sum(ca) AS BIGINT) AS tot_a,
+                 CAST(count(*) AS BIGINT) AS nb
+          FROM c GROUP BY event_type),
+        terms AS (
+          SELECT c.event_type, t.nb,
+                 CAST(round(
+                   (CAST(ca + 1 AS DOUBLE) / CAST(tot_a + nb AS DOUBLE)
+                    - CAST(ce + 1 AS DOUBLE) / CAST(tot_e + nb AS DOUBLE))
+                   * ln((CAST(ca + 1 AS DOUBLE) / CAST(tot_a + nb AS DOUBLE))
+                        / (CAST(ce + 1 AS DOUBLE)
+                           / CAST(tot_e + nb AS DOUBLE)))
+                   * 1000000000) AS BIGINT) AS u
+          FROM c JOIN t USING (event_type))
+        SELECT event_type, any_value(nb) AS n_buckets,
+               CAST(sum(u) AS DOUBLE) / 1e9 AS psi
+        FROM terms GROUP BY event_type
         """,
         "value_winsorized": """
         WITH b AS (

@@ -2046,3 +2046,61 @@ def test_winnow_overlap_finds_planted_neardups_and_drops_stop_fps(ray_session):
     # filler docs can reach min_share through it
     filler = {p for p in pairs if p[0] >= 3 and p[1] >= 3}
     assert not filler
+
+
+def test_value_psi_detects_planted_shift(ray_session, tmp_path):
+    """PSI must be ~0 for identical halves and large for a planted
+    shift, and equal a dict reference with add-one smoothing."""
+    import math
+
+    from vietnamese_ocr_ray.pipelines.relational import value_psi
+
+    n = 4000
+    rng = np.random.default_rng(3)
+    # 'stable': same distribution both halves. 'shifted': odd ids +5.
+    vals, types, ids = [], [], []
+    for i in range(n):
+        base = float(rng.uniform(0, 10))
+        vals.append(base)
+        types.append("stable")
+        ids.append(i)
+    for i in range(n):
+        base = float(rng.uniform(0, 10)) + (5.0 if i % 2 else 0.0)
+        vals.append(base)
+        types.append("shifted")
+        ids.append(n + n % 2 + i)  # preserves i%2 parity alignment
+    t = pa.table(
+        {
+            "event_id": pa.array(ids, pa.int64()),
+            "event_type": pa.array(types),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = value_psi(str(tmp_path)).to_pandas().set_index("event_type")
+
+    # dict reference
+    from collections import Counter
+
+    for etype in ("stable", "shifted"):
+        ce, ca = Counter(), Counter()
+        for i, ty, v in zip(ids, types, vals):
+            if ty != etype:
+                continue
+            b = math.floor(v * 4)
+            (ce if i % 2 == 0 else ca)[b] += 1
+        buckets = sorted(set(ce) | set(ca))
+        nb = len(buckets)
+        tot_e = sum(ce.values()) + nb
+        tot_a = sum(ca.values()) + nb
+        u = 0
+        for b in buckets:
+            pe = (ce[b] + 1) / tot_e
+            pa_ = (ca[b] + 1) / tot_a
+            u += round((pa_ - pe) * math.log(pa_ / pe) * 1e9)
+        assert out.loc[etype, "psi"] == u / 1e9
+        assert out.loc[etype, "n_buckets"] == nb
+    assert out.loc["stable", "psi"] < 0.05
+    assert out.loc["shifted", "psi"] > 0.5

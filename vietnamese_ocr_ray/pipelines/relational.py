@@ -2527,3 +2527,84 @@ def cohort_retention(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def value_psi(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
+    """Population Stability Index per event_type — the standard
+    distribution-drift audit between two populations (here the
+    deterministic halves ``event_id % 2``):
+
+        PSI = sum_buckets (p_a - p_e) * ln(p_a / p_e)
+
+    over fixed power-of-two value buckets (floor(value * 4), IEEE-exact
+    on both engines) with add-one (Laplace) smoothing so every observed
+    bucket contributes a finite term. PSI > 0.2 conventionally flags a
+    shifted feature; run when mixing crawl snapshots or comparing a new
+    extraction run against the previous one.
+
+    Determinism: bucket counts are exact integers; each bucket's term
+    is quantized to integer nano-nats (the kl_source_divergence
+    contract) and reduced by integer sum, so the emitted double is
+    bit-equal to the SQL oracle. Scale shape: one bucketed
+    hash-aggregate of (event_type, bucket, side-count) partials —
+    bucket cardinality is value-range-bounded, never row-bounded; the
+    PSI finish touches the tiny (type x bucket) table only."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("value"), dtype=np.float64)
+        b = np.floor(v * 4.0).astype(np.int64)
+        side = (
+            np.asarray(batch.column("event_id"), dtype=np.int64) % 2
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "bucket": pa.array(b),
+                "ce": pa.array((side == 0).astype(np.int64)),
+                "ca": pa.array(side),
+            }
+        )
+        g = t.group_by(["event_type", "bucket"]).aggregate(
+            [("ce", "sum"), ("ca", "sum")]
+        )
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "bucket": g.column("bucket"),
+                "ce": pc.cast(g.column("ce_sum"), pa.int64()),
+                "ca": pc.cast(g.column("ca_sum"), pa.int64()),
+            }
+        )
+
+    counts = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "bucket"],
+        {"ce": ("ce", "sum"), "ca": ("ca", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def finish(g) -> pa.Table:
+        ce = g["ce"].to_numpy(np.int64)
+        ca = g["ca"].to_numpy(np.int64)
+        n_b = len(g)
+        tot_e = int(ce.sum()) + n_b
+        tot_a = int(ca.sum()) + n_b
+        pe = (ce + 1).astype(np.float64) / float(tot_e)
+        pa_ = (ca + 1).astype(np.float64) / float(tot_a)
+        u = np.round((pa_ - pe) * np.log(pa_ / pe) * 1e9).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": pa.array([g["event_type"].iloc[0]]),
+                "n_buckets": pa.array([n_b], pa.int64()),
+                "psi": pa.array([int(u.sum()) / 1e9], pa.float64()),
+            }
+        )
+
+    return counts.groupby("event_type").map_groups(
+        finish, batch_format="pandas"
+    )
