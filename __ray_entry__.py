@@ -2379,6 +2379,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _ann_topk,
         "mmr_select": _mmr_select,
         "ann_pq": _ann_pq,
+        "embedding_rp": lambda sf: __import__(
+            "vietnamese_ocr_ray.functions.pca",
+            fromlist=["random_projection"],
+        ).random_projection(
+            _read_pq(
+                f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+            )
+        ),
         "ann_topk_multi": _ann_topk_multi,
         "knn_join": _knn_join,
         "knn_join_ivf": _knn_join_ivf,
@@ -2565,6 +2573,38 @@ def _winnow_sql(kg: int = 8, w: int = 4) -> str:
     SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos,
            lower(lpad(hex(fp), 16, '0')) AS fp
     FROM sel
+    """
+
+
+def _embedding_rp_sql(
+    d_out: int = 16, seed: int = 29, dim: int = 64
+) -> str:
+    """(vec_id, dim, y) — the `embedding_rp` oracle: the SAME seeded
+    Rademacher sign matrix inlined as literals (the ann_lsh pattern),
+    2^-20 grid quantization, exact integer dot products, one
+    power-of-two division."""
+    import numpy as np
+
+    signs = (
+        np.random.default_rng(seed).integers(0, 2, (dim, d_out)) * 2 - 1
+    ).astype(np.int64)
+    shift = 20 + (d_out.bit_length() - 1) // 2
+    rows = ", ".join(
+        f"({j}, [{', '.join(str(int(v)) for v in signs[:, j])}])"
+        for j in range(d_out)
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor(x * {1 << 20} + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    ), s(dim, sj) AS (VALUES {rows})
+    SELECT e.vec_id, CAST(s.dim AS BIGINT) AS dim,
+           CAST(list_sum(list_transform(generate_series(1, {dim}),
+                i -> e.q[i] * s.sj[i])) AS DOUBLE) / {float(1 << shift)}
+             AS y
+    FROM emb e CROSS JOIN s
     """
 
 
@@ -5719,6 +5759,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq": _ann_pq_sql(10, 4, 16, 3),
         "winnow_fingerprints": _winnow_sql(8, 4),
         "winnow_overlap": _winnow_overlap_sql(8, 4, 4, 32),
+        "embedding_rp": _embedding_rp_sql(16, 29, 64),
         "minhash_pairs": _minhash_pairs_sql(),
         "dedup_neardup": _minhash_dedup_sql(),
         "approx_distinct_tokens": _hll_distinct_tokens_sql(),

@@ -2104,3 +2104,39 @@ def test_value_psi_detects_planted_shift(ray_session, tmp_path):
         assert out.loc[etype, "n_buckets"] == nb
     assert out.loc["stable", "psi"] < 0.05
     assert out.loc["shifted", "psi"] > 0.5
+
+
+def test_random_projection_exact_and_distance_preserving(ray_session):
+    from vietnamese_ocr_ray.functions.kmeans import _quantize
+    from vietnamese_ocr_ray.functions.pca import random_projection
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((80, 64))
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(80), pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = (
+        random_projection(rd.from_arrow(t).repartition(4), d_out=16)
+        .to_pandas()
+        .sort_values(["vec_id", "dim"])
+    )
+    y = out["y"].to_numpy().reshape(80, 16)
+
+    # exact reference: grid-int matmul / 2^22
+    signs = (
+        np.random.default_rng(29).integers(0, 2, (64, 16)) * 2 - 1
+    ).astype(np.int64)
+    q = _quantize(vecs.astype(np.float32).astype(np.float64))
+    expect = (q @ signs).astype(np.float64) / float(1 << 22)
+    assert np.array_equal(y, expect)
+
+    # JL property: median pairwise sq-distance ratio close to 1
+    d_hi = ((vecs[:40, None, :] - vecs[None, 40:, :]) ** 2).sum(-1)
+    d_lo = ((y[:40, None, :] - y[None, 40:, :]) ** 2).sum(-1)
+    ratio = d_lo / d_hi
+    assert 0.7 < np.median(ratio) < 1.3

@@ -250,3 +250,63 @@ def pca_project(
         return pa.table(cols)
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def random_projection(
+    ds: rd.Dataset,
+    d_out: int = 16,
+    seed: int = 29,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Johnson-Lindenstrauss random projection (Achlioptas 2003
+    Rademacher variant): y = x @ S / sqrt(d_out) with S a seeded
+    +-1 sign matrix — the one-pass, zero-shuffle dimensionality
+    reducer in front of ANN / clustering when even PCA's moment pass
+    is too expensive. Pairwise distances are preserved within
+    (1 +- eps) w.h.p. for d_out = O(ln N / eps^2).
+
+    Determinism contract: inputs quantize to the 2^-20 grid (the
+    kmeans trick), the projection is an exact INT64 matmul against
+    the +-1 matrix, and sqrt(16) = 4 makes the final scale a single
+    exact power-of-two division (/ 2^22) — outputs are bit-identical
+    under any block layout and replay exactly in SQL with the sign
+    matrix inlined as literals (the ann_lsh oracle pattern). Output
+    is LONG format (vec_id, dim, y), one row per projected
+    coordinate.
+
+    Scale shape: one streaming map_batches; S is d x d_out literals
+    (KBs) captured by value; no shuffle, no driver traffic."""
+    assert d_out & (d_out - 1) == 0 and (d_out.bit_length() - 1) % 2 == 0, (
+        "d_out must be a power of FOUR so sqrt(d_out) is a power of two"
+        " and the scale stays one exact division"
+    )
+    from vietnamese_ocr_ray.functions.kmeans import _quantize
+
+    signs = (
+        np.random.default_rng(seed).integers(0, 2, (dim, d_out)) * 2 - 1
+    ).astype(np.int64)
+    shift = 20 + (d_out.bit_length() - 1) // 2  # /2^20 grid * /sqrt(d_out)
+    scale = float(1 << shift)
+
+    def project(batch: pa.Table) -> pa.Table:
+        q = _quantize(_batch_matrix(batch, "embedding"))
+        y = q @ signs  # exact int64 (|y| <= dim * 2^22-ish)
+        n = q.shape[0]
+        ids = np.repeat(
+            np.asarray(batch.column(id_col), dtype=np.int64), d_out
+        )
+        dims = np.tile(np.arange(d_out, dtype=np.int64), n)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "dim": pa.array(dims),
+                "y": pa.array(
+                    y.reshape(-1).astype(np.float64) / scale, pa.float64()
+                ),
+            }
+        )
+
+    return ds.select_columns([id_col, "embedding"]).map_batches(
+        project, batch_format="pyarrow"
+    )
