@@ -2406,6 +2406,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca": _embedding_pca,
         "pca_project_2d": _pca_project_2d,
         "label_centroids": _label_centroids,
+        "centroid_classify": lambda sf: __import__(
+            "vietnamese_ocr_ray.functions.kmeans",
+            fromlist=["centroid_classify"],
+        ).centroid_classify(
+            _read_pq(
+                f"{sf}/embeddings.parquet",
+                columns=["vec_id", "label", "embedding"],
+            )
+        ),
         "audio_features": _audio_features,
         "distinct_lang_source": _distinct_lang_source,
         "distinct_tokens": _distinct_tokens,
@@ -5760,6 +5769,33 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": _winnow_sql(8, 4),
         "winnow_overlap": _winnow_overlap_sql(8, 4, 4, 32),
         "embedding_rp": _embedding_rp_sql(16, 29, 64),
+        "centroid_classify": f"""
+        WITH emb AS (
+          SELECT vec_id, label,
+                 list_transform(CAST(embedding AS DOUBLE[]),
+                   x -> CAST(floor(x * {1 << 20} + 0.5) AS BIGINT)) AS q
+          FROM embeddings),
+        u AS (
+          SELECT label, g.j, SUM(q[g.j])::HUGEINT AS s,
+                 COUNT(*)::HUGEINT AS n
+          FROM emb CROSS JOIN
+               (SELECT unnest(generate_series(1, 64)) AS j) g
+          GROUP BY label, g.j),
+        cent AS (
+          SELECT label AS clabel, list(CAST(
+            ((2*s + n) - ((((2*s + n) % (2*n)) + (2*n)) % (2*n))) // (2*n)
+            AS BIGINT) ORDER BY j) AS cq
+          FROM u GROUP BY label),
+        a AS (
+          SELECT vec_id, label, clabel,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY {_sqdist_expr('q', 'cq', 64)}, clabel) AS rn
+          FROM emb CROSS JOIN cent)
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(clabel AS BIGINT) AS pred_label,
+               CAST(count(*) AS BIGINT) AS n_vecs
+        FROM a WHERE rn = 1 GROUP BY label, clabel
+        """,
         "minhash_pairs": _minhash_pairs_sql(),
         "dedup_neardup": _minhash_dedup_sql(),
         "approx_distinct_tokens": _hll_distinct_tokens_sql(),

@@ -2140,3 +2140,36 @@ def test_random_projection_exact_and_distance_preserving(ray_session):
     d_lo = ((y[:40, None, :] - y[None, 40:, :]) ** 2).sum(-1)
     ratio = d_lo / d_hi
     assert 0.7 < np.median(ratio) < 1.3
+
+
+def test_centroid_classify_separable_blobs_diagonal(ray_session):
+    """On well-separated labeled blobs the confusion table must be
+    purely diagonal; with one vector planted inside another blob it
+    must show exactly that one off-diagonal cell."""
+    from vietnamese_ocr_ray.functions.kmeans import centroid_classify
+
+    rng = np.random.default_rng(13)
+    centers = rng.standard_normal((3, 16)) * 10
+    vecs, labels = [], []
+    for li, c in enumerate(centers):
+        for _ in range(30):
+            vecs.append(c + 0.01 * rng.standard_normal(16))
+            labels.append(li)
+    vecs[0] = centers[2] + 0.01 * rng.standard_normal(16)  # mislabeled
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "label": pa.array(labels, pa.int32()),
+            "embedding": pa.array(
+                [np.asarray(v, np.float32) for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    out = centroid_classify(rd.from_arrow(t).repartition(4)).to_pandas()
+    conf = {(r.label, r.pred_label): r.n_vecs for r in out.itertuples()}
+    assert conf[(0, 2)] == 1
+    assert conf[(0, 0)] == 29
+    assert conf[(1, 1)] == 30
+    assert conf[(2, 2)] == 30
+    assert len(conf) == 4

@@ -612,3 +612,97 @@ def ann_pq(
         .sort(["adist", id_col])
         .limit(k)
     )
+
+
+def centroid_classify(
+    ds: rd.Dataset, label_col: str = "label", id_col: str = "vec_id"
+) -> rd.Dataset:
+    """Nearest-centroid (Rocchio) classification with confusion
+    counts: fit one grid-quantized prototype per label (exact-integer
+    per-label coordinate sums, the kmeans requantization
+    floor(s/n + 1/2)), then assign every vector to its nearest
+    prototype by integer grid argmin (lowest label on ties) and emit
+    the (label, pred_label, n_vecs) confusion table — the
+    pseudo-labeling / embedding-space sanity audit run after training
+    an encoder.
+
+    Scale shape: pass 1 streams per-batch (label, coordinate-sum,
+    count) partials into a labels-sized groupby (labels are
+    low-cardinality); prototypes broadcast once via ray.put; pass 2
+    streams assignment + per-batch confusion partials into one tiny
+    (label, pred) aggregate. Exact integer throughout — bit-identical
+    under any layout and replayed verbatim in SQL."""
+    import ray
+
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = _quantize(_matrix(batch))
+        lab = np.asarray(batch.column(label_col), dtype=np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((uniq.shape[0], q.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=uniq.shape[0]).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(uniq),
+                "vsum": pa.array(list(sums), pa.list_(pa.int64())),
+                "n": pa.array(counts),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        parts = [
+            np.asarray(x, dtype=np.int64)
+            for x in g.column("vsum").to_pylist()
+        ]
+        s = [int(v) for v in parts[0]]
+        for p in parts[1:]:
+            for j, v in enumerate(p):
+                s[j] += int(v)
+        n = int(np.asarray(g.column("n")).sum())
+        vec = [(2 * sj + n) // (2 * n) for sj in s]
+        return pa.table(
+            {
+                "label": g.column("label").slice(0, 1),
+                "cq": pa.array([vec], pa.list_(pa.int64())),
+            }
+        )
+
+    cent_rows = (
+        ds.select_columns([label_col, "embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .map_groups(merge, batch_format="pyarrow")
+        .take_all()
+    )  # labels-sized
+    labels = np.asarray([r["label"] for r in cent_rows], dtype=np.int64)
+    order = np.argsort(labels)
+    labels = labels[order]
+    cq = np.asarray([cent_rows[i]["cq"] for i in order], dtype=np.int64)
+    handle = ray.put((labels, cq))
+
+    def confuse(batch: pa.Table) -> pa.Table:
+        labs, c = ray.get(handle)
+        q = _quantize(_matrix(batch))
+        a = _assign_q(q, c)  # first-win argmin == lowest label (sorted)
+        true = np.asarray(batch.column(label_col), dtype=np.int64)
+        pred = labs[a]
+        key = true * np.int64(1 << 32) + pred
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "label": pa.array(uniq >> np.int64(32)),
+                "pred_label": pa.array(uniq & np.int64(0xFFFFFFFF)),
+                "n_vecs": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    return hash_aggregate(
+        ds.select_columns([label_col, "embedding"]).map_batches(
+            confuse, batch_format="pyarrow"
+        ),
+        ["label", "pred_label"],
+        {"n_vecs": ("n_vecs", "sum")},
+        num_buckets=8,
+    )
