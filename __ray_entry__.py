@@ -2454,6 +2454,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "vietnamese_ocr_ray.functions.text",
             fromlist=["winnow_overlap"],
         ).winnow_overlap(_docs(sf)),
+        "gazetteer_spans": lambda sf: __import__(
+            "vietnamese_ocr_ray.functions.text",
+            fromlist=["gazetteer_spans"],
+        ).gazetteer_spans(_docs(sf)),
         "chi2_token_lang": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.lm", fromlist=["chi2_token_lang"]
         ).chi2_token_lang(_docs(sf, ("doc_id", "text", "lang"))),
@@ -5767,6 +5771,17 @@ def oracle_sql() -> dict[str, str]:
         "mmr_select": _mmr_sql(8, 32),
         "ann_pq": _ann_pq_sql(10, 4, 16, 3),
         "winnow_fingerprints": _winnow_sql(8, 4),
+        "gazetteer_spans": """
+        WITH d AS (SELECT doc_id, text, length(text) AS len
+                   FROM documents),
+        terms(term) AS (VALUES ('window'), ('merge sort'),
+                               ('query plan'), ('scan'))
+        SELECT d.doc_id, t.term, CAST(p.i AS BIGINT) AS pos
+        FROM d, terms t,
+             unnest(generate_series(1,
+               greatest(d.len - length(t.term) + 1, 0))) AS p(i)
+        WHERE substr(d.text, p.i, length(t.term)) = t.term
+        """,
         "winnow_overlap": _winnow_overlap_sql(8, 4, 4, 32),
         "embedding_rp": _embedding_rp_sql(16, 29, 64),
         "centroid_classify": f"""

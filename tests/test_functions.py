@@ -2173,3 +2173,37 @@ def test_centroid_classify_separable_blobs_diagonal(ray_session):
     assert conf[(1, 1)] == 30
     assert conf[(2, 2)] == 30
     assert len(conf) == 4
+
+
+def test_gazetteer_spans_positions_exact(ray_session):
+    from vietnamese_ocr_ray.functions.text import gazetteer_spans
+
+    texts = [
+        "window scan window",          # overlapping term set, repeats
+        "a merge sort inside",         # multi-word term
+        "scanscan",                    # adjacent overlapping matches
+        "nothing here",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    out = gazetteer_spans(
+        rd.from_arrow(t).repartition(2),
+        terms=("window", "merge sort", "scan"),
+    ).to_pandas()
+    got = sorted(zip(out.doc_id, out.term, out.pos))
+    expect = []
+    for did, s in enumerate(texts):
+        for term in ("window", "merge sort", "scan"):
+            start = 0
+            while True:
+                i = s.find(term, start)
+                if i < 0:
+                    break
+                expect.append((did, term, i + 1))
+                start = i + 1
+    assert got == sorted(expect)
+    assert (2, "scan", 1) in got and (2, "scan", 5) in got

@@ -1304,3 +1304,78 @@ def winnow_overlap(
         ),
         batch_format="pyarrow",
     )
+
+
+GAZETTEER_TERMS = ("window", "merge sort", "query plan", "scan")
+
+
+def gazetteer_spans(
+    ds: rd.Dataset, terms: tuple[str, ...] = GAZETTEER_TERMS
+) -> rd.Dataset:
+    """Dictionary span tagging (gazetteer NER): every occurrence of
+    every term as a (doc_id, term, pos) row, pos the 1-based char
+    offset — the entity/keyword annotation pass of a curation
+    pipeline (multi-word terms included; overlaps between different
+    terms allowed, the tagger is per-term exact).
+
+    Scale shape: one pass; for each of the P gazetteer terms (P is
+    dictionary-sized, a constant) a vectorized sliding-window byte
+    comparison over the batch's flat utf8 buffer — O(P x bytes) with
+    no per-row Python; matches crossing row boundaries are masked by
+    offset arithmetic. ASCII contract as simhash/winnow. For
+    dictionary sizes where P passes hurt, the same output shape is
+    served by an Aho-Corasick actor stage; this exact-layout version
+    is the oracle-checkable reference."""
+    terms = tuple(terms)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        arr = batch.column("text")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset : arr.offset + len(arr) + 1
+        ].astype(np.int64)
+        data = (
+            np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+            if arr.buffers()[2] is not None
+            else np.empty(0, np.uint8)
+        )
+        base = int(offs[0])
+        offs = offs - base
+        data = data[base : base + int(offs[-1])]
+        doc_ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        out_d, out_t, out_p = [], [], []
+        for term in terms:
+            tb = np.frombuffer(term.encode(), dtype=np.uint8)
+            L = tb.shape[0]
+            if data.shape[0] < L:
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(data, L)
+            hit = np.nonzero((win == tb).all(axis=1))[0]
+            if not hit.size:
+                continue
+            row = np.searchsorted(offs, hit, side="right") - 1
+            inside = (hit + L) <= offs[row + 1]
+            hit, row = hit[inside], row[inside]
+            out_d.append(doc_ids[row])
+            out_t.append(np.full(hit.shape[0], term, dtype=object))
+            out_p.append(hit - offs[row] + 1)
+        if out_d:
+            return pa.table(
+                {
+                    "doc_id": pa.array(np.concatenate(out_d)),
+                    "term": pa.array(
+                        np.concatenate(out_t), pa.string()
+                    ),
+                    "pos": pa.array(np.concatenate(out_p)),
+                }
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "pos": pa.array([], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow")
