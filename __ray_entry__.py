@@ -2275,6 +2275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": lambda sf: analytics.value_histogram(sf),
         "value_ntile": lambda sf: analytics.value_ntile(sf),
         "resample_ffill": lambda sf: analytics.resample_ffill(sf),
+        "resample_interpolate": lambda sf: analytics.resample_interpolate(sf),
         "value_pct_rank": lambda sf: analytics.value_percent_rank(sf),
         "hourly_active_users": lambda sf: analytics.hourly_active_users(sf),
         "retention_cohorts": lambda sf: analytics.retention_cohorts(sf),
@@ -6220,6 +6221,30 @@ def oracle_sql() -> dict[str, str]:
         SELECT g.user_id, g.h, e.value AS last_value
         FROM grid g ASOF JOIN events e
           ON e.user_id = g.user_id AND e.ts <= g.h
+        """,
+        "resample_interpolate": """
+        WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+                          date_trunc('hour', max(ts)) AS hi FROM events),
+        hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 6 HOUR)) AS h
+                  FROM b),
+        users AS (SELECT DISTINCT user_id FROM events),
+        grid AS (SELECT u.user_id, hours.h FROM users u CROSS JOIN hours),
+        prev AS (
+          SELECT g.user_id, g.h, e.ts AS tp, e.value AS vp
+          FROM grid g ASOF JOIN events e
+            ON e.user_id = g.user_id AND e.ts <= g.h),
+        nxt AS (
+          SELECT g.user_id, g.h, e.ts AS tn, e.value AS vn
+          FROM grid g ASOF JOIN events e
+            ON e.user_id = g.user_id AND e.ts >= g.h)
+        SELECT p.user_id, p.h,
+               CASE WHEN n.tn = p.tp THEN p.vp
+                    ELSE p.vp + (n.vn - p.vp)
+                         * (CAST(epoch_us(p.h) - epoch_us(p.tp) AS DOUBLE)
+                            / CAST(epoch_us(n.tn) - epoch_us(p.tp)
+                                   AS DOUBLE))
+               END AS value_interp
+        FROM prev p JOIN nxt n USING (user_id, h)
         """,
         "value_ntile": """
         SELECT event_id, event_type, value,

@@ -2207,3 +2207,44 @@ def test_gazetteer_spans_positions_exact(ray_session):
                 start = i + 1
     assert got == sorted(expect)
     assert (2, "scan", 1) in got and (2, "scan", 5) in got
+
+
+def test_resample_interpolate_hand_checked(ray_session, tmp_path):
+    """Grid points between two events lerp exactly; exact hits return
+    the event value; points outside the user's span drop."""
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.analytics import resample_interpolate
+
+    def ts(hours):
+        return np.datetime64("2025-01-01T00:00:00", "us") + np.timedelta64(
+            hours * 3600_000_000, "us"
+        )
+
+    # user 1: events at h=0 (v=10) and h=12 (v=22); user 2 only at h=6
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 2], pa.int64()),
+            "ts": pa.array([ts(0), ts(12), ts(6)], pa.timestamp("us")),
+            "value": pa.array([10.0, 22.0, 5.0], pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = (
+        resample_interpolate(str(tmp_path), step_hours=6)
+        .to_pandas()
+        .sort_values(["user_id", "h"])
+        .reset_index(drop=True)
+    )
+    got = [
+        (int(r.user_id), str(np.datetime64(r.h, "h")), float(r.value_interp))
+        for r in out.itertuples()
+    ]
+    # grid = 0h, 6h, 12h. user 1: 10.0 (hit), 16.0 (lerp), 22.0 (hit);
+    # user 2: only 6h is inside its (degenerate) span -> 5.0
+    assert got == [
+        (1, "2025-01-01T00", 10.0),
+        (1, "2025-01-01T06", 16.0),
+        (1, "2025-01-01T12", 22.0),
+        (2, "2025-01-01T06", 5.0),
+    ]

@@ -1268,3 +1268,105 @@ def retention_cohorts(sf_dir: str) -> rd.Dataset:
             batch_format="pyarrow",
         )
     )
+
+
+def resample_interpolate(sf_dir: str, step_hours: int = 6) -> rd.Dataset:
+    """Per-user LINEAR-INTERPOLATION resample — the twin of
+    :func:`resample_ffill` for continuous signals: each grid point
+    carries lerp(prev event, next event) at its timestamp, dropping
+    grid points outside a user's event span (inner semantics both
+    directions, exactly two DuckDB ASOF JOINs).
+
+    Determinism: the lerp is ONE fixed-order float expression over
+    exact int64 microsecond deltas and the raw stored doubles
+    (vp + (vn - vp) * (dt1 / dt2)), with the exact-hit (dt2 == 0)
+    case pinned to vp — bit-equal on both engines. Scale shape: grid
+    generation as in resample_ffill (distributed cross-product, never
+    collected); TWO bucketed asof_join shuffles (backward + forward);
+    the lerp is a zero-shuffle map_batches on the joined stream."""
+    from vietnamese_ocr_ray.functions.joins import asof_join
+
+    events = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def ts_bounds(b: pa.Table) -> pa.Table:
+        ts = _chunk(b.column("ts"))
+        return pa.table(
+            {"lo": [pc.min(ts).as_py()], "hi": [pc.max(ts).as_py()]}
+        )
+
+    import ray.data.aggregate as rda
+
+    agg = events.map_batches(ts_bounds, batch_format="pyarrow").aggregate(
+        rda.Min("lo", alias_name="lo"), rda.Max("hi", alias_name="hi")
+    )
+    lo = np.datetime64(agg["lo"], "us")
+    hi = np.datetime64(agg["hi"], "us")
+    hour = np.timedelta64(3600_000_000, "us").astype("int64")
+    lo_h = (lo.astype("int64") // hour) * hour
+    hi_h = (hi.astype("int64") // hour) * hour
+    grid_us = np.arange(lo_h, hi_h + 1, step_hours * hour, dtype=np.int64)
+
+    users = hash_aggregate(events, ["user_id"], {"n": ("ts", "count")})
+
+    def cross_grid(b: pa.Table) -> pa.Table:
+        u = pc.cast(_chunk(b.column("user_id")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(u, len(grid_us))),
+                "h": pa.array(
+                    np.tile(grid_us, len(u)).view("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+
+    grid = users.map_batches(cross_grid, batch_format="pyarrow")
+
+    def right(b: pa.Table, ts_name: str, v_name: str) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(_chunk(b.column("user_id")), pa.int64()),
+                ts_name: _chunk(b.column("ts")),
+                v_name: _chunk(b.column("value")),
+            }
+        )
+
+    prev = asof_join(
+        grid,
+        events.map_batches(
+            lambda b: right(b, "tp", "vp"), batch_format="pyarrow"
+        ),
+        by="user_id", left_on="h", right_on="tp", direction="backward",
+    )
+    both = asof_join(
+        prev,
+        events.map_batches(
+            lambda b: right(b, "tn", "vn"), batch_format="pyarrow"
+        ),
+        by="user_id", left_on="h", right_on="tn", direction="forward",
+    )
+
+    def lerp(b: pa.Table) -> pa.Table:
+        h = np.asarray(b.column("h"), dtype="datetime64[us]").astype(np.int64)
+        tp = np.asarray(b.column("tp"), dtype="datetime64[us]").astype(np.int64)
+        tn = np.asarray(b.column("tn"), dtype="datetime64[us]").astype(np.int64)
+        vp = np.asarray(b.column("vp"), dtype=np.float64)
+        vn = np.asarray(b.column("vn"), dtype=np.float64)
+        dt2 = tn - tp
+        frac = (h - tp).astype(np.float64) / np.where(
+            dt2 == 0, 1, dt2
+        ).astype(np.float64)
+        v = np.where(dt2 == 0, vp, vp + (vn - vp) * frac)
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "h": b.column("h"),
+                "value_interp": pa.array(v, pa.float64()),
+            }
+        )
+
+    return both.map_batches(lerp, batch_format="pyarrow")
