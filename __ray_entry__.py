@@ -2276,6 +2276,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_ntile": lambda sf: analytics.value_ntile(sf),
         "resample_ffill": lambda sf: analytics.resample_ffill(sf),
         "resample_interpolate": lambda sf: analytics.resample_interpolate(sf),
+        "source_hhi": lambda sf: analytics.source_hhi(sf),
+        "interval_coverage": lambda sf: relational.interval_coverage(sf),
         "value_pct_rank": lambda sf: analytics.value_percent_rank(sf),
         "hourly_active_users": lambda sf: analytics.hourly_active_users(sf),
         "retention_cohorts": lambda sf: analytics.retention_cohorts(sf),
@@ -6221,6 +6223,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT g.user_id, g.h, e.value AS last_value
         FROM grid g ASOF JOIN events e
           ON e.user_id = g.user_id AND e.ts <= g.h
+        """,
+        "interval_coverage": """
+        WITH e AS (SELECT user_id, epoch_us(ts) AS s,
+                          epoch_us(ts) + 1800000000 AS en
+                   FROM events),
+        w AS (SELECT user_id, s, en,
+                     max(en) OVER (PARTITION BY user_id ORDER BY s, en
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pm
+              FROM e)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(greatest(en - greatest(s, coalesce(pm, s)), 0))
+                    AS BIGINT) AS covered_us
+        FROM w GROUP BY user_id
+        """,
+        "source_hhi": """
+        WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+                   FROM documents GROUP BY lang, source)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_sources,
+               CAST(sum(n) AS BIGINT) AS n_docs,
+               CAST(sum(n * n) AS DOUBLE)
+                 / CAST(sum(n) * sum(n) AS DOUBLE) AS hhi
+        FROM c GROUP BY lang
         """,
         "resample_interpolate": """
         WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,

@@ -2248,3 +2248,40 @@ def test_resample_interpolate_hand_checked(ray_session, tmp_path):
         (1, "2025-01-01T12", 22.0),
         (2, "2025-01-01T06", 5.0),
     ]
+
+
+def test_interval_coverage_union_not_sum(ray_session, tmp_path):
+    """Overlapping windows must union (not sum); disjoint windows add;
+    exact duplicates contribute once."""
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.relational import interval_coverage
+
+    def ts(minutes):
+        return np.datetime64("2025-01-01T00:00:00", "us") + np.timedelta64(
+            minutes * 60_000_000, "us"
+        )
+
+    t = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            # user 1: 0-30 & 10-40 overlap (union 40), 100-130 disjoint
+            # user 2: duplicate timestamps -> one 30-min window
+            # user 3: single event
+            "ts": pa.array(
+                [ts(0), ts(10), ts(100), ts(5), ts(5), ts(7)],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = (
+        interval_coverage(str(tmp_path), window_min=30)
+        .to_pandas()
+        .set_index("user_id")
+    )
+    minute = 60_000_000
+    assert out.loc[1, "covered_us"] == 70 * minute
+    assert out.loc[2, "covered_us"] == 30 * minute
+    assert out.loc[3, "covered_us"] == 30 * minute
+    assert out.loc[1, "n_events"] == 3

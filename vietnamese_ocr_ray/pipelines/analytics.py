@@ -1370,3 +1370,55 @@ def resample_interpolate(sf_dir: str, step_hours: int = 6) -> rd.Dataset:
         )
 
     return both.map_batches(lerp, batch_format="pyarrow")
+
+
+def source_hhi(sf_dir: str) -> rd.Dataset:
+    """Herfindahl-Hirschman concentration of SOURCES within each
+    language: HHI = sum_s (n_{lang,s} / n_lang)^2 — the
+    mixture-diversity audit (HHI -> 1 means one crawl source dominates
+    a language, a known overfitting risk when sampling by language).
+
+    Determinism: the numerator sum_s n_{lang,s}^2 and denominator
+    n_lang^2 are EXACT integers; the single final division is the only
+    float op, so both engines emit the identical double. Scale shape:
+    one bucketed (lang, source) hash-aggregate of per-batch partials;
+    the HHI finish touches the languages x sources table only."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang", "source"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "lang": g.column("lang"),
+                "source": g.column("source"),
+                "n": pc.cast(g.column("count_all"), pa.int64()),
+            }
+        )
+
+    counts = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "source"],
+        {"n": ("n", "sum")},
+        num_buckets=8,
+    )
+
+    def finish(g) -> pa.Table:
+        n = g["n"].to_numpy(np.int64)
+        tot = int(n.sum())
+        sq = int((n * n).sum())
+        return pa.table(
+            {
+                "lang": pa.array([g["lang"].iloc[0]]),
+                "n_sources": pa.array([len(g)], pa.int64()),
+                "n_docs": pa.array([tot], pa.int64()),
+                "hhi": pa.array(
+                    [sq / float(tot * tot)], pa.float64()
+                ),
+            }
+        )
+
+    return counts.groupby("lang").map_groups(finish, batch_format="pandas")

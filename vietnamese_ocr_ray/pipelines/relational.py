@@ -2608,3 +2608,73 @@ def value_psi(sf_dir: str, num_buckets: int = 16) -> rd.Dataset:
     return counts.groupby("event_type").map_groups(
         finish, batch_format="pandas"
     )
+
+
+def interval_coverage(sf_dir: str, window_min: int = 30) -> rd.Dataset:
+    """Per-user total ACTIVE time: the length of the UNION of the
+    ``window_min``-minute activity intervals [ts, ts + W) — the
+    classic sweep-line interval-union aggregate (overlapping windows
+    must not double-count, so a plain sum is wrong; this is the
+    engagement-time metric every event pipeline eventually needs).
+
+    Exact int64 microsecond arithmetic end-to-end (no floats): each
+    event contributes max(0, end - max(start, running-max of prior
+    ends)), replayed in SQL as a ROWS-window MAX. Tie order among
+    identical timestamps is immaterial (equal windows contribute 0).
+
+    Scale shape: ONE user-bucket shuffle; inside each bucket a
+    vectorized sort + grouped cummax/shift; output is users-sized."""
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
+    w_us = window_min * 60_000_000
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def side(batch: pa.Table) -> pa.Table:
+        u = pc.cast(batch.column("user_id"), pa.int64())
+        return pa.table(
+            {
+                "user_id": u,
+                "s": pa.array(
+                    np.asarray(batch.column("ts"), "datetime64[us]").astype(
+                        np.int64
+                    )
+                ),
+                "_bucket": pa.array(
+                    key_bucket(u, 32).astype(np.int32)
+                ),
+            }
+        )
+
+    def cover(g) -> pa.Table:
+        g = g.sort_values(["user_id", "s"], kind="stable").reset_index(
+            drop=True
+        )
+        s = g["s"].to_numpy(np.int64)
+        en = s + w_us
+        g = g.assign(en=en)
+        g["cm"] = g.groupby("user_id")["en"].cummax()
+        pm = g.groupby("user_id")["cm"].shift(1).to_numpy()
+        start_eff = np.where(np.isnan(pm), s, np.maximum(s, np.nan_to_num(pm)))
+        contrib = np.maximum(en - start_eff.astype(np.int64), 0)
+        out = (
+            g.assign(c=contrib)
+            .groupby("user_id", as_index=False)
+            .agg(covered_us=("c", "sum"), n_events=("c", "size"))
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(out["user_id"].to_numpy(np.int64)),
+                "n_events": pa.array(out["n_events"].to_numpy(np.int64)),
+                "covered_us": pa.array(
+                    out["covered_us"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(side, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(cover, batch_format="pandas")
+    )
