@@ -2457,6 +2457,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "vietnamese_ocr_ray.functions.text",
             fromlist=["winnow_overlap"],
         ).winnow_overlap(_docs(sf)),
+        "cdc_chunks": lambda sf: __import__(
+            "vietnamese_ocr_ray.functions.corpus", fromlist=["cdc_chunks"]
+        ).cdc_chunks(_docs(sf)),
         "gazetteer_spans": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.text",
             fromlist=["gazetteer_spans"],
@@ -2621,6 +2624,46 @@ def _embedding_rp_sql(
                 i -> e.q[i] * s.sj[i])) AS DOUBLE) / {float(1 << shift)}
              AS y
     FROM emb e CROSS JOIN s
+    """
+
+
+def _cdc_chunks_sql(kg: int = 8, divisor: int = 64) -> str:
+    """(doc_id, chunk_idx, start, length, chunk_fp) — the `cdc_chunks`
+    oracle: FNV gram fold (winnow's replay pattern), cut positions
+    i >= 2 with h % divisor == 0, lead() window segments, positional
+    fingerprint over the substring."""
+    expr = "14695981039346656037::UBIGINT"
+    for j in range(kg):
+        b = f"unicode(substr(text, i + {j}, 1))::UBIGINT"
+        expr = (
+            f"CAST((xor({expr}, {b})::HUGEINT * 1099511628211)"
+            f" % 18446744073709551616 AS UBIGINT)"
+        )
+    return f"""
+    WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+    g AS MATERIALIZED (
+      SELECT doc_id, t.i AS i, {expr} AS h
+      FROM d, unnest(generate_series(2, greatest(len - {kg - 1}, 1)))
+           AS t(i)
+    ),
+    cuts AS (SELECT doc_id, i FROM g WHERE h % {divisor} = 0),
+    starts AS (SELECT doc_id, 1 AS a FROM d WHERE len > 0
+               UNION ALL SELECT doc_id, i AS a FROM cuts),
+    segs AS (
+      SELECT s.doc_id, s.a,
+             coalesce(lead(s.a) OVER (PARTITION BY s.doc_id
+                                      ORDER BY s.a) - 1, d.len) AS b,
+             row_number() OVER (PARTITION BY s.doc_id ORDER BY s.a)
+               AS chunk_idx
+      FROM starts s JOIN d USING (doc_id))
+    SELECT sg.doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(a AS BIGINT) AS start,
+           CAST(b - a + 1 AS BIGINT) AS length,
+           CAST(list_sum(list_transform(
+               string_split(substr(d2.text, a, b - a + 1), ''),
+               (c, i) -> unicode(c) * i)) % 1000000007 AS BIGINT)
+             AS chunk_fp
+    FROM segs sg JOIN documents d2 ON sg.doc_id = d2.doc_id
     """
 
 
@@ -5774,6 +5817,7 @@ def oracle_sql() -> dict[str, str]:
         "mmr_select": _mmr_sql(8, 32),
         "ann_pq": _ann_pq_sql(10, 4, 16, 3),
         "winnow_fingerprints": _winnow_sql(8, 4),
+        "cdc_chunks": _cdc_chunks_sql(8, 64),
         "gazetteer_spans": """
         WITH d AS (SELECT doc_id, text, length(text) AS len
                    FROM documents),

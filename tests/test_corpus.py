@@ -216,3 +216,48 @@ def test_excise_dup_ngrams_random_vs_python_reference(ray_session):
         .reset_index(drop=True)
     )
     assert out["text"].tolist() == want
+
+
+def test_cdc_chunks_shift_invariant_sharing(ray_session):
+    """The CDC property: inserting a prefix shifts chunk OFFSETS but
+    interior chunk fingerprints (content) still match between the two
+    documents; chunks tile the document exactly."""
+    import numpy as np
+
+    from vietnamese_ocr_ray.functions.corpus import cdc_chunks
+
+    rng = np.random.default_rng(23)
+    body = "".join(
+        rng.choice(list("abcdefgh "), size=600)
+    )
+    texts = [body, "PREFIX-INSERTED-" + body, ""]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    out = cdc_chunks(rd.from_arrow(t).repartition(2)).to_pandas()
+
+    # tiling: starts/lengths reconstruct each non-empty doc exactly
+    for did in (0, 1):
+        g = out[out.doc_id == did].sort_values("chunk_idx")
+        assert g.start.iloc[0] == 1
+        assert (
+            g.start.iloc[1:].to_numpy()
+            == (g.start + g.length).iloc[:-1].to_numpy()
+        ).all()
+        assert int((g.start + g.length).iloc[-1]) - 1 == len(texts[did])
+        # substring fingerprint check on one middle chunk
+        r = g.iloc[len(g) // 2]
+        s = texts[did][int(r.start) - 1 : int(r.start) - 1 + int(r.length)]
+        assert r.chunk_fp == sum(
+            ord(c) * (i + 1) for i, c in enumerate(s)
+        ) % 1_000_000_007
+    # empty doc emits nothing
+    assert (out.doc_id == 2).sum() == 0
+    # content sharing despite the shifted prefix: interior fps overlap
+    f0 = set(out[out.doc_id == 0].chunk_fp)
+    f1 = set(out[out.doc_id == 1].chunk_fp)
+    shared = f0 & f1
+    assert len(shared) >= max(1, len(f0) // 2), (len(shared), len(f0))

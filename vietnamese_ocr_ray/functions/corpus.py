@@ -650,3 +650,122 @@ def quantile_filter(
         ds.select_columns([id_col, col])
         .map_batches(keep, batch_format="pyarrow")
     )
+
+
+def cdc_chunks(
+    ds: rd.Dataset, kg: int = 8, divisor: int = 64
+) -> rd.Dataset:
+    """Content-defined chunking (the FastCDC/Rabin storage-dedup
+    primitive, position-pure variant): cut a document before every
+    byte position whose ``kg``-byte FNV gram hash is ≡ 0 mod
+    ``divisor`` — identical content runs produce identical chunks at
+    identical relative offsets no matter how the surrounding document
+    shifted, so near-identical documents share chunk fingerprints and
+    blob-level dedup falls out of a GROUP BY chunk_fp. Expected chunk
+    size ≈ ``divisor`` bytes.
+
+    Deliberately OMITS FastCDC's min/max-size clamps: those make each
+    boundary depend on the previous one (a sequential scan), while the
+    pure mod rule is position-parallel — every boundary is a local
+    function of kg bytes, so the op vectorizes, parallelizes at any
+    block layout, and replays exactly in SQL. Documented trade-off:
+    pathological inputs can yield 1-byte or document-sized chunks.
+
+    Output: (doc_id, chunk_idx, start, length, chunk_fp) with 1-based
+    start and the repo's positional fingerprint
+    (sum codepoint*i % 1e9+7, local i) as chunk_fp — computed here
+    from two prefix sums over the flat buffer (no per-chunk pass).
+    ASCII contract as simhash/winnow. Zero shuffles."""
+    from vietnamese_ocr_ray.functions.sampling import FP_MOD
+
+    fnv0 = np.uint64(0xCBF29CE484222325)
+    prime = np.uint64(0x100000001B3)
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        arr = batch.column("text")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset : arr.offset + len(arr) + 1
+        ].astype(np.int64)
+        data = (
+            np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+            if arr.buffers()[2] is not None
+            else np.empty(0, np.uint8)
+        )
+        base = int(offs[0])
+        offs = offs - base
+        data = data[base : base + int(offs[-1])]
+        doc_ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        lens = offs[1:] - offs[:-1]
+        total = int(data.shape[0])
+
+        # gram hashes at every global position (crossing masked later)
+        cuts_mask = np.zeros(max(total, 1), dtype=bool)
+        if total >= kg:
+            win = np.lib.stride_tricks.sliding_window_view(data, kg).astype(
+                np.uint64
+            )
+            h = np.full(win.shape[0], fnv0, dtype=np.uint64)
+            for i in range(kg):
+                h = (h ^ win[:, i]) * prime
+            cuts_mask[: total - kg + 1] = (h % np.uint64(divisor)) == 0
+        # a cut at global pos p is valid iff the gram lies inside its
+        # row AND p is not the row's first byte
+        pos = np.nonzero(cuts_mask)[0]
+        row = np.searchsorted(offs, pos, side="right") - 1
+        ok = (pos > offs[row]) & ((pos + kg) <= offs[row + 1])
+        pos, row = pos[ok], row[ok]
+
+        # segment starts = every row start + every cut, already sorted
+        all_starts = np.concatenate([offs[:-1], pos])
+        all_rows = np.concatenate(
+            [np.arange(len(lens), dtype=np.int64), row]
+        )
+        order = np.lexsort((all_starts, all_rows))
+        all_starts, all_rows = all_starts[order], all_rows[order]
+        same_row = np.zeros(all_starts.shape[0], dtype=bool)
+        same_row[:-1] = all_rows[1:] == all_rows[:-1]
+        ends = np.where(
+            same_row,
+            np.concatenate([all_starts[1:], [0]]),
+            offs[all_rows + 1],
+        )  # exclusive
+        keep = ends > all_starts  # drops empty-text rows' zero chunks
+        all_starts, all_rows, ends = (
+            all_starts[keep],
+            all_rows[keep],
+            ends[keep],
+        )
+
+        # chunk_idx: running index within each row (rows are contiguous)
+        first = np.ones(all_rows.shape[0], dtype=bool)
+        first[1:] = all_rows[1:] != all_rows[:-1]
+        seg_firsts = np.nonzero(first)[0]
+        idx = (
+            np.arange(all_rows.shape[0], dtype=np.int64)
+            - np.repeat(seg_firsts, np.diff(np.append(seg_firsts, len(all_rows))))
+            + 1
+        )
+
+        # positional fp via two prefix sums (c_i and c_i * global_i)
+        c = data.astype(np.int64)
+        gi = np.arange(1, total + 1, dtype=np.int64)
+        s1 = np.concatenate([[0], np.cumsum(c)])
+        s2 = np.concatenate([[0], np.cumsum(c * gi)])
+        a, b = all_starts, ends  # [a, b) global, 0-based
+        fp = (
+            (s2[b] - s2[a]) - a * (s1[b] - s1[a])
+        ) % FP_MOD
+
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[all_rows]),
+                "chunk_idx": pa.array(idx),
+                "start": pa.array(all_starts - offs[all_rows] + 1),
+                "length": pa.array(ends - all_starts),
+                "chunk_fp": pa.array(fp),
+            }
+        )
+
+    return ds.map_batches(chunk, batch_format="pyarrow")
