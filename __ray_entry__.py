@@ -2278,6 +2278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_interpolate": lambda sf: analytics.resample_interpolate(sf),
         "source_hhi": lambda sf: analytics.source_hhi(sf),
         "interval_coverage": lambda sf: relational.interval_coverage(sf),
+        "rolling_median": lambda sf: relational.rolling_median(sf),
         "value_pct_rank": lambda sf: analytics.value_percent_rank(sf),
         "hourly_active_users": lambda sf: analytics.hourly_active_users(sf),
         "retention_cohorts": lambda sf: analytics.retention_cohorts(sf),
@@ -6267,6 +6268,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT g.user_id, g.h, e.value AS last_value
         FROM grid g ASOF JOIN events e
           ON e.user_id = g.user_id AND e.ts <= g.h
+        """,
+        "rolling_median": """
+        SELECT event_id, user_id,
+               quantile_cont(value, 0.5) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rolling_med
+        FROM events
         """,
         "interval_coverage": """
         WITH e AS (SELECT user_id, epoch_us(ts) AS s,

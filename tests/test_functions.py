@@ -2285,3 +2285,40 @@ def test_interval_coverage_union_not_sum(ray_session, tmp_path):
     assert out.loc[2, "covered_us"] == 30 * minute
     assert out.loc[3, "covered_us"] == 30 * minute
     assert out.loc[1, "n_events"] == 3
+
+
+def test_rolling_median_trailing_frames(ray_session, tmp_path):
+    """First rows use the short frame; spikes are absorbed (median,
+    not mean); values match a plain-python order-stat reference."""
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.relational import rolling_median
+
+    vals = [1.0, 100.0, 2.0, 3.0, 2.5, 2.0]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(6), pa.int64()),
+            "user_id": pa.array([7] * 6, pa.int64()),
+            "ts": pa.array(
+                [np.datetime64("2025-01-01", "us") + np.timedelta64(i, "m")
+                 for i in range(6)],
+                pa.timestamp("us"),
+            ),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = (
+        rolling_median(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id")["rolling_med"]
+        .to_list()
+    )
+    expect = []
+    for i in range(6):
+        w = sorted(vals[max(0, i - 4) : i + 1])
+        c = len(w)
+        expect.append((w[(c - 1) // 2] + w[c // 2]) * 0.5)
+    assert out == expect
+    assert out[1] == 50.5  # two-row frame midpoint
+    assert out[4] == 2.5   # spike absorbed: median of 5 ignores 100

@@ -2678,3 +2678,63 @@ def interval_coverage(sf_dir: str, window_min: int = 30) -> rd.Dataset:
         .groupby("_bucket")
         .map_groups(cover, batch_format="pandas")
     )
+
+
+def rolling_median(
+    sf_dir: str, window: int = 5, num_buckets: int = 32
+) -> rd.Dataset:
+    """Per-user TRAILING-WINDOW MEDIAN of value (frame = current row +
+    the 4 preceding, ordered by (ts, event_id)) — the robust twin of
+    rolling_avg for spike-tolerant smoothing. Medians are order
+    statistics of the window's doubles averaged as (lo + hi) * 0.5 —
+    NB: DuckDB's WINDOWED quantile_cont midpoints that way, unlike its
+    aggregate quantile_cont's lo + (hi - lo) * 0.5 (the value_quantiles
+    contract); the two differ in the last ulp — so results are
+    bit-equal to the windowed oracle.
+
+    Scale shape: ONE user-bucket shuffle; inside each bucket the
+    window matrix is ``window`` grouped vectorized shifts (no per-user
+    Python), one row-wise sort of an (n, window) matrix, fancy-index
+    order stats."""
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def side(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_bucket",
+            pa.array(
+                key_bucket(b.column("user_id"), num_buckets).astype(np.int32)
+            ),
+        )
+
+    def med(g) -> pa.Table:
+        g = g.sort_values(
+            ["user_id", "ts", "event_id"], kind="stable"
+        ).reset_index(drop=True)
+        cols = [
+            g.groupby("user_id")["value"].shift(k).to_numpy()
+            for k in range(window)
+        ]
+        m = np.stack(cols, axis=1)  # (n, window); NaN outside the frame
+        s = np.sort(m, axis=1)  # NaN sorts last
+        c = window - np.isnan(m).sum(axis=1)
+        rows = np.arange(len(g))
+        lo = s[rows, (c - 1) // 2]
+        hi = s[rows, c // 2]
+        return pa.table(
+            {
+                "event_id": pa.array(g["event_id"].to_numpy(np.int64)),
+                "user_id": pa.array(g["user_id"].to_numpy(np.int64)),
+                "rolling_med": pa.array((lo + hi) * 0.5, pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(side, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(med, batch_format="pandas")
+    )
