@@ -2202,6 +2202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_layout": _zorder_layout,
         "partition_stats": _partition_stats,
         "snapshot_diff": _snapshot_diff,
+        "merge_upsert": _merge_upsert,
         "value_mad": lambda sf: relational.value_mad(sf),
         "value_hour_corr": lambda sf: relational.value_hour_corr(sf),
         "max_len": lambda sf: relational.max_doc_len(sf),
@@ -2997,6 +2998,66 @@ def _partition_stats_sql() -> str:
            CAST(1000000 * n_rows * 32 // t.total AS BIGINT) AS skew_ppm
     FROM b, t
     """
+
+
+def _merge_upsert(sf_dir: str):
+    """Iceberg-style MERGE of a deterministic changeset into the
+    corpus (seq 1: update every 3rd doc; seq 2: delete every 17th —
+    last-wins, so ids divisible by 51 end deleted; seq 3: insert per
+    23rd) — functions/cdc.merge_upsert. The merged snapshot must equal
+    the snapshot_diff family's v2 derivation."""
+    import ray.data as rd
+
+    from vietnamese_ocr_ray.functions.cdc import merge_upsert
+
+    base = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def changes(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        upd_m = did % 3 == 0
+        upd = pa.table(
+            {
+                "doc_id": pa.array(did[upd_m]),
+                "seq": pa.array(np.full(upd_m.sum(), 1, np.int64)),
+                "op": pa.array(["upsert"] * int(upd_m.sum()), pa.string()),
+                "text": pc.binary_join_element_wise(
+                    text.filter(pa.array(upd_m)),
+                    pa.scalar(" v2"),
+                    pa.scalar(""),
+                ),
+            }
+        )
+        del_m = did % 17 == 0
+        dele = pa.table(
+            {
+                "doc_id": pa.array(did[del_m]),
+                "seq": pa.array(np.full(del_m.sum(), 2, np.int64)),
+                "op": pa.array(["delete"] * int(del_m.sum()), pa.string()),
+                "text": pa.array([""] * int(del_m.sum()), pa.string()),
+            }
+        )
+        ins_id = did[did % 23 == 0] + 10_000_000
+        ins = pa.table(
+            {
+                "doc_id": pa.array(ins_id),
+                "seq": pa.array(np.full(ins_id.shape[0], 3, np.int64)),
+                "op": pa.array(["upsert"] * ins_id.shape[0], pa.string()),
+                "text": pc.binary_join_element_wise(
+                    pa.scalar("ins-"),
+                    pc.cast(pa.array(ins_id), pa.string()),
+                    pa.scalar(""),
+                ),
+            }
+        )
+        return pa.concat_tables([upd, dele, ins])
+
+    ch = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(changes, batch_format="pyarrow")
+    return merge_upsert(base, ch)
 
 
 def _snapshot_diff_sql() -> str:
@@ -6268,6 +6329,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT g.user_id, g.h, e.value AS last_value
         FROM grid g ASOF JOIN events e
           ON e.user_id = g.user_id AND e.ts <= g.h
+        """,
+        "merge_upsert": """
+        WITH ch AS (
+          SELECT doc_id, 1 AS seq, 'upsert' AS op, text || ' v2' AS text
+          FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id, 2, 'delete', '' FROM documents
+          WHERE doc_id % 17 = 0
+          UNION ALL
+          SELECT doc_id + 10000000, 3, 'upsert',
+                 'ins-' || CAST(doc_id + 10000000 AS VARCHAR)
+          FROM documents WHERE doc_id % 23 = 0),
+        allr AS (
+          SELECT doc_id, 0 AS seq, 'upsert' AS op, text FROM documents
+          UNION ALL SELECT * FROM ch),
+        winner AS (
+          SELECT doc_id, op, text FROM allr
+          QUALIFY row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY seq DESC) = 1)
+        SELECT doc_id, text FROM winner WHERE op != 'delete'
         """,
         "rolling_median": """
         SELECT event_id, user_id,

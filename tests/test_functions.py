@@ -2322,3 +2322,39 @@ def test_rolling_median_trailing_frames(ray_session, tmp_path):
     assert out == expect
     assert out[1] == 50.5  # two-row frame midpoint
     assert out[4] == 2.5   # spike absorbed: median of 5 ignores 100
+
+
+def test_merge_upsert_last_wins_semantics(ray_session):
+    from vietnamese_ocr_ray.functions.cdc import merge_upsert
+
+    base = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["a", "b", "c", "d"]),
+        }
+    )
+    # id 1: update; id 2: update then delete (delete wins);
+    # id 3: delete then update (update wins); id 5: pure insert
+    ch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 2, 3, 3, 5], pa.int64()),
+            "seq": pa.array([1, 1, 2, 1, 2, 1], pa.int64()),
+            "op": pa.array(
+                ["upsert", "upsert", "delete", "delete", "upsert", "upsert"]
+            ),
+            "text": pa.array(["a2", "b2", "", "", "c2", "e"]),
+        }
+    )
+    out = (
+        merge_upsert(
+            rd.from_arrow(base).repartition(2), rd.from_arrow(ch).repartition(3)
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(zip(out.doc_id, out.text)) == [
+        (1, "a2"),
+        (3, "c2"),
+        (4, "d"),
+        (5, "e"),
+    ]

@@ -78,3 +78,74 @@ def snapshot_diff(
         return pa.table({id_col: batch.column(id_col), "status": status})
 
     return agg.map_batches(classify, batch_format="pyarrow")
+
+
+def merge_upsert(
+    base: rd.Dataset,
+    changes: rd.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> rd.Dataset:
+    """Iceberg-style MERGE: apply a changeset of ('upsert' | 'delete')
+    operations to a base snapshot with LAST-WINS sequencing — the
+    table-maintenance primitive behind incremental recrawls (base rows
+    carry implicit seq 0; an id touched by several ops keeps only the
+    highest-``seq`` one; a winning delete removes the id).
+
+    Scale shape: ONE id-bucket shuffle of the tagged union; each
+    bucket resolves winners with a vectorized sort + groupby-tail —
+    O(1) state per id, no driver materialization. Deterministic for
+    unique (id, seq) pairs (assert upstream)."""
+    import pandas as pd
+
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
+    def tag_base(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: pc.cast(b.column(id_col), pa.int64()),
+                seq_col: pa.array(np.zeros(b.num_rows, np.int64)),
+                op_col: pa.array(["upsert"] * b.num_rows, pa.string()),
+                text_col: b.column(text_col),
+            }
+        )
+
+    def tag_changes(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: pc.cast(b.column(id_col), pa.int64()),
+                seq_col: pc.cast(b.column(seq_col), pa.int64()),
+                op_col: b.column(op_col),
+                text_col: b.column(text_col),
+            }
+        )
+
+    u = base.map_batches(tag_base, batch_format="pyarrow").union(
+        changes.map_batches(tag_changes, batch_format="pyarrow")
+    )
+
+    def bucketed(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_bucket",
+            pa.array(key_bucket(b.column(id_col), 32).astype(np.int32)),
+        )
+
+    def resolve(g: pd.DataFrame) -> pa.Table:
+        w = (
+            g.sort_values([id_col, seq_col], kind="stable")
+            .groupby(id_col, as_index=False)
+            .tail(1)
+        )
+        w = w[w[op_col] != "delete"]
+        return pa.Table.from_pandas(
+            w[[id_col, text_col]], preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return (
+        u.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(resolve, batch_format="pandas")
+    )
