@@ -2451,6 +2451,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "vietnamese_ocr_ray.functions.lm", fromlist=["dsir_logratio"]
         ).dsir_logratio(_docs(sf)),
         "pmi_collocations": _pmi_collocations,
+        "skipgram_pairs": lambda sf: __import__(
+            "vietnamese_ocr_ray.functions.lm", fromlist=["skipgram_pairs"]
+        ).skipgram_pairs(_docs(sf)),
         "winnow_fingerprints": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.text",
             fromlist=["winnow_fingerprints"],
@@ -5769,6 +5772,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT q.source, ns.n AS n_tokens,
                CAST(sum(q.q) AS DOUBLE) / 1000000000.0 AS kl
         FROM q JOIN ns USING (source) GROUP BY q.source, ns.n
+        """,
+        "skipgram_pairs": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+                   FROM documents),
+        e AS (SELECT doc_id, unnest(l) AS tok,
+                     unnest(list_transform(l, (x, i) -> i)) AS pos
+              FROM t),
+        p AS (
+          SELECT a.tok AS w1, b.tok AS w2
+          FROM e a JOIN e b ON b.doc_id = a.doc_id
+               AND abs(b.pos - a.pos) BETWEEN 1 AND 2)
+        SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+        FROM p GROUP BY w1, w2
+        ORDER BY n DESC, w1, w2 LIMIT 50
         """,
         "chi2_token_lang": """
         WITH t AS (SELECT doc_id, lang,

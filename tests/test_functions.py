@@ -2358,3 +2358,31 @@ def test_merge_upsert_last_wins_semantics(ray_session):
         (4, "d"),
         (5, "e"),
     ]
+
+
+def test_skipgram_pairs_window_and_boundaries(ray_session):
+    from vietnamese_ocr_ray.functions.lm import skipgram_pairs
+
+    texts = ["a b c d", "x a"]
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    out = skipgram_pairs(
+        rd.from_arrow(t).repartition(2), window=2, k=100
+    ).to_pandas()
+    got = {(r.w1, r.w2): r.n for r in out.itertuples()}
+    from collections import Counter
+
+    expect = Counter()
+    for s in texts:
+        toks = s.split()
+        for i, c in enumerate(toks):
+            for j in range(max(0, i - 2), min(len(toks), i + 3)):
+                if j != i:
+                    expect[(c, toks[j])] += 1
+    assert got == dict(expect)
+    # no cross-document pair: 'd' (end of doc 0) never pairs with 'x'
+    assert ("d", "x") not in got

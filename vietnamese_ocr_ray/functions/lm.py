@@ -543,3 +543,81 @@ def chi2_token_lang(
         )
 
     return counts.map_batches(score, batch_format="pyarrow")
+
+
+def skipgram_pairs(
+    ds: rd.Dataset, window: int = 2, k: int = 50, num_buckets: int = 64
+) -> rd.Dataset:
+    """Top-``k`` skip-gram co-occurrence pairs (word2vec training-pair
+    statistics): directed (center, context) counts for every context
+    within ``window`` tokens of the center (offset != 0, doc
+    boundaries masked) — the count table behind embedding training,
+    PPMI matrices and negative-sampling tables.
+
+    Scale shape: per offset d in 1..window, two boundary-masked
+    shifted views of the flat token buffer (the _doc_bigrams
+    slice-join generalized to distance d) — 2*window vectorized
+    passes, no per-row Python; counts ride ONE bucketed (w1, w2)
+    hash-aggregate; the top-k is sort+limit on the vocab^2-bounded
+    count table. Ordering: (n DESC, w1, w2)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks_list = pc.split_pattern(batch.column("text"), " ")
+        flat = pc.list_flatten(toks_list)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        ntok = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+        n = len(flat)
+        row = np.repeat(np.arange(len(ntok), dtype=np.int64), ntok)
+        parts_w1, parts_w2 = [], []
+        for d in range(1, window + 1):
+            if n <= d:
+                break
+            a = flat.slice(0, n - d)
+            b = flat.slice(d, n - d)
+            same = pa.array(row[: n - d] == row[d:])
+            # forward (center=a, context=b) and backward (center=b,
+            # context=a) — both directions of the symmetric window
+            parts_w1.append(a.filter(same))
+            parts_w2.append(b.filter(same))
+            parts_w1.append(b.filter(same))
+            parts_w2.append(a.filter(same))
+        if not parts_w1:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        w1 = pa.concat_arrays(
+            [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+             for p in parts_w1]
+        )
+        w2 = pa.concat_arrays(
+            [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+             for p in parts_w2]
+        )
+        joined = pc.binary_join_element_wise(w1, w2, pa.scalar("\x1f"))
+        vc = pc.value_counts(joined)
+        pair = pc.split_pattern(
+            pc.struct_field(vc, "values"), "\x1f", max_splits=1
+        )
+        flat2 = pc.list_flatten(pair)
+        return pa.table(
+            {
+                "w1": flat2.take(np.arange(0, len(flat2), 2)),
+                "w2": flat2.take(np.arange(1, len(flat2), 2)),
+                "n": pc.struct_field(vc, "counts").cast(pa.int64()),
+            }
+        )
+
+    counts = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["w1", "w2"],
+        {"n": ("n", "sum")},
+        num_buckets=num_buckets,
+    )
+    return counts.sort(
+        ["n", "w1", "w2"], descending=[True, False, False]
+    ).limit(k)
