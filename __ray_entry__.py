@@ -864,6 +864,20 @@ def _word_jaccard(sf_dir: str):
     return word_jaccard(_docs(sf_dir))
 
 
+def _ssjoin_pairs(sf_dir: str):
+    """EXACT set-similarity self-join (AllPairs/PPJoin prefix
+    filtering): all doc pairs with 16-byte-shingle Jaccard >= 0.6 —
+    the complete counterpart of minhash_pairs (same verification,
+    zero miss probability). k=16 (not minhash's 8) because prefix
+    filtering prunes by element RARITY: this corpus's ~40-word
+    vocabulary makes 8-byte windows common enough that candidate
+    counts approach all-pairs (45M at sf0.1), while 16-byte windows
+    (~3 words) are rare enough to keep candidates ~19k."""
+    from vietnamese_ocr_ray.functions.dedup import ssjoin_pairs
+
+    return ssjoin_pairs(_docs(sf_dir), k=16)
+
+
 def _fuzzy_match_ed1(sf_dir: str):
     """Record-linkage fuzzy match: every pair of distinct customer
     names at Levenshtein distance exactly 1, found by FastSS
@@ -2372,6 +2386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _dedup_exact,
         "neighbor_jaccard": _neighbor_jaccard,
         "word_jaccard": _word_jaccard,
+        "ssjoin_pairs": _ssjoin_pairs,
         "fuzzy_match_ed1": _fuzzy_match_ed1,
         "minhash_pairs": _minhash_pairs,
         "dedup_neardup": _dedup_neardup,
@@ -4004,6 +4019,58 @@ def _hll_users_per_type_sql() -> str:
         + f"\n    SELECT k AS event_type, {_HLL_FINAL} AS approx_distinct"
         " FROM est\n    "
     )
+
+
+def _ssjoin_pairs_sql(k: int = 8, threshold: float = 0.6) -> str:
+    """(a, b, jaccard) — the `ssjoin_pairs` oracle: AllPairs/PPJoin
+    prefix filtering replayed in SQL (distinct FNV k-byte window
+    hashes, ascending-(df, hash) rarity ranks, per-doc prefix of
+    length s - ceil(t_eff*s) + 1, posting-list candidate pairs with
+    the length filter, exact shingle-Jaccard verify). Candidate sets
+    need not match the engine's (both are complete supersets by the
+    prefix-filter theorem); the verified output is exact on both
+    sides, so values must agree."""
+    win = _fnv_window_expr(k)
+    t_eff = repr(threshold - 1e-6)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS len FROM documents
+    ), hashes AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len - {k - 1}, 1)), i -> {win})) AS hs
+      FROM d
+    ), hr AS (
+      SELECT doc_id, unnest(hs) AS h FROM hashes
+    ), dft AS (
+      SELECT h, count(*) AS df FROM hr GROUP BY h
+    ), rk AS (
+      SELECT h, row_number() OVER (ORDER BY df, h) - 1 AS rnk FROM dft
+    ), sz AS (
+      SELECT doc_id, count(*) AS s FROM hr GROUP BY doc_id
+    ), pref AS (
+      SELECT doc_id, rnk, s FROM (
+        SELECT hr.doc_id, rk.rnk, sz.s,
+               row_number() OVER (PARTITION BY hr.doc_id
+                                  ORDER BY rk.rnk) - 1 AS p
+        FROM hr JOIN rk USING (h) JOIN sz USING (doc_id))
+      WHERE p < s - CEIL({t_eff} * s) + 1
+    ), cand AS (
+      SELECT DISTINCT pa.doc_id AS a, pb.doc_id AS b
+      FROM pref pa JOIN pref pb
+        ON pa.rnk = pb.rnk AND pa.doc_id < pb.doc_id
+      WHERE least(pa.s, pb.s) >= {t_eff} * greatest(pa.s, pb.s)
+    ), verified AS (
+      SELECT c.a, c.b,
+             round(CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+                   / (len(ha.hs) + len(hb.hs)
+                      - len(list_intersect(ha.hs, hb.hs))), 6) AS jaccard
+      FROM cand c
+      JOIN hashes ha ON ha.doc_id = c.a
+      JOIN hashes hb ON hb.doc_id = c.b
+    )
+    SELECT a, b, jaccard FROM verified WHERE jaccard >= {threshold}
+    """
 
 
 def _minhash_pairs_sql() -> str:
@@ -5938,6 +6005,7 @@ def oracle_sql() -> dict[str, str]:
         FROM a WHERE rn = 1 GROUP BY label, clabel
         """,
         "minhash_pairs": _minhash_pairs_sql(),
+        "ssjoin_pairs": _ssjoin_pairs_sql(k=16),
         "dedup_neardup": _minhash_dedup_sql(),
         "approx_distinct_tokens": _hll_distinct_tokens_sql(),
         "approx_users_per_type": _hll_users_per_type_sql(),

@@ -2386,3 +2386,71 @@ def test_skipgram_pairs_window_and_boundaries(ray_session):
     assert got == dict(expect)
     # no cross-document pair: 'd' (end of doc 0) never pairs with 'x'
     assert ("d", "x") not in got
+
+
+def _ssjoin_fixture(seed: int = 7, n: int = 60):
+    rng = np.random.default_rng(seed)
+    words = [f"w{i}" for i in range(30)]
+    texts = []
+    for _ in range(n):
+        toks = rng.choice(words, size=rng.integers(8, 30)).tolist()
+        texts.append(" ".join(toks))
+    for i in range(0, 20, 2):  # plant near-dups (one-token edits)
+        t = texts[i].split()
+        t[rng.integers(0, len(t))] = "zz"
+        texts[i + 1] = " ".join(t)
+    return texts
+
+
+def test_ssjoin_pairs_equals_brute_force_and_invariant(ray_session):
+    from vietnamese_ocr_ray.functions.dedup import (
+        jaccard_shingles_batch,
+        ssjoin_pairs,
+    )
+
+    texts = _ssjoin_fixture()
+    n = len(texts)
+    ii, jj = np.triu_indices(n, 1)
+    j6 = np.round(
+        jaccard_shingles_batch(
+            pa.array([texts[i] for i in ii]),
+            pa.array([texts[j] for j in jj]),
+            8,
+        ),
+        6,
+    )
+    hit = j6 >= 0.6
+    expect = sorted(zip(ii[hit].tolist(), jj[hit].tolist(), j6[hit].tolist()))
+    assert expect, "fixture must plant at least one qualifying pair"
+
+    t = pa.table(
+        {"doc_id": pa.array(range(n), pa.int64()), "text": pa.array(texts)}
+    )
+    for parts in (1, 5):  # partitioning invariance
+        out = ssjoin_pairs(
+            rd.from_arrow(t).repartition(parts), threshold=0.6
+        ).to_pandas()
+        got = sorted(zip(out.a.tolist(), out.b.tolist(), out.jaccard.tolist()))
+        assert got == expect
+
+
+def test_ssjoin_pairs_superset_of_minhash(ray_session):
+    # the exact join can only ADD pairs LSH banding happened to miss
+    from vietnamese_ocr_ray.functions.dedup import (
+        minhash_lsh_pairs,
+        ssjoin_pairs,
+    )
+
+    texts = _ssjoin_fixture(seed=11)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(3)
+    exact = ssjoin_pairs(ds, threshold=0.6).to_pandas()
+    lsh = minhash_lsh_pairs(ds, threshold=0.6).to_pandas()
+    exact_set = set(zip(exact.a, exact.b))
+    lsh_set = set(zip(lsh.a, lsh.b))
+    assert lsh_set <= exact_set

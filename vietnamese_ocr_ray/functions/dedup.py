@@ -369,18 +369,7 @@ def minhash_lsh_pairs(
         )
     )
 
-    def _verify_rows(batch: pa.Table, texts_a: pa.Array, texts_b: pa.Array) -> pa.Table:
-        # one vectorized pass for ALL candidate pairs of the batch
-        j = np.round(jaccard_shingles_batch(texts_a, texts_b, k), 6)
-        hit = j >= threshold
-        filtered = batch.filter(pa.array(hit))
-        return pa.table(
-            {
-                "a": filtered.column("a"),
-                "b": filtered.column("b"),
-                "jaccard": pa.array(j[hit], pa.float64()),
-            }
-        )
+    _verify_rows = _verify_rows_factory(k, threshold)
 
     if texts_handle is not None:
 
@@ -396,15 +385,56 @@ def minhash_lsh_pairs(
 
         return distinct.map_batches(verify, batch_format="pyarrow")
 
-    # corpus-join path via the bucketed cogroup shape (Dataset.join's
-    # hash-join aggregator actors cost ~60-90us/row + pool spin-up on
-    # this Ray version — see stages/cogroup.py): shuffle 1 attaches
-    # text to each pair ROLE (a-side / b-side) with one key-bucket
-    # groupby of candidates u corpus; shuffle 2 reunites the two roles
-    # per pair and verifies. Both shuffles move candidate-sized data
-    # plus the corpus text once.
+    return verify_pairs_corpus(
+        distinct, ds, k=k, threshold=threshold, num_coarse=num_coarse
+    )
+
+
+def _verify_rows_factory(k: int, threshold: float):
+    """Batch verifier: exact shingle-set Jaccard for candidate (a, b)
+    pairs, rounded to 6dp BEFORE thresholding (the SQL-replayable
+    contract shared with the minhash/ssjoin oracles)."""
+
+    def _verify_rows(
+        batch: pa.Table, texts_a: pa.Array, texts_b: pa.Array
+    ) -> pa.Table:
+        # one vectorized pass for ALL candidate pairs of the batch
+        j = np.round(jaccard_shingles_batch(texts_a, texts_b, k), 6)
+        hit = j >= threshold
+        filtered = batch.filter(pa.array(hit))
+        return pa.table(
+            {
+                "a": filtered.column("a"),
+                "b": filtered.column("b"),
+                "jaccard": pa.array(j[hit], pa.float64()),
+            }
+        )
+
+    return _verify_rows
+
+
+def verify_pairs_corpus(
+    distinct: rd.Dataset,
+    ds: rd.Dataset,
+    *,
+    k: int = 8,
+    threshold: float = 0.6,
+    num_coarse: int = 32,
+) -> rd.Dataset:
+    """Exact shingle-Jaccard verification of candidate ``(a, b)`` pairs
+    against the corpus — the 100 TB verification path shared by
+    :func:`minhash_lsh_pairs` (LSH candidates) and :func:`ssjoin_pairs`
+    (prefix-filter candidates).
+
+    Shape: bucketed cogroup (Dataset.join's hash-join aggregator actors
+    cost ~60-90us/row + pool spin-up on this Ray version — see
+    stages/cogroup.py): shuffle 1 attaches text to each pair ROLE
+    (a-side / b-side) with one key-bucket groupby of candidates u
+    corpus; shuffle 2 reunites the two roles per pair and verifies.
+    Both shuffles move candidate-sized data plus the corpus text once."""
     from vietnamese_ocr_ray.functions.joins import key_bucket
 
+    _verify_rows = _verify_rows_factory(k, threshold)
     docs = ds.select_columns(["doc_id", "text"])
 
     def cand_roles(b: pa.Table) -> pa.Table:
@@ -499,6 +529,168 @@ def minhash_lsh_pairs(
     return with_text.groupby("_bucket").map_groups(
         lambda g: verify_bucket(g.drop(columns=["_bucket"])),
         batch_format="pandas",
+    )
+
+
+def _rank_pairs(g: pd.DataFrame) -> pa.Table:
+    """Candidate pairs within one hash bucket of PREFIX rows: one sort
+    locates every exact rank run (docs indexing the same prefix
+    element); each multi-member run emits its id pairs with one
+    ``triu_indices`` plus the AllPairs length filter (a pair can only
+    reach Jaccard t when ``min_size >= t_eff * max_size``). Uncapped —
+    completeness is the point of the exact join; rarity ordering keeps
+    prefix posting lists short (a hot run means a COMMON element sat in
+    someone's prefix, which rarity ordering makes rare)."""
+    s = g.sort_values(["rnk", "doc_id"], kind="stable")
+    rnk = s["rnk"].to_numpy(np.int64)
+    ids = s["doc_id"].to_numpy(np.int64)
+    sz = s["size"].to_numpy(np.int64)
+    t_eff = float(s["t_eff"].iloc[0]) if len(s) else 0.0
+    n = ids.shape[0]
+    out_a, out_b = [], []
+    if n:
+        change = np.ones(n, dtype=bool)
+        change[1:] = rnk[1:] != rnk[:-1]
+        starts = np.nonzero(change)[0]
+        sizes = np.diff(np.append(starts, n))
+        multi = sizes >= 2
+        for st, m in zip(starts[multi], sizes[multi]):
+            ii, jj = np.triu_indices(int(m), 1)
+            seg_id = ids[st : st + m]
+            seg_sz = sz[st : st + m]
+            lo = np.minimum(seg_sz[ii], seg_sz[jj])
+            hi = np.maximum(seg_sz[ii], seg_sz[jj])
+            keep = lo >= t_eff * hi
+            out_a.append(seg_id[ii][keep])
+            out_b.append(seg_id[jj][keep])
+    a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+    b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+    return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+
+def ssjoin_pairs(
+    ds: rd.Dataset,
+    *,
+    k: int = 8,
+    threshold: float = 0.6,
+    num_coarse: int = 32,
+) -> rd.Dataset:
+    """EXACT set-similarity self-join (Bayardo 2007 AllPairs / Xiao
+    2008 PPJoin prefix filtering): every doc pair ``(a < b)`` whose
+    k-byte shingle-set Jaccard >= ``threshold`` — the exact, COMPLETE
+    counterpart of :func:`minhash_lsh_pairs` (same shingle universe,
+    same 6dp-rounded verification, no LSH miss probability).
+
+    Prefix filtering: elements are ordered globally by rarity
+    (ascending document frequency, hash tiebreak); a doc of set size s
+    indexes only its first ``p = s - ceil(t_eff*s) + 1`` elements. If
+    ``J(A,B) >= t`` then ``|A∩B| >= t*max(|A|,|B|)`` (via the length
+    filter ``|A| >= t*|B|``), so the two prefixes must share an
+    element — pairing docs inside each indexed element's posting list
+    is complete. ``t_eff = threshold - 1e-6`` absorbs both float
+    rounding in ``ceil`` and the 6dp round-before-threshold contract.
+
+    Scale shape: ONE vocabulary-bounded df aggregate collected to the
+    driver for the rarity rank LUT (same contract as tfidf/chi2/bpe —
+    at open-vocabulary scale swap rarity order for hash order, which
+    needs no df pass at the cost of longer posting lists), then prefix
+    rows ride one int-only rank-bucket shuffle, pairs dedupe on one
+    candidate-sized shuffle, and verification is the shared
+    :func:`verify_pairs_corpus` cogroup (corpus text moves once).
+    Reference parity: beyond-reference op (the reference engine has no
+    joins); semantics follow the published AllPairs/PPJoin algorithm.
+    """
+    import ray
+
+    t_eff = threshold - 1e-6
+    docs = ds.select_columns(["doc_id", "text"])
+
+    # ---- pass 1: element document frequencies -> rarity rank LUT ----
+    def df_partial(b: pa.Table) -> pa.Table:
+        _, hs = _unique_shingles(*_utf8_flat(b.column("text")), k)
+        u, c = np.unique(hs, return_counts=True)
+        return pa.table(
+            {"h": pa.array(u.astype(np.int64)), "df": pa.array(c)}
+        )
+
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
+    df_pd = hash_aggregate(
+        docs.map_batches(df_partial, batch_format="pyarrow"),
+        ["h"],
+        {"df": ("df", "sum")},
+    ).to_pandas()  # element-vocabulary-bounded (see docstring contract)
+    h_arr = df_pd["h"].to_numpy(np.int64).astype(np.uint64)
+    df_arr = df_pd["df"].to_numpy(np.int64)
+    order = np.lexsort((h_arr, df_arr))  # rank: ascending (df, hash)
+    h_by_rank = h_arr[order]
+    h_sorted = np.sort(h_arr)
+    # rank_of[i] = rank of h_sorted[i]
+    rank_of = np.empty(len(h_arr), np.int64)
+    rank_of[np.searchsorted(h_sorted, h_by_rank)] = np.arange(len(h_arr))
+    lut = ray.put((h_sorted, rank_of))
+
+    # ---- pass 2: per-doc prefix rows (rank, doc_id, size) ----
+    def prefix_rows(b: pa.Table) -> pa.Table:
+        h_sorted_, rank_of_ = ray.get(lut)
+        rows, hs = _unique_shingles(*_utf8_flat(b.column("text")), k)
+        ranks = rank_of_[np.searchsorted(h_sorted_, hs)]
+        o = np.lexsort((ranks, rows))
+        rows, ranks = rows[o], ranks[o]
+        n = b.num_rows
+        sizes = np.bincount(rows, minlength=n)
+        starts = np.cumsum(sizes) - sizes
+        pos = np.arange(rows.shape[0]) - np.repeat(starts, sizes)
+        p = sizes - np.ceil(t_eff * sizes).astype(np.int64) + 1
+        mask = pos < np.repeat(p, sizes)
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        rnk = ranks[mask]
+        return pa.table(
+            {
+                "rnk": pa.array(rnk),
+                "doc_id": pa.array(ids[rows[mask]]),
+                "size": pa.array(np.repeat(sizes, sizes)[mask]),
+                "t_eff": pa.array(np.full(rnk.shape[0], t_eff)),
+                "bucket": pa.array(
+                    key_bucket(pa.array(rnk), num_coarse).astype(np.int32)
+                ),
+            }
+        )
+
+    candidates = (
+        docs.map_batches(prefix_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: _rank_pairs(g.drop(columns=["bucket"])),
+            batch_format="pandas",
+        )
+    )
+
+    # distinct pairs (a pair can share several prefix elements)
+    distinct = (
+        candidates.map_batches(
+            lambda b: b.append_column(
+                "bucket",
+                pa.array(
+                    (
+                        np.asarray(b.column("a")).astype(np.int64) % num_coarse
+                    ).astype(np.int32)
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(
+            lambda g: pa.Table.from_pandas(
+                g.drop(columns=["bucket"]).drop_duplicates(["a", "b"]),
+                preserve_index=False,
+            ).replace_schema_metadata(None),
+            batch_format="pandas",
+        )
+    )
+    return verify_pairs_corpus(
+        distinct, ds, k=k, threshold=threshold, num_coarse=num_coarse
     )
 
 
