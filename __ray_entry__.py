@@ -2469,6 +2469,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skipgram_pairs": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.lm", fromlist=["skipgram_pairs"]
         ).skipgram_pairs(_docs(sf)),
+        "negsample_table": lambda sf: __import__(
+            "vietnamese_ocr_ray.functions.lm", fromlist=["negsample_table"]
+        ).negsample_table(_docs(sf)),
         "winnow_fingerprints": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.text",
             fromlist=["winnow_fingerprints"],
@@ -5853,6 +5856,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
         FROM p GROUP BY w1, w2
         ORDER BY n DESC, w1, w2 LIMIT 50
+        """,
+        "negsample_table": """
+        WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+        c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY tok),
+        q AS (SELECT tok, n,
+                CAST(floor(sqrt(sqrt(CAST(n AS DOUBLE) * n * n)) * 1048576)
+                     AS BIGINT) AS qw
+              FROM c),
+        w AS (SELECT CAST(sum(qw) AS BIGINT) AS tw FROM q),
+        b AS (SELECT tok, n, (100000 * qw) // tw AS base,
+                     100000 * qw - ((100000 * qw) // tw) * tw AS rem
+              FROM q CROSS JOIN w),
+        l AS (SELECT 100000 - CAST(sum(base) AS BIGINT) AS leftover FROM b),
+        r AS (SELECT tok, n, base, rem,
+                     row_number() OVER (ORDER BY rem DESC, tok) AS rk
+              FROM b)
+        SELECT tok, n,
+               CAST(base + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS slots
+        FROM r CROSS JOIN l
         """,
         "chi2_token_lang": """
         WITH t AS (SELECT doc_id, lang,

@@ -2454,3 +2454,29 @@ def test_ssjoin_pairs_superset_of_minhash(ray_session):
     exact_set = set(zip(exact.a, exact.b))
     lsh_set = set(zip(lsh.a, lsh.b))
     assert lsh_set <= exact_set
+
+
+def test_negsample_table_apportionment(ray_session):
+    from vietnamese_ocr_ray.functions.lm import negsample_table
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a a a a b", "a b c", "c c d"]),
+        }
+    )
+    for parts in (1, 3):  # partitioning invariance (exact ints)
+        out = (
+            negsample_table(rd.from_arrow(t).repartition(parts), table_size=10)
+            .to_pandas()
+            .set_index("tok")
+        )
+        assert out["slots"].sum() == 10
+        assert out.loc["a", "n"] == 5 and out.loc["d", "n"] == 1
+        # proportionality: slots within 1 of the real-valued share
+        n = out["n"].to_numpy(np.float64)
+        share = 10 * n**0.75 / (n**0.75).sum()
+        assert (np.abs(out["slots"].to_numpy() - share) < 1 + 1e-9).all()
+        # ^0.75 flattens the unigram distribution: the top token gets
+        # LESS than its raw-frequency share
+        assert out.loc["a", "slots"] < 10 * 5 / 9 + 1e-9

@@ -621,3 +621,69 @@ def skipgram_pairs(
     return counts.sort(
         ["n", "w1", "w2"], descending=[True, False, False]
     ).limit(k)
+
+
+def negsample_table(
+    ds: rd.Dataset, table_size: int = 100_000, num_buckets: int = 64
+) -> pa.Table:
+    """word2vec negative-sampling table (Mikolov 2013: sample negatives
+    ~ unigram^0.75): per-token slot counts apportioning ``table_size``
+    slots proportionally to ``count^0.75``, by EXACT-INTEGER largest-
+    remainder (Hamilton) apportionment — the companion artifact to
+    :func:`skipgram_pairs` for embedding training.
+
+    Determinism contract: the 0.75 power is computed as
+    ``sqrt(sqrt(n^3))`` — IEEE sqrt is correctly rounded on BOTH numpy
+    and DuckDB (libm ``pow`` is not), and ``n^3`` is exact in a double
+    for n <= 2^17.6 (~200k occurrences; beyond that the cube's last
+    bits round, still identically on both sides). The weight is then
+    quantized to 2^-20 fixed point; base slots ``T*qw // W`` and
+    remainders ``T*qw - base*W`` are exact int64 (T*qw < 2^63 for any
+    vocab this side of qw ~ 9e13), and the ``T - sum(base)`` leftover
+    slots go to the largest remainders (token-ascending tiebreak).
+    ``sum(slots) == table_size`` exactly, always.
+
+    Scale shape: ONE bucketed hash-aggregate of per-batch partial token
+    counts (shuffle carries distinct tokens per block); the
+    apportionment itself is vocabulary-bounded driver work (same
+    contract as bpe merges / tfidf vocab). Output: (tok, n, slots)
+    sorted by tok."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(b.column("text"), " "))
+        vc = pc.value_counts(toks)
+        return pa.table(
+            {
+                "tok": pc.struct_field(vc, "values"),
+                "n": pc.struct_field(vc, "counts").cast(pa.int64()),
+            }
+        )
+
+    counts = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["tok"],
+        {"n": ("n", "sum")},
+        num_buckets=num_buckets,
+    ).to_pandas()  # vocabulary-bounded
+    counts = counts.sort_values("tok", kind="stable").reset_index(drop=True)
+    n = counts["n"].to_numpy(np.int64)
+    w = np.sqrt(np.sqrt(n.astype(np.float64) ** 3))
+    qw = np.floor(w * np.float64(1 << 20)).astype(np.int64)
+    W = int(qw.sum())
+    T = int(table_size)
+    prod = T * qw  # int64-exact (see docstring bound)
+    base = prod // W
+    rem = prod - base * W
+    leftover = T - int(base.sum())
+    # largest remainders win the leftover slots; tok-ascending tiebreak
+    # (counts is already tok-sorted, so stable argsort on -rem keeps it)
+    order = np.argsort(-rem, kind="stable")
+    extra = np.zeros(len(qw), np.int64)
+    extra[order[:leftover]] = 1
+    return pa.table(
+        {
+            "tok": pa.array(counts["tok"].to_numpy(), pa.string()),
+            "n": pa.array(n),
+            "slots": pa.array(base + extra),
+        }
+    )
