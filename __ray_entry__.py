@@ -2472,6 +2472,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "negsample_table": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.lm", fromlist=["negsample_table"]
         ).negsample_table(_docs(sf)),
+        "readability": lambda sf: __import__(
+            "vietnamese_ocr_ray.functions.text", fromlist=["readability"]
+        ).readability(_docs(sf)),
         "winnow_fingerprints": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.text",
             fromlist=["winnow_fingerprints"],
@@ -5856,6 +5859,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
         FROM p GROUP BY w1, w2
         ORDER BY n DESC, w1, w2 LIMIT 50
+        """,
+        "readability": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS l
+                   FROM documents),
+        s AS (SELECT doc_id, len(l) AS n_words,
+                CAST(list_sum(list_transform(l, w ->
+                  greatest(1, len(regexp_extract_all(w, '[aeiou]+')))))
+                  AS BIGINT) AS n_syllables
+              FROM t)
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, n_syllables,
+               round(206.835 - 1.015 * CAST(n_words AS DOUBLE)
+                     - 84.6 * (CAST(n_syllables AS DOUBLE)
+                               / CAST(n_words AS DOUBLE)), 6) AS flesch
+        FROM s
         """,
         "negsample_table": """
         WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok

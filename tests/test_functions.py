@@ -2480,3 +2480,34 @@ def test_negsample_table_apportionment(ray_session):
         # ^0.75 flattens the unigram distribution: the top token gets
         # LESS than its raw-frequency share
         assert out.loc["a", "slots"] < 10 * 5 / 9 + 1e-9
+
+
+def test_readability_syllable_heuristic(ray_session):
+    from vietnamese_ocr_ray.functions.text import readability
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "aeiou bcd",  # 1 run + vowel-less word -> 1 + 1
+                    "banana",  # b-a-n-a-n-a: 3 vowel runs
+                    "ae ea aea",  # runs split only by spaces: 1+1+1
+                ]
+            ),
+        }
+    )
+    out = (
+        readability(rd.from_arrow(t).repartition(2))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out["n_syllables"].tolist() == [2, 3, 3]
+    assert out["n_words"].tolist() == [2, 1, 3]
+    import math
+
+    for d in (0, 1, 2):
+        w, s = out.loc[d, "n_words"], out.loc[d, "n_syllables"]
+        exp = round(206.835 - 1.015 * w - 84.6 * (s / w), 6)
+        assert math.isclose(out.loc[d, "flesch"], exp, rel_tol=0, abs_tol=0)

@@ -1379,3 +1379,65 @@ def gazetteer_spans(
         )
 
     return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def readability_batch(batch: pa.Table) -> pa.Table:
+    """Flesch reading-ease per doc with a DETERMINISTIC syllable
+    heuristic: syllables(word) = max(1, number of maximal [aeiou]
+    vowel runs) — the standard vowel-group approximation, exact-integer
+    and SQL-replayable (regexp_extract_all on the oracle side; this
+    ASCII corpus keeps byte == char). The corpus has no sentence
+    punctuation, so sentences := 1 per doc (documented convention);
+    score = 206.835 - 1.015*words - 84.6*(syllables/words), one fixed
+    float expression rounded to 6dp.
+
+    Vectorized: one flat-utf8 pass — vowel membership mask, run starts
+    (vowel & not prev-vowel), per-token bincount, per-doc reduceat. No
+    per-row Python."""
+    from vietnamese_ocr_ray.functions.dedup import _utf8_flat
+
+    text = batch.column("text")
+    toks_list = pc.split_pattern(text, " ")
+    flat = pc.list_flatten(toks_list)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    ntok = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+    offs, data = _utf8_flat(flat)
+    is_vowel = np.isin(data, np.frombuffer(b"aeiou", np.uint8))
+    run_start = is_vowel.copy()
+    run_start[1:] &= ~is_vowel[:-1]
+    # token boundaries restart runs: a token starting mid-"run" cannot
+    # happen (offsets split the buffer), but a token whose first byte
+    # is a vowel while the previous token ENDED in a vowel must still
+    # start a run
+    starts = offs[:-1]
+    valid = starts < offs[1:]
+    run_start[starts[valid]] = is_vowel[starts[valid]]
+    char_tok = np.searchsorted(offs, np.arange(data.shape[0]), "right") - 1
+    syl_tok = np.bincount(
+        char_tok[run_start], minlength=len(flat)
+    ) if data.shape[0] else np.zeros(len(flat), np.int64)
+    syl_tok = np.maximum(syl_tok, 1)  # vowel-less words count 1
+    doc_bounds = np.concatenate([[0], np.cumsum(ntok)])[:-1]
+    n_syll = (
+        np.add.reduceat(syl_tok, doc_bounds)
+        if len(flat)
+        else np.zeros(batch.num_rows, np.int64)
+    )
+    n_words = ntok.astype(np.int64)
+    fw = n_words.astype(np.float64)
+    score = np.round(206.835 - 1.015 * fw - 84.6 * (n_syll / fw), 6)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array(n_words),
+            "n_syllables": pa.array(n_syll.astype(np.int64)),
+            "flesch": pa.array(score, pa.float64()),
+        }
+    )
+
+
+def readability(ds: rd.Dataset) -> rd.Dataset:
+    """Per-doc Flesch reading ease (see :func:`readability_batch`) —
+    embarrassingly parallel, zero shuffles."""
+    return ds.map_batches(readability_batch, batch_format="pyarrow")
