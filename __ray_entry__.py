@@ -2198,6 +2198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_agg": lambda sf: relational.window_aggregate(sf),
         "sliding_window": lambda sf: relational.sliding_window_aggregate(sf),
         "sessionize": lambda sf: relational.sessionize(sf),
+        "scd2_intervals": lambda sf: relational.scd2_intervals(sf),
         "event_stats": lambda sf: relational.event_type_stats(sf),
         "events_profile": lambda sf: relational.events_profile(sf),
         "global_median": lambda sf: relational.global_median(sf),
@@ -4583,6 +4584,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(length(text)) AS BIGINT) AS total,
                0.0 AS cer
         FROM spans WHERE kind = 'media'
+        """,
+        "scd2_intervals": """
+        WITH o AS (
+          SELECT user_id, event_type, ts, event_id,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type
+          FROM events),
+        s AS (SELECT user_id, event_type, ts, event_id FROM o
+              WHERE prev_type IS NULL OR prev_type != event_type)
+        SELECT user_id, event_type, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to
+        FROM s
         """,
         "sessionize": """
         WITH t AS (

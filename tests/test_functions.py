@@ -2511,3 +2511,44 @@ def test_readability_syllable_heuristic(ray_session):
         w, s = out.loc[d, "n_words"], out.loc[d, "n_syllables"]
         exp = round(206.835 - 1.015 * w - 84.6 * (s / w), 6)
         assert math.isclose(out.loc[d, "flesch"], exp, rel_tol=0, abs_tol=0)
+
+
+def test_scd2_intervals_runs_and_open_interval(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.relational import scd2_intervals
+
+    ts = pa.array(
+        pd.to_datetime(
+            [
+                "2024-01-01 00:00:00",
+                "2024-01-01 01:00:00",
+                "2024-01-01 02:00:00",
+                "2024-01-01 03:00:00",
+                "2024-01-01 00:30:00",
+            ]
+        ).astype("datetime64[us]")
+    )
+    t = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+            "event_type": pa.array(["a", "a", "b", "a", "x"]),
+            "value": pa.array([0.0] * 5),
+            "props": pa.array(["{}"] * 5),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = (
+        scd2_intervals(str(tmp_path))
+        .to_pandas()
+        .sort_values(["user_id", "valid_from"])
+        .reset_index(drop=True)
+    )
+    # user 1: runs a(00:00-02:00), b(02:00-03:00), a(03:00-open)
+    assert out["event_type"].tolist() == ["a", "b", "a", "x"]
+    assert out["valid_to"].isna().tolist() == [False, False, True, True]
+    assert str(out.loc[0, "valid_to"]) == "2024-01-01 02:00:00"
+    assert str(out.loc[1, "valid_to"]) == "2024-01-01 03:00:00"

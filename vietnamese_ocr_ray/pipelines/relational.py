@@ -2738,3 +2738,61 @@ def rolling_median(
         .groupby("_bucket")
         .map_groups(med, batch_format="pandas")
     )
+
+
+def scd2_intervals(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """Slowly-changing-dimension (SCD type 2) interval build: collapse
+    each user's event_type stream into validity intervals — one row
+    per run of consecutive equal attribute values, ``valid_from`` = the
+    run's first event ts, ``valid_to`` = the next run's first ts (NULL
+    = the open/current run). The dimension-table maintenance op every
+    warehouse ingest needs; deterministic order (ts, event_id).
+
+    Scale shape: ONE user-bucket shuffle (key_bucket — never per-user
+    Python groups); each bucket is one vectorized pass: sort, shifted
+    run-change compare, next-start gather. A bucket's users must fit a
+    task's heap (salt/split upstream otherwise)."""
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"],
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_bucket",
+            pa.array(key_bucket(b.column("user_id"), num_buckets).astype(np.int32)),
+        )
+
+    def intervals(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        user = s["user_id"].to_numpy(np.int64)
+        et = s["event_type"].to_numpy()
+        ts = s["ts"].to_numpy().astype("datetime64[us]")
+        n = len(s)
+        start = np.ones(n, dtype=bool)
+        start[1:] = (user[1:] != user[:-1]) | (et[1:] != et[:-1])
+        idx = np.nonzero(start)[0]
+        out = pd.DataFrame(
+            {
+                "user_id": user[idx],
+                "event_type": et[idx],
+                "valid_from": ts[idx],
+            }
+        )
+        nxt = pd.Series(pd.NaT, index=out.index, dtype="datetime64[us]")
+        if len(idx) > 1:
+            same = user[idx[1:]] == user[idx[:-1]]
+            nxt.iloc[:-1] = pd.Series(ts[idx[1:]]).where(pd.Series(same))
+        out["valid_to"] = nxt
+        return out
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: intervals(g.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        )
+    )
