@@ -2199,6 +2199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window": lambda sf: relational.sliding_window_aggregate(sf),
         "sessionize": lambda sf: relational.sessionize(sf),
         "scd2_intervals": lambda sf: relational.scd2_intervals(sf),
+        "copurchase_pairs": lambda sf: relational.copurchase_pairs(sf),
         "event_stats": lambda sf: relational.event_type_stats(sf),
         "events_profile": lambda sf: relational.events_profile(sf),
         "global_median": lambda sf: relational.global_median(sf),
@@ -4584,6 +4585,15 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(length(text)) AS BIGINT) AS total,
                0.0 AS cer
         FROM spans WHERE kind = 'media'
+        """,
+        "copurchase_pairs": """
+        WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        p AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+              FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey)
+        SELECT p1, p2, CAST(count(*) AS BIGINT) AS n
+        FROM p GROUP BY p1, p2
+        ORDER BY n DESC, p1, p2 LIMIT 50
         """,
         "scd2_intervals": """
         WITH o AS (

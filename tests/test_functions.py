@@ -2552,3 +2552,24 @@ def test_scd2_intervals_runs_and_open_interval(ray_session, tmp_path):
     assert out["valid_to"].isna().tolist() == [False, False, True, True]
     assert str(out.loc[0, "valid_to"]) == "2024-01-01 02:00:00"
     assert str(out.loc[1, "valid_to"]) == "2024-01-01 03:00:00"
+
+
+def test_copurchase_pairs_baskets(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.relational import copurchase_pairs
+
+    # orders: {1,2,3}, {1,2}, {2} (+ a duplicate line that must not
+    # double-count the (1,2) pair in order 10)
+    t = pa.table(
+        {
+            "l_orderkey": pa.array([10, 10, 10, 10, 20, 20, 30], pa.int64()),
+            "l_partkey": pa.array([1, 2, 3, 1, 1, 2, 2], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    out = copurchase_pairs(str(tmp_path), k=10).to_pandas()
+    got = {(r.p1, r.p2): r.n for r in out.itertuples()}
+    assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+    # top-k ordering: count desc, then (p1, p2)
+    assert out.iloc[0][["p1", "p2"]].tolist() == [1, 2]

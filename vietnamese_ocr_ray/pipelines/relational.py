@@ -2796,3 +2796,75 @@ def scd2_intervals(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
             batch_format="pandas",
         )
     )
+
+
+def copurchase_pairs(
+    sf_dir: str, k: int = 50, num_buckets: int = 32
+) -> rd.Dataset:
+    """Market-basket co-occurrence: top-``k`` part pairs appearing in
+    the same order (the Apriori/fp-growth pair-counting step every
+    recommender bootstrap runs). Basket = the DISTINCT parts of one
+    order; pairs canonical (p1 < p2); ordering (n DESC, p1, p2).
+
+    Scale shape: ONE orderkey-bucket shuffle co-locates each basket;
+    per bucket one vectorized pass (sort, run-detect baskets, per-run
+    ``triu_indices`` — basket sizes are bounded at ~7 lines in this
+    schema, so pair fan-out is a small constant); pair counts ride the
+    bucketed hash-aggregate; top-k is sort+limit on the count table."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_bucket",
+            pa.array(
+                key_bucket(b.column("l_orderkey"), num_buckets).astype(np.int32)
+            ),
+        )
+
+    def basket_pairs(g: pd.DataFrame) -> pa.Table:
+        s = g.drop_duplicates(["l_orderkey", "l_partkey"]).sort_values(
+            ["l_orderkey", "l_partkey"], kind="stable"
+        )
+        ok = s["l_orderkey"].to_numpy(np.int64)
+        pk = s["l_partkey"].to_numpy(np.int64)
+        n = ok.shape[0]
+        out_a, out_b = [], []
+        if n:
+            change = np.ones(n, dtype=bool)
+            change[1:] = ok[1:] != ok[:-1]
+            starts = np.nonzero(change)[0]
+            sizes = np.diff(np.append(starts, n))
+            for st, m in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+                ii, jj = np.triu_indices(int(m), 1)
+                seg = pk[st : st + m]
+                out_a.append(seg[ii])
+                out_b.append(seg[jj])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        u, c = np.unique(a * np.int64(1) * (1 << 32) + b, return_counts=True)
+        # partkeys < 2^31 in this schema: pack (p1, p2) into one int64
+        # for the partial count, unpack for the exchange
+        return pa.table(
+            {
+                "p1": pa.array((u >> 32).astype(np.int64)),
+                "p2": pa.array((u & ((1 << 32) - 1)).astype(np.int64)),
+                "n": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    counts = hash_aggregate(
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: basket_pairs(g.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        ),
+        ["p1", "p2"],
+        {"n": ("n", "sum")},
+    )
+    return counts.sort(["n", "p1", "p2"], descending=[True, False, False]).limit(k)
