@@ -2294,6 +2294,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_ffill": lambda sf: analytics.resample_ffill(sf),
         "resample_interpolate": lambda sf: analytics.resample_interpolate(sf),
         "source_hhi": lambda sf: analytics.source_hhi(sf),
+        "k_anonymity": lambda sf: analytics.k_anonymity(sf),
+        "time_weighted_avg": lambda sf: analytics.time_weighted_avg(sf),
+        "key_skew_gini": lambda sf: analytics.key_skew_gini(sf),
         "interval_coverage": lambda sf: relational.interval_coverage(sf),
         "rolling_median": lambda sf: relational.rolling_median(sf),
         "value_pct_rank": lambda sf: analytics.value_percent_rank(sf),
@@ -6520,6 +6523,41 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(greatest(en - greatest(s, coalesce(pm, s)), 0))
                     AS BIGINT) AS covered_us
         FROM w GROUP BY user_id
+        """,
+        "k_anonymity": """
+        SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+               count(*) >= 8 AS k_anonymous
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+        """,
+        "time_weighted_avg": """
+        WITH o AS (SELECT user_id, epoch_us(ts) // 1000000 AS tsec,
+                          CAST(ROUND(value * 1000) AS BIGINT) AS mv,
+                          ts, event_id
+                   FROM events),
+        p AS (SELECT user_id, tsec, mv,
+                     lead(tsec) OVER w AS t2, lead(mv) OVER w AS mv2
+              FROM o WINDOW w AS (PARTITION BY user_id
+                                  ORDER BY ts, event_id)),
+        s AS (SELECT user_id,
+                     CAST(sum((mv + mv2) * (t2 - tsec)) AS BIGINT) AS numer,
+                     CAST(sum(t2 - tsec) AS BIGINT) AS denom
+              FROM p WHERE t2 IS NOT NULL GROUP BY user_id)
+        SELECT user_id,
+               round(CAST(numer AS DOUBLE)
+                     / (2000.0 * CAST(denom AS DOUBLE)), 6) AS twa
+        FROM s WHERE denom > 0
+        """,
+        "key_skew_gini": """
+        WITH c AS (SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS c
+                   FROM lineitem GROUP BY l_partkey),
+        r AS (SELECT c, row_number() OVER (ORDER BY c, key) AS rnk FROM c),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                     CAST(sum(c) AS BIGINT) AS n_rows,
+                     CAST(sum(rnk * c) AS BIGINT) AS rc FROM r)
+        SELECT n_keys, n_rows,
+               round((2.0 * rc - (n_keys + 1.0) * n_rows)
+                     / (CAST(n_keys AS DOUBLE) * n_rows), 6) AS gini
+        FROM s
         """,
         "source_hhi": """
         WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n

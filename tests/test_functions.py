@@ -2573,3 +2573,57 @@ def test_copurchase_pairs_baskets(ray_session, tmp_path):
     assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
     # top-k ordering: count desc, then (p1, p2)
     assert out.iloc[0][["p1", "p2"]].tolist() == [1, 2]
+
+
+def test_time_weighted_avg_trapezoid(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.analytics import time_weighted_avg
+
+    # user 1: value 10 for 30s then 20 for 10s -> twa of the trapezoids
+    # = (15*30 + 20*10)/40 = 16.25 ; user 2: single event -> dropped
+    ts = pa.array(
+        pd.to_datetime(
+            [
+                "2024-01-01 00:00:00",
+                "2024-01-01 00:00:30",
+                "2024-01-01 00:00:40",
+                "2024-01-01 05:00:00",
+            ]
+        ).astype("datetime64[us]")
+    )
+    t = pa.table(
+        {
+            "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "ts": ts,
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "event_type": pa.array(["a"] * 4),
+            "value": pa.array([10.0, 20.0, 20.0, 99.0]),
+            "props": pa.array(["{}"] * 4),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = time_weighted_avg(str(tmp_path)).to_pandas()
+    assert out["user_id"].tolist() == [1]
+    assert abs(out.loc[0, "twa"] - 16.25) < 1e-9
+
+
+def test_key_skew_gini_bounds(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.analytics import key_skew_gini
+
+    # uniform counts -> gini == 0
+    t = pa.table({"l_partkey": pa.array([1, 1, 2, 2, 3, 3], pa.int64())})
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    out = key_skew_gini(str(tmp_path)).to_pandas()
+    assert out.loc[0, "n_keys"] == 3 and out.loc[0, "n_rows"] == 6
+    assert out.loc[0, "gini"] == 0.0
+    # skewed: counts (1, 9) -> G = (2*(1*1+2*9) - 3*10) / (2*10) = 0.4
+    t2 = pa.table(
+        {"l_partkey": pa.array([1] + [2] * 9, pa.int64())}
+    )
+    pq.write_table(t2, tmp_path / "lineitem.parquet")
+    out2 = key_skew_gini(str(tmp_path)).to_pandas()
+    assert abs(out2.loc[0, "gini"] - 0.4) < 1e-9

@@ -1422,3 +1422,145 @@ def source_hhi(sf_dir: str) -> rd.Dataset:
         )
 
     return counts.groupby("lang").map_groups(finish, batch_format="pandas")
+
+
+def k_anonymity(sf_dir: str, k: int = 8) -> rd.Dataset:
+    """k-anonymity audit over the (nationkey, mktsegment) quasi-
+    identifier pair: per equivalence class its size and whether it
+    meets the ``k`` threshold — the privacy gate run before releasing
+    a user-level extract. Scale shape: per-batch partial counts, one
+    small groupby (QI-class-bounded), flag column; no row-level data
+    leaves the scan."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_mktsegment"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().groupby(
+            ["c_nationkey", "c_mktsegment"], as_index=False, sort=False
+        ).size().rename(columns={"size": "n"})
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["c_nationkey", "c_mktsegment"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda b: b.append_column(
+                "k_anonymous",
+                pc.greater_equal(b.column("n"), pa.scalar(k)),
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def time_weighted_avg(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """Per-user time-weighted average of ``value`` (trapezoidal rule
+    over the event timeline) — the correct "average state" metric for
+    irregularly sampled streams, where the arithmetic mean over-weights
+    bursts. Second-resolution timestamps and milli-quantized values
+    keep every partial an exact int64 (per-pair product <= ~1e13; the
+    SQL oracle accumulates the identical integers), one float division
+    + 6dp round at the end. Users with < 2 events or zero span drop.
+
+    Scale shape: ONE user-bucket shuffle, per bucket one vectorized
+    pass (sort by (user, ts, event_id), shifted diffs, masked pair
+    products, cython groupby-sum)."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "value", "event_id"],
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_bucket",
+            pa.array(key_bucket(b.column("user_id"), num_buckets).astype(np.int32)),
+        )
+
+    def twa(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        user = s["user_id"].to_numpy(np.int64)
+        tsec = s["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // 1_000_000
+        mv = np.asarray(_cents(pa.Array.from_pandas(s["value"]), 1000))
+        same = user[1:] == user[:-1]
+        dt = (tsec[1:] - tsec[:-1])[same]
+        pairsum = (mv[1:] + mv[:-1])[same]
+        u = user[1:][same]
+        agg = pd.DataFrame(
+            {"user_id": u, "numer": pairsum * dt, "denom": dt}
+        ).groupby("user_id", as_index=False, sort=False).sum()
+        agg = agg[agg["denom"] > 0]
+        return pd.DataFrame(
+            {
+                "user_id": agg["user_id"],
+                "twa": np.round(
+                    agg["numer"].to_numpy(np.float64)
+                    / (2000.0 * agg["denom"].to_numpy(np.float64)),
+                    6,
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: twa(g.drop(columns=["_bucket"])), batch_format="pandas"
+        )
+    )
+
+
+def key_skew_gini(sf_dir: str) -> rd.Dataset:
+    """Partition-skew audit: Gini coefficient of the per-partkey row
+    counts of lineitem — the one-number answer to "will this key
+    shuffle hot-spot?". Exact integers end-to-end (ascending-count
+    ranks via the distributed global_rank; ties contribute identically
+    under any tie order, so the statistic is deterministic), one float
+    division + 6dp round. Output: (n_keys, n_rows, gini).
+
+    Scale shape: counts ride one bucketed hash-aggregate; the rank pass
+    sorts only the KEY-COUNT table (distinct-key-sized, not row-sized);
+    final reduce is three exact integer sums."""
+    from vietnamese_ocr_ray.functions.rank import global_rank
+
+    ds = read_parquet_clean(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        u, c = np.unique(np.asarray(b.column("l_partkey"), np.int64), return_counts=True)
+        return pa.table({"key": pa.array(u), "c": pa.array(c.astype(np.int64))})
+
+    counts = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["key"],
+        {"c": ("c", "sum")},
+    )
+    ranked = global_rank(counts, ["c", "key"], out_col="rank")
+
+    def moments(b: pa.Table) -> pa.Table:
+        c = np.asarray(b.column("c"), np.int64)
+        r = np.asarray(b.column("rank"), np.int64) + 1  # 1-based
+        return pa.table(
+            {
+                "n_keys": pa.array([np.int64(len(c))]),
+                "total": pa.array([c.sum()]),
+                "rc": pa.array([(r * c).sum()]),
+            }
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = int(pc.sum(b.column("n_keys")).as_py() or 0)
+        tot = int(pc.sum(b.column("total")).as_py() or 0)
+        rc = int(pc.sum(b.column("rc")).as_py() or 0)
+        gini = (2.0 * rc - (n + 1.0) * tot) / (float(n) * tot) if n and tot else 0.0
+        return pa.table(
+            {
+                "n_keys": pa.array([n], pa.int64()),
+                "n_rows": pa.array([tot], pa.int64()),
+                "gini": pa.array([round(gini, 6)], pa.float64()),
+            }
+        )
+
+    return ranked.map_batches(moments, batch_format="pyarrow").repartition(1).map_batches(
+        finish, batch_format="pyarrow"
+    )
