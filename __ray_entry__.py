@@ -2297,6 +2297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity": lambda sf: analytics.k_anonymity(sf),
         "time_weighted_avg": lambda sf: analytics.time_weighted_avg(sf),
         "key_skew_gini": lambda sf: analytics.key_skew_gini(sf),
+        "cusum_drift": lambda sf: analytics.cusum_drift(sf),
         "interval_coverage": lambda sf: relational.interval_coverage(sf),
         "rolling_median": lambda sf: relational.rolling_median(sf),
         "value_pct_rank": lambda sf: analytics.value_percent_rank(sf),
@@ -6523,6 +6524,29 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(greatest(en - greatest(s, coalesce(pm, s)), 0))
                     AS BIGINT) AS covered_us
         FROM w GROUP BY user_id
+        """,
+        "cusum_drift": """
+        WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                          CAST(sum(CAST(ROUND(value * 1000) AS BIGINT))
+                               AS BIGINT) AS x
+                   FROM events GROUP BY event_type, hour),
+        t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS hh,
+                     CAST(sum(x) AS BIGINT) AS tot
+              FROM h GROUP BY event_type),
+        y AS (SELECT h.event_type, h.hour, t.hh, t.hh * h.x - t.tot AS y
+              FROM h JOIN t USING (event_type)),
+        c AS (SELECT event_type, hour, hh,
+                     CAST(sum(y) OVER (PARTITION BY event_type
+                                       ORDER BY hour) AS BIGINT) AS cum
+              FROM y),
+        m AS (SELECT event_type, hour, hh, cum,
+                     least(CAST(0 AS BIGINT),
+                           min(cum) OVER (PARTITION BY event_type
+                                          ORDER BY hour)) AS mn
+              FROM c)
+        SELECT event_type, hour, cum - mn AS cusum,
+               (cum - mn) > 200000 * hh AS drift
+        FROM m
         """,
         "k_anonymity": """
         SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,

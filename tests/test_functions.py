@@ -2627,3 +2627,43 @@ def test_key_skew_gini_bounds(ray_session, tmp_path):
     pq.write_table(t2, tmp_path / "lineitem.parquet")
     out2 = key_skew_gini(str(tmp_path)).to_pandas()
     assert abs(out2.loc[0, "gini"] - 0.4) < 1e-9
+
+
+def test_cusum_drift_detects_level_shift(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.analytics import cusum_drift
+
+    # 10 quiet hours at 10.0 then 10 shifted hours at 500.0: CUSUM must
+    # stay boring early and flag the post-shift hours
+    hours = pd.date_range("2024-01-01", periods=20, freq="h").astype(
+        "datetime64[us]"
+    )
+    vals = [10.0] * 10 + [500.0] * 10
+    t = pa.table(
+        {
+            "event_id": pa.array(range(20), pa.int64()),
+            "ts": pa.array(hours),
+            "user_id": pa.array([1] * 20, pa.int64()),
+            "event_type": pa.array(["a"] * 20),
+            "value": pa.array(vals),
+            "props": pa.array(["{}"] * 20),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = (
+        cusum_drift(str(tmp_path), thresh_milli=200_000)
+        .to_pandas()
+        .sort_values("hour")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 20
+    # exact closed form: mean=255, so post-shift slope is +245/h scaled
+    assert not out.loc[:9, "drift"].any()
+    assert out.loc[19, "drift"]
+    assert (out["cusum"] >= 0).all()
+    # S_t == cumsum(H*x - T) - running-min clipped at 0 (hand value at
+    # t=10: C dropped 10*245*H_scale then climbs; first post-shift hour
+    # has S = H*(500-255)*1000 = 20*245000)
+    assert out.loc[10, "cusum"] == 20 * 245_000

@@ -1564,3 +1564,63 @@ def key_skew_gini(sf_dir: str) -> rd.Dataset:
     return ranked.map_batches(moments, batch_format="pyarrow").repartition(1).map_batches(
         finish, batch_format="pyarrow"
     )
+
+
+def cusum_drift(
+    sf_dir: str, thresh_milli: int = 200_000, num_buckets: int = 8
+) -> rd.Dataset:
+    """CUSUM changepoint/drift detection per event_type over hourly
+    value sums (Page 1954), exact-integer end-to-end via the closed
+    form ``S_t = C_t - min(0, min_{j<=t} C_j)`` with
+    ``C = cumsum(H*x_t - T)`` — the per-type deviation series scaled by
+    the hour count H so the target mean T/H never becomes a float.
+    ``drift`` flags hours where S_t exceeds ``thresh_milli * H``
+    (threshold stated in milli-value units, scale-matched to S).
+    Observed hours only (gaps contribute nothing, documented).
+
+    Scale shape: hourly sums ride one bucketed hash-aggregate (the
+    shuffle carries (type, hour) cells, not events); per-type totals
+    are a type-bounded broadcast; the sequential scan is one vectorized
+    cumsum/cummin per type (744 cells/month — driver never loops)."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def hourly(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "hour": pc.floor_temporal(b.column("ts"), unit="hour"),
+                "x": _cents(b.column("value"), 1000),
+            }
+        )
+        df = t.to_pandas().groupby(
+            ["event_type", "hour"], as_index=False, sort=False
+        )["x"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    cells = hash_aggregate(
+        ds.map_batches(hourly, batch_format="pyarrow"),
+        ["event_type", "hour"],
+        {"x": ("x", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.sort_values("hour", kind="stable")
+        x = s["x"].to_numpy(np.int64)
+        hh = np.int64(len(x))
+        tot = x.sum()
+        c = np.cumsum(hh * x - tot)
+        mn = np.minimum(np.minimum.accumulate(c), 0)
+        cusum = c - mn
+        return pd.DataFrame(
+            {
+                "event_type": s["event_type"],
+                "hour": s["hour"],
+                "cusum": cusum,
+                "drift": cusum > np.int64(thresh_milli) * hh,
+            }
+        )
+
+    return cells.groupby("event_type").map_groups(scan, batch_format="pandas")
