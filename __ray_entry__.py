@@ -2298,6 +2298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_weighted_avg": lambda sf: analytics.time_weighted_avg(sf),
         "key_skew_gini": lambda sf: analytics.key_skew_gini(sf),
         "cusum_drift": lambda sf: analytics.cusum_drift(sf),
+        "dp_counts": lambda sf: analytics.dp_counts(sf),
         "interval_coverage": lambda sf: relational.interval_coverage(sf),
         "rolling_median": lambda sf: relational.rolling_median(sf),
         "value_pct_rank": lambda sf: analytics.value_percent_rank(sf),
@@ -3132,6 +3133,35 @@ def _mul64_expr(x: str, c: int) -> str:
         f" + ((({x} >> 32)::HUGEINT * {c}) % 4294967296) * 4294967296)"
         f" % {_U64_MOD} AS UBIGINT)"
     )
+
+
+def _dp_counts_sql(epsilon: float = 0.5) -> str:
+    """(event_type, n, noisy_n) — the `dp_counts` oracle: the seeded
+    Laplace mechanism replayed verbatim (FNV-1a of the group key ->
+    splitmix64 finalize -> top-53-bit uniform -> inverse CDF -> milli
+    quantize -> one float add)."""
+    f1 = _mul64_expr("xor(h, h >> 30)", 0xBF58476D1CE4E5B9)
+    f2 = _mul64_expr("xor(h, h >> 27)", 0x94D049BB133111EB)
+    return f"""
+    WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY event_type),
+    h0 AS (SELECT event_type, n,
+                  {_FNV_STR_FOLD.format(col="event_type")} AS h FROM c),
+    f1 AS (SELECT event_type, n, {f1} AS h FROM h0),
+    f2 AS (SELECT event_type, n, {f2} AS h FROM f1),
+    f3 AS (SELECT event_type, n, xor(h, h >> 31) AS h FROM f2),
+    u AS (SELECT event_type, n,
+                 CAST(h >> 11 AS DOUBLE) * 1.1102230246251565e-16 AS u
+          FROM f3),
+    nz AS (SELECT event_type, n,
+                  CAST(floor(-(1.0 / {epsilon}) * sign(u - 0.5)
+                             * ln(1.0 - 2.0 * abs(u - 0.5)) * 1000.0
+                             + 0.5) AS BIGINT) AS milli
+           FROM u)
+    SELECT event_type, n,
+           CAST(n AS DOUBLE) + CAST(milli AS DOUBLE) / 1000.0 AS noisy_n
+    FROM nz
+    """
 
 
 def _hll_est_cte(item_sql: str, keyed: bool) -> str:
@@ -6525,6 +6555,7 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS covered_us
         FROM w GROUP BY user_id
         """,
+        "dp_counts": _dp_counts_sql(),
         "cusum_drift": """
         WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
                           CAST(sum(CAST(ROUND(value * 1000) AS BIGINT))

@@ -2667,3 +2667,33 @@ def test_cusum_drift_detects_level_shift(ray_session, tmp_path):
     # t=10: C dropped 10*245*H_scale then climbs; first post-shift hour
     # has S = H*(500-255)*1000 = 20*245000)
     assert out.loc[10, "cusum"] == 20 * 245_000
+
+
+def test_dp_counts_noise_properties(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.analytics import dp_counts
+
+    t = pa.table(
+        {
+            "event_id": pa.array(range(8), pa.int64()),
+            "ts": pa.array(
+                np.array(["2024-01-01T00:00:00"] * 8, "datetime64[us]")
+            ),
+            "user_id": pa.array([1] * 8, pa.int64()),
+            "event_type": pa.array(["a"] * 5 + ["b"] * 3),
+            "value": pa.array([1.0] * 8),
+            "props": pa.array(["{}"] * 8),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out1 = dp_counts(str(tmp_path)).to_pandas().set_index("event_type")
+    out2 = dp_counts(str(tmp_path)).to_pandas().set_index("event_type")
+    # deterministic: the same release twice, and milli-quantized
+    assert (out1["noisy_n"] == out2["noisy_n"]).all()
+    assert out1.loc["a", "n"] == 5 and out1.loc["b", "n"] == 3
+    for et in ("a", "b"):
+        d = out1.loc[et, "noisy_n"] - out1.loc[et, "n"]
+        assert abs(round(d * 1000) - d * 1000) < 1e-6
+        assert d != 0.0  # Laplace(b=2) draw of exactly 0 has measure ~0
+        assert abs(d) < 40  # tail bound sanity for b=2

@@ -1624,3 +1624,65 @@ def cusum_drift(
         )
 
     return cells.groupby("event_type").map_groups(scan, batch_format="pandas")
+
+
+def dp_counts(sf_dir: str, epsilon: float = 0.5) -> rd.Dataset:
+    """Differential-privacy count release (Dwork 2006 Laplace
+    mechanism) per event_type, with DETERMINISTIC noise so the release
+    is reproducible and SQL-replayable: the noise draw's uniform comes
+    from splitmix64(FNV-1a(event_type)) top 53 bits (the HLL family's
+    exact hash chain), mapped through the Laplace inverse CDF
+    ``-b * sign(u - 1/2) * ln(1 - 2|u - 1/2|)`` with ``b = 1/epsilon``,
+    then quantized to integer milli-units BEFORE the release sum (the
+    only float op pair is one ln + one division, replayed verbatim by
+    the oracle; a seeded-not-random mechanism is a calibration/audit
+    artifact, not a production privacy guarantee — document the seed).
+
+    Scale shape: per-batch partial counts -> one tiny grouped sum;
+    noise is a vectorized map over the group-bounded count table."""
+    from vietnamese_ocr_ray.functions.dedup import content_hash64
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        vc = pc.value_counts(b.column("event_type").combine_chunks())
+        return pa.table(
+            {
+                "event_type": pc.struct_field(vc, "values"),
+                "n": pc.struct_field(vc, "counts").cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def add_noise(b: pa.Table) -> pa.Table:
+        et = b.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        n = np.asarray(b.column("n"), np.int64)
+        h = content_hash64(et).astype(np.uint64)
+        z = h ^ (h >> np.uint64(30))
+        z = z * np.uint64(0xBF58476D1CE4E5B9)
+        z ^= z >> np.uint64(27)
+        z = z * np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+        u = (z >> np.uint64(11)).astype(np.float64) * 2.0**-53
+        d = u - 0.5
+        noise = -(1.0 / epsilon) * np.sign(d) * np.log(1.0 - 2.0 * np.abs(d))
+        milli = np.floor(noise * 1000.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": et,
+                "n": pa.array(n),
+                "noisy_n": pa.array(
+                    n.astype(np.float64) + milli.astype(np.float64) / 1000.0,
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return counts.map_batches(add_noise, batch_format="pyarrow")
