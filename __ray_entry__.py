@@ -2299,6 +2299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew_gini": lambda sf: analytics.key_skew_gini(sf),
         "cusum_drift": lambda sf: analytics.cusum_drift(sf),
         "dp_counts": lambda sf: analytics.dp_counts(sf),
+        "value_auc": lambda sf: analytics.value_auc(sf),
         "interval_coverage": lambda sf: relational.interval_coverage(sf),
         "rolling_median": lambda sf: relational.rolling_median(sf),
         "value_pct_rank": lambda sf: analytics.value_percent_rank(sf),
@@ -6556,6 +6557,29 @@ def oracle_sql() -> dict[str, str]:
         FROM w GROUP BY user_id
         """,
         "dp_counts": _dp_counts_sql(),
+        "value_auc": """
+        WITH e AS (SELECT CAST(ROUND(value * 1000) AS BIGINT) AS mv,
+                          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                          END AS pos
+                   FROM events),
+        c AS (SELECT mv, CAST(sum(pos) AS BIGINT) AS np,
+                     CAST(count(*) - sum(pos) AS BIGINT) AS nn
+              FROM e GROUP BY mv),
+        w AS (SELECT mv, np, nn,
+                     CAST(coalesce(sum(nn) OVER (ORDER BY mv
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS nn_less
+              FROM c),
+        s AS (SELECT CAST(sum(np * nn_less) AS BIGINT) AS wins,
+                     CAST(sum(np * nn) AS BIGINT) AS ties,
+                     CAST(sum(np) AS BIGINT) AS p,
+                     CAST(sum(nn) AS BIGINT) AS n FROM w)
+        SELECT p AS n_pos, n AS n_neg,
+               round(CAST(2 * wins + ties AS DOUBLE)
+                     / (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE)),
+                     6) AS auc
+        FROM s
+        """,
         "cusum_drift": """
         WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour,
                           CAST(sum(CAST(ROUND(value * 1000) AS BIGINT))

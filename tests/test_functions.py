@@ -2697,3 +2697,48 @@ def test_dp_counts_noise_properties(ray_session, tmp_path):
         assert abs(round(d * 1000) - d * 1000) < 1e-6
         assert d != 0.0  # Laplace(b=2) draw of exactly 0 has measure ~0
         assert abs(d) < 40  # tail bound sanity for b=2
+
+
+def test_value_auc_exact_with_ties(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.analytics import value_auc
+
+    # pos scores {3, 2}, neg {1, 2, 2}: wins = (3>1,3>2,3>2) + (2>1)=4,
+    # ties = (2==2)*2 -> AUC = (2*4 + 2)/(2*2*3) = 10/12
+    t = pa.table(
+        {
+            "event_id": pa.array(range(5), pa.int64()),
+            "ts": pa.array(
+                np.array(["2024-01-01T00:00:00"] * 5, "datetime64[us]")
+            ),
+            "user_id": pa.array([1] * 5, pa.int64()),
+            "event_type": pa.array(
+                ["purchase", "purchase", "view", "view", "view"]
+            ),
+            "value": pa.array([3.0, 2.0, 1.0, 2.0, 2.0]),
+            "props": pa.array(["{}"] * 5),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = value_auc(str(tmp_path)).to_pandas()
+    assert out.loc[0, "n_pos"] == 2 and out.loc[0, "n_neg"] == 3
+    assert abs(out.loc[0, "auc"] - round(10 / 12, 6)) < 1e-12
+
+
+def test_prefix_sum_exclusive_scan(ray_session):
+    from vietnamese_ocr_ray.functions.rank import prefix_sum
+
+    t = pa.table(
+        {
+            "k": pa.array([5, 3, 1, 4, 2], pa.int64()),
+            "v": pa.array([10, 20, 30, 40, 50], pa.int64()),
+        }
+    )
+    out = (
+        prefix_sum(rd.from_arrow(t).repartition(3), ["k"], "v")
+        .to_pandas()
+        .sort_values("k")
+    )
+    # sorted by k: v = [30, 50, 20, 40, 10] -> exclusive prefix
+    assert out["prefix"].tolist() == [0, 30, 80, 100, 140]

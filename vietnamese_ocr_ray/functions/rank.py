@@ -77,3 +77,46 @@ def rank_buckets(
         )
 
     return ranked.map_batches(label, batch_format="pyarrow")
+
+
+def prefix_sum(
+    ds: rd.Dataset,
+    sort_keys: list[str],
+    value_col: str,
+    out_col: str = "prefix",
+) -> rd.Dataset:
+    """Append ``out_col``: the EXCLUSIVE prefix sum of ``value_col``
+    (int64) under the global ``sort_keys`` order — the distributed
+    scan primitive behind rank statistics (Mann-Whitney AUC, Lorenz
+    curves, cumulative-share reports). Same shape as
+    :func:`global_rank`: one range sort, per-block partial sums to the
+    driver as bare ints (metadata scale), exclusive scan, block-local
+    cumsum."""
+    import ray
+
+    srt = ds.sort(sort_keys).materialize()
+    refs = srt.to_arrow_refs()
+    if not refs:
+        return srt
+
+    @ray.remote
+    def block_sum(t: pa.Table) -> int:
+        if not t.num_rows:
+            return 0
+        return int(np.asarray(t.column(value_col), np.int64).sum())
+
+    sums = np.array(ray.get([block_sum.remote(r) for r in refs]), np.int64)
+    starts = np.concatenate([[0], np.cumsum(sums)[:-1]])
+
+    @ray.remote
+    def finish(t: pa.Table, start: int) -> pa.Table:
+        v = (
+            np.asarray(t.column(value_col), np.int64)
+            if t.num_rows
+            else np.zeros(0, np.int64)
+        )
+        return t.append_column(out_col, pa.array(start + np.cumsum(v) - v))
+
+    return rd.from_arrow_refs(
+        [finish.remote(r, int(starts[i])) for i, r in enumerate(refs)]
+    )

@@ -1686,3 +1686,78 @@ def dp_counts(sf_dir: str, epsilon: float = 0.5) -> rd.Dataset:
         )
 
     return counts.map_batches(add_noise, batch_format="pyarrow")
+
+
+def value_auc(sf_dir: str, positive: str = "purchase") -> rd.Dataset:
+    """Mann-Whitney AUC of ``value`` as a ranking score for
+    ``event_type == positive`` — the model-free separability metric
+    every scoring pipeline reports, EXACT: with milli-quantized scores,
+    ``AUC = (2*wins + ties) / (2*P*N)`` where wins = positive-negative
+    pairs with pos score strictly greater and ties = equal-score
+    pairs — all exact int64 counts, one final division + 6dp round.
+
+    Scale shape: per-batch partial (score, pos/neg) counts -> one
+    bucketed hash-aggregate (distinct-score-bounded table) -> the
+    distributed :func:`~vietnamese_ocr_ray.functions.rank.prefix_sum`
+    scan gives every score its count of strictly-smaller negatives ->
+    three exact integer moments reduce to one row. No driver loops, no
+    quadratic pair expansion."""
+    from vietnamese_ocr_ray.functions.rank import prefix_sum
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        mv = np.asarray(_cents(b.column("value"), 1000), np.int64)
+        pos = pc.equal(b.column("event_type"), pa.scalar(positive)).to_numpy(
+            zero_copy_only=False
+        )
+        df = pd.DataFrame(
+            {"mv": mv, "np": pos.astype(np.int64), "nn": (~pos).astype(np.int64)}
+        ).groupby("mv", as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    counts = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["mv"],
+        {"np": ("np", "sum"), "nn": ("nn", "sum")},
+    )
+    scanned = prefix_sum(counts, ["mv"], "nn", out_col="nn_less")
+
+    def moments(b: pa.Table) -> pa.Table:
+        np_ = np.asarray(b.column("np"), np.int64)
+        nn = np.asarray(b.column("nn"), np.int64)
+        less = np.asarray(b.column("nn_less"), np.int64)
+        return pa.table(
+            {
+                "wins": pa.array([(np_ * less).sum()]),
+                "ties": pa.array([(np_ * nn).sum()]),
+                "p": pa.array([np_.sum()]),
+                "n": pa.array([nn.sum()]),
+            }
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        wins = int(pc.sum(b.column("wins")).as_py() or 0)
+        ties = int(pc.sum(b.column("ties")).as_py() or 0)
+        p = int(pc.sum(b.column("p")).as_py() or 0)
+        n = int(pc.sum(b.column("n")).as_py() or 0)
+        auc = (
+            round(float(2 * wins + ties) / (2.0 * float(p) * float(n)), 6)
+            if p and n
+            else 0.5
+        )
+        return pa.table(
+            {
+                "n_pos": pa.array([p], pa.int64()),
+                "n_neg": pa.array([n], pa.int64()),
+                "auc": pa.array([auc], pa.float64()),
+            }
+        )
+
+    return (
+        scanned.map_batches(moments, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow")
+    )
