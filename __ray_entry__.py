@@ -2300,6 +2300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_drift": lambda sf: analytics.cusum_drift(sf),
         "dp_counts": lambda sf: analytics.dp_counts(sf),
         "value_auc": lambda sf: analytics.value_auc(sf),
+        "lorenz_deciles": lambda sf: analytics.lorenz_deciles(sf),
         "interval_coverage": lambda sf: relational.interval_coverage(sf),
         "rolling_median": lambda sf: relational.rolling_median(sf),
         "value_pct_rank": lambda sf: analytics.value_percent_rank(sf),
@@ -6557,6 +6558,25 @@ def oracle_sql() -> dict[str, str]:
         FROM w GROUP BY user_id
         """,
         "dp_counts": _dp_counts_sql(),
+        "lorenz_deciles": """
+        WITH u AS (SELECT user_id,
+                          CAST(sum(CAST(ROUND(value * 1000) AS BIGINT))
+                               AS BIGINT) AS mv
+                   FROM events GROUP BY user_id),
+        r AS (SELECT user_id, mv,
+                     row_number() OVER (ORDER BY mv, user_id) - 1 AS rnk
+              FROM u),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(mv) AS BIGINT) AS tot FROM u),
+        d AS (SELECT rnk * 10 // n AS decile, mv FROM r CROSS JOIN nn),
+        g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+                     CAST(sum(mv) AS BIGINT) AS dsum FROM d GROUP BY decile)
+        SELECT decile, n_users,
+               round(CAST(dsum AS DOUBLE) / tot, 6) AS value_share,
+               round(CAST(sum(dsum) OVER (ORDER BY decile) AS DOUBLE)
+                     / tot, 6) AS cum_share
+        FROM g CROSS JOIN nn
+        """,
         "value_auc": """
         WITH e AS (SELECT CAST(ROUND(value * 1000) AS BIGINT) AS mv,
                           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0

@@ -2742,3 +2742,34 @@ def test_prefix_sum_exclusive_scan(ray_session):
     )
     # sorted by k: v = [30, 50, 20, 40, 10] -> exclusive prefix
     assert out["prefix"].tolist() == [0, 30, 80, 100, 140]
+
+
+def test_lorenz_deciles_concentration(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.analytics import lorenz_deciles
+
+    # 10 users with totals 1..10 -> decile i holds user with total i+1;
+    # total = 55; cum_share must be the exact partial sums / 55
+    rows = []
+    for u in range(10):
+        rows.extend([(u, 1.0)] * (u + 1))
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                np.array(["2024-01-01T00:00:00"] * len(rows), "datetime64[us]")
+            ),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array(["a"] * len(rows)),
+            "value": pa.array([r[1] for r in rows]),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = lorenz_deciles(str(tmp_path)).to_pandas().sort_values("decile")
+    assert out["n_users"].tolist() == [1] * 10
+    assert out["decile"].tolist() == list(range(10))
+    cums = np.cumsum(np.arange(1, 11)) / 55.0
+    assert np.allclose(out["cum_share"].to_numpy(), np.round(cums, 6))
+    assert out["cum_share"].iloc[-1] == 1.0

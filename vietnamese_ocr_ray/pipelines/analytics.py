@@ -1761,3 +1761,74 @@ def value_auc(sf_dir: str, positive: str = "purchase") -> rd.Dataset:
         .repartition(1)
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def lorenz_deciles(sf_dir: str) -> rd.Dataset:
+    """Lorenz-curve decile table of per-user value concentration: users
+    ranked ascending by their exact milli-quantized value total, split
+    into 10 equal-count bands (``rank*10 // n`` — no float quantile
+    boundary), each band's share and cumulative share of total value —
+    the concentration audit behind "top 10% of users drive X%".
+
+    Scale shape: per-user sums ride one bucketed hash-aggregate;
+    :func:`~vietnamese_ocr_ray.functions.rank.global_rank` assigns
+    positions without collecting (user-table-sized sort); the decile
+    reduce is 10 rows."""
+    from vietnamese_ocr_ray.functions.rank import global_rank
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "user_id": np.asarray(b.column("user_id"), np.int64),
+                "mv": np.asarray(_cents(b.column("value"), 1000), np.int64),
+            }
+        ).groupby("user_id", as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    sums = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"],
+        {"mv": ("mv", "sum")},
+    )
+    ranked = global_rank(sums, ["mv", "user_id"])
+    n = ranked.count()
+
+    def decile(b: pa.Table) -> pa.Table:
+        r = np.asarray(b.column("rank"), np.int64)
+        mv = np.asarray(b.column("mv"), np.int64)
+        df = pd.DataFrame({"decile": r * 10 // max(n, 1), "n_users": 1, "dsum": mv})
+        g = df.groupby("decile", as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+
+    def finish(b: pa.Table) -> pa.Table:
+        df = (
+            b.to_pandas()
+            .groupby("decile", as_index=False, sort=False)
+            .sum()
+            .sort_values("decile")
+        )
+        tot = float(df["dsum"].sum())
+        dsum = df["dsum"].to_numpy(np.int64)
+        return pa.table(
+            {
+                "decile": pa.array(df["decile"].to_numpy(np.int64)),
+                "n_users": pa.array(df["n_users"].to_numpy(np.int64)),
+                "value_share": pa.array(
+                    np.round(dsum.astype(np.float64) / tot, 6), pa.float64()
+                ),
+                "cum_share": pa.array(
+                    np.round(np.cumsum(dsum).astype(np.float64) / tot, 6),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        ranked.map_batches(decile, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow")
+    )
