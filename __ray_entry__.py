@@ -2301,6 +2301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dp_counts": lambda sf: analytics.dp_counts(sf),
         "value_auc": lambda sf: analytics.value_auc(sf),
         "lorenz_deciles": lambda sf: analytics.lorenz_deciles(sf),
+        "hill_tail_index": lambda sf: analytics.hill_tail_index(sf),
         "interval_coverage": lambda sf: relational.interval_coverage(sf),
         "rolling_median": lambda sf: relational.rolling_median(sf),
         "value_pct_rank": lambda sf: analytics.value_percent_rank(sf),
@@ -6558,6 +6559,28 @@ def oracle_sql() -> dict[str, str]:
         FROM w GROUP BY user_id
         """,
         "dp_counts": _dp_counts_sql(),
+        "hill_tail_index": """
+        WITH e AS (SELECT event_id,
+                          CAST(ROUND(value * 1000) AS BIGINT) AS mv
+                   FROM events
+                   WHERE CAST(ROUND(value * 1000) AS BIGINT) > 0),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                      CAST(count(*) // 10 AS BIGINT) AS k FROM e),
+        r AS (SELECT mv, row_number() OVER (ORDER BY mv DESC,
+                                            event_id DESC) AS rnk
+              FROM e),
+        u AS (SELECT r.mv AS thresh FROM r CROSS JOIN nn
+              WHERE r.rnk = nn.k + 1),
+        q AS (SELECT CAST(floor(ln(CAST(r.mv AS DOUBLE) / thresh)
+                                * 1000000 + 0.5) AS BIGINT) AS qn
+              FROM r CROSS JOIN u CROSS JOIN nn WHERE r.rnk <= nn.k)
+        SELECT (SELECT k FROM nn) AS k,
+               (SELECT thresh FROM u) AS thresh_milli,
+               round(CAST(sum(qn) AS DOUBLE)
+                     / (CAST((SELECT k FROM nn) AS DOUBLE) * 1000000.0),
+                     6) AS hill
+        FROM q
+        """,
         "lorenz_deciles": """
         WITH u AS (SELECT user_id,
                           CAST(sum(CAST(ROUND(value * 1000) AS BIGINT))

@@ -2773,3 +2773,29 @@ def test_lorenz_deciles_concentration(ray_session, tmp_path):
     cums = np.cumsum(np.arange(1, 11)) / 55.0
     assert np.allclose(out["cum_share"].to_numpy(), np.round(cums, 6))
     assert out["cum_share"].iloc[-1] == 1.0
+
+
+def test_hill_tail_index_pareto_recovery(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.analytics import hill_tail_index
+
+    # Pareto(alpha=2) quantile grid: x_i = (1 - i/n)^(-1/2); the Hill
+    # estimator over the top decile must land near 1/alpha = 0.5
+    n = 2000
+    i = np.arange(n)
+    x = (1.0 - i / n) ** -0.5
+    t = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(np.array(["2024-01-01T00:00:00"] * n, "datetime64[us]")),
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array(["a"] * n),
+            "value": pa.array(x),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = hill_tail_index(str(tmp_path)).to_pandas()
+    assert out.loc[0, "k"] == 200
+    assert abs(out.loc[0, "hill"] - 0.5) < 0.05

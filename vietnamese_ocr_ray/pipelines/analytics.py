@@ -1832,3 +1832,72 @@ def lorenz_deciles(sf_dir: str) -> rd.Dataset:
         .repartition(1)
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def hill_tail_index(sf_dir: str) -> rd.Dataset:
+    """Hill estimator of the value distribution's tail index over the
+    top-decile exceedances: ``H = (1/k) * sum ln(x_(i) / x_(k+1))`` for
+    the k = n//10 largest milli-quantized positive values — the
+    heavy-tail audit behind "can I mean-aggregate this column or do I
+    need winsorizing" (value_winsorized / value_mad are the companions).
+
+    Determinism contract: the order statistic x_(k+1) comes from the
+    exact global rank (value ties at the boundary contribute identical
+    VALUES whichever rows the tiebreak picks); each log ratio is
+    quantized to integer micro-nats (floor(x*1e6 + 0.5)) BEFORE the
+    order-independent integer sum; one division + 6dp round at the end.
+
+    Scale shape: one row-sized range sort (global_rank — order
+    statistics need it), then two metadata-sized reads (threshold row,
+    integer moment partials)."""
+    from vietnamese_ocr_ray.functions.rank import global_rank
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+
+    def mvs(b: pa.Table) -> pa.Table:
+        mv = np.asarray(_cents(b.column("value"), 1000), np.int64)
+        keep = mv > 0
+        return pa.table(
+            {
+                "mv": pa.array(mv[keep]),
+                "event_id": pc.filter(b.column("event_id"), pa.array(keep)),
+            }
+        )
+
+    ranked = global_rank(
+        ds.map_batches(mvs, batch_format="pyarrow"), ["mv", "event_id"]
+    )
+    n = ranked.count()
+    k = n // 10
+    thresh = ranked.filter(
+        expr=f"rank == {n - k - 1}"
+    ).to_pandas()["mv"].iloc[0]
+
+    def qsum(b: pa.Table) -> pa.Table:
+        r = np.asarray(b.column("rank"), np.int64)
+        mv = np.asarray(b.column("mv"), np.int64)
+        top = r >= n - k
+        q = np.floor(
+            np.log(mv[top].astype(np.float64) / float(thresh)) * 1e6 + 0.5
+        ).astype(np.int64)
+        return pa.table({"q": pa.array([q.sum()]), "cnt": pa.array([np.int64(top.sum())])})
+
+    def finish(b: pa.Table) -> pa.Table:
+        q = int(pc.sum(b.column("q")).as_py() or 0)
+        cnt = int(pc.sum(b.column("cnt")).as_py() or 0)
+        hill = round(float(q) / (float(cnt) * 1e6), 6) if cnt else 0.0
+        return pa.table(
+            {
+                "k": pa.array([cnt], pa.int64()),
+                "thresh_milli": pa.array([int(thresh)], pa.int64()),
+                "hill": pa.array([hill], pa.float64()),
+            }
+        )
+
+    return (
+        ranked.map_batches(qsum, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(finish, batch_format="pyarrow")
+    )
