@@ -1128,6 +1128,20 @@ def _ann_topk_multi(sf_dir: str):
     return ann_bruteforce_multi(ds, q, k=10)
 
 
+def _hard_negatives(sf_dir: str):
+    """Hard-negative mining: each embedding's 3 most-similar vectors
+    with a DIFFERENT label (chunk_rows=256 keeps the distributed
+    chunk-pair merge non-degenerate at every scale, same rationale as
+    _knn_join)."""
+    from vietnamese_ocr_ray.functions.ann import hard_negatives
+
+    ds = _read_pq(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    return hard_negatives(ds, k=3, chunk_rows=256)
+
+
 def _knn_join(sf_dir: str):
     """Exact k-NN self-join: every embedding's 5 most-similar
     neighbors (self excluded), selection on (round-6 cosine DESC,
@@ -2419,6 +2433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "ann_topk_multi": _ann_topk_multi,
         "knn_join": _knn_join,
+        "hard_negatives": _hard_negatives,
         "knn_join_ivf": _knn_join_ivf,
         "ann_topk_quantized": _ann_topk_quantized,
         "ann_lsh": _ann_lsh,
@@ -6144,6 +6159,23 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT query_id, vec_id, cos, CAST(rn AS BIGINT) AS rank
         FROM r WHERE rn <= 10
+        """,
+        "hard_negatives": """
+        -- hard-negative mining: same ranking contract as knn_join but
+        -- same-label candidates are masked instead of just self
+        WITH pairs AS (
+          SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+                 round(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 6) AS cos
+          FROM embeddings a JOIN embeddings b ON b.label <> a.label
+        ), r AS (
+          SELECT vec_id, nbr, cos,
+                 row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rn
+          FROM pairs
+        )
+        SELECT vec_id, nbr, cos FROM r WHERE rn <= 3
         """,
         "knn_join": """
         -- exact k-NN self-join: the window ranking IS the engine's

@@ -2799,3 +2799,43 @@ def test_hill_tail_index_pareto_recovery(ray_session, tmp_path):
     out = hill_tail_index(str(tmp_path)).to_pandas()
     assert out.loc[0, "k"] == 200
     assert abs(out.loc[0, "hill"] - 0.5) < 0.05
+
+
+def test_hard_negatives_masks_same_label(ray_session):
+    from vietnamese_ocr_ray.functions.ann import hard_negatives
+
+    rng = np.random.default_rng(3)
+    n, d = 40, 8
+    m = rng.normal(size=(n, d))
+    labels = (np.arange(n) % 3).astype(np.int32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [row.astype(np.float32).tolist() for row in m],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    out = hard_negatives(
+        rd.from_arrow(t).repartition(4), k=2, chunk_rows=16
+    ).to_pandas()
+    lab = {i: int(labels[i]) for i in range(n)}
+    # never a same-label neighbor, exactly k per vector
+    assert all(lab[r.vec_id] != lab[r.nbr] for r in out.itertuples())
+    assert (out.groupby("vec_id").size() == 2).all()
+    assert set(out["vec_id"]) == set(range(n))
+    # brute-force agreement on the top-1 (round-6 cos DESC, nbr ASC)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = np.round(mn @ mn.T, 6)
+    for v in range(n):
+        mask = labels != labels[v]
+        cands = sorted(
+            ((-(cos[v, j]), j) for j in np.nonzero(mask)[0])
+        )
+        best = cands[0][1]
+        got = out[out.vec_id == v].sort_values(
+            ["cos", "nbr"], ascending=[False, True]
+        )["nbr"].iloc[0]
+        assert got == best

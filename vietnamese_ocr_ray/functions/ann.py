@@ -116,30 +116,33 @@ def _chunk_arrays(t: pa.Table, id_col: str) -> tuple[np.ndarray, np.ndarray]:
     return np.asarray(t.column(id_col), dtype=np.int64), m
 
 
-def _normed_chunk_refs(ds: rd.Dataset, id_col: str, chunk_rows: int) -> list:
-    """Materialize (id, unit vector) chunks in the object store and
-    return their block REFERENCES — the driver never holds vector
-    data. One read pass; the row count is block metadata (free) for
-    sizing the chunk repartition. Empty input returns []."""
+def _normed_chunk_refs(
+    ds: rd.Dataset, id_col: str, chunk_rows: int, extra_cols: tuple = ()
+) -> list:
+    """Materialize (id, unit vector[, extras]) chunks in the object
+    store and return their block REFERENCES — the driver never holds
+    vector data. One read pass; the row count is block metadata (free)
+    for sizing the chunk repartition. Empty input returns []."""
 
     def norm_chunk(batch: pa.Table) -> pa.Table:
         m = _matrix(batch)
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-30)
-        return pa.table(
-            {
-                id_col: pc.cast(
-                    batch.column(id_col).combine_chunks()
-                    if isinstance(batch.column(id_col), pa.ChunkedArray)
-                    else batch.column(id_col),
-                    pa.int64(),
-                ),
-                "nvec": pa.FixedSizeListArray.from_arrays(
-                    pa.array(m.reshape(-1), pa.float64()), m.shape[1]
-                ),
-            }
-        )
+        cols = {
+            id_col: pc.cast(
+                batch.column(id_col).combine_chunks()
+                if isinstance(batch.column(id_col), pa.ChunkedArray)
+                else batch.column(id_col),
+                pa.int64(),
+            ),
+            "nvec": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.reshape(-1), pa.float64()), m.shape[1]
+            ),
+        }
+        for c in extra_cols:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
 
-    src = ds.select_columns([id_col, "embedding"]).materialize()
+    src = ds.select_columns([id_col, "embedding", *extra_cols]).materialize()
     n = src.count()
     if n == 0:
         return []
@@ -879,3 +882,101 @@ def mmr_select(
             "mmr_score": pa.array(out_score, pa.float64()),
         }
     )
+
+
+def hard_negatives(
+    ds: rd.Dataset,
+    k: int = 3,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    chunk_rows: int = 8192,
+    max_tasks: int = 256,
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Hard-negative mining for contrastive/embedding training: for
+    every vector, its ``k`` most-cosine-similar vectors with a
+    DIFFERENT ``label_col`` — the near-miss negatives that teach a
+    metric model the class boundary (same-label neighbors are masked
+    exactly like self-matches in :func:`knn_join_exact`).
+
+    Same distribution shape and determinism contract as
+    :func:`knn_join_exact` (chunk-pair matmuls over object-store
+    refs, packed (micro-cos << 33) - nbr keys, bucketed per-id merge);
+    labels ride the normalized chunks so the mask is a vectorized
+    compare, never a join."""
+    import ray
+
+    from vietnamese_ocr_ray.functions.joins import _ensure_schema, key_bucket
+
+    block_refs = _normed_chunk_refs(
+        ds, id_col, chunk_rows, extra_cols=(label_col,)
+    )
+    if not block_refs:
+        return rd.from_arrow(_KNN_SCHEMA.empty_table())
+    c = len(block_refs)
+    ij = [(i, j) for i in range(c) for j in range(i, c)]
+    pair_tbl = pa.table(
+        {
+            "i": pa.array([p[0] for p in ij], pa.int32()),
+            "j": pa.array([p[1] for p in ij], pa.int32()),
+        }
+    )
+
+    def _arrays(t: pa.Table):
+        ids, m = _chunk_arrays(t, id_col)
+        lab = np.asarray(t.column(label_col), np.int64)
+        return ids, m, lab
+
+    def block_pair(batch: pa.Table) -> pa.Table:
+        vid, nbr, ci = [], [], []
+        for i, j in zip(
+            batch.column("i").to_pylist(), batch.column("j").to_pylist()
+        ):
+            ids_a, ma, la = _arrays(ray.get(block_refs[i]))
+            if i == j:
+                ids_b, mb, lb = ids_a, ma, la
+            else:
+                ids_b, mb, lb = _arrays(ray.get(block_refs[j]))
+            if not (ids_a.size and ids_b.size):
+                continue
+            cos = ma @ mb.T
+            np.round(cos, 6, out=cos)
+            micro = np.rint(cos * 1e6).astype(np.int64)
+            key = (micro << np.int64(33)) - ids_b[None, :]
+            key[la[:, None] == lb[None, :]] = _KNN_MIN  # same-label mask
+            a, b, kv = _knn_partial_topk(ids_a, key, ids_b, k)
+            vid.append(a), nbr.append(b), ci.append(kv)
+            if i != j:
+                key_t = (micro.T << np.int64(33)) - ids_a[None, :]
+                key_t[lb[:, None] == la[None, :]] = _KNN_MIN
+                a, b, kv = _knn_partial_topk(ids_b, key_t, ids_a, k)
+                vid.append(a), nbr.append(b), ci.append(kv)
+        if not vid:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "nbr": pa.array([], pa.int64()),
+                    "key": pa.array([], pa.int64()),
+                    "_bucket": pa.array([], pa.int32()),
+                }
+            )
+        v = np.concatenate(vid)
+        return pa.table(
+            {
+                "vec_id": pa.array(v),
+                "nbr": pa.array(np.concatenate(nbr)),
+                "key": pa.array(np.concatenate(ci)),
+                "_bucket": pa.array(
+                    key_bucket(pa.array(v), num_buckets).astype(np.int32)
+                ),
+            }
+        )
+
+    out = (
+        rd.from_arrow(pair_tbl)
+        .repartition(min(len(ij), max_tasks))
+        .map_batches(block_pair, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(lambda g: _knn_finish(g, k), batch_format="pandas")
+    )
+    return _ensure_schema(out, _KNN_SCHEMA)
