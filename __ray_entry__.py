@@ -1406,6 +1406,96 @@ def _embedding_covariance(sf_dir: str, dims: int = 4):
     )
 
 
+def _label_centroid_sim(sf_dir: str, dims: int = 64):
+    """Pairwise cosine similarity between per-label embedding
+    centroids — the cross-class geometry audit behind "are my classes
+    separable / did my clustering collapse". Exact-integer transport:
+    micro-unit-quantized coordinate sums per label (the
+    _embedding_covariance convention); cosine is scale-invariant so
+    the count division cancels (cos(sa/na, sb/nb) == cos(sa, sb)) and
+    dot/norms are exact Python ints — two IEEE sqrts, one division,
+    6dp round at the end. One streaming pass; the grouped table is
+    label-bounded."""
+    from ray.data.aggregate import Sum
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        flat = np.asarray(emb.combine_chunks().flatten(), dtype=np.float64)
+        q = np.round(flat.reshape(batch.num_rows, -1)[:, :dims] * 1_000_000).astype(
+            np.int64
+        )
+        lab = np.asarray(batch.column("label"), np.int64)
+        u, inv = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(u), dims), np.int64)
+        np.add.at(sums, inv, q)
+        cols = {"label": pa.array(u)}
+        for i in range(dims):
+            cols[f"s{i}"] = pa.array(sums[:, i])
+        return pa.table(cols)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(*[Sum(f"s{i}", alias_name=f"s{i}") for i in range(dims)])
+        .to_pandas()
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+    import math
+
+    labels = [int(v) for v in agg["label"]]
+    s = [[int(agg.loc[r, f"s{i}"]) for i in range(dims)] for r in range(len(labels))]
+    la, lb, cos = [], [], []
+    for a in range(len(labels)):
+        for b in range(a + 1, len(labels)):
+            dot = sum(s[a][i] * s[b][i] for i in range(dims))
+            na = sum(v * v for v in s[a])
+            nb = sum(v * v for v in s[b])
+            la.append(labels[a])
+            lb.append(labels[b])
+            cos.append(
+                round(float(dot) / (math.sqrt(float(na)) * math.sqrt(float(nb))), 6)
+            )
+    return pa.table(
+        {
+            "label_a": pa.array(la, pa.int64()),
+            "label_b": pa.array(lb, pa.int64()),
+            "cosine": pa.array(cos, pa.float64()),
+        }
+    )
+
+
+def _label_centroid_sim_sql(dims: int = 64) -> str:
+    """(label_a, label_b, cosine) — the `label_centroid_sim` oracle:
+    identical micro-unit sums as HUGEINT, identical float finish."""
+    qcols = ", ".join(
+        f"CAST(ROUND(CAST(embedding[{i + 1}] AS DOUBLE) * 1000000)"
+        f" AS BIGINT) AS q{i}"
+        for i in range(dims)
+    )
+    scols = ", ".join(
+        f"CAST(sum(q{i}) AS BIGINT) AS s{i}" for i in range(dims)
+    )
+    dot = " + ".join(f"CAST(a.s{i} AS HUGEINT) * b.s{i}" for i in range(dims))
+    na = " + ".join(f"CAST(a.s{i} AS HUGEINT) * a.s{i}" for i in range(dims))
+    nb = " + ".join(f"CAST(b.s{i} AS HUGEINT) * b.s{i}" for i in range(dims))
+    return f"""
+    WITH q AS (SELECT label, {qcols} FROM embeddings),
+    s AS (SELECT label, {scols} FROM q GROUP BY label),
+    p AS (SELECT CAST(a.label AS BIGINT) AS label_a,
+                 CAST(b.label AS BIGINT) AS label_b,
+                 CAST({dot} AS DOUBLE) AS dot,
+                 CAST({na} AS DOUBLE) AS na,
+                 CAST({nb} AS DOUBLE) AS nb
+          FROM s a JOIN s b ON a.label < b.label)
+    SELECT label_a, label_b,
+           round(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
+    FROM p
+    """
+
+
 def _embedding_pca(sf_dir: str, n_components: int = 2):
     """Distributed PCA projection (rows-only: eigendecomposition is
     not SQL-expressible; bit-exact vs a single-machine numpy reference
@@ -2448,6 +2538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_neardup_cosine": _dedup_neardup_cosine,
         "embedding_stats": _embedding_stats,
         "embedding_covariance": _embedding_covariance,
+        "label_centroid_sim": _label_centroid_sim,
         "embedding_pca": _embedding_pca,
         "pca_project_2d": _pca_project_2d,
         "label_centroids": _label_centroids,
@@ -5341,6 +5432,7 @@ def oracle_sql() -> dict[str, str]:
         WHERE levenshtein(a.tok, b.tok) = 1
         """,
         "embedding_covariance": _cov_sql,
+        "label_centroid_sim": _label_centroid_sim_sql(),
         "embedding_neardup": """
         SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
                round(list_cosine_similarity(

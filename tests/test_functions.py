@@ -2839,3 +2839,35 @@ def test_hard_negatives_masks_same_label(ray_session):
             ["cos", "nbr"], ascending=[False, True]
         )["nbr"].iloc[0]
         assert got == best
+
+
+def test_label_centroid_sim_hand_geometry(ray_session, tmp_path, monkeypatch):
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+
+    d = 4
+    vecs = [
+        ([1.0, 0.0, 0.0, 0.0], 0),
+        ([1.0, 0.0, 0.0, 0.0], 0),
+        ([0.0, 1.0, 0.0, 0.0], 1),
+        ([1.0, 1.0, 0.0, 0.0], 2),
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [v for v, _ in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([l for _, l in vecs], pa.int32()),
+        }
+    )
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    out = (
+        entry._label_centroid_sim(str(tmp_path), dims=d)
+        .to_pandas()
+        .set_index(["label_a", "label_b"])
+    )
+    assert out.loc[(0, 1), "cosine"] == 0.0
+    assert abs(out.loc[(0, 2), "cosine"] - round(1 / 2**0.5, 6)) < 1e-6
+    assert abs(out.loc[(1, 2), "cosine"] - round(1 / 2**0.5, 6)) < 1e-6
