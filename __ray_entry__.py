@@ -2361,6 +2361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_shards": lambda sf: _batching().shuffle_shards(_docs(sf)),
         "bpe_merges": _bpe_merges,
         "bpe_encode": _bpe_encode,
+        "bpe_fertility": _bpe_fertility,
         "semdedup": _semdedup,
         "line_dedup": lambda sf: _corpus().dedup_lines(_docs(sf)),
         "line_dedup_docs": lambda sf: _corpus().dedup_lines_docs(_docs(sf)),
@@ -3857,6 +3858,85 @@ def _bpe_encode_sql(num_merges: int = 24) -> str:
           FROM documents) t
     JOIN bplen p USING (word)
     GROUP BY t.doc_id
+    """
+
+
+def _bpe_fertility(sf_dir: str):
+    """Tokenizer-fertility audit per language: total text chars per
+    BPE piece (high fertility = the tokenizer fragments that language
+    — the standard multilingual-tokenizer health metric). Rides the
+    existing bpe_learn/bpe_encode machinery; the per-doc (n_pieces)
+    table joins back to (lang, n_chars) on doc_id (row-sized hash
+    join), then one exact-integer grouped sum + single division."""
+    from vietnamese_ocr_ray.functions.bpe import bpe_encode, bpe_learn
+
+    merges = bpe_learn(_docs(sf_dir), num_merges=24)
+    enc = bpe_encode(_docs(sf_dir), merges)
+    meta = _docs(sf_dir, columns=("doc_id", "lang", "n_chars"))
+    joined = enc.join(
+        meta, join_type="inner", num_partitions=8, on=("doc_id",)
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "lang": b.column("lang"),
+                    "ch": pc.cast(b.column("n_chars"), pa.int64()),
+                    "p": pc.cast(b.column("n_pieces"), pa.int64()),
+                }
+            )
+            .group_by("lang")
+            .aggregate([("ch", "sum"), ("p", "sum")])
+        )
+        return g.rename_columns(["lang", "ch", "p"])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("ch", alias_name="ch"), Sum("p", alias_name="p"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "lang": b.column("lang"),
+                    "n_chars": b.column("ch"),
+                    "n_pieces": b.column("p"),
+                    "fertility": pa.array(
+                        np.round(
+                            np.asarray(b.column("ch"), np.int64).astype(np.float64)
+                            / np.asarray(b.column("p"), np.int64).astype(np.float64),
+                            6,
+                        ),
+                        pa.float64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _bpe_fertility_sql(num_merges: int = 24) -> str:
+    """(lang, n_chars, n_pieces, fertility) — the `bpe_fertility`
+    oracle: encode replay -> per-lang exact sums -> one division."""
+    return f"""
+    WITH {_bpe_learn_cte(num_merges)},
+    {_bpe_encode_cte(num_merges)},
+    per AS (
+      SELECT d.lang, CAST(sum(p.n_pieces) AS BIGINT) AS n_pieces
+      FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+            FROM documents) d
+      JOIN bplen p USING (word)
+      GROUP BY d.lang
+    ),
+    ch AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n_chars
+           FROM documents GROUP BY lang)
+    SELECT ch.lang, ch.n_chars, per.n_pieces,
+           round(CAST(ch.n_chars AS DOUBLE)
+                 / CAST(per.n_pieces AS DOUBLE), 6) AS fertility
+    FROM ch JOIN per USING (lang)
     """
 
 
@@ -6226,6 +6306,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": _semdedup_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "bpe_encode": _bpe_encode_sql(),
+        "bpe_fertility": _bpe_fertility_sql(),
         "pack_bins_bpe": _pack_bins_bpe_sql(),
         "train_standin": _train_standin_sql(),
         "embedding_neardup_lsh": _embedding_neardup_lsh_sql(),

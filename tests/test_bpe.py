@@ -136,3 +136,28 @@ def test_bpe_encode_partitioning_invariant(ray_session):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_bpe_fertility_hand_corpus(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+
+    texts = ["aaaa aaaa", "bb bb bb"]
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en", "de"]),
+            "source": pa.array(["s", "s"]),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = entry._bpe_fertility(str(tmp_path)).to_pandas().set_index("lang")
+    # 24 merges on this corpus collapse each word to 1 piece
+    assert out.loc["en", "n_pieces"] == 2 and out.loc["de", "n_pieces"] == 3
+    assert abs(out.loc["en", "fertility"] - round(9 / 2, 6)) < 1e-9
+    assert abs(out.loc["de", "fertility"] - round(8 / 3, 6)) < 1e-9
