@@ -923,6 +923,68 @@ def _dedup_neardup(sf_dir: str):
     )
 
 
+def _dedup_impact(sf_dir: str):
+    """Curation impact report: per source, docs before vs after
+    MinHash near-dup removal and the kept fraction — the number every
+    dedup run is judged by ("how much of source X survived"). Rides
+    the SQL-value-checked _dedup_neardup survivor path; survivor ids
+    join back to (doc_id, source) on a row-sized hash join; counts are
+    exact ints + one division."""
+    surv = _dedup_neardup(sf_dir).map_batches(
+        lambda b: b.append_column("kept", pa.array(np.ones(b.num_rows, np.int64))),
+        batch_format="pyarrow",
+    )
+    meta = _docs(sf_dir, columns=("doc_id", "source"))
+    joined = meta.join(
+        surv, join_type="left_outer", num_partitions=8, on=("doc_id",)
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        kept = b.column("kept")
+        if isinstance(kept, pa.ChunkedArray):
+            kept = kept.combine_chunks()
+        k = kept.to_numpy(zero_copy_only=False)
+        k = np.where(np.isnan(k.astype(np.float64)), 0, 1).astype(np.int64)
+        return (
+            pa.table(
+                {
+                    "source": b.column("source"),
+                    "n_docs": pa.array(np.ones(b.num_rows, np.int64)),
+                    "n_kept": pa.array(k),
+                }
+            )
+            .group_by("source")
+            .aggregate([("n_docs", "sum"), ("n_kept", "sum")])
+            .rename_columns(["source", "n_docs", "n_kept"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_kept", alias_name="n_kept"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "source": b.column("source"),
+                    "n_docs": b.column("n_docs"),
+                    "n_kept": b.column("n_kept"),
+                    "pct_kept": pa.array(
+                        np.round(
+                            np.asarray(b.column("n_kept"), np.int64).astype(np.float64)
+                            / np.asarray(b.column("n_docs"), np.int64).astype(np.float64),
+                            6,
+                        ),
+                        pa.float64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def _simhash_pairs(sf_dir: str):
     """SimHash near-dup pairs (banded Hamming search; COMPLETE for
     hamming <= bands-1 by pigeonhole, cap=None so no skew guard can
@@ -2505,6 +2567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_match_ed1": _fuzzy_match_ed1,
         "minhash_pairs": _minhash_pairs,
         "dedup_neardup": _dedup_neardup,
+        "dedup_impact": _dedup_impact,
         "simhash": _simhash,
         "simhash_pairs": _simhash_pairs,
         "dedup_neardup_simhash": _dedup_neardup_simhash,
@@ -6296,6 +6359,15 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_pairs_sql(),
         "ssjoin_pairs": _ssjoin_pairs_sql(k=16),
         "dedup_neardup": _minhash_dedup_sql(),
+        "dedup_impact": f"""
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(s.doc_id) AS BIGINT) AS n_kept,
+               round(CAST(count(s.doc_id) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE), 6) AS pct_kept
+        FROM documents d
+        LEFT JOIN ({_minhash_dedup_sql()}) s ON s.doc_id = d.doc_id
+        GROUP BY d.source
+        """,
         "approx_distinct_tokens": _hll_distinct_tokens_sql(),
         "approx_users_per_type": _hll_users_per_type_sql(),
         "heavy_hitters_cms_full": _cms_full_sql(),

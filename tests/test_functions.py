@@ -2871,3 +2871,35 @@ def test_label_centroid_sim_hand_geometry(ray_session, tmp_path, monkeypatch):
     assert out.loc[(0, 1), "cosine"] == 0.0
     assert abs(out.loc[(0, 2), "cosine"] - round(1 / 2**0.5, 6)) < 1e-6
     assert abs(out.loc[(1, 2), "cosine"] - round(1 / 2**0.5, 6)) < 1e-6
+
+
+def test_dedup_impact_counts_removed_near_dups(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    texts = [base + f"tail{i}" for i in range(4)]  # near-dup cluster
+    rng = np.random.default_rng(5)
+    alphabet = list("abcdefghijklmnopqrstuvwxyz")
+    texts += [
+        " ".join(
+            "".join(rng.choice(alphabet, 8)) for _ in range(30)
+        )
+        for _ in range(4)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(8), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * 8),
+            "source": pa.array(["dups"] * 4 + ["uniq"] * 4),
+            "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+        }
+    )
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = entry._dedup_impact(str(tmp_path)).to_pandas().set_index("source")
+    assert out.loc["uniq", "n_kept"] == 4 and out.loc["uniq", "pct_kept"] == 1.0
+    assert out.loc["dups", "n_docs"] == 4
+    assert out.loc["dups", "n_kept"] == 1  # cluster collapses to min id
+    assert abs(out.loc["dups", "pct_kept"] - 0.25) < 1e-9
