@@ -2412,6 +2412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _decontaminate,
         "decontaminate_ngram": _decontaminate_ngram,
         "dup_ngram_spans": lambda sf: _corpus().dup_ngram_spans(_docs(sf)),
+        "ngram_novelty": lambda sf: _corpus().ngram_novelty(_docs(sf)),
         "dedup_ngram_excise": lambda sf: _corpus().excise_dup_ngrams(
             _docs(sf)
         ),
@@ -7079,6 +7080,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_tokens, len_bucket,
                rn // 32 AS batch_idx, rn % 32 AS pos_in_batch
         FROM b
+        """,
+        "ngram_novelty": """
+        WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        g AS (SELECT DISTINCT doc_id, substr(text, t.i, 8) AS gram
+              FROM d,
+                   unnest(generate_series(1, greatest(len - 7, 1))) AS t(i)),
+        df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+        per AS (SELECT g.doc_id,
+                       count(*) AS n_shingles,
+                       sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS n_unique
+                FROM g JOIN df USING (gram) GROUP BY g.doc_id)
+        SELECT doc_id,
+               CAST(n_shingles AS BIGINT) AS n_shingles,
+               CAST(n_unique AS BIGINT) AS n_unique,
+               round(n_unique / CAST(n_shingles AS DOUBLE), 6) AS novelty
+        FROM per
         """,
         "dup_ngram_spans": """
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t

@@ -2903,3 +2903,58 @@ def test_dedup_impact_counts_removed_near_dups(ray_session, tmp_path):
     assert out.loc["dups", "n_docs"] == 4
     assert out.loc["dups", "n_kept"] == 1  # cluster collapses to min id
     assert abs(out.loc["dups", "pct_kept"] - 0.25) < 1e-9
+
+
+def test_ngram_novelty_matches_python_reference(ray_session):
+    """Per-doc novelty must equal a plain-python df-1 count over
+    distinct k-byte shingles (k=8), including the zero-byte padding of
+    docs shorter than one shingle, and be partitioning-invariant."""
+    from vietnamese_ocr_ray.functions.corpus import ngram_novelty
+
+    shared = "the quick brown fox jumps over it"
+    texts = [
+        "alpha start " + shared + " end one",
+        "beta opening " + shared + " end two",
+        "completely unrelated text with zero overlap anywhere",
+        "aaaaaaaaaaaaaaaaaaaa",  # one distinct gram, df 1
+        "tiny",  # shorter than one shingle -> zero-byte padded gram
+        "tiny",  # identical short doc: padded grams collide (df 2)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+
+    k = 8
+    per_doc = []
+    for s in texts:
+        bs = s.encode()
+        if len(bs) < k:
+            bs = bs + b"\0" * (k - len(bs))  # single zero-padded window
+        grams = set()
+        for i in range(len(bs) - k + 1):
+            h = 0xCBF29CE484222325
+            for b in bs[i : i + k]:
+                h = ((h ^ b) * 0x100000001B3) % (1 << 64)
+            grams.add(h)
+        per_doc.append(grams)
+    from collections import Counter
+
+    df = Counter(g for grams in per_doc for g in grams)
+    for parts in (1, 3):
+        out = (
+            ngram_novelty(rd.from_arrow(t).repartition(parts))
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert len(out) == len(texts)
+        for i, grams in enumerate(per_doc):
+            uniq = sum(1 for g in grams if df[g] == 1)
+            assert out.loc[i, "n_shingles"] == len(grams)
+            assert out.loc[i, "n_unique"] == uniq
+            assert out.loc[i, "novelty"] == round(uniq / len(grams), 6)
+    # the two identical short docs share their padded gram (df 2)
+    assert out.loc[4, "n_unique"] == 0 and out.loc[5, "n_unique"] == 0

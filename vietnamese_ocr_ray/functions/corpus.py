@@ -769,3 +769,83 @@ def cdc_chunks(
         )
 
     return ds.map_batches(chunk, batch_format="pyarrow")
+
+
+def ngram_novelty(
+    ds: rd.Dataset, k: int = 8, num_buckets: int = 32
+) -> rd.Dataset:
+    """Per-doc n-gram novelty: the fraction of a document's DISTINCT
+    k-byte shingles that appear nowhere else in the corpus (document
+    frequency 1) — low novelty marks boilerplate/memorization-risk
+    docs, the doc-level complement of exact-substring dedup.
+
+    Scale shape: (shingle-hash, doc) rows ride ONE int-only
+    hash-bucket shuffle; a shingle's full posting lives in one bucket,
+    so within-bucket df IS global df (one sort + run-length pass, no
+    second join); per-doc partials then ride one bucketed aggregate.
+    Same FNV-64 hash-equality contract as minhash/ssjoin."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+    from vietnamese_ocr_ray.functions.dedup import _unique_shingles, _utf8_flat
+
+    def rows(b: pa.Table) -> pa.Table:
+        r, h = _unique_shingles(*_utf8_flat(b.column("text")), k)
+        ids = np.asarray(b.column("doc_id"), np.int64)[r]
+        hi = h.astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "h": pa.array(hi),
+                "bucket": pa.array(
+                    (h % np.uint64(num_buckets)).astype(np.int32)
+                ),
+            }
+        )
+
+    def bucket_df(g: pd.DataFrame) -> pa.Table:
+        s = g.sort_values("h", kind="stable")
+        h = s["h"].to_numpy(np.int64)
+        ids = s["doc_id"].to_numpy(np.int64)
+        n = h.shape[0]
+        change = np.ones(n, dtype=bool)
+        change[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(change)
+        runs = np.diff(np.append(starts, n))
+        df = np.repeat(runs, runs)
+        out = pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_unique": (df == 1).astype(np.int64),
+                "n_shingles": np.ones(n, np.int64),
+            }
+        ).groupby("doc_id", as_index=False, sort=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    per_doc = hash_aggregate(
+        ds.map_batches(rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: bucket_df(g.drop(columns=["bucket"])),
+            batch_format="pandas",
+        ),
+        ["doc_id"],
+        {"n_shingles": ("n_shingles", "sum"), "n_unique": ("n_unique", "sum")},
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        tot = np.asarray(b.column("n_shingles"), np.int64)
+        uni = np.asarray(b.column("n_unique"), np.int64)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_shingles": pa.array(tot),
+                "n_unique": pa.array(uni),
+                "novelty": pa.array(
+                    np.round(
+                        uni.astype(np.float64) / tot.astype(np.float64), 6
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")
