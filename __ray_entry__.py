@@ -1815,6 +1815,24 @@ def _kl_source_divergence(sf_dir: str):
     )
 
 
+def _kn_bigram_lm(sf_dir: str):
+    """Top-30 bigrams by interpolated Kneser-Ney probability (fixed
+    discount 0.75, min-count 5) — smoothed bigram LM estimation over
+    the corpus bigram table (functions/lm.py:kn_bigram_lm)."""
+    from vietnamese_ocr_ray.functions.lm import kn_bigram_lm
+
+    return kn_bigram_lm(_docs(sf_dir))
+
+
+def _zipf_slope(sf_dir: str):
+    """Zipf exponent over the top-100 token frequencies: OLS slope of
+    ln(freq) on ln(rank) with micro-nat integer quantization so the
+    moment sums are exact (functions/lm.py:zipf_slope)."""
+    from vietnamese_ocr_ray.functions.lm import zipf_slope
+
+    return zipf_slope(_docs(sf_dir))
+
+
 def _ttr(sf_dir: str):
     """Per-doc type-token ratio (lexical diversity) — batch-local
     lexsort run-detect distinct counting, integer 6-dp rounding
@@ -2647,6 +2665,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "vietnamese_ocr_ray.functions.lm", fromlist=["dsir_logratio"]
         ).dsir_logratio(_docs(sf)),
         "pmi_collocations": _pmi_collocations,
+        "kn_bigram_lm": _kn_bigram_lm,
+        "zipf_slope": _zipf_slope,
         "skipgram_pairs": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.lm", fromlist=["skipgram_pairs"]
         ).skipgram_pairs(_docs(sf)),
@@ -6253,6 +6273,50 @@ def oracle_sql() -> dict[str, str]:
         FROM cb JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot
         WHERE n >= 5
         ORDER BY pmi DESC, w1, w2 LIMIT 20
+        """,
+        "kn_bigram_lm": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        e AS (SELECT doc_id, unnest(l) AS tok,
+                     unnest(list_transform(l, (x, i) -> i)) AS pos FROM t),
+        b AS (SELECT a.tok AS w1, c.tok AS w2
+              FROM e a JOIN e c ON a.doc_id = c.doc_id AND c.pos = a.pos + 1),
+        cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+               FROM b GROUP BY w1, w2),
+        l AS (SELECT w1, CAST(sum(n) AS BIGINT) AS c1,
+                     CAST(count(*) AS BIGINT) AS t1
+              FROM cb GROUP BY w1),
+        r AS (SELECT w2, CAST(count(*) AS BIGINT) AS t2 FROM cb GROUP BY w2),
+        tot AS (SELECT CAST(sum(t1) AS DOUBLE) AS tt FROM l)
+        SELECT w1, w2, n AS n_occurrences,
+               ROUND((CAST(n AS DOUBLE) - CAST(0.75 AS DOUBLE)) / c1
+                     + CAST(0.75 AS DOUBLE) * t1 / c1
+                       * (CAST(t2 AS DOUBLE) / tot.tt),
+                     6) AS p_kn
+        FROM cb JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot
+        WHERE n >= 5
+        ORDER BY p_kn DESC, w1, w2 LIMIT 30
+        """,
+        "zipf_slope": """
+        WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+        c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY tok),
+        top AS (SELECT tok, n FROM c ORDER BY n DESC, tok LIMIT 100),
+        q AS (SELECT
+                CAST(round(ln(CAST(row_number() OVER
+                  (ORDER BY n DESC, tok) AS DOUBLE)) * 1000000) AS BIGINT)
+                  AS x,
+                CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS y
+              FROM top),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS np,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx
+              FROM q)
+        SELECT np AS n_points,
+               round(CAST(np * sxy - sx * sy AS DOUBLE)
+                     / CAST(np * sxx - sx * sx AS DOUBLE), 6) AS slope
+        FROM s
         """,
         "tfidf_top_terms": """
         WITH tok AS (

@@ -2958,3 +2958,97 @@ def test_ngram_novelty_matches_python_reference(ray_session):
             assert out.loc[i, "novelty"] == round(uniq / len(grams), 6)
     # the two identical short docs share their padded gram (df 2)
     assert out.loc[4, "n_unique"] == 0 and out.loc[5, "n_unique"] == 0
+
+
+def test_kn_bigram_lm_reference(ray_session):
+    """Interpolated Kneser-Ney vs a brute-force dict reference on a
+    tiny corpus; partitioning-invariant; every p_kn in (0, 1]."""
+    from vietnamese_ocr_ray.functions.lm import kn_bigram_lm
+
+    docs = [
+        "the cat sat on the mat",
+        "the cat ate the fish",
+        "the dog sat on the rug",
+        "a cat and a dog sat",
+        "the cat sat on a mat",
+        "the cat sat on the mat again",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs),
+        }
+    )
+    # brute-force reference: dict bigram counts -> KN formula
+    from collections import Counter, defaultdict
+
+    big = Counter()
+    for d in docs:
+        w = d.split(" ")
+        for i in range(len(w) - 1):
+            big[(w[i], w[i + 1])] += 1
+    c1, t1, t2 = Counter(), Counter(), Counter()
+    for (w1, w2), n in big.items():
+        c1[w1] += n
+        t1[w1] += 1
+        t2[w2] += 1
+    tt = float(sum(t1.values()))
+    d = 0.75
+    exp = {}
+    for (w1, w2), n in big.items():
+        if n >= 2:
+            exp[(w1, w2)] = round(
+                (n - d) / c1[w1] + d * t1[w1] / c1[w1] * (t2[w2] / tt), 6
+            )
+    for parts in (1, 4):
+        out = kn_bigram_lm(
+            rd.from_arrow(t).repartition(parts), k=10, min_count=2
+        ).to_pandas()
+        assert len(out) == min(10, len(exp))
+        got = dict(
+            zip(zip(out.w1, out.w2), out.p_kn)
+        )
+        for key, p in got.items():
+            assert exp[key] == p, (key, exp[key], p)
+        assert ((out.p_kn > 0) & (out.p_kn <= 1)).all()
+        # sorted by p_kn desc with (w1, w2) tiebreak
+        ordered = sorted(
+            got.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        assert list(zip(out.w1, out.w2)) == [k for k, _ in ordered]
+
+
+def test_zipf_slope_synthetic(ray_session):
+    """A corpus built with freq(rank) = round(C / rank) must recover a
+    slope near -1; OLS matches a numpy reference bit-for-bit."""
+    from vietnamese_ocr_ray.functions.lm import zipf_slope
+
+    # 30 tokens, token i repeated round(600 / rank) times
+    words = []
+    for i in range(1, 31):
+        words += [f"w{i:02d}"] * round(600 / i)
+    # spread across docs deterministically
+    docs = [" ".join(words[i::7]) for i in range(7)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs),
+        }
+    )
+    # numpy reference with the same micro-nat quantization
+    freq = np.array(sorted((round(600 / i) for i in range(1, 31)),
+                           reverse=True), dtype=np.int64)
+    rank = np.arange(1, 31, dtype=np.int64)
+    x = np.round(np.log(rank.astype(np.float64)) * 1e6).astype(np.int64)
+    y = np.round(np.log(freq.astype(np.float64)) * 1e6).astype(np.int64)
+    n = 30
+    num = n * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+    den = n * int((x * x).sum()) - int(x.sum()) ** 2
+    want = round(float(num) / float(den), 6)
+    for parts in (1, 3):
+        out = zipf_slope(
+            rd.from_arrow(t).repartition(parts), top_n=30
+        ).to_pandas()
+        assert out.n_points[0] == 30
+        assert out.slope[0] == want
+        assert -1.1 < out.slope[0] < -0.9

@@ -81,6 +81,8 @@ def _check(m, con, name):
         "snapshot_diff",
         "html_links",
         "core_vocab_nucleus",
+        "kn_bigram_lm",
+        "zipf_slope",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

@@ -687,3 +687,135 @@ def negsample_table(
             "slots": pa.array(base + extra),
         }
     )
+
+
+def kn_bigram_lm(
+    ds: rd.Dataset,
+    k: int = 30,
+    min_count: int = 5,
+    discount: float = 0.75,
+) -> rd.Dataset:
+    """Top-``k`` bigrams by interpolated Kneser-Ney probability —
+    the classic smoothed bigram LM (Kneser & Ney 1995; Chen & Goodman
+    1999 eq. 4.18 with a fixed discount):
+
+        p_kn(w2 | w1) = (c(w1,w2) - d) / c(w1)
+                        + d * t1(w1) / c(w1) * (t2(w2) / T)
+
+    with t1(w1) = |{w: c(w1,w) > 0}| (continuation fan-out of w1),
+    t2(w2) = |{w: c(w,w2) > 0}| (continuation fan-in of w2 — the KN
+    novelty: how many contexts w2 completes, not how often), and T the
+    total number of distinct bigram types. Every observed bigram has
+    c >= 1 > d, so the max(c - d, 0) clamp never binds on this table.
+
+    Scale shape: identical to :func:`pmi_collocations` — everything
+    derives from the bigram-count table (one corpus pass + one bucketed
+    hash-aggregate); the two marginal tables are vocabulary-bounded and
+    broadcast once via ray.put; top-k via sort+limit on the scored
+    count table. Selection orders on the ROUNDED score with a (w1, w2)
+    tiebreak, matching the SQL oracle."""
+    import ray
+
+    counts = bigram_counts(ds)
+    left = hash_aggregate(
+        counts, ["w1"], {"c1": ("n", "sum"), "t1": ("n", "count")}
+    ).to_pandas()  # vocabulary-bounded
+    right = hash_aggregate(counts, ["w2"], {"t2": ("n", "count")}).to_pandas()
+    total_types = float(left["t1"].sum())
+    handle = ray.put(
+        (
+            pa.array(left["w1"].to_numpy(), pa.string()),
+            left["c1"].to_numpy(np.int64),
+            left["t1"].to_numpy(np.int64),
+            pa.array(right["w2"].to_numpy(), pa.string()),
+            right["t2"].to_numpy(np.int64),
+        )
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        l_key, l_c1, l_t1, r_key, r_t2 = ray.get(handle)
+        batch = batch.filter(
+            pc.greater_equal(batch.column("n"), pa.scalar(min_count))
+        )
+        w1, w2 = batch.column("w1"), batch.column("w2")
+        if isinstance(w1, pa.ChunkedArray):
+            w1, w2 = w1.combine_chunks(), w2.combine_chunks()
+        li = pc.index_in(w1, value_set=l_key).to_numpy()
+        c1, t1 = l_c1[li], l_t1[li]
+        t2 = r_t2[pc.index_in(w2, value_set=r_key).to_numpy()]
+        n = np.asarray(batch.column("n"), dtype=np.int64)
+        # fixed-order float expression — the SQL oracle replays it
+        # term by term so both sides round the same IEEE double
+        p = (n - discount) / c1 + discount * t1 / c1 * (t2 / total_types)
+        return pa.table(
+            {
+                "w1": w1,
+                "w2": w2,
+                "n_occurrences": pa.array(n),
+                "p_kn": pa.array(np.round(p, 6), pa.float64()),
+            }
+        )
+
+    return (
+        counts.map_batches(score, batch_format="pyarrow")
+        .sort(["p_kn", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+    )
+
+
+def zipf_slope(ds: rd.Dataset, top_n: int = 100) -> rd.Dataset:
+    """Zipf exponent of the corpus: OLS slope of ln(frequency) on
+    ln(rank) over the ``top_n`` most frequent tokens (rank 1 = most
+    frequent, ties broken by token asc). A natural-language corpus
+    lands near -1; a strong departure flags TEMPLATED or synthetic
+    text — a corpus-level quality audit.
+
+    Determinism contract: each ln is rounded to integer MICRO-nats
+    (the kl_source_divergence pattern) so the OLS moment sums are
+    exact int64 arithmetic on both sides; the slope is then ONE float
+    division of two exact integers (the 1e6 scale factors cancel).
+
+    Scale shape: one corpus pass of per-batch partial token counts ->
+    bucketed hash-aggregate over the vocabulary -> sort+limit top_n
+    (tiny) -> driver OLS on ``top_n`` integers."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(batch.column("text"), " "))
+        vc = pc.value_counts(toks)
+        return pa.table(
+            {
+                "tok": pc.struct_field(vc, "values"),
+                "n": pc.struct_field(vc, "counts").cast(pa.int64()),
+            }
+        )
+
+    top = (
+        hash_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["tok"],
+            {"n": ("n", "sum")},
+        )
+        .sort(["n", "tok"], descending=[True, False])
+        .limit(top_n)
+        .to_pandas()  # top_n rows
+    )
+    n_pts = len(top)
+    freq = top["n"].to_numpy(np.int64)
+    rank = np.arange(1, n_pts + 1, dtype=np.int64)
+    x = np.round(np.log(rank.astype(np.float64)) * 1e6).astype(np.int64)
+    y = np.round(np.log(freq.astype(np.float64)) * 1e6).astype(np.int64)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy, sxx = int((x * y).sum()), int((x * x).sum())
+    num = n_pts * sxy - sx * sy
+    den = n_pts * sxx - sx * sx
+    # double/double (not exact-rational) division: the SQL oracle
+    # casts each exact integer to DOUBLE before dividing, so do the same
+    slope = round(float(num) / float(den), 6) if den else 0.0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_points": pa.array([n_pts], pa.int64()),
+                "slope": pa.array([slope], pa.float64()),
+            }
+        )
+    )
