@@ -1833,6 +1833,15 @@ def _zipf_slope(sf_dir: str):
     return zipf_slope(_docs(sf_dir))
 
 
+def _heaps_law(sf_dir: str):
+    """Heaps'-law vocabulary-growth audit: distinct vocab at ten
+    value-decile prefixes of the doc_id range + OLS Heaps exponent,
+    exact-integer decile histograms (functions/lm.py:heaps_law)."""
+    from vietnamese_ocr_ray.functions.lm import heaps_law
+
+    return heaps_law(_docs(sf_dir))
+
+
 def _ttr(sf_dir: str):
     """Per-doc type-token ratio (lexical diversity) — batch-local
     lexsort run-detect distinct counting, integer 6-dp rounding
@@ -2667,6 +2676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations": _pmi_collocations,
         "kn_bigram_lm": _kn_bigram_lm,
         "zipf_slope": _zipf_slope,
+        "heaps_law": _heaps_law,
         "skipgram_pairs": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.lm", fromlist=["skipgram_pairs"]
         ).skipgram_pairs(_docs(sf)),
@@ -6295,6 +6305,43 @@ def oracle_sql() -> dict[str, str]:
         FROM cb JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot
         WHERE n >= 5
         ORDER BY p_kn DESC, w1, w2 LIMIT 30
+        """,
+        "heaps_law": """
+        WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx
+                   FROM documents),
+        tok AS (SELECT tok, min(doc_id) AS fd
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents)
+                GROUP BY tok),
+        tb AS (SELECT ((fd - b.mn) * 10) // (b.mx - b.mn + 1) AS bucket,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM tok CROSS JOIN b GROUP BY 1),
+        db AS (SELECT ((doc_id - b.mn) * 10) // (b.mx - b.mn + 1) AS bucket,
+                      CAST(count(*) AS BIGINT) AS c
+               FROM documents CROSS JOIN b GROUP BY 1),
+        k AS (SELECT cp FROM generate_series(1, 10) t(cp)),
+        v AS (SELECT cp,
+                     (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT)
+                      FROM db WHERE bucket < cp) AS n_docs,
+                     (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT)
+                      FROM tb WHERE bucket < cp) AS vocab
+              FROM k),
+        q AS (SELECT CAST(round(ln(CAST(n_docs AS DOUBLE)) * 1000000)
+                          AS BIGINT) AS x,
+                     CAST(round(ln(CAST(vocab AS DOUBLE)) * 1000000)
+                          AS BIGINT) AS y
+              FROM v),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS np,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx
+              FROM q)
+        SELECT CAST(v.cp AS BIGINT) AS checkpoint, v.n_docs, v.vocab,
+               round(CAST(s.np * s.sxy - s.sx * s.sy AS DOUBLE)
+                     / CAST(s.np * s.sxx - s.sx * s.sx AS DOUBLE), 6)
+                 AS beta
+        FROM v CROSS JOIN s
         """,
         "zipf_slope": """
         WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok

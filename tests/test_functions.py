@@ -3052,3 +3052,55 @@ def test_zipf_slope_synthetic(ray_session):
         assert out.n_points[0] == 30
         assert out.slope[0] == want
         assert -1.1 < out.slope[0] < -0.9
+
+
+def test_heaps_law_reference(ray_session):
+    """Brute-force dict reference on a corpus with controlled novelty:
+    each doc introduces i new tokens plus old filler — checkpoints and
+    beta must match exactly, for any partitioning."""
+    from vietnamese_ocr_ray.functions.lm import heaps_law
+
+    rng = np.random.RandomState(7)
+    docs, uid = [], 0
+    for i in range(20):
+        new = [f"n{uid + j}" for j in range(1 + i % 3)]
+        uid += len(new)
+        old = [f"n{rng.randint(0, max(uid, 1))}" for _ in range(4)]
+        docs.append(" ".join(new + old))
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(20), pa.int64()),
+            "text": pa.array(docs),
+        }
+    )
+    # brute force
+    first = {}
+    for d, txt in enumerate(docs):
+        for w in txt.split(" "):
+            first.setdefault(w, d)
+    mn, mx = 0, 19
+    span = mx - mn + 1
+    n_docs = np.cumsum(
+        np.bincount([(d - mn) * 10 // span for d in range(20)], minlength=10)
+    )
+    vocab = np.cumsum(
+        np.bincount(
+            [(fd - mn) * 10 // span for fd in first.values()], minlength=10
+        )
+    )
+    x = np.round(np.log(n_docs.astype(np.float64)) * 1e6).astype(np.int64)
+    y = np.round(np.log(vocab.astype(np.float64)) * 1e6).astype(np.int64)
+    num = 10 * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+    den = 10 * int((x * x).sum()) - int(x.sum()) ** 2
+    beta = round(float(num) / float(den), 6)
+    for parts in (1, 4):
+        out = (
+            heaps_law(rd.from_arrow(t).repartition(parts))
+            .to_pandas()
+            .sort_values("checkpoint")
+            .reset_index(drop=True)
+        )
+        assert list(out.n_docs) == list(n_docs)
+        assert list(out.vocab) == list(vocab)
+        assert (out.beta == beta).all()
+        assert beta > 0  # growing vocabulary (values checked exactly above)

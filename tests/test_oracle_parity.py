@@ -83,6 +83,7 @@ def _check(m, con, name):
         "core_vocab_nucleus",
         "kn_bigram_lm",
         "zipf_slope",
+        "heaps_law",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

@@ -819,3 +819,132 @@ def zipf_slope(ds: rd.Dataset, top_n: int = 100) -> rd.Dataset:
             }
         )
     )
+
+
+def heaps_law(ds: rd.Dataset, checkpoints: int = 10) -> rd.Dataset:
+    """Heaps'-law vocabulary-growth audit: distinct-vocabulary size at
+    ``checkpoints`` value-decile prefixes of the doc_id range, plus the
+    Heaps exponent beta = OLS slope of ln(vocab) on ln(n_docs) over the
+    checkpoints (natural corpora land near 0.4-0.8; beta ~ 1 flags a
+    near-duplicate-free random-id corpus, beta ~ 0 a templated one).
+
+    Semantics: a token is counted in checkpoint k iff its FIRST
+    occurrence (min doc_id) falls in the first k value-deciles of the
+    [min, max] doc_id range; n_docs_k counts doc_ids there too. Both
+    are exact integers, so the only floats are the two ln() calls per
+    checkpoint, quantized to micro-nats (the zipf_slope contract) so
+    the OLS moments are exact int64.
+
+    Scale shape: one corpus pass for (token -> min doc_id) — Arrow
+    group_by partial per batch, ONE bucketed hash-aggregate min (the
+    shuffle moves O(distinct tokens per block)); one pruned doc_id-only
+    pass for the doc decile counts; both decile histograms are
+    ``checkpoints``-row tables, so the driver finish is O(K)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    K = int(checkpoints)
+
+    def bounds_partial(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        return pa.table(
+            {
+                "mn": pa.array([int(d.min())], pa.int64()),
+                "mx": pa.array([int(d.max())], pa.int64()),
+            }
+        )
+
+    b = (
+        ds.select_columns(["doc_id"])
+        .map_batches(bounds_partial, batch_format="pyarrow")
+        .aggregate(Min("mn", alias_name="mn"), Max("mx", alias_name="mx"))
+    )
+    mn, mx = int(b["mn"]), int(b["mx"])
+    span = mx - mn + 1
+
+    def doc_bucket_partial(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("doc_id"), dtype=np.int64)
+        cnt = np.bincount((d - mn) * K // span, minlength=K)
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(K, dtype=np.int64)),
+                "c": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    doc_hist = (
+        hash_aggregate(
+            ds.select_columns(["doc_id"]).map_batches(
+                doc_bucket_partial, batch_format="pyarrow"
+            ),
+            ["bucket"],
+            {"c": ("c", "sum")},
+            num_buckets=4,
+        )
+        .to_pandas()
+        .set_index("bucket")["c"]
+        .reindex(range(K), fill_value=0)
+        .to_numpy(np.int64)
+    )
+
+    def first_doc_partial(batch: pa.Table) -> pa.Table:
+        toks_list = pc.split_pattern(batch.column("text"), " ")
+        flat = pc.list_flatten(toks_list)
+        ntok = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+        doc = np.repeat(
+            np.asarray(batch.column("doc_id"), dtype=np.int64), ntok
+        )
+        g = pa.table({"tok": flat, "fd": pa.array(doc)}).group_by(
+            "tok"
+        ).aggregate([("fd", "min")])
+        return g.rename_columns(["tok", "fd"])
+
+    first_doc = hash_aggregate(
+        ds.map_batches(first_doc_partial, batch_format="pyarrow"),
+        ["tok"],
+        {"fd": ("fd", "min")},
+    )
+
+    def tok_bucket_partial(batch: pa.Table) -> pa.Table:
+        fd = np.asarray(batch.column("fd"), dtype=np.int64)
+        cnt = np.bincount((fd - mn) * K // span, minlength=K)
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(K, dtype=np.int64)),
+                "c": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    tok_hist = (
+        hash_aggregate(
+            first_doc.map_batches(tok_bucket_partial, batch_format="pyarrow"),
+            ["bucket"],
+            {"c": ("c", "sum")},
+            num_buckets=4,
+        )
+        .to_pandas()
+        .set_index("bucket")["c"]
+        .reindex(range(K), fill_value=0)
+        .to_numpy(np.int64)
+    )
+
+    n_docs = np.cumsum(doc_hist)
+    vocab = np.cumsum(tok_hist)
+    x = np.round(np.log(n_docs.astype(np.float64)) * 1e6).astype(np.int64)
+    y = np.round(np.log(vocab.astype(np.float64)) * 1e6).astype(np.int64)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy, sxx = int((x * y).sum()), int((x * x).sum())
+    num = K * sxy - sx * sy
+    den = K * sxx - sx * sx
+    beta = round(float(num) / float(den), 6) if den else 0.0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "checkpoint": pa.array(
+                    np.arange(1, K + 1, dtype=np.int64)
+                ),
+                "n_docs": pa.array(n_docs),
+                "vocab": pa.array(vocab),
+                "beta": pa.array(np.full(K, beta), pa.float64()),
+            }
+        )
+    )
