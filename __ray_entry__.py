@@ -1833,6 +1833,35 @@ def _zipf_slope(sf_dir: str):
     return zipf_slope(_docs(sf_dir))
 
 
+def _bloom_semijoin(sf_dir: str):
+    """Bloom-prefiltered semi-join audit: high-value orders (totalprice
+    >= 450000) as the broadcast build side, lineitem as the streamed
+    probe side; reports candidate/match/false-positive counts and the
+    realized FP rate (functions/membership.py:bloom_semijoin_audit).
+    SQL-verified: the oracle replays the splitmix64 avalanche + double
+    hashing against the deterministic 2^bitlen(8n-1)-bit table."""
+    from vietnamese_ocr_ray.functions.membership import bloom_semijoin_audit
+    from vietnamese_ocr_ray.sources.storage import read_parquet_clean
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    keys = (
+        orders.map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(b.column("o_totalprice"), pa.scalar(450000.0))
+            ).select(["o_orderkey"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["o_orderkey"]
+        .to_numpy()
+    )
+    probe = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+    )
+    return bloom_semijoin_audit(probe, keys, "l_orderkey")
+
+
 def _heaps_law(sf_dir: str):
     """Heaps'-law vocabulary-growth audit: distinct vocab at ten
     value-decile prefixes of the doc_id range + OLS Heaps exponent,
@@ -2677,6 +2706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kn_bigram_lm": _kn_bigram_lm,
         "zipf_slope": _zipf_slope,
         "heaps_law": _heaps_law,
+        "bloom_semijoin": _bloom_semijoin,
         "skipgram_pairs": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.lm", fromlist=["skipgram_pairs"]
         ).skipgram_pairs(_docs(sf)),
@@ -3337,6 +3367,60 @@ def _mul64_expr(x: str, c: int) -> str:
         f" + ((({x} >> 32)::HUGEINT * {c}) % 4294967296) * 4294967296)"
         f" % {_U64_MOD} AS UBIGINT)"
     )
+
+
+def _bloom_mix_ctes(src: str, pfx: str) -> str:
+    """CTE chain replaying BloomFilter._mix over ``src`` (one column
+    ``key``): splitmix64-style avalanche, then h1 = h * M2 (split
+    multiply) and h2 = (h ^ (h >> 31)) | 1. Ends with {pfx}h(key, h1,
+    h2)."""
+    f1 = _mul64_expr("xor(h, h >> 30)", 0xBF58476D1CE4E5B9)
+    h1 = _mul64_expr("h", 0x94D049BB133111EB)
+    return f"""
+    {pfx}0 AS (SELECT key, key::UBIGINT AS h FROM {src}),
+    {pfx}1 AS (SELECT key, {f1} AS h FROM {pfx}0),
+    {pfx}2 AS (SELECT key, xor(h, h >> 27) AS h FROM {pfx}1),
+    {pfx}h AS (SELECT key, {h1} AS h1,
+                      (xor(h, h >> 31) | 1::UBIGINT) AS h2 FROM {pfx}2)"""
+
+
+def _bloom_semijoin_sql(threshold: float = 450000.0, k: int = 2) -> str:
+    """The `bloom_semijoin` oracle: Bloom membership replayed exactly —
+    m = 2^bitlen(8*n_build - 1), positions (h1 + i*h2) % m, a probe key
+    is a candidate iff all k positions hit the build-side position
+    set."""
+    return f"""
+    WITH bk AS (SELECT DISTINCT o_orderkey AS key FROM orders
+                WHERE o_totalprice >= {threshold}),
+    nb AS (SELECT CAST(count(*) AS BIGINT) AS n_build FROM bk),
+    mm AS (SELECT CAST(1::HUGEINT << length(bin((8 * n_build - 1)::UBIGINT))
+                  AS BIGINT) AS m FROM nb),
+    {_bloom_mix_ctes('bk', 'b')},
+    ii AS (SELECT i FROM generate_series(0, {k - 1}) t(i)),
+    bset AS (SELECT DISTINCT (h1::HUGEINT + ii.i * h2::HUGEINT) % mm.m AS pos
+             FROM bh CROSS JOIN mm CROSS JOIN ii),
+    pk AS (SELECT DISTINCT l_orderkey AS key FROM lineitem),
+    {_bloom_mix_ctes('pk', 'p')},
+    ppos AS (SELECT key, ii.i AS i,
+                    (h1::HUGEINT + ii.i * h2::HUGEINT) % mm.m AS pos
+             FROM ph CROSS JOIN mm CROSS JOIN ii),
+    cand AS (SELECT key FROM ppos JOIN bset USING (pos)
+             GROUP BY key HAVING count(*) = {k}),
+    li AS (SELECT l_orderkey AS key FROM lineitem),
+    c AS (SELECT
+            CAST(count(*) AS BIGINT) AS n_probed,
+            CAST(sum(CASE WHEN key IN (SELECT key FROM cand)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+            CAST(sum(CASE WHEN key IN (SELECT key FROM bk)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
+          FROM li)
+    SELECT n_probed, nb.n_build AS n_build_keys, mm.m AS m_bits,
+           n_candidates, n_matches,
+           n_candidates - n_matches AS n_false_positives,
+           round(CAST(n_candidates - n_matches AS DOUBLE)
+                 / CAST(n_probed - n_matches AS DOUBLE), 6) AS fp_rate
+    FROM c CROSS JOIN nb CROSS JOIN mm
+    """
 
 
 def _dp_counts_sql(epsilon: float = 0.5) -> str:
@@ -6948,6 +7032,7 @@ def oracle_sql() -> dict[str, str]:
         FROM w GROUP BY user_id
         """,
         "dp_counts": _dp_counts_sql(),
+        "bloom_semijoin": _bloom_semijoin_sql(),
         "hill_tail_index": """
         WITH e AS (SELECT event_id,
                           CAST(ROUND(value * 1000) AS BIGINT) AS mv

@@ -3104,3 +3104,36 @@ def test_heaps_law_reference(ray_session):
         assert list(out.vocab) == list(vocab)
         assert (out.beta == beta).all()
         assert beta > 0  # growing vocabulary (values checked exactly above)
+
+
+def test_bloom_semijoin_audit(ray_session):
+    """No false negatives ever; candidate set matches a direct
+    BloomFilter replay; exact match count equals np.isin; invariant
+    under partitioning."""
+    from vietnamese_ocr_ray.functions.membership import (
+        BloomFilter,
+        bloom_semijoin_audit,
+    )
+
+    rng = np.random.RandomState(3)
+    probe_vals = rng.randint(0, 5000, size=4000).astype(np.int64)
+    keys = np.unique(rng.randint(0, 5000, size=300).astype(np.int64))
+    t = pa.table({"k": pa.array(probe_vals)})
+    m = 1 << int(8 * len(keys) - 1).bit_length()
+    bf = BloomFilter(len(keys), m=m, k=2)
+    bf.add(keys)
+    want_cand = int(bf.contains(probe_vals).sum())
+    want_match = int(np.isin(probe_vals, keys).sum())
+    for parts in (1, 4):
+        out = bloom_semijoin_audit(
+            rd.from_arrow(t).repartition(parts), keys, "k"
+        ).to_pandas()
+        assert out.n_probed[0] == 4000
+        assert out.n_build_keys[0] == len(keys)
+        assert out.m_bits[0] == m
+        assert out.n_candidates[0] == want_cand
+        assert out.n_matches[0] == want_match  # no false negatives
+        assert out.n_false_positives[0] == want_cand - want_match
+        assert out.fp_rate[0] == round(
+            float(want_cand - want_match) / float(4000 - want_match), 6
+        )

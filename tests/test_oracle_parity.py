@@ -84,6 +84,7 @@ def _check(m, con, name):
         "kn_bigram_lm",
         "zipf_slope",
         "heaps_law",
+        "bloom_semijoin",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

@@ -22,10 +22,21 @@ class BloomFilter:
     hashes derived from one splitmix64 avalanche via double hashing
     (h1 + i*h2). Mergeable by OR."""
 
-    def __init__(self, n_expected: int, fpr: float = 0.01):
-        m = int(-n_expected * np.log(fpr) / (np.log(2) ** 2)) + 64
-        self.m = 1 << int(np.ceil(np.log2(m)))  # power of two: cheap mod
-        self.k = max(1, int(round(self.m / max(1, n_expected) * np.log(2))))
+    def __init__(
+        self,
+        n_expected: int,
+        fpr: float = 0.01,
+        m: int | None = None,
+        k: int | None = None,
+    ):
+        if m is None:
+            m = int(-n_expected * np.log(fpr) / (np.log(2) ** 2)) + 64
+            m = 1 << int(np.ceil(np.log2(m)))  # power of two: cheap mod
+        assert m & (m - 1) == 0, "m must be a power of two"
+        self.m = m
+        if k is None:
+            k = max(1, int(round(self.m / max(1, n_expected) * np.log(2))))
+        self.k = k
         self.bits = np.zeros(self.m // 64, dtype=np.uint64)
 
     @staticmethod
@@ -108,3 +119,76 @@ def semi_join_keys(ds: rd.Dataset, keys: np.ndarray, key_col: str) -> rd.Dataset
         return batch.filter(pa.array(np.isin(col, ks)))
 
     return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def bloom_semijoin_audit(
+    probe: rd.Dataset,
+    keys: np.ndarray,
+    probe_col: str,
+    k: int = 2,
+) -> rd.Dataset:
+    """Bloom-prefiltered semi-join AUDIT: build a Bloom filter over the
+    (broadcast-small) build-side key set, probe every row of the big
+    side, and report exactly how well the prefilter did — candidate
+    rows, true matches, false positives, and the realized FP rate over
+    the true negatives. This value-checks the whole hash path
+    (splitmix64 avalanche + double hashing h1 + i*h2 against the m-bit
+    table), which the exact anti/semi joins rescue away.
+
+    Sizing is deterministic and scale-adaptive so the SQL oracle can
+    replay it: m = 2^bitlen(8*n_build - 1) (the next power of two at or
+    above 8 bits/key), k fixed.
+
+    Scale shape: the key set is the broadcast small side (ray.put once,
+    read per task); the probe side streams — per-batch integer partial
+    counts (rows, bloom-candidates, exact matches via np.isin rescue),
+    ONE global Sum aggregate; a single row reaches the driver."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    keys = np.unique(np.asarray(keys, dtype=np.int64))
+    n_build = int(keys.size)
+    m = 1 << int(8 * n_build - 1).bit_length()
+    bf = BloomFilter(n_build, m=m, k=k)
+    bf.add(keys)
+    handle = ray.put((keys, bf))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ks, filt = ray.get(handle)
+        col = np.asarray(batch.column(probe_col), dtype=np.int64)
+        cand = filt.contains(col)
+        match = np.zeros(len(col), dtype=bool)
+        idx = np.nonzero(cand)[0]  # no false negatives: match => cand
+        if idx.size:
+            match[idx] = np.isin(col[idx], ks)
+        return pa.table(
+            {
+                "n": pa.array([len(col)], pa.int64()),
+                "cand": pa.array([int(cand.sum())], pa.int64()),
+                "match": pa.array([int(match.sum())], pa.int64()),
+            }
+        )
+
+    agg = probe.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("cand", alias_name="cand"),
+        Sum("match", alias_name="match"),
+    )
+    n, cand, match = int(agg["n"]), int(agg["cand"]), int(agg["match"])
+    fp = cand - match
+    neg = n - match
+    fp_rate = round(float(fp) / float(neg), 6) if neg else 0.0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_probed": pa.array([n], pa.int64()),
+                "n_build_keys": pa.array([n_build], pa.int64()),
+                "m_bits": pa.array([m], pa.int64()),
+                "n_candidates": pa.array([cand], pa.int64()),
+                "n_matches": pa.array([match], pa.int64()),
+                "n_false_positives": pa.array([fp], pa.int64()),
+                "fp_rate": pa.array([fp_rate], pa.float64()),
+            }
+        )
+    )
