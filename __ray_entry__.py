@@ -2464,6 +2464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_first_last": lambda sf: relational.user_first_last(sf),
         "value_stddev": lambda sf: relational.value_stddev(sf),
         "rolling_avg": lambda sf: relational.rolling_avg(sf),
+        "ewma_value": lambda sf: relational.ewma_value(sf),
         "window_debounce": lambda sf: relational.window_debounce(sf),
         "decontaminate": _decontaminate,
         "decontaminate_ngram": _decontaminate_ngram,
@@ -3367,6 +3368,32 @@ def _mul64_expr(x: str, c: int) -> str:
         f" + ((({x} >> 32)::HUGEINT * {c}) % 4294967296) * 4294967296)"
         f" % {_U64_MOD} AS UBIGINT)"
     )
+
+
+def _ewma_sql(window: int = 16) -> str:
+    """The `ewma_value` oracle: trailing-window alpha=1/2 EWMA replayed
+    as an exact integer dot product — lag-j weight 2^(W-1-j) over
+    milli-units, denominator the geometric sum 2^W - 2^(W-w)."""
+    W = int(window)
+    terms = "\n                 + ".join(
+        f"COALESCE(lag(u, {j}) OVER w, 0) * {1 << (W - 1 - j)}"
+        for j in range(W)
+    )
+    return f"""
+    WITH c AS (SELECT event_id, user_id, ts,
+                      CAST(ROUND(value * 1000) AS BIGINT) AS u
+               FROM events),
+    t AS (SELECT event_id, user_id,
+                 ({terms}) AS n,
+                 least(row_number() OVER w, {W}) AS wlen
+          FROM c
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_id, user_id,
+           round(CAST(n AS DOUBLE)
+                 / CAST(({1 << W} - (1::BIGINT << ({W} - wlen))) * 1000
+                        AS DOUBLE), 6) AS ewma
+    FROM t
+    """
 
 
 def _bloom_mix_ctes(src: str, pfx: str) -> str:
@@ -7033,6 +7060,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dp_counts": _dp_counts_sql(),
         "bloom_semijoin": _bloom_semijoin_sql(),
+        "ewma_value": _ewma_sql(),
         "hill_tail_index": """
         WITH e AS (SELECT event_id,
                           CAST(ROUND(value * 1000) AS BIGINT) AS mv

@@ -3137,3 +3137,46 @@ def test_bloom_semijoin_audit(ray_session):
         assert out.fp_rate[0] == round(
             float(want_cand - want_match) / float(4000 - want_match), 6
         )
+
+
+def test_ewma_value_reference(ray_session, tmp_path):
+    """Trailing-16 alpha=1/2 EWMA vs a plain-python weighted reference;
+    short prefixes normalize over the rows present; two users do not
+    bleed into each other."""
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.relational import ewma_value
+
+    vals = [1.0, 2.0, 4.0, 8.0, 1.5]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(10), pa.int64()),
+            "user_id": pa.array([7] * 5 + [9] * 5, pa.int64()),
+            "ts": pa.array(
+                [np.datetime64("2025-01-01", "us") + np.timedelta64(i, "m")
+                 for i in range(10)],
+                pa.timestamp("us"),
+            ),
+            "value": pa.array(vals + vals[::-1], pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = (
+        ewma_value(str(tmp_path))
+        .to_pandas()
+        .sort_values("event_id")["ewma"]
+        .to_list()
+    )
+
+    def ref(series):
+        res = []
+        for i in range(len(series)):
+            lags = series[max(0, i - 15) : i + 1][::-1]
+            num = sum(int(v * 1000) << (15 - j) for j, v in enumerate(lags))
+            den = (1 << 16) - (1 << (16 - len(lags)))
+            res.append(round(num / (den * 1000.0), 6))
+        return res
+
+    assert out == ref(vals) + ref(vals[::-1])
+    # most recent row dominates: ewma closer to the last value than the mean
+    assert abs(out[3] - 8.0) < abs(np.mean(vals[:4]) - 8.0)

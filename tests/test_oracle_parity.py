@@ -85,6 +85,7 @@ def _check(m, con, name):
         "zipf_slope",
         "heaps_law",
         "bloom_semijoin",
+        "ewma_value",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

@@ -2868,3 +2868,66 @@ def copurchase_pairs(
         {"n": ("n", "sum")},
     )
     return counts.sort(["n", "p1", "p2"], descending=[True, False, False]).limit(k)
+
+
+def ewma_value(
+    sf_dir: str, window: int = 16, num_buckets: int = 32
+) -> rd.Dataset:
+    """Trailing-window exponentially-weighted moving average of value
+    per user (alpha = 1/2), ordered by (ts, event_id): weight 2^-(j+1)
+    on the j-th lag, truncated at ``window`` rows and normalized over
+    the rows actually present. The time-series smoother the untruncated
+    recursion s_i = a*v_i + (1-a)*s_{i-1} approximates — truncation
+    keeps every weight a POWER OF TWO, so scaling by 2^W makes the
+    numerator an exact int64 dot product and the denominator the exact
+    geometric sum 2^W - 2^(W-w); one float division per row.
+
+    Scale shape: the rolling_avg contract — one user-bucket shuffle,
+    per-bucket sort, W vectorized shifted adds with run-start clamping
+    (zero per-row Python)."""
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
+    W = int(window)
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_bucket",
+            pa.array(key_bucket(b.column("user_id"), num_buckets).astype(np.int32)),
+        )
+
+    def ewma(g: pd.DataFrame) -> pa.Table:
+        s = g.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        user = s["user_id"].to_numpy()
+        u = np.rint(s["value"].to_numpy() * 1000.0).astype(np.int64)
+        n = len(s)
+        idx = np.arange(n, dtype=np.int64)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = user[1:] != user[:-1]
+        run_start = np.maximum.accumulate(np.where(new_user, idx, 0))
+        num = np.zeros(n, dtype=np.int64)
+        for j in range(W):
+            valid = idx - j >= run_start
+            num[valid] += u[idx[valid] - j] << (W - 1 - j)
+        wlen = np.minimum(idx - run_start + 1, W)
+        den = (np.int64(1) << W) - (np.int64(1) << (W - wlen))
+        return pa.table(
+            {
+                "event_id": pa.array(s["event_id"].to_numpy(np.int64)),
+                "user_id": pa.array(user),
+                "ewma": pa.array(
+                    np.round(num / (den * 1000.0), 6), pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: ewma(g.drop(columns=["_bucket"])), batch_format="pandas"
+        )
+    )
