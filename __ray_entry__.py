@@ -1833,6 +1833,15 @@ def _zipf_slope(sf_dir: str):
     return zipf_slope(_docs(sf_dir))
 
 
+def _source_overlap_matrix(sf_dir: str):
+    """Cross-source distinct-shingle overlap matrix (cross-split
+    leakage audit) — one int-keyed bucket shuffle, |sources|^2 rows to
+    the driver (functions/corpus.py:source_overlap_matrix)."""
+    from vietnamese_ocr_ray.functions.corpus import source_overlap_matrix
+
+    return source_overlap_matrix(_docs(sf_dir, ("doc_id", "text", "source")))
+
+
 def _bloom_semijoin(sf_dir: str):
     """Bloom-prefiltered semi-join audit: high-value orders (totalprice
     >= 450000) as the broadcast build side, lineitem as the streamed
@@ -2708,6 +2717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_slope": _zipf_slope,
         "heaps_law": _heaps_law,
         "bloom_semijoin": _bloom_semijoin,
+        "source_overlap_matrix": _source_overlap_matrix,
         "skipgram_pairs": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.lm", fromlist=["skipgram_pairs"]
         ).skipgram_pairs(_docs(sf)),
@@ -7320,6 +7330,27 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_unique AS BIGINT) AS n_unique,
                round(n_unique / CAST(n_shingles AS DOUBLE), 6) AS novelty
         FROM per
+        """,
+        "source_overlap_matrix": """
+        WITH d AS (SELECT source, text, length(text) AS len
+                   FROM documents),
+        g AS (SELECT DISTINCT source, substr(text, t.i, 8) AS gram
+              FROM d,
+                   unnest(generate_series(1, greatest(len - 7, 1))) AS t(i)),
+        ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+               FROM g GROUP BY source),
+        p AS (SELECT a.source AS source_a, b.source AS source_b,
+                     CAST(count(*) AS BIGINT) AS n_shared
+              FROM g a JOIN g b
+                   ON a.gram = b.gram AND a.source < b.source
+              GROUP BY 1, 2)
+        SELECT p.source_a, p.source_b, p.n_shared,
+               na.n AS n_a, nb.n AS n_b,
+               round(CAST(p.n_shared AS DOUBLE)
+                     / CAST(na.n + nb.n - p.n_shared AS DOUBLE), 6)
+                 AS jaccard
+        FROM p JOIN ns na ON na.source = p.source_a
+               JOIN ns nb ON nb.source = p.source_b
         """,
         "dup_ngram_spans": """
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t

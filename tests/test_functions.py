@@ -3180,3 +3180,52 @@ def test_ewma_value_reference(ray_session, tmp_path):
     assert out == ref(vals) + ref(vals[::-1])
     # most recent row dominates: ewma closer to the last value than the mean
     assert abs(out[3] - 8.0) < abs(np.mean(vals[:4]) - 8.0)
+
+
+def test_source_overlap_matrix_reference(ray_session):
+    """Brute-force shingle-set reference on a tiny planted corpus:
+    sources A/B share one sentence, C is disjoint; Jaccard and counts
+    exact for any partitioning."""
+    from vietnamese_ocr_ray.functions.corpus import source_overlap_matrix
+
+    shared = "the quick brown fox jumps over it"
+    docs = [
+        (0, shared + " alpha alpha alpha", "A"),
+        (1, "completely different words here today", "A"),
+        (2, shared + " beta beta beta", "B"),
+        (3, "zzz yyy xxx www vvv uuu ttt sss", "C"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs]),
+            "source": pa.array([d[2] for d in docs]),
+        }
+    )
+
+    def grams(txt):
+        return {
+            txt[i : i + 8] for i in range(max(len(txt) - 7, 1))
+        }
+
+    sets = {}
+    for _, txt, s in docs:
+        sets.setdefault(s, set()).update(grams(txt))
+    for parts in (1, 3):
+        out = (
+            source_overlap_matrix(rd.from_arrow(t).repartition(parts))
+            .to_pandas()
+            .set_index(["source_a", "source_b"])
+        )
+        for a, b in (("A", "B"), ("A", "C"), ("B", "C")):
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                assert (a, b) not in out.index
+                continue
+            row = out.loc[(a, b)]
+            assert row.n_shared == inter
+            assert row.n_a == len(sets[a]) and row.n_b == len(sets[b])
+            assert row.jaccard == round(
+                inter / (len(sets[a]) + len(sets[b]) - inter), 6
+            )
+        assert out.loc[("A", "B")].n_shared > 0

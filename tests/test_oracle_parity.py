@@ -86,6 +86,7 @@ def _check(m, con, name):
         "heaps_law",
         "bloom_semijoin",
         "ewma_value",
+        "source_overlap_matrix",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

@@ -849,3 +849,82 @@ def ngram_novelty(
         )
 
     return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
+def source_overlap_matrix(
+    ds: rd.Dataset, k: int = 8, num_buckets: int = 32
+) -> rd.Dataset:
+    """Cross-source contamination matrix: for every source pair
+    (a < b), the number of distinct k-byte shingles they share, each
+    side's distinct-shingle count, and the shingle-set Jaccard — the
+    cross-split leakage audit run before a train/eval split ships
+    (dedup-across-snapshots' source-level cousin).
+
+    Scale shape: per-batch distinct (shingle-hash, source) rows ride
+    ONE int-keyed hash-bucket shuffle (a shingle's full source set
+    lives in one bucket); within a bucket, per-shingle source sets are
+    at most |sources| rows, so the self-merge emits <= |sources|^2 rows
+    per shingle; pair partials (diagonal = per-source distinct counts)
+    ride one tiny aggregate — |sources|^2 rows reach the driver. Same
+    FNV-64 hash-equality contract as minhash/ssjoin/ngram_novelty."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+    from vietnamese_ocr_ray.functions.dedup import _unique_shingles, _utf8_flat
+
+    def rows(b: pa.Table) -> pa.Table:
+        r, h = _unique_shingles(*_utf8_flat(b.column("text")), k)
+        src = b.column("source").take(pa.array(r))
+        t = pa.table({"h": pa.array(h.astype(np.int64)), "source": src})
+        t = t.group_by(["h", "source"]).aggregate([])  # batch-distinct
+        hh = np.asarray(t.column("h"), np.int64)
+        return t.append_column(
+            "_bucket",
+            pa.array((hh.astype(np.uint64) % np.uint64(num_buckets)).astype(np.int32)),
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["h", "source"])
+        m = d.merge(d, on="h")
+        m = m[m.source_x <= m.source_y]  # diagonal = per-source count
+        out = (
+            m.groupby(["source_x", "source_y"], as_index=False)
+            .size()
+            .rename(columns={"source_x": "a", "source_y": "b", "size": "n"})
+        )
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    pairs = hash_aggregate(
+        ds.map_batches(rows, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: bucket_pairs(g.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        ),
+        ["a", "b"],
+        {"n": ("n", "sum")},
+        num_buckets=4,
+    ).to_pandas()  # <= |sources|^2 rows
+    diag = (
+        pairs[pairs.a == pairs.b].set_index("a")["n"].to_dict()
+    )
+    off = pairs[pairs.a < pairs.b].sort_values(["a", "b"])
+    n_a = off["a"].map(diag).to_numpy(np.int64)
+    n_b = off["b"].map(diag).to_numpy(np.int64)
+    shared = off["n"].to_numpy(np.int64)
+    union = n_a + n_b - shared
+    return rd.from_arrow(
+        pa.table(
+            {
+                "source_a": pa.array(off["a"].to_numpy(), pa.string()),
+                "source_b": pa.array(off["b"].to_numpy(), pa.string()),
+                "n_shared": pa.array(shared),
+                "n_a": pa.array(n_a),
+                "n_b": pa.array(n_b),
+                "jaccard": pa.array(
+                    np.round(shared / union.astype(np.float64), 6),
+                    pa.float64(),
+                ),
+            }
+        )
+    )
