@@ -1833,6 +1833,15 @@ def _zipf_slope(sf_dir: str):
     return zipf_slope(_docs(sf_dir))
 
 
+def _rrf_fuse(sf_dir: str):
+    """Reciprocal-rank fusion of the BM25 and raw-tf rankings for the
+    fixed ('spark', 'dup') query — integer ranks make the fused score
+    one fixed-order double sum (functions/text.py:rrf_fuse)."""
+    from vietnamese_ocr_ray.functions.text import rrf_fuse
+
+    return rrf_fuse(_docs(sf_dir))
+
+
 def _source_overlap_matrix(sf_dir: str):
     """Cross-source distinct-shingle overlap matrix (cross-split
     leakage audit) — one int-keyed bucket shuffle, |sources|^2 rows to
@@ -2718,6 +2727,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heaps_law": _heaps_law,
         "bloom_semijoin": _bloom_semijoin,
         "source_overlap_matrix": _source_overlap_matrix,
+        "rrf_fuse": _rrf_fuse,
         "skipgram_pairs": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.lm", fromlist=["skipgram_pairs"]
         ).skipgram_pairs(_docs(sf)),
@@ -6070,6 +6080,49 @@ def oracle_sql() -> dict[str, str]:
           FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN stats
           GROUP BY tf.doc_id)
         SELECT doc_id, bm25 FROM s ORDER BY bm25 DESC, doc_id LIMIT 10
+        """,
+        "rrf_fuse": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(len(l)) AS BIGINT) AS dls FROM t),
+        e AS (SELECT doc_id, unnest(l) AS tok, len(l) AS dl FROM t),
+        df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+               FROM e WHERE tok IN ('spark', 'dup') GROUP BY tok),
+        tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf,
+                      CAST(any_value(dl) AS DOUBLE) AS dl
+               FROM e WHERE tok IN ('spark', 'dup') GROUP BY doc_id, tok),
+        s AS (
+          SELECT tf.doc_id,
+                 ROUND(sum(
+                   ln(1.0 + (CAST(stats.n AS DOUBLE) - CAST(df.df AS DOUBLE)
+                             + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+                   * tf.tf * (1.2 + 1.0)
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl
+                        / (CAST(stats.dls AS DOUBLE)
+                           / CAST(stats.n AS DOUBLE))))
+                 ), 6) AS bm25
+          FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN stats
+          GROUP BY tf.doc_id),
+        ra AS (SELECT doc_id,
+                      row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                        AS rank_bm25
+               FROM s ORDER BY bm25 DESC, doc_id LIMIT 20),
+        tfr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tfn FROM e
+                WHERE tok IN ('spark', 'dup') GROUP BY doc_id),
+        rb AS (SELECT doc_id,
+                      row_number() OVER (ORDER BY tfn DESC, doc_id)
+                        AS rank_tf
+               FROM tfr ORDER BY tfn DESC, doc_id LIMIT 20),
+        f AS (SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+                     CAST(COALESCE(ra.rank_bm25, 0) AS BIGINT) AS rank_bm25,
+                     CAST(COALESCE(rb.rank_tf, 0) AS BIGINT) AS rank_tf
+              FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
+        SELECT doc_id, rank_bm25, rank_tf,
+               round((CASE WHEN rank_bm25 > 0
+                      THEN 1.0 / (60 + rank_bm25) ELSE 0.0 END)
+                     + (CASE WHEN rank_tf > 0
+                        THEN 1.0 / (60 + rank_tf) ELSE 0.0 END), 6) AS rrf
+        FROM f ORDER BY rrf DESC, doc_id LIMIT 10
         """,
         "token_entropy": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -3229,3 +3229,43 @@ def test_source_overlap_matrix_reference(ray_session):
                 inter / (len(sets[a]) + len(sets[b]) - inter), 6
             )
         assert out.loc[("A", "B")].n_shared > 0
+
+
+def test_rrf_fuse_semantics(ray_session):
+    """RRF: a doc ranked #1 by both systems beats a doc ranked #1 by
+    one and absent from the other; scores are the exact reciprocal
+    sums; partitioning-invariant."""
+    from vietnamese_ocr_ray.functions.text import rrf_fuse
+
+    docs = [
+        (0, "spark dup spark dup spark dup spark"),    # top of both
+        (1, "spark spark spark spark other words"),    # high tf
+        (2, "dup other filler filler filler filler"),  # low
+        (3, "nothing matching here at all words"),     # absent
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs]),
+        }
+    )
+    for parts in (1, 2):
+        out = (
+            rrf_fuse(rd.from_arrow(t).repartition(parts), pool=3, k=4)
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        assert 3 not in set(out.doc_id)
+        assert out.doc_id[0] == 0  # consensus winner
+        top = out.iloc[0]
+        assert top.rrf == round(
+            1.0 / (60 + top.rank_bm25) + 1.0 / (60 + top.rank_tf), 6
+        )
+        # every fused score is the reciprocal sum of its own ranks
+        for _, r in out.iterrows():
+            want = (1.0 / (60 + r.rank_bm25) if r.rank_bm25 else 0.0) + (
+                1.0 / (60 + r.rank_tf) if r.rank_tf else 0.0
+            )
+            assert r.rrf == round(want, 6)
+        # monotone: scores non-increasing
+        assert (np.diff(out.rrf.to_numpy()) <= 0).all()

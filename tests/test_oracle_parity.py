@@ -87,6 +87,7 @@ def _check(m, con, name):
         "bloom_semijoin",
         "ewma_value",
         "source_overlap_matrix",
+        "rrf_fuse",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

@@ -1441,3 +1441,101 @@ def readability(ds: rd.Dataset) -> rd.Dataset:
     """Per-doc Flesch reading ease (see :func:`readability_batch`) —
     embarrassingly parallel, zero shuffles."""
     return ds.map_batches(readability_batch, batch_format="pyarrow")
+
+
+def rrf_fuse(
+    ds: rd.Dataset,
+    terms: tuple[str, ...] = ("spark", "dup"),
+    pool: int = 20,
+    k: int = 10,
+    rrf_k: int = 60,
+) -> rd.Dataset:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two retrieval
+    systems for one fixed query: the BM25 ranking (:func:`bm25_rank`)
+    and a raw term-frequency ranking. Each system contributes its
+    top-``pool``; a doc's fused score is
+    sum over systems of 1/(rrf_k + rank) (absent = no contribution);
+    output = top-``k`` by (rrf desc, doc_id).
+
+    Determinism contract: ranks are integers (each system breaks score
+    ties by doc_id), so the fused score is ONE fixed-order sum of two
+    exact-reciprocal doubles — bit-replayable in SQL. absent ranks
+    surface as 0 in the output (never in the score).
+
+    Scale shape: both rankings bound their shuffle with per-batch
+    partial top-k (bm25_rank does; the tf ranking computes per-doc
+    counts batch-locally — a doc is one row — then partial-top-k the
+    same way); fusion itself touches 2*pool rows on the driver."""
+    from ray.data.aggregate import Sum  # noqa: F401  (parallel import shape)
+
+    a = (
+        bm25_rank(ds, terms=terms, k=pool)
+        .to_pandas()
+        .sort_values(["bm25", "doc_id"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    a["rank_bm25"] = np.arange(1, len(a) + 1, dtype=np.int64)
+
+    def tf_score(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        nt = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(batch.num_rows, dtype=np.int64), nt)
+        tf = np.zeros(batch.num_rows, np.int64)
+        for t in terms:
+            mask = pc.equal(flat, pa.scalar(t)).to_numpy(zero_copy_only=False)
+            np.add.at(tf, rows[mask], 1)
+        keep = tf > 0
+        out = pa.table(
+            {
+                "doc_id": batch.column("doc_id").filter(pa.array(keep)),
+                "tf": pa.array(tf[keep]),
+            }
+        )
+        df = (
+            out.to_pandas()
+            .sort_values(["tf", "doc_id"], ascending=[False, True])
+            .head(pool)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    b = (
+        ds.map_batches(tf_score, batch_format="pyarrow")
+        .sort(["tf", "doc_id"], descending=[True, False])
+        .limit(pool)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    b["rank_tf"] = np.arange(1, len(b) + 1, dtype=np.int64)
+
+    import pandas as pd
+
+    fused = pd.merge(
+        a[["doc_id", "rank_bm25"]], b[["doc_id", "rank_tf"]],
+        on="doc_id", how="outer",
+    )
+    ra = fused["rank_bm25"].fillna(0).to_numpy(np.int64)
+    rb = fused["rank_tf"].fillna(0).to_numpy(np.int64)
+    score = np.where(ra > 0, 1.0 / (rrf_k + ra), 0.0) + np.where(
+        rb > 0, 1.0 / (rrf_k + rb), 0.0
+    )
+    fused["rrf"] = np.round(score, 6)
+    fused = fused.sort_values(
+        ["rrf", "doc_id"], ascending=[False, True]
+    ).head(k)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(fused["doc_id"].to_numpy(np.int64)),
+                "rank_bm25": pa.array(
+                    fused["rank_bm25"].fillna(0).to_numpy(np.int64)
+                ),
+                "rank_tf": pa.array(
+                    fused["rank_tf"].fillna(0).to_numpy(np.int64)
+                ),
+                "rrf": pa.array(fused["rrf"].to_numpy(), pa.float64()),
+            }
+        )
+    )
