@@ -1833,6 +1833,16 @@ def _zipf_slope(sf_dir: str):
     return zipf_slope(_docs(sf_dir))
 
 
+def _dup_assortativity(sf_dir: str):
+    """Degree assortativity of the cosine>=0.4 dup graph: Pearson
+    correlation of endpoint degrees over the doubled edge list —
+    integer moments, one float division
+    (functions/graph.py:assortativity)."""
+    from vietnamese_ocr_ray.functions.graph import assortativity
+
+    return assortativity(_embedding_neardup(sf_dir))
+
+
 def _rrf_fuse(sf_dir: str):
     """Reciprocal-rank fusion of the BM25 and raw-tf rankings for the
     fixed ('spark', 'dup') query — integer ranks make the fused score
@@ -2728,6 +2738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semijoin": _bloom_semijoin,
         "source_overlap_matrix": _source_overlap_matrix,
         "rrf_fuse": _rrf_fuse,
+        "dup_assortativity": _dup_assortativity,
         "skipgram_pairs": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.lm", fromlist=["skipgram_pairs"]
         ).skipgram_pairs(_docs(sf)),
@@ -5748,6 +5759,33 @@ def oracle_sql() -> dict[str, str]:
           AND round(list_cosine_similarity(
                 CAST(a.embedding AS DOUBLE[]),
                 CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+        """,
+        "dup_assortativity": """
+        WITH p AS (
+          SELECT a.vec_id AS va, b.vec_id AS vb
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id < b.vec_id
+            AND round(list_cosine_similarity(
+                  CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])), 6) >= 0.4),
+        ends AS (SELECT va AS vec FROM p UNION ALL SELECT vb AS vec FROM p),
+        deg AS (SELECT vec, CAST(count(*) AS BIGINT) AS d
+                FROM ends GROUP BY vec),
+        ed AS (SELECT da.d AS x, db.d AS y
+               FROM p JOIN deg da ON da.vec = p.va
+                      JOIN deg db ON db.vec = p.vb),
+        e2 AS (SELECT x, y FROM ed UNION ALL SELECT y AS x, x AS y FROM ed),
+        s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx
+              FROM e2)
+        SELECT n // 2 AS n_edges,
+               CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                    ELSE round(CAST(n * sxy - sx * sx AS DOUBLE)
+                               / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+               END AS assortativity
+        FROM s
         """,
         "dup_degree_hist": """
         WITH p AS (

@@ -3269,3 +3269,52 @@ def test_rrf_fuse_semantics(ray_session):
             assert r.rrf == round(want, 6)
         # monotone: scores non-increasing
         assert (np.diff(out.rrf.to_numpy()) <= 0).all()
+
+
+def test_assortativity_known_graphs(ray_session):
+    """A star graph is maximally disassortative (r -> -1); values
+    match a networkx-style Pearson reference computed by hand; any
+    partitioning."""
+    from vietnamese_ocr_ray.functions.graph import assortativity
+
+    def run(edges, parts):
+        t = pa.table(
+            {
+                "vec_id_a": pa.array([e[0] for e in edges], pa.int64()),
+                "vec_id_b": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+        return (
+            assortativity(rd.from_arrow(t).repartition(parts))
+            .to_pandas()
+            .iloc[0]
+        )
+
+    def ref(edges):
+        from collections import Counter
+
+        d = Counter()
+        for a, b in edges:
+            d[a] += 1
+            d[b] += 1
+        xs, ys = [], []
+        for a, b in edges:
+            xs += [d[a], d[b]]
+            ys += [d[b], d[a]]
+        n = len(xs)
+        sx, sxy = sum(xs), sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        den = n * sxx - sx * sx
+        return round(float(n * sxy - sx * sx) / float(den), 6) if den else 0.0
+
+    star = [(0, i) for i in range(1, 6)]
+    for parts in (1, 3):
+        row = run(star, parts)
+        assert row.n_edges == 5
+        assert row.assortativity == ref(star) == -1.0
+    # two disjoint triangles: regular graph -> convention 0.0
+    tri2 = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5)]
+    assert run(tri2, 2).assortativity == 0.0
+    # a path: mildly disassortative, matches reference
+    path = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    assert run(path, 2).assortativity == ref(path)

@@ -88,6 +88,7 @@ def _check(m, con, name):
         "ewma_value",
         "source_overlap_matrix",
         "rrf_fuse",
+        "dup_assortativity",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

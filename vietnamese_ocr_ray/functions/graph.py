@@ -205,3 +205,89 @@ def khop_distances(
             ),
         }
     )
+
+
+def assortativity(
+    pairs: rd.Dataset, a_col: str = "vec_id_a", b_col: str = "vec_id_b"
+) -> rd.Dataset:
+    """Degree assortativity (Newman 2002) of an undirected edge list:
+    the Pearson correlation of endpoint degrees over the DOUBLED edge
+    list (each edge contributes (d_u, d_v) and (d_v, d_u)). Positive =
+    hubs attach to hubs (one giant dup cluster), negative = hub-and-
+    spoke duplication (one template with many one-off copies) — shapes
+    that want different dedup survivor policies.
+
+    The doubled list makes the x and y marginals identical, so
+    r = (n*Sxy - Sx^2) / (n*Sxx - Sx^2) — integer moment sums (degrees
+    are exact ints), ONE float division, no sqrt. Regular graphs
+    (den = 0) return r = 0.0 by convention.
+
+    Scale shape: degrees via one bucketed count aggregate; the degree
+    table broadcasts (node set ~ duplicates, heap-bounded — the
+    pagerank contract above; the 10^12-node variant joins degrees back
+    with two bucketed cogroups instead); per-batch integer partial
+    moments, ONE global Sum."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        cols = [b.column(a_col), b.column(b_col)]
+        cols = [
+            c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            for c in cols
+        ]
+        return pa.table({"vec": pa.concat_arrays(cols)})
+
+    deg = hash_aggregate(
+        pairs.map_batches(endpoints, batch_format="pyarrow"),
+        ["vec"],
+        {"d": ("vec", "count")},
+    ).to_pandas()  # node set ~ duplicates: heap-bounded
+    handle = ray.put(
+        (
+            pa.array(deg["vec"].to_numpy(np.int64)),
+            deg["d"].to_numpy(np.int64),
+        )
+    )
+
+    def moments(b: pa.Table) -> pa.Table:
+        keys, dvals = ray.get(handle)
+        va, vb = b.column(a_col), b.column(b_col)
+        if isinstance(va, pa.ChunkedArray):
+            va, vb = va.combine_chunks(), vb.combine_chunks()
+        x = dvals[pc.index_in(va, value_set=keys).to_numpy()]
+        y = dvals[pc.index_in(vb, value_set=keys).to_numpy()]
+        # doubled edge list: (x,y) and (y,x)
+        return pa.table(
+            {
+                "n": pa.array([2 * len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum() + y.sum())], pa.int64()),
+                "sxy": pa.array([int(2 * (x * y).sum())], pa.int64()),
+                "sxx": pa.array(
+                    [int((x * x).sum() + (y * y).sum())], pa.int64()
+                ),
+            }
+        )
+
+    agg = pairs.map_batches(moments, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sx", alias_name="sx"),
+        Sum("sxy", alias_name="sxy"),
+        Sum("sxx", alias_name="sxx"),
+    )
+    n, sx = int(agg["n"]), int(agg["sx"])
+    sxy, sxx = int(agg["sxy"]), int(agg["sxx"])
+    num = n * sxy - sx * sx
+    den = n * sxx - sx * sx
+    r = round(float(num) / float(den), 6) if den else 0.0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_edges": pa.array([n // 2], pa.int64()),
+                "assortativity": pa.array([r], pa.float64()),
+            }
+        )
+    )
