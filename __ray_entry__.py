@@ -1843,6 +1843,15 @@ def _dup_assortativity(sf_dir: str):
     return assortativity(_embedding_neardup(sf_dir))
 
 
+def _dup_transitivity(sf_dir: str):
+    """Global clustering coefficient of the cosine>=0.4 dup graph:
+    3*triangles/wedges, wedge-closure triangles over broadcast packed
+    edges, exact integers (functions/graph.py:transitivity)."""
+    from vietnamese_ocr_ray.functions.graph import transitivity
+
+    return transitivity(_embedding_neardup(sf_dir))
+
+
 def _rrf_fuse(sf_dir: str):
     """Reciprocal-rank fusion of the BM25 and raw-tf rankings for the
     fixed ('spark', 'dup') query — integer ranks make the fused score
@@ -2739,6 +2748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap_matrix": _source_overlap_matrix,
         "rrf_fuse": _rrf_fuse,
         "dup_assortativity": _dup_assortativity,
+        "dup_transitivity": _dup_transitivity,
         "skipgram_pairs": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.lm", fromlist=["skipgram_pairs"]
         ).skipgram_pairs(_docs(sf)),
@@ -5786,6 +5796,29 @@ def oracle_sql() -> dict[str, str]:
                                / CAST(n * sxx - sx * sx AS DOUBLE), 6)
                END AS assortativity
         FROM s
+        """,
+        "dup_transitivity": """
+        WITH p AS (
+          SELECT a.vec_id AS va, b.vec_id AS vb
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id < b.vec_id
+            AND round(list_cosine_similarity(
+                  CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])), 6) >= 0.4),
+        tri AS (SELECT CAST(count(*) AS BIGINT) AS t
+                FROM p e1
+                JOIN p e2 ON e2.va = e1.va AND e2.vb > e1.vb
+                JOIN p e3 ON e3.va = e1.vb AND e3.vb = e2.vb),
+        ends AS (SELECT va AS vec FROM p UNION ALL SELECT vb AS vec FROM p),
+        deg AS (SELECT vec, CAST(count(*) AS BIGINT) AS d
+                FROM ends GROUP BY vec),
+        w AS (SELECT CAST(COALESCE(sum(d * (d - 1) // 2), 0) AS BIGINT)
+                AS wedges FROM deg)
+        SELECT tri.t AS n_triangles, w.wedges AS n_wedges,
+               CASE WHEN w.wedges = 0 THEN 0.0
+                    ELSE round(3.0 * tri.t / CAST(w.wedges AS DOUBLE), 6)
+               END AS transitivity
+        FROM tri CROSS JOIN w
         """,
         "dup_degree_hist": """
         WITH p AS (

@@ -3318,3 +3318,38 @@ def test_assortativity_known_graphs(ray_session):
     # a path: mildly disassortative, matches reference
     path = [(0, 1), (1, 2), (2, 3), (3, 4)]
     assert run(path, 2).assortativity == ref(path)
+
+
+def test_transitivity_known_graphs(ray_session):
+    """Triangle = 1.0; star = 0.0 (wedges, no closure); triangle with
+    a pendant = 3/5; empty edge set returns the zero row."""
+    from vietnamese_ocr_ray.functions.graph import transitivity
+
+    def run(edges, parts=2):
+        t = pa.table(
+            {
+                "vec_id_a": pa.array([e[0] for e in edges], pa.int64()),
+                "vec_id_b": pa.array([e[1] for e in edges], pa.int64()),
+            }
+        )
+        return (
+            transitivity(rd.from_arrow(t).repartition(parts))
+            .to_pandas()
+            .iloc[0]
+        )
+
+    row = run([(0, 1), (1, 2), (0, 2)])
+    assert (row.n_triangles, row.n_wedges, row.transitivity) == (1, 3, 1.0)
+    row = run([(0, i) for i in range(1, 5)])
+    assert (row.n_triangles, row.transitivity) == (0, 0.0)
+    row = run([(0, 1), (1, 2), (0, 2), (2, 3)])
+    assert row.n_triangles == 1 and row.n_wedges == 5
+    assert row.transitivity == round(3.0 * 1 / 5.0, 6)
+    empty = pa.table(
+        {
+            "vec_id_a": pa.array([], pa.int64()),
+            "vec_id_b": pa.array([], pa.int64()),
+        }
+    )
+    row = transitivity(rd.from_arrow(empty)).to_pandas().iloc[0]
+    assert (row.n_triangles, row.n_wedges, row.transitivity) == (0, 0, 0.0)

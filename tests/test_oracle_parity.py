@@ -89,6 +89,7 @@ def _check(m, con, name):
         "source_overlap_matrix",
         "rrf_fuse",
         "dup_assortativity",
+        "dup_transitivity",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

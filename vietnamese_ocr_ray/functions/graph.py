@@ -291,3 +291,87 @@ def assortativity(
             }
         )
     )
+
+
+def transitivity(
+    pairs: rd.Dataset, a_col: str = "vec_id_a", b_col: str = "vec_id_b"
+) -> rd.Dataset:
+    """Global clustering coefficient C = 3*triangles / wedges of an
+    undirected edge list (edges canonical a < b). C near 1 = cliquey
+    duplication (dedup keeps one per cluster), C near 0 = chainy
+    near-dup drift (transitive-closure dedup over-merges) — the
+    companion shape audit to :func:`assortativity`.
+
+    Triangles by node-iterator wedge closure (the dup_triangles
+    pattern, functions/dedup.py:1836): broadcast the sorted packed
+    (u<<32)|v edge keys, and for each edge (a, b) count neighbors c of
+    a with c > b whose (b, c) is also an edge — each triangle counted
+    once at its minimum vertex. Wedges = sum C(d, 2) from the degree
+    table. Both exact integers; ONE float division.
+
+    Scale shape: the broadcast side is the edge list (bounded by
+    duplicate pairs, not the corpus); per-batch integer partials, one
+    global Sum. The 10^12-edge variant buckets wedges on the shared
+    node exactly as dup_triangles documents."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    edf = pairs.to_pandas()  # small: duplicate pairs only
+    if a_col not in edf.columns or not len(edf):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "n_triangles": pa.array([0], pa.int64()),
+                    "n_wedges": pa.array([0], pa.int64()),
+                    "transitivity": pa.array([0.0], pa.float64()),
+                }
+            )
+        )
+    u = edf[a_col].to_numpy(np.int64)
+    v = edf[b_col].to_numpy(np.int64)
+    deg = pd.concat([edf[a_col], edf[b_col]]).value_counts()
+    d = deg.to_numpy(np.int64)
+    wedges = int((d * (d - 1) // 2).sum())
+    order = np.argsort(u, kind="stable")
+    u_s, v_s = u[order], v[order]
+    packed = np.sort((u_s << np.int64(32)) | v_s)
+    handle = ray.put((u_s, v_s, packed))
+
+    def count(batch: pa.Table) -> pa.Table:
+        au, av, pk = ray.get(handle)
+        a = np.asarray(batch.column(a_col), dtype=np.int64)
+        b = np.asarray(batch.column(b_col), dtype=np.int64)
+        lo = np.searchsorted(au, a, "left")
+        hi = np.searchsorted(au, a, "right")
+        cnt = (hi - lo).astype(np.int64)
+        tot = int(cnt.sum())
+        if tot == 0:
+            return pa.table({"n": pa.array([0], pa.int64())})
+        cum = np.concatenate([[0], np.cumsum(cnt)])
+        idx = (
+            np.arange(tot, dtype=np.int64)
+            - np.repeat(cum[:-1], cnt)
+            + np.repeat(lo, cnt)
+        )
+        c = av[idx]
+        bb = np.repeat(b, cnt)
+        keep = c > bb  # wedge (a,b,c) with b < c: close at min vertex a
+        probes = (bb[keep] << np.int64(32)) | c[keep]
+        n_tri = int(np.isin(probes, pk).sum())
+        return pa.table({"n": pa.array([n_tri], pa.int64())})
+
+    agg = pairs.map_batches(count, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n")
+    )
+    tri = int(agg["n"])
+    c = round(3.0 * tri / float(wedges), 6) if wedges else 0.0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_triangles": pa.array([tri], pa.int64()),
+                "n_wedges": pa.array([wedges], pa.int64()),
+                "transitivity": pa.array([c], pa.float64()),
+            }
+        )
+    )
