@@ -2556,6 +2556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_ffill": lambda sf: analytics.resample_ffill(sf),
         "resample_interpolate": lambda sf: analytics.resample_interpolate(sf),
         "source_hhi": lambda sf: analytics.source_hhi(sf),
+        "datasheet_by_source": lambda sf: analytics.datasheet_by_source(sf),
         "k_anonymity": lambda sf: analytics.k_anonymity(sf),
         "time_weighted_avg": lambda sf: analytics.time_weighted_avg(sf),
         "key_skew_gini": lambda sf: analytics.key_skew_gini(sf),
@@ -7454,6 +7455,36 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_unique AS BIGINT) AS n_unique,
                round(n_unique / CAST(n_shingles AS DOUBLE), 6) AS novelty
         FROM per
+        """,
+        "datasheet_by_source": """
+        WITH d AS (SELECT source, lang, text, n_chars,
+                          len(string_split(text, ' ')) AS nt
+                   FROM documents),
+        per AS (SELECT source,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(nt) AS BIGINT) AS n_tokens,
+                       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+                FROM d GROUP BY source),
+        v AS (SELECT source, CAST(count(DISTINCT tok) AS BIGINT)
+                AS n_distinct_tokens
+              FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                    FROM documents)
+              GROUP BY source),
+        tc AS (SELECT text, CAST(count(*) AS BIGINT) AS copies
+               FROM documents GROUP BY text),
+        dd AS (SELECT source,
+                      CAST(sum(CASE WHEN tc.copies >= 2 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_exact_dup_docs
+               FROM documents JOIN tc USING (text) GROUP BY source)
+        SELECT per.source, per.n_docs, per.n_tokens, per.n_chars,
+               v.n_distinct_tokens, per.n_langs,
+               dd.n_exact_dup_docs,
+               round(CAST(per.n_tokens AS DOUBLE)
+                     / CAST(per.n_docs AS DOUBLE), 6) AS avg_tokens,
+               round(CAST(dd.n_exact_dup_docs AS DOUBLE)
+                     / CAST(per.n_docs AS DOUBLE), 6) AS dup_frac
+        FROM per JOIN v USING (source) JOIN dd USING (source)
         """,
         "source_overlap_matrix": """
         WITH d AS (SELECT source, text, length(text) AS len

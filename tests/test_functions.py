@@ -3353,3 +3353,44 @@ def test_transitivity_known_graphs(ray_session):
     )
     row = transitivity(rd.from_arrow(empty)).to_pandas().iloc[0]
     assert (row.n_triangles, row.n_wedges, row.transitivity) == (0, 0, 0.0)
+
+
+def test_datasheet_by_source(ray_session, tmp_path):
+    """Planted corpus: source A has an exact dup PAIR (both rows count
+    as dups), one of them duplicated ACROSS sources so B's single copy
+    counts too; vocab / token / lang fields exact."""
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.analytics import datasheet_by_source
+
+    rows = [
+        (0, "aa bb cc", "en", "A", 8),
+        (1, "aa bb cc", "en", "A", 8),   # dup of 0 (within A)
+        (2, "dd ee", "fr", "A", 5),
+        (3, "aa bb cc", "en", "B", 8),   # cross-source copy
+        (4, "ff gg hh ii", "en", "B", 11),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array([r[2] for r in rows]),
+            "source": pa.array([r[3] for r in rows]),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = (
+        datasheet_by_source(str(tmp_path))
+        .to_pandas()
+        .set_index("source")
+    )
+    a, b = out.loc["A"], out.loc["B"]
+    assert (a.n_docs, a.n_tokens, a.n_chars) == (3, 8, 21)
+    assert a.n_distinct_tokens == 5  # aa bb cc dd ee
+    assert a.n_langs == 2
+    assert a.n_exact_dup_docs == 2  # both copies of the dup pair
+    assert a.avg_tokens == round(8 / 3, 6)
+    assert a.dup_frac == round(2 / 3, 6)
+    assert (b.n_docs, b.n_exact_dup_docs) == (2, 1)  # cross-source copy
+    assert b.n_distinct_tokens == 7 and b.n_langs == 1

@@ -90,6 +90,7 @@ def _check(m, con, name):
         "rrf_fuse",
         "dup_assortativity",
         "dup_transitivity",
+        "datasheet_by_source",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

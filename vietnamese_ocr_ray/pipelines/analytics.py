@@ -1901,3 +1901,186 @@ def hill_tail_index(sf_dir: str) -> rd.Dataset:
         .repartition(1)
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def datasheet_by_source(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """Per-source dataset card (Gebru et al. 2021 "datasheets" rollup):
+    doc/token/char volumes, distinct-token vocabulary, language spread,
+    mean doc length, and the exact-duplicate fraction — the one-page
+    summary a curation run publishes next to each source it ships.
+
+    All counts are exact integers; the two ratios are single float
+    divisions rounded to 6 dp. Scale shape: three corpus passes, each
+    shuffling far less than the corpus — (1) per-source scalar partials
+    (sources x blocks rows), (2) batch-distinct (token, source) pairs
+    into one bucketed count, (3) content-hash-bucketed text counts (the
+    dedup_exact shuffle shape) where a text's global copy count decides
+    dup membership inside its bucket, re-attributed to sources by the
+    per-(hash, source) partial counts that rode along."""
+    from vietnamese_ocr_ray.functions.dedup import content_hash64
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+    # pass 1: per-source scalars (docs, tokens, chars) + distinct langs
+    def scalars(b: pa.Table) -> pa.Table:
+        nt = pc.list_value_length(
+            pc.split_pattern(b.column("text"), " ")
+        ).cast(pa.int64())
+        t = pa.table(
+            {
+                "source": b.column("source"),
+                "n_docs": pa.array(np.ones(b.num_rows, np.int64)),
+                "n_tokens": nt,
+                "n_chars": b.column("n_chars").cast(pa.int64()),
+            }
+        )
+        return (
+            t.group_by("source")
+            .aggregate(
+                [("n_docs", "sum"), ("n_tokens", "sum"), ("n_chars", "sum")]
+            )
+            .rename_columns(["source", "n_docs", "n_tokens", "n_chars"])
+        )
+
+    per = hash_aggregate(
+        ds.map_batches(scalars, batch_format="pyarrow"),
+        ["source"],
+        {
+            "n_docs": ("n_docs", "sum"),
+            "n_tokens": ("n_tokens", "sum"),
+            "n_chars": ("n_chars", "sum"),
+        },
+        num_buckets=4,
+    ).to_pandas()
+
+    # distinct languages per source (tiny key space)
+    langs = (
+        hash_aggregate(
+            ds.map_batches(
+                lambda b: pa.table(
+                    {"source": b.column("source"), "lang": b.column("lang")}
+                )
+                .group_by(["source", "lang"])
+                .aggregate([]),
+                batch_format="pyarrow",
+            ),
+            ["source", "lang"],
+            {"c": ("lang", "count")},
+            num_buckets=4,
+        )
+        .to_pandas()
+        .groupby("source")
+        .size()
+    )
+
+    # pass 2: distinct tokens per source
+    def tok_pairs(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        nt = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        src = b.column("source").take(
+            pa.array(np.repeat(np.arange(b.num_rows, dtype=np.int64), nt))
+        )
+        return (
+            pa.table({"tok": flat, "source": src})
+            .group_by(["tok", "source"])
+            .aggregate([])
+        )
+
+    vocab = (
+        hash_aggregate(
+            ds.map_batches(tok_pairs, batch_format="pyarrow"),
+            ["tok", "source"],
+            {"c": ("tok", "count")},
+            num_buckets=num_buckets,
+        )
+        .map_batches(
+            lambda b: pa.table({"source": b.column("source")})
+            .group_by("source")
+            .aggregate([("source", "count")])
+            .rename_columns(["source", "n"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .groupby("source")["n"]
+        .sum()
+    )
+
+    # pass 3: exact-dup docs per source (content-hash bucket shuffle)
+    def hash_rows(b: pa.Table) -> pa.Table:
+        h = content_hash64(b.column("text")).astype(np.int64)
+        t = (
+            pa.table({"h": pa.array(h), "source": b.column("source")})
+            .group_by(["h", "source"])
+            .aggregate([("h", "count")])
+            .rename_columns(["h", "source", "c"])
+        )
+        hh = np.asarray(t.column("h"), np.int64)
+        return t.append_column(
+            "_bucket",
+            pa.array(
+                (hh.astype(np.uint64) % np.uint64(num_buckets)).astype(
+                    np.int32
+                )
+            ),
+        )
+
+    def bucket_dups(g: pd.DataFrame) -> pa.Table:
+        tot = g.groupby("h")["c"].transform("sum")
+        dup = g[tot >= 2]
+        out = (
+            dup.groupby("source", as_index=False)["c"]
+            .sum()
+            .rename(columns={"c": "n_dup"})
+        )
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    dups = (
+        ds.map_batches(hash_rows, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: bucket_dups(g.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    dup_map = (
+        dups.groupby("source")["n_dup"].sum().to_dict()
+        if len(dups) and "source" in dups.columns
+        else {}
+    )
+
+    per = per.sort_values("source").reset_index(drop=True)
+    n_docs = per["n_docs"].to_numpy(np.int64)
+    n_tokens = per["n_tokens"].to_numpy(np.int64)
+    n_dup = per["source"].map(dup_map).fillna(0).to_numpy(np.int64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(per["source"].to_numpy(), pa.string()),
+                "n_docs": pa.array(n_docs),
+                "n_tokens": pa.array(n_tokens),
+                "n_chars": pa.array(per["n_chars"].to_numpy(np.int64)),
+                "n_distinct_tokens": pa.array(
+                    per["source"].map(vocab.to_dict()).to_numpy(np.int64)
+                ),
+                "n_langs": pa.array(
+                    per["source"].map(langs.to_dict()).to_numpy(np.int64)
+                ),
+                "n_exact_dup_docs": pa.array(n_dup),
+                "avg_tokens": pa.array(
+                    np.round(n_tokens / n_docs.astype(np.float64), 6),
+                    pa.float64(),
+                ),
+                "dup_frac": pa.array(
+                    np.round(n_dup / n_docs.astype(np.float64), 6),
+                    pa.float64(),
+                ),
+            }
+        )
+    )
