@@ -2454,6 +2454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue": lambda sf: relational.top_revenue_orders(sf),
         "nation_customer": lambda sf: relational.nation_customer_stats(sf),
         "order_priority": lambda sf: relational.order_priority_counts(sf),
+        "nation_trade_matrix": lambda sf: relational.nation_trade_matrix(sf),
         "window_agg": lambda sf: relational.window_aggregate(sf),
         "sliding_window": lambda sf: relational.sliding_window_aggregate(sf),
         "sessionize": lambda sf: relational.sessionize(sf),
@@ -5020,6 +5021,23 @@ def oracle_sql() -> dict[str, str]:
                  / 10000.0 AS promo_rev,
                CAST(sum(rev) AS DOUBLE) / 10000.0 AS total_rev
         FROM l
+        """,
+        "nation_trade_matrix": """
+        WITH li AS (
+          SELECT l_orderkey, l_suppkey,
+                 CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+          FROM lineitem)
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(li.rev) AS DOUBLE) / 10000.0 AS revenue
+        FROM li
+        JOIN supplier s ON s.s_suppkey = li.l_suppkey
+        JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = li.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+        GROUP BY ns.n_name, nc.n_name
         """,
         "order_priority": """
         SELECT c.c_mktsegment, o.o_orderpriority, count(*) AS n_orders

@@ -3394,3 +3394,70 @@ def test_datasheet_by_source(ray_session, tmp_path):
     assert a.dup_frac == round(2 / 3, 6)
     assert (b.n_docs, b.n_exact_dup_docs) == (2, 1)  # cross-source copy
     assert b.n_distinct_tokens == 7 and b.n_langs == 1
+
+
+def test_nation_trade_matrix(ray_session, tmp_path):
+    """Two-join flow on hand-built tables: one lineitem each for
+    (suppA->custB) and (suppB->custA); exact cent arithmetic."""
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.relational import nation_trade_matrix
+
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1], pa.int64()),
+                "n_name": pa.array(["ALPHA", "BETA"]),
+            }
+        ),
+        str(tmp_path / "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([10, 11], pa.int64()),
+                "s_nationkey": pa.array([0, 1], pa.int64()),
+            }
+        ),
+        str(tmp_path / "supplier.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([20, 21], pa.int64()),
+                "c_nationkey": pa.array([0, 1], pa.int64()),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2], pa.int64()),
+                "o_custkey": pa.array([21, 20], pa.int64()),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+                "l_suppkey": pa.array([10, 10, 11], pa.int64()),
+                "l_extendedprice": pa.array([100.00, 50.00, 10.00]),
+                "l_discount": pa.array([0.10, 0.00, 0.05]),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    out = (
+        nation_trade_matrix(str(tmp_path))
+        .to_pandas()
+        .set_index(["supp_nation", "cust_nation"])
+    )
+    ab = out.loc[("ALPHA", "BETA")]
+    # 100*0.9 + 50*1.0 = 140.00 exactly in cent units
+    assert ab.n_items == 2 and ab.revenue == 10000 * 90 / 10000.0 + 5000 * 100 / 10000.0
+    ba = out.loc[("BETA", "ALPHA")]
+    assert ba.n_items == 1 and ba.revenue == 1000 * 95 / 10000.0
+    assert len(out) == 2  # no same-nation flows in this fixture

@@ -91,6 +91,7 @@ def _check(m, con, name):
         "dup_assortativity",
         "dup_transitivity",
         "datasheet_by_source",
+        "nation_trade_matrix",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

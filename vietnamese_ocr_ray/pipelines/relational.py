@@ -2931,3 +2931,131 @@ def ewma_value(
             lambda g: ewma(g.drop(columns=["_bucket"])), batch_format="pandas"
         )
     )
+
+
+def nation_trade_matrix(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q7-shaped trade-flow matrix: exact-integer revenue between
+    every (supplier nation, customer nation) pair. The multi-join
+    showcase: two LARGE-side native hash joins (lineitem x orders on
+    orderkey, then x customer on custkey) with the DIMENSION sides
+    (supplier -> nationkey, nation -> name) broadcast once via ray.put
+    — the join graph a warehouse query planner would pick, expressed as
+    Ray Data operators.
+
+    Scale shape: lineitem pre-aggregates to (orderkey, supp_nation)
+    partials BEFORE the first join (the shuffle carries ~|orders| rows,
+    not |lineitem|); revenue units are exact int64 cents x (100 -
+    disc); the final (25 x 25)-key aggregate is one bucketed
+    hash-aggregate; one division to DOUBLE at the end."""
+    import ray
+
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    supplier = read_parquet_clean(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    nation = read_parquet_clean(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    supp_handle = ray.put(
+        (
+            pa.array(supplier["s_suppkey"].to_numpy(np.int64)),
+            supplier["s_nationkey"].to_numpy(np.int64),
+        )
+    )
+    nation_map = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys, nat = ray.get(supp_handle)
+        price_c = _cents(batch.column("l_extendedprice"), 100)
+        disc = _cents(batch.column("l_discount"), 100)
+        rev = pc.multiply(
+            price_c, pc.subtract(pa.scalar(100, pa.int64()), disc)
+        )
+        sk = batch.column("l_suppkey")
+        if isinstance(sk, pa.ChunkedArray):
+            sk = sk.combine_chunks()
+        sn = nat[pc.index_in(sk, value_set=keys).to_numpy()]
+        t = pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "supp_nation_key": pa.array(sn),
+                "rev": rev,
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        df = (
+            t.to_pandas()
+            .groupby(["l_orderkey", "supp_nation_key"], as_index=False)
+            .agg(rev=("rev", "sum"), n=("n", "sum"))
+        )
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    per_order = li.map_batches(partial, batch_format="pyarrow")
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    j1 = per_order.join(
+        orders,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    customer = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    j2 = j1.join(
+        customer,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "supp_nation_key": batch.column("supp_nation_key"),
+                "cust_nation_key": batch.column("c_nationkey").cast(pa.int64()),
+                "rev": batch.column("rev"),
+                "n": batch.column("n"),
+            }
+        )
+
+    agg = hash_aggregate(
+        j2.map_batches(keyed, batch_format="pyarrow"),
+        ["supp_nation_key", "cust_nation_key"],
+        {"rev_units": ("rev", "sum"), "n_items": ("n", "sum")},
+        num_buckets=8,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sn = [
+            nation_map[k]
+            for k in np.asarray(batch.column("supp_nation_key"), np.int64)
+        ]
+        cn = [
+            nation_map[k]
+            for k in np.asarray(batch.column("cust_nation_key"), np.int64)
+        ]
+        return pa.table(
+            {
+                "supp_nation": pa.array(sn, pa.string()),
+                "cust_nation": pa.array(cn, pa.string()),
+                "n_items": batch.column("n_items"),
+                "revenue": pc.divide(
+                    pc.cast(batch.column("rev_units"), pa.float64()),
+                    pa.scalar(10000.0),
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
