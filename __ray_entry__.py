@@ -1833,6 +1833,16 @@ def _zipf_slope(sf_dir: str):
     return zipf_slope(_docs(sf_dir))
 
 
+def _containment_pairs(sf_dir: str):
+    """Exact asymmetric near-dup join: shingle-set containment
+    |A∩B|/min >= 0.9 via the containment-flavoured prefix filter
+    (smaller side's rarity prefix joins FULL element rows) + shared
+    cogroup verify (functions/dedup.py:containment_pairs)."""
+    from vietnamese_ocr_ray.functions.dedup import containment_pairs
+
+    return containment_pairs(_docs(sf_dir), threshold=0.9)
+
+
 def _dup_assortativity(sf_dir: str):
     """Degree assortativity of the cosine>=0.4 dup graph: Pearson
     correlation of endpoint degrees over the doubled edge list —
@@ -2558,6 +2568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_interpolate": lambda sf: analytics.resample_interpolate(sf),
         "source_hhi": lambda sf: analytics.source_hhi(sf),
         "datasheet_by_source": lambda sf: analytics.datasheet_by_source(sf),
+        "time_split_leakage": lambda sf: analytics.time_split_leakage(sf),
         "k_anonymity": lambda sf: analytics.k_anonymity(sf),
         "time_weighted_avg": lambda sf: analytics.time_weighted_avg(sf),
         "key_skew_gini": lambda sf: analytics.key_skew_gini(sf),
@@ -2750,6 +2761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap_matrix": _source_overlap_matrix,
         "rrf_fuse": _rrf_fuse,
         "dup_assortativity": _dup_assortativity,
+        "containment_pairs": _containment_pairs,
         "dup_transitivity": _dup_transitivity,
         "skipgram_pairs": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.lm", fromlist=["skipgram_pairs"]
@@ -4549,6 +4561,60 @@ def _ssjoin_pairs_sql(k: int = 8, threshold: float = 0.6) -> str:
       JOIN hashes hb ON hb.doc_id = c.b
     )
     SELECT a, b, jaccard FROM verified WHERE jaccard >= {threshold}
+    """
+
+
+def _containment_pairs_sql(k: int = 8, threshold: float = 0.9) -> str:
+    """(a, b, n_inter, n_a, n_b, containment) — the `containment_pairs`
+    oracle: the prefix-filter replay of _ssjoin_pairs_sql with the
+    containment candidate rule (smaller side's prefix joins the other
+    side's FULL element rows; no length filter) and min-normalized
+    verification. Candidate supersets differ; verified values must
+    agree."""
+    win = _fnv_window_expr(k)
+    t_eff = repr(threshold - 1e-6)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text, length(text) AS len FROM documents
+    ), hashes AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len - {k - 1}, 1)), i -> {win})) AS hs
+      FROM d
+    ), hr AS (
+      SELECT doc_id, unnest(hs) AS h FROM hashes
+    ), dft AS (
+      SELECT h, count(*) AS df FROM hr GROUP BY h
+    ), rk AS (
+      SELECT h, row_number() OVER (ORDER BY df, h) - 1 AS rnk FROM dft
+    ), sz AS (
+      SELECT doc_id, count(*) AS s FROM hr GROUP BY doc_id
+    ), elem AS (
+      SELECT hr.doc_id, rk.rnk, sz.s,
+             row_number() OVER (PARTITION BY hr.doc_id
+                                ORDER BY rk.rnk) - 1 AS p
+      FROM hr JOIN rk USING (h) JOIN sz USING (doc_id)
+    ), pref AS (
+      SELECT doc_id, rnk FROM elem
+      WHERE p < s - CEIL({t_eff} * s) + 1
+    ), cand AS (
+      SELECT DISTINCT least(pa.doc_id, f.doc_id) AS a,
+                      greatest(pa.doc_id, f.doc_id) AS b
+      FROM pref pa JOIN elem f
+        ON pa.rnk = f.rnk AND pa.doc_id <> f.doc_id
+    ), verified AS (
+      SELECT c.a, c.b,
+             CAST(len(list_intersect(ha.hs, hb.hs)) AS BIGINT) AS n_inter,
+             CAST(len(ha.hs) AS BIGINT) AS n_a,
+             CAST(len(hb.hs) AS BIGINT) AS n_b,
+             round(CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+                   / least(len(ha.hs), len(hb.hs)), 6) AS containment
+      FROM cand c
+      JOIN hashes ha ON ha.doc_id = c.a
+      JOIN hashes hb ON hb.doc_id = c.b
+    )
+    SELECT a, b, n_inter, n_a, n_b, containment
+    FROM verified WHERE containment >= {threshold}
     """
 
 
@@ -6734,6 +6800,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_pairs": _minhash_pairs_sql(),
         "ssjoin_pairs": _ssjoin_pairs_sql(k=16),
+        "containment_pairs": _containment_pairs_sql(k=8, threshold=0.9),
         "dedup_neardup": _minhash_dedup_sql(),
         "dedup_impact": f"""
         SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -7473,6 +7540,34 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_unique AS BIGINT) AS n_unique,
                round(n_unique / CAST(n_shingles AS DOUBLE), 6) AS novelty
         FROM per
+        """,
+        "time_split_leakage": """
+        WITH b AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+                     AS cutoff FROM events),
+        side AS (SELECT DISTINCT user_id,
+                        CASE WHEN epoch_us(ts) >= b.cutoff
+                             THEN 1 ELSE 0 END AS s
+                 FROM events CROSS JOIN b),
+        per AS (SELECT user_id, count(*) AS c, min(s) AS mn
+                FROM side GROUP BY user_id),
+        agg AS (SELECT
+                  CAST(sum(CASE WHEN c = 2 OR mn = 0 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS train,
+                  CAST(sum(CASE WHEN c = 2 OR mn = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS test,
+                  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS leaked
+                FROM per)
+        SELECT b.cutoff AS cutoff_us,
+               agg.train AS n_train_users,
+               agg.test AS n_test_users,
+               agg.leaked AS n_leaked_users,
+               CASE WHEN least(agg.train, agg.test) = 0 THEN 0.0
+                    ELSE round(CAST(agg.leaked AS DOUBLE)
+                               / CAST(least(agg.train, agg.test) AS DOUBLE),
+                               6)
+               END AS leak_frac
+        FROM agg CROSS JOIN b
         """,
         "datasheet_by_source": """
         WITH d AS (SELECT source, lang, text, n_chars,

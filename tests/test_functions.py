@@ -3461,3 +3461,117 @@ def test_nation_trade_matrix(ray_session, tmp_path):
     ba = out.loc[("BETA", "ALPHA")]
     assert ba.n_items == 1 and ba.revenue == 1000 * 95 / 10000.0
     assert len(out) == 2  # no same-nation flows in this fixture
+
+
+def test_containment_pairs_planted(ray_session):
+    """A short doc embedded verbatim in a long doc: containment 1.0
+    even though Jaccard is low; brute-force containment over all pairs
+    agrees; complete for any partitioning."""
+    from vietnamese_ocr_ray.functions.dedup import (
+        containment_pairs,
+        ssjoin_pairs,
+    )
+
+    short = "the quick brown fox jumps over the lazy dog tonight"
+    long = (
+        "prologue words of a much longer document here " + short +
+        " and a very large amount of trailing content follows with many"
+        " extra tokens stretching the union far beyond the short one"
+    )
+    other = "completely unrelated text about databases and shuffles"
+    docs = [short, long, other, "another unrelated filler document text"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs),
+        }
+    )
+
+    def grams(txt, k=8):
+        return {txt[i : i + k] for i in range(max(len(txt) - k + 1, 1))}
+
+    sets = [grams(d) for d in docs]
+    want = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            inter = len(sets[i] & sets[j])
+            mn = min(len(sets[i]), len(sets[j]))
+            c = round(inter / mn, 6)
+            if c >= 0.9:
+                want[(i, j)] = (inter, len(sets[i]), len(sets[j]), c)
+    assert (0, 1) in want  # the planted embedding
+    for parts in (1, 3):
+        out = containment_pairs(
+            rd.from_arrow(t).repartition(parts), threshold=0.9
+        ).to_pandas()
+        got = {
+            (r.a, r.b): (r.n_inter, r.n_a, r.n_b, r.containment)
+            for r in out.itertuples()
+        }
+        assert got == want
+    # Jaccard at the same bar misses the embedded pair
+    j = ssjoin_pairs(rd.from_arrow(t), threshold=0.9).to_pandas()
+    assert (0, 1) not in set(zip(j.a, j.b)) if len(j) else True
+
+
+def test_containment_pairs_brute_force_random(ray_session):
+    """Randomized corpus: engine output == brute-force containment
+    (completeness of the prefix-filter candidate rule)."""
+    from vietnamese_ocr_ray.functions.dedup import containment_pairs
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for i in range(40):
+        n = rng.randint(6, 20)
+        docs.append(" ".join(rng.choice(vocab, size=n)))
+    # plant a few containments
+    docs[7] = docs[3][: len(docs[3]) // 2]
+    docs[19] = docs[12]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs),
+        }
+    )
+
+    def grams(txt, k=8):
+        return {txt[i : i + k] for i in range(max(len(txt) - k + 1, 1))}
+
+    sets = [grams(d) for d in docs]
+    want = set()
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            inter = len(sets[i] & sets[j])
+            if round(inter / min(len(sets[i]), len(sets[j])), 6) >= 0.8:
+                want.add((i, j))
+    out = containment_pairs(
+        rd.from_arrow(t).repartition(4), threshold=0.8
+    ).to_pandas()
+    assert set(zip(out.a, out.b)) == want
+
+
+def test_time_split_leakage(ray_session, tmp_path):
+    """Hand-built timeline: user 1 only before the cut, user 2 only
+    after, user 3 on both sides -> 1 leaked of min(2, 2)."""
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.analytics import time_split_leakage
+
+    def ts(h):
+        return np.datetime64("2025-01-01", "us") + np.timedelta64(h, "h")
+
+    rows = [(1, ts(0)), (1, ts(1)), (2, ts(9)), (3, ts(1)), (3, ts(10))]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = time_split_leakage(str(tmp_path)).to_pandas().iloc[0]
+    # range [0h, 10h] -> cutoff at 5h
+    assert out.n_train_users == 2   # users 1, 3
+    assert out.n_test_users == 2    # users 2, 3
+    assert out.n_leaked_users == 1  # user 3
+    assert out.leak_frac == 0.5

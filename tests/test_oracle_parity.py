@@ -92,6 +92,8 @@ def _check(m, con, name):
         "dup_transitivity",
         "datasheet_by_source",
         "nation_trade_matrix",
+        "containment_pairs",
+        "time_split_leakage",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

@@ -420,6 +420,7 @@ def verify_pairs_corpus(
     k: int = 8,
     threshold: float = 0.6,
     num_coarse: int = 32,
+    verify_rows=None,
 ) -> rd.Dataset:
     """Exact shingle-Jaccard verification of candidate ``(a, b)`` pairs
     against the corpus — the 100 TB verification path shared by
@@ -434,7 +435,7 @@ def verify_pairs_corpus(
     Both shuffles move candidate-sized data plus the corpus text once."""
     from vietnamese_ocr_ray.functions.joins import key_bucket
 
-    _verify_rows = _verify_rows_factory(k, threshold)
+    _verify_rows = verify_rows or _verify_rows_factory(k, threshold)
     docs = ds.select_columns(["doc_id", "text"])
 
     def cand_roles(b: pa.Table) -> pa.Table:
@@ -2017,3 +2018,206 @@ def fuzzy_pairs_ed1(
         lambda b: b.select(["w1", "w2"]), batch_format="pyarrow"
     )
     return _ensure_schema(out, empty.schema)
+
+
+def containment_counts_batch(
+    a_arr: pa.Array, b_arr: pa.Array, k: int = 8
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(inter, n_a, n_b) distinct k-byte shingle counts for N (a, b)
+    text pairs in one vectorized pass — the counting core behind both
+    Jaccard and containment verification."""
+    a_arr = a_arr.combine_chunks() if isinstance(a_arr, pa.ChunkedArray) else a_arr
+    b_arr = b_arr.combine_chunks() if isinstance(b_arr, pa.ChunkedArray) else b_arr
+    n = len(a_arr)
+    ra, ha = _unique_shingles(*_utf8_flat(a_arr), k)
+    rb, hb = _unique_shingles(*_utf8_flat(b_arr), k)
+    ca = np.bincount(ra, minlength=n)
+    cb = np.bincount(rb, minlength=n)
+    rows = np.concatenate([ra, rb])
+    hs = np.concatenate([ha, hb])
+    order = np.lexsort((hs, rows))
+    r2, h2 = rows[order], hs[order]
+    dup = np.zeros(r2.shape[0], dtype=bool)
+    dup[1:] = (r2[1:] == r2[:-1]) & (h2[1:] == h2[:-1])
+    inter = np.bincount(r2[dup], minlength=n)
+    return inter.astype(np.int64), ca.astype(np.int64), cb.astype(np.int64)
+
+
+def containment_pairs(
+    ds: rd.Dataset,
+    *,
+    k: int = 8,
+    threshold: float = 0.9,
+    num_coarse: int = 32,
+) -> rd.Dataset:
+    """EXACT asymmetric near-dup join: every doc pair (a < b) whose
+    k-byte shingle-set CONTAINMENT |A∩B| / min(|A|, |B|) >= threshold
+    — catches a short document embedded verbatim inside a long one,
+    which Jaccard misses (union-normalized, the long side dilutes it).
+    The quote/excerpt/version-prefix detector of a curation stack.
+
+    Prefix filtering, containment flavour: if C(A,B) >= t then the
+    SMALLER set misses at most (1-t)*|S| of its elements, so its
+    rarity-ordered prefix of size s - ceil(t_eff*s) + 1 must intersect
+    the other side's FULL set (prefix x prefix is NOT sufficient here
+    — the larger side's prefix can miss the overlap entirely, hence
+    prefix rows join against all element rows). No length filter
+    exists for min-normalized containment.
+
+    Scale shape: same skeleton as :func:`ssjoin_pairs` — one
+    vocabulary-bounded df aggregate for the rarity LUT, element rows
+    (prefix-tagged) on one int-only rank-bucket shuffle, candidate
+    dedupe on a candidate-sized shuffle, exact verification via the
+    shared :func:`verify_pairs_corpus` cogroup with a containment
+    verifier. Posting lists of hot elements are touched only when a
+    hot element lands in someone's prefix, which rarity ordering makes
+    rare."""
+    import ray
+
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
+    t_eff = threshold - 1e-6
+    docs = ds.select_columns(["doc_id", "text"])
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        _, hs = _unique_shingles(*_utf8_flat(b.column("text")), k)
+        u, c = np.unique(hs, return_counts=True)
+        return pa.table(
+            {"h": pa.array(u.astype(np.int64)), "df": pa.array(c)}
+        )
+
+    df_pd = hash_aggregate(
+        docs.map_batches(df_partial, batch_format="pyarrow"),
+        ["h"],
+        {"df": ("df", "sum")},
+    ).to_pandas()  # element-vocabulary-bounded (ssjoin contract)
+    h_arr = df_pd["h"].to_numpy(np.int64).astype(np.uint64)
+    df_arr = df_pd["df"].to_numpy(np.int64)
+    order = np.lexsort((h_arr, df_arr))
+    h_by_rank = h_arr[order]
+    h_sorted = np.sort(h_arr)
+    rank_of = np.empty(len(h_arr), np.int64)
+    rank_of[np.searchsorted(h_sorted, h_by_rank)] = np.arange(len(h_arr))
+    lut = ray.put((h_sorted, rank_of))
+
+    def element_rows(b: pa.Table) -> pa.Table:
+        h_sorted_, rank_of_ = ray.get(lut)
+        rows, hs = _unique_shingles(*_utf8_flat(b.column("text")), k)
+        ranks = rank_of_[np.searchsorted(h_sorted_, hs)]
+        o = np.lexsort((ranks, rows))
+        rows, ranks = rows[o], ranks[o]
+        n = b.num_rows
+        sizes = np.bincount(rows, minlength=n)
+        starts = np.cumsum(sizes) - sizes
+        pos = np.arange(rows.shape[0]) - np.repeat(starts, sizes)
+        p = sizes - np.ceil(t_eff * sizes).astype(np.int64) + 1
+        ids = np.asarray(b.column("doc_id"), dtype=np.int64)
+        return pa.table(
+            {
+                "rnk": pa.array(ranks),
+                "doc_id": pa.array(ids[rows]),
+                "is_prefix": pa.array(pos < np.repeat(p, sizes)),
+                "bucket": pa.array(
+                    key_bucket(pa.array(ranks), num_coarse).astype(np.int32)
+                ),
+            }
+        )
+
+    def rank_pairs(g: pd.DataFrame) -> pa.Table:
+        s = g.sort_values(["rnk", "doc_id"], kind="stable")
+        rnk = s["rnk"].to_numpy(np.int64)
+        ids = s["doc_id"].to_numpy(np.int64)
+        pref = s["is_prefix"].to_numpy(bool)
+        n = ids.shape[0]
+        out_a, out_b = [], []
+        if n:
+            change = np.ones(n, dtype=bool)
+            change[1:] = rnk[1:] != rnk[:-1]
+            starts = np.nonzero(change)[0]
+            sizes = np.diff(np.append(starts, n))
+            multi = sizes >= 2
+            for st, m in zip(starts[multi], sizes[multi]):
+                seg_id = ids[st : st + m]
+                seg_pref = pref[st : st + m]
+                pi = np.nonzero(seg_pref)[0]
+                if pi.size == 0:
+                    continue
+                # prefix members x ALL members (excluding self)
+                a = np.repeat(seg_id[pi], m)
+                b2 = np.tile(seg_id, pi.size)
+                keep = a != b2
+                lo = np.minimum(a[keep], b2[keep])
+                hi = np.maximum(a[keep], b2[keep])
+                out_a.append(lo)
+                out_b.append(hi)
+        if out_a:
+            aa = np.concatenate(out_a)
+            bb = np.concatenate(out_b)
+        else:
+            aa = np.empty(0, np.int64)
+            bb = np.empty(0, np.int64)
+        df = pd.DataFrame({"a": aa, "b": bb}).drop_duplicates()
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    candidates = (
+        docs.map_batches(element_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda g: rank_pairs(g.drop(columns=["bucket"])),
+            batch_format="pandas",
+        )
+    )
+    distinct = (
+        candidates.map_batches(
+            lambda b: b.append_column(
+                "bucket",
+                pa.array(
+                    (
+                        np.asarray(b.column("a")).astype(np.int64) % num_coarse
+                    ).astype(np.int32)
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(
+            lambda g: pa.Table.from_pandas(
+                g.drop(columns=["bucket"]).drop_duplicates(["a", "b"]),
+                preserve_index=False,
+            ).replace_schema_metadata(None),
+            batch_format="pandas",
+        )
+    )
+
+    def _verify_containment(
+        batch: pa.Table, texts_a: pa.Array, texts_b: pa.Array
+    ) -> pa.Table:
+        inter, na, nb = containment_counts_batch(texts_a, texts_b, k)
+        mn = np.minimum(na, nb)
+        c = np.round(
+            inter / np.maximum(mn, 1).astype(np.float64), 6
+        )
+        hit = (c >= threshold) & (mn > 0)
+        filtered = batch.filter(pa.array(hit))
+        return pa.table(
+            {
+                "a": filtered.column("a"),
+                "b": filtered.column("b"),
+                "n_inter": pa.array(inter[hit]),
+                "n_a": pa.array(na[hit]),
+                "n_b": pa.array(nb[hit]),
+                "containment": pa.array(c[hit], pa.float64()),
+            }
+        )
+
+    return verify_pairs_corpus(
+        distinct,
+        ds,
+        k=k,
+        threshold=threshold,
+        num_coarse=num_coarse,
+        verify_rows=_verify_containment,
+    )

@@ -2084,3 +2084,99 @@ def datasheet_by_source(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
             }
         )
     )
+
+
+def time_split_leakage(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """Temporal split-leakage audit: split events at the midpoint of
+    the observed time range (train = before, test = at/after) and
+    count users present on BOTH sides — the entity-leakage check a
+    time-based train/eval split must publish (a user in both halves
+    leaks behavioral signal across the cut).
+
+    Exactness: the cutoff is integer microseconds ((min+max) // 2 of
+    epoch-us), side membership is an integer compare, and the three
+    user counts come from ONE bucketed distinct-(user, side) aggregate
+    — the leak fraction is the only float, one rounded division.
+
+    Scale shape: one pruned min/max pass, then one pass emitting
+    batch-distinct (user_id, side) pairs into a user-bucketed count;
+    per-user rows collapse to three scalars inside the buckets, so the
+    driver sees num_buckets partial rows."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def bounds(b: pa.Table) -> pa.Table:
+        u = pc.cast(b.column("ts"), pa.int64())
+        return pa.table(
+            {
+                "mn": pa.array([pc.min(u).as_py()], pa.int64()),
+                "mx": pa.array([pc.max(u).as_py()], pa.int64()),
+            }
+        )
+
+    bb = ds.map_batches(bounds, batch_format="pyarrow").aggregate(
+        Min("mn", alias_name="mn"), Max("mx", alias_name="mx")
+    )
+    cutoff = (int(bb["mn"]) + int(bb["mx"])) // 2
+
+    def sides(b: pa.Table) -> pa.Table:
+        u = np.asarray(pc.cast(b.column("ts"), pa.int64()), np.int64)
+        t = pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "side": pa.array((u >= cutoff).astype(np.int8)),
+            }
+        ).group_by(["user_id", "side"]).aggregate([])
+        uid = np.asarray(t.column("user_id"), np.int64)
+        return t.append_column(
+            "_bucket",
+            pa.array(
+                (uid.astype(np.uint64) % np.uint64(num_buckets)).astype(
+                    np.int32
+                )
+            ),
+        )
+
+    def bucket_counts(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["user_id", "side"])
+        per = d.groupby("user_id")["side"].agg(["count", "min"])
+        both = int((per["count"] == 2).sum())
+        train = int(((per["count"] == 2) | (per["min"] == 0)).sum())
+        test = int((per["count"] == 2).sum() + (per["min"] == 1).sum())
+        return pa.table(
+            {
+                "train": pa.array([train], pa.int64()),
+                "test": pa.array([test], pa.int64()),
+                "both": pa.array([both], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(sides, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: bucket_counts(g.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        )
+        .aggregate(
+            Sum("train", alias_name="train"),
+            Sum("test", alias_name="test"),
+            Sum("both", alias_name="both"),
+        )
+    )
+    train, test, both = int(agg["train"]), int(agg["test"]), int(agg["both"])
+    leak = round(float(both) / float(min(train, test)), 6) if min(train, test) else 0.0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "cutoff_us": pa.array([cutoff], pa.int64()),
+                "n_train_users": pa.array([train], pa.int64()),
+                "n_test_users": pa.array([test], pa.int64()),
+                "n_leaked_users": pa.array([both], pa.int64()),
+                "leak_frac": pa.array([leak], pa.float64()),
+            }
+        )
+    )
