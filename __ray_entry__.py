@@ -1417,6 +1417,18 @@ def _dup_degree_hist(sf_dir: str):
     return hist.union(zero)
 
 
+def _zscore_outliers(sf_dir: str):
+    """Top-20 embedding outliers by diagonal-covariance whitened
+    distance — exact micro-unit moments, sequential per-dim float
+    accumulation (functions/ann.py:zscore_outliers)."""
+    from vietnamese_ocr_ray.functions.ann import zscore_outliers
+
+    return zscore_outliers(
+        _read_pq(f"{sf_dir}/embeddings.parquet",
+                 columns=["vec_id", "embedding"])
+    )
+
+
 def _embedding_covariance(sf_dir: str, dims: int = 4):
     """Covariance matrix of the first `dims` embedding dimensions —
     the distributed X^T X second-moment shape every PCA/whitening
@@ -2710,6 +2722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_neardup_cosine": _dedup_neardup_cosine,
         "embedding_stats": _embedding_stats,
         "embedding_covariance": _embedding_covariance,
+        "zscore_outliers": _zscore_outliers,
         "label_centroid_sim": _label_centroid_sim,
         "embedding_pca": _embedding_pca,
         "pca_project_2d": _pca_project_2d,
@@ -5854,6 +5867,32 @@ def oracle_sql() -> dict[str, str]:
           AND round(list_cosine_similarity(
                 CAST(a.embedding AS DOUBLE[]),
                 CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+        """,
+        "zscore_outliers": """
+        WITH q AS (SELECT vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+                   FROM embeddings),
+        e AS (SELECT generate_subscripts(qv, 1) AS dim, unnest(qv) AS v
+              FROM q),
+        st AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                      CAST(sum(v) AS BIGINT) AS s,
+                      CAST(sum(v * v) AS HUGEINT) AS ss
+               FROM e GROUP BY dim),
+        ms AS (SELECT dim,
+                      CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+                      sqrt(CAST(n::HUGEINT * ss - s::HUGEINT * s AS DOUBLE)
+                           / CAST(n::HUGEINT * (n - 1) AS DOUBLE)) AS sd
+               FROM st),
+        l AS (SELECT list(mu ORDER BY dim) AS mus,
+                     list(sd ORDER BY dim) AS sds FROM ms),
+        z AS (SELECT vec_id,
+                     round(list_sum(list_transform(qv, (x, i) ->
+                       ((CAST(x AS DOUBLE) - l.mus[i]) / l.sds[i])
+                       * ((CAST(x AS DOUBLE) - l.mus[i]) / l.sds[i]))), 6)
+                       AS z2
+              FROM q LEFT JOIN l ON true)
+        SELECT vec_id, z2 FROM z ORDER BY z2 DESC, vec_id LIMIT 20
         """,
         "dup_assortativity": """
         WITH p AS (

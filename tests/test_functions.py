@@ -3575,3 +3575,50 @@ def test_time_split_leakage(ray_session, tmp_path):
     assert out.n_test_users == 2    # users 2, 3
     assert out.n_leaked_users == 1  # user 3
     assert out.leak_frac == 0.5
+
+
+def test_zscore_outliers_planted(ray_session):
+    """A vector pushed 10 sigma out on one dim tops the list; z2
+    matches a numpy reference computed with the same exact-moment
+    mu/sd and sequential accumulation."""
+    from vietnamese_ocr_ray.functions.ann import zscore_outliers
+
+    rng = np.random.RandomState(5)
+    X = rng.normal(0, 1, size=(50, 4))
+    X[17] = [9.0, -9.0, 9.0, -9.0]  # the outlier
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(50), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in X],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    q = np.round(X * 1_000_000).astype(np.int64)
+    n = 50
+    mu = np.array([float(int(q[:, i].sum())) / n for i in range(4)])
+    sd = np.array(
+        [
+            np.sqrt(
+                float(n * int((q[:, i] * q[:, i]).sum()) - int(q[:, i].sum()) ** 2)
+                / float(n * (n - 1))
+            )
+            for i in range(4)
+        ]
+    )
+    acc = np.zeros(n)
+    for i in range(4):
+        d = (q[:, i].astype(np.float64) - mu[i]) / sd[i]
+        acc = acc + d * d
+    want = np.round(acc, 6)
+    order = np.lexsort((np.arange(n), -want))[:5]
+    for parts in (1, 4):
+        out = (
+            zscore_outliers(rd.from_arrow(t).repartition(parts), k=5)
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        assert out.vec_id[0] == 17
+        assert list(out.vec_id) == list(order)
+        assert list(out.z2) == [want[i] for i in order]

@@ -94,6 +94,7 @@ def _check(m, con, name):
         "nation_trade_matrix",
         "containment_pairs",
         "time_split_leakage",
+        "zscore_outliers",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

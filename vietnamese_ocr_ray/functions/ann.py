@@ -980,3 +980,82 @@ def hard_negatives(
         .map_groups(lambda g: _knn_finish(g, k), batch_format="pandas")
     )
     return _ensure_schema(out, _KNN_SCHEMA)
+
+
+def zscore_outliers(ds: rd.Dataset, k: int = 20) -> rd.Dataset:
+    """Top-``k`` embedding outliers by diagonal-covariance z-score:
+    z2(v) = sum_i ((v_i - mu_i) / sd_i)^2 over dimensions in ASCENDING
+    index order — the cheap whitened-distance outlier screen run
+    before expensive semantic dedup (vectors far from the bulk are
+    encoder failures / empty inputs / corrupt rows).
+
+    Determinism contract: coordinates quantize to micro-unit int64
+    (the _embedding_covariance convention) so the per-dim moment sums
+    are exact; mu/sd derive from those exact integers by one fixed
+    float expression; the per-row accumulation loops dims
+    left-to-right (numpy axis-sums are pairwise, NOT sequential — the
+    SQL list_sum is sequential, so the loop order is load-bearing).
+    Selection orders on the 6dp-rounded z2 with a vec_id tiebreak.
+
+    Scale shape: one streaming moment pass (one 2D+1-column partial
+    row per batch), mu/sd broadcast as arrays, scoring is stateless
+    map_batches with per-batch partial top-k bounding the final
+    sort."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    first = ds.take(1)[0]["embedding"]
+    D = len(first)
+
+    def moments(batch: pa.Table) -> pa.Table:
+        q = np.round(_matrix(batch) * 1_000_000).astype(np.int64)
+        cols = {"n": pa.array([batch.num_rows], pa.int64())}
+        for i in range(D):
+            cols[f"s{i}"] = pa.array([int(q[:, i].sum())], pa.int64())
+            cols[f"q{i}"] = pa.array(
+                [int((q[:, i] * q[:, i]).sum())], pa.int64()
+            )
+        return pa.table(cols)
+
+    aggs = [Sum("n", alias_name="n")]
+    for i in range(D):
+        aggs.append(Sum(f"s{i}", alias_name=f"s{i}"))
+        aggs.append(Sum(f"q{i}", alias_name=f"q{i}"))
+    agg = ds.map_batches(moments, batch_format="pyarrow").aggregate(*aggs)
+    n = int(agg["n"])
+    mu = np.empty(D, np.float64)
+    sd = np.empty(D, np.float64)
+    for i in range(D):
+        s, ss = int(agg[f"s{i}"]), int(agg[f"q{i}"])
+        mu[i] = float(s) / float(n)
+        sd[i] = np.sqrt(float(n * ss - s * s) / float(n * (n - 1)))
+    handle = ray.put((mu, sd))
+
+    def score(batch: pa.Table) -> pa.Table:
+        mu_, sd_ = ray.get(handle)
+        q = np.round(_matrix(batch) * 1_000_000).astype(np.int64)
+        acc = np.zeros(batch.num_rows, np.float64)
+        for i in range(D):  # sequential: matches SQL list_sum order
+            d = (q[:, i].astype(np.float64) - mu_[i]) / sd_[i]
+            acc = acc + d * d
+        out = pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "z2": pa.array(np.round(acc, 6), pa.float64()),
+            }
+        )
+        df = (
+            out.to_pandas()
+            .sort_values(["z2", "vec_id"], ascending=[False, True])
+            .head(k)
+        )
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["z2", "vec_id"], descending=[True, False])
+        .limit(k)
+    )
