@@ -1855,6 +1855,17 @@ def _containment_pairs(sf_dir: str):
     return containment_pairs(_docs(sf_dir), threshold=0.9)
 
 
+def _dedup_containment(sf_dir: str):
+    """Containment-dedup survivors: drop the contained (smaller) side
+    of every containment>=0.9 pair, keep the container; per-pair drop
+    rule, no clustering (functions/dedup.py:containment_survivors)."""
+    from vietnamese_ocr_ray.functions.dedup import containment_survivors
+
+    return containment_survivors(
+        _docs(sf_dir, ("doc_id",)), _containment_pairs(sf_dir)
+    ).select_columns(["doc_id"])
+
+
 def _dup_assortativity(sf_dir: str):
     """Degree assortativity of the cosine>=0.4 dup graph: Pearson
     correlation of endpoint degrees over the doubled edge list —
@@ -2775,6 +2786,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fuse": _rrf_fuse,
         "dup_assortativity": _dup_assortativity,
         "containment_pairs": _containment_pairs,
+        "dedup_containment": _dedup_containment,
         "dup_transitivity": _dup_transitivity,
         "skipgram_pairs": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.lm", fromlist=["skipgram_pairs"]
@@ -6840,6 +6852,16 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_pairs_sql(),
         "ssjoin_pairs": _ssjoin_pairs_sql(k=16),
         "containment_pairs": _containment_pairs_sql(k=8, threshold=0.9),
+        "dedup_containment": _containment_pairs_sql(k=8, threshold=0.9)
+        .replace(
+            """SELECT a, b, n_inter, n_a, n_b, containment
+    FROM verified WHERE containment >= 0.9""",
+            """SELECT doc_id FROM documents WHERE doc_id NOT IN (
+      SELECT DISTINCT CASE WHEN n_a < n_b THEN a
+                           WHEN n_b < n_a THEN b
+                           ELSE greatest(a, b) END
+      FROM verified WHERE containment >= 0.9)""",
+        ),
         "dedup_neardup": _minhash_dedup_sql(),
         "dedup_impact": f"""
         SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,

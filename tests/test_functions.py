@@ -3622,3 +3622,37 @@ def test_zscore_outliers_planted(ray_session):
         assert out.vec_id[0] == 17
         assert list(out.vec_id) == list(order)
         assert list(out.z2) == [want[i] for i in order]
+
+
+def test_containment_survivors_drop_rule(ray_session):
+    """The contained (smaller) doc drops, the container survives;
+    equal-size pairs drop the larger id; untouched docs pass through."""
+    from vietnamese_ocr_ray.functions.dedup import containment_survivors
+
+    pairs = pa.table(
+        {
+            "a": pa.array([1, 5], pa.int64()),
+            "b": pa.array([2, 6], pa.int64()),
+            "n_a": pa.array([10, 7], pa.int64()),
+            "n_b": pa.array([50, 7], pa.int64()),
+        }
+    )
+    docs = pa.table({"doc_id": pa.array([1, 2, 3, 5, 6], pa.int64())})
+    out = containment_survivors(
+        rd.from_arrow(docs).repartition(2), rd.from_arrow(pairs)
+    ).to_pandas()
+    # 1 contained in 2 -> drop 1; 5/6 equal size -> drop 6 (larger id)
+    assert sorted(out.doc_id) == [2, 3, 5]
+    # empty pair set: corpus unchanged
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "n_a": pa.array([], pa.int64()),
+            "n_b": pa.array([], pa.int64()),
+        }
+    )
+    out = containment_survivors(
+        rd.from_arrow(docs), rd.from_arrow(empty)
+    ).to_pandas()
+    assert sorted(out.doc_id) == [1, 2, 3, 5, 6]

@@ -95,6 +95,7 @@ def _check(m, con, name):
         "containment_pairs",
         "time_split_leakage",
         "zscore_outliers",
+        "dedup_containment",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

@@ -2221,3 +2221,47 @@ def containment_pairs(
         num_coarse=num_coarse,
         verify_rows=_verify_containment,
     )
+
+
+def containment_survivors(
+    ds: rd.Dataset, pairs: rd.Dataset, id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Containment-dedup REMOVAL: for every verified containment pair,
+    drop the CONTAINED side (the smaller shingle set — the excerpt /
+    quote / truncated version), keeping the container; equal sizes drop
+    the larger id. No clustering round is needed — the drop rule is
+    per-pair (unlike Jaccard near-dup, where transitive clusters demand
+    connected components).
+
+    Scale shape: pairs are duplicate-bounded; the drop-id set reaches
+    the driver (neardup_survivors' small-side contract) and the filter
+    is one broadcast np.isin per batch."""
+    import ray
+
+    def drops(b: pa.Table) -> pa.Table:
+        a = np.asarray(b.column("a"), np.int64)
+        bb = np.asarray(b.column("b"), np.int64)
+        na = np.asarray(b.column("n_a"), np.int64)
+        nb = np.asarray(b.column("n_b"), np.int64)
+        d = np.where(na < nb, a, np.where(nb < na, bb, np.maximum(a, bb)))
+        return pa.table({"node": pa.array(d)})
+
+    drop_tbl = pairs.map_batches(drops, batch_format="pyarrow").to_pandas()
+    if len(drop_tbl) == 0 or "node" not in drop_tbl.columns:
+        return ds
+    drop_ids = np.unique(drop_tbl["node"].to_numpy(np.int64))
+    handle = ray.put(drop_ids)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        dropped = ray.get(handle)
+        ids = np.asarray(
+            pc.cast(
+                batch.column(id_col).combine_chunks()
+                if isinstance(batch.column(id_col), pa.ChunkedArray)
+                else batch.column(id_col),
+                pa.int64(),
+            )
+        )
+        return batch.filter(pa.array(~np.isin(ids, dropped)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
