@@ -1846,13 +1846,13 @@ def _zipf_slope(sf_dir: str):
 
 
 def _containment_pairs(sf_dir: str):
-    """Exact asymmetric near-dup join: shingle-set containment
+    """Exact asymmetric near-dup join: 16-byte shingle-set containment
     |A∩B|/min >= 0.9 via the containment-flavoured prefix filter
     (smaller side's rarity prefix joins FULL element rows) + shared
     cogroup verify (functions/dedup.py:containment_pairs)."""
     from vietnamese_ocr_ray.functions.dedup import containment_pairs
 
-    return containment_pairs(_docs(sf_dir), threshold=0.9)
+    return containment_pairs(_docs(sf_dir), k=16, threshold=0.9)
 
 
 def _dedup_containment(sf_dir: str):
@@ -6851,8 +6851,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_pairs": _minhash_pairs_sql(),
         "ssjoin_pairs": _ssjoin_pairs_sql(k=16),
-        "containment_pairs": _containment_pairs_sql(k=8, threshold=0.9),
-        "dedup_containment": _containment_pairs_sql(k=8, threshold=0.9)
+        "containment_pairs": _containment_pairs_sql(k=16, threshold=0.9),
+        "dedup_containment": _containment_pairs_sql(k=16, threshold=0.9)
         .replace(
             """SELECT a, b, n_inter, n_a, n_b, containment
     FROM verified WHERE containment >= 0.9""",
