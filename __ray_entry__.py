@@ -1855,6 +1855,23 @@ def _containment_pairs(sf_dir: str):
     return containment_pairs(_docs(sf_dir), k=16, threshold=0.9)
 
 
+def _join_size_estimate(sf_dir: str):
+    """CMS inner-product join-cardinality estimate for clicks x
+    purchases on user_id, vs the exact size — the planner statistic
+    (functions/sketch.py:cms_join_size); one-sided overestimate."""
+    from vietnamese_ocr_ray.functions.sketch import cms_join_size
+    from vietnamese_ocr_ray.sources.storage import read_parquet_clean
+
+    def side(ev):
+        return read_parquet_clean(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id"],
+            filter=pc.field("event_type") == ev,
+        )
+
+    return cms_join_size(side("click"), side("purchase"), "user_id")
+
+
 def _dedup_containment(sf_dir: str):
     """Containment-dedup survivors: drop the contained (smaller) side
     of every containment>=0.9 pair, keep the container; per-pair drop
@@ -2787,6 +2804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_assortativity": _dup_assortativity,
         "containment_pairs": _containment_pairs,
         "dedup_containment": _dedup_containment,
+        "join_size_estimate": _join_size_estimate,
         "dup_transitivity": _dup_transitivity,
         "skipgram_pairs": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.lm", fromlist=["skipgram_pairs"]
@@ -4508,6 +4526,71 @@ def _cms_full_sql(k: int = 10, depth: int = 4, width: int = 2048) -> str:
       {joins}
     ORDER BY least({least}) DESC, bk.t ASC
     LIMIT {k}
+    """
+
+
+def _cms_join_size_sql(depth: int = 4, width: int = 2048) -> str:
+    """(exact_size, est_size, overestimate, rel_error) — the
+    `join_size_estimate` oracle: CMS inner-product join-cardinality
+    estimation replayed in closed form. Per side, per distinct key:
+    splitmix64 finalize of the int key (+golden, the joins._mix64
+    chain), CountMinSketch odd-multiplier row buckets (high bits);
+    per-depth bucket sums; estimate = min over depths of the bucket
+    dot product; exact size = sum of per-key count products."""
+    mults = [
+        0x9E3779B97F4A7C15,
+        0xC2B2AE3D27D4EB4F,
+        0x165667B19E3779F9,
+        0x27D4EB2F165667C5,
+    ][:depth]
+    shift = 64 - (width.bit_length() - 1)
+    gold = 0x9E3779B97F4A7C15
+
+    def mix_chain(src: str, pfx: str) -> str:
+        f1 = _mul64_expr("xor(h, h >> 30)", 0xBF58476D1CE4E5B9)
+        f2 = _mul64_expr("xor(h, h >> 27)", 0x94D049BB133111EB)
+        buckets = ",\n             ".join(
+            f"CAST({_mul64_expr('h', m)} >> {shift} AS BIGINT) AS b{d}"
+            for d, m in enumerate(mults)
+        )
+        return f"""
+    {pfx}0 AS (SELECT c, CAST((key::HUGEINT + {gold}) % {_U64_MOD}
+                              AS UBIGINT) AS h FROM {src}),
+    {pfx}1 AS (SELECT c, {f1} AS h FROM {pfx}0),
+    {pfx}2 AS (SELECT c, {f2} AS h FROM {pfx}1),
+    {pfx}3 AS (SELECT c, xor(h, h >> 31) AS h FROM {pfx}2),
+    {pfx}b AS (SELECT c,
+             {buckets}
+      FROM {pfx}3)"""
+
+    depth_ctes = ",\n    ".join(
+        f"""at{d} AS (SELECT b{d} AS j, CAST(sum(c) AS BIGINT) AS s
+            FROM ab GROUP BY b{d}),
+    bt{d} AS (SELECT b{d} AS j, CAST(sum(c) AS BIGINT) AS s
+            FROM bb GROUP BY b{d}),
+    e{d} AS (SELECT CAST(COALESCE(sum(x.s * y.s), 0) AS BIGINT) AS v
+            FROM at{d} x JOIN bt{d} y USING (j))"""
+        for d in range(depth)
+    )
+    least = ", ".join(f"e{d}.v" for d in range(depth))
+    crosses = " CROSS JOIN ".join(f"e{d}" for d in range(depth))
+    return f"""
+    WITH ak AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS c
+                FROM events WHERE event_type = 'click' GROUP BY user_id),
+    bk AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS c
+           FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    {mix_chain('ak', 'a')},
+    {mix_chain('bk', 'b')},
+    {depth_ctes},
+    ex AS (SELECT CAST(COALESCE(sum(ak.c * bk.c), 0) AS BIGINT) AS x
+           FROM ak JOIN bk USING (key))
+    SELECT ex.x AS exact_size,
+           least({least}) AS est_size,
+           least({least}) - ex.x AS overestimate,
+           CASE WHEN ex.x = 0 THEN 0.0
+                ELSE round(CAST(least({least}) - ex.x AS DOUBLE)
+                           / CAST(ex.x AS DOUBLE), 6) END AS rel_error
+    FROM ex CROSS JOIN {crosses}
     """
 
 
@@ -7340,6 +7423,7 @@ def oracle_sql() -> dict[str, str]:
         FROM w GROUP BY user_id
         """,
         "dp_counts": _dp_counts_sql(),
+        "join_size_estimate": _cms_join_size_sql(),
         "bloom_semijoin": _bloom_semijoin_sql(),
         "ewma_value": _ewma_sql(),
         "hill_tail_index": """

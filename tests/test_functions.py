@@ -3656,3 +3656,44 @@ def test_containment_survivors_drop_rule(ray_session):
         rd.from_arrow(docs), rd.from_arrow(empty)
     ).to_pandas()
     assert sorted(out.doc_id) == [1, 2, 3, 5, 6]
+
+
+def test_cms_join_size_one_sided(ray_session):
+    """Estimate never undercounts; exact size matches the per-key
+    product sum; a direct CountMinSketch inner-product reference
+    agrees bit-for-bit; partitioning-invariant."""
+    from vietnamese_ocr_ray.functions.joins import _mix64
+    from vietnamese_ocr_ray.functions.sketch import (
+        CountMinSketch,
+        cms_join_size,
+    )
+
+    rng = np.random.RandomState(9)
+    ka = rng.randint(0, 200, size=3000).astype(np.int64)  # skewed-ish
+    kb = rng.randint(0, 300, size=2000).astype(np.int64)
+    ta = pa.table({"k": pa.array(ka)})
+    tb = pa.table({"k": pa.array(kb)})
+    from collections import Counter
+
+    ca, cb = Counter(ka.tolist()), Counter(kb.tolist())
+    exact = sum(ca[u] * cb[u] for u in ca if u in cb)
+    # reference CMS inner product
+    A, B = CountMinSketch(), CountMinSketch()
+    ua, na = np.unique(ka, return_counts=True)
+    ub, nb = np.unique(kb, return_counts=True)
+    A.add_hashes(_mix64(ua), na)
+    B.add_hashes(_mix64(ub), nb)
+    ref_est = min(
+        int((A.table[d] * B.table[d]).sum()) for d in range(A.depth)
+    )
+    for parts in (1, 4):
+        out = cms_join_size(
+            rd.from_arrow(ta).repartition(parts),
+            rd.from_arrow(tb).repartition(parts),
+            "k",
+        ).to_pandas().iloc[0]
+        assert out.exact_size == exact
+        assert out.est_size == ref_est
+        assert out.est_size >= exact  # one-sided
+        assert out.overestimate == ref_est - exact
+        assert out.rel_error == round((ref_est - exact) / exact, 6)

@@ -96,6 +96,7 @@ def _check(m, con, name):
         "time_split_leakage",
         "zscore_outliers",
         "dedup_containment",
+        "join_size_estimate",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

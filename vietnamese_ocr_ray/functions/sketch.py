@@ -620,3 +620,127 @@ def grouped_approx_distinct(
         .groupby(key_col)
         .map_groups(merge_group, batch_format="pandas")
     )
+
+
+def cms_join_size(
+    a: rd.Dataset,
+    b: rd.Dataset,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+) -> rd.Dataset:
+    """Join-cardinality estimation by Count-Min INNER PRODUCT (Cormode
+    & Muthukrishnan 2005 §4.2): |A join B on key| is estimated as
+    min over depth rows d of sum_j A_d[j] * B_d[j], where A_d/B_d are
+    the CMS counter rows of each side's key column — the statistic a
+    distributed planner uses to size a join without touching per-key
+    counts. One-sided: the estimate NEVER undercounts (hash collisions
+    only add cross terms). The exact size rides along for the error
+    report.
+
+    Scale shape: each side streams once emitting sparse (depth, bucket,
+    count) partials — a batch contributes at most depth*width rows —
+    merged by one bucketed aggregate; the dense tables reaching the
+    driver are 2 * depth * width integers regardless of data size. The
+    exact side is one key-bucketed count aggregate whose per-key rows
+    collapse to product partials inside the buckets.
+
+    Key hashing: splitmix64 finalize of the int64 key (the
+    functions/joins._mix64 chain), then the CountMinSketch
+    odd-multiplier row mixes — all replayed by the SQL oracle."""
+    import ray  # noqa: F401  (parallel import shape with siblings)
+
+    from ray.data.aggregate import Sum
+
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+    from vietnamese_ocr_ray.functions.joins import _mix64
+
+    cms = CountMinSketch(depth=depth, width=width)
+
+    def cms_partial(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch.column(key_col), np.int64)
+        u, c = np.unique(keys, return_counts=True)
+        idx = cms._indices(_mix64(u))  # (depth, n)
+        d = np.repeat(np.arange(depth, dtype=np.int64), u.shape[0])
+        j = idx.reshape(-1).astype(np.int64)
+        cc = np.tile(c.astype(np.int64), depth)
+        return (
+            pa.table({"d": pa.array(d), "j": pa.array(j), "c": pa.array(cc)})
+            .group_by(["d", "j"])
+            .aggregate([("c", "sum")])
+            .rename_columns(["d", "j", "c"])
+        )
+
+    def sparse(side_ds: rd.Dataset):
+        return hash_aggregate(
+            side_ds.map_batches(cms_partial, batch_format="pyarrow"),
+            ["d", "j"],
+            {"c": ("c", "sum")},
+            num_buckets=8,
+        ).to_pandas()  # <= depth*width rows
+
+    ta, tb = sparse(a), sparse(b)
+    dense_a = np.zeros((depth, width), np.int64)
+    dense_b = np.zeros((depth, width), np.int64)
+    dense_a[ta["d"].to_numpy(np.int64), ta["j"].to_numpy(np.int64)] = ta[
+        "c"
+    ].to_numpy(np.int64)
+    dense_b[tb["d"].to_numpy(np.int64), tb["j"].to_numpy(np.int64)] = tb[
+        "c"
+    ].to_numpy(np.int64)
+    ests = [int((dense_a[d] * dense_b[d]).sum()) for d in range(depth)]
+    est = min(ests)
+
+    # exact: per-key counts of both sides in one bucketed aggregate
+    def tag(side_val: int):
+        def f(batch: pa.Table) -> pa.Table:
+            keys = np.asarray(batch.column(key_col), np.int64)
+            u, c = np.unique(keys, return_counts=True)
+            z = np.zeros_like(c)
+            return pa.table(
+                {
+                    "key": pa.array(u),
+                    "ca": pa.array(c if side_val == 0 else z),
+                    "cb": pa.array(z if side_val == 0 else c),
+                }
+            )
+
+        return f
+
+    per_key = hash_aggregate(
+        a.map_batches(tag(0), batch_format="pyarrow").union(
+            b.map_batches(tag(1), batch_format="pyarrow")
+        ),
+        ["key"],
+        {"ca": ("ca", "sum"), "cb": ("cb", "sum")},
+    )
+    prod = per_key.map_batches(
+        lambda t: pa.table(
+            {
+                "p": pa.array(
+                    [
+                        int(
+                            (
+                                np.asarray(t.column("ca"), np.int64)
+                                * np.asarray(t.column("cb"), np.int64)
+                            ).sum()
+                        )
+                    ],
+                    pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).aggregate(Sum("p", alias_name="p"))
+    exact = int(prod["p"])
+    err = round(float(est - exact) / float(exact), 6) if exact else 0.0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "exact_size": pa.array([exact], pa.int64()),
+                "est_size": pa.array([est], pa.int64()),
+                "overestimate": pa.array([est - exact], pa.int64()),
+                "rel_error": pa.array([err], pa.float64()),
+            }
+        )
+    )
