@@ -1855,6 +1855,18 @@ def _containment_pairs(sf_dir: str):
     return containment_pairs(_docs(sf_dir), k=16, threshold=0.9)
 
 
+def _kcenter_select(sf_dir: str):
+    """Gonzalez k-center coreset over embeddings: exact integer
+    squared-L2, vec_id tiebreak — diversity subset selection
+    (functions/ann.py:kcenter_select)."""
+    from vietnamese_ocr_ray.functions.ann import kcenter_select
+
+    return kcenter_select(
+        _read_pq(f"{sf_dir}/embeddings.parquet",
+                 columns=["vec_id", "embedding"])
+    )
+
+
 def _join_size_estimate(sf_dir: str):
     """CMS inner-product join-cardinality estimate for clicks x
     purchases on user_id, vs the exact size — the planner statistic
@@ -2805,6 +2817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": _containment_pairs,
         "dedup_containment": _dedup_containment,
         "join_size_estimate": _join_size_estimate,
+        "kcenter_select": _kcenter_select,
         "dup_transitivity": _dup_transitivity,
         "skipgram_pairs": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.lm", fromlist=["skipgram_pairs"]
@@ -4592,6 +4605,56 @@ def _cms_join_size_sql(depth: int = 4, width: int = 2048) -> str:
                            / CAST(ex.x AS DOUBLE), 6) END AS rel_error
     FROM ex CROSS JOIN {crosses}
     """
+
+
+def _kcenter_sql(k: int = 8) -> str:
+    """(round, vec_id, d2) — the `kcenter_select` oracle: Gonzalez
+    farthest-point greedy unrolled as k MATERIALIZED CTE rounds over
+    micro-unit integer coordinates; d2 is an exact integer list_sum,
+    so argmax (vec_id tiebreak) replays bit-for-bit."""
+
+    def dexpr(c: str) -> str:
+        return (
+            f"list_sum(list_transform(q.qv, (x, i) -> "
+            f"(x - {c}.qv[i]) * (x - {c}.qv[i])))"
+        )
+
+    parts = [
+        """q AS MATERIALIZED (SELECT vec_id,
+      list_transform(CAST(embedding AS DOUBLE[]),
+                     x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+      FROM embeddings)""",
+        "c0 AS MATERIALIZED (SELECT vec_id, qv FROM q ORDER BY vec_id"
+        " LIMIT 1)",
+    ]
+    for r in range(1, k):
+        prev = [f"c{i}" for i in range(r)]
+        joins = " ".join(f"LEFT JOIN {p} ON true" for p in prev)
+        ds_ = [dexpr(p) for p in prev]
+        mind = f"least({', '.join(ds_)})" if len(ds_) > 1 else ds_[0]
+        union = " UNION ALL ".join(f"SELECT vec_id FROM {p}" for p in prev)
+        parts.append(f"ch{r} AS MATERIALIZED ({union})")
+        parts.append(
+            f"""s{r} AS MATERIALIZED (
+      SELECT q.vec_id, q.qv, {mind} AS mind
+      FROM q {joins}
+      WHERE q.vec_id NOT IN (SELECT vec_id FROM ch{r}))"""
+        )
+        parts.append(
+            f"c{r} AS MATERIALIZED (SELECT vec_id, qv, mind FROM s{r}"
+            f" ORDER BY mind DESC, vec_id LIMIT 1)"
+        )
+    rounds = ["SELECT 0 AS round, vec_id, 0 AS d2 FROM c0"] + [
+        f"SELECT {r} AS round, vec_id, CAST(mind AS BIGINT) AS d2 FROM c{r}"
+        for r in range(1, k)
+    ]
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + "\n    SELECT CAST(round AS BIGINT) AS round, vec_id, d2 FROM ("
+        + " UNION ALL ".join(rounds)
+        + ")\n    "
+    )
 
 
 def _hll_distinct_tokens_sql() -> str:
@@ -7424,6 +7487,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dp_counts": _dp_counts_sql(),
         "join_size_estimate": _cms_join_size_sql(),
+        "kcenter_select": _kcenter_sql(),
         "bloom_semijoin": _bloom_semijoin_sql(),
         "ewma_value": _ewma_sql(),
         "hill_tail_index": """

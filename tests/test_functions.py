@@ -3697,3 +3697,55 @@ def test_cms_join_size_one_sided(ray_session):
         assert out.est_size >= exact  # one-sided
         assert out.overestimate == ref_est - exact
         assert out.rel_error == round((ref_est - exact) / exact, 6)
+
+
+def test_kcenter_select_greedy_reference(ray_session):
+    """Farthest-point greedy vs a brute-force reference on planted
+    clusters: the first k centers hit distinct clusters before any
+    repeats; exact integer distances; partitioning-invariant."""
+    from vietnamese_ocr_ray.functions.ann import kcenter_select
+
+    rng = np.random.RandomState(2)
+    centers = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0], [10.0, 10.0]])
+    X = np.vstack(
+        [c + rng.normal(0, 0.1, size=(10, 2)) for c in centers]
+    )
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in X], pa.list_(pa.float64())
+            ),
+        }
+    )
+    q = np.round(X * 1_000_000).astype(np.int64)
+
+    def ref(kk):
+        chosen = [0]  # min vec_id
+        out = [(0, 0, 0)]
+        for r in range(1, kk):
+            best = None
+            for i in range(40):
+                if i in chosen:
+                    continue
+                mind = min(
+                    int(((q[i] - q[c]) ** 2).sum()) for c in chosen
+                )
+                cand = (-mind, i)
+                if best is None or cand < best:
+                    best = cand
+            chosen.append(best[1])
+            out.append((r, best[1], -best[0]))
+        return out
+
+    want = ref(4)
+    for parts in (1, 4):
+        got = (
+            kcenter_select(rd.from_arrow(t).repartition(parts), k=4)
+            .to_pandas()
+            .sort_values("round")
+        )
+        assert [tuple(r) for r in got.to_numpy()] == want
+    # the 4 selected points cover all 4 planted clusters
+    cluster = [i // 10 for _, v, _ in want for i in [v]]
+    assert len(set(cluster)) == 4

@@ -97,6 +97,7 @@ def _check(m, con, name):
         "zscore_outliers",
         "dedup_containment",
         "join_size_estimate",
+        "kcenter_select",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

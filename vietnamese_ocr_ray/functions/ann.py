@@ -1059,3 +1059,95 @@ def zscore_outliers(ds: rd.Dataset, k: int = 20) -> rd.Dataset:
         .sort(["z2", "vec_id"], descending=[True, False])
         .limit(k)
     )
+
+
+def kcenter_select(ds: rd.Dataset, k: int = 8) -> rd.Dataset:
+    """k-center coreset selection (Gonzalez 1985 farthest-point
+    greedy): start from the min vec_id, then k-1 rounds of "add the
+    point farthest from its nearest chosen center" — the diversity
+    coreset picker (training-data subset selection / eval-set seeding),
+    the geometry-only cousin of mmr_select.
+
+    Exactness: distances are squared L2 over micro-unit-quantized
+    int64 coordinates — pure integer arithmetic, so argmax (ties by
+    vec_id asc) is bit-deterministic under any layout; no float enters
+    until nothing (d2 stays int64 end-to-end).
+
+    Scale shape: k-1 streaming passes; each broadcasts the <=k chosen
+    centers (tiny), computes per-batch min-distance-to-centers
+    vectorized, and emits ONE candidate row per batch (the batch
+    argmax) — the driver reduces batch-count rows per round."""
+    import ray
+
+    first = (
+        ds.map_batches(
+            lambda b: pa.table(
+                {"vec_id": [int(np.asarray(b.column("vec_id")).min())]}
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["vec_id"]
+        .min()
+    )
+    c0_tbl = ds.map_batches(
+        lambda b: b.filter(
+            pc.equal(b.column("vec_id"), pa.scalar(int(first)))
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    c0 = np.round(
+        np.asarray(c0_tbl["embedding"].iloc[0], np.float64) * 1_000_000
+    ).astype(np.int64)
+
+    chosen_ids = [int(first)]
+    chosen_vecs = [c0]
+    d2s = [0]
+    for _ in range(k - 1):
+        handle = ray.put(
+            (np.asarray(chosen_ids, np.int64), np.stack(chosen_vecs))
+        )
+
+        def best(batch: pa.Table) -> pa.Table:
+            ids_c, cents = ray.get(handle)
+            ids = np.asarray(batch.column("vec_id"), np.int64)
+            q = np.round(_matrix(batch) * 1_000_000).astype(np.int64)
+            mind = np.full(len(ids), np.iinfo(np.int64).max)
+            for c in cents:
+                d = q - c[None, :]
+                mind = np.minimum(mind, (d * d).sum(axis=1))
+            mask = ~np.isin(ids, ids_c)
+            if not mask.any():
+                return pa.table(
+                    {
+                        "vec_id": pa.array([], pa.int64()),
+                        "d2": pa.array([], pa.int64()),
+                        "qv": pa.array([], pa.list_(pa.int64())),
+                    }
+                )
+            ids, mind, q = ids[mask], mind[mask], q[mask]
+            o = np.lexsort((ids, -mind))[0]
+            return pa.table(
+                {
+                    "vec_id": pa.array([int(ids[o])], pa.int64()),
+                    "d2": pa.array([int(mind[o])], pa.int64()),
+                    "qv": pa.array([q[o].tolist()], pa.list_(pa.int64())),
+                }
+            )
+
+        cand = ds.map_batches(best, batch_format="pyarrow").to_pandas()
+        cand = cand.sort_values(
+            ["d2", "vec_id"], ascending=[False, True]
+        ).iloc[0]
+        chosen_ids.append(int(cand["vec_id"]))
+        chosen_vecs.append(np.asarray(cand["qv"], np.int64))
+        d2s.append(int(cand["d2"]))
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "round": pa.array(range(k), pa.int64()),
+                "vec_id": pa.array(chosen_ids, pa.int64()),
+                "d2": pa.array(d2s, pa.int64()),
+            }
+        )
+    )
