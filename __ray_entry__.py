@@ -455,6 +455,15 @@ def _source_temperature_weights(sf_dir: str):
     return source_temperature_weights(ds, "source")
 
 
+def _source_epochs(sf_dir: str):
+    """LLaMA-style data-recipe repetition factors: sqrt-temperature
+    token-share apportionment of a 2x token budget, capped at 4 epochs
+    (functions/sampling.py:source_epochs)."""
+    from vietnamese_ocr_ray.functions.sampling import source_epochs
+
+    return source_epochs(_docs(sf_dir, ("doc_id", "text", "source")))
+
+
 def _media_thumbnail(sf_dir: str):
     """Resize stage driven end to end and VALUE-checked: media images →
     Thumbnail(out_h=16) (real bilinear downscale, aspect kept) → exact
@@ -2537,6 +2546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_psi": lambda sf: relational.value_psi(sf),
         "stratified_split": _stratified_split,
         "source_temperature_weights": _source_temperature_weights,
+        "source_epochs": _source_epochs,
         "zorder_layout": _zorder_layout,
         "partition_stats": _partition_stats,
         "snapshot_diff": _snapshot_diff,
@@ -7777,6 +7787,30 @@ def oracle_sql() -> dict[str, str]:
                                6)
                END AS leak_frac
         FROM agg CROSS JOIN b
+        """,
+        "source_epochs": """
+        WITH c AS (SELECT source,
+                          CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                            AS n
+                   FROM documents GROUP BY source),
+        w AS (SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS w FROM c),
+        tot AS (SELECT CAST(list_sum(list(w ORDER BY source)) AS DOUBLE)
+                  AS tw,
+                CAST(sum(n) AS BIGINT) AS tn
+                FROM w),
+        p AS (SELECT source, n,
+                     CAST(floor(1000000.0 * w / tot.tw + 0.5) AS BIGINT)
+                       AS ppm,
+                     tot.tn
+              FROM w CROSS JOIN tot),
+        t AS (SELECT source, n, ppm,
+                     (2 * tn * ppm) // 1000000 AS target
+              FROM p)
+        SELECT source, n AS n_tokens, ppm AS weight_ppm,
+               CAST(target AS BIGINT) AS target_tokens,
+               round(least(4.0, CAST(target AS DOUBLE)
+                                / CAST(n AS DOUBLE)), 6) AS epochs
+        FROM t
         """,
         "datasheet_by_source": """
         WITH d AS (SELECT source, lang, text, n_chars,

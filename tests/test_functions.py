@@ -3749,3 +3749,40 @@ def test_kcenter_select_greedy_reference(ray_session):
     # the 4 selected points cover all 4 planted clusters
     cluster = [i // 10 for _, v, _ in want for i in [v]]
     assert len(set(cluster)) == 4
+
+
+def test_source_epochs_recipe(ray_session):
+    """sqrt-temperature apportionment: the small source gets MORE
+    epochs than the big one; cap binds when target >> tokens; exact
+    integer targets match a python reference."""
+    from vietnamese_ocr_ray.functions.sampling import source_epochs
+
+    docs = (
+        [("big", "a b c d e f g h")] * 50
+        + [("small", "x y")] * 2
+    )
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array([d[1] for d in docs]),
+            "source": pa.array([d[0] for d in docs]),
+        }
+    )
+    out = (
+        source_epochs(rd.from_arrow(t).repartition(3))
+        .to_pandas()
+        .set_index("source")
+    )
+    n = {"big": 400, "small": 4}
+    w = {s: np.sqrt(float(v)) for s, v in n.items()}
+    tw = w["big"] + w["small"]  # name order: big, small
+    ppm = {s: int(np.floor(1e6 * w[s] / tw + 0.5)) for s in n}
+    budget = 2 * 404
+    for s in n:
+        tgt = budget * ppm[s] // 1_000_000
+        assert out.loc[s].n_tokens == n[s]
+        assert out.loc[s].weight_ppm == ppm[s]
+        assert out.loc[s].target_tokens == tgt
+        assert out.loc[s].epochs == round(min(4.0, tgt / n[s]), 6)
+    assert out.loc["small"].epochs > out.loc["big"].epochs
+    assert out.loc["small"].epochs == 4.0  # cap binds

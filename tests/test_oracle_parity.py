@@ -98,6 +98,7 @@ def _check(m, con, name):
         "dedup_containment",
         "join_size_estimate",
         "kcenter_select",
+        "source_epochs",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

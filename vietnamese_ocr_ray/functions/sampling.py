@@ -381,3 +381,68 @@ def source_temperature_weights(
             "weight_ppm": pa.array(ppm),
         }
     )
+
+
+def source_epochs(
+    ds: rd.Dataset,
+    *,
+    budget_factor: int = 2,
+    cap: float = 4.0,
+) -> pa.Table:
+    """Data-recipe repetition factors (the LLaMA-style mixing table):
+    token budget B = budget_factor x corpus tokens is apportioned to
+    sources by temperature-flattened weights (p_i ∝ sqrt(tokens_i),
+    the source_temperature_weights rule over TOKENS), and each
+    source's epoch count is its target divided by its own tokens,
+    capped at ``cap`` (never repeat a tiny source unboundedly).
+
+    Exactness: token counts are exact ints; the sqrt weights are
+    IEEE-exact; ppm shares and targets use integer floor(x + 0.5) /
+    floor division; the final epochs value is one least()/division
+    expression replayed verbatim in SQL.
+
+    Scale shape: ONE pruned corpus pass of per-batch (source, tokens)
+    partials into a bucketed aggregate; the finish touches
+    |sources| rows on the driver."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nt = pc.list_value_length(
+            pc.split_pattern(batch.column("text"), " ")
+        ).cast(pa.int64())
+        t = pa.table({"source": batch.column("source"), "n": nt})
+        return (
+            t.group_by("source")
+            .aggregate([("n", "sum")])
+            .rename_columns(["source", "n"])
+        )
+
+    counts = (
+        hash_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["source"],
+            {"n_tokens": ("n", "sum")},
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("source", kind="stable")
+        .reset_index(drop=True)
+    )
+    n = counts["n_tokens"].to_numpy(np.int64)
+    w = np.sqrt(n.astype(np.float64))
+    total_w = float(np.sum(w))  # name-ordered sum — replayed in SQL
+    ppm = np.floor(1e6 * w / total_w + 0.5).astype(np.int64)
+    budget = int(budget_factor) * int(n.sum())
+    target = budget * ppm // 1_000_000
+    epochs = np.minimum(
+        float(cap), target.astype(np.float64) / n.astype(np.float64)
+    )
+    return pa.table(
+        {
+            "source": pa.array(counts["source"].astype(str), pa.string()),
+            "n_tokens": pa.array(n),
+            "weight_ppm": pa.array(ppm),
+            "target_tokens": pa.array(target),
+            "epochs": pa.array(np.round(epochs, 6), pa.float64()),
+        }
+    )
