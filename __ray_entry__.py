@@ -2526,6 +2526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_customer": lambda sf: relational.nation_customer_stats(sf),
         "order_priority": lambda sf: relational.order_priority_counts(sf),
         "nation_trade_matrix": lambda sf: relational.nation_trade_matrix(sf),
+        "cohort_ltv": lambda sf: relational.cohort_ltv(sf),
         "window_agg": lambda sf: relational.window_aggregate(sf),
         "sliding_window": lambda sf: relational.sliding_window_aggregate(sf),
         "sessionize": lambda sf: relational.sessionize(sf),
@@ -5268,6 +5269,30 @@ def oracle_sql() -> dict[str, str]:
                  / 10000.0 AS promo_rev,
                CAST(sum(rev) AS DOUBLE) / 10000.0 AS total_rev
         FROM l
+        """,
+        "cohort_ltv": """
+        WITH e AS (SELECT user_id,
+                          epoch_us(ts) // 86400000000 AS days,
+                          CASE WHEN event_type = 'purchase'
+                               THEN CAST(round(value * 1000) AS BIGINT)
+                               ELSE 0 END AS vm
+                   FROM events),
+        w AS (SELECT user_id, days - ((days + 3) % 7) AS week, vm FROM e),
+        uw AS (SELECT user_id, week, CAST(sum(vm) AS BIGINT) AS v
+               FROM w GROUP BY user_id, week),
+        ch AS (SELECT user_id, min(week) AS cohort FROM uw
+               GROUP BY user_id),
+        o AS (SELECT ch.cohort,
+                     (uw.week - ch.cohort) // 7 AS week_offset,
+                     CAST(sum(uw.v) AS BIGINT) AS vm
+              FROM uw JOIN ch USING (user_id) GROUP BY 1, 2)
+        SELECT CAST(cohort AS BIGINT) AS cohort_day,
+               CAST(week_offset AS BIGINT) AS week_offset,
+               CAST(vm AS DOUBLE) / 1000.0 AS revenue,
+               CAST(sum(vm) OVER (PARTITION BY cohort
+                                  ORDER BY week_offset) AS DOUBLE)
+                 / 1000.0 AS cum_revenue
+        FROM o
         """,
         "nation_trade_matrix": """
         WITH li AS (

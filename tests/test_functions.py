@@ -3786,3 +3786,46 @@ def test_source_epochs_recipe(ray_session):
         assert out.loc[s].epochs == round(min(4.0, tgt / n[s]), 6)
     assert out.loc["small"].epochs > out.loc["big"].epochs
     assert out.loc["small"].epochs == 4.0  # cap binds
+
+
+def test_cohort_ltv(ray_session, tmp_path):
+    """Two cohorts on a hand-built timeline: purchase value lands in
+    the right (cohort, offset) cell; activity-only weeks appear with
+    zero revenue; the cumulative column accumulates per cohort."""
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.relational import cohort_ltv
+
+    def ts(day):
+        # 2025-01-06 is a Monday
+        return np.datetime64("2025-01-06", "us") + np.timedelta64(day, "D")
+
+    rows = [
+        (1, ts(0), "purchase", 10.0),   # cohort W0, offset 0
+        (1, ts(8), "click", 0.0),       # W1 activity, no revenue
+        (1, ts(15), "purchase", 2.5),   # W2, offset 2
+        (2, ts(7), "purchase", 7.0),    # cohort W1, offset 0
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(4), pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = (
+        cohort_ltv(str(tmp_path))
+        .to_pandas()
+        .set_index(["cohort_day", "week_offset"])
+        .sort_index()
+    )
+    w0 = int(np.datetime64("2025-01-06").astype("datetime64[D]").astype(int))
+    assert out.loc[(w0, 0)].revenue == 10.0
+    assert out.loc[(w0, 1)].revenue == 0.0       # activity, no purchase
+    assert out.loc[(w0, 2)].revenue == 2.5
+    assert out.loc[(w0, 2)].cum_revenue == 12.5  # cumulative
+    assert out.loc[(w0 + 7, 0)].revenue == 7.0   # user 2's cohort
+    assert len(out) == 4

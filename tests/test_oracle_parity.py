@@ -99,6 +99,7 @@ def _check(m, con, name):
         "join_size_estimate",
         "kcenter_select",
         "source_epochs",
+        "cohort_ltv",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

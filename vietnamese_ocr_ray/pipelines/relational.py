@@ -3059,3 +3059,109 @@ def nation_trade_matrix(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def cohort_ltv(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """Weekly-cohort lifetime value: users are cohorted by the
+    Monday-start week of their FIRST event (any type); purchase value
+    accrues to (cohort, week_offset) cells, reported per-week and
+    cumulatively — the revenue companion of cohort_retention.
+
+    Exactness: value rides as milli-unit int64 from the scan; the only
+    floats are the two final /1000.0 casts. Week arithmetic is the
+    cohort_retention convention (epoch-day Monday truncation).
+
+    Scale shape: one pass emits per-batch (user, week, milli) partials
+    (all active weeks, zero value for non-purchase activity, so cells
+    with engagement but no revenue still appear); ONE user-bucket
+    shuffle resolves first weeks; a (cohorts x offsets)-bounded
+    aggregate finishes; the cumulative sum runs on that tiny table."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id", "event_type", "value"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = (
+            batch.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        days = us // 86_400_000_000
+        week = days - ((days + 3) % 7)
+        user = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        is_p = pc.equal(
+            batch.column("event_type"), pa.scalar("purchase")
+        ).to_numpy(zero_copy_only=False)
+        vm = np.where(
+            is_p,
+            np.rint(batch.column("value").to_numpy(zero_copy_only=False) * 1000.0),
+            0.0,
+        ).astype(np.int64)
+        df = (
+            pd.DataFrame({"user_id": user, "week": week, "v": vm})
+            .groupby(["user_id", "week"], as_index=False)["v"]
+            .sum()
+        )
+        df["_bucket"] = key_bucket(
+            pa.array(df["user_id"].to_numpy(np.int64)), num_buckets
+        ).astype(np.int32)
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    def bucket_cells(g: pd.DataFrame) -> pa.Table:
+        uw = g.groupby(["user_id", "week"], as_index=False)["v"].sum()
+        cohort = uw.groupby("user_id")["week"].transform("min")
+        out = pd.DataFrame(
+            {
+                "cohort": cohort.to_numpy(np.int64),
+                "week_offset": (
+                    (uw["week"].to_numpy(np.int64) - cohort.to_numpy(np.int64))
+                    // 7
+                ),
+                "vm": uw["v"].to_numpy(np.int64),
+            }
+        ).groupby(["cohort", "week_offset"], as_index=False)["vm"].sum()
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    cells = (
+        hash_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(
+                lambda g: bucket_cells(g.drop(columns=["_bucket"])),
+                batch_format="pandas",
+            ),
+            ["cohort", "week_offset"],
+            {"vm": ("vm", "sum")},
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["cohort", "week_offset"])
+        .reset_index(drop=True)
+    )
+    cum = cells.groupby("cohort")["vm"].cumsum().to_numpy(np.int64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "cohort_day": pa.array(cells["cohort"].to_numpy(np.int64)),
+                "week_offset": pa.array(
+                    cells["week_offset"].to_numpy(np.int64)
+                ),
+                "revenue": pa.array(
+                    cells["vm"].to_numpy(np.int64).astype(np.float64) / 1000.0,
+                    pa.float64(),
+                ),
+                "cum_revenue": pa.array(
+                    cum.astype(np.float64) / 1000.0, pa.float64()
+                ),
+            }
+        )
+    )
