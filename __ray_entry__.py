@@ -455,6 +455,15 @@ def _source_temperature_weights(sf_dir: str):
     return source_temperature_weights(ds, "source")
 
 
+def _shuffle_autocorr(sf_dir: str):
+    """Shuffle-quality audit: adjacent same-source rate in the
+    deterministic shard-shuffle order vs the random-permutation
+    expectation (functions/batching.py:shuffle_autocorr)."""
+    from vietnamese_ocr_ray.functions.batching import shuffle_autocorr
+
+    return shuffle_autocorr(_docs(sf_dir, ("doc_id", "source")))
+
+
 def _source_epochs(sf_dir: str):
     """LLaMA-style data-recipe repetition factors: sqrt-temperature
     token-share apportionment of a 2x token budget, capped at 4 epochs
@@ -2548,6 +2557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_split": _stratified_split,
         "source_temperature_weights": _source_temperature_weights,
         "source_epochs": _source_epochs,
+        "shuffle_autocorr": _shuffle_autocorr,
         "zorder_layout": _zorder_layout,
         "partition_stats": _partition_stats,
         "snapshot_diff": _snapshot_diff,
@@ -7739,6 +7749,39 @@ def oracle_sql() -> dict[str, str]:
         bad AS (SELECT DISTINCT doc_id FROM dng JOIN bng USING (g))
         SELECT doc_id FROM documents
         WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        "shuffle_autocorr": """
+        WITH h AS (
+          SELECT doc_id, source,
+                 CAST(list_sum(list_transform(
+                     string_split('shard:' || CAST(doc_id AS VARCHAR), ''),
+                     (x, i) -> unicode(x) * i)) % 1000000007 AS BIGINT) AS fp
+          FROM documents
+        ),
+        m AS (SELECT doc_id, source,
+                     ((fp + 123456789) * (fp + 123456789) % 1000000007)
+                       * (fp + 123456789) % 1000000007 AS mh
+              FROM h),
+        o AS (SELECT source,
+                     lag(source) OVER (PARTITION BY mh % 8
+                                       ORDER BY mh, doc_id) AS prev
+              FROM m),
+        pr AS (SELECT CAST(count(prev) AS BIGINT) AS pairs,
+                      CAST(sum(CASE WHEN prev = source THEN 1 ELSE 0 END)
+                           AS BIGINT) AS same
+               FROM o),
+        c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+              GROUP BY source),
+        ex AS (SELECT CAST(sum(n * (n - 1)) AS BIGINT) AS num,
+                      CAST(sum(n) AS BIGINT) AS nn FROM c)
+        SELECT pr.pairs AS n_pairs, pr.same AS n_same_source,
+               round(CAST(pr.same AS DOUBLE) / pr.pairs, 6) AS observed_rate,
+               round(CAST(ex.num AS DOUBLE) / (ex.nn * (ex.nn - 1)), 6)
+                 AS expected_rate,
+               round((CAST(pr.same AS DOUBLE) / pr.pairs)
+                     / (CAST(ex.num AS DOUBLE) / (ex.nn * (ex.nn - 1))), 6)
+                 AS clump_ratio
+        FROM pr CROSS JOIN ex
         """,
         "shuffle_shards": """
         WITH h AS (

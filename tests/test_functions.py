@@ -3829,3 +3829,46 @@ def test_cohort_ltv(ray_session, tmp_path):
     assert out.loc[(w0, 2)].cum_revenue == 12.5  # cumulative
     assert out.loc[(w0 + 7, 0)].revenue == 7.0   # user 2's cohort
     assert len(out) == 4
+
+
+def test_shuffle_autocorr_detects_clumping(ray_session):
+    """The hash shuffle of a source-sorted corpus lands near
+    clump_ratio ~ 1 (well mixed); the counts match a direct replay of
+    the shard order; a single-source corpus degenerates to ratio 1."""
+    from vietnamese_ocr_ray.functions.batching import shuffle_autocorr
+    from vietnamese_ocr_ray.functions.sampling import _mixed_hash, _poly_hash
+
+    n = 400
+    sources = ["A"] * (n // 2) + ["B"] * (n // 2)  # maximally sorted input
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "source": pa.array(sources),
+        }
+    )
+    out = shuffle_autocorr(rd.from_arrow(t).repartition(4)).to_pandas().iloc[0]
+    # direct replay of the shard order
+    keys = pa.array([f"shard:{i}" for i in range(n)])
+    h = _mixed_hash(_poly_hash(keys))
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {"doc_id": range(n), "source": sources, "shard": h % 8, "h": h}
+    ).sort_values(["shard", "h", "doc_id"])
+    same = pairs = 0
+    for _, g in df.groupby("shard"):
+        src = g["source"].to_numpy()
+        pairs += len(src) - 1
+        same += int((src[1:] == src[:-1]).sum())
+    assert out.n_pairs == pairs and out.n_same_source == same
+    # hash shuffle destroys the sorted-input correlation
+    assert 0.5 < out.clump_ratio < 1.5
+    # degenerate: one source -> observed == expected == 1
+    t1 = pa.table(
+        {
+            "doc_id": pa.array(range(50), pa.int64()),
+            "source": pa.array(["only"] * 50),
+        }
+    )
+    row = shuffle_autocorr(rd.from_arrow(t1)).to_pandas().iloc[0]
+    assert row.clump_ratio == 1.0

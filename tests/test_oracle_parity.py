@@ -100,6 +100,7 @@ def _check(m, con, name):
         "kcenter_select",
         "source_epochs",
         "cohort_ltv",
+        "shuffle_autocorr",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

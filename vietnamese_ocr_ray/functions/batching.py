@@ -280,3 +280,87 @@ def pack_sequences(
         .groupby("pack_bucket")
         .map_groups(pack, batch_format="pandas")
     )
+
+
+def shuffle_autocorr(
+    ds: rd.Dataset,
+    num_shards: int = 8,
+    salt: str = "shard:",
+) -> rd.Dataset:
+    """Shuffle-quality audit: after the deterministic shard shuffle
+    (:func:`shuffle_shards` order), how often do ADJACENT rows within a
+    shard share a source? Reports the observed adjacent-same-source
+    rate against the random-permutation expectation
+    sum_s n_s(n_s-1) / (N(N-1)) and their ratio — clump_ratio >> 1
+    means the "shuffle" still feeds the trainer source-correlated
+    batches (the curriculum-leak failure mode of a bad epoch shuffle).
+
+    Exactness: pair counts are integers; the three rates are single
+    float divisions rounded to 6dp. Scale shape: the tag pass carries
+    (hash, source) only; ONE shard groupby sorts each shard locally
+    and emits two ints; per-source counts are a tiny aggregate."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+    from vietnamese_ocr_ray.functions.sampling import _mixed_hash, _poly_hash
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keys = pc.binary_join_element_wise(
+            pa.scalar(salt),
+            pc.cast(batch.column("doc_id"), pa.string()),
+            pa.scalar(""),
+        )
+        h = _mixed_hash(_poly_hash(keys))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "shard": pa.array(h % num_shards),
+                "_h": pa.array(h),
+            }
+        )
+
+    def shard_pairs(g: pd.DataFrame) -> pa.Table:
+        s = g.sort_values(["_h", "doc_id"], kind="stable")
+        src = s["source"].to_numpy()
+        same = int((src[1:] == src[:-1]).sum()) if len(src) > 1 else 0
+        return pa.table(
+            {
+                "pairs": pa.array([max(len(src) - 1, 0)], pa.int64()),
+                "same": pa.array([same], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(shard_pairs, batch_format="pandas")
+        .aggregate(Sum("pairs", alias_name="pairs"), Sum("same", alias_name="same"))
+    )
+    pairs, same = int(agg["pairs"]), int(agg["same"])
+
+    counts = hash_aggregate(
+        ds.select_columns(["source"]),
+        ["source"],
+        {"n": ("source", "count")},
+        num_buckets=4,
+    ).to_pandas()
+    n_s = counts["n"].to_numpy(np.int64)
+    N = int(n_s.sum())
+    exp_num = int((n_s * (n_s - 1)).sum())
+    expected = float(exp_num) / float(N * (N - 1))
+    observed = float(same) / float(pairs) if pairs else 0.0
+    ratio = round(observed / expected, 6) if expected else 0.0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_pairs": pa.array([pairs], pa.int64()),
+                "n_same_source": pa.array([same], pa.int64()),
+                "observed_rate": pa.array([round(observed, 6)], pa.float64()),
+                "expected_rate": pa.array([round(expected, 6)], pa.float64()),
+                "clump_ratio": pa.array([ratio], pa.float64()),
+            }
+        )
+    )
