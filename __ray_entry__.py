@@ -2536,6 +2536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority": lambda sf: relational.order_priority_counts(sf),
         "nation_trade_matrix": lambda sf: relational.nation_trade_matrix(sf),
         "cohort_ltv": lambda sf: relational.cohort_ltv(sf),
+        "time_to_convert": lambda sf: relational.time_to_convert(sf),
         "window_agg": lambda sf: relational.window_aggregate(sf),
         "sliding_window": lambda sf: relational.sliding_window_aggregate(sf),
         "sessionize": lambda sf: relational.sessionize(sf),
@@ -5279,6 +5280,25 @@ def oracle_sql() -> dict[str, str]:
                  / 10000.0 AS promo_rev,
                CAST(sum(rev) AS DOUBLE) / 10000.0 AS total_rev
         FROM l
+        """,
+        "time_to_convert": """
+        WITH s AS (SELECT user_id, min(epoch_us(ts)) AS su
+                   FROM events WHERE event_type = 'signup'
+                   GROUP BY user_id),
+        p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS pu
+              FROM events e JOIN s ON e.user_id = s.user_id
+                   AND epoch_us(e.ts) >= s.su
+              WHERE e.event_type = 'purchase'
+              GROUP BY e.user_id),
+        d AS (SELECT (p.pu - s.su) // 86400000000 AS delay_days
+              FROM p JOIN s USING (user_id)),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM d)
+        SELECT CAST(delay_days AS BIGINT) AS delay_days,
+               CAST(count(*) AS BIGINT) AS n_users,
+               round(CAST(count(*) AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+                 AS share
+        FROM d CROSS JOIN t
+        GROUP BY delay_days, t.total
         """,
         "cohort_ltv": """
         WITH e AS (SELECT user_id,

@@ -3872,3 +3872,46 @@ def test_shuffle_autocorr_detects_clumping(ray_session):
     )
     row = shuffle_autocorr(rd.from_arrow(t1)).to_pandas().iloc[0]
     assert row.clump_ratio == 1.0
+
+
+def test_time_to_convert(ray_session, tmp_path):
+    """First-signup -> first-subsequent-purchase semantics: purchases
+    BEFORE the signup don't count; the first qualifying purchase
+    defines the delay; non-converters are excluded."""
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.relational import time_to_convert
+
+    def ts(d, h=0):
+        return (
+            np.datetime64("2025-02-01", "us")
+            + np.timedelta64(d, "D")
+            + np.timedelta64(h, "h")
+        )
+
+    rows = [
+        (1, ts(0), "signup"), (1, ts(2, 5), "purchase"),   # 2 days
+        (2, ts(0), "purchase"),                            # pre-signup
+        (2, ts(1), "signup"), (2, ts(1, 3), "purchase"),   # 0 days
+        (3, ts(0), "signup"),                              # never converts
+        (4, ts(5), "purchase"),                            # never signs up
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows]),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = (
+        time_to_convert(str(tmp_path))
+        .to_pandas()
+        .set_index("delay_days")
+    )
+    assert out.loc[2].n_users == 1  # user 1
+    assert out.loc[0].n_users == 1  # user 2 (pre-signup purchase ignored)
+    assert len(out) == 2
+    assert out.share.sum() == 1.0

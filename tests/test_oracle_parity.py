@@ -101,6 +101,7 @@ def _check(m, con, name):
         "source_epochs",
         "cohort_ltv",
         "shuffle_autocorr",
+        "time_to_convert",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

@@ -3165,3 +3165,102 @@ def cohort_ltv(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
             }
         )
     )
+
+
+def time_to_convert(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """Funnel-latency histogram: for every user whose first 'signup'
+    is followed (at or after) by a 'purchase', the whole-day delay
+    between the two firsts — reported as exact per-day user counts
+    plus each day's share of converters. The funnel-latency report a
+    growth pipeline publishes next to cohort_retention.
+
+    Exactness: all timestamps ride as integer microseconds, the day
+    bucket is integer floor division, counts are exact; share is one
+    rounded division. Scale shape: a pruned two-type scan, ONE
+    user-bucket shuffle (rows bounded by signup/purchase events), a
+    per-day aggregate whose key space is the delay range in days."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+        filter=(pc.field("event_type") == "signup")
+        | (pc.field("event_type") == "purchase"),
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "us": pc.cast(batch.column("ts"), pa.int64()),
+                "is_signup": pc.equal(
+                    batch.column("event_type"), pa.scalar("signup")
+                ),
+                "_bucket": pa.array(
+                    key_bucket(batch.column("user_id"), num_buckets).astype(
+                        np.int32
+                    )
+                ),
+            }
+        )
+
+    def bucket_delays(g: pd.DataFrame) -> pa.Table:
+        s = (
+            g[g["is_signup"]]
+            .groupby("user_id")["us"]
+            .min()
+            .rename("su")
+        )
+        p = g[~g["is_signup"]].merge(
+            s, left_on="user_id", right_index=True, how="inner"
+        )
+        p = p[p["us"] >= p["su"]]
+        if not len(p):
+            return pa.table(
+                {
+                    "delay_days": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        first_p = p.groupby("user_id").agg(pu=("us", "min"), su=("su", "min"))
+        days = (
+            (first_p["pu"].to_numpy(np.int64) - first_p["su"].to_numpy(np.int64))
+            // 86_400_000_000
+        )
+        u, c = np.unique(days, return_counts=True)
+        return pa.table(
+            {"delay_days": pa.array(u), "n": pa.array(c.astype(np.int64))}
+        )
+
+    hist = (
+        hash_aggregate(
+            ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(
+                lambda g: bucket_delays(g.drop(columns=["_bucket"])),
+                batch_format="pandas",
+            ),
+            ["delay_days"],
+            {"n_users": ("n", "sum")},
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("delay_days")
+        .reset_index(drop=True)
+    )
+    total = int(hist["n_users"].sum())
+    return rd.from_arrow(
+        pa.table(
+            {
+                "delay_days": pa.array(hist["delay_days"].to_numpy(np.int64)),
+                "n_users": pa.array(hist["n_users"].to_numpy(np.int64)),
+                "share": pa.array(
+                    np.round(
+                        hist["n_users"].to_numpy(np.int64) / float(total), 6
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+    )
