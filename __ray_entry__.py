@@ -1873,6 +1873,25 @@ def _containment_pairs(sf_dir: str):
     return containment_pairs(_docs(sf_dir), k=16, threshold=0.9)
 
 
+def _label_propagation(sf_dir: str):
+    """Seeded (vec_id %% 5 == 0) hard-clamp majority label propagation
+    over the cosine>=0.4 dup graph, 5 rounds
+    (functions/graph.py:label_propagation)."""
+    from vietnamese_ocr_ray.functions.graph import label_propagation
+
+    seeds = _read_pq(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    ).to_pandas()  # seed table: id + label only, node-set-bounded
+    seeds = seeds[seeds["vec_id"] % 5 == 0]
+    seeds_tbl = pa.table(
+        {
+            "vec_id": pa.array(seeds["vec_id"].to_numpy(np.int64)),
+            "label": pa.array(seeds["label"].to_numpy(np.int64)),
+        }
+    )
+    return label_propagation(_embedding_neardup(sf_dir), seeds_tbl)
+
+
 def _kcenter_select(sf_dir: str):
     """Gonzalez k-center coreset over embeddings: exact integer
     squared-L2, vec_id tiebreak — diversity subset selection
@@ -2840,6 +2859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_containment": _dedup_containment,
         "join_size_estimate": _join_size_estimate,
         "kcenter_select": _kcenter_select,
+        "label_propagation": _label_propagation,
         "dup_transitivity": _dup_transitivity,
         "skipgram_pairs": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.lm", fromlist=["skipgram_pairs"]
@@ -4627,6 +4647,50 @@ def _cms_join_size_sql(depth: int = 4, width: int = 2048) -> str:
                            / CAST(ex.x AS DOUBLE), 6) END AS rel_error
     FROM ex CROSS JOIN {crosses}
     """
+
+
+def _label_propagation_sql(rounds: int = 5) -> str:
+    """(vec_id, label_pred, round_assigned) — the `label_propagation`
+    oracle: hard-clamp seeded majority propagation over the cosine
+    >= 0.4 dup graph, unrolled as MATERIALIZED CTE rounds; majority
+    tiebreak = smallest label (QUALIFY row_number)."""
+    parts = [
+        """p AS MATERIALIZED (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id
+        AND round(list_cosine_similarity(
+              CAST(a.embedding AS DOUBLE[]),
+              CAST(b.embedding AS DOUBLE[])), 6) >= 0.4)""",
+        "ud AS MATERIALIZED (SELECT va AS node, vb AS nbr FROM p"
+        " UNION ALL SELECT vb AS node, va AS nbr FROM p)",
+        "l0 AS MATERIALIZED (SELECT vec_id, CAST(label AS BIGINT) AS label,"
+        " 0 AS rnd FROM embeddings WHERE vec_id % 5 = 0)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""v{r} AS MATERIALIZED (
+      SELECT ud.node, l.label, CAST(count(*) AS BIGINT) AS c
+      FROM ud JOIN l{r - 1} l ON l.vec_id = ud.nbr
+      WHERE ud.node NOT IN (SELECT vec_id FROM l{r - 1})
+      GROUP BY ud.node, l.label)"""
+        )
+        parts.append(
+            f"""w{r} AS MATERIALIZED (
+      SELECT node AS vec_id, label, {r} AS rnd FROM v{r}
+      QUALIFY row_number() OVER (PARTITION BY node
+                                 ORDER BY c DESC, label) = 1)"""
+        )
+        parts.append(
+            f"l{r} AS MATERIALIZED (SELECT * FROM l{r - 1}"
+            f" UNION ALL SELECT * FROM w{r})"
+        )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT vec_id, label AS label_pred,"
+        f" CAST(rnd AS BIGINT) AS round_assigned FROM l{rounds}\n    "
+    )
 
 
 def _kcenter_sql(k: int = 8) -> str:
@@ -7553,6 +7617,7 @@ def oracle_sql() -> dict[str, str]:
         "dp_counts": _dp_counts_sql(),
         "join_size_estimate": _cms_join_size_sql(),
         "kcenter_select": _kcenter_sql(),
+        "label_propagation": _label_propagation_sql(),
         "bloom_semijoin": _bloom_semijoin_sql(),
         "ewma_value": _ewma_sql(),
         "hill_tail_index": """

@@ -3915,3 +3915,36 @@ def test_time_to_convert(ray_session, tmp_path):
     assert out.loc[0].n_users == 1  # user 2 (pre-signup purchase ignored)
     assert len(out) == 2
     assert out.share.sum() == 1.0
+
+
+def test_label_propagation_semantics(ray_session):
+    """Hand-built graph: seeds clamp, one hop labels in round 1, two
+    hops in round 2, majority tie breaks to the smaller label,
+    disconnected nodes stay unlabeled."""
+    from vietnamese_ocr_ray.functions.graph import label_propagation
+
+    # chain 0-1-2; node 3 adjacent to seeds 0 (label 7) and 4 (label 3)
+    edges = [(0, 1), (1, 2), (0, 3), (3, 4), (9, 10)]
+    pairs = pa.table(
+        {
+            "vec_id_a": pa.array([e[0] for e in edges], pa.int64()),
+            "vec_id_b": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    seeds = pa.table(
+        {
+            "vec_id": pa.array([0, 4], pa.int64()),
+            "label": pa.array([7, 3], pa.int64()),
+        }
+    )
+    out = (
+        label_propagation(rd.from_arrow(pairs).repartition(2), seeds)
+        .to_pandas()
+        .set_index("vec_id")
+    )
+    assert out.loc[0].label_pred == 7 and out.loc[0].round_assigned == 0
+    assert out.loc[1].label_pred == 7 and out.loc[1].round_assigned == 1
+    assert out.loc[2].label_pred == 7 and out.loc[2].round_assigned == 2
+    # node 3: one vote each from labels 7 and 3 -> tie -> smaller label
+    assert out.loc[3].label_pred == 3 and out.loc[3].round_assigned == 1
+    assert 9 not in out.index and 10 not in out.index  # unreachable

@@ -102,6 +102,7 @@ def _check(m, con, name):
         "cohort_ltv",
         "shuffle_autocorr",
         "time_to_convert",
+        "label_propagation",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

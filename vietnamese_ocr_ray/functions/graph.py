@@ -375,3 +375,116 @@ def transitivity(
             }
         )
     )
+
+
+def label_propagation(
+    pairs: rd.Dataset,
+    seeds: pa.Table,
+    rounds: int = 5,
+    a_col: str = "vec_id_a",
+    b_col: str = "vec_id_b",
+) -> rd.Dataset:
+    """Seeded label propagation (Zhu & Ghahramani 2002, hard-clamp
+    variant) over an undirected edge list: seed nodes keep their label
+    forever; each round, every still-unlabeled node adopts the
+    MAJORITY label among its labeled neighbors (ties -> smallest
+    label); nodes first labeled in round r report that round. The
+    semi-supervised classify pass of a dup/similarity graph.
+
+    Determinism: labels and counts are integers; the majority rule's
+    tiebreak is total, so every round is a pure function of the edge
+    list — bit-stable under any layout, and SQL-unrollable as
+    ``rounds`` MATERIALIZED CTEs.
+
+    Scale shape: the pagerank contract — the adjacency stays
+    distributed; the label table (node-set-bounded) broadcasts per
+    round; per-block partial (node, label) vote counts merge
+    driver-side where the label table lives."""
+    import ray
+
+    def undirected(b: pa.Table) -> pa.Table:
+        a = b.column(a_col)
+        bb = b.column(b_col)
+        if isinstance(a, pa.ChunkedArray):
+            a, bb = a.combine_chunks(), bb.combine_chunks()
+        return pa.table(
+            {
+                "node": pa.concat_arrays([a.cast(pa.int64()), bb.cast(pa.int64())]),
+                "nbr": pa.concat_arrays([bb.cast(pa.int64()), a.cast(pa.int64())]),
+            }
+        )
+
+    adj = pairs.map_batches(undirected, batch_format="pyarrow").materialize()
+    labels = {
+        int(v): (int(l), 0)
+        for v, l in zip(
+            seeds.column("vec_id").to_pylist(),
+            seeds.column("label").to_pylist(),
+        )
+    }
+    for r in range(1, rounds + 1):
+        lab_keys = np.fromiter(labels.keys(), np.int64, len(labels))
+        lab_vals = np.fromiter(
+            (v[0] for v in labels.values()), np.int64, len(labels)
+        )
+        o = np.argsort(lab_keys)
+        handle = ray.put((lab_keys[o], lab_vals[o]))
+
+        def votes(b: pa.Table) -> pa.Table:
+            keys, vals = ray.get(handle)
+            node = np.asarray(b.column("node"), np.int64)
+            nbr = np.asarray(b.column("nbr"), np.int64)
+            pos = np.searchsorted(keys, nbr)
+            pos = np.clip(pos, 0, len(keys) - 1)
+            has = keys[pos] == nbr if len(keys) else np.zeros(len(nbr), bool)
+            # votes only from labeled neighbors to UNLABELED nodes
+            npos = np.searchsorted(keys, node)
+            npos = np.clip(npos, 0, len(keys) - 1)
+            unlab = ~(keys[npos] == node) if len(keys) else np.ones(len(node), bool)
+            m = has & unlab
+            if not m.any():
+                return pa.table(
+                    {
+                        "node": pa.array([], pa.int64()),
+                        "label": pa.array([], pa.int64()),
+                        "c": pa.array([], pa.int64()),
+                    }
+                )
+            t = pa.table(
+                {
+                    "node": pa.array(node[m]),
+                    "label": pa.array(vals[pos[m]]),
+                }
+            )
+            g = t.group_by(["node", "label"]).aggregate([("label", "count")])
+            return g.rename_columns(["node", "label", "c"])
+
+        part = adj.map_batches(votes, batch_format="pyarrow").to_pandas()
+        if not len(part):
+            break
+        agg = part.groupby(["node", "label"], as_index=False)["c"].sum()
+        agg = agg.sort_values(
+            ["node", "c", "label"], ascending=[True, False, True]
+        )
+        win = agg.drop_duplicates("node")
+        new = {
+            int(n): (int(l), r)
+            for n, l in zip(win["node"], win["label"])
+            if int(n) not in labels
+        }
+        if not new:
+            break
+        labels.update(new)
+
+    items = sorted(labels.items())
+    return rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([k for k, _ in items], pa.int64()),
+                "label_pred": pa.array([v[0] for _, v in items], pa.int64()),
+                "round_assigned": pa.array(
+                    [v[1] for _, v in items], pa.int64()
+                ),
+            }
+        )
+    )
