@@ -2556,6 +2556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_trade_matrix": lambda sf: relational.nation_trade_matrix(sf),
         "cohort_ltv": lambda sf: relational.cohort_ltv(sf),
         "time_to_convert": lambda sf: relational.time_to_convert(sf),
+        "theilsen_value_hour": lambda sf: relational.theilsen_value_hour(sf),
         "window_agg": lambda sf: relational.window_aggregate(sf),
         "sliding_window": lambda sf: relational.sliding_window_aggregate(sf),
         "sessionize": lambda sf: relational.sessionize(sf),
@@ -5344,6 +5345,50 @@ def oracle_sql() -> dict[str, str]:
                  / 10000.0 AS promo_rev,
                CAST(sum(rev) AS DOUBLE) / 10000.0 AS total_rev
         FROM l
+        """,
+        "theilsen_value_hour": """
+        WITH e AS (SELECT event_type,
+                          (epoch_us(ts) // 1000000 // 3600) % 24 AS hour,
+                          CAST(round(value * 1000) AS BIGINT) AS vm
+                   FROM events),
+        h AS (SELECT event_type, hour, CAST(sum(vm) AS BIGINT) AS vm,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM e GROUP BY event_type, hour),
+        m AS (SELECT event_type, hour,
+                     CAST(vm AS DOUBLE) / (n * 1000) AS mv FROM h),
+        s AS (SELECT a.event_type,
+                     (b.mv - a.mv) / CAST(b.hour - a.hour AS DOUBLE) AS sl
+              FROM m a JOIN m b ON a.event_type = b.event_type
+                   AND b.hour > a.hour),
+        srk AS (SELECT event_type, sl,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY sl) AS rk,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM s),
+        smed AS (SELECT event_type,
+                        (max(CASE WHEN rk = (n - 1) // 2 + 1 THEN sl END)
+                         + max(CASE WHEN rk = n // 2 + 1 THEN sl END))
+                          * 0.5 AS slope
+                 FROM srk GROUP BY event_type),
+        ic AS (SELECT m.event_type,
+                      m.mv - smed.slope * m.hour AS iv
+               FROM m JOIN smed USING (event_type)),
+        irk AS (SELECT event_type, iv,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY iv) AS rk,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM ic),
+        imed AS (SELECT event_type,
+                        (max(CASE WHEN rk = (n - 1) // 2 + 1 THEN iv END)
+                         + max(CASE WHEN rk = n // 2 + 1 THEN iv END))
+                          * 0.5 AS intercept
+                 FROM irk GROUP BY event_type),
+        nh AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours
+               FROM m GROUP BY event_type)
+        SELECT nh.event_type, nh.n_hours,
+               round(smed.slope, 6) AS slope,
+               round(imed.intercept, 6) AS intercept
+        FROM nh JOIN smed USING (event_type) JOIN imed USING (event_type)
         """,
         "time_to_convert": """
         WITH s AS (SELECT user_id, min(epoch_us(ts)) AS su

@@ -3948,3 +3948,42 @@ def test_label_propagation_semantics(ray_session):
     # node 3: one vote each from labels 7 and 3 -> tie -> smaller label
     assert out.loc[3].label_pred == 3 and out.loc[3].round_assigned == 1
     assert 9 not in out.index and 10 not in out.index  # unreachable
+
+
+def test_theilsen_robust_to_outlier_hour(ray_session, tmp_path):
+    """A clean slope-2 line over 6 hours with ONE poisoned hour: the
+    Theil-Sen slope stays 2.0 (OLS would move); values match the
+    median-of-slopes reference."""
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.relational import theilsen_value_hour
+
+    rows = []
+    for h in range(6):
+        v = 1.0 + 2.0 * h if h != 3 else 500.0  # poisoned hour 3
+        rows.append((h, v))
+    t = pa.table(
+        {
+            "event_id": pa.array(range(6), pa.int64()),
+            "ts": pa.array(
+                [np.datetime64("2025-01-01", "us") + np.timedelta64(h, "h")
+                 for h, _ in rows],
+                pa.timestamp("us"),
+            ),
+            "event_type": pa.array(["x"] * 6),
+            "value": pa.array([v for _, v in rows], pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = theilsen_value_hour(str(tmp_path)).to_pandas().iloc[0]
+    m = np.array([v for _, v in rows])
+    hrs = np.arange(6)
+    i, j = np.triu_indices(6, 1)
+    slopes = np.sort((m[j] - m[i]) / (hrs[j] - hrs[i]))
+    n = len(slopes)
+    want_slope = round((slopes[(n - 1) // 2] + slopes[n // 2]) * 0.5, 6)
+    assert out.n_hours == 6
+    assert out.slope == want_slope
+    assert out.slope == 2.0  # the robust fit ignores the outlier
+    ic = np.sort(m - 2.0 * hrs)
+    assert out.intercept == round((ic[2] + ic[3]) * 0.5, 6)

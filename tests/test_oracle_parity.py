@@ -103,6 +103,7 @@ def _check(m, con, name):
         "shuffle_autocorr",
         "time_to_convert",
         "label_propagation",
+        "theilsen_value_hour",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

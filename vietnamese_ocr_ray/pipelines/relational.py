@@ -3264,3 +3264,90 @@ def time_to_convert(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
             }
         )
     )
+
+
+def theilsen_value_hour(sf_dir: str) -> rd.Dataset:
+    """Theil-Sen ROBUST fit of hourly-mean value ~ hour_of_day per
+    event_type — the breakdown-resistant companion of
+    value_hour_regression (one poisoned hour moves OLS, not the
+    median-of-slopes): slope = median over hour pairs (i < j) of
+    (m_j - m_i)/(j - i); intercept = median over hours of
+    (m_i - slope*i).
+
+    Exactness: hourly means derive from exact milli-unit sums and
+    counts by ONE fixed division; the pairwise slopes are single float
+    expressions; medians are order statistics with the (lo + hi) * 0.5
+    midpoint convention, so both engines select identical doubles.
+
+    Scale shape: ONE distributed (event_type, hour) exact-integer
+    aggregate (tiny partials per batch); the pairwise stage runs on a
+    |types| x 24-row table — slopes are C(24,2)=276 per type no matter
+    how many events streamed in."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vm = _cents(batch.column("value"), 1000).to_numpy(zero_copy_only=False)
+        epoch = pc.divide(
+            pc.cast(batch.column("ts"), pa.int64()), pa.scalar(1_000_000)
+        ).to_numpy(zero_copy_only=False)
+        h = (epoch // 3600) % 24
+        df = (
+            pd.DataFrame(
+                {
+                    "event_type": batch.column("event_type").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "hour": h,
+                    "vm": vm,
+                    "n": np.ones(len(h), np.int64),
+                }
+            )
+            .groupby(["event_type", "hour"], as_index=False)
+            .agg(vm=("vm", "sum"), n=("n", "sum"))
+        )
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    hourly = (
+        hash_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["event_type", "hour"],
+            {"vm": ("vm", "sum"), "n": ("n", "sum")},
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["event_type", "hour"])
+    )
+
+    def median_mid(v: np.ndarray) -> float:
+        s = np.sort(v)
+        n = len(s)
+        lo, hi = s[(n - 1) // 2], s[n // 2]
+        return (lo + hi) * 0.5
+
+    rows = []
+    for et, g in hourly.groupby("event_type", sort=True):
+        hrs = g["hour"].to_numpy(np.int64)
+        m = g["vm"].to_numpy(np.int64).astype(np.float64) / (
+            g["n"].to_numpy(np.int64) * 1000.0
+        )
+        i, j = np.triu_indices(len(hrs), 1)
+        slopes = (m[j] - m[i]) / (hrs[j] - hrs[i]).astype(np.float64)
+        slope = median_mid(slopes)
+        intercept = median_mid(m - slope * hrs.astype(np.float64))
+        rows.append((et, len(hrs), round(slope, 6), round(intercept, 6)))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "n_hours": pa.array([r[1] for r in rows], pa.int64()),
+                "slope": pa.array([r[2] for r in rows], pa.float64()),
+                "intercept": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        )
+    )
