@@ -2557,6 +2557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_ltv": lambda sf: relational.cohort_ltv(sf),
         "time_to_convert": lambda sf: relational.time_to_convert(sf),
         "theilsen_value_hour": lambda sf: relational.theilsen_value_hour(sf),
+        "position_attribution": lambda sf: relational.position_attribution(sf),
         "window_agg": lambda sf: relational.window_aggregate(sf),
         "sliding_window": lambda sf: relational.sliding_window_aggregate(sf),
         "sessionize": lambda sf: relational.sessionize(sf),
@@ -5345,6 +5346,37 @@ def oracle_sql() -> dict[str, str]:
                  / 10000.0 AS promo_rev,
                CAST(sum(rev) AS DOUBLE) / 10000.0 AS total_rev
         FROM l
+        """,
+        "position_attribution": """
+        WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS us
+                   FROM events WHERE event_type = 'click'),
+        p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us,
+                     lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS p_prev
+              FROM events WHERE event_type = 'purchase'),
+        x AS (SELECT c.event_id, c.user_id, c.us, p.p_id, p.p_prev
+              FROM c JOIN p ON p.user_id = c.user_id AND p.p_us > c.us
+              QUALIFY row_number() OVER (PARTITION BY c.event_id
+                        ORDER BY p.p_us, p.p_id) = 1),
+        f AS (SELECT * FROM x WHERE p_prev IS NULL OR us > p_prev),
+        y AS (SELECT us,
+                     row_number() OVER (PARTITION BY user_id, p_id
+                                        ORDER BY us, event_id) AS rk,
+                     count(*) OVER (PARTITION BY user_id, p_id) AS m
+              FROM f),
+        z AS (SELECT (us // 3600000000) % 24 AS hour,
+                     CASE WHEN m = 1 THEN 1000000
+                          WHEN rk = 1 AND m = 2 THEN 600000
+                          WHEN rk = 1 OR rk = m THEN 400000
+                          ELSE 200000 // (m - 2)
+                               + CASE WHEN rk - 2 < 200000 % (m - 2)
+                                      THEN 1 ELSE 0 END
+                     END AS credit
+              FROM y)
+        SELECT CAST(hour AS BIGINT) AS hour,
+               CAST(count(*) AS BIGINT) AS n_touches,
+               CAST(sum(credit) AS BIGINT) AS credit_ppm
+        FROM z GROUP BY hour
         """,
         "theilsen_value_hour": """
         WITH e AS (SELECT event_type,

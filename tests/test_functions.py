@@ -3987,3 +3987,64 @@ def test_theilsen_robust_to_outlier_hour(ray_session, tmp_path):
     assert out.slope == 2.0  # the robust fit ignores the outlier
     ic = np.sort(m - 2.0 * hrs)
     assert out.intercept == round((ic[2] + ic[3]) * 0.5, 6)
+
+
+def test_position_attribution_credit_rules(ray_session, tmp_path):
+    """Hand-built paths: single touch = 1M; pair = 600k/400k; a
+    5-touch path = 400k, 66667, 66667, 66666, 400k (largest
+    remainder); clicks after the purchase credit the NEXT conversion
+    only; path credit always sums to 1M per conversion."""
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.relational import position_attribution
+
+    def ts(h, mi=0):
+        return (
+            np.datetime64("2025-03-01", "us")
+            + np.timedelta64(h, "h")
+            + np.timedelta64(mi, "m")
+        )
+
+    rows = []
+    eid = 0
+
+    def add(u, t, typ):
+        nonlocal eid
+        rows.append((eid, u, t, typ))
+        eid += 1
+
+    # user 1: 5 clicks (hours 0..4) then purchase
+    for h in range(5):
+        add(1, ts(h), "click")
+    add(1, ts(5), "purchase")
+    # user 2: single click then purchase; then another click+purchase
+    add(2, ts(1), "click")
+    add(2, ts(2), "purchase")
+    add(2, ts(3), "click")
+    add(2, ts(3, 30), "click")
+    add(2, ts(4), "purchase")
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = (
+        position_attribution(str(tmp_path))
+        .to_pandas()
+        .set_index("hour")
+    )
+    assert out.credit_ppm.sum() == 3_000_000  # 3 conversions
+    # user 1 path: first (h0) and last (h4) 400k; middles 66667/66667/66666
+    assert out.loc[0].credit_ppm == 400_000
+    assert out.loc[4].credit_ppm == 400_000
+    # hour 1 holds user1's first middle (66,667) + user2's single (1M)
+    assert out.loc[1].credit_ppm == 66_667 + 1_000_000
+    assert out.loc[2].credit_ppm == 66_667
+    # hour 3 holds user1's middle (66666) + user2's 2nd-path first (600k)
+    assert out.loc[3].credit_ppm == 66_666 + 600_000 + 400_000
+    assert out.loc[1].n_touches == 2  # user1 h1 + user2 single (h1)

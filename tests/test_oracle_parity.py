@@ -104,6 +104,7 @@ def _check(m, con, name):
         "time_to_convert",
         "label_propagation",
         "theilsen_value_hour",
+        "position_attribution",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):
