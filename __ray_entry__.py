@@ -2663,6 +2663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_interpolate": lambda sf: analytics.resample_interpolate(sf),
         "source_hhi": lambda sf: analytics.source_hhi(sf),
         "datasheet_by_source": lambda sf: analytics.datasheet_by_source(sf),
+        "benford_audit": lambda sf: analytics.benford_audit(sf),
         "time_split_leakage": lambda sf: analytics.time_split_leakage(sf),
         "k_anonymity": lambda sf: analytics.k_anonymity(sf),
         "time_weighted_avg": lambda sf: analytics.time_weighted_avg(sf),
@@ -7989,6 +7990,31 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_unique AS BIGINT) AS n_unique,
                round(n_unique / CAST(n_shingles AS DOUBLE), 6) AS novelty
         FROM per
+        """,
+        "benford_audit": """
+        WITH v AS (SELECT abs(CAST(round(value * 1000) AS BIGINT)) AS vm
+                   FROM events),
+        d AS (SELECT CAST(substr(CAST(vm AS VARCHAR), 1, 1) AS BIGINT)
+                AS digit
+              FROM v WHERE vm > 0),
+        c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n
+              FROM d GROUP BY digit),
+        g AS (SELECT dd.digit, COALESCE(c.n, 0) AS n
+              FROM generate_series(1, 9) dd(digit)
+              LEFT JOIN c ON c.digit = dd.digit),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g),
+        chi AS (SELECT CAST(list_sum(list(
+                  (CAST(n AS DOUBLE) - t.total * log10(1.0 + 1.0 / digit))
+                  * (CAST(n AS DOUBLE) - t.total * log10(1.0 + 1.0 / digit))
+                  / (t.total * log10(1.0 + 1.0 / digit))
+                  ORDER BY digit)) AS DOUBLE) AS chi2
+               FROM g CROSS JOIN t GROUP BY t.total)
+        SELECT CAST(g.digit AS BIGINT) AS digit, g.n,
+               round(CAST(g.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+                 AS observed_share,
+               round(log10(1.0 + 1.0 / g.digit), 6) AS benford_share,
+               round(chi.chi2, 6) AS chi2
+        FROM g CROSS JOIN t CROSS JOIN chi
         """,
         "time_split_leakage": """
         WITH b AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2

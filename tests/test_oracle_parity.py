@@ -105,6 +105,7 @@ def _check(m, con, name):
         "label_propagation",
         "theilsen_value_hour",
         "position_attribution",
+        "benford_audit",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

@@ -2180,3 +2180,76 @@ def time_split_leakage(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
             }
         )
     )
+
+
+def benford_audit(sf_dir: str) -> rd.Dataset:
+    """Benford's-law first-digit audit of event values (the classic
+    fabricated-data forensic): observed counts of the first
+    significant digit of the milli-unit integer value vs the Benford
+    expectation log10(1 + 1/d), plus the chi-square statistic.
+
+    Exactness: digits come from the exact milli int (zero values are
+    excluded — they have no leading digit); counts are integers; the
+    expectation and chi-square accumulate in ASCENDING digit order as
+    one fixed float expression per digit.
+
+    Scale shape: one pruned pass of per-batch 9-bin partial counts,
+    one tiny aggregate; the chi-square runs on 9 numbers."""
+    from ray.data.aggregate import Sum
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vm_arr = pc.abs(_cents(batch.column("value"), 1000))
+        vm_arr = vm_arr.filter(pc.greater(vm_arr, pa.scalar(0)))
+        # first significant digit = first character of the decimal
+        # string — exact, no float magnitude arithmetic
+        digit = np.asarray(
+            pc.cast(
+                pc.utf8_slice_codeunits(
+                    pc.cast(vm_arr, pa.string()), 0, 1
+                ),
+                pa.int64(),
+            ),
+            np.int64,
+        )
+        cnt = np.bincount(digit, minlength=10)[1:]
+        return pa.table(
+            {
+                "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("digit")
+        .reset_index(drop=True)
+    )
+    n = agg["n"].to_numpy(np.int64)
+    total = int(n.sum())
+    chi2 = 0.0
+    shares = []
+    for d in range(1, 10):  # ascending digit order: fixed float order
+        exp = float(total) * np.log10(1.0 + 1.0 / float(d))
+        obs = float(int(n[d - 1]))
+        chi2 = chi2 + (obs - exp) * (obs - exp) / exp
+        shares.append(round(np.log10(1.0 + 1.0 / float(d)), 6))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "digit": pa.array(range(1, 10), pa.int64()),
+                "n": pa.array(n),
+                "observed_share": pa.array(
+                    np.round(n / float(total), 6), pa.float64()
+                ),
+                "benford_share": pa.array(shares, pa.float64()),
+                "chi2": pa.array(
+                    np.full(9, round(chi2, 6)), pa.float64()
+                ),
+            }
+        )
+    )
