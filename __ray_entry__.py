@@ -2664,6 +2664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_hhi": lambda sf: analytics.source_hhi(sf),
         "datasheet_by_source": lambda sf: analytics.datasheet_by_source(sf),
         "benford_audit": lambda sf: analytics.benford_audit(sf),
+        "column_entropy": lambda sf: analytics.column_entropy(sf),
         "time_split_leakage": lambda sf: analytics.time_split_leakage(sf),
         "k_anonymity": lambda sf: analytics.k_anonymity(sf),
         "time_weighted_avg": lambda sf: analytics.time_weighted_avg(sf),
@@ -7990,6 +7991,37 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_unique AS BIGINT) AS n_unique,
                round(n_unique / CAST(n_shingles AS DOUBLE), 6) AS novelty
         FROM per
+        """,
+        "column_entropy": """
+        WITH src AS (
+          SELECT 'documents.lang' AS col, lang AS v FROM documents
+          UNION ALL
+          SELECT 'documents.source', source FROM documents
+          UNION ALL
+          SELECT 'events.event_type', event_type FROM events
+        ),
+        c AS (SELECT col, v, CAST(count(*) AS BIGINT) AS n
+              FROM src GROUP BY col, v),
+        q AS (SELECT col, n,
+                     CAST(round(CAST(n AS DOUBLE)
+                                * ln(CAST(n AS DOUBLE)) * 1000000000)
+                          AS BIGINT) AS qn
+              FROM c),
+        a AS (SELECT col, CAST(sum(n) AS BIGINT) AS total,
+                     CAST(count(*) AS BIGINT) AS k,
+                     CAST(sum(qn) AS BIGINT) AS qs
+              FROM q GROUP BY col)
+        SELECT col AS "column", total AS n_rows, k AS n_distinct,
+               round(ln(CAST(total AS DOUBLE))
+                     - (CAST(qs AS DOUBLE) / 1000000000.0) / total, 6)
+                 AS entropy_nats,
+               CASE WHEN k <= 1 THEN 0.0
+                    ELSE round((ln(CAST(total AS DOUBLE))
+                                - (CAST(qs AS DOUBLE) / 1000000000.0)
+                                  / total)
+                               / ln(CAST(k AS DOUBLE)), 6)
+               END AS normalized
+        FROM a
         """,
         "benford_audit": """
         WITH v AS (SELECT abs(CAST(round(value * 1000) AS BIGINT)) AS vm

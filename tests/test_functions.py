@@ -4082,3 +4082,45 @@ def test_benford_audit(ray_session, tmp_path):
         exp = total * np.log10(1 + 1 / d)
         acc += (float(want.get(d, 0)) - exp) ** 2 / exp
     assert chi == round(acc, 6)
+
+
+def test_column_entropy(ray_session, tmp_path):
+    """Uniform column -> normalized 1.0; constant column -> entropy 0;
+    values match a scipy-free reference with the nano-nat contract."""
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.analytics import column_entropy
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(8), pa.int64()),
+                "lang": pa.array(["a", "b", "c", "d"] * 2),
+                "source": pa.array(["only"] * 8),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(4), pa.int64()),
+                "event_type": pa.array(["x", "x", "x", "y"]),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = column_entropy(str(tmp_path)).to_pandas().set_index("column")
+    lang = out.loc["documents.lang"]
+    assert (lang.n_rows, lang.n_distinct) == (8, 4)
+    assert lang.entropy_nats == round(np.log(4.0), 6)
+    assert lang.normalized == 1.0  # uniform
+    src = out.loc["documents.source"]
+    assert src.entropy_nats == 0.0 and src.normalized == 0.0  # constant
+    ev = out.loc["events.event_type"]
+    q = sum(
+        int(round(c * np.log(c) * 1e9)) for c in (3, 1)
+    )
+    want = np.log(4.0) - (q / 1e9) / 4
+    assert ev.entropy_nats == round(want, 6)
+    assert ev.normalized == round(want / np.log(2.0), 6)

@@ -106,6 +106,7 @@ def _check(m, con, name):
         "theilsen_value_hour",
         "position_attribution",
         "benford_audit",
+        "column_entropy",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

@@ -2253,3 +2253,64 @@ def benford_audit(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+def column_entropy(sf_dir: str) -> rd.Dataset:
+    """Categorical-column profile across the warehouse: for each of
+    documents.lang, documents.source, events.event_type — row count,
+    distinct count, exact Shannon entropy (nats) and the normalized
+    entropy / ln(n_distinct) (1.0 = uniform; near 0 = one value
+    dominates). The schema-profiling pass a pipeline runs on a new
+    data drop before choosing partition keys.
+
+    Determinism: each distinct value's c*ln(c) quantizes to integer
+    NANO-nats (the kl_source_divergence contract) so the sum is
+    order-independent; the entropy is then one fixed float expression.
+
+    Scale shape: one bucketed count aggregate per column (key spaces
+    are the categorical vocabularies); the entropy math runs on
+    |distinct| rows on the driver."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    specs = [
+        ("documents", "lang"),
+        ("documents", "source"),
+        ("events", "event_type"),
+    ]
+    rows = []
+    for table, col in specs:
+        counts = (
+            hash_aggregate(
+                read_parquet_clean(
+                    f"{sf_dir}/{table}.parquet", columns=[col]
+                ),
+                [col],
+                {"n": (col, "count")},
+                num_buckets=4,
+            )
+            .to_pandas()
+            .sort_values(col)
+        )
+        c = counts["n"].to_numpy(np.int64)
+        n = int(c.sum())
+        k = len(c)
+        q = np.round(
+            c.astype(np.float64) * np.log(c.astype(np.float64)) * 1e9
+        ).astype(np.int64)
+        ent_raw = np.log(float(n)) - (float(int(q.sum())) / 1e9) / n
+        ent = round(ent_raw, 6)
+        norm = round(ent_raw / np.log(float(k)), 6) if k > 1 else 0.0
+        rows.append((f"{table}.{col}", n, k, ent, norm))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "column": pa.array([r[0] for r in rows], pa.string()),
+                "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+                "n_distinct": pa.array([r[2] for r in rows], pa.int64()),
+                "entropy_nats": pa.array(
+                    [r[3] for r in rows], pa.float64()
+                ),
+                "normalized": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        )
+    )
