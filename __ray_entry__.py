@@ -2558,6 +2558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_to_convert": lambda sf: relational.time_to_convert(sf),
         "theilsen_value_hour": lambda sf: relational.theilsen_value_hour(sf),
         "position_attribution": lambda sf: relational.position_attribution(sf),
+        "changepoint_hourly": lambda sf: relational.changepoint_hourly(sf),
         "window_agg": lambda sf: relational.window_aggregate(sf),
         "sliding_window": lambda sf: relational.sliding_window_aggregate(sf),
         "sessionize": lambda sf: relational.sessionize(sf),
@@ -5348,6 +5349,46 @@ def oracle_sql() -> dict[str, str]:
                  / 10000.0 AS promo_rev,
                CAST(sum(rev) AS DOUBLE) / 10000.0 AS total_rev
         FROM l
+        """,
+        "changepoint_hourly": """
+        WITH e AS (SELECT event_type,
+                          epoch_us(ts) // 1000000 // 3600 AS hour
+                   FROM events),
+        h AS (SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n
+              FROM e GROUP BY event_type, hour),
+        w AS (SELECT event_type, hour, n,
+                     row_number() OVER win AS rk,
+                     CAST(sum(n) OVER win AS BIGINT) AS s,
+                     CAST(sum(n * n) OVER win AS BIGINT) AS q,
+                     CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS st,
+                     CAST(sum(n * n) OVER (PARTITION BY event_type)
+                          AS BIGINT) AS qt,
+                     CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                       AS cnt
+              FROM h
+              WINDOW win AS (PARTITION BY event_type ORDER BY hour
+                             ROWS UNBOUNDED PRECEDING)),
+        c AS (SELECT event_type, hour, cnt, st, qt,
+                     lag(s) OVER win2 AS sl,
+                     lag(q) OVER win2 AS ql,
+                     rk - 1 AS nl
+              FROM w
+              WINDOW win2 AS (PARTITION BY event_type ORDER BY hour)),
+        sse AS (SELECT event_type, hour, cnt, st, qt,
+                       (CAST(ql AS DOUBLE) - CAST(sl AS DOUBLE) * sl / nl)
+                       + (CAST(qt - ql AS DOUBLE)
+                          - CAST(st - sl AS DOUBLE) * (st - sl)
+                            / (cnt - nl)) AS v
+                FROM c WHERE sl IS NOT NULL)
+        SELECT event_type, cnt AS n_hours,
+               CAST(hour AS BIGINT) AS split_hour,
+               round(v, 6) AS sse,
+               round((CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * st / cnt)
+                     - v, 6) AS sse_reduction
+        FROM sse
+        QUALIFY row_number() OVER (PARTITION BY event_type
+                                   ORDER BY v, hour) = 1
         """,
         "position_attribution": """
         WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS us

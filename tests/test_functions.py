@@ -4124,3 +4124,62 @@ def test_column_entropy(ray_session, tmp_path):
     want = np.log(4.0) - (q / 1e9) / 4
     assert ev.entropy_nats == round(want, 6)
     assert ev.normalized == round(want / np.log(2.0), 6)
+
+
+def test_changepoint_hourly_detects_step(ray_session, tmp_path):
+    """A clean level shift (5/hour -> 20/hour at hour 10) is found
+    exactly, with near-total SSE reduction; a flat series reports
+    ~zero reduction."""
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.relational import changepoint_hourly
+
+    rows = []
+    eid = 0
+    for h in range(20):
+        per = 5 if h < 10 else 20
+        for _ in range(per):
+            rows.append(
+                (
+                    eid,
+                    np.datetime64("2025-01-01", "us")
+                    + np.timedelta64(h, "h"),
+                    "step",
+                )
+            )
+            eid += 1
+    for h in range(20):  # flat control series
+        for _ in range(7):
+            rows.append(
+                (
+                    eid,
+                    np.datetime64("2025-01-01", "us")
+                    + np.timedelta64(h, "h"),
+                    "flat",
+                )
+            )
+            eid += 1
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows]),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = (
+        changepoint_hourly(str(tmp_path))
+        .to_pandas()
+        .set_index("event_type")
+    )
+    base_hour = int(
+        np.datetime64("2025-01-01").astype("datetime64[h]").astype(int)
+    )
+    step = out.loc["step"]
+    assert step.split_hour == base_hour + 10
+    assert step.sse == 0.0  # perfect two-level fit
+    x = np.array([5.0] * 10 + [20.0] * 10)
+    assert step.sse_reduction == round(
+        float((x * x).sum() - x.sum() ** 2 / 20), 6
+    )
+    assert out.loc["flat"].sse_reduction == 0.0

@@ -107,6 +107,7 @@ def _check(m, con, name):
         "position_attribution",
         "benford_audit",
         "column_entropy",
+        "changepoint_hourly",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

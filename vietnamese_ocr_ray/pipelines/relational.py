@@ -3490,3 +3490,98 @@ def position_attribution(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
         {"n_touches": ("n_touches", "sum"), "credit_ppm": ("credit_ppm", "sum")},
         num_buckets=4,
     )
+
+
+def changepoint_hourly(sf_dir: str) -> rd.Dataset:
+    """Single-changepoint detection (binary segmentation, SSE cost)
+    per event_type over the hourly event-count series: the split that
+    minimizes SSE_left + SSE_right, reported with the variance
+    reduction — the monitoring primitive behind "did traffic change
+    shape at hour H".
+
+    Determinism: hourly counts are exact ints; each candidate split's
+    cost is the identical double expression (q - s*s/n per side, sides
+    summed left+right) evaluated from exact integer prefix sums; the
+    argmin ties to the SMALLEST split hour.
+
+    Scale shape: one distributed (type, hour) count aggregate (the
+    theilsen shape); the candidate scan is |hours| per type on the
+    driver regardless of event volume."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch = pc.divide(
+            pc.cast(batch.column("ts"), pa.int64()), pa.scalar(1_000_000)
+        ).to_numpy(zero_copy_only=False)
+        hour = epoch // 3600
+        df = (
+            pd.DataFrame(
+                {
+                    "event_type": batch.column("event_type").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "hour": hour,
+                    "n": np.ones(len(hour), np.int64),
+                }
+            )
+            .groupby(["event_type", "hour"], as_index=False)["n"]
+            .sum()
+        )
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    hourly = (
+        hash_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["event_type", "hour"],
+            {"n": ("n", "sum")},
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["event_type", "hour"])
+    )
+
+    rows = []
+    for et, g in hourly.groupby("event_type", sort=True):
+        x = g["n"].to_numpy(np.int64).astype(np.float64)
+        hrs = g["hour"].to_numpy(np.int64)
+        n = len(x)
+        s = np.cumsum(x)
+        q = np.cumsum(x * x)
+        st, qt = s[-1], q[-1]
+        sse_total = qt - st * st / n
+        best = (np.inf, -1)
+        for k in range(1, n):  # split BEFORE index k
+            sl, ql, nl = s[k - 1], q[k - 1], k
+            sr, qr, nr = st - sl, qt - ql, n - k
+            sse = (ql - sl * sl / nl) + (qr - sr * sr / nr)
+            if sse < best[0]:
+                best = (sse, k)
+        k = best[1]
+        rows.append(
+            (
+                et,
+                n,
+                int(hrs[k]),
+                round(best[0], 6),
+                round(sse_total - best[0], 6),
+            )
+        )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "n_hours": pa.array([r[1] for r in rows], pa.int64()),
+                "split_hour": pa.array([r[2] for r in rows], pa.int64()),
+                "sse": pa.array([r[3] for r in rows], pa.float64()),
+                "sse_reduction": pa.array(
+                    [r[4] for r in rows], pa.float64()
+                ),
+            }
+        )
+    )
