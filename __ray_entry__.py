@@ -2559,6 +2559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theilsen_value_hour": lambda sf: relational.theilsen_value_hour(sf),
         "position_attribution": lambda sf: relational.position_attribution(sf),
         "changepoint_hourly": lambda sf: relational.changepoint_hourly(sf),
+        "wow_change": lambda sf: relational.wow_change(sf),
         "window_agg": lambda sf: relational.window_aggregate(sf),
         "sliding_window": lambda sf: relational.sliding_window_aggregate(sf),
         "sessionize": lambda sf: relational.sessionize(sf),
@@ -5348,6 +5349,24 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CASE WHEN isp THEN rev ELSE 0 END) AS DOUBLE)
                  / 10000.0 AS promo_rev,
                CAST(sum(rev) AS DOUBLE) / 10000.0 AS total_rev
+        FROM l
+        """,
+        "wow_change": """
+        WITH e AS (SELECT event_type,
+                          epoch_us(ts) // 86400000000 AS days
+                   FROM events),
+        w AS (SELECT event_type, days - ((days + 3) % 7) AS week FROM e),
+        c AS (SELECT event_type, week, CAST(count(*) AS BIGINT) AS n
+              FROM w GROUP BY event_type, week),
+        l AS (SELECT event_type, week, n,
+                     lag(n) OVER (PARTITION BY event_type
+                                  ORDER BY week) AS prev
+              FROM c)
+        SELECT event_type, CAST(week AS BIGINT) AS week_day,
+               n AS n_events,
+               CAST(n - prev AS DOUBLE) AS delta,
+               round(CAST(n - prev AS DOUBLE) / CAST(prev AS DOUBLE), 6)
+                 AS pct_change
         FROM l
         """,
         "changepoint_hourly": """

@@ -4183,3 +4183,43 @@ def test_changepoint_hourly_detects_step(ray_session, tmp_path):
         float((x * x).sum() - x.sum() ** 2 / 20), 6
     )
     assert out.loc["flat"].sse_reduction == 0.0
+
+
+def test_wow_change(ray_session, tmp_path):
+    """Weekly counts 10 -> 15 -> 12: deltas +5 (+50%) then -3 (-20%);
+    the first week's change is null."""
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.relational import wow_change
+
+    rows = []
+    eid = 0
+    for wk, n in enumerate((10, 15, 12)):
+        for _ in range(n):
+            rows.append(
+                (
+                    eid,
+                    np.datetime64("2025-01-06", "us")  # a Monday
+                    + np.timedelta64(wk * 7, "D"),
+                    "x",
+                )
+            )
+            eid += 1
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows]),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = (
+        wow_change(str(tmp_path))
+        .to_pandas()
+        .sort_values("week_day")
+        .reset_index(drop=True)
+    )
+    assert list(out.n_events) == [10, 15, 12]
+    assert np.isnan(out["delta"][0]) and np.isnan(out["pct_change"][0])
+    assert out["delta"][1] == 5 and out["pct_change"][1] == 0.5
+    assert out["delta"][2] == -3 and out["pct_change"][2] == -0.2

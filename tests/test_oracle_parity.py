@@ -108,6 +108,7 @@ def _check(m, con, name):
         "benford_audit",
         "column_entropy",
         "changepoint_hourly",
+        "wow_change",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

@@ -3585,3 +3585,81 @@ def changepoint_hourly(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+def wow_change(sf_dir: str) -> rd.Dataset:
+    """Week-over-week traffic deltas per event_type: weekly counts
+    (Monday-start, the cohort_retention convention) with the absolute
+    and percent change vs the previous observed week — the KPI digest
+    shape. Exact integer counts; pct is one rounded division (NULL for
+    a type's first week).
+
+    Scale shape: one distributed (type, week) count aggregate; the
+    lag runs on the |types| x |weeks| table."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = (
+            batch.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        days = us // 86_400_000_000
+        week = days - ((days + 3) % 7)
+        df = (
+            pd.DataFrame(
+                {
+                    "event_type": batch.column("event_type").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "week": week,
+                    "n": np.ones(len(week), np.int64),
+                }
+            )
+            .groupby(["event_type", "week"], as_index=False)["n"]
+            .sum()
+        )
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    weekly = (
+        hash_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["event_type", "week"],
+            {"n": ("n", "sum")},
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["event_type", "week"])
+        .reset_index(drop=True)
+    )
+    prev = weekly.groupby("event_type")["n"].shift(1)
+    delta = weekly["n"] - prev
+    pct = np.where(
+        prev.notna(),
+        np.round(
+            delta.to_numpy(np.float64) / prev.to_numpy(np.float64), 6
+        ),
+        np.nan,
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(
+                    weekly["event_type"].to_numpy(), pa.string()
+                ),
+                "week_day": pa.array(weekly["week"].to_numpy(np.int64)),
+                "n_events": pa.array(weekly["n"].to_numpy(np.int64)),
+                "delta": pa.array(
+                    delta.to_numpy(np.float64), pa.float64()
+                ),
+                "pct_change": pa.array(pct, pa.float64()),
+            }
+        )
+    )
