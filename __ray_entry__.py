@@ -1873,6 +1873,24 @@ def _containment_pairs(sf_dir: str):
     return containment_pairs(_docs(sf_dir), k=16, threshold=0.9)
 
 
+def _dup_cluster_purity(sf_dir: str):
+    """Label purity per cosine>=0.4 dup cluster — majority label with
+    smallest-label tiebreak (functions/graph.py:cluster_purity over
+    the SQL-checked components)."""
+    from vietnamese_ocr_ray.functions.graph import cluster_purity
+
+    labels = _read_pq(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    ).to_pandas()  # id->label lookup, node-set-bounded broadcast
+    labels_tbl = pa.table(
+        {
+            "vec_id": pa.array(labels["vec_id"].to_numpy(np.int64)),
+            "label": pa.array(labels["label"].to_numpy(np.int64)),
+        }
+    )
+    return cluster_purity(_components(sf_dir), labels_tbl)
+
+
 def _label_propagation(sf_dir: str):
     """Seeded (vec_id %% 5 == 0) hard-clamp majority label propagation
     over the cosine>=0.4 dup graph, 5 rounds
@@ -2866,6 +2884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_size_estimate": _join_size_estimate,
         "kcenter_select": _kcenter_select,
         "label_propagation": _label_propagation,
+        "dup_cluster_purity": _dup_cluster_purity,
         "dup_transitivity": _dup_transitivity,
         "skipgram_pairs": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.lm", fromlist=["skipgram_pairs"]
@@ -6433,6 +6452,39 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT v AS node, CAST(min(n) AS BIGINT) AS component
         FROM walk GROUP BY v
+        """,
+        "dup_cluster_purity": """
+        WITH RECURSIVE pairs AS (
+          SELECT a.vec_id AS a, b.vec_id AS b
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id < b.vec_id
+            AND round(list_cosine_similarity(
+                  CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+        ),
+        edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+        walk AS (
+          SELECT a AS v, a AS n FROM edges
+          UNION
+          SELECT walk.v, e.b FROM walk JOIN edges e ON walk.n = e.a
+        ),
+        comp AS (SELECT v AS node, CAST(min(n) AS BIGINT) AS component
+                 FROM walk GROUP BY v),
+        lab AS (SELECT comp.component, e.label
+                FROM comp JOIN embeddings e ON e.vec_id = comp.node),
+        cl AS (SELECT component, label, CAST(count(*) AS BIGINT) AS n
+               FROM lab GROUP BY component, label),
+        win AS (SELECT component, CAST(label AS BIGINT) AS majority_label,
+                       n AS n_majority
+                FROM cl
+                QUALIFY row_number() OVER (PARTITION BY component
+                          ORDER BY n DESC, label) = 1),
+        sz AS (SELECT component, CAST(count(*) AS BIGINT) AS size
+               FROM lab GROUP BY component)
+        SELECT sz.component, sz.size, win.majority_label, win.n_majority,
+               round(CAST(win.n_majority AS DOUBLE)
+                     / CAST(sz.size AS DOUBLE), 6) AS purity
+        FROM sz JOIN win USING (component)
         """,
         "dupcluster_histogram": """
         WITH RECURSIVE pairs AS (

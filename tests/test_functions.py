@@ -4223,3 +4223,32 @@ def test_wow_change(ray_session, tmp_path):
     assert np.isnan(out["delta"][0]) and np.isnan(out["pct_change"][0])
     assert out["delta"][1] == 5 and out["pct_change"][1] == 0.5
     assert out["delta"][2] == -3 and out["pct_change"][2] == -0.2
+
+
+def test_cluster_purity(ray_session):
+    """Hand-built components: pure cluster -> 1.0; 2-vs-1 -> 2/3;
+    label ties break to the smaller label."""
+    from vietnamese_ocr_ray.functions.graph import cluster_purity
+
+    comps = pa.table(
+        {
+            "node": pa.array([1, 2, 3, 10, 11, 12, 20, 21], pa.int64()),
+            "component": pa.array([1, 1, 1, 10, 10, 10, 20, 20], pa.int64()),
+        }
+    )
+    labels = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3, 10, 11, 12, 20, 21], pa.int64()),
+            "label": pa.array([5, 5, 5, 7, 7, 3, 9, 4], pa.int64()),
+        }
+    )
+    out = (
+        cluster_purity(rd.from_arrow(comps).repartition(2), labels)
+        .to_pandas()
+        .set_index("component")
+    )
+    assert out.loc[1].purity == 1.0 and out.loc[1].majority_label == 5
+    assert out.loc[10].majority_label == 7
+    assert out.loc[10].purity == round(2 / 3, 6)
+    # tie (one 9, one 4) -> smaller label wins
+    assert out.loc[20].majority_label == 4 and out.loc[20].purity == 0.5

@@ -109,6 +109,7 @@ def _check(m, con, name):
         "column_entropy",
         "changepoint_hourly",
         "wow_change",
+        "dup_cluster_purity",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):
