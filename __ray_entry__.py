@@ -2685,6 +2685,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "datasheet_by_source": lambda sf: analytics.datasheet_by_source(sf),
         "benford_audit": lambda sf: analytics.benford_audit(sf),
         "column_entropy": lambda sf: analytics.column_entropy(sf),
+        "ks_test_value": lambda sf: analytics.ks_test_value(sf),
         "time_split_leakage": lambda sf: analytics.time_split_leakage(sf),
         "k_anonymity": lambda sf: analytics.k_anonymity(sf),
         "time_weighted_avg": lambda sf: analytics.time_weighted_avg(sf),
@@ -8103,6 +8104,36 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_unique AS BIGINT) AS n_unique,
                round(n_unique / CAST(n_shingles AS DOUBLE), 6) AS novelty
         FROM per
+        """,
+        "ks_test_value": """
+        WITH e AS (SELECT event_type,
+                          CAST(round(value * 1000) AS BIGINT) AS vm
+                   FROM events
+                   WHERE event_type IN ('click', 'purchase')),
+        h AS (SELECT vm,
+                     CAST(sum(CASE WHEN event_type = 'click'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                     CAST(sum(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS cb
+              FROM e GROUP BY vm),
+        t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                     CAST(sum(cb) AS BIGINT) AS nb FROM h),
+        c AS (SELECT vm,
+                     CAST(sum(ca) OVER w AS BIGINT) AS fa,
+                     CAST(sum(cb) OVER w AS BIGINT) AS fb
+              FROM h
+              WINDOW w AS (ORDER BY vm ROWS UNBOUNDED PRECEDING)),
+        d AS (SELECT vm,
+                     abs(CAST(fa AS DOUBLE) / t.na
+                         - CAST(fb AS DOUBLE) / t.nb) AS dd
+              FROM c CROSS JOIN t)
+        SELECT t.na AS n_a, t.nb AS n_b,
+               round(dd, 6) AS ks_d,
+               round(CAST(vm AS DOUBLE) / 1000.0, 6) AS at_value,
+               round(sqrt(CAST(t.na + t.nb AS DOUBLE)
+                          / (CAST(t.na AS DOUBLE) * t.nb)), 6)
+                 AS crit_scale
+        FROM d CROSS JOIN t ORDER BY dd DESC, vm LIMIT 1
         """,
         "column_entropy": """
         WITH src AS (

@@ -4252,3 +4252,42 @@ def test_cluster_purity(ray_session):
     assert out.loc[10].purity == round(2 / 3, 6)
     # tie (one 9, one 4) -> smaller label wins
     assert out.loc[20].majority_label == 4 and out.loc[20].purity == 0.5
+
+
+def test_ks_test_value(ray_session, tmp_path):
+    """Identical distributions -> D = 0; disjoint supports -> D = 1 at
+    the boundary value; counts exact."""
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.analytics import ks_test_value
+
+    a_vals = [1.0, 2.0, 3.0]
+    b_vals = [10.0, 11.0]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(5), pa.int64()),
+            "event_type": pa.array(
+                ["click"] * 3 + ["purchase"] * 2
+            ),
+            "value": pa.array(a_vals + b_vals, pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = ks_test_value(str(tmp_path)).to_pandas().iloc[0]
+    assert (out.n_a, out.n_b) == (3, 2)
+    assert out.ks_d == 1.0          # disjoint supports
+    assert out.at_value == 3.0      # attained at a-side's max
+    assert out.crit_scale == round(np.sqrt(5 / 6), 6)
+    # identical: same values on both sides
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(6), pa.int64()),
+                "event_type": pa.array(["click", "purchase"] * 3),
+                "value": pa.array([5.0, 5.0, 7.0, 7.0, 9.0, 9.0]),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = ks_test_value(str(tmp_path)).to_pandas().iloc[0]
+    assert out.ks_d == 0.0

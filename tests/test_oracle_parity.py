@@ -110,6 +110,7 @@ def _check(m, con, name):
         "changepoint_hourly",
         "wow_change",
         "dup_cluster_purity",
+        "ks_test_value",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

@@ -2314,3 +2314,84 @@ def column_entropy(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+def ks_test_value(
+    sf_dir: str, type_a: str = "click", type_b: str = "purchase"
+) -> rd.Dataset:
+    """Two-sample Kolmogorov-Smirnov distance between the value
+    distributions of two event types — the distribution-drift test
+    (PSI's nonparametric sibling; value_psi bins, KS doesn't). Reports
+    D = max |F_a - F_b| over observed values, the value where it is
+    attained (smallest on ties), and the asymptotic critical scale
+    sqrt((n_a + n_b) / (n_a * n_b)).
+
+    Exactness: values quantize to exact milli ints, so the ECDFs are
+    exact rationals evaluated with one fixed float expression per
+    distinct value; the argmax ties to the smallest value. The
+    per-value count table is VALUE-DOMAIN-bounded (milli units of a
+    bounded metric), not row-bounded — the driver finish is O(domain).
+
+    Scale shape: one pruned two-type scan of per-batch (value, side)
+    count partials, one bucketed aggregate, domain-sized driver scan."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["event_type", "value"],
+        filter=(pc.field("event_type") == type_a)
+        | (pc.field("event_type") == type_b),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vm = np.asarray(_cents(batch.column("value"), 1000), np.int64)
+        is_a = pc.equal(
+            batch.column("event_type"), pa.scalar(type_a)
+        ).to_numpy(zero_copy_only=False)
+        df = (
+            pd.DataFrame(
+                {
+                    "vm": vm,
+                    "ca": is_a.astype(np.int64),
+                    "cb": (~is_a).astype(np.int64),
+                }
+            )
+            .groupby("vm", as_index=False)
+            .sum()
+        )
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    hist = (
+        hash_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["vm"],
+            {"ca": ("ca", "sum"), "cb": ("cb", "sum")},
+        )
+        .to_pandas()
+        .sort_values("vm")
+        .reset_index(drop=True)
+    )
+    na = int(hist["ca"].sum())
+    nb = int(hist["cb"].sum())
+    fa = np.cumsum(hist["ca"].to_numpy(np.int64)).astype(np.float64) / float(na)
+    fb = np.cumsum(hist["cb"].to_numpy(np.int64)).astype(np.float64) / float(nb)
+    d = np.abs(fa - fb)
+    i = int(np.lexsort((hist["vm"].to_numpy(np.int64), -d))[0])
+    crit = np.sqrt((na + nb) / (float(na) * float(nb)))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_a": pa.array([na], pa.int64()),
+                "n_b": pa.array([nb], pa.int64()),
+                "ks_d": pa.array([round(float(d[i]), 6)], pa.float64()),
+                "at_value": pa.array(
+                    [round(int(hist["vm"][i]) / 1000.0, 6)], pa.float64()
+                ),
+                "crit_scale": pa.array(
+                    [round(float(crit), 6)], pa.float64()
+                ),
+            }
+        )
+    )
