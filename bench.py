@@ -356,6 +356,9 @@ def run_bench() -> dict:
         "ann_pq",
         "winnow_overlap",
         "chi2_token_lang",
+        "containment_pairs",
+        "source_overlap_matrix",
+        "nation_trade_matrix",
     ):
 
         def consume(fn=q[name]):
