@@ -2686,6 +2686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_audit": lambda sf: analytics.benford_audit(sf),
         "column_entropy": lambda sf: analytics.column_entropy(sf),
         "ks_test_value": lambda sf: analytics.ks_test_value(sf),
+        "ks_source_length": lambda sf: analytics.ks_source_length(sf),
         "time_split_leakage": lambda sf: analytics.time_split_leakage(sf),
         "k_anonymity": lambda sf: analytics.k_anonymity(sf),
         "time_weighted_avg": lambda sf: analytics.time_weighted_avg(sf),
@@ -8104,6 +8105,40 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_unique AS BIGINT) AS n_unique,
                round(n_unique / CAST(n_shingles AS DOUBLE), 6) AS novelty
         FROM per
+        """,
+        "ks_source_length": """
+        WITH c AS (SELECT source, n_chars AS len,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM documents GROUP BY source, len),
+        grid AS (SELECT s.source, l.len
+                 FROM (SELECT DISTINCT source FROM c) s
+                 CROSS JOIN (SELECT DISTINCT len FROM c) l),
+        f AS (SELECT g.source, g.len,
+                     COALESCE(c.n, 0) AS cs
+              FROM grid g LEFT JOIN c
+                   ON c.source = g.source AND c.len = g.len),
+        tl AS (SELECT len, CAST(sum(cs) AS BIGINT) AS t FROM f
+               GROUP BY len),
+        ns AS (SELECT source, CAST(sum(cs) AS BIGINT) AS n_s FROM f
+               GROUP BY source),
+        na AS (SELECT CAST(sum(cs) AS BIGINT) AS n_all FROM f),
+        e AS (SELECT f.source, f.len,
+                     CAST(sum(f.cs) OVER w AS BIGINT) AS cum_s,
+                     CAST(sum(tl.t - f.cs) OVER w AS BIGINT) AS cum_r
+              FROM f JOIN tl USING (len)
+              WINDOW w AS (PARTITION BY f.source ORDER BY f.len
+                           ROWS UNBOUNDED PRECEDING)),
+        d AS (SELECT e.source, e.len,
+                     abs(CAST(e.cum_s AS DOUBLE) / ns.n_s
+                         - CAST(e.cum_r AS DOUBLE)
+                           / (na.n_all - ns.n_s)) AS dd
+              FROM e JOIN ns USING (source) CROSS JOIN na)
+        SELECT d.source, ns.n_s AS n_docs,
+               round(dd, 6) AS ks_d,
+               CAST(len AS BIGINT) AS at_len
+        FROM d JOIN ns USING (source)
+        QUALIFY row_number() OVER (PARTITION BY d.source
+                                   ORDER BY dd DESC, len) = 1
         """,
         "ks_test_value": """
         WITH e AS (SELECT event_type,

@@ -4291,3 +4291,46 @@ def test_ks_test_value(ray_session, tmp_path):
     )
     out = ks_test_value(str(tmp_path)).to_pandas().iloc[0]
     assert out.ks_d == 0.0
+
+
+def test_ks_source_length(ray_session, tmp_path):
+    """Source A's lengths sit wholly below B+C's -> D large for A;
+    values match a per-source vs-rest ECDF reference."""
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.analytics import ks_source_length
+
+    rows = (
+        [("A", 10)] * 4
+        + [("B", 100), ("B", 110), ("B", 120)]
+        + [("C", 100), ("C", 130)]
+    )
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "source": pa.array([r[0] for r in rows]),
+            "n_chars": pa.array([r[1] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = ks_source_length(str(tmp_path)).to_pandas().set_index("source")
+    a = out.loc["A"]
+    assert a.n_docs == 4
+    assert a.ks_d == 1.0       # disjoint from the rest
+    assert a.at_len == 10
+    # reference for B vs rest
+    import itertools
+
+    lens = sorted({r[1] for r in rows})
+    def ecdf(which):
+        cs, cr = [], []
+        s_tot = sum(1 for r in rows if r[0] == which)
+        r_tot = len(rows) - s_tot
+        s_run = r_run = 0
+        d = []
+        for L in lens:
+            s_run += sum(1 for r in rows if r[0] == which and r[1] == L)
+            r_run += sum(1 for r in rows if r[0] != which and r[1] == L)
+            d.append(abs(s_run / s_tot - r_run / r_tot))
+        return max(d)
+    assert out.loc["B"].ks_d == round(ecdf("B"), 6)

@@ -111,6 +111,7 @@ def _check(m, con, name):
         "wow_change",
         "dup_cluster_purity",
         "ks_test_value",
+        "ks_source_length",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

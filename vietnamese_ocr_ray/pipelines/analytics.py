@@ -2395,3 +2395,81 @@ def ks_test_value(
             }
         )
     )
+
+
+def ks_source_length(sf_dir: str) -> rd.Dataset:
+    """Per-source distribution-shift audit: the Kolmogorov-Smirnov
+    distance between each source's doc-length (n_chars) distribution
+    and the REST of the corpus — sources whose length profile deviates
+    hardest are the first place curation bugs (truncation, boilerplate
+    injection) show up. One row per source, D with smallest-length
+    argmax tiebreak.
+
+    Exactness: n_chars is already an exact int; per-(length, source)
+    counts ride one bucketed aggregate whose key space is bounded by
+    the LENGTH DOMAIN x sources, not rows; each source's ECDF pair is
+    a fixed float expression on the driver."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = (
+            pd.DataFrame(
+                {
+                    "source": batch.column("source").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "len": batch.column("n_chars").to_numpy(
+                        zero_copy_only=False
+                    ).astype(np.int64),
+                    "n": 1,
+                }
+            )
+            .groupby(["source", "len"], as_index=False)["n"]
+            .sum()
+        )
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    counts = (
+        hash_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["source", "len"],
+            {"n": ("n", "sum")},
+        )
+        .to_pandas()
+        .sort_values(["source", "len"])
+    )
+    total_by_len = counts.groupby("len")["n"].sum()
+    lengths = np.sort(total_by_len.index.to_numpy(np.int64))
+    tot = total_by_len.loc[lengths].to_numpy(np.int64)
+    n_all = int(tot.sum())
+    rows = []
+    for src, g in counts.groupby("source", sort=True):
+        cs = np.zeros(len(lengths), np.int64)
+        idx = np.searchsorted(lengths, g["len"].to_numpy(np.int64))
+        cs[idx] = g["n"].to_numpy(np.int64)
+        n_s = int(cs.sum())
+        rest = tot - cs
+        n_r = n_all - n_s
+        fs = np.cumsum(cs).astype(np.float64) / float(n_s)
+        fr = np.cumsum(rest).astype(np.float64) / float(n_r)
+        d = np.abs(fs - fr)
+        i = int(np.lexsort((lengths, -d))[0])
+        rows.append(
+            (src, n_s, round(float(d[i]), 6), int(lengths[i]))
+        )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "source": pa.array([r[0] for r in rows], pa.string()),
+                "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+                "ks_d": pa.array([r[2] for r in rows], pa.float64()),
+                "at_len": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+    )
