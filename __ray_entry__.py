@@ -1800,6 +1800,18 @@ def _approx_distinct_tokens(sf_dir: str):
     return approx_distinct_tokens(_docs(sf_dir, ("text",)))
 
 
+def _kmv_distinct_sources(sf_dir: str):
+    """Bottom-k (KMV) distinct-token sketch per source + their union
+    (Bar-Yossef et al. 2002). SQL-value-checked: the kept hash set is
+    an order-independent pure data function (k smallest DISTINCT
+    FNV-1a -> splitmix64 hashes), n_kept and the k-th hash are exact
+    integers, and est_distinct is one fixed float expression over
+    them, so the DuckDB replay (_kmv_sql) is bit-identical."""
+    from vietnamese_ocr_ray.functions.sketch import kmv_distinct_sources
+
+    return kmv_distinct_sources(_docs(sf_dir, ("source", "text")), k=64)
+
+
 def _lm_score(sf_dir: str):
     """Per-doc quality score under an add-one-smoothed bigram LM
     trained on the corpus itself (CCNet-style perplexity filtering).
@@ -2918,6 +2930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kl_source_divergence": _kl_source_divergence,
         "inverted_index": _inverted_index,
         "approx_distinct_tokens": _approx_distinct_tokens,
+        "kmv_distinct_sources": _kmv_distinct_sources,
         "approx_quantiles": _approx_quantiles,
         "histogram_quantiles": _histogram_quantiles,
         "event_histogram_quantiles": _event_histogram_quantiles,
@@ -4778,6 +4791,38 @@ def _hll_distinct_tokens_sql() -> str:
         + _hll_est_cte(item, keyed=False)
         + f"\n    SELECT {_HLL_FINAL} AS approx_distinct_tokens FROM est\n    "
     )
+
+
+def _kmv_sql(k: int = 64) -> str:
+    """(source, n_kept, kth_hash, est_distinct) — the
+    `kmv_distinct_sources` oracle: per-source bottom-k over DISTINCT
+    token hashes (FNV-1a -> splitmix64, the exact engine chain), plus
+    the __union__ row re-truncated from the same hash set; estimator
+    (k-1) * 2^64 / h_(k), exact n_kept below k."""
+    return f"""
+    WITH items AS (
+      SELECT DISTINCT source AS k, unnest(string_split(text, ' ')) AS v
+      FROM documents),
+    h0 AS (SELECT k, {_FNV_STR_FOLD.format(col="v")} AS h FROM items),
+    f1 AS (SELECT k, {_mul64_expr("xor(h, h >> 30)", 0xBF58476D1CE4E5B9)} AS h FROM h0),
+    f2 AS (SELECT k, {_mul64_expr("xor(h, h >> 27)", 0x94D049BB133111EB)} AS h FROM f1),
+    f3 AS (SELECT k, xor(h, h >> 31) AS h FROM f2),
+    d AS (SELECT DISTINCT k, h FROM f3),
+    allr AS (SELECT * FROM d
+             UNION ALL
+             SELECT '__union__' AS k, h FROM (SELECT DISTINCT h FROM d)),
+    kept AS (SELECT k, h FROM allr
+             QUALIFY row_number() OVER (PARTITION BY k ORDER BY h) <= {k}),
+    agg AS (SELECT k, count(*) AS n_kept, max(h) AS kth FROM kept GROUP BY k)
+    SELECT k AS source, CAST(n_kept AS BIGINT) AS n_kept,
+           CAST(kth::HUGEINT - CASE WHEN kth >= 9223372036854775808
+                THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+                AS BIGINT) AS kth_hash,
+           round(CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
+                 ELSE {k - 1} * 18446744073709551616.0
+                      / CAST(kth AS DOUBLE) END, 6) AS est_distinct
+    FROM agg
+    """
 
 
 def _hll_users_per_type_sql() -> str:
@@ -7341,6 +7386,7 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY d.source
         """,
         "approx_distinct_tokens": _hll_distinct_tokens_sql(),
+        "kmv_distinct_sources": _kmv_sql(),
         "approx_users_per_type": _hll_users_per_type_sql(),
         "heavy_hitters_cms_full": _cms_full_sql(),
         "ann_lsh": _ann_lsh_sql(),

@@ -4334,3 +4334,59 @@ def test_ks_source_length(ray_session, tmp_path):
             d.append(abs(s_run / s_tot - r_run / r_tot))
         return max(d)
     assert out.loc["B"].ks_d == round(ecdf("B"), 6)
+
+
+def test_kmv_distinct_sources(ray_session):
+    """Bottom-k KMV sketch: n_kept/est exact below k; at k the
+    (k-1)*2^64/h_k estimator, the signed k-th hash, and the __union__
+    row all match a direct bottom-k recompute from the same hashes."""
+    from vietnamese_ocr_ray.functions.sketch import (
+        HllSketch,
+        kmv_distinct_sources,
+    )
+
+    texts = {
+        "A": ["a b c", "b c d"],  # distinct tokens {a,b,c,d}
+        "B": ["x y", "y z w q r"],  # {x,y,z,w,q,r}
+    }
+    rows = [(s, t) for s, ts in texts.items() for t in ts]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "source": pa.array([r[0] for r in rows]),
+            "text": pa.array([r[1] for r in rows]),
+        }
+    )
+    out = (
+        kmv_distinct_sources(rd.from_arrow(t).repartition(3), k=4)
+        .to_pandas()
+        .set_index("source")
+    )
+
+    def bottom(tokens, k=4):
+        h = np.unique(HllSketch._finalize(content_hash64(pa.array(tokens))))
+        return h[:k]
+
+    ha = bottom(list("abcd"))
+    hb = bottom(["x", "y", "z", "w", "q", "r"])
+    hu = np.unique(np.concatenate([ha, hb]))[:4]
+    for name, kept, n_total in (
+        ("A", ha, 4),
+        ("B", hb, 6),
+        ("__union__", hu, 10),
+    ):
+        r = out.loc[name]
+        assert r.n_kept == 4
+        kth = int(kept[-1])
+        assert r.kth_hash == (kth - (1 << 64) if kth >= 1 << 63 else kth)
+        assert r.est_distinct == round(3 * 18446744073709551616.0 / float(kth), 6)
+    # below-k fallback: one source with 2 distinct tokens -> exact count
+    t2 = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "source": pa.array(["C"]),
+            "text": pa.array(["p q"]),
+        }
+    )
+    out2 = kmv_distinct_sources(rd.from_arrow(t2), k=4).to_pandas()
+    assert out2.set_index("source").loc["C"].est_distinct == 2.0

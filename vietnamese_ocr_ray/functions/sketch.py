@@ -744,3 +744,85 @@ def cms_join_size(
             }
         )
     )
+
+
+def kmv_distinct_sources(
+    ds: rd.Dataset,
+    key_col: str = "source",
+    text_col: str = "text",
+    k: int = 64,
+) -> pa.Table:
+    """KMV (bottom-k / k-minimum-values) distinct-token sketch per key
+    plus their union (Bar-Yossef et al. 2002): keep the k smallest
+    DISTINCT token-hash values per key; estimate D ~= (k-1) * 2^64 /
+    h_(k) (unbiased for uniform hashes), falling back to the exact
+    count when fewer than k distinct hashes exist.
+
+    Why it earns a slot next to HLL: bottom-k sketches merge by
+    set-union + re-truncate — the k smallest hashes of a union are
+    always a subset of the members' bottom-k candidates — which gives
+    UNION cardinality for free (the ``__union__`` row; HLL needs a
+    second register array per set expression). Shuffle traffic is
+    <= k rows per (batch, key): a combiner-bounded exchange, never
+    proportional to rows or to the distinct set.
+
+    Exactness contract: hashes are FNV-1a over utf8 bytes
+    (dedup.content_hash64) -> splitmix64 avalanche
+    (HllSketch._finalize), both already replayed verbatim by the SQL
+    oracle machinery; ``n_kept`` and the k-th hash are exact integers
+    and ``est_distinct`` is ONE fixed float expression over them, so
+    the DuckDB replay is bit-identical."""
+    import pandas as pd
+
+    from vietnamese_ocr_ray.functions.sketch import HllSketch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = batch.column(text_col)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        toks = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy()
+        keys = np.asarray(
+            batch.column(key_col).to_numpy(zero_copy_only=False)
+        )[parent]
+        h = HllSketch._finalize(content_hash64(flat))
+        df = pd.DataFrame({"k": keys, "h": h}).drop_duplicates()
+        df = (
+            df.sort_values(["k", "h"], kind="stable")
+            .groupby("k", sort=False)
+            .head(k)
+        )
+        return pa.table(
+            {
+                "k": pa.array(df["k"].to_numpy(object), pa.string()),
+                "h": pa.array(df["h"].to_numpy(np.uint64), pa.uint64()),
+            }
+        )
+
+    # bounded driver finish: <= k * n_keys * n_blocks candidate rows
+    cand = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows: list[tuple] = []
+
+    def finish(name: str, hashes: np.ndarray) -> None:
+        kept = np.unique(hashes)[:k]  # sorted ascending, distinct
+        n_kept = int(kept.size)
+        kth = int(kept[-1]) if n_kept else 0
+        if n_kept < k:
+            est = float(n_kept)
+        else:
+            est = (k - 1) * 18446744073709551616.0 / float(kth)
+        signed = kth - (1 << 64) if kth >= (1 << 63) else kth
+        rows.append((name, n_kept, signed, round(est, 6)))
+
+    for name, g in cand.groupby("k", sort=True):
+        finish(str(name), g["h"].to_numpy(np.uint64))
+    finish("__union__", cand["h"].to_numpy(np.uint64))
+    return pa.table(
+        {
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "n_kept": pa.array([r[1] for r in rows], pa.int64()),
+            "kth_hash": pa.array([r[2] for r in rows], pa.int64()),
+            "est_distinct": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
