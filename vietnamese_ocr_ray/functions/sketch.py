@@ -746,6 +746,40 @@ def cms_join_size(
     )
 
 
+def _kmv_partial(key_col: str, text_col: str, k: int):
+    """Per-batch KMV combiner: distinct (key, token-hash) pairs
+    truncated to the k smallest hashes per key — the candidate rows a
+    driver-side bottom-k finish needs are always a subset of these,
+    so the exchange is <= k rows per (batch, key)."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = batch.column(text_col)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        toks = pc.split_pattern(txt, " ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy()
+        keys = np.asarray(
+            batch.column(key_col).to_numpy(zero_copy_only=False)
+        )[parent]
+        h = HllSketch._finalize(content_hash64(flat))
+        df = pd.DataFrame({"k": keys, "h": h}).drop_duplicates()
+        df = (
+            df.sort_values(["k", "h"], kind="stable")
+            .groupby("k", sort=False)
+            .head(k)
+        )
+        return pa.table(
+            {
+                "k": pa.array(df["k"].to_numpy(object), pa.string()),
+                "h": pa.array(df["h"].to_numpy(np.uint64), pa.uint64()),
+            }
+        )
+
+    return partial
+
+
 def kmv_distinct_sources(
     ds: rd.Dataset,
     key_col: str = "source",
@@ -772,36 +806,10 @@ def kmv_distinct_sources(
     oracle machinery; ``n_kept`` and the k-th hash are exact integers
     and ``est_distinct`` is ONE fixed float expression over them, so
     the DuckDB replay is bit-identical."""
-    import pandas as pd
-
-    from vietnamese_ocr_ray.functions.sketch import HllSketch
-
-    def partial(batch: pa.Table) -> pa.Table:
-        txt = batch.column(text_col)
-        if isinstance(txt, pa.ChunkedArray):
-            txt = txt.combine_chunks()
-        toks = pc.split_pattern(txt, " ")
-        flat = pc.list_flatten(toks)
-        parent = pc.list_parent_indices(toks).to_numpy()
-        keys = np.asarray(
-            batch.column(key_col).to_numpy(zero_copy_only=False)
-        )[parent]
-        h = HllSketch._finalize(content_hash64(flat))
-        df = pd.DataFrame({"k": keys, "h": h}).drop_duplicates()
-        df = (
-            df.sort_values(["k", "h"], kind="stable")
-            .groupby("k", sort=False)
-            .head(k)
-        )
-        return pa.table(
-            {
-                "k": pa.array(df["k"].to_numpy(object), pa.string()),
-                "h": pa.array(df["h"].to_numpy(np.uint64), pa.uint64()),
-            }
-        )
-
     # bounded driver finish: <= k * n_keys * n_blocks candidate rows
-    cand = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cand = ds.map_batches(
+        _kmv_partial(key_col, text_col, k), batch_format="pyarrow"
+    ).to_pandas()
     rows: list[tuple] = []
 
     def finish(name: str, hashes: np.ndarray) -> None:
