@@ -2587,6 +2587,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_ltv": lambda sf: relational.cohort_ltv(sf),
         "time_to_convert": lambda sf: relational.time_to_convert(sf),
         "theilsen_value_hour": lambda sf: relational.theilsen_value_hour(sf),
+        "spearman_value_hour": lambda sf: relational.spearman_value_hour(sf),
+        "funnel_steps": lambda sf: relational.funnel_steps(sf),
+        "holt_forecast": lambda sf: relational.holt_forecast(sf),
         "position_attribution": lambda sf: relational.position_attribution(sf),
         "changepoint_hourly": lambda sf: relational.changepoint_hourly(sf),
         "wow_change": lambda sf: relational.wow_change(sf),
@@ -5549,6 +5552,110 @@ def oracle_sql() -> dict[str, str]:
                round(smed.slope, 6) AS slope,
                round(imed.intercept, 6) AS intercept
         FROM nh JOIN smed USING (event_type) JOIN imed USING (event_type)
+        """,
+        "spearman_value_hour": """
+        WITH e AS (SELECT event_type,
+                          CAST(round(value * 1000) AS BIGINT) AS vm,
+                          (epoch_us(ts) // 1000000 // 3600) % 24 AS hour
+                   FROM events),
+        g AS (SELECT event_type, vm, hour, CAST(count(*) AS BIGINT) AS c
+              FROM e GROUP BY 1, 2, 3),
+        v AS (SELECT event_type, vm, CAST(sum(c) AS BIGINT) AS cv
+              FROM g GROUP BY 1, 2),
+        vr AS (SELECT event_type, vm,
+                      2 * (SUM(cv) OVER (PARTITION BY event_type
+                                         ORDER BY vm) - cv) + cv + 1 AS r2
+               FROM v),
+        hh AS (SELECT event_type, hour, CAST(sum(c) AS BIGINT) AS ch
+               FROM g GROUP BY 1, 2),
+        hr AS (SELECT event_type, hour,
+                      2 * (SUM(ch) OVER (PARTITION BY event_type
+                                         ORDER BY hour) - ch) + ch + 1 AS r2
+               FROM hh),
+        j AS (SELECT g.event_type, g.c, vr.r2 AS x, hr.r2 AS y
+              FROM g JOIN vr ON vr.event_type = g.event_type
+                            AND vr.vm = g.vm
+                     JOIN hr ON hr.event_type = g.event_type
+                            AND hr.hour = g.hour),
+        s AS (SELECT event_type,
+                     CAST(sum(c) AS HUGEINT) AS n,
+                     CAST(sum(CAST(c AS HUGEINT) * x) AS HUGEINT) AS sx,
+                     CAST(sum(CAST(c AS HUGEINT) * y) AS HUGEINT) AS sy,
+                     CAST(sum(CAST(c AS HUGEINT) * x * y) AS HUGEINT) AS sxy,
+                     CAST(sum(CAST(c AS HUGEINT) * x * x) AS HUGEINT) AS sxx,
+                     CAST(sum(CAST(c AS HUGEINT) * y * y) AS HUGEINT) AS syy
+              FROM j GROUP BY event_type)
+        SELECT event_type, CAST(n AS BIGINT) AS n_events,
+               CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                    THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))),
+                               6)
+                    ELSE 0.0 END AS rho
+        FROM s
+        """,
+        "funnel_steps": """
+        WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+               FROM events e JOIN s1 ON e.user_id = s1.user_id
+                    AND epoch_us(e.ts) >= s1.t
+               WHERE e.event_type = 'click' GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+               FROM events e JOIN s2 ON e.user_id = s2.user_id
+                    AND epoch_us(e.ts) >= s2.t
+               WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        c AS (
+          SELECT 1 AS step, 'view' AS event_type,
+                 (SELECT count(*) FROM s1) AS n_users
+          UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+          UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        SELECT CAST(step AS BIGINT) AS step, event_type,
+               CAST(n_users AS BIGINT) AS n_users,
+               CAST(CASE WHEN (SELECT n_users FROM c WHERE step = 1) > 0
+                    THEN n_users * 1000000
+                         // (SELECT n_users FROM c WHERE step = 1)
+                    ELSE 0 END AS BIGINT) AS conv_ppm
+        FROM c
+        """,
+        "holt_forecast": """
+        WITH RECURSIVE eh AS (
+          SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS h
+          FROM events),
+        cnt AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS n
+                FROM eh GROUP BY 1, 2),
+        b AS (SELECT min(h) AS hmin, max(h) AS hmax FROM eh),
+        ty AS (SELECT DISTINCT event_type FROM eh),
+        grid AS (SELECT ty.event_type,
+                        unnest(generate_series(0, b.hmax - b.hmin)) AS i
+                 FROM ty CROSS JOIN b),
+        y AS (SELECT g.event_type, g.i, coalesce(c.n, 0) AS yv
+              FROM grid g CROSS JOIN b
+              LEFT JOIN cnt c ON c.event_type = g.event_type
+                             AND c.h = g.i + b.hmin),
+        rec AS (
+          SELECT y0.event_type, CAST(0 AS BIGINT) AS i,
+                 CAST(y0.yv AS DOUBLE) AS l,
+                 CAST(y1.yv AS DOUBLE) - CAST(y0.yv AS DOUBLE) AS t
+          FROM y y0 JOIN y y1 ON y1.event_type = y0.event_type
+                             AND y1.i = 1
+          WHERE y0.i = 0
+          UNION ALL
+          SELECT r.event_type, r.i + 1,
+                 0.5 * CAST(b2.yv AS DOUBLE) + 0.5 * (r.l + r.t),
+                 0.5 * ((0.5 * CAST(b2.yv AS DOUBLE) + 0.5 * (r.l + r.t))
+                        - r.l) + 0.5 * r.t
+          FROM rec r JOIN y b2 ON b2.event_type = r.event_type
+                              AND b2.i = r.i + 1),
+        fin AS (SELECT r.event_type, r.l, r.t
+                FROM rec r CROSS JOIN b WHERE r.i = b.hmax - b.hmin)
+        SELECT event_type,
+               (SELECT CAST(hmax - hmin + 1 AS BIGINT) FROM b) AS n_hours,
+               round(l, 6) AS level, round(t, 6) AS trend,
+               round(l + 1 * t, 6) AS f1,
+               round(l + 2 * t, 6) AS f2,
+               round(l + 3 * t, 6) AS f3
+        FROM fin
         """,
         "time_to_convert": """
         WITH s AS (SELECT user_id, min(epoch_us(ts)) AS su

@@ -4390,3 +4390,119 @@ def test_kmv_distinct_sources(ray_session):
     )
     out2 = kmv_distinct_sources(rd.from_arrow(t2), k=4).to_pandas()
     assert out2.set_index("source").loc["C"].est_distinct == 2.0
+
+
+def test_funnel_steps_reference(ray_session, tmp_path):
+    """Hand-built 3-user fixture: u1 completes the funnel in order, u2
+    clicks BEFORE its first view (click must not count), u3 views only.
+    Also checks the exact-ppm conversion floor."""
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.relational import funnel_steps
+
+    t0 = np.datetime64("2025-01-01T00:00:00", "us")
+
+    def ev(uid, typ, minutes):
+        return (uid, typ, t0 + np.timedelta64(minutes, "m"))
+
+    rows = [
+        ev(1, "view", 0), ev(1, "click", 5), ev(1, "purchase", 10),
+        ev(2, "click", 0), ev(2, "view", 5), ev(2, "purchase", 10),
+        ev(3, "view", 0),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = funnel_steps(str(tmp_path)).to_pandas().set_index("step")
+    # u2's click at t=0 precedes its view at t=5 -> no click reach;
+    # u2's purchase can't count either (no click anchor).
+    assert out.loc[1, "n_users"] == 3
+    assert out.loc[2, "n_users"] == 1
+    assert out.loc[3, "n_users"] == 1
+    assert out.loc[1, "conv_ppm"] == 1_000_000
+    assert out.loc[2, "conv_ppm"] == 1_000_000 // 3
+    assert list(out["event_type"]) == ["view", "click", "purchase"]
+
+
+def test_spearman_value_hour_matches_pandas(ray_session, tmp_path):
+    """The histogram-ranked Spearman equals pandas' average-rank
+    Spearman (rank -> Pearson) on a fixture with heavy ties in BOTH
+    variables."""
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.relational import spearman_value_hour
+
+    rng = np.random.default_rng(7)
+    n = 400
+    hours = rng.integers(0, 24, n)
+    # milli-exact values correlated with hour, with many ties
+    vals = (hours * 50 + rng.integers(0, 200, n)) / 1000.0
+    t0 = np.datetime64("2025-01-01T00:00:00", "us")
+    ts = t0 + hours.astype("timedelta64[h]") + np.timedelta64(1, "m")
+    t = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "user_id": pa.array(rng.integers(1, 5, n), pa.int64()),
+            "event_type": pa.array(["x"] * n, pa.string()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    import pandas as pd
+
+    out = spearman_value_hour(str(tmp_path)).to_pandas().iloc[0]
+    df = pd.DataFrame({"v": np.round(vals * 1000), "h": hours})
+    rx = df["v"].rank(method="average")
+    ry = df["h"].rank(method="average")
+    want = np.corrcoef(rx, ry)[0, 1]
+    assert out.n_events == n
+    # the pipeline rounds rho to 6dp (SQL-oracle contract)
+    assert out.rho == round(want, 6)
+    assert out.rho > 0.5  # the planted correlation is visible
+
+
+def test_holt_forecast_reference(ray_session, tmp_path):
+    """Holt on a PURE linear ramp (k events in hour k) locks level to
+    the last point and trend to the slope, so the h-step forecast is
+    exactly linear extrapolation."""
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.relational import holt_forecast
+
+    t0 = np.datetime64("2025-01-01T00:00:00", "us")
+    rows = []
+    for h in range(12):
+        for k in range(h + 1):  # y_h = h + 1: exact line
+            rows.append(t0 + np.timedelta64(h, "h") + np.timedelta64(k, "s"))
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array(["x"] * len(rows), pa.string()),
+            "ts": pa.array(rows, pa.timestamp("us")),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = holt_forecast(str(tmp_path)).to_pandas().iloc[0]
+    # independent sequential reference
+    y = np.arange(1, 13, dtype=np.float64)
+    lvl, trd = y[0], y[1] - y[0]
+    for i in range(1, 12):
+        new = 0.5 * y[i] + 0.5 * (lvl + trd)
+        trd = 0.5 * (new - lvl) + 0.5 * trd
+        lvl = new
+    assert out.n_hours == 12
+    assert out.level == round(lvl, 6)
+    assert out.trend == round(trd, 6)
+    # a perfect line is invariant under Holt: forecasts continue it
+    assert abs(out.f1 - 13.0) < 1e-4
+    assert abs(out.f2 - 14.0) < 1e-4

@@ -3663,3 +3663,296 @@ def wow_change(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+def funnel_steps(
+    sf_dir: str,
+    steps: tuple = ("view", "click", "purchase"),
+    num_buckets: int = 32,
+) -> rd.Dataset:
+    """Ordered funnel analysis: a user reaches step k iff an event of
+    step k's type occurs AT OR AFTER the user's first-reach time of
+    step k-1 (step 1 = the user's first event of that type). Reports
+    per-step reached-user counts and the conversion from step 1 in
+    exact integer ppm — the classic product-analytics funnel the
+    reference's event tooling has no analog for.
+
+    Exactness: first-reach times are min() over int64 epoch-us; the
+    >= chaining and the ppm floor division are integer ops, so both
+    engines agree bit-for-bit.
+
+    Scale shape: the filtered event stream rides ONE user-bucket
+    shuffle; each bucket resolves its users' whole chain vectorized
+    (groupby-min + merge per step, no per-row Python); only
+    |steps|-row partial counts leave the buckets."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
+    type_filter = None
+    for s in steps:
+        e = pc.field("event_type") == s
+        type_filter = e if type_filter is None else (type_filter | e)
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+        filter=type_filter,
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "us": pc.cast(batch.column("ts"), pa.int64()),
+                "event_type": batch.column("event_type"),
+                "_bucket": pa.array(
+                    key_bucket(batch.column("user_id"), num_buckets).astype(
+                        np.int32
+                    )
+                ),
+            }
+        )
+
+    def bucket_counts(g: pd.DataFrame) -> pa.Table:
+        cur = (
+            g[g["event_type"] == steps[0]]
+            .groupby("user_id", as_index=False)["us"]
+            .min()
+            .rename(columns={"us": "prev"})
+        )
+        ns = [len(cur)]
+        for s in steps[1:]:
+            sub = g[g["event_type"] == s].merge(cur, on="user_id")
+            sub = sub[sub["us"] >= sub["prev"]]
+            cur = (
+                sub.groupby("user_id", as_index=False)["us"]
+                .min()
+                .rename(columns={"us": "prev"})
+            )
+            ns.append(len(cur))
+        return pa.table(
+            {
+                "step": pa.array(
+                    np.arange(1, len(steps) + 1, dtype=np.int64)
+                ),
+                "n": pa.array(np.asarray(ns, np.int64)),
+            }
+        )
+
+    totals = (
+        hash_aggregate(
+            ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(bucket_counts, batch_format="pandas"),
+            ["step"],
+            {"n": ("n", "sum")},
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("step")
+        .reset_index(drop=True)
+    )
+    n = totals["n"].to_numpy(np.int64)
+    first = int(n[0]) if len(n) else 0
+    conv = (
+        (n * 1_000_000) // first if first > 0 else np.zeros(len(n), np.int64)
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "step": pa.array(totals["step"].to_numpy(np.int64)),
+                "event_type": pa.array(list(steps), pa.string()),
+                "n_users": pa.array(n),
+                "conv_ppm": pa.array(conv.astype(np.int64)),
+            }
+        )
+    )
+
+
+def spearman_value_hour(sf_dir: str) -> rd.Dataset:
+    """Spearman rank correlation between value and hour-of-day per
+    event_type — the rank-based (monotone-association) companion of
+    the Pearson value_hour_corr: ties get AVERAGE ranks, carried
+    DOUBLED so they stay exact integers (2*avg_rank = 2*cum_before +
+    tie_count + 1).
+
+    Exactness: value quantizes to milli-units, so ranks derive from a
+    (vm -> count) histogram by exact cumulative sums; all five moment
+    sums are exact (arbitrary-precision Python int here, HUGEINT in
+    SQL); rho is ONE fixed float expression num / (sqrt(dx) * sqrt(dy))
+    over them, rounded to 6dp.
+
+    Scale shape: one corpus pass of per-batch (event_type, vm, hour)
+    partial counts -> bucketed hash-aggregate bounded by distinct
+    (type, milli-value, hour) combos -> O(distinct) driver finish.
+    No per-event sort: ranking over a value HISTOGRAM replaces the
+    global sort a naive Spearman needs."""
+    import math
+
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vm = _cents(batch.column("value"), 1000).to_numpy(zero_copy_only=False)
+        epoch = pc.divide(
+            pc.cast(batch.column("ts"), pa.int64()), pa.scalar(1_000_000)
+        ).to_numpy(zero_copy_only=False)
+        h = (epoch // 3600) % 24
+        df = (
+            pd.DataFrame(
+                {
+                    "event_type": batch.column("event_type").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "vm": vm,
+                    "hour": h,
+                    "n": np.ones(len(h), np.int64),
+                }
+            )
+            .groupby(["event_type", "vm", "hour"], as_index=False)
+            .agg(n=("n", "sum"))
+        )
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    g = (
+        hash_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["event_type", "vm", "hour"],
+            {"n": ("n", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["event_type", "vm", "hour"])
+    )
+
+    def doubled_ranks(keys: np.ndarray, cnt: np.ndarray):
+        """keys ascending-unique, cnt totals -> doubled average rank."""
+        cum = np.cumsum(cnt) - cnt
+        return 2 * cum + cnt + 1
+
+    rows = []
+    for et, t in g.groupby("event_type", sort=True):
+        vt = t.groupby("vm", sort=True)["n"].sum()
+        ht = t.groupby("hour", sort=True)["n"].sum()
+        vk = vt.index.to_numpy(np.int64)
+        hk = ht.index.to_numpy(np.int64)
+        r2v = doubled_ranks(vk, vt.to_numpy(np.int64))
+        r2h = doubled_ranks(hk, ht.to_numpy(np.int64))
+        x = r2v[np.searchsorted(vk, t["vm"].to_numpy(np.int64))]
+        y = r2h[np.searchsorted(hk, t["hour"].to_numpy(np.int64))]
+        c = t["n"].to_numpy(np.int64)
+        # arbitrary-precision int moments (HUGEINT on the SQL side)
+        n = int(c.sum())
+        sx = sum(int(a) * int(b) for a, b in zip(c, x))
+        sy = sum(int(a) * int(b) for a, b in zip(c, y))
+        sxy = sum(int(a) * int(b) * int(d) for a, b, d in zip(c, x, y))
+        sxx = sum(int(a) * int(b) * int(b) for a, b in zip(c, x))
+        syy = sum(int(a) * int(b) * int(b) for a, b in zip(c, y))
+        num = n * sxy - sx * sy
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        rho = (
+            round(float(num) / (math.sqrt(float(dx)) * math.sqrt(float(dy))), 6)
+            if dx > 0 and dy > 0
+            else 0.0
+        )
+        rows.append((et, n, rho))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "n_events": pa.array([r[1] for r in rows], pa.int64()),
+                "rho": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+    )
+
+
+def holt_forecast(
+    sf_dir: str,
+    alpha: float = 0.5,
+    beta: float = 0.5,
+    horizon: int = 3,
+) -> rd.Dataset:
+    """Holt's linear-trend exponential smoothing over the hourly event
+    count series per event_type (missing hours count 0 over the GLOBAL
+    hour range), plus a ``horizon``-step linear forecast — the trend
+    upgrade of the single-parameter ewma_value.
+
+    Determinism contract: y is an exact integer series; the recursion
+        l_i = alpha*y_i + (1-alpha)*(l_{i-1} + t_{i-1})
+        t_i = beta*(l_i - l_{i-1}) + (1-beta)*t_{i-1}
+    (l_0 = y_0, t_0 = y_1 - y_0) is replayed float-op-for-float-op by
+    a recursive CTE on the SQL side — SEQUENTIAL order is the spec, so
+    both engines round identically at every step.
+
+    Scale shape: events reduce to a (type, hour)-bounded exact-count
+    aggregate (the theilsen contract); the recursion runs driver-side
+    over at most |types| x |hours| points — bounded by calendar span,
+    not row count."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch = pc.divide(
+            pc.cast(batch.column("ts"), pa.int64()), pa.scalar(1_000_000)
+        ).to_numpy(zero_copy_only=False)
+        h = epoch // 3600
+        df = (
+            pd.DataFrame(
+                {
+                    "event_type": batch.column("event_type").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "h": h,
+                    "n": np.ones(len(h), np.int64),
+                }
+            )
+            .groupby(["event_type", "h"], as_index=False)
+            .agg(n=("n", "sum"))
+        )
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    hourly = (
+        hash_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["event_type", "h"],
+            {"n": ("n", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["event_type", "h"])
+    )
+    hmin = int(hourly["h"].min())
+    hmax = int(hourly["h"].max())
+    H = hmax - hmin + 1
+    rows = []
+    for et, t in hourly.groupby("event_type", sort=True):
+        y = np.zeros(H, np.int64)
+        y[t["h"].to_numpy(np.int64) - hmin] = t["n"].to_numpy(np.int64)
+        lvl = float(y[0])
+        trd = float(y[1]) - float(y[0])
+        for i in range(1, H):
+            new = alpha * float(y[i]) + (1.0 - alpha) * (lvl + trd)
+            trd = beta * (new - lvl) + (1.0 - beta) * trd
+            lvl = new
+        fc = [round(lvl + (k + 1) * trd, 6) for k in range(horizon)]
+        rows.append((et, H, round(lvl, 6), round(trd, 6), fc))
+    out = {
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "n_hours": pa.array([r[1] for r in rows], pa.int64()),
+        "level": pa.array([r[2] for r in rows], pa.float64()),
+        "trend": pa.array([r[3] for r in rows], pa.float64()),
+    }
+    for k in range(horizon):
+        out[f"f{k + 1}"] = pa.array([r[4][k] for r in rows], pa.float64())
+    return rd.from_arrow(pa.table(out))
