@@ -2590,6 +2590,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_value_hour": lambda sf: relational.spearman_value_hour(sf),
         "funnel_steps": lambda sf: relational.funnel_steps(sf),
         "holt_forecast": lambda sf: relational.holt_forecast(sf),
+        "asof_join_latency": lambda sf: relational.asof_join_latency(sf),
+        "mannwhitney_value": lambda sf: relational.mannwhitney_value(sf),
+        "ab_test_conversion": lambda sf: relational.ab_test_conversion(sf),
         "position_attribution": lambda sf: relational.position_attribution(sf),
         "changepoint_hourly": lambda sf: relational.changepoint_hourly(sf),
         "wow_change": lambda sf: relational.wow_change(sf),
@@ -5656,6 +5659,101 @@ def oracle_sql() -> dict[str, str]:
                round(l + 2 * t, 6) AS f2,
                round(l + 3 * t, 6) AS f3
         FROM fin
+        """,
+        "asof_join_latency": """
+        WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS pus
+                   FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, epoch_us(ts) AS cus
+              FROM events WHERE event_type = 'click'),
+        m AS (SELECT p.event_id, p.pus, max(c.cus) AS cus
+              FROM p LEFT JOIN c ON c.user_id = p.user_id
+                                AND c.cus <= p.pus
+              GROUP BY p.event_id, p.pus)
+        SELECT (pus // 1000000 // 3600) % 24 AS hour,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(count(cus) AS BIGINT) AS n_matched,
+               CAST(coalesce(sum((pus - cus) // 1000000), 0) AS BIGINT)
+                   AS sum_latency_s,
+               CASE WHEN count(cus) > 0
+                    THEN round(CAST(sum((pus - cus) // 1000000) AS DOUBLE)
+                               / count(cus), 6)
+                    ELSE 0.0 END AS avg_latency_s
+        FROM m GROUP BY 1
+        """,
+        "mannwhitney_value": """
+        WITH e AS (SELECT event_type,
+                          CAST(round(value * 1000) AS BIGINT) AS vm
+                   FROM events),
+        g AS (SELECT event_type, vm, CAST(count(*) AS BIGINT) AS c
+              FROM e GROUP BY 1, 2),
+        tot AS (SELECT vm, CAST(sum(c) AS BIGINT) AS ct FROM g GROUP BY vm),
+        r AS (SELECT vm, ct,
+                     2 * (SUM(ct) OVER (ORDER BY vm) - ct) + ct + 1 AS r2
+              FROM tot),
+        gstat AS (SELECT CAST(sum(ct) AS BIGINT) AS n,
+                         CAST(sum(CAST(ct AS HUGEINT) * ct * ct - ct)
+                              AS HUGEINT) AS tie_t
+                  FROM tot),
+        a AS (SELECT g.event_type,
+                     CAST(sum(g.c) AS BIGINT) AS n_a,
+                     CAST(sum(CAST(g.c AS HUGEINT) * r.r2) AS HUGEINT)
+                         AS r2_a
+              FROM g JOIN r ON r.vm = g.vm GROUP BY 1),
+        s AS (SELECT a.event_type, a.n_a,
+                     CAST(gstat.n - a.n_a AS BIGINT) AS n_b,
+                     CAST(a.r2_a - CAST(a.n_a AS HUGEINT) * (a.n_a + 1)
+                          AS DOUBLE) / 2.0 AS u,
+                     CAST(a.n_a AS BIGINT) * (gstat.n - a.n_a) AS nanb,
+                     gstat.n AS n, gstat.tie_t AS tie_t
+              FROM a CROSS JOIN gstat),
+        f AS (SELECT event_type, n_a, n_b, u,
+                     CAST(nanb AS DOUBLE) / 2.0 AS mu,
+                     (CAST(nanb AS DOUBLE) / 12.0)
+                       * ((n + 1) - CAST(tie_t AS DOUBLE)
+                                    / (CAST(n AS DOUBLE) * (n - 1.0)))
+                         AS sig2
+              FROM s)
+        SELECT event_type, n_a, n_b, u AS u_stat,
+               CASE WHEN sig2 > 0
+                    THEN round((u - mu) / sqrt(sig2), 6)
+                    ELSE 0.0 END AS z_score
+        FROM f
+        """,
+        "ab_test_conversion": """
+        WITH u AS (SELECT user_id,
+                          max(CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END) AS conv
+                   FROM events GROUP BY user_id),
+        arms AS (SELECT user_id % 2 AS arm,
+                        CAST(count(*) AS BIGINT) AS n_users,
+                        CAST(sum(conv) AS BIGINT) AS n_conv
+                 FROM u GROUP BY 1),
+        w AS (SELECT
+                coalesce(max(CASE WHEN arm = 0 THEN n_users END), 0) AS na,
+                coalesce(max(CASE WHEN arm = 0 THEN n_conv END), 0) AS ca,
+                coalesce(max(CASE WHEN arm = 1 THEN n_users END), 0) AS nb,
+                coalesce(max(CASE WHEN arm = 1 THEN n_conv END), 0) AS cb
+              FROM arms),
+        f AS (SELECT na, ca, nb, cb,
+                     CAST(ca + cb AS DOUBLE) / (na + nb) AS pool
+              FROM w)
+        SELECT CAST(na AS BIGINT) AS n_users_a,
+               CAST(ca AS BIGINT) AS n_conv_a,
+               CAST(CASE WHEN na > 0 THEN ca * 1000000 // na
+                         ELSE 0 END AS BIGINT) AS rate_a_ppm,
+               CAST(nb AS BIGINT) AS n_users_b,
+               CAST(cb AS BIGINT) AS n_conv_b,
+               CAST(CASE WHEN nb > 0 THEN cb * 1000000 // nb
+                         ELSE 0 END AS BIGINT) AS rate_b_ppm,
+               CASE WHEN na > 0 AND nb > 0
+                         AND (pool * (1.0 - pool))
+                             * (1.0 / na + 1.0 / nb) > 0
+                    THEN round((CAST(ca AS DOUBLE) / na
+                                - CAST(cb AS DOUBLE) / nb)
+                               / sqrt((pool * (1.0 - pool))
+                                      * (1.0 / na + 1.0 / nb)), 6)
+                    ELSE 0.0 END AS z_score
+        FROM f
         """,
         "time_to_convert": """
         WITH s AS (SELECT user_id, min(epoch_us(ts)) AS su

@@ -4506,3 +4506,137 @@ def test_holt_forecast_reference(ray_session, tmp_path):
     # a perfect line is invariant under Holt: forecasts continue it
     assert abs(out.f1 - 13.0) < 1e-4
     assert abs(out.f2 - 14.0) < 1e-4
+
+
+def test_asof_join_latency_reference(ray_session, tmp_path):
+    """Hand-built as-of fixture: u1's purchase picks the LATEST click
+    at-or-before it (not the first); u2's purchase precedes every
+    click (unmatched); u3 has an exact-tie click (latency 0)."""
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.relational import asof_join_latency
+
+    t0 = np.datetime64("2025-01-01T00:00:00", "us")
+
+    def ev(uid, typ, seconds):
+        return (uid, typ, t0 + np.timedelta64(seconds, "s"))
+
+    rows = [
+        ev(1, "click", 0), ev(1, "click", 50), ev(1, "purchase", 170),
+        ev(2, "purchase", 10), ev(2, "click", 20),
+        ev(3, "click", 30), ev(3, "purchase", 30),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = asof_join_latency(str(tmp_path)).to_pandas().set_index("hour")
+    # all events land in hour 0 of the epoch day
+    assert list(out.index) == [0]
+    assert out.loc[0, "n_purchases"] == 3
+    assert out.loc[0, "n_matched"] == 2
+    # u1: 170-50=120 (latest click, not the first); u3: exact tie -> 0
+    assert out.loc[0, "sum_latency_s"] == 120
+    assert out.loc[0, "avg_latency_s"] == 60.0
+
+
+def test_mannwhitney_matches_rank_reference(ray_session, tmp_path):
+    """The histogram-ranked U and tie-corrected z equal an independent
+    average-rank reference (pandas rank -> classic formulas) on a
+    fixture with heavy ties and a planted location shift."""
+    import math
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.relational import mannwhitney_value
+
+    rng = np.random.default_rng(11)
+    n_a, n_b = 180, 240
+    va = rng.integers(0, 40, n_a) / 1000.0          # type 'a': lower
+    vb = (rng.integers(0, 40, n_b) + 15) / 1000.0   # type 'b': shifted
+    vals = np.concatenate([va, vb])
+    types = ["a"] * n_a + ["b"] * n_b
+    t0 = np.datetime64("2025-01-01T00:00:00", "us")
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(vals)), pa.int64()),
+            "user_id": pa.array([1] * len(vals), pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "ts": pa.array(
+                [t0 + np.timedelta64(i, "s") for i in range(len(vals))],
+                pa.timestamp("us"),
+            ),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = (
+        mannwhitney_value(str(tmp_path)).to_pandas().set_index("event_type")
+    )
+    # independent reference: average ranks over the pooled sample
+    vm = np.round(vals * 1000)
+    ranks = pd.Series(vm).rank(method="average").to_numpy()
+    n = len(vm)
+    _, tie_counts = np.unique(vm, return_counts=True)
+    tie_t = int(sum(int(c) ** 3 - int(c) for c in tie_counts))
+    for et, mask in (("a", np.array(types) == "a"),
+                     ("b", np.array(types) == "b")):
+        na = int(mask.sum())
+        nb = n - na
+        u = float(ranks[mask].sum() - na * (na + 1) / 2.0)
+        mu = na * nb / 2.0
+        sig2 = na * nb / 12.0 * ((n + 1) - tie_t / (n * (n - 1.0)))
+        z = round((u - mu) / math.sqrt(sig2), 6)
+        assert out.loc[et, "n_a"] == na
+        assert out.loc[et, "n_b"] == nb
+        assert out.loc[et, "u_stat"] == u
+        assert out.loc[et, "z_score"] == z
+    # the planted shift must be visible and antisymmetric
+    assert out.loc["b", "z_score"] > 3
+    assert out.loc["a", "z_score"] == -out.loc["b", "z_score"]
+
+
+def test_ab_test_conversion_reference(ray_session, tmp_path):
+    """4 even-id users (2 convert) vs 3 odd-id users (1 converts, via
+    a user with BOTH arms' parity impossible — multi-event users count
+    once)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.relational import ab_test_conversion
+
+    t0 = np.datetime64("2025-01-01T00:00:00", "us")
+    rows = [
+        (2, "purchase"), (2, "view"),          # even converter (once)
+        (4, "purchase"), (6, "view"), (8, "view"),
+        (1, "purchase"), (3, "view"), (5, "view"),
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "ts": pa.array(
+                [t0 + np.timedelta64(i, "s") for i in range(len(rows))],
+                pa.timestamp("us"),
+            ),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = ab_test_conversion(str(tmp_path)).to_pandas().iloc[0]
+    assert out.n_users_a == 4 and out.n_conv_a == 2
+    assert out.n_users_b == 3 and out.n_conv_b == 1
+    assert out.rate_a_ppm == 500_000
+    assert out.rate_b_ppm == 1_000_000 // 3
+    pool = 3 / 7
+    se2 = pool * (1.0 - pool) * (1.0 / 4 + 1.0 / 3)
+    assert out.z_score == round((2 / 4 - 1 / 3) / math.sqrt(se2), 6)

@@ -3956,3 +3956,309 @@ def holt_forecast(
     for k in range(horizon):
         out[f"f{k + 1}"] = pa.array([r[4][k] for r in rows], pa.float64())
     return rd.from_arrow(pa.table(out))
+
+
+def asof_join_latency(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """Distributed AS-OF JOIN: each 'purchase' event joins the SAME
+    user's most recent 'click' at-or-before it, and matched latencies
+    roll up per purchase hour-of-day — the event-attribution join Ray
+    Data has no native operator for (the custom-operator case the
+    design brief calls out explicitly).
+
+    Semantics: backward as-of on integer epoch-us, partitioned by
+    user; per-event latency floors to whole seconds BEFORE summing so
+    both engines add identical integers. Unmatched purchases count in
+    n_purchases but not n_matched.
+
+    Scale shape: a two-type pruned scan rides ONE user-bucket shuffle;
+    each bucket sorts only its own users' rows and resolves the as-of
+    with a vectorized pandas merge_asof (per-user via the `by` key) —
+    the canonical "groupby key, sort within partition, scan once"
+    distributed as-of plan. Only per-hour partial sums (<=24 rows per
+    bucket) leave the buckets."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+        filter=(pc.field("event_type") == "purchase")
+        | (pc.field("event_type") == "click"),
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "us": pc.cast(batch.column("ts"), pa.int64()),
+                "is_p": pc.equal(
+                    batch.column("event_type"), pa.scalar("purchase")
+                ),
+                "_bucket": pa.array(
+                    key_bucket(batch.column("user_id"), num_buckets).astype(
+                        np.int32
+                    )
+                ),
+            }
+        )
+
+    def bucket_asof(g: pd.DataFrame) -> pa.Table:
+        p = g[g["is_p"]].sort_values("us", kind="stable")
+        c = (
+            g[~g["is_p"]]
+            .sort_values("us", kind="stable")
+            .rename(columns={"us": "cus"})
+        )
+        if not len(p):
+            return pa.table(
+                {
+                    "hour": pa.array([], pa.int64()),
+                    "n_purchases": pa.array([], pa.int64()),
+                    "n_matched": pa.array([], pa.int64()),
+                    "sum_latency_s": pa.array([], pa.int64()),
+                }
+            )
+        m = pd.merge_asof(
+            p[["user_id", "us"]],
+            c[["user_id", "cus"]],
+            left_on="us",
+            right_on="cus",
+            by="user_id",
+            direction="backward",
+        )
+        hour = (m["us"].to_numpy(np.int64) // 1_000_000 // 3600) % 24
+        matched = m["cus"].notna().to_numpy()
+        lat = np.zeros(len(m), np.int64)
+        lat[matched] = (
+            m["us"].to_numpy(np.int64)[matched]
+            - m["cus"].to_numpy("float64")[matched].astype(np.int64)
+        ) // 1_000_000
+        out = (
+            pd.DataFrame(
+                {
+                    "hour": hour,
+                    "n_purchases": np.ones(len(m), np.int64),
+                    "n_matched": matched.astype(np.int64),
+                    "sum_latency_s": lat,
+                }
+            )
+            .groupby("hour", as_index=False)
+            .sum()
+        )
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    agg = (
+        hash_aggregate(
+            ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(bucket_asof, batch_format="pandas"),
+            ["hour"],
+            {
+                "n_purchases": ("n_purchases", "sum"),
+                "n_matched": ("n_matched", "sum"),
+                "sum_latency_s": ("sum_latency_s", "sum"),
+            },
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("hour")
+    )
+    nm = agg["n_matched"].to_numpy(np.int64)
+    sl = agg["sum_latency_s"].to_numpy(np.int64)
+    avg = np.where(nm > 0, np.round(sl / np.maximum(nm, 1), 6), 0.0)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "hour": pa.array(agg["hour"].to_numpy(np.int64)),
+                "n_purchases": pa.array(
+                    agg["n_purchases"].to_numpy(np.int64)
+                ),
+                "n_matched": pa.array(nm),
+                "sum_latency_s": pa.array(sl),
+                "avg_latency_s": pa.array(avg, pa.float64()),
+            }
+        )
+    )
+
+
+def mannwhitney_value(sf_dir: str) -> rd.Dataset:
+    """Mann-Whitney U rank-sum test of each event_type's value
+    distribution against ALL OTHER types pooled — the nonparametric
+    location-shift companion of ks_test_value, with the textbook
+    tie-corrected normal approximation.
+
+    Exactness: values quantize to milli-units, so ranks come from the
+    COMBINED (vm -> count) histogram as doubled average ranks
+    (2*cum_before + tie + 1 — exact integers, the spearman_value_hour
+    device); U, the tie term sum(t^3 - t), and all counts stay exact
+    integers, and z is ONE fixed float expression over them rounded
+    to 6dp — replayed operator-for-operator in SQL.
+
+    Scale shape: one corpus pass of (event_type, vm) partial counts ->
+    a hash-aggregate bounded by distinct (type, milli-value) pairs ->
+    O(distinct) driver finish. The histogram rank trick removes the
+    global per-event sort a naive rank-sum needs."""
+    import math
+
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vm = _cents(batch.column("value"), 1000)
+        t = pa.table(
+            {"event_type": batch.column("event_type"), "vm": vm}
+        )
+        g = t.group_by(["event_type", "vm"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "vm", "n"])
+
+    g = (
+        hash_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["event_type", "vm"],
+            {"n": ("n", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["vm", "event_type"])
+    )
+    tot = g.groupby("vm", sort=True)["n"].sum()
+    vk = tot.index.to_numpy(np.int64)
+    cnt = tot.to_numpy(np.int64)
+    cum = np.cumsum(cnt) - cnt
+    r2 = 2 * cum + cnt + 1  # doubled average rank per distinct vm
+    n = int(cnt.sum())
+    # tie correction term sum(t^3 - t) over tie groups (exact int)
+    tie_t = int(sum(int(t) ** 3 - int(t) for t in cnt))
+    rows = []
+    for et, t in g.groupby("event_type", sort=True):
+        pos = np.searchsorted(vk, t["vm"].to_numpy(np.int64))
+        c = t["n"].to_numpy(np.int64)
+        n_a = int(c.sum())
+        n_b = n - n_a
+        r2_a = int(sum(int(a) * int(b) for a, b in zip(c, r2[pos])))
+        u2 = r2_a - n_a * (n_a + 1)  # doubled U statistic, exact int
+        u = u2 / 2.0
+        mu = n_a * n_b / 2.0
+        sig2 = (
+            n_a * n_b / 12.0 * ((n + 1) - tie_t / (n * (n - 1.0)))
+        )
+        z = round((u - mu) / math.sqrt(sig2), 6) if sig2 > 0 else 0.0
+        rows.append((et, n_a, n_b, u, z))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "n_a": pa.array([r[1] for r in rows], pa.int64()),
+                "n_b": pa.array([r[2] for r in rows], pa.int64()),
+                "u_stat": pa.array([r[3] for r in rows], pa.float64()),
+                "z_score": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        )
+    )
+
+
+def ab_test_conversion(sf_dir: str) -> rd.Dataset:
+    """Deterministic A/B conversion readout: users split into two arms
+    by user_id parity (the hash-split every experimentation pipeline
+    runs), conversion = the user has >=1 'purchase' event; reports per
+    -arm user and converter counts, exact ppm rates, and the pooled
+    two-proportion z statistic.
+
+    Exactness: arm assignment and all four counts are exact integers;
+    rates are integer ppm floors; z is ONE fixed float expression over
+    the counts, rounded to 6dp — identical in SQL.
+
+    Scale shape: per-batch (user, arm, converted) partials collapse to
+    per-user flags through ONE user-bounded hash-aggregate (max over
+    flags), then a 2-row arm rollup; nothing larger than the user set
+    ever shuffles."""
+    import math
+
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        conv = pc.cast(
+            pc.equal(batch.column("event_type"), pa.scalar("purchase")),
+            pa.int64(),
+        )
+        t = pa.table({"user_id": batch.column("user_id"), "conv": conv})
+        g = t.group_by(["user_id"]).aggregate([("conv", "max")])
+        return g.rename_columns(["user_id", "conv"])
+
+    users = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"],
+        {"conv": ("conv", "max")},
+        num_buckets=8,
+    )
+
+    def arm_partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        conv = batch.column("conv").to_numpy(zero_copy_only=False)
+        arm = uid % 2
+        out = (
+            pd.DataFrame(
+                {
+                    "arm": arm,
+                    "n_users": np.ones(len(arm), np.int64),
+                    "n_conv": conv.astype(np.int64),
+                }
+            )
+            .groupby("arm", as_index=False)
+            .sum()
+        )
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    arms = (
+        hash_aggregate(
+            users.map_batches(arm_partial, batch_format="pyarrow"),
+            ["arm"],
+            {"n_users": ("n_users", "sum"), "n_conv": ("n_conv", "sum")},
+            num_buckets=2,
+        )
+        .to_pandas()
+        .sort_values("arm")
+        .set_index("arm")
+    )
+    na = int(arms.loc[0, "n_users"]) if 0 in arms.index else 0
+    ca = int(arms.loc[0, "n_conv"]) if 0 in arms.index else 0
+    nb = int(arms.loc[1, "n_users"]) if 1 in arms.index else 0
+    cb = int(arms.loc[1, "n_conv"]) if 1 in arms.index else 0
+    if na > 0 and nb > 0:
+        pool = (ca + cb) / (na + nb)
+        se2 = pool * (1.0 - pool) * (1.0 / na + 1.0 / nb)
+        z = (
+            round((ca / na - cb / nb) / math.sqrt(se2), 6)
+            if se2 > 0
+            else 0.0
+        )
+    else:
+        z = 0.0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_users_a": pa.array([na], pa.int64()),
+                "n_conv_a": pa.array([ca], pa.int64()),
+                "rate_a_ppm": pa.array(
+                    [ca * 1_000_000 // na if na else 0], pa.int64()
+                ),
+                "n_users_b": pa.array([nb], pa.int64()),
+                "n_conv_b": pa.array([cb], pa.int64()),
+                "rate_b_ppm": pa.array(
+                    [cb * 1_000_000 // nb if nb else 0], pa.int64()
+                ),
+                "z_score": pa.array([z], pa.float64()),
+            }
+        )
+    )
