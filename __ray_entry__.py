@@ -1235,6 +1235,16 @@ def _knn_join(sf_dir: str):
     return knn_join_exact(ds, k=5, chunk_rows=256)
 
 
+def _mutual_knn_pairs(sf_dir: str):
+    """Reciprocal k-NN: canonical (u, v) pairs present in BOTH
+    endpoints' exact top-5 (same knn_join determinism contract);
+    chunk_rows=256 keeps the multi-chunk merge path exercised."""
+    from vietnamese_ocr_ray.functions.ann import mutual_knn_pairs
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return mutual_knn_pairs(ds, k=5, chunk_rows=256)
+
+
 def _ann_lsh(sf_dir: str):
     """Hyperplane-LSH ANN with Hamming probing. SQL-value-checked: the
     hyperplanes are seeded (data-independent), so the oracle inlines
@@ -2593,6 +2603,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_latency": lambda sf: relational.asof_join_latency(sf),
         "mannwhitney_value": lambda sf: relational.mannwhitney_value(sf),
         "ab_test_conversion": lambda sf: relational.ab_test_conversion(sf),
+        "transition_stationary": lambda sf: relational.transition_stationary(
+            sf
+        ),
+        "value_multi_regression": lambda sf: (
+            relational.value_multi_regression(sf)
+        ),
+        "mutual_knn_pairs": _mutual_knn_pairs,
         "position_attribution": lambda sf: relational.position_attribution(sf),
         "changepoint_hourly": lambda sf: relational.changepoint_hourly(sf),
         "wow_change": lambda sf: relational.wow_change(sf),
@@ -3255,6 +3272,58 @@ def _simhash64_dedup_sql(max_hamming: int = 3, canonical: bool = False) -> str:
       SELECT fps.doc_id, coalesce(comp.root, fps.fp) AS root
       FROM fps LEFT JOIN comp ON fps.fp = comp.fp
     ){tail}"""
+
+
+def _transition_stationary_sql(iters: int = 20) -> str:
+    """Unrolled x <- x P power iteration over the event-type Markov
+    chain as chained MATERIALIZED CTEs, mirroring
+    relational.transition_stationary exactly: per-(next) accumulation
+    is list_sum over list(x*pr ORDER BY pt) — DuckDB's sequential fold
+    — matching the Python loop's (prev, next)-sorted add order."""
+    head = """
+    WITH t AS MATERIALIZED (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    c AS MATERIALIZED (
+      SELECT prev_type AS pt, event_type AS nt,
+             CAST(count(*) AS BIGINT) AS n
+      FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    rs AS MATERIALIZED (
+      SELECT pt, CAST(sum(n) AS BIGINT) AS d FROM c GROUP BY pt
+    ),
+    p AS MATERIALIZED (
+      SELECT c.pt, c.nt, c.n / CAST(rs.d AS DOUBLE) AS pr
+      FROM c JOIN rs ON rs.pt = c.pt
+    ),
+    ty AS MATERIALIZED (
+      SELECT pt AS t FROM c UNION SELECT nt FROM c
+    ),
+    x0 AS MATERIALIZED (
+      SELECT t, 1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM ty) AS x
+      FROM ty
+    )
+    """
+    steps = []
+    for i in range(iters):
+        steps.append(
+            f""", x{i + 1} AS MATERIALIZED (
+      SELECT ty.t, coalesce(s.v, 0.0) AS x
+      FROM ty LEFT JOIN (
+        SELECT p.nt AS t,
+               list_sum(list(x{i}.x * p.pr ORDER BY p.pt)) AS v
+        FROM p JOIN x{i} ON x{i}.t = p.pt GROUP BY p.nt
+      ) s ON s.t = ty.t
+    )"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"\n    SELECT t AS event_type, round(x, 9) AS pi FROM x{iters}"
+    )
 
 
 def _pagerank_sql(iters: int = 20) -> str:
@@ -5754,6 +5823,70 @@ def oracle_sql() -> dict[str, str]:
                                       * (1.0 / na + 1.0 / nb)), 6)
                     ELSE 0.0 END AS z_score
         FROM f
+        """,
+        "transition_stationary": _transition_stationary_sql(20),
+        "value_multi_regression": """
+        WITH e AS (
+          SELECT event_type,
+                 CAST(round(value * 1000) AS BIGINT) AS y,
+                 (epoch_us(ts) // 1000000 // 3600) % 24 AS h,
+                 (epoch_us(ts) // 1000000 // 86400) % 7 AS d
+          FROM events),
+        m AS (
+          SELECT event_type,
+                 CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(h) AS HUGEINT) AS sh,
+                 CAST(sum(d) AS HUGEINT) AS sd,
+                 CAST(sum(h * h) AS HUGEINT) AS shh,
+                 CAST(sum(h * d) AS HUGEINT) AS shd,
+                 CAST(sum(d * d) AS HUGEINT) AS sdd,
+                 CAST(sum(y) AS HUGEINT) AS sy,
+                 CAST(sum(h * y) AS HUGEINT) AS shy,
+                 CAST(sum(d * y) AS HUGEINT) AS sdy
+          FROM e GROUP BY event_type),
+        dets AS (
+          SELECT event_type, n,
+                 n * (shh * sdd - shd * shd)
+                   - sh * (sh * sdd - shd * sd)
+                   + sd * (sh * shd - shh * sd) AS det,
+                 sy * (shh * sdd - shd * shd)
+                   - sh * (shy * sdd - shd * sdy)
+                   + sd * (shy * shd - shh * sdy) AS d0,
+                 n * (shy * sdd - shd * sdy)
+                   - sy * (sh * sdd - shd * sd)
+                   + sd * (sh * sdy - shy * sd) AS d1,
+                 n * (shh * sdy - shy * shd)
+                   - sh * (sh * sdy - shy * sd)
+                   + sy * (sh * shd - shh * sd) AS d2
+          FROM m)
+        SELECT event_type, CAST(n AS BIGINT) AS n_events,
+               CASE WHEN det <> 0
+                    THEN round(CAST(d0 AS DOUBLE) / CAST(det AS DOUBLE)
+                               * 1e-3, 6) ELSE 0.0 END AS b0,
+               CASE WHEN det <> 0
+                    THEN round(CAST(d1 AS DOUBLE) / CAST(det AS DOUBLE)
+                               * 1e-3, 6) ELSE 0.0 END AS b_hour,
+               CASE WHEN det <> 0
+                    THEN round(CAST(d2 AS DOUBLE) / CAST(det AS DOUBLE)
+                               * 1e-3, 6) ELSE 0.0 END AS b_dow
+        FROM dets
+        """,
+        "mutual_knn_pairs": """
+        WITH pairs AS (
+          SELECT a.vec_id AS vec_id, b.vec_id AS nbr,
+                 round(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 6) AS cos
+          FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        ), r AS (
+          SELECT vec_id, nbr, cos,
+                 row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cos DESC, nbr) AS rn
+          FROM pairs
+        ), k AS (SELECT vec_id, nbr, cos FROM r WHERE rn <= 5)
+        SELECT a.vec_id AS u, a.nbr AS v, a.cos AS cos
+        FROM k a JOIN k b ON b.vec_id = a.nbr AND b.nbr = a.vec_id
+        WHERE a.vec_id < a.nbr
         """,
         "time_to_convert": """
         WITH s AS (SELECT user_id, min(epoch_us(ts)) AS su

@@ -4640,3 +4640,134 @@ def test_ab_test_conversion_reference(ray_session, tmp_path):
     pool = 3 / 7
     se2 = pool * (1.0 - pool) * (1.0 / 4 + 1.0 / 3)
     assert out.z_score == round((2 / 4 - 1 / 3) / math.sqrt(se2), 6)
+
+
+def test_mutual_knn_pairs_reference(ray_session):
+    """Brute-force reciprocity reference on a planted 2-cluster layout:
+    mutual pairs must be exactly the directed-kNN edges present in
+    both directions, and strictly fewer than the directed edge count
+    (the hub vector's one-way edges must be filtered)."""
+    from vietnamese_ocr_ray.functions.ann import knn_join_exact, mutual_knn_pairs
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(0, 1, (20, 8)) + 4.0
+    b = rng.normal(0, 1, (20, 8)) - 4.0
+    vecs = np.vstack([a, b])
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    ds = rd.from_arrow(t)
+    k = 3
+    directed = knn_join_exact(ds, k=k, chunk_rows=16).to_pandas()
+    dset = set(zip(directed["vec_id"], directed["nbr"]))
+    want = sorted(
+        (u, v) for (u, v) in dset if u < v and (v, u) in dset
+    )
+    got = (
+        mutual_knn_pairs(ds, k=k, chunk_rows=16)
+        .to_pandas()
+        .sort_values(["u", "v"])
+    )
+    assert list(zip(got["u"], got["v"])) == want
+    assert 0 < len(want) < len(dset)
+    # cos values ride through from the directed join
+    dmap = {(r.vec_id, r.nbr): r.cos for r in directed.itertuples()}
+    for r in got.itertuples():
+        assert r.cos == dmap[(r.u, r.v)] == dmap[(r.v, r.u)]
+
+
+def test_transition_stationary_reference(ray_session, tmp_path):
+    """A deterministic 2-state cycle a->b->a has stationary (0.5, 0.5)
+    and the fixed-iteration fold must match an independent numpy
+    power iteration on a 3-state chain."""
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.relational import transition_stationary
+
+    t0 = np.datetime64("2025-01-01T00:00:00", "us")
+
+    def write(rows, path):
+        t = pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "ts": pa.array(
+                    [t0 + np.timedelta64(i, "s") for i in range(len(rows))],
+                    pa.timestamp("us"),
+                ),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+            }
+        )
+        pq.write_table(t, str(path / "events.parquet"))
+
+    d1 = tmp_path / "cycle"
+    d1.mkdir()
+    write([(1, "a"), (1, "b"), (1, "a"), (1, "b"), (1, "a")], d1)
+    out = transition_stationary(str(d1)).to_pandas().set_index("event_type")
+    assert out.loc["a", "pi"] == 0.5 and out.loc["b", "pi"] == 0.5
+
+    # 3-state chain with asymmetric counts vs numpy reference
+    d2 = tmp_path / "tri"
+    d2.mkdir()
+    seq = ["a", "b", "a", "c", "a", "b", "c", "a", "b", "b", "c", "a"]
+    write([(1, s) for s in seq], d2)
+    counts = {}
+    for p, n in zip(seq, seq[1:]):
+        counts[(p, n)] = counts.get((p, n), 0) + 1
+    types = sorted({*seq})
+    idx = {t: i for i, t in enumerate(types)}
+    P = np.zeros((3, 3))
+    rowsum = {}
+    for (p, n), c in counts.items():
+        rowsum[p] = rowsum.get(p, 0) + c
+    for (p, n), c in counts.items():
+        P[idx[p], idx[n]] = c / float(rowsum[p])
+    x = np.full(3, 1.0 / 3)
+    for _ in range(20):
+        x = x @ P
+    out2 = transition_stationary(str(d2)).to_pandas().set_index("event_type")
+    for t_ in types:
+        assert abs(out2.loc[t_, "pi"] - x[idx[t_]]) < 1e-9
+    # each pi rounds to 9dp, so the sum can be off by ~|types| ulps
+    assert abs(out2["pi"].sum() - 1.0) < 1e-8
+
+
+def test_value_multi_regression_recovers_plane(ray_session, tmp_path):
+    """Values generated EXACTLY on a plane value = 2 + 0.25*hour +
+    0.5*dow (milli-exact) must be recovered with zero residual by the
+    integer normal equations."""
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.relational import value_multi_regression
+
+    rng = np.random.default_rng(5)
+    n = 300
+    t0 = np.datetime64("2025-01-05T00:00:00", "us")  # a Sunday
+    offs = rng.integers(0, 14 * 24 * 3600, n)
+    ts = t0 + offs.astype("timedelta64[s]")
+    epoch = ts.astype("datetime64[s]").astype(np.int64)
+    h = (epoch // 3600) % 24
+    d = (epoch // 86400) % 7
+    vals = 2.0 + 0.25 * h + 0.5 * d  # milli-exact plane
+    t = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array(["x"] * n, pa.string()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = value_multi_regression(str(tmp_path)).to_pandas().iloc[0]
+    assert out.n_events == n
+    assert out.b0 == 2.0
+    assert out.b_hour == 0.25
+    assert out.b_dow == 0.5

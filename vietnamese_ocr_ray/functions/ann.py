@@ -1151,3 +1151,47 @@ def kcenter_select(ds: rd.Dataset, k: int = 8) -> rd.Dataset:
             }
         )
     )
+
+
+def mutual_knn_pairs(
+    ds: rd.Dataset,
+    k: int = 5,
+    id_col: str = "vec_id",
+    chunk_rows: int = 8192,
+) -> rd.Dataset:
+    """Reciprocal k-NN pairs: (u, v) kept iff v is in u's exact
+    cosine top-k AND u is in v's — the mutual-neighbor filter that
+    turns a k-NN graph into the high-precision edge set used for
+    near-dup verification and graph-based corpus clustering (a
+    directed k-NN edge to a hub vector is weak evidence; a RECIPROCAL
+    edge is strong).
+
+    Rides :func:`knn_join_exact` (same chunk-pair matmul plan and
+    (round-6 cosine DESC, id ASC) determinism contract), then
+    canonicalizes each directed edge to (min, max) and keeps the keys
+    seen from BOTH directions — one int-keyed hash-aggregate over the
+    N*k directed edges, so the reciprocity check shuffles edge ids and
+    counts, never vectors. Output: (u, v, cos) with u < v."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    knn = knn_join_exact(ds, k=k, id_col=id_col, chunk_rows=chunk_rows)
+
+    def canon(b: pa.Table) -> pa.Table:
+        a = b.column(id_col).to_numpy(zero_copy_only=False)
+        n = b.column("nbr").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": pa.array(np.minimum(a, n)),
+                "v": pa.array(np.maximum(a, n)),
+                "cos": b.column("cos"),
+                "cnt": pa.array(np.ones(len(a), np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        knn.map_batches(canon, batch_format="pyarrow"),
+        ["u", "v"],
+        {"cos": ("cos", "min"), "cnt": ("cnt", "sum")},
+        num_buckets=32,
+    )
+    return agg.filter(expr="cnt == 2").select_columns(["u", "v", "cos"])

@@ -4262,3 +4262,153 @@ def ab_test_conversion(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+def transition_stationary(sf_dir: str, iters: int = 20) -> rd.Dataset:
+    """Stationary distribution of the per-user event-type Markov chain
+    (the long-run state mix implied by event_transitions): row-
+    normalized transition probabilities, then a FIXED 20-step power
+    iteration x <- x P from the uniform start — the session-flow
+    equilibrium readout next to funnel/retention.
+
+    Determinism contract: transition counts and row sums are exact
+    integers; each P entry is ONE division; each iteration accumulates
+    x[i] * P[i][j] SEQUENTIALLY in (prev_type, next_type) sort order —
+    DuckDB's list_sum over list(... ORDER BY ...) is a sequential fold
+    (the zscore_outliers device), so both engines round identically at
+    every step. Every type in this corpus has outgoing transitions;
+    a dangling type would need a self-loop patch (documented, untested
+    here by construction).
+
+    Scale shape: transitions ride the event_transitions plan (ONE
+    user-bucket shuffle, counts not rows); the iteration itself runs
+    on the |types|^2 matrix — driver-side by construction, bounded by
+    the type vocabulary, not the corpus."""
+    counts = event_transitions(sf_dir).to_pandas()
+    rowsum = counts.groupby("prev_type")["n"].sum()
+    types = sorted(
+        set(counts["prev_type"]) | set(counts["event_type"])
+    )
+    # P as a dict keyed (prev, next) -> one-division probability
+    p = {
+        (r.prev_type, r.event_type): r.n / float(rowsum[r.prev_type])
+        for r in counts.itertuples()
+    }
+    x = {t: 1.0 / len(types) for t in types}
+    keys = sorted(p)  # (prev, next) sort order = the fold order
+    for _ in range(iters):
+        nxt = {t: 0.0 for t in types}
+        for pt, nt in keys:
+            nxt[nt] = nxt[nt] + x[pt] * p[(pt, nt)]
+        x = nxt
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(types, pa.string()),
+                "pi": pa.array(
+                    [round(x[t], 9) for t in types], pa.float64()
+                ),
+            }
+        )
+    )
+
+
+def value_multi_regression(sf_dir: str) -> rd.Dataset:
+    """Two-feature least squares per event_type: value ~ b0 + b1*hour
+    + b2*dow (hour-of-day 0..23, day-of-week 0..6 from the epoch-us
+    day), solved by Cramer's rule on EXACT integer normal equations —
+    the multi-regressor upgrade of value_hour_regression.
+
+    Exactness: y rides as milli-units, so X'X and X'y entries are
+    exact integers (arbitrary-precision Python here, HUGEINT in SQL);
+    the six 3x3 determinants are exact-integer polynomials expanded in
+    ONE fixed term order, and each coefficient is a single
+    float(det_k)/float(det) * 1e-3 expression rounded to 6dp.
+
+    Scale shape: the partial/combiner moment pattern — one 10-number
+    row per (type, batch) leaves each task; the solve is O(|types|)."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        y = _cents(batch.column("value"), 1000).to_numpy(zero_copy_only=False)
+        epoch = pc.divide(
+            pc.cast(batch.column("ts"), pa.int64()), pa.scalar(1_000_000)
+        ).to_numpy(zero_copy_only=False)
+        h = (epoch // 3600) % 24
+        d = (epoch // 86_400) % 7
+        df = pd.DataFrame(
+            {
+                "event_type": batch.column("event_type").to_numpy(
+                    zero_copy_only=False
+                ),
+                "n": np.ones(len(y), np.int64),
+                "sh": h,
+                "sd": d,
+                "shh": h * h,
+                "shd": h * d,
+                "sdd": d * d,
+                "sy": y,
+                "shy": h * y,
+                "sdy": d * y,
+            }
+        )
+        g = df.groupby("event_type", as_index=False).sum()
+        return pa.Table.from_pandas(
+            g, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    agg = (
+        hash_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["event_type"],
+            {
+                c: (c, "sum")
+                for c in (
+                    "n", "sh", "sd", "shh", "shd", "sdd", "sy", "shy", "sdy"
+                )
+            },
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values("event_type")
+    )
+
+    def det3(a11, a12, a13, a21, a22, a23, a31, a32, a33):
+        """Fixed-order cofactor expansion along the first row."""
+        return (
+            a11 * (a22 * a33 - a23 * a32)
+            - a12 * (a21 * a33 - a23 * a31)
+            + a13 * (a21 * a32 - a22 * a31)
+        )
+
+    rows = []
+    for r in agg.itertuples():
+        n, sh, sd = int(r.n), int(r.sh), int(r.sd)
+        shh, shd, sdd = int(r.shh), int(r.shd), int(r.sdd)
+        sy, shy, sdy = int(r.sy), int(r.shy), int(r.sdy)
+        det = det3(n, sh, sd, sh, shh, shd, sd, shd, sdd)
+        if det != 0:
+            d0 = det3(sy, sh, sd, shy, shh, shd, sdy, shd, sdd)
+            d1 = det3(n, sy, sd, sh, shy, shd, sd, sdy, sdd)
+            d2 = det3(n, sh, sy, sh, shh, shy, sd, shd, sdy)
+            b0 = round(float(d0) / float(det) * 1e-3, 6)
+            b1 = round(float(d1) / float(det) * 1e-3, 6)
+            b2 = round(float(d2) / float(det) * 1e-3, 6)
+        else:
+            b0 = b1 = b2 = 0.0
+        rows.append((r.event_type, n, b0, b1, b2))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array([r[0] for r in rows], pa.string()),
+                "n_events": pa.array([r[1] for r in rows], pa.int64()),
+                "b0": pa.array([r[2] for r in rows], pa.float64()),
+                "b_hour": pa.array([r[3] for r in rows], pa.float64()),
+                "b_dow": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        )
+    )
