@@ -2722,6 +2722,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "column_entropy": lambda sf: analytics.column_entropy(sf),
         "ks_test_value": lambda sf: analytics.ks_test_value(sf),
         "ks_source_length": lambda sf: analytics.ks_source_length(sf),
+        "large_volume_orders": lambda sf: analytics.large_volume_orders(sf),
+        "seasonal_index": lambda sf: relational.seasonal_index(sf),
+        "acf_hourly": lambda sf: relational.acf_hourly(sf),
+        "anova_value": lambda sf: relational.anova_value(sf),
+        "watermark_late_events": lambda sf: relational.watermark_late_events(sf),
+        "small_qty_part_revenue": lambda sf: analytics.small_qty_part_revenue(sf),
+        "dormant_customers": lambda sf: analytics.dormant_customers(sf),
         "time_split_leakage": lambda sf: analytics.time_split_leakage(sf),
         "k_anonymity": lambda sf: analytics.k_anonymity(sf),
         "time_weighted_avg": lambda sf: analytics.time_weighted_avg(sf),
@@ -3661,6 +3668,37 @@ def _ewma_sql(window: int = 16) -> str:
                  / CAST(({1 << W} - (1::BIGINT << ({W} - wlen))) * 1000
                         AS DOUBLE), 6) AS ewma
     FROM t
+    """
+
+
+def _watermark_sql() -> str:
+    """The `watermark_late_events` oracle: replays the splitmix64
+    arrival permutation of event_id (add golden ratio, two xor-shift /
+    split-multiply rounds, final xor-shift — the exact `_mix64` of
+    functions/joins.py) and then the running-max-ts watermark over
+    arrival order."""
+    add = (
+        f"CAST((event_id::HUGEINT + 11400714819323198485)"
+        f" % {_U64_MOD} AS UBIGINT)"
+    )
+    s1 = _mul64_expr("xor(h, h >> 30)", 0xBF58476D1CE4E5B9)
+    s2 = _mul64_expr("xor(h, h >> 27)", 0x94D049BB133111EB)
+    return f"""
+    WITH m0 AS (SELECT event_type, ts, {add} AS h FROM events),
+    m1 AS (SELECT event_type, ts, {s1} AS h FROM m0),
+    m2 AS (SELECT event_type, ts, {s2} AS h FROM m1),
+    m3 AS (SELECT event_type, ts, xor(h, h >> 31) AS arrival FROM m2),
+    w AS (SELECT event_type, ts,
+                 max(ts) OVER (ORDER BY arrival
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS wm
+          FROM m3)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_late,
+           CAST(max(epoch_us(wm) - epoch_us(ts)) AS BIGINT)
+               AS max_lateness_us
+    FROM w WHERE ts < wm
+    GROUP BY event_type ORDER BY event_type
     """
 
 
@@ -8523,6 +8561,120 @@ def oracle_sql() -> dict[str, str]:
         FROM d JOIN ns USING (source)
         QUALIFY row_number() OVER (PARTITION BY d.source
                                    ORDER BY dd DESC, len) = 1
+        """,
+        "seasonal_index": """
+        WITH c AS (SELECT event_type,
+                          CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY event_type, hod)
+        SELECT event_type, hod, n AS n_events,
+               round(24.0 * n
+                     / CAST(sum(n) OVER (PARTITION BY event_type)
+                            AS DOUBLE), 6) AS seasonal_idx
+        FROM c ORDER BY event_type, hod
+        """,
+        "acf_hourly": """
+        WITH h AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY hb),
+        b AS (SELECT min(hb) AS lo, max(hb) AS hi FROM h),
+        grid AS (SELECT unnest(range(b.lo, b.hi + 1)) AS hb FROM b),
+        x AS (SELECT g.hb, COALESCE(h.n, 0) AS v
+              FROM grid g LEFT JOIN h ON h.hb = g.hb),
+        mom AS (SELECT CAST(count(*) AS BIGINT) AS nl,
+                       CAST(sum(v) AS BIGINT) AS sx,
+                       CAST(sum(v * v) AS BIGINT) AS sxx
+                FROM x),
+        lags AS (SELECT unnest(range(1, 25)) AS lag),
+        per AS (SELECT l.lag,
+                       CAST(sum(a.v * c.v) AS BIGINT) AS ck,
+                       CAST(sum(CASE WHEN a.hb <= b.hi - l.lag
+                                THEN a.v ELSE 0 END) AS BIGINT) AS hk,
+                       CAST(sum(CASE WHEN a.hb >= b.lo + l.lag
+                                THEN a.v ELSE 0 END) AS BIGINT) AS tk
+                FROM lags l
+                CROSS JOIN b
+                CROSS JOIN x a
+                LEFT JOIN x c ON c.hb = a.hb + l.lag
+                GROUP BY l.lag, b.hi, b.lo),
+        f AS (SELECT per.lag, per.ck, per.hk, per.tk,
+                     CAST(mom.sx AS DOUBLE) / CAST(mom.nl AS DOUBLE) AS m,
+                     mom.nl, mom.sx, mom.sxx
+              FROM per CROSS JOIN mom)
+        SELECT lag, ck AS cross_sum,
+               round((CAST(ck AS DOUBLE) - m * CAST(hk + tk AS DOUBLE)
+                      + CAST(nl - lag AS DOUBLE) * m * m)
+                     / (CAST(sxx AS DOUBLE) - m * CAST(sx AS DOUBLE)),
+                     6) AS acf
+        FROM f ORDER BY lag
+        """,
+        "anova_value": """
+        WITH g AS (SELECT event_type,
+                          CAST(count(*) AS BIGINT) AS n,
+                          CAST(sum(CAST(round(value * 1000) AS BIGINT))
+                               AS BIGINT) AS sx,
+                          CAST(sum(CAST(round(value * 1000) AS BIGINT)
+                                   * CAST(round(value * 1000) AS BIGINT))
+                               AS BIGINT) AS sxx
+                   FROM events GROUP BY event_type),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+                       CAST(sum(sx) AS BIGINT) AS sx,
+                       CAST(count(*) AS BIGINT) AS k
+                FROM g),
+        terms AS (SELECT
+            list(CAST(g.n AS DOUBLE)
+                 * (CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE)
+                    - CAST(t.sx AS DOUBLE) / CAST(t.n AS DOUBLE))
+                 * (CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE)
+                    - CAST(t.sx AS DOUBLE) / CAST(t.n AS DOUBLE))
+                 ORDER BY g.event_type) AS bl,
+            list(CAST(g.sxx AS DOUBLE)
+                 - CAST(g.n AS DOUBLE)
+                   * (CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE))
+                   * (CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE))
+                 ORDER BY g.event_type) AS wl
+            FROM g CROSS JOIN tot t)
+        SELECT t.k AS k_groups, t.n AS n_events,
+               round((list_sum(terms.bl) / CAST(t.k - 1 AS DOUBLE))
+                     / (list_sum(terms.wl) / CAST(t.n - t.k AS DOUBLE)),
+                     6) AS f_stat
+        FROM terms CROSS JOIN tot t
+        """,
+        "watermark_late_events": _watermark_sql(),
+        "large_volume_orders": """
+        WITH t AS (SELECT l_orderkey,
+                          CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                               AS BIGINT) AS q
+                   FROM lineitem GROUP BY l_orderkey
+                   HAVING q > 300)
+        SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice, CAST(t.q AS DOUBLE) AS sum_qty
+        FROM t JOIN orders o ON o.o_orderkey = t.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        """,
+        "small_qty_part_revenue": """
+        WITH a AS (SELECT l_partkey,
+                          CAST(count(*) AS BIGINT) AS c,
+                          CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                               AS BIGINT) AS sq
+                   FROM lineitem GROUP BY l_partkey)
+        SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 / 7.0 AS avg_yearly
+        FROM lineitem l JOIN a ON l.l_partkey = a.l_partkey
+        WHERE 5 * CAST(round(l.l_quantity) AS BIGINT) * a.c < a.sq
+        """,
+        "dormant_customers": """
+        SELECT c.c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n_dormant,
+               CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS total_acctbal
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
         """,
         "ks_test_value": """
         WITH e AS (SELECT event_type,

@@ -4771,3 +4771,239 @@ def test_value_multi_regression_recovers_plane(ray_session, tmp_path):
     assert out.b0 == 2.0
     assert out.b_hour == 0.25
     assert out.b_dow == 0.5
+
+
+def _write_events(rows, d):
+    """rows: list of (event_id, user_id, event_type, ts, value)."""
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "ts": pa.array(
+                [np.datetime64(r[3], "us") for r in rows], pa.timestamp("us")
+            ),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(t, str(d / "events.parquet"))
+
+
+def test_seasonal_index_flat_and_peaked(ray_session, tmp_path):
+    """A type with all events in one hour gets index 24 there and no
+    other rows; a type spread evenly over 4 hours gets 6.0 each."""
+    from vietnamese_ocr_ray.pipelines.relational import seasonal_index
+
+    rows = []
+    for i in range(10):
+        rows.append((i, 1, "peak", f"2024-01-0{1 + i % 5}T07:30:00", 1.0))
+    eid = 100
+    for day in range(3):
+        for h in (0, 6, 12, 18):
+            rows.append((eid, 2, "flat", f"2024-01-0{day + 1}T{h:02d}:15:00", 1.0))
+            eid += 1
+    _write_events(rows, tmp_path)
+    out = seasonal_index(str(tmp_path)).to_pandas()
+    peak = out[out.event_type == "peak"]
+    assert len(peak) == 1 and peak.iloc[0].hod == 7
+    assert peak.iloc[0].seasonal_idx == 24.0
+    flat = out[out.event_type == "flat"]
+    assert len(flat) == 4 and (flat.seasonal_idx == 6.0).all()
+
+
+def test_acf_hourly_periodic_series(ray_session, tmp_path):
+    """A strictly 2-hour-periodic count series has acf(2) == +1 shape
+    dominance: acf at even lags > acf at odd lags, and acf matches a
+    numpy reference exactly."""
+    from vietnamese_ocr_ray.pipelines.relational import acf_hourly
+
+    rows = []
+    eid = 0
+    for h in range(48):
+        n = 5 if h % 2 == 0 else 1
+        for _ in range(n):
+            rows.append((eid, 1, "x", f"2024-01-{1 + h // 24:02d}T{h % 24:02d}:00:00", 1.0))
+            eid += 1
+    _write_events(rows, tmp_path)
+    out = acf_hourly(str(tmp_path), max_lag=6).to_pandas()
+    x = np.array([5 if h % 2 == 0 else 1 for h in range(48)], np.float64)
+    m = x.mean()
+    denom = ((x - m) ** 2).sum()
+    for _, r in out.iterrows():
+        k = int(r.lag)
+        ref = (((x[:-k] - m) * (x[k:] - m)).sum()) / denom
+        assert abs(r.acf - ref) < 1e-6
+    evens = out[out.lag % 2 == 0].acf.to_numpy()
+    odds = out[out.lag % 2 == 1].acf.to_numpy()
+    assert evens.min() > odds.max()
+
+
+def test_anova_value_matches_scipy_formula(ray_session, tmp_path):
+    """F statistic equals the textbook one-way ANOVA on the same data
+    (values chosen milli-exact so scaling is lossless)."""
+    from vietnamese_ocr_ray.pipelines.relational import anova_value
+
+    rng = np.random.default_rng(11)
+    rows = []
+    eid = 0
+    groups = {"a": 10.0, "b": 12.5, "c": 9.0}
+    samples = {}
+    for gname, mean in groups.items():
+        vals = np.round(mean + rng.normal(0, 2, 40), 3)
+        samples[gname] = vals
+        for v in vals:
+            rows.append((eid, 1, gname, "2024-01-01T00:00:00", float(v)))
+            eid += 1
+    _write_events(rows, tmp_path)
+    out = anova_value(str(tmp_path)).to_pandas().iloc[0]
+    allv = np.concatenate(list(samples.values()))
+    grand = allv.mean()
+    k, n = len(samples), len(allv)
+    ssb = sum(len(v) * (v.mean() - grand) ** 2 for v in samples.values())
+    ssw = sum(((v - v.mean()) ** 2).sum() for v in samples.values())
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+    assert out.k_groups == k and out.n_events == n
+    assert abs(out.f_stat - f_ref) < 1e-4
+
+
+def test_watermark_late_events_planted(ray_session, tmp_path):
+    """Brute-force reference: replay the splitmix64 arrival permutation
+    in-process and compare late counts + max lateness exactly."""
+    from vietnamese_ocr_ray.functions.joins import _mix64
+    from vietnamese_ocr_ray.pipelines.relational import watermark_late_events
+
+    rng = np.random.default_rng(3)
+    n = 500
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = base + rng.integers(0, 10**9, n).astype("timedelta64[us]")
+    types = rng.choice(["a", "b"], n)
+    rows = [
+        (i, 1, str(types[i]), str(ts[i]), 1.0) for i in range(n)
+    ]
+    _write_events(rows, tmp_path)
+    out = (
+        watermark_late_events(str(tmp_path))
+        .to_pandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    order = np.argsort(_mix64(np.arange(n, dtype=np.int64)))
+    ts_i = ts.astype(np.int64)[order]
+    ty_i = types[order]
+    ref = {}
+    run = np.iinfo(np.int64).min
+    for t_, v in zip(ty_i, ts_i):
+        if v < run:
+            c, m = ref.get(t_, (0, 0))
+            ref[t_] = (c + 1, max(m, run - v))
+        run = max(run, v)
+    assert set(out.index) == set(ref)
+    for t_, (c, m) in ref.items():
+        assert out.loc[t_, "n_late"] == c
+        assert out.loc[t_, "max_lateness_us"] == m
+
+
+def test_dormant_customers_anti_join(ray_session, tmp_path):
+    """Customers with no qualifying order are counted per segment with
+    cents-exact balances; active customers are excluded."""
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.analytics import dormant_customers
+
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "c_mktsegment": pa.array(["A", "A", "B", "B"], pa.string()),
+            "c_acctbal": pa.array([10.55, 20.45, 7.25, 3.10], pa.float64()),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_custkey": pa.array([1, 3, 3], pa.int64()),
+            "o_orderdate": pa.array(
+                [
+                    np.datetime64("2001-01-15", "us"),  # cust 1 active
+                    np.datetime64("1999-05-01", "us"),  # cust 3: too old
+                    np.datetime64("1999-12-31", "us"),  # cust 3: too old
+                ],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(cust, str(tmp_path / "customer.parquet"))
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    out = (
+        dormant_customers(str(tmp_path))
+        .to_pandas()
+        .set_index("c_mktsegment")
+        .sort_index()
+    )
+    assert out.loc["A", "n_dormant"] == 1  # cust 2 only
+    assert out.loc["A", "total_acctbal"] == 20.45
+    assert out.loc["B", "n_dormant"] == 2  # custs 3 and 4
+    assert out.loc["B", "total_acctbal"] == 10.35
+
+
+def test_large_volume_orders_threshold(ray_session, tmp_path):
+    """Only orders whose summed quantity exceeds the threshold survive,
+    with the buyer name joined on and DESC totalprice order."""
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.analytics import large_volume_orders
+
+    line = pa.table(
+        {
+            "l_orderkey": pa.array([1, 1, 2, 2, 3], pa.int64()),
+            "l_quantity": pa.array([200.0, 150.0, 100.0, 90.0, 400.0], pa.float64()),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_custkey": pa.array([7, 8, 9], pa.int64()),
+            "o_orderdate": pa.array(
+                [np.datetime64(f"2000-01-0{d}", "us") for d in (1, 2, 3)],
+                pa.timestamp("us"),
+            ),
+            "o_totalprice": pa.array([100.0, 900.0, 500.0], pa.float64()),
+        }
+    )
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([7, 8, 9], pa.int64()),
+            "c_name": pa.array(["carol", "dan", "erin"], pa.string()),
+        }
+    )
+    pq.write_table(line, str(tmp_path / "lineitem.parquet"))
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    pq.write_table(cust, str(tmp_path / "customer.parquet"))
+    out = large_volume_orders(str(tmp_path), min_qty=300).to_pandas()
+    # order 1: 350 > 300; order 3: 400 > 300; order 2: 190 filtered
+    assert list(out.o_orderkey) == [3, 1]  # totalprice DESC
+    assert list(out.c_name) == ["erin", "carol"]
+    assert list(out.sum_qty) == [400.0, 350.0]
+
+
+def test_small_qty_part_revenue_exact(ray_session, tmp_path):
+    """Matches the brute-force Q17 semantics: only lineitems with
+    qty < 0.2 * part average contribute, revenue summed in cents."""
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.pipelines.analytics import small_qty_part_revenue
+
+    # part 1: qties 1, 10, 10, 10 -> avg 7.75, 0.2*avg = 1.55: qty 1 in
+    # part 2: qties 5, 5 -> 0.2*avg = 1.0: nothing in
+    line = pa.table(
+        {
+            "l_partkey": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            "l_quantity": pa.array([1.0, 10.0, 10.0, 10.0, 5.0, 5.0], pa.float64()),
+            "l_extendedprice": pa.array(
+                [70.07, 1.0, 1.0, 1.0, 2.0, 2.0], pa.float64()
+            ),
+        }
+    )
+    pq.write_table(line, str(tmp_path / "lineitem.parquet"))
+    out = small_qty_part_revenue(str(tmp_path)).to_pandas()
+    assert abs(out.avg_yearly.iloc[0] - 70.07 / 7.0) < 1e-12

@@ -2473,3 +2473,320 @@ def ks_source_length(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume orders (pre-aggregate -> tiny broadcast)
+# ---------------------------------------------------------------------------
+def large_volume_orders(
+    sf_dir: str, min_qty: int = 300, num_buckets: int = 32
+) -> rd.Dataset:
+    """Orders whose total lineitem quantity exceeds ``min_qty``, with
+    the buyer's name attached (TPC-H Q18 shape).
+
+    Scale shape: the lineitem scan pre-reduces per batch (one row per
+    orderkey per batch), the per-order totals ride ONE hash_aggregate
+    bucket shuffle, and only the QUALIFYING set — selectivity-bounded
+    by the threshold (TPC-H Q18 qualifies ~0.001% of orders) — is
+    broadcast via ray.put to filter the orders and customer streams.
+    Neither big table is ever collected; the driver touches only the
+    qualifying rows. Quantities are whole numbers, summed as exact
+    int64 so the qualifying set is bit-stable under any partitioning.
+    """
+    line = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_orderkey": pc.cast(_chunk(b.column("l_orderkey")), pa.int64()),
+                "q": _cents(b.column("l_quantity"), 1),
+            }
+        )
+        df = t.to_pandas().groupby("l_orderkey", as_index=False).agg(q=("q", "sum"))
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    totals = hash_aggregate(
+        line.map_batches(qty_partial, batch_format="pyarrow"),
+        ["l_orderkey"],
+        {"q": ("q", "sum")},
+        num_buckets=num_buckets,
+    ).filter(lambda r: r["q"] > min_qty)
+
+    # qualifying set: threshold-bounded, tiny by construction — safe to
+    # pin once in the object store and look up per batch
+    qual = totals.to_pandas()
+    qkeys = qual["l_orderkey"].to_numpy(np.int64)
+    order_idx = np.argsort(qkeys)
+    qkeys = qkeys[order_idx]
+    qsums = qual["q"].to_numpy(np.int64)[order_idx]
+    handle = ray.put((qkeys, qsums))
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def pick_orders(b: pa.Table) -> pa.Table:
+        keys, sums = ray.get(handle)
+        ok = np.asarray(pc.cast(_chunk(b.column("o_orderkey")), pa.int64()))
+        pos = np.searchsorted(keys, ok)
+        pos_c = np.minimum(pos, len(keys) - 1) if len(keys) else pos
+        mask = (len(keys) > 0) & (pos < len(keys)) & (keys[pos_c] == ok)
+        t = b.filter(pa.array(mask))
+        mk = np.asarray(pc.cast(_chunk(t.column("o_orderkey")), pa.int64()))
+        sq = sums[np.searchsorted(keys, mk)] if len(mk) else np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(_chunk(t.column("o_orderkey")), pa.int64()),
+                "o_custkey": pc.cast(_chunk(t.column("o_custkey")), pa.int64()),
+                "o_orderdate": _chunk(t.column("o_orderdate")),
+                "o_totalprice": _chunk(t.column("o_totalprice")),
+                # DOUBLE to mirror the oracle's sum(l_quantity)
+                "sum_qty": pa.array(sq.astype(np.float64)),
+            }
+        )
+
+    picked = orders.map_batches(pick_orders, batch_format="pyarrow").to_pandas()
+
+    # buyer names: stream customer, keep only the qualifying custkeys
+    ckeys = np.unique(picked["o_custkey"].to_numpy(np.int64))
+    chandle = ray.put(ckeys)
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+
+    def pick_cust(b: pa.Table) -> pa.Table:
+        keys = ray.get(chandle)
+        ck = np.asarray(pc.cast(_chunk(b.column("c_custkey")), pa.int64()))
+        pos = np.searchsorted(keys, ck)
+        pos_c = np.minimum(pos, len(keys) - 1) if len(keys) else pos
+        mask = (len(keys) > 0) & (pos < len(keys)) & (keys[pos_c] == ck)
+        return b.filter(pa.array(mask))
+
+    names = cust.map_batches(pick_cust, batch_format="pyarrow").to_pandas()
+    out = picked.merge(
+        names, left_on="o_custkey", right_on="c_custkey", how="left"
+    ).sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+    return rd.from_arrow(
+        pa.table(
+            {
+                "c_name": pa.Array.from_pandas(out["c_name"], type=pa.string()),
+                "o_custkey": pa.array(out["o_custkey"].to_numpy(np.int64)),
+                "o_orderkey": pa.array(out["o_orderkey"].to_numpy(np.int64)),
+                "o_orderdate": pa.Array.from_pandas(
+                    out["o_orderdate"], type=pa.timestamp("us")
+                ),
+                "o_totalprice": pa.array(out["o_totalprice"].to_numpy(np.float64)),
+                "sum_qty": pa.array(out["sum_qty"].to_numpy(np.float64)),
+            }
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: small-quantity revenue (agg -> cogroup join back)
+# ---------------------------------------------------------------------------
+def small_qty_part_revenue(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """Average yearly revenue lost if orders below 20% of a part's
+    average quantity were no longer taken (TPC-H Q17 shape).
+
+    The per-part average is NOT broadcast (parts are a big dimension at
+    scale): the per-part (count, sum_qty) aggregate and the lineitem
+    rows meet in ONE partkey-bucket cogroup, and the below-threshold
+    test runs as exact integer arithmetic — ``5 * qty * cnt < sum_qty``
+    is ``qty < 0.2 * avg`` without ever forming the float average, so
+    Ray and the SQL oracle agree bit-for-bit. Revenue accumulates in
+    integer cents; one division at the end.
+    """
+    line = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def agg_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_partkey": pc.cast(_chunk(b.column("l_partkey")), pa.int64()),
+                "sq": _cents(b.column("l_quantity"), 1),
+                "cnt": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        df = (
+            t.to_pandas()
+            .groupby("l_partkey", as_index=False)
+            .agg(sq=("sq", "sum"), cnt=("cnt", "sum"))
+        )
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    part_stats = hash_aggregate(
+        line.map_batches(agg_partial, batch_format="pyarrow"),
+        ["l_partkey"],
+        {"sq": ("sq", "sum"), "cnt": ("cnt", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def tag_stats(b: pa.Table) -> pa.Table:
+        key = pc.cast(_chunk(b.column("l_partkey")), pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "sq": pc.cast(_chunk(b.column("sq")), pa.int64()),
+                "cnt": pc.cast(_chunk(b.column("cnt")), pa.int64()),
+                "_side": pa.array(np.zeros(b.num_rows, np.int8)),
+                "_bucket": pa.array(key_bucket(key, num_buckets).astype(np.int32)),
+            }
+        )
+
+    def tag_line(b: pa.Table) -> pa.Table:
+        key = pc.cast(_chunk(b.column("l_partkey")), pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "sq": _cents(b.column("l_quantity"), 1),  # qty rides in sq
+                "cnt": _cents(b.column("l_extendedprice"), 100),  # cents in cnt
+                "_side": pa.array(np.ones(b.num_rows, np.int8)),
+                "_bucket": pa.array(key_bucket(key, num_buckets).astype(np.int32)),
+            }
+        )
+
+    def bucket_rev(g: pd.DataFrame) -> pa.Table:
+        stats = g[g["_side"] == 0]
+        rows = g[g["_side"] == 1]
+        merged = rows.merge(
+            stats[["key", "sq", "cnt"]].rename(
+                columns={"sq": "part_sq", "cnt": "part_cnt"}
+            ),
+            on="key",
+            how="inner",
+        )
+        qty = merged["sq"].to_numpy(np.int64)
+        price_c = merged["cnt"].to_numpy(np.int64)
+        keep = 5 * qty * merged["part_cnt"].to_numpy(np.int64) < merged[
+            "part_sq"
+        ].to_numpy(np.int64)
+        return pa.table({"rev_c": pa.array([int(price_c[keep].sum())], pa.int64())})
+
+    tagged = (
+        part_stats.map_batches(tag_stats, batch_format="pyarrow")
+        .union(line.map_batches(tag_line, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: bucket_rev(g.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        )
+    )
+    total = tagged.aggregate(Sum("rev_c", alias_name="s"))["s"]
+    return rd.from_arrow(
+        pa.table({"avg_yearly": pa.array([float(total) / 100.0 / 7.0], pa.float64())})
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anti-join: dormant customers (no orders since a cutoff), per segment
+# ---------------------------------------------------------------------------
+def dormant_customers(
+    sf_dir: str, since: str = "2000-01-01", num_buckets: int = 32
+) -> rd.Dataset:
+    """Per-market-segment count + total balance of customers with NO
+    order on/after ``since`` — the NOT EXISTS / anti-join shape.
+
+    Scale shape: recent orders pre-reduce to per-batch DISTINCT
+    custkeys, then both sides meet in ONE custkey-bucket cogroup where
+    the anti-join is a vectorized np.isin per bucket — no broadcast of
+    either side, no driver materialization of the big tables. Balances
+    accumulate in integer cents.
+    """
+    cut = np.datetime64(since, "us")
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"],
+        filter=pc.field("o_orderdate") >= cut,
+    )
+
+    def tag_active(b: pa.Table) -> pa.Table:
+        key = np.unique(np.asarray(pc.cast(_chunk(b.column("o_custkey")), pa.int64())))
+        n = len(key)
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "c_mktsegment": pa.nulls(n, pa.string()),
+                "bal_c": pa.nulls(n, pa.int64()),
+                "_side": pa.array(np.ones(n, np.int8)),
+                "_bucket": pa.array(
+                    key_bucket(pa.array(key), num_buckets).astype(np.int32)
+                ),
+            }
+        )
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    )
+
+    def tag_cust(b: pa.Table) -> pa.Table:
+        key = pc.cast(_chunk(b.column("c_custkey")), pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "c_mktsegment": _chunk(b.column("c_mktsegment")),
+                "bal_c": _cents(b.column("c_acctbal"), 100),
+                "_side": pa.array(np.zeros(b.num_rows, np.int8)),
+                "_bucket": pa.array(key_bucket(key, num_buckets).astype(np.int32)),
+            }
+        )
+
+    def bucket_anti(g: pd.DataFrame) -> pa.Table:
+        active = g.loc[g["_side"] == 1, "key"].to_numpy(np.int64)
+        custs = g[g["_side"] == 0]
+        mask = ~np.isin(custs["key"].to_numpy(np.int64), active)
+        kept = custs[mask]
+        if not len(kept):
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array([], pa.string()),
+                    "n_dormant": pa.array([], pa.int64()),
+                    "bal_c": pa.array([], pa.int64()),
+                }
+            )
+        agg = kept.groupby("c_mktsegment", as_index=False).agg(
+            n_dormant=("key", "size"), bal_c=("bal_c", "sum")
+        )
+        return pa.table(
+            {
+                "c_mktsegment": pa.Array.from_pandas(
+                    agg["c_mktsegment"], type=pa.string()
+                ),
+                "n_dormant": pa.array(agg["n_dormant"].to_numpy(np.int64)),
+                "bal_c": pa.array(agg["bal_c"].to_numpy(np.int64)),
+            }
+        )
+
+    per_bucket = (
+        cust.map_batches(tag_cust, batch_format="pyarrow")
+        .union(orders.map_batches(tag_active, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: bucket_anti(g.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        )
+    )
+    final = per_bucket.groupby("c_mktsegment").aggregate(
+        Sum("n_dormant", alias_name="n_dormant"),
+        Sum("bal_c", alias_name="bal_c"),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": t.column("c_mktsegment"),
+                "n_dormant": pc.cast(t.column("n_dormant"), pa.int64()),
+                "total_acctbal": pc.divide(
+                    pc.cast(pc.cast(t.column("bal_c"), pa.int64()), pa.float64()),
+                    pa.scalar(100.0),
+                ),
+            }
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow").sort("c_mktsegment")

@@ -4412,3 +4412,298 @@ def value_multi_regression(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+def seasonal_index(sf_dir: str) -> rd.Dataset:
+    """Hour-of-day seasonality index per event type: 24 * share of the
+    type's events landing in each hour-of-day (1.0 = flat). Counts are
+    exact integers; the index is ONE float expression per output row,
+    so Ray and the SQL oracle agree bit-for-bit before the round.
+    Partial/combiner: each batch emits <= types x 24 rows."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        hod = (
+            ts.astype("datetime64[h]").astype(np.int64) % 24
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": batch.column("event_type").to_numpy(
+                    zero_copy_only=False
+                ),
+                "hod": hod,
+                "n": 1,
+            }
+        ).groupby(["event_type", "hod"], as_index=False)["n"].sum()
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hod"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def per_type(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values("hod")
+        n = g["n"].to_numpy(np.int64)
+        tot = int(n.sum())
+        idx = 24.0 * n.astype(np.float64) / float(tot)
+        return pa.table(
+            {
+                "event_type": pa.Array.from_pandas(g["event_type"]),
+                "hod": pa.array(g["hod"].to_numpy(np.int64)),
+                "n_events": pa.array(n),
+                "seasonal_idx": pa.array(
+                    [round(float(v), 6) for v in idx], pa.float64()
+                ),
+            }
+        )
+
+    return counts.groupby("event_type").map_groups(
+        per_type, batch_format="pandas"
+    )
+
+
+def acf_hourly(sf_dir: str, max_lag: int = 24) -> rd.Dataset:
+    """Autocorrelation of the hourly event-count series at lags
+    1..max_lag. The distributed pass reduces events to per-hour exact
+    integer counts (bounded by the time span, not rows); the ACF is a
+    CLOSED-FORM float expression over integer sums — lagged
+    cross-products, head/tail partial sums and global moments are all
+    exact ints, so both engines evaluate the identical expression:
+
+        r_k = (C_k - m*(H_k + T_k) + (n-k)*m^2) / (Sxx - m*Sx)
+
+    with m = Sx/n (the only float), C_k = sum x_t*x_{t+k},
+    H_k = sum_{t<n-k} x_t, T_k = sum_{t>=k} x_t over the hour-indexed
+    dense series (missing hours count 0)."""
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        h = ts.astype("datetime64[h]").astype(np.int64)
+        hours, n = np.unique(h, return_counts=True)
+        return pa.table(
+            {"h": pa.array(hours), "n": pa.array(n.astype(np.int64))}
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("h")
+    )
+    h = counts["h"].to_numpy(np.int64)
+    lo, hi = int(h.min()), int(h.max())
+    x = np.zeros(hi - lo + 1, np.int64)
+    x[h - lo] = counts["n"].to_numpy(np.int64)
+    n = len(x)
+    sx = int(x.sum())
+    sxx = int((x * x).sum())
+    m = float(sx) / float(n)
+    denom = float(sxx) - m * float(sx)
+    rows = []
+    for k in range(1, max_lag + 1):
+        ck = int((x[:-k] * x[k:]).sum())
+        hk = int(x[:-k].sum())
+        tk = int(x[k:].sum())
+        r = (float(ck) - m * float(hk + tk) + float(n - k) * m * m) / denom
+        rows.append((k, ck, round(r, 6)))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "lag": pa.array([r[0] for r in rows], pa.int64()),
+                "cross_sum": pa.array([r[1] for r in rows], pa.int64()),
+                "acf": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+    )
+
+
+def anova_value(sf_dir: str) -> rd.Dataset:
+    """One-way ANOVA F-test of value across event types. Per-group
+    moments (n, sum, sum-of-squares of milli-value) are exact integers;
+    SSB/SSW accumulate SEQUENTIALLY in event_type order on both sides
+    (numpy here; list_sum over an ORDER BY list in SQL) so the float
+    reduction order is pinned — the zscore_outliers contract."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _cents(batch.column("value"), 1000).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "event_type": batch.column("event_type").to_numpy(
+                    zero_copy_only=False
+                ),
+                "sx": x,
+                "sxx": x * x,
+            }
+        ).groupby("event_type", as_index=False).agg(
+            n=("sx", "size"), sx=("sx", "sum"), sxx=("sxx", "sum")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    g = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sxx", alias_name="sxx"),
+        )
+        .to_pandas()
+        .sort_values("event_type")
+    )
+    ng = g["n"].to_numpy(np.int64)
+    sxg = g["sx"].to_numpy(np.int64)
+    sxxg = g["sxx"].to_numpy(np.int64)
+    n = int(ng.sum())
+    sx = int(sxg.sum())
+    k = len(ng)
+    grand = float(sx) / float(n)
+    ssb = 0.0
+    ssw = 0.0
+    # sequential accumulation in event_type order (matches list_sum)
+    for i in range(k):
+        mg = float(sxg[i]) / float(ng[i])
+        ssb = ssb + float(ng[i]) * (mg - grand) * (mg - grand)
+        ssw = ssw + (float(sxxg[i]) - float(ng[i]) * mg * mg)
+    f_stat = (ssb / float(k - 1)) / (ssw / float(n - k))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "k_groups": pa.array([k], pa.int64()),
+                "n_events": pa.array([n], pa.int64()),
+                "f_stat": pa.array([round(f_stat, 6)], pa.float64()),
+            }
+        )
+    )
+
+
+def watermark_late_events(sf_dir: str, bucket_bits: int = 7) -> rd.Dataset:
+    """Streaming watermark audit over a SIMULATED out-of-order arrival
+    stream: arrival order is the splitmix64 permutation of event_id (a
+    bijection, so the order is total and deterministic), and an event
+    is late if its ts is older than the running max ts of all
+    previously-arrived events. Two distributed passes, no global sort:
+    (1) bucket by the TOP bits of the arrival key (contiguous arrival
+    ranges), per-bucket max ts -> the driver folds the tiny per-bucket
+    maxima into exclusive prefix watermarks; (2) re-scan marks lateness
+    against the bucket-local prefix max floored by the carried-in
+    watermark. Output: per event_type late count + max lateness (exact
+    integer us). The SQL oracle replays the same splitmix64 permutation
+    via split-multiply mod-2^64 arithmetic."""
+    from vietnamese_ocr_ray.functions.joins import _mix64
+
+    shift = np.uint64(64 - bucket_bits)
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "ts"]
+    )
+
+    def bucket_max(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b.column("event_id"), np.int64)
+        arrival = _mix64(eid)
+        ts = b.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        bk = (arrival >> shift).astype(np.int64)
+        df = pd.DataFrame({"bk": bk, "ts": ts}).groupby("bk", as_index=False)[
+            "ts"
+        ].max()
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    bmax = (
+        ds.map_batches(bucket_max, batch_format="pyarrow")
+        .groupby("bk")
+        .aggregate(Max("ts", alias_name="ts"))
+        .to_pandas()
+        .sort_values("bk")
+    )
+    bks = bmax["bk"].to_numpy(np.int64)
+    maxes = bmax["ts"].to_numpy(np.int64)
+    # exclusive prefix max: watermark carried INTO each bucket
+    carried = np.empty(len(bks), np.int64)
+    carried[0] = np.iinfo(np.int64).min
+    if len(bks) > 1:
+        carried[1:] = np.maximum.accumulate(maxes)[:-1]
+    wm = {int(b): int(c) for b, c in zip(bks, carried)}
+    import ray as _ray
+
+    handle = _ray.put(wm)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        eid = np.asarray(b.column("event_id"), np.int64)
+        arrival = _mix64(eid)
+        t = b.append_column("_arrival", pa.array(arrival, pa.uint64()))
+        return t.append_column(
+            "_bucket", pa.array((arrival >> shift).astype(np.int64))
+        )
+
+    def mark_late(g: pd.DataFrame) -> pa.Table:
+        water = _ray.get(handle)
+        s = g.sort_values("_arrival")
+        ts = s["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        bk = int(s["_bucket"].iloc[0])
+        prior = np.empty(len(s), np.int64)
+        prior[0] = water[bk]
+        if len(s) > 1:
+            prior[1:] = np.maximum(
+                np.maximum.accumulate(ts)[:-1], water[bk]
+            )
+        late = ts < prior
+        if not late.any():
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "n_late": pa.array([], pa.int64()),
+                    "max_lateness_us": pa.array([], pa.int64()),
+                }
+            )
+        df = pd.DataFrame(
+            {
+                "event_type": s["event_type"].to_numpy()[late],
+                "lateness": (prior - ts)[late],
+            }
+        ).groupby("event_type", as_index=False).agg(
+            n_late=("lateness", "size"), max_lateness_us=("lateness", "max")
+        )
+        return pa.table(
+            {
+                "event_type": pa.Array.from_pandas(df["event_type"]),
+                "n_late": pa.array(df["n_late"].to_numpy(np.int64)),
+                "max_lateness_us": pa.array(
+                    df["max_lateness_us"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: mark_late(g), batch_format="pandas"
+        )
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_late", alias_name="n_late"),
+            Max("max_lateness_us", alias_name="max_lateness_us"),
+        )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "event_type": b.column("event_type"),
+                    "n_late": pc.cast(b.column("n_late"), pa.int64()),
+                    "max_lateness_us": pc.cast(
+                        b.column("max_lateness_us"), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
