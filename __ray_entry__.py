@@ -2724,6 +2724,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_source_length": lambda sf: analytics.ks_source_length(sf),
         "large_volume_orders": lambda sf: analytics.large_volume_orders(sf),
         "seasonal_index": lambda sf: relational.seasonal_index(sf),
+        "hits_user_event": lambda sf: relational.hits_user_event(sf),
+        "anchor_text_agg": lambda sf: _html(sf).anchor_text_agg(_html_docs(sf)),
         "acf_hourly": lambda sf: relational.acf_hourly(sf),
         "anova_value": lambda sf: relational.anova_value(sf),
         "watermark_late_events": lambda sf: relational.watermark_late_events(sf),
@@ -5295,6 +5297,31 @@ def oracle_sql() -> dict[str, str]:
                unnest(hs) AS href,
                unnest(ts) AS anchor_text
         FROM x
+        """,
+        "anchor_text_agg": f"""
+        WITH h AS ({html_sql_expr()}),
+        x AS (
+          SELECT regexp_extract_all(html,
+                   '<a href="([^"]*)"[^>]*>([^<]*)</a>', 1) AS hs,
+                 regexp_extract_all(html,
+                   '<a href="([^"]*)"[^>]*>([^<]*)</a>', 2) AS ts
+          FROM h
+        ),
+        l AS (SELECT unnest(hs) AS href, unnest(ts) AS anchor_text
+              FROM x),
+        c AS (SELECT href, anchor_text, CAST(count(*) AS BIGINT) AS n
+              FROM l GROUP BY href, anchor_text),
+        r AS (SELECT href, anchor_text, n,
+                     row_number() OVER (PARTITION BY href
+                                        ORDER BY n DESC, anchor_text) AS rk,
+                     CAST(sum(n) OVER (PARTITION BY href) AS BIGINT)
+                         AS n_links,
+                     CAST(count(*) OVER (PARTITION BY href) AS BIGINT)
+                         AS n_unique_anchors
+              FROM c)
+        SELECT href, n_links, n_unique_anchors,
+               anchor_text AS top_anchor, n AS top_n
+        FROM r WHERE rk = 1 ORDER BY href
         """,
         "html_main_content": f"""
         WITH {_html_scored_cte()}
@@ -8561,6 +8588,20 @@ def oracle_sql() -> dict[str, str]:
         FROM d JOIN ns USING (source)
         QUALIFY row_number() OVER (PARTITION BY d.source
                                    ORDER BY dd DESC, len) = 1
+        """,
+        "hits_user_event": """
+        WITH p AS (SELECT DISTINCT user_id, event_type FROM events),
+        a1 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS d
+               FROM p GROUP BY event_type),
+        h1 AS (SELECT p.user_id, CAST(sum(a1.d) AS BIGINT) AS h
+               FROM p JOIN a1 USING (event_type) GROUP BY p.user_id),
+        a2 AS (SELECT p.event_type, CAST(sum(h1.h) AS BIGINT) AS m
+               FROM p JOIN h1 USING (user_id) GROUP BY p.event_type)
+        SELECT a2.event_type, a1.d AS n_users, a2.m AS hub_mass,
+               round(CAST(a2.m AS DOUBLE)
+                     / CAST((SELECT sum(m) FROM a2) AS DOUBLE),
+                     6) AS auth_share
+        FROM a2 JOIN a1 USING (event_type) ORDER BY a2.event_type
         """,
         "seasonal_index": """
         WITH c AS (SELECT event_type,

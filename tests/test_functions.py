@@ -5007,3 +5007,63 @@ def test_small_qty_part_revenue_exact(ray_session, tmp_path):
     pq.write_table(line, str(tmp_path / "lineitem.parquet"))
     out = small_qty_part_revenue(str(tmp_path)).to_pandas()
     assert abs(out.avg_yearly.iloc[0] - 70.07 / 7.0) < 1e-12
+
+
+def test_hits_user_event_integer_path_counts(ray_session, tmp_path):
+    """Brute-force bipartite HITS half-steps on a small incidence set:
+    a1 = distinct-user degree, h1(u) = sum a1 over u's types,
+    a2(t) = sum h1 over t's users — duplicates in events must not
+    inflate the incidence."""
+    from vietnamese_ocr_ray.pipelines.relational import hits_user_event
+
+    # user 1: {a, b}; user 2: {b}; user 3: {b, c}; plus duplicate rows
+    rows = []
+    eid = 0
+    for u, t in [(1, "a"), (1, "b"), (1, "b"), (2, "b"), (3, "b"), (3, "c"), (3, "c")]:
+        rows.append((eid, u, t, "2024-01-01T00:00:00", 1.0))
+        eid += 1
+    _write_events(rows, tmp_path)
+    out = (
+        hits_user_event(str(tmp_path))
+        .to_pandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    # a1: a=1, b=3, c=1 ; h1: u1=4, u2=3, u3=4
+    # a2: a=4, b=11, c=4 ; total=19
+    assert list(out.n_users) == [1, 3, 1]
+    assert list(out.hub_mass) == [4, 11, 4]
+    assert abs(out.loc["b", "auth_share"] - round(11 / 19, 6)) < 1e-12
+
+
+def test_anchor_text_agg_dominant_anchor(ray_session, tmp_path):
+    """Counts per target and the lexicographic tiebreak on equal-count
+    anchors, over explicit html pages (html_col path)."""
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.html import anchor_text_agg
+
+    pages = [
+        '<a href="/x">one</a><a href="/x">two</a><a href="/y">solo</a>',
+        '<a href="/x">two</a><a href="/x">one</a>',
+    ]
+    ds = rd_mod.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "page": pa.array(pages, pa.string()),
+            }
+        )
+    )
+    out = (
+        anchor_text_agg(ds, html_col="page")
+        .to_pandas()
+        .set_index("href")
+        .sort_index()
+    )
+    assert out.loc["/x", "n_links"] == 4
+    assert out.loc["/x", "n_unique_anchors"] == 2
+    # 'one' and 'two' both have count 2 -> lexicographic winner 'one'
+    assert out.loc["/x", "top_anchor"] == "one"
+    assert out.loc["/x", "top_n"] == 2
+    assert out.loc["/y", "n_links"] == 1 and out.loc["/y", "top_anchor"] == "solo"

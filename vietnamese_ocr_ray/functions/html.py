@@ -458,3 +458,57 @@ def html_boilerplate_stats(ds: rd.Dataset) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def anchor_text_agg(ds: rd.Dataset, html_col: str | None = None) -> rd.Dataset:
+    """Anchor-text corpus per link target: for every href, the total
+    inbound link count, the number of DISTINCT anchor strings, and the
+    dominant anchor (highest count, lexicographic tiebreak) with its
+    count — the aggregation web-search / link-graph pipelines run over
+    extracted anchors to build per-URL anchor-text documents.
+
+    Scale shape: rides :func:`html_links` (flat-buffer parse), then
+    ONE (href, anchor_text)-keyed partial/combiner aggregate — the
+    shuffle carries one row per distinct (target, anchor) pair per
+    block, never one per link — and a per-href argmax group step whose
+    group sizes are bounded by anchor variety, not corpus size."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    links = html_links(ds, html_col=html_col)
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = (
+            pa.table(
+                {
+                    "href": _chunked(b.column("href")),
+                    "anchor_text": _chunked(b.column("anchor_text")),
+                }
+            )
+            .to_pandas()
+            .groupby(["href", "anchor_text"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    counts = (
+        links.map_batches(partial, batch_format="pyarrow")
+        .groupby(["href", "anchor_text"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def per_href(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(["n", "anchor_text"], ascending=[False, True])
+        return pa.table(
+            {
+                "href": pa.array([g["href"].iloc[0]], pa.string()),
+                "n_links": pa.array([int(g["n"].sum())], pa.int64()),
+                "n_unique_anchors": pa.array([len(g)], pa.int64()),
+                "top_anchor": pa.array([g["anchor_text"].iloc[0]], pa.string()),
+                "top_n": pa.array([int(g["n"].iloc[0])], pa.int64()),
+            }
+        )
+
+    return counts.groupby("href").map_groups(per_href, batch_format="pandas")

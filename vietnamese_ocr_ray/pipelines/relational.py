@@ -4707,3 +4707,109 @@ def watermark_late_events(sf_dir: str, bucket_bits: int = 7) -> rd.Dataset:
             batch_format="pyarrow",
         )
     )
+
+
+def hits_user_event(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """Bipartite HITS over the user -> event_type incidence graph with
+    EXACT integer path counts: h0(user) = 1, a1(type) = #distinct users
+    touching it, h1(user) = sum of a1 over the user's types, a2(type) =
+    sum of h1 over the type's users — i.e. two unnormalized HITS half-
+    steps (a2 counts length-3 paths type<-user<-type'<-user'), then ONE
+    normalization at the very end, so every distributed sum is an
+    integer and the single float division is bit-replayable in SQL.
+
+    Scale shape: distinct (user, type) pairs via one hash_aggregate
+    (keyspace = incidence pairs, not events); a1 is types-bounded and
+    broadcast; h1 + the per-type contributions happen inside ONE
+    user-bucket group pass; a2 is a types-sized groupby."""
+    import ray as _ray
+
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        df = (
+            b.to_pandas()
+            .drop_duplicates(["user_id", "event_type"])
+            .assign(n=1)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+    pairs = hash_aggregate(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        ["user_id", "event_type"],
+        {"n": ("n", "max")},
+        num_buckets=num_buckets,
+    )
+
+    # a1: distinct-user degree per type — types-bounded, broadcast once
+    a1_pd = (
+        pairs.map_batches(
+            lambda b: pa.Table.from_pandas(
+                b.to_pandas()
+                .groupby("event_type", as_index=False)
+                .agg(d=("n", "sum")),
+                preserve_index=False,
+            ).replace_schema_metadata(None),
+            batch_format="pyarrow",
+        )
+        .groupby("event_type")
+        .aggregate(Sum("d", alias_name="d"))
+        .to_pandas()
+        .sort_values("event_type")
+    )
+    a1 = {t: int(d) for t, d in zip(a1_pd["event_type"], a1_pd["d"])}
+    handle = _ray.put(a1)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_bucket",
+            pa.array(key_bucket(b.column("user_id"), num_buckets).astype(np.int32)),
+        )
+
+    def user_bucket(g: pd.DataFrame) -> pa.Table:
+        lut = _ray.get(handle)
+        d = g["event_type"].map(lut).to_numpy(np.int64)
+        # h1 per user = sum of a1 over the user's types; every pair row
+        # then contributes its user's h1 to its type
+        h1 = g.assign(d=d).groupby("user_id")["d"].transform("sum")
+        out = (
+            g.assign(h=h1.to_numpy(np.int64))
+            .groupby("event_type", as_index=False)
+            .agg(m=("h", "sum"))
+        )
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+
+    a2 = (
+        pairs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda g: user_bucket(g.drop(columns=["_bucket"])),
+            batch_format="pandas",
+        )
+        .groupby("event_type")
+        .aggregate(Sum("m", alias_name="m"))
+        .to_pandas()
+        .sort_values("event_type")
+    )
+    total = int(a2["m"].sum())
+    m = a2["m"].to_numpy(np.int64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.Array.from_pandas(a2["event_type"]),
+                "n_users": pa.array(
+                    [a1[t] for t in a2["event_type"]], pa.int64()
+                ),
+                "hub_mass": pa.array(m),
+                "auth_share": pa.array(
+                    [round(float(v) / float(total), 6) for v in m],
+                    pa.float64(),
+                ),
+            }
+        )
+    )
