@@ -1376,6 +1376,20 @@ def _pagerank_dupgraph(sf_dir: str):
     return pagerank(pairs, iters=20, tol=0.0)
 
 
+def _kcore_dupgraph(sf_dir: str):
+    """16-round 2-core peel of the cosine>=0.4 dup graph — which
+    duplicate clusters have cyclic (not just chain) structure; the
+    surviving (node, degree) set is exactly replayed by the unrolled
+    peel CTEs in _kcore_sql."""
+    from vietnamese_ocr_ray.functions.graph import kcore_peel
+
+    pairs = _embedding_neardup(sf_dir).map_batches(
+        lambda b: pa.table({"a": b.column("vec_id_a"), "b": b.column("vec_id_b")}),
+        batch_format="pyarrow",
+    )
+    return kcore_peel(pairs, k=2, rounds=16)
+
+
 def _dedup_neardup_cosine(sf_dir: str):
     """Near-dup REMOVAL over the SQL-checkable cosine>=0.4 graph:
     component survivors (min vec_id) + untouched vectors — upgrades
@@ -2870,6 +2884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "components": _components,
         "dupcluster_histogram": _dupcluster_histogram,
         "pagerank_dupgraph": _pagerank_dupgraph,
+        "kcore_dupgraph": _kcore_dupgraph,
         "dedup_neardup_cosine": _dedup_neardup_cosine,
         "embedding_stats": _embedding_stats,
         "embedding_covariance": _embedding_covariance,
@@ -3332,6 +3347,43 @@ def _transition_stationary_sql(iters: int = 20) -> str:
         head
         + "".join(steps)
         + f"\n    SELECT t AS event_type, round(x, 9) AS pi FROM x{iters}"
+    )
+
+
+def _kcore_sql(k: int = 2, rounds: int = 16) -> str:
+    """Unrolled ``rounds``-round k-core peel over the cosine>=0.4 dup
+    graph, mirroring functions/graph.kcore_peel exactly (fixed round
+    count; every sum is an integer). MATERIALIZED is load-bearing."""
+    head = """
+    WITH pairs AS MATERIALIZED (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id
+        AND round(list_cosine_similarity(
+              CAST(a.embedding AS DOUBLE[]),
+              CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+    ),
+    e0 AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL SELECT b, a FROM pairs
+    )"""
+    steps = []
+    for t in range(rounds):
+        steps.append(
+            f""", n{t + 1} AS MATERIALIZED (
+      SELECT src AS node FROM e{t} GROUP BY src
+      HAVING count(*) >= {k}),
+    e{t + 1} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e{t} e
+      JOIN n{t + 1} x ON e.src = x.node
+      JOIN n{t + 1} y ON e.dst = y.node)"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM e{rounds} GROUP BY src ORDER BY node"""
     )
 
 
@@ -7721,6 +7773,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY cos DESC, e.vec_id LIMIT 10
         """,
         "pagerank_dupgraph": _pagerank_sql(20),
+        "kcore_dupgraph": _kcore_sql(2, 16),
         "mmr_select": _mmr_sql(8, 32),
         "ann_pq": _ann_pq_sql(10, 4, 16, 3),
         "winnow_fingerprints": _winnow_sql(8, 4),

@@ -5067,3 +5067,51 @@ def test_anchor_text_agg_dominant_anchor(ray_session, tmp_path):
     assert out.loc["/x", "top_anchor"] == "one"
     assert out.loc["/x", "top_n"] == 2
     assert out.loc["/y", "n_links"] == 1 and out.loc["/y", "top_anchor"] == "solo"
+
+
+def test_kcore_peel_triangle_with_tail(ray_session):
+    """A triangle with a pendant path: the 2-core is exactly the
+    triangle (each degree 2); k=3 peels everything."""
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.graph import kcore_peel
+
+    # triangle 1-2-3 plus tail 3-4-5
+    pairs = rd_mod.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([1, 2, 1, 3, 4], pa.int64()),
+                "b": pa.array([2, 3, 3, 4, 5], pa.int64()),
+            }
+        )
+    )
+    out = kcore_peel(pairs, k=2).to_pandas().set_index("node")
+    assert sorted(out.index) == [1, 2, 3]
+    assert (out.degree == 2).all()
+    out3 = kcore_peel(pairs, k=3)
+    df3 = out3.to_pandas() if hasattr(out3, "to_pandas") else out3
+    assert len(df3) == 0
+
+
+def test_kcore_peel_long_tail_needs_rounds(ray_session):
+    """A 6-node path peels one layer per round from each end — rounds
+    below the needed depth must still match the fixed-round semantics
+    (partial peel), and enough rounds empty it."""
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.graph import kcore_peel
+
+    path = rd_mod.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "b": pa.array([2, 3, 4, 5, 6], pa.int64()),
+            }
+        )
+    )
+    full = kcore_peel(path, k=2, rounds=16)
+    df = full.to_pandas() if hasattr(full, "to_pandas") else full
+    assert len(df) == 0
+    # one round removes only the two endpoints: 4 survivors remain
+    partial = kcore_peel(path, k=2, rounds=1).to_pandas()
+    assert sorted(partial.node) == [2, 3, 4, 5]

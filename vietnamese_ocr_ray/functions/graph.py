@@ -564,3 +564,112 @@ def cluster_purity(
             }
         )
     )
+
+
+def kcore_peel(
+    pairs: rd.Dataset, k: int = 2, rounds: int = 16
+) -> rd.Dataset | pa.Table:
+    """``rounds``-round peel toward the k-core of the UNDIRECTED graph
+    of an (a, b) edge list: each round drops every node whose degree in
+    the surviving subgraph is below ``k``, then re-filters the edges.
+    Output: (node, degree) of the surviving subgraph, node-sorted.
+
+    A FIXED round count (not peel-to-fixpoint) keeps the op
+    SQL-replayable as unrolled CTEs; peeling removes at least one
+    "onion layer" per round, so 16 rounds converge for any graph whose
+    sub-k tails are shorter than 16 hops (all test scales converge by
+    round 13 — genuinely deeper graphs need ``rounds`` raised, which
+    changes both engines in lockstep). Early exit when a round removes
+    nothing is result-identical to running the remaining rounds.
+
+    Scale shape: edges stay distributed; each round is one distributed
+    degree partial + a node-set broadcast (the CC broadcast-mode heap
+    assumption: the DUP-GRAPH node set — pair-incident docs only — is
+    orders smaller than the corpus; a fully-shuffled variant would ride
+    the same alternating filter with bucket cogroups instead of
+    broadcast)."""
+    import ray
+
+    edges = pairs.select_columns(["a", "b"])
+
+    def undirected(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [
+                        b.column("a").combine_chunks().cast(pa.int64()),
+                        b.column("b").combine_chunks().cast(pa.int64()),
+                    ]
+                ),
+                "dst": pa.concat_arrays(
+                    [
+                        b.column("b").combine_chunks().cast(pa.int64()),
+                        b.column("a").combine_chunks().cast(pa.int64()),
+                    ]
+                ),
+            }
+        )
+
+    empty = pa.table(
+        {"node": pa.array([], pa.int64()), "degree": pa.array([], pa.int64())}
+    )
+    adj = edges.map_batches(undirected, batch_format="pyarrow").materialize()
+    if adj.count() == 0:
+        return empty
+
+    alive: np.ndarray | None = None  # None = all nodes
+    deg_pd = None
+    for _ in range(rounds):
+        handle = ray.put(alive)
+
+        def degree_partial(b: pa.Table) -> pa.Table:
+            keep = ray.get(handle)
+            src = np.asarray(b.column("src"))
+            dst = np.asarray(b.column("dst"))
+            if keep is not None:
+                pos_s = np.searchsorted(keep, src)
+                pos_d = np.searchsorted(keep, dst)
+                np.minimum(pos_s, len(keep) - 1, out=pos_s)
+                np.minimum(pos_d, len(keep) - 1, out=pos_d)
+                m = (keep[pos_s] == src) & (keep[pos_d] == dst)
+                src = src[m]
+            uniq, counts = np.unique(src, return_counts=True)
+            return pa.table(
+                {"node": pa.array(uniq), "deg": pa.array(counts.astype(np.int64))}
+            )
+
+        deg_df = adj.map_batches(
+            degree_partial, batch_format="pyarrow"
+        ).to_pandas()
+        if deg_df.empty or "node" not in deg_df.columns:
+            # every edge filtered away: fully-empty Datasets drop their
+            # schema at to_pandas (the dedup.py:1524 gotcha)
+            return empty
+        deg_pd = deg_df.groupby("node", sort=True)["deg"].sum()
+        new_alive = deg_pd[deg_pd >= k].index.to_numpy(np.int64)
+        stable = alive is not None and len(new_alive) == len(alive)
+        alive = new_alive
+        if len(alive) == 0:
+            return empty
+        if stable:
+            break
+
+    surv = deg_pd[deg_pd.index.isin(alive)]
+    # degrees are w.r.t. the edge set BEFORE this round's filter; when
+    # the loop ended stable those coincide — otherwise one more pass
+    if not stable:
+        handle = ray.put(alive)
+        final_df = adj.map_batches(
+            degree_partial, batch_format="pyarrow"
+        ).to_pandas()
+        if final_df.empty or "node" not in final_df.columns:
+            return empty
+        surv = final_df.groupby("node", sort=True)["deg"].sum()
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(surv.index.to_numpy(np.int64)),
+                "degree": pa.array(surv.to_numpy(np.int64)),
+            }
+        )
+    )
