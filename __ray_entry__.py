@@ -2720,6 +2720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi-way join trees and advanced aggregates
         "shipping_priority": lambda sf: analytics.shipping_priority(sf),
         "local_supplier_volume": lambda sf: analytics.local_supplier_volume(sf),
+        "min_rev_supplier": lambda sf: analytics.min_rev_supplier(sf),
         "json_extract_stats": lambda sf: analytics.json_extract_stats(sf),
         "value_skew": lambda sf: analytics.value_skewness(sf),
         "rollup_lang_source": lambda sf: analytics.rollup_lang_source(sf),
@@ -8163,6 +8164,21 @@ def oracle_sql() -> dict[str, str]:
           AND o.o_orderdate < TIMESTAMP '1997-01-01'
         GROUP BY n.n_name
         ORDER BY revenue DESC
+        """,
+        "min_rev_supplier": """
+        WITH ps AS (
+          SELECT l_partkey, l_suppkey,
+                 sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev
+          FROM lineitem GROUP BY l_partkey, l_suppkey),
+        m AS (SELECT *, min(rev) OVER (PARTITION BY l_partkey) AS mn FROM ps)
+        SELECT m.l_partkey AS p_partkey, m.l_suppkey AS s_suppkey,
+               s.s_name, n.n_name,
+               CAST(m.rev AS DOUBLE) / 10000.0 AS supply_rev
+        FROM m
+        JOIN supplier s ON s.s_suppkey = m.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE m.rev = m.mn
         """,
         "json_extract_stats": """
         WITH k AS (

@@ -5115,3 +5115,39 @@ def test_kcore_peel_long_tail_needs_rounds(ray_session):
     # one round removes only the two endpoints: 4 survivors remain
     partial = kcore_peel(path, k=2, rounds=1).to_pandas()
     assert sorted(partial.node) == [2, 3, 4, 5]
+
+
+def test_min_rev_supplier_keeps_ties(ray_session, tmp_path):
+    """Two suppliers tied at a part's minimum revenue BOTH survive;
+    the non-minimal supplier is dropped; names/nations attach."""
+    import pandas as pd_mod
+
+    from vietnamese_ocr_ray.pipelines.analytics import min_rev_supplier
+
+    pd_mod.DataFrame(
+        {
+            "l_partkey": [1, 1, 1, 2],
+            "l_suppkey": [10, 11, 12, 10],
+            "l_extendedprice": [5.0, 5.0, 9.0, 7.0],
+            "l_discount": [0.0, 0.0, 0.0, 0.0],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    pd_mod.DataFrame(
+        {
+            "s_suppkey": [10, 11, 12],
+            "s_name": ["s10", "s11", "s12"],
+            "s_nationkey": [0, 1, 0],
+        }
+    ).to_parquet(tmp_path / "supplier.parquet")
+    pd_mod.DataFrame(
+        {"n_nationkey": [0, 1], "n_name": ["A", "B"]}
+    ).to_parquet(tmp_path / "nation.parquet")
+
+    out = min_rev_supplier(str(tmp_path)).to_pandas()
+    part1 = out[out.p_partkey == 1].sort_values("s_suppkey")
+    assert list(part1.s_suppkey) == [10, 11]  # tie kept, 12 dropped
+    assert list(part1.s_name) == ["s10", "s11"]
+    assert list(part1.n_name) == ["A", "B"]
+    assert (part1.supply_rev == 5.0).all()
+    part2 = out[out.p_partkey == 2]
+    assert list(part2.s_suppkey) == [10] and float(part2.supply_rev.iloc[0]) == 7.0

@@ -112,6 +112,7 @@ def _check(m, con, name):
         "dup_cluster_purity",
         "ks_test_value",
         "ks_source_length",
+        "min_rev_supplier",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

@@ -2790,3 +2790,97 @@ def dormant_customers(
         )
 
     return final.map_batches(finish, batch_format="pyarrow").sort("c_mktsegment")
+
+
+def min_rev_supplier(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """For every part, the supplier(s) with the MINIMUM total supply
+    revenue over all its line items (TPC-H Q2's correlated-min join
+    shape, re-keyed to the tables this corpus ships: lineitem is the
+    part<->supplier fact). Ties keep every minimal supplier.
+
+    Shape: per-batch partial sums per (partkey, suppkey) -> ONE
+    partkey-bucket shuffle; inside a bucket every supplier of a part is
+    co-located, so the final (part, supp) sums, the per-part min, and
+    the tie filter are one vectorized pandas pass — the correlated
+    subquery never re-scans. Supplier name / nation attach from
+    genuinely-small broadcast luts (suppkey-cardinality, 2 columns).
+    Revenue accumulates in exact integer 1e-4 units; one division at
+    the end keeps Ray and the SQL oracle bit-identical.
+
+    Reference anchor: generalizes the reference's dict min-tracking
+    (src/utils/statistic.py:8-14 best-metric keep) to a grouped
+    correlated min over a fact table.
+    """
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+    )
+    nation = pd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    name_lut = dict(zip(supp["s_suppkey"].to_numpy(np.int64), supp["s_name"]))
+    nk = dict(
+        zip(
+            supp["s_suppkey"].to_numpy(np.int64),
+            supp["s_nationkey"].to_numpy(np.int64),
+        )
+    )
+    nname = dict(zip(nation["n_nationkey"].to_numpy(np.int64), nation["n_name"]))
+    supp_handle = ray.put((name_lut, nk, nname))
+
+    line = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        price_c = _cents(b.column("l_extendedprice"), 100)
+        disc = _cents(b.column("l_discount"), 100)
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        key = pc.cast(_chunk(b.column("l_partkey")), pa.int64())
+        t = pa.table(
+            {
+                "l_partkey": key,
+                "l_suppkey": pc.cast(_chunk(b.column("l_suppkey")), pa.int64()),
+                "rev": rev,
+            }
+        )
+        df = (
+            t.to_pandas()
+            .groupby(["l_partkey", "l_suppkey"], as_index=False)
+            .agg(rev=("rev", "sum"))
+        )
+        df["_bucket"] = key_bucket(
+            pa.Array.from_pandas(df["l_partkey"]), num_buckets
+        ).astype(np.int32)
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    def min_pick(g: pd.DataFrame) -> pa.Table:
+        names, nks, nnames = ray.get(supp_handle)
+        agg = g.groupby(["l_partkey", "l_suppkey"], as_index=False).agg(
+            rev=("rev", "sum")
+        )
+        mn = agg.groupby("l_partkey")["rev"].transform("min")
+        win = agg[agg["rev"] == mn]
+        skeys = win["l_suppkey"]
+        return pa.table(
+            {
+                "p_partkey": pa.Array.from_pandas(win["l_partkey"]),
+                "s_suppkey": pa.Array.from_pandas(skeys),
+                "s_name": pa.Array.from_pandas(skeys.map(names)).cast(pa.string()),
+                "n_name": pa.Array.from_pandas(
+                    skeys.map(nks).map(nnames)
+                ).cast(pa.string()),
+                "supply_rev": pc.divide(
+                    pc.cast(pa.Array.from_pandas(win["rev"]), pa.float64()),
+                    pa.scalar(10000.0),
+                ),
+            }
+        )
+
+    return (
+        line.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(min_pick, batch_format="pandas")
+    )
