@@ -2781,6 +2781,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "vietnamese_ocr_ray.functions.classifier",
             fromlist=["classifier_score"],
         ).classifier_score(_docs(sf)),
+        "decision_stump": lambda sf: __import__(
+            "vietnamese_ocr_ray.functions.classifier",
+            fromlist=["decision_stump"],
+        ).decision_stump(sf),
         "gopher_filter": lambda sf: gopher_filter(_docs(sf)),
         "repetition_ratio": lambda sf: repetition_ratio(_docs(sf)),
         "span_corruption": lambda sf: span_corruption(_docs(sf)),
@@ -6537,6 +6541,48 @@ def oracle_sql() -> dict[str, str]:
                         nfc_normalize(lower(text)), '\\s+', ' ', 'g'))
                         <> text THEN 1 ELSE 0 END AS BIGINT) AS changed
         FROM documents
+        """,
+        "decision_stump": """
+        WITH c AS (
+          SELECT CAST(round(value * 1000) AS BIGINT) AS v,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+          FROM events),
+        mm AS (SELECT min(v) AS lo, max(v) AS hi,
+                      max(v) - min(v) + 1 AS span FROM c),
+        h0 AS (SELECT ((v - lo) * 64) // span AS bin,
+                      sum(y) AS a, count(*) AS n
+               FROM c, mm GROUP BY 1),
+        bins AS (SELECT CAST(i AS BIGINT) AS bin
+                 FROM unnest(generate_series(0, 63)) t(i)),
+        h AS (SELECT bins.bin, coalesce(h0.a, 0) AS a, coalesce(h0.n, 0) AS n
+              FROM bins LEFT JOIN h0 USING (bin)),
+        cum AS (SELECT bin, sum(a) OVER (ORDER BY bin) AS ca,
+                       sum(n) OVER (ORDER BY bin) AS cn FROM h),
+        tot AS (SELECT sum(a) AS ta, sum(n) AS tn FROM h),
+        cand AS (
+          SELECT bin + 1 AS t, cn AS n_l, ca AS a_l,
+                 tn - cn AS n_r, ta - ca AS a_r
+          FROM cum, tot WHERE bin < 63 AND cn > 0 AND tn - cn > 0),
+        scored AS (
+          SELECT t, n_l, a_l, n_r, a_r,
+                 ((CAST(a_l AS HUGEINT) * a_l
+                   + CAST(n_l - a_l AS HUGEINT) * (n_l - a_l)) * n_r
+                  + (CAST(a_r AS HUGEINT) * a_r
+                     + CAST(n_r - a_r AS HUGEINT) * (n_r - a_r)) * n_l) AS p,
+                 CAST(n_l AS HUGEINT) * n_r AS q
+          FROM cand),
+        best AS (
+          SELECT *, (p * CAST(1000000000000 AS HUGEINT)) // q AS s
+          FROM scored ORDER BY s DESC, t ASC LIMIT 1)
+        SELECT CAST(t AS BIGINT) AS split_bin,
+               CAST(lo + (t * span + 63) // 64 AS DOUBLE) / 1000.0
+                 AS threshold,
+               CAST(n_l AS BIGINT) AS n_left,
+               CAST(a_l AS BIGINT) AS pos_left,
+               CAST(n_r AS BIGINT) AS n_right,
+               CAST(a_r AS BIGINT) AS pos_right,
+               CAST(s AS BIGINT) AS score_fe12
+        FROM best, mm
         """,
         "classifier_score": """
         WITH tok AS (

@@ -5151,3 +5151,46 @@ def test_min_rev_supplier_keeps_ties(ray_session, tmp_path):
     assert (part1.supply_rev == 5.0).all()
     part2 = out[out.p_partkey == 2]
     assert list(part2.s_suppkey) == [10] and float(part2.supply_rev.iloc[0]) == 7.0
+
+
+def test_decision_stump_perfect_separation(ray_session, tmp_path):
+    """Values below 100 are all 'purchase', above are all 'click' —
+    the learned stump must separate them perfectly and report pure
+    sides (weighted Gini 0 => score_fe12 == N * 1e12)."""
+    import pandas as pd_mod
+
+    from vietnamese_ocr_ray.functions.classifier import decision_stump
+
+    lo_vals = [float(v) for v in range(1, 41)]  # purchases at 1..40
+    hi_vals = [float(v) for v in range(200, 240)]  # clicks at 200..239
+    pd_mod.DataFrame(
+        {
+            "value": lo_vals + hi_vals,
+            "event_type": ["purchase"] * 40 + ["click"] * 40,
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+
+    out = decision_stump(str(tmp_path)).to_pandas().iloc[0]
+    assert out.n_left == 40 and out.pos_left == 40  # pure positive side
+    assert out.n_right == 40 and out.pos_right == 0  # pure negative side
+    assert 40.0 < out.threshold <= 200.0
+    assert out.score_fe12 == 80 * 10**12  # gini 0 on both sides
+
+
+def test_decision_stump_tie_breaks_to_smaller_threshold(ray_session, tmp_path):
+    """With a single positive at the minimum value and the rest
+    negative, every cut isolating it scores the same — the contract
+    picks the SMALLEST threshold bin."""
+    import pandas as pd_mod
+
+    from vietnamese_ocr_ray.functions.classifier import decision_stump
+
+    pd_mod.DataFrame(
+        {
+            "value": [0.0] + [100.0] * 20,
+            "event_type": ["purchase"] + ["click"] * 20,
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    out = decision_stump(str(tmp_path)).to_pandas().iloc[0]
+    assert out.split_bin == 1  # first separating cut, not a later tie
+    assert out.n_left == 1 and out.pos_left == 1

@@ -113,6 +113,7 @@ def _check(m, con, name):
         "ks_test_value",
         "ks_source_length",
         "min_rev_supplier",
+        "decision_stump",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

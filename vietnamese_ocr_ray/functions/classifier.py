@@ -151,3 +151,115 @@ def classifier_score(
         partial(_score_batch_tasks, dim=dim, salt="w:"),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# Decision-stump learning: distributed histogram, exact-integer split search
+# ---------------------------------------------------------------------------
+
+
+def decision_stump(
+    sf_dir: str, target: str = "purchase", nbins: int = 64
+) -> "pa.Table":
+    """Learn the best single-threshold split of ``value`` predicting
+    ``event_type == target`` — the CART root-node computation, the
+    one-feature case of distributed tree learning (and the classic
+    "1R" baseline classifier).
+
+    Distributed shape: pass 1 is a (min, max) aggregate over exact
+    integer milli-values; pass 2 is a per-batch (bin, label) bincount
+    partial -> one tiny Sum groupby (2 * nbins rows cross the wire per
+    block, never rows). The candidate scan runs driver-side over the
+    ``nbins``-row histogram — constant-sized, like every argmin this
+    engine keeps on the driver.
+
+    Exactness: weighted-Gini argmax is done in unbounded Python ints.
+    Minimizing weighted Gini == maximizing
+    ``S(t) = (aL^2+bL^2)/nL + (aR^2+bR^2)/nR``; scores are compared via
+    the integer fixed-point ``(p * 10^12) // q`` with
+    ``p = (aL^2+bL^2)*nR + (aR^2+bR^2)*nL`` and ``q = nL*nR`` — the SQL
+    oracle replays the same HUGEINT arithmetic, so the chosen split is
+    bit-identical (ties break toward the smaller threshold). Empty
+    sides are not candidates.
+
+    Binning: ``bin = (v - lo) * nbins // (hi - lo + 1)`` over
+    non-negative ints — floor == truncate, so numpy and DuckDB ``//``
+    agree.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    from vietnamese_ocr_ray.sources.storage import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["value", "event_type"]
+    )
+
+    def to_milli(b: pa.Table) -> pa.Table:
+        v = pc.cast(
+            pc.round(pc.multiply(b.column("value"), pa.scalar(1000.0))),
+            pa.int64(),
+        )
+        return pa.table(
+            {"v": v, "y": pc.equal(b.column("event_type"), pa.scalar(target))}
+        )
+
+    milli = ds.map_batches(to_milli, batch_format="pyarrow")
+    mm = milli.aggregate(Min("v"), Max("v"))
+    lo, hi = int(mm["min(v)"]), int(mm["max(v)"])
+    span = hi - lo + 1
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        y = b.column("y").to_numpy(zero_copy_only=False)
+        bins = (v - lo) * nbins // span
+        pos = np.bincount(bins[y], minlength=nbins)
+        tot = np.bincount(bins, minlength=nbins)
+        return pa.table(
+            {
+                "bin": pa.array(np.arange(nbins, dtype=np.int64)),
+                "a": pa.array(pos.astype(np.int64)),
+                "n": pa.array(tot.astype(np.int64)),
+            }
+        )
+
+    hist = (
+        milli.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("a", alias_name="a"), Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("bin")
+    )
+    a = np.zeros(nbins, np.int64)
+    n = np.zeros(nbins, np.int64)
+    a[hist["bin"].to_numpy()] = hist["a"].to_numpy()
+    n[hist["bin"].to_numpy()] = hist["n"].to_numpy()
+    A, N = int(a.sum()), int(n.sum())
+
+    best = None  # (score_fe12, -t) maximized; tie -> smaller t
+    ca = cn = 0
+    for t in range(1, nbins):
+        ca += int(a[t - 1])
+        cn += int(n[t - 1])
+        n_l, a_l = cn, ca
+        n_r, a_r = N - cn, A - ca
+        if n_l == 0 or n_r == 0:
+            continue
+        b_l, b_r = n_l - a_l, n_r - a_r
+        p = (a_l * a_l + b_l * b_l) * n_r + (a_r * a_r + b_r * b_r) * n_l
+        q = n_l * n_r
+        score = (p * 10**12) // q
+        if best is None or score > best[0] or (score == best[0] and t < best[1]):
+            best = (score, t, n_l, a_l, n_r, a_r)
+    score, t, n_l, a_l, n_r, a_r = best
+    thr_milli = lo + (t * span + nbins - 1) // nbins  # smallest v in bin >= t
+    return pa.table(
+        {
+            "split_bin": pa.array([t], pa.int64()),
+            "threshold": pa.array([thr_milli / 1000.0], pa.float64()),
+            "n_left": pa.array([n_l], pa.int64()),
+            "pos_left": pa.array([a_l], pa.int64()),
+            "n_right": pa.array([n_r], pa.int64()),
+            "pos_right": pa.array([a_r], pa.int64()),
+            "score_fe12": pa.array([score], pa.int64()),
+        }
+    )
