@@ -2781,6 +2781,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "vietnamese_ocr_ray.functions.classifier",
             fromlist=["classifier_score"],
         ).classifier_score(_docs(sf)),
+        "nb_classify": lambda sf: __import__(
+            "vietnamese_ocr_ray.functions.classifier",
+            fromlist=["nb_classify"],
+        ).nb_classify(sf),
         "decision_stump": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.classifier",
             fromlist=["decision_stump"],
@@ -6541,6 +6545,51 @@ def oracle_sql() -> dict[str, str]:
                         nfc_normalize(lower(text)), '\\s+', ' ', 'g'))
                         <> text THEN 1 ELSE 0 END AS BIGINT) AS changed
         FROM documents
+        """,
+        "nb_classify": """
+        WITH t AS (SELECT doc_id, lang,
+                          unnest(string_split(text, ' ')) AS tok
+                   FROM documents),
+        v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vs FROM t),
+        ct AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS n
+               FROM t GROUP BY lang, tok),
+        tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS ntok
+                FROM t GROUP BY lang),
+        pri AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd
+                FROM documents GROUP BY lang),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        w AS (SELECT ct.lang, ct.tok,
+                     CAST(round(ln(CAST(ct.n + 1 AS DOUBLE)
+                                   / CAST(tot.ntok + v.vs AS DOUBLE))
+                                * 1000000) AS BIGINT) AS w
+              FROM ct JOIN tot USING (lang) CROSS JOIN v),
+        w0 AS (SELECT lang,
+                      CAST(round(ln(1.0 / CAST(tot.ntok + v.vs AS DOUBLE))
+                                 * 1000000) AS BIGINT) AS w0
+               FROM tot CROSS JOIN v),
+        pw AS (SELECT pri.lang,
+                      CAST(round(ln(CAST(nd AS DOUBLE)
+                                    / CAST(nn.n AS DOUBLE))
+                                 * 1000000) AS BIGINT) AS pw
+               FROM pri CROSS JOIN nn),
+        dt AS (SELECT doc_id, lang AS true_lang, tok FROM t),
+        sc AS (SELECT dt.doc_id, any_value(dt.true_lang) AS true_lang,
+                      l.lang,
+                      sum(coalesce(w.w, w0.w0)) + any_value(pw.pw) AS s
+               FROM dt
+               CROSS JOIN (SELECT lang FROM pri) l
+               LEFT JOIN w ON w.lang = l.lang AND w.tok = dt.tok
+               JOIN w0 ON w0.lang = l.lang
+               JOIN pw ON pw.lang = l.lang
+               GROUP BY dt.doc_id, l.lang),
+        best AS (SELECT *, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY s DESC, lang ASC) AS rk
+                 FROM sc)
+        SELECT doc_id, true_lang, lang AS pred_lang,
+               CAST(s AS BIGINT) AS score_micro,
+               CAST(CASE WHEN lang = true_lang THEN 1 ELSE 0 END AS BIGINT)
+                 AS correct
+        FROM best WHERE rk = 1
         """,
         "decision_stump": """
         WITH c AS (

@@ -5194,3 +5194,32 @@ def test_decision_stump_tie_breaks_to_smaller_threshold(ray_session, tmp_path):
     out = decision_stump(str(tmp_path)).to_pandas().iloc[0]
     assert out.split_bin == 1  # first separating cut, not a later tie
     assert out.n_left == 1 and out.pos_left == 1
+
+
+def test_nb_classify_separable_corpus(ray_session, tmp_path):
+    """Two langs with disjoint vocabularies classify perfectly; a doc
+    mixing both vocabularies goes to the lang owning the majority of
+    its tokens (priors equal)."""
+    import pandas as pd_mod
+
+    from vietnamese_ocr_ray.functions.classifier import nb_classify
+
+    pd_mod.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "aa aa bb",
+                "aa bb bb",
+                "xx yy xx",
+                "yy yy xx",
+                "aa aa aa xx",  # 3 'en' tokens vs 1 'fr' token
+            ],
+            "lang": ["en", "en", "fr", "fr", "en"],
+        }
+    ).to_parquet(tmp_path / "documents.parquet")
+
+    out = nb_classify(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert list(out.loc[[1, 2], "pred_lang"]) == ["en", "en"]
+    assert list(out.loc[[3, 4], "pred_lang"]) == ["fr", "fr"]
+    assert out.loc[5, "pred_lang"] == "en"
+    assert out["correct"].sum() == 5

@@ -114,6 +114,7 @@ def _check(m, con, name):
         "ks_source_length",
         "min_rev_supplier",
         "decision_stump",
+        "nb_classify",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

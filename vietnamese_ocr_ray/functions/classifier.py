@@ -263,3 +263,122 @@ def decision_stump(
             "score_fe12": pa.array([score], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes: distributed count training, broadcast scoring
+# ---------------------------------------------------------------------------
+
+
+def nb_classify(sf_dir: str) -> rd.Dataset:
+    """Train a multinomial Naive Bayes lang model on the corpus's own
+    (text, lang) pairs and classify every document — the fastText-style
+    supervised lang-ID / quality-tagging stage of a curation pipeline,
+    with training folded in (counts are one distributed aggregate).
+
+    Shape: token counts per (lang, tok) come from per-batch Arrow
+    group_by partials -> one vocab-bounded groupby; the learned weight
+    table (vocab x langs, Laplace-smoothed log-likelihoods + priors) is
+    vocab-bounded and ships ONCE via ray.put; scoring is a stateless
+    map_batches — flat token split, one weight-matrix gather, one
+    segment-sum per doc. No shuffle touches document rows.
+
+    Determinism: weights quantize to integer MICRO-nats
+    (round(ln(p) * 1e6), the zipf_slope convention — coarse enough that
+    a last-ulp ln() divergence between numpy and DuckDB cannot flip a
+    rounded weight); per-doc scores are exact int64 sums of those
+    integers, and argmax ties break toward the lexicographically
+    smallest lang, replayed in SQL by (score DESC, lang ASC).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from vietnamese_ocr_ray.sources.storage import read_parquet_clean
+
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(b.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        lang = pa.array(
+            np.repeat(np.asarray(b.column("lang")), ntok), pa.string()
+        )
+        g = (
+            pa.table({"lang": lang, "tok": flat})
+            .group_by(["lang", "tok"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["lang", "tok", "n"])
+
+    counts = (
+        docs.map_batches(count_partial, batch_format="pyarrow")
+        .groupby(["lang", "tok"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    pri = (
+        docs.map_batches(
+            lambda b: pa.table(
+                {"lang": b.column("lang"), "nd": np.ones(b.num_rows, np.int64)}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("lang")
+        .aggregate(Sum("nd", alias_name="nd"))
+        .to_pandas()
+    )
+
+    langs = sorted(pri["lang"])
+    lang_idx = {l: i for i, l in enumerate(langs)}
+    vocab = sorted(counts["tok"].unique())
+    tok_idx = {t: i for i, t in enumerate(vocab)}
+    V, L = len(vocab), len(langs)
+    cmat = np.zeros((V, L), np.int64)
+    cmat[
+        counts["tok"].map(tok_idx).to_numpy(),
+        counts["lang"].map(lang_idx).to_numpy(),
+    ] = counts["n"].to_numpy()
+    ctot = cmat.sum(axis=0)
+    n_docs = int(pri["nd"].sum())
+    nd = np.zeros(L, np.int64)
+    nd[pri["lang"].map(lang_idx).to_numpy()] = pri["nd"].to_numpy()
+
+    wmat = np.round(
+        np.log((cmat + 1).astype(np.float64) / (ctot + V).astype(np.float64))
+        * 1e6
+    ).astype(np.int64)
+    prior = np.round(np.log(nd / float(n_docs)) * 1e6).astype(np.int64)
+    model = ray.put((tok_idx, wmat, prior, np.array(langs)))
+
+    def score(b: pa.Table) -> pa.Table:
+        tidx, W, P, larr = ray.get(model)
+        toks = pc.split_pattern(b.column("text"), " ")
+        flat = pc.list_flatten(toks).to_pandas()
+        ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        idx = flat.map(tidx).to_numpy(np.int64)  # corpus-trained: no misses
+        gathered = W[idx]  # (ntok_flat, L)
+        bounds = np.concatenate(([0], np.cumsum(ntok)))[:-1]
+        sums = np.add.reduceat(gathered, bounds, axis=0)
+        sums[ntok == 0] = 0  # reduceat repeats rows on empty segments
+        scores = sums + P[None, :]
+        best = np.argmax(scores, axis=1)  # first max == smallest lang
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "true_lang": b.column("lang"),
+                "pred_lang": pa.array(larr[best], pa.string()),
+                "score_micro": pa.array(
+                    scores[np.arange(len(best)), best], pa.int64()
+                ),
+                "correct": pa.array(
+                    (
+                        np.asarray(b.column("lang")) == larr[best]
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
