@@ -388,6 +388,22 @@ def _partition_stats(sf_dir: str):
     return partition_stats(ds, "doc_id", "n_chars")
 
 
+def _zonemap_prune_stats(sf_dir: str):
+    """Zone-map pruning audit of the range scan
+    shipdate in [1997-01-01, 1997-07-01) over lineitem laid out in
+    l_orderkey zones — pruned / false-positive zones per the min-max
+    statistics a sorted parquet write would carry
+    (functions/layout.zonemap_prune_stats)."""
+    from vietnamese_ocr_ray.functions.layout import zonemap_prune_stats
+
+    lo = int(np.datetime64("1997-01-01", "us").astype(np.int64))
+    hi = int(np.datetime64("1997-07-01", "us").astype(np.int64))
+    ds = _read_pq(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    return zonemap_prune_stats(ds, "l_orderkey", "l_shipdate", lo, hi)
+
+
 def _snapshot_diff(sf_dir: str):
     """CDC classification between the corpus and a derived second
     snapshot (deterministic v2: every 17th doc deleted, every
@@ -2651,6 +2667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_autocorr": _shuffle_autocorr,
         "zorder_layout": _zorder_layout,
         "partition_stats": _partition_stats,
+        "zonemap_prune_stats": _zonemap_prune_stats,
         "snapshot_diff": _snapshot_diff,
         "merge_upsert": _merge_upsert,
         "value_mad": lambda sf: relational.value_mad(sf),
@@ -6310,6 +6327,30 @@ def oracle_sql() -> dict[str, str]:
                                WHEN 'es' THEN 800 ELSE 100 END
         """,
         "zorder_layout": _zorder_sql(),
+        "zonemap_prune_stats": """
+        WITH z AS (
+          SELECT l_orderkey // 512 AS zone,
+                 epoch_us(l_shipdate) AS ts,
+                 CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                       AND l_shipdate <  TIMESTAMP '1997-07-01'
+                      THEN 1 ELSE 0 END AS m
+          FROM lineitem),
+        g AS (
+          SELECT zone, CAST(count(*) AS BIGINT) AS n_rows,
+                 min(ts) AS min_v, max(ts) AS max_v,
+                 CAST(sum(m) AS BIGINT) AS n_match
+          FROM z GROUP BY zone)
+        SELECT zone, n_rows, min_v, max_v,
+               CAST(CASE WHEN max_v < epoch_us(TIMESTAMP '1997-01-01')
+                          OR min_v >= epoch_us(TIMESTAMP '1997-07-01')
+                    THEN 1 ELSE 0 END AS BIGINT) AS pruned,
+               n_match,
+               CAST(CASE WHEN NOT (max_v < epoch_us(TIMESTAMP '1997-01-01')
+                          OR min_v >= epoch_us(TIMESTAMP '1997-07-01'))
+                          AND n_match = 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS false_positive
+        FROM g
+        """,
         "partition_stats": _partition_stats_sql(),
         "snapshot_diff": _snapshot_diff_sql(),
         "source_temperature_weights": """

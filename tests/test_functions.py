@@ -5223,3 +5223,34 @@ def test_nb_classify_separable_corpus(ray_session, tmp_path):
     assert list(out.loc[[3, 4], "pred_lang"]) == ["fr", "fr"]
     assert out.loc[5, "pred_lang"] == "en"
     assert out["correct"].sum() == 5
+
+
+def test_zonemap_prune_stats_flags(ray_session):
+    """Zones fully below/above the predicate range are pruned; an
+    overlapping zone with no matching rows is a false positive."""
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.layout import zonemap_prune_stats
+
+    # zone 0: values 0..9 (below range). zone 1: straddles the range
+    # boundary but has NO value inside [10, 20). zone 2: values inside.
+    t = pa.table(
+        {
+            "k": pa.array([0, 1, 2, 10, 11, 20, 21], pa.int64()),
+            "v": pa.array([0, 5, 9, 5, 25, 12, 15], pa.int64()),
+        }
+    )
+    out = (
+        zonemap_prune_stats(
+            rd_mod.from_arrow(t), "k", "v", 10, 20, keys_per_zone=10
+        )
+        .to_pandas()
+        .set_index("zone")
+        .sort_index()
+    )
+    assert out.loc[0, "pruned"] == 1 and out.loc[0, "false_positive"] == 0
+    assert out.loc[1, "pruned"] == 0 and out.loc[1, "n_match"] == 0
+    assert out.loc[1, "false_positive"] == 1
+    assert out.loc[2, "pruned"] == 0 and out.loc[2, "n_match"] == 2
+    assert out.loc[2, "false_positive"] == 0
+    assert list(out["n_rows"]) == [3, 2, 2]

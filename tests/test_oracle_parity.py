@@ -115,6 +115,7 @@ def _check(m, con, name):
         "min_rev_supplier",
         "decision_stump",
         "nb_classify",
+        "zonemap_prune_stats",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

@@ -127,3 +127,90 @@ def partition_stats(
             "skew_ppm": pa.array(1_000_000 * n * num_buckets // total),
         }
     )
+
+
+def zonemap_prune_stats(
+    ds: rd.Dataset,
+    layout_col: str,
+    value_col: str,
+    lo: int,
+    hi: int,
+    *,
+    keys_per_zone: int = 512,
+) -> rd.Dataset:
+    """Zone-map (min/max statistics) audit: lay the table out in
+    key-range zones of ``layout_col`` (``zone = key // keys_per_zone``,
+    the physical clustering a sorted write produces), record each
+    zone's min/max of ``value_col``, and evaluate how well those zone
+    maps prune the range predicate ``lo <= value < hi``:
+
+    - ``pruned``      — the zone map alone excludes the zone
+      (max < lo or min >= hi): its file is never opened;
+    - ``n_match``     — exact matching rows, so a zone with
+      ``pruned = 0 AND n_match = 0`` is a FALSE-POSITIVE zone — the
+      scan opened it for nothing. The ratio of those rows is the
+      "should have sorted by value_col / z-ordered" signal, the audit
+      run before choosing a table's layout (zorder_layout is the fix).
+
+    Scale shape: one per-batch Arrow group_by partial per zone -> one
+    zone-bounded hash aggregate (zones = key range / keys_per_zone,
+    never row count). All-integer, bit-exact vs SQL.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch.column(layout_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table(
+            {
+                "zone": pa.array(k // keys_per_zone),
+                "v": pa.array(v),
+                "m": pa.array(((v >= lo) & (v < hi)).astype(np.int64)),
+                "one": pa.array(np.ones(k.shape[0], np.int64)),
+            }
+        )
+        g = t.group_by("zone").aggregate(
+            [("v", "min"), ("v", "max"), ("m", "sum"), ("one", "sum")]
+        )
+        return g.rename_columns(["zone", "v_min", "v_max", "m", "n"])
+
+    agg = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["zone"],
+        {
+            "min_v": ("v_min", "min"),
+            "max_v": ("v_max", "max"),
+            "n_match": ("m", "sum"),
+            "n_rows": ("n", "sum"),
+        },
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        mn = pc.cast(t.column("min_v"), pa.int64())
+        mx = pc.cast(t.column("max_v"), pa.int64())
+        pruned = pc.cast(
+            pc.or_(
+                pc.less(mx, pa.scalar(lo, pa.int64())),
+                pc.greater_equal(mn, pa.scalar(hi, pa.int64())),
+            ),
+            pa.int64(),
+        )
+        n_match = pc.cast(t.column("n_match"), pa.int64())
+        return pa.table(
+            {
+                "zone": pc.cast(t.column("zone"), pa.int64()),
+                "n_rows": pc.cast(t.column("n_rows"), pa.int64()),
+                "min_v": mn,
+                "max_v": mx,
+                "pruned": pruned,
+                "n_match": n_match,
+                "false_positive": pc.cast(
+                    pc.and_(
+                        pc.equal(pruned, pa.scalar(0, pa.int64())),
+                        pc.equal(n_match, pa.scalar(0, pa.int64())),
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
