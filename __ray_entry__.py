@@ -378,6 +378,18 @@ def _zorder_layout(sf_dir: str):
     return zorder_layout(ds, "lang", "n_chars")
 
 
+def _hilbert_layout(sf_dir: str):
+    """Hilbert-curve clustering key + file assignment over
+    (lang, n_chars) — zorder_layout's locality-optimal twin
+    (functions/layout.hilbert_layout)."""
+    from vietnamese_ocr_ray.functions.layout import hilbert_layout
+
+    ds = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return hilbert_layout(ds, "lang", "n_chars")
+
+
 def _partition_stats(sf_dir: str):
     """Shuffle-planner observability: per-bucket row/byte counts +
     integer skew ratio under the engine's own splitmix64 bucket hash
@@ -2666,6 +2678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_epochs": _source_epochs,
         "shuffle_autocorr": _shuffle_autocorr,
         "zorder_layout": _zorder_layout,
+        "hilbert_layout": _hilbert_layout,
         "partition_stats": _partition_stats,
         "zonemap_prune_stats": _zonemap_prune_stats,
         "snapshot_diff": _snapshot_diff,
@@ -3593,6 +3606,48 @@ def _zorder_sql() -> str:
     SELECT doc_id, zorder_key,
            CAST(zorder_key // 16 AS BIGINT) AS file_bucket
     FROM z
+    """
+
+
+def _hilbert_sql(bits: int = 8) -> str:
+    """The iterative Hilbert xy2d rotate-and-fold loop unrolled as one
+    chained CTE per bit level — each round reads the previous round's
+    (x, y, d) and applies the flip/swap CASEs from the PRE-round
+    values, exactly like the vectorized numpy rounds."""
+    rounds = []
+    prev = "h0"
+    for i, s in enumerate(1 << b for b in range(bits - 1, -1, -1)):
+        cur = f"h{i + 1}"
+        rounds.append(
+            f"""{cur} AS (
+      SELECT doc_id,
+        d + {s * s} * CAST(xor(
+              3 * (CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END),
+              CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        CASE WHEN (y & {s}) = 0
+             THEN (CASE WHEN (x & {s}) > 0 THEN {s} - 1 - y ELSE y END)
+             ELSE x END AS x,
+        CASE WHEN (y & {s}) = 0
+             THEN (CASE WHEN (x & {s}) > 0 THEN {s} - 1 - x ELSE x END)
+             ELSE y END AS y
+      FROM {prev})"""
+        )
+        prev = cur
+    chain = ",\n    ".join(rounds)
+    return f"""
+    WITH l AS (
+      SELECT lg, row_number() OVER (ORDER BY lg) - 1 AS r
+      FROM (SELECT DISTINCT lang AS lg FROM documents)
+    ), h0 AS (
+      SELECT doc_id, CAST(l.r AS BIGINT) AS x,
+             CAST(least(n_chars, 255) AS BIGINT) AS y,
+             CAST(0 AS BIGINT) AS d
+      FROM documents JOIN l ON documents.lang = l.lg
+    ),
+    {chain}
+    SELECT doc_id, d AS hilbert_key,
+           CAST(d // 16 AS BIGINT) AS file_bucket
+    FROM {prev}
     """
 
 
@@ -6327,6 +6382,7 @@ def oracle_sql() -> dict[str, str]:
                                WHEN 'es' THEN 800 ELSE 100 END
         """,
         "zorder_layout": _zorder_sql(),
+        "hilbert_layout": _hilbert_sql(),
         "zonemap_prune_stats": """
         WITH z AS (
           SELECT l_orderkey // 512 AS zone,

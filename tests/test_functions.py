@@ -5254,3 +5254,53 @@ def test_zonemap_prune_stats_flags(ray_session):
     assert out.loc[2, "pruned"] == 0 and out.loc[2, "n_match"] == 2
     assert out.loc[2, "false_positive"] == 0
     assert list(out["n_rows"]) == [3, 2, 2]
+
+
+def test_hilbert_key_bijective_and_neighbor_contiguous():
+    """Order-4 Hilbert key over the full 16x16 grid: a bijection onto
+    0..255 where CONSECUTIVE keys are always grid neighbors (Manhattan
+    distance exactly 1) — the locality property Morton order lacks."""
+    from vietnamese_ocr_ray.functions.layout import hilbert_key, zorder_key
+
+    n = 16
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    xs = xs.ravel().astype(np.int64)
+    ys = ys.ravel().astype(np.int64)
+    d = hilbert_key(xs, ys, bits=4)
+    assert sorted(d) == list(range(n * n))  # bijection
+    order = np.argsort(d)
+    steps = np.abs(np.diff(xs[order])) + np.abs(np.diff(ys[order]))
+    assert (steps == 1).all()  # every curve step is a grid neighbor
+    # Morton, for contrast, jumps: at least one step > 1
+    z = zorder_key(xs, ys, bits=4)
+    zorder_steps = np.abs(np.diff(xs[np.argsort(z)])) + np.abs(
+        np.diff(ys[np.argsort(z)])
+    )
+    assert (zorder_steps > 1).any()
+
+
+def test_hilbert_layout_buckets(ray_session):
+    """hilbert_layout assigns keys from (group rank, capped value) and
+    derives file buckets by key // cells_per_file."""
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.layout import hilbert_key, hilbert_layout
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "lang": pa.array(["b", "a", "a"], pa.string()),
+            "n_chars": pa.array([3, 1000, 0], pa.int64()),
+        }
+    )
+    out = (
+        hilbert_layout(rd_mod.from_arrow(t), "lang", "n_chars")
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # ranks: a=0, b=1; n_chars caps at 255
+    exp = hilbert_key(
+        np.array([1, 0, 0], np.int64), np.array([3, 255, 0], np.int64)
+    )
+    assert list(out.loc[[1, 2, 3], "hilbert_key"]) == list(exp)
+    assert (out["file_bucket"] == out["hilbert_key"] // 16).all()

@@ -116,6 +116,7 @@ def _check(m, con, name):
         "decision_stump",
         "nb_classify",
         "zonemap_prune_stats",
+        "hilbert_layout",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

@@ -214,3 +214,77 @@ def zonemap_prune_stats(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def hilbert_key(a: np.ndarray, b: np.ndarray, bits: int = 8) -> np.ndarray:
+    """Distance along the order-``bits`` Hilbert curve of the point
+    (a, b) — the locality-preserving alternative to Morton order
+    (zorder_key): consecutive keys are always GRID NEIGHBORS, so range
+    scans over the key touch spatially-contiguous cells with no Morton
+    "seam jumps". Vectorized over rows; the standard rotate-and-fold
+    loop runs O(bits) numpy passes (Hilbert 1891 / the classic
+    iterative xy2d), not O(rows) Python."""
+    x = a.astype(np.int64).copy()
+    y = b.astype(np.int64).copy()
+    d = np.zeros(x.shape[0], np.int64)
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # quadrant rotation: where ry == 0, flip both (if rx == 1),
+        # then swap x/y — all from the pre-round values
+        flipx = np.where(rx == 1, s - 1 - x, x)
+        flipy = np.where(rx == 1, s - 1 - y, y)
+        x, y = np.where(ry == 0, flipy, x), np.where(ry == 0, flipx, y)
+        s >>= 1
+    return d
+
+
+def hilbert_layout(
+    ds: rd.Dataset,
+    group_col: str,
+    value_col: str,
+    *,
+    id_col: str = "doc_id",
+    value_cap: int = 255,
+    cells_per_file: int = 16,
+    bits: int = 8,
+) -> rd.Dataset:
+    """(id, hilbert_key, file_bucket): zorder_layout's shape with the
+    Hilbert curve as the space-filling order — strictly better scan
+    locality (every key step is a grid neighbor) at the cost of the
+    rotate/fold arithmetic. Same broadcast group-rank lookup, zero
+    corpus shuffles; ``file_bucket = key // cells_per_file`` is the
+    partitioned-write target."""
+    groups = (
+        hash_aggregate(
+            ds.select_columns([group_col]), [group_col], {"n": (group_col, "count")}
+        )
+        .to_pandas()[group_col]
+        .astype(str)
+        .sort_values(kind="stable")
+        .tolist()
+    )
+    garr = pa.array(groups, pa.string())
+
+    def key(batch: pa.Table) -> pa.Table:
+        r = (
+            pc.index_in(batch.column(group_col), garr)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        v = np.minimum(
+            batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64),
+            value_cap,
+        )
+        h = hilbert_key(r, v, bits)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "hilbert_key": pa.array(h),
+                "file_bucket": pa.array(h // cells_per_file),
+            }
+        )
+
+    return ds.map_batches(key, batch_format="pyarrow")
