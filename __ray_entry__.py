@@ -2596,6 +2596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         lang_id,
         gopher_filter,
         quality_scores,
+        mlm_mask,
         repetition_ratio,
         span_corruption,
         subword_token_count,
@@ -2822,6 +2823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter": lambda sf: gopher_filter(_docs(sf)),
         "repetition_ratio": lambda sf: repetition_ratio(_docs(sf)),
         "span_corruption": lambda sf: span_corruption(_docs(sf)),
+        "mlm_mask": lambda sf: mlm_mask(_docs(sf)),
         "fim_transform": lambda sf: fim_transform(_docs(sf)),
         "token_entropy": lambda sf: token_entropy(_docs(sf)),
         "bm25_search": lambda sf: bm25_rank(_docs(sf)),
@@ -3648,6 +3650,48 @@ def _hilbert_sql(bits: int = 8) -> str:
     SELECT doc_id, d AS hilbert_key,
            CAST(d // 16 AS BIGINT) AS file_bucket
     FROM {prev}
+    """
+
+
+def _mlm_sql() -> str:
+    """BERT-style whole-token masking replayed in SQL: per-(doc, pos)
+    splitmix64 (the partition_stats fold), 15% mask rate via h % 20,
+    80/10/10 treatment via (h // 20) % 10, ordered string_agg."""
+    return f"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             CAST(generate_subscripts(string_split(text, ' '), 1) - 1
+                  AS BIGINT) AS pos
+      FROM documents),
+    h0 AS (
+      SELECT doc_id, tok, pos,
+             CAST((CAST(doc_id AS HUGEINT) * 1000003 + pos
+                   + 11400714819323198485) % {_U64_MOD} AS UBIGINT) AS h
+      FROM t),
+    f1 AS (SELECT doc_id, tok, pos,
+                  {_mul64_expr("xor(h, h >> 30)", 0xBF58476D1CE4E5B9)} AS h
+           FROM h0),
+    f2 AS (SELECT doc_id, tok, pos,
+                  {_mul64_expr("xor(h, h >> 27)", 0x94D049BB133111EB)} AS h
+           FROM f1),
+    f3 AS (SELECT doc_id, tok, pos, xor(h, h >> 31) AS h FROM f2),
+    m AS (SELECT doc_id, tok, pos,
+                 CASE WHEN h % 20 < 3 THEN 1 ELSE 0 END AS masked,
+                 (h // 20) % 10 AS r
+          FROM f3),
+    o AS (SELECT doc_id, pos, masked, tok,
+                 CASE WHEN masked = 1 THEN
+                   CASE WHEN r <= 7 THEN '[MASK]'
+                        WHEN r = 8 THEN reverse(tok)
+                        ELSE tok END
+                 ELSE tok END AS out_tok
+          FROM m)
+    SELECT doc_id,
+           CAST(sum(masked) AS BIGINT) AS n_masked,
+           string_agg(out_tok, ' ' ORDER BY pos) AS masked_text,
+           coalesce(string_agg(CASE WHEN masked = 1 THEN tok END, ' '
+                               ORDER BY pos), '') AS target_text
+    FROM o GROUP BY doc_id
     """
 
 
@@ -7563,6 +7607,7 @@ def oracle_sql() -> dict[str, str]:
                ELSE text END AS text_out
         FROM documents
         """,
+        "mlm_mask": _mlm_sql(),
         "span_corruption": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
         SELECT doc_id,

@@ -5304,3 +5304,43 @@ def test_hilbert_layout_buckets(ray_session):
     )
     assert list(out.loc[[1, 2, 3], "hilbert_key"]) == list(exp)
     assert (out["file_bucket"] == out["hilbert_key"] // 16).all()
+
+
+def test_mlm_mask_deterministic_and_reconstructible(ray_session):
+    """Masking is a pure function of (doc_id, position): two runs agree;
+    unmasked positions keep their token; n_masked counts the target
+    tokens; the 'keep' treatment (r == 9) still appears in targets."""
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.text import mlm_mask
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(50, dtype=np.int64)),
+            "text": pa.array(
+                [" ".join(f"w{i}x{j}" for j in range(30)) for i in range(50)]
+            ),
+        }
+    )
+    out1 = mlm_mask(rd_mod.from_arrow(docs)).to_pandas().sort_values("doc_id")
+    out2 = mlm_mask(rd_mod.from_arrow(docs)).to_pandas().sort_values("doc_id")
+    assert out1.equals(out2)
+    total_masked = int(out1.n_masked.sum())
+    assert 0 < total_masked < 50 * 30  # ~15% of 1500
+    originals = {
+        int(d): [f"w{d}x{j}" for j in range(30)] for d in out1.doc_id
+    }
+    for _, row in out1.iterrows():
+        toks = row.masked_text.split(" ")
+        tgts = row.target_text.split(" ") if row.target_text else []
+        assert len(toks) == 30
+        assert len(tgts) == row.n_masked
+        orig = originals[int(row.doc_id)]
+        for j, t in enumerate(toks):
+            # a position is either untouched, [MASK]ed, reversed, or a
+            # masked-but-kept token — never some unrelated string
+            assert t in (orig[j], "[MASK]", orig[j][::-1])
+        # targets are original tokens in position order
+        assert all(t in orig for t in tgts)
+    # masked rate is in a sane band around 15%
+    assert 0.10 < total_masked / (50 * 30) < 0.20

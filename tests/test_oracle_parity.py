@@ -117,6 +117,7 @@ def _check(m, con, name):
         "nb_classify",
         "zonemap_prune_stats",
         "hilbert_layout",
+        "mlm_mask",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

@@ -17,6 +17,7 @@ import ray.data as rd
 from ray.data.aggregate import Sum
 
 from vietnamese_ocr_ray.functions.dedup import content_hash64
+from vietnamese_ocr_ray.functions.joins import _mix64
 
 # deterministic language markers; tiebreak order en > de > es > fr
 LANG_MARKERS = [
@@ -1539,3 +1540,71 @@ def rrf_fuse(
             }
         )
     )
+
+
+def mlm_mask_batch(batch: pa.Table) -> pa.Table:
+    """BERT-style masked-LM example construction (Devlin 2018 §3.1),
+    made DETERMINISTIC so it is SQL-replayable: token position ``p`` of
+    document ``d`` draws ``h = splitmix64(d * 1000003 + p)``;
+    ``h % 20 < 3`` selects the 15% masked set, and within it
+    ``r = (h // 20) % 10`` picks the BERT 80/10/10 treatment —
+    ``r <= 7`` emits ``[MASK]``, ``r == 8`` substitutes a corrupt token
+    (deterministic stand-in for BERT's random-vocab draw: the token
+    REVERSED — content-derived, vocabulary-free, SQL ``reverse()``),
+    ``r == 9`` keeps the original (still predicted). Targets list the
+    original tokens at masked positions in order.
+
+    Whole-batch vectorized: one split, one splitmix64 pass over
+    (doc, pos) keys, Arrow if_else + filter + ListArray rebuild —
+    no per-doc Python. Scale: stateless map_batches, zero shuffles.
+    """
+    toks_list = pc.split_pattern(batch.column("text"), " ")
+    flat = pc.list_flatten(toks_list)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    ntok = (
+        pc.list_value_length(toks_list).to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    nb = batch.num_rows
+    n = len(flat)
+    ends = np.cumsum(ntok)
+    starts = ends - ntok
+    pos = np.arange(n, dtype=np.int64) - np.repeat(starts, ntok)
+    doc_ids = np.asarray(batch.column("doc_id"), dtype=np.int64)
+    doc = np.repeat(np.arange(nb, dtype=np.int64), ntok)
+    key = np.repeat(doc_ids, ntok).astype(np.uint64) * np.uint64(1000003) + pos.astype(
+        np.uint64
+    )
+    h = _mix64(key)
+    masked = (h % np.uint64(20)) < np.uint64(3)
+    r = (h // np.uint64(20)) % np.uint64(10)
+    use_mask = masked & (r <= np.uint64(7))
+    use_rev = masked & (r == np.uint64(8))
+    out_tok = pc.if_else(
+        pa.array(use_mask),
+        pa.scalar("[MASK]"),
+        pc.if_else(pa.array(use_rev), pc.utf8_reverse(flat), flat),
+    )
+
+    def join_rows(tokens, keep):
+        counts = np.bincount(doc[keep], minlength=nb)
+        offs = np.zeros(nb + 1, dtype=np.int32)
+        np.cumsum(counts, out=offs[1:])
+        lst = pa.ListArray.from_arrays(
+            pa.array(offs), tokens.filter(pa.array(keep))
+        )
+        return pc.binary_join(lst, pa.scalar(" "))
+
+    all_keep = np.ones(n, dtype=bool)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_masked": pa.array(np.bincount(doc[masked], minlength=nb)),
+            "masked_text": join_rows(out_tok, all_keep),
+            "target_text": join_rows(flat, masked),
+        }
+    )
+
+
+def mlm_mask(ds: rd.Dataset) -> rd.Dataset:
+    return ds.map_batches(mlm_mask_batch, batch_format="pyarrow")
