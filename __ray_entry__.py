@@ -1852,6 +1852,16 @@ def _approx_distinct_tokens(sf_dir: str):
     return approx_distinct_tokens(_docs(sf_dir, ("text",)))
 
 
+def _theta_overlap_sources(sf_dir: str):
+    """Pairwise source-overlap estimation from KMV/theta sketches —
+    the sketch-cost contamination audit (functions/sketch.
+    theta_overlap_sources); exact ints + one fixed float expression,
+    SQL-replayed via the kmv hash chain."""
+    from vietnamese_ocr_ray.functions.sketch import theta_overlap_sources
+
+    return theta_overlap_sources(_docs(sf_dir, ("source", "text")), k=64)
+
+
 def _kmv_distinct_sources(sf_dir: str):
     """Bottom-k (KMV) distinct-token sketch per source + their union
     (Bar-Yossef et al. 2002). SQL-value-checked: the kept hash set is
@@ -3019,6 +3029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _inverted_index,
         "approx_distinct_tokens": _approx_distinct_tokens,
         "kmv_distinct_sources": _kmv_distinct_sources,
+        "theta_overlap_sources": _theta_overlap_sources,
         "approx_quantiles": _approx_quantiles,
         "histogram_quantiles": _histogram_quantiles,
         "event_histogram_quantiles": _event_histogram_quantiles,
@@ -5114,6 +5125,53 @@ def _kmv_sql(k: int = 64) -> str:
                  ELSE {k - 1} * 18446744073709551616.0
                       / CAST(kth AS DOUBLE) END, 6) AS est_distinct
     FROM agg
+    """
+
+
+def _theta_overlap_sql(k: int = 64) -> str:
+    """(src_a, src_b, n_common, n_union, est_intersection, est_jaccard)
+    — the `theta_overlap_sources` oracle: per-source KMV bottom-k
+    (the _kmv_sql chain), theta = min over the pair (2^64 when a
+    sketch holds its whole set), exact below-theta intersection/union
+    counts, one fixed float expression per estimate."""
+    return f"""
+    WITH items AS (
+      SELECT DISTINCT source AS k, unnest(string_split(text, ' ')) AS v
+      FROM documents),
+    h0 AS (SELECT k, {_FNV_STR_FOLD.format(col="v")} AS h FROM items),
+    f1 AS (SELECT k, {_mul64_expr("xor(h, h >> 30)", 0xBF58476D1CE4E5B9)} AS h FROM h0),
+    f2 AS (SELECT k, {_mul64_expr("xor(h, h >> 27)", 0x94D049BB133111EB)} AS h FROM f1),
+    f3 AS (SELECT k, xor(h, h >> 31) AS h FROM f2),
+    d AS (SELECT DISTINCT k, h FROM f3),
+    kept AS (SELECT k, h FROM d
+             QUALIFY row_number() OVER (PARTITION BY k ORDER BY h) <= {k}),
+    agg AS (SELECT k, count(*) AS n_kept, max(h) AS kth FROM kept GROUP BY k),
+    th AS (SELECT k, CASE WHEN n_kept < {k}
+                          THEN 18446744073709551616::HUGEINT
+                          ELSE kth::HUGEINT END AS theta FROM agg),
+    pairs AS (SELECT a.k AS ka, b.k AS kb,
+                     least(a.theta, b.theta) AS theta
+              FROM th a JOIN th b ON a.k < b.k),
+    c AS (SELECT p.ka, p.kb, p.theta, count(y.h) AS n_common
+          FROM pairs p
+          LEFT JOIN kept x ON x.k = p.ka AND CAST(x.h AS HUGEINT) < p.theta
+          LEFT JOIN kept y ON y.k = p.kb AND y.h = x.h
+               AND CAST(y.h AS HUGEINT) < p.theta
+          GROUP BY p.ka, p.kb, p.theta),
+    u AS (SELECT p.ka, p.kb, count(DISTINCT x.h) AS n_union
+          FROM pairs p
+          JOIN kept x ON x.k IN (p.ka, p.kb)
+               AND CAST(x.h AS HUGEINT) < p.theta
+          GROUP BY p.ka, p.kb)
+    SELECT c.ka AS src_a, c.kb AS src_b,
+           CAST(c.n_common AS BIGINT) AS n_common,
+           CAST(coalesce(u.n_union, 0) AS BIGINT) AS n_union,
+           round(CAST(c.n_common AS DOUBLE) * 18446744073709551616.0
+                 / CAST(c.theta AS DOUBLE), 6) AS est_intersection,
+           CASE WHEN coalesce(u.n_union, 0) = 0 THEN 0.0
+                ELSE round(CAST(c.n_common AS DOUBLE)
+                           / CAST(u.n_union AS DOUBLE), 6) END AS est_jaccard
+    FROM c LEFT JOIN u ON u.ka = c.ka AND u.kb = c.kb
     """
 
 
@@ -8081,6 +8139,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "approx_distinct_tokens": _hll_distinct_tokens_sql(),
         "kmv_distinct_sources": _kmv_sql(),
+        "theta_overlap_sources": _theta_overlap_sql(),
         "approx_users_per_type": _hll_users_per_type_sql(),
         "heavy_hitters_cms_full": _cms_full_sql(),
         "ann_lsh": _ann_lsh_sql(),

@@ -5344,3 +5344,54 @@ def test_mlm_mask_deterministic_and_reconstructible(ray_session):
         assert all(t in orig for t in tgts)
     # masked rate is in a sane band around 15%
     assert 0.10 < total_masked / (50 * 30) < 0.20
+
+
+def test_theta_overlap_sources_exact_and_estimated(ray_session):
+    """Below sketch capacity the overlap is exact (theta = 2^64);
+    with a tiny k the estimator path engages and lands within a
+    loose band of the true intersection."""
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.sketch import theta_overlap_sources
+
+    # exact regime: 3 sources, small disjoint-ish vocabularies
+    t = pa.table(
+        {
+            "source": pa.array(["A", "A", "B", "B", "C"], pa.string()),
+            "text": pa.array(
+                ["x y z", "x q", "x y r", "r s", "unique only"], pa.string()
+            ),
+        }
+    )
+    out = (
+        theta_overlap_sources(rd_mod.from_arrow(t), k=64)
+        .to_pandas()
+        .set_index(["src_a", "src_b"])
+    )
+    # A={x,y,z,q}, B={x,y,r,s}, C={unique,only}
+    assert out.loc[("A", "B"), "n_common"] == 2
+    assert out.loc[("A", "B"), "est_intersection"] == 2.0  # exact regime
+    assert out.loc[("A", "C"), "n_common"] == 0
+    assert out.loc[("A", "B"), "est_jaccard"] == round(2 / 6, 6)
+
+    # estimator regime: two sources sharing half of 400 tokens, k=32
+    shared = " ".join(f"s{i}" for i in range(200))
+    t2 = pa.table(
+        {
+            "source": pa.array(["A", "B"], pa.string()),
+            "text": pa.array(
+                [
+                    shared + " " + " ".join(f"a{i}" for i in range(200)),
+                    shared + " " + " ".join(f"b{i}" for i in range(200)),
+                ]
+            ),
+        }
+    )
+    est = (
+        theta_overlap_sources(rd_mod.from_arrow(t2), k=32)
+        .to_pandas()
+        .iloc[0]
+    )
+    assert est.n_common < 32  # sketch saturated: estimator path
+    assert 80 <= est.est_intersection <= 450  # true intersection = 200
+    assert 0.15 <= est.est_jaccard <= 0.55  # true jaccard = 1/3

@@ -118,6 +118,7 @@ def _check(m, con, name):
         "zonemap_prune_stats",
         "hilbert_layout",
         "mlm_mask",
+        "theta_overlap_sources",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

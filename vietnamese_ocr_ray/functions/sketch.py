@@ -834,3 +834,72 @@ def kmv_distinct_sources(
             "est_distinct": pa.array([r[3] for r in rows], pa.float64()),
         }
     )
+
+
+def theta_overlap_sources(
+    ds: rd.Dataset,
+    key_col: str = "source",
+    text_col: str = "text",
+    k: int = 64,
+) -> pa.Table:
+    """Theta-sketch set-intersection between every source PAIR
+    (Dasgupta et al. 2016, the DataSketches theta family): each
+    source's token set is summarized by its KMV bottom-k sketch; a
+    pair's overlap is estimated from the hashes BOTH sketches retain
+    below ``theta = min(theta_a, theta_b)`` (theta_x = the k-th hash
+    when the sketch is full, else 2^64 — an exact sketch covers its
+    whole set). Estimators: ``est_intersection = n_common * 2^64 /
+    theta`` and ``est_jaccard = n_common / n_union`` over the
+    below-theta union.
+
+    This is the cross-SNAPSHOT / cross-source contamination audit at
+    sketch cost: the exchange is <= k rows per (batch, source) (the
+    kmv_distinct_sources combiner), pairs are computed on the driver
+    over n_sources * k integers — never a corpus-sized join (the exact
+    alternative, source_overlap_matrix, shuffles every shingle).
+
+    Exactness contract: same FNV-1a -> splitmix64 hash chain as
+    kmv_distinct_sources (SQL-replayed verbatim); n_common / n_union
+    are exact integers and both estimates are ONE fixed float
+    expression over them, so the DuckDB replay is bit-identical."""
+    cand = ds.map_batches(
+        _kmv_partial(key_col, text_col, k), batch_format="pyarrow"
+    ).to_pandas()
+
+    sketches: dict[str, np.ndarray] = {}
+    thetas: dict[str, int] = {}
+    for name, g in cand.groupby("k", sort=True):
+        kept = np.unique(g["h"].to_numpy(np.uint64))[:k]
+        sketches[str(name)] = kept
+        thetas[str(name)] = int(kept[-1]) if kept.size == k else 1 << 64
+
+    names = sorted(sketches)
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            theta = min(thetas[a], thetas[b])
+            if theta >= (1 << 64):
+                sa, sb = sketches[a], sketches[b]
+            else:
+                # uint64 compare — never float-upcast against a Python
+                # int >= 2^53, where rounding could flip the boundary
+                t = np.uint64(theta)
+                sa = sketches[a][sketches[a] < t]
+                sb = sketches[b][sketches[b] < t]
+            n_common = int(np.intersect1d(sa, sb).size)
+            n_union = int(np.union1d(sa, sb).size)
+            est_i = round(n_common * 18446744073709551616.0 / float(theta), 6)
+            est_j = (
+                round(n_common / n_union, 6) if n_union else 0.0
+            )
+            rows.append((a, b, n_common, n_union, est_i, est_j))
+    return pa.table(
+        {
+            "src_a": pa.array([r[0] for r in rows], pa.string()),
+            "src_b": pa.array([r[1] for r in rows], pa.string()),
+            "n_common": pa.array([r[2] for r in rows], pa.int64()),
+            "n_union": pa.array([r[3] for r in rows], pa.int64()),
+            "est_intersection": pa.array([r[4] for r in rows], pa.float64()),
+            "est_jaccard": pa.array([r[5] for r in rows], pa.float64()),
+        }
+    )
