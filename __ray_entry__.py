@@ -1852,6 +1852,20 @@ def _approx_distinct_tokens(sf_dir: str):
     return approx_distinct_tokens(_docs(sf_dir, ("text",)))
 
 
+def _curriculum_order(sf_dir: str):
+    """Easy-to-hard curriculum ordering with in-stage seeded shuffle
+    (functions/batching.curriculum_order): two exact global orderings,
+    both replayed by SQL window row_numbers."""
+    from vietnamese_ocr_ray.functions.batching import curriculum_order
+
+    return curriculum_order(
+        _read_pq(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "n_chars"],
+        )
+    )
+
+
 def _theta_overlap_sources(sf_dir: str):
     """Pairwise source-overlap estimation from KMV/theta sketches —
     the sketch-cost contamination audit (functions/sketch.
@@ -3030,6 +3044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_tokens": _approx_distinct_tokens,
         "kmv_distinct_sources": _kmv_distinct_sources,
         "theta_overlap_sources": _theta_overlap_sources,
+        "curriculum_order": _curriculum_order,
         "approx_quantiles": _approx_quantiles,
         "histogram_quantiles": _histogram_quantiles,
         "event_histogram_quantiles": _event_histogram_quantiles,
@@ -5125,6 +5140,43 @@ def _kmv_sql(k: int = 64) -> str:
                  ELSE {k - 1} * 18446744073709551616.0
                       / CAST(kth AS DOUBLE) END, 6) AS est_distinct
     FROM agg
+    """
+
+
+def _curriculum_sql(tiles: int = 4) -> str:
+    """(doc_id, diff_milli, stage, order_rank) — the `curriculum_order`
+    oracle: integer mean-token-length difficulty, rank-cut stages,
+    in-stage splitmix64 shuffle order, both orderings as window
+    row_numbers."""
+    return f"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS ntok
+      FROM documents),
+    h0 AS (SELECT doc_id, 1000 * n_chars // ntok AS diff_milli,
+                  CAST((CAST(doc_id AS HUGEINT)
+                        + 11400714819323198485) % {_U64_MOD} AS UBIGINT) AS h
+           FROM t),
+    f1 AS (SELECT doc_id, diff_milli,
+                  {_mul64_expr("xor(h, h >> 30)", 0xBF58476D1CE4E5B9)} AS h
+           FROM h0),
+    f2 AS (SELECT doc_id, diff_milli,
+                  {_mul64_expr("xor(h, h >> 27)", 0x94D049BB133111EB)} AS h
+           FROM f1),
+    f3 AS (SELECT doc_id, diff_milli, xor(h, h >> 31) AS h FROM f2),
+    k AS (SELECT doc_id, diff_milli,
+                 CAST(h::HUGEINT - CASE WHEN h >= 9223372036854775808
+                      THEN 18446744073709551616::HUGEINT
+                      ELSE 0::HUGEINT END AS BIGINT) AS skey
+          FROM f3),
+    r AS (SELECT *, row_number() OVER (ORDER BY diff_milli, doc_id) - 1 AS rk,
+                 count(*) OVER () AS n
+          FROM k),
+    s AS (SELECT doc_id, diff_milli, skey, {tiles} * rk // n AS stage FROM r)
+    SELECT doc_id, diff_milli, CAST(stage AS BIGINT) AS stage,
+           CAST(row_number() OVER (ORDER BY stage, skey, doc_id) - 1
+                AS BIGINT) AS order_rank
+    FROM s
     """
 
 
@@ -8140,6 +8192,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_tokens": _hll_distinct_tokens_sql(),
         "kmv_distinct_sources": _kmv_sql(),
         "theta_overlap_sources": _theta_overlap_sql(),
+        "curriculum_order": _curriculum_sql(),
         "approx_users_per_type": _hll_users_per_type_sql(),
         "heavy_hitters_cms_full": _cms_full_sql(),
         "ann_lsh": _ann_lsh_sql(),

@@ -5395,3 +5395,38 @@ def test_theta_overlap_sources_exact_and_estimated(ray_session):
     assert est.n_common < 32  # sketch saturated: estimator path
     assert 80 <= est.est_intersection <= 450  # true intersection = 200
     assert 0.15 <= est.est_jaccard <= 0.55  # true jaccard = 1/3
+
+
+def test_curriculum_order_stages_monotone_in_difficulty(ray_session):
+    """Stages partition the difficulty ranking (every stage-0 doc is
+    no harder than every stage-3 doc), order_rank is a permutation
+    walking stages in sequence, and the in-stage order differs from
+    plain difficulty order (the seeded shuffle decorrelates)."""
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.batching import curriculum_order
+
+    n = 64
+    texts = [" ".join(["x" * (1 + i % 13)] * 5) for i in range(n)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts),
+            "n_chars": pa.array(
+                np.array([len(s) for s in texts], np.int64)
+            ),
+        }
+    )
+    out = curriculum_order(rd_mod.from_arrow(t)).to_pandas()
+    assert sorted(out.order_rank) == list(range(n))  # a permutation
+    assert set(out.stage) == {0, 1, 2, 3}
+    # stage sizes are balanced (16 each for n=64)
+    assert out.groupby("stage").size().tolist() == [16, 16, 16, 16]
+    # difficulty never decreases across stage boundaries
+    assert out[out.stage == 0].diff_milli.max() <= out[out.stage == 3].diff_milli.min()
+    # order walks stages in sequence
+    by_order = out.sort_values("order_rank")
+    assert (np.diff(by_order.stage.to_numpy()) >= 0).all()
+    # within a stage, the shuffle decorrelates from difficulty order
+    s0 = by_order[by_order.stage == 0].diff_milli.to_numpy()
+    assert not (np.diff(s0) >= 0).all() or not (np.diff(s0) <= 0).all()

@@ -119,6 +119,7 @@ def _check(m, con, name):
         "hilbert_layout",
         "mlm_mask",
         "theta_overlap_sources",
+        "curriculum_order",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

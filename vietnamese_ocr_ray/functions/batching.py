@@ -39,6 +39,13 @@ import ray.data as rd
 
 from vietnamese_ocr_ray.functions.joins import key_bucket
 
+import ray
+
+
+@ray.remote
+def _num_rows(t: pa.Table) -> int:
+    return t.num_rows
+
 
 def _with_token_counts(ds: rd.Dataset) -> rd.Dataset:
     """(doc_id, n_tokens): whitespace token count, exactly
@@ -363,4 +370,80 @@ def shuffle_autocorr(
                 "clump_ratio": pa.array([ratio], pa.float64()),
             }
         )
+    )
+
+
+def curriculum_order(ds: rd.Dataset, tiles: int = 4) -> rd.Dataset:
+    """Curriculum ordering for training (Bengio 2009 easy-to-hard):
+    rank documents by an exact integer difficulty proxy
+    (``diff_milli = 1000 * n_chars // n_tokens`` — mean token length,
+    long words ~ harder), cut the ranking into ``tiles`` curriculum
+    stages, and emit the global training order — stages in sequence,
+    docs WITHIN a stage in a seeded deterministic shuffle
+    (splitmix64(doc_id), the engine's standard draw) so each stage is
+    decorrelated from the difficulty sort without any RNG state.
+
+    Shape: two global range sorts (the op IS an ordering op), each
+    followed by per-block vectorized rank arithmetic over
+    driver-scanned block sizes (a blocks-count table, never rows) —
+    the value_ntile/shuffle_shards machinery. Everything is exact
+    integers; SQL replays both orderings with window row_numbers.
+    """
+    from vietnamese_ocr_ray.functions.joins import _mix64
+
+    def tag(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        ntok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        nch = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "diff_milli": pa.array(1000 * nch // ntok),
+                "skey": pa.array(_mix64(ids).astype(np.int64)),
+            }
+        )
+
+    def _block_offsets(mat) -> tuple[list, list[int], int]:
+        refs = mat.to_arrow_refs()
+        sizes = ray.get([_num_rows.remote(r) for r in refs])
+        offs, run = [], 0
+        for s in sizes:
+            offs.append(run)
+            run += int(s)
+        return refs, offs, run
+
+    s1 = ds.map_batches(tag, batch_format="pyarrow").sort(
+        ["diff_milli", "doc_id"]
+    ).materialize()
+    refs1, offs1, n = _block_offsets(s1)
+
+    @ray.remote
+    def stage_block(t: pa.Table, start: int, n: int, tiles: int) -> pa.Table:
+        rank = start + np.arange(t.num_rows, dtype=np.int64)
+        return t.append_column("stage", pa.array(tiles * rank // n))
+
+    staged = rd.from_arrow_refs(
+        [stage_block.remote(r, offs1[i], n, tiles) for i, r in enumerate(refs1)]
+    )
+
+    s2 = staged.sort(["stage", "skey", "doc_id"]).materialize()
+    refs2, offs2, _ = _block_offsets(s2)
+
+    @ray.remote
+    def rank_block(t: pa.Table, start: int) -> pa.Table:
+        order = start + np.arange(t.num_rows, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "diff_milli": t.column("diff_milli"),
+                "stage": t.column("stage"),
+                "order_rank": pa.array(order),
+            }
+        )
+
+    return rd.from_arrow_refs(
+        [rank_block.remote(r, offs2[i]) for i, r in enumerate(refs2)]
     )
