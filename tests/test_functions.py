@@ -5430,3 +5430,43 @@ def test_curriculum_order_stages_monotone_in_difficulty(ray_session):
     # within a stage, the shuffle decorrelates from difficulty order
     s0 = by_order[by_order.stage == 0].diff_milli.to_numpy()
     assert not (np.diff(s0) >= 0).all() or not (np.diff(s0) <= 0).all()
+
+
+def test_fuzzy_pairs_ed2_matches_bruteforce(ray_session):
+    """Deletion-neighborhood ed<=2 join == brute-force DP over a small
+    vocabulary with planted distance-1, -2 and -3 pairs (the -3 pair
+    must NOT appear; transpositions count per plain Levenshtein)."""
+    import itertools
+
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.dedup import fuzzy_pairs_ed2
+    from vietnamese_ocr_ray.functions.text import levenshtein_np
+
+    vocab = [
+        "spark", "spork", "sprk", "shark", "sharks", "quark",
+        "query", "queue", "quer", "table", "cable", "stable",
+        "tbale", "abcdefg", "xyzdefg", "zzz",
+    ]
+    docs = pa.table(
+        {"text": pa.array([" ".join(vocab), "zzz spark"], pa.string())}
+    )
+    out = (
+        fuzzy_pairs_ed2(rd_mod.from_arrow(docs))
+        .to_pandas()
+        .sort_values(["w1", "w2"])
+        .reset_index(drop=True)
+    )
+    expect = []
+    for a, b in itertools.combinations(sorted(set(vocab)), 2):
+        d = levenshtein_np(a, b)
+        if 1 <= d <= 2:
+            expect.append((a, b, d))
+    got = list(out.itertuples(index=False, name=None))
+    assert got == sorted(expect)
+    # sanity on the planted cases
+    pairs = {(a, b) for a, b, _ in got}
+    assert ("spark", "spork") in pairs  # substitution, d=1
+    assert ("shark", "spark") in pairs  # d=2? h->p only = 1 actually
+    assert ("abcdefg", "xyzdefg") not in pairs  # d=3 excluded
+    assert ("sprk", "spark") in pairs or ("spark", "sprk") in pairs

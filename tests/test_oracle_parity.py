@@ -120,6 +120,7 @@ def _check(m, con, name):
         "mlm_mask",
         "theta_overlap_sources",
         "curriculum_order",
+        "fuzzy_match_ed2",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

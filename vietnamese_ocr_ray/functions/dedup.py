@@ -2265,3 +2265,131 @@ def containment_survivors(
         return batch.filter(pa.array(~np.isin(ids, dropped)))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _deletion_variants2(toks: pa.Array) -> tuple[pa.Array, pa.Array]:
+    """(token, variant) rows for distance-2 FastSS blocking: each token
+    paired with every deletion of UP TO TWO codepoints (self, all
+    1-deletions, all 2-deletions). Built as one extra deletion round
+    over the 1-deletion variants (a deletion of a deletion enumerates
+    every 2-deletion); O(max_len^2) Arrow slice passes over shrinking
+    arrays, no per-token Python. Callers dedup (token, variant)."""
+    t1, v1 = _deletion_variants(toks)
+    if isinstance(v1, pa.ChunkedArray):
+        v1 = v1.combine_chunks()
+    lens = pc.utf8_length(v1).to_numpy(zero_copy_only=False).astype(np.int64)
+    out_t = [t1]
+    out_v = [v1]
+    for d in range(int(lens.max(initial=0))):
+        keep = pa.array(lens > d)
+        sub_t = t1.filter(keep)
+        sub_v = v1.filter(keep)
+        var = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(sub_v, start=0, stop=d),
+            pc.utf8_slice_codeunits(sub_v, start=d + 1, stop=1 << 30),
+            "",
+        )
+        out_t.append(sub_t)
+        out_v.append(var)
+    return pa.concat_arrays(out_t), pa.concat_arrays(out_v)
+
+
+def fuzzy_pairs_ed2(
+    ds: rd.Dataset,
+    text_col: str = "text",
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """All pairs of DISTINCT corpus tokens at Levenshtein distance 1 OR
+    2 — the SymSpell/FastSS distance-2 join. Completeness: if
+    ed(a, b) <= 2, an optimal alignment deletes the <= 2 unmatched
+    positions from each side down to a COMMON string, so the pair
+    shares a key in the <=2-deletion neighborhoods
+    (:func:`_deletion_variants2`); candidate generation is
+    O(vocab * len^2) rows, never O(vocab^2) — the reason this runs at
+    100 TB where the quadratic join (the SQL oracle, fine at test
+    scale) cannot. Shared keys only bound ed <= 4, so every candidate
+    passes the exact vectorized-DP verify; output carries the verified
+    distance.
+
+    Same scale shape as :func:`fuzzy_pairs_ed1`: vocabulary-bounded
+    distinct, in-batch variant expansion, ONE int-keyed shuffle of
+    (variant, token) rows, per-bucket pair expansion + DP verify,
+    pair-bounded cross-bucket dedup (min dist is unique per pair, so
+    the dedup keeps consistent rows)."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+    from vietnamese_ocr_ray.functions.joins import _ensure_schema, key_bucket
+    from vietnamese_ocr_ray.functions.text import levenshtein_batch
+
+    def partial_distinct(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(batch.column(text_col), " "))
+        return pa.table({"tok": pc.unique(toks)})
+
+    vocab = hash_aggregate(
+        ds.map_batches(partial_distinct, batch_format="pyarrow"),
+        ["tok"],
+        {"_n": ("tok", "count")},
+        num_buckets=num_buckets,
+    )
+
+    def variants(batch: pa.Table) -> pa.Table:  # <=2-deletion neighborhood
+        t, v = _deletion_variants2(batch.column("tok"))
+        tbl = pa.table({"tok": t, "v": v}).group_by(["tok", "v"]).aggregate([])
+        return tbl.append_column(
+            "_bucket", pa.array(key_bucket(tbl.column("v"), num_buckets))
+        )
+
+    empty = pa.table(
+        {
+            "w1": pa.array([], pa.string()),
+            "w2": pa.array([], pa.string()),
+            "dist": pa.array([], pa.int64()),
+        }
+    )
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        df = g.sort_values(["v", "tok"])
+        toks = df["tok"].to_numpy()
+        codes = df.groupby(["v"], sort=False).ngroup().to_numpy()
+        n = len(codes)
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(codes)) + 1])
+        gidx = np.searchsorted(starts, np.arange(n), side="right") - 1
+        wpos = np.arange(n) - starts[gidx]
+        total = int(wpos.sum())
+        if total == 0:
+            return empty
+        seconds = np.repeat(np.arange(n), wpos)
+        cum = np.concatenate([[0], np.cumsum(wpos)])
+        firsts = np.repeat(starts[gidx], wpos) + (
+            np.arange(total) - np.repeat(cum[:-1], wpos)
+        )
+        cand = pd.DataFrame(
+            {"w1": toks[firsts], "w2": toks[seconds]}
+        ).drop_duplicates()
+        cand = cand[cand["w1"] != cand["w2"]]
+        if not len(cand):
+            return empty
+        d = levenshtein_batch(cand["w1"].tolist(), cand["w2"].tolist())
+        keep = cand[(d >= 1) & (d <= 2)]
+        return pa.table(
+            {
+                "w1": pa.array(keep["w1"].to_numpy(), pa.string()),
+                "w2": pa.array(keep["w2"].to_numpy(), pa.string()),
+                "dist": pa.array(
+                    d[(d >= 1) & (d <= 2)].astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    cand = _ensure_schema(
+        vocab.map_batches(variants, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(pairs, batch_format="pandas"),
+        empty.schema,
+    )
+    out = hash_aggregate(
+        cand,
+        ["w1", "w2"],
+        {"dist": ("dist", "min")},
+        num_buckets=num_buckets,
+    )
+    return _ensure_schema(out, empty.schema)
