@@ -1896,6 +1896,15 @@ def _curriculum_order(sf_dir: str):
     )
 
 
+def _isotonic_hourly(sf_dir: str):
+    """PAVA isotonic fit of mean value on hour-of-day
+    (pipelines/analytics.isotonic_hourly) — exact cross-multiplied
+    violator pooling; the oracle unrolls 24 leftmost-merge rounds."""
+    from vietnamese_ocr_ray.pipelines.analytics import isotonic_hourly
+
+    return isotonic_hourly(sf_dir)
+
+
 def _theta_overlap_sources(sf_dir: str):
     """Pairwise source-overlap estimation from KMV/theta sketches —
     the sketch-cost contamination audit (functions/sketch.
@@ -3075,6 +3084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_tokens": _approx_distinct_tokens,
         "kmv_distinct_sources": _kmv_distinct_sources,
         "theta_overlap_sources": _theta_overlap_sources,
+        "isotonic_hourly": _isotonic_hourly,
         "curriculum_order": _curriculum_order,
         "approx_quantiles": _approx_quantiles,
         "histogram_quantiles": _histogram_quantiles,
@@ -8250,6 +8260,357 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_tokens": _hll_distinct_tokens_sql(),
         "kmv_distinct_sources": _kmv_sql(),
         "theta_overlap_sources": _theta_overlap_sql(),
+        "isotonic_hourly": """
+    WITH r0 AS (
+      SELECT CAST(hour(ts) AS BIGINT) AS hour,
+             CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS HUGEINT)
+               AS hsum,
+             CAST(count(*) AS HUGEINT) AS hcnt,
+             CAST(hour(ts) AS BIGINT) AS pool
+      FROM events GROUP BY 1),
+    p0 AS MATERIALIZED (
+      SELECT pool, sum(hsum) AS s, sum(hcnt) AS c FROM r0 GROUP BY pool),
+    v0 AS MATERIALIZED (
+      SELECT p1.pool AS lp, p2.pool AS rp
+      FROM (SELECT pool, s, c,
+                   lead(pool) OVER (ORDER BY pool) AS np FROM p0) p1
+      JOIN p0 p2 ON p2.pool = p1.np
+      WHERE p1.s * p2.c > p2.s * p1.c
+      ORDER BY p1.pool LIMIT 1),
+    r1 AS MATERIALIZED (
+      SELECT hour, hsum, hcnt,
+             CASE WHEN pool = (SELECT rp FROM v0)
+                  THEN (SELECT lp FROM v0) ELSE pool END AS pool
+      FROM r0),
+    p1 AS MATERIALIZED (
+      SELECT pool, sum(hsum) AS s, sum(hcnt) AS c FROM r1 GROUP BY pool),
+    v1 AS MATERIALIZED (
+      SELECT p1.pool AS lp, p2.pool AS rp
+      FROM (SELECT pool, s, c,
+                   lead(pool) OVER (ORDER BY pool) AS np FROM p1) p1
+      JOIN p1 p2 ON p2.pool = p1.np
+      WHERE p1.s * p2.c > p2.s * p1.c
+      ORDER BY p1.pool LIMIT 1),
+    r2 AS MATERIALIZED (
+      SELECT hour, hsum, hcnt,
+             CASE WHEN pool = (SELECT rp FROM v1)
+                  THEN (SELECT lp FROM v1) ELSE pool END AS pool
+      FROM r1),
+    p2 AS MATERIALIZED (
+      SELECT pool, sum(hsum) AS s, sum(hcnt) AS c FROM r2 GROUP BY pool),
+    v2 AS MATERIALIZED (
+      SELECT p1.pool AS lp, p2.pool AS rp
+      FROM (SELECT pool, s, c,
+                   lead(pool) OVER (ORDER BY pool) AS np FROM p2) p1
+      JOIN p2 p2 ON p2.pool = p1.np
+      WHERE p1.s * p2.c > p2.s * p1.c
+      ORDER BY p1.pool LIMIT 1),
+    r3 AS MATERIALIZED (
+      SELECT hour, hsum, hcnt,
+             CASE WHEN pool = (SELECT rp FROM v2)
+                  THEN (SELECT lp FROM v2) ELSE pool END AS pool
+      FROM r2),
+    p3 AS MATERIALIZED (
+      SELECT pool, sum(hsum) AS s, sum(hcnt) AS c FROM r3 GROUP BY pool),
+    v3 AS MATERIALIZED (
+      SELECT p1.pool AS lp, p2.pool AS rp
+      FROM (SELECT pool, s, c,
+                   lead(pool) OVER (ORDER BY pool) AS np FROM p3) p1
+      JOIN p3 p2 ON p2.pool = p1.np
+      WHERE p1.s * p2.c > p2.s * p1.c
+      ORDER BY p1.pool LIMIT 1),
+    r4 AS MATERIALIZED (
+      SELECT hour, hsum, hcnt,
+             CASE WHEN pool = (SELECT rp FROM v3)
+                  THEN (SELECT lp FROM v3) ELSE pool END AS pool
+      FROM r3),
+    p4 AS MATERIALIZED (
+      SELECT pool, sum(hsum) AS s, sum(hcnt) AS c FROM r4 GROUP BY pool),
+    v4 AS MATERIALIZED (
+      SELECT p1.pool AS lp, p2.pool AS rp
+      FROM (SELECT pool, s, c,
+                   lead(pool) OVER (ORDER BY pool) AS np FROM p4) p1
+      JOIN p4 p2 ON p2.pool = p1.np
+      WHERE p1.s * p2.c > p2.s * p1.c
+      ORDER BY p1.pool LIMIT 1),
+    r5 AS MATERIALIZED (
+      SELECT hour, hsum, hcnt,
+             CASE WHEN pool = (SELECT rp FROM v4)
+                  THEN (SELECT lp FROM v4) ELSE pool END AS pool
+      FROM r4),
+    p5 AS MATERIALIZED (
+      SELECT pool, sum(hsum) AS s, sum(hcnt) AS c FROM r5 GROUP BY pool),
+    v5 AS MATERIALIZED (
+      SELECT p1.pool AS lp, p2.pool AS rp
+      FROM (SELECT pool, s, c,
+                   lead(pool) OVER (ORDER BY pool) AS np FROM p5) p1
+      JOIN p5 p2 ON p2.pool = p1.np
+      WHERE p1.s * p2.c > p2.s * p1.c
+      ORDER BY p1.pool LIMIT 1),
+    r6 AS MATERIALIZED (
+      SELECT hour, hsum, hcnt,
+             CASE WHEN pool = (SELECT rp FROM v5)
+                  THEN (SELECT lp FROM v5) ELSE pool END AS pool
+      FROM r5),
+    p6 AS MATERIALIZED (
+      SELECT pool, sum(hsum) AS s, sum(hcnt) AS c FROM r6 GROUP BY pool),
+    v6 AS MATERIALIZED (
+      SELECT p1.pool AS lp, p2.pool AS rp
+      FROM (SELECT pool, s, c,
+                   lead(pool) OVER (ORDER BY pool) AS np FROM p6) p1
+      JOIN p6 p2 ON p2.pool = p1.np
+      WHERE p1.s * p2.c > p2.s * p1.c
+      ORDER BY p1.pool LIMIT 1),
+    r7 AS MATERIALIZED (
+      SELECT hour, hsum, hcnt,
+             CASE WHEN pool = (SELECT rp FROM v6)
+                  THEN (SELECT lp FROM v6) ELSE pool END AS pool
+      FROM r6),
+    p7 AS MATERIALIZED (
+      SELECT pool, sum(hsum) AS s, sum(hcnt) AS c FROM r7 GROUP BY pool),
+    v7 AS MATERIALIZED (
+      SELECT p1.pool AS lp, p2.pool AS rp
+      FROM (SELECT pool, s, c,
+                   lead(pool) OVER (ORDER BY pool) AS np FROM p7) p1
+      JOIN p7 p2 ON p2.pool = p1.np
+      WHERE p1.s * p2.c > p2.s * p1.c
+      ORDER BY p1.pool LIMIT 1),
+    r8 AS MATERIALIZED (
+      SELECT hour, hsum, hcnt,
+             CASE WHEN pool = (SELECT rp FROM v7)
+                  THEN (SELECT lp FROM v7) ELSE pool END AS pool
+      FROM r7),
+    p8 AS MATERIALIZED (
+      SELECT pool, sum(hsum) AS s, sum(hcnt) AS c FROM r8 GROUP BY pool),
+    v8 AS MATERIALIZED (
+      SELECT p1.pool AS lp, p2.pool AS rp
+      FROM (SELECT pool, s, c,
+                   lead(pool) OVER (ORDER BY pool) AS np FROM p8) p1
+      JOIN p8 p2 ON p2.pool = p1.np
+      WHERE p1.s * p2.c > p2.s * p1.c
+      ORDER BY p1.pool LIMIT 1),
+    r9 AS MATERIALIZED (
+      SELECT hour, hsum, hcnt,
+             CASE WHEN pool = (SELECT rp FROM v8)
+                  THEN (SELECT lp FROM v8) ELSE pool END AS pool
+      FROM r8),
+    p9 AS MATERIALIZED (
+      SELECT pool, sum(hsum) AS s, sum(hcnt) AS c FROM r9 GROUP BY pool),
+    v9 AS MATERIALIZED (
+      SELECT p1.pool AS lp, p2.pool AS rp
+      FROM (SELECT pool, s, c,
+                   lead(pool) OVER (ORDER BY pool) AS np FROM p9) p1
+      JOIN p9 p2 ON p2.pool = p1.np
+      WHERE p1.s * p2.c > p2.s * p1.c
+      ORDER BY p1.pool LIMIT 1),
+    r10 AS MATERIALIZED (
+      SELECT hour, hsum, hcnt,
+             CASE WHEN pool = (SELECT rp FROM v9)
+                  THEN (SELECT lp FROM v9) ELSE pool END AS pool
+      FROM r9),
+    p10 AS MATERIALIZED (
+      SELECT pool, sum(hsum) AS s, sum(hcnt) AS c FROM r10 GROUP BY pool),
+    v10 AS MATERIALIZED (
+      SELECT p1.pool AS lp, p2.pool AS rp
+      FROM (SELECT pool, s, c,
+                   lead(pool) OVER (ORDER BY pool) AS np FROM p10) p1
+      JOIN p10 p2 ON p2.pool = p1.np
+      WHERE p1.s * p2.c > p2.s * p1.c
+      ORDER BY p1.pool LIMIT 1),
+    r11 AS MATERIALIZED (
+      SELECT hour, hsum, hcnt,
+             CASE WHEN pool = (SELECT rp FROM v10)
+                  THEN (SELECT lp FROM v10) ELSE pool END AS pool
+      FROM r10),
+    p11 AS MATERIALIZED (
+      SELECT pool, sum(hsum) AS s, sum(hcnt) AS c FROM r11 GROUP BY pool),
+    v11 AS MATERIALIZED (
+      SELECT p1.pool AS lp, p2.pool AS rp
+      FROM (SELECT pool, s, c,
+                   lead(pool) OVER (ORDER BY pool) AS np FROM p11) p1
+      JOIN p11 p2 ON p2.pool = p1.np
+      WHERE p1.s * p2.c > p2.s * p1.c
+      ORDER BY p1.pool LIMIT 1),
+    r12 AS MATERIALIZED (
+      SELECT hour, hsum, hcnt,
+             CASE WHEN pool = (SELECT rp FROM v11)
+                  THEN (SELECT lp FROM v11) ELSE pool END AS pool
+      FROM r11),
+    p12 AS MATERIALIZED (
+      SELECT pool, sum(hsum) AS s, sum(hcnt) AS c FROM r12 GROUP BY pool),
+    v12 AS MATERIALIZED (
+      SELECT p1.pool AS lp, p2.pool AS rp
+      FROM (SELECT pool, s, c,
+                   lead(pool) OVER (ORDER BY pool) AS np FROM p12) p1
+      JOIN p12 p2 ON p2.pool = p1.np
+      WHERE p1.s * p2.c > p2.s * p1.c
+      ORDER BY p1.pool LIMIT 1),
+    r13 AS MATERIALIZED (
+      SELECT hour, hsum, hcnt,
+             CASE WHEN pool = (SELECT rp FROM v12)
+                  THEN (SELECT lp FROM v12) ELSE pool END AS pool
+      FROM r12),
+    p13 AS MATERIALIZED (
+      SELECT pool, sum(hsum) AS s, sum(hcnt) AS c FROM r13 GROUP BY pool),
+    v13 AS MATERIALIZED (
+      SELECT p1.pool AS lp, p2.pool AS rp
+      FROM (SELECT pool, s, c,
+                   lead(pool) OVER (ORDER BY pool) AS np FROM p13) p1
+      JOIN p13 p2 ON p2.pool = p1.np
+      WHERE p1.s * p2.c > p2.s * p1.c
+      ORDER BY p1.pool LIMIT 1),
+    r14 AS MATERIALIZED (
+      SELECT hour, hsum, hcnt,
+             CASE WHEN pool = (SELECT rp FROM v13)
+                  THEN (SELECT lp FROM v13) ELSE pool END AS pool
+      FROM r13),
+    p14 AS MATERIALIZED (
+      SELECT pool, sum(hsum) AS s, sum(hcnt) AS c FROM r14 GROUP BY pool),
+    v14 AS MATERIALIZED (
+      SELECT p1.pool AS lp, p2.pool AS rp
+      FROM (SELECT pool, s, c,
+                   lead(pool) OVER (ORDER BY pool) AS np FROM p14) p1
+      JOIN p14 p2 ON p2.pool = p1.np
+      WHERE p1.s * p2.c > p2.s * p1.c
+      ORDER BY p1.pool LIMIT 1),
+    r15 AS MATERIALIZED (
+      SELECT hour, hsum, hcnt,
+             CASE WHEN pool = (SELECT rp FROM v14)
+                  THEN (SELECT lp FROM v14) ELSE pool END AS pool
+      FROM r14),
+    p15 AS MATERIALIZED (
+      SELECT pool, sum(hsum) AS s, sum(hcnt) AS c FROM r15 GROUP BY pool),
+    v15 AS MATERIALIZED (
+      SELECT p1.pool AS lp, p2.pool AS rp
+      FROM (SELECT pool, s, c,
+                   lead(pool) OVER (ORDER BY pool) AS np FROM p15) p1
+      JOIN p15 p2 ON p2.pool = p1.np
+      WHERE p1.s * p2.c > p2.s * p1.c
+      ORDER BY p1.pool LIMIT 1),
+    r16 AS MATERIALIZED (
+      SELECT hour, hsum, hcnt,
+             CASE WHEN pool = (SELECT rp FROM v15)
+                  THEN (SELECT lp FROM v15) ELSE pool END AS pool
+      FROM r15),
+    p16 AS MATERIALIZED (
+      SELECT pool, sum(hsum) AS s, sum(hcnt) AS c FROM r16 GROUP BY pool),
+    v16 AS MATERIALIZED (
+      SELECT p1.pool AS lp, p2.pool AS rp
+      FROM (SELECT pool, s, c,
+                   lead(pool) OVER (ORDER BY pool) AS np FROM p16) p1
+      JOIN p16 p2 ON p2.pool = p1.np
+      WHERE p1.s * p2.c > p2.s * p1.c
+      ORDER BY p1.pool LIMIT 1),
+    r17 AS MATERIALIZED (
+      SELECT hour, hsum, hcnt,
+             CASE WHEN pool = (SELECT rp FROM v16)
+                  THEN (SELECT lp FROM v16) ELSE pool END AS pool
+      FROM r16),
+    p17 AS MATERIALIZED (
+      SELECT pool, sum(hsum) AS s, sum(hcnt) AS c FROM r17 GROUP BY pool),
+    v17 AS MATERIALIZED (
+      SELECT p1.pool AS lp, p2.pool AS rp
+      FROM (SELECT pool, s, c,
+                   lead(pool) OVER (ORDER BY pool) AS np FROM p17) p1
+      JOIN p17 p2 ON p2.pool = p1.np
+      WHERE p1.s * p2.c > p2.s * p1.c
+      ORDER BY p1.pool LIMIT 1),
+    r18 AS MATERIALIZED (
+      SELECT hour, hsum, hcnt,
+             CASE WHEN pool = (SELECT rp FROM v17)
+                  THEN (SELECT lp FROM v17) ELSE pool END AS pool
+      FROM r17),
+    p18 AS MATERIALIZED (
+      SELECT pool, sum(hsum) AS s, sum(hcnt) AS c FROM r18 GROUP BY pool),
+    v18 AS MATERIALIZED (
+      SELECT p1.pool AS lp, p2.pool AS rp
+      FROM (SELECT pool, s, c,
+                   lead(pool) OVER (ORDER BY pool) AS np FROM p18) p1
+      JOIN p18 p2 ON p2.pool = p1.np
+      WHERE p1.s * p2.c > p2.s * p1.c
+      ORDER BY p1.pool LIMIT 1),
+    r19 AS MATERIALIZED (
+      SELECT hour, hsum, hcnt,
+             CASE WHEN pool = (SELECT rp FROM v18)
+                  THEN (SELECT lp FROM v18) ELSE pool END AS pool
+      FROM r18),
+    p19 AS MATERIALIZED (
+      SELECT pool, sum(hsum) AS s, sum(hcnt) AS c FROM r19 GROUP BY pool),
+    v19 AS MATERIALIZED (
+      SELECT p1.pool AS lp, p2.pool AS rp
+      FROM (SELECT pool, s, c,
+                   lead(pool) OVER (ORDER BY pool) AS np FROM p19) p1
+      JOIN p19 p2 ON p2.pool = p1.np
+      WHERE p1.s * p2.c > p2.s * p1.c
+      ORDER BY p1.pool LIMIT 1),
+    r20 AS MATERIALIZED (
+      SELECT hour, hsum, hcnt,
+             CASE WHEN pool = (SELECT rp FROM v19)
+                  THEN (SELECT lp FROM v19) ELSE pool END AS pool
+      FROM r19),
+    p20 AS MATERIALIZED (
+      SELECT pool, sum(hsum) AS s, sum(hcnt) AS c FROM r20 GROUP BY pool),
+    v20 AS MATERIALIZED (
+      SELECT p1.pool AS lp, p2.pool AS rp
+      FROM (SELECT pool, s, c,
+                   lead(pool) OVER (ORDER BY pool) AS np FROM p20) p1
+      JOIN p20 p2 ON p2.pool = p1.np
+      WHERE p1.s * p2.c > p2.s * p1.c
+      ORDER BY p1.pool LIMIT 1),
+    r21 AS MATERIALIZED (
+      SELECT hour, hsum, hcnt,
+             CASE WHEN pool = (SELECT rp FROM v20)
+                  THEN (SELECT lp FROM v20) ELSE pool END AS pool
+      FROM r20),
+    p21 AS MATERIALIZED (
+      SELECT pool, sum(hsum) AS s, sum(hcnt) AS c FROM r21 GROUP BY pool),
+    v21 AS MATERIALIZED (
+      SELECT p1.pool AS lp, p2.pool AS rp
+      FROM (SELECT pool, s, c,
+                   lead(pool) OVER (ORDER BY pool) AS np FROM p21) p1
+      JOIN p21 p2 ON p2.pool = p1.np
+      WHERE p1.s * p2.c > p2.s * p1.c
+      ORDER BY p1.pool LIMIT 1),
+    r22 AS MATERIALIZED (
+      SELECT hour, hsum, hcnt,
+             CASE WHEN pool = (SELECT rp FROM v21)
+                  THEN (SELECT lp FROM v21) ELSE pool END AS pool
+      FROM r21),
+    p22 AS MATERIALIZED (
+      SELECT pool, sum(hsum) AS s, sum(hcnt) AS c FROM r22 GROUP BY pool),
+    v22 AS MATERIALIZED (
+      SELECT p1.pool AS lp, p2.pool AS rp
+      FROM (SELECT pool, s, c,
+                   lead(pool) OVER (ORDER BY pool) AS np FROM p22) p1
+      JOIN p22 p2 ON p2.pool = p1.np
+      WHERE p1.s * p2.c > p2.s * p1.c
+      ORDER BY p1.pool LIMIT 1),
+    r23 AS MATERIALIZED (
+      SELECT hour, hsum, hcnt,
+             CASE WHEN pool = (SELECT rp FROM v22)
+                  THEN (SELECT lp FROM v22) ELSE pool END AS pool
+      FROM r22),
+    p23 AS MATERIALIZED (
+      SELECT pool, sum(hsum) AS s, sum(hcnt) AS c FROM r23 GROUP BY pool),
+    v23 AS MATERIALIZED (
+      SELECT p1.pool AS lp, p2.pool AS rp
+      FROM (SELECT pool, s, c,
+                   lead(pool) OVER (ORDER BY pool) AS np FROM p23) p1
+      JOIN p23 p2 ON p2.pool = p1.np
+      WHERE p1.s * p2.c > p2.s * p1.c
+      ORDER BY p1.pool LIMIT 1),
+    r24 AS MATERIALIZED (
+      SELECT hour, hsum, hcnt,
+             CASE WHEN pool = (SELECT rp FROM v23)
+                  THEN (SELECT lp FROM v23) ELSE pool END AS pool
+      FROM r23),
+    f AS (SELECT pool, sum(hsum) AS s, sum(hcnt) AS c
+          FROM r24 GROUP BY pool)
+    SELECT r.hour, CAST(r.hcnt AS BIGINT) AS n_events,
+           CAST(r.hsum AS BIGINT) AS sum_milli,
+           CAST(1000 * f.s // f.c AS BIGINT) AS fit_micro
+    FROM r24 r JOIN f ON f.pool = r.pool
+    """,
         "curriculum_order": _curriculum_sql(),
         "approx_users_per_type": _hll_users_per_type_sql(),
         "heavy_hitters_cms_full": _cms_full_sql(),

@@ -121,6 +121,7 @@ def _check(m, con, name):
         "theta_overlap_sources",
         "curriculum_order",
         "fuzzy_match_ed2",
+        "isotonic_hourly",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

@@ -2884,3 +2884,76 @@ def min_rev_supplier(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
         .groupby("_bucket")
         .map_groups(min_pick, batch_format="pandas")
     )
+
+
+def isotonic_hourly(sf_dir: str) -> pa.Table:
+    """Isotonic (monotone non-decreasing) regression of mean event
+    value on hour-of-day — PAVA, the pool-adjacent-violators algorithm
+    (Barlow 1972; the probability-calibration / monotone-feature-fit
+    step of an ML data pipeline).
+
+    Distributed shape: ONE per-batch (hour, sum_milli, count) partial
+    -> a 24-row groupby; PAVA runs on the driver over that
+    constant-sized table (the engine's standard driver-side argmin
+    budget). Exactness: pool means never materialize as floats —
+    violations compare via integer cross-multiplication
+    (s_i * c_j > s_j * c_i, unbounded Python ints) and the emitted fit
+    is the exact integer floor ``fit_micro = 1000 * pool_sum //
+    pool_cnt``. The isotonic fit is the unique projection onto the
+    monotone cone, so the SQL oracle's different-but-convergent merge
+    ORDER (leftmost violator per unrolled round) reaches bit-identical
+    per-hour values.
+    """
+    from vietnamese_ocr_ray.sources.storage import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        hour = (ts.astype(np.int64) // 3_600_000_000) % 24
+        v = _cents(b.column("value"), 1000).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "hour": pa.array(hour),
+                "s": pa.array(v),
+                "c": pa.array(np.ones(len(hour), np.int64)),
+            }
+        )
+        g = t.group_by("hour").aggregate([("s", "sum"), ("c", "sum")])
+        return g.rename_columns(["hour", "s", "c"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum("s", alias_name="s"), Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values("hour")
+    )
+    hours = agg["hour"].to_numpy(np.int64)
+    sums = [int(x) for x in agg["s"]]
+    cnts = [int(x) for x in agg["c"]]
+
+    # classic PAVA stack: pools of (sum, cnt, n_hours); merge while the
+    # top-of-stack mean exceeds the incoming pool's mean (exact
+    # cross-multiplied comparison)
+    pools: list[list[int]] = []
+    for s, c in zip(sums, cnts):
+        cur = [s, c, 1]
+        while pools and pools[-1][0] * cur[1] > cur[0] * pools[-1][1]:
+            top = pools.pop()
+            cur = [top[0] + cur[0], top[1] + cur[1], top[2] + cur[2]]
+        pools.append(cur)
+    fit = np.empty(len(hours), np.int64)
+    i = 0
+    for s, c, n in pools:
+        fit[i : i + n] = 1000 * s // c
+        i += n
+
+    return pa.table(
+        {
+            "hour": pa.array(hours),
+            "n_events": pa.array(np.array(cnts, np.int64)),
+            "sum_milli": pa.array(np.array(sums, np.int64)),
+            "fit_micro": pa.array(fit),
+        }
+    )
