@@ -3039,6 +3039,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).dsir_logratio(_docs(sf)),
         "pmi_collocations": _pmi_collocations,
         "kn_bigram_lm": _kn_bigram_lm,
+        "kn_doc_logprob": lambda sf: __import__(
+            "vietnamese_ocr_ray.functions.lm", fromlist=["kn_doc_logprob"]
+        ).kn_doc_logprob(_docs(sf)),
         "zipf_slope": _zipf_slope,
         "heaps_law": _heaps_law,
         "bloom_semijoin": _bloom_semijoin,
@@ -8048,6 +8051,36 @@ def oracle_sql() -> dict[str, str]:
         FROM cb JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot
         WHERE n >= 5
         ORDER BY pmi DESC, w1, w2 LIMIT 20
+        """,
+        "kn_doc_logprob": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        e AS (SELECT doc_id, unnest(l) AS tok,
+                     unnest(list_transform(l, (x, i) -> i)) AS pos FROM t),
+        b AS (SELECT a.doc_id, a.tok AS w1, c.tok AS w2
+              FROM e a JOIN e c ON a.doc_id = c.doc_id AND c.pos = a.pos + 1),
+        cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+               FROM b GROUP BY w1, w2),
+        l AS (SELECT w1, CAST(sum(n) AS BIGINT) AS c1,
+                     CAST(count(*) AS BIGINT) AS t1
+              FROM cb GROUP BY w1),
+        r AS (SELECT w2, CAST(count(*) AS BIGINT) AS t2 FROM cb GROUP BY w2),
+        tot AS (SELECT CAST(sum(t1) AS DOUBLE) AS tt FROM l),
+        w AS (SELECT w1, w2,
+                     CAST(round(ln((CAST(n AS DOUBLE) - CAST(0.75 AS DOUBLE))
+                                     / c1
+                                   + CAST(0.75 AS DOUBLE) * t1 / c1
+                                     * (CAST(t2 AS DOUBLE) / tot.tt))
+                                * 1000000000) AS BIGINT) AS wn
+              FROM cb JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot),
+        d AS (SELECT b.doc_id, CAST(sum(w.wn) AS BIGINT) AS logp,
+                     CAST(count(*) AS BIGINT) AS nb
+              FROM b JOIN w USING (w1, w2) GROUP BY b.doc_id)
+        SELECT doc.doc_id,
+               CAST(coalesce(d.nb, 0) AS BIGINT) AS n_bigrams,
+               CAST(coalesce(d.logp, 0) AS BIGINT) AS logp_nano,
+               CAST(CASE WHEN coalesce(d.nb, 0) = 0 THEN 0
+                    ELSE d.logp // d.nb END AS BIGINT) AS avg_logp_nano
+        FROM documents doc LEFT JOIN d USING (doc_id)
         """,
         "kn_bigram_lm": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

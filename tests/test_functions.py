@@ -5505,3 +5505,58 @@ def test_isotonic_hourly_matches_reference_pava(ray_session, tmp_path):
             best = max(best, mn)
         ref.append(best)
     assert np.allclose(fits / 1e6, ref)
+
+
+def test_kn_doc_logprob_reference(ray_session):
+    """Per-doc KN bigram log-prob matches an independent scalar
+    reference implementation of the interpolated-KN equation on a tiny
+    corpus (including a 1-token doc with zero bigrams)."""
+    import math
+    from collections import Counter
+
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.lm import kn_doc_logprob
+
+    texts = ["a b a c", "b a b", "c", "a b"]
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    out = (
+        kn_doc_logprob(rd_mod.from_arrow(docs))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # scalar reference
+    bigrams = Counter()
+    for t in texts:
+        w = t.split(" ")
+        for i in range(len(w) - 1):
+            bigrams[(w[i], w[i + 1])] += 1
+    c1 = Counter()
+    t1 = Counter()
+    t2 = Counter()
+    for (a, b), n in bigrams.items():
+        c1[a] += n
+        t1[a] += 1
+        t2[b] += 1
+    T = float(sum(t1.values()))
+    wn = {
+        k: round(
+            math.log(
+                (n - 0.75) / c1[k[0]] + 0.75 * t1[k[0]] / c1[k[0]] * (t2[k[1]] / T)
+            )
+            * 1e9
+        )
+        for k, n in bigrams.items()
+    }
+    for d, t in enumerate(texts):
+        w = t.split(" ")
+        ref = sum(wn[(w[i], w[i + 1])] for i in range(len(w) - 1))
+        assert out.loc[d, "logp_nano"] == ref, d
+        assert out.loc[d, "n_bigrams"] == len(w) - 1
+    assert out.loc[2, "logp_nano"] == 0 and out.loc[2, "avg_logp_nano"] == 0

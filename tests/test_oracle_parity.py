@@ -122,6 +122,7 @@ def _check(m, con, name):
         "curriculum_order",
         "fuzzy_match_ed2",
         "isotonic_hourly",
+        "kn_doc_logprob",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

@@ -948,3 +948,95 @@ def heaps_law(ds: rd.Dataset, checkpoints: int = 10) -> rd.Dataset:
             }
         )
     )
+
+
+def kn_doc_logprob(ds: rd.Dataset, discount: float = 0.75) -> rd.Dataset:
+    """Per-document log-probability under the corpus's own interpolated
+    Kneser-Ney bigram LM (:func:`kn_bigram_lm` eq.) — the
+    trained-LM perplexity filter of a curation pipeline (CCNet's
+    "score every doc under an in-domain LM" stage), with training
+    folded in as the same one-pass distributed bigram count.
+
+    Every document bigram is an observed corpus bigram (train == score
+    corpus), so scoring is a broadcast lookup: the (bigram -> nano-nat
+    log p_kn) table is bigram-TYPE-bounded and ships once via ray.put
+    (the kn_bigram_lm heap assumption; a bucketed cogroup variant
+    rides functions/joins if types outgrow a worker heap). Per-doc
+    score is an exact int64 sum of per-TYPE quantized weights
+    ``round(ln(p_kn) * 1e9)`` — p_kn is the fixed-order float
+    expression the SQL oracle replays term by term, and quantization
+    happens once per bigram type on both engines, so sums match
+    bit-exact. ``avg_logp_nano`` uses TRUNCATING division (DuckDB
+    ``//`` truncates toward zero on negatives; numpy floors — the
+    explicit trunc keeps both engines identical)."""
+    import ray
+
+    counts = bigram_counts(ds)
+    cdf = counts.to_pandas()  # bigram-type-bounded
+    left = (
+        cdf.groupby("w1", as_index=False)
+        .agg(c1=("n", "sum"), t1=("n", "size"))
+    )
+    right = cdf.groupby("w2", as_index=False).agg(t2=("n", "size"))
+    total_types = float(left["t1"].sum())
+    m = cdf.merge(left, on="w1").merge(right, on="w2")
+    n = m["n"].to_numpy(np.int64)
+    c1 = m["c1"].to_numpy(np.int64)
+    t1 = m["t1"].to_numpy(np.int64)
+    t2 = m["t2"].to_numpy(np.int64)
+    p = (n - discount) / c1 + discount * t1 / c1 * (t2 / total_types)
+    w_nano = np.round(np.log(p) * 1e9).astype(np.int64)
+    joint = pc.binary_join_element_wise(
+        pa.array(m["w1"].to_numpy(object), pa.string()),
+        pa.array(m["w2"].to_numpy(object), pa.string()),
+        pa.scalar("\x1f"),
+    )
+    handle = ray.put((joint, w_nano))
+
+    def score(batch: pa.Table) -> pa.Table:
+        keys, weights = ray.get(handle)
+        toks_list = pc.split_pattern(batch.column("text"), " ")
+        flat = pc.list_flatten(toks_list)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        ntok = (
+            pc.list_value_length(toks_list)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        nb = batch.num_rows
+        nf = len(flat)
+        ends = np.cumsum(ntok)
+        doc = np.repeat(np.arange(nb, dtype=np.int64), ntok)
+        logp = np.zeros(nb, np.int64)
+        nbi = np.maximum(ntok - 1, 0)
+        if nf >= 2:
+            bi = pc.binary_join_element_wise(
+                flat.slice(0, nf - 1), flat.slice(1, nf - 1), pa.scalar("\x1f")
+            )
+            # bigram at flat position p is internal to doc d iff p+1 < end_d
+            valid = (np.arange(nf - 1) + 2) <= ends[doc[: nf - 1]]
+            # filter BEFORE the lookup: cross-doc bigrams may be absent
+            # from the corpus table (index_in null -> non-integer numpy)
+            idx = pc.index_in(
+                bi.filter(pa.array(valid)), value_set=keys
+            ).to_numpy(zero_copy_only=False)
+            w = weights[idx.astype(np.int64)]
+            logp = np.bincount(doc[: nf - 1][valid], weights=w, minlength=nb).astype(
+                np.int64
+            )
+        # truncating division toward zero (DuckDB // semantics)
+        avg = np.zeros(nb, np.int64)
+        nz = nbi > 0
+        q = np.abs(logp[nz]) // nbi[nz]
+        avg[nz] = np.where(logp[nz] < 0, -q, q)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bigrams": pa.array(nbi),
+                "logp_nano": pa.array(logp),
+                "avg_logp_nano": pa.array(avg),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
