@@ -1896,6 +1896,15 @@ def _curriculum_order(sf_dir: str):
     )
 
 
+def _conformal_threshold(sf_dir: str):
+    """Split-conformal per-type calibration threshold — exact
+    distributed order-statistic selection
+    (pipelines/analytics.conformal_threshold)."""
+    from vietnamese_ocr_ray.pipelines.analytics import conformal_threshold
+
+    return conformal_threshold(sf_dir)
+
+
 def _isotonic_hourly(sf_dir: str):
     """PAVA isotonic fit of mean value on hour-of-day
     (pipelines/analytics.isotonic_hourly) — exact cross-multiplied
@@ -3088,6 +3097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct_sources": _kmv_distinct_sources,
         "theta_overlap_sources": _theta_overlap_sources,
         "isotonic_hourly": _isotonic_hourly,
+        "conformal_threshold": _conformal_threshold,
         "curriculum_order": _curriculum_order,
         "approx_quantiles": _approx_quantiles,
         "histogram_quantiles": _histogram_quantiles,
@@ -8293,6 +8303,18 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_tokens": _hll_distinct_tokens_sql(),
         "kmv_distinct_sources": _kmv_sql(),
         "theta_overlap_sources": _theta_overlap_sql(),
+        "conformal_threshold": """
+        WITH r AS (
+          SELECT event_type, value, event_id,
+                 row_number() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id) AS rk,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM events)
+        SELECT event_type, CAST(n AS BIGINT) AS n_events,
+               value AS threshold
+        FROM r
+        WHERE rk = least((900000 * (n + 1) + 999999) // 1000000, n)
+        """,
         "isotonic_hourly": """
     WITH r0 AS (
       SELECT CAST(hour(ts) AS BIGINT) AS hour,

@@ -5560,3 +5560,30 @@ def test_kn_doc_logprob_reference(ray_session):
         assert out.loc[d, "logp_nano"] == ref, d
         assert out.loc[d, "n_bigrams"] == len(w) - 1
     assert out.loc[2, "logp_nano"] == 0 and out.loc[2, "avg_logp_nano"] == 0
+
+
+def test_conformal_threshold_coverage(ray_session, tmp_path):
+    """The conformal index is ceil(0.9 * (n+1)) capped at n: with 9
+    calibration scores 1..9 the threshold is the 9th (ceil(9) = 9);
+    with 19 scores 1..19 it's the 18th; empirical coverage of
+    'score <= threshold' is >= 90% of the calibration set."""
+    import pandas as pd_mod
+
+    from vietnamese_ocr_ray.pipelines.analytics import conformal_threshold
+
+    ts = pd_mod.to_datetime(["2024-01-01"] * 28)
+    pd_mod.DataFrame(
+        {
+            "ts": ts,
+            "event_id": range(28),
+            "event_type": ["a"] * 9 + ["b"] * 19,
+            "value": [float(v) for v in list(range(1, 10)) + list(range(1, 20))],
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    out = (
+        conformal_threshold(str(tmp_path))
+        .to_pandas()
+        .set_index("event_type")
+    )
+    assert out.loc["a", "threshold"] == 9.0  # ceil(0.9*10)=9 -> 9th of 9
+    assert out.loc["b", "threshold"] == 18.0  # ceil(0.9*20)=18 -> 18th of 19

@@ -123,6 +123,7 @@ def _check(m, con, name):
         "fuzzy_match_ed2",
         "isotonic_hourly",
         "kn_doc_logprob",
+        "conformal_threshold",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

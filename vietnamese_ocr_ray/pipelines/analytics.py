@@ -2957,3 +2957,43 @@ def isotonic_hourly(sf_dir: str) -> pa.Table:
             "fit_micro": pa.array(fit),
         }
     )
+
+
+def conformal_threshold(sf_dir: str, alpha_ppm: int = 100_000) -> rd.Dataset:
+    """Split-conformal calibration threshold per event_type (Vovk;
+    Angelopoulos & Bates 2021 eq. 1): the ceil((n+1)(1-alpha))-th
+    smallest calibration score — the exact order statistic that makes
+    the conformal set have >= 1-alpha coverage. This is the
+    calibration step of an ML-with-guarantees data pipeline, and an
+    exact DISTRIBUTED SELECTION: one global range sort by
+    (event_type, value, event_id) (the value_ntile machinery), then
+    each block keeps only the row whose global in-partition rank IS
+    its partition's conformal index — no driver materialization of
+    anything but the blocks-count table.
+
+    Exactness: ``k = ceil((1 - alpha) * (n + 1))`` is computed as the
+    pure integer ``((1e6 - alpha_ppm) * (n + 1) + 999999) // 1e6``
+    (capped at n), so Ray and SQL pick the identical row; the emitted
+    threshold is that row's raw double."""
+    import ray
+
+    refs, offsets, totals = _sorted_event_blocks(sf_dir)
+    scale = 1_000_000
+    keep_ppm = scale - alpha_ppm
+
+    @ray.remote
+    def pick(t: pa.Table, start: dict, totals: dict) -> pa.Table:
+        rank, n = _rank_blocks(t, start, totals)
+        k = np.minimum((keep_ppm * (n + 1) + scale - 1) // scale, n)
+        sel = rank == (k - 1)
+        sub = t.filter(pa.array(sel))
+        return pa.table(
+            {
+                "event_type": sub.column("event_type"),
+                "n_events": pa.array(n[sel]),
+                "threshold": sub.column("value"),
+            }
+        )
+
+    out = [pick.remote(r, offsets[i], totals) for i, r in enumerate(refs)]
+    return rd.from_arrow_refs(out)
