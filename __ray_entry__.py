@@ -400,6 +400,16 @@ def _partition_stats(sf_dir: str):
     return partition_stats(ds, "doc_id", "n_chars")
 
 
+def _rendezvous_shards(sf_dir: str):
+    """Rendezvous (HRW) shard-map audit over documents: balance ppm +
+    rows relocated when shard 0 is removed
+    (functions/layout.rendezvous_shards)."""
+    from vietnamese_ocr_ray.functions.layout import rendezvous_shards
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return rendezvous_shards(ds, "doc_id", n_shards=8, drop_shard=0)
+
+
 def _zonemap_prune_stats(sf_dir: str):
     """Zone-map pruning audit of the range scan
     shipdate in [1997-01-01, 1997-07-01) over lineitem laid out in
@@ -2754,6 +2764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hilbert_layout": _hilbert_layout,
         "partition_stats": _partition_stats,
         "zonemap_prune_stats": _zonemap_prune_stats,
+        "rendezvous_shards": _rendezvous_shards,
         "snapshot_diff": _snapshot_diff,
         "merge_upsert": _merge_upsert,
         "value_mad": lambda sf: relational.value_mad(sf),
@@ -3773,6 +3784,44 @@ def _mlm_sql() -> str:
                                ORDER BY pos), '') AS target_text
     FROM o GROUP BY doc_id
     """
+
+
+def _rendezvous_sql() -> str:
+    """(shard, n_rows, balance_ppm, n_moved) — the `rendezvous_shards`
+    oracle: per-(doc, shard) splitmix64 weights, HRW argmax via
+    (weight DESC, shard ASC) row_number, drop-shard-0 re-argmax with
+    the dropped weight zeroed (exactly the engine's w2[:, 0] = 0)."""
+    return f"""
+        WITH s AS (SELECT CAST(i AS BIGINT) AS shard
+                   FROM unnest(generate_series(0, 7)) t(i)),
+        k0 AS (SELECT d.doc_id, s.shard,
+                      CAST((CAST(d.doc_id AS HUGEINT) * 1000003 + s.shard
+                            + 11400714819323198485) % {_U64_MOD} AS UBIGINT) AS h
+               FROM documents d CROSS JOIN s),
+        k1 AS (SELECT doc_id, shard, {_mul64_expr("xor(h, h >> 30)", 0xBF58476D1CE4E5B9)} AS h FROM k0),
+        k2 AS (SELECT doc_id, shard, {_mul64_expr("xor(h, h >> 27)", 0x94D049BB133111EB)} AS h FROM k1),
+        k3 AS (SELECT doc_id, shard, xor(h, h >> 31) AS h FROM k2),
+        a AS (SELECT doc_id, shard, h,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY h DESC, shard ASC) AS rk,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY (CASE WHEN shard = 0
+                                 THEN CAST(0 AS UBIGINT) ELSE h END) DESC,
+                                shard ASC) AS rk2
+              FROM k3),
+        w1 AS (SELECT doc_id, shard FROM a WHERE rk = 1),
+        w2 AS (SELECT doc_id, shard FROM a WHERE rk2 = 1),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        g AS (SELECT w1.shard, CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(sum(CASE WHEN w2.shard <> w1.shard
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+              FROM w1 JOIN w2 USING (doc_id) GROUP BY w1.shard)
+        SELECT s.shard, CAST(coalesce(g.n_rows, 0) AS BIGINT) AS n_rows,
+               CAST(1000000 * coalesce(g.n_rows, 0) * 8
+                    // greatest(tot.n, 1) AS BIGINT) AS balance_ppm,
+               CAST(coalesce(g.n_moved, 0) AS BIGINT) AS n_moved
+        FROM s LEFT JOIN g USING (shard) CROSS JOIN tot
+        """
 
 
 def _partition_stats_sql() -> str:
@@ -6591,6 +6640,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "zorder_layout": _zorder_sql(),
         "hilbert_layout": _hilbert_sql(),
+        "rendezvous_shards": _rendezvous_sql(),
         "zonemap_prune_stats": """
         WITH z AS (
           SELECT l_orderkey // 512 AS zone,

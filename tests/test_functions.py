@@ -5587,3 +5587,24 @@ def test_conformal_threshold_coverage(ray_session, tmp_path):
     )
     assert out.loc["a", "threshold"] == 9.0  # ceil(0.9*10)=9 -> 9th of 9
     assert out.loc["b", "threshold"] == 18.0  # ceil(0.9*20)=18 -> 18th of 19
+
+
+def test_rendezvous_shards_hrw_property(ray_session):
+    """HRW invariant: removing a shard relocates ONLY that shard's
+    rows — every other shard's n_moved is 0, and the dropped shard's
+    n_moved equals its row count. Balance stays within a loose band."""
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.layout import rendezvous_shards
+
+    ids = pa.table({"doc_id": pa.array(np.arange(4000, dtype=np.int64))})
+    out = (
+        rendezvous_shards(rd_mod.from_arrow(ids), "doc_id", n_shards=8, drop_shard=3)
+        .to_pandas()
+        .set_index("shard")
+        .sort_index()
+    )
+    assert out.n_rows.sum() == 4000
+    assert out.loc[3, "n_moved"] == out.loc[3, "n_rows"]  # all of shard 3 moves
+    assert (out.drop(index=3).n_moved == 0).all()  # nothing else moves
+    assert out.n_rows.min() > 300 and out.n_rows.max() < 700  # ~500 each

@@ -124,6 +124,7 @@ def _check(m, con, name):
         "isotonic_hourly",
         "kn_doc_logprob",
         "conformal_threshold",
+        "rendezvous_shards",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

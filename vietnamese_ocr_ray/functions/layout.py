@@ -288,3 +288,74 @@ def hilbert_layout(
         )
 
     return ds.map_batches(key, batch_format="pyarrow")
+
+
+def rendezvous_shards(
+    ds: rd.Dataset,
+    id_col: str,
+    n_shards: int = 8,
+    drop_shard: int = 0,
+) -> rd.Dataset:
+    """Rendezvous (highest-random-weight) shard assignment audit
+    (Thaler & Ravishankar 1998 — the consistent-hashing scheme behind
+    stable shard maps): every row goes to
+    ``argmax_s splitmix64(id * P + s)``; the HRW property is that
+    removing one shard relocates ONLY that shard's rows (1/n of the
+    table), where a plain ``id % n`` remap relocates almost
+    everything. Output per shard: row count, exact balance ppm, and
+    ``n_moved`` — rows whose assignment changes when ``drop_shard``
+    disappears (nonzero only for the dropped shard's rows, which is
+    the audit's point).
+
+    Vectorized: one (rows x n_shards) splitmix64 matrix per batch,
+    argmax along axis 1 (first-max == smallest shard id on the
+    2^-64-probability tie); per-batch bincount partials -> one
+    n_shards-row groupby. SQL replays the same fold per (id, shard)
+    pair and picks the max via (weight DESC, shard ASC) row_number."""
+    P = 1_000_003
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = (
+            ids[:, None].astype(np.uint64) * np.uint64(P)
+            + np.arange(n_shards, dtype=np.uint64)[None, :]
+        )
+        w = _mix64(keys.reshape(-1)).reshape(keys.shape)
+        shard = np.argmax(w, axis=1).astype(np.int64)
+        w2 = w.copy()
+        w2[:, drop_shard] = 0  # dropped shard never wins (min weight)
+        shard2 = np.argmax(w2, axis=1).astype(np.int64)
+        moved = (shard2 != shard).astype(np.int64)
+        n = np.bincount(shard, minlength=n_shards)
+        m = np.bincount(shard, weights=moved, minlength=n_shards).astype(np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(np.arange(n_shards, dtype=np.int64)),
+                "n_rows": pa.array(n.astype(np.int64)),
+                "n_moved": pa.array(m),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        ["shard"],
+        {"n_rows": ("n_rows", "sum"), "n_moved": ("n_moved", "sum")},
+        num_buckets=1,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t.column("n_rows"), pa.int64())
+        total = pc.sum(n).as_py() or 0
+        n_np = n.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "shard": pc.cast(t.column("shard"), pa.int64()),
+                "n_rows": n,
+                "balance_ppm": pa.array(
+                    1_000_000 * n_np * n_shards // max(total, 1)
+                ),
+                "n_moved": pc.cast(t.column("n_moved"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
