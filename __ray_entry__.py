@@ -1906,6 +1906,15 @@ def _curriculum_order(sf_dir: str):
     )
 
 
+def _dtw_hourly(sf_dir: str):
+    """DTW between the click and purchase hourly count profiles — the
+    full integer DP matrix (pipelines/analytics.dtw_hourly); the
+    oracle unrolls 47 anti-diagonal CTEs."""
+    from vietnamese_ocr_ray.pipelines.analytics import dtw_hourly
+
+    return dtw_hourly(sf_dir)
+
+
 def _conformal_threshold(sf_dir: str):
     """Split-conformal per-type calibration threshold — exact
     distributed order-statistic selection
@@ -3109,6 +3118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theta_overlap_sources": _theta_overlap_sources,
         "isotonic_hourly": _isotonic_hourly,
         "conformal_threshold": _conformal_threshold,
+        "dtw_hourly": _dtw_hourly,
         "curriculum_order": _curriculum_order,
         "approx_quantiles": _approx_quantiles,
         "histogram_quantiles": _histogram_quantiles,
@@ -8353,6 +8363,536 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_tokens": _hll_distinct_tokens_sql(),
         "kmv_distinct_sources": _kmv_sql(),
         "theta_overlap_sources": _theta_overlap_sql(),
+        "dtw_hourly": """
+    WITH hrs AS (SELECT CAST(h AS BIGINT) AS hour
+                 FROM unnest(generate_series(0, 23)) t(h)),
+    cnt AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events WHERE event_type IN ('click', 'purchase')
+            GROUP BY 1, 2),
+    pa_ AS (SELECT hrs.hour, coalesce(c.n, 0) AS n FROM hrs
+            LEFT JOIN cnt c ON c.hour = hrs.hour
+                 AND c.event_type = 'click'),
+    pb AS (SELECT hrs.hour, coalesce(c.n, 0) AS n FROM hrs
+           LEFT JOIN cnt c ON c.hour = hrs.hour
+                AND c.event_type = 'purchase'),
+    cells AS (SELECT pa_.hour AS i, pb.hour AS j,
+                     abs(pa_.n - pb.n) AS cost
+              FROM pa_ CROSS JOIN pb),
+    dg0 AS MATERIALIZED (
+      SELECT i, j, cost, cost AS cum FROM cells WHERE i = 0 AND j = 0),
+    dg1 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg0 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg0 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               1152921504606846976) AS cum
+      FROM cells c WHERE c.i + c.j = 1),
+    dg2 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg1 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg1 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg0 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 2),
+    dg3 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg2 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg2 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg1 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 3),
+    dg4 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg3 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg3 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg2 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 4),
+    dg5 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg4 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg4 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg3 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 5),
+    dg6 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg5 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg5 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg4 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 6),
+    dg7 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg6 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg6 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg5 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 7),
+    dg8 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg7 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg7 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg6 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 8),
+    dg9 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg8 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg8 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg7 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 9),
+    dg10 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg9 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg9 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg8 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 10),
+    dg11 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg10 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg10 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg9 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 11),
+    dg12 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg11 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg11 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg10 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 12),
+    dg13 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg12 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg12 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg11 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 13),
+    dg14 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg13 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg13 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg12 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 14),
+    dg15 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg14 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg14 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg13 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 15),
+    dg16 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg15 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg15 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg14 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 16),
+    dg17 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg16 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg16 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg15 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 17),
+    dg18 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg17 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg17 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg16 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 18),
+    dg19 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg18 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg18 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg17 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 19),
+    dg20 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg19 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg19 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg18 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 20),
+    dg21 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg20 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg20 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg19 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 21),
+    dg22 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg21 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg21 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg20 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 22),
+    dg23 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg22 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg22 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg21 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 23),
+    dg24 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg23 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg23 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg22 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 24),
+    dg25 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg24 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg24 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg23 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 25),
+    dg26 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg25 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg25 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg24 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 26),
+    dg27 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg26 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg26 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg25 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 27),
+    dg28 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg27 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg27 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg26 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 28),
+    dg29 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg28 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg28 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg27 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 29),
+    dg30 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg29 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg29 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg28 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 30),
+    dg31 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg30 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg30 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg29 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 31),
+    dg32 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg31 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg31 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg30 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 32),
+    dg33 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg32 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg32 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg31 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 33),
+    dg34 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg33 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg33 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg32 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 34),
+    dg35 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg34 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg34 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg33 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 35),
+    dg36 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg35 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg35 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg34 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 36),
+    dg37 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg36 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg36 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg35 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 37),
+    dg38 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg37 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg37 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg36 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 38),
+    dg39 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg38 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg38 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg37 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 39),
+    dg40 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg39 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg39 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg38 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 40),
+    dg41 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg40 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg40 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg39 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 41),
+    dg42 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg41 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg41 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg40 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 42),
+    dg43 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg42 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg42 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg41 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 43),
+    dg44 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg43 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg43 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg42 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 44),
+    dg45 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg44 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg44 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg43 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 45),
+    dg46 AS MATERIALIZED (
+      SELECT c.i, c.j, c.cost,
+             c.cost + least(
+               coalesce((SELECT cum FROM dg45 p
+                         WHERE p.i = c.i - 1 AND p.j = c.j), 1152921504606846976),
+               coalesce((SELECT cum FROM dg45 p
+                         WHERE p.i = c.i AND p.j = c.j - 1), 1152921504606846976),
+               coalesce((SELECT cum FROM dg44 p WHERE p.i = c.i - 1 AND p.j = c.j - 1), 1152921504606846976)) AS cum
+      FROM cells c WHERE c.i + c.j = 46)
+    SELECT i, j, CAST(cost AS BIGINT) AS cell_cost,
+           CAST(cum AS BIGINT) AS cum_cost
+    FROM (
+      SELECT i, j, cost, cum FROM dg0
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg1
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg2
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg3
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg4
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg5
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg6
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg7
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg8
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg9
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg10
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg11
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg12
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg13
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg14
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg15
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg16
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg17
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg18
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg19
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg20
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg21
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg22
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg23
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg24
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg25
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg26
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg27
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg28
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg29
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg30
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg31
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg32
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg33
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg34
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg35
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg36
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg37
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg38
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg39
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg40
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg41
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg42
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg43
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg44
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg45
+      UNION ALL
+      SELECT i, j, cost, cum FROM dg46
+    )
+    """,
         "conformal_threshold": """
         WITH r AS (
           SELECT event_type, value, event_id,

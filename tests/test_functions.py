@@ -5608,3 +5608,46 @@ def test_rendezvous_shards_hrw_property(ray_session):
     assert out.loc[3, "n_moved"] == out.loc[3, "n_rows"]  # all of shard 3 moves
     assert (out.drop(index=3).n_moved == 0).all()  # nothing else moves
     assert out.n_rows.min() > 300 and out.n_rows.max() < 700  # ~500 each
+
+
+def test_dtw_hourly_properties(ray_session, tmp_path):
+    """DTW of a profile against a 2-hour-shifted copy of itself costs
+    far less than the pointwise L1 distance (phase tolerance — the
+    point of DTW), the matrix obeys the recurrence, and identical
+    profiles align at zero cost."""
+    import pandas as pd_mod
+
+    from vietnamese_ocr_ray.pipelines.analytics import dtw_hourly
+
+    rows = []
+    counts = [0, 0, 5, 40, 5, 0] + [0] * 18  # a spike at hour 3
+    for h, c in enumerate(counts):
+        rows += [("click", h)] * c
+        shifted = counts[(h - 2) % 24]  # purchase spike at hour 5
+        rows += [("purchase", h)] * shifted
+    df = pd_mod.DataFrame(rows, columns=["event_type", "hour"])
+    df["ts"] = pd_mod.to_datetime("2024-01-01") + pd_mod.to_timedelta(
+        df["hour"], unit="h"
+    )
+    df[["ts", "event_type"]].to_parquet(tmp_path / "events.parquet")
+
+    out = dtw_hourly(str(tmp_path)).to_pandas()
+    m = out.set_index(["i", "j"])
+    dtw_cost = m.loc[(23, 23), "cum_cost"]
+    l1 = sum(
+        abs(counts[h] - counts[(h - 2) % 24]) for h in range(24)
+    )
+    assert dtw_cost < l1  # warping absorbs the phase shift
+    # recurrence spot-check at an interior cell
+    for i, j in [(3, 5), (10, 10), (23, 1)]:
+        expect = m.loc[(i, j), "cell_cost"] + min(
+            m.loc[(i - 1, j), "cum_cost"],
+            m.loc[(i, j - 1), "cum_cost"],
+            m.loc[(i - 1, j - 1), "cum_cost"],
+        )
+        assert m.loc[(i, j), "cum_cost"] == expect
+    # self-alignment is free
+    self_out = dtw_hourly(str(tmp_path), "click", "click").to_pandas()
+    assert (
+        self_out.set_index(["i", "j"]).loc[(23, 23), "cum_cost"] == 0
+    )

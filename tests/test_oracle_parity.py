@@ -125,6 +125,7 @@ def _check(m, con, name):
         "kn_doc_logprob",
         "conformal_threshold",
         "rendezvous_shards",
+        "dtw_hourly",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

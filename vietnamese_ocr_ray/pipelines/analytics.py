@@ -2997,3 +2997,80 @@ def conformal_threshold(sf_dir: str, alpha_ppm: int = 100_000) -> rd.Dataset:
 
     out = [pick.remote(r, offsets[i], totals) for i, r in enumerate(refs)]
     return rd.from_arrow_refs(out)
+
+
+def dtw_hourly(
+    sf_dir: str, type_a: str = "click", type_b: str = "purchase"
+) -> pa.Table:
+    """Dynamic-time-warping alignment between two event types'
+    hour-of-day count profiles (Sakoe & Chiba 1978) — the elastic
+    profile-similarity measure a monitoring pipeline uses where a
+    pointwise distance would punish phase shift. Emits the FULL 24x24
+    cumulative DP matrix (cost = |count_a[i] - count_b[j]|,
+    cum = cost + min(up, left, diag)) so the whole recurrence is
+    value-checked — the alignment cost is the (23, 23) cell and any
+    path can be derived from the matrix without a tie-break contract.
+
+    Distributed shape: one (event_type, hour) integer count aggregate
+    (48 rows cross the wire); the O(24^2) DP runs on the driver —
+    constant-sized by construction. All-integer, bit-exact; the SQL
+    oracle replays the DP as 47 unrolled anti-diagonal CTEs.
+    """
+    from vietnamese_ocr_ray.sources.storage import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        hour = (ts.astype(np.int64) // 3_600_000_000) % 24
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "hour": pa.array(hour),
+                "n": pa.array(np.ones(len(hour), np.int64)),
+            }
+        )
+        g = t.group_by(["event_type", "hour"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "hour", "n"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    prof = {}
+    for t in (type_a, type_b):
+        v = np.zeros(24, np.int64)
+        sub = agg[agg["event_type"] == t]
+        v[sub["hour"].to_numpy(np.int64)] = sub["n"].to_numpy(np.int64)
+        prof[t] = v
+    a, b = prof[type_a], prof[type_b]
+
+    cost = np.abs(a[:, None] - b[None, :])
+    cum = np.zeros((24, 24), np.int64)
+    for i in range(24):
+        for j in range(24):
+            best = 0
+            if i or j:
+                cands = []
+                if i:
+                    cands.append(cum[i - 1, j])
+                if j:
+                    cands.append(cum[i, j - 1])
+                if i and j:
+                    cands.append(cum[i - 1, j - 1])
+                best = min(cands)
+            cum[i, j] = cost[i, j] + best
+
+    ii, jj = np.meshgrid(np.arange(24), np.arange(24), indexing="ij")
+    return pa.table(
+        {
+            "i": pa.array(ii.ravel().astype(np.int64)),
+            "j": pa.array(jj.ravel().astype(np.int64)),
+            "cell_cost": pa.array(cost.ravel().astype(np.int64)),
+            "cum_cost": pa.array(cum.ravel().astype(np.int64)),
+        }
+    )
