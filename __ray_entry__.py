@@ -1906,6 +1906,14 @@ def _curriculum_order(sf_dir: str):
     )
 
 
+def _sliding_distinct_users(sf_dir: str):
+    """Exact trailing-3h distinct users per hour via forward pair
+    replication (pipelines/analytics.sliding_distinct_users)."""
+    from vietnamese_ocr_ray.pipelines.analytics import sliding_distinct_users
+
+    return sliding_distinct_users(sf_dir)
+
+
 def _dtw_hourly(sf_dir: str):
     """DTW between the click and purchase hourly count profiles — the
     full integer DP matrix (pipelines/analytics.dtw_hourly); the
@@ -3119,6 +3127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "isotonic_hourly": _isotonic_hourly,
         "conformal_threshold": _conformal_threshold,
         "dtw_hourly": _dtw_hourly,
+        "sliding_distinct_users": _sliding_distinct_users,
         "curriculum_order": _curriculum_order,
         "approx_quantiles": _approx_quantiles,
         "histogram_quantiles": _histogram_quantiles,
@@ -8363,6 +8372,17 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_tokens": _hll_distinct_tokens_sql(),
         "kmv_distinct_sources": _kmv_sql(),
         "theta_overlap_sources": _theta_overlap_sql(),
+        "sliding_distinct_users": """
+        WITH p AS (SELECT DISTINCT
+                     epoch_us(ts) // 3600000000 AS hour, user_id
+                   FROM events),
+        r AS (SELECT hour + d AS win_hour, user_id
+              FROM p, unnest(generate_series(0, 2)) t(d))
+        SELECT win_hour AS hour_epoch,
+               CAST(count(DISTINCT user_id) AS BIGINT)
+                 AS distinct_users_trailing
+        FROM r GROUP BY win_hour
+        """,
         "dtw_hourly": """
     WITH hrs AS (SELECT CAST(h AS BIGINT) AS hour
                  FROM unnest(generate_series(0, 23)) t(h)),

@@ -5651,3 +5651,38 @@ def test_dtw_hourly_properties(ray_session, tmp_path):
     assert (
         self_out.set_index(["i", "j"]).loc[(23, 23), "cum_cost"] == 0
     )
+
+
+def test_sliding_distinct_users_window_union(ray_session, tmp_path):
+    """A user active in two hours of one window counts ONCE in that
+    window (set union, not sum of per-hour distincts)."""
+    import pandas as pd_mod
+
+    from vietnamese_ocr_ray.pipelines.analytics import sliding_distinct_users
+
+    base = pd_mod.Timestamp("2024-01-01 00:30:00")
+    df = pd_mod.DataFrame(
+        {
+            "ts": [
+                base,                                   # h0: u1
+                base,                                   # h0: u2
+                base + pd_mod.Timedelta(hours=1),       # h1: u1 (again)
+                base + pd_mod.Timedelta(hours=2),       # h2: u3
+                base + pd_mod.Timedelta(hours=5),       # h5: u1
+            ],
+            "user_id": [1, 2, 1, 3, 1],
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet")
+    out = (
+        sliding_distinct_users(str(tmp_path))
+        .to_pandas()
+        .set_index("hour_epoch")["distinct_users_trailing"]
+    )
+    h0 = int(pd_mod.Timestamp("2024-01-01 00:00:00").value // 10**9 // 3600)
+    # window ending at h2 covers h0..h2: users {1, 2, 3} -> 3, u1 once
+    assert out[h0 + 2] == 3
+    # window ending at h1 covers h0..h1 (u1 deduped): {1, 2} -> 2
+    assert out[h0 + 1] == 2
+    # h5's window covers only h5 (after the h3/h4 tails): {1}
+    assert out[h0 + 5] == 1

@@ -126,6 +126,7 @@ def _check(m, con, name):
         "conformal_threshold",
         "rendezvous_shards",
         "dtw_hourly",
+        "sliding_distinct_users",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

@@ -3074,3 +3074,80 @@ def dtw_hourly(
             "cum_cost": pa.array(cum.ravel().astype(np.int64)),
         }
     )
+
+
+def sliding_distinct_users(sf_dir: str, window_hours: int = 3) -> rd.Dataset:
+    """EXACT distinct users over a trailing ``window_hours`` wall-clock
+    window, per hour bucket — the "rolling reach" metric. Distinct
+    counts do NOT merge across buckets (|A ∪ B| != |A| + |B|), so the
+    engine replicates distinct (hour, user) PAIRS forward into each
+    window they cover (window_hours small rows per pair, the standard
+    set-replication trick) and counts distinct per target hour —
+    shuffle traffic is O(distinct pairs * window), never O(events).
+
+    Per-batch Arrow distinct partial -> pair-bounded groupby dedup ->
+    vectorized window replication -> one count-distinct aggregate; all
+    integers."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+    from vietnamese_ocr_ray.sources.storage import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        hour = ts.astype(np.int64) // 3_600_000_000  # absolute hour epoch
+        t = pa.table(
+            {
+                "hour": pa.array(hour),
+                "user_id": pc.cast(_chunk(b.column("user_id")), pa.int64()),
+            }
+        )
+        return t.group_by(["hour", "user_id"]).aggregate([])
+
+    pairs = hash_aggregate(
+        ds.map_batches(pair_partial, batch_format="pyarrow"),
+        ["hour", "user_id"],
+        {"_n": ("hour", "count")},
+    )
+
+    def replicate(b: pa.Table) -> pa.Table:
+        h = b.column("hour").to_numpy(zero_copy_only=False).astype(np.int64)
+        u = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = h.shape[0]
+        tgt = (h[:, None] + np.arange(window_hours)[None, :]).reshape(-1)
+        usr = np.repeat(u, window_hours)
+        return pa.table({"win_hour": pa.array(tgt), "user_id": pa.array(usr)})
+
+    # distinct (win_hour, user) then count per hour — a user active in
+    # two source hours of one window must count once
+    dedup = hash_aggregate(
+        pairs.map_batches(replicate, batch_format="pyarrow"),
+        ["win_hour", "user_id"],
+        {"_n": ("user_id", "count")},
+    )
+
+    counts = hash_aggregate(
+        dedup.map_batches(
+            lambda b: pa.table(
+                {
+                    "win_hour": b.column("win_hour"),
+                    "one": pa.array(np.ones(b.num_rows, np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["win_hour"],
+        {"n_users": ("one", "sum")},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour_epoch": pc.cast(t.column("win_hour"), pa.int64()),
+                "distinct_users_trailing": pc.cast(
+                    t.column("n_users"), pa.int64()
+                ),
+            }
+        )
+
+    return counts.map_batches(finish, batch_format="pyarrow")
