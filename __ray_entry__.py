@@ -1906,6 +1906,14 @@ def _curriculum_order(sf_dir: str):
     )
 
 
+def _bootstrap_ci_value(sf_dir: str):
+    """Distributed Poisson bootstrap of the per-type mean value
+    (pipelines/analytics.bootstrap_ci_value)."""
+    from vietnamese_ocr_ray.pipelines.analytics import bootstrap_ci_value
+
+    return bootstrap_ci_value(sf_dir)
+
+
 def _sliding_distinct_users(sf_dir: str):
     """Exact trailing-3h distinct users per hour via forward pair
     replication (pipelines/analytics.sliding_distinct_users)."""
@@ -3128,6 +3136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conformal_threshold": _conformal_threshold,
         "dtw_hourly": _dtw_hourly,
         "sliding_distinct_users": _sliding_distinct_users,
+        "bootstrap_ci_value": _bootstrap_ci_value,
         "curriculum_order": _curriculum_order,
         "approx_quantiles": _approx_quantiles,
         "histogram_quantiles": _histogram_quantiles,
@@ -3841,6 +3850,54 @@ def _rendezvous_sql() -> str:
                CAST(coalesce(g.n_moved, 0) AS BIGINT) AS n_moved
         FROM s LEFT JOIN g USING (shard) CROSS JOIN tot
         """
+
+
+def _bootstrap_sql(n_reps: int = 32) -> str:
+    """(event_type, n_events, mean_value, boot_lo, boot_hi) — the
+    `bootstrap_ci_value` oracle: Poisson(1) weights from the shared
+    POISSON1_T thresholds, exact per-rep integer sums, order-statistic
+    band over the fixed-division resample means."""
+    from vietnamese_ocr_ray.pipelines.analytics import POISSON1_T
+
+    wsum = " + ".join(
+        f"(CASE WHEN h >= CAST('{t}' AS UBIGINT) THEN 1 ELSE 0 END)"
+        for t in POISSON1_T
+    )
+    return f"""
+    WITH reps AS (SELECT CAST(i AS BIGINT) AS rep
+                  FROM unnest(generate_series(0, {n_reps - 1})) t(i)),
+    k0 AS (SELECT e.event_type, reps.rep,
+                  CAST(round(e.value * 1000) AS BIGINT) AS v,
+                  CAST((CAST(e.event_id AS HUGEINT) * {n_reps} + reps.rep
+                        + 11400714819323198485) % {_U64_MOD} AS UBIGINT) AS h
+           FROM events e CROSS JOIN reps),
+    f1 AS (SELECT event_type, rep, v,
+                  {_mul64_expr("xor(h, h >> 30)", 0xBF58476D1CE4E5B9)} AS h
+           FROM k0),
+    f2 AS (SELECT event_type, rep, v,
+                  {_mul64_expr("xor(h, h >> 27)", 0x94D049BB133111EB)} AS h
+           FROM f1),
+    f3 AS (SELECT event_type, rep, v, xor(h, h >> 31) AS h FROM f2),
+    w AS (SELECT event_type, rep, v, CAST({wsum} AS BIGINT) AS w FROM f3),
+    s AS (SELECT event_type, rep, CAST(sum(w * v) AS BIGINT) AS sv,
+                 CAST(sum(w) AS BIGINT) AS nv
+          FROM w GROUP BY event_type, rep),
+    m AS (SELECT event_type, rep,
+                 CAST(sv AS DOUBLE) / CAST(nv AS DOUBLE) / 1000.0 AS mean,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY CAST(sv AS DOUBLE) / CAST(nv AS DOUBLE)
+                            / 1000.0, rep) AS rk
+          FROM s),
+    raw AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) / 1000.0 AS mean_value
+            FROM events GROUP BY event_type)
+    SELECT raw.event_type, raw.n_events, raw.mean_value,
+           lo.mean AS boot_lo, hi.mean AS boot_hi
+    FROM raw
+    JOIN m lo ON lo.event_type = raw.event_type AND lo.rk = 2
+    JOIN m hi ON hi.event_type = raw.event_type AND hi.rk = {n_reps - 1}
+    """
 
 
 def _partition_stats_sql() -> str:
@@ -8372,6 +8429,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_tokens": _hll_distinct_tokens_sql(),
         "kmv_distinct_sources": _kmv_sql(),
         "theta_overlap_sources": _theta_overlap_sql(),
+        "bootstrap_ci_value": _bootstrap_sql(),
         "sliding_distinct_users": """
         WITH p AS (SELECT DISTINCT
                      epoch_us(ts) // 3600000000 AS hour, user_id

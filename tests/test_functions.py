@@ -5686,3 +5686,35 @@ def test_sliding_distinct_users_window_union(ray_session, tmp_path):
     assert out[h0 + 1] == 2
     # h5's window covers only h5 (after the h3/h4 tails): {1}
     assert out[h0 + 5] == 1
+
+
+def test_bootstrap_ci_value_statistics(ray_session, tmp_path):
+    """The bootstrap band brackets the point estimate, narrows with
+    sample size, and the Poisson weights average ~1 (resample means
+    scatter around the true mean)."""
+    import pandas as pd_mod
+
+    from vietnamese_ocr_ray.pipelines.analytics import bootstrap_ci_value
+
+    rng_vals_small = [float(v % 7) for v in range(40)]
+    rng_vals_big = [float(v % 7) for v in range(4000)]
+    df = pd_mod.DataFrame(
+        {
+            "event_id": range(4040),
+            "event_type": ["small"] * 40 + ["big"] * 4000,
+            "value": rng_vals_small + rng_vals_big,
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet")
+    out = (
+        bootstrap_ci_value(str(tmp_path))
+        .to_pandas()
+        .set_index("event_type")
+    )
+    for et in ("small", "big"):
+        r = out.loc[et]
+        assert r.boot_lo <= r.mean_value <= r.boot_hi
+        assert abs(r.mean_value - np.mean(rng_vals_big)) < 0.5
+    width_small = out.loc["small", "boot_hi"] - out.loc["small", "boot_lo"]
+    width_big = out.loc["big", "boot_hi"] - out.loc["big", "boot_lo"]
+    assert width_big < width_small  # 100x the data -> tighter band

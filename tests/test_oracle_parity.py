@@ -127,6 +127,7 @@ def _check(m, con, name):
         "rendezvous_shards",
         "dtw_hourly",
         "sliding_distinct_users",
+        "bootstrap_ci_value",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

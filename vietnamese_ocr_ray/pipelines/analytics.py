@@ -3151,3 +3151,120 @@ def sliding_distinct_users(sf_dir: str, window_hours: int = 3) -> rd.Dataset:
         )
 
     return counts.map_batches(finish, batch_format="pyarrow")
+
+
+# Poisson(1) CDF quantized to u64 thresholds: a draw h ~ U[0, 2^64)
+# gets bootstrap weight w = #{k: T_k <= h} (inverse-CDF, capped at 9).
+# The table is a fixed shared literal — both engines count the same
+# integer comparisons, so resample weights are bit-identical.
+POISSON1_T = (
+    6786177901268885504,
+    13572355802537771008,
+    16965444753172213760,
+    18096474403383695360,
+    18379231815936565248,
+    18435783298447138816,
+    18445208545532233728,
+    18446555009401532416,
+    18446723317385195520,
+)
+
+
+def bootstrap_ci_value(sf_dir: str, n_reps: int = 32) -> pa.Table:
+    """Distributed Poisson bootstrap (Chamandy et al. 2012, the
+    Google-scale bootstrap) of the mean event value per event_type:
+    instead of resampling rows WITH replacement (impossible to
+    coordinate across workers), each row enters resample ``b`` with an
+    independent Poisson(1) weight drawn from
+    ``splitmix64(event_id * n_reps + b)`` — one pass, no shuffle of
+    rows, exact integer (weight * value) partials per
+    (event_type, rep). The emitted band is the 2nd..(B-1)th order
+    statistic of the B resample means (the central (B-2)/B bootstrap
+    band; percentile-t refinements ride the same machinery).
+
+    Exactness: weights are integer comparisons against the shared
+    POISSON1_T literals; per-rep sums are int64; each mean is ONE
+    fixed division; order statistics are picked over identical
+    doubles. Driver touches only the (types x B) table."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+    from vietnamese_ocr_ray.functions.joins import _mix64
+    from vietnamese_ocr_ray.sources.storage import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    thr = np.array(POISSON1_T, np.uint64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = _cents(b.column("value"), 1000).to_numpy(zero_copy_only=False)
+        et = np.asarray(b.column("event_type"))
+        keys = ids[:, None].astype(np.uint64) * np.uint64(n_reps) + np.arange(
+            n_reps, dtype=np.uint64
+        )[None, :]
+        h = _mix64(keys.reshape(-1)).reshape(keys.shape)
+        w = np.searchsorted(thr, h.reshape(-1), side="right").reshape(h.shape)
+        # per (event_type, rep) partials: S = sum w*v, N = sum w; plus
+        # the raw point-estimate sums riding as rep = -1
+        t = pa.table(
+            {
+                "event_type": pa.array(np.repeat(et, n_reps)),
+                "rep": pa.array(
+                    np.tile(np.arange(n_reps, dtype=np.int64), len(ids))
+                ),
+                "s": pa.array((w * v[:, None]).reshape(-1).astype(np.int64)),
+                "n": pa.array(w.reshape(-1).astype(np.int64)),
+            }
+        )
+        g = t.group_by(["event_type", "rep"]).aggregate(
+            [("s", "sum"), ("n", "sum")]
+        )
+        g = g.rename_columns(["event_type", "rep", "s", "n"])
+        raw = pa.table(
+            {
+                "event_type": pa.array(et),
+                "rep": pa.array(np.full(len(ids), -1, np.int64)),
+                "s": pa.array(v),
+                "n": pa.array(np.ones(len(ids), np.int64)),
+            }
+        )
+        graw = raw.group_by(["event_type", "rep"]).aggregate(
+            [("s", "sum"), ("n", "sum")]
+        )
+        return pa.concat_tables(
+            [g, graw.rename_columns(["event_type", "rep", "s", "n"])]
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "rep"],
+        {"s": ("s", "sum"), "n": ("n", "sum")},
+    ).to_pandas()
+
+    rows = []
+    for et, g in agg.groupby("event_type", sort=True):
+        raw = g[g["rep"] == -1].iloc[0]
+        reps = g[g["rep"] >= 0]
+        means = np.sort(
+            reps["s"].to_numpy(np.float64)
+            / reps["n"].to_numpy(np.float64)
+            / 1000.0
+        )
+        rows.append(
+            (
+                str(et),
+                int(raw["n"]),
+                float(raw["s"]) / float(raw["n"]) / 1000.0,
+                float(means[1]),
+                float(means[n_reps - 2]),
+            )
+        )
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "n_events": pa.array([r[1] for r in rows], pa.int64()),
+            "mean_value": pa.array([r[2] for r in rows], pa.float64()),
+            "boot_lo": pa.array([r[3] for r in rows], pa.float64()),
+            "boot_hi": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
