@@ -359,6 +359,12 @@ def run_bench() -> dict:
         "containment_pairs",
         "source_overlap_matrix",
         "nation_trade_matrix",
+        "fuzzy_match_ed2",
+        "nb_classify",
+        "mlm_mask",
+        "curriculum_order",
+        "kn_doc_logprob",
+        "min_rev_supplier",
     ):
 
         def consume(fn=q[name]):
