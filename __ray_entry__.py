@@ -964,6 +964,16 @@ def _fuzzy_match_ed2(sf_dir: str):
     return fuzzy_pairs_ed2(ds, text_col="c_name")
 
 
+def _snm_pairs(sf_dir: str):
+    """Sorted-neighborhood (windowed) record linkage over customer
+    names with suffix blocking keys (functions/dedup.snm_pairs)."""
+    from vietnamese_ocr_ray.functions.dedup import snm_pairs
+    from vietnamese_ocr_ray.sources.storage import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_name"])
+    return snm_pairs(ds)
+
+
 def _fuzzy_match_ed1(sf_dir: str):
     """Record-linkage fuzzy match: every pair of distinct customer
     names at Levenshtein distance exactly 1, found by FastSS
@@ -3000,6 +3010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ssjoin_pairs": _ssjoin_pairs,
         "fuzzy_match_ed1": _fuzzy_match_ed1,
         "fuzzy_match_ed2": _fuzzy_match_ed2,
+        "snm_pairs": _snm_pairs,
         "minhash_pairs": _minhash_pairs,
         "dedup_neardup": _dedup_neardup,
         "dedup_impact": _dedup_impact,
@@ -7328,6 +7339,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT a.tok AS w1, b.tok AS w2
         FROM keyed a JOIN keyed b ON a.v = b.v AND a.tok < b.tok
         WHERE levenshtein(a.tok, b.tok) = 1
+        """,
+        "snm_pairs": """
+        -- sorted-neighborhood blocking replayed: rank by (reversed
+        -- name, name), join on rank gap 1..window-1, exact verify
+        WITH t AS (SELECT c_name AS nm, reverse(c_name) AS k
+                   FROM customer),
+        r AS (SELECT nm, k, row_number() OVER (ORDER BY k, nm) AS rk
+              FROM t),
+        cand AS (SELECT a.nm AS na, b.nm AS nb,
+                        levenshtein(a.nm, b.nm) AS d
+                 FROM r a JOIN r b
+                   ON b.rk > a.rk AND b.rk <= a.rk + 4)
+        SELECT least(na, nb) AS w1, greatest(na, nb) AS w2,
+               CAST(min(d) AS BIGINT) AS dist
+        FROM cand WHERE d BETWEEN 1 AND 2
+        GROUP BY 1, 2
         """,
         "fuzzy_match_ed2": """
         -- <=2-deletion FastSS neighborhood replayed verbatim: a pair

@@ -5718,3 +5718,41 @@ def test_bootstrap_ci_value_statistics(ray_session, tmp_path):
     width_small = out.loc["small", "boot_hi"] - out.loc["small", "boot_lo"]
     width_big = out.loc["big", "boot_hi"] - out.loc["big", "boot_lo"]
     assert width_big < width_small  # 100x the data -> tighter band
+
+
+def test_snm_pairs_window_and_boundary(ray_session):
+    """SNM: a close pair within the window is found; a close pair
+    pushed farther apart than the window in sort order is NOT (the
+    recall/bound tradeoff is the contract); block boundaries don't
+    drop pairs (forced tiny blocks == single block)."""
+    import os as _os
+
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.dedup import snm_pairs
+
+    # reversed-name sort clusters by suffix: "xa","ya" adjacent (d=1);
+    # "xa" and "xb" end differently -> separated by the 'b'-suffix run
+    # pads end in "za": reversed "az…" sorts BETWEEN the "a…" and
+    # "b…" suffix runs, pushing xa/xb out of window range
+    names = ["xa", "ya", "xb", "yb"] + [f"pad{i}za" for i in range(8)]
+    t = pa.table({"c_name": pa.array(names, pa.string())})
+    out = snm_pairs(rd_mod.from_arrow(t), window=3).to_pandas()
+    pairs = {(r.w1, r.w2) for r in out.itertuples()}
+    assert ("xa", "ya") in pairs and ("xb", "yb") in pairs
+    # cross-suffix pair at distance 1 exists ("xa","xb") but sits >
+    # window apart in suffix order once the pads intervene -> absent
+    assert ("xa", "xb") not in pairs
+
+    # boundary exactness: hostile 3-block layout produces identical
+    # results (the prepended-tail contract)
+    base = snm_pairs(rd_mod.from_arrow(t), window=3).to_pandas()
+    _os.environ["VOR_FORCE_READ_BLOCKS"] = "3"
+    try:
+        forced = snm_pairs(
+            rd_mod.from_arrow(t).repartition(5), window=3
+        ).to_pandas()
+    finally:
+        _os.environ.pop("VOR_FORCE_READ_BLOCKS", None)
+    key = lambda d: sorted(map(tuple, d[["w1", "w2", "dist"]].to_numpy()))
+    assert key(base) == key(forced)

@@ -128,6 +128,7 @@ def _check(m, con, name):
         "dtw_hourly",
         "sliding_distinct_users",
         "bootstrap_ci_value",
+        "snm_pairs",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

@@ -2393,3 +2393,104 @@ def fuzzy_pairs_ed2(
         num_buckets=num_buckets,
     )
     return _ensure_schema(out, empty.schema)
+
+
+def snm_pairs(
+    ds: rd.Dataset,
+    text_col: str = "c_name",
+    window: int = 5,
+    max_dist: int = 2,
+) -> rd.Dataset:
+    """Sorted-neighborhood record linkage (Hernandez & Stolfo 1995):
+    sort records by a derived blocking key (here the REVERSED string —
+    suffix blocking, so ids differing in leading characters still
+    cluster), slide a ``window``-row window over the sorted order, and
+    verify every in-window pair with exact edit distance <= max_dist.
+    The third blocking paradigm next to LSH (minhash/simhash) and
+    deletion neighborhoods (fuzzy_pairs_*): candidates are O(n *
+    window) BY CONSTRUCTION — the knob trades recall for a hard
+    candidate bound, where FastSS trades nothing but pays O(len^2)
+    keys.
+
+    Distributed boundary contract: after the global range sort, each
+    block prepends the PREVIOUS block's last window-1 rows (tiny
+    driver-collected tails) and only emits pairs whose SECOND element
+    lives in the current block — every cross-boundary window is
+    counted exactly once, none twice. Output: (w1, w2, dist) with
+    w1 < w2 lexicographically.
+    """
+    import ray
+
+    from vietnamese_ocr_ray.functions.text import levenshtein_batch
+
+    def tag(batch: pa.Table) -> pa.Table:
+        nm = batch.column(text_col)
+        if isinstance(nm, pa.ChunkedArray):
+            nm = nm.combine_chunks()
+        return pa.table({"nm": nm, "k": pc.utf8_reverse(nm)})
+
+    s = ds.map_batches(tag, batch_format="pyarrow").sort(["k", "nm"]).materialize()
+    refs = s.to_arrow_refs()
+
+    @ray.remote
+    def tail(t: pa.Table, n: int) -> pa.Table:
+        return t.slice(max(t.num_rows - n, 0))
+
+    tails = ray.get([tail.remote(r, window - 1) for r in refs])
+
+    @ray.remote
+    def pair_block(t: pa.Table, prev_tail: pa.Table | None) -> pa.Table:
+        lev = levenshtein_batch
+        p = 0
+        if prev_tail is not None and prev_tail.num_rows:
+            p = prev_tail.num_rows
+            t = pa.concat_tables([prev_tail, t]).combine_chunks()
+        nm = np.asarray(t.column("nm"))
+        n = nm.shape[0]
+        w1s, w2s, ds_ = [], [], []
+        for d in range(1, window):
+            if n <= d:
+                break
+            a = nm[: n - d]
+            b = nm[d:]
+            # second element must live in THIS block (index >= p)
+            sel = np.arange(d, n) >= p
+            a, b = a[sel], b[sel]
+            if not a.size:
+                continue
+            dist = lev(a.tolist(), b.tolist())
+            keep = (dist >= 1) & (dist <= max_dist)
+            lo = np.minimum(a[keep], b[keep])
+            hi = np.maximum(a[keep], b[keep])
+            w1s.append(lo)
+            w2s.append(hi)
+            ds_.append(dist[keep])
+        if not w1s:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "dist": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "w1": pa.array(np.concatenate(w1s), pa.string()),
+                "w2": pa.array(np.concatenate(w2s), pa.string()),
+                "dist": pa.array(
+                    np.concatenate(ds_).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    out = [
+        pair_block.remote(r, tails[i - 1] if i > 0 else None)
+        for i, r in enumerate(refs)
+    ]
+    res = rd.from_arrow_refs(out)
+    # a pair can appear at several window offsets? no — a sorted order
+    # gives each (i, j) one rank gap; but EQUAL names at several ranks
+    # could duplicate (w1, w2): dedup to min dist for a stable contract
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    return hash_aggregate(res, ["w1", "w2"], {"dist": ("dist", "min")})
