@@ -1916,6 +1916,14 @@ def _curriculum_order(sf_dir: str):
     )
 
 
+def _voptimal_histogram(sf_dir: str):
+    """V-optimal histogram DP cost table over hourly counts
+    (pipelines/analytics.voptimal_histogram)."""
+    from vietnamese_ocr_ray.pipelines.analytics import voptimal_histogram
+
+    return voptimal_histogram(sf_dir)
+
+
 def _bootstrap_ci_value(sf_dir: str):
     """Distributed Poisson bootstrap of the per-type mean value
     (pipelines/analytics.bootstrap_ci_value)."""
@@ -3148,6 +3156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dtw_hourly": _dtw_hourly,
         "sliding_distinct_users": _sliding_distinct_users,
         "bootstrap_ci_value": _bootstrap_ci_value,
+        "voptimal_histogram": _voptimal_histogram,
         "curriculum_order": _curriculum_order,
         "approx_quantiles": _approx_quantiles,
         "histogram_quantiles": _histogram_quantiles,
@@ -8457,6 +8466,39 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct_sources": _kmv_sql(),
         "theta_overlap_sources": _theta_overlap_sql(),
         "bootstrap_ci_value": _bootstrap_sql(),
+        "voptimal_histogram": """
+    WITH cnt AS (SELECT CAST(hour(ts) AS BIGINT) AS hour,
+                        CAST(count(*) AS BIGINT) AS n
+                 FROM events GROUP BY 1),
+    hrs AS (SELECT CAST(h AS BIGINT) AS hour
+            FROM unnest(generate_series(0, 23)) t(h)),
+    v AS (SELECT hrs.hour, coalesce(cnt.n, 0) AS n
+          FROM hrs LEFT JOIN cnt USING (hour)),
+    seg AS (SELECT a.hour AS l, b.hour AS r,
+                   (SELECT ((count(*)::HUGEINT * sum(x.n * x.n)::HUGEINT
+                             - sum(x.n)::HUGEINT * sum(x.n)::HUGEINT)
+                            * 1000) // count(*)::HUGEINT
+                    FROM v x WHERE x.hour BETWEEN a.hour AND b.hour) AS c
+            FROM v a JOIN v b ON b.hour >= a.hour),
+    dp1 AS MATERIALIZED (SELECT 1 AS j, r AS i, c AS cost
+                         FROM seg WHERE l = 0),
+    dp2 AS MATERIALIZED (
+      SELECT 2 AS j, s.r AS i, min(d.cost + s.c) AS cost
+      FROM dp1 d JOIN seg s ON s.l = d.i + 1
+      GROUP BY s.r),
+    dp3 AS MATERIALIZED (
+      SELECT 3 AS j, s.r AS i, min(d.cost + s.c) AS cost
+      FROM dp2 d JOIN seg s ON s.l = d.i + 1
+      GROUP BY s.r),
+    dp4 AS MATERIALIZED (
+      SELECT 4 AS j, s.r AS i, min(d.cost + s.c) AS cost
+      FROM dp3 d JOIN seg s ON s.l = d.i + 1
+      GROUP BY s.r)
+    SELECT CAST(j AS BIGINT) AS n_buckets, CAST(i AS BIGINT) AS prefix_hour,
+           CAST(cost AS BIGINT) AS cost_fe3
+    FROM (SELECT * FROM dp1 UNION ALL SELECT * FROM dp2
+          UNION ALL SELECT * FROM dp3 UNION ALL SELECT * FROM dp4)
+    """,
         "sliding_distinct_users": """
         WITH p AS (SELECT DISTINCT
                      epoch_us(ts) // 3600000000 AS hour, user_id

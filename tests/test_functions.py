@@ -5756,3 +5756,32 @@ def test_snm_pairs_window_and_boundary(ray_session):
         _os.environ.pop("VOR_FORCE_READ_BLOCKS", None)
     key = lambda d: sorted(map(tuple, d[["w1", "w2", "dist"]].to_numpy()))
     assert key(base) == key(forced)
+
+
+def test_voptimal_histogram_dp(ray_session, tmp_path):
+    """The DP cost table: more buckets never cost more; a profile with
+    exactly 4 constant plateaus is fit PERFECTLY by 4 buckets (cost 0)
+    but not by 3; dp[1][23] equals the whole-range SSE fixed point."""
+    import pandas as pd_mod
+
+    from vietnamese_ocr_ray.pipelines.analytics import voptimal_histogram
+
+    plateau = [10] * 6 + [50] * 6 + [20] * 6 + [80] * 6
+    rows = []
+    for h, c in enumerate(plateau):
+        rows += [h] * c
+    df = pd_mod.DataFrame({"hour": rows})
+    df["ts"] = pd_mod.to_datetime("2024-01-01") + pd_mod.to_timedelta(
+        df["hour"], unit="h"
+    )
+    df[["ts"]].to_parquet(tmp_path / "events.parquet")
+
+    out = voptimal_histogram(str(tmp_path)).to_pandas()
+    dp = out.set_index(["n_buckets", "prefix_hour"])["cost_fe3"]
+    assert dp[(4, 23)] == 0  # 4 plateaus fit exactly
+    assert dp[(3, 23)] > 0  # 3 buckets cannot
+    for j in (2, 3, 4):
+        assert dp[(j, 23)] <= dp[(j - 1, 23)]  # monotone in buckets
+    v = np.array(plateau, dtype=np.int64)
+    n, s, ss = 24, int(v.sum()), int((v * v).sum())
+    assert dp[(1, 23)] == (n * ss - s * s) * 1000 // n

@@ -129,6 +129,7 @@ def _check(m, con, name):
         "sliding_distinct_users",
         "bootstrap_ci_value",
         "snm_pairs",
+        "voptimal_histogram",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

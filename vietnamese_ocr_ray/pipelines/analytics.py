@@ -3268,3 +3268,77 @@ def bootstrap_ci_value(sf_dir: str, n_reps: int = 32) -> pa.Table:
             "boot_hi": pa.array([r[4] for r in rows], pa.float64()),
         }
     )
+
+
+def voptimal_histogram(sf_dir: str, n_buckets: int = 4) -> pa.Table:
+    """V-optimal histogram construction over the 24 hourly event
+    counts (Jagadish et al. 1998 — the DP a query optimizer runs to
+    choose histogram bucket boundaries minimizing total within-bucket
+    variance). Emits the FULL DP cost table dp[j][i] = minimal cost of
+    splitting hours 0..i into j buckets — value-checking every
+    recurrence cell (the dtw_hourly trick: no backtrack tie-break
+    contract needed; boundaries are derivable from the table).
+
+    Distributed shape: one (hour, count) integer aggregate; the
+    O(k * 24^2) DP is driver-side constant work. Exactness: segment
+    cost is the integer fixed point ``sse_fe3(l, r) = ((n * ss - s^2)
+    * 1000) // n`` over exact prefix sums (HUGEINT in SQL, unbounded
+    ints here); DP sums/mins over those integers are bit-exact.
+    """
+    from vietnamese_ocr_ray.sources.storage import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        hour = (ts.astype(np.int64) // 3_600_000_000) % 24
+        c = np.bincount(hour, minlength=24)
+        return pa.table(
+            {
+                "hour": pa.array(np.arange(24, dtype=np.int64)),
+                "n": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("hour")
+    )
+    counts = np.zeros(24, np.int64)
+    counts[agg["hour"].to_numpy(np.int64)] = agg["n"].to_numpy(np.int64)
+    v = [int(x) for x in counts]
+
+    def sse_fe3(l: int, r: int) -> int:
+        seg = v[l : r + 1]
+        n = len(seg)
+        s = sum(seg)
+        ss = sum(x * x for x in seg)
+        return (n * ss - s * s) * 1000 // n
+
+    INF = 1 << 62
+    dp = [[INF] * 24 for _ in range(n_buckets + 1)]
+    for i in range(24):
+        dp[1][i] = sse_fe3(0, i)
+    for j in range(2, n_buckets + 1):
+        for i in range(j - 1, 24):
+            dp[j][i] = min(
+                dp[j - 1][m] + sse_fe3(m + 1, i) for m in range(j - 2, i)
+            )
+
+    js, is_, costs = [], [], []
+    for j in range(1, n_buckets + 1):
+        for i in range(24):
+            if dp[j][i] < INF:
+                js.append(j)
+                is_.append(i)
+                costs.append(dp[j][i])
+    return pa.table(
+        {
+            "n_buckets": pa.array(np.array(js, np.int64)),
+            "prefix_hour": pa.array(np.array(is_, np.int64)),
+            "cost_fe3": pa.array(np.array(costs, np.int64)),
+        }
+    )
