@@ -1005,6 +1005,15 @@ def _minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(_docs(sf_dir), texts_handle=None)
 
 
+def _bbit_minhash_pairs(sf_dir: str):
+    """1-bit minhash compression audit over the LSH candidate pairs:
+    bit-agreement estimator vs exact Jaccard
+    (functions/dedup.bbit_minhash_pairs)."""
+    from vietnamese_ocr_ray.functions.dedup import bbit_minhash_pairs
+
+    return bbit_minhash_pairs(_docs(sf_dir))
+
+
 def _dedup_neardup(sf_dir: str):
     """Near-dup REMOVAL: minhash pair clusters -> min-id survivor per
     cluster -> broadcast anti-join. SQL-value-checked: the oracle
@@ -3020,6 +3029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_match_ed2": _fuzzy_match_ed2,
         "snm_pairs": _snm_pairs,
         "minhash_pairs": _minhash_pairs,
+        "bbit_minhash_pairs": _bbit_minhash_pairs,
         "dedup_neardup": _dedup_neardup,
         "dedup_impact": _dedup_impact,
         "simhash": _simhash,
@@ -5553,6 +5563,32 @@ def _minhash_pairs_sql() -> str:
     return (
         _minhash_verified_cte()
         + "\n    SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.6\n    "
+    )
+
+
+def _bbit_minhash_sql(num_perm: int = 64) -> str:
+    """(doc_id_a, doc_id_b, agree_bits, est_jaccard_b1, exact_jaccard)
+    — the `bbit_minhash_pairs` oracle: lowest signature bits from the
+    same inlined-coefficient sigs CTE, per-pair bit agreement, the
+    b=1 estimator, exact Jaccard from the verified CTE."""
+    agree = " + ".join(
+        f"(CASE WHEN (sa.s{j} & 1) = (sb.s{j} & 1) THEN 1 ELSE 0 END)"
+        for j in range(num_perm)
+    )
+    return (
+        _minhash_verified_cte()
+        + f""",
+    vp AS (SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.6),
+    ag AS (SELECT vp.a, vp.b, vp.jaccard,
+                  CAST({agree} AS BIGINT) AS agree_bits
+           FROM vp JOIN sigs sa ON sa.doc_id = vp.a
+                   JOIN sigs sb ON sb.doc_id = vp.b)
+    SELECT a AS doc_id_a, b AS doc_id_b, agree_bits,
+           round(CAST(2 * agree_bits - {num_perm} AS DOUBLE)
+                 / {num_perm}.0, 6) AS est_jaccard_b1,
+           jaccard AS exact_jaccard
+    FROM ag
+    """
     )
 
 
@@ -8440,6 +8476,7 @@ def oracle_sql() -> dict[str, str]:
         FROM a WHERE rn = 1 GROUP BY label, clabel
         """,
         "minhash_pairs": _minhash_pairs_sql(),
+        "bbit_minhash_pairs": _bbit_minhash_sql(),
         "ssjoin_pairs": _ssjoin_pairs_sql(k=16),
         "containment_pairs": _containment_pairs_sql(k=16, threshold=0.9),
         "dedup_containment": _containment_pairs_sql(k=16, threshold=0.9)

@@ -5785,3 +5785,30 @@ def test_voptimal_histogram_dp(ray_session, tmp_path):
     v = np.array(plateau, dtype=np.int64)
     n, s, ss = 24, int(v.sum()), int((v * v).sum())
     assert dp[(1, 23)] == (n * ss - s * s) * 1000 // n
+
+
+def test_bbit_minhash_estimator_tracks_exact_jaccard(ray_session):
+    """On planted duplicate pairs the 1-bit estimator correlates with
+    exact Jaccard: identical docs agree on every bit (est 1.0), and a
+    mid-similarity pair lands within the b=1 sampling band."""
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.dedup import bbit_minhash_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    near = base[:-20] + "and then ran far off"  # high-but-<1 jaccard
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([base, base, near, "entirely different words " * 8]),
+        }
+    )
+    out = bbit_minhash_pairs(rd_mod.from_arrow(docs)).to_pandas()
+    exact_dup = out[(out.doc_id_a == 1) & (out.doc_id_b == 2)]
+    assert len(exact_dup) == 1
+    assert exact_dup.agree_bits.iloc[0] == 64
+    assert exact_dup.est_jaccard_b1.iloc[0] == 1.0
+    assert exact_dup.exact_jaccard.iloc[0] == 1.0
+    for r in out.itertuples():
+        # 1-bit estimator has std ~ 1/sqrt(64): allow a wide band
+        assert abs(r.est_jaccard_b1 - r.exact_jaccard) < 0.45

@@ -130,6 +130,7 @@ def _check(m, con, name):
         "bootstrap_ci_value",
         "snm_pairs",
         "voptimal_histogram",
+        "bbit_minhash_pairs",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):
