@@ -1925,6 +1925,15 @@ def _curriculum_order(sf_dir: str):
     )
 
 
+def _wasserstein_length(sf_dir: str):
+    """Exact integer 1-D Wasserstein drift of each source's length
+    distribution vs the corpus
+    (pipelines/analytics.wasserstein_length)."""
+    from vietnamese_ocr_ray.pipelines.analytics import wasserstein_length
+
+    return wasserstein_length(sf_dir)
+
+
 def _voptimal_histogram(sf_dir: str):
     """V-optimal histogram DP cost table over hourly counts
     (pipelines/analytics.voptimal_histogram)."""
@@ -3167,6 +3176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_distinct_users": _sliding_distinct_users,
         "bootstrap_ci_value": _bootstrap_ci_value,
         "voptimal_histogram": _voptimal_histogram,
+        "wasserstein_length": _wasserstein_length,
         "curriculum_order": _curriculum_order,
         "approx_quantiles": _approx_quantiles,
         "histogram_quantiles": _histogram_quantiles,
@@ -8503,6 +8513,41 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct_sources": _kmv_sql(),
         "theta_overlap_sources": _theta_overlap_sql(),
         "bootstrap_ci_value": _bootstrap_sql(),
+        "wasserstein_length": """
+        WITH c AS (SELECT source, n_chars AS len,
+                          CAST(count(*) AS BIGINT) AS n
+                   FROM documents GROUP BY 1, 2),
+        xs AS (SELECT DISTINCT len FROM c),
+        srcs AS (SELECT DISTINCT source FROM c),
+        grid AS (SELECT s.source, x.len FROM srcs s CROSS JOIN xs x),
+        sc AS (SELECT g.source, g.len, coalesce(c.n, 0) AS n
+               FROM grid g LEFT JOIN c
+                 ON c.source = g.source AND c.len = g.len),
+        cums AS (SELECT source, len,
+                        sum(n) OVER (PARTITION BY source
+                                     ORDER BY len) AS cs,
+                        lead(len) OVER (PARTITION BY source
+                                        ORDER BY len) AS nxt
+                 FROM sc),
+        gl AS (SELECT len, sum(n) OVER (ORDER BY len) AS cg
+               FROM (SELECT len, CAST(sum(n) AS BIGINT) AS n
+                     FROM c GROUP BY len)),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS ng FROM documents),
+        ns AS (SELECT source, CAST(count(*) AS BIGINT) AS nsd
+               FROM documents GROUP BY source),
+        terms AS (SELECT m.source,
+                         abs(m.cs::HUGEINT * tot.ng
+                             - gl.cg::HUGEINT * ns.nsd)
+                           * (m.nxt - m.len) AS term
+                  FROM cums m JOIN gl USING (len)
+                  JOIN ns ON ns.source = m.source CROSS JOIN tot
+                  WHERE m.nxt IS NOT NULL)
+        SELECT t.source, ns.nsd AS n_docs,
+               CAST(sum(t.term) * 1000000
+                    // (ns.nsd::HUGEINT * tot.ng) AS BIGINT) AS emd_micro
+        FROM terms t JOIN ns ON ns.source = t.source CROSS JOIN tot
+        GROUP BY t.source, ns.nsd, tot.ng
+        """,
         "voptimal_histogram": """
     WITH cnt AS (SELECT CAST(hour(ts) AS BIGINT) AS hour,
                         CAST(count(*) AS BIGINT) AS n

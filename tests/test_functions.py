@@ -5812,3 +5812,45 @@ def test_bbit_minhash_estimator_tracks_exact_jaccard(ray_session):
     for r in out.itertuples():
         # 1-bit estimator has std ~ 1/sqrt(64): allow a wide band
         assert abs(r.est_jaccard_b1 - r.exact_jaccard) < 0.45
+
+
+def test_wasserstein_length_matches_scipy_formula(ray_session, tmp_path):
+    """The integer W1 matches the classic 1-D formula (sum of |CDF
+    gaps| times x-gaps) computed independently; a source identical to
+    the global mix scores 0... (it IS part of the mix, so a
+    same-shaped source scores near 0 while a shifted source scores
+    its shift)."""
+    import pandas as pd_mod
+
+    from vietnamese_ocr_ray.pipelines.analytics import wasserstein_length
+
+    # source A: lengths {10, 20} evenly; source B: same shape;
+    # source C: shifted by +100
+    df = pd_mod.DataFrame(
+        {
+            "source": ["A"] * 10 + ["B"] * 10 + ["C"] * 10,
+            "n_chars": [10, 20] * 10 + [110, 120] * 5,
+        }
+    )
+    df.to_parquet(tmp_path / "documents.parquet")
+    out = (
+        wasserstein_length(str(tmp_path))
+        .to_pandas()
+        .set_index("source")["emd_micro"]
+    )
+    # independent reference: W1 between each source and the global
+    def ref_w1(sv, gv):
+        xs = np.unique(np.concatenate([sv, gv]))
+        num = 0
+        for i in range(len(xs) - 1):
+            cs = int((sv <= xs[i]).sum())
+            cg = int((gv <= xs[i]).sum())
+            num += abs(cs * len(gv) - cg * len(sv)) * int(xs[i + 1] - xs[i])
+        return num * 10**6 // (len(sv) * len(gv))
+
+    g = df["n_chars"].to_numpy()
+    for s in ("A", "B", "C"):
+        sv = df[df.source == s]["n_chars"].to_numpy()
+        assert out[s] == ref_w1(sv, g), s
+    assert out["A"] == out["B"]  # same shape, same drift
+    assert out["C"] > out["A"] * 3  # the shifted source dominates

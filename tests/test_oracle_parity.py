@@ -131,6 +131,7 @@ def _check(m, con, name):
         "snm_pairs",
         "voptimal_histogram",
         "bbit_minhash_pairs",
+        "wasserstein_length",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

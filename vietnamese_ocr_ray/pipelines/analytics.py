@@ -3342,3 +3342,77 @@ def voptimal_histogram(sf_dir: str, n_buckets: int = 4) -> pa.Table:
             "cost_fe3": pa.array(np.array(costs, np.int64)),
         }
     )
+
+
+def wasserstein_length(sf_dir: str) -> pa.Table:
+    """Exact 1-D Wasserstein-1 (earth mover's) distance between each
+    SOURCE's document-length distribution and the GLOBAL one — the
+    strongest of the drift metrics this engine ships (KS sees the max
+    CDF gap, PSI sees binned ratios; W1 integrates the whole CDF gap
+    and is the standard "how much work to reshape this source's
+    distribution" number in data-mixing papers).
+
+    W1 = integral |F_s(x) - F_g(x)| dx over the length axis — computed
+    EXACTLY on integers: per-(source, length) counts (a bounded
+    aggregate: sources x distinct lengths), step-function CDFs, and
+    ``num = sum |cumS * nG - cumG * nS| * gap`` with one final fixed
+    division ``emd_micro = num * 1e6 // (nS * nG)``. No sampling, no
+    binning. The grid math runs on the bounded count table
+    driver-side; SQL replays it with window cumsums over the same
+    grid."""
+    from vietnamese_ocr_ray.sources.storage import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["source", "n_chars"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "source": b.column("source"),
+                "len": pc.cast(_chunk(b.column("n_chars")), pa.int64()),
+                "n": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by(["source", "len"]).aggregate([("n", "sum")])
+        return g.rename_columns(["source", "len", "n"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "len"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    lengths = np.sort(agg["len"].unique())
+    gaps = np.diff(lengths)  # weight of CDF segment starting at x_i
+    gcnt = np.zeros(len(lengths), np.int64)
+    gmap = {x: i for i, x in enumerate(lengths)}
+    for _, r in agg.iterrows():
+        gcnt[gmap[r["len"]]] += int(r["n"])
+    n_g = int(gcnt.sum())
+    cum_g = np.cumsum(gcnt)
+
+    rows = []
+    for src, g in agg.groupby("source", sort=True):
+        scnt = np.zeros(len(lengths), np.int64)
+        for _, r in g.iterrows():
+            scnt[gmap[r["len"]]] = int(r["n"])
+        n_s = int(scnt.sum())
+        cum_s = np.cumsum(scnt)
+        num = int(
+            np.sum(
+                np.abs(
+                    cum_s[:-1].astype(object) * n_g
+                    - cum_g[:-1].astype(object) * n_s
+                )
+                * gaps.astype(object)
+            )
+        )
+        rows.append((str(src), n_s, num * 10**6 // (n_s * n_g)))
+    return pa.table(
+        {
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+            "emd_micro": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
