@@ -1995,6 +1995,14 @@ def _theta_overlap_sources(sf_dir: str):
     return theta_overlap_sources(_docs(sf_dir, ("source", "text")), k=64)
 
 
+def _ams_f2_tokens(sf_dir: str):
+    """AMS F2 (self-join size) sketch vs exact over corpus tokens
+    (functions/sketch.ams_f2_tokens)."""
+    from vietnamese_ocr_ray.functions.sketch import ams_f2_tokens
+
+    return ams_f2_tokens(_docs(sf_dir))
+
+
 def _kmv_distinct_sources(sf_dir: str):
     """Bottom-k (KMV) distinct-token sketch per source + their union
     (Bar-Yossef et al. 2002). SQL-value-checked: the kept hash set is
@@ -3169,6 +3177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _inverted_index,
         "approx_distinct_tokens": _approx_distinct_tokens,
         "kmv_distinct_sources": _kmv_distinct_sources,
+        "ams_f2_tokens": _ams_f2_tokens,
         "theta_overlap_sources": _theta_overlap_sources,
         "isotonic_hourly": _isotonic_hourly,
         "conformal_threshold": _conformal_threshold,
@@ -5443,6 +5452,38 @@ def _theta_overlap_sql(k: int = 64) -> str:
                 ELSE round(CAST(c.n_common AS DOUBLE)
                            / CAST(u.n_union AS DOUBLE), 6) END AS est_jaccard
     FROM c LEFT JOIN u ON u.ka = c.ka AND u.kb = c.kb
+    """
+
+
+def _ams_f2_sql(n_estimators: int = 16) -> str:
+    """(n_estimators, est_f2, exact_f2) — the `ams_f2_tokens` oracle:
+    FNV -> splitmix-finalize per token OCCURRENCE, sign bits j from
+    the hash, per-estimator sums, mean of squares // n, exact F2 from
+    the grouped counts."""
+    return f"""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    h0 AS (SELECT {_FNV_STR_FOLD.format(col="tok")} AS h FROM toks),
+    f1 AS (SELECT {_mul64_expr("xor(h, h >> 30)", 0xBF58476D1CE4E5B9)} AS h
+           FROM h0),
+    f2 AS (SELECT {_mul64_expr("xor(h, h >> 27)", 0x94D049BB133111EB)} AS h
+           FROM f1),
+    f3 AS (SELECT xor(h, h >> 31) AS h FROM f2),
+    zs AS (SELECT t.j,
+                  CAST(sum(2 * CAST((h >> t.j) & 1 AS BIGINT) - 1)
+                       AS BIGINT) AS z
+           FROM f3 CROSS JOIN
+                (SELECT CAST(i AS BIGINT) AS j
+                 FROM unnest(generate_series(0, {n_estimators - 1})) u(i)) t
+           GROUP BY t.j),
+    est AS (SELECT CAST(sum(z * z) // {n_estimators} AS BIGINT) AS est_f2
+            FROM zs),
+    ex AS (SELECT CAST(sum(n * n) AS BIGINT) AS exact_f2
+           FROM (SELECT tok, CAST(count(*) AS BIGINT) AS n
+                 FROM toks GROUP BY tok))
+    SELECT CAST({n_estimators} AS BIGINT) AS n_estimators,
+           est.est_f2, ex.exact_f2
+    FROM est, ex
     """
 
 
@@ -8511,6 +8552,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "approx_distinct_tokens": _hll_distinct_tokens_sql(),
         "kmv_distinct_sources": _kmv_sql(),
+        "ams_f2_tokens": _ams_f2_sql(),
         "theta_overlap_sources": _theta_overlap_sql(),
         "bootstrap_ci_value": _bootstrap_sql(),
         "wasserstein_length": """

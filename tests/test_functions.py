@@ -5854,3 +5854,28 @@ def test_wasserstein_length_matches_scipy_formula(ray_session, tmp_path):
         assert out[s] == ref_w1(sv, g), s
     assert out["A"] == out["B"]  # same shape, same drift
     assert out["C"] > out["A"] * 1.5  # the shifted source dominates
+
+
+def test_ams_f2_estimator_unbiased_band(ray_session):
+    """AMS: each Z_j^2 is an unbiased F2 estimate — on a corpus with a
+    known F2 the 16-estimator mean lands within a few relative
+    standard errors; exact_f2 equals the hand count."""
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.sketch import ams_f2_tokens
+
+    # 64 distinct tokens, each appearing 4 times => F2 = 64 * 16 = 1024
+    toks = [f"t{i}" for i in range(64)] * 4
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(
+                [" ".join(toks[:128]), " ".join(toks[128:])], pa.string()
+            ),
+        }
+    )
+    out = ams_f2_tokens(rd_mod.from_arrow(docs)).to_pandas().iloc[0]
+    assert out.exact_f2 == 64 * 16
+    # var(Z^2) = 2(F2^2 - F4) per estimator; with 16 estimators the
+    # relative band is wide but bounded — assert within 4x
+    assert out.exact_f2 / 4 <= out.est_f2 <= out.exact_f2 * 4

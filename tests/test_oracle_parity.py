@@ -132,6 +132,7 @@ def _check(m, con, name):
         "voptimal_histogram",
         "bbit_minhash_pairs",
         "wasserstein_length",
+        "ams_f2_tokens",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

@@ -16,6 +16,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+from ray.data.aggregate import Sum
 
 from vietnamese_ocr_ray.functions.dedup import content_hash64
 
@@ -901,5 +902,77 @@ def theta_overlap_sources(
             "n_union": pa.array([r[3] for r in rows], pa.int64()),
             "est_intersection": pa.array([r[4] for r in rows], pa.float64()),
             "est_jaccard": pa.array([r[5] for r in rows], pa.float64()),
+        }
+    )
+
+
+def ams_f2_tokens(
+    ds: rd.Dataset, text_col: str = "text", n_estimators: int = 16
+) -> pa.Table:
+    """AMS second-frequency-moment sketch (Alon, Matias & Szegedy
+    1996): F2 = sum over distinct tokens of count^2 — the SELF-JOIN
+    SIZE of the token table, the quantity a join planner needs before
+    committing to a token-keyed shuffle. Each estimator j keeps one
+    counter ``Z_j = sum_t sign_j(t) * c_t`` with a pseudo-4-wise sign
+    ``sign_j(t) = +-1`` from bit j of splitmix64(FNV(t)); ``Z_j^2`` is
+    an unbiased F2 estimate and the mean over estimators drives the
+    variance down. Exact F2 rides along for the audit.
+
+    Scale shape: per-batch partials emit n_estimators + 1 integer
+    counters (never tokens) — a combiner-bounded exchange; the exact
+    F2 uses the vocabulary-bounded distinct-count aggregate. All
+    integers; the mean is ONE fixed division; SQL replays sign bits
+    from the same hash chain."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+    from vietnamese_ocr_ray.functions.dedup import content_hash64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(batch.column(text_col), " "))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        h = HllSketch._finalize(content_hash64(toks))
+        bits = (
+            (h[:, None] >> np.arange(n_estimators, dtype=np.uint64)[None, :])
+            & np.uint64(1)
+        ).astype(np.int64)
+        signs = 2 * bits - 1  # (ntok, n_estimators) of +-1
+        z = signs.sum(axis=0)
+        return pa.table(
+            {
+                "est": pa.array(np.arange(n_estimators, dtype=np.int64)),
+                "z": pa.array(z),
+            }
+        )
+
+    zs = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("est")
+        .aggregate(Sum("z", alias_name="z"))
+        .to_pandas()
+        .sort_values("est")
+    )
+    z = zs["z"].to_numpy(np.int64)
+    est_mean_num = int(sum(int(x) * int(x) for x in z))  # exact
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(batch.column(text_col), " "))
+        t = pa.table({"tok": toks})
+        g = t.group_by("tok").aggregate([([], "count_all")])
+        return g.rename_columns(["tok", "n"])
+
+    counts = hash_aggregate(
+        ds.map_batches(tok_counts, batch_format="pyarrow"),
+        ["tok"],
+        {"n": ("n", "sum")},
+    ).to_pandas()
+    exact_f2 = int(sum(int(n) * int(n) for n in counts["n"]))
+
+    return pa.table(
+        {
+            "n_estimators": pa.array([n_estimators], pa.int64()),
+            "est_f2": pa.array(
+                [est_mean_num // n_estimators], pa.int64()
+            ),
+            "exact_f2": pa.array([exact_f2], pa.int64()),
         }
     )
