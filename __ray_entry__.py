@@ -2976,6 +2976,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_ratio": lambda sf: repetition_ratio(_docs(sf)),
         "span_corruption": lambda sf: span_corruption(_docs(sf)),
         "mlm_mask": lambda sf: mlm_mask(_docs(sf)),
+        "max_token_run": lambda sf: __import__(
+            "vietnamese_ocr_ray.functions.text", fromlist=["max_token_run"]
+        ).max_token_run(_docs(sf)),
         "fim_transform": lambda sf: fim_transform(_docs(sf)),
         "token_entropy": lambda sf: token_entropy(_docs(sf)),
         "bm25_search": lambda sf: bm25_rank(_docs(sf)),
@@ -8048,6 +8051,25 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         """,
         "mlm_mask": _mlm_sql(),
+        "max_token_run": """
+        WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                          CAST(generate_subscripts(
+                            string_split(text, ' '), 1) - 1 AS BIGINT) AS pos
+                   FROM documents),
+        g AS (SELECT doc_id, tok, pos,
+                     pos - row_number() OVER (
+                       PARTITION BY doc_id, tok ORDER BY pos) AS isl
+              FROM t),
+        runs AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS run_len,
+                        min(pos) AS strt
+                 FROM g GROUP BY doc_id, tok, isl),
+        best AS (SELECT doc_id, tok, run_len,
+                        row_number() OVER (PARTITION BY doc_id
+                          ORDER BY run_len DESC, strt ASC) AS rk
+                 FROM runs)
+        SELECT doc_id, run_len AS max_run, tok AS run_token
+        FROM best WHERE rk = 1
+        """,
         "span_corruption": """
         WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
         SELECT doc_id,

@@ -5879,3 +5879,34 @@ def test_ams_f2_estimator_unbiased_band(ray_session):
     # var(Z^2) = 2(F2^2 - F4) per estimator; with 16 estimators the
     # relative band is wide but bounded — assert within 4x
     assert out.exact_f2 / 4 <= out.est_f2 <= out.exact_f2 * 4
+
+
+def test_max_token_run_islands(ray_session):
+    """Run-length semantics: interleaved repeats do NOT chain (a a b
+    a a a -> run 3 of 'a'); ties report the earliest run's token;
+    doc boundaries break runs."""
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.text import max_token_run
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "a a b a a a c",      # longest run: 'a' x3
+                    "x x y y z",           # tie x2/y2 -> earliest: 'x'
+                    "q",                   # single token
+                ]
+            ),
+        }
+    )
+    out = (
+        max_token_run(rd_mod.from_arrow(docs))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "max_run"] == 3 and out.loc[1, "run_token"] == "a"
+    assert out.loc[2, "max_run"] == 2 and out.loc[2, "run_token"] == "x"
+    assert out.loc[3, "max_run"] == 1 and out.loc[3, "run_token"] == "q"

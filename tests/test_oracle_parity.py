@@ -133,6 +133,7 @@ def _check(m, con, name):
         "bbit_minhash_pairs",
         "wasserstein_length",
         "ams_f2_tokens",
+        "max_token_run",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

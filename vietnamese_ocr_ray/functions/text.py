@@ -1608,3 +1608,63 @@ def mlm_mask_batch(batch: pa.Table) -> pa.Table:
 
 def mlm_mask(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(mlm_mask_batch, batch_format="pyarrow")
+
+
+def max_token_run_batch(batch: pa.Table) -> pa.Table:
+    """Longest consecutive run of ONE repeated token per document —
+    the degenerate-repetition filter (model-generated or boilerplate
+    text shows long single-token runs that trigram repetition ratios
+    under-weigh). Vectorized run-length encoding over the flat token
+    buffer: run breaks where the token changes OR a doc boundary
+    falls; per-doc max via np.maximum.reduceat over run lengths.
+    Ties on run length report the run that appears FIRST in the doc
+    (SQL: min(first position) among max-length runs).
+    """
+    toks_list = pc.split_pattern(batch.column("text"), " ")
+    flat = pc.list_flatten(toks_list)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    ntok = (
+        pc.list_value_length(toks_list).to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    nb = batch.num_rows
+    n = len(flat)
+    ends = np.cumsum(ntok)
+    starts = ends - ntok
+    doc = np.repeat(np.arange(nb, dtype=np.int64), ntok)
+    same = np.zeros(n, dtype=bool)
+    if n > 1:
+        eq = pc.equal(flat.slice(0, n - 1), flat.slice(1, n - 1))
+        same[1:] = eq.to_numpy(zero_copy_only=False)
+        same[starts[starts > 0]] = False  # doc boundary breaks a run
+    run_start = np.flatnonzero(~same)  # first index of each run
+    run_len = np.diff(np.append(run_start, n))
+    run_doc = doc[run_start]
+    max_run = np.zeros(nb, np.int64)
+    run_tok_idx = np.zeros(nb, np.int64)
+    if run_start.size:
+        # vectorized per-doc argmax: sort runs by (doc, -len, start)
+        # and keep each doc's first row — longest run, earliest on ties
+        order = np.lexsort((run_start, -run_len, run_doc))
+        sd = run_doc[order]
+        first = np.ones(order.shape[0], dtype=bool)
+        first[1:] = sd[1:] != sd[:-1]
+        best = order[first]
+        max_run[run_doc[best]] = run_len[best]
+        run_tok_idx[run_doc[best]] = run_start[best]
+    tok = pc.if_else(
+        pa.array(max_run > 0),
+        flat.take(pa.array(run_tok_idx)),
+        pa.scalar(None, pa.string()),
+    )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "max_run": pa.array(max_run),
+            "run_token": tok,
+        }
+    )
+
+
+def max_token_run(ds: rd.Dataset) -> rd.Dataset:
+    return ds.map_batches(max_token_run_batch, batch_format="pyarrow")
