@@ -1463,6 +1463,19 @@ def _pagerank_dupgraph(sf_dir: str):
     return pagerank(pairs, iters=20, tol=0.0)
 
 
+def _ktruss_dupgraph(sf_dir: str):
+    """8-round 3-truss peel of the cosine>=0.4 dup graph — edges with
+    at least one triangle witness, the chain-proof cluster cohesion
+    audit (functions/graph.ktruss_peel)."""
+    from vietnamese_ocr_ray.functions.graph import ktruss_peel
+
+    pairs = _embedding_neardup(sf_dir).map_batches(
+        lambda b: pa.table({"a": b.column("vec_id_a"), "b": b.column("vec_id_b")}),
+        batch_format="pyarrow",
+    )
+    return ktruss_peel(pairs, k=3, rounds=8)
+
+
 def _kcore_dupgraph(sf_dir: str):
     """16-round 2-core peel of the cosine>=0.4 dup graph — which
     duplicate clusters have cyclic (not just chain) structure; the
@@ -3084,6 +3097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dupcluster_histogram": _dupcluster_histogram,
         "pagerank_dupgraph": _pagerank_dupgraph,
         "kcore_dupgraph": _kcore_dupgraph,
+        "ktruss_dupgraph": _ktruss_dupgraph,
         "dedup_neardup_cosine": _dedup_neardup_cosine,
         "embedding_stats": _embedding_stats,
         "embedding_covariance": _embedding_covariance,
@@ -3596,6 +3610,55 @@ def _kcore_sql(k: int = 2, rounds: int = 16) -> str:
         + f"""
     SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
     FROM e{rounds} GROUP BY src ORDER BY node"""
+    )
+
+
+def _ktruss_sql(k: int = 3, rounds: int = 8) -> str:
+    """Unrolled ``rounds``-round k-truss peel over the cosine>=0.4 dup
+    graph, mirroring functions/graph.ktruss_peel (support = triangles
+    per surviving edge via a common-neighbor join; fixed rounds;
+    MATERIALIZED load-bearing, the _kcore_sql contract)."""
+    head = """
+    WITH pairs AS MATERIALIZED (
+      SELECT a.vec_id AS a, b.vec_id AS b
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id
+        AND round(list_cosine_similarity(
+              CAST(a.embedding AS DOUBLE[]),
+              CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+    ),
+    e0 AS MATERIALIZED (SELECT a, b FROM pairs)"""
+    steps = []
+    for t in range(rounds):
+        steps.append(
+            f""", u{t} AS MATERIALIZED (
+      SELECT a AS x, b AS y FROM e{t} UNION ALL SELECT b, a FROM e{t}),
+    s{t} AS MATERIALIZED (
+      SELECT e.a, e.b, count(*) AS supp
+      FROM e{t} e
+      JOIN u{t} p ON p.x = e.a
+      JOIN u{t} q ON q.x = e.b AND q.y = p.y
+      GROUP BY e.a, e.b),
+    e{t + 1} AS MATERIALIZED (
+      SELECT e.a, e.b FROM e{t} e
+      JOIN s{t} s ON s.a = e.a AND s.b = e.b
+      WHERE s.supp >= {k - 2})"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"""
+    SELECT e.a, e.b, CAST(coalesce(s.supp, 0) AS BIGINT) AS support
+    FROM e{rounds} e
+    LEFT JOIN (SELECT ee.a, ee.b, count(*) AS supp
+               FROM e{rounds} ee
+               JOIN (SELECT a AS x, b AS y FROM e{rounds}
+                     UNION ALL SELECT b, a FROM e{rounds}) p ON p.x = ee.a
+               JOIN (SELECT a AS x, b AS y FROM e{rounds}
+                     UNION ALL SELECT b, a FROM e{rounds}) q
+                 ON q.x = ee.b AND q.y = p.y
+               GROUP BY ee.a, ee.b) s ON s.a = e.a AND s.b = e.b
+    """
     )
 
 
@@ -8504,6 +8567,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_dupgraph": _pagerank_sql(20),
         "kcore_dupgraph": _kcore_sql(2, 16),
+        "ktruss_dupgraph": _ktruss_sql(3, 8),
         "mmr_select": _mmr_sql(8, 32),
         "ann_pq": _ann_pq_sql(10, 4, 16, 3),
         "winnow_fingerprints": _winnow_sql(8, 4),

@@ -5910,3 +5910,37 @@ def test_max_token_run_islands(ray_session):
     assert out.loc[1, "max_run"] == 3 and out.loc[1, "run_token"] == "a"
     assert out.loc[2, "max_run"] == 2 and out.loc[2, "run_token"] == "x"
     assert out.loc[3, "max_run"] == 1 and out.loc[3, "run_token"] == "q"
+
+
+def test_ktruss_peel_triangle_vs_chain(ray_session):
+    """3-truss keeps the triangle and sheds the chain hanging off it;
+    supports on the surviving triangle are exactly 1; a 4-clique at
+    k=4 survives (every edge has 2 witnesses) but k=5 empties it."""
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.graph import ktruss_peel
+
+    # triangle 1-2-3 plus a chain 3-4-5
+    tri = pa.table(
+        {
+            "a": pa.array([1, 1, 2, 3, 4], pa.int64()),
+            "b": pa.array([2, 3, 3, 4, 5], pa.int64()),
+        }
+    )
+    out = ktruss_peel(rd_mod.from_arrow(tri), k=3).to_pandas()
+    kept = sorted(zip(out.a.tolist(), out.b.tolist()))
+    assert kept == [(1, 2), (1, 3), (2, 3)]
+    assert (out.support == 1).all()
+
+    # 4-clique
+    edges = [(i, j) for i in range(1, 5) for j in range(i + 1, 5)]
+    cl = pa.table(
+        {
+            "a": pa.array([e[0] for e in edges], pa.int64()),
+            "b": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    k4 = ktruss_peel(rd_mod.from_arrow(cl), k=4).to_pandas()
+    assert len(k4) == 6 and (k4.support == 2).all()
+    k5 = ktruss_peel(rd_mod.from_arrow(cl), k=5).to_pandas()
+    assert len(k5) == 0

@@ -134,6 +134,7 @@ def _check(m, con, name):
         "wasserstein_length",
         "ams_f2_tokens",
         "max_token_run",
+        "ktruss_dupgraph",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

@@ -673,3 +673,144 @@ def kcore_peel(
             }
         )
     )
+
+
+def ktruss_peel(
+    pairs: rd.Dataset, k: int = 3, rounds: int = 8
+) -> pa.Table:
+    """``rounds``-round peel toward the k-TRUSS of the undirected
+    (a, b) edge graph (Cohen 2008): each round drops every edge whose
+    SUPPORT — the number of triangles it closes in the surviving
+    subgraph — is below k - 2, then recomputes. The edge-based
+    sibling of :func:`kcore_peel`: a k-truss is the cohesion notion a
+    dedup reviewer wants when chains of borderline pairs must not
+    glue clusters (every kept edge needs k - 2 independent
+    witnesses). Output: (a, b, support) of surviving edges.
+
+    Fixed round count for SQL replayability (the kcore_peel
+    contract); each effective round removes >= 1 edge so ``rounds``
+    bounds convergence depth at the scales at hand; a no-removal
+    round is a fixpoint and exits early, result-identical.
+
+    Scale shape: the edge LIST is pair-bounded and drives the round
+    loop from the driver (the kmv/mmr driver budget — dup-graph pair
+    sets are orders smaller than the corpus); the O(sum deg^2) wedge
+    enumeration — the expensive part — runs as parallel Ray tasks
+    over lower-endpoint chunks against a broadcast sorted edge-key
+    array, each task pure numpy (triu pair expansion + searchsorted
+    membership + add.at support partials)."""
+    import ray
+
+    edges_tbl = (
+        pairs.select_columns(["a", "b"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "a": pc.min_element_wise(
+                        pc.cast(t.column("a"), pa.int64()),
+                        pc.cast(t.column("b"), pa.int64()),
+                    ),
+                    "b": pc.max_element_wise(
+                        pc.cast(t.column("a"), pa.int64()),
+                        pc.cast(t.column("b"), pa.int64()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .drop_duplicates(["a", "b"])
+    )
+    a = edges_tbl["a"].to_numpy(np.int64)
+    b = edges_tbl["b"].to_numpy(np.int64)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+
+    M = np.int64(1) << np.int64(32)
+
+    @ray.remote
+    def wedge_support(ua: np.ndarray, ub: np.ndarray, keys_ref) -> np.ndarray:
+        """Support partials for one chunk of lower endpoints: for each
+        u, all neighbor pairs (v, w), closure via sorted-key search;
+        returns index-aligned add counts for the GLOBAL edge array."""
+        keys = keys_ref
+        out = np.zeros(keys.shape[0], np.int64)
+        if ua.size == 0:
+            return out
+        # group boundaries over the (sorted) chunk
+        starts = np.flatnonzero(np.concatenate(([True], ua[1:] != ua[:-1])))
+        counts = np.diff(np.append(starts, ua.shape[0]))
+        tot = int((counts * (counts - 1) // 2).sum())
+        if tot == 0:
+            return out
+        # vectorized per-group pair expansion (repeat/arange pattern)
+        gidx = np.repeat(np.arange(starts.shape[0]), counts * (counts - 1) // 2)
+        within = np.arange(tot) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts * (counts - 1) // 2)[:-1])),
+            counts * (counts - 1) // 2,
+        )
+        c = counts[gidx]
+        # map linear index -> (i, j) with i < j in an upper triangle
+        i = (
+            c
+            - 2
+            - np.floor(
+                np.sqrt(-8.0 * within + 4.0 * c * (c - 1) - 7.0) / 2.0 - 0.5
+            )
+        ).astype(np.int64)
+        j = (
+            within + i + 1 - c * (c - 1) // 2 + (c - i) * ((c - i) - 1) // 2
+        ).astype(np.int64)
+        base = starts[gidx]
+        v = ub[base + i]
+        w = ub[base + j]
+        cand = v * M + w
+        pos = np.searchsorted(keys, cand)
+        pos = np.minimum(pos, keys.shape[0] - 1)
+        closed = keys[pos] == cand
+        if not closed.any():
+            return out
+        u = ua[base[closed]]
+        v, w = v[closed], w[closed]
+        for e1, e2 in ((u, v), (u, w), (v, w)):
+            p = np.searchsorted(keys, e1 * M + e2)
+            np.add.at(out, p, 1)
+        return out
+
+    supp = np.zeros(a.shape[0], np.int64)
+    min_supp = k - 2
+    for _ in range(rounds):
+        if a.size == 0:
+            break
+        keys = a * M + b
+        keys_ref = ray.put(keys)
+        n_tasks = 8
+        cuts = np.linspace(0, a.shape[0], n_tasks + 1).astype(np.int64)
+        # align cuts to u-group boundaries so one u never splits
+        for t in range(1, n_tasks):
+            c0 = cuts[t]
+            while c0 < a.shape[0] and c0 > 0 and a[c0] == a[c0 - 1]:
+                c0 += 1
+            cuts[t] = c0
+        parts = ray.get(
+            [
+                wedge_support.remote(a[cuts[t] : cuts[t + 1]],
+                                     b[cuts[t] : cuts[t + 1]], keys_ref)
+                for t in range(n_tasks)
+                if cuts[t] < cuts[t + 1]
+            ]
+        )
+        supp = np.sum(parts, axis=0) if parts else np.zeros(a.shape[0], np.int64)
+        alive = supp >= min_supp
+        if alive.all():
+            break
+        a, b, supp = a[alive], b[alive], supp[alive]
+    return pa.table(
+        {
+            "a": pa.array(a),
+            "b": pa.array(b),
+            "support": pa.array(supp),
+        }
+    )
