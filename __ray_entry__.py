@@ -2807,6 +2807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_value_hour": lambda sf: relational.spearman_value_hour(sf),
         "funnel_steps": lambda sf: relational.funnel_steps(sf),
         "holt_forecast": lambda sf: relational.holt_forecast(sf),
+        "holtwinters_forecast": lambda sf: relational.holtwinters_forecast(sf),
         "asof_join_latency": lambda sf: relational.asof_join_latency(sf),
         "mannwhitney_value": lambda sf: relational.mannwhitney_value(sf),
         "ab_test_conversion": lambda sf: relational.ab_test_conversion(sf),
@@ -6393,6 +6394,68 @@ def oracle_sql() -> dict[str, str]:
                          // (SELECT n_users FROM c WHERE step = 1)
                     ELSE 0 END AS BIGINT) AS conv_ppm
         FROM c
+        """,
+        "holtwinters_forecast": """
+        WITH RECURSIVE eh AS (
+          SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS h
+          FROM events),
+        cnt AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS n
+                FROM eh GROUP BY 1, 2),
+        b AS (SELECT min(h) AS hmin, max(h) AS hmax FROM eh),
+        ty AS (SELECT DISTINCT event_type FROM eh),
+        grid AS (SELECT ty.event_type,
+                        unnest(generate_series(0, b.hmax - b.hmin)) AS i
+                 FROM ty CROSS JOIN b),
+        y AS (SELECT g.event_type, g.i, coalesce(c.n, 0) AS yv
+              FROM grid g CROSS JOIN b
+              LEFT JOIN cnt c ON c.event_type = g.event_type
+                             AND c.h = g.i + b.hmin),
+        init AS (SELECT event_type,
+                        CAST(sum(CASE WHEN i < 24 THEN yv ELSE 0 END)
+                             AS DOUBLE) / 24.0 AS lv
+                 FROM y GROUP BY event_type),
+        seas0 AS (SELECT y.event_type,
+                         list(CAST(y.yv AS DOUBLE) - init.lv
+                              ORDER BY y.i) AS seas
+                  FROM y JOIN init USING (event_type) WHERE y.i < 24
+                  GROUP BY y.event_type),
+        rec AS (
+          SELECT i0.event_type, CAST(23 AS BIGINT) AS i, i0.lv,
+                 CAST(0.0 AS DOUBLE) AS tr, s0.seas
+          FROM init i0 JOIN seas0 s0 USING (event_type)
+          UNION ALL
+          SELECT r.event_type, r.i + 1,
+            0.5 * (CAST(yy.yv AS DOUBLE)
+                   - r.seas[CAST((r.i + 1) % 24 AS BIGINT) + 1])
+              + 0.5 * (r.lv + r.tr),
+            0.5 * ((0.5 * (CAST(yy.yv AS DOUBLE)
+                           - r.seas[CAST((r.i + 1) % 24 AS BIGINT) + 1])
+                    + 0.5 * (r.lv + r.tr)) - r.lv) + 0.5 * r.tr,
+            list_transform(r.seas, (x, j) -> CASE
+              WHEN j = CAST((r.i + 1) % 24 AS BIGINT) + 1
+              THEN 0.5 * (CAST(yy.yv AS DOUBLE)
+                          - (0.5 * (CAST(yy.yv AS DOUBLE)
+                                    - r.seas[CAST((r.i + 1) % 24
+                                             AS BIGINT) + 1])
+                             + 0.5 * (r.lv + r.tr)))
+                   + 0.5 * x
+              ELSE x END)
+          FROM rec r JOIN y yy ON yy.event_type = r.event_type
+                              AND yy.i = r.i + 1),
+        fin AS (SELECT r.* FROM rec r CROSS JOIN b
+                WHERE r.i = b.hmax - b.hmin),
+        nb AS (SELECT CAST(hmax - hmin + 1 AS BIGINT) AS hh FROM b)
+        SELECT f.event_type, nb.hh AS n_hours,
+               round(f.lv, 6) AS level, round(f.tr, 6) AS trend,
+               round(f.lv + 1 * f.tr
+                     + f.seas[CAST(nb.hh % 24 AS BIGINT) + 1], 6) AS f1,
+               round(f.lv + 2 * f.tr
+                     + f.seas[CAST((nb.hh + 1) % 24 AS BIGINT) + 1], 6)
+                 AS f2,
+               round(f.lv + 3 * f.tr
+                     + f.seas[CAST((nb.hh + 2) % 24 AS BIGINT) + 1], 6)
+                 AS f3
+        FROM fin f CROSS JOIN nb
         """,
         "holt_forecast": """
         WITH RECURSIVE eh AS (

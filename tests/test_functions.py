@@ -5944,3 +5944,32 @@ def test_ktruss_peel_triangle_vs_chain(ray_session):
     assert len(k4) == 6 and (k4.support == 2).all()
     k5 = ktruss_peel(rd_mod.from_arrow(cl), k=5).to_pandas()
     assert len(k5) == 0
+
+
+def test_holtwinters_learns_seasonality(ray_session, tmp_path):
+    """On a perfectly periodic 24h pattern, Holt-Winters forecasts
+    reproduce the pattern (trend ~ 0, forecast ~= the seasonal value
+    for that hour) where trend-only Holt cannot."""
+    import pandas as pd_mod
+
+    from vietnamese_ocr_ray.pipelines.relational import holtwinters_forecast
+
+    # 6 days of a pure daily cycle: count = 1 + (hour % 24 == 5) * 20
+    rows = []
+    for day in range(6):
+        for h in range(24):
+            n = 21 if h == 5 else 1
+            for _ in range(n):
+                rows.append(("click", day * 24 + h))
+    df = pd_mod.DataFrame(rows, columns=["event_type", "hh"])
+    df["ts"] = pd_mod.to_datetime("2024-01-01") + pd_mod.to_timedelta(
+        df["hh"], unit="h"
+    )
+    df[["event_type", "ts"]].to_parquet(tmp_path / "events.parquet")
+
+    out = holtwinters_forecast(str(tmp_path)).to_pandas().iloc[0]
+    assert abs(out.trend) < 0.2  # no trend in a pure cycle
+    # H = 144, forecasts cover hours 144..146 -> hour-of-day 0..2: lows
+    for f in (out.f1, out.f2, out.f3):
+        assert abs(f - 1.0) < 1.5
+    assert out.n_hours == 144

@@ -135,6 +135,7 @@ def _check(m, con, name):
         "ams_f2_tokens",
         "max_token_run",
         "ktruss_dupgraph",
+        "holtwinters_forecast",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

@@ -4813,3 +4813,92 @@ def hits_user_event(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
             }
         )
     )
+
+
+def holtwinters_forecast(sf_dir: str, horizon: int = 3) -> rd.Dataset:
+    """Holt-Winters ADDITIVE-SEASONAL smoothing (period 24 hours,
+    alpha = beta = gamma = 0.5) over the hourly count series per
+    event_type, plus a ``horizon``-step forecast carrying the seasonal
+    term — the seasonality upgrade of holt_forecast for the daily
+    cycles every event stream has.
+
+    Determinism contract (the holt_forecast pattern, extended): y is
+    exact integer counts on the global hour grid; init is ONE float
+    division (l_0 = sum(first 24) / 24, t_0 = 0 — documented
+    simplification; s_j = y_j - l_0) and every recursion step is a
+    fixed dyadic (0.5) float expression replayed sub-expression for
+    sub-expression by a recursive CTE whose state carries the 24
+    seasonal values as a LIST column. SEQUENTIAL order is the spec.
+
+    Scale shape: identical to holt_forecast — a (type, hour)-bounded
+    count aggregate, then a driver recursion over calendar-bounded
+    points."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch = pc.divide(
+            pc.cast(batch.column("ts"), pa.int64()), pa.scalar(1_000_000)
+        ).to_numpy(zero_copy_only=False)
+        h = epoch // 3600
+        df = (
+            pd.DataFrame(
+                {
+                    "event_type": batch.column("event_type").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "h": h,
+                    "n": np.ones(len(h), np.int64),
+                }
+            )
+            .groupby(["event_type", "h"], as_index=False)
+            .agg(n=("n", "sum"))
+        )
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    hourly = (
+        hash_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["event_type", "h"],
+            {"n": ("n", "sum")},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["event_type", "h"])
+    )
+    hmin = int(hourly["h"].min())
+    hmax = int(hourly["h"].max())
+    H = hmax - hmin + 1
+    rows = []
+    for et, t in hourly.groupby("event_type", sort=True):
+        y = np.zeros(H, np.int64)
+        y[t["h"].to_numpy(np.int64) - hmin] = t["n"].to_numpy(np.int64)
+        lvl = float(int(y[:24].sum())) / 24.0
+        trd = 0.0
+        s = [float(y[j]) - lvl for j in range(24)]
+        for i in range(24, H):
+            idx = i % 24
+            yi = float(y[i])
+            lnew = 0.5 * (yi - s[idx]) + 0.5 * (lvl + trd)
+            trd = 0.5 * (lnew - lvl) + 0.5 * trd
+            s[idx] = 0.5 * (yi - lnew) + 0.5 * s[idx]
+            lvl = lnew
+        fc = [
+            round(lvl + (k + 1) * trd + s[(H + k) % 24], 6)
+            for k in range(horizon)
+        ]
+        rows.append((et, H, round(lvl, 6), round(trd, 6), fc))
+    out = {
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "n_hours": pa.array([r[1] for r in rows], pa.int64()),
+        "level": pa.array([r[2] for r in rows], pa.float64()),
+        "trend": pa.array([r[3] for r in rows], pa.float64()),
+    }
+    for k in range(horizon):
+        out[f"f{k + 1}"] = pa.array([r[4][k] for r in rows], pa.float64())
+    return rd.from_arrow(pa.table(out))
