@@ -5962,9 +5962,9 @@ def test_holtwinters_learns_seasonality(ray_session, tmp_path):
             for _ in range(n):
                 rows.append(("click", day * 24 + h))
     df = pd_mod.DataFrame(rows, columns=["event_type", "hh"])
-    df["ts"] = pd_mod.to_datetime("2024-01-01") + pd_mod.to_timedelta(
-        df["hh"], unit="h"
-    )
+    df["ts"] = (
+        pd_mod.to_datetime("2024-01-01") + pd_mod.to_timedelta(df["hh"], unit="h")
+    ).astype("datetime64[us]")  # match the corpus's microsecond unit
     df[["event_type", "ts"]].to_parquet(tmp_path / "events.parquet")
 
     out = holtwinters_forecast(str(tmp_path)).to_pandas().iloc[0]

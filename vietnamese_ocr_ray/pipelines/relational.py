@@ -3901,9 +3901,15 @@ def holt_forecast(
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        epoch = pc.divide(
-            pc.cast(batch.column("ts"), pa.int64()), pa.scalar(1_000_000)
-        ).to_numpy(zero_copy_only=False)
+        # unit-safe: normalize to datetime64[us] BEFORE the int cast so
+        # ns-unit parquet (pandas default) buckets identically
+        epoch = (
+            batch.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+            // 1_000_000
+        )
         h = epoch // 3600
         df = (
             pd.DataFrame(
@@ -4840,9 +4846,15 @@ def holtwinters_forecast(sf_dir: str, horizon: int = 3) -> rd.Dataset:
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        epoch = pc.divide(
-            pc.cast(batch.column("ts"), pa.int64()), pa.scalar(1_000_000)
-        ).to_numpy(zero_copy_only=False)
+        # unit-safe: normalize to datetime64[us] BEFORE the int cast so
+        # ns-unit parquet (pandas default) buckets identically
+        epoch = (
+            batch.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+            // 1_000_000
+        )
         h = epoch // 3600
         df = (
             pd.DataFrame(
