@@ -1938,6 +1938,14 @@ def _curriculum_order(sf_dir: str):
     )
 
 
+def _circular_peak_hour(sf_dir: str):
+    """Circular hour-of-day statistics + Rayleigh uniformity test per
+    event type (pipelines/analytics.circular_peak_hour)."""
+    from vietnamese_ocr_ray.pipelines.analytics import circular_peak_hour
+
+    return circular_peak_hour(sf_dir)
+
+
 def _wasserstein_length(sf_dir: str):
     """Exact integer 1-D Wasserstein drift of each source's length
     distribution vs the corpus
@@ -3204,6 +3212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bootstrap_ci_value": _bootstrap_ci_value,
         "voptimal_histogram": _voptimal_histogram,
         "wasserstein_length": _wasserstein_length,
+        "circular_peak_hour": _circular_peak_hour,
         "curriculum_order": _curriculum_order,
         "approx_quantiles": _approx_quantiles,
         "histogram_quantiles": _histogram_quantiles,
@@ -8704,6 +8713,31 @@ def oracle_sql() -> dict[str, str]:
         "ams_f2_tokens": _ams_f2_sql(),
         "theta_overlap_sources": _theta_overlap_sql(),
         "bootstrap_ci_value": _bootstrap_sql(),
+        "circular_peak_hour": """
+        WITH trig(hour, c, s) AS (VALUES (0, 1000000000, 0), (1, 965925826, 258819045), (2, 866025404, 500000000), (3, 707106781, 707106781), (4, 500000000, 866025404), (5, 258819045, 965925826), (6, 0, 1000000000), (7, -258819045, 965925826), (8, -500000000, 866025404), (9, -707106781, 707106781), (10, -866025404, 500000000), (11, -965925826, 258819045), (12, -1000000000, 0), (13, -965925826, -258819045), (14, -866025404, -500000000), (15, -707106781, -707106781), (16, -500000000, -866025404), (17, -258819045, -965925826), (18, 0, -1000000000), (19, 258819045, -965925826), (20, 500000000, -866025404), (21, 707106781, -707106781), (22, 866025404, -500000000), (23, 965925826, -258819045)),
+        e AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour
+              FROM events),
+        cnt AS (SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n
+                FROM e GROUP BY 1, 2),
+        v AS (SELECT c2.event_type,
+                     CAST(sum(c2.n) AS BIGINT) AS n_events,
+                     CAST(sum(c2.n * t.c) AS BIGINT) AS c_nano,
+                     CAST(sum(c2.n * t.s) AS BIGINT) AS s_nano
+              FROM cnt c2 JOIN trig t USING (hour)
+              GROUP BY c2.event_type),
+        pk AS (SELECT event_type, hour AS peak_hour,
+                      row_number() OVER (PARTITION BY event_type
+                        ORDER BY n DESC, hour ASC) AS rk
+               FROM cnt)
+        SELECT v.event_type, v.n_events, v.c_nano, v.s_nano,
+               CAST((v.c_nano::HUGEINT * v.c_nano
+                     + v.s_nano::HUGEINT * v.s_nano) * 1000000
+                    // (v.n_events::HUGEINT
+                        * 1000000000000000000) AS BIGINT)
+                 AS rayleigh_z_micro,
+               pk.peak_hour
+        FROM v JOIN pk ON pk.event_type = v.event_type AND pk.rk = 1
+        """,
         "wasserstein_length": """
         WITH c AS (SELECT source, n_chars AS len,
                           CAST(count(*) AS BIGINT) AS n

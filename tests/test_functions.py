@@ -5973,3 +5973,35 @@ def test_holtwinters_learns_seasonality(ray_session, tmp_path):
     for f in (out.f1, out.f2, out.f3):
         assert abs(f - 1.0) < 1.5
     assert out.n_hours == 144
+
+
+def test_circular_peak_hour_wraps_midnight(ray_session, tmp_path):
+    """Events split across 23:00/01:00 resolve to a resultant pointing
+    at midnight (C > 0, S ~ 0) with a LARGE Rayleigh z, where a linear
+    mean would land at noon; a uniform type scores z ~ 0."""
+    import pandas as pd_mod
+
+    from vietnamese_ocr_ray.pipelines.analytics import circular_peak_hour
+
+    rows = []
+    base = pd_mod.Timestamp("2024-01-01 00:00:00")
+    for _ in range(50):
+        rows.append(("night", base + pd_mod.Timedelta(hours=23)))
+        rows.append(("night", base + pd_mod.Timedelta(hours=1)))
+    for h in range(24):
+        rows.append(("uniform", base + pd_mod.Timedelta(hours=h)))
+    df = pd_mod.DataFrame(rows, columns=["event_type", "ts"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df.to_parquet(tmp_path / "events.parquet")
+
+    out = (
+        circular_peak_hour(str(tmp_path))
+        .to_pandas()
+        .set_index("event_type")
+    )
+    night = out.loc["night"]
+    assert night.c_nano > 0 and abs(night.s_nano) < night.c_nano // 10
+    # R-bar = cos(15deg) ~ 0.966 -> z = n * 0.933 ~ 93
+    assert night.rayleigh_z_micro > 80 * 10**6
+    assert night.peak_hour in (1, 23)
+    assert out.loc["uniform", "rayleigh_z_micro"] < 10**6  # z < 1

@@ -136,6 +136,7 @@ def _check(m, con, name):
         "max_token_run",
         "ktruss_dupgraph",
         "holtwinters_forecast",
+        "circular_peak_hour",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

@@ -3416,3 +3416,82 @@ def wasserstein_length(sf_dir: str) -> pa.Table:
             "emd_micro": pa.array([r[2] for r in rows], pa.int64()),
         }
     )
+
+
+# cos/sin of hour-of-day angles quantized to integer nano-units — a
+# fixed shared literal table (like POISSON1_T) so both engines do pure
+# integer arithmetic; round-half-even at 1e9 from IEEE doubles.
+HOUR_COS_NANO = (
+    1000000000, 965925826, 866025404, 707106781, 500000000, 258819045,
+    0, -258819045, -500000000, -707106781, -866025404, -965925826,
+    -1000000000, -965925826, -866025404, -707106781, -500000000,
+    -258819045, 0, 258819045, 500000000, 707106781, 866025404, 965925826,
+)
+HOUR_SIN_NANO = (
+    0, 258819045, 500000000, 707106781, 866025404, 965925826,
+    1000000000, 965925826, 866025404, 707106781, 500000000, 258819045,
+    0, -258819045, -500000000, -707106781, -866025404, -965925826,
+    -1000000000, -965925826, -866025404, -707106781, -500000000,
+    -258819045,
+)
+
+
+def circular_peak_hour(sf_dir: str) -> pa.Table:
+    """Circular (directional) statistics of event times per
+    event_type: the hour-of-day is an ANGLE, so "when does this event
+    concentrate" must not average 23:00 and 01:00 to noon. Computes
+    the resultant vector (C, S) = sum of per-hour unit vectors
+    weighted by counts, the Rayleigh uniformity statistic
+    ``z = R^2 / n`` (z_micro exact-integer scaled — large z rejects
+    "uniform over the day"), and the modal hour.
+
+    Exactness: unit vectors come from the shared HOUR_COS/SIN_NANO
+    integer literals; C, S and z_micro are pure integer arithmetic
+    (HUGEINT in SQL); peak_hour ties break toward the smaller hour.
+    Distributed shape: one (type, hour) count aggregate; everything
+    after is a 24-row table."""
+    from vietnamese_ocr_ray.sources.storage import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        hour = (ts.astype(np.int64) // 3_600_000_000) % 24
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "hour": pa.array(hour),
+                "n": pa.array(np.ones(len(hour), np.int64)),
+            }
+        )
+        g = t.group_by(["event_type", "hour"]).aggregate([("n", "sum")])
+        return g.rename_columns(["event_type", "hour", "n"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for et, g in agg.groupby("event_type", sort=True):
+        cnt = np.zeros(24, np.int64)
+        cnt[g["hour"].to_numpy(np.int64)] = g["n"].to_numpy(np.int64)
+        n = int(cnt.sum())
+        C = int(sum(int(c) * HOUR_COS_NANO[h] for h, c in enumerate(cnt)))
+        S = int(sum(int(c) * HOUR_SIN_NANO[h] for h, c in enumerate(cnt)))
+        z_micro = (C * C + S * S) * 10**6 // (n * 10**18)
+        peak = int(np.argmax(cnt))  # first max == smallest hour
+        rows.append((str(et), n, C, S, z_micro, peak))
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "n_events": pa.array([r[1] for r in rows], pa.int64()),
+            "c_nano": pa.array([r[2] for r in rows], pa.int64()),
+            "s_nano": pa.array([r[3] for r in rows], pa.int64()),
+            "rayleigh_z_micro": pa.array([r[4] for r in rows], pa.int64()),
+            "peak_hour": pa.array([r[5] for r in rows], pa.int64()),
+        }
+    )
