@@ -1005,6 +1005,14 @@ def _minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(_docs(sf_dir), texts_handle=None)
 
 
+def _dedup_threshold_curve(sf_dir: str):
+    """Verified-pair counts per exact-Jaccard cutoff over one LSH
+    candidate pass (functions/dedup.dedup_threshold_curve)."""
+    from vietnamese_ocr_ray.functions.dedup import dedup_threshold_curve
+
+    return dedup_threshold_curve(_docs(sf_dir))
+
+
 def _bbit_minhash_pairs(sf_dir: str):
     """1-bit minhash compression audit over the LSH candidate pairs:
     bit-agreement estimator vs exact Jaccard
@@ -3072,6 +3080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_pairs": _snm_pairs,
         "minhash_pairs": _minhash_pairs,
         "bbit_minhash_pairs": _bbit_minhash_pairs,
+        "dedup_threshold_curve": _dedup_threshold_curve,
         "dedup_neardup": _dedup_neardup,
         "dedup_impact": _dedup_impact,
         "simhash": _simhash,
@@ -5690,6 +5699,28 @@ def _minhash_pairs_sql() -> str:
     return (
         _minhash_verified_cte()
         + "\n    SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.6\n    "
+    )
+
+
+def _dedup_curve_sql() -> str:
+    """(threshold_pct, n_candidates, n_verified, verified_ppm) — the
+    `dedup_threshold_curve` oracle over the shared verified CTE."""
+    return (
+        _minhash_verified_cte()
+        + """,
+    th(t) AS (VALUES (50), (60), (70), (80), (90)),
+    base AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM verified),
+    c AS (SELECT th.t,
+                 CAST(count(*) FILTER (
+                   WHERE v.jaccard >= th.t / 100.0) AS BIGINT) AS n_ok
+          FROM th LEFT JOIN verified v ON TRUE GROUP BY th.t)
+    SELECT CAST(c.t AS BIGINT) AS threshold_pct,
+           base.n_cand AS n_candidates, c.n_ok AS n_verified,
+           CAST(CASE WHEN base.n_cand = 0 THEN 0
+                ELSE 1000000 * c.n_ok // base.n_cand END AS BIGINT)
+             AS verified_ppm
+    FROM c, base
+    """
     )
 
 
@@ -8686,6 +8717,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_pairs": _minhash_pairs_sql(),
         "bbit_minhash_pairs": _bbit_minhash_sql(),
+        "dedup_threshold_curve": _dedup_curve_sql(),
         "ssjoin_pairs": _ssjoin_pairs_sql(k=16),
         "containment_pairs": _containment_pairs_sql(k=16, threshold=0.9),
         "dedup_containment": _containment_pairs_sql(k=16, threshold=0.9)

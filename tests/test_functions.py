@@ -6005,3 +6005,31 @@ def test_circular_peak_hour_wraps_midnight(ray_session, tmp_path):
     assert night.rayleigh_z_micro > 80 * 10**6
     assert night.peak_hour in (1, 23)
     assert out.loc["uniform", "rayleigh_z_micro"] < 10**6  # z < 1
+
+
+def test_dedup_threshold_curve_monotone(ray_session):
+    """The verified count is monotone non-increasing in the cutoff;
+    planted exact duplicates survive every cutoff; unrelated docs
+    never verify at 0.9."""
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.dedup import dedup_threshold_curve
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [base, base, base[:-30] + "tail changed here",
+                 "totally different content " * 8]
+            ),
+        }
+    )
+    out = (
+        dedup_threshold_curve(rd_mod.from_arrow(docs))
+        .to_pandas()
+        .sort_values("threshold_pct")
+    )
+    assert (np.diff(out.n_verified.to_numpy()) <= 0).all()
+    assert out.n_candidates.nunique() == 1  # candidates are cutoff-free
+    assert out[out.threshold_pct == 90].n_verified.iloc[0] >= 1  # the dup

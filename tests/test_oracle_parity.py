@@ -137,6 +137,7 @@ def _check(m, con, name):
         "ktruss_dupgraph",
         "holtwinters_forecast",
         "circular_peak_hour",
+        "dedup_threshold_curve",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

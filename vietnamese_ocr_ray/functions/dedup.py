@@ -2609,3 +2609,53 @@ def bbit_minhash_pairs(
             ),
         }
     )
+
+
+def dedup_threshold_curve(
+    ds: rd.Dataset,
+    thresholds_pct: tuple[int, ...] = (50, 60, 70, 80, 90),
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 8,
+) -> pa.Table:
+    """Threshold-calibration curve for the MinHash dedup: over the LSH
+    CANDIDATE pair set (threshold-independent — banding fixes the
+    recall curve), how many pairs verify at each exact-Jaccard cutoff,
+    plus the per-cutoff survivor-candidate ratio in ppm. This is the
+    report a curation team reads to pick the dedup threshold: the
+    knee of verified-vs-cutoff is where near-dup mass ends and topical
+    similarity begins.
+
+    Scale shape: ONE LSH discovery pass (threshold 0 keeps every
+    verified candidate with its exact Jaccard), then a constant-sized
+    per-threshold count — the candidate table is pair-bounded. All
+    counts integer; ratios are exact integer ppm."""
+    pairs = minhash_lsh_pairs(
+        ds, num_perm=num_perm, bands=bands, k=k, threshold=0.0,
+        texts_handle=None,
+    ).to_pandas()
+    n_cand = len(pairs)
+    j = (
+        pairs["jaccard"].to_numpy(np.float64)
+        if n_cand
+        else np.empty(0, np.float64)
+    )
+    rows = []
+    for t in thresholds_pct:
+        n_ok = int((j >= t / 100.0).sum())
+        rows.append(
+            (
+                int(t),
+                n_cand,
+                n_ok,
+                1_000_000 * n_ok // n_cand if n_cand else 0,
+            )
+        )
+    return pa.table(
+        {
+            "threshold_pct": pa.array([r[0] for r in rows], pa.int64()),
+            "n_candidates": pa.array([r[1] for r in rows], pa.int64()),
+            "n_verified": pa.array([r[2] for r in rows], pa.int64()),
+            "verified_ppm": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
