@@ -3012,6 +3012,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fim_transform": lambda sf: fim_transform(_docs(sf)),
         "token_entropy": lambda sf: token_entropy(_docs(sf)),
         "bm25_search": lambda sf: bm25_rank(_docs(sf)),
+        "prf_expand": lambda sf: __import__(
+            "vietnamese_ocr_ray.functions.text", fromlist=["prf_expand"]
+        ).prf_expand(_docs(sf)),
         "fingerprint": lambda sf: fingerprint(_docs(sf)),
         # PII redaction (training-data hygiene; deterministic
         # SQL-expressible PII synth -> value-checked end-to-end)
@@ -4031,6 +4034,57 @@ def _bootstrap_sql(n_reps: int = 32) -> str:
     FROM raw
     JOIN m lo ON lo.event_type = raw.event_type AND lo.rk = 2
     JOIN m hi ON hi.event_type = raw.event_type AND hi.rk = {n_reps - 1}
+    """
+
+
+def _prf_sql(fb_docs: int = 5, fb_terms: int = 3, k: int = 10) -> str:
+    """(rank, doc_id, score_nano) — the `prf_expand` oracle: both BM25
+    rounds with per-(doc, term) NANO-quantized subscores (int sums, so
+    term-count associativity never bites), fb-doc term voting, half
+    weight on expansion terms."""
+    sub = "CAST(round(ln(1.0 + (CAST(s.n AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) / (CAST(f.df AS DOUBLE) + 0.5)) * CAST(t.tf AS DOUBLE) * (1.2 + 1.0) / (CAST(t.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(t.dl AS DOUBLE) / (CAST(s.dls AS DOUBLE) / CAST(s.n AS DOUBLE)))) * 1000000000) AS BIGINT)"
+    return f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS l
+               FROM documents),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(len(l)) AS BIGINT) AS dls FROM d),
+    q1(tok) AS (VALUES ('spark'), ('dup')),
+    tf1 AS (SELECT d.doc_id, q1.tok,
+                   CAST(len(list_filter(d.l, x -> x = q1.tok))
+                        AS BIGINT) AS tf,
+                   CAST(len(d.l) AS BIGINT) AS dl
+            FROM d CROSS JOIN q1),
+    df1 AS (SELECT tok, CAST(count(*) FILTER (WHERE tf > 0) AS BIGINT)
+                     AS df
+            FROM tf1 GROUP BY tok),
+    sc1 AS (SELECT t.doc_id, CAST(sum({sub}) AS BIGINT) AS score
+            FROM tf1 t JOIN df1 f USING (tok) CROSS JOIN stats s
+            GROUP BY t.doc_id),
+    top1 AS (SELECT doc_id FROM sc1
+             ORDER BY score DESC, doc_id LIMIT {fb_docs}),
+    exp_tf AS (SELECT unnest(l) AS tok FROM d JOIN top1 USING (doc_id)),
+    expn AS (SELECT tok, CAST(count(*) AS BIGINT) AS nn FROM exp_tf
+             WHERE tok NOT IN (SELECT tok FROM q1)
+             GROUP BY tok ORDER BY nn DESC, tok ASC LIMIT {fb_terms}),
+    q2 AS (SELECT tok, 0 AS half FROM q1
+           UNION ALL SELECT tok, 1 FROM expn),
+    tf2 AS (SELECT d.doc_id, q2.tok, q2.half,
+                   CAST(len(list_filter(d.l, x -> x = q2.tok))
+                        AS BIGINT) AS tf,
+                   CAST(len(d.l) AS BIGINT) AS dl
+            FROM d CROSS JOIN q2),
+    df2 AS (SELECT tok, CAST(count(*) FILTER (WHERE tf > 0) AS BIGINT)
+                     AS df
+            FROM tf2 GROUP BY tok),
+    sc2 AS (SELECT t.doc_id,
+                   CAST(sum(CASE WHEN t.half = 1 THEN {sub} // 2
+                            ELSE {sub} END) AS BIGINT) AS score_nano
+            FROM tf2 t JOIN df2 f USING (tok) CROSS JOIN stats s
+            GROUP BY t.doc_id)
+    SELECT CAST(row_number() OVER (ORDER BY score_nano DESC, doc_id)
+                AS BIGINT) AS rank,
+           doc_id, score_nano
+    FROM sc2 ORDER BY score_nano DESC, doc_id LIMIT {k}
     """
 
 
@@ -8217,6 +8271,7 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         """,
         "mlm_mask": _mlm_sql(),
+        "prf_expand": _prf_sql(),
         "max_token_run": """
         WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
                           CAST(generate_subscripts(

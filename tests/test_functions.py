@@ -6033,3 +6033,39 @@ def test_dedup_threshold_curve_monotone(ray_session):
     assert (np.diff(out.n_verified.to_numpy()) <= 0).all()
     assert out.n_candidates.nunique() == 1  # candidates are cutoff-free
     assert out[out.threshold_pct == 90].n_verified.iloc[0] >= 1  # the dup
+
+
+def test_prf_expand_pulls_in_cooccurring_docs(ray_session):
+    """PRF: a doc that shares NO original query term but is saturated
+    with a term co-occurring in the feedback docs gets ranked by
+    round 2 (score > 0), which plain BM25 gives zero weight."""
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.text import prf_expand
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(8, dtype=np.int64)),
+            "text": pa.array(
+                [
+                    "spark dup cluster cluster",   # feedback doc
+                    "spark dup cluster engine",    # feedback doc
+                    "spark cluster dup cluster",   # feedback doc
+                    "cluster cluster cluster",     # no query term!
+                    "unrelated words entirely",
+                    "more unrelated filler here",
+                    "spark alone here",
+                    "dup alone there",
+                ]
+            ),
+        }
+    )
+    out = prf_expand(
+        rd_mod.from_arrow(docs), terms=("spark", "dup"), fb_docs=3, fb_terms=1
+    ).to_pandas()
+    scores = out.set_index("doc_id")["score_nano"]
+    assert scores.get(3, 0) > 0  # expansion term 'cluster' reaches doc 3
+    # ranks are 1..k and strictly ordered by (score desc, doc_id)
+    assert list(out["rank"]) == list(range(1, len(out) + 1))
+    s = out.sort_values(["score_nano", "doc_id"], ascending=[False, True])
+    assert list(s.doc_id) == list(out.doc_id)

@@ -138,6 +138,7 @@ def _check(m, con, name):
         "holtwinters_forecast",
         "circular_peak_hour",
         "dedup_threshold_curve",
+        "prf_expand",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

@@ -1668,3 +1668,186 @@ def max_token_run_batch(batch: pa.Table) -> pa.Table:
 
 def max_token_run(ds: rd.Dataset) -> rd.Dataset:
     return ds.map_batches(max_token_run_batch, batch_format="pyarrow")
+
+
+def prf_expand(
+    ds: rd.Dataset,
+    terms: tuple[str, ...] = ("spark", "dup"),
+    fb_docs: int = 5,
+    fb_terms: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+) -> pa.Table:
+    """Pseudo-relevance-feedback retrieval (Rocchio 1971 / RM1 shape):
+    round 1 ranks by BM25, the top ``fb_docs`` documents vote
+    ``fb_terms`` expansion terms (highest total tf, original terms
+    excluded, ties lexicographic), and round 2 re-ranks with the
+    expanded query — expansion subscores at half weight (the Rocchio
+    beta as an exact integer halving). The canonical "no training
+    data" retrieval-quality lift, and the machinery RAG corpora run at
+    ingest time to densify sparse queries.
+
+    Float discipline — the bm25_rank upgrade: every (doc, term)
+    subscore quantizes to integer NANO units (round(x * 1e9)) before
+    summation, so per-doc totals are exact int64 sums in ANY term
+    order and the 2-term associativity cap of bm25_rank disappears.
+    idf doubles are computed once per term from exact (N, df) ints;
+    quantization points are bounded by distinct (tf, dl, df) triples.
+
+    Scale shape: two stateless scoring scans + one tf aggregate over
+    the fb_docs subset (broadcast id set, fb-bounded); corpus stats
+    are two scalar aggregates; only per-batch top-k candidates reach
+    the final sorts."""
+    import ray
+
+    docs_pd_cols = ("doc_id", "text")
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch.column("text"), " ")
+        dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([batch.num_rows], pa.int64()),
+                "dl": pa.array([int(dl.sum())], pa.int64()),
+            }
+        )
+
+    st = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .aggregate(Sum("n", alias_name="n"), Sum("dl", alias_name="dl"))
+    )
+    n_docs = int(st.get("sum(n)", st.get("n")))
+    dl_sum = int(st.get("sum(dl)", st.get("dl")))
+    avgdl = float(dl_sum) / float(n_docs)
+
+    def _dfs(term_list: tuple[str, ...]) -> dict[str, int]:
+        def df_partial(batch: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(batch.column("text"), " ")
+            flat = pc.list_flatten(toks)
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            nt = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+            doc = np.repeat(
+                np.asarray(batch.column("doc_id"), dtype=np.int64), nt
+            )
+            out_t, out_n = [], []
+            for t in term_list:
+                m = pc.equal(flat, pa.scalar(t)).to_numpy(zero_copy_only=False)
+                out_t.append(t)
+                out_n.append(int(np.unique(doc[m]).shape[0]))
+            return pa.table(
+                {
+                    "tok": pa.array(out_t, pa.string()),
+                    "df": pa.array(out_n, pa.int64()),
+                }
+            )
+
+        rows = (
+            ds.map_batches(df_partial, batch_format="pyarrow")
+            .groupby("tok")
+            .aggregate(Sum("df", alias_name="df"))
+            .to_pandas()
+        )
+        return dict(zip(rows["tok"], rows["df"].astype(np.int64)))
+
+    def _score_nano(term_list, weights_half) -> "rd.Dataset":
+        dfs = _dfs(term_list)
+        idf = {
+            t: float(
+                np.log(
+                    1.0
+                    + (n_docs - float(dfs.get(t, 0)) + 0.5)
+                    / (float(dfs.get(t, 0)) + 0.5)
+                )
+            )
+            for t in term_list
+        }
+
+        def score(batch: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(batch.column("text"), " ")
+            flat = pc.list_flatten(toks)
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            nt = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+            nb = batch.num_rows
+            doc = np.repeat(np.arange(nb, dtype=np.int64), nt)
+            dl = nt.astype(np.float64)
+            total = np.zeros(nb, np.int64)
+            for t in term_list:
+                m = pc.equal(flat, pa.scalar(t)).to_numpy(
+                    zero_copy_only=False
+                )
+                tf = np.bincount(doc[m], minlength=nb).astype(np.float64)
+                sub = (
+                    idf[t]
+                    * tf
+                    * (k1 + 1.0)
+                    / (tf + k1 * (1.0 - b + b * dl / avgdl))
+                )
+                sub_nano = np.round(sub * 1e9).astype(np.int64)
+                if weights_half and t in weights_half:
+                    sub_nano = sub_nano // 2
+                total += sub_nano
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "score_nano": pa.array(total),
+                }
+            )
+
+        return ds.map_batches(score, batch_format="pyarrow")
+
+    # round 1: original query, top fb_docs
+    r1 = (
+        _score_nano(terms, None)
+        .sort(["score_nano", "doc_id"], descending=[True, False])
+        .limit(fb_docs)
+        .to_pandas()
+    )
+    fb_ids = set(r1["doc_id"].astype(np.int64))
+    ids_handle = ray.put(np.array(sorted(fb_ids), np.int64))
+
+    def fb_tf(batch: pa.Table) -> pa.Table:
+        want = ray.get(ids_handle)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        sub = batch.filter(pa.array(np.isin(ids, want)))
+        if sub.num_rows == 0:
+            return pa.table(
+                {"tok": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        toks = pc.list_flatten(pc.split_pattern(sub.column("text"), " "))
+        t = pa.table({"tok": toks})
+        g = t.group_by("tok").aggregate([([], "count_all")])
+        return g.rename_columns(["tok", "n"])
+
+    tf_rows = (
+        ds.map_batches(fb_tf, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    tf_rows = tf_rows[~tf_rows["tok"].isin(terms)]
+    tf_rows = tf_rows.sort_values(
+        ["n", "tok"], ascending=[False, True], kind="stable"
+    ).head(fb_terms)
+    expansion = tuple(tf_rows["tok"])
+
+    # round 2: expanded query, expansion at half weight
+    full = terms + expansion
+    out = (
+        _score_nano(full, set(expansion))
+        .sort(["score_nano", "doc_id"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return pa.table(
+        {
+            "rank": pa.array(out["rank"].to_numpy(np.int64)),
+            "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+            "score_nano": pa.array(out["score_nano"].to_numpy(np.int64)),
+        }
+    )
