@@ -2024,6 +2024,18 @@ def _theta_overlap_sources(sf_dir: str):
     return theta_overlap_sources(_docs(sf_dir, ("source", "text")), k=64)
 
 
+def _grouped_split(sf_dir: str):
+    """Leakage-free user-level train/val/test split summary + audit
+    (functions/sampling.grouped_split)."""
+    from vietnamese_ocr_ray.functions.sampling import grouped_split
+    from vietnamese_ocr_ray.sources.storage import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return grouped_split(ds)
+
+
 def _ams_f2_tokens(sf_dir: str):
     """AMS F2 (self-join size) sketch vs exact over corpus tokens
     (functions/sketch.ams_f2_tokens)."""
@@ -3216,6 +3228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_tokens": _approx_distinct_tokens,
         "kmv_distinct_sources": _kmv_distinct_sources,
         "ams_f2_tokens": _ams_f2_tokens,
+        "grouped_split": _grouped_split,
         "theta_overlap_sources": _theta_overlap_sources,
         "isotonic_hourly": _isotonic_hourly,
         "conformal_threshold": _conformal_threshold,
@@ -4085,6 +4098,39 @@ def _prf_sql(fb_docs: int = 5, fb_terms: int = 3, k: int = 10) -> str:
                 AS BIGINT) AS rank,
            doc_id, score_nano
     FROM sc2 ORDER BY score_nano DESC, doc_id LIMIT {k}
+    """
+
+
+def _grouped_split_sql(n_buckets: int = 10) -> str:
+    """(split, event_type, n_rows, n_groups, leaked_groups) — the
+    `grouped_split` oracle: splitmix64(user) % 10 buckets, 8/1/1
+    split, distinct-group counts, cross-split leak audit."""
+    return f"""
+    WITH h0 AS (SELECT user_id, event_type,
+                       CAST((CAST(user_id AS HUGEINT)
+                             + 11400714819323198485) % {_U64_MOD}
+                            AS UBIGINT) AS h
+                FROM events),
+    f1 AS (SELECT user_id, event_type,
+                  {_mul64_expr("xor(h, h >> 30)", 0xBF58476D1CE4E5B9)} AS h
+           FROM h0),
+    f2 AS (SELECT user_id, event_type,
+                  {_mul64_expr("xor(h, h >> 27)", 0x94D049BB133111EB)} AS h
+           FROM f1),
+    f3 AS (SELECT user_id, event_type, xor(h, h >> 31) AS h FROM f2),
+    a AS (SELECT user_id, event_type,
+                 CASE WHEN h % {n_buckets} < 8 THEN 0
+                      WHEN h % {n_buckets} < 9 THEN 1 ELSE 2 END AS split
+          FROM f3),
+    leak AS (SELECT CAST(count(*) AS BIGINT) AS n FROM (
+               SELECT user_id FROM (SELECT DISTINCT user_id, split FROM a)
+               GROUP BY user_id HAVING count(*) > 1))
+    SELECT CAST(a.split AS BIGINT) AS split, a.event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_groups,
+           leak.n AS leaked_groups
+    FROM a CROSS JOIN leak
+    GROUP BY a.split, a.event_type, leak.n
     """
 
 
@@ -8798,6 +8844,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_tokens": _hll_distinct_tokens_sql(),
         "kmv_distinct_sources": _kmv_sql(),
         "ams_f2_tokens": _ams_f2_sql(),
+        "grouped_split": _grouped_split_sql(),
         "theta_overlap_sources": _theta_overlap_sql(),
         "bootstrap_ci_value": _bootstrap_sql(),
         "circular_peak_hour": """

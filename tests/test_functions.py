@@ -6069,3 +6069,31 @@ def test_prf_expand_pulls_in_cooccurring_docs(ray_session):
     assert list(out["rank"]) == list(range(1, len(out) + 1))
     s = out.sort_values(["score_nano", "doc_id"], ascending=[False, True])
     assert list(s.doc_id) == list(out.doc_id)
+
+
+def test_grouped_split_no_leakage(ray_session):
+    """Every row of one user lands in the SAME split; split sizes
+    roughly follow 8/1/1; the leak audit reports zero."""
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.sampling import grouped_split
+
+    n_users = 400
+    ids = np.repeat(np.arange(n_users, dtype=np.int64), 3)  # 3 rows/user
+    t = pa.table(
+        {
+            "user_id": pa.array(ids),
+            "event_type": pa.array(
+                np.tile(np.array(["a", "b", "c"]), n_users), pa.string()
+            ),
+        }
+    )
+    out = grouped_split(rd_mod.from_arrow(t)).to_pandas()
+    assert (out.leaked_groups == 0).all()
+    by_split = out.groupby("split")[["n_rows", "n_groups"]].sum()
+    assert by_split.n_rows.sum() == n_users * 3
+    # each user contributes its 3 event types to ONE split: per-split
+    # group sums count each user exactly 3x (once per type)
+    assert by_split.n_groups.sum() == n_users * 3
+    frac_train = by_split.loc[0, "n_rows"] / (n_users * 3)
+    assert 0.7 < frac_train < 0.9

@@ -139,6 +139,7 @@ def _check(m, con, name):
         "circular_peak_hour",
         "dedup_threshold_curve",
         "prf_expand",
+        "grouped_split",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

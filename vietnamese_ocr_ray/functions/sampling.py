@@ -446,3 +446,128 @@ def source_epochs(
             "epochs": pa.array(np.round(epochs, 6), pa.float64()),
         }
     )
+
+
+def grouped_split(
+    ds: rd.Dataset,
+    group_col: str = "user_id",
+    *,
+    val_buckets: int = 1,
+    test_buckets: int = 1,
+    n_buckets: int = 10,
+) -> rd.Dataset:
+    """GROUP-LEVEL train/val/test assignment: every row of one group
+    (user) lands in the SAME split — the leakage-free split an
+    event/interaction dataset needs (a row-level split leaks a user's
+    behavior across train and eval; time_split_leakage measures that
+    failure, this op prevents it). Split = splitmix64(group) % 10:
+    buckets 0..7 train, 8 val, 9 test by default.
+
+    Output per (split, event_type): rows and exact DISTINCT group
+    count, plus ``leaked_groups`` — groups seen in more than one split
+    (0 by construction; emitted as a DATA-derived audit, not an
+    assumption, so a regression in the hash path would surface here).
+
+    Shape: one stateless assignment pass; distinct-group counts ride a
+    (group, split, type)-bounded aggregate; everything integer."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+    from vietnamese_ocr_ray.functions.joins import _mix64
+
+    train_hi = n_buckets - val_buckets - test_buckets
+
+    def assign(b: pa.Table) -> pa.Table:
+        g = b.column(group_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (_mix64(g) % np.uint64(n_buckets)).astype(np.int64)
+        split = np.where(
+            bucket < train_hi,
+            0,
+            np.where(bucket < train_hi + val_buckets, 1, 2),
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "grp": pa.array(g),
+                "split": pa.array(split),
+                "event_type": b.column("event_type"),
+                "n": pa.array(np.ones(len(g), np.int64)),
+            }
+        )
+
+    rows = ds.map_batches(assign, batch_format="pyarrow")
+    per_grp = hash_aggregate(
+        rows, ["grp", "split", "event_type"], {"n_rows": ("n", "sum")}
+    )
+
+    def summarize(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "split": b.column("split"),
+                "event_type": b.column("event_type"),
+                "n_rows": b.column("n_rows"),
+                "one": pa.array(np.ones(b.num_rows, np.int64)),
+            }
+        )
+        g = t.group_by(["split", "event_type"]).aggregate(
+            [("n_rows", "sum"), ("one", "sum")]
+        )
+        return g.rename_columns(["split", "event_type", "n_rows", "n_groups"])
+
+    from ray.data.aggregate import Sum
+
+    per_split = (
+        per_grp.map_batches(summarize, batch_format="pyarrow")
+        .groupby(["split", "event_type"])
+        .aggregate(Sum("n_rows", alias_name="n_rows"),
+                   Sum("n_groups", alias_name="n_groups"))
+    )
+
+    # leakage audit: a group with >1 DISTINCT split (must be 0).
+    # Two-stage: global (grp, split) dedup first — a per-batch dedup
+    # alone would recount the same split seen from two batches
+    grp_split = hash_aggregate(
+        per_grp.map_batches(
+            lambda b: pa.table(
+                {"grp": b.column("grp"), "split": b.column("split")}
+            ),
+            batch_format="pyarrow",
+        ),
+        ["grp", "split"],
+        {"_n": ("split", "count")},
+    )
+    leak_partial = hash_aggregate(
+        grp_split, ["grp"], {"n_splits": ("split", "count")}
+    )
+    agg_res = leak_partial.map_batches(
+        lambda b: pa.table(
+            {
+                "l": pa.array(
+                    [
+                        int(
+                            (
+                                pc.cast(b.column("n_splits"), pa.int64())
+                                .to_numpy(zero_copy_only=False)
+                                > 1
+                            ).sum()
+                        )
+                    ],
+                    pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).aggregate(Sum("l", alias_name="l"))
+    leaked = int(agg_res.get("l", agg_res.get("sum(l)", 0)))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "split": pc.cast(t.column("split"), pa.int64()),
+                "event_type": t.column("event_type"),
+                "n_rows": pc.cast(t.column("n_rows"), pa.int64()),
+                "n_groups": pc.cast(t.column("n_groups"), pa.int64()),
+                "leaked_groups": pa.array(
+                    np.full(t.num_rows, leaked, np.int64)
+                ),
+            }
+        )
+
+    return per_split.map_batches(finish, batch_format="pyarrow")
