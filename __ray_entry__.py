@@ -1439,6 +1439,69 @@ def _components(sf_dir: str):
     return connected_components(pairs)
 
 
+def _dupcluster_shape(sf_dir: str):
+    """Per-component SHAPE audit of the near-dup graph: node/edge
+    counts, exact density ppm, clique flag — chains (density -> 0)
+    are the transitive-glue artifacts a dedup reviewer treats
+    differently from true duplicate cliques. CC labels ride the
+    SQL-checked components path; the pair-node-bounded label table
+    broadcasts once (the CC broadcast-mode heap contract) and edges
+    aggregate per component with one bucketed groupby."""
+    import ray
+
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    comp = _components(sf_dir).to_pandas()  # pair-node-bounded
+    lut = dict(
+        zip(comp["node"].astype(np.int64), comp["component"].astype(np.int64))
+    )
+    handle = ray.put(lut)
+
+    pairs = _embedding_neardup(sf_dir).map_batches(
+        lambda b: pa.table(
+            {"a": b.column("vec_id_a"), "b": b.column("vec_id_b")}
+        ),
+        batch_format="pyarrow",
+    )
+
+    def tag(b: pa.Table) -> pa.Table:
+        m = ray.get(handle)
+        a = b.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "component": pa.array(
+                    np.array([m[x] for x in a], np.int64)
+                ),
+                "e": pa.array(np.ones(len(a), np.int64)),
+            }
+        )
+
+    edges = hash_aggregate(
+        pairs.map_batches(tag, batch_format="pyarrow"),
+        ["component"],
+        {"n_edges": ("e", "sum")},
+    ).to_pandas()
+    nodes = (
+        comp.groupby("component", as_index=False)
+        .agg(n_nodes=("node", "size"))
+    )
+    m = nodes.merge(edges, on="component", how="left").fillna({"n_edges": 0})
+    v = m["n_nodes"].to_numpy(np.int64)
+    e = m["n_edges"].to_numpy(np.int64)
+    dens = 2_000_000 * e // (v * (v - 1))
+    return pa.table(
+        {
+            "component": pa.array(m["component"].to_numpy(np.int64)),
+            "n_nodes": pa.array(v),
+            "n_edges": pa.array(e),
+            "density_ppm": pa.array(dens),
+            "is_clique": pa.array(
+                (2 * e == v * (v - 1)).astype(np.int64)
+            ),
+        }
+    )
+
+
 def _dupcluster_histogram(sf_dir: str):
     """Cluster-size histogram of the near-dup graph (how much of the
     corpus sits in 2-clusters vs giant components — the dedup-impact
@@ -3127,6 +3190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _embedding_neardup,
         "dup_degree_hist": _dup_degree_hist,
         "components": _components,
+        "dupcluster_shape": _dupcluster_shape,
         "dupcluster_histogram": _dupcluster_histogram,
         "pagerank_dupgraph": _pagerank_dupgraph,
         "kcore_dupgraph": _kcore_dupgraph,
@@ -7900,6 +7964,38 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT v AS node, CAST(min(n) AS BIGINT) AS component
         FROM walk GROUP BY v
+        """,
+        "dupcluster_shape": """
+        WITH RECURSIVE pairs AS (
+          SELECT a.vec_id AS a, b.vec_id AS b
+          FROM embeddings a, embeddings b
+          WHERE a.vec_id < b.vec_id
+            AND round(list_cosine_similarity(
+                  CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+        ),
+        edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+        walk AS (
+          SELECT a AS v, a AS n FROM edges
+          UNION
+          SELECT walk.v, e.b FROM walk JOIN edges e ON walk.n = e.a
+        ),
+        comp AS (SELECT v AS node, CAST(min(n) AS BIGINT) AS component
+                 FROM walk GROUP BY v),
+        nn AS (SELECT component, CAST(count(*) AS BIGINT) AS n_nodes
+               FROM comp GROUP BY component),
+        ee AS (SELECT c.component, CAST(count(*) AS BIGINT) AS n_edges
+               FROM pairs p JOIN comp c ON c.node = p.a
+               GROUP BY c.component)
+        SELECT nn.component, nn.n_nodes,
+               CAST(coalesce(ee.n_edges, 0) AS BIGINT) AS n_edges,
+               CAST(2000000 * coalesce(ee.n_edges, 0)
+                    // (nn.n_nodes * (nn.n_nodes - 1)) AS BIGINT)
+                 AS density_ppm,
+               CAST(CASE WHEN 2 * coalesce(ee.n_edges, 0)
+                              = nn.n_nodes * (nn.n_nodes - 1)
+                    THEN 1 ELSE 0 END AS BIGINT) AS is_clique
+        FROM nn LEFT JOIN ee USING (component)
         """,
         "dup_cluster_purity": """
         WITH RECURSIVE pairs AS (

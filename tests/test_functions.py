@@ -6097,3 +6097,57 @@ def test_grouped_split_no_leakage(ray_session):
     assert by_split.n_groups.sum() == n_users * 3
     frac_train = by_split.loc[0, "n_rows"] / (n_users * 3)
     assert 0.7 < frac_train < 0.9
+
+
+def test_dupcluster_shape_chain_vs_clique(ray_session, tmp_path):
+    """End-to-end on planted geometry: three identical vectors form a
+    clique component (density 1e6); a 3-node path (ends below the 0.4
+    cosine cutoff, middle above it to both) forms a chain component
+    (2 edges / 3 nodes -> density 666666 ppm, not a clique)."""
+    import importlib.util
+    import math
+    import os as _os
+
+    import pandas as pd_mod
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__",
+        _os.path.join(_os.path.dirname(__file__), "..", "__ray_entry__.py"),
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    a70 = math.radians(70.0)
+    a35 = math.radians(35.0)
+    vecs = [
+        [1.0, 0.0],                                  # clique x3
+        [1.0, 0.0],
+        [1.0, 0.0],
+        [1.0, 0.0],                                  # chain end A
+        [math.cos(a35), math.sin(a35)],              # chain middle
+        [math.cos(a70), math.sin(a70)],              # chain end B
+    ]
+    # separate the two families so they never cross-link: rotate the
+    # chain into the other quadrant
+    rot = [[-v[1], v[0]] for v in vecs[3:]]
+    vecs = vecs[:3] + rot
+    pd_mod.DataFrame(
+        {
+            "vec_id": np.arange(6, dtype=np.int64),
+            "embedding": [np.array(v, np.float32) for v in vecs],
+            "label": np.zeros(6, np.int32),
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet")
+
+    out = (
+        m.queries()["dupcluster_shape"](str(tmp_path))
+        .to_pandas()
+        .sort_values("component")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 2
+    clique = out[(out.n_nodes == 3) & (out.is_clique == 1)]
+    chain = out[out.is_clique == 0]
+    assert len(clique) == 1 and clique.density_ppm.iloc[0] == 1_000_000
+    assert len(chain) == 1 and chain.n_edges.iloc[0] == 2
+    assert chain.density_ppm.iloc[0] == 666_666

@@ -140,6 +140,7 @@ def _check(m, con, name):
         "dedup_threshold_curve",
         "prf_expand",
         "grouped_split",
+        "dupcluster_shape",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):
