@@ -2009,6 +2009,14 @@ def _curriculum_order(sf_dir: str):
     )
 
 
+def _decayed_type_counts(sf_dir: str):
+    """Freshness-weighted (half-life-decayed) per-type counters
+    (pipelines/analytics.decayed_type_counts)."""
+    from vietnamese_ocr_ray.pipelines.analytics import decayed_type_counts
+
+    return decayed_type_counts(sf_dir)
+
+
 def _circular_peak_hour(sf_dir: str):
     """Circular hour-of-day statistics + Rayleigh uniformity test per
     event type (pipelines/analytics.circular_peak_hour)."""
@@ -3302,6 +3310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "voptimal_histogram": _voptimal_histogram,
         "wasserstein_length": _wasserstein_length,
         "circular_peak_hour": _circular_peak_hour,
+        "decayed_type_counts": _decayed_type_counts,
         "curriculum_order": _curriculum_order,
         "approx_quantiles": _approx_quantiles,
         "histogram_quantiles": _histogram_quantiles,
@@ -8943,6 +8952,31 @@ def oracle_sql() -> dict[str, str]:
         "grouped_split": _grouped_split_sql(),
         "theta_overlap_sources": _theta_overlap_sql(),
         "bootstrap_ci_value": _bootstrap_sql(),
+        "decayed_type_counts": """
+        WITH e AS (SELECT event_type,
+                          epoch_us(ts) // 3600000000 AS h
+                   FROM events),
+        b AS (SELECT min(h) AS hmin, max(h) AS hmax FROM e),
+        km AS (SELECT (hmax - hmin) // 12 AS kmax FROM b),
+        c AS (SELECT event_type, h, CAST(count(*) AS BIGINT) AS n
+              FROM e GROUP BY 1, 2),
+        w AS (SELECT c.event_type, c.n,
+                     (b.hmax - c.h) // 12 AS k
+              FROM c CROSS JOIN b),
+        s AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+                     sum(n::HUGEINT * (1::HUGEINT << CAST(km.kmax - k
+                                                   AS INTEGER))) AS acc
+              FROM w CROSS JOIN km GROUP BY event_type, km.kmax),
+        f AS (SELECT event_type, n_events,
+                     CAST(acc AS DOUBLE)
+                       / CAST(1::HUGEINT << CAST(km.kmax AS INTEGER)
+                              AS DOUBLE) AS decayed_count
+              FROM s CROSS JOIN km)
+        SELECT event_type, n_events, decayed_count,
+               CAST(row_number() OVER (
+                 ORDER BY decayed_count DESC, event_type) AS BIGINT) AS rank
+        FROM f
+        """,
         "circular_peak_hour": """
         WITH trig(hour, c, s) AS (VALUES (0, 1000000000, 0), (1, 965925826, 258819045), (2, 866025404, 500000000), (3, 707106781, 707106781), (4, 500000000, 866025404), (5, 258819045, 965925826), (6, 0, 1000000000), (7, -258819045, 965925826), (8, -500000000, 866025404), (9, -707106781, 707106781), (10, -866025404, 500000000), (11, -965925826, 258819045), (12, -1000000000, 0), (13, -965925826, -258819045), (14, -866025404, -500000000), (15, -707106781, -707106781), (16, -500000000, -866025404), (17, -258819045, -965925826), (18, 0, -1000000000), (19, 258819045, -965925826), (20, 500000000, -866025404), (21, 707106781, -707106781), (22, 866025404, -500000000), (23, 965925826, -258819045)),
         e AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour

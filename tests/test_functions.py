@@ -6151,3 +6151,28 @@ def test_dupcluster_shape_chain_vs_clique(ray_session, tmp_path):
     assert len(clique) == 1 and clique.density_ppm.iloc[0] == 1_000_000
     assert len(chain) == 1 and chain.n_edges.iloc[0] == 2
     assert chain.density_ppm.iloc[0] == 666_666
+
+
+def test_decayed_type_counts_freshness(ray_session, tmp_path):
+    """An old burst loses to a smaller recent burst under a 12h
+    half-life; weights are exact dyadics (24h-old mass counts 1/4)."""
+    import pandas as pd_mod
+
+    from vietnamese_ocr_ray.pipelines.analytics import decayed_type_counts
+
+    base = pd_mod.Timestamp("2024-01-02 00:00:00")
+    rows = (
+        [("old_burst", base - pd_mod.Timedelta(hours=24))] * 100
+        + [("recent", base)] * 30
+    )
+    df = pd_mod.DataFrame(rows, columns=["event_type", "ts"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df.to_parquet(tmp_path / "events.parquet")
+    out = (
+        decayed_type_counts(str(tmp_path))
+        .to_pandas()
+        .set_index("event_type")
+    )
+    assert out.loc["old_burst", "decayed_count"] == 25.0  # 100 * 2^-2
+    assert out.loc["recent", "decayed_count"] == 30.0
+    assert out.loc["recent", "rank"] == 1  # freshness wins

@@ -141,6 +141,7 @@ def _check(m, con, name):
         "prf_expand",
         "grouped_split",
         "dupcluster_shape",
+        "decayed_type_counts",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

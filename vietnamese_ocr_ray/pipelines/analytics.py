@@ -3495,3 +3495,74 @@ def circular_peak_hour(sf_dir: str) -> pa.Table:
             "peak_hour": pa.array([r[5] for r in rows], pa.int64()),
         }
     )
+
+
+def decayed_type_counts(sf_dir: str, half_life_hours: int = 12) -> pa.Table:
+    """Exponentially time-decayed event counts per type, as of the
+    stream's last hour — the freshness-weighted counter a streaming
+    ranker keeps (recent activity dominates, stale mass fades with a
+    ``half_life_hours`` half-life). Decay is quantized to HOUR steps
+    so every weight is the exact dyadic ``2^-(age_hours //
+    half_life)``; per-type sums accumulate as EXACT integers
+    ``sum(2^(k_max - k))`` (unbounded here, HUGEINT in SQL) and the
+    emitted double is ONE deterministic cast + division — no float
+    accumulation order anywhere.
+
+    Shape: one (type, age-bucket) count aggregate (calendar-bounded),
+    driver finish over that tiny table."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+    from vietnamese_ocr_ray.sources.storage import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        hour = ts.astype(np.int64) // 3_600_000_000
+        df = (
+            pd.DataFrame(
+                {
+                    "event_type": b.column("event_type").to_numpy(
+                        zero_copy_only=False
+                    ),
+                    "h": hour,
+                    "n": np.ones(len(hour), np.int64),
+                }
+            )
+            .groupby(["event_type", "h"], as_index=False)
+            .agg(n=("n", "sum"))
+        )
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    hourly = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "h"],
+        {"n": ("n", "sum")},
+        num_buckets=8,
+    ).to_pandas()
+    hmax = int(hourly["h"].max())
+    kmax = int((hmax - int(hourly["h"].min())) // half_life_hours)
+    rows = []
+    for et, g in hourly.groupby("event_type", sort=True):
+        acc = 0
+        for _, r in g.iterrows():
+            k = (hmax - int(r["h"])) // half_life_hours
+            acc += int(r["n"]) << (kmax - k)
+        rows.append((str(et), int(g["n"].sum()), acc))
+    scale = float(1 << kmax)
+    out = sorted(rows, key=lambda r: (-(r[2]), r[0]))
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in out], pa.string()),
+            "n_events": pa.array([r[1] for r in out], pa.int64()),
+            "decayed_count": pa.array(
+                [float(r[2]) / scale for r in out], pa.float64()
+            ),
+            "rank": pa.array(
+                np.arange(1, len(out) + 1, dtype=np.int64)
+            ),
+        }
+    )
