@@ -1005,6 +1005,14 @@ def _minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(_docs(sf_dir), texts_handle=None)
 
 
+def _lsh_recall_audit(sf_dir: str):
+    """Banded-LSH recall vs the exact AllPairs join on the same
+    16-byte shingle universe (functions/dedup.lsh_recall_audit)."""
+    from vietnamese_ocr_ray.functions.dedup import lsh_recall_audit
+
+    return lsh_recall_audit(_docs(sf_dir))
+
+
 def _dedup_threshold_curve(sf_dir: str):
     """Verified-pair counts per exact-Jaccard cutoff over one LSH
     candidate pass (functions/dedup.dedup_threshold_curve)."""
@@ -3167,6 +3175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _minhash_pairs,
         "bbit_minhash_pairs": _bbit_minhash_pairs,
         "dedup_threshold_curve": _dedup_threshold_curve,
+        "lsh_recall_audit": _lsh_recall_audit,
         "dedup_neardup": _dedup_neardup,
         "dedup_impact": _dedup_impact,
         "simhash": _simhash,
@@ -5873,6 +5882,27 @@ def _minhash_pairs_sql() -> str:
         _minhash_verified_cte()
         + "\n    SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.6\n    "
     )
+
+
+def _lsh_recall_sql(k: int = 16, threshold: float = 0.6) -> str:
+    """(n_true, n_found, recall_ppm) — the `lsh_recall_audit` oracle:
+    exact AllPairs count and the k=16 minhash-verified count as two
+    nested CTE subqueries (DuckDB scopes WITH per subquery)."""
+    ssjoin = _ssjoin_pairs_sql(k=k, threshold=threshold)
+    mh = (
+        _minhash_verified_cte(k=k)
+        + f"\n    SELECT a, b FROM verified WHERE jaccard >= {threshold}\n"
+    )
+    return f"""
+    WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_true
+               FROM ({ssjoin})),
+    f AS (SELECT CAST(count(*) AS BIGINT) AS n_found FROM ({mh}))
+    SELECT t.n_true, f.n_found,
+           CAST(CASE WHEN t.n_true = 0 THEN 1000000
+                ELSE 1000000 * f.n_found // t.n_true END AS BIGINT)
+             AS recall_ppm
+    FROM t, f
+    """
 
 
 def _dedup_curve_sql() -> str:
@@ -8924,6 +8954,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _minhash_pairs_sql(),
         "bbit_minhash_pairs": _bbit_minhash_sql(),
         "dedup_threshold_curve": _dedup_curve_sql(),
+        "lsh_recall_audit": _lsh_recall_sql(),
         "ssjoin_pairs": _ssjoin_pairs_sql(k=16),
         "containment_pairs": _containment_pairs_sql(k=16, threshold=0.9),
         "dedup_containment": _containment_pairs_sql(k=16, threshold=0.9)

@@ -6176,3 +6176,23 @@ def test_decayed_type_counts_freshness(ray_session, tmp_path):
     assert out.loc["old_burst", "decayed_count"] == 25.0  # 100 * 2^-2
     assert out.loc["recent", "decayed_count"] == 30.0
     assert out.loc["recent", "rank"] == 1  # freshness wins
+
+
+def test_lsh_recall_audit_bounds(ray_session):
+    """found <= true always; planted exact duplicates are found by
+    both engines so recall is 1.0 on an all-dups corpus."""
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.dedup import lsh_recall_audit
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(6, dtype=np.int64)),
+            "text": pa.array([base] * 4 + ["other words " * 10] * 2),
+        }
+    )
+    out = lsh_recall_audit(rd_mod.from_arrow(docs)).to_pandas().iloc[0]
+    assert out.n_found <= out.n_true
+    assert out.n_true >= 6  # C(4,2) identical pairs at least
+    assert out.recall_ppm == 1_000_000  # identical docs always collide

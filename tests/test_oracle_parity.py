@@ -142,6 +142,7 @@ def _check(m, con, name):
         "grouped_split",
         "dupcluster_shape",
         "decayed_type_counts",
+        "lsh_recall_audit",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):

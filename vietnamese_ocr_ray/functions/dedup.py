@@ -2659,3 +2659,39 @@ def dedup_threshold_curve(
             "verified_ppm": pa.array([r[3] for r in rows], pa.int64()),
         }
     )
+
+
+def lsh_recall_audit(
+    ds: rd.Dataset, *, k: int = 16, threshold: float = 0.6
+) -> pa.Table:
+    """Measured LSH RECALL against exact ground truth: the verified
+    pair set from :func:`minhash_lsh_pairs` (banded LSH — can MISS
+    pairs whose signatures never collide) counted against the COMPLETE
+    pair set from :func:`ssjoin_pairs` (AllPairs prefix filtering —
+    zero miss probability), both over the SAME k-byte shingle universe
+    and the same 6dp-rounded Jaccard >= threshold verify, so
+    found ⊆ true and ``recall_ppm = 1e6 * n_found // n_true`` is the
+    banding scheme's true positive rate on this corpus — the number a
+    dedup run quotes before trading the exact join away for LSH cost.
+
+    Shape: two already-scale-safe discovery passes + pair-bounded
+    driver counts (the kmv/mmr budget). Integer output."""
+    true_pairs = ssjoin_pairs(ds, k=k, threshold=threshold).to_pandas()
+    found = minhash_lsh_pairs(
+        ds, k=k, threshold=threshold, texts_handle=None
+    ).to_pandas()
+    tset = set(zip(true_pairs["a"].astype(np.int64), true_pairs["b"].astype(np.int64)))
+    fpairs = set(zip(found["a"].astype(np.int64), found["b"].astype(np.int64)))
+    n_true = len(tset)
+    n_found = len(fpairs & tset)
+    assert fpairs <= tset, "verified LSH pairs must be a subset of exact"
+    return pa.table(
+        {
+            "n_true": pa.array([n_true], pa.int64()),
+            "n_found": pa.array([n_found], pa.int64()),
+            "recall_ppm": pa.array(
+                [1_000_000 * n_found // n_true if n_true else 1_000_000],
+                pa.int64(),
+            ),
+        }
+    )
