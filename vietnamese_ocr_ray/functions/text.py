@@ -16,7 +16,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Sum
 
-from vietnamese_ocr_ray.functions.dedup import content_hash64
+from vietnamese_ocr_ray.functions.dedup import _utf8_flat, content_hash64
 from vietnamese_ocr_ray.functions.joins import _mix64
 
 # deterministic language markers; tiebreak order en > de > es > fr
@@ -1395,8 +1395,6 @@ def readability_batch(batch: pa.Table) -> pa.Table:
     Vectorized: one flat-utf8 pass — vowel membership mask, run starts
     (vowel & not prev-vowel), per-token bincount, per-doc reduceat. No
     per-row Python."""
-    from vietnamese_ocr_ray.functions.dedup import _utf8_flat
-
     text = batch.column("text")
     toks_list = pc.split_pattern(text, " ")
     flat = pc.list_flatten(toks_list)
