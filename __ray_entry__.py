@@ -1555,6 +1555,32 @@ def _ktruss_dupgraph(sf_dir: str):
     return ktruss_peel(pairs, k=3, rounds=8)
 
 
+def _custdist(sf_dir: str):
+    """TPC-H Q13 in full: the order-count DISTRIBUTION over customers
+    (zero-order customers in the 0 bin) — left-outer counts
+    (pipelines/relational.customer_order_counts, SQL-checked) rolled
+    up by one tiny second-level count-of-counts aggregate."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+    from vietnamese_ocr_ray.pipelines import relational
+
+    per_cust = relational.customer_order_counts(sf_dir)
+    dist = hash_aggregate(
+        per_cust.map_batches(
+            lambda b: pa.table(
+                {
+                    "c_count": pc.cast(b.column("n_orders"), pa.int64()),
+                    "one": pa.array(np.ones(b.num_rows, np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["c_count"],
+        {"custdist": ("one", "sum")},
+        num_buckets=4,
+    )
+    return dist
+
+
 def _kcore_dupgraph(sf_dir: str):
     """16-round 2-core peel of the cosine>=0.4 dup graph — which
     duplicate clusters have cyclic (not just chain) structure; the
@@ -3017,6 +3043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "weighted_sample": _weighted_sample,
         "left_join_counts": lambda sf: relational.customer_order_counts(sf),
+        "custdist": _custdist,
         "full_outer_matrix": lambda sf: relational.click_purchase_matrix(sf),
         "event_funnel": lambda sf: relational.event_funnel(sf),
         "cohort_retention": lambda sf: relational.cohort_retention(sf),
@@ -10289,6 +10316,15 @@ def oracle_sql() -> dict[str, str]:
                coalesce(p.n_purchase, 0) AS n_purchase
         FROM c FULL OUTER JOIN p
           ON c.user_id = p.user_id AND c.hour = p.hour
+        """,
+        "custdist": """
+        WITH cc AS (
+          SELECT c.c_custkey,
+                 CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+          FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_custkey)
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM cc GROUP BY c_count
         """,
         "left_join_counts": """
         SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS n_orders

@@ -6196,3 +6196,32 @@ def test_lsh_recall_audit_bounds(ray_session):
     assert out.n_found <= out.n_true
     assert out.n_true >= 6  # C(4,2) identical pairs at least
     assert out.recall_ppm == 1_000_000  # identical docs always collide
+
+
+def test_custdist_zero_bin(ray_session, tmp_path):
+    """Q13 semantics: customers with no orders land in the c_count=0
+    bin; the distribution sums to the customer count."""
+    import pandas as pd_mod
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__",
+        _os.path.join(_os.path.dirname(__file__), "..", "__ray_entry__.py"),
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    pd_mod.DataFrame({"c_custkey": [1, 2, 3, 4]}).to_parquet(
+        tmp_path / "customer.parquet"
+    )
+    pd_mod.DataFrame(
+        {"o_orderkey": [10, 11, 12], "o_custkey": [1, 1, 2]}
+    ).to_parquet(tmp_path / "orders.parquet")
+    out = (
+        m.queries()["custdist"](str(tmp_path))
+        .to_pandas()
+        .set_index("c_count")["custdist"]
+    )
+    assert out[0] == 2 and out[1] == 1 and out[2] == 1
+    assert out.sum() == 4

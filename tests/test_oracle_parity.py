@@ -143,6 +143,7 @@ def _check(m, con, name):
         "dupcluster_shape",
         "decayed_type_counts",
         "lsh_recall_audit",
+        "custdist",
     ],
 )
 def test_new_queries_match_oracle(ray_session, name):
