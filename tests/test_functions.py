@@ -5177,6 +5177,24 @@ def test_decision_stump_perfect_separation(ray_session, tmp_path):
     assert out.score_fe12 == 80 * 10**12  # gini 0 on both sides
 
 
+def test_decision_stump_degenerate_single_value(ray_session, tmp_path):
+    """All rows share one value -> every candidate cut has an empty
+    side -> a clear ValueError, not a TypeError from unpacking None."""
+    import pandas as pd_mod
+    import pytest as pytest_mod
+
+    from vietnamese_ocr_ray.functions.classifier import decision_stump
+
+    pd_mod.DataFrame(
+        {
+            "value": [7.0] * 10,
+            "event_type": ["purchase"] * 5 + ["click"] * 5,
+        }
+    ).to_parquet(tmp_path / "events.parquet")
+    with pytest_mod.raises(ValueError, match="no valid split"):
+        decision_stump(str(tmp_path))
+
+
 def test_decision_stump_tie_breaks_to_smaller_threshold(ray_session, tmp_path):
     """With a single positive at the minimum value and the rest
     negative, every cut isolating it scores the same — the contract
@@ -5254,6 +5272,40 @@ def test_zonemap_prune_stats_flags(ray_session):
     assert out.loc[2, "pruned"] == 0 and out.loc[2, "n_match"] == 2
     assert out.loc[2, "false_positive"] == 0
     assert list(out["n_rows"]) == [3, 2, 2]
+
+
+def test_zonemap_prune_stats_ns_timestamps(ray_session):
+    """A ns-unit timestamp value column (the pandas parquet default)
+    must normalize to µs before the int64 cast: with µs lo/hi bounds
+    the raw-ns cast would mismatch every zone (all pruned, n_match=0)
+    silently. Regression for the unit-safety rule."""
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.layout import zonemap_prune_stats
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    vals_us = base + np.array([0, 5, 9, 5, 25, 12, 15], "timedelta64[s]")
+    lo = int(
+        (base + np.timedelta64(10, "s")).astype("datetime64[us]").astype(np.int64)
+    )
+    hi = int(
+        (base + np.timedelta64(20, "s")).astype("datetime64[us]").astype(np.int64)
+    )
+    k = pa.array([0, 1, 2, 10, 11, 20, 21], pa.int64())
+    t_ns = pa.table(
+        {"k": k, "v": pa.array(vals_us.astype("datetime64[ns]"))}
+    )
+    out = (
+        zonemap_prune_stats(
+            rd_mod.from_arrow(t_ns), "k", "v", lo, hi, keys_per_zone=10
+        )
+        .to_pandas()
+        .set_index("zone")
+        .sort_index()
+    )
+    assert out.loc[0, "pruned"] == 1
+    assert out.loc[1, "pruned"] == 0 and out.loc[1, "false_positive"] == 1
+    assert out.loc[2, "pruned"] == 0 and out.loc[2, "n_match"] == 2
 
 
 def test_hilbert_key_bijective_and_neighbor_contiguous():
@@ -5758,6 +5810,33 @@ def test_snm_pairs_window_and_boundary(ray_session):
     assert key(base) == key(forced)
 
 
+def test_snm_pairs_subwindow_blocks(ray_session):
+    """Windows spanning THREE OR MORE sorted blocks: with ~1-row
+    blocks and window=5, block i's context must chain tails from
+    blocks i-4..i-1, not just block i-1 (which holds < window-1
+    rows). Regression: the single-previous-tail version silently
+    dropped the longer-range in-window pairs, making output depend
+    on block layout."""
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.dedup import snm_pairs
+
+    # one suffix cluster: all names end in "aa" so the reversed sort
+    # keeps them adjacent; pairwise edit distances 1-2 within the run
+    names = [f"x{c}aa" for c in "bcdefghijklm"]  # 12 close names
+    t = pa.table({"c_name": pa.array(names, pa.string())})
+    base = snm_pairs(rd_mod.from_arrow(t), window=5).to_pandas()
+    many = snm_pairs(
+        rd_mod.from_arrow(t).repartition(12), window=5
+    ).to_pandas()
+    key = lambda d: sorted(map(tuple, d[["w1", "w2", "dist"]].to_numpy()))
+    assert key(base) == key(many)
+    # sanity: the farthest in-window pair (rank distance window-1 = 4,
+    # i.e. spanning 4 single-row blocks) is present
+    pairs = {(r.w1, r.w2) for r in base.itertuples()}
+    assert ("xbaa", "xfaa") in pairs
+
+
 def test_voptimal_histogram_dp(ray_session, tmp_path):
     """The DP cost table: more buckets never cost more; a profile with
     exactly 4 constant plateaus is fit PERFECTLY by 4 buckets (cost 0)
@@ -5946,6 +6025,53 @@ def test_ktruss_peel_triangle_vs_chain(ray_session):
     assert len(k5) == 0
 
 
+def test_ktruss_peel_nonconverged_support_fresh(ray_session):
+    """Round budget exhausted right after a removal round: returned
+    support must be RECOMPUTED on the surviving edge set (what the SQL
+    oracle does), not the stale pre-removal value. Two triangles
+    sharing edge (2,3): at k=4 round 1 keeps only (2,3) whose stale
+    support is 2 but whose fresh support on the lone edge is 0."""
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.graph import ktruss_peel
+
+    t = pa.table(
+        {
+            "a": pa.array([1, 1, 2, 2, 3], pa.int64()),
+            "b": pa.array([2, 3, 3, 4, 4], pa.int64()),
+        }
+    )
+    out = ktruss_peel(rd_mod.from_arrow(t), k=4, rounds=1).to_pandas()
+    assert sorted(zip(out.a.tolist(), out.b.tolist())) == [(2, 3)]
+    assert out.support.tolist() == [0]
+    # one more round converges to empty — the fresh support is what
+    # makes that outcome consistent
+    out2 = ktruss_peel(rd_mod.from_arrow(t), k=4, rounds=2).to_pandas()
+    assert len(out2) == 0
+
+
+def test_ktruss_peel_dense_hub(ray_session):
+    """Dense-graph chunk sizing: a complete K_24 (every lower endpoint
+    a hub — wedge count far exceeds edge count per u) still yields the
+    exact support n-2 = 22 on all C(24,2) = 276 edges; the cumulative-
+    wedge cut placement must not split a u-group or drop wedges."""
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.graph import ktruss_peel
+
+    n = 24
+    edges = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    t = pa.table(
+        {
+            "a": pa.array([e[0] for e in edges], pa.int64()),
+            "b": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    out = ktruss_peel(rd_mod.from_arrow(t), k=3).to_pandas()
+    assert len(out) == n * (n - 1) // 2
+    assert (out.support == n - 2).all()
+
+
 def test_holtwinters_learns_seasonality(ray_session, tmp_path):
     """On a perfectly periodic 24h pattern, Holt-Winters forecasts
     reproduce the pattern (trend ~ 0, forecast ~= the seasonal value
@@ -5973,6 +6099,28 @@ def test_holtwinters_learns_seasonality(ray_session, tmp_path):
     for f in (out.f1, out.f2, out.f3):
         assert abs(f - 1.0) < 1.5
     assert out.n_hours == 144
+
+
+def test_holtwinters_short_stream_raises(ray_session, tmp_path):
+    """A stream spanning fewer than 24 hourly buckets has no seasonal
+    profile: documented ValueError, not an IndexError from y[j]."""
+    import pandas as pd_mod
+    import pytest as pytest_mod
+
+    from vietnamese_ocr_ray.pipelines.relational import holtwinters_forecast
+
+    df = pd_mod.DataFrame(
+        {
+            "event_type": ["click"] * 6,
+            "ts": (
+                pd_mod.to_datetime("2024-01-01")
+                + pd_mod.to_timedelta(range(6), unit="h")
+            ).astype("datetime64[us]"),
+        }
+    )
+    df.to_parquet(tmp_path / "events.parquet")
+    with pytest_mod.raises(ValueError, match="24 hourly buckets"):
+        holtwinters_forecast(str(tmp_path))
 
 
 def test_circular_peak_hour_wraps_midnight(ray_session, tmp_path):

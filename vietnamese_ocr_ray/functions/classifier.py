@@ -250,6 +250,15 @@ def decision_stump(
         score = (p * 10**12) // q
         if best is None or score > best[0] or (score == best[0] and t < best[1]):
             best = (score, t, n_l, a_l, n_r, a_r)
+    if best is None:
+        # degenerate input: every row lands in one bin (single distinct
+        # value / span < nbins collapse), so no candidate split has two
+        # non-empty sides — there is no stump to fit
+        raise ValueError(
+            "decision_stump: no valid split — all values fall in a "
+            f"single bin (lo={lo}, hi={hi}, nbins={nbins}); a stump "
+            "needs at least two non-empty sides"
+        )
     score, t, n_l, a_l, n_r, a_r = best
     thr_milli = lo + (t * span + nbins - 1) // nbins  # smallest v in bin >= t
     return pa.table(

@@ -2413,11 +2413,14 @@ def snm_pairs(
     keys.
 
     Distributed boundary contract: after the global range sort, each
-    block prepends the PREVIOUS block's last window-1 rows (tiny
-    driver-collected tails) and only emits pairs whose SECOND element
-    lives in the current block — every cross-boundary window is
-    counted exactly once, none twice. Output: (w1, w2, dist) with
-    w1 < w2 lexicographically.
+    block prepends the last window-1 rows of the CONCATENATED
+    preceding blocks (tiny driver-collected tails, chained so a run
+    of sub-window blocks still yields the full window-1 context — a
+    single previous-block tail would drop windows spanning three or
+    more blocks) and only emits pairs whose SECOND element lives in
+    the current block — every cross-boundary window is counted
+    exactly once, none twice. Output: (w1, w2, dist) with w1 < w2
+    lexicographically.
     """
     import ray
 
@@ -2437,10 +2440,33 @@ def snm_pairs(
         return t.slice(max(t.num_rows - n, 0))
 
     tails = ray.get([tail.remote(r, window - 1) for r in refs])
+    # chain the per-block tails: block i's context is the last
+    # window-1 rows of blocks[0..i-1] COMBINED, not just block i-1's
+    # tail (which may hold fewer than window-1 rows under a hostile
+    # block layout).  Each tail carries <= window-1 rows so the
+    # running concat stays driver-tiny.
+    cum_tails: list[pa.Table | None] = []
+    acc: pa.Table | None = None
+    for t in tails:
+        cum_tails.append(acc)
+        if t.num_rows == 0:
+            continue  # empty sort blocks may carry a fieldless schema
+        acc = t if acc is None else pa.concat_tables([acc, t]).combine_chunks()
+        if acc.num_rows > window - 1:
+            acc = acc.slice(acc.num_rows - (window - 1))
 
     @ray.remote
     def pair_block(t: pa.Table, prev_tail: pa.Table | None) -> pa.Table:
         lev = levenshtein_batch
+        empty = pa.table(
+            {
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "dist": pa.array([], pa.int64()),
+            }
+        )
+        if "nm" not in t.column_names:  # fieldless empty sort block
+            return empty
         p = 0
         if prev_tail is not None and prev_tail.num_rows:
             p = prev_tail.num_rows
@@ -2466,13 +2492,7 @@ def snm_pairs(
             w2s.append(hi)
             ds_.append(dist[keep])
         if not w1s:
-            return pa.table(
-                {
-                    "w1": pa.array([], pa.string()),
-                    "w2": pa.array([], pa.string()),
-                    "dist": pa.array([], pa.int64()),
-                }
-            )
+            return empty
         return pa.table(
             {
                 "w1": pa.array(np.concatenate(w1s), pa.string()),
@@ -2484,8 +2504,7 @@ def snm_pairs(
         )
 
     out = [
-        pair_block.remote(r, tails[i - 1] if i > 0 else None)
-        for i, r in enumerate(refs)
+        pair_block.remote(r, cum_tails[i]) for i, r in enumerate(refs)
     ]
     res = rd.from_arrow_refs(out)
     # a pair can appear at several window offsets? no — a sorted order

@@ -690,7 +690,11 @@ def ktruss_peel(
     Fixed round count for SQL replayability (the kcore_peel
     contract); each effective round removes >= 1 edge so ``rounds``
     bounds convergence depth at the scales at hand; a no-removal
-    round is a fixpoint and exits early, result-identical.
+    round is a fixpoint and exits early, result-identical. If the
+    budget runs out right after a removal round, support is
+    RECOMPUTED once on the final surviving edge set — the SQL oracle
+    computes support fresh on whatever edges remain, so the two
+    surfaces agree even without convergence.
 
     Scale shape: the edge LIST is pair-bounded and drives the round
     loop from the driver (the kmv/mmr driver budget — dup-graph pair
@@ -698,7 +702,11 @@ def ktruss_peel(
     enumeration — the expensive part — runs as parallel Ray tasks
     over lower-endpoint chunks against a broadcast sorted edge-key
     array, each task pure numpy (triu pair expansion + searchsorted
-    membership + add.at support partials)."""
+    membership + add.at support partials). Task count auto-sizes to
+    the wedge load: ``n_tasks = clamp(ceil(total_wedges / 2^21), 1,
+    64)`` with cut points placed on the CUMULATIVE per-u wedge count
+    (not the edge count), so one hub u with deg^2 wedges cannot
+    flood a single task on a dense dup graph."""
     import ray
 
     edges_tbl = (
@@ -779,34 +787,66 @@ def ktruss_peel(
             np.add.at(out, p, 1)
         return out
 
-    supp = np.zeros(a.shape[0], np.int64)
-    min_supp = k - 2
-    for _ in range(rounds):
-        if a.size == 0:
-            break
+    _WEDGES_PER_TASK = 1 << 21
+
+    def _support(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         keys = a * M + b
         keys_ref = ray.put(keys)
-        n_tasks = 8
-        cuts = np.linspace(0, a.shape[0], n_tasks + 1).astype(np.int64)
-        # align cuts to u-group boundaries so one u never splits
-        for t in range(1, n_tasks):
-            c0 = cuts[t]
-            while c0 < a.shape[0] and c0 > 0 and a[c0] == a[c0 - 1]:
-                c0 += 1
-            cuts[t] = c0
+        # per-u group extents and wedge counts (a is lexsorted)
+        starts = np.flatnonzero(np.concatenate(([True], a[1:] != a[:-1])))
+        counts = np.diff(np.append(starts, a.shape[0]))
+        wedges = counts * (counts - 1) // 2
+        total = int(wedges.sum())
+        n_tasks = int(min(64, max(1, -(-total // _WEDGES_PER_TASK))))
+        # cut on cumulative WEDGE load at group boundaries: equal-work
+        # chunks even when one hub u carries most of the wedges
+        cum = np.cumsum(wedges)
+        targets = np.linspace(0, total, n_tasks + 1)[1:-1]
+        gcut = np.searchsorted(cum, targets, side="left") + 1
+        edge_cuts = np.unique(
+            np.concatenate(
+                (
+                    [0],
+                    np.where(gcut < starts.shape[0], starts[np.minimum(gcut, starts.shape[0] - 1)], a.shape[0]),
+                    [a.shape[0]],
+                )
+            )
+        )
         parts = ray.get(
             [
-                wedge_support.remote(a[cuts[t] : cuts[t + 1]],
-                                     b[cuts[t] : cuts[t + 1]], keys_ref)
-                for t in range(n_tasks)
-                if cuts[t] < cuts[t + 1]
+                wedge_support.remote(
+                    a[edge_cuts[t] : edge_cuts[t + 1]],
+                    b[edge_cuts[t] : edge_cuts[t + 1]],
+                    keys_ref,
+                )
+                for t in range(edge_cuts.shape[0] - 1)
+                if edge_cuts[t] < edge_cuts[t + 1]
             ]
         )
-        supp = np.sum(parts, axis=0) if parts else np.zeros(a.shape[0], np.int64)
+        return (
+            np.sum(parts, axis=0)
+            if parts
+            else np.zeros(a.shape[0], np.int64)
+        )
+
+    supp = np.zeros(a.shape[0], np.int64)
+    min_supp = k - 2
+    converged = a.size == 0
+    for _ in range(rounds):
+        if a.size == 0:
+            converged = True
+            break
+        supp = _support(a, b)
         alive = supp >= min_supp
         if alive.all():
+            converged = True
             break
         a, b, supp = a[alive], b[alive], supp[alive]
+    if not converged and a.size:
+        # budget exhausted right after a removal round: refresh support
+        # on the final edge set so it reflects the surviving subgraph
+        # (matches the oracle's fresh recompute)
+        supp = _support(a, b)
     return pa.table(
         {
             "a": pa.array(a),

@@ -157,9 +157,20 @@ def zonemap_prune_stats(
     never row count). All-integer, bit-exact vs SQL.
     """
 
+    def _as_int64(col: pa.ChunkedArray) -> np.ndarray:
+        # timestamp columns must normalize to µs BEFORE the int cast:
+        # pandas-written parquet defaults to ns, which would make every
+        # zone's min/max miss the µs lo/hi bounds (all-pruned, n_match=0)
+        # with no error.  Same unit-safety rule as joins.merge_asof /
+        # isotonic_hourly.
+        a = col.to_numpy(zero_copy_only=False)
+        if a.dtype.kind == "M":
+            a = a.astype("datetime64[us]")
+        return a.astype(np.int64)
+
     def partial(batch: pa.Table) -> pa.Table:
-        k = batch.column(layout_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        k = _as_int64(batch.column(layout_col))
+        v = _as_int64(batch.column(value_col))
         t = pa.table(
             {
                 "zone": pa.array(k // keys_per_zone),

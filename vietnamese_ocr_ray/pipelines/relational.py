@@ -4886,6 +4886,16 @@ def holtwinters_forecast(sf_dir: str, horizon: int = 3) -> rd.Dataset:
     hmin = int(hourly["h"].min())
     hmax = int(hourly["h"].max())
     H = hmax - hmin + 1
+    if H < 24:
+        # additive-seasonal init needs one full 24-hour season; a
+        # shorter stream has no defined seasonal profile, and letting
+        # it through would diverge from the SQL oracle (which degrades
+        # via a short seas list instead of an IndexError). Fail loudly.
+        raise ValueError(
+            "holtwinters_forecast: event stream spans only "
+            f"{H} hour(s); >= 24 hourly buckets are required to "
+            "initialize the seasonal component"
+        )
     rows = []
     for et, t in hourly.groupby("event_type", sort=True):
         y = np.zeros(H, np.int64)
