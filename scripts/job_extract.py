@@ -60,7 +60,15 @@ def main(argv=None) -> int:
     )
     if args.mode != "copartitioned":
         kwargs["cogroup_buckets"] = args.cogroup_buckets
+    import time
+
+    t0 = time.perf_counter()
     summary = run_extract(args.docs, args.media, args.out, **kwargs)
+    summary["elapsed_s"] = round(time.perf_counter() - t0, 3)
+    summary["cluster_cpus"] = int(ray.cluster_resources().get("CPU", 0))
+    summary["cluster_nodes"] = len(
+        [n for n in ray.nodes() if n.get("Alive")]
+    )
     print(json.dumps(summary))
     ray.shutdown()
     return 0

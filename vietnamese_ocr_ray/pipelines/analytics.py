@@ -150,8 +150,9 @@ def shipping_priority(
         t = pa.table(
             {"l_orderkey": pc.cast(_chunk(b.column("l_orderkey")), pa.int64()), "rev": rev}
         )
-        df = t.to_pandas().groupby("l_orderkey", as_index=False).agg(rev=("rev", "sum"))
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        return t.group_by("l_orderkey").aggregate([("rev", "sum")]).rename_columns(
+            ["l_orderkey", "rev"]
+        )
 
     order_rev = hash_aggregate(
         line.map_batches(rev_partial, batch_format="pyarrow"),
@@ -349,14 +350,9 @@ def local_supplier_volume(
                     "rev": rev,
                 }
             )
-            df = (
-                t.to_pandas()
-                .groupby(["l_orderkey", "s_nationkey"], as_index=False)
-                .agg(rev=("rev", "sum"))
-            )
-            return pa.Table.from_pandas(
-                df, preserve_index=False
-            ).replace_schema_metadata(None)
+            return t.group_by(["l_orderkey", "s_nationkey"]).aggregate(
+                [("rev", "sum")]
+            ).rename_columns(["l_orderkey", "s_nationkey", "rev"])
 
     line_rev = hash_aggregate(
         line.map_batches(RevBySuppNation, batch_format="pyarrow", concurrency=(1, 8)),
@@ -447,11 +443,24 @@ def json_extract_stats(sf_dir: str) -> rd.Dataset:
     def partial(b: pa.Table) -> pa.Table:
         ext = pc.extract_regex(_chunk(b.column("props")), r'"k":\s*(?P<k>-?\d+)')
         k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
-        t = pa.table({"event_type": b.column("event_type"), "k": k})
-        df = t.to_pandas().groupby("event_type", as_index=False).agg(
-            s=("k", "sum"), n=("k", "size")
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "k": k,
+                "one": pa.array(np.ones(b.num_rows, np.int64)),
+            }
         )
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        g = t.group_by("event_type").aggregate([("k", "sum"), ("one", "sum")])
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                # coalesce: an all-null group sums to null in Arrow but 0
+                # in the pandas partial this replaces; n counts ALL rows
+                # (null k included), hence the ones column, not count(k)
+                "s": pc.coalesce(g.column("k_sum"), pa.scalar(0, pa.int64())),
+                "n": g.column("one_sum"),
+            }
+        )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -492,22 +501,28 @@ def value_skewness(sf_dir: str) -> rd.Dataset:
 
     def partial(b: pa.Table) -> pa.Table:
         v = _cents(b.column("value"), 100).to_numpy(zero_copy_only=False)
-        df = pd.DataFrame(
+        t = pa.table(
             {
-                "event_type": _chunk(b.column("event_type")).to_pandas(),
-                "s1": v,
-                "s2": v * v,
-                "c3": v * v * v,
+                "event_type": b.column("event_type"),
+                "s1": pa.array(v),
+                "s2": pa.array(v * v),
+                "c3": pa.array(v * v * v),
             }
         )
-        g = df.groupby("event_type", as_index=False).agg(
-            s1=("s1", "sum"), s2=("s2", "sum"), c3=("c3", "sum"), n=("s1", "size")
+        g = t.group_by("event_type").aggregate(
+            [("s1", "sum"), ("s2", "sum"), ("c3", "sum"), ("s1", "count")]
         )
-        c3 = g["c3"].to_numpy(np.int64)
-        g["s3_hi"] = c3 >> 32
-        g["s3_lo"] = c3 & np.int64(0xFFFFFFFF)
-        g = g.drop(columns=["c3"])
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        c3 = g.column("c3_sum").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": g.column("event_type"),
+                "s1": g.column("s1_sum"),
+                "s2": g.column("s2_sum"),
+                "n": g.column("s1_count"),
+                "s3_hi": pa.array(c3 >> 32),
+                "s3_lo": pa.array(c3 & np.int64(0xFFFFFFFF)),
+            }
+        )
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -554,6 +569,20 @@ def value_skewness(sf_dir: str) -> rd.Dataset:
 _ROLLUP_SENTINEL = "\x00"
 
 
+def _sent_col(n: int) -> pa.Array:
+    return pa.array([_ROLLUP_SENTINEL] * n, pa.string())
+
+
+def _nchars_level(t: pa.Table, keys: list) -> pa.Table:
+    """(n, chars) per key set — the rollup/cube per-batch building
+    block, column order (keys..., n, chars); n counts rows (chars is
+    non-null)."""
+    g = t.group_by(keys).aggregate([("chars", "count"), ("chars", "sum")])
+    return g.rename_columns([*keys, "n", "chars"]).select(
+        [*keys, "n", "chars"]
+    )
+
+
 def rollup_lang_source(sf_dir: str) -> rd.Dataset:
     """GROUP BY ROLLUP(lang, source) over documents: doc counts and
     exact char sums at (lang, source), (lang) and grand-total levels.
@@ -567,32 +596,34 @@ def rollup_lang_source(sf_dir: str) -> rd.Dataset:
     )
 
     def partial(b: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
+        t = pa.table(
             {
-                "lang": _chunk(b.column("lang")).to_pandas(),
-                "source": _chunk(b.column("source")).to_pandas(),
-                "chars": _chunk(b.column("n_chars")).to_numpy(zero_copy_only=False),
+                "lang": pc.cast(_chunk(b.column("lang")), pa.string()),
+                "source": pc.cast(_chunk(b.column("source")), pa.string()),
+                "chars": pc.cast(_chunk(b.column("n_chars")), pa.int64()),
             }
         )
-        lvl2 = df.groupby(["lang", "source"], as_index=False).agg(
-            n=("chars", "size"), chars=("chars", "sum")
-        )
-        lvl1 = df.groupby(["lang"], as_index=False).agg(
-            n=("chars", "size"), chars=("chars", "sum")
-        )
-        lvl1["source"] = _ROLLUP_SENTINEL
-        lvl0 = pd.DataFrame(
+        lvl2 = _nchars_level(t, ["lang", "source"])
+        l1 = _nchars_level(t, ["lang"])
+        lvl1 = pa.table(
             {
-                "lang": [_ROLLUP_SENTINEL],
-                "source": [_ROLLUP_SENTINEL],
-                "n": [len(df)],
-                "chars": [df["chars"].sum()],
+                "lang": l1.column("lang"),
+                "source": _sent_col(l1.num_rows),
+                "n": l1.column("n"),
+                "chars": l1.column("chars"),
             }
         )
-        out = pd.concat([lvl2, lvl1, lvl0], ignore_index=True)[
-            ["lang", "source", "n", "chars"]
-        ]
-        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+        lvl0 = pa.table(
+            {
+                "lang": _sent_col(1),
+                "source": _sent_col(1),
+                "n": pa.array([t.num_rows], pa.int64()),
+                "chars": pa.array(
+                    [int(pc.sum(t.column("chars")).as_py() or 0)], pa.int64()
+                ),
+            }
+        )
+        return pa.concat_tables([lvl2, lvl1, lvl0]).combine_chunks()
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -637,19 +668,17 @@ def cohort_intersect(
     )
 
     def partial(b: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
+        et = _chunk(b.column("event_type"))
+        t = pa.table(
             {
-                "user_id": _chunk(b.column("user_id")).to_numpy(zero_copy_only=False),
-                "a": pc.equal(_chunk(b.column("event_type")), pa.scalar(type_a))
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64),
-                "b": pc.equal(_chunk(b.column("event_type")), pa.scalar(type_b))
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64),
+                "user_id": _chunk(b.column("user_id")),
+                "a": pc.cast(pc.equal(et, pa.scalar(type_a)), pa.int64()),
+                "b": pc.cast(pc.equal(et, pa.scalar(type_b)), pa.int64()),
             }
         )
-        g = df.groupby("user_id", as_index=False).agg(a=("a", "max"), b=("b", "max"))
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        return t.group_by("user_id").aggregate(
+            [("a", "max"), ("b", "max")]
+        ).rename_columns(["user_id", "a", "b"])
 
     both = hash_aggregate(
         ds.map_batches(partial, batch_format="pyarrow"),
@@ -691,10 +720,10 @@ def mode_token_per_lang(sf_dir: str) -> rd.Dataset:
         lang = np.repeat(
             _chunk(b.column("lang")).to_numpy(zero_copy_only=False), nt
         )
-        df = pd.DataFrame({"lang": lang, "tok": flat.to_pandas()})
-        g = df.groupby(["lang", "tok"], as_index=False, sort=False).size()
-        g = g.rename(columns={"size": "n"})
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        t = pa.table({"lang": pa.array(lang), "tok": flat})
+        return t.group_by(["lang", "tok"]).aggregate(
+            [("lang", "count")]
+        ).rename_columns(["lang", "tok", "n"])
 
     counts = hash_aggregate(
         ds.map_batches(explode_counts, batch_format="pyarrow"),
@@ -744,12 +773,28 @@ def argmax_user_event(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
         return df.drop_duplicates("user_id", keep="first")
 
     def partial(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        out = best(df)
-        out["_bucket"] = key_bucket(
-            pa.Array.from_pandas(out["user_id"]), num_buckets
-        ).astype(np.int32)
-        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+        # vectorized per-batch top-1 per user: lexsort mirrors best()'s
+        # (user asc, value desc, ts asc, event_id asc) stable order,
+        # then keep each user's first row via the boundary mask
+        uid = b.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        val = b.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        ts = (
+            b.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        eid = b.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((eid, ts, -val, uid))
+        u_sorted = uid[order]
+        first = np.concatenate(([True], u_sorted[1:] != u_sorted[:-1]))
+        out = b.take(pa.array(order[first]))
+        return out.append_column(
+            "_bucket",
+            pa.array(
+                key_bucket(out.column("user_id"), num_buckets).astype(np.int32)
+            ),
+        )
 
     def merge(g: pd.DataFrame) -> pa.Table:
         out = best(g)[["user_id", "event_type", "value", "ts"]]
@@ -1022,40 +1067,45 @@ def cube_lang_source(sf_dir: str) -> rd.Dataset:
     )
 
     def partial(b: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
+        t = pa.table(
             {
-                "lang": _chunk(b.column("lang")).to_pandas(),
-                "source": _chunk(b.column("source")).to_pandas(),
-                "chars": _chunk(b.column("n_chars")).to_numpy(zero_copy_only=False),
+                "lang": pc.cast(_chunk(b.column("lang")), pa.string()),
+                "source": pc.cast(_chunk(b.column("source")), pa.string()),
+                "chars": pc.cast(_chunk(b.column("n_chars")), pa.int64()),
             }
         )
-        levels = []
-        lvl2 = df.groupby(["lang", "source"], as_index=False).agg(
-            n=("chars", "size"), chars=("chars", "sum")
+        lvl2 = _nchars_level(t, ["lang", "source"])
+        l1 = _nchars_level(t, ["lang"])
+        lvl_lang = pa.table(
+            {
+                "lang": l1.column("lang"),
+                "source": _sent_col(l1.num_rows),
+                "n": l1.column("n"),
+                "chars": l1.column("chars"),
+            }
         )
-        levels.append(lvl2)
-        lvl_lang = df.groupby(["lang"], as_index=False).agg(
-            n=("chars", "size"), chars=("chars", "sum")
+        ls = _nchars_level(t, ["source"])
+        lvl_src = pa.table(
+            {
+                "lang": _sent_col(ls.num_rows),
+                "source": ls.column("source"),
+                "n": ls.column("n"),
+                "chars": ls.column("chars"),
+            }
         )
-        lvl_lang["source"] = _ROLLUP_SENTINEL
-        levels.append(lvl_lang)
-        lvl_src = df.groupby(["source"], as_index=False).agg(
-            n=("chars", "size"), chars=("chars", "sum")
+        lvl0 = pa.table(
+            {
+                "lang": _sent_col(1),
+                "source": _sent_col(1),
+                "n": pa.array([t.num_rows], pa.int64()),
+                "chars": pa.array(
+                    [int(pc.sum(t.column("chars")).as_py() or 0)], pa.int64()
+                ),
+            }
         )
-        lvl_src["lang"] = _ROLLUP_SENTINEL
-        levels.append(lvl_src)
-        levels.append(
-            pd.DataFrame(
-                {
-                    "lang": [_ROLLUP_SENTINEL],
-                    "source": [_ROLLUP_SENTINEL],
-                    "n": [len(df)],
-                    "chars": [df["chars"].sum()],
-                }
-            )
-        )
-        out = pd.concat(levels, ignore_index=True)[["lang", "source", "n", "chars"]]
-        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
+        return pa.concat_tables(
+            [lvl2, lvl_lang, lvl_src, lvl0]
+        ).combine_chunks()
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -1096,14 +1146,12 @@ def sources_per_lang(sf_dir: str) -> rd.Dataset:
     )
 
     def distinct_pairs(b: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {
-                "lang": _chunk(b.column("lang")).to_pandas(),
-                "source": _chunk(b.column("source")).to_pandas(),
-            }
-        ).drop_duplicates()
-        df["one"] = np.int64(1)
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        g = (
+            b.select(["lang", "source"])
+            .group_by(["lang", "source"])
+            .aggregate([])
+        )
+        return g.append_column("one", pa.array(np.ones(g.num_rows, np.int64)))
 
     pairs = hash_aggregate(
         ds.map_batches(distinct_pairs, batch_format="pyarrow"),
@@ -1141,13 +1189,10 @@ def hourly_active_users(sf_dir: str) -> rd.Dataset:
     def pairs(b: pa.Table) -> pa.Table:
         ts = _chunk(b.column("ts")).to_numpy(zero_copy_only=False)
         hour = (ts.astype("datetime64[h]")).astype("datetime64[us]")
-        df = pd.DataFrame(
-            {
-                "hour": hour,
-                "user_id": _chunk(b.column("user_id")).to_numpy(zero_copy_only=False),
-            }
-        ).drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        t = pa.table(
+            {"hour": pa.array(hour), "user_id": _chunk(b.column("user_id"))}
+        )
+        return t.group_by(["hour", "user_id"]).aggregate([])
 
     def count_bucket(g: pd.DataFrame) -> pa.Table:
         d = g.drop_duplicates(["hour", "user_id"])
@@ -1190,13 +1235,10 @@ def retention_cohorts(sf_dir: str) -> rd.Dataset:
     def user_days(b: pa.Table) -> pa.Table:
         ts = _chunk(b.column("ts")).to_numpy(zero_copy_only=False)
         day = ts.astype("int64") // epoch_day
-        df = pd.DataFrame(
-            {
-                "user_id": _chunk(b.column("user_id")).to_numpy(zero_copy_only=False),
-                "day": day,
-            }
-        ).drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        t = pa.table(
+            {"user_id": _chunk(b.column("user_id")), "day": pa.array(day)}
+        )
+        return t.group_by(["user_id", "day"]).aggregate([])
 
     days = ds.map_batches(user_days, batch_format="pyarrow")
     first_day = hash_aggregate(
@@ -1436,10 +1478,9 @@ def k_anonymity(sf_dir: str, k: int = 8) -> rd.Dataset:
     )
 
     def partial(b: pa.Table) -> pa.Table:
-        df = b.to_pandas().groupby(
-            ["c_nationkey", "c_mktsegment"], as_index=False, sort=False
-        ).size().rename(columns={"size": "n"})
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        return b.group_by(["c_nationkey", "c_mktsegment"]).aggregate(
+            [("c_nationkey", "count")]
+        ).rename_columns(["c_nationkey", "c_mktsegment", "n"])
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -1594,10 +1635,9 @@ def cusum_drift(
                 "x": _cents(b.column("value"), 1000),
             }
         )
-        df = t.to_pandas().groupby(
-            ["event_type", "hour"], as_index=False, sort=False
-        )["x"].sum()
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        return t.group_by(["event_type", "hour"]).aggregate(
+            [("x", "sum")]
+        ).rename_columns(["event_type", "hour", "x"])
 
     cells = hash_aggregate(
         ds.map_batches(hourly, batch_format="pyarrow"),
@@ -1713,10 +1753,16 @@ def value_auc(sf_dir: str, positive: str = "purchase") -> rd.Dataset:
         pos = pc.equal(b.column("event_type"), pa.scalar(positive)).to_numpy(
             zero_copy_only=False
         )
-        df = pd.DataFrame(
-            {"mv": mv, "np": pos.astype(np.int64), "nn": (~pos).astype(np.int64)}
-        ).groupby("mv", as_index=False, sort=False).sum()
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        t = pa.table(
+            {
+                "mv": pa.array(mv),
+                "np": pa.array(pos.astype(np.int64)),
+                "nn": pa.array((~pos).astype(np.int64)),
+            }
+        )
+        return t.group_by("mv").aggregate(
+            [("np", "sum"), ("nn", "sum")]
+        ).rename_columns(["mv", "np", "nn"])
 
     counts = hash_aggregate(
         ds.map_batches(partial, batch_format="pyarrow"),
@@ -1781,13 +1827,15 @@ def lorenz_deciles(sf_dir: str) -> rd.Dataset:
     )
 
     def partial(b: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
+        t = pa.table(
             {
-                "user_id": np.asarray(b.column("user_id"), np.int64),
-                "mv": np.asarray(_cents(b.column("value"), 1000), np.int64),
+                "user_id": pc.cast(_chunk(b.column("user_id")), pa.int64()),
+                "mv": _cents(b.column("value"), 1000),
             }
-        ).groupby("user_id", as_index=False, sort=False).sum()
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        )
+        return t.group_by("user_id").aggregate([("mv", "sum")]).rename_columns(
+            ["user_id", "mv"]
+        )
 
     sums = hash_aggregate(
         ds.map_batches(partial, batch_format="pyarrow"),
@@ -1800,23 +1848,30 @@ def lorenz_deciles(sf_dir: str) -> rd.Dataset:
     def decile(b: pa.Table) -> pa.Table:
         r = np.asarray(b.column("rank"), np.int64)
         mv = np.asarray(b.column("mv"), np.int64)
-        df = pd.DataFrame({"decile": r * 10 // max(n, 1), "n_users": 1, "dsum": mv})
-        g = df.groupby("decile", as_index=False, sort=False).sum()
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        t = pa.table(
+            {
+                "decile": pa.array(r * 10 // max(n, 1)),
+                "n_users": pa.array(np.ones(r.shape[0], np.int64)),
+                "dsum": pa.array(mv),
+            }
+        )
+        return t.group_by("decile").aggregate(
+            [("n_users", "sum"), ("dsum", "sum")]
+        ).rename_columns(["decile", "n_users", "dsum"])
 
     def finish(b: pa.Table) -> pa.Table:
-        df = (
-            b.to_pandas()
-            .groupby("decile", as_index=False, sort=False)
-            .sum()
-            .sort_values("decile")
+        g = (
+            b.group_by("decile")
+            .aggregate([("n_users", "sum"), ("dsum", "sum")])
+            .rename_columns(["decile", "n_users", "dsum"])
+            .sort_by("decile")
         )
-        tot = float(df["dsum"].sum())
-        dsum = df["dsum"].to_numpy(np.int64)
+        dsum = g.column("dsum").to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = float(dsum.sum())
         return pa.table(
             {
-                "decile": pa.array(df["decile"].to_numpy(np.int64)),
-                "n_users": pa.array(df["n_users"].to_numpy(np.int64)),
+                "decile": pc.cast(g.column("decile"), pa.int64()),
+                "n_users": pc.cast(g.column("n_users"), pa.int64()),
                 "value_share": pa.array(
                     np.round(dsum.astype(np.float64) / tot, 6), pa.float64()
                 ),
@@ -2348,20 +2403,16 @@ def ks_test_value(
         is_a = pc.equal(
             batch.column("event_type"), pa.scalar(type_a)
         ).to_numpy(zero_copy_only=False)
-        df = (
-            pd.DataFrame(
-                {
-                    "vm": vm,
-                    "ca": is_a.astype(np.int64),
-                    "cb": (~is_a).astype(np.int64),
-                }
-            )
-            .groupby("vm", as_index=False)
-            .sum()
+        t = pa.table(
+            {
+                "vm": pa.array(vm),
+                "ca": pa.array(is_a.astype(np.int64)),
+                "cb": pa.array((~is_a).astype(np.int64)),
+            }
         )
-        return pa.Table.from_pandas(
-            df, preserve_index=False
-        ).replace_schema_metadata(None)
+        return t.group_by("vm").aggregate(
+            [("ca", "sum"), ("cb", "sum")]
+        ).rename_columns(["vm", "ca", "cb"])
 
     hist = (
         hash_aggregate(
@@ -2416,24 +2467,15 @@ def ks_source_length(sf_dir: str) -> rd.Dataset:
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = (
-            pd.DataFrame(
-                {
-                    "source": batch.column("source").to_numpy(
-                        zero_copy_only=False
-                    ),
-                    "len": batch.column("n_chars").to_numpy(
-                        zero_copy_only=False
-                    ).astype(np.int64),
-                    "n": 1,
-                }
-            )
-            .groupby(["source", "len"], as_index=False)["n"]
-            .sum()
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "len": pc.cast(_chunk(batch.column("n_chars")), pa.int64()),
+            }
         )
-        return pa.Table.from_pandas(
-            df, preserve_index=False
-        ).replace_schema_metadata(None)
+        return t.group_by(["source", "len"]).aggregate(
+            [("len", "count")]
+        ).rename_columns(["source", "len", "n"])
 
     counts = (
         hash_aggregate(
@@ -2504,8 +2546,9 @@ def large_volume_orders(
                 "q": _cents(b.column("l_quantity"), 1),
             }
         )
-        df = t.to_pandas().groupby("l_orderkey", as_index=False).agg(q=("q", "sum"))
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        return t.group_by("l_orderkey").aggregate([("q", "sum")]).rename_columns(
+            ["l_orderkey", "q"]
+        )
 
     totals = hash_aggregate(
         line.map_batches(qty_partial, batch_format="pyarrow"),
@@ -2613,12 +2656,9 @@ def small_qty_part_revenue(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
                 "cnt": pa.array(np.ones(b.num_rows, np.int64)),
             }
         )
-        df = (
-            t.to_pandas()
-            .groupby("l_partkey", as_index=False)
-            .agg(sq=("sq", "sum"), cnt=("cnt", "sum"))
-        )
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        return t.group_by("l_partkey").aggregate(
+            [("sq", "sum"), ("cnt", "sum")]
+        ).rename_columns(["l_partkey", "sq", "cnt"])
 
     part_stats = hash_aggregate(
         line.map_batches(agg_partial, batch_format="pyarrow"),
@@ -2844,16 +2884,14 @@ def min_rev_supplier(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
                 "rev": rev,
             }
         )
-        df = (
-            t.to_pandas()
-            .groupby(["l_partkey", "l_suppkey"], as_index=False)
-            .agg(rev=("rev", "sum"))
-        )
-        df["_bucket"] = key_bucket(
-            pa.Array.from_pandas(df["l_partkey"]), num_buckets
-        ).astype(np.int32)
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(
-            None
+        g = t.group_by(["l_partkey", "l_suppkey"]).aggregate(
+            [("rev", "sum")]
+        ).rename_columns(["l_partkey", "l_suppkey", "rev"])
+        return g.append_column(
+            "_bucket",
+            pa.array(
+                key_bucket(g.column("l_partkey"), num_buckets).astype(np.int32)
+            ),
         )
 
     def min_pick(g: pd.DataFrame) -> pa.Table:
@@ -3520,22 +3558,12 @@ def decayed_type_counts(sf_dir: str, half_life_hours: int = 12) -> pa.Table:
     def partial(b: pa.Table) -> pa.Table:
         ts = b.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
         hour = ts.astype(np.int64) // 3_600_000_000
-        df = (
-            pd.DataFrame(
-                {
-                    "event_type": b.column("event_type").to_numpy(
-                        zero_copy_only=False
-                    ),
-                    "h": hour,
-                    "n": np.ones(len(hour), np.int64),
-                }
-            )
-            .groupby(["event_type", "h"], as_index=False)
-            .agg(n=("n", "sum"))
+        t = pa.table(
+            {"event_type": b.column("event_type"), "h": pa.array(hour)}
         )
-        return pa.Table.from_pandas(
-            df, preserve_index=False
-        ).replace_schema_metadata(None)
+        return t.group_by(["event_type", "h"]).aggregate(
+            [("h", "count")]
+        ).rename_columns(["event_type", "h", "n"])
 
     hourly = hash_aggregate(
         ds.map_batches(partial, batch_format="pyarrow"),

@@ -70,12 +70,12 @@ def pricing_summary(sf_dir: str, cutoff: str = "1998-09-01") -> rd.Dataset:
                 "r": rev,
             }
         )
-        df = t.to_pandas()
-        g = (
-            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
-            .agg(q=("q", "sum"), p=("p", "sum"), r=("r", "sum"), n=("q", "size"))
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("q", "sum"), ("p", "sum"), ("r", "sum"), ("q", "count")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "q", "p", "r", "n"]
+        )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
@@ -129,8 +129,9 @@ def top_revenue_orders(sf_dir: str, k: int = 10) -> rd.Dataset:
         disc = _cents(batch.column("l_discount"), 100)
         rev = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc))
         t = pa.table({"l_orderkey": batch.column("l_orderkey"), "rev": rev})
-        df = t.to_pandas().groupby("l_orderkey", as_index=False).agg(rev=("rev", "sum"))
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        return t.group_by("l_orderkey").aggregate([("rev", "sum")]).rename_columns(
+            ["l_orderkey", "rev"]
+        )
 
     # 150k distinct orders: Ray's sort-aggregate pays per-GROUP Python
     # in the reduce (~5 s here); the bucketed hash aggregate reduces
@@ -400,10 +401,9 @@ def event_type_stats(sf_dir: str) -> rd.Dataset:
                 "v": _cents(batch.column("value"), 1000),
             }
         )
-        df = t.to_pandas().groupby("event_type", as_index=False).agg(
-            v=("v", "sum"), n=("v", "size")
-        )
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        return t.group_by("event_type").aggregate(
+            [("v", "sum"), ("v", "count")]
+        ).rename_columns(["event_type", "v", "n"])
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -440,10 +440,9 @@ def parts_by_brand(sf_dir: str) -> rd.Dataset:
                 "p_size": batch.column("p_size"),
             }
         )
-        df = t.to_pandas().groupby("p_brand", as_index=False).agg(
-            price_c=("price_c", "sum"), max_size=("p_size", "max"), n=("p_size", "size")
-        )
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        return t.group_by("p_brand").aggregate(
+            [("price_c", "sum"), ("p_size", "max"), ("p_size", "count")]
+        ).rename_columns(["p_brand", "price_c", "max_size", "n"])
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -896,10 +895,9 @@ def events_hourly(sf_dir: str) -> rd.Dataset:
                 "v": _cents(batch.column("value"), 1000),
             }
         )
-        df = t.to_pandas().groupby("hour", as_index=False).agg(
-            v=("v", "sum"), n=("v", "size")
-        )
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        return t.group_by("hour").aggregate(
+            [("v", "sum"), ("v", "count")]
+        ).rename_columns(["hour", "v", "n"])
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -940,8 +938,9 @@ def order_status_pivot(sf_dir: str) -> rd.Dataset:
                 "n_partial": pa.array((st == "P").astype(np.int64)),
             }
         )
-        df = t.to_pandas().groupby("month", as_index=False).sum()
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        return t.group_by("month").aggregate(
+            [("n_open", "sum"), ("n_filled", "sum"), ("n_partial", "sum")]
+        ).rename_columns(["month", "n_open", "n_filled", "n_partial"])
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -1114,19 +1113,16 @@ def event_funnel(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
         # side-specific sentinels keep min/max mergeable per column
         far_future = np.datetime64("9999-01-01", "us")
         far_past = np.datetime64("1677-09-22", "us")
-        df = pd.DataFrame(
+        t = pa.table(
             {
-                "user_id": b.column("user_id").to_numpy(zero_copy_only=False),
-                "min_click": np.where(is_click, ts, far_future),
-                "max_purch": np.where(~is_click, ts, far_past),
+                "user_id": b.column("user_id"),
+                "min_click": pa.array(np.where(is_click, ts, far_future)),
+                "max_purch": pa.array(np.where(~is_click, ts, far_past)),
             }
         )
-        g = df.groupby("user_id", as_index=False, sort=False).agg(
-            min_click=("min_click", "min"), max_purch=("max_purch", "max")
-        )
-        return pa.Table.from_pandas(
-            g, preserve_index=False
-        ).replace_schema_metadata(None)
+        return t.group_by("user_id").aggregate(
+            [("min_click", "min"), ("max_purch", "max")]
+        ).rename_columns(["user_id", "min_click", "max_purch"])
 
     agg = hash_aggregate(
         ds.map_batches(partial, batch_format="pyarrow"),
@@ -1175,20 +1171,17 @@ def click_purchase_matrix(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
         b = batch.filter(keep)
         ts = b.column("ts").to_numpy(zero_copy_only=False)
         is_click = np.asarray(pc.equal(b.column("event_type"), "click"))
-        df = pd.DataFrame(
+        t = pa.table(
             {
-                "user_id": b.column("user_id").to_numpy(zero_copy_only=False),
-                "hour": ts.astype("datetime64[h]").astype("datetime64[us]"),
-                "n_click": is_click.astype(np.int64),
-                "n_purchase": (~is_click).astype(np.int64),
+                "user_id": b.column("user_id"),
+                "hour": pa.array(ts.astype("datetime64[h]").astype("datetime64[us]")),
+                "n_click": pa.array(is_click.astype(np.int64)),
+                "n_purchase": pa.array((~is_click).astype(np.int64)),
             }
         )
-        g = df.groupby(["user_id", "hour"], as_index=False, sort=False).agg(
-            n_click=("n_click", "sum"), n_purchase=("n_purchase", "sum")
-        )
-        return pa.Table.from_pandas(
-            g, preserve_index=False
-        ).replace_schema_metadata(None)
+        return t.group_by(["user_id", "hour"]).aggregate(
+            [("n_click", "sum"), ("n_purchase", "sum")]
+        ).rename_columns(["user_id", "hour", "n_click", "n_purchase"])
 
     return hash_aggregate(
         ds.map_batches(partial, batch_format="pyarrow"),
@@ -1501,28 +1494,27 @@ def value_hour_corr(sf_dir: str) -> rd.Dataset:
             .to_numpy(zero_copy_only=False)
         )
         h = (epoch // 3600) % 24
-        df = pd.DataFrame(
+        t = pa.table(
             {
-                "event_type": batch.column("event_type").to_numpy(
-                    zero_copy_only=False
-                ),
-                "sx": x,
-                "sy": h,
-                "sxx": x * x,
-                "syy": h * h,
-                "sxy": x * h,
+                "event_type": batch.column("event_type"),
+                "sx": pa.array(x),
+                "sy": pa.array(h),
+                "sxx": pa.array(x * x),
+                "syy": pa.array(h * h),
+                "sxy": pa.array(x * h),
             }
         )
-        g = df.groupby("event_type", as_index=False).agg(
-            n=("sx", "size"),
-            sx=("sx", "sum"),
-            sy=("sy", "sum"),
-            sxx=("sxx", "sum"),
-            syy=("syy", "sum"),
-            sxy=("sxy", "sum"),
-        )
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(
-            None
+        return t.group_by("event_type").aggregate(
+            [
+                ("sx", "count"),
+                ("sx", "sum"),
+                ("sy", "sum"),
+                ("sxx", "sum"),
+                ("syy", "sum"),
+                ("sxy", "sum"),
+            ]
+        ).rename_columns(
+            ["event_type", "n", "sx", "sy", "sxx", "syy", "sxy"]
         )
 
     agg = (
@@ -1572,21 +1564,16 @@ def value_stddev(sf_dir: str) -> rd.Dataset:
 
     def partial(batch: pa.Table) -> pa.Table:
         x = _cents(batch.column("value"), 1000).to_numpy(zero_copy_only=False)
-        df = pd.DataFrame(
+        t = pa.table(
             {
-                "event_type": batch.column("event_type").to_numpy(
-                    zero_copy_only=False
-                ),
-                "sx": x,
-                "sxx": x * x,
+                "event_type": batch.column("event_type"),
+                "sx": pa.array(x),
+                "sxx": pa.array(x * x),
             }
         )
-        g = df.groupby("event_type", as_index=False).agg(
-            n=("sx", "size"), sx=("sx", "sum"), sxx=("sxx", "sum")
-        )
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(
-            None
-        )
+        return t.group_by("event_type").aggregate(
+            [("sx", "count"), ("sx", "sum"), ("sxx", "sum")]
+        ).rename_columns(["event_type", "n", "sx", "sxx"])
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -1772,14 +1759,13 @@ def first_seen_cumulative(sf_dir: str) -> rd.Dataset:
     )
 
     def cumsum(b: pa.Table) -> pa.Table:
-        df = b.to_pandas().sort_values("first_day", kind="stable")
+        b = b.sort_by([("first_day", "ascending")])
+        nu = b.column("new_users").to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "first_day": pa.array(df["first_day"].to_numpy(), pa.string()),
-                "new_users": pa.array(df["new_users"].to_numpy(np.int64)),
-                "cumulative_users": pa.array(
-                    np.cumsum(df["new_users"].to_numpy(np.int64))
-                ),
+                "first_day": pc.cast(b.column("first_day"), pa.string()),
+                "new_users": pa.array(nu),
+                "cumulative_users": pa.array(np.cumsum(nu)),
             }
         )
 
@@ -2113,27 +2099,24 @@ def value_hour_regression(sf_dir: str) -> rd.Dataset:
             .to_numpy(zero_copy_only=False)
         )
         h = (epoch // 3600) % 24
-        df = pd.DataFrame(
+        t = pa.table(
             {
-                "event_type": batch.column("event_type").to_numpy(
-                    zero_copy_only=False
-                ),
-                "sx": x,
-                "sy": h,
-                "syy": h * h,
-                "sxy": x * h,
+                "event_type": batch.column("event_type"),
+                "sx": pa.array(x),
+                "sy": pa.array(h),
+                "syy": pa.array(h * h),
+                "sxy": pa.array(x * h),
             }
         )
-        g = df.groupby("event_type", as_index=False).agg(
-            n=("sx", "size"),
-            sx=("sx", "sum"),
-            sy=("sy", "sum"),
-            syy=("syy", "sum"),
-            sxy=("sxy", "sum"),
-        )
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(
-            None
-        )
+        return t.group_by("event_type").aggregate(
+            [
+                ("sx", "count"),
+                ("sx", "sum"),
+                ("sy", "sum"),
+                ("syy", "sum"),
+                ("sxy", "sum"),
+            ]
+        ).rename_columns(["event_type", "n", "sx", "sy", "syy", "sxy"])
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -2188,19 +2171,12 @@ def hourly_anomaly(sf_dir: str) -> rd.Dataset:
             .to_numpy(zero_copy_only=False)
         )
         hr = (epoch // 3600) * 3600
-        df = pd.DataFrame(
-            {
-                "event_type": batch.column("event_type").to_numpy(
-                    zero_copy_only=False
-                ),
-                "hr": hr,
-            }
+        t = pa.table(
+            {"event_type": batch.column("event_type"), "hr": pa.array(hr)}
         )
-        g = df.groupby(["event_type", "hr"], as_index=False).size()
-        g = g.rename(columns={"size": "n"})
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(
-            None
-        )
+        return t.group_by(["event_type", "hr"]).aggregate(
+            [("hr", "count")]
+        ).rename_columns(["event_type", "hr", "n"])
 
     hourly = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -2392,18 +2368,10 @@ def geo_mean_value(sf_dir: str) -> rd.Dataset:
         pos = v > 0
         v, et = v[pos], et[pos]
         q = np.round(np.log(v) * 1_000_000).astype(np.int64)
-        df = pd.DataFrame(
-            {
-                "event_type": et,
-                "s": q,
-            }
-        )
-        g = df.groupby("event_type", as_index=False).agg(
-            n=("s", "size"), s=("s", "sum")
-        )
-        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(
-            None
-        )
+        t = pa.table({"event_type": pa.array(et), "s": pa.array(q)})
+        return t.group_by("event_type").aggregate(
+            [("s", "count"), ("s", "sum")]
+        ).rename_columns(["event_type", "n", "s"])
 
     agg = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -2989,14 +2957,9 @@ def nation_trade_matrix(sf_dir: str) -> rd.Dataset:
                 "n": pa.array(np.ones(batch.num_rows, np.int64)),
             }
         )
-        df = (
-            t.to_pandas()
-            .groupby(["l_orderkey", "supp_nation_key"], as_index=False)
-            .agg(rev=("rev", "sum"), n=("n", "sum"))
-        )
-        return pa.Table.from_pandas(
-            df, preserve_index=False
-        ).replace_schema_metadata(None)
+        return t.group_by(["l_orderkey", "supp_nation_key"]).aggregate(
+            [("rev", "sum"), ("n", "sum")]
+        ).rename_columns(["l_orderkey", "supp_nation_key", "rev", "n"])
 
     per_order = li.map_batches(partial, batch_format="pyarrow")
     orders = read_parquet_clean(
@@ -3102,17 +3065,22 @@ def cohort_ltv(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
             np.rint(batch.column("value").to_numpy(zero_copy_only=False) * 1000.0),
             0.0,
         ).astype(np.int64)
-        df = (
-            pd.DataFrame({"user_id": user, "week": week, "v": vm})
-            .groupby(["user_id", "week"], as_index=False)["v"]
-            .sum()
+        t = pa.table(
+            {
+                "user_id": pa.array(user),
+                "week": pa.array(week),
+                "v": pa.array(vm),
+            }
         )
-        df["_bucket"] = key_bucket(
-            pa.array(df["user_id"].to_numpy(np.int64)), num_buckets
-        ).astype(np.int32)
-        return pa.Table.from_pandas(
-            df, preserve_index=False
-        ).replace_schema_metadata(None)
+        g = t.group_by(["user_id", "week"]).aggregate(
+            [("v", "sum")]
+        ).rename_columns(["user_id", "week", "v"])
+        return g.append_column(
+            "_bucket",
+            pa.array(
+                key_bucket(g.column("user_id"), num_buckets).astype(np.int32)
+            ),
+        )
 
     def bucket_cells(g: pd.DataFrame) -> pa.Table:
         uw = g.groupby(["user_id", "week"], as_index=False)["v"].sum()
@@ -3295,23 +3263,16 @@ def theilsen_value_hour(sf_dir: str) -> rd.Dataset:
             pc.cast(batch.column("ts"), pa.int64()), pa.scalar(1_000_000)
         ).to_numpy(zero_copy_only=False)
         h = (epoch // 3600) % 24
-        df = (
-            pd.DataFrame(
-                {
-                    "event_type": batch.column("event_type").to_numpy(
-                        zero_copy_only=False
-                    ),
-                    "hour": h,
-                    "vm": vm,
-                    "n": np.ones(len(h), np.int64),
-                }
-            )
-            .groupby(["event_type", "hour"], as_index=False)
-            .agg(vm=("vm", "sum"), n=("n", "sum"))
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hour": pa.array(h),
+                "vm": pa.array(vm),
+            }
         )
-        return pa.Table.from_pandas(
-            df, preserve_index=False
-        ).replace_schema_metadata(None)
+        return t.group_by(["event_type", "hour"]).aggregate(
+            [("vm", "sum"), ("vm", "count")]
+        ).rename_columns(["event_type", "hour", "vm", "n"])
 
     hourly = (
         hash_aggregate(
@@ -3518,22 +3479,12 @@ def changepoint_hourly(sf_dir: str) -> rd.Dataset:
             pc.cast(batch.column("ts"), pa.int64()), pa.scalar(1_000_000)
         ).to_numpy(zero_copy_only=False)
         hour = epoch // 3600
-        df = (
-            pd.DataFrame(
-                {
-                    "event_type": batch.column("event_type").to_numpy(
-                        zero_copy_only=False
-                    ),
-                    "hour": hour,
-                    "n": np.ones(len(hour), np.int64),
-                }
-            )
-            .groupby(["event_type", "hour"], as_index=False)["n"]
-            .sum()
+        t = pa.table(
+            {"event_type": batch.column("event_type"), "hour": pa.array(hour)}
         )
-        return pa.Table.from_pandas(
-            df, preserve_index=False
-        ).replace_schema_metadata(None)
+        return t.group_by(["event_type", "hour"]).aggregate(
+            [("hour", "count")]
+        ).rename_columns(["event_type", "hour", "n"])
 
     hourly = (
         hash_aggregate(
@@ -3611,22 +3562,12 @@ def wow_change(sf_dir: str) -> rd.Dataset:
         )
         days = us // 86_400_000_000
         week = days - ((days + 3) % 7)
-        df = (
-            pd.DataFrame(
-                {
-                    "event_type": batch.column("event_type").to_numpy(
-                        zero_copy_only=False
-                    ),
-                    "week": week,
-                    "n": np.ones(len(week), np.int64),
-                }
-            )
-            .groupby(["event_type", "week"], as_index=False)["n"]
-            .sum()
+        t = pa.table(
+            {"event_type": batch.column("event_type"), "week": pa.array(week)}
         )
-        return pa.Table.from_pandas(
-            df, preserve_index=False
-        ).replace_schema_metadata(None)
+        return t.group_by(["event_type", "week"]).aggregate(
+            [("week", "count")]
+        ).rename_columns(["event_type", "week", "n"])
 
     weekly = (
         hash_aggregate(
@@ -3800,22 +3741,17 @@ def spearman_value_hour(sf_dir: str) -> rd.Dataset:
             pc.cast(batch.column("ts"), pa.int64()), pa.scalar(1_000_000)
         ).to_numpy(zero_copy_only=False)
         h = (epoch // 3600) % 24
-        df = (
-            pd.DataFrame(
-                {
-                    "event_type": batch.column("event_type").to_numpy(
-                        zero_copy_only=False
-                    ),
-                    "vm": vm,
-                    "hour": h,
-                    "n": np.ones(len(h), np.int64),
-                }
-            )
-            .groupby(["event_type", "vm", "hour"], as_index=False)
-            .agg(n=("n", "sum"))
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "vm": pa.array(vm),
+                "hour": pa.array(h),
+            }
         )
-        return pa.Table.from_pandas(
-            df, preserve_index=False
+        return t.group_by(["event_type", "vm", "hour"]).aggregate(
+            [("vm", "count")]
+        ).rename_columns(
+            ["event_type", "vm", "hour", "n"]
         ).replace_schema_metadata(None)
 
     g = (
@@ -3911,22 +3847,16 @@ def holt_forecast(
             // 1_000_000
         )
         h = epoch // 3600
-        df = (
-            pd.DataFrame(
-                {
-                    "event_type": batch.column("event_type").to_numpy(
-                        zero_copy_only=False
-                    ),
-                    "h": h,
-                    "n": np.ones(len(h), np.int64),
-                }
-            )
-            .groupby(["event_type", "h"], as_index=False)
-            .agg(n=("n", "sum"))
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "h": pa.array(h),
+                "n": pa.array(np.ones(len(h), np.int64)),
+            }
         )
-        return pa.Table.from_pandas(
-            df, preserve_index=False
-        ).replace_schema_metadata(None)
+        return t.group_by(["event_type", "h"]).aggregate(
+            [("n", "sum")]
+        ).rename_columns(["event_type", "h", "n"])
 
     hourly = (
         hash_aggregate(
@@ -4211,20 +4141,15 @@ def ab_test_conversion(sf_dir: str) -> rd.Dataset:
         uid = batch.column("user_id").to_numpy(zero_copy_only=False)
         conv = batch.column("conv").to_numpy(zero_copy_only=False)
         arm = uid % 2
-        out = (
-            pd.DataFrame(
-                {
-                    "arm": arm,
-                    "n_users": np.ones(len(arm), np.int64),
-                    "n_conv": conv.astype(np.int64),
-                }
-            )
-            .groupby("arm", as_index=False)
-            .sum()
+        t = pa.table(
+            {
+                "arm": pa.array(arm.astype(np.int64)),
+                "n_conv": pa.array(conv.astype(np.int64)),
+            }
         )
-        return pa.Table.from_pandas(
-            out, preserve_index=False
-        ).replace_schema_metadata(None)
+        return t.group_by("arm").aggregate(
+            [("arm", "count"), ("n_conv", "sum")]
+        ).rename_columns(["arm", "n_users", "n_conv"])
 
     arms = (
         hash_aggregate(
@@ -4346,26 +4271,24 @@ def value_multi_regression(sf_dir: str) -> rd.Dataset:
         ).to_numpy(zero_copy_only=False)
         h = (epoch // 3600) % 24
         d = (epoch // 86_400) % 7
-        df = pd.DataFrame(
+        t = pa.table(
             {
-                "event_type": batch.column("event_type").to_numpy(
-                    zero_copy_only=False
-                ),
-                "n": np.ones(len(y), np.int64),
-                "sh": h,
-                "sd": d,
-                "shh": h * h,
-                "shd": h * d,
-                "sdd": d * d,
-                "sy": y,
-                "shy": h * y,
-                "sdy": d * y,
+                "event_type": batch.column("event_type"),
+                "n": pa.array(np.ones(len(y), np.int64)),
+                "sh": pa.array(h),
+                "sd": pa.array(d),
+                "shh": pa.array(h * h),
+                "shd": pa.array(h * d),
+                "sdd": pa.array(d * d),
+                "sy": pa.array(y),
+                "shy": pa.array(h * y),
+                "sdy": pa.array(d * y),
             }
         )
-        g = df.groupby("event_type", as_index=False).sum()
-        return pa.Table.from_pandas(
-            g, preserve_index=False
-        ).replace_schema_metadata(None)
+        cols = ["n", "sh", "sd", "shh", "shd", "sdd", "sy", "shy", "sdy"]
+        return t.group_by("event_type").aggregate(
+            [(c, "sum") for c in cols]
+        ).rename_columns(["event_type", *cols])
 
     agg = (
         hash_aggregate(
@@ -4435,16 +4358,12 @@ def seasonal_index(sf_dir: str) -> rd.Dataset:
         hod = (
             ts.astype("datetime64[h]").astype(np.int64) % 24
         ).astype(np.int64)
-        df = pd.DataFrame(
-            {
-                "event_type": batch.column("event_type").to_numpy(
-                    zero_copy_only=False
-                ),
-                "hod": hod,
-                "n": 1,
-            }
-        ).groupby(["event_type", "hod"], as_index=False)["n"].sum()
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        t = pa.table(
+            {"event_type": batch.column("event_type"), "hod": pa.array(hod)}
+        )
+        return t.group_by(["event_type", "hod"]).aggregate(
+            [("hod", "count")]
+        ).rename_columns(["event_type", "hod", "n"])
 
     counts = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -4542,18 +4461,16 @@ def anova_value(sf_dir: str) -> rd.Dataset:
 
     def partial(batch: pa.Table) -> pa.Table:
         x = _cents(batch.column("value"), 1000).to_numpy(zero_copy_only=False)
-        df = pd.DataFrame(
+        t = pa.table(
             {
-                "event_type": batch.column("event_type").to_numpy(
-                    zero_copy_only=False
-                ),
-                "sx": x,
-                "sxx": x * x,
+                "event_type": batch.column("event_type"),
+                "sx": pa.array(x),
+                "sxx": pa.array(x * x),
             }
-        ).groupby("event_type", as_index=False).agg(
-            n=("sx", "size"), sx=("sx", "sum"), sxx=("sxx", "sum")
         )
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        return t.group_by("event_type").aggregate(
+            [("sx", "count"), ("sx", "sum"), ("sxx", "sum")]
+        ).rename_columns(["event_type", "n", "sx", "sxx"])
 
     g = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -4619,10 +4536,10 @@ def watermark_late_events(sf_dir: str, bucket_bits: int = 7) -> rd.Dataset:
             "datetime64[us]"
         ).astype(np.int64)
         bk = (arrival >> shift).astype(np.int64)
-        df = pd.DataFrame({"bk": bk, "ts": ts}).groupby("bk", as_index=False)[
-            "ts"
-        ].max()
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        t = pa.table({"bk": pa.array(bk), "ts": pa.array(ts)})
+        return t.group_by("bk").aggregate([("ts", "max")]).rename_columns(
+            ["bk", "ts"]
+        )
 
     bmax = (
         ds.map_batches(bucket_max, batch_format="pyarrow")
@@ -4738,12 +4655,12 @@ def hits_user_event(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
     )
 
     def pair_partial(b: pa.Table) -> pa.Table:
-        df = (
-            b.to_pandas()
-            .drop_duplicates(["user_id", "event_type"])
-            .assign(n=1)
+        g = (
+            b.select(["user_id", "event_type"])
+            .group_by(["user_id", "event_type"])
+            .aggregate([])
         )
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        return g.append_column("n", pa.array(np.ones(g.num_rows, np.int64)))
 
     pairs = hash_aggregate(
         ds.map_batches(pair_partial, batch_format="pyarrow"),
@@ -4755,12 +4672,9 @@ def hits_user_event(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
     # a1: distinct-user degree per type — types-bounded, broadcast once
     a1_pd = (
         pairs.map_batches(
-            lambda b: pa.Table.from_pandas(
-                b.to_pandas()
-                .groupby("event_type", as_index=False)
-                .agg(d=("n", "sum")),
-                preserve_index=False,
-            ).replace_schema_metadata(None),
+            lambda b: b.group_by("event_type")
+            .aggregate([("n", "sum")])
+            .rename_columns(["event_type", "d"]),
             batch_format="pyarrow",
         )
         .groupby("event_type")
@@ -4856,22 +4770,16 @@ def holtwinters_forecast(sf_dir: str, horizon: int = 3) -> rd.Dataset:
             // 1_000_000
         )
         h = epoch // 3600
-        df = (
-            pd.DataFrame(
-                {
-                    "event_type": batch.column("event_type").to_numpy(
-                        zero_copy_only=False
-                    ),
-                    "h": h,
-                    "n": np.ones(len(h), np.int64),
-                }
-            )
-            .groupby(["event_type", "h"], as_index=False)
-            .agg(n=("n", "sum"))
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "h": pa.array(h),
+                "n": pa.array(np.ones(len(h), np.int64)),
+            }
         )
-        return pa.Table.from_pandas(
-            df, preserve_index=False
-        ).replace_schema_metadata(None)
+        return t.group_by(["event_type", "h"]).aggregate(
+            [("n", "sum")]
+        ).rename_columns(["event_type", "h", "n"])
 
     hourly = (
         hash_aggregate(
