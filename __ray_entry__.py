@@ -964,6 +964,20 @@ def _fuzzy_match_ed2(sf_dir: str):
     return fuzzy_pairs_ed2(ds, text_col="c_name")
 
 
+def _fuzzy_match_ed2_full(sf_dir: str):
+    """UNSAMPLED radius-2 fuzzy join over every customer name — the
+    full-pair-volume run the sweep-friendly 1-in-10 sampled
+    `fuzzy_match_ed2` doesn't exercise. Kept as a real query (with the
+    unsampled oracle) and timed by bench.py at sf0.01 every round; at
+    sf0.1 the pair set is 4.08M (verified once, ~341 s) — use the
+    sampled variant there."""
+    from vietnamese_ocr_ray.functions.dedup import fuzzy_pairs_ed2
+    from vietnamese_ocr_ray.sources.storage import read_parquet_clean
+
+    ds = read_parquet_clean(f"{sf_dir}/customer.parquet", columns=["c_name"])
+    return fuzzy_pairs_ed2(ds, text_col="c_name")
+
+
 def _snm_pairs(sf_dir: str):
     """Sorted-neighborhood (windowed) record linkage over customer
     names with suffix blocking keys (functions/dedup.snm_pairs)."""
@@ -1275,6 +1289,23 @@ def _ann_pq(sf_dir: str):
     SQL-verified end-to-end via _ann_pq_sql (4 subspace k-means
     replays + encode + ADC); recall + layout-invariance additionally
     pytest-checked."""
+    from vietnamese_ocr_ray.functions.kmeans import ann_pq
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    # full-corpus codebook fit: the original oracle-replay mode
+    return ann_pq(
+        ds, _query_vec(sf_dir), k=10, n_sub=4, ks=16, iters=3,
+        sample_permille=None,
+    )
+
+
+def _ann_pq_sampled(sf_dir: str):
+    """ann_pq with the PRODUCTION codebook fit: codebooks train on the
+    250-permille hash_sample band of vec_ids (the library default) and
+    only the encode pass streams the full corpus — n_sub*(1+iters)
+    fit passes shrink 4x. The oracle replays the identical sample
+    band (polynomial-hash predicate) inside each subspace k-means
+    chain, so the sampled fit is SQL-verified end-to-end too."""
     from vietnamese_ocr_ray.functions.kmeans import ann_pq
 
     ds = _read_pq(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -2990,6 +3021,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_balance": lambda sf: relational.supplier_nation_balance(sf),
         "orders_by_month": lambda sf: relational.orders_by_month(sf),
         "promo_revenue": lambda sf: relational.promo_revenue(sf),
+        "revenue_change": lambda sf: relational.revenue_change(sf),
+        "returned_item_report": lambda sf: relational.returned_item_report(sf),
+        "rich_light_buyers": lambda sf: relational.rich_light_buyers(sf),
         "purchase_attribution": lambda sf: relational.purchase_attribution(sf),
         "topk_per_group": lambda sf: relational.top_events_per_type(sf),
         "range_count": lambda sf: relational.signup_click_follow(sf),
@@ -3198,6 +3232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ssjoin_pairs": _ssjoin_pairs,
         "fuzzy_match_ed1": _fuzzy_match_ed1,
         "fuzzy_match_ed2": _fuzzy_match_ed2,
+        "fuzzy_match_ed2_full": _fuzzy_match_ed2_full,
         "snm_pairs": _snm_pairs,
         "minhash_pairs": _minhash_pairs,
         "bbit_minhash_pairs": _bbit_minhash_pairs,
@@ -3214,6 +3249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _ann_topk,
         "mmr_select": _mmr_select,
         "ann_pq": _ann_pq,
+        "ann_pq_sampled": _ann_pq_sampled,
         "embedding_rp": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.pca",
             fromlist=["random_projection"],
@@ -3291,6 +3327,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kn_doc_logprob": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.lm", fromlist=["kn_doc_logprob"]
         ).kn_doc_logprob(_docs(sf)),
+        # broadcast-free variant: bigram weights meet docs in a
+        # key-bucket cogroup (only vocab-bounded marginals broadcast);
+        # same oracle — the two surfaces are bit-identical
+        "kn_doc_logprob_cogroup": lambda sf: __import__(
+            "vietnamese_ocr_ray.functions.lm",
+            fromlist=["kn_doc_logprob_cogroup"],
+        ).kn_doc_logprob_cogroup(_docs(sf)),
         "zipf_slope": _zipf_slope,
         "heaps_law": _heaps_law,
         "bloom_semijoin": _bloom_semijoin,
@@ -4681,13 +4724,27 @@ def _sqdist_expr(a: str, b: str, dim: int = 64) -> str:
 
 
 def _pq_kmeans_cte(
-    sfx: str, off: int, dim: int, k: int, iters: int, seed: int
+    sfx: str, off: int, dim: int, k: int, iters: int, seed: int,
+    fit_pred: str = "",
 ) -> str:
     """_kmeans_cte generalized to a SUBSPACE slice (columns
     off+1..off+dim of the embedding) with every CTE name suffixed, so
     n_sub independent chains can coexist in one WITH — the
     functions/kmeans.pq_fit replay. Exposes hrow{sfx} (vec_id, q),
-    cent{iters}{sfx} (cid, cq) and afinal{sfx} (vec_id, cid)."""
+    cent{iters}{sfx} (cid, cq) and afinal{sfx} (vec_id, cid).
+
+    ``fit_pred``: optional SQL predicate over vec_id restricting the
+    rows the CODEBOOK FIT sees (init + Lloyd rounds) — the sampled-fit
+    replay (kmeans.pq_fit sample_permille). The ENCODE (afinal) always
+    runs over the full hrow."""
+    fit_src = f"fitrow{sfx}" if fit_pred else f"hrow{sfx}"
+    fit_cte = (
+        f""", fitrow{sfx} AS MATERIALIZED (
+      SELECT * FROM hrow{sfx} WHERE {fit_pred}
+    )"""
+        if fit_pred
+        else ""
+    )
     parts = [
         f"""emb{sfx} AS MATERIALIZED (
       SELECT vec_id,
@@ -4700,10 +4757,10 @@ def _pq_kmeans_cte(
     ), hrow{sfx} AS MATERIALIZED (
       SELECT vec_id, q, {_kmeans_hash_expr('q', dim)} AS h
       FROM emb{sfx} CROSS JOIN hconsts{sfx}
-    ), cent0{sfx} AS MATERIALIZED (
+    ){fit_cte}, cent0{sfx} AS MATERIALIZED (
       SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS BIGINT)
                AS cid, q AS cq
-      FROM (SELECT h, vec_id, q FROM hrow{sfx} ORDER BY h, vec_id
+      FROM (SELECT h, vec_id, q FROM {fit_src} ORDER BY h, vec_id
             LIMIT {k})
     )"""
     ]
@@ -4715,7 +4772,7 @@ def _pq_kmeans_cte(
         SELECT r.vec_id, r.q, c.cid,
                row_number() OVER (PARTITION BY r.vec_id
                  ORDER BY {_sqdist_expr('r.q', 'c.cq', dim)}, c.cid) AS rn
-        FROM hrow{sfx} r CROSS JOIN {prev} c
+        FROM {fit_src} r CROSS JOIN {prev} c
       ) WHERE rn = 1
     ), u{i}{sfx} AS MATERIALIZED (
       SELECT cid, g.j, SUM(q[g.j])::HUGEINT AS s, COUNT(*)::HUGEINT AS n
@@ -4745,17 +4802,33 @@ def _pq_kmeans_cte(
     return ",\n    ".join(parts)
 
 
+def _pq_sample_pred(rate_permille: int, salt: str = "pqfit:") -> str:
+    """The sampling.hash_sample band predicate over vec_id (salted
+    polynomial hash, cubed mod p, permille band) — SQL-identical to
+    the engine's keep() mask."""
+    fp = (
+        f"CAST(list_sum(list_transform(string_split("
+        f"'{salt}' || CAST(vec_id AS VARCHAR), ''), "
+        f"(c, i) -> unicode(c) * i)) % 1000000007 AS BIGINT)"
+    )
+    return (
+        f"(({fp} * {fp} % 1000000007) * {fp} % 1000000007) % 1000"
+        f" < {rate_permille}"
+    )
+
+
 def _ann_pq_sql(
     k: int = 10, n_sub: int = 4, ks: int = 16, iters: int = 3,
-    seed: int = 17, dim: int = 64,
+    seed: int = 17, dim: int = 64, fit_pred: str = "",
 ) -> str:
     """(vec_id, adist) — the `ann_pq` oracle: n_sub independent
     subspace k-means replays (codebooks), PQ encode = per-subspace
     integer argmin (afinal), query distance table per subspace, ADC
-    score = exact-integer sum of table lookups, ascending top-k."""
+    score = exact-integer sum of table lookups, ascending top-k.
+    ``fit_pred`` restricts the codebook fit rows (ann_pq_sampled)."""
     dsub = dim // n_sub
     chains = ",\n    ".join(
-        _pq_kmeans_cte(f"_p{s}", s * dsub, dsub, ks, iters, seed)
+        _pq_kmeans_cte(f"_p{s}", s * dsub, dsub, ks, iters, seed, fit_pred)
         for s in range(n_sub)
     )
     tabs = ",\n    ".join(
@@ -6061,7 +6134,7 @@ def oracle_sql() -> dict[str, str]:
         f"s AS (SELECT {', '.join(_scols)} FROM q) "
         + " UNION ALL ".join(_crows)
     )
-    return {
+    out = {
         "extract_flat": _WORDS_CTE + "SELECT * FROM spans",
         "extract_flat_cogroup": _WORDS_CTE + "SELECT * FROM spans",
         "extract_flat_beam": _WORDS_CTE + "SELECT * FROM spans",
@@ -8936,6 +9009,9 @@ def oracle_sql() -> dict[str, str]:
         "ktruss_dupgraph": _ktruss_sql(3, 8),
         "mmr_select": _mmr_sql(8, 32),
         "ann_pq": _ann_pq_sql(10, 4, 16, 3),
+        "ann_pq_sampled": _ann_pq_sql(
+            10, 4, 16, 3, fit_pred=_pq_sample_pred(250)
+        ),
         "winnow_fingerprints": _winnow_sql(8, 4),
         "cdc_chunks": _cdc_chunks_sql(8, 64),
         "gazetteer_spans": """
@@ -11413,3 +11489,69 @@ def oracle_sql() -> dict[str, str]:
         # (LSH banding, bit-majority fingerprints, hyperplane probing,
         # binary payload plumbing) -> driver rows-only check
     }
+    # engine variants that share an oracle verbatim (bit-identical
+    # surfaces by contract): the cogroup kn scorer replays the same SQL
+    out["kn_doc_logprob_cogroup"] = out["kn_doc_logprob"]
+    # the unsampled ed2 oracle is the sampled one minus the key filter
+    out["fuzzy_match_ed2_full"] = out["fuzzy_match_ed2"].replace(
+        "\n                      WHERE c_custkey % 10 = 0", ""
+    )
+    assert "c_custkey" not in out["fuzzy_match_ed2_full"]
+    out["revenue_change"] = """
+        -- TPC-H Q6 shape: exact integer 1e-4 units, one final division
+        SELECT CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * CAST(round(l_discount * 100) AS BIGINT))
+                    AS DOUBLE) / 10000.0 AS revenue_delta
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+          AND CAST(round(l_quantity) AS BIGINT) < 24
+    """
+    out["returned_item_report"] = """
+        -- TPC-H Q10 shape: returned-lineitem revenue per customer,
+        -- top 20, nation attached; exact 1e-4 units before division
+        WITH r AS (
+          SELECT o.o_custkey AS c_custkey,
+                 sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                   AS rev
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_returnflag = 'R'
+          GROUP BY o.o_custkey
+        )
+        SELECT r.c_custkey, c.c_name, n.n_name,
+               CAST(r.rev AS DOUBLE) / 10000.0 AS revenue
+        FROM r JOIN customer c ON r.c_custkey = c.c_custkey
+               JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ORDER BY revenue DESC, r.c_custkey LIMIT 20
+    """
+    out["rich_light_buyers"] = """
+        -- TPC-H Q22 shape on this corpus's columns: above-global-
+        -- positive-average balance, fewer than 5 orders, per nation.
+        -- Threshold compared by integer cross-multiplication so no
+        -- float rounds before the final division.
+        WITH avgpos AS (
+          SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                   AS s,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM customer WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0
+        ),
+        oc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+               FROM orders GROUP BY o_custkey),
+        pick AS (
+          SELECT c.c_nationkey AS nationkey,
+                 CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_c
+          FROM customer c
+          LEFT JOIN oc ON oc.o_custkey = c.c_custkey
+          CROSS JOIN avgpos a
+          WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * a.n > a.s
+            AND coalesce(oc.n_orders, 0) < 5
+        )
+        SELECT CAST(nationkey AS BIGINT) AS nationkey,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(bal_c) AS DOUBLE) / 100.0 AS total_acctbal
+        FROM pick GROUP BY nationkey ORDER BY nationkey
+    """
+    return out

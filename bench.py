@@ -354,6 +354,7 @@ def run_bench() -> dict:
         "fuzzy_match_ed1",
         "cohort_retention",
         "ann_pq",
+        "ann_pq_sampled",
         "winnow_overlap",
         "chi2_token_lang",
         "containment_pairs",
@@ -374,8 +375,31 @@ def run_bench() -> dict:
 
         timeit(name, consume)
 
+    # unsampled radius-2 fuzzy join: ALWAYS timed at sf0.01 so the full
+    # pair volume is exercised every round (the sweep query is 1-in-10
+    # key-sampled; unsampled sf0.1 is ~4.08M pairs / ~341 s — too slow
+    # for a per-round sweep). Pair count logged alongside the timing.
+    ed2_stats = {}
+    ed2_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
+    if os.path.isdir(ed2_dir):
+
+        def consume_ed2():
+            res = q["fuzzy_match_ed2_full"](ed2_dir)
+            if hasattr(res, "materialize"):
+                res = res.materialize()
+                ed2_stats["pairs"] = int(res.count())
+            else:
+                ed2_stats["pairs"] = int(res.num_rows)
+
+        timeit("fuzzy_match_ed2_full@sf0.01", consume_ed2)
+
     ray.shutdown()
     return {
+        **(
+            {"fuzzy_match_ed2_full_pairs": ed2_stats["pairs"]}
+            if ed2_stats
+            else {}
+        ),
         "metric": "extract_e2e",
         "value": round(headline, 3),
         "unit": "sec",

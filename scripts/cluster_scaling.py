@@ -71,6 +71,10 @@ def cluster_env() -> dict:
     env = dict(os.environ)
     env.pop("RAY_ADDRESS", None)  # preset 'local' would bypass the cluster
     env["RAY_DISABLE_IMPORT_WARNING"] = "1"
+    # worker processes of ray-start node processes inherit the raylet's
+    # env; the package must be importable there (no runtime_env pip in
+    # this sandbox, so PYTHONPATH is the shipping mechanism)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     return env
 
 
@@ -80,11 +84,16 @@ def start_cluster(head_cpus: int, worker_cpus: list[int]) -> str:
     time.sleep(2)
     # modest fixed object stores: one host shares its memory across all
     # node processes, so the 30%-each default would overcommit
-    store = str(4 * 1024**3)
+    store = str(8 * 1024**3)
     sh(
         [
             "ray", "start", "--head", f"--port={PORT}",
             f"--num-cpus={head_cpus}", f"--object-store-memory={store}",
+            # 16 MB object-manager chunks (default 5 MB): the shuffle
+            # moves multi-MB media-payload blocks between node object
+            # stores, and the default chunking left the transfer
+            # latency-bound (4-node leg measured 14.5 -> 11.6 s)
+            '--system-config={"object_manager_default_chunk_size":16777216}',
         ],
         env=env,
     )
@@ -105,15 +114,25 @@ def stop_cluster() -> None:
     time.sleep(1)
 
 
-def submit_job(addr: str, corpus: str, out_dir: str, tag: str) -> dict:
+def submit_job(
+    addr: str, docs_dir: str, media_dir: str, out_dir: str, tag: str
+) -> dict:
     """Run job_extract against the cluster; prefer `ray job submit`,
     fall back to a driver process attached via RAY_ADDRESS (same
     pipeline, same cluster — only the submission plumbing differs)."""
     shutil.rmtree(out_dir, ignore_errors=True)
     job_argv = [
         "python", "scripts/job_extract.py",
-        "--docs", f"{corpus}/docs", "--media", f"{corpus}/media",
+        "--docs", docs_dir, "--media", media_dir,
         "--out", out_dir,
+        # bench-matched knobs: one resumable chunk (the per-chunk
+        # pipeline spin-up is fixed cost, not throughput), the measured
+        # cogroup bucket count, and tasks-mode recognize (actor pools
+        # reserve CPUs through the sort barrier — see bench.py)
+        "--chunk-fragments", "100000",
+        "--cogroup-buckets", "768",
+        "--recognize-compute", "tasks",
+        "--read-blocks", "48",
     ]
     env = cluster_env()
     env["RAY_ADDRESS"] = f"ray://{addr}"  # not used by job submit path
@@ -156,25 +175,43 @@ def main() -> int:
     args = p.parse_args()
     sf_dir = "/root/testdata/sf0.001" if args.quick else args.sf_dir
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    corpus = f"/tmp/vnocr_cluster_corpus_{tag}"
-    if not os.path.isdir(os.path.join(corpus, "docs")):
-        sh(
-            [sys.executable, "-m", "vietnamese_ocr_ray", "synth",
-             "--sf-dir", sf_dir, "--out", corpus],
-            env=cluster_env(),
-        )
+    # the bench-replicated corpus (same input as the extract_e2e
+    # headline: sf docs x16 with distinct doc_ids, media shared) so
+    # the legs are throughput-dominated, not pipeline-spin-up-bound
+    factor = 1 if args.quick else 16
+    prep_env = dict(cluster_env())
+    prep_env["RAY_ADDRESS"] = "local"
+    out = sh(
+        [
+            sys.executable, "-c",
+            (
+                f"import sys; sys.path.insert(0, {REPO!r}); "
+                f"import bench; "
+                f"print('\\n'.join(bench._replicated_corpus({sf_dir!r}, {factor})))"
+            ),
+        ],
+        env=prep_env,
+    )
+    docs_dir, media_dir = [l for l in out.splitlines() if l.strip()][-2:]
 
     pairs = []
     for i in range(1 if args.quick else args.pairs):
         probe_before = memcpy_gbs()
-        # leg A: 1-process cluster, 8 cpus
+        # leg A: 1-process cluster, 8 cpus. First run is an UNTIMED
+        # warmup (worker spawn on every node + page cache), the bench
+        # discipline; the second, fresh-output run is the measurement.
         addr = start_cluster(8, [])
-        a = submit_job(addr, corpus, f"/tmp/vnocr_cluster_out_a{i}", "N=8")
+        submit_job(addr, docs_dir, media_dir, "/tmp/vnocr_cluster_warm", "warm")
+        a = submit_job(
+            addr, docs_dir, media_dir, f"/tmp/vnocr_cluster_out_a{i}", "N=8"
+        )
         stop_cluster()
         # leg B: 4-process cluster, 8 cpus each (4N = 32)
         addr = start_cluster(8, [8, 8, 8])
-        b = submit_job(addr, corpus, f"/tmp/vnocr_cluster_out_b{i}", "4N=32")
+        submit_job(addr, docs_dir, media_dir, "/tmp/vnocr_cluster_warm", "warm")
+        b = submit_job(
+            addr, docs_dir, media_dir, f"/tmp/vnocr_cluster_out_b{i}", "4N=32"
+        )
         stop_cluster()
         probe_after = memcpy_gbs()
         thr_a = a["rows_in"] / a["elapsed_s"]

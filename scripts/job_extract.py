@@ -38,6 +38,7 @@ def main(argv=None) -> int:
         choices=["cogroup", "join", "broadcast", "copartitioned"],
     )
     p.add_argument("--chunk-fragments", type=int, default=64)
+    p.add_argument("--read-blocks", type=int, default=0)
     p.add_argument("--cogroup-buckets", type=int, default=4096)
     p.add_argument("--recognize-compute", default="actors", choices=["actors", "tasks"])
     p.add_argument("--recognize-batch-size", type=int, default=2048)
@@ -49,10 +50,22 @@ def main(argv=None) -> int:
     if not ray.is_initialized():
         ray.init()  # attaches to the job's cluster; local fallback
 
+    # same execution tuning as bench.py's certified headline: the
+    # push-based sort shuffle overlaps map and merge on the pipeline's
+    # two sorts — it matters MORE on a multi-node cluster, where the
+    # naive shuffle round-trips every block through a single reduce
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+
     from vietnamese_ocr_ray.pipelines.extract import run_extract
 
     kwargs = dict(
         chunk_fragments=args.chunk_fragments,
+        read_blocks=args.read_blocks,
         media_mode=args.mode,
         recognize_batch_size=args.recognize_batch_size,
         recognize_compute=args.recognize_compute,

@@ -1935,7 +1935,9 @@ def test_ann_pq_matches_numpy_adc_reference_and_recalls_blob(ray_session):
     )
     ds = rd.from_arrow(t).repartition(5)
     q = vecs[0].astype(np.float32).astype(np.float64)
-    out = ann_pq(ds, q, k=10, n_sub=4, ks=8, iters=3).to_pandas()
+    out = ann_pq(
+        ds, q, k=10, n_sub=4, ks=8, iters=3, sample_permille=None
+    ).to_pandas()
 
     # numpy reference: same fit, explicit encode + ADC
     cbs = pq_fit(ds, n_sub=4, ks=8, iters=3, dim=32)
@@ -1953,6 +1955,31 @@ def test_ann_pq_matches_numpy_adc_reference_and_recalls_blob(ray_session):
     assert list(out["adist"]) == list(adist[order])
     # blob recall: all 10 hits from the query's own 25-vector blob
     assert all(v < 25 for v in out["vec_id"])
+
+    # sampled fit (the production default): codebooks trained on the
+    # hash_sample subset must equal pq_fit run on that same subset,
+    # and blob recall must survive the 4x-smaller fit
+    from vietnamese_ocr_ray.functions.sampling import hash_sample
+
+    sub = hash_sample(
+        rd.from_arrow(t), "vec_id", rate_permille=500, salt="pqfit:"
+    )
+    cbs_s = [
+        c.tolist()
+        for c in pq_fit(sub, n_sub=4, ks=8, iters=3, dim=32)
+    ]
+    cbs_s2 = [
+        c.tolist()
+        for c in pq_fit(
+            rd.from_arrow(t), n_sub=4, ks=8, iters=3, dim=32,
+            sample_permille=500,
+        )
+    ]
+    assert cbs_s == cbs_s2
+    out_s = ann_pq(
+        ds, q, k=10, n_sub=4, ks=8, iters=3, sample_permille=500
+    ).to_pandas()
+    assert all(v < 25 for v in out_s["vec_id"])
 
 
 def test_winnow_fingerprints_matches_reference_and_guarantee(ray_session):
@@ -5612,6 +5639,44 @@ def test_kn_doc_logprob_reference(ray_session):
         assert out.loc[d, "logp_nano"] == ref, d
         assert out.loc[d, "n_bigrams"] == len(w) - 1
     assert out.loc[2, "logp_nano"] == 0 and out.loc[2, "avg_logp_nano"] == 0
+
+
+def test_kn_doc_logprob_cogroup_equivalence(ray_session):
+    """The broadcast-free cogroup scorer must be bit-identical to the
+    broadcast path on every column, including a zero-bigram doc and
+    under a hostile multi-block layout."""
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.lm import (
+        kn_doc_logprob,
+        kn_doc_logprob_cogroup,
+    )
+
+    texts = ["a b a c", "b a b", "c", "a b", "c a b a", "b c"]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    cols = ["doc_id", "n_bigrams", "logp_nano", "avg_logp_nano"]
+    base = (
+        kn_doc_logprob(rd_mod.from_arrow(docs))
+        .to_pandas()[cols]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for ds_in in (
+        rd_mod.from_arrow(docs),
+        rd_mod.from_arrow(docs).repartition(5),
+    ):
+        cg = (
+            kn_doc_logprob_cogroup(ds_in, num_buckets=4)
+            .to_pandas()[cols]
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert cg.equals(base)
 
 
 def test_conformal_threshold_coverage(ray_session, tmp_path):

@@ -61,3 +61,20 @@ def test_decode_matrix_matches_scalar_decode():
     assert out[0] == v.decode([3, 4, 5])
     assert out[1] == v.decode([10])
     assert out[2] == ""
+
+
+def test_vocab_build_non_ascii_vectorized(ray_session, tmp_path):
+    """The non-ASCII fallback (bulk utf-8 -> utf-32 decode, vectorized
+    unique) must produce exactly the sorted distinct characters of a
+    Vietnamese corpus — identical to the per-row Python set it
+    replaced — with rank+2 ids."""
+    import pandas as pd
+
+    from vietnamese_ocr_ray.pipelines.doctext import vocab_build
+
+    texts = ["xin chào", "việt nam", "cà phê sữa đá", "hà nội ơi"]
+    pd.DataFrame({"text": texts}).to_parquet(tmp_path / "documents.parquet")
+    out = vocab_build(str(tmp_path)).to_pandas()
+    expect = sorted({c for s in texts for c in s})
+    assert list(out["letter"]) == expect
+    assert list(out["id"]) == [i + 3 for i in range(len(expect))]

@@ -503,6 +503,10 @@ def pq_fit(
     seed: int = 17,
     emb_col: str = "embedding",
     dim: int = 64,
+    *,
+    sample_permille: int | None = None,
+    sample_salt: str = "pqfit:",
+    id_col: str = "vec_id",
 ) -> list[np.ndarray]:
     """Per-subspace codebooks: split the D dims into ``n_sub``
     contiguous subspaces and run the grid-deterministic
@@ -511,11 +515,24 @@ def pq_fit(
     PQ codes — and therefore search results — are reproducible across
     cluster sizes.
 
-    Scale note: this trains on the full corpus (n_sub * (1 + iters)
-    streaming passes). Production PQ trains codebooks on a small
-    deterministic sample (``sampling.hash_sample``) and only the
-    ENCODE pass touches the full corpus; the fit here stays full-corpus
-    so the DuckDB oracle can replay it without a sample CTE."""
+    ``sample_permille`` trains the codebooks on a deterministic
+    ``sampling.hash_sample`` subset of the rows (keyed on ``id_col``
+    with ``sample_salt``) — the production PQ shape: only the ENCODE
+    pass touches the full corpus, the fit streams n_sub * (1 + iters)
+    passes over ~permille/1000 of it. The sample band is the same
+    polynomial-hash predicate the hash_sample oracle replays, so the
+    sampled fit stays SQL-verifiable end-to-end. ``None`` fits on the
+    full corpus (the original oracle-replay mode, and the right call
+    when the corpus is small enough that a sample would starve ks
+    centroids)."""
+    if sample_permille is not None:
+        from vietnamese_ocr_ray.functions.sampling import hash_sample
+
+        fit_src = hash_sample(
+            ds, id_col, rate_permille=sample_permille, salt=sample_salt
+        )
+    else:
+        fit_src = ds
     dsub = dim // n_sub
     codebooks = []
     for s in range(n_sub):
@@ -533,7 +550,7 @@ def pq_fit(
 
         codebooks.append(
             kmeans_fit(
-                ds.select_columns([emb_col]).map_batches(
+                fit_src.select_columns([emb_col]).map_batches(
                     slice_sub, batch_format="pyarrow"
                 ),
                 k=ks,
@@ -553,6 +570,9 @@ def ann_pq(
     iters: int = 3,
     seed: int = 17,
     id_col: str = "vec_id",
+    *,
+    sample_permille: int | None = 250,
+    sample_salt: str = "pqfit:",
 ) -> rd.Dataset:
     """PQ approximate nearest neighbours by asymmetric distance
     (ADC): encode every vector as ``n_sub`` codebook ids, precompute
@@ -560,6 +580,13 @@ def ann_pq(
     approximate distance is a sum of ``n_sub`` table lookups — the
     memory-bound scale path (a 64-dim float vector becomes n_sub
     bytes; the corpus scan streams codes, never raw vectors).
+
+    The codebook fit DEFAULTS to a 250-permille hash_sample of the
+    corpus (the production shape — at 100 TB a full-corpus fit would
+    stream the corpus n_sub*(1+iters) extra times for no codebook
+    quality gain); pass ``sample_permille=None`` for the full-corpus
+    fit. Both modes replay in DuckDB (the sample band is the
+    hash_sample polynomial predicate on ``id_col``).
 
     Everything is exact int64 grid arithmetic (squared 2^-20-grid
     distances), so results are bit-reproducible and the whole op —
@@ -571,7 +598,9 @@ def ann_pq(
     dim = int(np.asarray(query).shape[0])
     dsub = dim // n_sub
     codebooks = pq_fit(
-        ds, n_sub=n_sub, ks=ks, iters=iters, seed=seed, dim=dim
+        ds, n_sub=n_sub, ks=ks, iters=iters, seed=seed, dim=dim,
+        sample_permille=sample_permille, sample_salt=sample_salt,
+        id_col=id_col,
     )
     cqs = [_quantize(cb) for cb in codebooks]
     qg = _quantize(np.asarray(query, dtype=np.float64))

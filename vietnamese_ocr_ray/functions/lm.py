@@ -1040,3 +1040,230 @@ def kn_doc_logprob(ds: rd.Dataset, discount: float = 0.75) -> rd.Dataset:
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+def kn_doc_logprob_cogroup(
+    ds: rd.Dataset,
+    discount: float = 0.75,
+    num_buckets: int = 64,
+) -> rd.Dataset:
+    """:func:`kn_doc_logprob` without the bigram-table broadcast — the
+    scale path when bigram TYPES outgrow a worker heap. Same output,
+    bit-identical (equivalence-tested; shares the SQL oracle).
+
+    Shape: the per-TYPE weight table ``round(ln(p_kn) * 1e9)`` is
+    computed DISTRIBUTED over the bigram-count dataset (only the two
+    VOCABULARY-bounded marginal tables broadcast — orders smaller than
+    the bigram table); each document batch reduces to per-(doc, type)
+    occurrence counts; both sides meet in ONE bigram-key-bucket
+    cogroup (the minhash corpus-join pattern) where per-doc partial
+    sums are exact int64; a doc-bucket hash-aggregate folds partials
+    and a bucketed cogroup attaches the per-doc bigram counts. No
+    stage holds more than a bucket of the weight table."""
+    import ray
+
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
+    counts = bigram_counts(ds)
+    # vocabulary-bounded marginals (c1, t1 per w1; t2 per w2)
+    left = hash_aggregate(
+        counts, ["w1"], {"c1": ("n", "sum"), "t1": ("n", "count")}
+    ).to_pandas()
+    right = hash_aggregate(counts, ["w2"], {"t2": ("n", "count")}).to_pandas()
+    total_types = float(left["t1"].sum())
+    marg_handle = ray.put(
+        (
+            pa.array(left["w1"].to_numpy(), pa.string()),
+            left["c1"].to_numpy(np.int64),
+            left["t1"].to_numpy(np.int64),
+            pa.array(right["w2"].to_numpy(), pa.string()),
+            right["t2"].to_numpy(np.int64),
+        )
+    )
+
+    SEP = "\x1f"
+    empty_cg = pa.table(
+        {
+            "_bucket": pa.array([], pa.int32()),
+            "key": pa.array([], pa.string()),
+            "doc_id": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+            "w": pa.array([], pa.int64()),
+            "role": pa.array([], pa.int64()),
+        }
+    )
+
+    def weight_rows(batch: pa.Table) -> pa.Table:
+        """(bucket, bigram key, nano-nat weight) from a counts batch —
+        the distributed replacement for the driver-built table."""
+        l_key, l_c1, l_t1, r_key, r_t2 = ray.get(marg_handle)
+        w1, w2 = batch.column("w1"), batch.column("w2")
+        if isinstance(w1, pa.ChunkedArray):
+            w1, w2 = w1.combine_chunks(), w2.combine_chunks()
+        li = pc.index_in(w1, value_set=l_key).to_numpy()
+        c1, t1 = l_c1[li], l_t1[li]
+        t2 = r_t2[pc.index_in(w2, value_set=r_key).to_numpy()]
+        n = np.asarray(batch.column("n"), dtype=np.int64)
+        p = (n - discount) / c1 + discount * t1 / c1 * (t2 / total_types)
+        w_nano = np.round(np.log(p) * 1e9).astype(np.int64)
+        key = pc.binary_join_element_wise(w1, w2, pa.scalar(SEP))
+        nr = len(key)
+        return pa.table(
+            {
+                "_bucket": pa.array(
+                    key_bucket(key, num_buckets).astype(np.int32)
+                ),
+                "key": key,
+                "doc_id": pa.array(np.full(nr, -1, np.int64)),
+                "cnt": pa.array(np.zeros(nr, np.int64)),
+                "w": pa.array(w_nano),
+                "role": pa.array(np.zeros(nr, np.int64)),
+            }
+        )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        """(bucket, key, doc_id, occurrence count) — per-batch combine
+        to one row per (doc, bigram type)."""
+        doc, w1, w2 = _doc_bigrams(batch)
+        if doc.size == 0:
+            return empty_cg
+        key = pc.binary_join_element_wise(w1, w2, pa.scalar(SEP))
+        g = (
+            pa.table({"key": key, "doc_id": pa.array(doc)})
+            .group_by(["key", "doc_id"])
+            .aggregate([("key", "count")])
+            .rename_columns(["key", "doc_id", "cnt"])
+        )
+        k = g.column("key")
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        nr = g.num_rows
+        return pa.table(
+            {
+                "_bucket": pa.array(
+                    key_bucket(k, num_buckets).astype(np.int32)
+                ),
+                "key": k,
+                "doc_id": pc.cast(g.column("doc_id"), pa.int64()),
+                "cnt": pc.cast(g.column("cnt"), pa.int64()),
+                "w": pa.array(np.zeros(nr, np.int64)),
+                "role": pa.array(np.ones(nr, np.int64)),
+            }
+        )
+
+    weights_side = counts.map_batches(weight_rows, batch_format="pyarrow")
+    docs_side = ds.map_batches(doc_rows, batch_format="pyarrow")
+
+    def merge_bucket(g: pa.Table) -> pa.Table:
+        role = np.asarray(g.column("role"), dtype=np.int64)
+        keys = g.column("key")
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        wmask = pa.array(role == 0)
+        dmask = pa.array(role == 1)
+        wkeys = keys.filter(wmask)
+        wvals = np.asarray(g.column("w").filter(wmask), dtype=np.int64)
+        dkeys = keys.filter(dmask)
+        if len(dkeys) == 0 or len(wkeys) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "lp": pa.array([], pa.int64()),
+                }
+            )
+        # train == score corpus: every doc bigram is a weight key
+        idx = pc.index_in(dkeys, value_set=wkeys).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        cnt = np.asarray(g.column("cnt").filter(dmask), dtype=np.int64)
+        doc = np.asarray(g.column("doc_id").filter(dmask), dtype=np.int64)
+        part = cnt * wvals[idx]
+        t = pa.table({"doc_id": pa.array(doc), "lp": pa.array(part)})
+        return t.group_by("doc_id").aggregate([("lp", "sum")]).rename_columns(
+            ["doc_id", "lp"]
+        )
+
+    logp = hash_aggregate(
+        weights_side.union(docs_side)
+        .groupby("_bucket")
+        .map_groups(merge_bucket, batch_format="pyarrow"),
+        ["doc_id"],
+        {"lp": ("lp", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def nbi_rows(batch: pa.Table) -> pa.Table:
+        toks_list = pc.split_pattern(batch.column("text"), " ")
+        ntok = (
+            pc.list_value_length(toks_list)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_bigrams": pa.array(np.maximum(ntok - 1, 0)),
+                "_bucket": pa.array(
+                    key_bucket(
+                        pc.cast(batch.column("doc_id"), pa.int64()),
+                        num_buckets,
+                    ).astype(np.int32)
+                ),
+                "role": pa.array(np.ones(batch.num_rows, np.int64)),
+                "lp": pa.array(np.zeros(batch.num_rows, np.int64)),
+            }
+        )
+
+    def logp_rows(batch: pa.Table) -> pa.Table:
+        d = pc.cast(batch.column("doc_id"), pa.int64())
+        return pa.table(
+            {
+                "doc_id": d,
+                "n_bigrams": pa.array(
+                    np.zeros(batch.num_rows, np.int64)
+                ),
+                "_bucket": pa.array(
+                    key_bucket(d, num_buckets).astype(np.int32)
+                ),
+                "role": pa.array(np.zeros(batch.num_rows, np.int64)),
+                "lp": pc.cast(batch.column("lp"), pa.int64()),
+            }
+        )
+
+    def attach(g: pa.Table) -> pa.Table:
+        role = np.asarray(g.column("role"), dtype=np.int64)
+        doc = np.asarray(g.column("doc_id"), dtype=np.int64)
+        lp = np.asarray(g.column("lp"), dtype=np.int64)
+        nbi = np.asarray(g.column("n_bigrams"), dtype=np.int64)
+        dmask = role == 1
+        ddoc, dnbi = doc[dmask], nbi[dmask]
+        ldoc, llp = doc[~dmask], lp[~dmask]
+        # docs with zero in-corpus bigrams have no logp row -> 0
+        pos = np.searchsorted(np.sort(ldoc), ddoc)
+        order = np.argsort(ldoc, kind="stable")
+        ls, lv = ldoc[order], llp[order]
+        got = np.zeros(ddoc.shape[0], np.int64)
+        inb = pos < ls.shape[0]
+        hit = np.zeros(ddoc.shape[0], dtype=bool)
+        hit[inb] = ls[pos[inb]] == ddoc[inb]
+        got[hit] = lv[pos[hit]]
+        avg = np.zeros(ddoc.shape[0], np.int64)
+        nz = dnbi > 0
+        q = np.abs(got[nz]) // dnbi[nz]
+        avg[nz] = np.where(got[nz] < 0, -q, q)
+        return pa.table(
+            {
+                "doc_id": pa.array(ddoc),
+                "n_bigrams": pa.array(dnbi),
+                "logp_nano": pa.array(got),
+                "avg_logp_nano": pa.array(avg),
+            }
+        )
+
+    return (
+        ds.select_columns(["doc_id", "text"])
+        .map_batches(nbi_rows, batch_format="pyarrow")
+        .union(logp.map_batches(logp_rows, batch_format="pyarrow"))
+        .groupby("_bucket")
+        .map_groups(attach, batch_format="pyarrow")
+    )

@@ -41,8 +41,10 @@ def _poly_hash(arr: pa.Array) -> np.ndarray:
     to functions/text.fingerprint_batch (ASCII fast path + fallback).
 
     NB: worker-executed code must never import the package INSIDE a
-    function — by-value shipping cannot cover lazy imports (see
-    .claude/skills/verify/SKILL.md)."""
+    function — cloudpickle ships these functions by value, and a lazy
+    in-function package import fails on workers whose interpreter
+    never had the repo on sys.path (the driver may be launched from a
+    foreign cwd)."""
     a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     offs, data = _utf8_flat(a)
     n = len(a)

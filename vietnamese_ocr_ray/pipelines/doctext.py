@@ -76,8 +76,18 @@ def vocab_build(sf_dir: str) -> pa.Table:
         if (data < 128).all():
             uniq = np.unique(data)
             letters = [chr(c) for c in uniq]
-        else:  # non-ASCII fallback
-            letters = sorted({c for s in arr.to_pylist() for c in s})
+        else:
+            # non-ASCII fallback: ONE bulk utf-8 decode of the flat
+            # buffer (string offsets align on char boundaries, so the
+            # concatenation is valid utf-8), re-encoded utf-32-le to a
+            # fixed-width codepoint array for a vectorized unique — no
+            # per-row Python; the only per-item work is chr() over the
+            # BATCH-DISTINCT codepoints (alphabet-bounded)
+            cps = np.frombuffer(
+                data.tobytes().decode("utf-8").encode("utf-32-le"),
+                dtype=np.uint32,
+            )
+            letters = [chr(c) for c in np.unique(cps)]
         return pa.table({"letter": pa.array(letters, pa.string())})
 
     uniq = ds.map_batches(distinct_chars, batch_format="pyarrow").unique("letter")

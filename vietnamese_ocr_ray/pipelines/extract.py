@@ -337,6 +337,7 @@ def run_extract(
     *,
     chunk_fragments: int = 8,
     media_mode: str = "cogroup",
+    read_blocks: int = 0,
     **pipeline_kwargs,
 ) -> dict:
     """Resumable driver loop: process input fragments in chunks, write
@@ -379,20 +380,39 @@ def run_extract(
             fragment_id(f): pq.ParquetFile(f).metadata.num_rows for f in chunk
         }
 
-        # read with lineage: one small read per fragment, tagged, unioned
-        frag_ds = []
-        for f in chunk:
-            fid = fragment_id(f)
-            d = read_docs(f).map_batches(
-                lambda b, fid=fid: b.append_column(
-                    "_fragment", pa.array([fid] * b.num_rows, pa.string())
-                ),
-                batch_format="pyarrow",
+        # read with lineage: ONE read over the whole chunk's files with
+        # include_paths, deriving _fragment from the path column. (A
+        # union of per-fragment reads — the previous shape — multiplies
+        # block count by fragment count: at 64 fragments the downstream
+        # sort shuffle degenerated to ~4096 sub-row blocks whose
+        # per-task scheduling dominated wall time on a multi-node
+        # cluster; at 10^5 Lance fragments it would never finish.)
+        def tag_fragment(b: pa.Table) -> pa.Table:
+            paths = b.column("path")
+            if isinstance(paths, pa.ChunkedArray):
+                paths = paths.combine_chunks()
+            # fragment_id == basename without extension
+            base = pc.replace_substring_regex(
+                paths, pattern=r"^.*/", replacement=""
             )
-            frag_ds.append(d)
-        ds = frag_ds[0]
-        if len(frag_ds) > 1:
-            ds = ds.union(*frag_ds[1:])
+            fid = pc.replace_substring_regex(
+                base, pattern=r"\.[^.]*$", replacement=""
+            )
+            return b.drop_columns(["path"]).append_column(
+                "_fragment", pc.cast(fid, pa.string())
+            )
+
+        # read_blocks: fixed input block count (cpu-independent) — Ray's
+        # sort shuffle makes one physical partition per input block, so
+        # the default many-tiny-blocks read starves the shuffle with
+        # per-partition overhead (the bench.py override_num_blocks=48
+        # finding); 0 = Ray's automatic sizing
+        read_kwargs = (
+            {"override_num_blocks": read_blocks} if read_blocks else {}
+        )
+        ds = read_docs(
+            list(chunk), include_paths=True, **read_kwargs
+        ).map_batches(tag_fragment, batch_format="pyarrow")
 
         if media_mode == "copartitioned":
             # media_path is the write_media_bucketed directory

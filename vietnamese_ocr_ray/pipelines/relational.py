@@ -28,6 +28,11 @@ def _cents(arr, scale: int) -> pa.Array:
     return pc.cast(pc.round(pc.multiply(arr, pa.scalar(float(scale)))), pa.int64())
 
 
+def _chunk2(col):
+    """Combine a possibly-chunked column to one Array."""
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
 def pricing_summary(sf_dir: str, cutoff: str = "1998-09-01") -> rd.Dataset:
     """TPC-H Q1 shape: filter shipdate < cutoff, group by
     (returnflag, linestatus), exact-integer sums + derived averages.
@@ -4832,3 +4837,321 @@ def holtwinters_forecast(sf_dir: str, horizon: int = 3) -> rd.Dataset:
     for k in range(horizon):
         out[f"f{k + 1}"] = pa.array([r[4][k] for r in rows], pa.float64())
     return rd.from_arrow(pa.table(out))
+
+
+def revenue_change(
+    sf_dir: str,
+    date_lo: str = "1995-01-01",
+    date_hi: str = "1997-01-01",
+    disc_lo_c: int = 5,
+    disc_hi_c: int = 7,
+    max_qty: int = 24,
+) -> rd.Dataset:
+    """TPC-H Q6 shape (forecasting revenue change): the revenue that
+    would be recovered by eliminating small discounts — sum of
+    ``l_extendedprice * l_discount`` over a shipdate window for
+    lineitems with discount in a cents band and quantity below a cap.
+
+    Scale shape: pure streaming filter + two-scalar aggregate — no
+    shuffle at all; predicates push into the batch filter right after
+    the pruned 4-column read. Revenue accumulates in exact integer
+    1e-4 dollar units (cents x discount-hundredths); ONE division to
+    DOUBLE at the end, so Ray and DuckDB agree bit-for-bit."""
+    ds = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"],
+    )
+    lo_us = int(np.datetime64(date_lo, "us").astype(np.int64))
+    hi_us = int(np.datetime64(date_hi, "us").astype(np.int64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sd = pc.cast(batch.column("l_shipdate"), pa.int64())
+        disc = _cents(batch.column("l_discount"), 100)
+        qty = _cents(batch.column("l_quantity"), 1)
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(sd, pa.scalar(lo_us, pa.int64())),
+                pc.less(sd, pa.scalar(hi_us, pa.int64())),
+            ),
+            pc.and_(
+                pc.and_(
+                    pc.greater_equal(disc, pa.scalar(disc_lo_c, pa.int64())),
+                    pc.less_equal(disc, pa.scalar(disc_hi_c, pa.int64())),
+                ),
+                pc.less(qty, pa.scalar(max_qty, pa.int64())),
+            ),
+        )
+        b = batch.filter(mask)
+        price_c = _cents(b.column("l_extendedprice"), 100)
+        d = _cents(b.column("l_discount"), 100)
+        rev = pc.multiply(price_c, d)
+        s = pc.sum(rev)
+        return pa.table(
+            {
+                "rev_units": pa.array(
+                    [int(s.as_py() or 0)], pa.int64()
+                ),
+                "n": pa.array([b.num_rows], pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("rev_units", alias_name="rev_units"), Sum("n", alias_name="n")
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_items": pa.array([int(agg["n"])], pa.int64()),
+                "revenue_delta": pa.array(
+                    [int(agg["rev_units"]) / 10000.0], pa.float64()
+                ),
+            }
+        )
+    )
+
+
+def returned_item_report(sf_dir: str, k: int = 20) -> rd.Dataset:
+    """TPC-H Q10 shape (returned-item reporting): top-``k`` customers
+    by revenue lost to returned lineitems (l_returnflag = 'R'), with
+    nation name attached.
+
+    Scale shape: lineitem pre-aggregates returned revenue PER ORDER
+    before any join (the shuffle carries ~|orders with returns| rows,
+    never lineitem); one native hash join to orders recovers custkey;
+    a second per-customer hash aggregate; nation names attach from the
+    25-row broadcast map; top-k via sort+limit. Revenue in exact
+    integer 1e-4 units; ties break on c_custkey ascending."""
+    import ray
+
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"
+        ],
+    )
+
+    def per_order(batch: pa.Table) -> pa.Table:
+        b = batch.filter(
+            pc.equal(batch.column("l_returnflag"), pa.scalar("R"))
+        )
+        price_c = _cents(b.column("l_extendedprice"), 100)
+        disc = _cents(b.column("l_discount"), 100)
+        rev = pc.multiply(
+            price_c, pc.subtract(pa.scalar(100, pa.int64()), disc)
+        )
+        t = pa.table(
+            {
+                "l_orderkey": pc.cast(_chunk2(b.column("l_orderkey")), pa.int64()),
+                "rev": rev,
+            }
+        )
+        return t.group_by("l_orderkey").aggregate(
+            [("rev", "sum")]
+        ).rename_columns(["l_orderkey", "rev"])
+
+    order_rev = hash_aggregate(
+        li.map_batches(per_order, batch_format="pyarrow"),
+        ["l_orderkey"],
+        {"rev": ("rev", "sum")},
+    )
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    j = order_rev.join(
+        orders,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    per_cust = hash_aggregate(
+        j.map_batches(
+            lambda b: pa.table(
+                {
+                    "c_custkey": pc.cast(
+                        _chunk2(b.column("o_custkey")), pa.int64()
+                    ),
+                    "rev": pc.cast(_chunk2(b.column("rev")), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["c_custkey"],
+        {"rev": ("rev", "sum")},
+    )
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    ).to_pandas()
+    nation = read_parquet_clean(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nname = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    ckeys = cust["c_custkey"].to_numpy(np.int64)
+    order_ = np.argsort(ckeys)
+    handle = ray.put(
+        (
+            ckeys[order_],
+            cust["c_name"].to_numpy(object)[order_],
+            np.array(
+                [nname[n] for n in cust["c_nationkey"]], dtype=object
+            )[order_],
+        )
+    )
+
+    def attach(b: pa.Table) -> pa.Table:
+        keys, names, nations = ray.get(handle)
+        ck = np.asarray(b.column("c_custkey"), dtype=np.int64)
+        idx = np.searchsorted(keys, ck)
+        return pa.table(
+            {
+                "c_custkey": pa.array(ck),
+                "c_name": pa.array(names[idx].tolist(), pa.string()),
+                "n_name": pa.array(nations[idx].tolist(), pa.string()),
+                "revenue": pc.divide(
+                    pc.cast(_chunk2(b.column("rev")), pa.float64()),
+                    pa.scalar(10000.0),
+                ),
+            }
+        )
+
+    return (
+        per_cust.map_batches(attach, batch_format="pyarrow")
+        .sort(["revenue", "c_custkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def rich_light_buyers(sf_dir: str, max_orders: int = 5) -> rd.Dataset:
+    """TPC-H Q22 shape (global sales opportunity), re-keyed to this
+    corpus's columns: per nation, the customers whose account balance
+    exceeds the global average POSITIVE balance yet who placed fewer
+    than ``max_orders`` orders — count and total balance.
+
+    Scale shape: pass 1 computes the global positive-balance average
+    as two exact-integer scalars (no shuffle); pass 2 unions customer
+    rows with per-batch (custkey, order-count) partials from orders
+    and folds them in ONE custkey-bucket hash aggregate (never a
+    broadcast of the customer or order set); the nation rollup is a
+    25-row aggregate. Balances in exact integer cents; the avg
+    threshold comparison is integer cross-multiplied (bal_c * n_pos >
+    sum_c) so no float rounds before the final division."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    cust = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        bal = _cents(batch.column("c_acctbal"), 100)
+        pos = pc.filter(bal, pc.greater(bal, pa.scalar(0, pa.int64())))
+        return pa.table(
+            {
+                "s": pa.array([int(pc.sum(pos).as_py() or 0)], pa.int64()),
+                "n": pa.array([len(pos)], pa.int64()),
+            }
+        )
+
+    g = cust.map_batches(bal_partial, batch_format="pyarrow").aggregate(
+        Sum("s", alias_name="s"), Sum("n", alias_name="n")
+    )
+    sum_c, n_pos = int(g["s"]), int(g["n"])
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": pc.cast(
+                    _chunk2(batch.column("c_custkey")), pa.int64()
+                ),
+                "nationkey": pc.cast(
+                    _chunk2(batch.column("c_nationkey")), pa.int64()
+                ),
+                "bal_c": _cents(batch.column("c_acctbal"), 100),
+                "n_orders": pa.array(
+                    np.zeros(batch.num_rows, np.int64)
+                ),
+            }
+        )
+
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "c_custkey": pc.cast(
+                    _chunk2(batch.column("o_custkey")), pa.int64()
+                )
+            }
+        )
+        g = t.group_by("c_custkey").aggregate(
+            [("c_custkey", "count")]
+        ).rename_columns(["c_custkey", "n_orders"])
+        nr = g.num_rows
+        return pa.table(
+            {
+                "c_custkey": g.column("c_custkey"),
+                "nationkey": pa.array(np.full(nr, -1, np.int64)),
+                "bal_c": pa.array(np.zeros(nr, np.int64)),
+                "n_orders": pc.cast(g.column("n_orders"), pa.int64()),
+            }
+        )
+
+    merged = hash_aggregate(
+        cust.map_batches(cust_rows, batch_format="pyarrow").union(
+            orders.map_batches(order_rows, batch_format="pyarrow")
+        ),
+        ["c_custkey"],
+        {
+            "nationkey": ("nationkey", "max"),
+            "bal_c": ("bal_c", "max"),
+            "n_orders": ("n_orders", "sum"),
+        },
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        bal = np.asarray(batch.column("bal_c"), dtype=np.int64)
+        no = np.asarray(batch.column("n_orders"), dtype=np.int64)
+        # integer cross-multiply: bal > sum/n  <=>  bal * n > sum
+        keep = (bal * n_pos > sum_c) & (no < max_orders)
+        b = batch.filter(pa.array(keep))
+        t = pa.table(
+            {
+                "nationkey": b.column("nationkey"),
+                "n_cust": pa.array(
+                    np.ones(b.num_rows, np.int64)
+                ),
+                "bal_c": b.column("bal_c"),
+            }
+        )
+        return t.group_by("nationkey").aggregate(
+            [("n_cust", "sum"), ("bal_c", "sum")]
+        ).rename_columns(["nationkey", "n_cust", "bal_c"])
+
+    final = (
+        merged.map_batches(pick, batch_format="pyarrow")
+        .groupby("nationkey")
+        .aggregate(
+            Sum("n_cust", alias_name="n_cust"),
+            Sum("bal_c", alias_name="bal_c"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "nationkey": pc.cast(b.column("nationkey"), pa.int64()),
+                "n_customers": pc.cast(b.column("n_cust"), pa.int64()),
+                "total_acctbal": pc.divide(
+                    pc.cast(b.column("bal_c"), pa.float64()),
+                    pa.scalar(100.0),
+                ),
+            }
+        )
+
+    return final.map_batches(finish, batch_format="pyarrow").sort("nationkey")
