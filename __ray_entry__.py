@@ -3024,6 +3024,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_change": lambda sf: relational.revenue_change(sf),
         "returned_item_report": lambda sf: relational.returned_item_report(sf),
         "rich_light_buyers": lambda sf: relational.rich_light_buyers(sf),
+        "top_supplier_revenue": lambda sf: relational.top_supplier_revenue(sf),
+        "nation_profit_by_year": lambda sf: relational.nation_profit_by_year(sf),
+        "market_share": lambda sf: relational.market_share(sf),
+        "unicode_script_profile": lambda sf: __import__(
+            "vietnamese_ocr_ray.functions.text",
+            fromlist=["unicode_script_profile"],
+        ).unicode_script_profile(_docs(sf, ("doc_id", "text", "lang"))),
         "purchase_attribution": lambda sf: relational.purchase_attribution(sf),
         "topk_per_group": lambda sf: relational.top_events_per_type(sf),
         "range_count": lambda sf: relational.signup_click_follow(sf),
@@ -11526,6 +11533,90 @@ def oracle_sql() -> dict[str, str]:
         FROM r JOIN customer c ON r.c_custkey = c.c_custkey
                JOIN nation n ON c.c_nationkey = n.n_nationkey
         ORDER BY revenue DESC, r.c_custkey LIMIT 20
+    """
+    out["top_supplier_revenue"] = """
+        -- TPC-H Q15 shape: suppliers at the global max revenue (ties)
+        WITH sr AS (
+          SELECT l_suppkey AS s_suppkey,
+                 sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                   AS rev
+          FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT sr.s_suppkey, s.s_name,
+               CAST(sr.rev AS DOUBLE) / 10000.0 AS total_revenue
+        FROM sr JOIN supplier s ON sr.s_suppkey = s.s_suppkey
+        WHERE sr.rev = (SELECT max(rev) FROM sr)
+        ORDER BY sr.s_suppkey
+    """
+    out["nation_profit_by_year"] = """
+        -- TPC-H Q9 shape on this corpus: supplier-nation revenue per
+        -- order year; exact 1e-4 integer units before division
+        SELECT n.n_name,
+               CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                    AS DOUBLE) / 10000.0 AS profit
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name, year(o.o_orderdate)
+        ORDER BY n.n_name, o_year
+    """
+    out["market_share"] = """
+        -- TPC-H Q8 shape: share of ASIA-region customers' lineitem
+        -- revenue supplied by NATION_2, per order year; integer sums,
+        -- one rounded division per year
+        WITH rev AS (
+          SELECT year(o.o_orderdate) AS o_year,
+                 CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+                   AS r,
+                 s.s_nationkey AS supp_nation
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+          JOIN region rg ON cn.n_regionkey = rg.r_regionkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          WHERE rg.r_name = 'ASIA'
+        )
+        SELECT CAST(o_year AS BIGINT) AS o_year,
+               round(
+                 CAST(sum(CASE WHEN supp_nation =
+                     (SELECT n_nationkey FROM nation
+                      WHERE n_name = 'NATION_2')
+                   THEN r ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(r) AS DOUBLE), 6) AS mkt_share
+        FROM rev GROUP BY o_year ORDER BY o_year
+    """
+    out["unicode_script_profile"] = """
+        -- coarse Unicode class counts per language; unicode(c) ranges
+        -- mirror the engine's vectorized classifier exactly
+        WITH cps AS (
+          SELECT lang, unicode(c) AS cp
+          FROM (SELECT lang, unnest(string_split_regex(text, '')) AS c
+                FROM documents)
+          WHERE c <> ''
+        ),
+        cls AS (
+          SELECT lang,
+                 CASE
+                   WHEN (cp BETWEEN 65 AND 90) OR (cp BETWEEN 97 AND 122)
+                     THEN 'ascii_letter'
+                   WHEN cp BETWEEN 48 AND 57 THEN 'digit'
+                   WHEN cp IN (32, 9, 10, 13) THEN 'space'
+                   WHEN (cp BETWEEN 128 AND 591)
+                     OR (cp BETWEEN 768 AND 879)
+                     OR (cp BETWEEN 7680 AND 7935) THEN 'latin_ext'
+                   WHEN cp < 128 THEN 'punct_symbol'
+                   ELSE 'other'
+                 END AS char_class
+          FROM cps
+        )
+        SELECT lang, char_class, CAST(count(*) AS BIGINT) AS n_chars
+        FROM cls GROUP BY lang, char_class ORDER BY lang, char_class
     """
     out["rich_light_buyers"] = """
         -- TPC-H Q22 shape on this corpus's columns: above-global-

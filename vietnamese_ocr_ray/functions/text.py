@@ -1849,3 +1849,98 @@ def prf_expand(
             "score_nano": pa.array(out["score_nano"].to_numpy(np.int64)),
         }
     )
+
+
+def unicode_script_profile(ds: rd.Dataset) -> rd.Dataset:
+    """Per-language Unicode block profile: counts of codepoints in six
+    coarse classes — ascii_letter, digit, space, punct_symbol (other
+    ASCII), latin_ext (U+0080–U+024F + combining marks + Latin
+    Extended Additional, the Vietnamese-diacritic ranges), other — the
+    script-mix audit a multilingual curation run uses to catch
+    mislabeled or transliterated documents (a 'vi' shard with no
+    latin_ext mass is suspect).
+
+    Shape: the flat utf8 buffer decodes ONCE per batch to a uint32
+    codepoint array (the vocab_build fallback pattern — no per-row
+    Python); class assignment is vectorized searchsorted over the
+    range table; per-(lang, class) partial counts ride one
+    languages-bounded aggregate. Exact integers everywhere; the SQL
+    oracle classifies unicode(c) with the identical range CASE."""
+    from ray.data.aggregate import Sum
+
+    from vietnamese_ocr_ray.functions.dedup import _utf8_flat
+
+    CLASSES = [
+        "ascii_letter", "digit", "space", "punct_symbol", "latin_ext",
+        "other",
+    ]
+
+    def classify(cp: np.ndarray) -> np.ndarray:
+        cls = np.full(cp.shape[0], 5, np.int64)  # other
+        ascii_ = cp < 128
+        letter = ascii_ & (
+            ((cp >= 65) & (cp <= 90)) | ((cp >= 97) & (cp <= 122))
+        )
+        digit = ascii_ & (cp >= 48) & (cp <= 57)
+        space = (cp == 32) | (cp == 9) | (cp == 10) | (cp == 13)
+        latin_ext = (
+            ((cp >= 0x80) & (cp <= 0x24F))
+            | ((cp >= 0x300) & (cp <= 0x36F))
+            | ((cp >= 0x1E00) & (cp <= 0x1EFF))
+        )
+        cls[latin_ext] = 4
+        cls[ascii_ & ~letter & ~digit & ~space] = 3
+        cls[space] = 2
+        cls[digit] = 1
+        cls[letter] = 0
+        return cls
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = batch.column("text")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        offs, data = _utf8_flat(arr)
+        if data.size == 0:
+            cp = np.array([], np.uint32)
+            doc_lang = np.array([], object)
+        else:
+            s = data.tobytes().decode("utf-8")
+            cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+            # map each codepoint to its row's lang: per-row CHAR counts
+            # = utf8_length (codepoints, not bytes)
+            nchar = pc.utf8_length(arr).to_numpy(zero_copy_only=False)
+            lang = batch.column("lang").to_numpy(zero_copy_only=False)
+            doc_lang = np.repeat(lang, nchar)
+        cls = classify(cp.astype(np.int64))
+        t = pa.table(
+            {
+                "lang": pa.array(doc_lang, pa.string()),
+                "cls": pa.array(cls),
+            }
+        )
+        g = t.group_by(["lang", "cls"]).aggregate(
+            [("cls", "count")]
+        ).rename_columns(["lang", "cls", "n"])
+        return g
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "cls"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        cls = np.asarray(b.column("cls"), dtype=np.int64)
+        return pa.table(
+            {
+                "lang": b.column("lang"),
+                "char_class": pa.array(
+                    [CLASSES[c] for c in cls], pa.string()
+                ),
+                "n_chars": pc.cast(b.column("n"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(
+        ["lang", "char_class"]
+    )

@@ -5155,3 +5155,324 @@ def rich_light_buyers(sf_dir: str, max_orders: int = 5) -> rd.Dataset:
         )
 
     return final.map_batches(finish, batch_format="pyarrow").sort("nationkey")
+
+
+def top_supplier_revenue(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q15 shape (top supplier): every supplier whose lineitem
+    revenue equals the global maximum (ties all kept), with name
+    attached. Shape: per-batch per-suppkey partials -> one
+    supplier-bounded hash aggregate -> the max is read off the tiny
+    result on the driver and filtered without another pass; names
+    attach from the supplier-sized broadcast lut. Exact integer 1e-4
+    revenue units; one division at the end."""
+    import ray
+
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        price_c = _cents(b.column("l_extendedprice"), 100)
+        disc = _cents(b.column("l_discount"), 100)
+        rev = pc.multiply(
+            price_c, pc.subtract(pa.scalar(100, pa.int64()), disc)
+        )
+        t = pa.table(
+            {
+                "s_suppkey": pc.cast(_chunk2(b.column("l_suppkey")), pa.int64()),
+                "rev": rev,
+            }
+        )
+        return t.group_by("s_suppkey").aggregate(
+            [("rev", "sum")]
+        ).rename_columns(["s_suppkey", "rev"])
+
+    per_supp = hash_aggregate(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["s_suppkey"],
+        {"rev": ("rev", "sum")},
+    ).to_pandas()  # supplier-bounded
+    best = int(per_supp["rev"].max())
+    top = per_supp[per_supp["rev"] == best].sort_values("s_suppkey")
+
+    supp = pd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    names = dict(
+        zip(supp["s_suppkey"].to_numpy(np.int64), supp["s_name"])
+    )
+    return rd.from_arrow(
+        pa.table(
+            {
+                "s_suppkey": pa.array(
+                    top["s_suppkey"].to_numpy(np.int64)
+                ),
+                "s_name": pa.array(
+                    [names[k] for k in top["s_suppkey"]], pa.string()
+                ),
+                "total_revenue": pa.array(
+                    top["rev"].to_numpy(np.int64) / 10000.0, pa.float64()
+                ),
+            }
+        )
+    )
+
+
+def _order_year_custnation(sf_dir: str):
+    """(o_orderkey -> (order year, customer nationkey)) broadcast
+    pieces shared by the Q8/Q9 shapes below: orders and customer are
+    joined NATIVELY (never broadcast — customer is corpus-sized), and
+    only the per-order 2-int result ships onward."""
+    orders = read_parquet_clean(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    customer = read_parquet_clean(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    j = orders.join(
+        customer,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def shrink(b: pa.Table) -> pa.Table:
+        ts = (
+            b.column("o_orderdate")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(_chunk2(b.column("o_orderkey")), pa.int64()),
+                "o_year": pa.array(ts),
+                "cust_nation": pc.cast(
+                    _chunk2(b.column("c_nationkey")), pa.int64()
+                ),
+            }
+        )
+
+    return j.map_batches(shrink, batch_format="pyarrow")
+
+
+def nation_profit_by_year(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q9 shape re-keyed to this corpus (no partsupp cost
+    column): lineitem revenue attributed to the SUPPLIER's nation per
+    order year. Shape: lineitem pre-aggregates (orderkey,
+    supplier-nation) partials via the broadcast suppkey->nationkey
+    array (supplier-bounded, the nation_trade_matrix pattern); ONE
+    native join against the order-year table; final
+    (nation x year)-bounded aggregate. Exact integer units
+    end-to-end; names from the 25-row nation map."""
+    import ray
+
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    supplier = read_parquet_clean(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    keys = supplier["s_suppkey"].to_numpy(np.int64)
+    order = np.argsort(keys)
+    supp_handle = ray.put(
+        (keys[order], supplier["s_nationkey"].to_numpy(np.int64)[order])
+    )
+    nation = read_parquet_clean(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nmap = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        sk, nat = ray.get(supp_handle)
+        price_c = _cents(b.column("l_extendedprice"), 100)
+        disc = _cents(b.column("l_discount"), 100)
+        rev = pc.multiply(
+            price_c, pc.subtract(pa.scalar(100, pa.int64()), disc)
+        )
+        idx = np.searchsorted(
+            sk, np.asarray(b.column("l_suppkey"), dtype=np.int64)
+        )
+        t = pa.table(
+            {
+                "l_orderkey": pc.cast(_chunk2(b.column("l_orderkey")), pa.int64()),
+                "supp_nation": pa.array(nat[idx]),
+                "rev": rev,
+            }
+        )
+        return t.group_by(["l_orderkey", "supp_nation"]).aggregate(
+            [("rev", "sum")]
+        ).rename_columns(["l_orderkey", "supp_nation", "rev"])
+
+    per_order = li.map_batches(partial, batch_format="pyarrow")
+    oy = _order_year_custnation(sf_dir)
+    j = per_order.join(
+        oy,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    agg = hash_aggregate(
+        j.map_batches(
+            lambda b: pa.table(
+                {
+                    "supp_nation": pc.cast(
+                        _chunk2(b.column("supp_nation")), pa.int64()
+                    ),
+                    "o_year": pc.cast(_chunk2(b.column("o_year")), pa.int64()),
+                    "rev": pc.cast(_chunk2(b.column("rev")), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        ["supp_nation", "o_year"],
+        {"rev": ("rev", "sum")},
+        num_buckets=8,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        nk = np.asarray(b.column("supp_nation"), dtype=np.int64)
+        return pa.table(
+            {
+                "n_name": pa.array([nmap[k] for k in nk], pa.string()),
+                "o_year": pc.cast(b.column("o_year"), pa.int64()),
+                "profit": pc.divide(
+                    pc.cast(_chunk2(b.column("rev")), pa.float64()),
+                    pa.scalar(10000.0),
+                ),
+            }
+        )
+
+    return (
+        agg.map_batches(finish, batch_format="pyarrow")
+        .sort(["n_name", "o_year"])
+    )
+
+
+def market_share(
+    sf_dir: str, region: str = "ASIA", nation: str = "NATION_2"
+) -> rd.Dataset:
+    """TPC-H Q8 shape (national market share): within orders placed by
+    customers of ``region``'s nations, the share of lineitem revenue
+    supplied by ``nation``, per order year. Shape: the same
+    (orderkey, supplier-nation) lineitem pre-aggregate as
+    nation_profit_by_year, one native join to the order-year +
+    customer-nation table, then a years-bounded exact-integer
+    aggregate of (nation revenue, total revenue); one division per
+    year at the end, rounded to 6dp on both engines."""
+    import ray
+
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    nat_df = read_parquet_clean(
+        f"{sf_dir}/nation.parquet",
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    ).to_pandas()
+    reg = read_parquet_clean(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    ).to_pandas()
+    region_key = int(reg.loc[reg["r_name"] == region, "r_regionkey"].iloc[0])
+    region_nations = set(
+        nat_df.loc[nat_df["n_regionkey"] == region_key, "n_nationkey"]
+        .astype(int)
+        .tolist()
+    )
+    nation_key = int(
+        nat_df.loc[nat_df["n_name"] == nation, "n_nationkey"].iloc[0]
+    )
+
+    supplier = read_parquet_clean(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    keys = supplier["s_suppkey"].to_numpy(np.int64)
+    order = np.argsort(keys)
+    supp_handle = ray.put(
+        (keys[order], supplier["s_nationkey"].to_numpy(np.int64)[order])
+    )
+
+    li = read_parquet_clean(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        sk, nat = ray.get(supp_handle)
+        price_c = _cents(b.column("l_extendedprice"), 100)
+        disc = _cents(b.column("l_discount"), 100)
+        rev = pc.multiply(
+            price_c, pc.subtract(pa.scalar(100, pa.int64()), disc)
+        )
+        idx = np.searchsorted(
+            sk, np.asarray(b.column("l_suppkey"), dtype=np.int64)
+        )
+        t = pa.table(
+            {
+                "l_orderkey": pc.cast(_chunk2(b.column("l_orderkey")), pa.int64()),
+                "supp_nation": pa.array(nat[idx]),
+                "rev": rev,
+            }
+        )
+        return t.group_by(["l_orderkey", "supp_nation"]).aggregate(
+            [("rev", "sum")]
+        ).rename_columns(["l_orderkey", "supp_nation", "rev"])
+
+    j = li.map_batches(partial, batch_format="pyarrow").join(
+        _order_year_custnation(sf_dir),
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    rn = np.array(sorted(region_nations), np.int64)
+
+    def year_partial(b: pa.Table) -> pa.Table:
+        cn = np.asarray(b.column("cust_nation"), dtype=np.int64)
+        keep = np.isin(cn, rn)
+        bb = b.filter(pa.array(keep))
+        sn = np.asarray(bb.column("supp_nation"), dtype=np.int64)
+        rev = np.asarray(bb.column("rev"), dtype=np.int64)
+        t = pa.table(
+            {
+                "o_year": pc.cast(_chunk2(bb.column("o_year")), pa.int64()),
+                "nat_rev": pa.array(np.where(sn == nation_key, rev, 0)),
+                "tot_rev": pa.array(rev),
+            }
+        )
+        return t.group_by("o_year").aggregate(
+            [("nat_rev", "sum"), ("tot_rev", "sum")]
+        ).rename_columns(["o_year", "nat_rev", "tot_rev"])
+
+    agg = hash_aggregate(
+        j.map_batches(year_partial, batch_format="pyarrow"),
+        ["o_year"],
+        {"nat_rev": ("nat_rev", "sum"), "tot_rev": ("tot_rev", "sum")},
+        num_buckets=4,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        nr = np.asarray(b.column("nat_rev"), dtype=np.int64)
+        tr = np.asarray(b.column("tot_rev"), dtype=np.int64)
+        return pa.table(
+            {
+                "o_year": pc.cast(b.column("o_year"), pa.int64()),
+                "mkt_share": pa.array(
+                    np.round(
+                        nr.astype(np.float64) / tr.astype(np.float64), 6
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("o_year")
