@@ -528,9 +528,17 @@ def pq_fit(
     if sample_permille is not None:
         from vietnamese_ocr_ray.functions.sampling import hash_sample
 
+        # materialize the sample ONCE: the fit runs n_sub * (1 + iters)
+        # passes over it, and re-executing the corpus read + sample
+        # filter per pass would cost more than the sampling saves. The
+        # sample is permille-bounded by construction, so pinning it in
+        # the object store is scale-safe (unlike materializing ds).
         fit_src = hash_sample(
-            ds, id_col, rate_permille=sample_permille, salt=sample_salt
-        )
+            ds.select_columns([id_col, emb_col]),
+            id_col,
+            rate_permille=sample_permille,
+            salt=sample_salt,
+        ).materialize()
     else:
         fit_src = ds
     dsub = dim // n_sub
