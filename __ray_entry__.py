@@ -1004,6 +1004,20 @@ def _fuzzy_match_ed1(sf_dir: str):
     return fuzzy_pairs_ed1(ds, text_col="c_name", num_buckets=16)
 
 
+def _dup_modularity_by_source(sf_dir: str):
+    """Newman modularity of the MinHash near-dup graph under the
+    source partition (functions/graph.dup_modularity_by_source); the
+    oracle nests the full minhash-verified pair replay and the same
+    exact-integer 2-rows-per-edge degree accounting."""
+    from vietnamese_ocr_ray.functions.dedup import minhash_lsh_pairs
+    from vietnamese_ocr_ray.functions.graph import dup_modularity_by_source
+
+    pairs = minhash_lsh_pairs(_docs(sf_dir), texts_handle=None)
+    return dup_modularity_by_source(
+        pairs, _docs(sf_dir, ("doc_id", "source"))
+    )
+
+
 def _minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup pairs. SQL-value-checked: the oracle
     replays the whole discovery in closed form (FNV shingle hashes ->
@@ -3031,6 +3045,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "vietnamese_ocr_ray.functions.text",
             fromlist=["unicode_script_profile"],
         ).unicode_script_profile(_docs(sf, ("doc_id", "text", "lang"))),
+        "l_diversity": lambda sf: analytics.l_diversity(sf),
+        "dup_modularity_by_source": _dup_modularity_by_source,
+        "common_prefix_clusters": lambda sf: __import__(
+            "vietnamese_ocr_ray.functions.corpus",
+            fromlist=["common_prefix_clusters"],
+        ).common_prefix_clusters(_docs(sf)),
         "purchase_attribution": lambda sf: relational.purchase_attribution(sf),
         "topk_per_group": lambda sf: relational.top_events_per_type(sf),
         "range_count": lambda sf: relational.signup_click_follow(sf),
@@ -11533,6 +11553,64 @@ def oracle_sql() -> dict[str, str]:
         FROM r JOIN customer c ON r.c_custkey = c.c_custkey
                JOIN nation n ON c.c_nationkey = n.n_nationkey
         ORDER BY revenue DESC, r.c_custkey LIMIT 20
+    """
+    out["l_diversity"] = """
+        -- l-diversity over the k_anonymity QI classes; sensitive =
+        -- $1000 account-balance band (shifted non-negative so // is
+        -- a floor on both engines)
+        WITH d AS (
+          SELECT c_nationkey, c_mktsegment,
+                 (CAST(round(c_acctbal * 100) AS BIGINT) + 10000000)
+                   // 100000 AS band
+          FROM customer
+        ),
+        g AS (SELECT c_nationkey, c_mktsegment,
+                     CAST(count(DISTINCT band) AS BIGINT) AS l_distinct
+              FROM d GROUP BY c_nationkey, c_mktsegment)
+        SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+               l_distinct,
+               CAST(CASE WHEN l_distinct >= 3 THEN 1 ELSE 0 END AS BIGINT)
+                 AS diverse
+        FROM g ORDER BY c_nationkey, c_mktsegment
+    """
+    out["common_prefix_clusters"] = """
+        -- first-12-codepoint boilerplate clusters (substr is
+        -- character-based, same cut as utf8_slice)
+        WITH g AS (
+          SELECT substr(text, 1, 12) AS prefix,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(min(doc_id) AS BIGINT) AS min_doc_id
+          FROM documents GROUP BY substr(text, 1, 12)
+          HAVING count(*) >= 3
+        )
+        SELECT prefix, n_docs, min_doc_id FROM g
+        ORDER BY n_docs DESC, prefix
+    """
+    out["dup_modularity_by_source"] = _minhash_verified_cte() + """
+        , mpairs AS (SELECT a, b FROM verified WHERE jaccard >= 0.6),
+        lab AS (
+          SELECT da.source AS sa, db.source AS sb
+          FROM mpairs p JOIN documents da ON p.a = da.doc_id
+                        JOIN documents db ON p.b = db.doc_id
+        ),
+        msize AS (SELECT CAST(count(*) AS BIGINT) AS m FROM lab),
+        per AS (
+          SELECT source, CAST(sum(e) AS BIGINT) AS within_edges,
+                 CAST(sum(d) AS BIGINT) AS degree_sum
+          FROM (
+            SELECT sa AS source,
+                   CASE WHEN sa = sb THEN 1 ELSE 0 END AS e, 1 AS d
+            FROM lab
+            UNION ALL
+            SELECT sb AS source, 0 AS e, 1 AS d FROM lab
+          ) GROUP BY source
+        )
+        SELECT source, within_edges, degree_sum,
+               round(CAST(within_edges AS DOUBLE) / m
+                 - (CAST(degree_sum AS DOUBLE) / (2 * m))
+                   * (CAST(degree_sum AS DOUBLE) / (2 * m)), 6)
+                 AS modularity_term
+        FROM per CROSS JOIN msize ORDER BY source
     """
     out["top_supplier_revenue"] = """
         -- TPC-H Q15 shape: suppliers at the global max revenue (ties)

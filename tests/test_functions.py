@@ -6543,3 +6543,96 @@ def test_unicode_script_profile_exact_counts(ray_session):
     assert out[("vi", "latin_ext")] == 1  # ệ
     assert out[("vi", "other")] == 1  # 漢
     assert out[("vi", "space")] == 1
+
+
+def test_l_diversity_flags_uniform_class(ray_session, tmp_path):
+    """A QI class whose members all share one balance band is flagged
+    (diverse = 0) even though it is k-anonymous; a mixed class with 3
+    bands passes."""
+    import pandas as pd_mod
+
+    from vietnamese_ocr_ray.pipelines.analytics import l_diversity
+
+    pd_mod.DataFrame(
+        {
+            "c_nationkey": [1] * 4 + [2] * 4,
+            "c_mktsegment": ["A"] * 4 + ["B"] * 4,
+            # class (1, A): all in the same $1000 band; (2, B): 3 bands
+            "c_acctbal": [1100.0, 1200.0, 1300.0, 1400.0,
+                          500.0, 1500.0, 2500.0, 2600.0],
+        }
+    ).to_parquet(tmp_path / "customer.parquet")
+    out = (
+        l_diversity(str(tmp_path))
+        .to_pandas()
+        .set_index("c_nationkey")
+    )
+    assert out.loc[1, "l_distinct"] == 1 and out.loc[1, "diverse"] == 0
+    assert out.loc[2, "l_distinct"] == 3 and out.loc[2, "diverse"] == 1
+
+
+def test_dup_modularity_partition_arithmetic(ray_session):
+    """Planted graph: sources X (a clique among its own docs) and Y/Z
+    bridged by every remaining edge. Exact counts: terms follow the
+    e/m - (d/2m)^2 formula; the term SUM over sources equals the
+    global Newman Q."""
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.graph import dup_modularity_by_source
+
+    # docs 0-2 source X, 3-4 source Y
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "source": pa.array(["X", "X", "X", "Y", "Y"]),
+        }
+    )
+    # edges: X-clique (0-1, 0-2, 1-2) + bridges (2-3, 2-4)
+    pairs = pa.table(
+        {
+            "a": pa.array([0, 0, 1, 2, 2], pa.int64()),
+            "b": pa.array([1, 2, 2, 3, 4], pa.int64()),
+        }
+    )
+    out = (
+        dup_modularity_by_source(
+            rd_mod.from_arrow(pairs), rd_mod.from_arrow(docs)
+        )
+        .to_pandas()
+        .set_index("source")
+    )
+    m = 5
+    assert out.loc["X", "within_edges"] == 3
+    assert out.loc["X", "degree_sum"] == 8  # 2+2+4 endpoints... (0:2,1:2,2:4)
+    assert out.loc["Y", "within_edges"] == 0
+    assert out.loc["Y", "degree_sum"] == 2
+    import numpy as np_mod
+
+    for s in ("X", "Y"):
+        e, d = out.loc[s, "within_edges"], out.loc[s, "degree_sum"]
+        expect = round(e / m - (d / (2 * m)) ** 2, 6)
+        assert abs(out.loc[s, "modularity_term"] - expect) < 1e-9
+
+
+def test_common_prefix_clusters_threshold(ray_session):
+    """Docs sharing a 12-codepoint opening cluster together (Unicode
+    text included); groups below min_docs are dropped."""
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.corpus import common_prefix_clusters
+
+    intro = "kính gửi quý"  # 12 codepoints with diacritics
+    texts = [intro + " khách A", intro + " khách B", intro + " khách C",
+             "unrelated document one", "unrelated document two"]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(5), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    out = common_prefix_clusters(
+        rd_mod.from_arrow(docs), min_docs=3
+    ).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["prefix"] == intro
+    assert out.iloc[0]["n_docs"] == 3 and out.iloc[0]["min_doc_id"] == 0

@@ -928,3 +928,65 @@ def source_overlap_matrix(
             }
         )
     )
+
+
+def common_prefix_clusters(
+    ds: rd.Dataset, prefix_chars: int = 12, min_docs: int = 3
+) -> rd.Dataset:
+    """Boilerplate-intro detection: cluster documents on their first
+    ``prefix_chars`` CODEPOINTS and report every prefix shared by at
+    least ``min_docs`` documents — the cheap template/mirror screen a
+    crawl pipeline runs before the (much costlier) shingle dedup
+    (docs opening with the same canned intro are template candidates
+    even when their bodies diverge, which k-shingle Jaccard misses).
+
+    Scale shape: per-batch Arrow group_by on the sliced prefix (the
+    combiner bounds the shuffle by distinct prefixes per block), one
+    prefix-bounded hash aggregate, threshold filter. utf8_slice is
+    codepoint-based like SQL substr, so both engines cut identically
+    inside multi-byte text. Output: (prefix, n_docs, min_doc_id),
+    sorted by (n_docs desc, prefix)."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    def partial(b: pa.Table) -> pa.Table:
+        pre = pc.utf8_slice_codeunits(
+            b.column("text"), start=0, stop=prefix_chars
+        )
+        t = pa.table(
+            {
+                "prefix": pre,
+                "doc_id": pc.cast(
+                    b.column("doc_id").combine_chunks()
+                    if isinstance(b.column("doc_id"), pa.ChunkedArray)
+                    else b.column("doc_id"),
+                    pa.int64(),
+                ),
+            }
+        )
+        return t.group_by("prefix").aggregate(
+            [("doc_id", "count"), ("doc_id", "min")]
+        ).rename_columns(["prefix", "n", "min_doc"])
+
+    agg = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["prefix"],
+        {"n_docs": ("n", "sum"), "min_doc_id": ("min_doc", "min")},
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(
+            pc.cast(b.column("n_docs"), pa.int64()),
+            pa.scalar(min_docs, pa.int64()),
+        )
+        t = b.filter(keep)
+        return pa.table(
+            {
+                "prefix": t.column("prefix"),
+                "n_docs": pc.cast(t.column("n_docs"), pa.int64()),
+                "min_doc_id": pc.cast(t.column("min_doc_id"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(
+        ["n_docs", "prefix"], descending=[True, False]
+    )

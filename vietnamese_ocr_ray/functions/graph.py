@@ -854,3 +854,98 @@ def ktruss_peel(
             "support": pa.array(supp),
         }
     )
+
+
+def dup_modularity_by_source(
+    pairs: rd.Dataset, docs: rd.Dataset
+) -> pa.Table:
+    """Newman modularity of the near-duplicate graph under the
+    SOURCE partition: per source c, its within-community edge count
+    e_c, degree sum d_c, and modularity term
+    ``e_c/m - (d_c/(2m))^2`` — the "does duplication stay inside
+    crawls or bridge them" audit (positive terms = dup edges
+    concentrate within the source; a large negative term = a source
+    whose dups mostly point elsewhere, the classic mirrored-site
+    signal).
+
+    Scale shape: the pair list joins NATIVELY to the (doc_id, source)
+    projection twice (pair-bounded shuffles — the source map is
+    corpus-sized, never broadcast); per-batch partials emit 2 rows per
+    edge ((sa, e, 1), (sb, 0, 1)) into a sources-bounded aggregate; m
+    is the tiny aggregate's own sum. Exact integers until the one
+    fixed-order float term, rounded to 6dp like the SQL oracle."""
+    from ray.data.aggregate import Sum
+
+    lab = pairs.select_columns(["a", "b"]).join(
+        docs.select_columns(["doc_id", "source"]),
+        join_type="inner",
+        num_partitions=8,
+        on=("a",),
+        right_on=("doc_id",),
+    )
+    lab = lab.map_batches(
+        lambda t: t.rename_columns(
+            ["a", "b", "sa"]
+        ),
+        batch_format="pyarrow",
+    ).join(
+        docs.select_columns(["doc_id", "source"]),
+        join_type="inner",
+        num_partitions=8,
+        on=("b",),
+        right_on=("doc_id",),
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        sa = t.column("sa")
+        sb = t.column("source")
+        if isinstance(sa, pa.ChunkedArray):
+            sa = sa.combine_chunks()
+        if isinstance(sb, pa.ChunkedArray):
+            sb = sb.combine_chunks()
+        within = pc.cast(pc.equal(sa, sb), pa.int64())
+        n = t.num_rows
+        both = pa.table(
+            {
+                "source": pa.concat_arrays(
+                    [sa.combine_chunks() if isinstance(sa, pa.ChunkedArray) else sa,
+                     sb.combine_chunks() if isinstance(sb, pa.ChunkedArray) else sb]
+                ),
+                "e": pa.concat_arrays(
+                    [
+                        within.combine_chunks()
+                        if isinstance(within, pa.ChunkedArray)
+                        else within,
+                        pa.array(np.zeros(n, np.int64)),
+                    ]
+                ),
+                "d": pa.array(np.ones(2 * n, np.int64)),
+            }
+        )
+        return both.group_by("source").aggregate(
+            [("e", "sum"), ("d", "sum")]
+        ).rename_columns(["source", "e", "d"])
+
+    per = (
+        lab.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("e", alias_name="e"), Sum("d", alias_name="d"))
+        .to_pandas()
+        .sort_values("source")
+    )  # sources-bounded
+    e = per["e"].to_numpy(np.int64)
+    d = per["d"].to_numpy(np.int64)
+    m = int(d.sum()) // 2
+    term = np.round(
+        e.astype(np.float64) / m
+        - (d.astype(np.float64) / (2 * m)) * (d.astype(np.float64) / (2 * m)),
+        6,
+    )
+    return pa.table(
+        {
+            "source": pa.array(per["source"].to_numpy(object), pa.string()),
+            "within_edges": pa.array(e),
+            "degree_sum": pa.array(d),
+            "modularity_term": pa.array(term, pa.float64()),
+        }
+    )

@@ -3594,3 +3594,78 @@ def decayed_type_counts(sf_dir: str, half_life_hours: int = 12) -> pa.Table:
             ),
         }
     )
+
+
+def l_diversity(sf_dir: str, l_min: int = 3, band_cents: int = 100_000) -> rd.Dataset:
+    """l-diversity audit over the (nationkey, mktsegment) quasi-
+    identifier classes (k_anonymity's companion): per equivalence
+    class, the number of DISTINCT sensitive values — account balance
+    bucketed to $1000 bands — and whether it meets ``l_min``. A class
+    can be k-anonymous yet expose its members if every row shares one
+    sensitive value; this is the check that catches it.
+
+    Scale shape: per-batch Arrow distinct over (QI, band) — the
+    combiner bounds the shuffle by distinct (class x band), not rows —
+    then one class-bounded aggregate counts bands per class. Bands are
+    exact integer floor-division of cents (DuckDB // on the same
+    non-negative shifted value)."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_nationkey", "c_mktsegment", "c_acctbal"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        bal = _cents(b.column("c_acctbal"), 100).to_numpy(zero_copy_only=False)
+        # shift non-negative before the floor-division so numpy and
+        # DuckDB // agree (both truncate toward zero on >= 0)
+        band = (bal + 10_000_000) // band_cents
+        t = pa.table(
+            {
+                "c_nationkey": pc.cast(
+                    _chunk(b.column("c_nationkey")), pa.int64()
+                ),
+                "c_mktsegment": b.column("c_mktsegment"),
+                "band": pa.array(band),
+            }
+        )
+        g = t.group_by(["c_nationkey", "c_mktsegment", "band"]).aggregate([])
+        return g.append_column(
+            "one", pa.array(np.ones(g.num_rows, np.int64))
+        )
+
+    distinct = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["c_nationkey", "c_mktsegment", "band"],
+        {"one": ("one", "max")},
+    )
+
+    def count_bands(b: pa.Table) -> pa.Table:
+        return b.group_by(["c_nationkey", "c_mktsegment"]).aggregate(
+            [("one", "sum")]
+        ).rename_columns(["c_nationkey", "c_mktsegment", "n_bands"])
+
+    agg = (
+        distinct.map_batches(count_bands, batch_format="pyarrow")
+        .groupby(["c_nationkey", "c_mktsegment"])
+        .aggregate(Sum("n_bands", alias_name="n_bands"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        nb = pc.cast(b.column("n_bands"), pa.int64())
+        return pa.table(
+            {
+                "c_nationkey": pc.cast(b.column("c_nationkey"), pa.int64()),
+                "c_mktsegment": b.column("c_mktsegment"),
+                "l_distinct": nb,
+                "diverse": pc.cast(
+                    pc.greater_equal(nb, pa.scalar(l_min, pa.int64())),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(
+        ["c_nationkey", "c_mktsegment"]
+    )
