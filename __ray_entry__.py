@@ -3051,6 +3051,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "vietnamese_ocr_ray.functions.corpus",
             fromlist=["common_prefix_clusters"],
         ).common_prefix_clusters(_docs(sf)),
+        "crossdoc_gram_dup": lambda sf: __import__(
+            "vietnamese_ocr_ray.functions.dedup",
+            fromlist=["crossdoc_gram_dup"],
+        ).crossdoc_gram_dup(_docs(sf)),
         "purchase_attribution": lambda sf: relational.purchase_attribution(sf),
         "topk_per_group": lambda sf: relational.top_events_per_type(sf),
         "range_count": lambda sf: relational.signup_click_follow(sf),
@@ -11553,6 +11557,34 @@ def oracle_sql() -> dict[str, str]:
         FROM r JOIN customer c ON r.c_custkey = c.c_custkey
                JOIN nation n ON c.c_nationkey = n.n_nationkey
         ORDER BY revenue DESC, r.c_custkey LIMIT 20
+    """
+    out["crossdoc_gram_dup"] = f"""
+        -- Lee-et-al substring-dup audit: distinct 16-byte FNV grams
+        -- per doc, grams held by >= 2 docs are duplicated; integer
+        -- floor ppm (same window hash as the minhash/winnow replays)
+        WITH d AS (
+          SELECT doc_id, text, length(text) AS len FROM documents
+        ), hashes AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len - 15, 1)),
+                   i -> {_fnv_window_expr(16)})) AS hs
+          FROM d
+        ), srows AS (
+          SELECT doc_id, unnest(hs) AS h FROM hashes
+        ), df AS (
+          SELECT h, CAST(count(*) AS BIGINT) AS n_docs
+          FROM srows GROUP BY h
+        ), per AS (
+          SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(sum(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_dup_grams
+          FROM srows s JOIN df USING (h) GROUP BY s.doc_id
+        )
+        SELECT doc_id, n_grams, n_dup_grams,
+               CAST(1000000 * n_dup_grams // greatest(n_grams, 1)
+                    AS BIGINT) AS dup_ppm
+        FROM per ORDER BY doc_id
     """
     out["l_diversity"] = """
         -- l-diversity over the k_anonymity QI classes; sensitive =

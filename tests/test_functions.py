@@ -6636,3 +6636,38 @@ def test_common_prefix_clusters_threshold(ray_session):
     assert len(out) == 1
     assert out.iloc[0]["prefix"] == intro
     assert out.iloc[0]["n_docs"] == 3 and out.iloc[0]["min_doc_id"] == 0
+
+
+def test_crossdoc_gram_dup_planted(ray_session):
+    """Planted exact-substring duplication: a 40-char passage shared
+    by docs 0 and 1 makes every one of its 16-byte grams duplicated
+    in both; doc 2 (unique text) scores 0; a doc that IS the shared
+    passage verbatim scores 1e6 ppm."""
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.dedup import crossdoc_gram_dup
+
+    shared = "the quick brown fox jumps over the dog!"  # 39 chars
+    texts = [
+        "AAA " + shared + " tail one unique alpha",
+        "BBB " + shared + " tail two unique beta",
+        "completely different text with nothing in common here at all",
+        shared,
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    out = (
+        crossdoc_gram_dup(rd_mod.from_arrow(docs).repartition(3))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # doc 3 is a strict substring of docs 0/1: every gram duplicated
+    assert out.loc[3, "dup_ppm"] == 1_000_000
+    assert out.loc[2, "n_dup_grams"] == 0 and out.loc[2, "dup_ppm"] == 0
+    # docs 0/1 share the passage's grams (39 - 15 = 24 windows) at least
+    assert out.loc[0, "n_dup_grams"] >= 24
+    assert 0 < out.loc[0, "dup_ppm"] < 1_000_000

@@ -2714,3 +2714,91 @@ def lsh_recall_audit(
             ),
         }
     )
+
+
+def crossdoc_gram_dup(
+    ds: rd.Dataset, k: int = 16, num_buckets: int = 64
+) -> rd.Dataset:
+    """Per-document CROSS-DOCUMENT substring duplication (the audit
+    behind suffix-array exact-substring dedup, Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): the
+    fraction of a document's DISTINCT k-byte grams that occur in at
+    least one OTHER document. High dup_ppm = the document is largely
+    assembled from text that exists elsewhere in the corpus — the
+    candidate set an exact-substring dedup pass would cut.
+
+    Scale shape: per-batch (doc_id, gram-hash) DISTINCT rows from one
+    vectorized rolling-FNV pass over the flat utf8 buffer
+    (:func:`_unique_shingles` — a doc is one row, so per-doc distinct
+    is batch-local and globally exact); the ONLY exchange is the
+    int-only gram-bucket shuffle (all holders of a gram share a
+    bucket); each bucket reduce sorts once, marks grams held by >= 2
+    docs, and emits per-doc PARTIAL (n_grams, n_dup) counts; a final
+    doc-bucket aggregate folds partials. dup_ppm is integer
+    floor-division, bit-stable. Output: (doc_id, n_grams,
+    n_dup_grams, dup_ppm)."""
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+    from vietnamese_ocr_ray.functions.joins import key_bucket
+
+    def partial(b: pa.Table) -> pa.Table:
+        arr = b.column("text")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        offs, data = _utf8_flat(arr)
+        rows, hs = _unique_shingles(offs, data, k)
+        doc = np.asarray(b.column("doc_id"), dtype=np.int64)[rows]
+        g = hs.view(np.int64)
+        return pa.table(
+            {
+                "_bucket": pa.array(
+                    key_bucket(pa.array(g), num_buckets).astype(np.int32)
+                ),
+                "g": pa.array(g),
+                "doc_id": pa.array(doc),
+            }
+        )
+
+    def bucket_reduce(t: pa.Table) -> pa.Table:
+        g = np.asarray(t.column("g"), dtype=np.int64)
+        doc = np.asarray(t.column("doc_id"), dtype=np.int64)
+        order = np.argsort(g, kind="stable")
+        gs, ds_ = g[order], doc[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], gs[1:] != gs[:-1]))
+        )
+        sizes = np.diff(np.append(starts, gs.shape[0]))
+        dup = np.repeat(sizes >= 2, sizes).astype(np.int64)
+        out = pa.table(
+            {
+                "doc_id": pa.array(ds_),
+                "n_grams": pa.array(np.ones(ds_.shape[0], np.int64)),
+                "n_dup": pa.array(dup),
+            }
+        )
+        return out.group_by("doc_id").aggregate(
+            [("n_grams", "sum"), ("n_dup", "sum")]
+        ).rename_columns(["doc_id", "n_grams", "n_dup"])
+
+    per_doc = hash_aggregate(
+        ds.select_columns(["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_reduce, batch_format="pyarrow"),
+        ["doc_id"],
+        {"n_grams": ("n_grams", "sum"), "n_dup_grams": ("n_dup", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        ng = np.asarray(b.column("n_grams"), dtype=np.int64)
+        nd = np.asarray(b.column("n_dup_grams"), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(b.column("doc_id"), pa.int64()),
+                "n_grams": pa.array(ng),
+                "n_dup_grams": pa.array(nd),
+                "dup_ppm": pa.array(1_000_000 * nd // np.maximum(ng, 1)),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow").sort("doc_id")
