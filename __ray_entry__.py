@@ -3055,6 +3055,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "vietnamese_ocr_ray.functions.dedup",
             fromlist=["crossdoc_gram_dup"],
         ).crossdoc_gram_dup(_docs(sf)),
+        "dedup_gram_survivors": lambda sf: __import__(
+            "vietnamese_ocr_ray.functions.dedup",
+            fromlist=["dedup_gram_survivors"],
+        ).dedup_gram_survivors(_docs(sf)),
         "purchase_attribution": lambda sf: relational.purchase_attribution(sf),
         "topk_per_group": lambda sf: relational.top_events_per_type(sf),
         "range_count": lambda sf: relational.signup_click_follow(sf),
@@ -11585,6 +11589,34 @@ def oracle_sql() -> dict[str, str]:
                CAST(1000000 * n_dup_grams // greatest(n_grams, 1)
                     AS BIGINT) AS dup_ppm
         FROM per ORDER BY doc_id
+    """
+    out["dedup_gram_survivors"] = f"""
+        -- crossdoc_gram_dup's apply step: survivors below 0.8 ppm cut
+        WITH d AS (
+          SELECT doc_id, text, length(text) AS len FROM documents
+        ), hashes AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(len - 15, 1)),
+                   i -> {_fnv_window_expr(16)})) AS hs
+          FROM d
+        ), srows AS (
+          SELECT doc_id, unnest(hs) AS h FROM hashes
+        ), df AS (
+          SELECT h, CAST(count(*) AS BIGINT) AS n_docs
+          FROM srows GROUP BY h
+        ), per AS (
+          SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                 CAST(sum(CASE WHEN df.n_docs >= 2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_dup_grams
+          FROM srows s JOIN df USING (h) GROUP BY s.doc_id
+        )
+        SELECT doc_id,
+               CAST(1000000 * n_dup_grams // greatest(n_grams, 1)
+                    AS BIGINT) AS dup_ppm
+        FROM per
+        WHERE 1000000 * n_dup_grams // greatest(n_grams, 1) < 800000
+        ORDER BY doc_id
     """
     out["l_diversity"] = """
         -- l-diversity over the k_anonymity QI classes; sensitive =

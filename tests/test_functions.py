@@ -6671,3 +6671,27 @@ def test_crossdoc_gram_dup_planted(ray_session):
     # docs 0/1 share the passage's grams (39 - 15 = 24 windows) at least
     assert out.loc[0, "n_dup_grams"] >= 24
     assert 0 < out.loc[0, "dup_ppm"] < 1_000_000
+
+
+def test_dedup_gram_survivors_drops_verbatim_doc(ray_session):
+    """The verbatim-substring doc (dup_ppm = 1e6) is dropped at the
+    0.8 cut; partially-overlapping and unique docs survive."""
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.dedup import dedup_gram_survivors
+
+    shared = "the quick brown fox jumps over the dog!"
+    texts = [
+        "AAA " + shared + " tail one unique alpha",
+        "BBB " + shared + " tail two unique beta",
+        "completely different text with nothing in common here at all",
+        shared,
+    ]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    out = dedup_gram_survivors(rd_mod.from_arrow(docs)).to_pandas()
+    assert out["doc_id"].tolist() == [0, 1, 2]

@@ -2802,3 +2802,31 @@ def crossdoc_gram_dup(
         )
 
     return per_doc.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+def dedup_gram_survivors(
+    ds: rd.Dataset, k: int = 16, max_dup_ppm: int = 800_000
+) -> rd.Dataset:
+    """The APPLY step of :func:`crossdoc_gram_dup`: keep documents
+    whose cross-document gram duplication is below ``max_dup_ppm``
+    (the Lee-et-al "drop docs that are mostly other documents" rule;
+    0.8 is the conventional cut). Streams the audit's per-doc table
+    through a threshold filter — no additional shuffle. Output:
+    (doc_id, dup_ppm) of survivors, doc_id-sorted."""
+
+    def keep(b: pa.Table) -> pa.Table:
+        m = pc.less(
+            pc.cast(b.column("dup_ppm"), pa.int64()),
+            pa.scalar(max_dup_ppm, pa.int64()),
+        )
+        t = b.filter(m)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "dup_ppm": pc.cast(t.column("dup_ppm"), pa.int64()),
+            }
+        )
+
+    return crossdoc_gram_dup(ds, k=k).map_batches(
+        keep, batch_format="pyarrow"
+    )
