@@ -3059,6 +3059,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "vietnamese_ocr_ray.functions.dedup",
             fromlist=["dedup_gram_survivors"],
         ).dedup_gram_survivors(_docs(sf)),
+        "bigram_entropy_rate": lambda sf: __import__(
+            "vietnamese_ocr_ray.functions.lm",
+            fromlist=["bigram_entropy_rate"],
+        ).bigram_entropy_rate(_docs(sf)),
+        "burstiness_fano": lambda sf: relational.burstiness_fano(sf),
         "purchase_attribution": lambda sf: relational.purchase_attribution(sf),
         "topk_per_group": lambda sf: relational.top_events_per_type(sf),
         "range_count": lambda sf: relational.signup_click_follow(sf),
@@ -11617,6 +11622,53 @@ def oracle_sql() -> dict[str, str]:
         FROM per
         WHERE 1000000 * n_dup_grams // greatest(n_grams, 1) < 800000
         ORDER BY doc_id
+    """
+    out["bigram_entropy_rate"] = """
+        -- H(W2|W1) with per-type nano-nat quantization (the
+        -- kn_doc_logprob convention): exact int sum, one division
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        e AS (SELECT doc_id, unnest(l) AS tok,
+                     unnest(list_transform(l, (x, i) -> i)) AS pos FROM t),
+        b AS (SELECT a.tok AS w1, c.tok AS w2
+              FROM e a JOIN e c ON a.doc_id = c.doc_id AND c.pos = a.pos + 1),
+        cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+               FROM b GROUP BY w1, w2),
+        l AS (SELECT w1, CAST(sum(n) AS BIGINT) AS c1 FROM cb GROUP BY w1),
+        w AS (SELECT cb.n,
+                     CAST(round((ln(CAST(cb.n AS DOUBLE))
+                                 - ln(CAST(l.c1 AS DOUBLE))) * 1e9)
+                          AS BIGINT) AS wn
+              FROM cb JOIN l USING (w1)),
+        s AS (SELECT CAST(sum(n * wn) AS BIGINT) AS s,
+                     CAST(sum(n) AS BIGINT) AS n_bi,
+                     CAST(count(*) AS BIGINT) AS n_types FROM w)
+        SELECT n_bi AS n_bigrams, n_types,
+               round(-(CAST(s AS DOUBLE) / CAST(n_bi AS DOUBLE)) / 1e9, 6)
+                 AS entropy_rate_nats
+        FROM s
+    """
+    out["burstiness_fano"] = """
+        -- Fano factor of hourly counts over the global hour span
+        -- (missing hours = 0): one float division of exact int sums
+        WITH hourly AS (
+          -- epoch_us + integer //: CAST(epoch(..) AS BIGINT) would
+          -- ROUND fractional seconds where numpy floors
+          SELECT event_type,
+                 epoch_us(ts) // 3600000000 AS h,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY event_type, epoch_us(ts) // 3600000000
+        ),
+        span AS (SELECT max(h) - min(h) + 1 AS hh FROM hourly),
+        m AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS sx,
+                     CAST(sum(n * n) AS BIGINT) AS sxx
+              FROM hourly GROUP BY event_type)
+        SELECT event_type, sx AS n_events,
+               CAST(hh AS BIGINT) AS n_hours,
+               round((CAST(hh AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     / (CAST(hh AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                 AS fano
+        FROM m CROSS JOIN span ORDER BY event_type
     """
     out["l_diversity"] = """
         -- l-diversity over the k_anonymity QI classes; sensitive =

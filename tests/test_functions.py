@@ -6695,3 +6695,60 @@ def test_dedup_gram_survivors_drops_verbatim_doc(ray_session):
     )
     out = dedup_gram_survivors(rd_mod.from_arrow(docs)).to_pandas()
     assert out["doc_id"].tolist() == [0, 1, 2]
+
+
+def test_bigram_entropy_rate_degenerate_and_uniform(ray_session):
+    """A fully deterministic chain ('a b a b ...') has H(W2|W1) = 0;
+    a uniform 2-way branch gives exactly ln 2 per step."""
+    import math
+
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.lm import bigram_entropy_rate
+
+    det = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array(["a b a b a b a b a b"]),
+        }
+    )
+    out = bigram_entropy_rate(rd_mod.from_arrow(det)).to_pandas().iloc[0]
+    assert out.entropy_rate_nats == 0.0
+
+    # from 'x' go to 'y' or 'z' equally often; y/z always return to x
+    uni = pa.table(
+        {
+            "doc_id": pa.array([0], pa.int64()),
+            "text": pa.array(["x y x z x y x z x y x z x y x z x"]),
+        }
+    )
+    out = bigram_entropy_rate(rd_mod.from_arrow(uni)).to_pandas().iloc[0]
+    # of 16 bigrams, the 8 x->{y,z} carry ln 2 each; the returns carry 0
+    expect = round(8 * math.log(2) / 16, 6)
+    assert abs(out.entropy_rate_nats - expect) < 1e-6
+
+
+def test_burstiness_fano_poisson_vs_burst(ray_session, tmp_path):
+    """A type with all events in ONE hour of a long span has Fano >> 1;
+    a perfectly uniform one-per-hour type has Fano < 1 (variance 0
+    within present hours, only span zeros contribute)."""
+    import pandas as pd_mod
+
+    from vietnamese_ocr_ray.pipelines.relational import burstiness_fano
+
+    base = pd_mod.to_datetime("2024-01-01")
+    rows = []
+    for h in range(48):  # uniform: one per hour for 48h
+        rows.append(("steady", base + pd_mod.to_timedelta(h, unit="h")))
+    for _ in range(48):  # burst: 48 events in hour 0
+        rows.append(("burst", base))
+    df = pd_mod.DataFrame(rows, columns=["event_type", "ts"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    df.to_parquet(tmp_path / "events.parquet")
+    out = (
+        burstiness_fano(str(tmp_path)).to_pandas().set_index("event_type")
+    )
+    # steady: H=48, Sx=48, Sxx=48 -> F = (48*48-48^2)/(48*48) = 0
+    assert out.loc["steady", "fano"] == 0.0
+    # burst: Sxx = 48^2 -> F = (48*2304 - 2304)/(48*48) = 47
+    assert out.loc["burst", "fano"] == 47.0

@@ -1267,3 +1267,74 @@ def kn_doc_logprob_cogroup(
         .groupby("_bucket")
         .map_groups(attach, batch_format="pyarrow")
     )
+
+
+def bigram_entropy_rate(ds: rd.Dataset) -> rd.Dataset:
+    """Corpus bigram CONDITIONAL entropy rate H(W2 | W1) in nats —
+    the LM-difficulty / templatedness audit (natural prose lands in
+    the 4-7 nat range for word bigrams; a near-zero rate means the
+    next word is almost determined, the classic boilerplate corpus
+    smell; compare zipf_slope for the unigram-shape version).
+
+        H = -(1/N) * sum_{w1,w2} c(w1,w2) * (ln c(w1,w2) - ln c1(w1))
+
+    Determinism: both logs quantize to integer NANO-nats PER BIGRAM
+    TYPE (the kn_doc_logprob convention — coarse enough that a
+    last-ulp ln() divergence cannot flip a rounded weight), the
+    weighted sum is exact int64, and the single division to DOUBLE
+    happens once at the end, so Ray and DuckDB agree bit-for-bit.
+
+    Scale shape: the bigram count table comes from the one-pass
+    distributed aggregate (:func:`bigram_counts`); the left marginal
+    is vocabulary-bounded and broadcast; per-batch weighted partials
+    reduce to two scalars. Output: (n_bigrams, n_types,
+    entropy_rate_nats)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    counts = bigram_counts(ds)
+    left = hash_aggregate(
+        counts, ["w1"], {"c1": ("n", "sum")}
+    ).to_pandas()  # vocabulary-bounded
+    handle = ray.put(
+        (
+            pa.array(left["w1"].to_numpy(), pa.string()),
+            left["c1"].to_numpy(np.int64),
+        )
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        l_key, l_c1 = ray.get(handle)
+        w1 = batch.column("w1")
+        if isinstance(w1, pa.ChunkedArray):
+            w1 = w1.combine_chunks()
+        c1 = l_c1[pc.index_in(w1, value_set=l_key).to_numpy()]
+        n = np.asarray(batch.column("n"), dtype=np.int64)
+        w = np.round(
+            (np.log(n.astype(np.float64)) - np.log(c1.astype(np.float64)))
+            * 1e9
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "s": pa.array([int((n * w).sum())], pa.int64()),
+                "n_bi": pa.array([int(n.sum())], pa.int64()),
+                "n_types": pa.array([len(n)], pa.int64()),
+            }
+        )
+
+    agg = counts.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("s", alias_name="s"),
+        Sum("n_bi", alias_name="n_bi"),
+        Sum("n_types", alias_name="n_types"),
+    )
+    s, n_bi = int(agg["s"]), int(agg["n_bi"])
+    h = round(-(float(s) / float(n_bi)) / 1e9, 6) if n_bi else 0.0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_bigrams": pa.array([n_bi], pa.int64()),
+                "n_types": pa.array([int(agg["n_types"])], pa.int64()),
+                "entropy_rate_nats": pa.array([h], pa.float64()),
+            }
+        )
+    )

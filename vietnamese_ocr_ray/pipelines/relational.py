@@ -5476,3 +5476,87 @@ def market_share(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow").sort("o_year")
+
+
+def burstiness_fano(sf_dir: str) -> rd.Dataset:
+    """Per-event-type burstiness (Fano factor) of the hourly count
+    series over the corpus's global hour span, missing hours counted
+    as 0: ``F = Var(x) / Mean(x)`` (population). F ~ 1 is Poisson
+    arrivals; F >> 1 flags bursty / campaign-driven types (the
+    traffic-shape audit next to circular_peak_hour and cusum_drift).
+
+    Exactness: with H = global hour-span, Sx = total events and Sxx =
+    sum of squared hourly counts (absent hours contribute 0 to both),
+    F = (H * Sxx - Sx^2) / (H * Sx) — one float division of exact
+    int64 sums, rounded to 6dp on both engines. Scale shape: ONE
+    per-batch (type, hour) count partial into a span-bounded
+    aggregate; the finish is types-sized."""
+    from ray.data.aggregate import Max, Min
+    from vietnamese_ocr_ray.functions.agg import hash_aggregate
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch = (
+            batch.column("ts")
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+            // 1_000_000
+        )
+        h = epoch // 3600
+        t = pa.table(
+            {"event_type": batch.column("event_type"), "h": pa.array(h)}
+        )
+        return t.group_by(["event_type", "h"]).aggregate(
+            [("h", "count")]
+        ).rename_columns(["event_type", "h", "n"])
+
+    hourly = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["event_type", "h"],
+        {"n": ("n", "sum")},
+        num_buckets=8,
+    )
+    mm = hourly.aggregate(Min("h"), Max("h"))
+    H = int(mm["max(h)"]) - int(mm["min(h)"]) + 1
+
+    def moments(b: pa.Table) -> pa.Table:
+        n = np.asarray(b.column("n"), dtype=np.int64)
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "sx": pa.array(n),
+                "sxx": pa.array(n * n),
+            }
+        )
+        return t.group_by("event_type").aggregate(
+            [("sx", "sum"), ("sxx", "sum")]
+        ).rename_columns(["event_type", "sx", "sxx"])
+
+    agg = (
+        hourly.map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("sx", alias_name="sx"), Sum("sxx", alias_name="sxx"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        sx = np.asarray(b.column("sx"), dtype=np.int64)
+        sxx = np.asarray(b.column("sxx"), dtype=np.int64)
+        fano = np.round(
+            (H * sxx.astype(np.float64) - sx.astype(np.float64) * sx)
+            / (H * sx.astype(np.float64)),
+            6,
+        )
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "n_events": pa.array(sx),
+                "n_hours": pa.array(np.full(sx.shape[0], H, np.int64)),
+                "fano": pa.array(fano, pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("event_type")
