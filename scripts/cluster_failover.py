@@ -84,6 +84,11 @@ def main() -> int:
     p.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     p.add_argument("--kill-after", type=float, default=6.0)
     p.add_argument("--quick", action="store_true")
+    p.add_argument(
+        "--kill-head", action="store_true",
+        help="kill the whole cluster mid-job (driver dies too) and "
+        "prove the MANIFEST-RESUME branch on a fresh cluster",
+    )
     args = p.parse_args()
     sf_dir = "/root/testdata/sf0.001" if args.quick else args.sf_dir
     factor = 1 if args.quick else 16
@@ -116,7 +121,7 @@ def main() -> int:
     record["reference_rows_out"] = ref_rows
     stop_cluster()
 
-    # drill run: kill one worker node's raylet mid-job
+    # drill run
     start_cluster(8, [8, 8, 8])
     time.sleep(2)
     pids_before = raylet_pids()
@@ -125,24 +130,19 @@ def main() -> int:
     t0 = time.perf_counter()
     proc = launch_job(docs_dir, media_dir, drill_out)
     time.sleep(args.kill_after)
-    victims = sorted(raylet_pids() & pids_before)
-    # the HEAD node's raylet is the one created first (lowest pid of the
-    # initial set is not guaranteed, so kill the HIGHEST pid = the last
-    # worker node started — never the head)
-    victim = victims[-1]
-    os.kill(victim, signal.SIGKILL)
-    record["killed_raylet_pid"] = victim
-    record["killed_after_s"] = args.kill_after
-    stdout, stderr = proc.communicate(timeout=1800)
-    first_rc = proc.returncode
-    record["job_exit_after_kill"] = first_rc
-    if first_rc == 0:
-        line = [l for l in stdout.splitlines() if l.startswith("{")][-1]
-        record["outcome"] = "completed-despite-node-death"
-        record["summary"] = json.loads(line)
-    else:
-        # resume path: rerun with the SAME out dir on the (now 3-node)
-        # cluster; the manifest must skip finished fragments
+    if args.kill_head:
+        # total-loss branch: the whole cluster (and with it the
+        # attached driver) dies mid-job; a FRESH cluster must resume
+        # from the per-fragment manifest, skipping finished fragments
+        stop_cluster()
+        try:
+            proc.kill()
+        except Exception:
+            pass
+        proc.communicate(timeout=60)
+        record["killed"] = "entire-cluster (head included)"
+        record["killed_after_s"] = args.kill_after
+        start_cluster(8, [8, 8, 8])
         proc = launch_job(docs_dir, media_dir, drill_out)
         stdout, stderr = proc.communicate(timeout=1800)
         assert proc.returncode == 0, stderr[-2000:]
@@ -152,6 +152,33 @@ def main() -> int:
         record["fragments_skipped_on_resume"] = record["summary"][
             "fragments_done_prior"
         ]
+    else:
+        victims = sorted(raylet_pids() & pids_before)
+        # kill the HIGHEST pid = the last worker node started — never
+        # the head
+        victim = victims[-1]
+        os.kill(victim, signal.SIGKILL)
+        record["killed_raylet_pid"] = victim
+        record["killed_after_s"] = args.kill_after
+        stdout, stderr = proc.communicate(timeout=1800)
+        first_rc = proc.returncode
+        record["job_exit_after_kill"] = first_rc
+        if first_rc == 0:
+            line = [l for l in stdout.splitlines() if l.startswith("{")][-1]
+            record["outcome"] = "completed-despite-node-death"
+            record["summary"] = json.loads(line)
+        else:
+            # resume path: rerun with the SAME out dir on the (now
+            # 3-node) cluster; the manifest must skip finished fragments
+            proc = launch_job(docs_dir, media_dir, drill_out)
+            stdout, stderr = proc.communicate(timeout=1800)
+            assert proc.returncode == 0, stderr[-2000:]
+            line = [l for l in stdout.splitlines() if l.startswith("{")][-1]
+            record["outcome"] = "resumed-from-manifest"
+            record["summary"] = json.loads(line)
+            record["fragments_skipped_on_resume"] = record["summary"][
+                "fragments_done_prior"
+            ]
     record["wall_s_total"] = round(time.perf_counter() - t0, 1)
     drill_rows = rows_out(drill_out)
     record["drill_rows_out"] = drill_rows
