@@ -3064,6 +3064,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fromlist=["bigram_entropy_rate"],
         ).bigram_entropy_rate(_docs(sf)),
         "burstiness_fano": lambda sf: relational.burstiness_fano(sf),
+        "hapax_ratio": lambda sf: __import__(
+            "vietnamese_ocr_ray.functions.lm", fromlist=["hapax_ratio"]
+        ).hapax_ratio(_docs(sf, ("doc_id", "text", "lang"))),
+        "pq_recall_audit": lambda sf: __import__(
+            "vietnamese_ocr_ray.functions.kmeans",
+            fromlist=["pq_recall_audit"],
+        ).pq_recall_audit(
+            _read_pq(
+                f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"]
+            ),
+            _query_vec(sf),
+        ),
         "purchase_attribution": lambda sf: relational.purchase_attribution(sf),
         "topk_per_group": lambda sf: relational.top_events_per_type(sf),
         "range_count": lambda sf: relational.signup_click_follow(sf),
@@ -11669,6 +11681,57 @@ def oracle_sql() -> dict[str, str]:
                      / (CAST(hh AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
                  AS fano
         FROM m CROSS JOIN span ORDER BY event_type
+    """
+    out["hapax_ratio"] = """
+        -- hapax-legomena ratio per language; exact ints + floor ppm
+        WITH toks AS (
+          SELECT lang, unnest(string_split(text, ' ')) AS tok
+          FROM documents
+        ),
+        counts AS (SELECT lang, tok, count(*) AS n
+                   FROM toks GROUP BY lang, tok),
+        per AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+                       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_hapax
+                FROM counts GROUP BY lang)
+        SELECT lang, n_types, n_hapax,
+               CAST(1000000 * n_hapax // greatest(n_types, 1) AS BIGINT)
+                 AS hapax_ppm
+        FROM per ORDER BY lang
+    """
+    out["pq_recall_audit"] = f"""
+        -- recall@10 + top-1 reciprocal rank of the sampled-fit PQ
+        -- search vs the exact rounded-cosine ranking; the two ranked
+        -- lists are the ann_topk and ann_pq_sampled replays nested as
+        -- scoped subqueries (the lsh_recall_audit pattern)
+        WITH ex AS (
+          SELECT vec_id,
+                 row_number() OVER (ORDER BY cos DESC, vec_id) AS rnk
+          FROM (
+            WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]),
+                     CAST(q.embedding AS DOUBLE[])), 6) AS cos
+            FROM embeddings e, q
+            ORDER BY cos DESC, e.vec_id LIMIT 10
+          )
+        ),
+        pqt AS (
+          SELECT vec_id,
+                 row_number() OVER (ORDER BY adist, vec_id) AS rnk
+          FROM ({_ann_pq_sql(10, 4, 16, 3, fit_pred=_pq_sample_pred(250))})
+        ),
+        t1 AS (SELECT vec_id FROM ex WHERE rnk = 1)
+        SELECT
+          CAST((SELECT count(*) FROM ex JOIN pqt USING (vec_id))
+               AS BIGINT) AS n_hits,
+          CAST(coalesce(
+            (SELECT pqt.rnk FROM pqt JOIN t1 USING (vec_id)), 0)
+               AS BIGINT) AS top1_rank,
+          CAST(coalesce(
+            1000000 // (SELECT pqt.rnk FROM pqt JOIN t1 USING (vec_id)),
+            0) AS BIGINT) AS rr_ppm
     """
     out["l_diversity"] = """
         -- l-diversity over the k_anonymity QI classes; sensitive =

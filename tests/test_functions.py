@@ -6752,3 +6752,55 @@ def test_burstiness_fano_poisson_vs_burst(ray_session, tmp_path):
     assert out.loc["steady", "fano"] == 0.0
     # burst: Sxx = 48^2 -> F = (48*2304 - 2304)/(48*48) = 47
     assert out.loc["burst", "fano"] == 47.0
+
+
+def test_hapax_ratio_exact(ray_session):
+    """Known token multiset: hapax counts and floor-ppm exact."""
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.lm import hapax_ratio
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a a b c", "d d d e"]),
+            "lang": pa.array(["en", "en"]),
+        }
+    )
+    out = hapax_ratio(rd_mod.from_arrow(docs)).to_pandas().iloc[0]
+    # types: a, b, c, d, e -> 5; hapax: b, c, e -> 3
+    assert out.n_types == 5 and out.n_hapax == 3
+    assert out.hapax_ppm == 1_000_000 * 3 // 5
+
+
+def test_pq_recall_audit_blob_perfect(ray_session):
+    """On well-separated blobs the exact top-1 must appear in the PQ
+    list (blob-level recall: all near vectors collapse to the same
+    codes, so ties break by vec_id and the query vector itself — the
+    lowest id in its blob here — ranks first). Exact set-overlap
+    beyond that is NOT guaranteed once codes collapse, which is
+    precisely what the audit measures."""
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.kmeans import pq_recall_audit
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((4, 32)) * 4
+    vecs = np.vstack(
+        [c + 0.05 * rng.standard_normal((25, 32)) for c in centers]
+    )
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(100), pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    q = vecs[0].astype(np.float32).astype(np.float64)
+    out = pq_recall_audit(
+        rd_mod.from_arrow(t).repartition(4), q, k=5, n_sub=4, ks=8
+    ).to_pandas().iloc[0]
+    assert out.top1_rank == 1  # exact top-1 leads the PQ list
+    assert out.n_hits >= 1
+    assert out.rr_ppm == 1_000_000 // out.top1_rank

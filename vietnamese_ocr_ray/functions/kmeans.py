@@ -743,3 +743,44 @@ def centroid_classify(
         {"n_vecs": ("n_vecs", "sum")},
         num_buckets=8,
     )
+
+
+def pq_recall_audit(
+    ds: rd.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    n_sub: int = 4,
+    ks: int = 16,
+    iters: int = 3,
+    seed: int = 17,
+) -> pa.Table:
+    """PQ quality audit against exact ground truth (the lsh_recall
+    pattern for the ADC path): recall@k of :func:`ann_pq` (sampled
+    fit — the production default) vs the exact rounded-cosine top-k,
+    plus the reciprocal rank of the exact top-1 inside the PQ list —
+    the commit gate before trusting the compressed index at scale.
+
+    Both sides are individually SQL-replayable (ann_topk's cosine
+    ranking; the sampled-fit PQ chains), so the audit itself replays
+    by nesting the two. Output one row: (n_hits, top1_rank, rr_ppm);
+    integers only."""
+    from vietnamese_ocr_ray.functions.ann import ann_bruteforce
+
+    exact = ann_bruteforce(ds, query, k=k).to_pandas()
+    pqr = ann_pq(
+        ds, query, k=k, n_sub=n_sub, ks=ks, iters=iters, seed=seed
+    ).to_pandas()
+    ex_ids = exact["vec_id"].tolist()
+    pq_ids = pqr["vec_id"].tolist()
+    hits = len(set(ex_ids) & set(pq_ids))
+    top1 = ex_ids[0]
+    rank = pq_ids.index(top1) + 1 if top1 in pq_ids else 0
+    return pa.table(
+        {
+            "n_hits": pa.array([hits], pa.int64()),
+            "top1_rank": pa.array([rank], pa.int64()),
+            "rr_ppm": pa.array(
+                [1_000_000 // rank if rank else 0], pa.int64()
+            ),
+        }
+    )

@@ -1338,3 +1338,69 @@ def bigram_entropy_rate(ds: rd.Dataset) -> rd.Dataset:
             }
         )
     )
+
+
+def hapax_ratio(ds: rd.Dataset) -> rd.Dataset:
+    """Per-language hapax legomena ratio: the fraction of token TYPES
+    occurring exactly once — the vocabulary-freshness audit next to
+    heaps_law (natural corpora run 0.4–0.6; near 0 flags templated
+    text, near 1 a random-id corpus). Exact integers + one ppm
+    floor-division.
+
+    Scale shape: per-batch (lang, tok) count partials -> ONE
+    vocabulary-bounded hash aggregate -> a langs-sized per-lang count
+    pass. Output: (lang, n_types, n_hapax, hapax_ppm)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks_list = pc.split_pattern(batch.column("text"), " ")
+        flat = pc.list_flatten(toks_list)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        ntok = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+        lang = np.repeat(
+            batch.column("lang").to_numpy(zero_copy_only=False), ntok
+        )
+        t = pa.table({"lang": pa.array(lang, pa.string()), "tok": flat})
+        return t.group_by(["lang", "tok"]).aggregate(
+            [("tok", "count")]
+        ).rename_columns(["lang", "tok", "n"])
+
+    counts = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "tok"],
+        {"n": ("n", "sum")},
+    )
+
+    def per_lang(b: pa.Table) -> pa.Table:
+        n = np.asarray(b.column("n"), dtype=np.int64)
+        t = pa.table(
+            {
+                "lang": b.column("lang"),
+                "types": pa.array(np.ones(n.shape[0], np.int64)),
+                "hapax": pa.array((n == 1).astype(np.int64)),
+            }
+        )
+        return t.group_by("lang").aggregate(
+            [("types", "sum"), ("hapax", "sum")]
+        ).rename_columns(["lang", "types", "hapax"])
+
+    agg = (
+        counts.map_batches(per_lang, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("types", alias_name="types"), Sum("hapax", alias_name="hapax"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        ty = np.asarray(b.column("types"), dtype=np.int64)
+        hp = np.asarray(b.column("hapax"), dtype=np.int64)
+        return pa.table(
+            {
+                "lang": b.column("lang"),
+                "n_types": pa.array(ty),
+                "n_hapax": pa.array(hp),
+                "hapax_ppm": pa.array(1_000_000 * hp // np.maximum(ty, 1)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("lang")
