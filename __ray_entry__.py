@@ -3067,6 +3067,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hapax_ratio": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.lm", fromlist=["hapax_ratio"]
         ).hapax_ratio(_docs(sf, ("doc_id", "text", "lang"))),
+        "minhash_probe_pairs": lambda sf: __import__(
+            "vietnamese_ocr_ray.functions.dedup",
+            fromlist=["minhash_probe_pairs"],
+        ).minhash_probe_pairs(_docs(sf)),
         "pq_recall_audit": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.kmeans",
             fromlist=["pq_recall_audit"],
@@ -4854,18 +4858,62 @@ def _pq_kmeans_cte(
     return ",\n    ".join(parts)
 
 
-def _pq_sample_pred(rate_permille: int, salt: str = "pqfit:") -> str:
-    """The sampling.hash_sample band predicate over vec_id (salted
+def _sample_band_pred(col: str, rate_permille: int, salt: str) -> str:
+    """The sampling.hash_sample band predicate over ``col`` (salted
     polynomial hash, cubed mod p, permille band) — SQL-identical to
     the engine's keep() mask."""
     fp = (
         f"CAST(list_sum(list_transform(string_split("
-        f"'{salt}' || CAST(vec_id AS VARCHAR), ''), "
+        f"'{salt}' || CAST({col} AS VARCHAR), ''), "
         f"(c, i) -> unicode(c) * i)) % 1000000007 AS BIGINT)"
     )
     return (
         f"(({fp} * {fp} % 1000000007) * {fp} % 1000000007) % 1000"
         f" < {rate_permille}"
+    )
+
+
+def _pq_sample_pred(rate_permille: int, salt: str = "pqfit:") -> str:
+    return _sample_band_pred("vec_id", rate_permille, salt)
+
+
+def _minhash_probe_sql(
+    index_permille: int = 800, salt: str = "ix:", cap: int = 200
+) -> str:
+    """(a, b, jaccard) — the `minhash_probe_pairs` oracle: the
+    minhash-verified replay with the MEMBERS/CAND sections swapped for
+    the incremental rule — rank runs by (is_index, doc_id) so the cap
+    keeps probes first exactly like the engine's sort, and pair only
+    index x probe members."""
+    base = _minhash_verified_cte()
+    members_old = """), members AS (
+      SELECT band, band_hash, doc_id,
+             row_number() OVER (PARTITION BY band, band_hash
+                                ORDER BY doc_id) AS rk
+      FROM bandrows
+    ), cand AS (
+      SELECT DISTINCT m1.doc_id AS a, m2.doc_id AS b
+      FROM members m1 JOIN members m2 USING (band, band_hash)
+      WHERE m1.doc_id < m2.doc_id AND m1.rk <= 200 AND m2.rk <= 200
+    )"""
+    pred = _sample_band_pred("doc_id", index_permille, salt)
+    members_new = f"""), members AS (
+      SELECT band, band_hash, doc_id, is_index,
+             row_number() OVER (PARTITION BY band, band_hash
+                                ORDER BY is_index, doc_id) AS rk
+      FROM (SELECT band, band_hash, doc_id,
+                   CASE WHEN {pred} THEN 1 ELSE 0 END AS is_index
+            FROM bandrows)
+    ), cand AS (
+      SELECT DISTINCT m1.doc_id AS a, m2.doc_id AS b
+      FROM members m1 JOIN members m2 USING (band, band_hash)
+      WHERE m1.is_index = 1 AND m2.is_index = 0
+        AND m1.rk <= {cap} AND m2.rk <= {cap}
+    )"""
+    assert members_old in base, "verified-CTE members section drifted"
+    return (
+        base.replace(members_old, members_new)
+        + "\n    SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.6\n    "
     )
 
 
@@ -11682,6 +11730,7 @@ def oracle_sql() -> dict[str, str]:
                  AS fano
         FROM m CROSS JOIN span ORDER BY event_type
     """
+    out["minhash_probe_pairs"] = _minhash_probe_sql()
     out["hapax_ratio"] = """
         -- hapax-legomena ratio per language; exact ints + floor ppm
         WITH toks AS (

@@ -6804,3 +6804,44 @@ def test_pq_recall_audit_blob_perfect(ray_session):
     assert out.top1_rank == 1  # exact top-1 leads the PQ list
     assert out.n_hits >= 1
     assert out.rr_ppm == 1_000_000 // out.top1_rank
+
+
+def test_minhash_probe_pairs_incremental_contract(ray_session):
+    """Probe docs pair with near-dup INDEX docs; two probe docs that
+    are near-dups of each other must NOT pair (their collision was not
+    the ingest's business), nor do index-index pairs appear."""
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.dedup import minhash_probe_pairs
+    from vietnamese_ocr_ray.functions.sampling import FP_MOD, _poly_hash
+
+    def is_index(doc_id: int, permille=800, salt="ix:") -> bool:
+        fp = int(
+            _poly_hash(pa.array([f"{salt}{doc_id}"]))[0]
+        )
+        return (fp * fp % FP_MOD) * fp % FP_MOD % 1000 < permille
+
+    # find two index ids and two probe ids deterministically
+    idx_ids = [i for i in range(200) if is_index(i)][:2]
+    prb_ids = [i for i in range(200) if not is_index(i)][:2]
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    uniq = "completely unrelated filler text about something else entirely"
+    rows = {
+        idx_ids[0]: base + " alpha",
+        idx_ids[1]: uniq,
+        prb_ids[0]: base + " beta",   # near-dup of idx_ids[0]
+        prb_ids[1]: base + " gamma",  # near-dup of idx_ids[0] AND prb_ids[0]
+    }
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(rows), pa.int64()),
+            "text": pa.array(list(rows.values())),
+        }
+    )
+    out = minhash_probe_pairs(rd_mod.from_arrow(docs)).to_pandas()
+    pairs = {(int(r.a), int(r.b)) for r in out.itertuples()}
+    assert (idx_ids[0], prb_ids[0]) in pairs
+    assert (idx_ids[0], prb_ids[1]) in pairs
+    # probe-probe and index-index never pair
+    for a, b in pairs:
+        assert is_index(a) and not is_index(b)

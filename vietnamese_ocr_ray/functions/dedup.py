@@ -2830,3 +2830,136 @@ def dedup_gram_survivors(
     return crossdoc_gram_dup(ds, k=k).map_batches(
         keep, batch_format="pyarrow"
     )
+
+
+def minhash_probe_pairs(
+    ds: rd.Dataset,
+    *,
+    index_permille: int = 800,
+    salt: str = "ix:",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 8,
+    threshold: float = 0.6,
+    cap: int = 200,
+) -> rd.Dataset:
+    """INCREMENTAL near-dup: probe a batch of NEW documents against an
+    already-indexed corpus without re-pairing the index against itself
+    — the shape of a production dedup service ingesting a fresh crawl
+    (the index's own pairs were resolved when it was built; only
+    new-vs-index collisions matter now). Index membership here is the
+    deterministic ``hash_sample`` band of doc_id (SQL-replayable), so
+    the split — and therefore the pair set — is partitioning- and
+    rerun-stable.
+
+    Scale shape: identical to :func:`minhash_lsh_pairs` (one signature
+    pass over ALL docs, one band-bucket shuffle) except the per-bucket
+    expansion pairs INDEX x PROBE members only — a collision run of
+    m_i index and m_p probe members emits m_i * m_p pairs instead of
+    C(m_i + m_p, 2): the index-side quadratic term never exists.
+    Verification is the corpus-join mode (no broadcast texts). Output:
+    (a = index doc, b = probe doc, jaccard >= threshold)."""
+    from vietnamese_ocr_ray.functions.sampling import FP_MOD, _poly_hash
+
+    def role_of(ids: pa.Array) -> np.ndarray:
+        keys = pc.binary_join_element_wise(
+            pa.scalar(salt), pc.cast(ids, pa.string()), pa.scalar("")
+        )
+        fp = _poly_hash(keys)
+        mixed = (fp * fp % FP_MOD) * fp % FP_MOD
+        return (mixed % 1000 < index_permille).astype(np.int64)  # 1=index
+
+    def sigs_fn(batch: pa.Table) -> pa.Table:
+        key = (num_perm, k)
+        mh = _MINHASHER_CACHE.get(key)
+        if mh is None:
+            mh = _MINHASHER_CACHE[key] = MinHasher(num_perm=num_perm, k=k)
+        return mh(batch)
+
+    sigs = ds.select_columns(["doc_id", "text"]).map_batches(
+        sigs_fn, batch_format="pyarrow", batch_size=1024
+    )
+    num_coarse = 32
+
+    def band_with_role(b: pa.Table) -> pa.Table:
+        t = _band_rows(b, bands)
+        ids = t.column("doc_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        is_index = role_of(ids)
+        return t.append_column("is_index", pa.array(is_index)).append_column(
+            "bucket",
+            pa.array(
+                (
+                    np.asarray(t.column("band_hash")).astype(np.uint64)
+                    % np.uint64(num_coarse)
+                ).astype(np.int32)
+            ),
+        )
+
+    band_rows = sigs.map_batches(band_with_role, batch_format="pyarrow")
+
+    def cross_pairs(g: pd.DataFrame) -> pa.Table:
+        s = g.sort_values(
+            ["band", "band_hash", "is_index", "doc_id"], kind="stable"
+        )
+        band = s["band"].to_numpy()
+        bh = s["band_hash"].to_numpy()
+        ids = s["doc_id"].to_numpy(np.int64)
+        role = s["is_index"].to_numpy(np.int64)
+        n = ids.shape[0]
+        out_a, out_b = [], []
+        if n:
+            change = np.ones(n, dtype=bool)
+            change[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+            starts = np.nonzero(change)[0]
+            sizes = np.diff(np.append(starts, n))
+            for st, m in zip(starts, sizes):
+                mm = int(min(m, cap))
+                seg_role = role[st : st + mm]
+                seg_ids = ids[st : st + mm]
+                # probes sort first (is_index 0), index after
+                npb = int((seg_role == 0).sum())
+                if npb == 0 or npb == mm:
+                    continue
+                probe = seg_ids[:npb]
+                index = seg_ids[npb:]
+                ii, jj = np.meshgrid(
+                    np.arange(index.shape[0]),
+                    np.arange(probe.shape[0]),
+                    indexing="ij",
+                )
+                out_a.append(index[ii.ravel()])
+                out_b.append(probe[jj.ravel()])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    candidates = band_rows.groupby("bucket").map_groups(
+        lambda g: cross_pairs(g.drop(columns=["bucket"])),
+        batch_format="pandas",
+    )
+    distinct = (
+        candidates.map_batches(
+            lambda b: b.append_column(
+                "bucket",
+                pa.array(
+                    (
+                        np.asarray(b.column("a")).astype(np.int64) % num_coarse
+                    ).astype(np.int32)
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(
+            lambda g: pa.Table.from_pandas(
+                g.drop(columns=["bucket"]).drop_duplicates(["a", "b"]),
+                preserve_index=False,
+            ).replace_schema_metadata(None),
+            batch_format="pandas",
+        )
+    )
+    return verify_pairs_corpus(
+        distinct, ds, k=k, threshold=threshold, num_coarse=num_coarse
+    )
