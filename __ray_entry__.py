@@ -3071,6 +3071,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "vietnamese_ocr_ray.functions.dedup",
             fromlist=["minhash_probe_pairs"],
         ).minhash_probe_pairs(_docs(sf)),
+        "lang_confusion": lambda sf: __import__(
+            "vietnamese_ocr_ray.functions.text",
+            fromlist=["lang_confusion"],
+        ).lang_confusion(_docs(sf, ("doc_id", "text", "lang"))),
+        "rle_compress_ratio": lambda sf: __import__(
+            "vietnamese_ocr_ray.functions.text",
+            fromlist=["rle_compress_ratio"],
+        ).rle_compress_ratio(_docs(sf)),
         "pq_recall_audit": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.kmeans",
             fromlist=["pq_recall_audit"],
@@ -11731,6 +11739,56 @@ def oracle_sql() -> dict[str, str]:
         FROM m CROSS JOIN span ORDER BY event_type
     """
     out["minhash_probe_pairs"] = _minhash_probe_sql()
+    out["lang_confusion"] = """
+        -- lang_id's marker heuristic vs the label, as a confusion table
+        WITH s AS (
+          SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents
+        ), sc AS (
+          SELECT doc_id, lang,
+            (length(p) - length(replace(p, ' the ', ''))) / 5 AS s_en,
+            (length(p) - length(replace(p, ' der ', ''))) / 5 AS s_de,
+            (length(p) - length(replace(p, ' el ', ''))) / 4 AS s_es,
+            (length(p) - length(replace(p, ' le ', ''))) / 4 AS s_fr
+          FROM s
+        ), pred AS (
+          SELECT lang,
+               CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                    WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                    WHEN s_es >= s_fr THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+          FROM sc
+        )
+        SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+        FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+    """
+    out["rle_compress_ratio"] = """
+        -- maximal equal-codepoint runs per doc (gaps-and-islands over
+        -- per-char rows), floor ppm
+        WITH chars AS (
+          SELECT doc_id, length(text) AS n_chars,
+                 unnest(string_split_regex(text, '')) AS c,
+                 unnest(list_transform(string_split_regex(text, ''),
+                                       (x, i) -> i)) AS pos
+          FROM documents
+        ), marked AS (
+          SELECT doc_id, n_chars,
+                 CASE WHEN lag(c) OVER (PARTITION BY doc_id
+                                        ORDER BY pos) IS DISTINCT FROM c
+                      THEN 1 ELSE 0 END AS start
+          FROM chars WHERE c <> ''
+        ), per AS (
+          SELECT doc_id, any_value(n_chars) AS n_chars,
+                 CAST(sum(start) AS BIGINT) AS n_runs
+          FROM marked GROUP BY doc_id
+        )
+        SELECT d.doc_id, CAST(coalesce(p.n_chars, 0) AS BIGINT) AS n_chars,
+               CAST(coalesce(p.n_runs, 0) AS BIGINT) AS n_runs,
+               CAST(1000000 * coalesce(p.n_runs, 0)
+                    // greatest(coalesce(p.n_chars, 0), 1) AS BIGINT)
+                 AS run_ppm
+        FROM documents d LEFT JOIN per p USING (doc_id)
+        ORDER BY d.doc_id
+    """
     out["hapax_ratio"] = """
         -- hapax-legomena ratio per language; exact ints + floor ppm
         WITH toks AS (

@@ -6845,3 +6845,53 @@ def test_minhash_probe_pairs_incremental_contract(ray_session):
     # probe-probe and index-index never pair
     for a, b in pairs:
         assert is_index(a) and not is_index(b)
+
+
+def test_rle_compress_ratio_degenerate_vs_fresh(ray_session):
+    """'aaaa' is one run (250k ppm at 4 chars); all-distinct text is
+    1e6 ppm; Unicode runs count codepoints, not bytes."""
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.text import rle_compress_ratio
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["aaaa", "abcd", "ạạạb"]),
+        }
+    )
+    out = (
+        rle_compress_ratio(rd_mod.from_arrow(docs))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "n_runs"] == 1 and out.loc[0, "run_ppm"] == 250_000
+    assert out.loc[1, "n_runs"] == 4 and out.loc[1, "run_ppm"] == 1_000_000
+    # 'ạạạb': runs = [ạạạ][b] = 2 over 4 chars (multibyte chars are
+    # single codepoints, not byte runs)
+    assert out.loc[2, "n_runs"] == 2 and out.loc[2, "run_ppm"] == 500_000
+
+
+def test_lang_confusion_diagonal_heavy(ray_session):
+    """On the labeled corpus the confusion table's diagonal carries
+    most mass (the marker heuristic works) and counts sum to n_docs."""
+    out = None
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.text import lang_confusion
+    from vietnamese_ocr_ray.sources.storage import read_parquet_clean
+
+    ds = read_parquet_clean(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "lang"],
+    )
+    out = lang_confusion(ds).to_pandas()
+    total = out["n_docs"].sum()
+    diag = out.loc[out["lang"] == out["lang_pred"], "n_docs"].sum()
+    assert total == 500
+    assert diag > 0
+    # the heuristic has no zh markers: every zh doc lands off-diagonal
+    # — exactly the misrouting this audit exists to expose
+    zh = out[out["lang"] == "zh"]
+    assert zh["n_docs"].sum() == 75
+    assert (zh["lang_pred"] != "zh").all()

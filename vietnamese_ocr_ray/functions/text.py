@@ -1944,3 +1944,97 @@ def unicode_script_profile(ds: rd.Dataset) -> rd.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow").sort(
         ["lang", "char_class"]
     )
+
+
+def lang_confusion(ds: rd.Dataset) -> rd.Dataset:
+    """Language-ID confusion table: the marker-count heuristic's
+    prediction vs the labeled lang, counted per (lang, lang_pred)
+    cell — the router-quality audit run before trusting lang-id to
+    shard a corpus (off-diagonal mass = misrouted documents).
+    Shape: lang_id's per-batch scorer with the label carried through,
+    per-batch cell partials, one (langs x langs)-bounded aggregate."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pred = lang_id_batch(batch.select(["doc_id", "text"]))
+        t = pa.table(
+            {
+                "lang": batch.column("lang"),
+                "lang_pred": pred.column("lang_pred"),
+            }
+        )
+        return t.group_by(["lang", "lang_pred"]).aggregate(
+            [("lang", "count")]
+        ).rename_columns(["lang", "lang_pred", "n"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "lang": b.column("lang"),
+                    "lang_pred": b.column("lang_pred"),
+                    "n_docs": pc.cast(b.column("n_docs"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["lang", "lang_pred"])
+    )
+
+
+def rle_compress_ratio(ds: rd.Dataset) -> rd.Dataset:
+    """Per-document run-length compressibility proxy: the number of
+    maximal equal-CODEPOINT runs over the character count, in ppm —
+    near 1e6 means no repetition; low values flag degenerate repeated-
+    character content (the cheap cousin of max_token_run's token-level
+    rule; real pipelines use a zlib ratio, whose library dependence
+    makes it non-replayable — runs are exact on both engines).
+
+    Shape: ONE bulk utf-8 -> utf-32 decode per batch (the vocab_build
+    fallback pattern), vectorized boundary diff with per-row resets,
+    one add.reduceat — no shuffle at all (per-doc output)."""
+    from vietnamese_ocr_ray.functions.dedup import _utf8_flat
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = batch.column("text")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        offs, data = _utf8_flat(arr)
+        nchar = pc.utf8_length(arr).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        n = len(arr)
+        if data.size:
+            cp = np.frombuffer(
+                data.tobytes().decode("utf-8").encode("utf-32-le"),
+                dtype=np.uint32,
+            ).astype(np.int64)
+        else:
+            cp = np.empty(0, np.int64)
+        # codepoint offsets per row (cumulative char counts)
+        coffs = np.concatenate(([0], np.cumsum(nchar)))
+        change = np.ones(cp.shape[0], dtype=bool)
+        change[1:] = cp[1:] != cp[:-1]
+        change[coffs[:-1][nchar > 0]] = True  # row starts begin a run
+        runs = np.zeros(n, np.int64)
+        nz = nchar > 0
+        if change.any():
+            counts = np.add.reduceat(
+                change.astype(np.int64), coffs[:-1][nz]
+            )
+            runs[nz] = counts
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                "n_chars": pa.array(nchar),
+                "n_runs": pa.array(runs),
+                "run_ppm": pa.array(
+                    1_000_000 * runs // np.maximum(nchar, 1)
+                ),
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow").sort("doc_id")
