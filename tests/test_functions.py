@@ -6892,6 +6892,17 @@ def test_lang_confusion_diagonal_heavy(ray_session):
     assert diag > 0
     # the heuristic has no zh markers: every zh doc lands off-diagonal
     # — exactly the misrouting this audit exists to expose
+    import pyarrow.parquet as pq_mod
+
+    n_zh = (
+        pq_mod.read_table(
+            "/root/testdata/sf0.001/documents.parquet", columns=["lang"]
+        )
+        .column("lang")
+        .to_pandas()
+        .eq("zh")
+        .sum()
+    )
     zh = out[out["lang"] == "zh"]
-    assert zh["n_docs"].sum() == 75
+    assert zh["n_docs"].sum() == n_zh
     assert (zh["lang_pred"] != "zh").all()
