@@ -1004,6 +1004,34 @@ def _fuzzy_match_ed1(sf_dir: str):
     return fuzzy_pairs_ed1(ds, text_col="c_name", num_buckets=16)
 
 
+def _jsonl_roundtrip(sf_dir: str):
+    """JSONL interchange roundtrip (the labels_tsv_roundtrip pattern
+    for the LLM-pipeline line format): write documents as partitioned
+    JSONL, read them back with ray.data.read_json, and return
+    (doc_id, text) — value-checked against the parquet source, so
+    both the sink's formatting and the reader's parsing are on the
+    hook. Fixture cached per sf under /tmp."""
+    import hashlib
+    import os
+
+    from vietnamese_ocr_ray.sources.storage import (
+        read_docs_jsonl,
+        write_docs_jsonl,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/vnocr_jsonl_{tag}"
+    if not os.path.isdir(out) or not os.listdir(out):
+        write_docs_jsonl(_docs(sf_dir), out)
+    return read_docs_jsonl(
+        sorted(
+            os.path.join(out, f)
+            for f in os.listdir(out)
+            if not f.startswith(".")
+        )
+    ).select_columns(["doc_id", "text"])
+
+
 def _dup_modularity_by_source(sf_dir: str):
     """Newman modularity of the MinHash near-dup graph under the
     source partition (functions/graph.dup_modularity_by_source); the
@@ -3075,6 +3103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "vietnamese_ocr_ray.functions.text",
             fromlist=["lang_confusion"],
         ).lang_confusion(_docs(sf, ("doc_id", "text", "lang"))),
+        "jsonl_roundtrip": _jsonl_roundtrip,
         "rle_compress_ratio": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.text",
             fromlist=["rle_compress_ratio"],
@@ -11739,6 +11768,7 @@ def oracle_sql() -> dict[str, str]:
         FROM m CROSS JOIN span ORDER BY event_type
     """
     out["minhash_probe_pairs"] = _minhash_probe_sql()
+    out["jsonl_roundtrip"] = "SELECT doc_id, text FROM documents"
     out["lang_confusion"] = """
         -- lang_id's marker heuristic vs the label, as a confusion table
         WITH s AS (

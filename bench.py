@@ -366,6 +366,11 @@ def run_bench() -> dict:
         "curriculum_order",
         "kn_doc_logprob",
         "min_rev_supplier",
+        "crossdoc_gram_dup",
+        "minhash_probe_pairs",
+        "kn_doc_logprob_cogroup",
+        "returned_item_report",
+        "unicode_script_profile",
     ):
 
         def consume(fn=q[name]):

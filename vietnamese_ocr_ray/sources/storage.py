@@ -280,3 +280,18 @@ def read_labels_tsv(path: str | list[str]) -> rd.Dataset:
         read_options=pacsv.ReadOptions(column_names=["ref", "truth"]),
         parse_options=pacsv.ParseOptions(delimiter="\t", quote_char=False),
     )
+
+
+def write_docs_jsonl(ds: rd.Dataset, out_dir: str) -> str:
+    """Write (doc_id, text) documents as partitioned JSONL — the
+    interchange format LLM data pipelines exchange (one object per
+    line, utf-8). Ray's json datasink writes one file per block, so
+    the layout stays resumable/shardable like the parquet sinks."""
+    ds.select_columns(["doc_id", "text"]).write_json(out_dir)
+    return out_dir
+
+
+def read_docs_jsonl(path: str | list[str]) -> rd.Dataset:
+    """Read a JSONL documents table written by :func:`write_docs_jsonl`
+    (or any {"doc_id": int, "text": str} line format)."""
+    return rd.read_json(path)
