@@ -3104,6 +3104,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             fromlist=["lang_confusion"],
         ).lang_confusion(_docs(sf, ("doc_id", "text", "lang"))),
         "jsonl_roundtrip": _jsonl_roundtrip,
+        "graph_diameter_est": lambda sf: __import__(
+            "vietnamese_ocr_ray.functions.graph",
+            fromlist=["graph_diameter_est"],
+        ).graph_diameter_est(_docs(sf, ("doc_id",))),
         "rle_compress_ratio": lambda sf: __import__(
             "vietnamese_ocr_ray.functions.text",
             fromlist=["rle_compress_ratio"],
@@ -11769,6 +11773,47 @@ def oracle_sql() -> dict[str, str]:
     """
     out["minhash_probe_pairs"] = _minhash_probe_sql()
     out["jsonl_roundtrip"] = "SELECT doc_id, text FROM documents"
+    out["graph_diameter_est"] = """
+        -- double-sweep diameter lower bound over the chain graph:
+        -- sweep 1 from the min node, sweep 2 from its farthest node
+        -- (smallest id on ties), both as recursive BFS expansions
+        WITH RECURSIVE e AS (
+          SELECT a.doc_id AS u, b.doc_id AS v FROM documents a
+            JOIN documents b ON b.doc_id = a.doc_id + 1
+          UNION ALL
+          SELECT a.doc_id, b.doc_id FROM documents a
+            JOIN documents b ON a.doc_id % 2 = 0
+                            AND b.doc_id = a.doc_id + 10
+          UNION ALL
+          SELECT a.doc_id, b.doc_id FROM documents a
+            JOIN documents b ON a.doc_id % 4 = 0
+                            AND b.doc_id = a.doc_id + 100
+        ),
+        ud AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+        b0(node, d) AS (
+          SELECT (SELECT min(doc_id) FROM documents), 0
+          UNION
+          SELECT ud.v, b0.d + 1 FROM b0 JOIN ud ON ud.u = b0.node
+          WHERE b0.d < 128
+        ),
+        d0 AS (SELECT node, min(d) AS d FROM b0 GROUP BY node),
+        far AS (
+          SELECT node FROM d0
+          WHERE d = (SELECT max(d) FROM d0)
+          ORDER BY node LIMIT 1
+        ),
+        b1(node, d) AS (
+          SELECT (SELECT node FROM far), 0
+          UNION
+          SELECT ud.v, b1.d + 1 FROM b1 JOIN ud ON ud.u = b1.node
+          WHERE b1.d < 128
+        ),
+        d1 AS (SELECT node, min(d) AS d FROM b1 GROUP BY node)
+        SELECT CAST((SELECT min(doc_id) FROM documents) AS BIGINT) AS src,
+               CAST((SELECT max(d) FROM d0) AS BIGINT) AS ecc_src,
+               CAST((SELECT node FROM far) AS BIGINT) AS far_node,
+               CAST((SELECT max(d) FROM d1) AS BIGINT) AS diameter_lb
+    """
     out["lang_confusion"] = """
         -- lang_id's marker heuristic vs the label, as a confusion table
         WITH s AS (

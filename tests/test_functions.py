@@ -6906,3 +6906,19 @@ def test_lang_confusion_diagonal_heavy(ray_session):
     zh = out[out["lang"] == "zh"]
     assert zh["n_docs"].sum() == n_zh
     assert (zh["lang_pred"] != "zh").all()
+
+
+def test_graph_diameter_est_path_graph(ray_session):
+    """On a pure path (ids 0..9, only the +1 rule fires below 10..),
+    the double sweep is EXACT: ecc from node 0 is 9, the farthest
+    node is 9, and the second sweep returns the true diameter 9."""
+    import ray.data as rd_mod
+
+    from vietnamese_ocr_ray.functions.graph import graph_diameter_est
+
+    docs = pa.table({"doc_id": pa.array(range(10), pa.int64())})
+    out = graph_diameter_est(rd_mod.from_arrow(docs)).to_pandas().iloc[0]
+    # +10/+100 shortcuts need targets that exist; ids 0..9 only have +1
+    # edges except 0->10 etc. which drop -> a pure path
+    assert out.src == 0 and out.ecc_src == 9
+    assert out.far_node == 9 and out.diameter_lb == 9

@@ -949,3 +949,64 @@ def dup_modularity_by_source(
             "modularity_term": pa.array(term, pa.float64()),
         }
     )
+
+
+def _bfs_ecc(edges: rd.Dataset, src: int, cap: int = 128):
+    """(dist dict, eccentricity, farthest node) of a frontier BFS from
+    ``src`` over a materialized undirected (u, v) edge dataset — the
+    khop_distances loop with an arbitrary source and no artificial hop
+    cap (``cap`` is a runaway bound, asserted unhit). Farthest-node
+    tie-break = smallest node id."""
+    import ray
+
+    dist: dict[int, int] = {src: 0}
+    frontier = np.array([src], dtype=np.int64)
+    for d in range(1, cap + 1):
+        fh = ray.put(np.sort(frontier))
+
+        def neigh(batch: pa.Table) -> pa.Table:
+            f = ray.get(fh)
+            u = np.asarray(batch.column("u"))
+            v = np.asarray(batch.column("v"))
+            out = np.concatenate([v[np.isin(u, f)], u[np.isin(v, f)]])
+            return pa.table({"n": pa.array(np.unique(out))})
+
+        ndf = edges.map_batches(neigh, batch_format="pyarrow").to_pandas()
+        if "n" not in ndf.columns or not len(ndf):
+            break
+        cand = np.unique(ndf["n"].to_numpy(np.int64))
+        new = cand[~np.isin(cand, np.fromiter(dist.keys(), np.int64))]
+        if not len(new):
+            break
+        for n in new:
+            dist[int(n)] = d
+        frontier = new
+    else:
+        raise RuntimeError(f"BFS exceeded the {cap}-hop runaway bound")
+    ecc = max(dist.values())
+    far = min(n for n, d in dist.items() if d == ecc)
+    return dist, ecc, far
+
+
+def graph_diameter_est(ds: rd.Dataset, id_col: str = "doc_id") -> pa.Table:
+    """Double-sweep diameter lower bound of the :func:`chain_edges`
+    graph (Magnien, Latapy & Habib 2009): BFS from the minimum node
+    gives eccentricity ecc0 and a farthest node f; a second BFS from f
+    gives ecc(f) — a lower bound on the diameter that is tight on
+    tree-like and chain-like graphs (this one). Two frontier-BFS
+    passes over the SAME materialized edge dataset; driver state is
+    the reached node set. Output one row: (src, ecc_src, far_node,
+    diameter_lb), all exact integers; the oracle replays both sweeps
+    as chained recursive CTEs."""
+    edges = chain_edges(ds, id_col).materialize()
+    src = int(ds.select_columns([id_col]).to_pandas()[id_col].min())
+    _, ecc0, far = _bfs_ecc(edges, src)
+    _, ecc1, _ = _bfs_ecc(edges, far)
+    return pa.table(
+        {
+            "src": pa.array([src], pa.int64()),
+            "ecc_src": pa.array([ecc0], pa.int64()),
+            "far_node": pa.array([far], pa.int64()),
+            "diameter_lb": pa.array([ecc1], pa.int64()),
+        }
+    )
