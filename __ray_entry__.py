@@ -2958,7 +2958,7 @@ def entry() -> Any:
     return _extracted_dataset("/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[str], Any]]:
+def _queries_base() -> dict[str, Callable[[str], Any]]:
     from vietnamese_ocr_ray.functions.text import (
         bm25_rank,
         fim_transform,
@@ -3492,6 +3492,76 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram_quantiles": _histogram_quantiles,
         "event_histogram_quantiles": _event_histogram_quantiles,
     }
+
+
+# Round-5 certification rotation: the driver certifies the FIRST 50
+# entries of queries() (rows + schema + value-hash vs oracle_sql at
+# sf0.01).  Rounds 1-4 always sampled the same dict head, so ~250
+# queries never earned a driver row (VERDICT r4 "What's wrong" #3).
+# Lead with 48 never-driver-certified queries spanning the
+# fuzzy/ANN/graph/LM/curation/dedup/web families plus the two flagship
+# anchors; relative order of everything else is unchanged.
+_R5_CERT_FIRST = [
+    "extract_flat",
+    "extract_reassembled",
+    "fuzzy_match_ed2_full",
+    "ktruss_dupgraph",
+    "kn_doc_logprob_cogroup",
+    "crossdoc_gram_dup",
+    "dedup_gram_survivors",
+    "minhash_probe_pairs",
+    "ann_pq_sampled",
+    "pq_recall_audit",
+    "market_share",
+    "nation_profit_by_year",
+    "returned_item_report",
+    "top_supplier_revenue",
+    "rich_light_buyers",
+    "revenue_change",
+    "lang_confusion",
+    "bigram_entropy_rate",
+    "hapax_ratio",
+    "burstiness_fano",
+    "unicode_script_profile",
+    "common_prefix_clusters",
+    "l_diversity",
+    "dup_modularity_by_source",
+    "graph_diameter_est",
+    "jsonl_roundtrip",
+    "snm_pairs",
+    "ssjoin_pairs",
+    "simhash_pairs",
+    "dedup_neardup_canonical",
+    "embedding_neardup_lsh",
+    "semdedup",
+    "line_dedup",
+    "incremental_dedup",
+    "decontaminate_ngram",
+    "pack_bins",
+    "bpe_encode",
+    "quality_filter",
+    "knn_join",
+    "kcore_dupgraph",
+    "pagerank_dupgraph",
+    "kn_bigram_lm",
+    "tfidf_top_terms",
+    "bm25_search",
+    "html_main_content",
+    "pdf_spans_interleaved",
+    "pii_redact",
+    "cdc_chunks",
+    "winnow_fingerprints",
+    "bloom_semijoin",
+]
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    base = _queries_base()
+    missing = [k for k in _R5_CERT_FIRST if k not in base]
+    assert not missing, f"rotation names unknown queries: {missing}"
+    out = {k: base[k] for k in _R5_CERT_FIRST}
+    out.update((k, v) for k, v in base.items() if k not in out)
+    return out
 
 
 # SQL building blocks ------------------------------------------------------

@@ -81,6 +81,92 @@ def test_salted_cogroup_matches_oracle(ray_session, salt):
     assert canon(out.take_all()) == golden
 
 
+def _mega_text_doc(n_spans: int) -> pa.Table:
+    """One doc with ``n_spans`` text spans — enough to overflow the
+    packed-row span cap (SURVEY.md §7.3's known-hard 10^6-span doc)."""
+    off = np.arange(n_spans, dtype=np.int32)
+    txt = np.char.add("t", off.astype("U7"))
+    st = pa.StructArray.from_arrays(
+        [
+            pa.array(np.full(n_spans, "text"), pa.string()),
+            pa.array(txt, pa.string()),
+            pa.array(np.full(n_spans, ""), pa.string()),
+            pa.array(off, pa.int32()),
+        ],
+        ["kind", "text", "media_ref", "offset"],
+    )
+    lst = pa.ListArray.from_arrays(
+        pa.array([0, n_spans], pa.int32()),
+        st.cast(DOCS_SCHEMA.field("spans").type.value_type),
+    )
+    return pa.table({"doc_id": pa.array(["doc-mega"]), "spans": lst})
+
+
+def test_packed_row_cap_fires_and_spans_fallback(ray_session):
+    """Both §7.3 branches at the REAL cap (no monkeypatch): a doc with
+    MAX_SPANS_PER_DOC+1 spans must (a) fail the packed "docs" output
+    with the documented error, and (b) produce the exact flat row set
+    under the ``output_format="spans"`` chunked-stitching fallback."""
+    import pyarrow.compute as pc
+    import ray
+
+    from vietnamese_ocr_ray.stages.explode import MAX_SPANS_PER_DOC
+
+    n = MAX_SPANS_PER_DOC + 1
+    docs_t = _mega_text_doc(n)
+    handle = ray.put({})  # all-text corpus: empty media broadcast
+
+    packed = extract_spans(
+        rd.from_arrow(docs_t),
+        handle,
+        media_mode="broadcast",
+        output_format="docs",
+        num_buckets=4,
+    )
+    with pytest.raises(Exception, match="spans .*chunked-stitching"):
+        packed.materialize()
+
+    flat = extract_spans(
+        rd.from_arrow(docs_t),
+        handle,
+        media_mode="broadcast",
+        output_format="spans",
+        num_buckets=4,
+    ).materialize()
+    assert flat.count() == n
+    # exact row set, checked by closed-form aggregates over all rows
+    # plus an exact head sample (a 10^6-row take_all would defeat the
+    # point of the streaming fallback)
+    agg = flat.map_batches(
+        lambda b: pa.table(
+            {
+                "s_off": [pc.sum(b.column("offset")).as_py() or 0],
+                "n_text": [
+                    pc.sum(
+                        pc.cast(pc.equal(b.column("kind"), "text"), pa.int64())
+                    ).as_py()
+                    or 0
+                ],
+                "n_doc": [
+                    pc.sum(
+                        pc.cast(
+                            pc.equal(b.column("doc_id"), "doc-mega"), pa.int64()
+                        )
+                    ).as_py()
+                    or 0
+                ],
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    assert int(agg.s_off.sum()) == n * (n - 1) // 2
+    assert int(agg.n_text.sum()) == n
+    assert int(agg.n_doc.sum()) == n
+    head = flat.take(3)
+    assert [r["offset"] for r in head] == [0, 1, 2]
+    assert [r["text"] for r in head] == ["t0", "t1", "t2"]
+
+
 def test_salt_spreads_hot_key():
     docs_t, media_t = _hot_corpus()
     from vietnamese_ocr_ray.stages.explode import explode_batch

@@ -19,6 +19,10 @@ Library code NEVER calls ``ray.init()`` / ``ray.shutdown()`` — sessions
 are owned by the caller (driver / bench / test fixture).
 """
 
+from vietnamese_ocr_ray import compat as _compat
+
+_compat.install()  # schema-stable shuffle shims (see compat.py)
+
 from vietnamese_ocr_ray.vocab import Vocabulary, ALPHABET
 from vietnamese_ocr_ray.model import DeterministicRecognizer
 from vietnamese_ocr_ray.pipelines.extract import (

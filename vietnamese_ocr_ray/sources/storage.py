@@ -295,3 +295,79 @@ def read_docs_jsonl(path: str | list[str]) -> rd.Dataset:
     """Read a JSONL documents table written by :func:`write_docs_jsonl`
     (or any {"doc_id": int, "text": str} line format)."""
     return rd.read_json(path)
+
+
+def write_docs_jsonl_resumable(
+    docs_path: str,
+    out_dir: str,
+    *,
+    columns: tuple[str, ...] = ("doc_id", "text"),
+    on_fragment=None,
+) -> dict:
+    """JSONL interchange sink with the SAME fragment-manifest + tmp-
+    rename atomicity as the parquet extract path (pipelines/extract.py
+    ``run_extract``): one output directory per input fragment, written
+    to ``_tmp-*`` then atomically renamed, one manifest line appended
+    AFTER the rename.  A rerun skips finished fragments exactly and the
+    surviving files are byte-identical (each fragment is read as ONE
+    block in source order, so line order is deterministic; at scale a
+    Lance fragment is block-sized by construction).
+
+    ``on_fragment(fid)`` is called after each committed fragment —
+    fault-injection hook for the interrupt/resume test.
+
+    Returns {fragments_total, fragments_done_prior, fragments_written,
+    rows_out}.
+    """
+    import shutil
+    import time
+
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.state.manifest import Manifest
+
+    fragments = list_fragments(docs_path)
+    manifest = Manifest(os.path.join(out_dir, "_manifest.jsonl"))
+    done = manifest.done_fragments()
+    pending = [f for f in fragments if fragment_id(f) not in done]
+    os.makedirs(out_dir, exist_ok=True)
+    for name in os.listdir(out_dir):  # crashed-run leftovers
+        if name.startswith("_tmp-"):
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+
+    summary = {
+        "fragments_total": len(fragments),
+        "fragments_done_prior": len(done),
+        "fragments_written": 0,
+        "rows_out": 0,
+    }
+    for frag in pending:
+        fid = fragment_id(frag)
+        t0 = time.perf_counter()
+        rows_in = pq.ParquetFile(frag).metadata.num_rows
+        tmp = os.path.join(out_dir, f"_tmp-part-{fid}")
+        final = os.path.join(out_dir, f"part-{fid}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(final, ignore_errors=True)
+        rd.read_parquet(
+            [frag], columns=list(columns), override_num_blocks=1
+        ).write_json(tmp)
+        os.rename(tmp, final)
+        manifest.append(
+            [
+                {
+                    "fragment_id": fid,
+                    "status": "done",
+                    "rows_in": rows_in,
+                    "rows_out": rows_in,
+                    "model_version": "jsonl-sink",
+                    "output_uri": final,
+                    "wall_s": round(time.perf_counter() - t0, 3),
+                }
+            ]
+        )
+        summary["fragments_written"] += 1
+        summary["rows_out"] += rows_in
+        if on_fragment is not None:
+            on_fragment(fid)
+    return summary
