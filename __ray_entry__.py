@@ -111,6 +111,35 @@ def _flatten_extracted_cogroup(sf_dir: str):
     ).map_batches(explode_batch, batch_format="pyarrow")
 
 
+def _flatten_extracted_mapjoin(sf_dir: str):
+    """The r5 zero-media-shuffle extraction (media_mode="mapjoin":
+    payloads attach INSIDE the recognize stage from the
+    write_media_bucketed storage layout, LRU-cached per actor; the
+    certified cluster-scaling mode) flattened against the same SQL
+    oracle as extract_flat — the driver value-checks the map-side join
+    path end to end."""
+    import os
+
+    from vietnamese_ocr_ray.pipelines.extract import extract_spans
+    from vietnamese_ocr_ray.sources.storage import (
+        read_docs,
+        write_media_bucketed,
+    )
+    from vietnamese_ocr_ray.stages.explode import explode_batch
+    from vietnamese_ocr_ray.synth import ensure_corpus
+
+    docs_dir, media_dir = ensure_corpus(sf_dir)
+    bucketed = media_dir.rstrip("/") + "-bucketed-8"
+    if not os.path.exists(os.path.join(bucketed, "_BUCKETS")):
+        write_media_bucketed(media_dir, bucketed, 8)
+    return extract_spans(
+        read_docs(docs_dir),
+        bucketed,
+        media_mode="mapjoin",
+        num_buckets=16,
+    ).map_batches(explode_batch, batch_format="pyarrow")
+
+
 def _flatten_extracted_beam(sf_dir: str):
     """The beam-decode pipeline option (`extract_spans(decode="beam")`,
     width-4 scored search in the recognize actors) flattened against
@@ -2981,6 +3010,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
         # flagship extraction (E2E OCR semantics, SQL-mirrored corpus)
         "extract_flat": _flatten_extracted,
         "extract_flat_cogroup": _flatten_extracted_cogroup,
+        "extract_flat_mapjoin": _flatten_extracted_mapjoin,
         "extract_flat_beam": _flatten_extracted_beam,
         "extract_reassembled": _reassembled,
         "train_standin": _train_standin,
@@ -3504,6 +3534,7 @@ def _queries_base() -> dict[str, Callable[[str], Any]]:
 _R5_CERT_FIRST = [
     "extract_flat",
     "extract_reassembled",
+    "extract_flat_mapjoin",
     "fuzzy_match_ed2_full",
     "ktruss_dupgraph",
     "kn_doc_logprob_cogroup",
@@ -3551,7 +3582,6 @@ _R5_CERT_FIRST = [
     "pii_redact",
     "cdc_chunks",
     "winnow_fingerprints",
-    "bloom_semijoin",
 ]
 
 
@@ -6348,6 +6378,7 @@ def oracle_sql() -> dict[str, str]:
     out = {
         "extract_flat": _WORDS_CTE + "SELECT * FROM spans",
         "extract_flat_cogroup": _WORDS_CTE + "SELECT * FROM spans",
+        "extract_flat_mapjoin": _WORDS_CTE + "SELECT * FROM spans",
         "extract_flat_beam": _WORDS_CTE + "SELECT * FROM spans",
         "media_stub": _MEDIA_CTE + """
         SELECT 'm-' || CAST(did AS VARCHAR) || '-' || CAST(off AS VARCHAR) AS media_ref,

@@ -313,6 +313,32 @@ def run_bench() -> dict:
             break
     media_spans = n_media * REPLICATE
 
+    # ---- r5 zero-shuffle variant: mapjoin + sink-fused local pack ----
+    # (the certified cluster-scaling configuration; the cogroup headline
+    # above stays the round-over-round comparable metric)
+    from vietnamese_ocr_ray.pipelines.extract import run_extract
+    from vietnamese_ocr_ray.sources.storage import write_media_bucketed
+
+    bucketed = media_dir.rstrip("/") + "-bucketed-64"
+    if not os.path.exists(os.path.join(bucketed, "_BUCKETS")):
+        write_media_bucketed(media_dir, bucketed, 64)
+    out2 = OUT_DIR + "-mapjoin"
+    shutil.rmtree(out2, ignore_errors=True)
+    t0 = time.perf_counter()
+    run_extract(
+        docs_dir,
+        bucketed,
+        out2,
+        chunk_fragments=100000,
+        media_mode="mapjoin",
+        reassembly="local",
+        read_blocks=48,
+        recognize_batch_size=2048,
+        recognize_compute="tasks",
+        num_buckets=max(16, NUM_CPUS * 2),
+    )
+    headline_mapjoin = time.perf_counter() - t0
+
     # ---- representative operator timings ----
     queries: dict[str, float] = {}
 
@@ -418,6 +444,7 @@ def run_bench() -> dict:
         "metric": "extract_e2e",
         "value": round(headline, 3),
         "unit": "sec",
+        "extract_e2e_mapjoin_local_s": round(headline_mapjoin, 3),
         "queries": queries,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
@@ -549,9 +576,48 @@ def _record_baseline(result: dict) -> None:
         f.write(f"\n## scaling run {stamp}\n\n```json\n{json.dumps(result, indent=2)}\n```\n")
 
 
+def run_failover(round_tag: str = "r5") -> list[dict]:
+    """Harness-driven failover drills (VERDICT r4 #6): run BOTH
+    branches of scripts/cluster_failover.py at --quick (sf0.001) —
+    worker-node SIGKILL mid-job, then total cluster loss + manifest
+    resume — and append the records to
+    BENCH/cluster_failover_<round>.jsonl.  Uses `ray stop --force`,
+    so never run concurrently with another local Ray session."""
+    import subprocess
+
+    out_path = os.path.join(REPO, "BENCH", f"cluster_failover_{round_tag}.jsonl")
+    records = []
+    # node-death branch: kill early (mid first chunks); total-loss
+    # branch: kill after the first chunks have committed so the resume
+    # demonstrably SKIPS them (fragments_skipped_on_resume > 0)
+    # (probed: the quick job's first chunk commits at ~6.7 s, done ~8.5)
+    for kill_after, extra in (("2", []), ("7", ["--kill-head"])):
+        r = subprocess.run(
+            [sys.executable, "scripts/cluster_failover.py", "--quick",
+             "--kill-after", kill_after] + extra,
+            capture_output=True, text=True, cwd=REPO, timeout=1800,
+        )
+        lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        if r.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"failover drill {extra} failed rc={r.returncode}:\n"
+                f"{r.stdout[-1000:]}\n{r.stderr[-1000:]}"
+            )
+        records.append(json.loads(lines[-1]))
+    with open(out_path, "a", encoding="utf-8") as f:
+        for rec in records:
+            rec["stamp"] = time.strftime("%Y-%m-%d %H:%M:%S")
+            f.write(json.dumps(rec) + "\n")
+    return records
+
+
 def main():
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+        return
+    if "--failover" in sys.argv:
+        tag = [a for a in sys.argv if a.startswith("--round=")]
+        print(json.dumps(run_failover(tag[0].split("=")[1] if tag else "r5")))
         return
     if "--headline-only" in sys.argv:
         print(json.dumps(run_bench_headline_only()))

@@ -6,13 +6,17 @@ efficiency >= 0.8 between them. This sandbox has one host, so the
 closest honest approximation is two genuinely separate ``ray start``
 process clusters on it:
 
-  - size N : 1 head process, 8 CPUs
-  - size 4N: 1 head process (8 CPUs) + 3 worker-node processes
-             (8 CPUs each) = 4 OS-process "nodes", 32 CPUs total,
-             each node with its OWN plasma object store, so every
-             cross-node block transfer really serializes through
-             shared memory the way a NIC-backed cluster would
-             (minus the wire).
+  - size N : 1 head process, --node-cpus CPUs (default 7)
+  - size 4N: 1 head process + 3 worker-node processes (--node-cpus
+             each) = 4 OS-process "nodes", each with its OWN plasma
+             object store, so every cross-node block transfer really
+             serializes through shared memory the way a NIC-backed
+             cluster would (minus the wire).  Default 7 CPUs/node: the
+             4-node leg then leaves 4 host cores for the 4 raylets +
+             stores + driver, the way a real node reserves cores for
+             its daemons — at 8/node the 4-node leg alone oversubscribes
+             the 32-core host, charging it a ~20% penalty no real
+             cluster pays (measured eff 0.80 -> 0.95).
 
 Each leg submits ``scripts/job_extract.py`` to the running cluster —
 through ``ray job submit`` when the job agent is available (requires
@@ -23,7 +27,17 @@ line. Efficiency = (thr_4N / thr_N) / (cpus_4N / cpus_N).
 
 Usage:
     python scripts/cluster_scaling.py [--sf-dir /root/testdata/sf0.1]
-        [--pairs 1] [--quick]
+        [--pairs 1] [--quick] [--mode mapjoin|copartitioned|cogroup]
+
+Round-5 configuration (the certified path): ``--mode mapjoin`` +
+``--reassembly local`` — media payloads attach inside the recognize
+stage from the ``write_media_bucketed`` layout and per-block packs are
+written in the sink, so the only exchange left is the ~2-docs-per-block
+edge stitch.  Corpus is sf0.1 x64 (vs the bench's x16): per-leg fixed
+cost (~2-3 s of driver connect/plan/manifest) caps a ~8 s leg at ~0.55
+efficiency no matter how well the pipeline scales, so the measurement
+must be throughput-dominated.  ``--mode cogroup`` reproduces the r4
+shuffle-heavy configuration for comparison.
 
 Prints one JSON line (the BENCH/BASELINE.md evidence record). The
 corpus is synthesized once under /tmp and reused; output dirs are
@@ -115,7 +129,8 @@ def stop_cluster() -> None:
 
 
 def submit_job(
-    addr: str, docs_dir: str, media_dir: str, out_dir: str, tag: str
+    addr: str, docs_dir: str, media_dir: str, out_dir: str, tag: str,
+    mode: str = "mapjoin", read_blocks: int = 192,
 ) -> dict:
     """Run job_extract against the cluster; prefer `ray job submit`,
     fall back to a driver process attached via RAY_ADDRESS (same
@@ -125,14 +140,29 @@ def submit_job(
         "python", "scripts/job_extract.py",
         "--docs", docs_dir, "--media", media_dir,
         "--out", out_dir,
+        "--mode", mode,
         # bench-matched knobs: one resumable chunk (the per-chunk
         # pipeline spin-up is fixed cost, not throughput), the measured
         # cogroup bucket count, and tasks-mode recognize (actor pools
-        # reserve CPUs through the sort barrier — see bench.py)
+        # reserve CPUs through the sort barrier — see bench.py).
+        # mode=mapjoin (r5 default): media payloads attach INSIDE the
+        # recognize stage from the write_media_bucketed layout, so the
+        # only remaining exchange is the reassembly sort — the r4
+        # decomposition blamed the scaling gap entirely on cross-store
+        # block fetch in the two sort shuffles, and this removes the
+        # bigger one (r4 ran --mode cogroup; pass it to reproduce).
         "--chunk-fragments", "100000",
         "--cogroup-buckets", "768",
         "--recognize-compute", "tasks",
-        "--read-blocks", "48",
+        # ~3 read blocks per fragment at x64 (192): recognize tasks of
+        # ~2k docs — coarse enough to amortize per-task cost (finer
+        # granularity measured slower on both legs), fine enough that
+        # neither leg starves
+        "--read-blocks", str(read_blocks),
+        "--recognize-batch-size", "2048",
+        # zero-shuffle reassembly: pack per block in the sink, stitch
+        # only block-edge docs through the bucketed shuffle
+        "--reassembly", "local" if mode in ("mapjoin", "broadcast") else "shuffle",
     ]
     env = cluster_env()
     env["RAY_ADDRESS"] = f"ray://{addr}"  # not used by job submit path
@@ -172,13 +202,32 @@ def main() -> int:
     p.add_argument("--pairs", type=int, default=1)
     p.add_argument("--quick", action="store_true",
                    help="sf0.001 corpus, 1 pair")
+    p.add_argument("--node-cpus", type=int, default=7,
+                   help="CPUs per node PROCESS (both legs). Default 7: "
+                        "the 4-node leg then uses 28 worker CPUs and "
+                        "leaves 4 host cores for the 4 raylets + plasma "
+                        "stores + driver, the way a real node reserves "
+                        "cores for its daemons; 8 oversubscribes the "
+                        "32-core host on the 4-node leg only, charging "
+                        "a ~20% penalty to leg B that no real cluster "
+                        "pays (measured: eff 0.80 at 8 -> 0.95 at 7)")
+    p.add_argument("--factor", type=int, default=64,
+                   help="docs replication factor (throughput-dominated "
+                        "regime; fixed per-leg cost is ~2-3 s)")
+    p.add_argument("--mode", default="mapjoin",
+                   choices=["mapjoin", "copartitioned", "cogroup"],
+                   help="media join mode for the cluster job "
+                        "(mapjoin = zero-media-shuffle scale path)")
     args = p.parse_args()
     sf_dir = "/root/testdata/sf0.001" if args.quick else args.sf_dir
 
     # the bench-replicated corpus (same input as the extract_e2e
-    # headline: sf docs x16 with distinct doc_ids, media shared) so
-    # the legs are throughput-dominated, not pipeline-spin-up-bound
-    factor = 1 if args.quick else 16
+    # headline: sf docs replicated with distinct doc_ids, media shared)
+    # at x64 (vs the bench's x16) so both legs are throughput-dominated:
+    # per-leg fixed cost (driver connect + plan + manifest) is ~2-3 s,
+    # which at x16 caps the measurable efficiency of a ~8 s leg-B at
+    # ~0.55 regardless of pipeline quality
+    factor = 1 if args.quick else args.factor
     prep_env = dict(cluster_env())
     prep_env["RAY_ADDRESS"] = "local"
     out = sh(
@@ -193,6 +242,42 @@ def main() -> int:
         env=prep_env,
     )
     docs_dir, media_dir = [l for l in out.splitlines() if l.strip()][-2:]
+    # ~3 read blocks per fragment keeps recognize tasks ~2k docs each
+    read_blocks = max(48, factor * 3)
+    out = sh(
+        [
+            sys.executable, "-c",
+            (
+                f"import sys; sys.path.insert(0, {REPO!r}); "
+                f"import bench; "
+                f"print('\\n'.join(bench._replicated_corpus({sf_dir!r}, 1)))"
+            ),
+        ],
+        env=prep_env,
+    )
+    warm_docs = [l for l in out.splitlines() if l.strip()][-2]
+
+    if args.mode in ("mapjoin", "copartitioned"):
+        # one-time storage-layout prep (the Hive-bucketing / Lance
+        # colocation analog — a property of how the corpus is laid out,
+        # not of any single job): hash-partition the media table by
+        # media_ref.  Cached next to the corpus cache.
+        bucketed = media_dir.rstrip("/") + "-bucketed-64"
+        if not os.path.exists(os.path.join(bucketed, "_BUCKETS")):
+            sh(
+                [
+                    sys.executable, "-c",
+                    (
+                        f"import sys; sys.path.insert(0, {REPO!r}); "
+                        f"import ray; ray.init(address='local', num_cpus=8, include_dashboard=False); "
+                        f"from vietnamese_ocr_ray.sources.storage import write_media_bucketed; "
+                        f"write_media_bucketed({media_dir!r}, {bucketed!r}, 64); "
+                        f"ray.shutdown()"
+                    ),
+                ],
+                env=prep_env,
+            )
+        media_dir = bucketed
 
     pairs = []
     for i in range(1 if args.quick else args.pairs):
@@ -200,17 +285,24 @@ def main() -> int:
         # leg A: 1-process cluster, 8 cpus. First run is an UNTIMED
         # warmup (worker spawn on every node + page cache), the bench
         # discipline; the second, fresh-output run is the measurement.
-        addr = start_cluster(8, [])
-        submit_job(addr, docs_dir, media_dir, "/tmp/vnocr_cluster_warm", "warm")
+        nc = args.node_cpus
+        addr = start_cluster(nc, [])
+        # warmup on the x1 corpus: spawns every node's workers and
+        # faults imports without paying a full-corpus untimed pass
+        submit_job(addr, warm_docs, media_dir, "/tmp/vnocr_cluster_warm",
+                   "warm", mode=args.mode, read_blocks=48)
         a = submit_job(
-            addr, docs_dir, media_dir, f"/tmp/vnocr_cluster_out_a{i}", "N=8"
+            addr, docs_dir, media_dir, f"/tmp/vnocr_cluster_out_a{i}",
+            f"N={nc}", mode=args.mode, read_blocks=read_blocks,
         )
         stop_cluster()
-        # leg B: 4-process cluster, 8 cpus each (4N = 32)
-        addr = start_cluster(8, [8, 8, 8])
-        submit_job(addr, docs_dir, media_dir, "/tmp/vnocr_cluster_warm", "warm")
+        # leg B: 4-process cluster, node_cpus each (4N)
+        addr = start_cluster(nc, [nc, nc, nc])
+        submit_job(addr, warm_docs, media_dir, "/tmp/vnocr_cluster_warm",
+                   "warm", mode=args.mode, read_blocks=48)
         b = submit_job(
-            addr, docs_dir, media_dir, f"/tmp/vnocr_cluster_out_b{i}", "4N=32"
+            addr, docs_dir, media_dir, f"/tmp/vnocr_cluster_out_b{i}",
+            f"4N={4*nc}", mode=args.mode, read_blocks=read_blocks,
         )
         stop_cluster()
         probe_after = memcpy_gbs()
@@ -234,11 +326,17 @@ def main() -> int:
         "metric": "cluster_scaling_efficiency",
         "value": effs[len(effs) // 2],
         "unit": "ratio",
-        "cluster_shape": "1x8cpu-node vs 4x8cpu-nodes (separate ray start processes, own object stores)",
+        "cluster_shape": f"1x{args.node_cpus}cpu-node vs 4x{args.node_cpus}cpu-nodes (separate ray start processes, own object stores)",
         "pairs": pairs,
+        "mode": args.mode,
         "sf_dir": sf_dir,
     }
     print(json.dumps(record), flush=True)
+    if not args.quick:
+        record["stamp"] = time.strftime("%Y-%m-%d %H:%M:%S")
+        out_path = os.path.join(REPO, "BENCH", "cluster_scaling_r5.jsonl")
+        with open(out_path, "a", encoding="utf-8") as f:
+            f.write(json.dumps(record) + "\n")
     return 0
 
 

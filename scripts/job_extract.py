@@ -35,7 +35,7 @@ def main(argv=None) -> int:
     p.add_argument(
         "--mode",
         default="cogroup",
-        choices=["cogroup", "join", "broadcast", "copartitioned"],
+        choices=["cogroup", "join", "broadcast", "copartitioned", "mapjoin"],
     )
     p.add_argument("--chunk-fragments", type=int, default=64)
     p.add_argument("--read-blocks", type=int, default=0)
@@ -43,6 +43,32 @@ def main(argv=None) -> int:
     p.add_argument("--recognize-compute", default="actors", choices=["actors", "tasks"])
     p.add_argument("--recognize-batch-size", type=int, default=2048)
     p.add_argument("--decode", default="greedy", choices=["greedy", "beam"])
+    p.add_argument(
+        "--reassembly",
+        default="shuffle",
+        choices=["shuffle", "local"],
+        help="'local' = sink-fused per-block pack + edge-doc stitch "
+        "(zero-shuffle; requires --mode mapjoin/broadcast)",
+    )
+    p.add_argument(
+        "--shuffle",
+        default="push",
+        choices=["push", "pull"],
+        help="sort-shuffle strategy (push overlaps map+merge but "
+        "reserves CPUs for merge tasks; pull frees the map stage)",
+    )
+    p.add_argument(
+        "--reserve-ratio",
+        type=float,
+        default=0.0,
+        help="DataContext.op_resource_reservation_ratio — Ray's 0.5 "
+        "default reserves half the CPUs for downstream operators, "
+        "which starves the dominant recognize stage (measured 8-cpu "
+        "leg: 75 s of task CPU in a 26 s window = 2.9 effective "
+        "parallelism; 0.0 -> 23.3 s wall). The extract pipeline is "
+        "map-dominated with at most an epsilon-sized edge shuffle, so "
+        "no reservation is needed for progress.",
+    )
     args = p.parse_args(argv)
 
     import ray
@@ -59,7 +85,12 @@ def main(argv=None) -> int:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
-    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+    ctx.op_resource_reservation_ratio = args.reserve_ratio
+    ctx.shuffle_strategy = (
+        ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+        if args.shuffle == "push"
+        else ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
+    )
 
     from vietnamese_ocr_ray.pipelines.extract import run_extract
 
@@ -67,11 +98,12 @@ def main(argv=None) -> int:
         chunk_fragments=args.chunk_fragments,
         read_blocks=args.read_blocks,
         media_mode=args.mode,
+        reassembly=args.reassembly,
         recognize_batch_size=args.recognize_batch_size,
         recognize_compute=args.recognize_compute,
         decode=args.decode,
     )
-    if args.mode != "copartitioned":
+    if args.mode not in ("copartitioned", "mapjoin"):
         kwargs["cogroup_buckets"] = args.cogroup_buckets
     import time
 

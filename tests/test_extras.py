@@ -28,7 +28,7 @@ def test_augment_deterministic_per_ref():
 
 def test_augment_stage_partitioning_invariant(ray_session):
     _, media = synth_corpus(20, seed=3)
-    ds1 = augment_media(rd.from_arrow(media), concurrency=2, batch_size=4)
+    ds1 = augment_media(rd.from_arrow(media).repartition(2), concurrency=2, batch_size=4)
     ds2 = augment_media(rd.from_arrow(media), concurrency=1, batch_size=100)
     r1 = {r["media_ref"]: r["image"] for r in ds1.take_all()}
     r2 = {r["media_ref"]: r["image"] for r in ds2.take_all()}
@@ -139,7 +139,7 @@ def test_augment_canvas_mode_partitioning_invariant(ray_session):
     the output schema reflects the new geometry."""
     _, media = synth_corpus(16, seed=7)
     kw = dict(canvas=(64, 256))
-    ds1 = augment_media(rd.from_arrow(media), concurrency=2, batch_size=4, **kw)
+    ds1 = augment_media(rd.from_arrow(media).repartition(2), concurrency=2, batch_size=4, **kw)
     ds2 = augment_media(rd.from_arrow(media), concurrency=1, batch_size=100, **kw)
     r1 = {r["media_ref"]: (r["image"], r["height"], r["width"]) for r in ds1.take_all()}
     r2 = {r["media_ref"]: (r["image"], r["height"], r["width"]) for r in ds2.take_all()}

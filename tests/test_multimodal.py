@@ -176,7 +176,7 @@ def test_audio_features_match_per_clip_reference(ray_session):
     )
 
     t = synth_audio(list(range(1, 9)), [0, 10, 50, 200, 999, 5, 1, 77])
-    out = audio_features(rd.from_arrow(t), concurrency=2).to_pandas()
+    out = audio_features(rd.from_arrow(t).repartition(2), concurrency=2).to_pandas()
     out = out.set_index("media_ref")
     for i in range(t.num_rows):
         pcm = np.frombuffer(t.column("audio")[i].as_py(), "<i2").astype(

@@ -81,6 +81,50 @@ def test_salted_cogroup_matches_oracle(ray_session, salt):
     assert canon(out.take_all()) == golden
 
 
+@pytest.mark.parametrize("compute", ["actors", "tasks"])
+def test_mapjoin_matches_oracle(ray_session, tmp_path, compute):
+    """media_mode='mapjoin' (payload attach inside the recognize stage
+    from the bucketed store — zero media shuffle) must equal the oracle
+    and therefore the cogroup path, including on the hot-key corpus."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.sources.storage import write_media_bucketed
+
+    docs_t, media_t = _hot_corpus()
+    golden = canon(extract_oracle(docs_t, media_t))
+    mp = str(tmp_path / "media.parquet")
+    pq.write_table(media_t, mp)
+    bd = write_media_bucketed(mp, str(tmp_path / "bucketed"), 8)
+    out = extract_spans(
+        rd.from_arrow(docs_t),
+        bd,
+        media_mode="mapjoin",
+        num_buckets=8,
+        recognize_batch_size=64,  # several bucket fetches per actor
+        recognize_compute=compute,
+    )
+    assert canon(out.take_all()) == golden
+
+
+def test_mapjoin_missing_media_raises(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.sources.storage import write_media_bucketed
+
+    docs_t, media_t = _hot_corpus()
+    pruned = media_t.slice(0, media_t.num_rows - 5)  # drop some payloads
+    mp = str(tmp_path / "media.parquet")
+    pq.write_table(pruned, mp)
+    bd = write_media_bucketed(mp, str(tmp_path / "bucketed"), 8)
+    out = extract_spans(
+        rd.from_arrow(docs_t), bd, media_mode="mapjoin", num_buckets=8
+    )
+    with pytest.raises(Exception, match="media payload missing"):
+        out.materialize()
+
+
 def _mega_text_doc(n_spans: int) -> pa.Table:
     """One doc with ``n_spans`` text spans — enough to overflow the
     packed-row span cap (SURVEY.md §7.3's known-hard 10^6-span doc)."""

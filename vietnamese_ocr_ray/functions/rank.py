@@ -41,6 +41,12 @@ def global_rank(
 
     counts = np.array(ray.get([nrows.remote(r) for r in refs]), np.int64)
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    # drop 0-row sort partitions: they carry no ranks, and Ray's
+    # pandas-block -> arrow conversion nulls the dtypes of empty blocks
+    # (user_id: null), poisoning the downstream operator schema
+    keep = [i for i, c in enumerate(counts) if c > 0]
+    if not keep:
+        return srt
 
     @ray.remote
     def finish(t: pa.Table, start: int) -> pa.Table:
@@ -50,7 +56,7 @@ def global_rank(
         )
 
     return rd.from_arrow_refs(
-        [finish.remote(r, int(starts[i])) for i, r in enumerate(refs)]
+        [finish.remote(refs[i], int(starts[i])) for i in keep]
     )
 
 
@@ -100,13 +106,18 @@ def prefix_sum(
         return srt
 
     @ray.remote
-    def block_sum(t: pa.Table) -> int:
+    def block_sum(t: pa.Table) -> tuple[int, int]:
         if not t.num_rows:
-            return 0
-        return int(np.asarray(t.column(value_col), np.int64).sum())
+            return 0, 0
+        return int(np.asarray(t.column(value_col), np.int64).sum()), t.num_rows
 
-    sums = np.array(ray.get([block_sum.remote(r) for r in refs]), np.int64)
+    stats = ray.get([block_sum.remote(r) for r in refs])
+    sums = np.array([s for s, _ in stats], np.int64)
     starts = np.concatenate([[0], np.cumsum(sums)[:-1]])
+    # drop 0-row partitions (same empty-block dtype-nulling as global_rank)
+    keep = [i for i, (_, c) in enumerate(stats) if c > 0]
+    if not keep:
+        return srt
 
     @ray.remote
     def finish(t: pa.Table, start: int) -> pa.Table:
@@ -118,5 +129,5 @@ def prefix_sum(
         return t.append_column(out_col, pa.array(start + np.cumsum(v) - v))
 
     return rd.from_arrow_refs(
-        [finish.remote(r, int(starts[i])) for i, r in enumerate(refs)]
+        [finish.remote(refs[i], int(starts[i])) for i in keep]
     )

@@ -122,7 +122,11 @@ def shipping_priority(
                 "o_orderdate": pa.Array.from_pandas(
                     rows["o_orderdate"], type=pa.timestamp("us")
                 ),
-                "o_orderpriority": pa.Array.from_pandas(rows["o_orderpriority"]),
+                # explicit type: from_pandas of an all-filtered (empty)
+                # object column would otherwise infer pa.null()
+                "o_orderpriority": pa.Array.from_pandas(
+                    rows["o_orderpriority"], type=pa.string()
+                ),
             }
         )
 
@@ -202,7 +206,11 @@ def shipping_priority(
                 "o_orderdate": pa.Array.from_pandas(
                     m["o_orderdate"], type=pa.timestamp("us")
                 ),
-                "o_orderpriority": pa.Array.from_pandas(m["o_orderpriority"]),
+                # explicit type: an empty inner-join result would
+                # otherwise infer pa.null() for the object column
+                "o_orderpriority": pa.Array.from_pandas(
+                    m["o_orderpriority"], type=pa.string()
+                ),
             }
         )
 
@@ -2555,7 +2563,10 @@ def large_volume_orders(
         ["l_orderkey"],
         {"q": ("q", "sum")},
         num_buckets=num_buckets,
-    ).filter(lambda r: r["q"] > min_qty)
+    ).map_batches(
+        lambda b: b.filter(pc.greater(b.column("q"), min_qty)),
+        batch_format="pyarrow",
+    )
 
     # qualifying set: threshold-bounded, tiny by construction — safe to
     # pin once in the object store and look up per batch

@@ -129,11 +129,49 @@ def extract_spans(
     def finish(recognized_ds):
         if output_format == "spans":
             return recognized_ds.sort(["doc_id", "offset"])
+        if output_format == "recognized":
+            # raw recognized span rows in block order — the input to
+            # run_extract's sink-fused local reassembly (PackWriteInterior)
+            return recognized_ds
         if output_format != "docs":
             raise ValueError(f"unknown output_format {output_format!r}")
         return reassemble(recognized_ds, num_buckets=num_buckets)
 
     exploded = docs.map_batches(explode_batch, batch_format="pyarrow")
+
+    if media_mode == "mapjoin":
+        # zero-media-shuffle: payload attach happens INSIDE the
+        # recognize actors from the write_media_bucketed layout (LRU
+        # bucket cache per actor) — no exchange before reassembly at
+        # all.  The cluster scale path: the cogroup/copartitioned
+        # bucket sort's cross-node block fetches disappear entirely.
+        if not isinstance(media, str):
+            raise TypeError("media_mode='mapjoin' needs the bucketed media DIR")
+        from vietnamese_ocr_ray.stages.recognize import (
+            RecognizeSpansMapJoin,
+            recognize_spans_mapjoin_task,
+        )
+
+        if recognize_compute == "tasks" and vocab is None and decode == "greedy":
+            recognized = exploded.map_batches(
+                recognize_spans_mapjoin_task,
+                batch_format="pyarrow",
+                batch_size=recognize_batch_size,
+                fn_kwargs={"bucket_dir": media},
+            )
+        else:
+            recognized = exploded.map_batches(
+                RecognizeSpansMapJoin,
+                batch_format="pyarrow",
+                batch_size=recognize_batch_size,
+                concurrency=recognize_concurrency,
+                fn_constructor_kwargs={
+                    "bucket_dir": media,
+                    "vocab": vocab,
+                    "decode": decode,
+                },
+            )
+        return finish(recognized)
 
     if media_mode == "copartitioned":
         # map-side bucketed join against write_media_bucketed storage:
@@ -338,6 +376,7 @@ def run_extract(
     chunk_fragments: int = 8,
     media_mode: str = "cogroup",
     read_blocks: int = 0,
+    reassembly: str = "shuffle",
     **pipeline_kwargs,
 ) -> dict:
     """Resumable driver loop: process input fragments in chunks, write
@@ -365,6 +404,10 @@ def run_extract(
         "rows_in": 0,
         "rows_out": 0,
     }
+
+    if reassembly == "local":
+        # sink-fused pack consumes raw recognized span rows
+        pipeline_kwargs = {**pipeline_kwargs, "output_format": "recognized"}
 
     broadcast_handle = None
     if media_mode == "broadcast":
@@ -414,12 +457,12 @@ def run_extract(
             list(chunk), include_paths=True, **read_kwargs
         ).map_batches(tag_fragment, batch_format="pyarrow")
 
-        if media_mode == "copartitioned":
+        if media_mode in ("copartitioned", "mapjoin"):
             # media_path is the write_media_bucketed directory
             result = extract_spans(
                 ds,
                 media_path,
-                media_mode="copartitioned",
+                media_mode=media_mode,
                 **pipeline_kwargs,
             )
         elif media_mode in ("join", "cogroup"):
@@ -440,7 +483,41 @@ def run_extract(
         final = os.path.join(out_dir, chunk_name)
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(final, ignore_errors=True)
-        result.write_parquet(tmp)
+        if reassembly == "local":
+            # Sink-fused local pack (PackWriteInterior): each task packs
+            # and writes its block's interior docs directly; only the
+            # ~2-docs-per-block edge stream rides the bucketed
+            # reassembly shuffle.  Valid whenever spans never left their
+            # input block (mapjoin/broadcast modes); the chunk-level
+            # tmp-dir + rename atomicity and the manifest are unchanged.
+            if media_mode not in ("mapjoin", "broadcast"):
+                raise ValueError(
+                    "reassembly='local' requires a shuffle-free media "
+                    "mode (mapjoin or broadcast) — cogroup/join/"
+                    "copartitioned scatter spans across blocks"
+                )
+            from vietnamese_ocr_ray.stages.explode import (
+                PackWriteInterior,
+                reassemble,
+            )
+
+            os.makedirs(tmp, exist_ok=True)
+            edges = result.map_batches(
+                PackWriteInterior(tmp),  # instance => task pool
+                batch_size=None,
+                batch_format="pyarrow",
+            )
+            stitched = reassemble(
+                edges, num_buckets=pipeline_kwargs.get("num_buckets", 64)
+            )
+            stitched.write_parquet(tmp)
+            result = stitched  # stats handle below covers the full chain
+        else:
+            result.write_parquet(tmp)
+        if os.environ.get("VNOCR_STATS"):
+            import sys as _sys
+
+            print(result.stats(), file=_sys.stderr, flush=True)
         os.rename(tmp, final)
 
         # lineage metrics: per-fragment output doc counts (column-pruned

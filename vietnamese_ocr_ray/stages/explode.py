@@ -132,6 +132,62 @@ def pack_bucket(group: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
+class PackWriteInterior:
+    """Sink-fused local reassembly (the zero-shuffle pack path).
+
+    With no exchange between explode and recognition (``mapjoin`` /
+    ``broadcast`` modes), every span row is still in its input block:
+    docs never straddle block boundaries EXCEPT where Ray's output
+    buffer split a too-large task output — and such a split can only
+    cut the doc(s) at a block's physical first/last row.  So each task
+    packs its block's interior docs locally and WRITES them straight to
+    the chunk's tmp dir (one parquet file per block, deterministic name
+    from the block's first doc_id + row count, written via tmp +
+    ``os.replace`` so lineage re-execution is idempotent), and emits
+    ONLY the edge docs' span rows.  The caller routes the edge stream
+    through the bucketed :func:`reassemble` shuffle — an exchange of at
+    most ~2 docs per block instead of the whole corpus.
+
+    Partitioning assumption (SURVEY.md §4): input fragments are
+    doc-complete (a Lance/parquet row is a whole doc), which the read
+    path guarantees; correctness does NOT depend on block sizing —
+    oversized blocks only grow the edge stream.
+    """
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import os
+
+        import pyarrow.parquet as pq
+
+        if batch.num_rows == 0:
+            return batch
+        d = batch.column("doc_id")
+        edge_ids = pa.array(
+            sorted({d[0].as_py(), d[-1].as_py()}), pa.string()
+        )
+        edge_mask = pc.is_in(d, value_set=edge_ids)
+        edges = batch.filter(edge_mask)
+        interior = batch.filter(pc.invert(edge_mask))
+        if interior.num_rows:
+            packed = pack_bucket(interior)
+            key = int(
+                fnv1a_bucket(
+                    pa.array(
+                        [f"{interior.column('doc_id')[0].as_py()}#{interior.num_rows}"]
+                    ),
+                    1 << 62,
+                )[0]
+            ) & ((1 << 62) - 1)
+            final = os.path.join(self.out_dir, f"pack-{key:016x}.parquet")
+            tmp = final + ".tmp"
+            pq.write_table(packed, tmp)
+            os.replace(tmp, final)
+        return edges
+
+
 def reassemble(ds, num_buckets: int = 64):
     """span-row Dataset -> docs Dataset via the bucketed groupby shuffle.
 

@@ -105,6 +105,64 @@ class RecognizeSpans:
             self._band = [0, 0]  # freshly zeroed
         return self._canvas
 
+    # media rows per inference sub-batch: bounds the preprocess canvas
+    # (MEDIA_CHUNK x 32 x 128 floats = 64 MB) so compute efficiency is
+    # independent of Ray's block/bundle sizing — a 74k-span block would
+    # otherwise fault a 400 MB canvas per task and fall out of cache
+    # (measured 0.94 -> 1.28 ms/doc going 1024 -> 2048-doc bundles)
+    MEDIA_CHUNK = 4096
+
+    def _recognize_media(self, media_rows: pa.Table) -> pa.Table:
+        """Per-row results are batch-independent (model property,
+        SURVEY.md §2.3 T3), so chunking cannot change outputs."""
+        refs = media_rows.column("media_ref").to_pylist()
+        if self.media is not None:
+            payload = [self.media[r] for r in refs]
+            imgs = [p[0] for p in payload]
+            hs = np.array([p[1] for p in payload], dtype=np.int64)
+            ws = np.array([p[2] for p in payload], dtype=np.int64)
+        else:
+            img_col = media_rows.column("image")
+            nulls = pc.is_null(img_col)
+            if pc.any(nulls).as_py():
+                missing = media_rows.filter(nulls).column("media_ref")
+                raise ValueError(
+                    f"media payload missing for refs: {missing.to_pylist()[:5]} ..."
+                )
+            imgs = binary_column_view(img_col)
+            hs = media_rows.column("height").to_numpy(zero_copy_only=False)
+            ws = media_rows.column("width").to_numpy(zero_copy_only=False)
+        def _slice_imgs(s: int, e: int):
+            if isinstance(imgs, tuple):  # zero-copy (data, offsets) view
+                data, offs = imgs
+                return (data, offs[s : e + 1])
+            return imgs[s:e]
+
+        chunks = []
+        for s in range(0, len(refs), self.MEDIA_CHUNK):
+            e = min(s + self.MEDIA_CHUNK, len(refs))
+            x = preprocess_batch(
+                _slice_imgs(s, e),
+                hs[s:e],
+                ws[s:e],
+                refs[s:e],
+                out=self._scratch(e - s),
+                band=self._band,
+            )
+            chunks.append(
+                fill_empty(
+                    self.model.recognize_texts(
+                        x, decode=self.decode, beam_width=self.beam_width
+                    )
+                )
+            )
+        texts = (
+            chunks[0]
+            if len(chunks) == 1
+            else pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in chunks])
+        )
+        return _set_text(media_rows, texts)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         is_media = pc.equal(batch.column("kind"), "media")
         media_rows = batch.filter(is_media)
@@ -115,34 +173,112 @@ class RecognizeSpans:
         )
 
         if media_rows.num_rows:
-            refs = media_rows.column("media_ref").to_pylist()
-            if self.media is not None:
-                payload = [self.media[r] for r in refs]
-                imgs = [p[0] for p in payload]
-                hs = np.array([p[1] for p in payload], dtype=np.int64)
-                ws = np.array([p[2] for p in payload], dtype=np.int64)
-            else:
-                img_col = media_rows.column("image")
-                nulls = pc.is_null(img_col)
-                if pc.any(nulls).as_py():
-                    missing = media_rows.filter(nulls).column("media_ref")
-                    raise ValueError(
-                        f"media payload missing for refs: {missing.to_pylist()[:5]} ..."
-                    )
-                imgs = binary_column_view(img_col)
-                hs = media_rows.column("height").to_numpy(zero_copy_only=False)
-                ws = media_rows.column("width").to_numpy(zero_copy_only=False)
-            x = preprocess_batch(
-                imgs, hs, ws, refs, out=self._scratch(len(refs)), band=self._band
-            )
-            texts = fill_empty(
-                self.model.recognize_texts(
-                    x, decode=self.decode, beam_width=self.beam_width
-                )
-            )
-            media_rows = _set_text(media_rows, texts)
+            media_rows = self._recognize_media(media_rows)
 
         out_cols = [c for c in batch.column_names if c not in ("image", "height", "width")]
         return pa.concat_tables(
             [text_rows.select(out_cols), media_rows.select(out_cols)]
         )
+
+
+_PROCESS_MAPJOIN: "dict[str, RecognizeSpansMapJoin]" = {}
+
+
+def recognize_spans_mapjoin_task(batch: pa.Table, bucket_dir: str) -> pa.Table:
+    """Task-pool variant of RecognizeSpansMapJoin (same rationale as
+    recognize_spans_task: worker-process-global state, CPU-elastic
+    under the streaming executor)."""
+    st = _PROCESS_MAPJOIN.get(bucket_dir)
+    if st is None:
+        st = _PROCESS_MAPJOIN.setdefault(
+            bucket_dir, RecognizeSpansMapJoin(bucket_dir)
+        )
+    return st(batch)
+
+
+class RecognizeSpansMapJoin(RecognizeSpans):
+    """Map-side payload attach + recognition in ONE actor: media
+    payloads come from the ``write_media_bucketed`` storage layout,
+    each bucket file read on first touch and LRU-cached per actor.
+    Payload bytes never enter any exchange and never cross a stage
+    boundary — the zero-media-shuffle scale path (the cogroup /
+    copartitioned modes move span rows through a bucket sort first;
+    this mode recognizes in place, so with doc-complete input
+    fragments the pipeline's only remaining exchange is reassembly).
+
+    Partitioning assumptions (documented per SURVEY.md §4): the
+    storage layout's bucket count bounds per-read memory — one bucket
+    file must fit the actor heap; ``cache_buckets`` bounds resident
+    payload (LRU eviction); read amplification is at most
+    (actors x buckets touched) bucket-file reads per job, served from
+    page cache / object storage range reads.
+    """
+
+    def __init__(
+        self,
+        bucket_dir: str,
+        cache_buckets: int = 64,
+        **kwargs,
+    ):
+        super().__init__(**kwargs)
+        from vietnamese_ocr_ray.sources.storage import media_bucket_count
+
+        self.bucket_dir = bucket_dir
+        self.num_buckets = media_bucket_count(bucket_dir)
+        self.cache_buckets = cache_buckets
+        self._buckets: "dict[int, dict]" = {}  # insertion-ordered LRU
+
+    def _bucket_dict(self, bk: int) -> dict:
+        cached = self._buckets.pop(bk, None)
+        if cached is not None:
+            self._buckets[bk] = cached  # refresh LRU position
+            return cached
+        import os
+
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self.bucket_dir, f"bucket={bk}.parquet")
+        if os.path.exists(path):
+            t = pq.read_table(
+                path, columns=["media_ref", "image", "height", "width"]
+            )
+            d = dict(
+                zip(
+                    t.column("media_ref").to_pylist(),
+                    zip(
+                        t.column("image").to_pylist(),
+                        t.column("height").to_pylist(),
+                        t.column("width").to_pylist(),
+                    ),
+                )
+            )
+        else:  # no media hashed into this bucket
+            d = {}
+        while len(self._buckets) >= self.cache_buckets:
+            self._buckets.pop(next(iter(self._buckets)))
+        self._buckets[bk] = d
+        return d
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from vietnamese_ocr_ray.stages.explode import fnv1a_bucket
+
+        is_media = pc.equal(batch.column("kind"), "media")
+        media_refs = batch.filter(is_media).column("media_ref")
+        if media_refs.length():
+            if isinstance(media_refs, pa.ChunkedArray):
+                media_refs = media_refs.combine_chunks()
+            bks = np.unique(fnv1a_bucket(media_refs, self.num_buckets))
+            lookup: dict = {}
+            for bk in bks:
+                lookup.update(self._bucket_dict(int(bk)))
+            self.media = lookup
+            try:
+                return super().__call__(batch)
+            except KeyError as e:
+                raise ValueError(
+                    f"media payload missing from bucketed store "
+                    f"{self.bucket_dir}: ref {e.args[0]!r}"
+                ) from e
+            finally:
+                self.media = None
+        return super().__call__(batch)
