@@ -126,6 +126,60 @@ def test_resume_produces_identical_output(ray_session, tmp_path):
     assert s3["fragments_processed"] == 0
 
 
+def test_local_reassembly_matches_shuffle(ray_session, tmp_path):
+    """reassembly='local' (sink-fused per-block pack + edge-doc stitch,
+    the certified cluster configuration) must produce the exact doc set
+    of the shuffle reassembly, across both shuffle-free media modes."""
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.sources.storage import write_media_bucketed
+
+    docs, media = synth_corpus(120, seed=17)
+    # zero-span docs produce no span rows and drop in EVERY reassembly
+    # mode (seed 17 has two; the oracle drops them identically)
+    n_nonempty = sum(1 for s in docs.column("spans").to_pylist() if s)
+    docs_dir, media_dir = write_corpus(
+        docs, media, str(tmp_path / "in"), n_fragments=4
+    )
+    media_path = os.path.join(media_dir, "media-00000.parquet")
+    bucketed = write_media_bucketed(
+        media_path, str(tmp_path / "bucketed"), 8
+    )
+
+    def read_all(d):
+        import pyarrow as pa
+
+        tabs = []
+        for root, _, files in os.walk(d):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    tabs.append(pq.read_table(os.path.join(root, f)))
+        return canon(pa.concat_tables(tabs).to_pylist())
+
+    ref_dir = str(tmp_path / "shuffle")
+    run_extract(
+        docs_dir, bucketed, ref_dir,
+        chunk_fragments=100, media_mode="mapjoin", reassembly="shuffle",
+    )
+    golden = read_all(ref_dir)
+
+    for mode, mpath in (("mapjoin", bucketed), ("broadcast", media_path)):
+        out_dir = str(tmp_path / f"local-{mode}")
+        s = run_extract(
+            docs_dir, mpath, out_dir,
+            chunk_fragments=100, media_mode=mode, reassembly="local",
+        )
+        assert s["rows_out"] == n_nonempty == 118
+        assert read_all(out_dir) == golden
+
+    # cogroup scatters spans across blocks: local pack must refuse
+    with pytest.raises(ValueError, match="requires a shuffle-free"):
+        run_extract(
+            docs_dir, media_path, str(tmp_path / "bad"),
+            chunk_fragments=100, media_mode="cogroup", reassembly="local",
+        )
+
+
 def test_manifest_records_lineage(ray_session, tmp_path):
     import json
 
