@@ -108,6 +108,38 @@ def test_mapjoin_matches_oracle(ray_session, tmp_path, compute):
     assert canon(out.take_all()) == golden
 
 
+def test_mapjoin_lru_eviction_preserves_results(ray_session, tmp_path):
+    """cache_buckets smaller than the buckets touched forces LRU
+    eviction + re-read inside the recognize actor — results must be
+    identical to the unbounded cache (the 100 TB memory-bound path)."""
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.sources.storage import write_media_bucketed
+    from vietnamese_ocr_ray.stages.recognize import RecognizeSpansMapJoin
+    from vietnamese_ocr_ray.stages.explode import explode_batch
+
+    docs_t, media_t = _hot_corpus()
+    golden = canon(extract_oracle(docs_t, media_t))
+    mp = str(tmp_path / "media.parquet")
+    pq.write_table(media_t, mp)
+    bd = write_media_bucketed(mp, str(tmp_path / "bucketed"), 8)
+
+    from vietnamese_ocr_ray.stages.explode import reassemble
+
+    exploded = rd.from_arrow(docs_t).map_batches(
+        explode_batch, batch_format="pyarrow"
+    )
+    out = exploded.map_batches(
+        RecognizeSpansMapJoin,
+        batch_format="pyarrow",
+        batch_size=32,  # many small batches -> many bucket touches
+        concurrency=1,  # ONE actor so its tiny cache must evict
+        fn_constructor_kwargs={"bucket_dir": bd, "cache_buckets": 2},
+    )
+    packed = reassemble(out, num_buckets=8)
+    assert canon(packed.take_all()) == golden
+
+
 def test_mapjoin_missing_media_raises(ray_session, tmp_path):
     import pyarrow.parquet as pq
 

@@ -172,16 +172,17 @@ class PackWriteInterior:
         edges = batch.filter(edge_mask)
         interior = batch.filter(pc.invert(edge_mask))
         if interior.num_rows:
+            import hashlib
+
             packed = pack_bucket(interior)
-            key = int(
-                fnv1a_bucket(
-                    pa.array(
-                        [f"{interior.column('doc_id')[0].as_py()}#{interior.num_rows}"]
-                    ),
-                    1 << 62,
-                )[0]
-            ) & ((1 << 62) - 1)
-            final = os.path.join(self.out_dir, f"pack-{key:016x}.parquet")
+            # full-64-bit name key (fnv1a_bucket returns int32 — a 32-bit
+            # keyspace would birthday-collide across millions of blocks
+            # at corpus scale, silently overwriting a sibling pack file)
+            key = hashlib.blake2b(
+                f"{interior.column('doc_id')[0].as_py()}#{interior.num_rows}".encode(),
+                digest_size=8,
+            ).hexdigest()
+            final = os.path.join(self.out_dir, f"pack-{key}.parquet")
             tmp = final + ".tmp"
             pq.write_table(packed, tmp)
             os.replace(tmp, final)
