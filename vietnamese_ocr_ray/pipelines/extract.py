@@ -384,6 +384,14 @@ def run_extract(
     manifest line per finished fragment. A rerun skips finished
     fragments exactly and produces byte-identical remaining output.
 
+    ``reassembly``: "shuffle" (default) routes recognized spans through
+    the bucketed groupby pack; "local" (requires media_mode mapjoin or
+    broadcast — the shuffle-free modes) packs each block's interior
+    docs in the sink and stitches only block-edge docs, the certified
+    zero-shuffle cluster configuration (BENCH/BASELINE.md round 5). On
+    a multi-node cluster ``out_dir`` must be shared storage in local
+    mode (pack tasks write from workers).
+
     Returns summary {fragments_total, fragments_done_prior,
     fragments_processed, rows_in, rows_out}.
     """
