@@ -102,3 +102,57 @@ def test_non_ascii_fallbacks():
     for i, s in enumerate(texts):
         expect = sum(ord(c) * (j + 1) for j, c in enumerate(s)) % 1_000_000_007
         assert out.column("fingerprint")[i].as_py() == expect
+
+
+def test_pack_write_interior_idempotent_under_reexecution(tmp_path):
+    """Lineage re-execution replays a pack task on the same block: the
+    deterministic file name must make the second write an overwrite,
+    never a duplicate (no Ray session needed — pure block logic)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from vietnamese_ocr_ray.schema import DOCS_SCHEMA
+    from vietnamese_ocr_ray.stages.explode import PackWriteInterior
+
+    n = 30
+    rows = []
+    for d in range(10):
+        for off in range(3):
+            rows.append(
+                {
+                    "doc_id": f"doc-{d:04d}",
+                    "offset": off,
+                    "kind": "text",
+                    "text": f"t{d}.{off}",
+                    "media_ref": "",
+                }
+            )
+    batch = pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows]),
+            "offset": pa.array([r["offset"] for r in rows], pa.int32()),
+            "kind": pa.array([r["kind"] for r in rows]),
+            "text": pa.array([r["text"] for r in rows]),
+            "media_ref": pa.array([r["media_ref"] for r in rows]),
+        }
+    )
+    out = str(tmp_path / "packs")
+    os.makedirs(out)
+    stage = PackWriteInterior(out)
+    edges1 = stage(batch)
+    files1 = sorted(os.listdir(out))
+    edges2 = stage(batch)  # replayed task
+    files2 = sorted(os.listdir(out))
+    assert files1 == files2 and len(files1) == 1
+    assert edges1.equals(edges2)
+    # edge docs = first+last of the raw block; interior = the other 8
+    assert set(edges1.column("doc_id").to_pylist()) == {
+        "doc-0000",
+        "doc-0009",
+    }
+    packed = pq.read_table(os.path.join(out, files1[0]))
+    assert packed.num_rows == 8
+    assert packed.schema.field("spans").type == DOCS_SCHEMA.field("spans").type
