@@ -2099,9 +2099,13 @@ def datasheet_by_source(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
             .sum()
             .rename(columns={"c": "n_dup"})
         )
-        return pa.Table.from_pandas(
-            out, preserve_index=False
-        ).replace_schema_metadata(None)
+        # explicit cast: a bucket with no duplicate hashes yields an
+        # empty frame whose object column would infer pa.null()
+        return (
+            pa.Table.from_pandas(out, preserve_index=False)
+            .replace_schema_metadata(None)
+            .cast(pa.schema([("source", pa.string()), ("n_dup", pa.int64())]))
+        )
 
     dups = (
         ds.map_batches(hash_rows, batch_format="pyarrow")
